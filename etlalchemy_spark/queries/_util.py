@@ -1,0 +1,78 @@
+"""Shared helpers for oracle-exact query formulations.
+
+See the determinism contract in ``etlalchemy_spark.registry``: double
+reductions go through exact decimal arithmetic so Spark and DuckDB agree
+bit-for-bit regardless of partitioning / row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.catalog import load_table
+
+# Default decimal widths: 18,4 for money/quantity columns (2 intrinsic
+# decimals), 8,4 for rate columns in [0,1] (discount/tax).
+MONEY = "decimal(18,4)"
+RATE = "decimal(8,4)"
+
+
+# Literal 1 kept at decimal(1,0): a bare int literal promotes to
+# decimal(10,0), which pushes product precision past 38 and makes Spark
+# silently round the scale (losing oracle-exactness).
+def one() -> Column:
+    return F.lit(1).cast("decimal(1,0)")
+
+
+def col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dec(c: Column | str, typ: str = MONEY) -> Column:
+    return col(c).cast(typ)
+
+
+# Final rescale before decimal→double: at scale 4 the unscaled integer of
+# any fixture-sized aggregate stays under 2^53, so int→double is exact and
+# the single /10^4 division is correctly rounded — both engines produce the
+# identical double. (At scale 12 the unscaled int overflows 2^53 and
+# DuckDB's two-step conversion double-rounds: off-by-one-ulp mismatches.)
+OUT = "decimal(38,4)"
+
+
+def fsum(c: Column, alias: str) -> Column:
+    """Order-insensitive, cross-engine-exact SUM of a decimal expression."""
+    return F.sum(c).cast(OUT).cast("double").alias(alias)
+
+
+def dsum(c: Column | str, alias: str, typ: str = MONEY) -> Column:
+    """Order-insensitive SUM over a double column, returned as double."""
+    return F.sum(dec(c, typ)).cast(OUT).cast("double").alias(alias)
+
+
+def davg(c: Column | str, alias: str, typ: str = MONEY) -> Column:
+    """Order-insensitive AVG: exact decimal sum / count, in pure double."""
+    return (
+        F.sum(dec(c, typ)).cast(OUT).cast("double") / F.count(col(c)).cast("double")
+    ).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, typ: str = "DECIMAL(18,4)") -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS {typ})), 4) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, typ: str = "DECIMAL(18,4)") -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS {typ})), 4) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+    )
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def ts(s: str) -> Column:
+    """UTC timestamp literal matching DuckDB ``TIMESTAMP '...'``."""
+    return F.lit(s).cast("timestamp")

@@ -1,0 +1,1 @@
+"""etl queries — filled in incrementally (SURVEY.md §2)."""

@@ -1,0 +1,1 @@
+"""streaming queries — filled in incrementally (SURVEY.md §2)."""

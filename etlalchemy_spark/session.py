@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-ready defaults.
+
+The defaults below are the engine's documented configuration surface
+(SURVEY.md §4 "100 TB notes"): AQE on (skew-join splitting + dynamic
+coalescing), UTC session timezone for oracle parity, Arrow enabled for
+every Pandas-UDF exchange, and shuffle parallelism sized from the
+environment rather than Spark's legacy default of 200.
+
+On a real cluster the same builder is used; only ``master`` and the
+memory/executor settings differ (supplied by spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etlalchemy_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sizes local parallelism;
+    shuffle partitions default to the core count locally — at cluster
+    scale AQE coalesces from a deliberately-high initial number instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,128 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registered query on Spark at the given sf_dir, runs its
+DuckDB oracle over the same parquet files, and compares:
+row count, column names, and order-insensitive exact values
+(columns sorted by name, rows sorted by all columns).
+
+Usage:  python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+from etlalchemy_spark.registry import all_queries
+from etlalchemy_spark.catalog import TABLE_NAMES
+from etlalchemy_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v, na_action="ignore"
+            )
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    if pd.isna(a) is True and pd.isna(b) is True:
+        return True
+    return a == b
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    issues: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        issues.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        issues.append(f"columns: spark={sc} duck={dc}")
+        return issues
+    if issues:
+        return issues
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            issues.append(
+                f"col {c}: {len(bad)}/{len(av)} mismatches; first @row{i}: spark={x!r} duck={y!r}"
+            )
+    return issues
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify_local")
+    con = duck_con(sf_dir)
+    qs = all_queries()
+    n_pass = n_fail = n_rows_only = 0
+    for name, q in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = q.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.execute(q.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        issues = compare(sdf, ddf)
+        if issues:
+            print(f"FAIL  {name}: " + " | ".join(issues))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows [{time.monotonic()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
