@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -40,10 +41,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (see session.py nanosAsLong) and we floor-divide to microseconds here.
+NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar vectorized read,
     predicate pushdown and column pruning come free from Catalyst."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in NANOS_TS_COLS.get(name, []):
+        if c in df.columns and df.schema[c].dataType.simpleString() == "bigint":
+            # integer division: ns epoch (~1.7e18) overflows double, so
+            # never divide in float here
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def load_tables(
@@ -58,7 +70,7 @@ def load_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -1,0 +1,64 @@
+"""As-of join: for each left row, the most recent right row at-or-before it.
+
+Spark has no native batch as-of join (SURVEY.md §2 Table B). This is the
+union-merge formulation: tag both sides, sort-merge within each key
+partition by (ts, side), and carry the latest right-side payload forward
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+
+Cost model: ONE shuffle on the key (the window partition), no join at
+all — strictly cheaper than the naive range-join (which Spark would plan
+as a broadcast-nested-loop). Scales to arbitrary key cardinality; skewed
+keys behave like any window skew (AQE cannot split a window partition,
+so extremely hot keys would need pre-bucketing by time range).
+
+Right rows sort BEFORE left rows at equal timestamps (side marker 0 < 1),
+giving the conventional inclusive semantics: right.ts <= left.ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join. Returns ``left`` columns plus, per payload col,
+    ``{prefix}{col}`` = value from the latest right row with
+    ``right[right_ts] <= left[left_ts]`` and matching ``on`` key
+    (NULL when no such row), plus ``{prefix}ts`` = its timestamp.
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(f"{prefix}ts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+    )
+    # Align schemas: left gets null payload slots, right gets null left slots.
+    for c in [f"{prefix}ts"] + [f"{prefix}{c}" for c in payload_cols]:
+        l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    r_aligned = r
+    for c in lcols:
+        if c not in (on, left_ts):
+            r_aligned = r_aligned.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(r_aligned.columns).unionByName(r_aligned)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in payload_cols]
+    for c in carried:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).select(*lcols, *carried)

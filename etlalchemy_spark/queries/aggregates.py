@@ -1,1 +1,225 @@
-"""aggregates queries — filled in incrementally (SURVEY.md §2)."""
+"""Aggregation coverage: hash agg, distinct, count-distinct, approx,
+rollup / cube / grouping sets, pivot, bucketed histograms.
+
+SURVEY.md §2 Table B rows "Hash/sort aggregation", "Distinct /
+count-distinct / approx", "Grouping sets / rollup / cube". All
+Catalyst-native: partial (map-side) + final aggregation with a single
+shuffle on the group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.catalog import load_tables
+from etlalchemy_spark.queries._util import dec, t
+
+_BASIC_SQL = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+    / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("agg_basic", oracle=_BASIC_SQL, tags=("agg",))
+def agg_basic(spark, sf_dir):
+    """Single-key hash agg with the five standard aggregates.
+    MIN/MAX on raw doubles are order-insensitive and need no decimal."""
+    orders = t(spark, sf_dir, "orders")
+    price = dec("o_totalprice")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(price).cast("decimal(38,4)").cast("double").alias("total_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (
+            F.sum(price).cast("decimal(38,4)").cast("double")
+            / F.count("o_totalprice").cast("double")
+        ).alias("avg_price"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@register("agg_distinct", oracle=_DISTINCT_SQL, tags=("agg",))
+def agg_distinct(spark, sf_dir):
+    """DISTINCT = group-by-all-columns; map-side partial dedup first."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+_CNTDIST_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_count_distinct", oracle=_CNTDIST_SQL, tags=("agg",))
+def agg_count_distinct(spark, sf_dir):
+    """Multiple exact count-distincts → Catalyst plans an expand +
+    two-phase agg; still one logical pass over the fact table."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate (rows-only: HLL sketches are
+    engine-specific, so no cross-engine oracle — SURVEY.md §5.2).
+    At 100 TB this replaces exact count-distinct: no expand, mergeable
+    partial sketches, O(1) memory per group."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_SQL, tags=("agg",))
+def agg_rollup(spark, sf_dir):
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_SQL, tags=("agg",))
+def agg_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping-key subsets in one pass (Expand operator)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL, tags=("agg",))
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand)."""
+    load_tables(spark, sf_dir, names=["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+  CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS O,
+  CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_SQL, tags=("agg",))
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (never let Spark scan for
+    distinct pivot values at scale — pass them)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").cast("double"))
+    )
+
+
+_HIST_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+@register("agg_histogram", oracle=_HIST_SQL, tags=("agg",))
+def agg_histogram(spark, sf_dir):
+    """Fixed-width bucketed histogram (floor-div bucketing; exact)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register("agg_approx_quantiles", oracle=None, tags=("agg", "approx"))
+def agg_approx_quantiles(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna sketch; rows-only —
+    sketch implementations differ across engines)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+    )

@@ -1,1 +1,199 @@
-"""joins queries — filled in incrementally (SURVEY.md §2)."""
+"""Join operator coverage: inner/left/full/semi/anti/cross/range/as-of.
+
+SURVEY.md §2 Table B rows "Equi-join", "Semi/anti join", "Theta/range
+join", "As-of join". Broadcast strategy: bounded dims are hinted;
+fact-fact joins shuffle on their keys and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.asof import asof_join
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import dec, one, t, ts, RATE
+
+_INNER_SQL = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+"""
+
+
+@register("join_inner", oracle=_INNER_SQL, tags=("join",))
+def join_inner(spark, sf_dir):
+    """Fact ⋈ broadcast dim; no shuffle of the fact side at all."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    cust = t(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+_LEFT_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_orderstatus = 'F'
+"""
+
+
+@register("join_left", oracle=_LEFT_SQL, tags=("join",))
+def join_left(spark, sf_dir):
+    """Left outer with a join-side predicate (kept in ON, not WHERE —
+    semantics differ, and this exercises Catalyst's null-producing path)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cond = (orders.o_custkey == cust.c_custkey) & (orders.o_orderstatus == "F")
+    return cust.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("join_semi", oracle=_SEMI_SQL, tags=("join",))
+def join_semi(spark, sf_dir):
+    """LEFT SEMI = EXISTS; emits each left row at most once, never widens."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+)
+"""
+
+
+@register("join_anti", oracle=_ANTI_SQL, tags=("join",))
+def join_anti(spark, sf_dir):
+    """LEFT ANTI = NOT EXISTS (customers with no pending orders) — also
+    the engine's FK-orphan primitive (SURVEY.md Table A, M2 validation)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_FULL_SQL = """
+WITH cn AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), sn AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey, n_customers, n_suppliers
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+"""
+
+
+@register("join_full_outer", oracle=_FULL_SQL, tags=("join", "agg"))
+def join_full_outer(spark, sf_dir):
+    """Full outer between two aggregates; both sides null-producing."""
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+_CROSS_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@register("join_cross", oracle=_CROSS_SQL, tags=("join",))
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product (both sides bounded dims)."""
+    return t(spark, sf_dir, "region").crossJoin(t(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+_RANGE_SQL = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_late_ship,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("join_range", oracle=_RANGE_SQL, tags=("join", "agg"))
+def join_range(spark, sf_dir):
+    """Equi-join with a range residual (shipped >60 days after order).
+
+    The equi key keeps this a hash join; the range predicate is applied
+    as a post-probe residual filter — never a nested-loop.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    disc_price = dec("l_extendedprice") * (one() - dec("l_discount", RATE))
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_ship"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("join_asof", oracle=_ASOF_SQL, tags=("join", "asof"))
+def join_asof(spark, sf_dir):
+    """For each click, the user's most recent purchase at-or-before it.
+
+    Implemented with the union-merge window operator (operators/asof.py):
+    one shuffle on user_id, no join. DuckDB's native ASOF JOIN is the
+    oracle.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["value"],
+    )

@@ -1,1 +1,211 @@
-"""scalars queries — filled in incrementally (SURVEY.md §2)."""
+"""Scalar-function coverage: string / date / math / json / conditional /
+array expressions (SURVEY.md §2 Table B row "String/date/math/array/
+map/json scalars").
+
+All JVM-side built-ins inside whole-stage codegen — no UDFs. Oracle
+notes: functions whose float behavior is not IEEE-determined across
+engines (log, exp, round-on-raw-doubles) are deliberately absent from
+oracle'd outputs; sums of array elements go through decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_STRING_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       SUBSTR(p_name, 1, 10) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       TRIM('  ' || p_brand || ' ') AS brand_trimmed,
+       REVERSE(p_brand) AS brand_rev,
+       STRPOS(p_name, 'a') AS first_a,
+       REGEXP_EXTRACT(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+       CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold
+FROM part
+"""
+
+
+@register("scalar_string", oracle=_STRING_SQL, tags=("scalar",))
+def scalar_string(spark, sf_dir):
+    """String scalar battery over part."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trimmed"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).alias("has_gold"),
+    )
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS yr,
+       MONTH(o_orderdate) AS mo,
+       DAY(o_orderdate) AS dy,
+       QUARTER(o_orderdate) AS qtr,
+       DAYOFYEAR(o_orderdate) AS doy,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       STRFTIME(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+@register("scalar_date", oracle=_DATE_SQL, tags=("scalar",))
+def scalar_date(spark, sf_dir):
+    """Date/time scalar battery over orders (UTC session, midnight
+    timestamps → no boundary ambiguity)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("month", d).alias("month_start"),
+        # DATE results are cast to TIMESTAMP: engines disagree on how
+        # DATE surfaces through Arrow/pandas (date objects vs datetimes)
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.last_day(d.cast("date")).cast("timestamp").alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+_MATH_SQL = """
+SELECT p_partkey,
+       ABS(p_size - 25) AS dist_from_25,
+       CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_ceil_100,
+       CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_floor_100,
+       SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
+       CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS size_sq,
+       p_size % 7 AS size_mod7,
+       SIGN(p_size - 25) AS size_sign,
+       GREATEST(p_size, 10) AS size_at_least_10,
+       LEAST(p_size, 40) AS size_at_most_40
+FROM part
+"""
+
+
+@register("scalar_math", oracle=_MATH_SQL, tags=("scalar",))
+def scalar_math(spark, sf_dir):
+    """Math scalar battery (sqrt is IEEE-correctly-rounded → safe;
+    transcendentals like log/exp are not and stay out of oracles)."""
+    p = t(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.abs(s - 25).alias("dist_from_25"),
+        F.ceil(F.col("p_retailprice") / 100).cast("bigint").alias("price_ceil_100"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_floor_100"),
+        F.sqrt(s.cast("double")).alias("size_sqrt"),
+        (s.cast("bigint") * s.cast("bigint")).alias("size_sq"),
+        (s % 7).alias("size_mod7"),
+        F.signum((s - 25).cast("double")).alias("size_sign"),
+        F.greatest(s, F.lit(10)).alias("size_at_least_10"),
+        F.least(s, F.lit(40)).alias("size_at_most_40"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+@register("scalar_json", oracle=_JSON_SQL, tags=("scalar", "json"))
+def scalar_json(spark, sf_dir):
+    """JSON extraction from the string props column (driver fixture is
+    JSON-ish per FIXTURES.md)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        F.when(k.cast("bigint") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+_COND_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS wealth_band,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       IF(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+FROM customer
+"""
+
+
+@register("scalar_conditional", oracle=_COND_SQL, tags=("scalar",))
+def scalar_conditional(spark, sf_dir):
+    """CASE / COALESCE / NULLIF / IF battery."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("wealth_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+    )
+
+
+_ARRAY_SQL = """
+SELECT e.vec_id,
+       len(e.embedding) AS dim,
+       CAST(e.embedding[1] AS DOUBLE) AS first_elem,
+       CAST(ROUND(SUM(CAST(u.x AS DECIMAL(18,9))), 4) AS DOUBLE) AS elem_sum,
+       MAX(CAST(u.x AS DOUBLE)) AS elem_max
+FROM embeddings e, UNNEST(e.embedding) AS u(x)
+GROUP BY e.vec_id, e.embedding
+"""
+
+
+@register("scalar_array", oracle=_ARRAY_SQL, tags=("scalar", "array"))
+def scalar_array(spark, sf_dir):
+    """Array scalars over the embedding column: size, element access,
+    explode → decimal-exact element sum (float → decimal is a single
+    correctly-rounded conversion in both engines)."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.explode("embedding").alias("x"),
+    )
+    return exploded.groupBy("vec_id", "dim", "first_elem").agg(
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("decimal(38,4)").cast("double").alias(
+            "elem_sum"
+        ),
+        F.max(F.col("x").cast("double")).alias("elem_max"),
+    )

@@ -1,1 +1,274 @@
-"""windows queries — filled in incrementally (SURVEY.md §2)."""
+"""Window-function coverage: ranking, lag/lead, frames, per-group top-k,
+sessionization (gaps-and-islands).
+
+SURVEY.md §2 Table B rows "Window functions", "Sort / limit / top-k".
+Each window = one shuffle on its partition key; frames run inside the
+sorted partition with no extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import dec, t
+
+_TOPK_SQL = """
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register("window_topk_per_group", oracle=_TOPK_SQL, tags=("window", "topk", "bench"))
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 orders by price per customer: row_number + filter. The
+    ORDER BY carries a unique tie-break (o_orderkey) so results are
+    deterministic across engines. At scale this is the standard top-k
+    pattern — no global sort, work stays partition-local."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+_RANK_SQL = """
+SELECT s_suppkey, s_name, s_acctbal,
+       RANK()       OVER (ORDER BY s_acctbal DESC) AS rnk,
+       DENSE_RANK() OVER (ORDER BY s_acctbal DESC) AS drnk,
+       NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+FROM supplier
+"""
+
+
+@register("window_rank", oracle=_RANK_SQL, tags=("window",))
+def window_rank(spark, sf_dir):
+    """rank / dense_rank tolerate ties; ntile gets a total order."""
+    sup = t(spark, sf_dir, "supplier")
+    w = W.orderBy(F.desc("s_acctbal"))
+    wt = W.orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+_LAGLEAD_SQL = """
+SELECT event_id, user_id, ts,
+       LAG(event_type)  OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       CAST(FLOOR((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000) AS BIGINT) AS ms_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("window_lag_lead", oracle=_LAGLEAD_SQL, tags=("window",))
+def window_lag_lead(spark, sf_dir):
+    """lag/lead navigation plus inter-event gap in milliseconds."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        # FLOOR on both sides: DuckDB ROUNDS double→int casts while
+        # Spark truncates — floor first makes them agree
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) / F.lit(1000)
+        ).cast("bigint").alias("ms_since_prev"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS DOUBLE) AS running_value,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_so_far
+FROM events
+"""
+
+
+@register("window_running_sum", oracle=_RUNNING_SQL, tags=("window",))
+def window_running_sum(spark, sf_dir):
+    """Cumulative frame (unbounded preceding → current). The running
+    sum accumulates in DECIMAL: window engines associate differently
+    (DuckDB uses segment trees), so double accumulation would drift."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value", "decimal(18,6)")).over(w)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+_SLIDE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 4) AS DOUBLE) AS moving_sum3
+FROM events
+"""
+
+
+@register("window_moving_frame", oracle=_SLIDE_SQL, tags=("window",))
+def window_moving_frame(spark, sf_dir):
+    """Bounded sliding frame (3-row moving sum)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value", "decimal(18,6)")).over(w)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("moving_sum3"),
+    )
+
+
+_FIRSTLAST_SQL = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type)  OVER w AS last_type,
+       FIRST_VALUE(ts) OVER w AS first_ts,
+       LAST_VALUE(ts)  OVER w AS last_ts
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register("window_first_last", oracle=_FIRSTLAST_SQL, tags=("window",))
+def window_first_last(spark, sf_dir):
+    """first/last over the full partition (explicit unbounded frame —
+    LAST_VALUE with the default frame is a classic footgun)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(w).alias("last_ts"),
+    ).distinct()
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("window_sessionize", oracle=_SESSION_SQL, tags=("window", "session", "bench"))
+def window_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap): the
+    batch twin of streaming session_window. One shuffle on user_id for
+    the window, reused by the groupBy (same key)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(dec("value", "decimal(18,6)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("session_value"),
+        )
+    )
+
+
+_SORT_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 15
+"""
+
+
+@register("sort_limit_topk", oracle=_SORT_SQL, tags=("sort", "topk"))
+def sort_limit_topk(spark, sf_dir):
+    """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a full sort at scale."""
+    return (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(15)
+    )

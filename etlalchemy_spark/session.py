@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+        # cannot represent; read as long and convert in the catalog
+        # (integer ns→µs floor-division — matches DuckDB's scan-time
+        # truncation of nanos).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
