@@ -1,0 +1,168 @@
+"""Migration orchestration — the reference's flagship entry point.
+
+Re-expresses O1/O2/O3 + the per-table pipeline of
+``ETLAlchemySource.migrate`` / ``ETLAlchemyTarget.migrate`` (upstream
+≈L850–1100 / ≈L10–100; SURVEY.md §0 caveat, §3.1 lifecycle):
+
+    reflect → include/exclude → rules (X1–X4) → standardize (T1–T9)
+    → write → index/FK DDL epilogue → timings
+
+The reference's 4-line API maps to:
+
+    src = FileSource("/data/src", fmt="parquet")          # or JdbcSource
+    tgt = Target("/data/dst", fmt="parquet")              # or jdbc URL
+    Migration(src, tgt, rules=...).run()
+
+Phase ordering is preserved: data loads BEFORE index/FK DDL emission
+(bulk-load speed; FK targets must exist — SURVEY.md §3.1 step 2).
+Each table is one lazy DataFrame plan: a stats pass (one agg job) and a
+write pass. Per-table phase timings mirror ``print_timings`` (O2).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from etlalchemy_spark.operators.ddl import DDLEpilogue, FKSpec, IndexSpec, fk_orphan_count
+from etlalchemy_spark.operators.rules import SchemaRules
+from etlalchemy_spark.operators.standardize import standardize, varchar_metadata
+from etlalchemy_spark.sources.files import read_file, write_file
+from etlalchemy_spark.sources.jdbc import write_jdbc
+from etlalchemy_spark.sources.reflection import reflect_dir
+
+log = logging.getLogger("etlalchemy_spark.migrate")
+
+
+@dataclass
+class FileSource:
+    path: str
+    fmt: str = "parquet"
+    included_tables: list[str] | None = None
+    excluded_tables: list[str] | None = None
+
+
+@dataclass
+class Target:
+    path: str  # directory (file target) or JDBC url
+    fmt: str = "parquet"  # parquet/csv/json/orc or "jdbc"
+    dialect: str = "postgresql"  # for csv conventions / jdbc DDL
+
+
+@dataclass
+class TableReport:
+    table: str
+    dest_table: str
+    n_rows: int
+    n_cols: int
+    phase_seconds: dict[str, float] = field(default_factory=dict)
+    decisions: list = field(default_factory=list)
+
+
+@dataclass
+class Migration:
+    source: FileSource
+    target: Target
+    rules: SchemaRules | None = None
+    standardize_types: bool = True
+    indexes: list[IndexSpec] = field(default_factory=list)
+    fks: list[FKSpec] = field(default_factory=list)
+    validate_fks: bool = False
+
+    def run(self, spark: SparkSession) -> tuple[list[TableReport], list[str]]:
+        """Execute the migration; returns (per-table reports, DDL strings).
+
+        Matches the reference's phase order per table and defers all
+        index/FK DDL until every table is loaded.
+        """
+        reports: list[TableReport] = []
+        loaded = {}
+        tables = reflect_dir(
+            spark,
+            self.source.path,
+            self.source.fmt,
+            self.source.included_tables,
+            self.source.excluded_tables,
+            with_schema=False,
+        )
+        for info in tables:
+            t0 = time.monotonic()
+            name = info.name
+            dest_name = self.rules.transform_table_name(name) if self.rules else name
+            if dest_name is None:  # X2: table deleted by rule
+                log.info("skipping table %s (delete rule)", name)
+                continue
+            df = read_file(spark, info.location, info.fmt)
+            t_read = time.monotonic()
+
+            if self.rules:
+                df = self.rules.transform(name, df)
+            t_rules = time.monotonic()
+
+            decisions = []
+            if self.standardize_types:
+                df, decisions = standardize(
+                    df, (self.rules.ignored_col_suffixes if self.rules else None)
+                )
+            t_std = time.monotonic()
+
+            if self.target.fmt == "jdbc":
+                write_jdbc(
+                    df,
+                    self.target.path,
+                    dest_name,
+                    varchar_meta=varchar_metadata(decisions),
+                )
+            else:
+                write_file(
+                    df, f"{self.target.path.rstrip('/')}/{dest_name}.{self.target.fmt}",
+                    fmt=self.target.fmt,
+                )
+            t_write = time.monotonic()
+
+            n_rows = df.count()
+            loaded[dest_name] = df
+            reports.append(
+                TableReport(
+                    table=name,
+                    dest_table=dest_name,
+                    n_rows=n_rows,
+                    n_cols=len(df.columns),
+                    phase_seconds={
+                        "extract": round(t_read - t0, 3),
+                        "transform": round(t_rules - t_read, 3),
+                        "standardize": round(t_std - t_rules, 3),
+                        "load": round(t_write - t_std, 3),
+                    },
+                    decisions=decisions,
+                )
+            )
+            log.info("migrated %s → %s (%d rows)", name, dest_name, n_rows)
+
+        # DDL epilogue AFTER all data (reference phase order).
+        epilogue = DDLEpilogue(self.target.dialect)
+        for ix in self.indexes:
+            epilogue.add_index(ix)
+        for fk in self.fks:
+            epilogue.add_fk(fk)
+        ddl = epilogue.index_ddl() + epilogue.fk_ddl()
+
+        if self.validate_fks and self.fks:
+            for fk in self.fks:
+                if fk.table in loaded and fk.ref_table in loaded:
+                    row = fk_orphan_count(loaded[fk.table], loaded[fk.ref_table], fk).collect()[0]
+                    if row["n_orphans"]:
+                        log.warning("FK %s has %d orphans", row["fk"], row["n_orphans"])
+        return reports, ddl
+
+
+def print_timings(reports: list[TableReport]) -> str:
+    """O2: the reference's per-table phase timing summary."""
+    lines = []
+    for r in reports:
+        phases = ", ".join(f"{k}={v}s" for k, v in r.phase_seconds.items())
+        lines.append(f"{r.table} -> {r.dest_table}: {r.n_rows} rows, {r.n_cols} cols [{phases}]")
+    return "\n".join(lines)

@@ -1,0 +1,132 @@
+"""Index / foreign-key DDL epilogue + FK integrity validation.
+
+Re-expresses M1/M2/W4 (upstream ETLAlchemySource.add_indexes /
+add_fks ≈L1100–1350; SURVEY.md §0 caveat). Spark has no secondary
+indexes, so — as in the reference — indexes and FKs are METADATA whose
+creation is deferred until after data load:
+
+- for JDBC sinks we emit ``CREATE INDEX`` / ``ALTER TABLE ... ADD
+  CONSTRAINT`` DDL strings (dialect-aware, names uniquified with a
+  global counter like the reference's);
+- for lake sinks the moral equivalent is layout: ``partitionBy`` /
+  ``bucketBy`` / ``sortWithinPartitions`` hints carried alongside;
+- FK *integrity* is actually checkable in Spark: a left-anti join
+  counting orphans (the reference never validates, only re-creates).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IndexSpec:
+    table: str
+    columns: list[str]
+    name: str | None = None
+    unique: bool = False
+
+
+@dataclass
+class FKSpec:
+    table: str
+    columns: list[str]
+    ref_table: str
+    ref_columns: list[str]
+    name: str | None = None
+
+
+_QUOTE = {"mysql": "`", "postgresql": '"', "sqlite": '"', "mssql": "", "oracle": '"'}
+
+
+def _q(ident: str, dialect: str) -> str:
+    q = _QUOTE.get(dialect, '"')
+    if dialect == "mssql":
+        return f"[{ident}]"
+    return f"{q}{ident}{q}"
+
+
+class DDLEpilogue:
+    """Collects index/FK specs during migration; emits DDL after load.
+
+    Name uniquification mirrors the reference's global counter: reused
+    index names across tables get ``_0``, ``_1`` … suffixes.
+    """
+
+    def __init__(self, dialect: str = "postgresql"):
+        self.dialect = dialect
+        self.indexes: list[IndexSpec] = []
+        self.fks: list[FKSpec] = []
+        self._counter = itertools.count()
+        self._seen_names: set[str] = set()
+
+    def add_index(self, spec: IndexSpec) -> None:
+        self.indexes.append(spec)
+
+    def add_fk(self, spec: FKSpec) -> None:
+        self.fks.append(spec)
+
+    def _unique_name(self, base: str) -> str:
+        if base not in self._seen_names:
+            self._seen_names.add(base)
+            return base
+        name = f"{base}_{next(self._counter)}"
+        while name in self._seen_names:
+            name = f"{base}_{next(self._counter)}"
+        self._seen_names.add(name)
+        return name
+
+    def index_ddl(self) -> list[str]:
+        out = []
+        for ix in self.indexes:
+            base = ix.name or "idx_" + "_".join([ix.table, *ix.columns])
+            name = self._unique_name(base)
+            cols = ", ".join(_q(c, self.dialect) for c in ix.columns)
+            uniq = "UNIQUE " if ix.unique else ""
+            out.append(
+                f"CREATE {uniq}INDEX {_q(name, self.dialect)} "
+                f"ON {_q(ix.table, self.dialect)} ({cols})"
+            )
+        return out
+
+    def fk_ddl(self) -> list[str]:
+        out = []
+        for fk in self.fks:
+            base = fk.name or "fk_" + "_".join([fk.table, *fk.columns])
+            name = self._unique_name(base)
+            cols = ", ".join(_q(c, self.dialect) for c in fk.columns)
+            refs = ", ".join(_q(c, self.dialect) for c in fk.ref_columns)
+            out.append(
+                f"ALTER TABLE {_q(fk.table, self.dialect)} "
+                f"ADD CONSTRAINT {_q(name, self.dialect)} "
+                f"FOREIGN KEY ({cols}) "
+                f"REFERENCES {_q(fk.ref_table, self.dialect)} ({refs})"
+            )
+        return out
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, fk: FKSpec) -> DataFrame:
+    """Rows of ``child`` whose FK value has no match in ``parent``
+    (NULL FKs are not orphans, per SQL semantics). Left-anti join:
+    one shuffle (or broadcast when the parent is small)."""
+    cond = None
+    for c, rc in zip(fk.columns, fk.ref_columns):
+        eq = child[c] == parent[rc]
+        cond = eq if cond is None else (cond & eq)
+    non_null = None
+    for c in fk.columns:
+        nn = child[c].isNotNull()
+        non_null = nn if non_null is None else (non_null & nn)
+    return child.where(non_null).join(parent, cond, "left_anti")
+
+
+def fk_orphan_count(child: DataFrame, parent: DataFrame, fk: FKSpec) -> DataFrame:
+    """Single-row DataFrame: (constraint_label, n_orphans)."""
+    label = f"{fk.table}({','.join(fk.columns)})->{fk.ref_table}"
+    return fk_orphans(child, parent, fk).agg(
+        F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+    )

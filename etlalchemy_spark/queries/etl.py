@@ -1,1 +1,327 @@
-"""etl queries — filled in incrementally (SURVEY.md §2)."""
+"""Reference-fidelity ETL queries (SURVEY.md Table A, T1–T9/M2/O1).
+
+Each query is the oracle-able twin of a real operator in
+``etlalchemy_spark.operators`` / ``etlalchemy_spark.migrate``: the
+decision logic (narrowest int, boolean inference, pow-2 VARCHAR,
+empty-column elimination, FK orphan detection) is executed by the
+engine and the DuckDB SQL recomputes it independently from the data,
+so the check stays valid at any scale factor.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.migrate import FileSource, Migration, Target
+from etlalchemy_spark.operators.ddl import FKSpec, fk_orphan_count
+from etlalchemy_spark.operators.rules import SchemaRules
+from etlalchemy_spark.operators.standardize import standardize
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+# --- T1 stats pass: per-column observation in ONE aggregate ---------------
+
+_STATS_COLS_NUM = ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+_STATS_COLS_STR = ["l_returnflag", "l_linestatus"]
+
+_STATS_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, COUNT({c}) AS n_nonnull,
+       CAST(MIN({c}) AS DOUBLE) AS min_d, CAST(MAX({c}) AS DOUBLE) AS max_d,
+       CAST(NULL AS BIGINT) AS max_len FROM lineitem"""
+    for c in _STATS_COLS_NUM
+) + " UNION ALL " + " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, COUNT({c}) AS n_nonnull,
+       CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+       CAST(MAX(LENGTH({c})) AS BIGINT) AS max_len FROM lineitem"""
+    for c in _STATS_COLS_STR
+)
+
+
+@register("etl_column_stats", oracle=_STATS_SQL, tags=("etl",))
+def etl_column_stats(spark, sf_dir):
+    """T1 observation pass: one distributed agg over lineitem, reshaped
+    long via ``stack``. The oracle recomputes each stat with a per-column
+    scan — same values, the engine just does it in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS_NUM:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    for c in _STATS_COLS_STR:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.max(F.length(c)).cast("bigint").alias(f"{c}__maxlen"),
+        ]
+    one_row = li.agg(*aggs)
+    stack_args = []
+    for c in _STATS_COLS_NUM:
+        stack_args.append(
+            f"'{c}', {c}__n, {c}__min, {c}__max, CAST(NULL AS BIGINT)"
+        )
+    for c in _STATS_COLS_STR:
+        stack_args.append(
+            f"'{c}', {c}__n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {c}__maxlen"
+        )
+    n = len(_STATS_COLS_NUM) + len(_STATS_COLS_STR)
+    return one_row.select(
+        F.expr(
+            f"stack({n}, " + ", ".join(stack_args)
+            + ") AS (col_name, n_nonnull, min_d, max_d, max_len)"
+        )
+    )
+
+
+# --- T2/T3 narrowest-int + boolean decisions ------------------------------
+
+_DOWNSIZE_CASE = """
+CASE WHEN not01 = 0 THEN 'boolean'
+     WHEN mn >= -128 AND mx <= 127 THEN 'tinyint'
+     WHEN mn >= -32768 AND mx <= 32767 THEN 'smallint'
+     WHEN mn >= -2147483648 AND mx <= 2147483647 THEN 'int'
+     ELSE 'bigint' END
+"""
+
+_DOWNSIZE_SQL = f"""
+WITH s AS (
+  SELECT 'l_linenumber' AS col_name, CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+         CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+         MAX(CASE WHEN l_linenumber IN (0,1) THEN 0 ELSE 1 END) AS not01 FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT),
+         MAX(CASE WHEN l_orderkey IN (0,1) THEN 0 ELSE 1 END) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(MIN(l_suppkey) AS BIGINT), CAST(MAX(l_suppkey) AS BIGINT),
+         MAX(CASE WHEN l_suppkey IN (0,1) THEN 0 ELSE 1 END) FROM lineitem
+  UNION ALL
+  SELECT 'is_open', CAST(MIN(is_open) AS BIGINT), CAST(MAX(is_open) AS BIGINT),
+         MAX(CASE WHEN is_open IN (0,1) THEN 0 ELSE 1 END)
+  FROM (SELECT CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open FROM orders)
+)
+SELECT col_name, mn, mx, {_DOWNSIZE_CASE} AS decided_type FROM s
+"""
+
+
+@register("etl_downsize_decisions", oracle=_DOWNSIZE_SQL, tags=("etl",))
+def etl_downsize_decisions(spark, sf_dir):
+    """T2/T3 decision logic computed in-plan: min/max/{0,1}-membership
+    per int column → narrowest-type CASE (same ladder as
+    operators.standardize._INT_LADDER; the 'is_open' derived column
+    exercises boolean inference on a genuine 0/1 population)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+
+    def col_stats(df, c, label=None):
+        return df.agg(
+            F.lit(label or c).alias("col_name"),
+            F.min(c).cast("bigint").alias("mn"),
+            F.max(c).cast("bigint").alias("mx"),
+            F.max(F.when(F.col(c).isin(0, 1), 0).otherwise(1)).alias("not01"),
+        )
+
+    is_open = orders.select(
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open")
+    )
+    stats = (
+        col_stats(li, "l_linenumber")
+        .unionByName(col_stats(li, "l_orderkey"))
+        .unionByName(col_stats(li, "l_suppkey"))
+        .unionByName(col_stats(is_open, "is_open"))
+    )
+    decided = (
+        F.when(F.col("not01") == 0, "boolean")
+        .when((F.col("mn") >= -128) & (F.col("mx") <= 127), "tinyint")
+        .when((F.col("mn") >= -32768) & (F.col("mx") <= 32767), "smallint")
+        .when((F.col("mn") >= -(2**31)) & (F.col("mx") <= 2**31 - 1), "int")
+        .otherwise("bigint")
+    )
+    return stats.select("col_name", "mn", "mx", decided.alias("decided_type"))
+
+
+# --- T4/T8 VARCHAR sizing + empty-column elimination ----------------------
+
+_VARCHAR_SQL = """
+WITH s AS (
+  SELECT 'lang' AS col_name, COUNT(lang) AS n_nonnull,
+         CAST(MAX(LENGTH(lang)) AS BIGINT) AS max_len FROM documents
+  UNION ALL
+  SELECT 'source', COUNT(source), CAST(MAX(LENGTH(source)) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'text', COUNT(text), CAST(MAX(LENGTH(text)) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'note', COUNT(note), CAST(MAX(LENGTH(note)) AS BIGINT)
+  FROM (SELECT CAST(NULL AS VARCHAR) AS note FROM documents)
+)
+SELECT col_name, n_nonnull,
+       CASE WHEN n_nonnull = 0 THEN 'drop_empty' ELSE 'keep' END AS action,
+       CASE WHEN n_nonnull = 0 THEN CAST(NULL AS BIGINT)
+            WHEN max_len <= 1 THEN 1
+            ELSE CAST(POWER(2, LENGTH(BIN(max_len - 1))) AS BIGINT)
+       END AS varchar_n
+FROM s
+"""
+
+
+@register("etl_varchar_sizing", oracle=_VARCHAR_SQL, tags=("etl",))
+def etl_varchar_sizing(spark, sf_dir):
+    """T4 pow-2 VARCHAR right-sizing + T8 all-NULL elimination. The
+    injected 'note' column is genuinely all-NULL, proving drop_empty.
+    pow2 via bit-length of (n-1): exact integer logic in both engines."""
+    docs = t(spark, sf_dir, "documents").withColumn("note", F.lit(None).cast("string"))
+
+    def col_stats(c):
+        return docs.agg(
+            F.lit(c).alias("col_name"),
+            F.count(c).alias("n_nonnull"),
+            F.max(F.length(c)).cast("bigint").alias("max_len"),
+        )
+
+    stats = (
+        col_stats("lang")
+        .unionByName(col_stats("source"))
+        .unionByName(col_stats("text"))
+        .unionByName(col_stats("note"))
+    )
+    pow2 = F.pow(F.lit(2.0), F.length(F.bin(F.col("max_len") - 1))).cast("bigint")
+    return stats.select(
+        "col_name",
+        "n_nonnull",
+        F.when(F.col("n_nonnull") == 0, "drop_empty").otherwise("keep").alias("action"),
+        F.when(F.col("n_nonnull") == 0, F.lit(None).cast("bigint"))
+        .when(F.col("max_len") <= 1, 1)
+        .otherwise(pow2)
+        .alias("varchar_n"),
+    )
+
+
+# --- T2 applied end-to-end (the real standardize operator) ----------------
+
+_APPLY_SQL = """
+SELECT CAST(l_linenumber AS TINYINT) AS l_linenumber,
+       l_quantity, l_extendedprice, l_returnflag, l_linestatus, l_shipdate
+FROM lineitem
+"""
+
+
+@register("etl_standardize_apply", oracle=_APPLY_SQL, tags=("etl",))
+def etl_standardize_apply(spark, sf_dir):
+    """Runs the REAL operators.standardize pass (observe → decide →
+    cast) on sf-stable columns; the oracle hardcodes the expected
+    outcome (l_linenumber ∈ 1..7 at every SF → TINYINT)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    out, _decisions = standardize(li)
+    return out
+
+
+# --- M2 FK integrity validation -------------------------------------------
+
+_FK_SQL = """
+SELECT 'lineitem(l_orderkey)->orders' AS fk,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders(o_custkey)->customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+UNION ALL
+SELECT 'customer(c_nationkey)->nation',
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+UNION ALL
+SELECT 'orders(o_custkey)->customer_even',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer
+                        WHERE c_custkey = o_custkey AND c_custkey % 2 = 0))
+"""
+
+
+@register("etl_fk_integrity", oracle=_FK_SQL, tags=("etl", "join"))
+def etl_fk_integrity(spark, sf_dir):
+    """M2 validation: orphan counts per FK edge via left-anti joins
+    (operators.ddl.fk_orphan_count). The _even edge is deliberately
+    broken (parent restricted to even keys) to prove detection."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    checks = [
+        fk_orphan_count(li, orders, FKSpec("lineitem", ["l_orderkey"], "orders", ["o_orderkey"])),
+        fk_orphan_count(orders, customer, FKSpec("orders", ["o_custkey"], "customer", ["c_custkey"])),
+        fk_orphan_count(customer, nation, FKSpec("customer", ["c_nationkey"], "nation", ["n_nationkey"])),
+        fk_orphan_count(
+            orders,
+            customer.where(F.col("c_custkey") % 2 == 0),
+            FKSpec("orders", ["o_custkey"], "customer_even", ["c_custkey"]),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    # fk_orphan_count labels with ref table name; align the _even label
+    return out.withColumn(
+        "fk",
+        F.when(
+            F.col("fk") == "orders(o_custkey)->customer_even",
+            "orders(o_custkey)->customer_even",
+        ).otherwise(F.col("fk")),
+    )
+
+
+# --- X1–X4 / T10 rule-driven schema transformation ------------------------
+
+_RULES_CSV = """Table Name, Column Name, New Column Name, New Column Type, Delete
+customer, c_name, customer_name, ,
+customer, c_nationkey, , BigInteger,
+customer, c_mktsegment, , , true
+"""
+
+_RULES_SQL = """
+SELECT c_custkey, c_name AS customer_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_acctbal AS c_balance
+FROM customer
+"""
+
+
+@register("etl_rules_applied", oracle=_RULES_SQL, tags=("etl",))
+def etl_rules_applied(spark, sf_dir):
+    """The reference's CSV rule format (X3 rename, X3 retype, X4 delete,
+    T10 suffix rename) parsed and compiled by operators.rules."""
+    rules = SchemaRules.from_csv(
+        column_csv=_RULES_CSV,
+        renamed_col_suffixes={"_acctbal": "_balance"},
+    )
+    return rules.transform("customer", t(spark, sf_dir, "customer"))
+
+
+# --- O1 end-to-end migration ----------------------------------------------
+
+_MIGRATE_SQL = """
+SELECT 'nation' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows, 3 AS n_cols
+UNION ALL
+SELECT 'region', (SELECT COUNT(*) FROM region), 2
+UNION ALL
+SELECT 'supplier', (SELECT COUNT(*) FROM supplier), 4
+"""
+
+
+@register("etl_migrate_roundtrip", oracle=_MIGRATE_SQL, tags=("etl", "migrate"))
+def etl_migrate_roundtrip(spark, sf_dir):
+    """O1 flagship path end-to-end: reflect → standardize → write
+    parquet to a temp target, then report (table, rows, cols) — the
+    oracle recounts from the source tables."""
+    tmp = tempfile.mkdtemp(prefix="etlalchemy_spark_migrate_")
+    mig = Migration(
+        source=FileSource(sf_dir, included_tables=["nation", "region", "supplier"]),
+        target=Target(tmp, fmt="parquet"),
+    )
+    reports, _ddl = mig.run(spark)
+    rows = [(r.dest_table, r.n_rows, r.n_cols) for r in reports]
+    return spark.createDataFrame(rows, "table_name string, n_rows bigint, n_cols int")

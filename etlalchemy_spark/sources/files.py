@@ -1,0 +1,85 @@
+"""File sources/sinks with the reference's CSV conventions.
+
+W1 parity (upstream literal_value_generator.py ≈L80–160): the
+reference writes dialect-specific delimited files (NULL marker,
+delimiter, escaping) that feed each DBMS's bulk loader. Spark's CSV
+writer exposes the same knobs; per-dialect option bundles below mirror
+the reference's conventions. The bulk-load handoff itself becomes
+``write_csv(df, dialect=...)`` + the loader invocation (out of scope in
+a lake context — ``write_jdbc`` covers direct loads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Dialect → CSV writer options (the reference's NULL/escape conventions).
+CSV_DIALECT_OPTIONS: dict[str, dict[str, str]] = {
+    # MySQL LOAD DATA INFILE: \N for NULL, backslash escapes
+    "mysql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"'},
+    # Postgres COPY text format: \N for NULL
+    "postgresql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"'},
+    # SQL Server bcp: empty string NULL, tab-delimited
+    "mssql": {"nullValue": "", "delimiter": "\t", "quote": '"'},
+    # Oracle sqlldr
+    "oracle": {"nullValue": "", "delimiter": ",", "quote": '"'},
+    # SQLite .import
+    "sqlite": {"nullValue": "", "delimiter": ",", "quote": '"'},
+}
+
+FORMATS = ("parquet", "csv", "json", "orc", "text")
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched read. CSV/JSON prefer an explicit schema —
+    inference is a full extra pass at scale."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_file(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    coalesce: int | None = None,
+    **options,
+) -> None:
+    """Format-dispatched write with layout controls (the lake analogue
+    of the reference's index epilogue: partition/sort on write)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    if coalesce:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        writer = writer.option("header", options["header"])
+    writer.format(fmt).save(path)
+
+
+def write_csv_for_bulk_load(
+    df: DataFrame, path: str, dialect: str = "postgresql", **overrides
+) -> None:
+    """W1: dialect-convention CSV dump, one file per partition (the
+    scalable version of the reference's single dump file — each
+    partition feeds a parallel loader invocation)."""
+    opts = dict(CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"]))
+    opts.update({k: str(v) for k, v in overrides.items()})
+    df.write.mode("overwrite").options(**opts).csv(path)

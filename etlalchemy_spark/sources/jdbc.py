@@ -1,0 +1,108 @@
+"""JDBC source/sink: partitioned parallel extract and batched bulk load.
+
+Replaces the reference's ``engine.execute(T.select()).fetchall()``
+(S2, the documented driver-memory anti-pattern) with Spark's
+partitioned JDBC scan: N executors each pull one key range. W2/W3
+(INSERT dump + native bulk load) map to ``df.write.jdbc`` with
+dialect-tuned batching; W4 (DDL) to ``createTableColumnTypes`` built
+from the standardizer's VARCHAR metadata.
+
+No database is reachable in the test environment, so these are exercised
+by unit tests on the option-building logic only; the read/write calls are
+the thin standard API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Dialect-specific writer tuning (the reference's bulk-load moral
+# equivalents: mysql rewriteBatchedStatements ≈ LOAD DATA batching).
+JDBC_WRITE_OPTIONS: dict[str, dict[str, str]] = {
+    "mysql": {"rewriteBatchedStatements": "true", "batchsize": "10000"},
+    "postgresql": {"reWriteBatchedInserts": "true", "batchsize": "10000"},
+    "mssql": {"batchsize": "10000"},
+    "oracle": {"batchsize": "10000"},
+    "sqlite": {"batchsize": "1000"},
+}
+
+
+def dialect_of(url: str) -> str:
+    # jdbc:postgresql://... → postgresql
+    parts = url.split(":")
+    return parts[1] if len(parts) > 1 else "unknown"
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    fetchsize: int = 10000,
+    **options,
+) -> DataFrame:
+    """S2 at scale: when bounds are not supplied, probe them with a
+    1-row min/max pushdown query, then issue ``num_partitions`` range
+    scans in parallel."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    if partition_column:
+        if lower_bound is None or upper_bound is None:
+            bounds_query = (
+                f"(SELECT MIN({partition_column}) AS lo, "
+                f"MAX({partition_column}) AS hi FROM {table}) b"
+            )
+            row = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", bounds_query)
+                .load()
+                .collect()[0]
+            )
+            lower_bound = row["lo"] if lower_bound is None else lower_bound
+            upper_bound = row["hi"] if upper_bound is None else upper_bound
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def column_types_ddl(varchar_meta: dict[str, int]) -> str:
+    """W4: the ``createTableColumnTypes`` option string carrying the
+    standardizer's right-sized VARCHAR(n) decisions to the DDL sink."""
+    return ", ".join(f"{c} VARCHAR({n})" for c, n in sorted(varchar_meta.items()))
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    varchar_meta: dict[str, int] | None = None,
+    num_partitions: int | None = None,
+    **options,
+) -> None:
+    """W2/W3/W4: batched parallel load; each partition opens one
+    connection, so ``num_partitions`` bounds destination concurrency."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in JDBC_WRITE_OPTIONS.get(dialect_of(url), {}).items():
+        writer = writer.option(k, v)
+    if varchar_meta:
+        writer = writer.option("createTableColumnTypes", column_types_ddl(varchar_meta))
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.save()

@@ -1,0 +1,64 @@
+"""Catalog reflection (S1): enumerate tables and their schemas.
+
+The reference reflects via SQLAlchemy ``Inspector`` + ``MetaData``
+(upstream ETLAlchemySource.py ≈L850–950). Here a "database" is either
+a directory of files (one table per parquet/csv/... path) or a JDBC
+catalog (information_schema probe). Include/exclude filtering (S3) is
+applied to the reflected table list.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass
+class TableInfo:
+    name: str
+    location: str  # file path or JDBC table name
+    fmt: str  # parquet/csv/... or "jdbc"
+    schema: T.StructType | None = None
+
+
+def reflect_dir(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    included_tables: list[str] | None = None,
+    excluded_tables: list[str] | None = None,
+    with_schema: bool = True,
+) -> list[TableInfo]:
+    """S1+S3 over a file directory: each ``<name>.<fmt>`` is a table.
+    Schema comes from the file footer (parquet/orc) — a metadata read,
+    not a scan."""
+    out: list[TableInfo] = []
+    for p in sorted(glob.glob(os.path.join(path, f"*.{fmt}"))):
+        name = os.path.splitext(os.path.basename(p))[0]
+        if included_tables and name not in included_tables:
+            continue
+        if excluded_tables and name in excluded_tables:
+            continue
+        schema = spark.read.format(fmt).load(p).schema if with_schema else None
+        out.append(TableInfo(name=name, location=p, fmt=fmt, schema=schema))
+    return out
+
+
+def information_schema_query(catalog: str | None = None, schema: str | None = None) -> str:
+    """S1 for JDBC: the table-enumeration probe pushed to the source
+    (wrap as a dbtable subquery). Standard information_schema works for
+    MySQL/Postgres/MSSQL; Oracle would use ALL_TABLES."""
+    where = ["table_type = 'BASE TABLE'"]
+    if catalog:
+        where.append(f"table_catalog = '{catalog}'")
+    if schema:
+        where.append(f"table_schema = '{schema}'")
+    return (
+        "(SELECT table_name FROM information_schema.tables WHERE "
+        + " AND ".join(where)
+        + ") t"
+    )

@@ -1,0 +1,41 @@
+"""Unit tests for the as-of join operator."""
+
+import datetime
+
+from etlalchemy_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00"), "l1"), (1, _ts("2024-01-01 12:00"), "l2"),
+         (2, _ts("2024-01-01 10:00"), "l3")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00"), 100.0), (1, _ts("2024-01-01 11:00"), 200.0)],
+        "k long, rts timestamp, v double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["v"])
+    got = {r.tag: (r.asof_v, r.asof_ts) for r in out.collect()}
+    assert got["l1"] == (100.0, _ts("2024-01-01 09:00"))
+    assert got["l2"] == (200.0, _ts("2024-01-01 11:00"))
+    assert got["l3"] == (None, None)  # key 2 has no right rows
+
+
+def test_asof_tie_is_inclusive(spark):
+    # right row at EXACTLY the left ts must match (right.ts <= left.ts)
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00"), "l")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:00"), 5.0)], "k long, rts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["v"]).collect()
+    assert out[0].asof_v == 5.0
+
+
+def test_asof_no_future_match(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00"), "l")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:01"), 5.0)], "k long, rts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["v"]).collect()
+    assert out[0].asof_v is None

@@ -1,0 +1,75 @@
+"""End-to-end migration tests (O1/O2 + sources)."""
+
+import os
+import tempfile
+
+from etlalchemy_spark.migrate import FileSource, Migration, Target, print_timings
+from etlalchemy_spark.operators.ddl import FKSpec, IndexSpec
+from etlalchemy_spark.operators.rules import SchemaRules
+from etlalchemy_spark.sources.files import read_file
+from etlalchemy_spark.sources.jdbc import column_types_ddl, dialect_of
+from etlalchemy_spark.sources.reflection import information_schema_query, reflect_dir
+
+from conftest import SF_DIR
+
+
+def test_migrate_parquet_to_parquet(spark, tmp_path):
+    mig = Migration(
+        source=FileSource(SF_DIR, included_tables=["nation", "region"]),
+        target=Target(str(tmp_path)),
+    )
+    reports, ddl = mig.run(spark)
+    assert {r.table for r in reports} == {"nation", "region"}
+    nation = read_file(spark, str(tmp_path / "nation.parquet"))
+    assert nation.count() == 25
+    # standardizer narrowed the int32 keys (values 0..24 → tinyint)
+    assert dict(nation.dtypes)["n_nationkey"] == "tinyint"
+    assert "nation" in print_timings(reports)
+
+
+def test_migrate_with_rules_and_ddl(spark, tmp_path):
+    rules = SchemaRules.from_csv(
+        table_csv="Table Name, New Table Name, Delete\nregion, zones,\nnation, , true\n",
+    )
+    mig = Migration(
+        source=FileSource(SF_DIR, included_tables=["nation", "region"]),
+        target=Target(str(tmp_path)),
+        rules=rules,
+        indexes=[IndexSpec("zones", ["r_regionkey"])],
+        fks=[FKSpec("zones", ["r_regionkey"], "zones", ["r_regionkey"])],
+        validate_fks=True,
+    )
+    reports, ddl = mig.run(spark)
+    # nation deleted by rule; region renamed
+    assert [r.dest_table for r in reports] == ["zones"]
+    assert os.path.exists(tmp_path / "zones.parquet")
+    assert any("CREATE INDEX" in s for s in ddl)
+    assert any("FOREIGN KEY" in s for s in ddl)
+
+
+def test_migrate_to_csv(spark, tmp_path):
+    mig = Migration(
+        source=FileSource(SF_DIR, included_tables=["region"]),
+        target=Target(str(tmp_path), fmt="csv"),
+        standardize_types=False,
+    )
+    reports, _ = mig.run(spark)
+    assert reports[0].n_rows == 5
+    back = read_file(spark, str(tmp_path / "region.csv"), fmt="csv")
+    assert back.count() == 5
+
+
+def test_reflect_include_exclude(spark):
+    infos = reflect_dir(spark, SF_DIR, excluded_tables=["lineitem", "orders"], with_schema=False)
+    names = [i.name for i in infos]
+    assert "lineitem" not in names and "customer" in names
+    only = reflect_dir(spark, SF_DIR, included_tables=["part"])
+    assert [i.name for i in only] == ["part"]
+    assert only[0].schema is not None  # footer-read schema
+
+
+def test_jdbc_helpers():
+    assert dialect_of("jdbc:postgresql://h/db") == "postgresql"
+    assert column_types_ddl({"b": 8, "a": 4}) == "a VARCHAR(4), b VARCHAR(8)"
+    q = information_schema_query(schema="public")
+    assert "information_schema.tables" in q and "table_schema = 'public'" in q
