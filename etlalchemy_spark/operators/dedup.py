@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Mandated extension surface (BASELINE.json north star; SURVEY.md Table B):
+
+- exact dedup           — deterministic keep-first via window, or
+                          hash-groupBy at scale
+- n-gram Jaccard        — exact pairwise similarity via shingle
+                          explode + equi-join (the ground truth)
+- MinHash + LSH         — shingle → k minhashes → b bands → bucket
+                          equi-join → verify: the 100 TB path; candidate
+                          generation is linear + one shuffle on band
+                          signature, never O(n²)
+- SimHash               — 32-bit signature via per-bit token votes;
+                          near-dup = small Hamming distance
+- embedding near-dup    — random-hyperplane LSH buckets + exact cosine
+                          verify within bucket
+
+Everything is built-in DataFrame ops (hash/explode/zip_with/aggregate)
+— no Python in the hot path. ``F.hash`` is Murmur3 (engine-specific),
+so LSH/SimHash queries are rows-only in the oracle harness while the
+exact Jaccard/cosine formulations carry SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep exactly one row per key, deterministically (first by
+    ``order_by``). ``dropDuplicates`` keeps an *arbitrary* row — fine
+    for idempotent pipelines, wrong for reproducible ones."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingling -------------------------------------------------------------
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, out: str = "shingle"
+) -> DataFrame:
+    """(id, shingle) pairs: distinct word k-grams of the normalized text.
+    Pure expression pipeline: split → sequence → transform → explode."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias(out))
+        .distinct()
+    )
+
+
+# --- exact n-gram Jaccard (ground truth; oracle-able) ----------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold via
+    shingle equi-join. Exact but quadratic in co-occurring shingles —
+    the small-n ground truth that LSH approximates. Output:
+    (id_a, id_b, n_inter, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+# --- MinHash + LSH (the scale path) ----------------------------------------
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, shingle_col: str = "shingle", num_hashes: int = 32
+) -> DataFrame:
+    """k minhashes per doc in ONE aggregation: hash(shingle, seed) for
+    each seed, min over the doc's shingles. Output: (id, sig array<int>)."""
+    mins = [
+        F.min(F.hash(F.col(shingle_col), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (b bands × r rows): docs sharing ANY full band
+    become candidates. One explode + one shuffle on (band, band_sig) —
+    linear candidate generation, the core LSH trick."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_sig")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates →
+    exact-Jaccard verification of candidates only. At 100 TB the
+    verify join touches only the candidate set (≈ linear for realistic
+    dup rates), never the full cross product."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sigs = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> DataFrame:
+    """32-bit SimHash: each token votes ±1 per bit of its hash; the
+    signature is the sign vector. Implemented as array arithmetic
+    (transform/zip_with/aggregate) over exploded tokens — one groupBy,
+    no UDFs. Output: (id, simhash bigint)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.hash(F.col("tok"))
+    # static python loop over the 32 bits (shift amounts must be
+    # literals) → 32 vote columns, then 32 plain SUM aggregates:
+    # partial aggregation map-side, no collect_list, no array shuffle
+    votes = tokens.select(
+        id_col,
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(32)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
+    )
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return summed.select(F.col(id_col), sig.alias(out))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance. Candidate generation
+    buckets on each of 4 disjoint 8-bit chunks (pigeonhole: distance ≤ 6
+    over 32 bits guarantees ≥1 identical chunk when ≤ 3 chunks differ
+    ... conservative recall), then exact bit_count verify."""
+    sigs = simhash(df, id_col, text_col).cache()
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 8).bitwiseAND(F.lit(255)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.ck")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "ck")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "ck")
+    return (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

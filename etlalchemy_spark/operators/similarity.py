@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+Mandated extension surface (BASELINE.json): brute-force cosine top-k as
+the exact baseline, plus LSH-bucketed variants as the 100 TB path.
+
+All vector math is expression-level (``zip_with`` + ``aggregate`` run
+inside codegen) — no UDFs, no collect. For oracle-exact queries the dot
+products accumulate in DECIMAL (order-proof); the LSH variants use
+plain double (they are rows-only checks).
+
+Scale notes: brute-force top-k is one pass over n vectors × O(d) per
+row with a TakeOrderedAndProject — fine for one query vector even at
+billions of rows. For batch top-k (m queries × n base) use the LSH /
+IVF variants: candidates per query collapse from n to a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+# Per-element decimal width for exact dot products: embeddings are
+# unit-scale floats, so (12,10) fits; products are (25,20) and a
+# grouped SUM caps at decimal(35,20) — exact, no precision loss.
+# (F.aggregate can't do this: lambda-fold addition re-derives the
+# accumulator type each step and Spark rejects/rounds it.)
+_D = "decimal(12,10)"
+
+
+def exact_cosine(df: DataFrame, keys: list[str], va, vb) -> DataFrame:
+    """Append an oracle-exact ``cosine`` column per ``keys`` group.
+
+    ``va``/``vb`` are array columns (or literal arrays). Explodes one
+    side, sums decimal products (exact, order-insensitive), finishes
+    with sqrt/divide in double on identical operands — bit-identical
+    across engines. Costs a 64× row expansion + one groupBy on keys;
+    use the zip_with double path when oracle-exactness isn't needed."""
+    va = va if isinstance(va, Column) else F.col(va)
+    vb = vb if isinstance(vb, Column) else F.col(vb)
+    e = (
+        df.select(*keys, vb.alias("_vb"), F.posexplode(va).alias("_pos", "_xa"))
+        .withColumn("_xb", F.element_at("_vb", F.col("_pos") + 1))
+    )
+    # float → DOUBLE → decimal: DuckDB's direct float→decimal cast is
+    # imprecise (fixed-point artifact); via double both engines round
+    # the same binary value correctly
+    xa = F.col("_xa").cast("double").cast(_D)
+    xb = F.col("_xb").cast("double").cast(_D)
+    g = e.groupBy(*keys).agg(
+        F.sum(xa * xb).alias("_dot"),
+        F.sum(xa * xa).alias("_na"),
+        F.sum(xb * xb).alias("_nb"),
+    )
+    # ROUND to scale 12 before the double cast: at scale 20 the
+    # unscaled int exceeds 2^53 and DuckDB's decimal→double conversion
+    # double-rounds (off-by-one-ulp vs Spark's exact conversion)
+    def to_dbl(c):
+        return F.round(c, 12).cast("double")
+
+    return g.select(
+        *keys,
+        (
+            to_dbl(F.col("_dot"))
+            / (F.sqrt(to_dbl(F.col("_na"))) * F.sqrt(to_dbl(F.col("_nb"))))
+        ).alias("cosine"),
+    )
+
+
+def dot_double(a, b):
+    """Fast path (not oracle-exact): double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_double(a, b):
+    return dot_double(a, b) / (F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)))
+
+
+def cosine_topk_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector. Output:
+    (id, cosine, rank) — deterministic total order (cosine desc, id)."""
+    q = _lit_vec(query_vec)
+    scored = exact_cosine(df, [id_col], F.col(vec_col), q)
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "cosine", "rank")
+    )
+
+
+# --- random-hyperplane LSH (approximate, scale path) -----------------------
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG; no
+    numpy dependency in the plan, values baked as literals)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bit-signature bucket id: sign of <v, plane_i> per plane."""
+    bits = [
+        F.when(dot_double(vec_col, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict exact scoring to the query's LSH
+    bucket (plus nothing — recall traded for a ~2^planes candidate
+    cut). Candidate filter is a partition-prunable int equality."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    # query bucket computed driver-side (tiny, pure python)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+            qbits |= 1 << i
+    q = _lit_vec(query_vec)
+    cands = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes)).where(
+        F.col("_bucket") == qbits
+    )
+    scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup: LSH-bucket candidates (vectors sharing the
+    full bit signature), exact cosine verify within bucket. Linear
+    candidate generation — the all-pairs version of cosine_topk_lsh."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket"
+    )
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_double(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat: assign each vector to its nearest centroid (one pass,
+    argmax over c centroids), search only the query's n_probe nearest
+    cells. Centroids are caller-supplied (e.g. sampled ids or a k-means
+    fit); assignment is a deterministic argmax expression."""
+    def nearest_cell(vec):
+        sims = F.array(*[dot_double(vec, _lit_vec(c)) for c in centroids])
+        # first index of the max similarity (deterministic tie-break)
+        return F.array_position(sims, F.array_max(sims)) - 1
+
+    # query's n_probe nearest cells, driver-side
+    qsims = [
+        (i, sum(x * y for x, y in zip(query_vec, c))) for i, c in enumerate(centroids)
+    ]
+    probe_cells = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
+
+    q = _lit_vec(query_vec)
+    assigned = df.withColumn("_cell", nearest_cell(F.col(vec_col)).cast("int"))
+    cands = assigned.where(F.col("_cell").isin(probe_cells))
+    scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "cosine", "rank")
+    )

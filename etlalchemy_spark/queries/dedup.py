@@ -1,1 +1,130 @@
-"""dedup queries — filled in incrementally (SURVEY.md §2)."""
+"""Deduplication queries over the documents table.
+
+Exact formulations carry DuckDB oracles; the hash-based approximate
+paths (MinHash-LSH, SimHash) are rows-only — ``F.hash`` is Murmur3 with
+Spark-specific seeding, not reproducible in another engine
+(SURVEY.md §5.2). Their ground truth is the oracle-checked exact
+n-gram Jaccard query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from etlalchemy_spark.operators.similarity import embedding_near_dup_pairs
+from etlalchemy_spark.operators.text import md5_fingerprint
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_EXACT_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+@register("dedup_exact_first_per_key", oracle=_EXACT_SQL, tags=("dedup",))
+def dedup_exact_first_per_key(spark, sf_dir):
+    """Deterministic keep-first exact dedup (one row per (lang, source),
+    lowest doc_id wins) — operators.dedup.exact_dedup."""
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs, keys=["lang", "source"], order_by=["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_HASH_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+  FROM documents
+)
+SELECT content_fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM fp GROUP BY content_fp
+"""
+
+
+@register("dedup_exact_content_hash", oracle=_HASH_DEDUP_SQL, tags=("dedup", "bench"))
+def dedup_exact_content_hash(spark, sf_dir):
+    """Content-hash exact dedup: group by md5 of normalized text, keep
+    the smallest doc_id. The hash-groupBy scales to any corpus (shuffle
+    on a 32-byte key instead of the full document)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", md5_fingerprint(F.col("text")).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
+    FROM w
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.1
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, tags=("dedup", "bench"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs (threshold 0.1) — the
+    oracle-checked ground truth that MinHash-LSH approximates."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.1)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx", "bench"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs with exact
+    Jaccard verify of candidates — the 100 TB path (rows-only check;
+    Murmur3 signatures are engine-specific)."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.3
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit) near-dup pairs with chunk-bucket candidate
+    generation + Hamming verify (rows-only)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("dedup_embedding_cosine", oracle=None, tags=("dedup", "approx"))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: hyperplane-LSH buckets + exact cosine verify
+    (rows-only; plane literals are engine-side)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=6, seed=7, dim=64
+    )

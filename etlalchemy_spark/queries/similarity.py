@@ -1,1 +1,127 @@
-"""similarity queries — filled in incrementally (SURVEY.md §2)."""
+"""Similarity-search queries over the embeddings table.
+
+The exact brute-force cosine top-k carries a DuckDB oracle (decimal
+dot products — see operators.similarity); the LSH / IVF variants are
+the scale path and rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.similarity import (
+    cosine_topk_exact,
+    cosine_topk_lsh,
+    exact_cosine,
+    ivf_topk,
+)
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    """The query vector = embedding of vec_id (collect of ONE row —
+    an aggregate-sized result, not a data pull)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return list(emb.where(F.col("vec_id") == vec_id).head()["embedding"])
+
+
+_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+),
+scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_cosine_topk_exact", oracle=_TOPK_SQL, tags=("similarity", "bench"))
+def sim_cosine_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-10 for vec_id 0's embedding. Decimal dot
+    products make Spark and DuckDB bit-identical; final sqrt/divide in
+    double on identical operands."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_exact(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+@register("sim_cosine_topk_lsh", oracle=None, tags=("similarity", "approx"))
+def sim_cosine_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed top-10 (approximate; bucket filter cuts
+    candidates ~2^8 before exact scoring). Rows-only."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, n_planes=8
+    )
+
+
+@register("sim_ivf_topk", oracle=None, tags=("similarity", "approx"))
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-flat top-10: centroids = first 8 embeddings (deterministic
+    stand-in for a k-means fit), probe the 2 nearest cells. Rows-only."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = [
+        list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return ivf_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), centroids, k=10, n_probe=2
+    )
+
+
+_PAIRS_SQL = """
+WITH prod AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE a.vec_id < 40 AND b.vec_id < 40
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+FROM prod
+WHERE CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) >= 0.2
+"""
+
+
+@register("sim_cosine_pairs_blocked", oracle=_PAIRS_SQL, tags=("similarity",))
+def sim_cosine_pairs_blocked(spark, sf_dir):
+    """Blocked exact pair similarity: candidate pairs share a label
+    (the blocking key — at scale this is the LSH bucket), exact cosine
+    ≥ 0.5 on a bounded id range. Oracle-exact via decimal dots."""
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    return (
+        exact_cosine(pairs, ["id_a", "id_b"], F.col("va"), F.col("vb"))
+        .where(F.col("cosine") >= 0.2)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,1 +1,173 @@
-"""text queries — filled in incrementally (SURVEY.md §2)."""
+"""Text-analysis queries over the documents table (language ID, quality
+scoring, token counting, fingerprinting) — all oracle-checked: the
+operators are formulated on exact integer counts, md5, and double
+ratios of identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.text import (
+    bpe_ish_token_count,
+    lang_id,
+    lang_scores,
+    md5_fingerprint,
+    quality_features,
+    quality_score,
+    shingle_min_fingerprint,
+    token_count,
+)
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+         + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+       LENGTH(text) AS n_chars_measured
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKENS_SQL, tags=("text",))
+def text_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (operators.text)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_ish"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+_QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+             w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS avg_token_len,
+       CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+       CAST(n_upper AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS upper_ratio,
+       CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+       + (CASE WHEN CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 0.05
+               THEN 1.0 ELSE 0.0 END) * 0.3
+       + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10, 1.0)) * 0.2
+       + (1.0 - LEAST(CAST(n_upper AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10, 1.0)) * 0.1
+         AS quality
+FROM f
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_SQL, tags=("text", "bench"))
+def text_quality_score(spark, sf_dir):
+    """Corpus quality features + composite score (operators.text)."""
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["upper_ratio"].alias("upper_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(feats).alias("quality"),
+    )
+
+
+_LANG_SQL = """
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+    len(list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+        w -> w IN ('der','die','und','ist','nicht'))) AS s_de,
+    len(list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+        w -> w IN ('the','and','of','to','in'))) AS s_en,
+    len(list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+        w -> w IN ('el','la','que','de','los'))) AS s_es,
+    len(list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+        w -> w IN ('le','la','et','est','les'))) AS s_fr,
+    len(list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+        w -> w IN ('的','是','了','在','我'))) AS s_zh
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) < 1 THEN 'und'
+       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END AS predicted_lang
+FROM s
+"""
+
+
+@register("text_lang_id", oracle=_LANG_SQL, tags=("text",))
+def text_lang_id(spark, sf_dir):
+    """Marker-word language ID vs the labeled lang column (argmax with
+    alphabetical tie-break, 'und' when no markers hit)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+_LANG_AGG_SQL = f"""
+WITH p AS ({_LANG_SQL})
+SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+FROM p GROUP BY labeled_lang, predicted_lang
+"""
+
+
+@register("text_lang_confusion", oracle=_LANG_AGG_SQL, tags=("text",))
+def text_lang_confusion(spark, sf_dir):
+    """Confusion matrix of labeled vs predicted language."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_FP_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_fp,
+       list_aggregate(
+         list_transform(generate_series(1, GREATEST(LENGTH(norm) - 7, 1)),
+                        i -> md5(substr(norm, CAST(i AS INT), 8))),
+         'min') AS shingle_fp
+FROM n
+"""
+
+
+@register("text_fingerprint", oracle=_FP_SQL, tags=("text",))
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: whole-content md5 + min-md5 over 8-char
+    shingles (rolling-hash style, robust to small edits)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("content_fp"),
+        shingle_min_fingerprint(F.col("text"), k=8).alias("shingle_fp"),
+    )

@@ -1,0 +1,93 @@
+"""Unit tests for dedup operators with PLANTED duplicates (the fixture
+corpus has no true near-dups, so recall is proven here)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the old oak tree near the river "
+    "as morning light spreads across the quiet valley touching every rooftop "
+    "and the baker opens his shop to the smell of warm bread while children "
+    "walk slowly to school along the cobbled street past the fountain square"
+)
+# one-word edit in a ~60-word doc → Jaccard ≈ 0.85: high enough that
+# 8×4 LSH banding recall is structurally certain (hash is deterministic)
+NEAR = BASE.replace("lazy dog", "sleepy dog")
+FAR = (
+    "completely different content about spark shuffles partitions joins "
+    "aggregations windows and the catalyst optimizer rewriting query plans at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],  # 4 == exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "k"), (1, "k"), (2, "other")], "id long, key string"
+    )
+    out = exact_dedup(df, ["key"], ["id"]).collect()
+    assert sorted(r.id for r in out) == [1, 2]  # keeps MIN id per key
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    sh = {r.shingle for r in word_shingles(df, "doc_id", "text", k=5).collect()}
+    assert sh == {"a b c d e", "b c d e f"}
+
+
+def test_shingles_short_doc(spark):
+    # doc shorter than k → one (partial) shingle, no crash
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    sh = word_shingles(df, "doc_id", "text", k=5).collect()
+    assert len(sh) == 1 and sh[0].shingle == "a b"
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.1).collect()}
+    assert pairs[(1, 4)] == 1.0          # exact dup
+    assert pairs[(1, 2)] > 0.5           # one-word edit
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
+
+
+def test_minhash_lsh_recalls_planted_pair(spark, docs):
+    got = {(r.id_a, r.id_b) for r in
+           minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_jaccard_matches_exact(spark, docs):
+    # LSH-verified jaccard equals the exact operator's jaccard
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.01).collect()}
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in
+           minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+    assert 0 <= sigs[1] < (1 << 32)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs  # near-dup within hamming 6

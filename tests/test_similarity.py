@@ -1,0 +1,79 @@
+"""Unit tests for similarity operators (planted-geometry vectors)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.similarity import (
+    cosine_topk_exact,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    exact_cosine,
+    hyperplanes,
+    ivf_topk,
+)
+
+DIM = 8
+
+
+def _vec(*xs):
+    return [float(x) for x in xs] + [0.0] * (DIM - len(xs))
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, _vec(1, 0)),            # query-aligned
+        (1, _vec(0.9, 0.1)),        # close
+        (2, _vec(0, 1)),            # orthogonal
+        (3, _vec(-1, 0)),           # opposite
+        (4, _vec(2, 0)),            # same direction, different norm
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_cosine_values(spark, vecs):
+    q = _vec(1, 0)
+    out = {r.vec_id: r.cosine for r in
+           cosine_topk_exact(vecs, "vec_id", "embedding", q, k=5).collect()}
+    assert out[0] == pytest.approx(1.0)
+    assert out[4] == pytest.approx(1.0)   # norm-invariant
+    assert out[2] == pytest.approx(0.0, abs=1e-12)
+    assert out[3] == pytest.approx(-1.0)
+    assert out[1] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-6)
+
+
+def test_topk_order_and_rank(spark, vecs):
+    q = _vec(1, 0)
+    rows = cosine_topk_exact(vecs, "vec_id", "embedding", q, k=3).collect()
+    assert [r.vec_id for r in rows] == [0, 4, 1]  # ties broken by id
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_lsh_topk_contains_aligned(spark, vecs):
+    q = _vec(1, 0)
+    got = [r.vec_id for r in
+           cosine_topk_lsh(vecs, "vec_id", "embedding", q, k=5, n_planes=4).collect()]
+    assert 0 in got  # the query-identical vector shares every plane sign
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(4, 3, seed=1) == hyperplanes(4, 3, seed=1)
+    assert hyperplanes(4, 3, seed=1) != hyperplanes(4, 3, seed=2)
+
+
+def test_embedding_near_dup_pairs(spark, vecs):
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(vecs, "vec_id", "embedding",
+                                      threshold=0.95, n_planes=3, dim=DIM).collect()}
+    assert (0, 4) in pairs  # cosine 1.0, same bucket by construction
+
+
+def test_ivf_topk_probes_right_cell(spark, vecs):
+    q = _vec(1, 0)
+    centroids = [_vec(1, 0), _vec(0, 1)]
+    got = [r.vec_id for r in
+           ivf_topk(vecs, "vec_id", "embedding", q, centroids, k=3, n_probe=1).collect()]
+    assert got[0] in (0, 4)
+    assert 2 not in got  # orthogonal vector lives in the unprobed cell
