@@ -1,0 +1,65 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries (registry tag "bench") at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization through the noop sink
+(count() would let Catalyst prune the work). One warmup of the smallest
+query primes the JVM/codegen so timings measure the plans, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etlalchemy_spark.registry import all_queries
+from etlalchemy_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = {name: q for name, q in all_queries().items() if "bench" in q.tags}
+
+    # warmup: prime JVM + codegen paths outside the timed region
+    qs_sorted = sorted(qs)
+    warm = qs[qs_sorted[0]].fn(spark, SF_DIR)
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in qs_sorted:
+        t0 = time.monotonic()
+        df = qs[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

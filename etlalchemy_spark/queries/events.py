@@ -1,1 +1,155 @@
-"""events queries — filled in incrementally (SURVEY.md §2)."""
+"""Batch twins of the streaming window operators (oracle-checked).
+
+Spark's time windows are epoch-aligned, so the DuckDB twins recompute
+window bounds with date_trunc / integer floor-division on epoch
+microseconds — exact integer logic, no float boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_TUMBLE_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_tumbling_1h", oracle=_TUMBLE_SQL, tags=("events", "window", "bench"))
+def events_tumbling_1h(spark, sf_dir):
+    """1-hour tumbling windows × event_type (batch twin of
+    streaming.events.tumbling_counts; epoch-aligned windows ==
+    date_trunc('hour'))."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SLIDE_SQL = """
+WITH k AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+w AS (
+  SELECT to_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900) AS window_start,
+         event_id
+  FROM events, k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n
+FROM w
+GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_1h_15m", oracle=_SLIDE_SQL, tags=("events", "window"))
+def events_sliding_1h_15m(spark, sf_dir):
+    """1-hour windows sliding 15 minutes: every event falls in exactly
+    4 windows (the oracle enumerates them by integer epoch floor-div)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("events_session_window", oracle=_SESSION_SQL, tags=("events", "session"))
+def events_session_window(spark, sf_dir):
+    """Batch ``session_window`` (30-min gap) per user. Spark's session
+    end = last event + gap, mirrored by the gaps-and-islands oracle."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_LATE_SQL = """
+WITH watermarked AS (
+  SELECT *,
+         MAX(ts) OVER (ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - INTERVAL 1 HOUR AS wm
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_late
+FROM watermarked
+WHERE ts < wm
+GROUP BY event_type
+"""
+
+
+@register("events_late_data_audit", oracle=_LATE_SQL, tags=("events",))
+def events_late_data_audit(spark, sf_dir):
+    """Late-data audit: events arriving behind a 1-hour watermark
+    (max event-time so far − 1h) in arrival order (= event order in the
+    fixture). The batch-computable view of what a streaming watermark
+    would drop."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wm = F.max("ts").over(w) - F.expr("INTERVAL 1 HOUR")
+    return (
+        ev.withColumn("wm", wm)
+        .where(F.col("ts") < F.col("wm"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )

@@ -1,1 +1,72 @@
-"""multimodal queries — filled in incrementally (SURVEY.md §2)."""
+"""Multimodal-column queries: binary payload + metadata conventions
+with Pandas-UDF decode plumbing (stubbed codecs, real dataflow).
+
+The byte-level features are deterministic, so the mapInPandas path
+itself is oracle-checked: DuckDB recomputes the same features from the
+text with encode()/ascii() arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.multimodal import attach_payload, byte_features, frame_sample_stub
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_META_SQL = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'fixture' AS source
+FROM documents
+"""
+
+
+@register("mm_payload_metadata", oracle=_META_SQL, tags=("multimodal",))
+def mm_payload_metadata(spark, sf_dir):
+    """The multimodal schema convention: metadata-only projection never
+    touches payload bytes (column pruning keeps the scan narrow)."""
+    docs = t(spark, sf_dir, "documents")
+    wrapped = attach_payload(docs, "doc_id", "text")
+    return wrapped.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN LENGTH(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS INT)
+         AS first_byte,
+       CAST(list_aggregate(
+              list_transform(generate_series(1, LEAST(LENGTH(text), 64)),
+                             i -> ascii(substr(text, CAST(i AS INT), 1))),
+              'sum') AS BIGINT) AS head_byte_sum
+FROM documents
+"""
+
+
+@register("mm_decode_byte_features", oracle=_FEATURES_SQL, tags=("multimodal", "udf"))
+def mm_decode_byte_features(spark, sf_dir):
+    """The decode→feature-extract path through mapInPandas (Arrow
+    batches, partition-local). Fixture text is ASCII, so byte features
+    equal character features and DuckDB can recompute them."""
+    docs = t(spark, sf_dir, "documents")
+    wrapped = attach_payload(docs, "doc_id", "text")
+    return byte_features(wrapped, "doc_id")
+
+
+@register("mm_frame_sample", oracle=None, tags=("multimodal",))
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing over the byte stream (rows-only: binary
+    frame slices don't round-trip the oracle's value hash)."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    wrapped = attach_payload(docs, "doc_id", "text")
+    frames = frame_sample_stub(wrapped, "doc_id", every_n_bytes=64)
+    return frames.select(
+        "doc_id", "frame_offset", F.length("frame_bytes").alias("frame_len")
+    )

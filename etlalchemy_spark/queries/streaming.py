@@ -1,1 +1,76 @@
-"""streaming queries — filled in incrementally (SURVEY.md §2)."""
+"""Structured-Streaming variants (rows-only checks — streaming results
+aren't SQL-oracle-able; their batch twins in queries/events.py carry
+the oracles over the same logical plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.streaming.events import (
+    dedup_within_watermark,
+    drain_to_memory,
+    read_events_stream,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@register("stream_tumbling_counts", oracle=None, tags=("streaming",))
+def stream_tumbling_counts(spark, sf_dir):
+    """readStream → watermark → 1h tumbling agg → memory sink."""
+    ev = read_events_stream(spark, sf_dir)
+    return drain_to_memory(tumbling_counts(ev), "complete")
+
+
+@register("stream_sliding_counts", oracle=None, tags=("streaming",))
+def stream_sliding_counts(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    return drain_to_memory(sliding_counts(ev), "complete")
+
+
+@register("stream_session_window", oracle=None, tags=("streaming", "session"))
+def stream_session_window(spark, sf_dir):
+    """Streaming session_window (gap 30m) per user; append mode after
+    the watermark closes sessions."""
+    ev = read_events_stream(spark, sf_dir)
+    return drain_to_memory(session_windows(ev), "complete")
+
+
+@register("stream_dedup_watermark", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on event_id (bounded state)."""
+    ev = read_events_stream(spark, sf_dir)
+    return drain_to_memory(dedup_within_watermark(ev), "append")
+
+
+@register("stream_stateful_user_counts", oracle=None, tags=("streaming", "stateful"))
+def stream_stateful_user_counts(spark, sf_dir):
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState (Arrow-batched, per-key state) — the
+    template for operators Spark's built-ins can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return drain_to_memory(counted, "update")

@@ -1,0 +1,114 @@
+"""Streaming readers and windowed aggregations over the events fixture.
+
+The parquet fixture drives a real ``readStream`` (file source) whose
+results are drained synchronously into a memory sink — the documented
+local-smoke pattern; on a cluster the same plans attach to Kafka/files
+with checkpointing and triggers.
+
+``ts`` is stored as parquet TIMESTAMP(NANOS) → read as long
+(session nanosAsLong) and floor-divided to microseconds, identical to
+the batch catalog.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.catalog import load_table, table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch schema."""
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # FileStreamSource wants a directory: stream the fixture dir with a
+    # glob pinned to the events file
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming query to completion against the (already
+    complete) file source and return the materialized result table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows with a 1-hour watermark: late events
+    beyond the watermark would be dropped; on the complete fixture every
+    event lands in exactly one window."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event in 4)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based), the streaming-native form
+    of the gaps-and-islands batch sessionization."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id bounded by the watermark —
+    state stays finite at unbounded input (the scale-correct streaming
+    dedup; plain dropDuplicates would grow state forever)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
