@@ -27,6 +27,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition CPU-heavy expression work across the cluster. Small
+    fixture files arrive as ONE input split (far under
+    maxPartitionBytes), which would serialize shingling/hashing on a
+    single core; at real scale inputs already have many splits and this
+    hash-repartition just co-locates by id for the joins that follow."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 # --- exact -----------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
@@ -44,14 +53,26 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
 # --- shingling -------------------------------------------------------------
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, out: str = "shingle"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    out: str = "shingle",
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, shingle) pairs: distinct word k-grams of the normalized text.
-    Pure expression pipeline: split → sequence → transform → explode."""
+    Pure expression pipeline: split → sequence → transform → explode.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64 —
+    shuffle payload drops from ~k words to 8 bytes per shingle, which
+    is what the MinHash pipeline joins on at scale (collision odds at
+    64 bits are negligible next to MinHash's own error)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, k), " "))
+    if hashed:
+        grams = F.transform(grams, lambda g: F.xxhash64(g))
     return (
         df.select(F.col(id_col), F.explode(grams).alias(out))
         .distinct()
@@ -71,6 +92,7 @@ def ngram_jaccard_pairs(
     shingle equi-join. Exact but quadratic in co-occurring shingles —
     the small-n ground truth that LSH approximates. Output:
     (id_a, id_b, n_inter, jaccard)."""
+    df = spread(df, id_col)
     sh = word_shingles(df, id_col, text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -119,6 +141,8 @@ def lsh_candidate_pairs(
     """Band the signature (b bands × r rows): docs sharing ANY full band
     become candidates. One explode + one shuffle on (band, band_sig) —
     linear candidate generation, the core LSH trick."""
+    # band signature collapsed to ONE bigint (xxhash64 over the slice):
+    # the candidate join shuffles 8-byte keys instead of int arrays
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -126,7 +150,9 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("band_sig"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_sig"),
                     )
                     for b in range(bands)
                 ]
@@ -157,7 +183,9 @@ def minhash_near_dup_pairs(
     verify join touches only the candidate set (≈ linear for realistic
     dup rates), never the full cross product."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, k).cache()
+    # hashed shingles end-to-end: minhash seeds re-hash the 64-bit
+    # shingle hash, and the verify join shuffles bigints, not strings
+    sh = word_shingles(spread(df, id_col), id_col, text_col, k, hashed=True).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
 
@@ -192,7 +220,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> 
     signature is the sign vector. Implemented as array arithmetic
     (transform/zip_with/aggregate) over exploded tokens — one groupBy,
     no UDFs. Output: (id, simhash bigint)."""
-    tokens = df.select(
+    tokens = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )

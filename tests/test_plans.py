@@ -1,0 +1,74 @@
+"""Plan-shape assertions: the scale properties the engine claims must
+be visible in the physical plan (SURVEY.md §4)."""
+
+import pytest
+
+from etlalchemy_spark.plans import (
+    explain_formatted,
+    has_broadcast_join,
+    has_cartesian,
+    has_pushed_filters,
+    has_wholestage_codegen,
+    scan_read_schema,
+)
+from etlalchemy_spark.registry import all_queries
+
+from conftest import SF_DIR
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_q6_filters_push_to_parquet(spark):
+    df = _q("q6_forecast_revenue").fn(spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate")
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_q1_prunes_columns(spark):
+    df = _q("q1_pricing_summary").fn(spark, SF_DIR)
+    read = set(scan_read_schema(df))
+    # 7 needed columns, and specifically NOT the unused keys
+    assert "l_quantity" in read and "l_shipdate" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q3_broadcasts_dim(spark):
+    df = _q("q3_shipping_priority").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_q5_star_join_broadcasts_and_no_cartesian(spark):
+    df = _q("q5_local_supplier_volume").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_joins_never_nested_loop(spark):
+    for name in ["join_inner", "join_left", "join_semi", "join_anti", "join_range", "join_asof"]:
+        df = _q(name).fn(spark, SF_DIR)
+        assert not has_cartesian(df), f"{name} plans a nested-loop/cartesian join"
+
+
+def test_join_cross_is_the_only_cartesian(spark):
+    assert has_cartesian(_q("join_cross").fn(spark, SF_DIR))
+
+
+def test_codegen_on_hot_paths(spark):
+    # AQE wraps the plan and hides codegen stage markers until runtime;
+    # disable it for the static plan-shape assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["q1_pricing_summary", "window_topk_per_group", "text_quality_score"]:
+            df = _q(name).fn(spark, SF_DIR)
+            assert has_wholestage_codegen(df), f"{name} fell out of codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_join_projection_is_narrow(spark):
+    df = _q("join_semi").fn(spark, SF_DIR)
+    read = set(scan_read_schema(df))
+    # orders side must read only the join key + filter column
+    assert "o_totalprice" not in read and "o_orderdate" not in read
