@@ -1,0 +1,28 @@
+"""Engine-level reusable column functions (the public expression API).
+
+Everything here is a pure Column→Column builder usable in any query:
+cross-engine-exact aggregation helpers, text/fingerprint expressions,
+and the standardizer's sizing math. Operators compose these; users of
+the engine import from here.
+"""
+
+from etlalchemy_spark.queries._util import (  # noqa: F401
+    davg,
+    dec,
+    dsum,
+    one,
+    sql_davg,
+    sql_dsum,
+    ts,
+)
+from etlalchemy_spark.operators.standardize import next_pow2  # noqa: F401
+from etlalchemy_spark.operators.text import (  # noqa: F401
+    bpe_ish_token_count,
+    lang_id,
+    md5_fingerprint,
+    normalize_text,
+    quality_features,
+    quality_score,
+    shingle_min_fingerprint,
+    token_count,
+)

@@ -1,0 +1,128 @@
+"""Interval (true non-equi) join with bucketing — the scale pattern for
+range predicates that have NO equi key (SURVEY.md §2 "Theta/range/
+interval join").
+
+Naive Spark plan for ``a.start <= b.ts AND b.ts < a.end`` is a
+broadcast-nested-loop — O(n·m). The bucketed form maps each interval to
+the hour buckets it overlaps and each point to its bucket, turning the
+join into an equi-join on bucket + residual range filter: work becomes
+O(matches + buckets touched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_BUCKET_SECONDS = 3600
+
+_INTERVAL_SQL = """
+WITH sessions AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         MIN(event_id) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+  )
+  GROUP BY user_id, session_no
+  HAVING user_id < 5
+)
+SELECT s.session_id, s.user_id,
+       COUNT(*) AS n_concurrent_events
+FROM sessions s
+JOIN events e
+  ON e.ts >= s.session_start AND e.ts < s.session_end AND e.user_id <> s.user_id
+GROUP BY s.session_id, s.user_id
+"""
+
+
+@register("join_interval_bucketed", oracle=_INTERVAL_SQL, tags=("join", "interval"))
+def join_interval_bucketed(spark, sf_dir):
+    """How many other-user events fall inside each of user 0–4's
+    sessions. Spark side: explode each session onto its overlapped hour
+    buckets, equi-join events on bucket, then the exact range residual
+    — no nested loop anywhere (the oracle uses the naive theta join)."""
+    ev = t(spark, sf_dir, "events")
+
+    # sessions of users 0-4 (reuse the oracle-checked sessionization shape)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(wc))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.min("event_id").alias("session_id"),
+        )
+        .where(F.col("user_id") < 5)
+        .drop("session_no")
+    )
+
+    # bucket the intervals (explode over covered hours) and the points
+    start_b = F.floor(F.unix_micros("session_start") / (_BUCKET_SECONDS * 1_000_000))
+    end_b = F.floor(F.unix_micros("session_end") / (_BUCKET_SECONDS * 1_000_000))
+    s_bucketed = sessions.withColumn("bucket", F.explode(F.sequence(start_b, end_b)))
+    e_bucketed = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.floor(F.unix_micros("ts") / (_BUCKET_SECONDS * 1_000_000)).alias("bucket"),
+    )
+    return (
+        s_bucketed.join(e_bucketed, "bucket")
+        .where(
+            (F.col("e_ts") >= F.col("session_start"))
+            & (F.col("e_ts") < F.col("session_end"))
+            & (F.col("e_user") != F.col("user_id"))
+        )
+        .groupBy("session_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_concurrent_events"))
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey,
+         'totalprice' AS metric, o_totalprice AS value FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'order_year', CAST(YEAR(o_orderdate) AS DOUBLE) FROM orders
+)
+"""
+
+
+@register("unpivot_orders", oracle=_UNPIVOT_SQL, tags=("reshape",))
+def unpivot_orders(spark, sf_dir):
+    """Wide→long unpivot via ``stack`` (the melt operator; single pass,
+    no shuffle — each input row emits k output rows)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "stack(3, 'totalprice', o_totalprice, "
+            "'custkey', CAST(o_custkey AS DOUBLE), "
+            "'order_year', CAST(YEAR(o_orderdate) AS DOUBLE)) AS (metric, value)"
+        ),
+    )

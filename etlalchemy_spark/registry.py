@@ -74,6 +74,8 @@ def _load_all() -> None:
     # Import for registration side effects.
     from etlalchemy_spark.queries import (  # noqa: F401
         tpch,
+        tpch_more,
+        interval,
         joins,
         aggregates,
         windows,
