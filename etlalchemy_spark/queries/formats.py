@@ -1,0 +1,84 @@
+"""File-format roundtrip queries: the engine's CSV/JSON source+sink
+surface (W1/S2) exercised end-to-end — write with dialect conventions,
+read back with explicit schema, prove value fidelity against the oracle
+reading the ORIGINAL parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.sources.files import read_file, write_csv_for_bulk_load, write_file
+from etlalchemy_spark.queries._util import t
+
+_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("fmt_csv_roundtrip", oracle=_NATION_SQL, tags=("sources",))
+def fmt_csv_roundtrip(spark, sf_dir):
+    """parquet → dialect CSV (postgres conventions: \\N nulls) → read
+    back with explicit schema → identical values. Proves the W1 dump
+    path round-trips types, not just that files appear."""
+    nation = t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="fmt_csv_")
+    path = os.path.join(tmp, "nation_csv")
+    write_csv_for_bulk_load(nation, path, dialect="postgresql", header=True)
+    return read_file(
+        spark,
+        path,
+        fmt="csv",
+        schema="n_nationkey int, n_name string, n_regionkey int",
+        header=True,
+        nullValue=r"\N",
+    )
+
+
+@register("fmt_json_roundtrip", oracle=_NATION_SQL, tags=("sources",))
+def fmt_json_roundtrip(spark, sf_dir):
+    """parquet → JSON lines → schema-first read back (no inference —
+    an extra full pass at scale)."""
+    nation = t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="fmt_json_")
+    path = os.path.join(tmp, "nation_json")
+    write_file(nation, path, fmt="json")
+    return read_file(
+        spark, path, fmt="json", schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+_ORC_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@register("fmt_orc_roundtrip", oracle=_ORC_SQL, tags=("sources",))
+def fmt_orc_roundtrip(spark, sf_dir):
+    """parquet → ORC → read back (the other columnar format; pushdown
+    and pruning apply the same way)."""
+    sup = t(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="fmt_orc_")
+    path = os.path.join(tmp, "supplier_orc")
+    write_file(sup, path, fmt="orc")
+    return read_file(spark, path, fmt="orc")
+
+
+_PARTITIONED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("fmt_partitioned_write", oracle=_PARTITIONED_SQL, tags=("sources",))
+def fmt_partitioned_write(spark, sf_dir):
+    """Hive-style partitioned write (partitionBy priority) then a
+    partition-pruned read-back count per partition — the lake layout
+    that stands in for the reference's index epilogue (M1)."""
+    orders = t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="fmt_part_")
+    path = os.path.join(tmp, "orders_part")
+    write_file(orders, path, fmt="parquet", partition_by=["o_orderpriority"])
+    back = read_file(spark, path, fmt="parquet")
+    return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

@@ -209,3 +209,27 @@ def scalar_array(spark, sf_dir):
         ),
         F.max(F.col("x").cast("double")).alias("elem_max"),
     )
+
+
+_MAP_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       len(json_keys(props)) AS n_keys,
+       array_to_string(json_keys(props), ',') AS key_list
+FROM events
+"""
+
+
+@register("scalar_map_json", oracle=_MAP_SQL, tags=("scalar", "json", "map"))
+def scalar_map_json(spark, sf_dir):
+    """props parsed into a MAP column (from_json), then map scalars:
+    element_at, size, sorted key list (map_keys order is unspecified →
+    sort before joining for determinism)."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_list"),
+    )

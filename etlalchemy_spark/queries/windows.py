@@ -272,3 +272,31 @@ def sort_limit_topk(spark, sf_dir):
         .orderBy(F.desc("p_retailprice"), "p_partkey")
         .limit(15)
     )
+
+
+_ANALYTIC_SQL = """
+SELECT s_suppkey, s_acctbal,
+       PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+       CUME_DIST()    OVER (ORDER BY s_acctbal, s_suppkey) AS cume,
+       NTH_VALUE(s_name, 2) OVER (
+         ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_poorest
+FROM supplier
+"""
+
+
+@register("window_analytic_ranks", oracle=_ANALYTIC_SQL, tags=("window",))
+def window_analytic_ranks(spark, sf_dir):
+    """percent_rank / cume_dist / nth_value (rational-valued ranks are
+    exact: same integer numerators/denominators in both engines)."""
+    sup = t(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return sup.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("s_name", 2).over(wf).alias("second_poorest"),
+    )

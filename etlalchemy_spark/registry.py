@@ -76,6 +76,7 @@ def _load_all() -> None:
         tpch,
         tpch_more,
         interval,
+        formats,
         joins,
         aggregates,
         windows,
