@@ -75,6 +75,7 @@ def _load_all() -> None:
     from etlalchemy_spark.queries import (  # noqa: F401
         tpch,
         tpch_more,
+        tpch_rest,
         interval,
         formats,
         joins,
