@@ -492,3 +492,119 @@ def q22_global_sales_opportunity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+_Q2_SQL = """
+SELECT s_suppkey, s_name, p_partkey, p_brand, unit_price
+FROM (
+  SELECT l_suppkey AS s2, l_partkey AS p2,
+         CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))
+                        / CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS unit_price
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+) offer
+JOIN (
+  SELECT l_partkey AS p3,
+         CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))
+                        / CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+           AS best_price
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+) best ON p2 = p3 AND unit_price = best_price
+JOIN part     ON p_partkey = p2
+JOIN supplier ON s_suppkey = s2
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size <= 10
+ORDER BY s_suppkey, p_partkey
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL, tags=("join", "agg"))
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 analogue: the EUROPE supplier(s) offering each small
+    part at its region-wide minimum unit price (observed
+    extendedprice/quantity stands in for ps_supplycost — no partsupp).
+    The correlated MIN subquery decorrelates into a per-part aggregate
+    joined back on (partkey, price); MIN of an exact decimal ratio is
+    order-insensitive, so the double equality join is cross-engine
+    exact."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    unit = dec("l_extendedprice") / F.col("l_quantity").cast("decimal(12,2)")
+    eu_sup = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    eu_li = li.join(
+        F.broadcast(eu_sup.select(F.col("s_suppkey").alias("eu_sk"))),
+        li.l_suppkey == F.col("eu_sk"),
+        "left_semi",
+    )
+    offer = eu_li.groupBy(
+        F.col("l_suppkey").alias("s2"), F.col("l_partkey").alias("p2")
+    ).agg(F.min(unit).cast(OUT).cast("double").alias("unit_price"))
+    best = eu_li.groupBy(F.col("l_partkey").alias("p3")).agg(
+        F.min(unit).cast(OUT).cast("double").alias("best_price")
+    )
+    return (
+        offer.join(best, (F.col("p2") == F.col("p3")) & (F.col("unit_price") == F.col("best_price")))
+        .join(F.broadcast(part), F.col("p2") == part.p_partkey)
+        .join(F.broadcast(eu_sup), F.col("s2") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "p_partkey", "p_brand", "unit_price")
+        .orderBy("s_suppkey", "p_partkey")
+    )
+
+
+_Q11_SQL = """
+SELECT l_partkey AS partkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey = 0
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4))) > (
+  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 0.001
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 0
+)
+ORDER BY value DESC, partkey
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_SQL, tags=("join", "agg", "having"))
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 analogue: parts whose shipped value from NATION_0
+    suppliers exceeds 0.1% of that nation's total (lineitem value
+    stands in for ps_supplycost*ps_availqty — no partsupp). The scalar
+    threshold is a 1-row broadcast; the HAVING comparison runs in exact
+    decimal on both engines (no double drift at the cut line)."""
+    li = t(spark, sf_dir, "lineitem")
+    nat_sup = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("nat_sk"))
+    )
+    nat_li = li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("nat_sk"), "left_semi")
+    per_part = nat_li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice")).alias("_v")
+    )
+    threshold = nat_li.agg(
+        (F.sum(dec("l_extendedprice")) * F.lit(0.001).cast("decimal(4,3)")).alias("thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("_v") > F.col("thresh"))
+        .select("partkey", F.col("_v").cast(OUT).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
