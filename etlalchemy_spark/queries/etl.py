@@ -325,3 +325,51 @@ def etl_migrate_roundtrip(spark, sf_dir):
     reports, _ddl = mig.run(spark)
     rows = [(r.dest_table, r.n_rows, r.n_cols) for r in reports]
     return spark.createDataFrame(rows, "table_name string, n_rows bigint, n_cols int")
+
+
+# --- W2 SQL-INSERT literal dump -------------------------------------------
+
+_SQL_LIT_PG = """
+SELECT 'INSERT INTO nation (n_nationkey, n_name, n_regionkey) VALUES ('
+       || CAST(n_nationkey AS VARCHAR) || ', '
+       || '''' || replace(n_name, '''', '''''') || '''' || ', '
+       || CAST(n_regionkey AS VARCHAR) || ');' AS stmt
+FROM nation
+"""
+
+
+@register("etl_sql_literals_pg", oracle=_SQL_LIT_PG, tags=("etl", "sources"))
+def etl_sql_literals_pg(spark, sf_dir):
+    """W2: postgres-dialect INSERT-statement rendering as a pure column
+    expression (literal_value_generator.py parity, upstream ≈L20–80).
+    The oracle rebuilds byte-identical statements with string concat —
+    proves quoting/escaping, not just row counts."""
+    from etlalchemy_spark.sources.literals import insert_statement
+
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(insert_statement(nation, "nation", "postgresql"))
+
+
+_SQL_LIT_ORA = """
+SELECT 'INSERT INTO orders (o_orderkey, o_orderdate, o_totalprice) VALUES ('
+       || CAST(o_orderkey AS VARCHAR) || ', '
+       || 'TO_DATE(''' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+       || ''',''YYYY-MM-DD HH24:MI:SS'')' || ', '
+       || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || ')' AS stmt
+FROM orders
+"""
+
+
+@register("etl_sql_literals_oracle", oracle=_SQL_LIT_ORA, tags=("etl", "sources"))
+def etl_sql_literals_oracle(spark, sf_dir):
+    """W2: Oracle-dialect rendering (TO_DATE-wrapped timestamps, no
+    trailing semicolon — upstream dump_to_oracle_insert_statements
+    ≈L160–250). Doubles rescale through DECIMAL(12,2) before rendering
+    so both engines print identical text (float shortest-round-trip
+    formatting differs between engines)."""
+    from etlalchemy_spark.sources.literals import insert_statement
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice")
+    )
+    return orders.select(insert_statement(orders, "orders", "oracle"))
