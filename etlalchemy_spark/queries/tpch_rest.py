@@ -417,8 +417,11 @@ def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 analogue: suppliers who were the SOLE late supplier
     (shipped >60 days after order date — fixture has no receipt/commit
     dates) on a multi-supplier order. The EXISTS/NOT-EXISTS pair is
-    decorrelated into one per-(order,supplier) lateness aggregate reused
-    for both sides — one lineitem⋈orders shuffle instead of three."""
+    decorrelated into one per-(order,supplier) lateness aggregate; the
+    per-order totals come from a window over that aggregate (NOT a
+    self-join, which would scan and shuffle the fact join twice)."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     sup = t(spark, sf_dir, "supplier")
@@ -430,11 +433,10 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max(late).alias("is_late"))
     )
-    per_o = per_os.groupBy(F.col("ok").alias("ok2")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("ok")
     return (
-        per_os.join(per_o, F.col("ok") == F.col("ok2"))
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
         .where((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(sup), F.col("sk") == sup.s_suppkey)
         .groupBy("s_name")

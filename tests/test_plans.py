@@ -72,3 +72,47 @@ def test_semi_join_projection_is_narrow(spark):
     read = set(scan_read_schema(df))
     # orders side must read only the join key + filter column
     assert "o_totalprice" not in read and "o_orderdate" not in read
+
+
+def test_new_tpch_star_joins_broadcast(spark):
+    """q7/q8/q9: every dim side must broadcast — the only shuffle at
+    scale is the lineitem⋈orders fact join."""
+    for name in ["q7_volume_shipping", "q8_market_share", "q9_product_profit"]:
+        df = _q(name).fn(spark, SF_DIR)
+        assert has_broadcast_join(df), f"{name} lost its broadcast joins"
+        assert not has_cartesian(df), f"{name} plans a cartesian"
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    df = _q("q17_small_qty_revenue").fn(spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert has_broadcast_join(df)  # the Brand#3 part filter side
+
+
+def test_q22_scalar_is_single_row_broadcast(spark):
+    """The scalar AVG comparison must plan as a 1-row broadcast
+    nested-loop (fine: 1 row), NOT a shuffled join."""
+    df = _q("q22_global_sales_opportunity").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q16_anti_join_broadcasts(spark):
+    df = _q("q16_supplier_cnt").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q21_single_fact_shuffle(spark):
+    """The decorrelated EXISTS/NOT-EXISTS must reuse ONE
+    lineitem⋈orders aggregate: exactly one join of the two fact
+    tables in the plan, not three."""
+    import re
+
+    df = _q("q21_waiting_supplier").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    # unique scan nodes (the formatted dump repeats each in the detail
+    # section): exactly lineitem + orders + supplier
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 3
