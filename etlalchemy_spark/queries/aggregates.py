@@ -223,3 +223,41 @@ def agg_approx_quantiles(spark, sf_dir):
             F.col("pcts")[2].alias("p99"),
         )
     )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_salted_two_phase", oracle=_SALTED_AGG_SQL, tags=("agg", "skew"))
+def agg_salted_two_phase(spark, sf_dir):
+    """Skew-proof aggregation over a 3-key group column (worst-case hot
+    keys): salt → partial agg → exact final reduce. Salt-invariant, so
+    the oracle is the plain GROUP BY. At 100 TB this caps any single
+    reducer at 1/n of a hot key's rows."""
+    from etlalchemy_spark.operators.skew import salted_aggregate
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        keys=["l_returnflag"],
+        partial={
+            "c": F.count(F.lit(1)),
+            "s": F.sum(dec("l_quantity")),
+            "m": F.max(dec("l_extendedprice")),
+        },
+        final={
+            "n_rows": F.sum("c"),
+            "sum_qty": F.sum("s").cast("decimal(38,4)").cast("double"),
+            "max_price": F.max("m").cast("decimal(38,4)").cast("double"),
+        },
+        n=16,
+    )
+    return out.orderBy("l_returnflag")

@@ -197,3 +197,39 @@ def join_asof(spark, sf_dir):
         right_ts="ts",
         payload_cols=["value"],
     )
+
+
+_SALTED_JOIN_SQL = """
+SELECT s_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_JOIN_SQL, tags=("join", "skew", "agg"))
+def join_salted_skew(spark, sf_dir):
+    """Hot-key join via salt replication: every lineitem row routes to
+    one of 8 salted copies of its supplier, so a hot supplier spreads
+    over 8 reducers. Salt-invariant → plain-SQL oracle. (Here supplier
+    would broadcast anyway; the query pins the salted path to prove the
+    mechanism for mid-sized build sides that exceed the broadcast
+    threshold.)"""
+    from etlalchemy_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, on=["suppkey"], n=8)
+    rev = dec("l_extendedprice") * (one() - dec("l_discount", RATE))
+    return (
+        joined.groupBy("s_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"))
+        .orderBy("s_name")
+    )
