@@ -153,3 +153,80 @@ def events_late_data_audit(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_late"))
     )
+
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id AS hu, date_trunc('hour', ts) AS hh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT g.user_id, g.hour, COALESCE(n, 0) AS n_events
+FROM grid g LEFT JOIN hourly ON hu = g.user_id AND hh = g.hour
+"""
+
+
+@register("ts_gapfill_hourly", oracle=_GAPFILL_SQL, tags=("events", "timeseries"))
+def ts_gapfill_hourly(spark, sf_dir):
+    """Dense per-user hourly series with zero-filled gaps (the
+    hypertable-rollup shape): per-user bounds → sequence/explode grid →
+    left join the sparse hourly counts. The grid generation is pure
+    expression work (no driver loop); the join keys are
+    (user, hour) — co-partitioned with the aggregate that feeds it."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        F.col("user_id").alias("hu"), F.date_trunc("hour", "ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(
+        hourly, (grid.user_id == F.col("hu")) & (grid.hour == F.col("hh")), "left"
+    ).select("user_id", "hour", F.coalesce("n", F.lit(0)).alias("n_events"))
+
+
+_LOCF_SQL = """
+SELECT event_id, user_id, ts, value,
+       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM events
+"""
+
+
+@register("ts_forward_fill", oracle=_LOCF_SQL, tags=("events", "timeseries", "window"))
+def ts_forward_fill(spark, sf_dir):
+    """LOCF forward-fill: carry the last non-error observation forward
+    per user (last(..., ignorenulls) over an unbounded-preceding
+    frame). Pure value selection — no float reduction, cross-engine
+    exact."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.last(good, ignorenulls=True).over(w).alias("value_locf"),
+    )
