@@ -1,0 +1,76 @@
+"""Python UDTF surface (Spark 4 ``@udtf``) — the table-function slot in
+SURVEY.md Table B's UDF/UDAF/UDTF row.
+
+UDTFs run row-at-a-time in Python — the slow path. They are the right
+tool only when one input row yields a VARIABLE number of structured
+output rows and the expansion logic doesn't decompose into
+explode/sequence/transform expressions. The sentence splitter here
+needs running character offsets (a scan-carry over the row's text), the
+canonical just-out-of-reach case for pure column expressions.
+
+The splitter itself is deterministic, so the query still carries a SQL
+oracle: DuckDB regexp functions rebuild the same (doc, sentence-index,
+length) table — the UDTF's structure is verified, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+
+@udtf(returnType="sent_idx int, sentence string, start_pos int")
+class SentenceSplit:
+    """Split on '.', '!', '?' runs; yield trimmed sentences with their
+    character offsets in the original text."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102 (driver-called)
+        if text is None:
+            return
+        import re
+
+        idx = 0
+        for m in re.finditer(r"[^.!?]+", text):
+            sent = m.group(0).strip()
+            if sent:
+                yield idx, sent, m.start()
+                idx += 1
+
+
+_SENT_SQL = """
+SELECT doc_id, sent_idx, len(sentence) AS sent_len
+FROM (
+  SELECT doc_id,
+         CAST(UNNEST(generate_series(1, len(sents))) - 1 AS INT) AS sent_idx,
+         trim(UNNEST(sents)) AS sentence
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[.!?]'),
+                       s -> len(trim(s)) > 0) AS sents
+    FROM documents
+  )
+)
+"""
+
+
+@register("udtf_sentence_split", oracle=_SENT_SQL, tags=("text", "udtf"))
+def udtf_sentence_split(spark, sf_dir):
+    """Sentence segmentation via Python UDTF with offsets; the oracle
+    recomputes (doc, index, length) with DuckDB list functions. Arrow
+    batches amortize the Python crossing; at scale this parallelizes
+    per input partition like any projection."""
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    out = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM _udtf_docs d, LATERAL sentence_split(d.doc_id, d.text) s
+        """
+    )
+    return out.select("doc_id", "sent_idx", F.length("sentence").alias("sent_len"))

@@ -90,6 +90,8 @@ def _load_all() -> None:
         events,
         streaming,
         multimodal,
+        sketches,
+        udtfs,
     )
 
     _LOADED = True
