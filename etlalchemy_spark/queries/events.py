@@ -175,7 +175,7 @@ FROM grid g LEFT JOIN hourly ON hu = g.user_id AND hh = g.hour
 """
 
 
-@register("ts_gapfill_hourly", oracle=_GAPFILL_SQL, tags=("events", "timeseries"))
+@register("ts_gapfill_hourly", oracle=_GAPFILL_SQL, tags=("events", "timeseries", "bench"))
 def ts_gapfill_hourly(spark, sf_dir):
     """Dense per-user hourly series with zero-filled gaps (the
     hypertable-rollup shape): per-user bounds → sequence/explode grid →

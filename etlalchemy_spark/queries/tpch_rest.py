@@ -161,7 +161,7 @@ ORDER BY nation, o_year DESC
 """
 
 
-@register("q9_product_profit", oracle=_Q9_SQL, tags=("join", "agg"))
+@register("q9_product_profit", oracle=_Q9_SQL, tags=("join", "agg", "bench"))
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 analogue: profit on red parts by supplier nation and
     year. Supply cost proxied as 0.5·retailprice·quantity (fixture has
@@ -412,7 +412,7 @@ ORDER BY numwait DESC, s_name
 """
 
 
-@register("q21_waiting_supplier", oracle=_Q21_SQL, tags=("join", "agg"))
+@register("q21_waiting_supplier", oracle=_Q21_SQL, tags=("join", "agg", "bench"))
 def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 analogue: suppliers who were the SOLE late supplier
     (shipped >60 days after order date — fixture has no receipt/commit
