@@ -171,3 +171,35 @@ def text_fingerprint(spark, sf_dir):
         md5_fingerprint(F.col("text")).alias("content_fp"),
         shingle_min_fingerprint(F.col("text"), k=8).alias("shingle_fp"),
     )
+
+
+_SENT_SQL = """
+SELECT doc_id, n_pos, n_neg,
+       CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tok AS DOUBLE) AS sentiment
+FROM (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('fast', 'big'))) AS n_pos,
+         len(list_filter(toks, x -> x IN ('slow', 'small'))) AS n_neg,
+         len(toks) AS n_tok
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+)
+"""
+
+
+@register("text_sentiment_lexicon", oracle=_SENT_SQL, tags=("text",))
+def text_sentiment_lexicon(spark, sf_dir):
+    """Lexicon sentiment (SURVEY §7 phase 3): ±word-list hit counts
+    normalized by token count, entirely array expressions —
+    size(filter(tokens, IN lexicon)) — so the lexicon ships inside the
+    codegen'd plan, no UDF, no join. Swap the literal lists for a
+    broadcast join when the lexicon outgrows a literal (~10k words)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_pos = F.size(F.filter(toks, lambda x: x.isin("fast", "big")))
+    n_neg = F.size(F.filter(toks, lambda x: x.isin("slow", "small")))
+    return docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        ((n_pos - n_neg).cast("double") / F.size(toks).cast("double")).alias("sentiment"),
+    )
