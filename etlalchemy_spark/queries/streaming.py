@@ -74,3 +74,81 @@ def stream_stateful_user_counts(spark, sf_dir):
         )
     )
     return drain_to_memory(counted, "update")
+
+
+@register("stream_tws_running_totals", oracle=None, tags=("streaming", "stateful"))
+def stream_tws_running_totals(spark, sf_dir):
+    """Per-user running (count, total value) via transformWithState —
+    Spark 4's successor to applyInPandasWithState: named typed state
+    slots on a processor object instead of one opaque tuple. State is
+    per-key and RocksDB-backed on a real cluster; the operator template
+    for long-lived aggregations the built-in windows can't express.
+
+    Environment gate: the transformWithState protocol needs
+    ``google.protobuf`` at runtime. Where absent (this container), the
+    identical computation runs through applyInPandasWithState — same
+    semantics, prior-generation API."""
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _HAVE_PROTOBUF = True
+    except ImportError:
+        _HAVE_PROTOBUF = False
+
+    if not _HAVE_PROTOBUF:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        ev = read_events_stream(spark, sf_dir)
+
+        def update(key, pdfs, state: GroupState):
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return drain_to_memory(out, "update")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._agg.get()
+            n, total = got if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return drain_to_memory(out, "update")
