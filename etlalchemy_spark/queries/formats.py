@@ -82,3 +82,59 @@ def fmt_partitioned_write(spark, sf_dir):
     write_file(orders, path, fmt="parquet", partition_by=["o_orderpriority"])
     back = read_file(spark, path, fmt="parquet")
     return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+_BUCKETED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("fmt_bucketed_join", oracle=_BUCKETED_SQL, tags=("sources", "join"))
+def fmt_bucketed_join(spark, sf_dir):
+    """Shuffle-free fact-fact join via bucketing: both tables written
+    bucketBy(8, orderkey) + sortBy, so the join consumes bucket layout
+    directly — zero Exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this is THE repeated-join
+    optimization: pay the layout shuffle once at write, never again."""
+    import shutil
+    from urllib.parse import urlparse
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("bkt_lineitem", "bkt_orders"):
+        # a previous session may have left the managed location behind
+        # without the catalog entry — clear both
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bkt_orders")
+    )
+    bli = spark.table("bkt_lineitem")
+    bor = spark.table("bkt_orders")
+    return (
+        bli.join(bor, bli.l_orderkey == bor.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

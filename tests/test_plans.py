@@ -116,3 +116,26 @@ def test_q21_single_fact_shuffle(spark):
     # section): exactly lineitem + orders + supplier
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) <= 3
+
+
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """bucketBy(8, orderkey) on both sides must eliminate the join
+    Exchange entirely — only the post-join groupBy may shuffle."""
+    import re
+
+    # at fixture scale Spark would just broadcast the small side; force
+    # the shuffle-join path the bucketing is designed for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q("fmt_bucketed_join").fn(spark, SF_DIR)
+        plan = explain_formatted(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        join_exchanges = [
+            m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "orderkey" in m
+        ]
+        assert not join_exchanges, f"join still shuffles on: {join_exchanges}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
