@@ -233,3 +233,28 @@ def scalar_map_json(spark, sf_dir):
         F.size(m).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_list"),
     )
+
+
+_REGEX_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CASE WHEN regexp_matches(p_name, '^(red|blue|green)') THEN 1 ELSE 0 END AS is_color_first
+FROM part
+"""
+
+
+@register("scalar_regexp", oracle=_REGEX_SQL, tags=("scalar", "regexp"))
+def scalar_regexp(spark, sf_dir):
+    """Regexp family: extract / extract_all / replace / rlike. Patterns
+    restricted to the POSIX-compatible core both engines' regex
+    dialects agree on (no lookaround, no \\d classes)."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^(red|blue|green)"), 1).otherwise(0).alias("is_color_first"),
+    )
