@@ -230,3 +230,33 @@ def ts_forward_fill(spark, sf_dir):
         "value",
         F.last(good, ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+_ATTRIB_SQL = """
+SELECT c.event_id AS c_event, v.event_id AS v_event, c.user_id AS user_id
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+"""
+
+
+@register("events_click_view_attrib", oracle=_ATTRIB_SQL, tags=("events", "join", "interval"))
+def events_click_view_attrib(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream join: click→view
+    attribution within 1 hour per user. Equi-key (user) carries the
+    join; the time range is a residual — no nested loop."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_event")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), F.col("event_id").alias("v_event")
+    )
+    return clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts"))
+        & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_event", "v_event", F.col("c_user").alias("user_id"))

@@ -152,3 +152,28 @@ def stream_tws_running_totals(spark, sf_dir):
         timeMode="None",
     )
     return drain_to_memory(out, "update")
+
+
+@register("stream_stream_join", oracle=None, tags=("streaming", "join"))
+def stream_stream_join_q(spark, sf_dir):
+    """Watermarked stream-stream click→view attribution join (batch
+    twin with SQL oracle: events_click_view_attrib)."""
+    from etlalchemy_spark.streaming.events import stream_stream_join
+
+    ev = read_events_stream(spark, sf_dir)
+    ev2 = read_events_stream(spark, sf_dir)
+    return drain_to_memory(stream_stream_join(ev, ev2), "append")
+
+
+@register("stream_foreach_batch_sink", oracle=None, tags=("streaming", "sources"))
+def stream_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch → parquet-per-batch sink; returns the landed rows
+    re-read from the sink (count must equal the source count)."""
+    import tempfile
+
+    from etlalchemy_spark.streaming.events import drain_foreach_batch
+
+    ev = read_events_stream(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="fb_sink_")
+    drain_foreach_batch(ev.select("event_id", "user_id", "event_type"), sink)
+    return spark.read.parquet(sink)

@@ -112,3 +112,55 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def drain_foreach_batch(stream_df: DataFrame, sink_path: str) -> None:
+    """foreachBatch sink: each micro-batch lands as its own parquet
+    subdirectory (append-only upsert pattern). On a cluster this is the
+    bridge to any batch-only writer — JDBC MERGE, Delta upsert, a
+    dialect bulk loader — with exactly-once per batch via the
+    (batch_id, checkpoint) pair."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    q = stream_df.writeStream.foreachBatch(write_batch).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join: each 'click' matches
+    'view' events by the same user within the following hour. Both
+    sides carry watermarks + the time-range predicate, so state for
+    expired rows is dropped — bounded memory at unbounded input."""
+    clicks = (
+        left.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+    )
+    views = (
+        right.where(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_event"),
+        )
+    )
+    return clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts"))
+        & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
