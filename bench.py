@@ -35,13 +35,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = {name: q for name, q in all_queries().items() if "bench" in q.tags}
 
-    # warmup: prime JVM + codegen paths outside the timed region
+    # Per-query warmup run (untimed) then the timed run: the first
+    # execution of each distinct plan pays one-off whole-stage-codegen
+    # javac compilation (~1-2 s locally) that amortizes to nothing at
+    # real scale; steady-state timing measures the plan, not the JIT.
     qs_sorted = sorted(qs)
-    warm = qs[qs_sorted[0]].fn(spark, SF_DIR)
-    warm.write.format("noop").mode("overwrite").save()
-
     timings: dict[str, float] = {}
     for name in qs_sorted:
+        qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.monotonic()
         df = qs[name].fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
