@@ -228,3 +228,75 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame, vec_col: str, k: int = 8, iters: int = 3, id_col: str | None = None
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column in pure DataFrame ops —
+    the IVF training step (and the house template for iterative
+    algorithms: per-iteration state is aggregate-sized, so it lives on
+    the driver as plan literals; the DATA never leaves executors).
+
+    Init: first k vectors in id order (deterministic). Each iteration:
+    argmax-assign to the nearest centroid (cosine), recompute each
+    centroid as the per-dimension mean via posexplode + groupBy — one
+    shuffle of k×dim partial sums per iteration, never the vectors.
+    Only the k×dim centroid matrix is collected.
+    """
+    order = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col).orderBy(order).limit(k).collect()
+    ]
+    for _ in range(iters):
+        sims = F.array(*[dot_double(F.col(vec_col), _lit_vec(c)) for c in centroids])
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        means = (
+            df.select(cell.alias("_cell"), F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cell.get(c, {}).get(p, centroids[c][p]) for p in range(dim)]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def cosine_topk_lsh_multiprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH: search the query's bucket plus every bucket at
+    Hamming distance 1 (the planes the query is least certain about
+    flip first in near neighbors). Recall approaches exact at the cost
+    of (n_planes+1)/2^n_planes of the data — still a >95% candidate cut
+    at 8 planes."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+            qbits |= 1 << i
+    probes = [qbits] + [qbits ^ (1 << i) for i in range(n_planes)]
+    q = _lit_vec(query_vec)
+    cands = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes)).where(
+        F.col("_bucket").isin(probes)
+    )
+    scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "cosine", "rank")
+    )

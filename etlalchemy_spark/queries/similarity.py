@@ -125,3 +125,31 @@ def sim_cosine_pairs_blocked(spark, sf_dir):
         .where(F.col("cosine") >= 0.2)
         .select("id_a", "id_b", "cosine")
     )
+
+
+@register("sim_ivf_kmeans_topk", oracle=None, tags=("similarity", "approx", "iterative"))
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with TRAINED cells: 3 Lloyd iterations of pure-DataFrame
+    k-means fit the 8 centroids, then probe the 2 nearest cells.
+    Rows-only (recall vs exact pinned in tests/test_similarity.py)."""
+    from etlalchemy_spark.operators.similarity import kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(emb, "embedding", k=8, iters=3, id_col="vec_id")
+    return ivf_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), centroids, k=10, n_probe=2
+    )
+
+
+@register("sim_cosine_topk_lsh_multiprobe", oracle=None, tags=("similarity", "approx"))
+def sim_cosine_topk_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-10 (query bucket + all Hamming-1 buckets).
+    4 planes: 5 of 16 buckets probed (~31% of rows scored) — the recall
+    sweet spot for weakly-clustered embeddings; raise planes only when
+    the corpus has real neighbor structure."""
+    from etlalchemy_spark.operators.similarity import cosine_topk_lsh_multiprobe
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh_multiprobe(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, n_planes=4
+    )

@@ -77,3 +77,30 @@ def test_ivf_topk_probes_right_cell(spark, vecs):
            ivf_topk(vecs, "vec_id", "embedding", q, centroids, k=3, n_probe=1).collect()]
     assert got[0] in (0, 4)
     assert 2 not in got  # orthogonal vector lives in the unprobed cell
+
+
+def test_multiprobe_recall_beats_single_bucket(spark):
+    """Multi-probe must recall at least as much of the exact top-10 as
+    single-bucket LSH, and at least half of it in absolute terms."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    exact = {r.vec_id for r in all_queries()["sim_cosine_topk_exact"].fn(spark, SF_DIR).collect()}
+    single = {r.vec_id for r in all_queries()["sim_cosine_topk_lsh"].fn(spark, SF_DIR).collect()}
+    multi = {r.vec_id for r in all_queries()["sim_cosine_topk_lsh_multiprobe"].fn(spark, SF_DIR).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    # deterministic hashing → stable: measured 6/10 at sf0.001, 4 planes
+    assert len(multi & exact) >= 5
+
+
+def test_kmeans_ivf_recall(spark):
+    """Trained-centroid IVF with n_probe=2 should recover most of the
+    exact top-10."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    exact = {r.vec_id for r in all_queries()["sim_cosine_topk_exact"].fn(spark, SF_DIR).collect()}
+    ivf = {r.vec_id for r in all_queries()["sim_ivf_kmeans_topk"].fn(spark, SF_DIR).collect()}
+    assert len(ivf & exact) >= 5
