@@ -20,17 +20,29 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlalchemy_spark.registry import all_queries  # noqa: E402
+from etlalchemy_spark.session import ensure_session_confs  # noqa: E402
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver supplies ITS OWN SparkSession; apply the engine's
+    correctness-critical runtime confs (UTC, parquet-nanos handling)
+    before building any plan on it."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(ensure_session_confs(spark), sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analogue) on /root/testdata/sf0.001."""
     q = all_queries()["q1_pricing_summary"]
-    return q.fn(spark, "/root/testdata/sf0.001")
+    return _wrap(q.fn)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in all_queries().items()}
+    return {name: _wrap(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

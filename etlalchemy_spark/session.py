@@ -17,6 +17,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs the engine REQUIRES for correctness (not tuning), all
+# runtime-settable — applied defensively to externally-supplied
+# sessions (the driver harness builds its own SparkSession, which e.g.
+# cannot read the events table's TIMESTAMP(NANOS) without the legacy
+# nanos flag, and hash-compares timestamps assuming UTC).
+REQUIRED_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's correctness-critical runtime confs to an
+    externally-created session (idempotent)."""
+    for k, v in REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment — leave as-is
+    return spark
+
+
 def get_spark(
     app_name: str = "etlalchemy_spark",
     shuffle_partitions: int | None = None,
