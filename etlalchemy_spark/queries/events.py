@@ -51,7 +51,7 @@ def events_tumbling_1h(spark, sf_dir):
 _SLIDE_SQL = """
 WITH k AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
 w AS (
-  SELECT to_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900) AS window_start,
+  SELECT CAST(to_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900) AS TIMESTAMP) AS window_start,
          event_id
   FROM events, k
 )

@@ -99,7 +99,7 @@ SELECT p_partkey,
        SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
        CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS size_sq,
        p_size % 7 AS size_mod7,
-       SIGN(p_size - 25) AS size_sign,
+       CAST(SIGN(p_size - 25) AS BIGINT) AS size_sign,
        GREATEST(p_size, 10) AS size_at_least_10,
        LEAST(p_size, 40) AS size_at_most_40
 FROM part
@@ -120,7 +120,7 @@ def scalar_math(spark, sf_dir):
         F.sqrt(s.cast("double")).alias("size_sqrt"),
         (s.cast("bigint") * s.cast("bigint")).alias("size_sq"),
         (s % 7).alias("size_mod7"),
-        F.signum((s - 25).cast("double")).alias("size_sign"),
+        F.signum((s - 25).cast("double")).cast("bigint").alias("size_sign"),
         F.greatest(s, F.lit(10)).alias("size_at_least_10"),
         F.least(s, F.lit(40)).alias("size_at_most_40"),
     )

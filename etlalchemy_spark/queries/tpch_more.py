@@ -187,8 +187,8 @@ def q19_discounted_revenue(spark, sf_dir):
 
 _Q12_SQL = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN l_shipdate - o_orderdate <= INTERVAL 30 DAY THEN 1 ELSE 0 END) AS on_time,
-       SUM(CASE WHEN l_shipdate - o_orderdate >  INTERVAL 30 DAY THEN 1 ELSE 0 END) AS late
+       CAST(SUM(CASE WHEN l_shipdate - o_orderdate <= INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+       CAST(SUM(CASE WHEN l_shipdate - o_orderdate >  INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -208,10 +208,10 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (
+         CAST(SUM(is_new) OVER (
            PARTITION BY user_id ORDER BY ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
