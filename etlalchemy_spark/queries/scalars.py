@@ -184,10 +184,9 @@ _ARRAY_SQL = """
 SELECT e.vec_id,
        len(e.embedding) AS dim,
        CAST(e.embedding[1] AS DOUBLE) AS first_elem,
-       CAST(ROUND(SUM(CAST(u.x AS DECIMAL(18,9))), 4) AS DOUBLE) AS elem_sum,
-       MAX(CAST(u.x AS DOUBLE)) AS elem_max
-FROM embeddings e, UNNEST(e.embedding) AS u(x)
-GROUP BY e.vec_id, e.embedding
+       list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS elem_sum,
+       list_max(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS elem_max
+FROM embeddings e
 """
 
 
@@ -197,17 +196,18 @@ def scalar_array(spark, sf_dir):
     explode → decimal-exact element sum (float → decimal is a single
     correctly-rounded conversion in both engines)."""
     e = t(spark, sf_dir, "embeddings")
-    exploded = e.select(
+    # elem_sum: SEQUENTIAL double fold in array order (F.aggregate ==
+    # DuckDB list_sum) — deterministic order makes plain IEEE addition
+    # cross-engine exact; a groupBy SUM would be order-dependent, and
+    # decimal rescaling hits round-half ties the engines break
+    # differently
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
-        F.explode("embedding").alias("x"),
-    )
-    return exploded.groupBy("vec_id", "dim", "first_elem").agg(
-        F.sum(F.col("x").cast("decimal(18,9)")).cast("decimal(38,4)").cast("double").alias(
-            "elem_sum"
-        ),
-        F.max(F.col("x").cast("double")).alias("elem_max"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("elem_sum"),
+        F.array_max(dbl).alias("elem_max"),
     )
 
 

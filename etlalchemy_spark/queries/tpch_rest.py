@@ -500,17 +500,13 @@ _Q2_SQL = """
 SELECT s_suppkey, s_name, p_partkey, p_brand, unit_price
 FROM (
   SELECT l_suppkey AS s2, l_partkey AS p2,
-         CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))
-                        / CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
-           AS unit_price
+         MIN(l_extendedprice / l_quantity) AS unit_price
   FROM lineitem
   GROUP BY l_suppkey, l_partkey
 ) offer
 JOIN (
   SELECT l_partkey AS p3,
-         CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))
-                        / CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
-           AS best_price
+         MIN(l_extendedprice / l_quantity) AS best_price
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -541,7 +537,11 @@ def q2_min_cost_supplier(spark, sf_dir):
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     part = t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
-    unit = dec("l_extendedprice") / F.col("l_quantity").cast("decimal(12,2)")
+    # pure-double division: correctly rounded IEEE 754 in both engines
+    # on identical operands, and MIN is order-insensitive — exact without
+    # decimals (decimal DIVISION is NOT cross-engine-exact: the engines
+    # pick different quotient scales and round differently)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
     eu_sup = (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -554,9 +554,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     offer = eu_li.groupBy(
         F.col("l_suppkey").alias("s2"), F.col("l_partkey").alias("p2")
-    ).agg(F.min(unit).cast(OUT).cast("double").alias("unit_price"))
+    ).agg(F.min(unit).alias("unit_price"))
     best = eu_li.groupBy(F.col("l_partkey").alias("p3")).agg(
-        F.min(unit).cast(OUT).cast("double").alias("best_price")
+        F.min(unit).alias("best_price")
     )
     return (
         offer.join(best, (F.col("p2") == F.col("p3")) & (F.col("unit_price") == F.col("best_price")))
