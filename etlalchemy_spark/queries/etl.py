@@ -373,3 +373,53 @@ def etl_sql_literals_oracle(spark, sf_dir):
         "o_orderkey", "o_orderdate", F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice")
     )
     return orders.select(insert_statement(orders, "orders", "oracle"))
+
+
+# --- SCD Type 2 merge ------------------------------------------------------
+
+_SCD2_SQL = """
+WITH snap0 AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+snap1 AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_nationkey % 5 = 0 THEN s_acctbal + 100 ELSE s_acctbal END AS s_acctbal
+  FROM supplier
+  WHERE s_suppkey % 97 <> 3
+)
+SELECT c.s_suppkey, c.s_name, c.s_acctbal,
+       TIMESTAMP '1995-01-01' AS valid_from,
+       TIMESTAMP '1996-06-01' AS valid_to,
+       FALSE AS is_current
+FROM snap0 c LEFT JOIN snap1 n USING (s_suppkey)
+WHERE n.s_suppkey IS NULL OR n.s_acctbal <> c.s_acctbal
+UNION ALL
+SELECT c.s_suppkey, c.s_name, c.s_acctbal,
+       TIMESTAMP '1995-01-01', NULL, TRUE
+FROM snap0 c JOIN snap1 n USING (s_suppkey)
+WHERE n.s_acctbal = c.s_acctbal
+UNION ALL
+SELECT n.s_suppkey, n.s_name, n.s_acctbal,
+       TIMESTAMP '1996-06-01', NULL, TRUE
+FROM snap1 n LEFT JOIN snap0 c USING (s_suppkey)
+WHERE c.s_suppkey IS NULL OR n.s_acctbal <> c.s_acctbal
+"""
+
+
+@register("etl_scd2_merge", oracle=_SCD2_SQL, tags=("etl", "scd"))
+def etl_scd2_merge(spark, sf_dir):
+    """SCD-2 dimension merge: snapshot 1 modifies the acctbal of every
+    nation%5==0 supplier and deletes key%97==3. Changed/vanished rows
+    close at the effective timestamp, new versions append — full
+    history from ONE full-outer join (operators/scd.py)."""
+    from etlalchemy_spark.operators.scd import scd2_init, scd2_merge
+
+    sup = t(spark, sf_dir, "supplier")
+    snap0 = sup.select("s_suppkey", "s_name", "s_acctbal")
+    snap1 = sup.where(F.col("s_suppkey") % 97 != 3).select(
+        "s_suppkey",
+        "s_name",
+        F.when(F.col("s_nationkey") % 5 == 0, F.col("s_acctbal") + 100)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+    )
+    dim = scd2_init(snap0, "1995-01-01")
+    return scd2_merge(dim, snap1, "s_suppkey", ["s_acctbal"], "1996-06-01")
