@@ -92,6 +92,7 @@ def _load_all() -> None:
         multimodal,
         sketches,
         udtfs,
+        pandas_grouped,
     )
 
     _LOADED = True
