@@ -29,11 +29,16 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     prefix: str = "asof_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns ``left`` columns plus, per payload col,
     ``{prefix}{col}`` = value from the latest right row with
     ``right[right_ts] <= left[left_ts]`` and matching ``on`` key
     (NULL when no such row), plus ``{prefix}ts`` = its timestamp.
+
+    ``tolerance`` (SQL interval string, e.g. ``'2 hours'``): matches
+    staler than it are nulled out — the pandas ``merge_asof`` /
+    kdb ``wj`` staleness bound.
     """
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
@@ -61,4 +66,16 @@ def asof_join(
     carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in payload_cols]
     for c in carried:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).select(*lcols, *carried)
+    out = u.where(F.col("_side") == 1).select(*lcols, *carried)
+    if tolerance is not None:
+        # evaluate staleness ONCE before any payload column is nulled —
+        # a per-column withColumn(when(stale,...)) would re-derive the
+        # predicate from the already-nulled {prefix}ts
+        out = out.withColumn(
+            "_stale",
+            F.col(f"{prefix}ts") < F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"),
+        )
+        for c in carried:
+            out = out.withColumn(c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c)))
+        out = out.drop("_stale")
+    return out

@@ -233,3 +233,35 @@ def join_salted_skew(spark, sf_dir):
         .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy("s_name")
     )
+
+
+_ASOF_TOL_SQL = """
+SELECT event_id, user_id, ts,
+       CASE WHEN asof_ts >= ts - INTERVAL 2 HOUR THEN asof_ts END AS asof_ts,
+       CASE WHEN asof_ts >= ts - INTERVAL 2 HOUR THEN asof_value END AS asof_value
+FROM (
+  SELECT l.event_id, l.user_id, l.ts,
+         r.ts AS asof_ts, r.value AS asof_value
+  FROM (SELECT * FROM events WHERE event_type = 'click') l
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_SQL, tags=("join", "asof"))
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a 2-hour staleness bound (pandas merge_asof
+    ``tolerance`` semantics): matches older than the bound null out."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["value"],
+        tolerance="2 HOURS",
+    )
