@@ -261,3 +261,36 @@ def agg_salted_two_phase(spark, sf_dir):
         n=16,
     )
     return out.orderBy("l_returnflag")
+
+
+_COVAR_SQL = """
+SELECT l_returnflag,
+       (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+        - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+          * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE))
+       / CAST(COUNT(*) AS DOUBLE) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_covariance_exact", oracle=_COVAR_SQL, tags=("agg", "stats"))
+def agg_covariance_exact(spark, sf_dir):
+    """Population covariance via the sums identity with exact decimal
+    reductions — the built-in covar_pop accumulates doubles in shuffle
+    order (not cross-engine reproducible); this formulation is, at the
+    cost of the (well-conditioned) E[XY]-E[X]E[Y] identity."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(14,2)")
+    n = F.count(F.lit(1)).cast("double")
+    sxy = F.sum(q * p).cast("decimal(38,4)").cast("double")
+    sx = F.sum(q).cast("decimal(38,4)").cast("double")
+    sy = F.sum(p).cast("decimal(38,4)").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(((sxy - sx * sy / n) / n).alias("covar_qty_price"))
+        .orderBy("l_returnflag")
+    )

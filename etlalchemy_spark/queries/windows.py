@@ -300,3 +300,35 @@ def window_analytic_ranks(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("s_name", 2).over(wf).alias("second_poorest"),
     )
+
+
+_RANGE_FRAME_SQL = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS n_last_hour
+FROM events
+"""
+
+
+@register("window_range_interval_frame", oracle=_RANGE_FRAME_SQL, tags=("window",))
+def window_range_interval_frame(spark, sf_dir):
+    """RANGE frame over a time axis (trailing 1-hour event count per
+    user) — value-based frames vs the ROWS frames elsewhere; frame
+    membership is timestamp comparison, no float math."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy("user_id")
+            # microsecond axis: a seconds cast would truncate and admit
+            # rows just over the hour at the frame boundary
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-3_600_000_000, 0)
+        )
+        .alias("n_last_hour"),
+    )
