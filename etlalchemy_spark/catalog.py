@@ -75,3 +75,11 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so ``spark.sql``
+    works against the same names the DuckDB oracle uses — the SQL API
+    entry point (portable SQL runs verbatim on both engines)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -258,3 +258,47 @@ def scalar_regexp(spark, sf_dir):
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.when(F.col("p_name").rlike("^(red|blue|green)"), 1).otherwise(0).alias("is_color_first"),
     )
+
+
+_PORTABLE_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers, MIN(s_acctbal) AS min_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("sql_api_passthrough", oracle=_PORTABLE_SQL, tags=("sql", "sources"))
+def sql_api_passthrough(spark, sf_dir):
+    """The SQL entry point: the ORACLE STRING ITSELF runs through
+    spark.sql over registered views — one portable SQL text, two
+    engines, identical results (Catalyst still optimizes it like any
+    DataFrame plan)."""
+    from etlalchemy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_SQL)
+
+
+_TRY_CAST_SQL = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
+       TRY_CAST(json_extract_string(props, '$.s') AS BIGINT) AS s_fails_to_null,
+       TRY_CAST('not a date' AS TIMESTAMP) AS bad_ts
+FROM events
+"""
+
+
+@register("scalar_try_cast", oracle=_TRY_CAST_SQL, tags=("scalar",))
+def scalar_try_cast(spark, sf_dir):
+    """Safe casts under ANSI mode: try_cast yields NULL where a plain
+    CAST would raise — the ingestion-cleaning idiom (reference D1 row
+    fixes without a Python row loop)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999999")).cast("bigint").alias("k_ok"),
+        F.get_json_object("props", "$.s").try_cast("bigint").alias("s_fails_to_null"),
+        F.lit("not a date").try_cast("timestamp").alias("bad_ts"),
+    )
