@@ -128,3 +128,57 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=6, seed=7, dim=64
     )
+
+
+_CC_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
+    FROM w
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.1
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), walk(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT walk.src, und.b FROM walk JOIN und ON walk.dst = und.a
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+FROM walk GROUP BY src
+"""
+
+
+@register("dedup_cc_canonical", oracle=_CC_SQL, tags=("dedup", "iterative"))
+def dedup_cc_canonical(spark, sf_dir):
+    """Dup-cluster canonicalization: exact 5-gram Jaccard near-dup
+    pairs -> connected components (iterative min-label propagation,
+    operators/graph.py) -> every clustered doc labeled with the
+    minimum doc_id reachable through the near-dup graph, including
+    transitive chains (a~b, b~c => one cluster even when a is not
+    near c). Oracle: recursive-CTE transitive closure in DuckDB over
+    the identical pair set."""
+    from etlalchemy_spark.operators.graph import connected_components
+    from etlalchemy_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.1)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"), "component")

@@ -1,0 +1,33 @@
+"""Connected components: multi-round convergence on chains."""
+
+from __future__ import annotations
+
+from etlalchemy_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+
+
+def test_chain_converges_to_min(spark):
+    # 1-2-3-4-5 chain (diameter 4 → several propagation rounds) + 10-11
+    got = _cc(spark, [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_star_and_selfcontained(spark):
+    got = _cc(spark, [(7, 3), (7, 9), (7, 5)])
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_max_iter_caps_rounds(spark):
+    # one round only: the far end of the chain must NOT reach the min yet
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    labels = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert labels[2] == 1 and labels[4] != 1
