@@ -182,3 +182,30 @@ def dedup_cc_canonical(spark, sf_dir):
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     cc = connected_components(edges)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@register("dedup_minhash_cc_pipeline", oracle=None, tags=("dedup", "approx", "iterative"))
+def dedup_minhash_cc_pipeline(spark, sf_dir):
+    """The full 100 TB near-dup flow in one plan: MinHash+LSH candidate
+    pairs (linear, verified against exact Jaccard of candidates only)
+    → connected components → (doc_id, canonical_id, cluster_size).
+    Rows-only (Murmur3 signatures are engine-specific); the exact-pair
+    twin dedup_cc_canonical carries the SQL oracle for the CC step."""
+    from etlalchemy_spark.operators.dedup import minhash_near_dup_pairs
+    from etlalchemy_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.1
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
+    )
