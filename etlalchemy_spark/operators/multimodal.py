@@ -95,3 +95,30 @@ def frame_sample_stub(df: DataFrame, id_col: str, every_n_bytes: int = 16) -> Da
             F.substring(F.col("payload"), F.col("frame_offset"), 4).alias("frame_bytes"),
         )
     )
+
+
+def resize_stub(df: DataFrame, id_col: str, target_bytes: int = 32) -> DataFrame:
+    """'Resize' plumbing: normalize every payload to ``target_bytes``
+    (crop long, zero-pad short) through the same Arrow-batched
+    mapInPandas path a real thumbnailer uses. STUB semantics (byte
+    crop/pad is the deterministic stand-in for pixel resampling — swap
+    the body for PIL ``Image.resize`` on a real cluster); the schema,
+    batch iteration, and updated metadata are the real contract."""
+    out_schema = f"{id_col} long, payload binary, n_bytes bigint"
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fixed = pdf["payload"].map(
+                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": fixed,
+                    "n_bytes": fixed.map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, out_schema)

@@ -60,13 +60,54 @@ def mm_decode_byte_features(spark, sf_dir):
     return byte_features(wrapped, "doc_id")
 
 
-@register("mm_frame_sample", oracle=None, tags=("multimodal",))
+_FRAME_HEX_SQL = """
+SELECT doc_id, frame_offset,
+       hex(encode(substr(text, frame_offset, 4))) AS frame_hex
+FROM (
+  SELECT doc_id, text,
+         CAST(UNNEST(generate_series(1, GREATEST(octet_length(encode(text)), 1), 64)) AS INT)
+           AS frame_offset
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_HEX_SQL, tags=("multimodal",))
 def mm_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing over the byte stream (rows-only: binary
-    frame slices don't round-trip the oracle's value hash)."""
+    """Frame-sampling plumbing over the byte stream; frames surface as
+    hex strings so the oracle value-compares the actual sampled bytes
+    (fixture text is ASCII → byte slices == character slices)."""
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     wrapped = attach_payload(docs, "doc_id", "text")
     frames = frame_sample_stub(wrapped, "doc_id", every_n_bytes=64)
     return frames.select(
-        "doc_id", "frame_offset", F.length("frame_bytes").alias("frame_len")
+        "doc_id",
+        F.col("frame_offset").cast("int").alias("frame_offset"),
+        F.hex("frame_bytes").alias("frame_hex"),
+    )
+
+
+_RESIZE_SQL = """
+SELECT doc_id,
+       hex(encode(substr(text, 1, 32)))
+       || repeat('00', GREATEST(32 - octet_length(encode(text)), 0)) AS payload_hex,
+       32 AS n_bytes
+FROM documents
+"""
+
+
+@register("mm_resize_stub", oracle=_RESIZE_SQL, tags=("multimodal", "udf"))
+def mm_resize_stub(spark, sf_dir):
+    """Resize plumbing: every payload normalized to 32 bytes
+    (crop/zero-pad — the thumbnailer's batch shape) via mapInPandas;
+    result bytes oracle-compared as hex."""
+    from etlalchemy_spark.operators.multimodal import resize_stub
+
+    docs = t(spark, sf_dir, "documents")
+    wrapped = attach_payload(docs, "doc_id", "text")
+    resized = resize_stub(wrapped, "doc_id", target_bytes=32)
+    return resized.select(
+        "doc_id",
+        F.hex("payload").alias("payload_hex"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
     )
