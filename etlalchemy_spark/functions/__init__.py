@@ -26,3 +26,21 @@ from etlalchemy_spark.operators.text import (  # noqa: F401
     shingle_min_fingerprint,
     token_count,
 )
+from etlalchemy_spark.operators.asof import asof_join  # noqa: F401
+from etlalchemy_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from etlalchemy_spark.operators.graph import connected_components  # noqa: F401
+from etlalchemy_spark.operators.scd import scd2_init, scd2_merge  # noqa: F401
+from etlalchemy_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_exact,
+    cosine_topk_lsh,
+    cosine_topk_lsh_multiprobe,
+    ivf_topk,
+    kmeans_centroids,
+)
+from etlalchemy_spark.operators.skew import salted_aggregate, salted_join, with_salt  # noqa: F401

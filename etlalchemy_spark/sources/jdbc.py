@@ -106,3 +106,36 @@ def write_jdbc(
     for k, v in options.items():
         writer = writer.option(k, str(v))
     writer.save()
+
+
+def read_jdbc_by_predicates(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str],
+    fetchsize: int = 10000,
+    **options,
+) -> DataFrame:
+    """S2 for non-numeric partition keys: one WHERE-clause predicate
+    per partition (e.g. hash-mod buckets, date ranges, region lists) —
+    the partitioning escape hatch when no integer column exists.
+    Predicates must be disjoint and covering; each becomes one task."""
+    props = {"fetchsize": str(fetchsize)}
+    props.update({k: str(v) for k, v in options.items()})
+    return spark.read.jdbc(url=url, table=table, predicates=predicates, properties=props)
+
+
+def hash_mod_predicates(column: str, n: int, dialect: str = "postgresql") -> list[str]:
+    """Disjoint covering predicates bucketing ``column`` by hash-mod —
+    works on any key type the dialect can hash; NULLs routed to
+    bucket 0."""
+    if dialect == "mysql":
+        h = f"CRC32({column})"
+    elif dialect == "postgresql":
+        h = f"ABS(HASHTEXT({column}::text))"
+    else:  # standard-ish fallback: modulo on a cast
+        h = f"ABS(CAST({column} AS BIGINT))"
+    return [
+        f"({h} % {n} = {i})" + (f" OR {column} IS NULL" if i == 0 else "")
+        for i in range(n)
+    ]

@@ -48,3 +48,14 @@ def test_fk_multi_column(spark):
     parent = spark.createDataFrame([(1, "a")], "k1 long, k2 string")
     fk = FKSpec("c", ["k1", "k2"], "p", ["k1", "k2"])
     assert fk_orphan_count(child, parent, fk).collect()[0].n_orphans == 1
+
+
+def test_hash_mod_predicates_disjoint_covering():
+    from etlalchemy_spark.sources.jdbc import hash_mod_predicates
+
+    preds = hash_mod_predicates("c_name", 4, "postgresql")
+    assert len(preds) == 4
+    assert all("% 4 =" in p for p in preds)
+    assert "IS NULL" in preds[0] and "IS NULL" not in preds[1]
+    mysql = hash_mod_predicates("c_name", 2, "mysql")
+    assert "CRC32" in mysql[0]
