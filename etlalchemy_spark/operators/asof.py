@@ -42,16 +42,20 @@ def asof_join(
     """
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
+    # The whole right row travels as ONE struct so last(ignorenulls)
+    # carries it atomically: per-column carries would backfill a NULL
+    # payload value from an OLDER right row, stitching together columns
+    # from different rows (wrong vs ASOF semantics).
     r = right.select(
         F.col(on),
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias(f"{prefix}ts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_asof"),
     )
-    # Align schemas: left gets null payload slots, right gets null left slots.
-    for c in [f"{prefix}ts"] + [f"{prefix}{c}" for c in payload_cols]:
-        l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    l = l.withColumn("_asof", F.lit(None).cast(r.schema["_asof"].dataType))
     r_aligned = r
     for c in lcols:
         if c not in (on, left_ts):
@@ -63,10 +67,13 @@ def asof_join(
         .orderBy(F.col(left_ts), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = u.withColumn("_asof", F.last("_asof", ignorenulls=True).over(w))
     carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in payload_cols]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = u.where(F.col("_side") == 1).select(*lcols, *carried)
+    out = u.where(F.col("_side") == 1).select(
+        *lcols,
+        F.col("_asof.ts").alias(f"{prefix}ts"),
+        *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
     if tolerance is not None:
         # evaluate staleness ONCE before any payload column is nulled —
         # a per-column withColumn(when(stale,...)) would re-derive the

@@ -61,30 +61,51 @@ class DDLEpilogue:
         self.dialect = dialect
         self.indexes: list[IndexSpec] = []
         self.fks: list[FKSpec] = []
-        self._counter = itertools.count()
-        self._seen_names: set[str] = set()
+        self._names: dict[tuple, str] | None = None
 
     def add_index(self, spec: IndexSpec) -> None:
         self.indexes.append(spec)
+        self._names = None
 
     def add_fk(self, spec: FKSpec) -> None:
         self.fks.append(spec)
+        self._names = None
 
-    def _unique_name(self, base: str) -> str:
-        if base not in self._seen_names:
-            self._seen_names.add(base)
-            return base
-        name = f"{base}_{next(self._counter)}"
-        while name in self._seen_names:
-            name = f"{base}_{next(self._counter)}"
-        self._seen_names.add(name)
-        return name
+    def _assigned_names(self) -> dict[tuple, str]:
+        """Names for every spec, computed in ONE deterministic pass over
+        indexes then FKs and cached — repeated index_ddl()/fk_ddl()
+        calls (dry-run then execute) emit identical DDL instead of
+        re-suffixing on every call."""
+        if self._names is not None:
+            return self._names
+        counter = itertools.count()
+        seen: set[str] = set()
+
+        def unique(base: str) -> str:
+            if base not in seen:
+                seen.add(base)
+                return base
+            name = f"{base}_{next(counter)}"
+            while name in seen:
+                name = f"{base}_{next(counter)}"
+            seen.add(name)
+            return name
+
+        names: dict[tuple, str] = {}
+        for i, ix in enumerate(self.indexes):
+            base = ix.name or "idx_" + "_".join([ix.table, *ix.columns])
+            names[("ix", i)] = unique(base)
+        for i, fk in enumerate(self.fks):
+            base = fk.name or "fk_" + "_".join([fk.table, *fk.columns])
+            names[("fk", i)] = unique(base)
+        self._names = names
+        return names
 
     def index_ddl(self) -> list[str]:
+        assigned = self._assigned_names()
         out = []
-        for ix in self.indexes:
-            base = ix.name or "idx_" + "_".join([ix.table, *ix.columns])
-            name = self._unique_name(base)
+        for i, ix in enumerate(self.indexes):
+            name = assigned[("ix", i)]
             cols = ", ".join(_q(c, self.dialect) for c in ix.columns)
             uniq = "UNIQUE " if ix.unique else ""
             out.append(
@@ -94,10 +115,10 @@ class DDLEpilogue:
         return out
 
     def fk_ddl(self) -> list[str]:
+        assigned = self._assigned_names()
         out = []
-        for fk in self.fks:
-            base = fk.name or "fk_" + "_".join([fk.table, *fk.columns])
-            name = self._unique_name(base)
+        for i, fk in enumerate(self.fks):
+            name = assigned[("fk", i)]
             cols = ", ".join(_q(c, self.dialect) for c in fk.columns)
             refs = ", ".join(_q(c, self.dialect) for c in fk.ref_columns)
             out.append(

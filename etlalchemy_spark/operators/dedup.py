@@ -250,12 +250,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> 
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance. Candidate generation
-    buckets on each of 4 disjoint 8-bit chunks (pigeonhole: distance ≤ 6
-    over 32 bits guarantees ≥1 identical chunk when ≤ 3 chunks differ
-    ... conservative recall), then exact bit_count verify."""
+    buckets on each of 4 disjoint 8-bit chunks, then exact bit_count
+    verify. Pigeonhole guarantee: ≤ 3 differing bits cannot touch all 4
+    chunks, so recall is TOTAL only for max_hamming ≤ 3 — the default.
+    Larger thresholds work but miss pairs whose diff bits spread across
+    every chunk (raise the chunk count to keep the guarantee)."""
     sigs = simhash(df, id_col, text_col).cache()
     chunks = sigs.select(
         F.col(id_col),

@@ -15,8 +15,12 @@ aggregate-sized driver traffic only, never the labels themselves.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -61,4 +65,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter without fixpoint: labels are partially
+        # propagated — one true component may still read as several
+        logger.warning(
+            "connected_components did not converge in %d rounds "
+            "(%d labels still changing); raise max_iter (graph diameter "
+            "exceeds the round budget)",
+            max_iter,
+            changed,
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -63,7 +63,10 @@ def byte_features(df: DataFrame, id_col: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            payloads = pdf["payload"]
+            # NULL payloads arrive as None: feature as empty (a real
+            # decoder would route these to a dead-letter column, not
+            # crash the executor)
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -111,7 +114,7 @@ def resize_stub(df: DataFrame, id_col: str, target_bytes: int = 32) -> DataFrame
 
         for pdf in batches:
             fixed = pdf["payload"].map(
-                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+                lambda b: bytes((b or b"")[:target_bytes]).ljust(target_bytes, b"\x00")
             )
             yield pd.DataFrame(
                 {

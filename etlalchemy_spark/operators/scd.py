@@ -53,23 +53,34 @@ def scd2_merge(
     """
     eff = F.lit(effective).cast("timestamp")
     history = dim.where(~F.col(IS_CURRENT))
-    current = dim.where(F.col(IS_CURRENT)).alias("cur")
-    snap = snapshot.alias("new")
+    # explicit presence flags, NOT key-null checks: a legitimately-NULL
+    # business key must still route through the fates below (and the
+    # join itself is null-safe so NULL matches NULL)
+    current = dim.where(F.col(IS_CURRENT)).withColumn("_cur_present", F.lit(True)).alias("cur")
+    snap = snapshot.withColumn("_new_present", F.lit(True)).alias("new")
 
-    j = current.join(snap, F.col(f"cur.{key}") == F.col(f"new.{key}"), "full_outer")
+    j = current.join(snap, F.col(f"cur.{key}").eqNullSafe(F.col(f"new.{key}")), "full_outer")
     changed = _any_differs(tracked, "cur", "new")
-    cur_key = F.col(f"cur.{key}")
-    new_key = F.col(f"new.{key}")
+    in_cur = F.col("cur._cur_present").eqNullSafe(F.lit(True))
+    in_new = F.col("new._new_present").eqNullSafe(F.lit(True))
 
-    # current-side verdicts
-    closes = j.where(cur_key.isNotNull() & (new_key.isNull() | changed)).select(
-        "cur.*"
-    ).withColumn(VALID_TO, eff).withColumn(IS_CURRENT, F.lit(False))
-    keeps = j.where(cur_key.isNotNull() & new_key.isNotNull() & ~changed).select("cur.*")
-    inserts = j.where(new_key.isNotNull() & (cur_key.isNull() | changed)).select(
-        "new.*",
-        eff.alias(VALID_FROM),
-        F.lit(None).cast("timestamp").alias(VALID_TO),
-        F.lit(True).alias(IS_CURRENT),
+    closes = (
+        j.where(in_cur & (~in_new | changed))
+        .select("cur.*")
+        .drop("_cur_present")
+        .withColumn(VALID_TO, eff)
+        .withColumn(IS_CURRENT, F.lit(False))
+    )
+    keeps = j.where(in_cur & in_new & ~changed).select("cur.*").drop("_cur_present")
+    inserts = (
+        j.where(in_new & (~in_cur | changed))
+        .select("new.*")
+        .drop("_new_present")
+        .select(
+            "*",
+            eff.alias(VALID_FROM),
+            F.lit(None).cast("timestamp").alias(VALID_TO),
+            F.lit(True).alias(IS_CURRENT),
+        )
     )
     return history.unionByName(closes).unionByName(keeps).unionByName(inserts)

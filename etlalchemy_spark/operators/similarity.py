@@ -170,11 +170,23 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 12,
     seed: int = 7,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: LSH-bucket candidates (vectors sharing the
     full bit signature), exact cosine verify within bucket. Linear
-    candidate generation — the all-pairs version of cosine_topk_lsh."""
+    candidate generation — the all-pairs version of cosine_topk_lsh.
+
+    ``dim`` defaults to the observed vector length (one-row probe). A
+    wrong dim would NULL every plane dot product, collapse all vectors
+    into bucket 0, and degrade candidate generation to the full cross
+    join this function exists to avoid."""
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a long, id_b long, cosine double"
+            )
+        dim = probe["d"]
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
@@ -194,6 +206,18 @@ def embedding_near_dup_pairs(
     )
 
 
+
+
+def _unit(vecs: list[list[float]]) -> list[list[float]]:
+    """Normalize centroids to unit norm so argmax(dot) == argmax(cosine):
+    raw dot products bias assignment toward high-norm centroids."""
+    out = []
+    for v in vecs:
+        n = sum(x * x for x in v) ** 0.5
+        out.append([x / n for x in v] if n > 0 else list(v))
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -206,7 +230,11 @@ def ivf_topk(
     """IVF-flat: assign each vector to its nearest centroid (one pass,
     argmax over c centroids), search only the query's n_probe nearest
     cells. Centroids are caller-supplied (e.g. sampled ids or a k-means
-    fit); assignment is a deterministic argmax expression."""
+    fit) and unit-normalized here, so the argmax over dot products is a
+    true cosine assignment; assignment is a deterministic argmax
+    expression."""
+    centroids = _unit(centroids)
+
     def nearest_cell(vec):
         sims = F.array(*[dot_double(vec, _lit_vec(c)) for c in centroids])
         # first index of the max similarity (deterministic tie-break)
@@ -250,7 +278,9 @@ def kmeans_centroids(
         for r in df.select(vec_col).orderBy(order).limit(k).collect()
     ]
     for _ in range(iters):
-        sims = F.array(*[dot_double(F.col(vec_col), _lit_vec(c)) for c in centroids])
+        # assignment uses UNIT centroids (cosine argmax); the update
+        # step still averages raw vectors (standard spherical k-means)
+        sims = F.array(*[dot_double(F.col(vec_col), _lit_vec(c)) for c in _unit(centroids)])
         cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
         means = (
             df.select(cell.alias("_cell"), F.posexplode(F.col(vec_col)).alias("_pos", "_x"))

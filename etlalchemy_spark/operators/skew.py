@@ -72,7 +72,17 @@ def salted_join(
     each probe row routed to exactly one salt — a hot probe key spreads
     over ``n`` reducers instead of one. Build-side cost: ``n×``
     replication (use only when build is mid-sized: too big to
-    broadcast, small enough to replicate)."""
+    broadcast, small enough to replicate).
+
+    ``how`` is restricted to probe-side-preserving joins: right/full
+    outer would emit every unmatched build row once per salt replica.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched build rows "
+            f"would duplicate once per salt replica (allowed: inner/left/semi/anti)"
+        )
     probe_s = with_salt(probe, n, from_cols=probe.columns)
     build_s = build.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<bigint>"))

@@ -67,9 +67,14 @@ def stats_exprs(df: DataFrame) -> list:
         if isinstance(dt, INT_TYPES):
             exprs.append(F.min(c).alias(f"{c}__min"))
             exprs.append(F.max(c).alias(f"{c}__max"))
-            # all-01: max(0/1 indicator of "value outside {0,1}") == 0
+            # all-01: max(0/1 indicator of "value outside {0,1}") == 0.
+            # NULL must count as inside (isin alone yields NULL for NULL
+            # input → otherwise(1) would block inference on any
+            # nullable flag column)
             exprs.append(
-                F.max(F.when(F.col(c).isin(0, 1), 0).otherwise(1)).alias(f"{c}__not01")
+                F.max(
+                    F.when(F.col(c).isNull() | F.col(c).isin(0, 1), 0).otherwise(1)
+                ).alias(f"{c}__not01")
             )
         elif isinstance(dt, T.StringType):
             exprs.append(F.max(F.length(c)).alias(f"{c}__maxlen"))

@@ -39,3 +39,20 @@ def test_asof_no_future_match(spark):
     right = spark.createDataFrame([(1, _ts("2024-01-01 10:01"), 5.0)], "k long, rts timestamp, v double")
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["v"]).collect()
     assert out[0].asof_v is None
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    """The as-of row's NULL payload must surface as NULL, not be
+    backfilled from an older right row (struct-carry regression)."""
+    left = spark.createDataFrame([(1, 3.0)], "k int, ts double").selectExpr(
+        "k", "timestamp_seconds(ts) AS ts"
+    )
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None)], "k int, ts double, value double"
+    ).selectExpr("k", "timestamp_seconds(ts) AS ts", "value")
+    from etlalchemy_spark.operators.asof import asof_join
+
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload_cols=["value"]).collect()
+    assert len(out) == 1
+    assert str(out[0].asof_ts) == "1970-01-01 00:00:02"
+    assert out[0].asof_value is None

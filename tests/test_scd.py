@@ -58,3 +58,20 @@ def test_scd2_null_safe_change_detection(spark):
     assert len(one) == 1 and bool(one[0].is_current)  # NULL==NULL: unchanged
     two = sorted((str(r.city), bool(r.is_current)) for r in merged.where("id = 2").collect())
     assert two == [("None", True), ("x", False)]
+
+
+def test_scd2_null_business_key_not_dropped(spark):
+    """A current row with a NULL business key must survive the merge
+    (null-safe join + presence flags, not key-null sentinels)."""
+    dim = scd2_init(
+        spark.createDataFrame([(None, "x"), (1, "y")], "id int, city string"),
+        "2020-01-01",
+    )
+    merged = scd2_merge(
+        dim,
+        spark.createDataFrame([(None, "x"), (1, "y")], "id int, city string"),
+        "id", ["city"], "2021-01-01",
+    )
+    assert merged.count() == 2
+    assert merged.where("id IS NULL").count() == 1
+    assert all(bool(r.is_current) for r in merged.collect())

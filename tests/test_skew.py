@@ -61,3 +61,13 @@ def test_salted_join_spreads_hot_key(spark):
     salted = with_salt(probe.where(F.col("k") == "hot"), 8, from_cols=probe.columns)
     n_salts = salted.select("_salt").distinct().count()
     assert n_salts >= 6  # hot key really fans out over most salts
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    probe = _skewed(spark)
+    build = spark.createDataFrame([("hot", "H")], "k string, label string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(probe, build, ["k"], n=4, how=how)

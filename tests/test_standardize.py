@@ -95,3 +95,13 @@ def test_observe_is_single_pass(spark):
     stats = observe(df)
     assert stats["i__n"] == 2 and stats["i__min"] == 1 and stats["i__max"] == 2
     assert stats["s__n"] == 1 and stats["s__maxlen"] == 2
+
+
+def test_boolean_inferred_with_nulls(spark):
+    """Nullable flag columns ({0,1,NULL}) must still infer boolean."""
+    df = _df(spark, [(0,), (1,), (None,)], "b long")
+    out, decisions = standardize(df)
+    by_name = {d.name: d for d in decisions}
+    assert by_name["b"].target_type == "boolean"
+    got = sorted((r.b for r in out.collect()), key=lambda x: (x is None, x))
+    assert got == [False, True, None]
