@@ -80,6 +80,6 @@ def load_tables(
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so ``spark.sql``
     works against the same names the DuckDB oracle uses — the SQL API
-    entry point (portable SQL runs verbatim on both engines)."""
-    for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    entry point (portable SQL runs verbatim on both engines).
+    Delegates to ``load_tables`` (which skips missing files)."""
+    load_tables(spark, sf_dir, register_views=True)

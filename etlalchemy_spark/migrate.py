@@ -54,6 +54,13 @@ class Target:
 
 @dataclass
 class TableReport:
+    """O2 per-table metrics. Caveat on ``phase_seconds``: Spark is
+    lazy, so 'extract'/'transform' time only plan construction plus the
+    standardizer's stats action ('standardize'); the extract+transform
+    COMPUTE executes inside the write and is billed to 'load' — unlike
+    the reference's eager row pipeline, where each phase did its own
+    work."""
+
     table: str
     dest_table: str
     n_rows: int
@@ -123,7 +130,17 @@ class Migration:
                 )
             t_write = time.monotonic()
 
-            n_rows = df.count()
+            if self.target.fmt == "jdbc":
+                n_rows = df.count()
+            else:
+                # count from the WRITTEN files (parquet/orc footers, csv
+                # line scan) — a df.count() here would lazily re-execute
+                # the whole read→rules→standardize pipeline a second time
+                n_rows = read_file(
+                    spark,
+                    f"{self.target.path.rstrip('/')}/{dest_name}.{self.target.fmt}",
+                    fmt=self.target.fmt,
+                ).count()
             loaded[dest_name] = df
             reports.append(
                 TableReport(

@@ -355,16 +355,16 @@ SELECT 'INSERT INTO orders (o_orderkey, o_orderdate, o_totalprice) VALUES ('
        || CAST(o_orderkey AS VARCHAR) || ', '
        || 'TO_DATE(''' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
        || ''',''YYYY-MM-DD HH24:MI:SS'')' || ', '
-       || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || ')' AS stmt
+       || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || ');' AS stmt
 FROM orders
 """
 
 
 @register("etl_sql_literals_oracle", oracle=_SQL_LIT_ORA, tags=("etl", "sources"))
 def etl_sql_literals_oracle(spark, sf_dir):
-    """W2: Oracle-dialect rendering (TO_DATE-wrapped timestamps, no
-    trailing semicolon — upstream dump_to_oracle_insert_statements
-    ≈L160–250). Doubles rescale through DECIMAL(12,2) before rendering
+    """W2: Oracle-dialect rendering (TO_DATE-wrapped timestamps —
+    upstream dump_to_oracle_insert_statements ≈L160–250). Doubles
+    rescale through DECIMAL(12,2) before rendering
     so both engines print identical text (float shortest-round-trip
     formatting differs between engines)."""
     from etlalchemy_spark.sources.literals import insert_statement

@@ -28,9 +28,11 @@ JDBC_WRITE_OPTIONS: dict[str, dict[str, str]] = {
 
 
 def dialect_of(url: str) -> str:
-    # jdbc:postgresql://... → postgresql
+    # jdbc:postgresql://... → postgresql (subprotocols that differ from
+    # our dialect keys are mapped: sqlserver → mssql, mariadb → mysql)
     parts = url.split(":")
-    return parts[1] if len(parts) > 1 else "unknown"
+    sub = parts[1] if len(parts) > 1 else "unknown"
+    return {"sqlserver": "mssql", "mariadb": "mysql", "oracle": "oracle"}.get(sub, sub)
 
 
 def read_jdbc_partitioned(
@@ -61,15 +63,22 @@ def read_jdbc_partitioned(
                 f"(SELECT MIN({partition_column}) AS lo, "
                 f"MAX({partition_column}) AS hi FROM {table}) b"
             )
-            row = (
+            probe = (
                 spark.read.format("jdbc")
                 .option("url", url)
                 .option("dbtable", bounds_query)
-                .load()
-                .collect()[0]
             )
+            # the probe needs the SAME connection options (credentials,
+            # driver, ssl...) as the main reader
+            for k, v in options.items():
+                probe = probe.option(k, str(v))
+            row = probe.load().collect()[0]
             lower_bound = row["lo"] if lower_bound is None else lower_bound
             upper_bound = row["hi"] if upper_bound is None else upper_bound
+        if lower_bound is None or upper_bound is None:
+            # empty table: MIN/MAX are NULL — partitioning is moot,
+            # issue the plain (single-partition) scan of the empty table
+            return reader.load()
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -132,9 +141,18 @@ def hash_mod_predicates(column: str, n: int, dialect: str = "postgresql") -> lis
     if dialect == "mysql":
         h = f"CRC32({column})"
     elif dialect == "postgresql":
-        h = f"ABS(HASHTEXT({column}::text))"
-    else:  # standard-ish fallback: modulo on a cast
-        h = f"ABS(CAST({column} AS BIGINT))"
+        # cast to BIGINT BEFORE ABS: hashtext returns int4 and
+        # ABS(INT_MIN) overflows
+        h = f"ABS(CAST(HASHTEXT({column}::text) AS BIGINT))"
+    elif dialect == "oracle":
+        h = f"ORA_HASH({column})"
+    elif dialect == "mssql":
+        h = f"ABS(CAST(CHECKSUM({column}) AS BIGINT))"
+    else:
+        raise ValueError(
+            f"hash_mod_predicates: no hash function known for dialect "
+            f"{dialect!r}; pass explicit predicates instead"
+        )
     return [
         f"({h} % {n} = {i})" + (f" OR {column} IS NULL" if i == 0 else "")
         for i in range(n)

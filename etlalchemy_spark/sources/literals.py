@@ -95,7 +95,9 @@ def insert_statement(df: DataFrame, table: str, dialect: str = "postgresql") -> 
     if dialect not in _DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; expected one of {_DIALECTS}")
     cols = ", ".join(f.name for f in df.schema.fields)
-    tail = ");" if dialect != "oracle" else ")"  # sqlplus scripts end with / separators
+    # ';' terminates statements in every target CLI including sqlplus;
+    # a terminator-less Oracle dump could not be replayed at all
+    tail = ");"
     values = []
     for i, f in enumerate(df.schema.fields):
         if i:

@@ -53,10 +53,14 @@ def information_schema_query(catalog: str | None = None, schema: str | None = No
     (wrap as a dbtable subquery). Standard information_schema works for
     MySQL/Postgres/MSSQL; Oracle would use ALL_TABLES."""
     where = ["table_type = 'BASE TABLE'"]
+
+    def lit(s: str) -> str:  # SQL string literal: double embedded quotes
+        return "'" + s.replace("'", "''") + "'"
+
     if catalog:
-        where.append(f"table_catalog = '{catalog}'")
+        where.append(f"table_catalog = {lit(catalog)}")
     if schema:
-        where.append(f"table_schema = '{schema}'")
+        where.append(f"table_schema = {lit(schema)}")
     return (
         "(SELECT table_name FROM information_schema.tables WHERE "
         + " AND ".join(where)

@@ -30,7 +30,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same dtype guard as catalog.load_table: only a nanos-as-long read
+    # needs the integer ns→µs conversion (a session without the legacy
+    # nanos flag reads ts as timestamp already)
+    if raw.schema["ts"].dataType.simpleString() == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -119,7 +124,9 @@ def drain_foreach_batch(stream_df: DataFrame, sink_path: str) -> None:
     subdirectory (append-only upsert pattern). On a cluster this is the
     bridge to any batch-only writer — JDBC MERGE, Delta upsert, a
     dialect bulk loader — with exactly-once per batch via the
-    (batch_id, checkpoint) pair."""
+    (batch_id, checkpoint) pair — PROVIDED the caller supplies a
+    checkpointLocation and an idempotent-per-batch writer; this local
+    demo runs checkpoint-less and append-only (at-least-once)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (

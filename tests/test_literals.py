@@ -44,9 +44,9 @@ def test_mysql_backslash_and_bits(spark):
     assert ", 0, NULL," in stmts["2"]
 
 
-def test_oracle_todate_no_semicolon(spark):
+def test_oracle_todate_terminated(spark):
     stmts = _stmts(spark, "oracle")
-    assert all(not s.endswith(";") for s in stmts)
+    assert all(s.endswith(";") for s in stmts)  # replayable by sqlplus
     assert any("TO_DATE('1996-03-01 12:30:05','YYYY-MM-DD HH24:MI:SS')" in s for s in stmts)
 
 
