@@ -76,3 +76,44 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def ts(s: str) -> Column:
     """UTC timestamp literal matching DuckDB ``TIMESTAMP '...'``."""
     return F.lit(s).cast("timestamp")
+
+
+def sessionize(ev: "DataFrame", gap_minutes: int = 30) -> "DataFrame":
+    """Gaps-and-islands session numbering per user: adds ``is_new`` and
+    ``session_id`` (cumulative count of session-opening rows). The
+    cumulative-sum window tie-breaks on event_id like the lag window —
+    ordering by ts alone would make session assignment of same-ts rows
+    engine-dependent. Shared by window_sessionize and the interval
+    join (one oracle-checked shape, no drift)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > gap_us),
+        1,
+    ).otherwise(0)
+    return ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wc)
+    )
+
+
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Stable per-(query, sf) scratch path: reruns overwrite instead of
+    accumulating a fresh mkdtemp per invocation (repeated bench/verify
+    runs were leaking fixture-sized copies under /tmp)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "etlalchemy_spark_scratch", f"{kind}_{tag}")
+    os.makedirs(path, exist_ok=True)
+    return path

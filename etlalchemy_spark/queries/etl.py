@@ -10,8 +10,6 @@ so the check stays valid at any scale factor.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
 from etlalchemy_spark.migrate import FileSource, Migration, Target
@@ -264,14 +262,7 @@ def etl_fk_integrity(spark, sf_dir):
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)
-    # fk_orphan_count labels with ref table name; align the _even label
-    return out.withColumn(
-        "fk",
-        F.when(
-            F.col("fk") == "orders(o_custkey)->customer_even",
-            "orders(o_custkey)->customer_even",
-        ).otherwise(F.col("fk")),
-    )
+    return out
 
 
 # --- X1–X4 / T10 rule-driven schema transformation ------------------------
@@ -317,7 +308,9 @@ def etl_migrate_roundtrip(spark, sf_dir):
     """O1 flagship path end-to-end: reflect → standardize → write
     parquet to a temp target, then report (table, rows, cols) — the
     oracle recounts from the source tables."""
-    tmp = tempfile.mkdtemp(prefix="etlalchemy_spark_migrate_")
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    tmp = scratch_dir("migrate", sf_dir)
     mig = Migration(
         source=FileSource(sf_dir, included_tables=["nation", "region", "supplier"]),
         target=Target(tmp, fmt="parquet"),

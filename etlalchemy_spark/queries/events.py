@@ -81,7 +81,7 @@ def events_sliding_1h_15m(spark, sf_dir):
 
 _SESSION_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
@@ -90,7 +90,7 @@ WITH flagged AS (
 ), numbered AS (
   SELECT user_id, ts,
          SUM(is_new) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_no
   FROM flagged

@@ -7,13 +7,12 @@ reading the ORIGINAL parquet.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from etlalchemy_spark.registry import register
 from etlalchemy_spark.sources.files import read_file, write_csv_for_bulk_load, write_file
-from etlalchemy_spark.queries._util import t
+from etlalchemy_spark.queries._util import scratch_dir, t
 
 _NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
@@ -24,7 +23,7 @@ def fmt_csv_roundtrip(spark, sf_dir):
     back with explicit schema → identical values. Proves the W1 dump
     path round-trips types, not just that files appear."""
     nation = t(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="fmt_csv_")
+    tmp = scratch_dir("csv", sf_dir)
     path = os.path.join(tmp, "nation_csv")
     write_csv_for_bulk_load(nation, path, dialect="postgresql", header=True)
     return read_file(
@@ -42,7 +41,7 @@ def fmt_json_roundtrip(spark, sf_dir):
     """parquet → JSON lines → schema-first read back (no inference —
     an extra full pass at scale)."""
     nation = t(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="fmt_json_")
+    tmp = scratch_dir("json", sf_dir)
     path = os.path.join(tmp, "nation_json")
     write_file(nation, path, fmt="json")
     return read_file(
@@ -58,7 +57,7 @@ def fmt_orc_roundtrip(spark, sf_dir):
     """parquet → ORC → read back (the other columnar format; pushdown
     and pruning apply the same way)."""
     sup = t(spark, sf_dir, "supplier")
-    tmp = tempfile.mkdtemp(prefix="fmt_orc_")
+    tmp = scratch_dir("orc", sf_dir)
     path = os.path.join(tmp, "supplier_orc")
     write_file(sup, path, fmt="orc")
     return read_file(spark, path, fmt="orc")
@@ -77,7 +76,7 @@ def fmt_partitioned_write(spark, sf_dir):
     partition-pruned read-back count per partition — the lake layout
     that stands in for the reference's index epilogue (M1)."""
     orders = t(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="fmt_part_")
+    tmp = scratch_dir("part", sf_dir)
     path = os.path.join(tmp, "orders_part")
     write_file(orders, path, fmt="parquet", partition_by=["o_orderpriority"])
     back = read_file(spark, path, fmt="parquet")
@@ -106,8 +105,12 @@ def fmt_bucketed_join(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_li, t_or = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for tbl in ("bkt_lineitem", "bkt_orders"):
+    for tbl in (t_li, t_or):
         # a previous session may have left the managed location behind
         # without the catalog entry — clear both
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -116,16 +119,16 @@ def fmt_bucketed_join(spark, sf_dir):
         li.write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .saveAsTable("bkt_lineitem")
+        .saveAsTable(t_li)
     )
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(t_or)
     )
-    bli = spark.table("bkt_lineitem")
-    bor = spark.table("bkt_orders")
+    bli = spark.table(t_li)
+    bor = spark.table(t_or)
     return (
         bli.join(bor, bli.l_orderkey == bor.o_orderkey)
         .groupBy("o_orderpriority")

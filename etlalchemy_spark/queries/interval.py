@@ -26,7 +26,7 @@ WITH sessions AS (
          MIN(event_id) AS session_id
   FROM (
     SELECT user_id, ts, event_id,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM (
       SELECT user_id, ts, event_id,
@@ -57,20 +57,13 @@ def join_interval_bucketed(spark, sf_dir):
     — no nested loop anywhere (the oracle uses the naive theta join)."""
     ev = t(spark, sf_dir, "events")
 
-    # sessions of users 0-4 (reuse the oracle-checked sessionization shape)
-    from pyspark.sql import Window as W
+    # sessions of users 0-4 (the oracle-checked sessionization shape,
+    # shared with window_sessionize)
+    from etlalchemy_spark.queries._util import sessionize
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 30 * 60 * 1_000_000),
-        1,
-    ).otherwise(0)
     sessions = (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_no", F.sum("is_new").over(wc))
+        sessionize(ev)
+        .withColumnRenamed("session_id", "session_no")
         .groupBy("user_id", "session_no")
         .agg(
             F.min("ts").alias("session_start"),

@@ -284,7 +284,7 @@ def sql_api_passthrough(spark, sf_dir):
 _TRY_CAST_SQL = """
 SELECT event_id,
        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
-       TRY_CAST(json_extract_string(props, '$.s') AS BIGINT) AS s_fails_to_null,
+       TRY_CAST(json_extract_string(props, '$.k') || 'x' AS BIGINT) AS s_fails_to_null,
        TRY_CAST('not a date' AS TIMESTAMP) AS bad_ts
 FROM events
 """
@@ -298,7 +298,11 @@ def scalar_try_cast(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999999")).cast("bigint").alias("k_ok"),
-        F.get_json_object("props", "$.s").try_cast("bigint").alias("s_fails_to_null"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_ok"),
+        # a genuinely malformed numeric string: proves try_cast returns
+        # NULL on parse failure (not just on missing keys)
+        F.concat(F.get_json_object("props", "$.k"), F.lit("x"))
+        .try_cast("bigint")
+        .alias("s_fails_to_null"),
         F.lit("not a date").try_cast("timestamp").alias("bad_ts"),
     )

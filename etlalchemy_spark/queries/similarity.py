@@ -111,7 +111,7 @@ WHERE CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQ
 def sim_cosine_pairs_blocked(spark, sf_dir):
     """Blocked exact pair similarity: candidate pairs share a label
     (the blocking key — at scale this is the LSH bucket), exact cosine
-    ≥ 0.5 on a bounded id range. Oracle-exact via decimal dots."""
+    ≥ 0.2 on a bounded id range. Oracle-exact via decimal dots."""
     emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")

@@ -169,11 +169,15 @@ def stream_stream_join_q(spark, sf_dir):
 def stream_foreach_batch_sink(spark, sf_dir):
     """foreachBatch → parquet-per-batch sink; returns the landed rows
     re-read from the sink (count must equal the source count)."""
-    import tempfile
+    import shutil
 
+    from etlalchemy_spark.queries._util import scratch_dir
     from etlalchemy_spark.streaming.events import drain_foreach_batch
 
     ev = read_events_stream(spark, sf_dir)
-    sink = tempfile.mkdtemp(prefix="fb_sink_")
+    # append-mode sink: clear the stable scratch dir first or reruns
+    # would accumulate batches and the row count would grow per run
+    sink = scratch_dir("fb_sink", sf_dir)
+    shutil.rmtree(sink, ignore_errors=True)
     drain_foreach_batch(ev.select("event_id", "user_id", "event_type"), sink)
     return spark.read.parquet(sink)

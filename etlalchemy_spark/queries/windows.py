@@ -200,7 +200,7 @@ def window_first_last(spark, sf_dir):
 
 _SESSION_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -209,7 +209,7 @@ WITH flagged AS (
 ), numbered AS (
   SELECT user_id, ts, value,
          CAST(SUM(is_new) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS BIGINT) AS session_id
   FROM flagged
@@ -229,18 +229,11 @@ def window_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization (30-min inactivity gap): the
     batch twin of streaming session_window. One shuffle on user_id for
     the window, reused by the groupBy (same key)."""
+    from etlalchemy_spark.queries._util import sessionize
+
     ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 30 * 60 * 1_000_000),
-        1,
-    ).otherwise(0)
     return (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(wc))
+        sessionize(ev)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
