@@ -294,3 +294,102 @@ def agg_covariance_exact(spark, sf_dir):
         .agg(((sxy - sx * sy / n) / n).alias("covar_qty_price"))
         .orderBy("l_returnflag")
     )
+
+
+_ARGMAX_SQL = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       count_if(o_totalprice > 100000) AS n_large,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_argminmax", oracle=_ARGMAX_SQL, tags=("agg",))
+def agg_argminmax(spark, sf_dir):
+    """max_by/min_by (arg-extremum without a join-back or window),
+    count_if, bool_and/bool_or. o_totalprice is unique per status group
+    in the fixture, so the arg extremum is deterministic."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_STRAGG_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("agg_string_concat_ordered", oracle=_STRAGG_SQL, tags=("agg",))
+def agg_string_concat_ordered(spark, sf_dir):
+    """Ordered string aggregation: collect_list is shuffle-order-
+    nondeterministic, so sort the array before joining — the only
+    listagg formulation that is reproducible at scale."""
+    nation = t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n AS intercept
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxx,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_regression_exact", oracle=_REGR_SQL, tags=("agg", "stats"))
+def agg_regression_exact(spark, sf_dir):
+    """OLS slope/intercept of price vs quantity per return flag via the
+    normal-equation sums in exact decimal (regr_slope/regr_intercept
+    accumulate doubles in shuffle order — not reproducible)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(14,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("decimal(38,4)").cast("double").alias("sx"),
+        F.sum(p).cast("decimal(38,4)").cast("double").alias("sy"),
+        F.sum(q * q).cast("decimal(38,4)").cast("double").alias("sxx"),
+        F.sum(q * p).cast("decimal(38,4)").cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - F.col("sx") * slope) / F.col("n")
+    return sums.select(
+        "l_returnflag", slope.alias("slope"), intercept.alias("intercept")
+    ).orderBy("l_returnflag")

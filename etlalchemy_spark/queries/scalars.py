@@ -306,3 +306,35 @@ def scalar_try_cast(spark, sf_dir):
         .alias("s_fails_to_null"),
         F.lit("not a date").try_cast("timestamp").alias("bad_ts"),
     )
+
+
+_NULLSEM_SQL = """
+SELECT c_custkey,
+       c_acctbal + NULL AS arith_null,
+       c_nationkey IS DISTINCT FROM NULL AS distinct_from_null,
+       CASE WHEN c_acctbal IS NOT DISTINCT FROM 0.0 THEN 'zero' ELSE 'nonzero' END AS ndist_zero,
+       GREATEST(c_acctbal, NULL) AS greatest_w_null,
+       c_name || NULL AS concat_null
+FROM customer
+"""
+
+
+@register("scalar_null_semantics", oracle=_NULLSEM_SQL, tags=("scalar", "nulls"))
+def scalar_null_semantics(spark, sf_dir):
+    """NULL-propagation battery: three-valued arithmetic, IS [NOT]
+    DISTINCT FROM (Spark eqNullSafe), null-skipping GREATEST, and
+    `||` null poisoning (trap pinned here: DuckDB's CONCAT() skips
+    NULLs while its `||` and Spark's concat() poison — the oracle uses
+    `||` for the shared semantics)."""
+    c = t(spark, sf_dir, "customer")
+    null_d = F.lit(None).cast("double")
+    return c.select(
+        "c_custkey",
+        (F.col("c_acctbal") + null_d).alias("arith_null"),
+        (~F.col("c_nationkey").eqNullSafe(F.lit(None).cast("int"))).alias("distinct_from_null"),
+        F.when(F.col("c_acctbal").eqNullSafe(F.lit(0.0)), "zero")
+        .otherwise("nonzero")
+        .alias("ndist_zero"),
+        F.greatest(F.col("c_acctbal"), null_d).alias("greatest_w_null"),
+        F.concat(F.col("c_name"), F.lit(None).cast("string")).alias("concat_null"),
+    )
