@@ -393,3 +393,30 @@ def agg_regression_exact(spark, sf_dir):
     return sums.select(
         "l_returnflag", slope.alias("slope"), intercept.alias("intercept")
     ).orderBy("l_returnflag")
+
+
+_BITWISE_SQL = """
+SELECT event_type,
+       bit_and(event_id) AS ids_and,
+       bit_or(event_id) AS ids_or,
+       bit_xor(event_id) AS ids_xor
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_bitwise", oracle=_BITWISE_SQL, tags=("agg",))
+def agg_bitwise(spark, sf_dir):
+    """Bitwise reductions (and/or/xor) — exact, associative,
+    commutative: safe under any shuffle order."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("event_id").alias("ids_and"),
+            F.bit_or("event_id").alias("ids_or"),
+            F.bit_xor("event_id").alias("ids_xor"),
+        )
+        .orderBy("event_type")
+    )

@@ -338,3 +338,30 @@ def scalar_null_semantics(spark, sf_dir):
         F.greatest(F.col("c_acctbal"), null_d).alias("greatest_w_null"),
         F.concat(F.col("c_name"), F.lit(None).cast("string")).alias("concat_null"),
     )
+
+
+_EXPLODE_OUTER_SQL = """
+SELECT e.vec_id, CAST(u.x AS DOUBLE) AS x
+FROM (
+  SELECT vec_id,
+         embedding[1 : CASE WHEN vec_id % 10 = 0 THEN 0 ELSE 3 END] AS arr
+  FROM embeddings
+) e
+LEFT JOIN LATERAL UNNEST(e.arr) AS u(x) ON TRUE
+"""
+
+
+@register("scalar_explode_outer", oracle=_EXPLODE_OUTER_SQL, tags=("scalar", "array"))
+def scalar_explode_outer(spark, sf_dir):
+    """explode_outer: rows with empty arrays survive as NULL
+    (plain explode silently DROPS them — the lateral-join trap). Every
+    10th vector's array is emptied to prove the preserved row."""
+    e = t(spark, sf_dir, "embeddings")
+    arr = F.when(
+        F.col("vec_id") % 10 == 0, F.slice("embedding", 1, 0)
+    ).otherwise(F.slice("embedding", 1, 3))
+    return (
+        e.select("vec_id", arr.alias("arr"))
+        .select("vec_id", F.explode_outer("arr").alias("xf"))
+        .select("vec_id", F.col("xf").cast("double").alias("x"))
+    )
