@@ -260,3 +260,35 @@ def events_click_view_attrib(spark, sf_dir):
         & (F.col("v_ts") >= F.col("c_ts"))
         & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("c_event", "v_event", F.col("c_user").alias("user_id"))
+
+
+_TRANSITION_SQL = """
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+@register("events_transition_matrix", oracle=_TRANSITION_SQL, tags=("events", "window", "agg"))
+def events_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition counts (the Markov-matrix shape
+    behind funnel/journey analytics): lag within user, then a global
+    pair count. One shuffle for the window, one for the small agg."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(F.lag("event_type").over(w).alias("prev_type"), F.col("event_type").alias("next_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

@@ -325,3 +325,62 @@ def window_range_interval_frame(spark, sf_dir):
         )
         .alias("n_last_hour"),
     )
+
+
+_RUNDIST_SQL = """
+SELECT event_id, user_id, ts,
+       COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS types_so_far
+FROM events
+"""
+
+
+@register("window_running_distinct", oracle=_RUNDIST_SQL, tags=("window",))
+def window_running_distinct(spark, sf_dir):
+    """Running distinct count per user (how many event types seen so
+    far): Spark has no DISTINCT window aggregate, so the idiom is
+    size(collect_set(...)) over the cumulative frame — set semantics
+    make it order-insensitive within the frame."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_so_far"),
+    )
+
+
+_RUNMED_SQL = """
+SELECT event_id, user_id, ts,
+       quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_median
+FROM events
+"""
+
+
+@register("window_running_median", oracle=_RUNMED_SQL, tags=("window", "stats"))
+def window_running_median(spark, sf_dir):
+    """Running median per user: selection + one exact interpolation
+    step on identical doubles — order-insensitive within the frame, so
+    cross-engine exact (unlike running SUM of doubles)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.percentile("value", F.lit(0.5)).over(w).alias("running_median"),
+    )
