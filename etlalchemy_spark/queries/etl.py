@@ -416,3 +416,44 @@ def etl_scd2_merge(spark, sf_dir):
     )
     dim = scd2_init(snap0, "1995-01-01")
     return scd2_merge(dim, snap1, "s_suppkey", ["s_acctbal"], "1996-06-01")
+
+
+# --- data-profiling report -------------------------------------------------
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_repr,
+       CAST(MAX(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_repr
+FROM customer"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("etl_profile_report", oracle=_PROFILE_SQL, tags=("etl", "profile"))
+def etl_profile_report(spark, sf_dir):
+    """Column-profiling report (null count, distinct count, lexical
+    min/max) — the data-quality pass a migration runs before type
+    decisions. One aggregate per column batch; min/max compare as
+    strings so one report schema fits every column type (numeric
+    min/max live in etl_column_stats)."""
+    cust = t(spark, sf_dir, "customer")
+    parts = []
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        parts.append(
+            cust.agg(
+                F.lit(c).alias("col_name"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(s).alias("min_repr"),
+                F.max(s).alias("max_repr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -292,3 +292,67 @@ def events_transition_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+_FUNNEL_SQL = """
+SELECT COUNT(*) AS n_signup,
+       count_if(t_click IS NOT NULL) AS n_signup_click,
+       count_if(t_purchase IS NOT NULL) AS n_full_funnel
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' AND ts > (
+               SELECT MIN(e2.ts) FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.event_type = 'signup')
+             THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > (
+               SELECT MIN(e3.ts) FROM events e3
+               WHERE e3.user_id = e.user_id AND e3.event_type = 'click'
+                 AND e3.ts > (SELECT MIN(e4.ts) FROM events e4
+                              WHERE e4.user_id = e.user_id AND e4.event_type = 'signup'))
+             THEN ts END) AS t_purchase
+  FROM events e
+  GROUP BY user_id
+)
+WHERE t_signup IS NOT NULL
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_SQL, tags=("events", "agg", "funnel"))
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (signup → later click → later purchase): per-user
+    conditional-min cascade in ONE grouped pass — first signup ts, first
+    click after it, first purchase after that — then three counts. The
+    oracle spells the same cascade with correlated scalar subqueries;
+    the engine needs one shuffle on user_id, no self-joins."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    # staged: per-user signup ts first, then the ordered mins against it
+    base = ev.join(per_user, "user_id")
+    stage2 = base.groupBy("user_id", "t_signup").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+                F.col("ts"),
+            )
+        ).alias("t_click")
+    )
+    stage3 = (
+        base.join(stage2.select("user_id", "t_click"), "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return stage3.where(F.col("t_signup").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count_if(F.col("t_click").isNotNull()).alias("n_signup_click"),
+        F.count_if(F.col("t_purchase").isNotNull()).alias("n_full_funnel"),
+    )

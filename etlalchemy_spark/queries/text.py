@@ -203,3 +203,39 @@ def text_sentiment_lexicon(spark, sf_dir):
         n_neg.alias("n_neg"),
         ((n_pos - n_neg).cast("double") / F.size(toks).cast("double")).alias("sentiment"),
     )
+
+
+_BIGRAM_SQL = """
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT UNNEST(list_transform(
+           generate_series(1, GREATEST(len(words) - 1, 0)),
+           i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1]
+         )) AS bigram
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+"""
+
+
+@register("text_top_bigrams", oracle=_BIGRAM_SQL, tags=("text", "topk"))
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-25 bigrams: sequence/transform/explode (no
+    UDF), count, total-ordered top-k. The n-gram language-model
+    frequency table in one shuffle + TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
