@@ -420,3 +420,36 @@ def agg_bitwise(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_GROUPING_SQL = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPING_SQL, tags=("agg", "rollup"))
+def agg_grouping_id(spark, sf_dir):
+    """ROLLUP with GROUPING() markers: subtotal rows are identified by
+    the grouping bits, not by NULL-vs-'(all)' guesswork — the only safe
+    way to consume rollups whose group keys can themselves be NULL."""
+    orders = t(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+    ).cast("bigint")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(gid.alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )

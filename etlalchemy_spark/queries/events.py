@@ -356,3 +356,43 @@ def events_funnel(spark, sf_dir):
         F.count_if(F.col("t_click").isNotNull()).alias("n_signup_click"),
         F.count_if(F.col("t_purchase").isNotNull()).alias("n_full_funnel"),
     )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor((epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort_week)) / 604800000000) AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_retention_cohort", oracle=_COHORT_SQL, tags=("events", "agg", "cohort"))
+def events_retention_cohort(spark, sf_dir):
+    """Retention cohort matrix: users bucketed by first-activity week,
+    distinct actives per (cohort, week offset). Two aggregations, both
+    keyed on user_id/cohort — the second join broadcasts the per-user
+    firsts at dim scale or co-shuffles at fact scale."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    offset = F.floor(
+        (
+            F.unix_micros(F.date_trunc("week", F.col("ts")))
+            - F.unix_micros(F.col("cohort_week"))
+        )
+        / (604800 * 1_000_000)
+    ).cast("bigint")
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
