@@ -365,3 +365,30 @@ def scalar_explode_outer(spark, sf_dir):
         .select("vec_id", F.explode_outer("arr").alias("xf"))
         .select("vec_id", F.col("xf").cast("double").alias("x"))
     )
+
+
+_BITOPS_SQL = """
+SELECT p_partkey,
+       p_size & 15 AS low_nibble,
+       p_size | 64 AS with_flag,
+       xor(p_size, 255) AS xored,
+       p_size << 2 AS shifted_l,
+       p_size >> 1 AS shifted_r
+FROM part
+"""
+
+
+@register("scalar_bitwise", oracle=_BITOPS_SQL, tags=("scalar",))
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar operators (&, |, xor, shifts) — exact integer
+    semantics, identical across engines."""
+    p = t(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        s.bitwiseAND(F.lit(15)).alias("low_nibble"),
+        s.bitwiseOR(F.lit(64)).alias("with_flag"),
+        s.bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft(s, 2).alias("shifted_l"),
+        F.shiftright(s, 1).alias("shifted_r"),
+    )
