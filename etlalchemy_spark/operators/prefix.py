@@ -1,0 +1,174 @@
+"""Scalable global-order operators (two-phase range-bucketed prefix).
+
+A Window with ORDER BY and no PARTITION BY forces every row through a
+single partition (Spark's WindowExec warns, and at 100 TB it simply
+does not run). These helpers compute the same global-order results with
+a plan that stays parallel end to end:
+
+1. **Bucket** rows by range on the order key: quantile bounds are
+   estimated in one pass (``approxQuantile``), baked into the plan as
+   literals, and rows are assigned a bucket id with a pure expression
+   (count of bounds below the key). Equal keys always share a bucket,
+   so ties never straddle a boundary — rank/dense_rank stay exact.
+2. **Local pass**: the expensive window runs partitioned by bucket id
+   (parallel, whole-stage codegen).
+3. **Prefix pass**: per-bucket aggregates (row counts, distinct-key
+   counts, sums, maxes — one tiny row per bucket) get an exclusive
+   prefix combine over bucket ids; the single-partition window here
+   touches only ``n_buckets`` rows, which is O(parallelism), not O(n).
+4. **Combine**: broadcast-join the per-bucket offsets back and merge
+   (add for counts/sums, greatest/least for max/min).
+
+Bounds are plan literals, so the bucket assignment is deterministic
+even if the stage is recomputed — no cached shuffle to trust.
+
+Reference parity note: the reference (seanharr11/etlalchemy) has no
+window/rank surface at all (SURVEY.md §2 Table B); this module is part
+of the mandated relational layer, engineered for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_bounds(df: DataFrame, key_num: Column, n_buckets: int = 32) -> list[float]:
+    """Approximate quantile split points for ``key_num`` (any numeric or
+    castable-to-double expression), deduplicated and sorted. One
+    aggregate-only pass; the result (≤ n_buckets-1 doubles) lives on the
+    driver and is baked into downstream plans as literals."""
+    tmp = df.select(key_num.cast("double").alias("_k")).where(F.col("_k").isNotNull())
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    raw = tmp.approxQuantile("_k", probs, 0.001)
+    out: list[float] = []
+    for b in raw:
+        if not out or b > out[-1]:
+            out.append(b)
+    return out
+
+
+def bucket_id(key_num: Column, bounds: list[float]) -> Column:
+    """Range-bucket assignment as a pure expression: the number of split
+    points strictly below the key. Equal keys ⇒ equal bucket."""
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(key_num.cast("double") > F.lit(b), 1).otherwise(0)
+    return pid.cast("int")
+
+
+def _prefix_window() -> Window:
+    # Exclusive prefix over the tiny per-bucket frame. partitionBy(lit)
+    # keeps the spec non-empty; the frame holds n_buckets rows total.
+    return (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+
+def global_ranks(
+    df: DataFrame,
+    key_num: Column,
+    tie_cols: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Append ``rn`` (row_number over (key, ties)), ``rnk`` (rank over
+    key) and ``drnk`` (dense_rank over key) for the global ascending
+    order of ``key_num`` — same results as an unpartitioned window,
+    fully parallel. Pass a negated key for descending order."""
+    d = df.withColumn("_k", key_num.cast("double"))
+    bounds = range_bounds(d, F.col("_k"), n_buckets)
+    d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
+
+    stats = d.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col("_k")).alias("_nd"),
+    )
+    wpre = _prefix_window()
+    offs = stats.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(wpre), F.lit(0)).alias("_row_off"),
+        F.coalesce(F.sum("_nd").over(wpre), F.lit(0)).alias("_dense_off"),
+    )
+
+    w_rn = Window.partitionBy("_pid").orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
+    w_key = Window.partitionBy("_pid").orderBy(F.col("_k"))
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn("rn", F.row_number().over(w_rn) + F.col("_row_off"))
+        .withColumn("rnk", F.rank().over(w_key) + F.col("_row_off"))
+        .withColumn("drnk", F.dense_rank().over(w_key) + F.col("_dense_off"))
+        .drop("_pid", "_k", "_row_off", "_dense_off")
+    )
+
+
+def running_global_sum(
+    df: DataFrame,
+    key_num: Column,
+    tie_cols: list[str],
+    value: Column,
+    alias: str = "running",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Append a running SUM(``value``) over the global order
+    (key_num asc, ties) — the scalable twin of
+    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+    ``value`` should be decimal for cross-engine exactness (the
+    per-bucket offsets re-add partial sums in a different grouping than
+    a serial scan would)."""
+    d = df.withColumn("_k", key_num.cast("double")).withColumn("_v", value)
+    bounds = range_bounds(d, F.col("_k"), n_buckets)
+    d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
+
+    totals = d.groupBy("_pid").agg(F.sum("_v").alias("_bucket_sum"))
+    offs = totals.select(
+        "_pid",
+        F.sum("_bucket_sum").over(_prefix_window()).alias("_off"),
+    )
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.sum("_v").over(w)
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(alias, local + F.coalesce(F.col("_off"), F.lit(0).cast("decimal(1,0)")))
+        .drop("_pid", "_k", "_v", "_off")
+    )
+
+
+def running_global_max(
+    df: DataFrame,
+    key_num: Column,
+    tie_cols: list[str],
+    value: Column,
+    alias: str = "running_max",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Append a running MAX(``value``) over the global order — the
+    scalable twin of ``MAX(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``. Max is idempotent, so no exactness caveats."""
+    d = df.withColumn("_k", key_num.cast("double")).withColumn("_v", value)
+    bounds = range_bounds(d, F.col("_k"), n_buckets)
+    d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
+
+    totals = d.groupBy("_pid").agg(F.max("_v").alias("_bucket_max"))
+    offs = totals.select(
+        "_pid",
+        F.max("_bucket_max").over(_prefix_window()).alias("_off"),
+    )
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.max("_v").over(w)
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(alias, F.greatest(local, F.coalesce(F.col("_off"), local)))
+        .drop("_pid", "_k", "_v", "_off")
+    )

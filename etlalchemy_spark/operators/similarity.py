@@ -84,6 +84,20 @@ def cosine_double(a, b):
     return dot_double(a, b) / (F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)))
 
 
+def _topk_ranked(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Distributed top-k with a rank column. ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (per-partition heaps + a k-row
+    driver merge — no global sort, no single-partition shuffle); the
+    rank window then runs over the ≤k survivors only, so its
+    one-partition execution is O(k), not O(n)."""
+    top = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(id_col, "cosine", "rank")
+    )
+
+
 def cosine_topk_exact(
     df: DataFrame,
     id_col: str,
@@ -95,12 +109,7 @@ def cosine_topk_exact(
     (id, cosine, rank) — deterministic total order (cosine desc, id)."""
     q = _lit_vec(query_vec)
     scored = exact_cosine(df, [id_col], F.col(vec_col), q)
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cosine", "rank")
-    )
+    return _topk_ranked(scored, id_col, k)
 
 
 # --- random-hyperplane LSH (approximate, scale path) -----------------------
@@ -155,12 +164,7 @@ def cosine_topk_lsh(
         F.col("_bucket") == qbits
     )
     scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cosine", "rank")
-    )
+    return _topk_ranked(scored, id_col, k)
 
 
 def embedding_near_dup_pairs(
@@ -250,12 +254,7 @@ def ivf_topk(
     assigned = df.withColumn("_cell", nearest_cell(F.col(vec_col)).cast("int"))
     cands = assigned.where(F.col("_cell").isin(probe_cells))
     scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cosine", "rank")
-    )
+    return _topk_ranked(scored, id_col, k)
 
 
 def kmeans_centroids(
@@ -324,9 +323,4 @@ def cosine_topk_lsh_multiprobe(
         F.col("_bucket").isin(probes)
     )
     scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cosine", "rank")
-    )
+    return _topk_ranked(scored, id_col, k)

@@ -384,3 +384,95 @@ def window_running_median(spark, sf_dir):
         "ts",
         F.percentile("value", F.lit(0.5)).over(w).alias("running_median"),
     )
+
+
+_RANK_SCALABLE_SQL = """
+SELECT s_suppkey, s_acctbal,
+       CAST(ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn,
+       CAST(RANK()       OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS drnk
+FROM supplier
+"""
+
+
+@register("window_rank_global_scalable", oracle=_RANK_SCALABLE_SQL, tags=("window", "scale"))
+def window_rank_global_scalable(spark, sf_dir):
+    """Global row_number/rank/dense_rank WITHOUT the single-partition
+    window: two-phase range-bucketed prefix (operators/prefix.py).
+    Quantile bounds are plan literals; the per-bucket window runs
+    parallel; only the n_buckets-row offset frame is serial. The oracle
+    is the plain unpartitioned-window SQL — proving the decomposition
+    is exact, ties included."""
+    from etlalchemy_spark.operators.prefix import global_ranks
+
+    sup = t(spark, sf_dir, "supplier")
+    ranked = global_ranks(sup, -F.col("s_acctbal"), ["s_suppkey"], n_buckets=16)
+    return ranked.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("drnk").cast("bigint").alias("drnk"),
+    )
+
+
+_RUNSUM_GLOBAL_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+@register("window_running_sum_global_scalable", oracle=_RUNSUM_GLOBAL_SQL, tags=("window", "scale"))
+def window_running_sum_global_scalable(spark, sf_dir):
+    """Global running revenue total over date order — the scalable twin
+    of SUM() OVER (ORDER BY ...) with no PARTITION BY. Decimal
+    accumulation keeps the bucket-decomposed sum bit-identical to the
+    serial oracle."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    o = t(spark, sf_dir, "orders")
+    out = running_global_sum(
+        o,
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        ["o_orderkey"],
+        F.col("o_totalprice").cast("decimal(18,4)"),
+        alias="_rt",
+        n_buckets=16,
+    )
+    return out.select(
+        "o_orderkey",
+        F.round(F.col("_rt"), 4).cast("decimal(38,4)").cast("double").alias("running_total"),
+    )
+
+
+_RUNMAX_GLOBAL_SQL = """
+SELECT event_id,
+       MAX(value) OVER (
+         ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS high_watermark
+FROM events
+"""
+
+
+@register("window_running_max_global_scalable", oracle=_RUNMAX_GLOBAL_SQL, tags=("window", "scale"))
+def window_running_max_global_scalable(spark, sf_dir):
+    """Global high-watermark (running MAX) over event time via the
+    range-bucketed prefix decomposition — max is idempotent, so the
+    combine is exact by construction."""
+    from etlalchemy_spark.operators.prefix import running_global_max
+
+    ev = t(spark, sf_dir, "events")
+    out = running_global_max(
+        ev,
+        F.unix_micros(F.col("ts")),
+        ["event_id"],
+        F.col("value"),
+        alias="high_watermark",
+        n_buckets=16,
+    )
+    return out.select("event_id", "high_watermark")

@@ -1,0 +1,95 @@
+"""Two-phase global-order operators vs the single-partition window
+they replace — results must be identical, ties included."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.prefix import (
+    bucket_id,
+    global_ranks,
+    range_bounds,
+    running_global_max,
+    running_global_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # keys with heavy ties (each value appears ~4×) so tie groups would
+    # straddle naive bucket boundaries
+    rows = [(i, float((i * 7) % 25), float(i % 13)) for i in range(100)]
+    return spark.createDataFrame(rows, "id int, key double, val double")
+
+
+def test_bucket_id_colocates_ties(spark, df):
+    bounds = range_bounds(df, F.col("key"), 8)
+    b = df.select("key", bucket_id(F.col("key"), bounds).alias("pid"))
+    per_key = b.groupBy("key").agg(F.count_distinct("pid").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_key)
+
+
+def test_global_ranks_match_window(spark, df):
+    got = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in global_ranks(df, F.col("key"), ["id"], n_buckets=8).collect()
+    }
+    w_rn = Window.orderBy("key", "id")
+    w_k = Window.orderBy("key")
+    want = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_k).alias("rnk"),
+            F.dense_rank().over(w_k).alias("drnk"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ranks_desc_via_negation(spark, df):
+    got = {
+        r["id"]: r["rn"]
+        for r in global_ranks(df, -F.col("key"), ["id"], n_buckets=8).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(F.desc("key"), "id")).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_global_sum_matches_window(spark, df):
+    d = df.withColumn("dval", F.col("val").cast("decimal(18,4)"))
+    got = {
+        r["id"]: r["rt"]
+        for r in running_global_sum(
+            d, F.col("key"), ["id"], F.col("dval"), alias="rt", n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["rt"] for r in d.select("id", F.sum("dval").over(w).alias("rt")).collect()}
+    assert got == want
+
+
+def test_running_global_max_matches_window(spark, df):
+    got = {
+        r["id"]: r["rm"]
+        for r in running_global_max(
+            df, F.col("key"), ["id"], F.col("val"), alias="rm", n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["rm"] for r in df.select("id", F.max("val").over(w).alias("rm")).collect()}
+    assert got == want
+
+
+def test_single_bucket_degenerate(spark):
+    # all-equal keys → no bounds → one bucket; must still rank correctly
+    d = spark.createDataFrame([(i, 1.0) for i in range(5)], "id int, key double")
+    out = global_ranks(d, F.col("key"), ["id"], n_buckets=4).orderBy("id").collect()
+    assert [r["rn"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["rnk"] == 1 and r["drnk"] == 1 for r in out)
