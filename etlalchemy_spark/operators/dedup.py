@@ -285,3 +285,113 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- cross-engine-exact MinHash (oracle-able) ------------------------------
+#
+# The Murmur3/xxhash64 pipeline above is the production path; its
+# signatures are engine-specific, so the harness can only rows-check it.
+# This variant derives shingle hashes from md5 (identical bytes in every
+# engine) and runs the permutations in explicit mod-p arithmetic, making
+# the ENTIRE MinHash+LSH pipeline bit-identical across Spark and DuckDB
+# — the correctness harness hash-compares it exactly.
+
+MINHASH_P = 2147483647  # 2^31 - 1; keeps a*h + b inside int64
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters, baked as plan
+    literals in both the Spark and oracle formulations."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (state >> 33) % (MINHASH_P - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def md5_prefix60(c) -> "F.Column":
+    """First 60 bits of md5 as a non-negative BIGINT — the only
+    engine-portable 'random' hash both Spark and DuckDB can compute on
+    identical UTF-8 bytes. (60 bits so the value parses into a signed
+    int64 with headroom.)"""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-engine-exact MinHash signature as flat columns
+    (id, mh_0..mh_{n-1}): one shingle explode, one hash-groupBy with n
+    MIN aggregates (partial+final, single shuffle on id)."""
+    sh = word_shingles(spread(df, id_col), id_col, text_col, k)
+    hm = (md5_prefix60(F.col("shingle")) % MINHASH_P).alias("_hm")
+    aggs = [
+        F.min((F.lit(a) * F.col("_hm") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return sh.select(F.col(id_col), hm).groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end exact-reproducible MinHash-LSH near-dup pairs:
+    signature → band keys (rows-per-band concatenated) → band-bucket
+    equi-join for candidates → exact Jaccard verify via shingle-set
+    intersection. Output (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Scale shape: candidate generation is linear (explode to bands ×
+    docs rows, one shuffle on the band key); only candidate PAIRS pay
+    the set-intersection verify, and the shingle sets ride along the
+    (already shuffled) band join rather than a second corpus scan."""
+    r = num_hashes // bands
+    sig = minhash_signature_exact(df, id_col, text_col, k, num_hashes, seed)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"mh_{band * r + i}").cast("string") for i in range(r)]
+            )
+            for band in range(bands)
+        ]
+    )
+    kv = sig.select(F.col(id_col), F.posexplode(band_keys).alias("band", "bk"))
+    a = kv.select(F.col(id_col).alias("id_a"), "band", "bk")
+    b = kv.select(F.col(id_col).alias("id_b"), "band", "bk")
+    cands = (
+        a.join(b, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = word_shingles(spread(df, id_col), id_col, text_col, k)
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("ss").alias("ss_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("ss").alias("ss_b"))
+    n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b")))
+    jac = n_inter.cast("double") / (
+        F.size("ss_a") + F.size("ss_b") - n_inter
+    ).cast("double")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -209,3 +209,120 @@ def dedup_minhash_cc_pipeline(spark, sf_dir):
             "cluster_size",
         )
     )
+
+
+# --- cross-engine-exact MinHash (full oracle coverage) ---------------------
+# The md5-derived variant: DuckDB reconstructs Spark's
+# conv(substr(md5(s),1,15),16,10) by byte-swapping md5_number_upper
+# (md5_number_upper is the little-endian read of the first 8 digest
+# bytes; the byte-swap recovers the big-endian hex prefix).
+
+from etlalchemy_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_lsh_pairs_exact,
+    minhash_params,
+    minhash_signature_exact,
+)
+
+_MH_K = 5
+_MH_N = 16
+_MH_BANDS = 4
+_MH_THRESHOLD = 0.2
+_MH_PARAMS = minhash_params(_MH_N)
+
+_HM_CTES = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - {_MH_K - 1}, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+{_MH_K - 1}], ' '))) AS shingle
+    FROM w
+  )
+), u AS (
+  SELECT doc_id, shingle, md5_number_upper(shingle) AS u FROM sh
+), h AS (
+  SELECT doc_id, shingle, CAST((
+    (CAST((u >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST((u >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST((u >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST((u >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST((u >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST((u >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST((u >> 48) & 255 AS UBIGINT) * 256) +
+     CAST((u >> 56) & 255 AS UBIGINT)
+  ) // 16 AS BIGINT) % {MINHASH_P} AS hm FROM u
+)"""
+
+_SIG_COLS = ",\n       ".join(
+    f"MIN(({a} * hm + {b}) % {MINHASH_P}) AS mh_{j}"
+    for j, (a, b) in enumerate(_MH_PARAMS)
+)
+
+_MH_SIG_SQL = f"""{_HM_CTES}
+SELECT doc_id,
+       {_SIG_COLS}
+FROM h GROUP BY doc_id
+"""
+
+
+@register("dedup_minhash_sig_exact", oracle=_MH_SIG_SQL, tags=("dedup",))
+def dedup_minhash_sig_exact(spark, sf_dir):
+    """MinHash(16) signatures whose values are bit-identical across
+    engines (md5-derived shingle hashes + explicit mod-p permutations)
+    — upgrades MinHash from a rows-only check to exact oracle parity."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_signature_exact(docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_N)
+
+
+def _band_key_sql(band: int, r: int) -> str:
+    parts = [f"CAST(mh_{band * r + i} AS VARCHAR)" for i in range(r)]
+    return " || '_' || ".join(parts)
+
+
+_R = _MH_N // _MH_BANDS
+_BANDS_LIST = ", ".join(str(b) for b in range(_MH_BANDS))
+_KEYS_LIST = ", ".join(_band_key_sql(b, _R) for b in range(_MH_BANDS))
+
+_MH_LSH_SQL = f"""{_HM_CTES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM h GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, UNNEST([{_BANDS_LIST}]) AS band, UNNEST([{_KEYS_LIST}]) AS bkey
+  FROM sig
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+       CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+      CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) >= {_MH_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh_exact", oracle=_MH_LSH_SQL, tags=("dedup", "approx"))
+def dedup_minhash_lsh_exact(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline (16 hashes, 4 bands × 4 rows,
+    Jaccard-verify ≥ 0.2) with EXACT oracle parity end to end — the
+    same candidate generation + verify shape as the production
+    xxhash64 path, reproducible in any engine."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_exact(
+        docs,
+        "doc_id",
+        "text",
+        k=_MH_K,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )

@@ -1,0 +1,99 @@
+"""Deterministic content-hash sampling queries (oracle-exact).
+
+Engine RNG sampling can't be oracle-checked; these sample by portable
+md5-derived hash (operators/sampling.py), so Spark and DuckDB select
+the IDENTICAL rows — reproducibility is the point, and the harness
+proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.sampling import (
+    bernoulli_sample,
+    fixed_size_per_group,
+    stratified_sample,
+)
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of operators.sampling.hash_bucket: byte-swap
+    md5_number_upper to recover the big-endian 60-bit md5 prefix, then
+    mod 1e6. (Single-expression form: md5_number_upper is evaluated
+    once per reference by DuckDB's CSE.)"""
+    u = f"md5_number_upper('{salt}' || CAST({key_expr} AS VARCHAR))"
+    return f"""(CAST((
+    (CAST(({u} >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST(({u} >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST(({u} >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST(({u} >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST(({u} >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST(({u} >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST(({u} >> 48) & 255 AS UBIGINT) * 256) +
+     CAST(({u} >> 56) & 255 AS UBIGINT)
+  ) // 16 AS BIGINT) % 1000000)"""
+
+
+_BERNOULLI_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE {_bucket_sql("o_orderkey", "s1:")} < 50000
+"""
+
+
+@register("sample_bernoulli_hash", oracle=_BERNOULLI_SQL, tags=("sampling",))
+def sample_bernoulli_hash(spark, sf_dir):
+    """Deterministic 5% Bernoulli sample of orders, keyed on
+    o_orderkey — a narrow filter (no shuffle, no RNG), row-identical
+    in any engine."""
+    o = t(spark, sf_dir, "orders")
+    return bernoulli_sample(o, F.col("o_orderkey"), 0.05, salt="s1:").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_STRAT_RATES = {"en": 0.1, "zh": 0.5, "es": 0.5, "de": 0.8, "fr": 0.8}
+_STRAT_CASE = " ".join(
+    f"WHEN lang = '{v}' THEN {int(r * 1_000_000)}" for v, r in sorted(_STRAT_RATES.items())
+)
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_bucket_sql("doc_id", "s2:")} < (CASE {_STRAT_CASE} ELSE 0 END)
+"""
+
+
+@register("sample_stratified_hash", oracle=_STRATIFIED_SQL, tags=("sampling",))
+def sample_stratified_hash(spark, sf_dir):
+    """Stratified language rebalancing: downsample dominant 'en' to
+    10%, keep rarer languages at higher rates — the standard corpus
+    rebalance, still a pure narrow filter."""
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, F.col("doc_id"), F.col("lang"), _STRAT_RATES, salt="s2:"
+    ).select("doc_id", "lang", "source")
+
+
+_PER_GROUP_SQL = f"""
+SELECT source, doc_id, lang FROM (
+  SELECT source, doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_bucket_sql("doc_id", "s3:")}, CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
+@register("sample_fixed_per_group", oracle=_PER_GROUP_SQL, tags=("sampling", "window"))
+def sample_fixed_per_group(spark, sf_dir):
+    """Exactly 3 documents per source, uniformly chosen by hash order —
+    deterministic per-group reservoir sampling (one window shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    return fixed_size_per_group(d, ["source"], F.col("doc_id"), 3, salt="s3:").select(
+        "source", "doc_id", "lang"
+    )

@@ -93,6 +93,7 @@ def _load_all() -> None:
         sketches,
         udtfs,
         pandas_grouped,
+        sampling,
     )
 
     _LOADED = True
