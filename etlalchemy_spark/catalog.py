@@ -46,15 +46,56 @@ def table_path(sf_dir: str, name: str) -> str:
 NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Fan-out threshold: below this many rows a single-task scan is cheaper
+# than an exchange.
+_FANOUT_MIN_ROWS = 50_000
+
+
+def _scan_splits(path: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the parquet footer — cached;
+    driver-side metadata read only."""
+    global _SPLIT_CACHE
+    try:
+        cache = _SPLIT_CACHE
+    except NameError:
+        cache = _SPLIT_CACHE = {}
+    if path not in cache:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        cache[path] = (md.num_rows, md.num_row_groups)
+    return cache[path]
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar vectorized read,
-    predicate pushdown and column pruning come free from Catalyst."""
+    predicate pushdown and column pruning come free from Catalyst.
+
+    ``fanout=True``: parquet splits at ROW-GROUP granularity, and the
+    fixture files are written as a single row group — so however low
+    ``spark.sql.files.maxPartitionBytes`` goes, the scan is ONE task
+    and every map-side stage fused to it (filters, partial aggs,
+    per-row decimal math) runs on one core. Queries whose cost is
+    map-side compute over the scan opt in; the fan-out exchange is
+    added only when the footer confirms the file is under-split AND
+    large enough to matter. Queries that immediately shuffle on a key
+    (joins, windows) must NOT opt in — their keyed exchange already
+    redistributes the work, and the extra round-robin pass is pure tax.
+    On real lake data (many files / row groups) the condition is false
+    and no exchange is added either way."""
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANOS_TS_COLS.get(name, []):
         if c in df.columns and df.schema[c].dataType.simpleString() == "bigint":
             # integer division: ns epoch (~1.7e18) overflows double, so
             # never divide in float here
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if fanout:
+        slots = spark.sparkContext.defaultParallelism
+        n_rows, n_groups = _scan_splits(table_path(sf_dir, name))
+        if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:
+            df = df.repartition(slots)
     return df
 
 

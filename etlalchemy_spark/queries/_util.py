@@ -69,8 +69,10 @@ def sql_davg(expr: str, alias: str, typ: str = "DECIMAL(18,4)") -> str:
     )
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def t(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False) -> DataFrame:
+    """Load a fixture table; ``fanout=True`` for map-compute-bound
+    queries only (see catalog.load_table)."""
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 def ts(s: str) -> Column:

@@ -45,7 +45,7 @@ def q1_pricing_summary(spark, sf_dir):
     → sort over ~6 groups. Scales linearly: the shuffle carries only
     #groups × #partitions rows.
     """
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem", fanout=True)
     qty = dec("l_quantity")
     price = dec("l_extendedprice")
     disc = dec("l_discount", RATE)
