@@ -395,3 +395,66 @@ def minhash_lsh_pairs_exact(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_exact(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> DataFrame:
+    """Cross-engine-exact SimHash(32): same vote shape as ``simhash``
+    but token bits come from the portable md5 prefix instead of
+    Murmur3, so any engine reproduces the signature bit-for-bit."""
+    tokens = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h32 = (md5_prefix60(F.col("tok")) % F.lit(4294967296)).alias("_h32")
+    votes = tokens.select(
+        id_col,
+        *[
+            F.when(F.shiftright(h32, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(32)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
+    )
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return summed.select(F.col(id_col), sig.alias(out))
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, id_col: str, sig_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-≤k pairs from precomputed signatures: 4×8-bit chunk
+    buckets (pigeonhole-complete for k ≤ 3) + exact bit_count verify."""
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(sig_col, c * 8).bitwiseAND(F.lit(255)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, sig_col, "cc.chunk", "cc.ck")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "chunk", "ck")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "chunk", "ck")
+    return (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -326,3 +326,82 @@ def dedup_minhash_lsh_exact(spark, sf_dir):
         bands=_MH_BANDS,
         threshold=_MH_THRESHOLD,
     )
+
+
+# --- cross-engine-exact SimHash --------------------------------------------
+
+from etlalchemy_spark.operators.dedup import (  # noqa: E402
+    simhash_exact,
+    simhash_pairs_from_sigs,
+)
+
+_SH_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h32 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32)
+)
+_SH_SIG = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(32)
+)
+
+_SIMHASH_CTES = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+), uu AS (
+  SELECT doc_id, md5_number_upper(tok) AS u FROM tok
+), h AS (
+  SELECT doc_id, CAST((
+    (CAST((u >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST((u >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST((u >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST((u >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST((u >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST((u >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST((u >> 48) & 255 AS UBIGINT) * 256) +
+     CAST((u >> 56) & 255 AS UBIGINT)
+  ) // 16 AS BIGINT) % 4294967296 AS h32 FROM uu
+), v AS (
+  SELECT doc_id,
+         {_SH_VOTES}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_SH_SIG} AS simhash FROM v
+)"""
+
+_SIMHASH_SIG_SQL = _SIMHASH_CTES + "\nSELECT doc_id, simhash FROM sig\n"
+
+
+@register("dedup_simhash_sig_exact", oracle=_SIMHASH_SIG_SQL, tags=("dedup",))
+def dedup_simhash_sig_exact(spark, sf_dir):
+    """SimHash(32) signatures from portable md5-derived token hashes —
+    bit-identical across engines, hash-compared exactly (the Murmur3
+    variant above stays rows-only)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_exact(docs, "doc_id", "text")
+
+
+_SIMHASH_PAIRS_SQL = f"""{_SIMHASH_CTES}
+, ch AS (
+  SELECT doc_id, simhash,
+         UNNEST([0, 1, 2, 3]) AS chunk,
+         UNNEST([(simhash >> 0) & 255, (simhash >> 8) & 255,
+                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS ck
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs_exact", oracle=_SIMHASH_PAIRS_SQL, tags=("dedup", "approx"))
+def dedup_simhash_pairs_exact(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-complete via
+    4×8-bit chunk buckets) — end-to-end oracle-exact."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = simhash_exact(docs, "doc_id", "text")
+    pairs = simhash_pairs_from_sigs(sigs, "doc_id", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

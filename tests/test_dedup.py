@@ -91,3 +91,35 @@ def test_simhash_identical_and_near(spark, docs):
              simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
     assert pairs[(1, 4)] == 0
     assert (1, 2) in pairs  # near-dup within hamming 6
+
+
+# --- cross-engine-exact variants -------------------------------------------
+
+from etlalchemy_spark.operators.dedup import (
+    minhash_lsh_pairs_exact,
+    simhash_exact,
+    simhash_pairs_from_sigs,
+)
+
+
+def test_simhash_exact_near_dup_low_hamming(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id int, body string")
+    sigs = {r["id"]: r["simhash"] for r in simhash_exact(df, "id", "body").collect()}
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_minhash_lsh_exact_finds_duplicate(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    dup = " ".join(f"w{i}" for i in range(99)) + " wX"
+    other = " ".join(f"q{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, dup), (3, other)], "doc_id int, text string"
+    )
+    pairs = minhash_lsh_pairs_exact(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.9

@@ -40,3 +40,40 @@ def test_hll_union_close_to_exact(spark):
     )
     rel = abs(got.approx_union_customers - exact) / exact
     assert rel < 0.05
+
+
+# --- portable HLL ----------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.sketch import (
+    M_BUCKETS,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def test_portable_hll_error_bound(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    est = hll_estimate(hll_registers(df, F.col("k"))).first()["estimate"]
+    # 256 buckets → ~6.5% stderr; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_portable_hll_merge_equals_union(spark):
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], "k long")
+    merged = hll_merge(hll_registers(a, F.col("k")), hll_registers(b, F.col("k")))
+    both = a.unionByName(b)
+    est_merged = hll_estimate(merged).first()["estimate"]
+    est_direct = hll_estimate(hll_registers(both, F.col("k"))).first()["estimate"]
+    assert est_merged == est_direct  # merge is lossless, not just close
+
+
+def test_portable_hll_register_shape(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    regs = hll_registers(df, F.col("k")).collect()
+    assert len(regs) <= M_BUCKETS
+    assert all(0 <= r["bucket"] < M_BUCKETS and 1 <= r["register"] <= 53 for r in regs)
