@@ -121,10 +121,21 @@ def events_session_window(spark, sf_dir):
     )
 
 
-_LATE_SQL = """
+_LATE_ARRIVAL = """(CAST((
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 48) & 255 AS UBIGINT) * 256) +
+     CAST((md5_number_upper(CAST(event_id AS VARCHAR)) >> 56) & 255 AS UBIGINT)
+  ) // 16 AS BIGINT) % 1000000)"""
+
+_LATE_SQL = f"""
 WITH watermarked AS (
   SELECT *,
-         MAX(ts) OVER (ORDER BY ts, event_id
+         MAX(ts) OVER (ORDER BY {_LATE_ARRIVAL}, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - INTERVAL 1 HOUR AS wm
   FROM events
@@ -138,17 +149,28 @@ GROUP BY event_type
 
 @register("events_late_data_audit", oracle=_LATE_SQL, tags=("events",))
 def events_late_data_audit(spark, sf_dir):
-    """Late-data audit: events arriving behind a 1-hour watermark
-    (max event-time so far − 1h) in arrival order (= event order in the
-    fixture). The batch-computable view of what a streaming watermark
-    would drop."""
-    from pyspark.sql import Window as W
+    """Late-data audit: events whose event time lags the streaming
+    watermark (max event-time seen so far − 1h) in arrival order. The
+    fixture is generated perfectly time-ordered, so arrival is
+    simulated as a deterministic portable-hash shuffle of event_id —
+    the standard out-of-order replay harness for watermark semantics.
+    Built on the scalable two-phase running-max (operators/prefix.py)
+    rather than a single-partition global window."""
+    from etlalchemy_spark.operators.prefix import running_global_max
+    from etlalchemy_spark.operators.sampling import hash_bucket
 
     ev = t(spark, sf_dir, "events")
-    w = W.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wm = F.max("ts").over(w) - F.expr("INTERVAL 1 HOUR")
+    arrival = hash_bucket(F.col("event_id"))
+    wmk = running_global_max(
+        ev.withColumn("_arr", arrival),
+        F.col("_arr"),
+        ["event_id"],
+        F.col("ts"),
+        alias="_wm_hi",
+        n_buckets=16,
+    )
     return (
-        ev.withColumn("wm", wm)
+        wmk.withColumn("wm", F.col("_wm_hi") - F.expr("INTERVAL 1 HOUR"))
         .where(F.col("ts") < F.col("wm"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_late"))
