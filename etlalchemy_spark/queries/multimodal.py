@@ -111,3 +111,41 @@ def mm_resize_stub(spark, sf_dir):
         F.hex("payload").alias("payload_hex"),
         F.col("n_bytes").cast("int").alias("n_bytes"),
     )
+
+
+_BINFILE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@register("mm_binary_file_source", oracle=_BINFILE_SQL, tags=("multimodal", "sources"))
+def mm_binary_file_source(spark, sf_dir):
+    """The real multimodal ingestion path: a directory of opaque blob
+    files read with ``spark.read.format("binaryFile")`` (distributed
+    binary scan; driver only lists paths) → per-file metadata + content
+    hash. Setup materializes one .bin per document once (streamed via
+    toLocalIterator, marker-gated); the measured operator is the scan.
+    Oracle recomputes the same hashes from the source table — proving
+    byte fidelity through the blob round-trip."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    docs = t(spark, sf_dir, "documents")
+    tmp = scratch_dir("mm_blob", sf_dir)
+    marker = os.path.join(tmp, "_done")
+    if not os.path.exists(marker):
+        for row in docs.select("doc_id", "text").toLocalIterator():
+            with open(os.path.join(tmp, f"doc_{row['doc_id']}.bin"), "wb") as f:
+                f.write(row["text"].encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
