@@ -324,3 +324,50 @@ def cosine_topk_lsh_multiprobe(
     )
     scored = cands.select(F.col(id_col), cosine_double(F.col(vec_col), q).alias("cosine"))
     return _topk_ranked(scored, id_col, k)
+
+
+# --- oracle-exact hyperplane LSH -------------------------------------------
+
+def lsh_buckets_exact(
+    df: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """(id, bucket) with bucket bits = sign of DECIMAL dot products
+    against literal hyperplanes — exact, order-insensitive, hence
+    bit-identical in any engine (the double-fold ``lsh_bucket`` above
+    is the production fast path). One posexplode + one groupBy."""
+    e = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+    xd = F.col("_x").cast("double").cast(_D)
+    aggs = []
+    for j, p in enumerate(planes):
+        plit = F.array(*[F.lit(float(v)).cast("double").cast(_D) for v in p])
+        aggs.append(F.sum(xd * F.element_at(plit, F.col("_pos") + 1)).alias(f"_d{j}"))
+    sums = e.groupBy(id_col).agg(*aggs)
+    bucket = None
+    for j in range(len(planes)):
+        term = F.when(F.col(f"_d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def cosine_topk_lsh_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Hyperplane-LSH top-k, fully reproducible: candidates = vectors
+    sharing the query's bucket (decimal-exact bit signs, query bucket
+    computed in-engine from its own row), scored with the decimal-exact
+    cosine. Same candidate cut as the production path, zero
+    engine-specific arithmetic."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    bkt = lsh_buckets_exact(df, id_col, vec_col, planes)
+    qb = bkt.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
+    cand_ids = bkt.join(F.broadcast(qb), bkt.bucket == F.col("_qb")).select(id_col)
+    cands = df.join(cand_ids, id_col)
+    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(scored, id_col, k)

@@ -153,3 +153,88 @@ def sim_cosine_topk_lsh_multiprobe(spark, sf_dir):
     return cosine_topk_lsh_multiprobe(
         emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, n_planes=4
     )
+
+
+# --- oracle-exact hyperplane LSH -------------------------------------------
+
+from etlalchemy_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_lsh_exact,
+    hyperplanes,
+)
+
+_LSH_N_PLANES = 6
+_LSH_PLANES = hyperplanes(64, _LSH_N_PLANES, seed=42)
+
+
+def _plane_lit_sql(p: list[float]) -> str:
+    vals = ", ".join(repr(float(v)) for v in p)
+    return f"[{vals}]"
+
+
+def _lsh_exact_sql() -> str:
+    """Oracle twin of cosine_topk_lsh_exact: decimal-exact plane dots →
+    bucket bits → query-bucket candidates → decimal-exact cosine
+    top-10. Plane literals are the same Python-generated doubles the
+    Spark plan bakes in."""
+    dot_aggs = ",\n         ".join(
+        "SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))"
+        f" * CAST(CAST(({_plane_lit_sql(p)})[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS d{j}"
+        for j, p in enumerate(_LSH_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_LSH_N_PLANES)
+    )
+    return f"""
+WITH pd AS (
+  SELECT e.vec_id,
+         {dot_aggs}
+  FROM embeddings e, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), bkt AS (
+  SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM pd
+), qb AS (
+  SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0
+), cand AS (
+  SELECT b.vec_id FROM bkt b, qb WHERE b.bucket = qb.qbucket
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e JOIN cand USING (vec_id), q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+         / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_cosine_topk_lsh_exact", oracle=_lsh_exact_sql(), tags=("similarity", "approx"))
+def sim_cosine_topk_lsh_exact(spark, sf_dir):
+    """Hyperplane-LSH top-10 with EXACT oracle parity end to end:
+    bucket bits from decimal dot signs (engine-portable), query bucket
+    derived in-engine, candidates scored with the decimal-exact cosine.
+    Same candidate-cut shape as the production double path above."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh_exact(
+        emb,
+        "vec_id",
+        "embedding",
+        query_id=0,
+        query_vec=_query_vec(spark, sf_dir),
+        k=10,
+        n_planes=_LSH_N_PLANES,
+    )
