@@ -371,3 +371,62 @@ def cosine_topk_lsh_exact(
     cands = df.join(cand_ids, id_col)
     scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
     return _topk_ranked(scored, id_col, k)
+
+
+def embedding_near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup with exact cross-engine reproducibility:
+    candidates = pairs sharing the full decimal-sign LSH signature,
+    verified with the decimal-exact cosine. Candidate generation stays
+    linear (one bucket equi-join); only bucket-mates pay the exact
+    scoring."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bkt = lsh_buckets_exact(df, id_col, vec_col, planes)
+    withb = df.join(bkt, id_col)
+    a = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket")
+    b = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    scored = exact_cosine(pairs, ["id_a", "id_b"], F.col("_va"), F.col("_vb"))
+    return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def ivf_topk_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    query_vec: list[float],
+    centroid_ids: list[int],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat top-k with full cross-engine reproducibility: centroids
+    are existing rows (``centroid_ids``), every vector is assigned to
+    its max-cosine centroid via the decimal-exact cosine (ties → lowest
+    centroid id), the query's ``n_probe`` best cells are derived
+    in-engine from its own assignment scores, and the probed candidates
+    are scored exactly. No driver-side float math anywhere."""
+    cents = df.where(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
+    scored = exact_cosine(pairs, [id_col, "_cid"], F.col(vec_col), F.col("_cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col("_cid"))
+    ranked = scored.withColumn("_crank", F.row_number().over(w))
+
+    cells = ranked.where(F.col("_crank") == 1).select(id_col, F.col("_cid").alias("_cell"))
+    probe = (
+        ranked.where((F.col(id_col) == query_id) & (F.col("_crank") <= n_probe))
+        .select(F.col("_cid").alias("_cell"))
+    )
+    cand_ids = cells.join(F.broadcast(probe), "_cell").select(id_col)
+    cands = df.join(cand_ids, id_col)
+    out = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(out, id_col, k)

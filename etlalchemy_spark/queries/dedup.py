@@ -405,3 +405,70 @@ def dedup_simhash_pairs_exact(spark, sf_dir):
     sigs = simhash_exact(docs, "doc_id", "text")
     pairs = simhash_pairs_from_sigs(sigs, "doc_id", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- oracle-exact embedding near-dup ---------------------------------------
+
+from etlalchemy_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_pairs_exact,
+    hyperplanes as _hplanes,
+)
+
+_ED_PLANES = _hplanes(64, 6, seed=7)
+
+
+def _ed_plane_lit(p):
+    return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+
+_ED_DOTS = ",\n         ".join(
+    "SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))"
+    f" * CAST(CAST(({_ed_plane_lit(p)})[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS d{j}"
+    for j, p in enumerate(_ED_PLANES)
+)
+_ED_BUCKET = " + ".join(f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(6))
+
+_ED_EXACT_SQL = f"""
+WITH pd AS (
+  SELECT e.vec_id,
+         {_ED_DOTS}
+  FROM embeddings e, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), bkt AS (
+  SELECT vec_id, CAST({_ED_BUCKET} AS INT) AS bucket FROM pd
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), prod AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CAST(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(ROUND(dot, 12) AS DOUBLE)
+       / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+FROM prod
+WHERE CAST(ROUND(dot, 12) AS DOUBLE)
+      / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine_exact", oracle=_ED_EXACT_SQL, tags=("dedup", "approx"))
+def dedup_embedding_cosine_exact(spark, sf_dir):
+    """Embedding near-dup pairs (signature-bucket candidates + exact
+    cosine >= 0.3) with full oracle parity — decimal-sign buckets and
+    decimal-exact verification (the double-arithmetic variant above
+    remains the rows-only fast path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_exact(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=6, seed=7, dim=64
+    )

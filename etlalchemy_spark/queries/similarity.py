@@ -238,3 +238,80 @@ def sim_cosine_topk_lsh_exact(spark, sf_dir):
         k=10,
         n_planes=_LSH_N_PLANES,
     )
+
+
+# --- oracle-exact IVF ------------------------------------------------------
+
+_IVF_EXACT_SQL = """
+WITH dots AS (
+  SELECT e.vec_id, c.vec_id AS cid,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e
+  JOIN embeddings c ON c.vec_id < 8
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, c.vec_id
+), cscore AS (
+  SELECT vec_id, cid,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+         / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM dots
+), ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS crank
+  FROM cscore
+), cells AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE crank = 1
+), probe AS (
+  SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND crank <= 2
+), cand AS (
+  SELECT cells.vec_id FROM cells JOIN probe USING (cell)
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e JOIN cand USING (vec_id), q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+         / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_ivf_topk_exact", oracle=_IVF_EXACT_SQL, tags=("similarity", "approx"))
+def sim_ivf_topk_exact(spark, sf_dir):
+    """IVF-flat top-10 with exact oracle parity: centroid rows vec_id
+    0..7, decimal-exact cosine assignment (ties to lowest centroid),
+    2-cell probe derived in-engine from the query's own assignment —
+    no driver-side float math, reproducible in any engine."""
+    from etlalchemy_spark.operators.similarity import ivf_topk_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk_exact(
+        emb,
+        "vec_id",
+        "embedding",
+        query_id=0,
+        query_vec=_query_vec(spark, sf_dir),
+        centroid_ids=list(range(8)),
+        k=10,
+        n_probe=2,
+    )
