@@ -430,3 +430,30 @@ def ivf_topk_exact(
     cands = df.join(cand_ids, id_col)
     out = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
     return _topk_ranked(out, id_col, k)
+
+
+def cosine_topk_lsh_multiprobe_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe variant of ``cosine_topk_lsh_exact``: candidates
+    come from the query's bucket plus every bucket at Hamming distance
+    1, with the probe set derived in-engine by XOR-ing the query's own
+    bucket — recall approaches exact while staying reproducible."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    bkt = lsh_buckets_exact(df, id_col, vec_col, planes)
+    qb = bkt.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
+    probed = bkt.crossJoin(F.broadcast(qb))
+    cond = F.col("bucket") == F.col("_qb")
+    for i in range(n_planes):
+        cond = cond | (F.col("bucket") == F.col("_qb").bitwiseXOR(F.lit(1 << i)))
+    cand_ids = probed.where(cond).select(id_col)
+    cands = df.join(cand_ids, id_col)
+    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(scored, id_col, k)

@@ -472,3 +472,75 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
     return embedding_near_dup_pairs_exact(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=6, seed=7, dim=64
     )
+
+
+# --- exact MinHash → connected-components pipeline -------------------------
+
+_JAC_EXPR = (
+    "CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / "
+    "CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)"
+)
+
+_MH_CC_SQL = f"""{_HM_CTES.replace("WITH w AS", "WITH RECURSIVE w AS")}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM h GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, UNNEST([{_BANDS_LIST}]) AS band, UNNEST([{_KEYS_LIST}]) AS bkey
+  FROM sig
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM cands
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+  WHERE {_JAC_EXPR} >= {_MH_THRESHOLD}
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), walk(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT walk.src, und.b FROM walk JOIN und ON walk.dst = und.a
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+  FROM walk GROUP BY src
+), csize AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT comp.doc_id, comp.canonical_id, csize.cluster_size
+FROM comp JOIN csize USING (canonical_id)
+"""
+
+
+@register("dedup_minhash_cc_exact", oracle=_MH_CC_SQL, tags=("dedup", "approx", "iterative"))
+def dedup_minhash_cc_exact(spark, sf_dir):
+    """The full near-dup flow — MinHash-LSH candidates → Jaccard verify
+    → connected components → canonical labeling with cluster sizes —
+    now with EXACT oracle parity end to end (portable signatures +
+    recursive-CTE transitive closure). The Murmur3 twin above stays as
+    the rows-only production fast path."""
+    from etlalchemy_spark.operators.dedup import minhash_lsh_pairs_exact
+    from etlalchemy_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_exact(
+        docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
+    )

@@ -315,3 +315,70 @@ def sim_ivf_topk_exact(spark, sf_dir):
         k=10,
         n_probe=2,
     )
+
+
+_LSH_MP_PROBES = ", ".join(f"xor(qb.qbucket, {1 << i})" for i in range(_LSH_N_PLANES))
+
+_LSH_MP_EXACT_SQL = f"""
+WITH pd AS (
+  SELECT e.vec_id,
+         {", ".join(
+            "SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))"
+            f" * CAST(CAST(({_plane_lit_sql(p)})[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS d{j}"
+            for j, p in enumerate(_LSH_PLANES)
+         )}
+  FROM embeddings e, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), bkt AS (
+  SELECT vec_id, CAST({" + ".join(f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_LSH_N_PLANES))} AS INT) AS bucket FROM pd
+), qb AS (
+  SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0
+), cand AS (
+  SELECT b.vec_id FROM bkt b, qb
+  WHERE b.bucket IN (qb.qbucket, {_LSH_MP_PROBES})
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e JOIN cand USING (vec_id), q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+         / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "sim_cosine_topk_lsh_multiprobe_exact",
+    oracle=_LSH_MP_EXACT_SQL,
+    tags=("similarity", "approx"),
+)
+def sim_cosine_topk_lsh_multiprobe_exact(spark, sf_dir):
+    """Multi-probe LSH top-10 (query bucket + Hamming-1 neighbors,
+    probe set XOR-derived in-engine) with exact oracle parity."""
+    from etlalchemy_spark.operators.similarity import cosine_topk_lsh_multiprobe_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh_multiprobe_exact(
+        emb,
+        "vec_id",
+        "embedding",
+        query_id=0,
+        query_vec=_query_vec(spark, sf_dir),
+        k=10,
+        n_planes=_LSH_N_PLANES,
+    )

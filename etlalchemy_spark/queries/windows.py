@@ -476,3 +476,48 @@ def window_running_max_global_scalable(spark, sf_dir):
         n_buckets=16,
     )
     return out.select("event_id", "high_watermark")
+
+
+_DIST_FRAME_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS pct_rank,
+       cume_dist()    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS cume,
+       nth_value(s_acctbal, 2) OVER (
+         PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_lowest,
+       first_value(s_acctbal) OVER (
+         PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS lowest,
+       last_value(s_acctbal) OVER (
+         PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS highest
+FROM supplier
+"""
+
+
+@register("window_distribution_frames", oracle=_DIST_FRAME_SQL, tags=("window",))
+def window_distribution_frames(spark, sf_dir):
+    """percent_rank / cume_dist / nth_value / first_value / last_value
+    over full-partition frames — the distribution-function corner of
+    the window surface. percent_rank's (rank-1)/(n-1) division is one
+    double op on identical ints: cross-engine exact."""
+    sup = t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal")
+    wf = (
+        W.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("s_acctbal", 2).over(wf).alias("second_lowest"),
+        F.first("s_acctbal").over(wf).alias("lowest"),
+        F.last("s_acctbal").over(wf).alias("highest"),
+    )
