@@ -1,0 +1,60 @@
+"""Data-layout operators: z-order clustering for lake writes.
+
+The reference re-creates secondary indexes after load (SURVEY.md Table
+A, op M1). Data lakes have no indexes; the moral equivalent is LAYOUT —
+write files so that min/max footer stats prune scans on multiple
+columns at once. Z-ordering interleaves the bits of two key columns so
+range-partitioning on the composite value co-locates rows that are
+close in EITHER dimension; a scan filtered on either column then skips
+most files on footer stats alone.
+
+The interleave is a pure bit expression (whole-stage codegen, no UDF),
+and the clustered write is repartitionByRange + sortWithinPartitions —
+one shuffle, the same cost as any sorted write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton interleave of the low ``bits`` of two non-negative int
+    columns: z = ... y1 x1 y0 x0. Unrolled literal shifts — stays in
+    codegen, portable to any SQL engine."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    bits: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Cluster ``df`` by z-order of (x_col, y_col) into ``n_files``
+    range-partitioned, internally sorted files. Footer min/max on BOTH
+    columns become selective → multi-column scan pruning without an
+    index."""
+    z = zorder_value(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -141,3 +141,49 @@ def fmt_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+_ZORDER_TERMS = " + ".join(
+    f"(((o_custkey >> {i}) & 1) << {2 * i}) + (((o_orderkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+_ZORDER_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST({_ZORDER_TERMS} AS BIGINT) AS zvalue
+FROM orders
+"""
+
+
+@register("scalar_zorder_interleave", oracle=_ZORDER_SQL, tags=("scalar", "layout"))
+def scalar_zorder_interleave(spark, sf_dir):
+    """Morton z-value of (o_custkey, o_orderkey) — the bit-interleave
+    expression behind z-order clustering, unrolled literal shifts in
+    codegen (oracle recomputes the identical arithmetic)."""
+    from etlalchemy_spark.operators.layout import zorder_value
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        zorder_value(F.col("o_custkey"), F.col("o_orderkey")).alias("zvalue"),
+    )
+
+
+_ZWRITE_SQL = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+
+
+@register("fmt_zorder_clustered_write", oracle=_ZWRITE_SQL, tags=("sources", "layout"))
+def fmt_zorder_clustered_write(spark, sf_dir):
+    """Z-order clustered write (range-partition + sort on the Morton
+    value of (custkey, orderkey)) then read-back — the lake-layout
+    stand-in for the reference's secondary-index epilogue (M1): footer
+    min/max on BOTH keys become selective, so scans filtered on either
+    column prune most files. Value fidelity proven against the
+    original table; clustering quality asserted in tests/test_layout.py."""
+    from etlalchemy_spark.operators.layout import zorder_write
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    tmp = os.path.join(scratch_dir("zorder", sf_dir), "orders_z")
+    zorder_write(o, tmp, "o_custkey", "o_orderkey", n_files=8)
+    return spark.read.parquet(tmp)
