@@ -44,3 +44,26 @@ from etlalchemy_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
 )
 from etlalchemy_spark.operators.skew import salted_aggregate, salted_join, with_salt  # noqa: F401
+from etlalchemy_spark.operators.dedup import (  # noqa: F401
+    md5_prefix60,
+    minhash_lsh_pairs_exact,
+    minhash_signature_exact,
+    simhash_exact,
+)
+from etlalchemy_spark.operators.layout import zorder_value, zorder_write  # noqa: F401
+from etlalchemy_spark.operators.prefix import (  # noqa: F401
+    global_ranks,
+    running_global_max,
+    running_global_sum,
+)
+from etlalchemy_spark.operators.sampling import (  # noqa: F401
+    bernoulli_sample,
+    fixed_size_per_group,
+    hash_bucket,
+    stratified_sample,
+)
+from etlalchemy_spark.operators.sketch import (  # noqa: F401
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)

@@ -58,7 +58,10 @@ FROM supplier
 
 @register("window_rank", oracle=_RANK_SQL, tags=("window",))
 def window_rank(spark, sf_dir):
-    """rank / dense_rank tolerate ties; ntile gets a total order."""
+    """rank / dense_rank tolerate ties; ntile gets a total order.
+    Deliberately the plain unpartitioned-window formulation for API
+    coverage on a bounded dim table; the scale path for global ranks
+    is window_rank_global_scalable (operators/prefix.py)."""
     sup = t(spark, sf_dir, "supplier")
     w = W.orderBy(F.desc("s_acctbal"))
     wt = W.orderBy(F.desc("s_acctbal"), "s_suppkey")
@@ -282,7 +285,10 @@ FROM supplier
 @register("window_analytic_ranks", oracle=_ANALYTIC_SQL, tags=("window",))
 def window_analytic_ranks(spark, sf_dir):
     """percent_rank / cume_dist / nth_value (rational-valued ranks are
-    exact: same integer numerators/denominators in both engines)."""
+    exact: same integer numerators/denominators in both engines).
+    Unpartitioned on purpose (bounded dim table, API coverage); the
+    partitioned variant is window_distribution_frames and the scalable
+    global decomposition is operators/prefix.py."""
     sup = t(spark, sf_dir, "supplier")
     w = W.orderBy("s_acctbal", "s_suppkey")
     wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
