@@ -67,3 +67,4 @@ from etlalchemy_spark.operators.sketch import (  # noqa: F401
     hll_merge,
     hll_registers,
 )
+from etlalchemy_spark.operators.bloom import bloom_build, bloom_probe  # noqa: F401

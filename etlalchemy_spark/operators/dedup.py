@@ -123,15 +123,21 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, id_col: str, shingle_col: str = "shingle", num_hashes: int = 32
 ) -> DataFrame:
-    """k minhashes per doc in ONE aggregation: hash(shingle, seed) for
-    each seed, min over the doc's shingles. Output: (id, sig array<int>)."""
+    """k minhashes per doc in ONE aggregation via universal hashing:
+    the shingle string is hashed ONCE (xxhash64), then the k
+    "permutations" are integer (a·h + b) mod p transforms of that one
+    value — k× fewer string hashes than hashing per seed, same MinHash
+    guarantees (pairwise-independent family). Output: (id, sig
+    array<bigint>)."""
+    base = ((F.xxhash64(F.col(shingle_col)) % MINHASH_P) + MINHASH_P) % MINHASH_P
+    hashed = sh.select(F.col(id_col), base.alias("_h"))
     mins = [
-        F.min(F.hash(F.col(shingle_col), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes, seed=17))
     ]
-    agg = sh.groupBy(id_col).agg(*mins)
+    agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(
-        F.col(id_col), F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+        F.col(id_col), F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
     )
 
 

@@ -265,3 +265,100 @@ def join_asof_tolerance(spark, sf_dir):
         payload_cols=["value"],
         tolerance="2 HOURS",
     )
+
+
+# --- portable bloom-filter pre-join ----------------------------------------
+
+from etlalchemy_spark.operators.bloom import (  # noqa: E402
+    BLOOM_BITS,
+    BLOOM_WORDS,
+    N_HASHES,
+    bloom_build,
+    bloom_probe,
+)
+from etlalchemy_spark.operators.dedup import MINHASH_P as _BP, minhash_params as _bparams
+
+
+def _bloom_be60(key_expr: str) -> str:
+    u = f"md5_number_upper(CAST({key_expr} AS VARCHAR))"
+    return f"""(CAST((
+    (CAST(({u} >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST(({u} >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST(({u} >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST(({u} >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST(({u} >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST(({u} >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST(({u} >> 48) & 255 AS UBIGINT) * 256) +
+     CAST(({u} >> 56) & 255 AS UBIGINT)
+  ) // 16 AS BIGINT) % {_BP})"""
+
+
+_BLOOM_PARAMS = _bparams(N_HASHES, 99)
+_BLOOM_POS = ", ".join(f"(({a} * h + {b}) % {_BP}) % {BLOOM_BITS}" for a, b in _BLOOM_PARAMS)
+_BLOOM_WORD_AGGS = ",\n         ".join(
+    f"bit_or(CASE WHEN p // 64 = {w} THEN (CAST(1 AS UBIGINT) << CAST(p % 64 AS INT))"
+    f" ELSE CAST(0 AS UBIGINT) END) AS w{w}"
+    for w in range(BLOOM_WORDS)
+)
+_BLOOM_WLIST = ", ".join(f"COALESCE(w{w}, CAST(0 AS UBIGINT))" for w in range(BLOOM_WORDS))
+_BLOOM_PCOLS = ",\n         ".join(
+    f"(({a} * h + {b}) % {_BP}) % {BLOOM_BITS} AS p{i}"
+    for i, (a, b) in enumerate(_BLOOM_PARAMS)
+)
+_BLOOM_CHECKS = "\n   AND ".join(
+    f"((wl[CAST(p{i} // 64 AS INT) + 1] >> CAST(p{i} % 64 AS INT)) & 1) = 1"
+    for i in range(N_HASHES)
+)
+
+_BLOOM_SQL = f"""
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+), hh AS (
+  SELECT {_bloom_be60("c_custkey")} AS h FROM seg
+), pos AS (
+  SELECT UNNEST([{_BLOOM_POS}]) AS p FROM hh
+), words AS (
+  SELECT {_BLOOM_WORD_AGGS}
+  FROM pos
+), wl AS (
+  SELECT [{_BLOOM_WLIST}] AS wl FROM words
+), probe AS (
+  SELECT o_orderkey, o_custkey, {_bloom_be60("o_custkey")} AS h FROM orders
+), ppos AS (
+  SELECT o_orderkey, o_custkey,
+         {_BLOOM_PCOLS}
+  FROM probe
+), pass AS (
+  SELECT o_orderkey, o_custkey FROM ppos, wl
+  WHERE {_BLOOM_CHECKS}
+)
+SELECT p.o_orderkey, p.o_custkey,
+       (s.c_custkey IS NOT NULL) AS is_member
+FROM pass p LEFT JOIN seg s ON p.o_custkey = s.c_custkey
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_SQL, tags=("join", "bloom", "scale"))
+def join_bloom_prefilter(spark, sf_dir):
+    """Runtime-filter semi-join: a 1024-bit portable bloom over the
+    negative-balance customer segment broadcasts as ONE row; orders are
+    discarded by bit arithmetic inside the scan stage before any
+    shuffle. Survivors carry the exact verdict from a real semi-join —
+    the rows flagged is_member=false are the bloom's false positives,
+    visible and bounded. The whole structure (filter bits, probe,
+    verdicts) hash-matches the oracle exactly."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    seg = cust.where(F.col("c_acctbal") < 0).select("c_custkey")
+    bloom = bloom_build(seg, F.col("c_custkey"))
+    probed = bloom_probe(orders, F.col("o_custkey"), bloom)
+    passed = probed.where(F.col("bloom_pass")).select("o_orderkey", "o_custkey")
+    member = seg.withColumn("_m", F.lit(True))
+    return (
+        passed.join(F.broadcast(member), passed.o_custkey == member.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce(F.col("_m"), F.lit(False)).alias("is_member"),
+        )
+    )

@@ -1,0 +1,28 @@
+"""Portable bloom filter: no false negatives, bounded false positives."""
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.bloom import bloom_build, bloom_probe
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k long")
+    bloom = bloom_build(keys, F.col("k"))
+    probed = bloom_probe(keys, F.col("k"), bloom)
+    assert probed.where(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_false_positive_rate(spark):
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    others = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], "k long")
+    bloom = bloom_build(members, F.col("k"))
+    fp = bloom_probe(others, F.col("k"), bloom).where(F.col("bloom_pass")).count()
+    # theory: (1 - e^(-kn/m))^k ≈ 0.8% at k=7, n=100, m=1024 → allow 5×
+    assert fp / 2000 < 0.04
+
+
+def test_bloom_empty_build_rejects_all(spark):
+    empty = spark.createDataFrame([], "k long")
+    bloom = bloom_build(empty, F.col("k"))
+    others = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    assert bloom_probe(others, F.col("k"), bloom).where(F.col("bloom_pass")).count() == 0
