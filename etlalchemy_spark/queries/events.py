@@ -418,3 +418,31 @@ def events_retention_cohort(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_ENRICH_SQL = """
+SELECT n.n_name AS nation, e.event_type, COUNT(*) AS n
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("events_user_enrich", oracle=_ENRICH_SQL, tags=("events", "join"))
+def events_user_enrich(spark, sf_dir):
+    """Batch twin of stream_static_enrich: fact-to-dim broadcast
+    enrichment (events → customer → nation) aggregated per (nation,
+    event_type) — same logical plan the streaming variant runs per
+    micro-batch."""
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

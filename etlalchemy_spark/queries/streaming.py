@@ -181,3 +181,21 @@ def stream_foreach_batch_sink(spark, sf_dir):
     shutil.rmtree(sink, ignore_errors=True)
     drain_foreach_batch(ev.select("event_id", "user_id", "event_type"), sink)
     return spark.read.parquet(sink)
+
+
+@register("stream_static_enrich", oracle=None, tags=("streaming", "join"))
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast join: events stream enriched with the
+    customer→nation dimension, counted per (nation, event_type). The
+    batch twin events_user_enrich carries the SQL oracle."""
+    from etlalchemy_spark.catalog import load_table
+    from etlalchemy_spark.streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        static_enrich_counts,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return drain_to_memory(static_enrich_counts(ev, cust, nat), "complete")

@@ -171,3 +171,19 @@ def stream_stream_join(left: DataFrame, right: DataFrame) -> DataFrame:
         & (F.col("v_ts") >= F.col("c_ts"))
         & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     )
+
+
+def static_enrich_counts(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (unbounded) event stream with
+    bounded dimension tables — the static side broadcasts per
+    micro-batch, no stream-side state. Aggregates to (nation,
+    event_type) counts under a watermark."""
+    dim = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
