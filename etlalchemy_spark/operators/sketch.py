@@ -76,3 +76,195 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     for r in register_tables[1:]:
         out = out.unionByName(r)
     return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+# --- Count-Min sketch (portable, oracle-exact) ------------------------------
+#
+# Frequency estimation in fixed memory: depth*width integer counters,
+# est(x) = min_j C[j][h_j(x)] >= true count, always. Counter tables from
+# disjoint partitions merge by cell-wise SUM — the heavy-hitter state a
+# 100 TB pipeline keeps per shard/day and combines at query time. All
+# arithmetic is the same portable mod-p universal hashing as MinHash
+# (operators/dedup.minhash_params), so the sketch — and every estimate
+# read from it — is bit-identical in any engine.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_SEED = 7  # distinct from the MinHash seed: independent hash family
+
+
+def _cms_cells(key: Column, depth: int, width: int, seed: int) -> Column:
+    """Array of (r, c) counter coordinates for one key."""
+    from etlalchemy_spark.operators.dedup import (
+        MINHASH_P,
+        md5_prefix60,
+        minhash_params,
+    )
+
+    hm = md5_prefix60(key.cast("string")) % MINHASH_P
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("r"),
+                (((F.lit(a) * hm + F.lit(b)) % MINHASH_P) % width).alias("c"),
+            )
+            for j, (a, b) in enumerate(minhash_params(depth, seed))
+        ]
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    key: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """(r, c, cnt) counter table. One scan: explode the depth
+    coordinates per row, hash-aggregate — partial (map-side) combine
+    collapses the depth*N stream to <= depth*width rows per task
+    before the single shuffle."""
+    return (
+        df.select(F.explode(_cms_cells(key, depth, width, seed)).alias("e"))
+        .select("e.r", "e.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Point-query a counter table for each row of ``keys``: adds
+    ``cms_est`` = min over the depth counters. The counter table is
+    <= depth*width rows by construction → broadcast to the probe side,
+    no shuffle of ``keys``."""
+    coords = keys.select(
+        key_col, F.explode(_cms_cells(F.col(key_col), depth, width, seed)).alias("e")
+    ).select(key_col, "e.r", "e.c")
+    return (
+        coords.join(F.broadcast(registers), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_merge(*register_tables: DataFrame) -> DataFrame:
+    """Cell-wise SUM of counter tables — sketches of disjoint data
+    unions combine exactly."""
+    out = register_tables[0]
+    for r in register_tables[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+# --- exact distinct-count via bitmap buckets --------------------------------
+#
+# For dense integer keys, exact COUNT(DISTINCT) in O(keyspace/8) bits
+# with NO expansion of the data: bucket = key >> 6, word = OR of
+# (1 << (key & 63)). Per-bucket words merge across partitions/days with
+# bitwise OR (Spark's bit_or partial-aggregates map-side), so the state
+# is as mergeable as a sketch but the answer is exact — the
+# roaring-bitmap idea reduced to its Spark-native core. Contrast HLL
+# above: use bitmaps when the keyspace is bounded, HLL when it isn't.
+
+
+def bitmap_buckets(df: DataFrame, key: Column) -> DataFrame:
+    """(bucket, n_in_bucket) — per-64-key-bucket exact distinct counts
+    from one bit_or aggregate. Key must be a non-negative integer."""
+    k = key.cast("long")
+    # pyspark's shiftleft() only takes a literal shift count; the SQL
+    # function form accepts a column.
+    word = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_k % 64 AS INT))"))
+    return (
+        df.select(F.shiftright(k, 6).alias("bucket"), k.alias("_k"))
+        .groupBy("bucket")
+        .agg(word.alias("_w"))
+        .select("bucket", F.bit_count("_w").cast("long").alias("n_in_bucket"))
+    )
+
+
+def bitmap_distinct_count(df: DataFrame, key: Column) -> DataFrame:
+    """One-row exact distinct count: SUM of per-bucket popcounts."""
+    return bitmap_buckets(df, key).agg(
+        F.coalesce(F.sum("n_in_bucket"), F.lit(0).cast("long")).alias("n_distinct")
+    )
+
+
+# --- fixed-bin histogram quantiles (portable, oracle-exact) -----------------
+#
+# The mergeable quantile state for a bounded-range metric: integer
+# counts over nbins equal-width bins (bin tables from shards merge by
+# per-bin SUM). The q-quantile estimate takes the k = ceil(q*N)-th
+# value's bin and interpolates by rank fraction inside it. k is pure
+# integer arithmetic (floor((num*N + den - 1)/den)) and the only float
+# ops are one fixed multiply/divide chain on identical operands — the
+# ESTIMATE hash-matches across engines, unlike approx_percentile's
+# engine-internal GK/KLL state.
+
+
+def hist_bins(df: DataFrame, x: Column, lo: float, width: float, nbins: int) -> DataFrame:
+    """(bin, cnt) integer bin table; values outside [lo, lo+nbins*width)
+    clamp into the edge bins."""
+    raw = F.floor((x.cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0).cast("long"), F.least(F.lit(nbins - 1).cast("long"), raw))
+    return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_quantiles(
+    bins: DataFrame,
+    lo: float,
+    width: float,
+    quantiles: list[tuple[str, int, int]],
+) -> DataFrame:
+    """(q, estimate) for each (label, num, den) quantile num/den.
+    The cumulative pass runs over the bin table — sketch-sized state
+    (<= nbins rows), so the single-partition window is a non-issue at
+    any data scale."""
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        bins.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("cumb", F.col("cum") - F.col("cnt"))
+    )
+    total = bins.agg(F.sum("cnt").alias("n"))
+    qdf = total.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("q"),
+                        F.lit(num).alias("_num"),
+                        F.lit(den).alias("_den"),
+                    )
+                    for label, num, den in quantiles
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "e.q",
+        F.floor(
+            (F.col("e._num") * F.col("n") + F.col("e._den") - 1) / F.col("e._den")
+        ).alias("k"),
+    )
+    est = F.lit(lo) + (
+        (
+            F.col("bin").cast("double")
+            + (F.col("k") - F.col("cumb")).cast("double") / F.col("cnt").cast("double")
+        )
+        * F.lit(width)
+    )
+    return (
+        qdf.join(
+            F.broadcast(cum), (F.col("cum") >= F.col("k")) & (F.col("cumb") < F.col("k"))
+        )
+        .select("q", est.alias("estimate"))
+        .orderBy("q")
+    )
