@@ -77,3 +77,44 @@ def fixed_size_per_group(
         .where(F.col("_srn") <= n)
         .drop("_srn")
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    order_cols: list[str],
+    weight: Column,
+    n: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Weighted systematic sampling: n evenly spaced thresholds over
+    the cumulative-weight axis; a row is drawn once per threshold
+    falling inside its weight interval (``n_picks`` >= 1, so heavy rows
+    can be drawn multiple times — probability-proportional-to-size
+    with replacement).
+
+    Needs a global cumulative sum — delegated to the range-bucketed
+    two-phase prefix (operators/prefix.py), so no single-partition
+    window at any scale. Weight must be integral (cast to BIGINT):
+    threshold tests are exact integer floor-division, reproducible in
+    any engine and under stage retries.
+    """
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    d = df.withColumn("_wsw", weight.cast("long"))
+    cum = running_global_sum(
+        d,
+        F.col(order_cols[0]),
+        order_cols[1:],
+        F.col("_wsw"),
+        alias="_cum",
+        n_buckets=n_buckets,
+    ).withColumn("_cum", F.col("_cum").cast("long"))
+    total = d.agg(F.sum("_wsw").alias("_W"))
+    hi = F.expr(f"(_cum * {n}) DIV _W")
+    lo = F.expr(f"((_cum - _wsw) * {n}) DIV _W")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("n_picks", hi - lo)
+        .where(F.col("n_picks") > 0)
+        .drop("_wsw", "_cum", "_W")
+    )

@@ -457,3 +457,43 @@ def etl_profile_report(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_INCR_MV_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("etl_incremental_mv", oracle=_INCR_MV_SQL, tags=("etl", "agg"))
+def etl_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-customer
+    order rollup is kept as mergeable partials (count, decimal sum);
+    a new batch (orders from 1997 on) is aggregated ALONE and merged
+    into the existing MV state by key — union + re-aggregate, the
+    upsert-free formulation that needs no point lookups and scales as
+    one shuffle of the (small) delta plus the MV. The oracle is the
+    full recompute: maintenance must be indistinguishable from
+    rebuilding, including new keys appearing only in the delta."""
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        )
+
+    mv = partial(o.where(F.col("o_orderdate") < cutoff))  # existing MV state
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))  # new batch
+    return (
+        mv.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("decimal(38,4)").cast("double").alias("total_spent"),
+        )
+    )

@@ -446,3 +446,38 @@ def events_user_enrich(spark, sf_dir):
         .groupBy("nation", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_ROLLUP_CASCADE_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("ts_rollup_cascade", oracle=_ROLLUP_CASCADE_SQL, tags=("events", "timeseries"))
+def ts_rollup_cascade(spark, sf_dir):
+    """Hierarchical continuous-aggregate rollup: minute partials →
+    hourly → daily, each level re-aggregating ONLY the level below
+    (never the raw events). This is the hypertable-rollup pattern at
+    100 TB — persist the minute partials once, answer any coarser
+    grain from ~1/10^4 the rows. COUNTs re-add exactly; the value sum
+    stays DECIMAL through every level so the cascade is bit-identical
+    to the oracle's direct single-pass daily aggregate."""
+    ev = t(spark, sf_dir, "events")
+    minutely = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    hourly = minutely.groupBy(F.date_trunc("hour", "m").alias("h")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("decimal(38,4)").cast("double").alias("sum_value"),
+        )
+    )

@@ -97,3 +97,34 @@ def sample_fixed_per_group(spark, sf_dir):
     return fixed_size_per_group(d, ["source"], F.col("doc_id"), 3, salt="s3:").select(
         "source", "doc_id", "lang"
     )
+
+
+_WEIGHTED_SQL = """
+WITH c AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS w,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           ORDER BY l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lineitem
+), tot AS (SELECT SUM(CAST(l_quantity AS BIGINT)) AS wtot FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       (cum * 200) // wtot - ((cum - w) * 200) // wtot AS n_picks
+FROM c CROSS JOIN tot
+WHERE (cum * 200) // wtot - ((cum - w) * 200) // wtot > 0
+"""
+
+
+@register("sample_weighted_systematic", oracle=_WEIGHTED_SQL, tags=("sampling",))
+def sample_weighted_systematic(spark, sf_dir):
+    """200 quantity-weighted systematic draws from lineitem
+    (probability proportional to size): 200 even thresholds over the
+    cumulative-quantity axis, each row drawn once per threshold in its
+    interval. The cumulative sum is the range-bucketed two-phase
+    prefix — the oracle's single ORDER BY window, without the single
+    partition."""
+    from etlalchemy_spark.operators.sampling import weighted_systematic_sample
+
+    li = t(spark, sf_dir, "lineitem")
+    return weighted_systematic_sample(
+        li, ["l_orderkey", "l_linenumber"], F.col("l_quantity"), 200
+    ).select("l_orderkey", "l_linenumber", "n_picks")
