@@ -453,3 +453,38 @@ def agg_grouping_id(spark, sf_dir):
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+_MODE_SQL = """
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt FROM (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC
+         ) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+) WHERE rn = 1
+"""
+
+
+@register("agg_mode_exact", oracle=_MODE_SQL, tags=("agg",))
+def agg_mode_exact(spark, sf_dir):
+    """Exact per-group mode (most frequent l_quantity per return flag,
+    lowest value on ties): count-then-rank — two shuffles, both
+    partial-aggregated map-side; the rank window partitions by group
+    so no global sort appears at any scale."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )

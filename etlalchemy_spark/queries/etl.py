@@ -497,3 +497,53 @@ def etl_incremental_mv(spark, sf_dir):
             F.sum("s").cast("decimal(38,4)").cast("double").alias("total_spent"),
         )
     )
+
+
+_CDC_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 0 AS seq, 'I' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice + 100.0, 1, 'U'
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, 2, 'D'
+  FROM orders WHERE o_orderkey % 7 = 3
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("etl_cdc_apply", oracle=_CDC_SQL, tags=("etl",))
+def etl_cdc_apply(spark, sf_dir):
+    """Change-data-capture apply: materialize the current snapshot
+    from an ordered insert/update/delete log — latest op per key wins,
+    deletes drop the key. One window shuffle on the key (no point
+    lookups, no driver loop), the lakehouse MERGE formulated as pure
+    DataFrame ops. The synthetic log derives deterministically from
+    orders so the oracle replays the identical history."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(0).alias("seq"), F.lit("I").alias("op"),
+    )
+    upd = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    dele = o.where(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -481,3 +481,55 @@ def ts_rollup_cascade(spark, sf_dir):
             F.sum("sv").cast("decimal(38,4)").cast("double").alias("sum_value"),
         )
     )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))) OVER w, 4) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) OVER w, 4) AS DOUBLE) AS sx2,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT event_id, user_id, ts, value,
+         (value - (sx / n)) / sqrt(GREATEST((sx2 / n) - ((sx / n) * (sx / n)), CAST(0.0 AS DOUBLE))) AS zscore
+  FROM s
+  WHERE ((sx2 / n) - ((sx / n) * (sx / n))) > CAST(0.0 AS DOUBLE) AND n >= 10
+)
+SELECT event_id, user_id, ts, value, zscore FROM z WHERE abs(zscore) > CAST(2.5 AS DOUBLE)
+"""
+
+
+@register("ts_zscore_anomaly", oracle=_ZSCORE_SQL, tags=("events", "timeseries", "window"))
+def ts_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection per user: mean/variance from
+    a 21-event trailing frame, flag |z| > 2.5. The frame sums are
+    exact decimals rescaled at a fixed point, and the remaining float
+    ops (divide, multiply, sqrt — all correctly rounded IEEE 754) form
+    one identical chain in both engines, so even the z-scores
+    hash-match. One window shuffle on user_id; the frame is bounded so
+    state per key is O(21) at any scale."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, W.currentRow)
+    )
+    xd = F.col("value").cast("decimal(12,6)")
+    sx = F.sum(xd).over(w).cast("decimal(38,4)").cast("double")
+    sx2 = F.sum(xd * xd).over(w).cast("decimal(38,4)").cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = ev.select("event_id", "user_id", "ts", "value",
+                  sx.alias("sx"), sx2.alias("sx2"), n.alias("n"))
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sx2") / F.col("n")) - (mean * mean)
+    z = (F.col("value") - mean) / F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        s.where((var > F.lit(0.0)) & (F.col("n") >= 10))
+        .select("event_id", "user_id", "ts", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > F.lit(2.5))
+    )

@@ -362,3 +362,37 @@ def join_bloom_prefilter(spark, sf_dir):
             F.coalesce(F.col("_m"), F.lit(False)).alias("is_member"),
         )
     )
+
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM names a JOIN names b
+  ON a.name < b.name
+ AND abs(length(a.name) - length(b.name)) <= 3
+ AND levenshtein(a.name, b.name) <= 3
+"""
+
+
+@register("join_fuzzy_levenshtein", oracle=_FUZZY_SQL, tags=("join", "text"))
+def join_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy self-join of part names within edit distance 3. The scale
+    move is dedupe-before-quadratic: collapse the fact table to its
+    distinct names FIRST (one hash aggregate), so the pairwise stage
+    is |distinct|^2, not |rows|^2; a length-band predicate prunes
+    pairs before the levenshtein call (integer edit distance —
+    identical in any engine)."""
+    p = t(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    an, bn = F.col("a.name"), F.col("b.name")
+    pairs = a.join(
+        b,
+        (an < bn)
+        & (F.abs(F.length(an) - F.length(bn)) <= 3)
+        & (F.levenshtein(an, bn) <= 3),
+    )
+    return pairs.select(
+        an.alias("name_a"), bn.alias("name_b"), F.levenshtein(an, bn).alias("dist")
+    )

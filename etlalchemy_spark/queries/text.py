@@ -239,3 +239,65 @@ def text_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), "bigram")
         .limit(25)
     )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), nn AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_SQL, tags=("text",))
+def text_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF with a
+    RATIONAL idf (N/df instead of log(N/df)): log() rounding is
+    libm-specific, a single double division is correctly rounded
+    everywhere — same ranking, hash-exact scores. One explode + two
+    hash aggregates; the small per-term document-frequency table joins
+    back broadcast-style, and the rank window partitions by doc."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
