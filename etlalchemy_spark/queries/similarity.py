@@ -382,3 +382,35 @@ def sim_cosine_topk_lsh_multiprobe_exact(spark, sf_dir):
         k=10,
         n_planes=_LSH_N_PLANES,
     )
+
+
+_CENTROID_SQL = """
+SELECT e.label, CAST(i - 1 AS INT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                           * CAST(10000000.0 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) * 10000000 AS DOUBLE) AS centroid
+FROM embeddings e, generate_series(1, 64) AS s(i)
+GROUP BY e.label, i
+"""
+
+
+@register("sim_label_centroids", oracle=_CENTROID_SQL, tags=("similarity", "agg"))
+def sim_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the class-prototype aggregate behind nearest-centroid classifiers
+    and IVF coarse quantizers. posexplode + hash aggregate, partial
+    sums combining map-side. Elements are floor-quantized to 1e-7
+    integers before summing (float32 carries ~7 significant digits):
+    the double→decimal(12,10) cast used by the cosine path rounds
+    ties differently across engines when raw elements are summed
+    alone, while multiply-and-floor is a correctly-rounded chain —
+    integer-exact everywhere."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    q = F.floor(F.col("v").cast("double") * F.lit(10000000.0))
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)) * F.lit(10000000)).cast("double")
+        ).alias("centroid")
+    )

@@ -301,3 +301,38 @@ def text_tfidf_topterms(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "score")
     )
+
+
+_BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
+    FROM w
+  )
+)
+SELECT shingle, COUNT(*) AS n_docs
+FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+"""
+
+
+@register("text_boilerplate_shingles", oracle=_BOILERPLATE_SQL, tags=("text", "dedup"))
+def text_boilerplate_shingles(spark, sf_dir):
+    """Boilerplate detection: 5-word shingles occurring in >= 2
+    distinct documents (headers/footers/templates in a real corpus).
+    Same shingle pipeline as MinHash (split → sequence → transform →
+    explode, per-doc distinct), one hash aggregate over the shingle —
+    at scale you'd shingle-hash first (word_shingles hashed=True) so
+    the shuffle carries 8 bytes, not strings."""
+    from etlalchemy_spark.operators.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", k=5)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )

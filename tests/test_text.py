@@ -84,3 +84,25 @@ def test_quality_score_penalizes_spam(spark):
     feats = quality_features(F.col("text"))
     rows = {r.id: r.q for r in df.select("id", quality_score(feats).alias("q")).collect()}
     assert rows[1] > rows[2]
+
+
+def test_boilerplate_shingles_cross_doc(spark):
+    from etlalchemy_spark.registry import all_queries
+    from conftest import SF_DIR
+
+    out = all_queries()["text_boilerplate_shingles"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "near-dup fixture docs must share shingles"
+    assert all(r["n_docs"] >= 2 for r in rows)
+
+
+def test_label_centroids_shape_and_range(spark):
+    from etlalchemy_spark.registry import all_queries
+    from conftest import SF_DIR
+
+    out = all_queries()["sim_label_centroids"].fn(spark, SF_DIR).collect()
+    labels = {r["label"] for r in out}
+    dims = {r["dim"] for r in out}
+    assert len(out) == len(labels) * 64
+    assert dims == set(range(64))
+    assert all(abs(r["centroid"]) < 1.0 for r in out)
