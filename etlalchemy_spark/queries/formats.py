@@ -187,3 +187,33 @@ def fmt_zorder_clustered_write(spark, sf_dir):
     tmp = os.path.join(scratch_dir("zorder", sf_dir), "orders_z")
     zorder_write(o, tmp, "o_custkey", "o_orderkey", n_files=8)
     return spark.read.parquet(tmp)
+
+
+_TEXT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '[\n\r]', ' ', 'g'), '\t', ' ', 'g') AS text_line
+FROM documents
+"""
+
+
+@register("fmt_text_roundtrip", oracle=_TEXT_SQL, tags=("sources",))
+def fmt_text_roundtrip(spark, sf_dir):
+    """documents → line-delimited text files (id TAB text, control
+    chars stripped — the reference's D1 delimiter cleaning) → read
+    back with spark.read.text and re-split. Text is the lowest common
+    denominator for corpus interchange; the explicit-schema re-split
+    keeps the read one narrow projection."""
+    d = t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[\\n\\r]", " "), "\\t", " "
+    )
+    line = F.concat(F.col("doc_id").cast("string"), F.lit("\t"), clean)
+    tmp = scratch_dir("textfmt", sf_dir)
+    path = os.path.join(tmp, "documents_text")
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    return back.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("text_line"),
+    )

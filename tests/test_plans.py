@@ -139,3 +139,35 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_cms_probe_broadcasts_counter_table(spark):
+    df = _q("sketch_cms_heavy_hitters").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_tfidf_broadcasts_term_frequencies(spark):
+    df = _q("text_tfidf_topterms").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_bitmap_distinct_is_single_agg_no_join(spark):
+    df = _q("sketch_bitmap_distinct_total").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "Join" not in plan  # pure two-level aggregate
+    # tree section only (ops reappear in the detail listing):
+    assert plan.count("+- Exchange") <= 2  # bucket shuffle + final single-row
+
+
+def test_rollup_cascade_reaggregates_partials(spark):
+    df = _q("ts_rollup_cascade").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    # three grouping levels -> HashAggregates present; no window, no sort
+    assert "WindowExec" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_mode_no_global_sort(spark):
+    df = _q("agg_mode_exact").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "rangepartitioning" not in plan.lower()
