@@ -464,3 +464,81 @@ def simhash_pairs_from_sigs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    theta_num: int = 3,
+    theta_den: int = 5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= theta_num/theta_den via
+    PREFIX FILTERING (the ppjoin idea): order each doc's shingles by
+    ascending global document-frequency; if J(A,B) >= theta the two
+    docs MUST share a shingle within their first
+    |T| - ceil(theta*|T|) + 1 shingles, so only prefix-shingle
+    collisions become candidates — the quadratic stage runs on rare
+    shingles instead of the whole inverted index. Candidates then get
+    an exact integer-arithmetic Jaccard verify (cross-multiplied
+    threshold, no float compare). Lossless: returns exactly the pairs
+    an exhaustive join would.
+
+    Shuffles: shingle explode → df-count aggregate, per-doc rank
+    window, prefix self-join on shingle, candidate-restricted
+    intersection join keyed (doc, shingle). All joins carry integer
+    ids + one shingle string; at scale pass hashed shingles
+    (word_shingles hashed=True) to shrink payloads to 8 bytes.
+    """
+    sh = word_shingles(df, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_sdf"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    wdoc = Window.partitionBy(id_col).orderBy("_sdf", "shingle")
+    pre = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .join(sizes, id_col)
+        # prefix length = nt - ceil(theta*nt) + 1; ceil via int arith
+        .where(
+            F.col("_rn")
+            <= F.col("_nt")
+            - F.expr(f"({theta_num} * _nt + {theta_den} - 1) DIV {theta_den}")
+            + 1
+        )
+        .select(F.col(id_col), F.col("shingle"))
+    )
+    a = pre.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pre.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("_ia"), F.col("shingle").alias("_sha"))
+    shb = sh.select(F.col(id_col).alias("_ib"), F.col("shingle").alias("_shb"))
+    inter = (
+        cand.join(sha, F.col("id_a") == F.col("_ia"))
+        .join(shb, (F.col("id_b") == F.col("_ib")) & (F.col("_sha") == F.col("_shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_nt").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_nt").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.lit(theta_den) * F.col("_ni")
+            >= F.lit(theta_num) * (F.col("_na") + F.col("_nb") - F.col("_ni"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_ni").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

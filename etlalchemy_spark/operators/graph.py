@@ -76,3 +76,74 @@ def connected_components(
             changed,
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(node, pagerank) after ``iters`` weighted power iterations —
+    deterministic in ANY engine.
+
+    The accumulation hazard: summing double contributions per target
+    node is order-dependent. Each contribution is therefore
+    floor-quantized to a 1e-9 integer (one identical multiply/divide
+    chain, then FLOOR — correctly rounded everywhere), summed as
+    BIGINT (exact, associative), and rescaled once per iteration. The
+    tiny systematic downward bias (< 1e-9 * in-degree) is the price of
+    bit-reproducibility across engines, partitionings, and retries.
+
+    Dangling nodes contribute nothing (no redistribution) — the
+    simplest PR variant, applied identically in the SQL twin. Per
+    iteration: one join (ranks × edges, both keyed on src) + one
+    aggregate — ranks stay node-count-sized, edges are scanned from
+    their cached partitioning each round.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_outw"))
+    ew = e.join(outw, "_s")
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select("_d"))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    base = nodes.crossJoin(F.broadcast(n1))
+    ranks = base.select(
+        "node", (F.lit(1.0) / F.col("_n").cast("double")).alias("pagerank")
+    )
+    for i in range(iters):
+        if i and i % checkpoint_every == 0:
+            # cut the iterative lineage like connected_components above:
+            # planning cost grows with every stacked iteration otherwise
+            ranks = ranks.localCheckpoint(eager=True)
+        contrib = ranks.join(ew, ranks["node"] == ew["_s"]).select(
+            F.col("_d").alias("node"),
+            F.floor(
+                (F.col("pagerank") * F.col("_w").cast("double") * F.lit(1000000000.0))
+                / F.col("_outw").cast("double")
+            ).alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_c"))
+        ranks = (
+            base.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - damping) / F.col("_n").cast("double"))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0).cast("long")).cast("double")
+                        / F.lit(1000000000.0)
+                    )
+                ).alias("pagerank"),
+            )
+        )
+    return ranks

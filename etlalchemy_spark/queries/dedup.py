@@ -544,3 +544,41 @@ def dedup_minhash_cc_exact(spark, sf_dir):
             "cluster_size",
         )
     )
+
+
+_PREFIX_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 2, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS shingle
+    FROM w
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 5 * ni >= 3 * (sa.nt + sb.nt - ni)
+"""
+
+
+@register("dedup_prefix_filter_jaccard", oracle=_PREFIX_JACCARD_SQL, tags=("dedup",))
+def dedup_prefix_filter_jaccard(spark, sf_dir):
+    """3-gram Jaccard >= 0.6 pairs via prefix filtering — candidates
+    only from rare-shingle prefix collisions, exact integer verify on
+    candidates. The oracle is the EXHAUSTIVE inverted-index join:
+    hash-equality proves the filter lossless, not just fast."""
+    from etlalchemy_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", k=3, theta_num=3, theta_den=5)

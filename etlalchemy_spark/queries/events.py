@@ -533,3 +533,59 @@ def ts_zscore_anomaly(spark, sf_dir):
         .select("event_id", "user_id", "ts", "value", z.alias("zscore"))
         .where(F.abs(F.col("zscore")) > F.lit(2.5))
     )
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
+    base = repr(1.0 - damping)  # Python-double exact: matches F.lit(1.0 - d)
+    sql = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s,
+         event_type AS d
+  FROM events
+), edges AS (
+  SELECT s AS src, d AS dst, COUNT(*) AS w FROM pairs WHERE s IS NOT NULL GROUP BY 1, 2
+), outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN outw o USING (src)),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pagerank
+  FROM nodes CROSS JOIN nn
+)"""
+    for i in range(iters):
+        sql += f""",
+r{i + 1} AS (
+  SELECT b.node,
+         (CAST({base} AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         + CAST({damping!r} AS DOUBLE)
+           * (CAST(COALESCE(s.c, 0) AS DOUBLE) / CAST(1000000000.0 AS DOUBLE)) AS pagerank
+  FROM nodes b CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ew.dst AS node,
+           SUM(CAST(FLOOR(((r{i}.pagerank * CAST(ew.w AS DOUBLE)) * CAST(1000000000.0 AS DOUBLE))
+                          / CAST(ew.outw AS DOUBLE)) AS BIGINT)) AS c
+    FROM r{i} JOIN ew ON ew.src = r{i}.node GROUP BY ew.dst
+  ) s ON s.node = b.node
+)"""
+    return sql + f"\nSELECT node, pagerank FROM r{iters}\n"
+
+
+@register("graph_pagerank_exact", oracle=_pagerank_sql(), tags=("graph", "iterative"))
+def graph_pagerank_exact(spark, sf_dir):
+    """PageRank over the event-type transition graph (edges = consecutive
+    event pairs per user, weighted by frequency), 5 power iterations.
+    Per-target contribution sums are 1e-9 floor-quantized integers, so
+    an inherently float-iterative algorithm still hash-matches the
+    oracle's unrolled SQL. Ranks stay node-count-sized; each iteration
+    is one src-keyed join + one aggregate."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.graph import pagerank_exact
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).where(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return pagerank_exact(edges, damping=0.85, iters=5)
