@@ -457,7 +457,7 @@ GROUP BY 1
 """
 
 
-@register("ts_rollup_cascade", oracle=_ROLLUP_CASCADE_SQL, tags=("events", "timeseries"))
+@register("ts_rollup_cascade", oracle=_ROLLUP_CASCADE_SQL, tags=("events", "timeseries", "bench"))
 def ts_rollup_cascade(spark, sf_dir):
     """Hierarchical continuous-aggregate rollup: minute partials →
     hourly → daily, each level re-aggregating ONLY the level below

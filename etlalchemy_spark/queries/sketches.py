@@ -164,14 +164,16 @@ FROM top JOIN est USING (o_custkey)
 """
 
 
-@register("sketch_cms_registers", oracle=_CMS_REG_SQL, tags=("sketch",))
+@register("sketch_cms_registers", oracle=_CMS_REG_SQL, tags=("sketch", "bench"))
 def sketch_cms_registers(spark, sf_dir):
     """Count-Min counter table over orders.o_custkey — fixed
     depth*width integer state, mergeable by cell-wise SUM, hash-exact
     across engines (portable mod-p universal hashing)."""
     from etlalchemy_spark.operators.sketch import cms_registers
 
-    o = t(spark, sf_dir, "orders")
+    # fanout: the build is map-compute-bound (4 md5 hashes/row) and the
+    # fixture parquet is one row group -> one task without it
+    o = t(spark, sf_dir, "orders", fanout=True)
     return cms_registers(o, F.col("o_custkey"))
 
 
@@ -215,7 +217,7 @@ def sketch_bitmap_distinct_buckets(spark, sf_dir):
     return bitmap_buckets(o, F.col("o_custkey"))
 
 
-@register("sketch_bitmap_distinct_total", oracle=_BITMAP_TOTAL_SQL, tags=("sketch",))
+@register("sketch_bitmap_distinct_total", oracle=_BITMAP_TOTAL_SQL, tags=("sketch", "bench"))
 def sketch_bitmap_distinct_total(spark, sf_dir):
     """Exact global COUNT(DISTINCT o_custkey) computed as the sum of
     bitmap popcounts — distinct-count without expanding or sorting the
@@ -261,7 +263,7 @@ ORDER BY k.q
 """
 
 
-@register("sketch_quantile_histogram", oracle=_HIST_QUANTILE_SQL, tags=("sketch",))
+@register("sketch_quantile_histogram", oracle=_HIST_QUANTILE_SQL, tags=("sketch", "bench"))
 def sketch_quantile_histogram(spark, sf_dir):
     """p50/p90/p99 of l_extendedprice from a 1200-bin fixed-width
     histogram — the mergeable quantile state (per-bin SUMs). Rank

@@ -264,7 +264,7 @@ SELECT doc_id, term, score FROM (
 """
 
 
-@register("text_tfidf_topterms", oracle=_TFIDF_SQL, tags=("text",))
+@register("text_tfidf_topterms", oracle=_TFIDF_SQL, tags=("text", "bench"))
 def text_tfidf_topterms(spark, sf_dir):
     """Top-3 characteristic terms per document by TF-IDF with a
     RATIONAL idf (N/df instead of log(N/df)): log() rounding is
