@@ -488,3 +488,34 @@ def agg_mode_exact(spark, sf_dir):
             F.col("cnt").alias("mode_cnt"),
         )
     )
+
+
+_GINI_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(SUM(cnt) * SUM(cnt) - SUM(cnt * cnt) AS DOUBLE)
+         / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS gini
+FROM c GROUP BY o_orderpriority
+"""
+
+
+@register("agg_gini_impurity", oracle=_GINI_SQL, tags=("agg",))
+def agg_gini_impurity(spark, sf_dir):
+    """Gini impurity of the order-status mix per priority:
+    1 - sum(p_i^2) computed as (n^2 - sum(c^2)) / n^2 — pure integer
+    cross-multiplication and ONE double division, so the float result
+    is identical everywhere (no per-class p_i roundings to
+    accumulate). Two cascading hash aggregates, both map-side
+    partial."""
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = F.sum("cnt")
+    s2 = F.sum(F.col("cnt") * F.col("cnt"))
+    return c.groupBy("o_orderpriority").agg(
+        ((n * n - s2).cast("double") / (n * n).cast("double")).alias("gini")
+    )

@@ -589,3 +589,63 @@ def graph_pagerank_exact(spark, sf_dir):
     ).where(F.col("src").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     return pagerank_exact(edges, damping=0.85, iters=5)
+
+
+def _ewma_weights(depth: int = 20):
+    """Integer weights floor(0.9^i * 1e6) — the SAME literals are baked
+    into both formulations, so no cross-engine arithmetic produces
+    them."""
+    from decimal import Decimal
+
+    d = Decimal(9) / Decimal(10)
+    return [int((d**i) * 1_000_000) for i in range(depth)]
+
+
+def _ewma_sql(depth: int = 20) -> str:
+    ws = _ewma_weights(depth)
+    vi = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    num = " + ".join(
+        f"({w} * COALESCE(LAG({vi}, {i}) OVER w, 0))" if i else f"({w} * {vi})"
+        for i, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {i}) OVER w IS NOT NULL THEN {w} ELSE 0 END)"
+        if i
+        else f"{ws[0]}"
+        for i, w in enumerate(ws)
+    )
+    return f"""
+SELECT event_id, user_id, ts, value,
+       CAST({num} AS DOUBLE) / (CAST({den} AS DOUBLE) * 100.0) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("ts_ewma", oracle=_ewma_sql(), tags=("events", "timeseries", "window"))
+def ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average per user: decay 0.9,
+    20-term truncated kernel, weights renormalized over the rows that
+    exist near series start. EWMA is inherently sequential — the
+    truncated-kernel form turns it into 20 LAGs inside ONE window
+    pass. Weights are pre-quantized 1e-6 integers and values exact
+    1e-2 integers, so the whole accumulation is int64 (max ~1e12, no
+    decimal-precision cliffs) and a smoothing operator that normally
+    drifts per engine hash-matches the oracle. State per key is
+    O(depth) at any scale."""
+    from pyspark.sql import Window as W
+
+    ws = _ewma_weights()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vi = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    num = F.lit(ws[0]) * vi
+    den = F.lit(ws[0]).cast("bigint")
+    for i, wt in enumerate(ws[1:], start=1):
+        num = num + F.lit(wt) * F.coalesce(F.lag(vi, i).over(w), F.lit(0).cast("bigint"))
+        den = den + F.when(
+            F.lag(F.col("value"), i).over(w).isNotNull(), F.lit(wt)
+        ).otherwise(F.lit(0)).cast("bigint")
+    ewma = num.cast("double") / (den.cast("double") * F.lit(100.0))
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", ewma.alias("ewma")
+    )

@@ -128,3 +128,37 @@ def sample_weighted_systematic(spark, sf_dir):
     return weighted_systematic_sample(
         li, ["l_orderkey", "l_linenumber"], F.col("l_quantity"), 200
     ).select("l_orderkey", "l_linenumber", "n_picks")
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN {_bucket_sql("doc_id", "sp:")} < 800000 THEN 'train'
+            WHEN {_bucket_sql("doc_id", "sp:")} < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY 1
+"""
+
+
+@register("sample_train_test_split", oracle=_SPLIT_SQL, tags=("sampling",))
+def sample_train_test_split(spark, sf_dir):
+    """80/10/10 train/val/test corpus split, content-addressed on
+    doc_id: membership is a pure function of the row, so the split is
+    identical on any engine, any partitioning, any retry — and never
+    leaks rows between splits when the corpus is re-processed
+    incrementally. One narrow CASE + one aggregate."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt="sp:")
+    split = (
+        F.when(b < 800000, "train").when(b < 900000, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )

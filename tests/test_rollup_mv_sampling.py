@@ -65,3 +65,40 @@ def test_weighted_sample_heavy_row_multi_pick(spark):
            weighted_systematic_sample(df, ["id"], F.col("w"), 20).collect()}
     assert out[0] >= 9  # 1000/2000 of 20 draws
     assert sum(out.values()) == 20
+
+
+def test_gini_bounds_and_purity(spark):
+    got = all_queries()["agg_gini_impurity"].fn(spark, SF_DIR).collect()
+    assert got
+    for r in got:
+        assert 0.0 <= r["gini"] < 1.0
+    # a pure group (single class) has gini exactly 0
+    df = spark.createDataFrame([("a", "x")] * 10, "g string, cls string")
+    c = df.groupBy("g", "cls").agg(F.count(F.lit(1)).alias("cnt"))
+    n, s2 = F.sum("cnt"), F.sum(F.col("cnt") * F.col("cnt"))
+    pure = c.groupBy("g").agg(
+        ((n * n - s2).cast("double") / (n * n).cast("double")).alias("gini")
+    ).collect()
+    assert pure[0]["gini"] == 0.0
+
+
+def test_split_partitions_whole_corpus(spark):
+    rows = all_queries()["sample_train_test_split"].fn(spark, SF_DIR).collect()
+    got = {r["split"]: r["n_docs"] for r in rows}
+    total = t(spark, SF_DIR, "documents").count()
+    assert sum(got.values()) == total  # partition, no loss/overlap
+    assert got["train"] > got["val"] and got["train"] > got["test"]
+
+
+def test_ewma_tracks_constant_series(spark):
+    out = all_queries()["ts_ewma"].fn(spark, SF_DIR)
+    # EWMA of any series stays within its min/max per user
+    joined = out.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.min("ewma").alias("elo"), F.max("ewma").alias("ehi"),
+    )
+    # small slack for the 1e-6 weight quantization
+    bad = joined.where(
+        (F.col("elo") < F.col("lo") - 1e-3) | (F.col("ehi") > F.col("hi") + 1e-3)
+    )
+    assert bad.count() == 0
