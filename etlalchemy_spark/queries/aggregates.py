@@ -519,3 +519,90 @@ def agg_gini_impurity(spark, sf_dir):
     return c.groupBy("o_orderpriority").agg(
         ((n * n - s2).cast("double") / (n * n).cast("double")).alias("gini")
     )
+
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+        - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+          * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE))
+       / (sqrt(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+               - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+                 * CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))
+          * sqrt(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+                 - CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+                   * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE))) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_corr_exact", oracle=_CORR_SQL, tags=("agg", "stats"))
+def agg_corr_exact(spark, sf_dir):
+    """Pearson correlation per group, cross-engine exact: all five
+    reductions (sx, sy, sxy, sx2, sy2) are exact decimal sums; the
+    closing chain is correctly-rounded IEEE ops only (mul/div/sub and
+    sqrt, which IEEE 754 requires exact) — the built-in corr()
+    accumulates doubles in shuffle order and is not reproducible.
+    One shuffle on the group key, partial+final like any hash agg."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(14,2)")
+    n = F.count(F.lit(1)).cast("double")
+    d = lambda c: F.sum(c).cast("decimal(38,4)").cast("double")  # noqa: E731
+    sxy, sx, sy, sx2, sy2 = d(q * p), d(q), d(p), d(q * q), d(p * p)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sx2 - sx * sx / n) * F.sqrt(sy2 - sy * sy / n)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(corr.alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+_SKEW_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sx2,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sx3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       sqrt(n) * (sx3 - 3 * sx2 * sx / n + 2 * sx * sx * sx / (n * n))
+         / ((sx2 - sx * sx / n) * sqrt(sx2 - sx * sx / n)) AS skew_qty
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_skewness_exact", oracle=_SKEW_SQL, tags=("agg", "stats"))
+def agg_skewness_exact(spark, sf_dir):
+    """Population skewness, cross-engine exact: the three moment sums
+    are exact decimal reductions (scale grows 2→4→6 through the
+    powers, well inside decimal38); the closing chain uses only
+    correctly-rounded IEEE ops — x^1.5 is spelled x*sqrt(x) because
+    pow() carries no cross-platform rounding guarantee but sqrt does.
+    Same single-shuffle two-phase hash agg as any groupBy."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    d = lambda c: F.sum(c).cast("decimal(38,4)").cast("double")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(q).alias("sx"),
+        d(q * q).alias("sx2"),
+        d(q * q * q).alias("sx3"),
+    )
+    n, sx, sx2, sx3 = F.col("n"), F.col("sx"), F.col("sx2"), F.col("sx3")
+    m3 = sx3 - F.lit(3) * sx2 * sx / n + F.lit(2) * sx * sx * sx / (n * n)
+    m2 = sx2 - sx * sx / n
+    return s.select(
+        "l_returnflag",
+        (F.sqrt(n) * m3 / (m2 * F.sqrt(m2))).alias("skew_qty"),
+    ).orderBy("l_returnflag")

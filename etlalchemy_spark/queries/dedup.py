@@ -582,3 +582,62 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(d, "doc_id", "text", k=3, theta_num=3, theta_den=5)
+
+
+_CONTAIN_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
+    FROM w
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
+FROM inter
+JOIN sizes s ON s.doc_id = src_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_containment_exact", oracle=_CONTAIN_SQL, tags=("dedup",))
+def dedup_containment_exact(spark, sf_dir):
+    """Directed shingle containment |A∩B| / |A| >= 0.5: catches
+    subset/quotation near-dups that symmetric Jaccard under-scores
+    (a doc fully embedded in a 10x larger one has Jaccard ~0.1 but
+    containment ~1.0). Same distinct-shingle pipeline as the Jaccard
+    ground truth; the pair join carries only (id, shingle) and the
+    division is a single exact int->double op. At scale the shingle
+    join runs on xxhash64(shingle) (8-byte shuffle keys) exactly like
+    the MinHash path."""
+    from etlalchemy_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src_id"), F.col("b.doc_id").alias("dst_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    contain = F.col("n_inter").cast("double") / F.col("n_sh").cast("double")
+    return (
+        inter.join(sizes, inter.src_id == sizes.doc_id)
+        .select("src_id", "dst_id", "n_inter", contain.alias("containment"))
+        .where(F.col("containment") >= 0.5)
+    )

@@ -649,3 +649,117 @@ def ts_ewma(spark, sf_dir):
     return t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value", ewma.alias("ewma")
     )
+
+
+_INTERP_SQL = """
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id AS hu, date_trunc('hour', ts) AS hh,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+           / CAST(COUNT(value) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT g.user_id, g.hour, v
+  FROM grid g LEFT JOIN hourly ON hu = g.user_id AND hh = g.hour
+),
+ctx AS (
+  SELECT user_id, hour, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM joined
+)
+SELECT user_id, hour,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(datediff('hour', prev_h, hour) AS DOUBLE)
+                    / CAST(datediff('hour', prev_h, next_h) AS DOUBLE))
+       END AS v_interp
+FROM ctx
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_SQL, tags=("events", "timeseries", "window"))
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of gap hours in a per-user hourly series
+    (the hypertable `interpolate()` shape): dense grid via
+    sequence/explode, sparse hourly decimal-exact averages, then one
+    per-user window pass carrying (prev, next) anchor value+hour;
+    gap rows get prev + (next-prev) * elapsed/span. All reductions are
+    decimal; the closing chain is correctly-rounded IEEE mul/div/add on
+    exact integer hour distances, so it hash-matches the oracle.
+    Windows are partitioned by user — no global single-partition sort —
+    and the grid join is co-partitioned with the aggregate feeding it."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        F.col("user_id").alias("hu"), F.date_trunc("hour", "ts").alias("hh")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").cast("double")
+            / F.count("value").cast("double")
+        ).alias("v")
+    )
+    joined = grid.join(
+        hourly, (grid.user_id == F.col("hu")) & (grid.hour == F.col("hh")), "left"
+    ).select("user_id", "hour", "v")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    v_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "user_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(v_hour, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(v_hour, ignorenulls=True).over(wn).alias("next_h"),
+    )
+    frac = F.expr("CAST(timestampdiff(HOUR, prev_h, hour) AS DOUBLE)") / F.expr(
+        "CAST(timestampdiff(HOUR, prev_h, next_h) AS DOUBLE)"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return ctx.select("user_id", "hour", interp.alias("v_interp"))

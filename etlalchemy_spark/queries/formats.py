@@ -217,3 +217,42 @@ def fmt_text_roundtrip(spark, sf_dir):
         F.element_at(parts, 1).cast("long").alias("doc_id"),
         F.element_at(parts, 2).alias("text_line"),
     )
+
+
+_EVOLVE_SQL = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+FROM orders WHERE o_orderkey < 2000
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@register("fmt_schema_evolution", oracle=_EVOLVE_SQL, tags=("sources",))
+def fmt_schema_evolution(spark, sf_dir):
+    """Schema evolution on the lake: two parquet batches written at
+    different times with different column sets (a column added, one
+    dropped) read back as ONE table via mergeSchema — missing columns
+    null-fill per file. This is the footer-union read that replaces a
+    blocking ALTER TABLE migration at 100 TB; the merge cost is
+    per-file footer metadata only, not data. (Production default keeps
+    mergeSchema off and pins the schema in the catalog; this query is
+    the evolution path itself.)"""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    tmp = scratch_dir("evolve", sf_dir)
+    base = os.path.join(tmp, "orders_evolving")
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
+        os.path.join(base, "batch=1")
+    )
+    orders.select("o_orderkey", "o_orderstatus").write.mode("overwrite").parquet(
+        os.path.join(base, "batch=2")
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "batch=1"), os.path.join(base, "batch=2"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )

@@ -1,0 +1,142 @@
+"""Graph analytics over the order/part co-occurrence graph.
+
+SURVEY.md §2 Table B (extensions): beyond dedup's connected components
+(dedup_minhash_cc_exact) and PageRank (graph_pagerank_exact), this
+module covers degree distribution and exact triangle counting — the
+standard corpus-graph diagnostics in a dedup/link-analysis pipeline.
+
+Graph construction (shared): nodes are parts; an undirected edge joins
+two parts that co-occur in at least one order. The edge list is built
+with one self-join on the (order, part) projection and deduplicated —
+at 100 TB the per-order pair expansion is bounded by capping lines per
+order (the fixture's ~4/order keeps it linear in lineitem).
+
+Triangle counting uses the compact-forward orientation: each undirected
+edge is directed from the endpoint with the smaller (degree, id)
+composite rank to the larger. Out-degrees are then O(sqrt(E)), so the
+wedge join (e1, e2 sharing a tail) stays near-linear instead of
+sum(deg^2) on hub nodes — the difference between feasible and not on a
+skewed 100 TB graph. The composite rank is a single integer
+(degree * 2^30 + id), so no global window/sort is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import register
+from etlalchemy_spark.queries._util import t
+
+_EDGE_CTES = """
+WITH lines AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+)
+"""
+
+
+def _edges(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    lines = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a = lines.alias("a")
+    b = lines.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+
+
+def _degrees(edges):
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+_DEGREE_SQL = (
+    _EDGE_CTES
+    + """
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+"""
+)
+
+
+@register("graph_degree_distribution", oracle=_DEGREE_SQL, tags=("graph",))
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the co-occurrence graph: edge build (one
+    equi-self-join + distinct), symmetric union for endpoint counts,
+    two hash aggregates. Everything partial-aggregates map-side; the
+    histogram output is tiny regardless of input scale."""
+    d = _degrees(_edges(spark, sf_dir))
+    return d.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_TRIANGLE_SQL = (
+    _EDGE_CTES
+    + """
+, ranked AS (
+  SELECT p.u, p.v,
+         du.degree * 1073741824 + p.u AS rk_u,
+         dv.degree * 1073741824 + p.v AS rk_v
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+),
+d AS (
+  SELECT CASE WHEN rk_u < rk_v THEN u ELSE v END AS a,
+         CASE WHEN rk_u < rk_v THEN v ELSE u END AS b,
+         CASE WHEN rk_u < rk_v THEN rk_v ELSE rk_u END AS rk_b
+  FROM ranked
+)
+SELECT COUNT(*) AS n_triangles
+FROM d e1
+JOIN d e2 ON e2.a = e1.a AND e1.rk_b < e2.rk_b
+JOIN d e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+)
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_SQL, tags=("graph",))
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count via compact-forward: orient every edge by
+    (degree, id) composite rank, enumerate wedges from each tail's
+    out-neighborhood (ordered, so each triangle forms exactly one
+    wedge), close with a semi-probe back into the edge list. Joins are
+    all equi-joins on node ids → shuffle-hash/SMJ, AQE-skew-splittable;
+    the orientation bounds out-degree at O(sqrt(E)) so wedge volume is
+    E^1.5 worst case, far below the sum(deg^2) of naive enumeration."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+    rk = F.col("degree") * F.lit(1073741824)
+    du = deg.select(F.col("node").alias("u"), (rk + F.col("node")).alias("rk_u"))
+    dv = deg.select(F.col("node").alias("v"), (rk + F.col("node")).alias("rk_v"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower = F.col("rk_u") < F.col("rk_v")
+    d = ranked.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower, F.col("rk_v")).otherwise(F.col("rk_u")).alias("rk_b"),
+    )
+    e1 = d.alias("e1")
+    e2 = d.alias("e2")
+    e3 = d.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.a") == F.col("e1.a")) & (F.col("e1.rk_b") < F.col("e2.rk_b")),
+    )
+    tri = wedges.join(
+        e3, (F.col("a3") == F.col("e1.b")) & (F.col("b3") == F.col("e2.b"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

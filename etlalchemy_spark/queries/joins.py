@@ -396,3 +396,37 @@ def join_fuzzy_levenshtein(spark, sf_dir):
     return pairs.select(
         an.alias("name_a"), bn.alias("name_b"), F.levenshtein(an, bn).alias("dist")
     )
+
+
+_NULLSAFE_SQL = """
+WITH a AS (
+  SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(l_linestatus, 'O') AS k, COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT a.k AS k, n_orders, n_lines
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("join_null_safe", oracle=_NULLSAFE_SQL, tags=("joins",))
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    tables with 'unknown' members need. Catalyst plans it as a normal
+    hash join on a null-tolerant key, so it broadcasts and
+    AQE-optimizes exactly like an ordinary equi-join (no fallback to
+    nested-loop, which a raw `a.k = b.k OR (both null)` predicate
+    would cause)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    a = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = li.groupBy(
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("kb")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+    return a.join(b, a.k.eqNullSafe(b.kb)).select("k", "n_orders", "n_lines")

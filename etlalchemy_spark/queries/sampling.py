@@ -162,3 +162,36 @@ def sample_train_test_split(spark, sf_dir):
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+_RESERVOIR_SQL = """
+SELECT l_orderkey, l_linenumber,
+       md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+FROM lineitem
+ORDER BY h
+LIMIT 500
+"""
+
+
+@register("sample_reservoir_hash_topk", oracle=_RESERVOIR_SQL, tags=("sampling",))
+def sample_reservoir_hash_topk(spark, sf_dir):
+    """Fixed-size uniform sample without replacement (the distributed
+    reservoir): rank rows by a content hash of the primary key and keep
+    the k smallest. Unlike a classic sequential reservoir this is
+    order-independent, mergeable (each partition keeps its local top-k,
+    TakeOrderedAndProject combines them on the driver — no global
+    sort), and identical across engines, partitionings, and reruns.
+    k=500 per-partition heaps of 500 rows, nothing else shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", h.alias("h"))
+        .orderBy("h")
+        .limit(500)
+    )

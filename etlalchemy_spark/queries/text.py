@@ -336,3 +336,57 @@ def text_boilerplate_shingles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+_PII_SQL = """
+WITH src AS (
+  SELECT c_custkey,
+         c_name || ' call ' ||
+         printf('%02d-%03d-%03d-%04d',
+                c_custkey % 90 + 10, c_custkey % 900 + 100,
+                c_nationkey % 900 + 100, c_custkey % 9000 + 1000) ||
+         ' acct ' || CAST(c_custkey * 7919 + c_nationkey AS VARCHAR) AS raw
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(raw, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+         '[0-9]+', '#', 'g') AS redacted,
+       CAST(length(regexp_extract_all(raw, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_digit_runs
+FROM src
+"""
+
+
+@register("text_pii_redaction", oracle=_PII_SQL, tags=("text", "privacy"))
+def text_pii_redaction(spark, sf_dir):
+    """PII redaction for training-data pipelines: mask phone-shaped
+    tokens with a typed placeholder, then collapse any residual digit
+    run, and count what was redacted per record (audit column). Pure
+    narrow regexp expression work — JVM codegen, no UDF, no shuffle;
+    at 100 TB this runs scan-speed and the audit counts roll up
+    map-side. The phone pattern (NN-NNN-NNN-NNNN) matches identically
+    under Java regex and RE2. The fixture carries no real PII, so the
+    contact string is synthesized deterministically in-plan (printf on
+    key columns) — the redaction expressions are the operator."""
+    c = t(spark, sf_dir, "customer")
+    phone_pat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    k, nk = F.col("c_custkey"), F.col("c_nationkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d", k % 90 + 10, k % 900 + 100, nk % 900 + 100, k % 9000 + 1000
+    )
+    acct = (k * 7919 + nk).cast("string")
+    raw = F.concat_ws(
+        "", F.col("c_name"), F.lit(" call "), phone, F.lit(" acct "), acct
+    )
+    return c.select(
+        "c_custkey",
+        raw.alias("raw"),
+    ).select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), phone_pat, "[PHONE]"), "[0-9]+", "#"
+        ).alias("redacted"),
+        F.regexp_count(F.col("raw"), F.lit(phone_pat)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("raw"), F.lit("[0-9]+")).cast("bigint").alias("n_digit_runs"),
+    )

@@ -94,6 +94,7 @@ def _load_all() -> None:
         udtfs,
         pandas_grouped,
         sampling,
+        graph,
     )
 
     _LOADED = True

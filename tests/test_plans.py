@@ -171,3 +171,31 @@ def test_mode_no_global_sort(spark):
     df = _q("agg_mode_exact").fn(spark, SF_DIR)
     plan = explain_formatted(df)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pii_redaction_no_shuffle_no_udf(spark):
+    # Redaction is pure narrow expression work: scan -> project only.
+    df = _q("text_pii_redaction").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reservoir_sample_is_take_ordered(spark):
+    # Global top-k-by-hash must plan TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a global Sort + Limit.
+    df = _q("sample_reservoir_hash_topk").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_count_all_equijoins(spark):
+    df = _q("graph_triangle_count").fn(spark, SF_DIR)
+    assert not has_cartesian(df)
+
+
+def test_interpolation_windows_are_partitioned(spark):
+    # Per-user windows only: no single-partition global window.
+    df = _q("ts_interpolate_linear").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "SinglePartition" not in plan
