@@ -151,3 +151,62 @@ def fk_orphan_count(child: DataFrame, parent: DataFrame, fk: FKSpec) -> DataFram
     return fk_orphans(child, parent, fk).agg(
         F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
     )
+
+
+# --- CREATE TABLE emission (W4) --------------------------------------------
+
+# Spark simpleString type → destination DDL type. VARCHAR(n) is injected
+# from the standardizer's varchar_n metadata (T4) — the fidelity the
+# plain df.write.jdbc DDL path loses (it maps every string to TEXT).
+_DDL_TYPES = {
+    "postgresql": {
+        "tinyint": "SMALLINT",
+        "smallint": "SMALLINT",
+        "int": "INTEGER",
+        "integer": "INTEGER",
+        "bigint": "BIGINT",
+        "boolean": "BOOLEAN",
+        "float": "REAL",
+        "double": "DOUBLE PRECISION",
+        "string": "TEXT",
+        "timestamp": "TIMESTAMP",
+        "date": "DATE",
+        "binary": "BYTEA",
+    },
+    "mysql": {
+        "tinyint": "TINYINT",
+        "smallint": "SMALLINT",
+        "int": "INT",
+        "integer": "INT",
+        "bigint": "BIGINT",
+        "boolean": "TINYINT(1)",
+        "float": "FLOAT",
+        "double": "DOUBLE",
+        "string": "TEXT",
+        "timestamp": "DATETIME",
+        "date": "DATE",
+        "binary": "BLOB",
+    },
+}
+
+
+def create_table_ddl(table: str, decisions, dialect: str = "postgresql") -> str:
+    """Emit ``CREATE TABLE`` DDL from standardizer decisions (upstream
+    ``Table.create`` path, ETLAlchemySource.py ≈L1000–1050): dropped
+    columns are omitted, downsized int types and data-driven
+    ``VARCHAR(n)`` (pow-2 rounded, T4) are preserved — the metadata
+    Spark's unbounded StringType cannot carry in-engine."""
+    tmap = _DDL_TYPES[dialect]
+    cols = []
+    for d in decisions:
+        if d.action in ("drop_empty", "drop_suffix"):
+            continue
+        src = d.target_type if d.action == "cast" and d.target_type else d.source_type
+        if src == "string" and d.varchar_n:
+            ddl_t = f"VARCHAR({d.varchar_n})"
+        elif src.startswith("decimal"):
+            ddl_t = "NUMERIC" + src[len("decimal"):]
+        else:
+            ddl_t = tmap.get(src, src.upper())
+        cols.append(f"{_q(d.name, dialect)} {ddl_t}")
+    return f"CREATE TABLE {_q(table, dialect)} ({', '.join(cols)})"

@@ -547,3 +547,119 @@ def etl_cdc_apply(spark, sf_dir):
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+def _p2_sql(e: str) -> str:
+    """Pow-2 VARCHAR rounding (T4) as a SQL CASE over the practical range."""
+    arms = " ".join(
+        f"WHEN {e} <= {1 << i} THEN {1 << i}" for i in range(0, 14)
+    )
+    return f"(CASE {arms} ELSE 16384 END)"
+
+
+def _int_ddl_sql(mn: str, mx: str, no01: str) -> str:
+    """Int-downsize ladder (T2/T3) mapped straight to postgres DDL types."""
+    return (
+        f"(CASE WHEN {no01} = 0 THEN 'BOOLEAN' "
+        f"WHEN {mn} >= -32768 AND {mx} <= 32767 THEN 'SMALLINT' "
+        f"WHEN {mn} >= -2147483648 AND {mx} <= 2147483647 THEN 'INTEGER' "
+        f"ELSE 'BIGINT' END)"
+    )
+
+
+def _no01_sql(c: str) -> str:
+    return f"MAX(CASE WHEN {c} IS NULL OR {c} IN (0, 1) THEN 0 ELSE 1 END)"
+
+
+_CREATE_DDL_SQL = f"""
+WITH ns AS (
+  SELECT MIN(n_nationkey) AS mn_nk, MAX(n_nationkey) AS mx_nk, {_no01_sql("n_nationkey")} AS no01_nk,
+         MAX(length(n_name)) AS len_name,
+         MIN(n_regionkey) AS mn_rk, MAX(n_regionkey) AS mx_rk, {_no01_sql("n_regionkey")} AS no01_rk
+  FROM nation
+),
+ss AS (
+  SELECT MIN(s_suppkey) AS mn_sk, MAX(s_suppkey) AS mx_sk, {_no01_sql("s_suppkey")} AS no01_sk,
+         MAX(length(s_name)) AS len_name,
+         MIN(s_nationkey) AS mn_nk, MAX(s_nationkey) AS mx_nk, {_no01_sql("s_nationkey")} AS no01_nk
+  FROM supplier
+),
+cs AS (
+  SELECT MIN(c_custkey) AS mn_ck, MAX(c_custkey) AS mx_ck, {_no01_sql("c_custkey")} AS no01_ck,
+         MAX(length(c_name)) AS len_name,
+         MIN(c_nationkey) AS mn_nk, MAX(c_nationkey) AS mx_nk, {_no01_sql("c_nationkey")} AS no01_nk,
+         MAX(length(c_mktsegment)) AS len_seg
+  FROM customer
+)
+SELECT 'nation' AS table_name,
+       'CREATE TABLE "nation" ("n_nationkey" ' || {_int_ddl_sql("mn_nk", "mx_nk", "no01_nk")}
+       || ', "n_name" VARCHAR(' || CAST({_p2_sql("len_name")} AS VARCHAR)
+       || '), "n_regionkey" ' || {_int_ddl_sql("mn_rk", "mx_rk", "no01_rk")} || ')' AS ddl
+FROM ns
+UNION ALL
+SELECT 'supplier',
+       'CREATE TABLE "supplier" ("s_suppkey" ' || {_int_ddl_sql("mn_sk", "mx_sk", "no01_sk")}
+       || ', "s_name" VARCHAR(' || CAST({_p2_sql("len_name")} AS VARCHAR)
+       || '), "s_nationkey" ' || {_int_ddl_sql("mn_nk", "mx_nk", "no01_nk")}
+       || ', "s_acctbal" DOUBLE PRECISION)'
+FROM ss
+UNION ALL
+SELECT 'customer',
+       'CREATE TABLE "customer" ("c_custkey" ' || {_int_ddl_sql("mn_ck", "mx_ck", "no01_ck")}
+       || ', "c_name" VARCHAR(' || CAST({_p2_sql("len_name")} AS VARCHAR)
+       || '), "c_nationkey" ' || {_int_ddl_sql("mn_nk", "mx_nk", "no01_nk")}
+       || ', "c_acctbal" DOUBLE PRECISION, "c_mktsegment" VARCHAR('
+       || CAST({_p2_sql("len_seg")} AS VARCHAR) || '))'
+FROM cs
+"""
+
+
+@register("etl_create_table_ddl", oracle=_CREATE_DDL_SQL, tags=("etl", "ddl"))
+def etl_create_table_ddl(spark, sf_dir):
+    """W4 with fidelity: the destination CREATE TABLE DDL the engine
+    emits after the T1–T9 standardization pass — downsized int types
+    and data-driven pow-2 VARCHAR(n) sizing, which df.write.jdbc's
+    generic DDL path cannot express. The oracle RE-DERIVES the exact
+    DDL strings from the same data with the same ladder, so this
+    hash-checks the whole decide→emit pipeline, not a golden literal.
+    The stats pass is one agg per table (O(#cols) driver result); the
+    tinyint/smallint distinction collapses in postgres (both SMALLINT),
+    matching the SQL ladder."""
+    from etlalchemy_spark.operators.ddl import create_table_ddl
+    from etlalchemy_spark.operators.standardize import standardize
+
+    rows = []
+    for name in ("nation", "supplier", "customer"):
+        _, decisions = standardize(t(spark, sf_dir, name))
+        rows.append((name, create_table_ddl(name, decisions, "postgresql")))
+    return spark.createDataFrame(rows, "table_name string, ddl string")
+
+
+_IXFK_DDL_SQL = """
+SELECT * FROM (VALUES
+  ('index', 'CREATE INDEX "ix_key" ON "orders" ("o_custkey")'),
+  ('index', 'CREATE INDEX "ix_key_0" ON "lineitem" ("l_partkey")'),
+  ('index', 'CREATE UNIQUE INDEX "ix_orders_pk" ON "orders" ("o_orderkey")'),
+  ('fk', 'ALTER TABLE "lineitem" ADD CONSTRAINT "fk_lineitem_orders" FOREIGN KEY ("l_orderkey") REFERENCES "orders" ("o_orderkey")'),
+  ('fk', 'ALTER TABLE "orders" ADD CONSTRAINT "fk_orders_customer" FOREIGN KEY ("o_custkey") REFERENCES "customer" ("c_custkey")')
+) AS v(stmt_type, ddl)
+"""
+
+
+@register("etl_index_fk_ddl", oracle=_IXFK_DDL_SQL, tags=("etl", "ddl"))
+def etl_index_fk_ddl(spark, sf_dir):
+    """M1/M2 epilogue parity: index + FK DDL emitted AFTER data load
+    (the reference's phase ordering), with its global name-uniquifier —
+    two indexes declared with the same name get _0/_1 suffixes. The
+    oracle pins the exact statement strings; emission order is
+    irrelevant (hash is order-insensitive)."""
+    from etlalchemy_spark.operators.ddl import DDLEpilogue, FKSpec, IndexSpec
+
+    ep = DDLEpilogue(dialect="postgresql")
+    ep.add_index(IndexSpec("orders", ["o_custkey"], name="ix_key"))
+    ep.add_index(IndexSpec("lineitem", ["l_partkey"], name="ix_key"))
+    ep.add_index(IndexSpec("orders", ["o_orderkey"], name="ix_orders_pk", unique=True))
+    ep.add_fk(FKSpec("lineitem", ["l_orderkey"], "orders", ["o_orderkey"], name="fk_lineitem_orders"))
+    ep.add_fk(FKSpec("orders", ["o_custkey"], "customer", ["c_custkey"], name="fk_orders_customer"))
+    rows = [("index", s) for s in ep.index_ddl()] + [("fk", s) for s in ep.fk_ddl()]
+    return spark.createDataFrame(rows, "stmt_type string, ddl string")

@@ -59,3 +59,25 @@ def test_hash_mod_predicates_disjoint_covering():
     assert "IS NULL" in preds[0] and "IS NULL" not in preds[1]
     mysql = hash_mod_predicates("c_name", 2, "mysql")
     assert "CRC32" in mysql[0]
+
+
+def test_create_table_ddl_types_and_varchar():
+    from etlalchemy_spark.operators.ddl import create_table_ddl
+    from etlalchemy_spark.operators.standardize import ColumnDecision
+
+    ds = [
+        ColumnDecision("k", "bigint", "cast", "smallint"),
+        ColumnDecision("flag", "bigint", "cast", "boolean"),
+        ColumnDecision("name", "string", "keep", varchar_n=64),
+        ColumnDecision("bal", "double", "keep"),
+        ColumnDecision("dead", "string", "drop_empty"),
+        ColumnDecision("amt", "decimal(12,2)", "keep"),
+    ]
+    pg = create_table_ddl("t", ds, "postgresql")
+    assert pg == (
+        'CREATE TABLE "t" ("k" SMALLINT, "flag" BOOLEAN, "name" VARCHAR(64), '
+        '"bal" DOUBLE PRECISION, "amt" NUMERIC(12,2))'
+    )
+    my = create_table_ddl("t", ds, "mysql")
+    assert "`flag` TINYINT(1)" in my and "`bal` DOUBLE" in my
+    assert "dead" not in my
