@@ -763,3 +763,64 @@ def ts_interpolate_linear(spark, sf_dir):
         .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
     )
     return ctx.select("user_id", "hour", interp.alias("v_interp"))
+
+
+def _brown_kernel(depth: int = 20):
+    """Combined integer kernel for Brown's double exponential smoothing
+    forecast (level + trend, alpha=0.9): with S1 = w*y and S2 = (w*w)*y
+    (both unit-normalized), the one-step forecast 2*S1 - S2 +
+    (a/(1-a))*(S1 - S2) collapses to a single linear filter
+    11*S1 - 10*S2. Weights are derived once in exact rational
+    arithmetic and quantized to 1e-6 integers — both engines consume
+    identical literals, no transcendental ops anywhere."""
+    from fractions import Fraction
+
+    w = _ewma_weights(depth)
+    W1 = sum(w)
+    ww = [sum(w[j] * w[i - j] for j in range(i + 1)) for i in range(depth)]
+    W2 = sum(ww)
+    ks = [
+        int((Fraction(11 * w[i], W1) - Fraction(10 * ww[i], W2)) * 1_000_000)
+        for i in range(depth)
+    ]
+    return ks, sum(ks)
+
+
+def _brown_sql(depth: int = 20) -> str:
+    ks, K = _brown_kernel(depth)
+    vi = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    num = " + ".join(
+        f"({k} * COALESCE(LAG({vi}, {i}) OVER w, 0))" if i else f"({k} * {vi})"
+        for i, k in enumerate(ks)
+    )
+    return f"""
+SELECT event_id, user_id, ts, value,
+       CAST({num} AS DOUBLE) / CAST({K} AS DOUBLE) / 100.0 AS forecast
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("ts_holt_brown_forecast", oracle=_brown_sql(), tags=("events", "timeseries", "window"))
+def ts_holt_brown_forecast(spark, sf_dir):
+    """One-step trend-adjusted forecast (Brown's double exponential
+    smoothing): the coupled level/trend recursion is a linear
+    time-invariant filter, so the forecast is a single 20-term
+    truncated kernel — one window pass of 20 LAGs per user, identical
+    to the EWMA shape (state O(depth) per key at any scale). Zero-pad
+    before series start (documented startup bias); all accumulation is
+    int64 on 1e-2-quantized values times 1e-6-quantized kernel weights
+    (max ~4e13, no overflow), one final double divide by the literal
+    kernel mass."""
+    from pyspark.sql import Window as W
+
+    ks, K = _brown_kernel()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vi = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    num = F.lit(ks[0]) * vi
+    for i, k in enumerate(ks[1:], start=1):
+        num = num + F.lit(k) * F.coalesce(F.lag(vi, i).over(w), F.lit(0).cast("bigint"))
+    forecast = num.cast("double") / F.lit(K).cast("double") / F.lit(100.0)
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", forecast.alias("forecast")
+    )

@@ -430,3 +430,53 @@ def join_null_safe(spark, sf_dir):
         F.nullif(F.col("l_linestatus"), F.lit("O")).alias("kb")
     ).agg(F.count(F.lit(1)).alias("n_lines"))
     return a.join(b, a.k.eqNullSafe(b.kb)).select("k", "n_orders", "n_lines")
+
+
+_DPP_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+FROM orders o
+JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders
+      WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%') d
+  ON o.o_orderpriority = d.pr
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_dynamic_partition_pruning", oracle=_DPP_SQL, tags=("joins", "sources"))
+def join_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is a Hive-partitioned
+    lake table (partitioned by priority); the dim side's filter is only
+    known at runtime, so Catalyst injects a dynamicpruning subquery
+    into the fact scan's PartitionFilters — unmatched partitions are
+    never read. At 100 TB this is the difference between scanning 2/5
+    of the table and all of it; no query change needed, just the
+    partitioned layout (the lake twin of the reference's M1 indexes)."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    orders = t(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir("dpp", sf_dir), "orders_by_priority")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.where(
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")
+        )
+        .select(F.col("o_orderpriority").alias("pr"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.pr)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -414,3 +414,99 @@ def sim_label_centroids(spark, sf_dir):
             / (F.count(F.lit(1)) * F.lit(10000000)).cast("double")
         ).alias("centroid")
     )
+
+
+_RADIUS_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id,
+       CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+FROM prod
+WHERE CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) >= 0.2
+  AND vec_id <> 0
+"""
+
+
+@register("sim_radius_search_exact", oracle=_RADIUS_SQL, tags=("similarity",))
+def sim_radius_search_exact(spark, sf_dir):
+    """Radius (range) similarity search: every vector within cosine
+    >= 0.2 of the query — the dedup-sweep shape (fetch ALL near
+    neighbors, not top-k). Same decimal-exact scoring as the top-k
+    path; the threshold filter replaces the rank, so the result needs
+    no global ordering at all — fully parallel scan+agg, and at scale
+    the LSH/IVF bucket prefilters compose in front of it unchanged."""
+    from etlalchemy_spark.operators.similarity import exact_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    scored = exact_cosine(emb, ["vec_id"], F.col("embedding"), _lit_qvec(spark, sf_dir))
+    return scored.where((F.col("cosine") >= 0.2) & (F.col("vec_id") != 0))
+
+
+def _lit_qvec(spark, sf_dir):
+    from etlalchemy_spark.operators.similarity import _lit_vec
+
+    return _lit_vec(_query_vec(spark, sf_dir))
+
+
+_KNN_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+),
+prod AS (
+  SELECT q.qid, e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+  WHERE e.vec_id <> q.qid
+  GROUP BY q.qid, e.vec_id
+),
+scored AS (
+  SELECT qid, vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE) / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT qid, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register("sim_knn_batch_exact", oracle=_KNN_BATCH_SQL, tags=("similarity",))
+def sim_knn_batch_exact(spark, sf_dir):
+    """Batch kNN: exact 3-nearest-neighbors for a SET of query vectors
+    in one plan (the embedding-join shape: every query scored against
+    the corpus, ranked per query). The broadcast side is the query
+    set, the corpus streams — at 100 TB the corpus never shuffles; the
+    per-query rank window partitions on qid so no global sort exists.
+    IVF/LSH prefilters drop in front of the same scoring to cut the
+    candidate set when the query batch is large."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.similarity import exact_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = exact_cosine(pairs, ["qid", "vec_id"], F.col("embedding"), F.col("qe"))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )

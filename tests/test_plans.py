@@ -199,3 +199,21 @@ def test_interpolation_windows_are_partitioned(spark):
     df = _q("ts_interpolate_linear").fn(spark, SF_DIR)
     plan = explain_formatted(df)
     assert "SinglePartition" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    # The partitioned fact scan must carry a dynamicpruning expression
+    # in its PartitionFilters (runtime partition pruning from the dim).
+    df = _q("join_dynamic_partition_pruning").fn(spark, SF_DIR)
+    assert "dynamicpruning" in explain_formatted(df).lower()
+
+
+def test_knn_batch_broadcasts_queries(spark):
+    # Brute-force batch kNN wants (corpus x queries): the query set is
+    # broadcast (nested-loop over the tiny side), the corpus streams
+    # with no shuffle; a SortMergeJoin here would mean the corpus
+    # shuffled on a join key, which must never happen.
+    df = _q("sim_knn_batch_exact").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
