@@ -390,3 +390,92 @@ def text_pii_redaction(spark, sf_dir):
         F.regexp_count(F.col("raw"), F.lit(phone_pat)).cast("bigint").alias("n_phones"),
         F.regexp_count(F.col("raw"), F.lit("[0-9]+")).cast("bigint").alias("n_digit_runs"),
     )
+
+
+_CHUNK_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+)
+SELECT doc_id,
+       start,
+       (start - 1) // 10 AS chunk_ord,
+       array_to_string(words[CAST(start AS INT):CAST(start AS INT)+19], ' ') AS chunk_text,
+       len(words[CAST(start AS INT):CAST(start AS INT)+19]) AS n_tokens
+FROM (
+  SELECT doc_id, words,
+         UNNEST(generate_series(1, GREATEST(len(words) - 19, 1), 10)) AS start
+  FROM w
+)
+"""
+
+
+@register("text_chunk_sliding_window", oracle=_CHUNK_SQL, tags=("text",))
+def text_chunk_sliding_window(spark, sf_dir):
+    """Sliding-window document chunking for training pipelines: 20-word
+    chunks, stride 10 (50% overlap), ragged tail kept. Pure expression
+    work — split once, generate the start offsets as an array, explode,
+    slice — so chunking runs scan-speed with no UDF and no shuffle; the
+    chunk explosion is the only row growth (~n/10 chunks per doc),
+    which downstream tokenize/pack stages stream through."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("words"))
+    starts = F.sequence(F.lit(1), F.greatest(n - 19, F.lit(1)), F.lit(10))
+    chunk = F.slice(F.col("words"), F.col("start").cast("int"), 20)
+    return (
+        d.select("doc_id", words.alias("words"))
+        .select("doc_id", "words", F.explode(starts.cast("array<bigint>")).alias("start"))
+        .select(
+            "doc_id",
+            "start",
+            F.expr("(start - 1) div 10").alias("chunk_ord"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_REPEAT_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 2, 1)),
+                i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS g
+  FROM w
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(DISTINCT g) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS repetition_ratio
+FROM grams GROUP BY doc_id
+"""
+
+
+@register("text_repetition_ratio", oracle=_REPEAT_SQL, tags=("text",))
+def text_repetition_ratio(spark, sf_dir):
+    """Within-document 3-gram repetition ratio (1 - distinct/total) —
+    the Gopher-style quality rule that drops boilerplate-heavy or
+    looping documents before training. Same shingle expression pipeline
+    as dedup (split → sequence → transform → explode), one hash agg
+    keyed by doc with a distinct count inside; everything partial-
+    aggregates map-side because the explode keeps doc rows together."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("words"))
+    starts = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(F.col("words"), i, 3), " "))
+    return (
+        d.select("doc_id", words.alias("words"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("g").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.count_distinct("g").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("repetition_ratio"),
+        )
+    )
