@@ -606,3 +606,75 @@ def agg_skewness_exact(spark, sf_dir):
         "l_returnflag",
         (F.sqrt(n) * m3 / (m2 * F.sqrt(m2))).alias("skew_qty"),
     ).orderBy("l_returnflag")
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.user_id = m.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id,
+       MIN(d.med) AS med,
+       MIN(a.mad) AS mad,
+       COUNT(CASE WHEN abs(0.6745 * (d.value - d.med) / a.mad) > 3.5 THEN 1 END) AS n_outliers
+FROM dev d JOIN mad a ON d.user_id = a.user_id
+GROUP BY d.user_id
+"""
+
+
+@register("agg_mad_robust", oracle=_MAD_SQL, tags=("agg", "stats"))
+def agg_mad_robust(spark, sf_dir):
+    """Robust anomaly stats per user: median, median-absolute-deviation
+    and the count of modified-z outliers (|0.6745*(x-med)/mad| > 3.5)
+    — the robust twin of ts_zscore_anomaly that heavy tails can't
+    skew. Exact interpolated percentiles in both engines; every later
+    op (abs/sub/mul/div/compare) is correctly-rounded IEEE on identical
+    operands. Both aggregations and the join share the user_id
+    partitioning, so the whole thing is two co-partitioned shuffles."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(med, "user_id").select(
+        "user_id", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.when(z > 3.5, 1)).alias("n_outliers"),
+        )
+    )
+
+
+_WAVG_SQL = """
+SELECT l_returnflag,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+         / CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg_exact", oracle=_WAVG_SQL, tags=("agg",))
+def agg_weighted_avg_exact(spark, sf_dir):
+    """Quantity-weighted mean price: two exact decimal sums, one double
+    divide — same shuffle profile as any grouped agg."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(14,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(p * q).cast("decimal(38,4)").cast("double")
+            / F.sum(q).cast("decimal(38,4)").cast("double")
+        ).alias("wavg_price")
+    )

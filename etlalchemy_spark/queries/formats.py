@@ -256,3 +256,54 @@ def fmt_schema_evolution(spark, sf_dir):
         .parquet(os.path.join(base, "batch=1"), os.path.join(base, "batch=2"))
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+_PERMISSIVE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',not-a-number'
+            ELSE NULL END AS corrupt_rec
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@register("fmt_csv_permissive_corrupt", oracle=_PERMISSIVE_SQL, tags=("sources",))
+def fmt_csv_permissive_corrupt(spark, sf_dir):
+    """Malformed-row tolerance on ingest: a CSV feed where some rows
+    carry an unparseable value (every 7th here, injected
+    deterministically) read in PERMISSIVE mode — the bad column nulls
+    out, the raw line is captured in the corrupt-record column, and
+    the load NEVER fails. This is the reference's bulk-load error
+    tolerance re-expressed as a first-class read mode: quarantine =
+    `WHERE corrupt_rec IS NOT NULL`, clean load = the rest, one pass,
+    no driver involvement."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    price = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    lines = orders.select(
+        F.concat_ws(
+            ",", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"), price
+        ).alias("value")
+    )
+    path = os.path.join(scratch_dir("permissive", sf_dir), "orders_feed")
+    lines.write.mode("overwrite").text(path)
+    return (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("_corrupt_record").alias("corrupt_rec"),
+        )
+    )

@@ -140,3 +140,50 @@ def graph_triangle_count(spark, sf_dir):
         e3, (F.col("a3") == F.col("e1.b")) & (F.col("b3") == F.col("e2.b"))
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _kcore_sql(k: int = 60, rounds: int = 3) -> str:
+    ctes = [_EDGE_CTES.strip().removeprefix("WITH "), (
+        "sym0 AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)"
+    )]
+    prev = "sym0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"a{r} AS (SELECT u AS node FROM {prev} GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"sym{r} AS (SELECT s.u, s.v FROM {prev} s "
+            f"JOIN a{r} x ON x.node = s.u JOIN a{r} y ON y.node = s.v)"
+        )
+        prev = f"sym{r}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT u AS node, COUNT(*) AS core_degree "
+        f"FROM {prev} GROUP BY u"
+    )
+
+
+@register("graph_kcore_peel", oracle=_kcore_sql(), tags=("graph", "iterative"))
+def graph_kcore_peel(spark, sf_dir):
+    """Bounded k-core decomposition (k=60, 3 peel rounds, unrolled):
+    drop nodes under degree k, remove their edges, repeat — the
+    community-core extraction step before clustering a similarity
+    graph. Each round is one degree aggregate + two semi-join filters
+    on node id, all hash-partitioned the same way; unrolling a FIXED
+    round count keeps the plan static and cross-engine exact (full
+    convergence would use iterate-to-fixpoint like pagerank_exact,
+    checkpointing lineage every few rounds at scale)."""
+    k, rounds = 60, 3
+    edges = _edges(spark, sf_dir)
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    for _ in range(rounds):
+        alive = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+        )
+        sym = (
+            sym.join(alive, sym.u == alive.node, "left_semi")
+            .join(alive.select(F.col("node").alias("nv")), F.col("v") == F.col("nv"), "left_semi")
+        )
+    return sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("core_degree"))
