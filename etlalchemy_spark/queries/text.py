@@ -479,3 +479,57 @@ def text_repetition_ratio(spark, sf_dir):
             ).alias("repetition_ratio"),
         )
     )
+
+
+_BUCKET_BATCH_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         n_tokens // 64 AS bucket,
+         (n_tokens // 64 + 1) * 64 AS bucket_cap
+  FROM tok
+)
+SELECT bucket, bucket_cap,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens,
+       (COUNT(*) + 31) // 32 AS n_batches,
+       COUNT(*) * bucket_cap - SUM(n_tokens) AS pad_waste_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) * bucket_cap AS DOUBLE) AS utilization
+FROM b GROUP BY bucket, bucket_cap
+"""
+
+
+@register("text_length_bucket_batching", oracle=_BUCKET_BATCH_SQL, tags=("text",))
+def text_length_bucket_batching(spark, sf_dir):
+    """Length-bucketed batch packing audit: assign each document to a
+    64-token length bucket (the padding target), then report per-bucket
+    batch count (batch=32), padding waste, and utilization — the
+    distributed alternative to greedy sequence packing (which is
+    inherently sequential): bucketing is a pure narrow expression, the
+    stats one hash agg, and the utilization numbers tell you whether a
+    finer bucket grid is worth it before you ever tokenize for real."""
+    d = t(spark, sf_dir, "documents")
+    n = token_count(F.col("text")).cast("bigint")
+    b = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (n / 64).cast("bigint").alias("bucket"),
+        (((n / 64).cast("bigint") + 1) * 64).alias("bucket_cap"),
+    )
+    return b.groupBy("bucket", "bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        ((F.count(F.lit(1)) + 31) / 32).cast("bigint").alias("n_batches"),
+        (F.count(F.lit(1)) * F.first("bucket_cap") - F.sum("n_tokens")).alias(
+            "pad_waste_tokens"
+        ),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.first("bucket_cap")).cast("double")
+        ).alias("utilization"),
+    )
