@@ -663,3 +663,41 @@ def etl_index_fk_ddl(spark, sf_dir):
     ep.add_fk(FKSpec("orders", ["o_custkey"], "customer", ["c_custkey"], name="fk_orders_customer"))
     rows = [("index", s) for s in ep.index_ddl()] + [("fk", s) for s in ep.fk_ddl()]
     return spark.createDataFrame(rows, "stmt_type string, ddl string")
+
+
+_PIT_SQL = f"""
+SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+       d.s_acctbal AS version_acctbal, d.valid_from
+FROM lineitem l
+JOIN ({_SCD2_SQL}) d
+  ON l.l_suppkey = d.s_suppkey
+ AND d.valid_from <= l.l_shipdate
+ AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+WHERE l.l_orderkey < 3000
+"""
+
+
+@register("join_point_in_time_dim", oracle=_PIT_SQL, tags=("etl", "scd", "joins"))
+def join_point_in_time_dim(spark, sf_dir):
+    """Point-in-time dimension lookup: each fact row joins the SCD-2
+    version that was valid AT ITS OWN event time (equi-join on the
+    surrogate key + validity-range residual), so facts before the
+    snapshot boundary see the old acctbal and later facts the new one.
+    The range residual rides on the hash join — no extra shuffle, no
+    nested loop; the dim is broadcast-sized by construction. Composes
+    the scd2 operator output directly (one shared oracle-checked
+    shape)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 3000)
+    dim = etl_scd2_merge(spark, sf_dir)
+    cond = (
+        (li.l_suppkey == dim.s_suppkey)
+        & (dim.valid_from <= li.l_shipdate)
+        & (dim.valid_to.isNull() | (li.l_shipdate < dim.valid_to))
+    )
+    return li.join(dim, cond).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("s_acctbal").alias("version_acctbal"),
+        "valid_from",
+    )

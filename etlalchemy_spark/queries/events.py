@@ -824,3 +824,57 @@ def ts_holt_brown_forecast(spark, sf_dir):
     return t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value", forecast.alias("forecast")
     )
+
+
+_DAU_WAU_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, user_id
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+wau AS (
+  SELECT d1.day, COUNT(DISTINCT d2.user_id) AS wau
+  FROM days d1
+  JOIN daily d2
+    ON d2.day >= d1.day - INTERVAL 6 DAY AND d2.day <= d1.day
+  GROUP BY d1.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@register("events_dau_wau", oracle=_DAU_WAU_SQL, tags=("events", "timeseries"))
+def events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day. The (user, day)
+    projection collapses the event stream FIRST (one hash agg, the only
+    pass over raw events); the trailing window is then a range join of
+    the tiny day spine against per-day users — at any scale the
+    expensive side is touched once, and the 7x fan-out happens on the
+    already-collapsed projection. (The streaming twin of this query is
+    a sliding window aggregate.)"""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    )
+    days = daily.select("day").distinct().select(F.col("day").alias("d1"))
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.join(
+            daily,
+            (F.col("day") >= F.expr("d1 - INTERVAL 6 DAY")) & (F.col("day") <= F.col("d1")),
+        )
+        .groupBy("d1")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d1)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+    )
