@@ -149,3 +149,67 @@ def mm_binary_file_source(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+_ROUTER_SQL = """
+WITH blobs AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN unhex('89504E47') || encode(text)
+           WHEN 1 THEN unhex('FFD8FFE0') || encode(text)
+           WHEN 2 THEN unhex('52494646') || encode(text)
+           ELSE encode(text)
+         END AS payload
+  FROM documents
+),
+routed AS (
+  SELECT doc_id, payload,
+         CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+              WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+              WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio/riff'
+              ELSE 'application/octet-stream' END AS modality
+  FROM blobs
+)
+SELECT modality, COUNT(*) AS n_blobs,
+       SUM(octet_length(payload)) AS total_bytes,
+       MIN(doc_id) AS first_doc
+FROM routed GROUP BY modality
+"""
+
+
+@register("mm_magic_byte_router", oracle=_ROUTER_SQL, tags=("multimodal",))
+def mm_magic_byte_router(spark, sf_dir):
+    """Content-sniffing router for mixed-modality blob columns: the
+    first payload bytes are compared against magic numbers (PNG / JPEG
+    / RIFF) as BINARY slices — no hex-string detour, no UDF — and each
+    blob is routed to its modality partition. This is the dispatch
+    stage in front of the per-modality decode UDFs: a pure narrow
+    expression, so routing a 100 TB mixed lake is scan-speed and the
+    downstream partitionBy(modality) write gives each decoder a clean
+    input. Payload magic is synthesized deterministically (doc_id % 4)
+    since the fixture has no real media."""
+    d = t(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.unhex(F.lit("89504E47")), body))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.unhex(F.lit("52494646")), body))
+        .otherwise(body)
+    )
+    head = lambda n: F.expr(f"substring(payload, 1, {n})")  # noqa: E731
+    modality = (
+        F.when(head(4) == F.unhex(F.lit("89504E47")), "image/png")
+        .when(head(3) == F.unhex(F.lit("FFD8FF")), "image/jpeg")
+        .when(head(4) == F.unhex(F.lit("52494646")), "audio/riff")
+        .otherwise("application/octet-stream")
+    )
+    return (
+        d.select("doc_id", payload.alias("payload"))
+        .select("doc_id", "payload", modality.alias("modality"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
