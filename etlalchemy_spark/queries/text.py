@@ -533,3 +533,100 @@ def text_length_bucket_batching(spark, sf_dir):
             / (F.count(F.lit(1)) * F.first("bucket_cap")).cast("double")
         ).alias("utilization"),
     )
+
+
+def _corpus_pipeline_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    b = _bucket_sql("doc_id", "sp:")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+rep AS (
+  SELECT doc_id,
+         1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 2, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+  ) GROUP BY doc_id
+),
+q AS (
+  SELECT t.doc_id, t.text
+  FROM tok t JOIN rep r ON t.doc_id = r.doc_id
+  WHERE t.n_tokens >= 10 AND r.rep_ratio < 0.5
+),
+d AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN {b} < 800000 THEN 'split_train'
+              WHEN {b} < 900000 THEN 'split_val'
+              ELSE 'split_test' END AS split
+  FROM d
+)
+SELECT 'raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT 'quality', COUNT(*) FROM q
+UNION ALL SELECT 'exact_dedup', COUNT(*) FROM d
+UNION ALL SELECT split, COUNT(*) FROM s GROUP BY split
+"""
+
+
+@register("text_corpus_clean_pipeline", oracle=_corpus_pipeline_sql(), tags=("text", "dedup", "sampling"))
+def text_corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning audit — the composition the engine
+    exists for: quality gate (min length + trigram repetition) → exact
+    content dedup (md5 groupBy, keep lowest id) → deterministic
+    train/val/test split, reporting survivors per stage. Every stage is
+    the already-oracle-proven operator (quality_features shape,
+    dedup_exact, hash_bucket split) composed in ONE lazy plan: the
+    corpus is scanned once for tokens and once for shingles, dedup
+    shuffles a 32-byte hash, the split is a pure function of doc_id —
+    no stage materializes or collects anything."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.operators.text import md5_fingerprint, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    # raw (non-distinct) trigrams: word_shingles dedups, repetition needs totals
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("words"))
+    starts = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(F.col("words"), i, 3), " "))
+    rep = (
+        docs.select("doc_id", words.alias("words"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.count_distinct("g").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("rep_ratio")
+        )
+    )
+    tok = docs.select("doc_id", "text", token_count(F.col("text")).alias("n_tokens"))
+    q = (
+        tok.join(rep, "doc_id")
+        .where((F.col("n_tokens") >= 10) & (F.col("rep_ratio") < 0.5))
+        .select("doc_id", "text")
+    )
+    d = q.groupBy(md5_fingerprint(F.col("text"))).agg(F.min("doc_id").alias("doc_id"))
+    bkt = hash_bucket(F.col("doc_id"), salt="sp:")
+    s = d.select(
+        F.when(bkt < 800000, "split_train")
+        .when(bkt < 900000, "split_val")
+        .otherwise("split_test")
+        .alias("split")
+    )
+    cnt = F.count(F.lit(1)).alias("n_docs")
+    return (
+        docs.agg(F.lit("raw").alias("stage"), cnt)
+        .unionByName(q.agg(F.lit("quality").alias("stage"), cnt))
+        .unionByName(d.agg(F.lit("exact_dedup").alias("stage"), cnt))
+        .unionByName(s.groupBy(F.col("split").alias("stage")).agg(cnt))
+    )

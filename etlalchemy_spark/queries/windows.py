@@ -527,3 +527,45 @@ def window_distribution_frames(spark, sf_dir):
         F.first("s_acctbal").over(wf).alias("lowest"),
         F.last("s_acctbal").over(wf).alias("highest"),
     )
+
+
+_ISLANDS_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         event_id - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM events WHERE event_type = 'click'
+)
+SELECT user_id, MIN(event_id) AS island_start, MAX(event_id) AS island_end,
+       COUNT(*) AS island_len
+FROM p GROUP BY user_id, grp
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("window_gaps_islands", oracle=_ISLANDS_SQL, tags=("window",))
+def window_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands on the event-id sequence: consecutive runs of
+    click events per user via the id-minus-row_number trick (constant
+    within a run, shifts at every gap), then one aggregate per island.
+    The window and the aggregate share the user partitioning — one
+    shuffle total; islands of length 1 are filtered to keep the output
+    the interesting runs."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    p = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        p.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .where(F.col("island_len") >= 2)
+        .drop("grp")
+    )
