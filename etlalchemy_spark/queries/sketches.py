@@ -275,3 +275,43 @@ def sketch_quantile_histogram(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     bins = hist_bins(li, F.col("l_extendedprice"), _HQ_LO, _HQ_WIDTH, _HQ_NBINS)
     return hist_quantiles(bins, _HQ_LO, _HQ_WIDTH, _HQ_QS)
+
+
+_HLL_ERR_SQL = f"""{_HLL_REG_CTES}
+, agg AS (
+  SELECT SUM(CAST(1 AS BIGINT) << (53 - register)) AS s_ne, COUNT(*) AS ne FROM reg
+),
+est AS (
+  SELECT (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
+         / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS estimate
+  FROM agg
+),
+ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_n FROM orders)
+SELECT estimate, exact_n,
+       (estimate - CAST(exact_n AS DOUBLE)) / CAST(exact_n AS DOUBLE) AS rel_error
+FROM est, ex
+"""
+
+
+@register("sketch_hll_error_report", oracle=_HLL_ERR_SQL, tags=("sketch",))
+def sketch_hll_error_report(spark, sf_dir):
+    """Sketch accuracy audit: the portable-HLL estimate next to the
+    exact distinct count with signed relative error — the number a
+    pipeline owner checks before trusting the sketch at 100 TB (where
+    the exact count becomes the expensive side and this report runs on
+    a sample). Every term, including the error, hash-matches the
+    oracle: the estimate is an exact integer-harmonic formula and the
+    division is one IEEE op."""
+    from etlalchemy_spark.operators.sketch import hll_estimate, hll_registers
+
+    o = t(spark, sf_dir, "orders")
+    est = hll_estimate(hll_registers(o, F.col("o_custkey")))
+    exact = o.agg(F.count_distinct("o_custkey").alias("exact_n"))
+    return est.crossJoin(exact).select(
+        "estimate",
+        "exact_n",
+        (
+            (F.col("estimate") - F.col("exact_n").cast("double"))
+            / F.col("exact_n").cast("double")
+        ).alias("rel_error"),
+    )
