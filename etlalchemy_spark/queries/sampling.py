@@ -195,3 +195,57 @@ def sample_reservoir_hash_topk(spark, sf_dir):
         .orderBy("h")
         .limit(500)
     )
+
+
+_NEG_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS pos_item
+  FROM events WHERE event_type = 'purchase'
+),
+bounds AS (SELECT MAX(p_partkey) AS max_item FROM part),
+slots AS (SELECT UNNEST(generate_series(0, 3)) AS slot)
+SELECT p.user_id, p.pos_item, s.slot,
+       {_bucket_sql("p.user_id * 1000000 + p.pos_item * 10 + s.slot", "ng:")} % (b.max_item + 1) AS neg_item,
+       ({_bucket_sql("p.user_id * 1000000 + p.pos_item * 10 + s.slot", "ng:")} % (b.max_item + 1)) = p.pos_item AS collides
+FROM pos p, bounds b, slots s
+"""
+
+
+@register("sample_negative_sampling", oracle=_NEG_SQL, tags=("sampling",))
+def sample_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for recommender/contrastive
+    training: for every (user, positive item) pair, draw 4 negatives as
+    a pure hash of (user, item, slot) mod the item universe —
+    reproducible across engines, partitionings, and epochs (change the
+    salt to reroll), no RNG state to coordinate across 1000 executors.
+    Collisions with the positive are FLAGGED, not resampled, keeping
+    the op stateless; the universe bound is one broadcast scalar."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    part = t(spark, sf_dir, "part")
+    pos = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("pos_item"),
+        )
+        .distinct()
+    )
+    bounds = part.agg(F.max("p_partkey").alias("max_item"))
+    slots = spark.range(4).select(F.col("id").alias("slot"))
+    key = (
+        F.col("user_id") * 1000000 + F.col("pos_item") * 10 + F.col("slot")
+    )
+    drawn = (
+        pos.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("neg_item", hash_bucket(key, salt="ng:") % (F.col("max_item") + 1))
+    )
+    return drawn.select(
+        "user_id",
+        "pos_item",
+        "slot",
+        "neg_item",
+        (F.col("neg_item") == F.col("pos_item")).alias("collides"),
+    )

@@ -630,3 +630,54 @@ def text_corpus_clean_pipeline(spark, sf_dir):
         .unionByName(d.agg(F.lit("exact_dedup").alias("stage"), cnt))
         .unionByName(s.groupBy(F.col("split").alias("stage")).agg(cnt))
     )
+
+
+_OOV_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+vocab AS (SELECT word FROM freq ORDER BY n DESC, word LIMIT 20)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       COUNT(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov,
+       CAST(COUNT(CASE WHEN v.word IS NULL THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY doc_id
+"""
+
+
+@register("text_oov_rate", oracle=_OOV_SQL, tags=("text",))
+def text_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus top-20
+    vocabulary (frequency-ranked, ties alphabetical): the vocabulary-
+    coverage filter in tokenizer training. The vocab is a top-k over
+    the word-frequency aggregate (TakeOrderedAndProject, k rows) and
+    broadcasts into a left join against the exploded words — the
+    corpus explode is the only big intermediate, touched once, and the
+    per-doc aggregate reuses its partitioning."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), "word")
+        .limit(20)
+        .select(F.col("word").alias("vword"))
+    )
+    oov = F.count(F.when(F.col("vword").isNull(), 1)).alias("n_oov")
+    return (
+        w.join(F.broadcast(vocab), w.word == F.col("vword"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            oov,
+            (
+                F.count(F.when(F.col("vword").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oov_rate"),
+        )
+    )
