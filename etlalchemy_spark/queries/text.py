@@ -403,7 +403,7 @@ SELECT doc_id,
        len(words[CAST(start AS INT):CAST(start AS INT)+19]) AS n_tokens
 FROM (
   SELECT doc_id, words,
-         UNNEST(generate_series(1, GREATEST(len(words) - 19, 1), 10)) AS start
+         UNNEST(generate_series(1, GREATEST(len(words) - 10, 1), 10)) AS start
   FROM w
 )
 """
@@ -420,7 +420,10 @@ def text_chunk_sliding_window(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(F.col("words"))
-    starts = F.sequence(F.lit(1), F.greatest(n - 19, F.lit(1)), F.lit(10))
+    # upper bound n-10 (not n-19): the last start must reach >= n-19 on
+    # the stride-10 grid or the tail words of a (n-20)%10 != 0 doc
+    # would never land in any chunk — silent data loss
+    starts = F.sequence(F.lit(1), F.greatest(n - 10, F.lit(1)), F.lit(10))
     chunk = F.slice(F.col("words"), F.col("start").cast("int"), 20)
     return (
         d.select("doc_id", words.alias("words"))
