@@ -678,3 +678,54 @@ def agg_weighted_avg_exact(spark, sf_dir):
             / F.sum(q).cast("decimal(38,4)").cast("double")
         ).alias("wavg_price")
     )
+
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, SUM(o) AS row_tot FROM obs GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS col_tot FROM obs GROUP BY source),
+n AS (SELECT SUM(o) AS total FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, o,
+         CAST(row_tot * col_tot AS DOUBLE) / CAST(total AS DOUBLE) AS e
+  FROM obs JOIN rt ON obs.lang = rt.lang
+           JOIN ct ON obs.source = ct.source
+           CROSS JOIN n
+)
+SELECT CAST(ROUND(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS DECIMAL(24,10))), 10) AS DOUBLE) AS chi2,
+       COUNT(*) AS n_cells
+FROM cells
+"""
+
+
+@register("agg_chi2_independence", oracle=_CHI2_SQL, tags=("agg", "stats"))
+def agg_chi2_independence(spark, sf_dir):
+    """Chi-square independence statistic for lang x source (are
+    document sources language-skewed?): observed cell counts vs
+    expected row*col/n. Each cell's term is computed in double on
+    exact integer inputs (identical IEEE ops), then quantized to
+    decimal BEFORE the final reduction so the cross-cell sum is
+    order-insensitive. Three small aggregates + one broadcast-sized
+    join back onto the cells."""
+    d = t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e",
+            (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total").cast("double"),
+        )
+    )
+    od = F.col("o").cast("double")
+    term = ((od - F.col("e")) * (od - F.col("e")) / F.col("e")).cast("decimal(24,10)")
+    return cells.agg(
+        F.sum(term).cast("decimal(38,10)").cast("double").alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )

@@ -966,3 +966,46 @@ def ts_seasonal_naive_error(spark, sf_dir):
         )
         .where(F.col("n_scored") > 0)
     )
+
+
+_DOWNSAMPLE_SQL = """
+WITH keyed AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, event_id, value,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000 + event_id AS vkey
+  FROM events
+)
+SELECT user_id, hour,
+       COUNT(*) AS n_raw,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       arg_min(event_id, vkey) AS min_event_id,
+       arg_max(event_id, vkey) AS max_event_id
+FROM keyed
+GROUP BY user_id, hour
+"""
+
+
+@register("ts_downsample_minmax", oracle=_DOWNSAMPLE_SQL, tags=("events", "timeseries"))
+def ts_downsample_minmax(spark, sf_dir):
+    """Min/max downsampling per (user, hour) — the lossless-extremes
+    plot/alerting reduction (peaks and troughs survive any zoom). The
+    arg-extremum rides on a composite integer key (1e-2-quantized value
+    * 1e6 + event_id) so ties break deterministically in both engines;
+    one hash agg, map-side partials, output is O(buckets) regardless of
+    input scale."""
+    ev = t(spark, sf_dir, "events")
+    vkey = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint") * 1000000 + F.col(
+        "event_id"
+    )
+    return (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"), "event_id", "value")
+        .withColumn("vkey", vkey)
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min_by("event_id", "vkey").alias("min_event_id"),
+            F.max_by("event_id", "vkey").alias("max_event_id"),
+        )
+    )
