@@ -1009,3 +1009,58 @@ def ts_downsample_minmax(spark, sf_dir):
             F.max_by("event_id", "vkey").alias("max_event_id"),
         )
     )
+
+
+_SESS_DUR_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+dur AS (
+  SELECT user_id, session_id,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) / 1000000.0 AS dur_s,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       quantile_cont(dur_s, 0.5) AS p50_s,
+       quantile_cont(dur_s, 0.9) AS p90_s,
+       quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS p50_events
+FROM dur
+"""
+
+
+@register("events_session_duration_pctl", oracle=_SESS_DUR_SQL, tags=("events", "window"))
+def events_session_duration_pctl(spark, sf_dir):
+    """Session-duration distribution: the shared 30-min sessionizer
+    (one oracle-proven shape for all session queries), per-session
+    duration/event-count aggregates riding the same user partitioning,
+    then exact interpolated percentiles over the session-level rows —
+    a single-row report whose input is already reduced ~1000x before
+    the final (tiny) percentile aggregate."""
+    from etlalchemy_spark.queries._util import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    dur = s.groupBy("user_id", "session_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000.0)
+        ).alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return dur.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.percentile("dur_s", F.lit(0.5)).alias("p50_s"),
+        F.percentile("dur_s", F.lit(0.9)).alias("p90_s"),
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias("p50_events"),
+    )
