@@ -68,3 +68,22 @@ from etlalchemy_spark.operators.sketch import (  # noqa: F401
     hll_registers,
 )
 from etlalchemy_spark.operators.bloom import bloom_build, bloom_probe  # noqa: F401
+from etlalchemy_spark.operators.ddl import (  # noqa: F401
+    DDLEpilogue,
+    FKSpec,
+    IndexSpec,
+    create_table_ddl,
+    fk_orphan_count,
+    fk_orphans,
+)
+from etlalchemy_spark.operators.graph import pagerank_exact  # noqa: F401
+from etlalchemy_spark.operators.sampling import weighted_systematic_sample  # noqa: F401
+from etlalchemy_spark.operators.sketch import (  # noqa: F401
+    bitmap_buckets,
+    bitmap_distinct_count,
+    cms_estimate,
+    cms_merge,
+    cms_registers,
+    hist_bins,
+    hist_quantiles,
+)
