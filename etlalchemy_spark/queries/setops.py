@@ -91,3 +91,34 @@ def setop_except_all(spark, sf_dir):
     a = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b)
+
+
+_UNION_NAME_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS entity_id, 'supplier' AS kind,
+       s_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS segment
+FROM supplier
+UNION ALL
+SELECT c_custkey, 'customer', c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+@register("setop_union_by_name", oracle=_UNION_NAME_SQL, tags=("setops",))
+def setop_union_by_name(spark, sf_dir):
+    """Schema-aligned union of heterogeneous entity tables:
+    unionByName(allowMissingColumns=True) matches columns by NAME and
+    null-fills the gaps — the safe way to stack evolving extracts,
+    where positional unionAll would silently pair mismatched columns.
+    Narrow map-side op, no shuffle."""
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return sup.unionByName(cust, allowMissingColumns=True)
