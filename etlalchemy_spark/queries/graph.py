@@ -43,16 +43,33 @@ deg AS (
 """
 
 
-def _edges(spark, sf_dir):
+def _edges(spark, sf_dir, materialize: bool = False):
+    """``materialize=True`` persists the deduplicated edge list
+    (memory+disk). Catalyst does not reuse the scan+self-join+distinct
+    subtree across join branches (no ReusedExchange), so the triangle /
+    k-core plans re-execute the edge build per reference (3x / 7x).
+    MEASURED at sf0.1: persistence still LOSES — the InMemoryRelation
+    blocks AQE's runtime broadcast/coalesce decisions downstream
+    (k-core 14s -> 78s persisted) and recompute is cheaper than the
+    cache write (triangles 21s -> 24s). Default off; flip it only when
+    the edge build itself dominates (very wide fact scans) and verify
+    with the plan, not intuition — at true 100 TB the equivalent move
+    is writing the edge list to a bucketed table, which keeps AQE and
+    co-located joins."""
     li = t(spark, sf_dir, "lineitem")
     lines = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
     a = lines.alias("a")
     b = lines.alias("b")
-    return (
+    e = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    return e
 
 
 def _degrees(edges):
