@@ -641,3 +641,124 @@ def dedup_containment_exact(spark, sf_dir):
         .select("src_id", "dst_id", "n_inter", contain.alias("containment"))
         .where(F.col("containment") >= 0.5)
     )
+
+
+def _band_tuning_sql() -> str:
+    def keys(bands: int) -> str:
+        r = _MH_N // bands
+        return ", ".join(_band_key_sql(b, r) for b in range(bands))
+
+    def bands_list(bands: int) -> str:
+        return ", ".join(str(b) for b in range(bands))
+
+    def cand(bands: int, name: str) -> str:
+        return f"""{name} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, UNNEST([{bands_list(bands)}]) AS band, UNNEST([{keys(bands)}]) AS bkey FROM sig) a
+  JOIN (SELECT doc_id, UNNEST([{bands_list(bands)}]) AS band, UNNEST([{keys(bands)}]) AS bkey FROM sig) b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
+    def conf(cand_name: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT COUNT(*) AS n FROM {cand_name} c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+        CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) >= {_MH_THRESHOLD}
+)"""
+
+    return f"""{_HM_CTES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM h GROUP BY doc_id
+),
+sets AS (SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id),
+{cand(4, "cand4")},
+{cand(8, "cand8")},
+{conf("cand4", "conf4")},
+{conf("cand8", "conf8")}
+SELECT 'bands=4,r=4' AS config,
+       (SELECT COUNT(*) FROM cand4) AS n_candidates,
+       (SELECT n FROM conf4) AS n_confirmed,
+       CAST((SELECT n FROM conf4) AS DOUBLE)
+         / CAST(GREATEST((SELECT COUNT(*) FROM cand4), 1) AS DOUBLE) AS precision
+UNION ALL
+SELECT 'bands=8,r=2',
+       (SELECT COUNT(*) FROM cand8),
+       (SELECT n FROM conf8),
+       CAST((SELECT n FROM conf8) AS DOUBLE)
+         / CAST(GREATEST((SELECT COUNT(*) FROM cand8), 1) AS DOUBLE)
+"""
+
+
+@register("dedup_lsh_band_tuning", oracle=_band_tuning_sql(), tags=("dedup", "approx"))
+def dedup_lsh_band_tuning(spark, sf_dir):
+    """LSH operating-point audit: from the SAME 16-hash signatures,
+    candidate volume and post-verify precision under two band layouts
+    (4x4: high precision / 8x2: high recall). This is the report that
+    chooses the band count before a 100 TB dedup run — candidate pairs
+    are the cost driver, and the S-curve shifts with (bands, rows),
+    never needing new signatures. One signature pass feeds both
+    configs; verification joins only touch candidates."""
+    from pyspark.sql import functions as _F
+
+    from etlalchemy_spark.operators.dedup import minhash_signature_exact, word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signature_exact(docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_N)
+    sh = word_shingles(docs, "doc_id", "text", k=_MH_K)
+    sets = sh.groupBy("doc_id").agg(_F.collect_set("shingle").alias("ss"))
+
+    def candidates(bands: int):
+        r = _MH_N // bands
+        entries = [
+            _F.struct(
+                _F.lit(b).alias("band"),
+                _F.concat_ws(
+                    "_", *[_F.col(f"mh_{b * r + i}").cast("string") for i in range(r)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+        bk = sig.select("doc_id", _F.explode(_F.array(*entries)).alias("e")).select(
+            "doc_id", "e.band", "e.bkey"
+        )
+        a, b_ = bk.alias("a"), bk.alias("b")
+        return (
+            a.join(
+                b_,
+                (_F.col("a.band") == _F.col("b.band"))
+                & (_F.col("a.bkey") == _F.col("b.bkey"))
+                & (_F.col("a.doc_id") < _F.col("b.doc_id")),
+            )
+            .select(_F.col("a.doc_id").alias("id_a"), _F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+
+    def row(bands: int, label: str):
+        cand = candidates(bands)
+        inter = _F.size(_F.array_intersect(_F.col("sa"), _F.col("sb")))
+        union = _F.size("sa") + _F.size("sb") - inter
+        verified = (
+            cand.join(sets.select(_F.col("doc_id").alias("id_a"), _F.col("ss").alias("sa")), "id_a")
+            .join(sets.select(_F.col("doc_id").alias("id_b"), _F.col("ss").alias("sb")), "id_b")
+            .where(inter.cast("double") / union.cast("double") >= _MH_THRESHOLD)
+        )
+        n_cand = cand.agg(_F.count(_F.lit(1)).alias("n_candidates"))
+        n_conf = verified.agg(_F.count(_F.lit(1)).alias("n_confirmed"))
+        return (
+            n_cand.crossJoin(n_conf)
+            .select(
+                _F.lit(label).alias("config"),
+                "n_candidates",
+                "n_confirmed",
+                (
+                    _F.col("n_confirmed").cast("double")
+                    / _F.greatest(_F.col("n_candidates"), _F.lit(1)).cast("double")
+                ).alias("precision"),
+            )
+        )
+
+    return row(4, "bands=4,r=4").unionByName(row(8, "bands=8,r=2"))

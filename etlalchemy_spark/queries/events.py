@@ -1064,3 +1064,50 @@ def events_session_duration_pctl(spark, sf_dir):
         F.percentile("dur_s", F.lit(0.9)).alias("p90_s"),
         F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias("p50_events"),
     )
+
+
+_ERRRATE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n_errors) AS DOUBLE) / CAST(SUM(n_events) AS DOUBLE) AS global_rate
+  FROM hourly
+)
+SELECT h.hour, h.n_events, h.n_errors,
+       CAST(h.n_errors AS DOUBLE) / CAST(h.n_events AS DOUBLE) AS err_rate,
+       g.global_rate,
+       CAST(h.n_errors AS DOUBLE) / CAST(h.n_events AS DOUBLE) > 2.0 * g.global_rate AS alert
+FROM hourly h, g
+"""
+
+
+@register("events_error_rate_alerts", oracle=_ERRRATE_SQL, tags=("events", "timeseries"))
+def events_error_rate_alerts(spark, sf_dir):
+    """Hourly error-rate monitor: per-hour rate against 2x the global
+    baseline, alert flag per bucket. The baseline is a one-row
+    broadcast over the already-aggregated hourly table — the raw
+    stream is scanned once; in production the same shape runs as the
+    foreachBatch sink of the streaming tumbling-count query."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    g = hourly.agg(
+        (
+            F.sum("n_errors").cast("double") / F.sum("n_events").cast("double")
+        ).alias("global_rate")
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    return hourly.crossJoin(F.broadcast(g)).select(
+        "hour",
+        "n_events",
+        "n_errors",
+        rate.alias("err_rate"),
+        "global_rate",
+        (rate > F.lit(2.0) * F.col("global_rate")).alias("alert"),
+    )

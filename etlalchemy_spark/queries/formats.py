@@ -307,3 +307,26 @@ def fmt_csv_permissive_corrupt(spark, sf_dir):
             F.col("_corrupt_record").alias("corrupt_rec"),
         )
     )
+
+
+_SUPPLIER_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@register("fmt_csv_mysql_dialect", oracle=_SUPPLIER_SQL, tags=("sources",))
+def fmt_csv_mysql_dialect(spark, sf_dir):
+    """W1 with MySQL LOAD DATA conventions (backslash escapes, \\N
+    nulls) — the second dialect of the bulk-load CSV matrix, proving
+    the conventions table round-trips values, not just postgres's."""
+    sup = t(spark, sf_dir, "supplier")
+    tmp = scratch_dir("csv_mysql", sf_dir)
+    path = os.path.join(tmp, "supplier_csv")
+    write_csv_for_bulk_load(sup, path, dialect="mysql", header=True)
+    return read_file(
+        spark,
+        path,
+        fmt="csv",
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
+        header=True,
+        nullValue=r"\N",
+        escape="\\",
+    )
