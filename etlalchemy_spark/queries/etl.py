@@ -701,3 +701,45 @@ def join_point_in_time_dim(spark, sf_dir):
         F.col("s_acctbal").alias("version_acctbal"),
         "valid_from",
     )
+
+
+_CARD_SQL = """
+SELECT 'o_custkey' AS col_name, COUNT(DISTINCT o_custkey) AS n_distinct, COUNT(o_custkey) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) / CAST(COUNT(o_custkey) AS DOUBLE) AS distinct_ratio,
+       COUNT(DISTINCT o_custkey) < COUNT(o_custkey) / 10 AS index_candidate
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus), COUNT(o_orderstatus),
+       CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) / CAST(COUNT(o_orderstatus) AS DOUBLE),
+       COUNT(DISTINCT o_orderstatus) < COUNT(o_orderstatus) / 10
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', COUNT(DISTINCT o_orderkey), COUNT(o_orderkey),
+       CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / CAST(COUNT(o_orderkey) AS DOUBLE),
+       COUNT(DISTINCT o_orderkey) < COUNT(o_orderkey) / 10
+FROM orders
+"""
+
+
+@register("etl_cardinality_profile", oracle=_CARD_SQL, tags=("etl", "profile"))
+def etl_cardinality_profile(spark, sf_dir):
+    """Cardinality profiling — the data-driven version of the
+    reference's index selection (M1): distinct/total ratio per column
+    flags low-cardinality columns as secondary-index / partition-key /
+    bucketing candidates before the DDL epilogue. One aggregate per
+    column over one scan each (at scale: switch the exact distinct to
+    the portable HLL sketch and profile every column in a single
+    pass)."""
+    orders = t(spark, sf_dir, "orders")
+
+    def prof(c):
+        nd, n = F.count_distinct(c), F.count(c)
+        return orders.agg(
+            F.lit(c).alias("col_name"),
+            nd.alias("n_distinct"),
+            n.alias("n_rows"),
+            (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
+            (nd < n / 10).alias("index_candidate"),
+        )
+
+    return prof("o_custkey").unionByName(prof("o_orderstatus")).unionByName(prof("o_orderkey"))

@@ -1111,3 +1111,43 @@ def events_error_rate_alerts(spark, sf_dir):
         "global_rate",
         (rate > F.lit(2.0) * F.col("global_rate")).alias("alert"),
     )
+
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate) AS week,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT week, revenue,
+       lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+       (revenue - lag(revenue) OVER (ORDER BY week))
+         / lag(revenue) OVER (ORDER BY week) AS wow_growth
+FROM weekly
+"""
+
+
+@register("ts_week_over_week_growth", oracle=_WOW_SQL, tags=("events", "timeseries", "window"))
+def ts_week_over_week_growth(spark, sf_dir):
+    """Week-over-week revenue growth: decimal-exact weekly sums, one
+    LAG, one IEEE divide. The window is over the WEEK spine (hundreds
+    of rows at any input scale — the heavy reduction happened in the
+    aggregate), so the unpartitioned window is a non-issue; the same
+    shape partitions by region/segment when the spine grows."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(F.date_trunc("week", "o_orderdate").alias("week")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+    w = W.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("wow_growth"),
+    )
