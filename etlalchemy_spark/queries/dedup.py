@@ -762,3 +762,101 @@ def dedup_lsh_band_tuning(spark, sf_dir):
         )
 
     return row(4, "bands=4,r=4").unionByName(row(8, "bands=8,r=2"))
+
+
+def _lsh_recall_sql() -> str:
+    keys = ", ".join(_band_key_sql(b, _R) for b in range(_MH_BANDS))
+    bands = ", ".join(str(b) for b in range(_MH_BANDS))
+    return f"""{_HM_CTES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM h GROUP BY doc_id
+),
+sets AS (SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+        CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) >= {_MH_THRESHOLD}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, UNNEST([{bands}]) AS band, UNNEST([{keys}]) AS bkey FROM sig) a
+  JOIN (SELECT doc_id, UNNEST([{bands}]) AS band, UNNEST([{keys}]) AS bkey FROM sig) b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT COUNT(*) AS n_found FROM truth t
+  JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT n_found FROM hit) AS n_found,
+       CAST((SELECT n_found FROM hit) AS DOUBLE)
+         / CAST(GREATEST((SELECT COUNT(*) FROM truth), 1) AS DOUBLE) AS recall
+"""
+
+
+@register("dedup_lsh_recall", oracle=_lsh_recall_sql(), tags=("dedup", "approx"))
+def dedup_lsh_recall(spark, sf_dir):
+    """LSH recall against exhaustive ground truth: how many true
+    near-dup pairs (exact Jaccard >= threshold) land in at least one
+    shared band bucket. Together with dedup_lsh_band_tuning's
+    precision this is the full operating-point picture. The exhaustive
+    truth join is the thing LSH exists to avoid — affordable at
+    verification scale, and at 100 TB you'd estimate recall the same
+    way on a hash-sampled corpus slice (sample_bernoulli_hash)."""
+    from pyspark.sql import functions as _F
+
+    from etlalchemy_spark.operators.dedup import (
+        minhash_signature_exact,
+        word_shingles,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=_MH_K)
+    sets = sh.groupBy("doc_id").agg(_F.collect_set("shingle").alias("ss"))
+    a = sets.select(_F.col("doc_id").alias("id_a"), _F.col("ss").alias("sa"))
+    b = sets.select(_F.col("doc_id").alias("id_b"), _F.col("ss").alias("sb"))
+    inter = _F.size(_F.array_intersect(_F.col("sa"), _F.col("sb")))
+    union = _F.size("sa") + _F.size("sb") - inter
+    truth = (
+        a.join(b, _F.col("id_a") < _F.col("id_b"))
+        .where(inter.cast("double") / union.cast("double") >= _MH_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    sig = minhash_signature_exact(docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_N)
+    r = _MH_N // _MH_BANDS
+    entries = [
+        _F.struct(
+            _F.lit(band).alias("band"),
+            _F.concat_ws(
+                "_", *[_F.col(f"mh_{band * r + i}").cast("string") for i in range(r)]
+            ).alias("bkey"),
+        )
+        for band in range(_MH_BANDS)
+    ]
+    bk = sig.select("doc_id", _F.explode(_F.array(*entries)).alias("e")).select(
+        "doc_id", "e.band", "e.bkey"
+    )
+    ba, bb = bk.alias("a"), bk.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (_F.col("a.band") == _F.col("b.band"))
+            & (_F.col("a.bkey") == _F.col("b.bkey"))
+            & (_F.col("a.doc_id") < _F.col("b.doc_id")),
+        )
+        .select(_F.col("a.doc_id").alias("id_a"), _F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    n_true = truth.agg(_F.count(_F.lit(1)).alias("n_true_pairs"))
+    n_found = truth.join(cand, ["id_a", "id_b"]).agg(_F.count(_F.lit(1)).alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true_pairs",
+        "n_found",
+        (
+            _F.col("n_found").cast("double")
+            / _F.greatest(_F.col("n_true_pairs"), _F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
