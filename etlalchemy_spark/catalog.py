@@ -41,8 +41,11 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (see session.py nanosAsLong) and we floor-divide to microseconds here.
+# Event-time columns whose physical parquet type has varied across
+# fixture generations: TIMESTAMP(NANOS) reads as long under the legacy
+# nanos flag (floor-divide to µs), TIMESTAMP_NTZ (micros, no tz) casts
+# to session-UTC TIMESTAMP. Either way queries see TIMESTAMP with the
+# same UTC wall-clock values.
 NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -51,20 +54,29 @@ NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 _FANOUT_MIN_ROWS = 50_000
 
 
-def _scan_splits(path: str) -> tuple[int, int]:
-    """(num_rows, num_row_groups) from the parquet footer — cached;
-    driver-side metadata read only."""
+def _scan_splits(path: str) -> tuple[int, int] | None:
+    """(num_rows, num_row_groups) from the parquet footer — cached on
+    (path, mtime) so an in-process fixture rewrite invalidates; returns
+    None (caller skips fanout) when the footer can't be read, e.g. a
+    multi-file parquet directory. Driver-side metadata read only."""
     global _SPLIT_CACHE
     try:
         cache = _SPLIT_CACHE
     except NameError:
         cache = _SPLIT_CACHE = {}
-    if path not in cache:
-        import pyarrow.parquet as pq
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None
+    if key not in cache:
+        try:
+            import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
-        cache[path] = (md.num_rows, md.num_row_groups)
-    return cache[path]
+            md = pq.ParquetFile(path).metadata
+            cache[key] = (md.num_rows, md.num_row_groups)
+        except Exception:
+            cache[key] = None
+    return cache[key]
 
 
 def load_table(
@@ -87,15 +99,24 @@ def load_table(
     and no exchange is added either way."""
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANOS_TS_COLS.get(name, []):
-        if c in df.columns and df.schema[c].dataType.simpleString() == "bigint":
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType.simpleString()
+        if dt == "bigint":
             # integer division: ns epoch (~1.7e18) overflows double, so
             # never divide in float here
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            # micros fixture: NTZ → TIMESTAMP interprets the wall clock
+            # in the session zone (pinned UTC) — values unchanged
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if fanout:
         slots = spark.sparkContext.defaultParallelism
-        n_rows, n_groups = _scan_splits(table_path(sf_dir, name))
-        if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:
-            df = df.repartition(slots)
+        splits = _scan_splits(table_path(sf_dir, name))
+        if splits is not None:
+            n_rows, n_groups = splits
+            if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:
+                df = df.repartition(slots)
     return df
 
 

@@ -66,16 +66,22 @@ def bloom_probe(
     """Append a membership verdict per row: all k bits set → True.
     The filter joins in as a broadcast single row; the probe is pure
     bit arithmetic inside the scan stage — no shuffle of ``df``."""
-    probed = df.crossJoin(F.broadcast(bloom))
+    # Namespaced temp columns so a user column named e.g. "words"
+    # is neither made ambiguous by the crossJoin nor dropped below.
+    tmp_cols = ["__bloom_words"] + [f"__bloom_p{i}" for i in range(N_HASHES)]
+    clash = [c for c in tmp_cols if c in df.columns]
+    if clash:
+        raise ValueError(f"bloom_probe temp columns clash with input: {clash}")
+    probed = df.crossJoin(F.broadcast(bloom.select(F.col("words").alias("__bloom_words"))))
     for i, p in enumerate(_positions(key, seed)):
-        probed = probed.withColumn(f"_p{i}", p)
+        probed = probed.withColumn(f"__bloom_p{i}", p)
     cond = None
     for i in range(N_HASHES):
         # shiftright's python binding wants a literal shift amount, so
         # the variable-shift probe goes through the SQL expression form
         c = F.expr(
-            f"((shiftright(element_at(words, CAST(_p{i} DIV 64 AS INT) + 1),"
-            f" CAST(_p{i} % 64 AS INT))) & 1) = 1"
+            f"((shiftright(element_at(__bloom_words, CAST(__bloom_p{i} DIV 64 AS INT) + 1),"
+            f" CAST(__bloom_p{i} % 64 AS INT))) & 1) = 1"
         )
         cond = c if cond is None else cond & c
-    return probed.withColumn(out, cond).drop("words", *[f"_p{i}" for i in range(N_HASHES)])
+    return probed.withColumn(out, cond).drop(*tmp_cols)

@@ -128,7 +128,13 @@ def minhash_signatures(
     "permutations" are integer (a·h + b) mod p transforms of that one
     value — k× fewer string hashes than hashing per seed, same MinHash
     guarantees (pairwise-independent family). Output: (id, sig
-    array<bigint>)."""
+    array<bigint>).
+
+    SIGNATURE FORMAT v2 (round 2): per-seed Murmur3 ``array<int>``
+    signatures from the earlier revision are INCOMPATIBLE with these
+    universal-hash ``array<bigint>`` signatures — mixing persisted v1
+    signatures or band keys with v2 output yields zero matches. Re-sign
+    the corpus rather than mixing formats."""
     base = ((F.xxhash64(F.col(shingle_col)) % MINHASH_P) + MINHASH_P) % MINHASH_P
     hashed = sh.select(F.col(id_col), base.alias("_h"))
     mins = [

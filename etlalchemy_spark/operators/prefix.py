@@ -13,14 +13,19 @@ a plan that stays parallel end to end:
 2. **Local pass**: the expensive window runs partitioned by bucket id
    (parallel, whole-stage codegen).
 3. **Prefix pass**: per-bucket aggregates (row counts, distinct-key
-   counts, sums, maxes — one tiny row per bucket) get an exclusive
-   prefix combine over bucket ids; the single-partition window here
-   touches only ``n_buckets`` rows, which is O(parallelism), not O(n).
+   counts, sums, maxes — one tiny row per bucket) are collected to the
+   driver (aggregate-sized state, like the quantile bounds) and their
+   exclusive prefix combine is computed in plain Python; the offsets
+   come back as a literal broadcast frame. No WindowExec anywhere —
+   Spark 4's optimizer strips foldable partition expressions, so even
+   a ``partitionBy(lit(0))`` window would execute single-partition and
+   warn; this formulation has no window to warn about.
 4. **Combine**: broadcast-join the per-bucket offsets back and merge
    (add for counts/sums, greatest/least for max/min).
 
-Bounds are plan literals, so the bucket assignment is deterministic
-even if the stage is recomputed — no cached shuffle to trust.
+Bounds and offsets are plan literals, so the bucket assignment is
+deterministic even if the stage is recomputed — no cached shuffle to
+trust.
 
 Reference parity note: the reference (seanharr11/etlalchemy) has no
 window/rank surface at all (SURVEY.md §2 Table B); this module is part
@@ -57,14 +62,34 @@ def bucket_id(key_num: Column, bounds: list[float]) -> Column:
     return pid.cast("int")
 
 
-def _prefix_window() -> Window:
-    # Exclusive prefix over the tiny per-bucket frame. partitionBy(lit)
-    # keeps the spec non-empty; the frame holds n_buckets rows total.
-    return (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+def _exclusive_prefix_frame(stats: DataFrame, combines: list[tuple[str, str, str]]) -> DataFrame:
+    """Collect the per-bucket stats (≤ n_buckets rows — aggregate-sized
+    driver state, same budget as the quantile bounds) and return a
+    literal DataFrame of exclusive-prefix offsets per ``_pid``.
+    ``combines``: (src_col, out_col, kind) with kind in {sum, max};
+    empty prefixes yield None (callers coalesce)."""
+    spark = stats.sparkSession
+    rows = sorted(stats.collect(), key=lambda r: r["_pid"])
+    out_rows = []
+    acc: dict[str, object] = {o: None for _, o, _ in combines}
+    for r in rows:
+        out_rows.append((r["_pid"], *[acc[o] for _, o, _ in combines]))
+        for src, o, kind in combines:
+            v = r[src]
+            if v is None:
+                continue
+            acc[o] = (
+                v
+                if acc[o] is None
+                else (acc[o] + v if kind == "sum" else max(acc[o], v))
+            )
+    from pyspark.sql import types as T
+
+    pid_field = stats.schema["_pid"]
+    fields = [T.StructField("_pid", pid_field.dataType, False)]
+    for src, o, _ in combines:
+        fields.append(T.StructField(o, stats.schema[src].dataType, True))
+    return spark.createDataFrame(out_rows, T.StructType(fields))
 
 
 def global_ranks(
@@ -76,21 +101,30 @@ def global_ranks(
     """Append ``rn`` (row_number over (key, ties)), ``rnk`` (rank over
     key) and ``drnk`` (dense_rank over key) for the global ascending
     order of ``key_num`` — same results as an unpartitioned window,
-    fully parallel. Pass a negated key for descending order."""
+    fully parallel. Pass a negated key for descending order.
+
+    NULL keys follow Spark's ascending-window semantics (NULLS FIRST:
+    they land in bucket 0 and rank lowest, forming one dense-rank
+    group). Note the negated-key descending trick therefore orders
+    NULLs FIRST, whereas SQL ``DESC`` defaults to NULLS LAST — filter
+    NULLs out beforehand if descending SQL parity is required."""
     d = df.withColumn("_k", key_num.cast("double"))
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
+    # count_distinct excludes NULLs, but NULL keys form a real
+    # dense-rank group in the window they offset — count it explicitly
+    # or every later bucket's dense offset comes up one short.
     stats = d.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.count_distinct(F.col("_k")).alias("_nd"),
+        (
+            F.count_distinct(F.col("_k"))
+            + F.max(F.when(F.col("_k").isNull(), 1).otherwise(0))
+        ).alias("_nd"),
     )
-    wpre = _prefix_window()
-    offs = stats.select(
-        "_pid",
-        F.coalesce(F.sum("_n").over(wpre), F.lit(0)).alias("_row_off"),
-        F.coalesce(F.sum("_nd").over(wpre), F.lit(0)).alias("_dense_off"),
-    )
+    offs = _exclusive_prefix_frame(
+        stats, [("_n", "_row_off", "sum"), ("_nd", "_dense_off", "sum")]
+    ).fillna({"_row_off": 0, "_dense_off": 0})
 
     w_rn = Window.partitionBy("_pid").orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
     w_key = Window.partitionBy("_pid").orderBy(F.col("_k"))
@@ -122,10 +156,7 @@ def running_global_sum(
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
     totals = d.groupBy("_pid").agg(F.sum("_v").alias("_bucket_sum"))
-    offs = totals.select(
-        "_pid",
-        F.sum("_bucket_sum").over(_prefix_window()).alias("_off"),
-    )
+    offs = _exclusive_prefix_frame(totals, [("_bucket_sum", "_off", "sum")])
 
     w = (
         Window.partitionBy("_pid")
@@ -156,10 +187,7 @@ def running_global_max(
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
     totals = d.groupBy("_pid").agg(F.max("_v").alias("_bucket_max"))
-    offs = totals.select(
-        "_pid",
-        F.max("_bucket_max").over(_prefix_window()).alias("_off"),
-    )
+    offs = _exclusive_prefix_frame(totals, [("_bucket_max", "_off", "max")])
 
     w = (
         Window.partitionBy("_pid")

@@ -88,13 +88,22 @@ def _topk_ranked(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     """Distributed top-k with a rank column. ``orderBy().limit(k)``
     compiles to TakeOrderedAndProject (per-partition heaps + a k-row
     driver merge — no global sort, no single-partition shuffle); the
-    rank window then runs over the ≤k survivors only, so its
-    one-partition execution is O(k), not O(n)."""
+    ≤k survivors are then ranked by one collect_list aggregate +
+    array_sort + posexplode — O(k) state, no WindowExec at all (a
+    window here, even over k rows, would plan unpartitioned and
+    single-task; Spark 4 strips foldable partition keys)."""
     top = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.col(id_col))
+    arr = F.array_sort(
+        F.collect_list(F.struct((-F.col("cosine")).alias("_neg"), F.col(id_col), F.col("cosine")))
+    )
     return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select(id_col, "cosine", "rank")
+        top.agg(arr.alias("_a"))
+        .select(F.posexplode("_a").alias("_pos", "_e"))
+        .select(
+            F.col(f"_e.{id_col}").alias(id_col),
+            F.col("_e.cosine").alias("cosine"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 

@@ -223,17 +223,42 @@ def hist_quantiles(
     quantiles: list[tuple[str, int, int]],
 ) -> DataFrame:
     """(q, estimate) for each (label, num, den) quantile num/den.
-    The cumulative pass runs over the bin table — sketch-sized state
-    (<= nbins rows), so the single-partition window is a non-issue at
-    any data scale."""
-    from pyspark.sql import Window as W
-
-    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = (
-        bins.withColumn("cum", F.sum("cnt").over(wc))
-        .withColumn("cumb", F.col("cum") - F.col("cnt"))
+    The cumulative pass packs the bin table (sketch-sized, <= nbins
+    rows) into ONE array row and computes running counts with
+    array_sort + transform/slice/aggregate — no WindowExec (Spark 4
+    strips foldable partition keys, so even a lit-partitioned window
+    would execute single-partition and warn)."""
+    packed = bins.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("cnt").cast("bigint").alias("cnt")))
+        ).alias("_a")
     )
-    total = bins.agg(F.sum("cnt").alias("n"))
+    cum = packed.select(
+        F.posexplode(
+            F.transform(
+                F.col("_a"),
+                lambda x, i: F.struct(
+                    x["bin"].alias("bin"),
+                    x["cnt"].alias("cnt"),
+                    F.aggregate(
+                        F.slice(F.col("_a"), F.lit(1), i),
+                        F.lit(0).cast("bigint"),
+                        lambda a, b: a + b["cnt"],
+                    ).alias("cumb"),
+                ),
+            )
+        ).alias("_pos", "_e")
+    ).select(
+        F.col("_e.bin").alias("bin"),
+        F.col("_e.cnt").alias("cnt"),
+        F.col("_e.cumb").alias("cumb"),
+        (F.col("_e.cumb") + F.col("_e.cnt")).alias("cum"),
+    )
+    total = packed.select(
+        F.aggregate(
+            F.col("_a"), F.lit(0).cast("bigint"), lambda a, b: a + b["cnt"]
+        ).alias("n")
+    )
     qdf = total.select(
         "n",
         F.explode(
@@ -250,8 +275,13 @@ def hist_quantiles(
         ).alias("e"),
     ).select(
         "e.q",
-        F.floor(
-            (F.col("e._num") * F.col("n") + F.col("e._den") - 1) / F.col("e._den")
+        # clamp to >= 1: k=0 (the 0-quantile) satisfies no bin because
+        # cumb < 0 is impossible — map it to the first populated bin
+        F.greatest(
+            F.floor(
+                (F.col("e._num") * F.col("n") + F.col("e._den") - 1) / F.col("e._den")
+            ),
+            F.lit(1),
         ).alias("k"),
     )
     est = F.lit(lo) + (

@@ -13,4 +13,5 @@ from etlalchemy_spark.plans.inspect import (  # noqa: F401
     has_pushed_filters,
     has_wholestage_codegen,
     scan_read_schema,
+    unpartitioned_windows,
 )

@@ -49,6 +49,45 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose partition spec is EMPTY — the single-partition
+    shape that funnels all rows through one task (WindowExec's "No
+    Partition Defined" warning). Detected from the simple explain:
+    a Window node prints ``Window [exprs], [partitionSpec], [orderSpec]``
+    when fully specified; with only two top-level bracket groups the
+    second is EITHER a partition spec (fine — no global order) or an
+    order spec (the offender): order specs carry ASC/DESC markers."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    offenders: list[str] = []
+    for line in buf.getvalue().splitlines():
+        stripped = line.strip().lstrip("+-: *()0123456789").strip()
+        if not stripped.startswith("Window "):
+            continue
+        depth, groups, cur = 0, [], []
+        for ch in stripped:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) >= 3:
+            continue
+        last = groups[-1] if groups else ""
+        if len(groups) < 2 or (" ASC" in last or " DESC" in last):
+            offenders.append(stripped[:160])
+    return offenders
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Codegen spans show as ``*(n)`` stage markers in the simple plan
     (the formatted mode hides them behind AdaptiveSparkPlan)."""

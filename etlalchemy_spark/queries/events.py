@@ -1130,10 +1130,11 @@ FROM weekly
 @register("ts_week_over_week_growth", oracle=_WOW_SQL, tags=("events", "timeseries", "window"))
 def ts_week_over_week_growth(spark, sf_dir):
     """Week-over-week revenue growth: decimal-exact weekly sums, one
-    LAG, one IEEE divide. The window is over the WEEK spine (hundreds
-    of rows at any input scale — the heavy reduction happened in the
-    aggregate), so the unpartitioned window is a non-issue; the same
-    shape partitions by region/segment when the spine grows."""
+    LAG, one IEEE divide. The lag over the week spine is partitioned
+    by year and stitched at year boundaries (each year's first week
+    takes the previous existing year's last-week revenue via a lag
+    over the tiny per-year table) — same result as a global-order lag,
+    but no single-partition window however long the spine grows."""
     from pyspark.sql import Window as W
 
     orders = t(spark, sf_dir, "orders")
@@ -1142,12 +1143,35 @@ def ts_week_over_week_growth(spark, sf_dir):
         .cast("decimal(38,4)")
         .cast("double")
         .alias("revenue")
+    ).withColumn("_yr", F.year("week"))
+    # boundary stitch: previous EXISTING year's last-week revenue.
+    # The per-year table (a handful of rows) is packed into one sorted
+    # array and each element reads its predecessor — no WindowExec.
+    yr = (
+        weekly.groupBy("_yr")
+        .agg(F.max_by("revenue", "week").alias("_last_rev"))
+        .agg(F.array_sort(F.collect_list(F.struct("_yr", "_last_rev"))).alias("_a"))
+        .select(
+            F.posexplode(
+                F.transform(
+                    F.col("_a"),
+                    lambda x, i: F.struct(
+                        x["_yr"].alias("_yr"),
+                        F.get(F.col("_a"), i - 1)["_last_rev"].alias("_prev_year_last"),
+                    ),
+                )
+            ).alias("_pos", "_e")
+        )
+        .select(F.col("_e._yr").alias("_yr"), F.col("_e._prev_year_last").alias("_prev_year_last"))
     )
-    w = W.orderBy("week")
-    prev = F.lag("revenue").over(w)
-    return weekly.select(
-        "week",
-        "revenue",
-        prev.alias("prev_revenue"),
-        ((F.col("revenue") - prev) / prev).alias("wow_growth"),
+    w_in = W.partitionBy("_yr").orderBy("week")
+    prev = F.coalesce(F.lag("revenue").over(w_in), F.col("_prev_year_last"))
+    return (
+        weekly.join(F.broadcast(yr), "_yr")
+        .select(
+            "week",
+            "revenue",
+            prev.alias("prev_revenue"),
+            ((F.col("revenue") - prev) / prev).alias("wow_growth"),
+        )
     )

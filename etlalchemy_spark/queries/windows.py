@@ -49,29 +49,43 @@ def window_topk_per_group(spark, sf_dir):
 
 _RANK_SQL = """
 SELECT s_suppkey, s_name, s_acctbal,
-       RANK()       OVER (ORDER BY s_acctbal DESC) AS rnk,
-       DENSE_RANK() OVER (ORDER BY s_acctbal DESC) AS drnk,
-       NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+       CAST(RANK()       OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS drnk,
+       CAST(NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile
 FROM supplier
 """
 
 
 @register("window_rank", oracle=_RANK_SQL, tags=("window",))
 def window_rank(spark, sf_dir):
-    """rank / dense_rank tolerate ties; ntile gets a total order.
-    Deliberately the plain unpartitioned-window formulation for API
-    coverage on a bounded dim table; the scale path for global ranks
-    is window_rank_global_scalable (operators/prefix.py)."""
+    """rank / dense_rank / ntile over the global DESC account-balance
+    order — via the two-phase range-bucketed prefix decomposition
+    (operators/prefix.py), so no single-partition WindowExec even
+    though supplier grows linearly with SF. The naive unpartitioned
+    window lives only in the DuckDB oracle; ntile(4) is derived
+    arithmetically from the global row_number and the total count
+    (first n%4 buckets get ceil(n/4) rows — the SQL NTILE contract)."""
+    from etlalchemy_spark.operators.prefix import global_ranks
+
     sup = t(spark, sf_dir, "supplier")
-    w = W.orderBy(F.desc("s_acctbal"))
-    wt = W.orderBy(F.desc("s_acctbal"), "s_suppkey")
-    return sup.select(
+    ranked = global_ranks(sup, -F.col("s_acctbal"), ["s_suppkey"], n_buckets=16)
+    n_df = sup.agg(F.count(F.lit(1)).alias("_n"))
+    d = ranked.crossJoin(F.broadcast(n_df))
+    base = F.expr("_n div 4")
+    rem = F.expr("_n % 4")
+    cutoff = rem * (base + 1)
+    rn = F.col("rn").cast("bigint")
+    # integer ceil-divisions expressed via floor to stay ANSI-safe
+    quartile = F.when(rn <= cutoff, F.floor((rn + base) / (base + 1))).otherwise(
+        rem + F.floor((rn - cutoff + base - 1) / F.greatest(base, F.lit(1)))
+    )
+    return d.select(
         "s_suppkey",
         "s_name",
         "s_acctbal",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("drnk").cast("bigint").alias("drnk"),
+        quartile.cast("bigint").alias("quartile"),
     )
 
 
@@ -284,20 +298,31 @@ FROM supplier
 
 @register("window_analytic_ranks", oracle=_ANALYTIC_SQL, tags=("window",))
 def window_analytic_ranks(spark, sf_dir):
-    """percent_rank / cume_dist / nth_value (rational-valued ranks are
-    exact: same integer numerators/denominators in both engines).
-    Unpartitioned on purpose (bounded dim table, API coverage); the
-    partitioned variant is window_distribution_frames and the scalable
-    global decomposition is operators/prefix.py."""
+    """percent_rank / cume_dist / nth_value over the global order,
+    decomposed through the range-bucketed prefix (operators/prefix.py)
+    instead of a single-partition window. The ORDER BY carries a
+    unique tie-break, so rank == row_number and the distribution
+    functions are pure integer ratios of (rn, n) — identical IEEE
+    doubles in both engines. nth_value(·, 2) over the full frame is
+    the rn=2 row's name, fetched with a one-row aggregate and
+    broadcast back. The naive window survives only in the oracle."""
+    from etlalchemy_spark.operators.prefix import global_ranks
+
     sup = t(spark, sf_dir, "supplier")
-    w = W.orderBy("s_acctbal", "s_suppkey")
-    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return sup.select(
+    ranked = global_ranks(sup, F.col("s_acctbal"), ["s_suppkey"], n_buckets=16)
+    scalars = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.when(F.col("rn") == 2, F.col("s_name"))).alias("_second"),
+    )
+    d = ranked.crossJoin(F.broadcast(scalars))
+    rn = F.col("rn").cast("double")
+    n = F.col("_n").cast("double")
+    return d.select(
         "s_suppkey",
         "s_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.nth_value("s_name", 2).over(wf).alias("second_poorest"),
+        F.when(F.col("_n") > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)).alias("pct_rank"),
+        (rn / n).alias("cume"),
+        F.col("_second").alias("second_poorest"),
     )
 
 

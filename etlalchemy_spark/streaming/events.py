@@ -5,9 +5,9 @@ results are drained synchronously into a memory sink — the documented
 local-smoke pattern; on a cluster the same plans attach to Kafka/files
 with checkpointing and triggers.
 
-``ts`` is stored as parquet TIMESTAMP(NANOS) → read as long
-(session nanosAsLong) and floor-divided to microseconds, identical to
-the batch catalog.
+``ts`` normalizes to session-UTC TIMESTAMP whatever the fixture's
+physical type (nanos-as-long → µs floor-divide; micros NTZ → cast),
+identical to the batch catalog.
 """
 
 from __future__ import annotations
@@ -30,11 +30,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same dtype guard as catalog.load_table: only a nanos-as-long read
-    # needs the integer ns→µs conversion (a session without the legacy
-    # nanos flag reads ts as timestamp already)
-    if raw.schema["ts"].dataType.simpleString() == "bigint":
+    # same dtype guard as catalog.load_table: nanos-as-long reads get
+    # the integer ns→µs conversion; micros NTZ reads cast to session-UTC
+    # TIMESTAMP; an already-timestamp read passes through
+    dt = raw.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

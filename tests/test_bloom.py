@@ -26,3 +26,13 @@ def test_bloom_empty_build_rejects_all(spark):
     bloom = bloom_build(empty, F.col("k"))
     others = spark.createDataFrame([(i,) for i in range(50)], "k long")
     assert bloom_probe(others, F.col("k"), bloom).where(F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_probe_preserves_user_words_column(spark):
+    # a user column named "words" must survive the probe untouched
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")], "k long, words string")
+    bloom = bloom_build(df, F.col("k"))
+    out = bloom_probe(df, F.col("k"), bloom)
+    assert "words" in out.columns
+    assert sorted(r["words"] for r in out.collect()) == ["a b", "c d"]
+    assert out.where(~F.col("bloom_pass")).count() == 0

@@ -217,3 +217,24 @@ def test_knn_batch_broadcasts_queries(spark):
     plan = explain_formatted(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_unpartitioned_windows_in_hot_queries(spark):
+    # The single-partition window shape (WindowExec "No Partition
+    # Defined") must not appear in any bench/window/scale/timeseries
+    # query: tiny-frame prefixes use driver-literal offsets or
+    # array-packed cumulatives instead (operators/prefix.py docstring —
+    # Spark 4 strips foldable partition keys, so partitionBy(lit(0))
+    # does NOT silence the shape).
+    from etlalchemy_spark.plans import unpartitioned_windows
+
+    want_tags = {"bench", "window", "scale", "timeseries"}
+    offenders = {}
+    for name, q in sorted(all_queries().items()):
+        if not want_tags & set(q.tags):
+            continue
+        df = q.fn(spark, SF_DIR)
+        bad = unpartitioned_windows(df)
+        if bad:
+            offenders[name] = bad[0]
+    assert not offenders, f"unpartitioned windows: {offenders}"

@@ -93,3 +93,28 @@ def test_single_bucket_degenerate(spark):
     out = global_ranks(d, F.col("key"), ["id"], n_buckets=4).orderBy("id").collect()
     assert [r["rn"] for r in out] == [1, 2, 3, 4, 5]
     assert all(r["rnk"] == 1 and r["drnk"] == 1 for r in out)
+
+
+def test_global_ranks_null_keys_dense_offsets(spark):
+    # NULL keys form their own dense-rank group (NULLS FIRST in Spark's
+    # ascending order); later buckets' dense offsets must count it.
+    rows = [(0, None), (1, None), (2, 10.0), (3, 20.0), (4, 20.0), (5, 30.0)]
+    d = spark.createDataFrame(rows, "id int, key double")
+    got = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in global_ranks(d, F.col("key"), ["id"], n_buckets=4).collect()
+    }
+    w_rn = Window.orderBy("key", "id")
+    w_k = Window.orderBy("key")
+    want = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in d.select(
+            "id",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_k).alias("rnk"),
+            F.dense_rank().over(w_k).alias("drnk"),
+        ).collect()
+    }
+    assert got == want
+    # distinct non-null values 10/20/30 must get dense ranks 2/3/4, not 2/3/3
+    assert got[5][2] == 4

@@ -180,3 +180,17 @@ def test_hist_bins_clamp_out_of_range(spark):
     got = {r["bin"]: r["cnt"] for r in hist_bins(df, F.col("x"), 0.0, 10.0, 10).collect()}
     assert got[0] == 2  # -5 clamps into bin 0
     assert got[9] == 2  # 99 in last bin; 500 clamps into it
+
+
+def test_hist_quantiles_zero_quantile_maps_to_min_bin(spark):
+    # q=0 → k clamps to 1 → first populated bin, not a silently missing row
+    df = spark.range(0, 1000).select((F.col("id").cast("double")).alias("x"))
+    bins = hist_bins(df, F.col("x"), 0.0, 10.0, 100)
+    got = {
+        r["q"]: r["estimate"]
+        for r in hist_quantiles(
+            bins, 0.0, 10.0, [("p0", 0, 100), ("p100", 100, 100)]
+        ).collect()
+    }
+    assert "p0" in got and got["p0"] <= 10.0
+    assert abs(got["p100"] - 1000.0) <= 10.0
