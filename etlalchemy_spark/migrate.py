@@ -47,9 +47,23 @@ class FileSource:
 
 @dataclass
 class Target:
-    path: str  # directory (file target) or JDBC url
-    fmt: str = "parquet"  # parquet/csv/json/orc or "jdbc"
+    """Destination handle — upstream ``ETLAlchemyTarget(url,
+    drop_database=...)`` (ETLAlchemyTarget.py ≈L20–60).
+
+    ``mode`` maps to every sink: error (fail if the destination table
+    exists), overwrite (drop + recreate — upstream's default behavior
+    after a drop_database), append. ``drop_destination`` is the
+    drop_database parity: remove the WHOLE destination before the
+    first table loads (file target: delete the directory; duckdb
+    target: delete the database file; live-server JDBC: issue the
+    dialect's DROP DATABASE — generated, not executed, in this
+    sandbox)."""
+
+    path: str  # directory (file target), .duckdb file, or JDBC url
+    fmt: str = "parquet"  # parquet/csv/json/orc, "duckdb", or "jdbc"
     dialect: str = "postgresql"  # for csv conventions / jdbc DDL
+    mode: str = "overwrite"  # error | overwrite | append
+    drop_destination: bool = False
 
 
 @dataclass
@@ -79,6 +93,31 @@ class Migration:
     fks: list[FKSpec] = field(default_factory=list)
     validate_fks: bool = False
 
+    def _drop_destination(self) -> None:
+        """drop_database parity (ETLAlchemyTarget.py ≈L20–60): file
+        targets remove the destination directory, duckdb targets the
+        database file; live-server JDBC targets get the DROP DATABASE
+        statement logged (execution needs a maintenance connection —
+        no live server in this sandbox)."""
+        import shutil
+        import os
+
+        if self.target.fmt == "jdbc":
+            db = self.target.path.rsplit("/", 1)[-1].split("?")[0]
+            log.warning(
+                "drop_destination on a live JDBC target: issue %r on a "
+                "maintenance connection before migrating",
+                f"DROP DATABASE IF EXISTS {db}",
+            )
+            return
+        if self.target.fmt == "duckdb":
+            for p in (self.target.path, self.target.path + ".wal"):
+                if os.path.exists(p):
+                    os.remove(p)
+            shutil.rmtree(self.target.path + ".csv_stage", ignore_errors=True)
+            return
+        shutil.rmtree(self.target.path, ignore_errors=True)
+
     def run(self, spark: SparkSession) -> tuple[list[TableReport], list[str]]:
         """Execute the migration; returns (per-table reports, DDL strings).
 
@@ -87,6 +126,8 @@ class Migration:
         """
         reports: list[TableReport] = []
         loaded = {}
+        if self.target.drop_destination:
+            self._drop_destination()
         tables = reflect_dir(
             spark,
             self.source.path,
@@ -116,21 +157,38 @@ class Migration:
                 )
             t_std = time.monotonic()
 
+            n_loaded: int | None = None
             if self.target.fmt == "jdbc":
                 write_jdbc(
                     df,
                     self.target.path,
                     dest_name,
+                    mode="errorifexists" if self.target.mode == "error" else self.target.mode,
                     varchar_meta=varchar_metadata(decisions),
+                )
+            elif self.target.fmt == "duckdb":
+                # W3 native bulk path: per-partition dialect CSV +
+                # COPY FROM into the embedded destination DB
+                from etlalchemy_spark.sources.bulkload import bulk_load_duckdb
+
+                n_loaded = bulk_load_duckdb(
+                    df,
+                    self.target.path,
+                    dest_name,
+                    f"{self.target.path}.csv_stage/{dest_name}",
+                    mode=self.target.mode,
                 )
             else:
                 write_file(
                     df, f"{self.target.path.rstrip('/')}/{dest_name}.{self.target.fmt}",
                     fmt=self.target.fmt,
+                    mode="errorifexists" if self.target.mode == "error" else self.target.mode,
                 )
             t_write = time.monotonic()
 
-            if self.target.fmt == "jdbc":
+            if n_loaded is not None:
+                n_rows = n_loaded
+            elif self.target.fmt == "jdbc":
                 n_rows = df.count()
             else:
                 # count from the WRITTEN files (parquet/orc footers, csv

@@ -743,3 +743,68 @@ def etl_cardinality_profile(spark, sf_dir):
         )
 
     return prof("o_custkey").unionByName(prof("o_orderstatus")).unionByName(prof("o_orderkey"))
+
+
+_BULK_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+@register("etl_bulk_load_roundtrip", oracle=_BULK_SQL, tags=("etl", "bulkload"))
+def etl_bulk_load_roundtrip(spark, sf_dir):
+    """W3 executed end-to-end (upstream ``send_data`` ≈L750–850): Spark
+    writes the dialect CSV one file per partition, the destination
+    engine (embedded DuckDB — the one DBMS with a native ``COPY FROM``
+    in this sandbox) creates the table and bulk-loads every partition
+    file with ``COPY``, then exports what it loaded; Spark re-reads
+    that export and the oracle hash-compares it against the source
+    table — proving the loader conventions (NULL marker, quoting,
+    escapes, float text round-trip) are lossless. Postgres/MySQL run
+    the identical statement stream (sources/bulkload.bulk_load_statements)
+    over a live connection."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.sources.bulkload import bulk_load_duckdb, export_duckdb_table
+
+    tmp = scratch_dir("bulkload", sf_dir)
+    db = os.path.join(tmp, "dest.duckdb")
+    out = os.path.join(tmp, "customer_back.parquet")
+    df = t(spark, sf_dir, "customer")
+    bulk_load_duckdb(df, db, "customer_bulk", os.path.join(tmp, "customer_csv"))
+    export_duckdb_table(db, "customer_bulk", out)
+    return spark.read.parquet(out).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_MIGRATE_DUCK_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("etl_migrate_duckdb_roundtrip", oracle=_MIGRATE_DUCK_SQL, tags=("etl", "migrate", "bulkload"))
+def etl_migrate_duckdb_roundtrip(spark, sf_dir):
+    """O1 + W3 + drop_database parity in one path: Migration drops the
+    destination database file (``drop_destination=True``, upstream
+    ETLAlchemyTarget ≈L20–60), reflects nation+region, standardizes,
+    and loads each table through the NATIVE bulk path (per-partition
+    CSV + DuckDB ``COPY FROM``); the loaded nation table is exported
+    back and hash-compared against the source — the full
+    reflect→transform→bulk-load→verify lifecycle executed, not mocked."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.sources.bulkload import export_duckdb_table
+
+    tmp = scratch_dir("migrate_duck", sf_dir)
+    db = os.path.join(tmp, "dest.duckdb")
+    mig = Migration(
+        source=FileSource(sf_dir, included_tables=["nation", "region"]),
+        target=Target(db, fmt="duckdb", dialect="postgresql", mode="error",
+                      drop_destination=True),
+    )
+    mig.run(spark)
+    out = os.path.join(tmp, "nation_back.parquet")
+    export_duckdb_table(db, "nation", out)
+    return spark.read.parquet(out).select("n_nationkey", "n_name", "n_regionkey")

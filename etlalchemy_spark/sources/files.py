@@ -25,6 +25,18 @@ CSV_DIALECT_OPTIONS: dict[str, dict[str, str]] = {
     "oracle": {"nullValue": "", "delimiter": ",", "quote": '"'},
     # SQLite .import
     "sqlite": {"nullValue": "", "delimiter": ",", "quote": '"'},
+    # DuckDB / Postgres COPY **CSV-mode defaults** — the lossless set:
+    # NULL = unquoted empty, empty string = quoted "", RFC-4180 quote
+    # doubling (escape = quote). Unlike the \N conventions above, this
+    # distinguishes NULL / '' / a literal "\N" string in both
+    # directions (loader side: ALLOW_QUOTED_NULLS FALSE).
+    "duckdb": {
+        "nullValue": "",
+        "emptyValue": '""',
+        "delimiter": ",",
+        "escape": '"',
+        "quote": '"',
+    },
 }
 
 FORMATS = ("parquet", "csv", "json", "orc", "text")

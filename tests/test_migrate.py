@@ -73,3 +73,58 @@ def test_jdbc_helpers():
     assert column_types_ddl({"b": 8, "a": 4}) == "a VARCHAR(4), b VARCHAR(8)"
     q = information_schema_query(schema="public")
     assert "information_schema.tables" in q and "table_schema = 'public'" in q
+
+
+def test_migrate_duckdb_bulk_target(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "dest.duckdb")
+    mig = Migration(
+        source=FileSource(SF_DIR, included_tables=["nation", "region"]),
+        target=Target(db, fmt="duckdb", mode="error", drop_destination=True),
+    )
+    reports, _ = mig.run(spark)
+    assert {r.dest_table: r.n_rows for r in reports} == {"nation": 25, "region": 5}
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM nation").fetchall()[0][0] == 25
+    # standardizer decisions survive into the loaded schema via the
+    # narrowed DataFrame types (0..24 keys → TINYINT)
+    types = {r[1]: r[2] for r in con.execute("PRAGMA table_info('nation')").fetchall()}
+    assert types["n_nationkey"] == "TINYINT"
+    con.close()
+    # mode=error now refuses (tables exist, destination not dropped)
+    mig2 = Migration(
+        source=FileSource(SF_DIR, included_tables=["nation"]),
+        target=Target(db, fmt="duckdb", mode="error"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode=error"):
+        mig2.run(spark)
+    # drop_destination resets the whole database file
+    mig3 = Migration(
+        source=FileSource(SF_DIR, included_tables=["nation"]),
+        target=Target(db, fmt="duckdb", mode="error", drop_destination=True),
+    )
+    reports3, _ = mig3.run(spark)
+    assert [r.n_rows for r in reports3] == [25]
+    con = duckdb.connect(db)
+    assert [r[0] for r in con.execute("SHOW TABLES").fetchall()] == ["nation"]
+    con.close()
+
+
+def test_migrate_file_target_modes(spark, tmp_path):
+    src = FileSource(SF_DIR, included_tables=["region"])
+    tgt = str(tmp_path / "out")
+    Migration(source=src, target=Target(tgt, mode="overwrite")).run(spark)
+    # error mode refuses to clobber existing table files
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        Migration(source=src, target=Target(tgt, mode="error")).run(spark)
+    # drop_destination removes the directory first, so error mode passes
+    reports, _ = Migration(
+        source=src, target=Target(tgt, mode="error", drop_destination=True)
+    ).run(spark)
+    assert reports[0].n_rows == 5
