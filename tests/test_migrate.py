@@ -128,3 +128,26 @@ def test_migrate_file_target_modes(spark, tmp_path):
         source=src, target=Target(tgt, mode="error", drop_destination=True)
     ).run(spark)
     assert reports[0].n_rows == 5
+
+
+def test_reflection_query_executes_on_live_information_schema(tmp_path):
+    # No JDBC driver jars ship in this sandbox, so the S1 JDBC probe
+    # can't ride spark.read.jdbc here — but the generated SQL itself
+    # runs verbatim against a live information_schema (DuckDB speaks
+    # the standard), proving the reflection string is not dead code.
+    import duckdb
+
+    con = duckdb.connect(str(tmp_path / "cat.duckdb"))
+    con.execute("CREATE TABLE t1 (a INTEGER)")
+    con.execute("CREATE TABLE t2 (b VARCHAR)")
+    con.execute("CREATE VIEW v1 AS SELECT * FROM t1")
+    sub = information_schema_query()
+    # strip the JDBC dbtable wrapper "( ... ) t" -> plain SELECT
+    inner = sub.strip()
+    assert inner.startswith("(") and inner.endswith(") t")
+    got = sorted(r[0] for r in con.execute(inner[1:-3]).fetchall())
+    assert got == ["t1", "t2"]  # BASE TABLE filter excludes the view
+    schema_q = information_schema_query(schema="main")
+    got2 = sorted(r[0] for r in con.execute(schema_q.strip()[1:-3]).fetchall())
+    assert got2 == ["t1", "t2"]
+    con.close()
