@@ -409,6 +409,74 @@ def minhash_lsh_pairs_exact(
     )
 
 
+def _band_key_array(num_hashes: int, bands: int):
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"mh_{band * r + i}").cast("string") for i in range(r)]
+            )
+            for band in range(bands)
+        ]
+    )
+
+
+def incremental_lsh_matches(
+    store: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup dedup against a SIGNATURE STORE: only the
+    NEW batch is matched against the already-signed corpus (new×new
+    pairs are a separate concern) — the steady-state shape of corpus
+    dedup at 100 TB, where cost must scale with the BATCH, not the
+    corpus. The store's signature/band table is persistable (flat
+    (id, band, band_key) rows — v2 array<bigint> universal-hash
+    format, see ``minhash_signatures``); it is recomputed in-plan here
+    so the fixture proof is self-contained. Output
+    (new_id, store_id, jaccard ≥ threshold)."""
+    sig_store = minhash_signature_exact(store, id_col, text_col, k, num_hashes, seed)
+    sig_new = minhash_signature_exact(new, id_col, text_col, k, num_hashes, seed)
+    keys = _band_key_array(num_hashes, bands)
+    kv_store = sig_store.select(
+        F.col(id_col).alias("store_id"), F.posexplode(keys).alias("band", "bk")
+    )
+    kv_new = sig_new.select(
+        F.col(id_col).alias("new_id"), F.posexplode(keys).alias("band", "bk")
+    )
+    cands = kv_new.join(kv_store, ["band", "bk"]).select("new_id", "store_id").distinct()
+
+    sets_new = (
+        word_shingles(spread(new, id_col), id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("ss_n"))
+        .withColumnRenamed(id_col, "new_id")
+    )
+    sets_store = (
+        word_shingles(spread(store, id_col), id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("ss_s"))
+        .withColumnRenamed(id_col, "store_id")
+    )
+    n_inter = F.size(F.array_intersect(F.col("ss_n"), F.col("ss_s")))
+    jac = n_inter.cast("double") / (
+        F.size("ss_n") + F.size("ss_s") - n_inter
+    ).cast("double")
+    return (
+        cands.join(sets_new, "new_id")
+        .join(sets_store, "store_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "store_id", "jaccard")
+    )
+
+
 def simhash_exact(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> DataFrame:
     """Cross-engine-exact SimHash(32): same vote shape as ``simhash``
     but token bits come from the portable md5 prefix instead of
