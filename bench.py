@@ -6,8 +6,11 @@ Runs the headline queries (registry tag "bench") at
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced to full materialization through the noop sink
-(count() would let Catalyst prune the work). One warmup of the smallest
-query primes the JVM/codegen so timings measure the plans, not startup.
+(count() would let Catalyst prune the work). Each query gets one
+untimed warmup (whole-stage-codegen javac) and then the MEDIAN of
+three timed runs — a single-shot protocol let one loaded machine-state
+fake a 35% suite swing between rounds (BENCH_r03 18.76 s vs a fresh
+re-run's 15.65 s on identical code).
 """
 
 from __future__ import annotations
@@ -15,8 +18,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+TIMED_RUNS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,10 +49,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in qs_sorted:
         qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.monotonic()
-        df = qs[name].fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.monotonic()
+            df = qs[name].fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

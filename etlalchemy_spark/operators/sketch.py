@@ -223,78 +223,51 @@ def hist_quantiles(
     quantiles: list[tuple[str, int, int]],
 ) -> DataFrame:
     """(q, estimate) for each (label, num, den) quantile num/den.
-    The cumulative pass packs the bin table (sketch-sized, <= nbins
-    rows) into ONE array row and computes running counts with
-    array_sort + transform/slice/aggregate — no WindowExec (Spark 4
-    strips foldable partition keys, so even a lit-partitioned window
-    would execute single-partition and warn)."""
-    packed = bins.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("bin"), F.col("cnt").cast("bigint").alias("cnt")))
-        ).alias("_a")
-    )
-    cum = packed.select(
-        F.posexplode(
-            F.transform(
-                F.col("_a"),
-                lambda x, i: F.struct(
-                    x["bin"].alias("bin"),
-                    x["cnt"].alias("cnt"),
-                    F.aggregate(
-                        F.slice(F.col("_a"), F.lit(1), i),
-                        F.lit(0).cast("bigint"),
-                        lambda a, b: a + b["cnt"],
-                    ).alias("cumb"),
-                ),
-            )
-        ).alias("_pos", "_e")
-    ).select(
-        F.col("_e.bin").alias("bin"),
-        F.col("_e.cnt").alias("cnt"),
-        F.col("_e.cumb").alias("cumb"),
-        (F.col("_e.cumb") + F.col("_e.cnt")).alias("cum"),
-    )
-    total = packed.select(
-        F.aggregate(
-            F.col("_a"), F.lit(0).cast("bigint"), lambda a, b: a + b["cnt"]
-        ).alias("n")
-    )
-    qdf = total.select(
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(label).alias("q"),
-                        F.lit(num).alias("_num"),
-                        F.lit(den).alias("_den"),
-                    )
-                    for label, num, den in quantiles
-                ]
-            )
-        ).alias("e"),
-    ).select(
-        "e.q",
-        # clamp to >= 1: k=0 (the 0-quantile) satisfies no bin because
-        # cumb < 0 is impossible — map it to the first populated bin
-        F.greatest(
-            F.floor(
-                (F.col("e._num") * F.col("n") + F.col("e._den") - 1) / F.col("e._den")
-            ),
-            F.lit(1),
-        ).alias("k"),
-    )
-    est = F.lit(lo) + (
-        (
-            F.col("bin").cast("double")
-            + (F.col("k") - F.col("cumb")).cast("double") / F.col("cnt").cast("double")
-        )
-        * F.lit(width)
+
+    The bin table is an aggregate bounded by construction at <= nbins
+    rows (hist_bins groups by the clamped bin id), so the cumulative
+    pass collects it to the driver — the same bounded-collect budget as
+    prefix.py's quantile bounds — and does the rank walk in plain
+    Python. (An earlier array-packed in-plan version cost O(nbins^2)
+    lambda additions in one row and regressed the bench ~1.8x; a window
+    is out too, since Spark 4 strips foldable partition keys and would
+    execute it single-partition.)
+
+    Exactness: rank k = ceil(q*N) is pure Python integer arithmetic,
+    and the interpolation lo + ((bin + (k-cumb)/cnt) * width) is the
+    identical IEEE-double chain the DuckDB oracle evaluates — each op
+    correctly rounded, same operand order — so estimates hash-match."""
+    table = sorted(
+        (r["bin"], int(r["cnt"])) for r in bins.collect()
+    )  # <= nbins rows: bounded aggregate state, not data
+    n = sum(c for _, c in table)
+    out: list[tuple[str, float]] = []
+    for label, num, den in quantiles:
+        # clamp to >= 1: k=0 (the 0-quantile) would satisfy no bin
+        # because cumb < 0 is impossible — map it to the first
+        # populated bin
+        k = max(1, (num * n + den - 1) // den)
+        cumb = 0
+        for b, c in table:
+            if cumb < k <= cumb + c:
+                out.append((label, lo + ((float(b) + float(k - cumb) / float(c)) * width)))
+                break
+            cumb += c
+    spark = bins.sparkSession
+    if not out:
+        return spark.createDataFrame([], schema="q string, estimate double")
+    # Materialize the literal result JVM-side (range(1) + explode of a
+    # literal array): createDataFrame on a python list parallelizes to
+    # defaultParallelism python partitions, paying one Python-worker
+    # roundtrip per partition just to emit 3 rows.
+    entries = F.array(
+        *[
+            F.struct(F.lit(label).alias("q"), F.lit(float(est)).alias("estimate"))
+            for label, est in sorted(out)
+        ]
     )
     return (
-        qdf.join(
-            F.broadcast(cum), (F.col("cum") >= F.col("k")) & (F.col("cumb") < F.col("k"))
-        )
-        .select("q", est.alias("estimate"))
-        .orderBy("q")
+        spark.range(0, 1, 1, 1)
+        .select(F.explode(entries).alias("_e"))
+        .select("_e.q", "_e.estimate")
     )
