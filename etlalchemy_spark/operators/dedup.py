@@ -421,6 +421,55 @@ def _band_key_array(num_hashes: int, bands: int):
     )
 
 
+# Version tag persisted with every signature/band store. v1 was the
+# per-seed Murmur3 array<int> format (round 2); v2 is the current
+# universal-hash mod-p format. Mixing formats silently yields ZERO
+# matches, so readers hard-fail on a version mismatch instead.
+SIG_VERSION = 2
+
+
+def lsh_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The PERSISTABLE signature store for incremental dedup: flat
+    (id, band, band_key, sig_version) rows — write once per corpus
+    epoch, reuse for every incoming batch. ``sig_version`` travels with
+    the rows so a store written under one signature format can never be
+    silently banded against another (see SIG_VERSION)."""
+    sig = minhash_signature_exact(df, id_col, text_col, k, num_hashes, seed)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
+    ).withColumn("sig_version", F.lit(SIG_VERSION))
+
+
+def _check_sig_version(store_bands: DataFrame) -> DataFrame:
+    """Fail loudly if a persisted band store carries a different
+    signature format. The distinct() collapses to ≤ a few rows — a
+    bounded metadata probe, not a data collect."""
+    if "sig_version" not in store_bands.columns:
+        raise ValueError(
+            "band store has no sig_version column — refusing to match "
+            f"against an unversioned store (current format v{SIG_VERSION})"
+        )
+    versions = sorted(
+        r[0] for r in store_bands.select("sig_version").distinct().collect()
+    )
+    if versions not in ([], [SIG_VERSION]):
+        raise ValueError(
+            f"band store sig_version {versions} != engine format "
+            f"v{SIG_VERSION}: mixed formats yield zero matches — re-sign "
+            "the corpus instead"
+        )
+    return store_bands
+
+
 def incremental_lsh_matches(
     store: DataFrame,
     new: DataFrame,
@@ -431,24 +480,29 @@ def incremental_lsh_matches(
     bands: int = 4,
     threshold: float = 0.2,
     seed: int = 42,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup against a SIGNATURE STORE: only the
     NEW batch is matched against the already-signed corpus (new×new
     pairs are a separate concern) — the steady-state shape of corpus
     dedup at 100 TB, where cost must scale with the BATCH, not the
-    corpus. The store's signature/band table is persistable (flat
-    (id, band, band_key) rows — v2 array<bigint> universal-hash
-    format, see ``minhash_signatures``); it is recomputed in-plan here
-    so the fixture proof is self-contained. Output
-    (new_id, store_id, jaccard ≥ threshold)."""
-    sig_store = minhash_signature_exact(store, id_col, text_col, k, num_hashes, seed)
+    corpus. Pass ``store_bands`` (a persisted ``lsh_band_store`` table,
+    version-checked against SIG_VERSION) to skip re-signing the corpus;
+    without it the store's bands are recomputed in-plan. The Jaccard
+    verify re-shingles only the store docs that appear as candidates
+    (left-semi restriction), so verify cost also scales with the batch.
+    Output (new_id, store_id, jaccard ≥ threshold)."""
+    if store_bands is None:
+        store_bands = lsh_band_store(store, id_col, text_col, k, num_hashes, bands, seed)
+    else:
+        store_bands = _check_sig_version(store_bands)
     sig_new = minhash_signature_exact(new, id_col, text_col, k, num_hashes, seed)
-    keys = _band_key_array(num_hashes, bands)
-    kv_store = sig_store.select(
-        F.col(id_col).alias("store_id"), F.posexplode(keys).alias("band", "bk")
+    kv_store = store_bands.select(
+        F.col(id_col).alias("store_id"), "band", F.col("band_key").alias("bk")
     )
     kv_new = sig_new.select(
-        F.col(id_col).alias("new_id"), F.posexplode(keys).alias("band", "bk")
+        F.col(id_col).alias("new_id"),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "bk"),
     )
     cands = kv_new.join(kv_store, ["band", "bk"]).select("new_id", "store_id").distinct()
 
@@ -458,8 +512,13 @@ def incremental_lsh_matches(
         .agg(F.collect_set("shingle").alias("ss_n"))
         .withColumnRenamed(id_col, "new_id")
     )
+    # only candidate store docs are re-shingled for the verify: at
+    # steady state the candidate set is batch-sized, not corpus-sized
+    store_hits = store.join(
+        cands.select(F.col("store_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
     sets_store = (
-        word_shingles(spread(store, id_col), id_col, text_col, k)
+        word_shingles(spread(store_hits, id_col), id_col, text_col, k)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("ss_s"))
         .withColumnRenamed(id_col, "store_id")

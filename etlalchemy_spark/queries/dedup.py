@@ -328,6 +328,66 @@ def dedup_minhash_lsh_exact(spark, sf_dir):
     )
 
 
+# Incremental dedup: new batch (doc_id % 5 = 0) vs the signed corpus
+# store (doc_id % 5 != 0). The oracle signs everything once and
+# restricts the band join by split side — signatures depend only on a
+# doc's own shingles, so per-split signing is identical.
+_MH_INC_SQL = f"""{_HM_CTES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM h GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, UNNEST([{_BANDS_LIST}]) AS band, UNNEST([{_KEYS_LIST}]) AS bkey
+  FROM sig
+), cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+  FROM bk n JOIN bk s ON n.band = s.band AND n.bkey = s.bkey
+  WHERE n.doc_id % 5 = 0 AND s.doc_id % 5 != 0
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT new_id, store_id,
+       CAST(len(list_intersect(sn.ss, ss.ss)) AS DOUBLE) /
+       CAST(len(sn.ss) + len(ss.ss) - len(list_intersect(sn.ss, ss.ss)) AS DOUBLE) AS jaccard
+FROM cands
+JOIN sets sn ON sn.doc_id = new_id
+JOIN sets ss ON ss.doc_id = store_id
+WHERE CAST(len(list_intersect(sn.ss, ss.ss)) AS DOUBLE) /
+      CAST(len(sn.ss) + len(ss.ss) - len(list_intersect(sn.ss, ss.ss)) AS DOUBLE) >= {_MH_THRESHOLD}
+"""
+
+
+@register("dedup_incremental_lsh_exact", oracle=_MH_INC_SQL, tags=("dedup", "approx"))
+def dedup_incremental_lsh_exact(spark, sf_dir):
+    """Steady-state incremental dedup: a new batch (doc_id % 5 = 0) is
+    banded against a PERSISTED signature store of the corpus
+    (lsh_band_store, version-tagged) — cost scales with the batch, not
+    the corpus. Runs the store-reuse path: the store's band table is
+    built once and handed to incremental_lsh_matches as
+    ``store_bands``, exactly as a pipeline would read it back from
+    parquet."""
+    from etlalchemy_spark.operators.dedup import incremental_lsh_matches, lsh_band_store
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    store = docs.where(F.col("doc_id") % 5 != 0)
+    bands_tbl = lsh_band_store(
+        store, "doc_id", "text", k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS
+    )
+    return incremental_lsh_matches(
+        store,
+        new,
+        "doc_id",
+        "text",
+        k=_MH_K,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+        store_bands=bands_tbl,
+    )
+
+
 # --- cross-engine-exact SimHash --------------------------------------------
 
 from etlalchemy_spark.operators.dedup import (  # noqa: E402

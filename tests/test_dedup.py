@@ -123,3 +123,71 @@ def test_minhash_lsh_exact_finds_duplicate(spark):
     pairs = minhash_lsh_pairs_exact(df, "doc_id", "text", threshold=0.5).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["jaccard"] > 0.9
+
+
+# --- incremental LSH vs a persisted signature store -------------------------
+
+from etlalchemy_spark.operators.dedup import (
+    SIG_VERSION,
+    incremental_lsh_matches,
+    lsh_band_store,
+)
+
+
+def _inc_corpus(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    dup = " ".join(f"w{i}" for i in range(99)) + " wX"
+    other = " ".join(f"q{i}" for i in range(100))
+    store = spark.createDataFrame(
+        [(1, base), (3, other)], "doc_id int, text string"
+    )
+    new = spark.createDataFrame([(2, dup), (4, other + " qY")], "doc_id int, text string")
+    return store, new
+
+
+def test_incremental_lsh_store_reuse_matches_recompute(spark):
+    store, new = _inc_corpus(spark)
+    recomputed = incremental_lsh_matches(
+        store, new, "doc_id", "text", threshold=0.5
+    ).collect()
+    bands_tbl = lsh_band_store(store, "doc_id", "text")
+    assert bands_tbl.columns == ["doc_id", "band", "band_key", "sig_version"]
+    reused = incremental_lsh_matches(
+        store, new, "doc_id", "text", threshold=0.5, store_bands=bands_tbl
+    ).collect()
+    key = lambda r: (r["new_id"], r["store_id"])
+    assert sorted(map(key, reused)) == sorted(map(key, recomputed))
+    # the planted near-dup (new 2 vs store 1) and the planted
+    # store-overlap (new 4 vs store 3) are both found, batch-vs-store only
+    assert sorted(map(key, reused)) == [(2, 1), (4, 3)]
+
+
+def test_incremental_lsh_store_roundtrips_through_parquet(spark, tmp_path):
+    store, new = _inc_corpus(spark)
+    p = str(tmp_path / "band_store")
+    lsh_band_store(store, "doc_id", "text").write.parquet(p)
+    reread = spark.read.parquet(p)
+    out = incremental_lsh_matches(
+        store, new, "doc_id", "text", threshold=0.5, store_bands=reread
+    ).collect()
+    assert sorted((r["new_id"], r["store_id"]) for r in out) == [(2, 1), (4, 3)]
+
+
+def test_incremental_lsh_rejects_wrong_sig_version(spark):
+    store, new = _inc_corpus(spark)
+    v1 = lsh_band_store(store, "doc_id", "text").withColumn(
+        "sig_version", F.lit(SIG_VERSION - 1)
+    )
+    with pytest.raises(ValueError, match="sig_version"):
+        incremental_lsh_matches(
+            store, new, "doc_id", "text", store_bands=v1
+        ).collect()
+
+
+def test_incremental_lsh_rejects_unversioned_store(spark):
+    store, new = _inc_corpus(spark)
+    bare = lsh_band_store(store, "doc_id", "text").drop("sig_version")
+    with pytest.raises(ValueError, match="unversioned"):
+        incremental_lsh_matches(
+            store, new, "doc_id", "text", store_bands=bare
+        ).collect()
