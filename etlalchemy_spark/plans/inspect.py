@@ -52,39 +52,29 @@ def has_cartesian(df: DataFrame) -> bool:
 def unpartitioned_windows(df: DataFrame) -> list[str]:
     """Window nodes whose partition spec is EMPTY — the single-partition
     shape that funnels all rows through one task (WindowExec's "No
-    Partition Defined" warning). Detected from the simple explain:
-    a Window node prints ``Window [exprs], [partitionSpec], [orderSpec]``
-    when fully specified; with only two top-level bracket groups the
-    second is EITHER a partition spec (fine — no global order) or an
-    order spec (the offender): order specs carry ASC/DESC markers."""
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain()
+    Partition Defined" warning). Inspected directly on the OPTIMIZED
+    logical plan via the JVM (``partitionSpec().isEmpty()``) — the
+    optimizer has already stripped foldable partition keys by then, so
+    a ``partitionBy(lit(0))`` smokescreen is still caught, and no
+    string parsing of explain() output is involved (an earlier
+    heuristic matched " ASC" in the last bracket group, which a column
+    alias could flip)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
     offenders: list[str] = []
-    for line in buf.getvalue().splitlines():
-        stripped = line.strip().lstrip("+-: *()0123456789").strip()
-        if not stripped.startswith("Window "):
-            continue
-        depth, groups, cur = 0, [], []
-        for ch in stripped:
-            if ch == "[":
-                if depth == 0:
-                    cur = []
-                depth += 1
-                if depth == 1:
-                    continue
-            elif ch == "]":
-                depth -= 1
-                if depth == 0:
-                    groups.append("".join(cur))
-                    continue
-            if depth >= 1:
-                cur.append(ch)
-        if len(groups) >= 3:
-            continue
-        last = groups[-1] if groups else ""
-        if len(groups) < 2 or (" ASC" in last or " DESC" in last):
-            offenders.append(stripped[:160])
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                offenders.append(node.simpleString(100))
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i))
+        # subquery expressions host their own plan trees
+        subqueries = node.subqueries()
+        for i in range(subqueries.length()):
+            walk(subqueries.apply(i))
+
+    walk(plan)
     return offenders
 
 

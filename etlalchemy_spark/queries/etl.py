@@ -778,6 +778,38 @@ def etl_bulk_load_roundtrip(spark, sf_dir):
     )
 
 
+_BULK_SQLITE_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+"""
+
+
+@register("etl_bulk_load_sqlite_roundtrip", oracle=_BULK_SQLITE_SQL, tags=("etl", "bulkload"))
+def etl_bulk_load_sqlite_roundtrip(spark, sf_dir):
+    """W3's second EXECUTED destination engine: the same per-partition
+    dialect CSV stage drives stdlib sqlite3 through the
+    ``.import``-equivalent (CREATE TABLE + batched positional INSERTs),
+    then the destination exports what it loaded and the oracle
+    hash-compares it against the source — proving the sqlite loader
+    conventions (quote doubling, empty-field NULL marker, µs timestamp
+    text format) are lossless, including a timestamp column."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.sources.bulkload import bulk_load_sqlite, export_sqlite_table
+
+    tmp = scratch_dir("bulkload_sqlite", sf_dir)
+    db = os.path.join(tmp, "dest.sqlite")
+    if os.path.exists(db):
+        os.remove(db)
+    out = os.path.join(tmp, "orders_back.parquet")
+    df = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    bulk_load_sqlite(df, db, "orders_bulk", os.path.join(tmp, "orders_csv"))
+    export_sqlite_table(db, "orders_bulk", out, df.schema)
+    return spark.read.parquet(out)
+
+
 _MIGRATE_DUCK_SQL = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """

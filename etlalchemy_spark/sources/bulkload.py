@@ -78,16 +78,43 @@ _BULK_DDL_TYPES: dict[str, dict[str, str]] = {
         "float": "FLOAT",
         "double": "DOUBLE",
         "string": "TEXT",
-        "timestamp": "DATETIME",
-        "timestamp_ntz": "DATETIME",
+        "timestamp": "DATETIME(6)",
+        "timestamp_ntz": "DATETIME(6)",
         "date": "DATE",
+        "binary": "BLOB",
+    },
+    # SQLite columns are affinity-typed; timestamps/dates/decimals are
+    # stored as TEXT (ISO-8601 / decimal strings) and re-typed on
+    # export — the lossless choice, since NUMERIC affinity would
+    # coerce them through float.
+    "sqlite": {
+        "tinyint": "INTEGER",
+        "smallint": "INTEGER",
+        "int": "INTEGER",
+        "bigint": "INTEGER",
+        "boolean": "INTEGER",
+        "float": "REAL",
+        "double": "REAL",
+        "string": "TEXT",
+        "timestamp": "TEXT",
+        "timestamp_ntz": "TEXT",
+        "date": "TEXT",
         "binary": "BLOB",
     },
 }
 
 
 def _quote_ident(name: str, dialect: str) -> str:
-    return f"`{name}`" if dialect == "mysql" else f'"{name}"'
+    # double any embedded quote char: an identifier containing the
+    # quote must not break (or inject into) the generated statement
+    if dialect == "mysql":
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _sql_path(path: str) -> str:
+    """File path as a SQL single-quoted literal body (quotes doubled)."""
+    return path.replace("'", "''")
 
 
 def schema_ddl(df: DataFrame, table: str, dialect: str = "duckdb") -> str:
@@ -98,7 +125,9 @@ def schema_ddl(df: DataFrame, table: str, dialect: str = "duckdb") -> str:
     for f in df.schema.fields:
         s = f.dataType.simpleString()
         if s.startswith("decimal"):
-            ddl_t = "DECIMAL" + s[len("decimal"):]
+            # sqlite NUMERIC affinity coerces through float — keep
+            # decimals as TEXT there (re-typed on export)
+            ddl_t = "TEXT" if dialect == "sqlite" else "DECIMAL" + s[len("decimal"):]
         else:
             ddl_t = tmap.get(s, "VARCHAR" if dialect == "duckdb" else "TEXT")
         cols.append(f"{_quote_ident(f.name, dialect)} {ddl_t}")
@@ -116,13 +145,102 @@ def partition_files(csv_dir: str) -> list[str]:
     )
 
 
+# sqlldr field spec per Spark type: how the ctl file tells the loader
+# to parse each delimited text field. Formats match the _TS_US writer
+# conventions in sources/files.py.
+_SQLLDR_FIELD_TYPES: dict[str, str] = {
+    "tinyint": "INTEGER EXTERNAL",
+    "smallint": "INTEGER EXTERNAL",
+    "int": "INTEGER EXTERNAL",
+    "bigint": "INTEGER EXTERNAL",
+    "boolean": "CHAR(5)",
+    "float": "FLOAT EXTERNAL",
+    "double": "FLOAT EXTERNAL",
+    "string": "CHAR(32767)",
+    "timestamp": 'TIMESTAMP "YYYY-MM-DD HH24:MI:SS.FF6"',
+    "timestamp_ntz": 'TIMESTAMP "YYYY-MM-DD HH24:MI:SS.FF6"',
+    "date": 'DATE "YYYY-MM-DD"',
+}
+
+
+def sqlldr_control_file(df: DataFrame, table: str) -> str:
+    """Oracle ``sqlldr`` control file for the dialect CSV conventions
+    (upstream send_data's Oracle leg, ≈L750–850). One shared ctl file
+    serves every partition file: each loader invocation overrides the
+    data file with ``data=`` on the command line — N parallel sqlldr
+    sessions, one per partition, instead of one monolithic load.
+    Empty fields load as NULL (the 'oracle' nullValue convention)."""
+    opts = CSV_DIALECT_OPTIONS["oracle"]
+    delim = opts.get("delimiter", ",")
+    fields = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            ftype = "DECIMAL EXTERNAL"
+        else:
+            ftype = _SQLLDR_FIELD_TYPES.get(s, "CHAR(32767)")
+        fields.append(f"  {_quote_ident(f.name, 'oracle')} {ftype}")
+    body = ",\n".join(fields)
+    return (
+        "LOAD DATA\n"
+        "CHARACTERSET UTF8\n"
+        f"APPEND INTO TABLE {_quote_ident(table, 'oracle')}\n"
+        f"FIELDS TERMINATED BY '{delim}' OPTIONALLY ENCLOSED BY '\"'\n"
+        "TRAILING NULLCOLS\n"
+        f"(\n{body}\n)\n"
+    )
+
+
+def bcp_format_file(df: DataFrame) -> str:
+    """SQL Server ``bcp`` non-XML format file for the tab-delimited
+    character-mode CSV the 'mssql' conventions emit (upstream
+    send_data's SQL Server leg). Character mode (SQLCHAR, prefix 0,
+    max length 0 = delimiter-bounded) with the final field terminated
+    by the row terminator; string columns carry the server's default
+    collation marker, non-char columns an empty collation."""
+    n = len(df.schema.fields)
+    lines = ["14.0", str(n)]
+    for i, f in enumerate(df.schema.fields, start=1):
+        term = r"\t" if i < n else r"\n"
+        is_char = f.dataType.simpleString() == "string"
+        collation = "SQL_Latin1_General_CP1_CI_AS" if is_char else '""'
+        lines.append(
+            f'{i}  SQLCHAR  0  0  "{term}"  {i}  {f.name}  {collation}'
+        )
+    return "\n".join(lines) + "\n"
+
+
+def write_loader_artifacts(
+    df: DataFrame, table: str, csv_dir: str, dialect: str
+) -> dict[str, str]:
+    """Write the per-table loader sidecar files next to the partition
+    CSVs and return {kind: path}: the bcp format file ('mssql') or the
+    sqlldr control file ('oracle'). Other dialects need none."""
+    out: dict[str, str] = {}
+    if dialect == "mssql":
+        p = os.path.join(csv_dir, f"{table}.bcp.fmt")
+        with open(p, "w") as fh:
+            fh.write(bcp_format_file(df))
+        out["format_file"] = p
+    elif dialect == "oracle":
+        p = os.path.join(csv_dir, f"{table}.ctl")
+        with open(p, "w") as fh:
+            fh.write(sqlldr_control_file(df, table))
+        out["control_file"] = p
+    return out
+
+
 def bulk_load_statements(
     table: str, csv_dir: str, dialect: str = "postgresql"
 ) -> list[str]:
-    """One native bulk-load statement per partition file, matching the
-    CSV conventions ``write_csv_for_bulk_load`` used for ``dialect``.
-    Parity: upstream ``send_data`` ≈L750–850 — same statements, but
-    per-partition-file (parallelizable) instead of one monolithic dump."""
+    """One native bulk-load statement (or loader command line) per
+    partition file, matching the CSV conventions
+    ``write_csv_for_bulk_load`` used for ``dialect``. Parity: upstream
+    ``send_data`` ≈L750–850 — same loaders, but per-partition-file
+    (parallelizable) instead of one monolithic dump. The mssql/oracle
+    command lines reference the sidecar files from
+    ``write_loader_artifacts`` and leave connection flags
+    (-S/-U/-P, userid=) to the deployment environment."""
     opts = CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"])
     delim = opts.get("delimiter", ",")
     nullv = opts.get("nullValue", "")
@@ -131,7 +249,7 @@ def bulk_load_statements(
     for f in partition_files(csv_dir):
         if dialect == "mysql":
             stmts.append(
-                f"LOAD DATA LOCAL INFILE '{f}' INTO TABLE {q} "
+                f"LOAD DATA LOCAL INFILE '{_sql_path(f)}' INTO TABLE {q} "
                 f"FIELDS TERMINATED BY '{delim}' OPTIONALLY ENCLOSED BY '\"' "
                 f"ESCAPED BY '\\\\'"
             )
@@ -140,21 +258,35 @@ def bulk_load_statements(
             # mirror of the "duckdb" writer conventions (lossless for
             # NULL vs '' vs a literal nullstr-lookalike)
             stmts.append(
-                f"COPY {q} FROM '{f}' "
+                f"COPY {q} FROM '{_sql_path(f)}' "
                 f"(FORMAT CSV, HEADER FALSE, DELIMITER '{delim}', "
                 f"QUOTE '\"', ESCAPE '\"', NULLSTR '{nullv}', "
                 f"ALLOW_QUOTED_NULLS FALSE)"
             )
         elif dialect == "postgresql":
             stmts.append(
-                f"COPY {q} FROM '{f}' WITH "
+                f"COPY {q} FROM '{_sql_path(f)}' WITH "
                 f"(FORMAT csv, HEADER false, DELIMITER '{delim}', "
                 f"QUOTE '\"', ESCAPE '\\', NULL '{nullv}')"
             )
         elif dialect == "sqlite":
             # the sqlite3 CLI has no SQL-level bulk statement; the
             # reference drives `.import` — emit the CLI command line
+            # (bulk_load_sqlite below EXECUTES the equivalent through
+            # the stdlib driver)
             stmts.append(f'.import --csv "{f}" {table}')
+        elif dialect == "mssql":
+            fmt = os.path.join(csv_dir, f"{table}.bcp.fmt")
+            stmts.append(
+                f'bcp {table} in "{f}" -f "{fmt}" -c -t "{delim}" '
+                f'-e "{f}.err" -b 10000'
+            )
+        elif dialect == "oracle":
+            ctl = os.path.join(csv_dir, f"{table}.ctl")
+            stmts.append(
+                f"sqlldr control='{ctl}' data='{f}' log='{f}.log' "
+                f"bad='{f}.bad' errors=0 direct=true"
+            )
         else:
             raise ValueError(f"no bulk-load statement template for {dialect}")
     return stmts
@@ -170,10 +302,12 @@ def bulk_load_duckdb(
     """Execute the W3 path end-to-end into an embedded DuckDB database:
     dialect CSV per partition → ``CREATE TABLE`` → native ``COPY FROM``
     per file → loaded row count. ``mode``: overwrite (drop+create),
-    append (create if absent), error (fail if table exists)."""
+    append (create if absent; existing column names must match the
+    DataFrame's, checked BEFORE any file lands), error (fail if table
+    exists). Mode/existence checks run before the CSV stage is written
+    so a doomed load fails before the expensive work."""
     import duckdb
 
-    write_csv_for_bulk_load(df, csv_dir, dialect="duckdb")
     con = duckdb.connect(db_path)
     try:
         exists = bool(
@@ -184,14 +318,33 @@ def bulk_load_duckdb(
         )
         if exists and mode == "error":
             raise ValueError(f"table {table} already exists (mode=error)")
+        if exists and mode == "append":
+            have = [
+                r[0]
+                for r in con.execute(
+                    "SELECT column_name FROM information_schema.columns "
+                    "WHERE table_name = ? ORDER BY ordinal_position",
+                    [table],
+                ).fetchall()
+            ]
+            want = [f.name for f in df.schema.fields]
+            if have != want:
+                raise ValueError(
+                    f"append into {table}: existing columns {have} != "
+                    f"DataFrame columns {want} — refusing a positional "
+                    "COPY into a drifted schema"
+                )
+        write_csv_for_bulk_load(df, csv_dir, dialect="duckdb")
         if mode == "overwrite":
-            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.execute(f"DROP TABLE IF EXISTS {_quote_ident(table, 'duckdb')}")
             exists = False
         if not exists:
             con.execute(schema_ddl(df, table, "duckdb"))
         for stmt in bulk_load_statements(table, csv_dir, "duckdb"):
             con.execute(stmt)
-        return con.execute(f'SELECT COUNT(*) FROM "{table}"').fetchall()[0][0]
+        return con.execute(
+            f"SELECT COUNT(*) FROM {_quote_ident(table, 'duckdb')}"
+        ).fetchall()[0][0]
     finally:
         con.close()
 
@@ -204,6 +357,168 @@ def export_duckdb_table(db_path: str, table: str, parquet_path: str) -> None:
 
     con = duckdb.connect(db_path)
     try:
-        con.execute(f"COPY \"{table}\" TO '{parquet_path}' (FORMAT PARQUET)")
+        con.execute(
+            f"COPY {_quote_ident(table, 'duckdb')} TO "
+            f"'{_sql_path(parquet_path)}' (FORMAT PARQUET)"
+        )
     finally:
         con.close()
+
+
+# --- executed sqlite leg ----------------------------------------------------
+#
+# Python's stdlib sqlite3 is the second destination engine available in
+# this sandbox, so W3 gets a second EXECUTED leg: the .import-equivalent
+# (CREATE TABLE + batched positional INSERTs fed from the dialect CSV
+# files) driven through the DBAPI connection. Convention note: the
+# 'sqlite' dialect marks NULL as the empty field (same single-marker
+# convention the reference used), so empty string and NULL collapse —
+# documented, matches .import semantics.
+
+
+def _sqlite_converters(df: DataFrame):
+    """Per-column text→python converters for the typed INSERT (sqlite
+    is affinity-typed; feeding ints/floats as python objects preserves
+    them exactly, and '' means NULL per the dialect convention)."""
+    convs = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            fn = int
+        elif s in ("float", "double"):
+            fn = float
+        elif s == "boolean":
+            fn = lambda v: 1 if v == "true" else 0  # noqa: E731
+        elif s == "binary":
+            raise ValueError("binary columns are not supported on the sqlite CSV leg")
+        else:  # string / timestamp / date / decimal ride as TEXT
+            fn = str
+        convs.append(fn)
+    return convs
+
+
+def bulk_load_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    csv_dir: str,
+    mode: str = "overwrite",
+    batch_rows: int = 10_000,
+) -> int:
+    """Execute the sqlite leg of W3 end-to-end: dialect CSV per
+    partition → CREATE TABLE → ``executemany`` batches per file (the
+    driver-level equivalent of the CLI ``.import`` the statement
+    generator emits). Same mode semantics and pre-flight ordering as
+    ``bulk_load_duckdb``."""
+    import csv
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        exists = bool(
+            con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", [table]
+            ).fetchall()
+        )
+        if exists and mode == "error":
+            raise ValueError(f"table {table} already exists (mode=error)")
+        if exists and mode == "append":
+            have = [r[1] for r in con.execute(f"PRAGMA table_info({_quote_ident(table, 'sqlite')})")]
+            want = [f.name for f in df.schema.fields]
+            if have != want:
+                raise ValueError(
+                    f"append into {table}: existing columns {have} != "
+                    f"DataFrame columns {want} — refusing a positional "
+                    "INSERT into a drifted schema"
+                )
+        write_csv_for_bulk_load(df, csv_dir, dialect="sqlite")
+        if mode == "overwrite":
+            con.execute(f"DROP TABLE IF EXISTS {_quote_ident(table, 'sqlite')}")
+            exists = False
+        if not exists:
+            con.execute(schema_ddl(df, table, "sqlite"))
+        convs = _sqlite_converters(df)
+        placeholders = ", ".join("?" for _ in convs)
+        ins = f"INSERT INTO {_quote_ident(table, 'sqlite')} VALUES ({placeholders})"
+        for path in partition_files(csv_dir):
+            with open(path, newline="") as fh:
+                batch = []
+                for row in csv.reader(fh):
+                    batch.append(
+                        tuple(
+                            None if v == "" else fn(v)
+                            for fn, v in zip(convs, row)
+                        )
+                    )
+                    if len(batch) >= batch_rows:
+                        con.executemany(ins, batch)
+                        batch = []
+                if batch:
+                    con.executemany(ins, batch)
+        con.commit()
+        return con.execute(
+            f"SELECT COUNT(*) FROM {_quote_ident(table, 'sqlite')}"
+        ).fetchall()[0][0]
+    finally:
+        con.close()
+
+
+def export_sqlite_table(
+    db_path: str, table: str, parquet_path: str, df_schema
+) -> None:
+    """Read-back half of the sqlite roundtrip: export what the
+    destination loaded to parquet with the source's logical types
+    (timestamps/dates/decimals were stored as TEXT) so Spark re-reads
+    it for the hash comparison."""
+    import sqlite3
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _PA = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "boolean": pa.bool_(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "date": pa.date32(),
+    }
+
+    def back(s: str, v):
+        if v is None:
+            return None
+        if s in ("timestamp", "timestamp_ntz"):
+            return datetime.strptime(v, "%Y-%m-%d %H:%M:%S.%f")
+        if s == "date":
+            return date.fromisoformat(v)
+        if s == "boolean":
+            return bool(v)
+        if s.startswith("decimal"):
+            return Decimal(v)
+        return v
+
+    con = sqlite3.connect(db_path)
+    try:
+        rows = con.execute(
+            f"SELECT * FROM {_quote_ident(table, 'sqlite')}"
+        ).fetchall()
+    finally:
+        con.close()
+    fields, arrays = [], []
+    for i, f in enumerate(df_schema.fields):
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            p, sc = s[len("decimal("):-1].split(",")
+            typ = pa.decimal128(int(p), int(sc))
+        else:
+            typ = _PA.get(s, pa.string())
+        fields.append(pa.field(f.name, typ))
+        arrays.append(pa.array([back(s, r[i]) for r in rows], type=typ))
+    pq.write_table(pa.table(arrays, schema=pa.schema(fields)), parquet_path)

@@ -14,17 +14,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 # Dialect → CSV writer options (the reference's NULL/escape conventions).
+# Every bundle pins timestampFormat to full microsecond precision:
+# Spark's CSV writer default emits only milliseconds, which silently
+# truncated sub-ms timestamps through the bulk path (the migration is
+# generic over tables, so any table with µs timestamps was corrupted).
+_TS_US = {
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "dateFormat": "yyyy-MM-dd",
+}
 CSV_DIALECT_OPTIONS: dict[str, dict[str, str]] = {
     # MySQL LOAD DATA INFILE: \N for NULL, backslash escapes
-    "mysql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"'},
+    "mysql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"', **_TS_US},
     # Postgres COPY text format: \N for NULL
-    "postgresql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"'},
+    "postgresql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"', **_TS_US},
     # SQL Server bcp: empty string NULL, tab-delimited
-    "mssql": {"nullValue": "", "delimiter": "\t", "quote": '"'},
-    # Oracle sqlldr
-    "oracle": {"nullValue": "", "delimiter": ",", "quote": '"'},
-    # SQLite .import
-    "sqlite": {"nullValue": "", "delimiter": ",", "quote": '"'},
+    "mssql": {"nullValue": "", "delimiter": "\t", "quote": '"', **_TS_US},
+    # Oracle sqlldr (field formats in the generated ctl file match)
+    "oracle": {"nullValue": "", "delimiter": ",", "quote": '"', **_TS_US},
+    # SQLite .import --csv expects RFC-4180 quote doubling
+    "sqlite": {"nullValue": "", "delimiter": ",", "quote": '"', "escape": '"', **_TS_US},
     # DuckDB / Postgres COPY **CSV-mode defaults** — the lossless set:
     # NULL = unquoted empty, empty string = quoted "", RFC-4180 quote
     # doubling (escape = quote). Unlike the \N conventions above, this
@@ -36,6 +45,7 @@ CSV_DIALECT_OPTIONS: dict[str, dict[str, str]] = {
         "delimiter": ",",
         "escape": '"',
         "quote": '"',
+        **_TS_US,
     },
 }
 

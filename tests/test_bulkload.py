@@ -36,9 +36,14 @@ def test_schema_ddl_types(spark):
     df = spark.createDataFrame([(1, "x", 1.0)], "id bigint, s string, v double")
     ddl = schema_ddl(df, "t", "duckdb")
     assert ddl == 'CREATE TABLE "t" ("id" BIGINT, "s" VARCHAR, "v" DOUBLE)'
-    assert "TEXT" in schema_ddl(df, "postgresql", "postgresql") or True
     pg = schema_ddl(df, "t", "postgresql")
     assert "DOUBLE PRECISION" in pg and "TEXT" in pg
+
+
+def test_quoted_identifiers_escape_embedded_quotes(spark):
+    df = spark.createDataFrame([(1,)], 'id int')
+    assert 'CREATE TABLE "we""ird"' in schema_ddl(df, 'we"ird', "duckdb")
+    assert "`we``ird`" in schema_ddl(df, "we`ird", "mysql")
 
 
 def test_statements_per_partition_file(spark, tmp_path):
@@ -95,3 +100,140 @@ def test_mode_semantics(spark, tmp_path):
     assert bulk_load_duckdb(df, db, "t", d, mode="overwrite") == 1
     with pytest.raises(ValueError, match="mode=error"):
         bulk_load_duckdb(df, db, "t", d, mode="error")
+
+
+# --- mssql bcp / oracle sqlldr artifact generation --------------------------
+
+from etlalchemy_spark.sources.bulkload import (
+    bcp_format_file,
+    bulk_load_sqlite,
+    export_sqlite_table,
+    sqlldr_control_file,
+    write_loader_artifacts,
+)
+
+
+def _typed_df(spark):
+    return spark.createDataFrame(
+        [(1, "x", 2.5)], "id bigint, name string, v double"
+    )
+
+
+def test_bcp_format_file_exact(spark):
+    fmt = bcp_format_file(_typed_df(spark))
+    lines = fmt.splitlines()
+    assert lines[0] == "14.0"
+    assert lines[1] == "3"
+    assert lines[2] == '1  SQLCHAR  0  0  "\\t"  1  id  ""'
+    assert lines[3] == '2  SQLCHAR  0  0  "\\t"  2  name  SQL_Latin1_General_CP1_CI_AS'
+    assert lines[4] == '3  SQLCHAR  0  0  "\\n"  3  v  ""'
+
+
+def test_sqlldr_control_file_exact(spark):
+    df = spark.createDataFrame(
+        [], "id bigint, name string, v double, ts timestamp, d date"
+    )
+    ctl = sqlldr_control_file(df, "target")
+    assert 'APPEND INTO TABLE "target"' in ctl
+    assert "FIELDS TERMINATED BY ',' OPTIONALLY ENCLOSED BY '\"'" in ctl
+    assert "TRAILING NULLCOLS" in ctl
+    assert '"id" INTEGER EXTERNAL' in ctl
+    assert '"name" CHAR(32767)' in ctl
+    assert '"v" FLOAT EXTERNAL' in ctl
+    assert '"ts" TIMESTAMP "YYYY-MM-DD HH24:MI:SS.FF6"' in ctl
+    assert '"d" DATE "YYYY-MM-DD"' in ctl
+
+
+def test_mssql_oracle_statements_reference_artifacts(spark, tmp_path):
+    df = (
+        spark.range(100)
+        .select(
+            "id",
+            F.col("id").cast("string").alias("name"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        .repartition(2)
+    )
+    d = str(tmp_path / "csv")
+    write_csv_for_bulk_load(df, d, dialect="mssql")
+    arts = write_loader_artifacts(df, "t", d, "mssql")
+    assert os.path.exists(arts["format_file"])
+    stmts = bulk_load_statements("t", d, "mssql")
+    assert len(stmts) == 2
+    assert all(s.startswith("bcp t in ") for s in stmts)
+    assert all(arts["format_file"] in s for s in stmts)
+
+    write_csv_for_bulk_load(df, d, dialect="oracle")
+    arts = write_loader_artifacts(df, "t", d, "oracle")
+    assert os.path.exists(arts["control_file"])
+    stmts = bulk_load_statements("t", d, "oracle")
+    assert len(stmts) == 2
+    assert all(s.startswith("sqlldr control=") for s in stmts)
+    assert all("direct=true" in s for s in stmts)
+
+
+# --- microsecond timestamps through the duckdb leg (ADVICE r3) --------------
+
+
+def test_duckdb_roundtrip_microsecond_timestamps(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 03:04:05.123456"), (2, "2024-03-01 03:04:05.000001")],
+        "id int, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    db = str(tmp_path / "us.duckdb")
+    bulk_load_duckdb(df, db, "tsus", str(tmp_path / "csvus"))
+    con = duckdb.connect(db)
+    got = {r[0]: str(r[1]) for r in con.execute("SELECT id, ts FROM tsus").fetchall()}
+    con.close()
+    assert got[1] == "2024-03-01 03:04:05.123456"
+    assert got[2] == "2024-03-01 03:04:05.000001"
+
+
+def test_duckdb_append_rejects_schema_drift(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    db = str(tmp_path / "drift.duckdb")
+    d = str(tmp_path / "csvd")
+    bulk_load_duckdb(df, db, "t", d, mode="overwrite")
+    drifted = spark.createDataFrame([(1, "a")], "id int, renamed string")
+    with pytest.raises(ValueError, match="drifted schema"):
+        bulk_load_duckdb(drifted, db, "t", d, mode="append")
+    # and the pre-flight ran BEFORE any CSV landed for the drifted frame
+    assert bulk_load_duckdb(df, db, "t", d, mode="append") == 2
+
+
+# --- executed sqlite leg ----------------------------------------------------
+
+
+def test_sqlite_roundtrip_lossless(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "plain", 1.5, "2024-03-01 03:04:05.123456"),
+            (2, "comma, inside", -2.25, "2024-03-01 03:04:05.000001"),
+            (3, 'quote " inside', 1e300, None),
+            (4, None, None, "2020-01-02 00:00:00.000000"),
+        ],
+        "id int, s string, v double, ts_s string",
+    ).select("id", "s", "v", F.col("ts_s").cast("timestamp").alias("ts"))
+    db = str(tmp_path / "dest.sqlite")
+    n = bulk_load_sqlite(df, db, "tricky", str(tmp_path / "csv"))
+    assert n == 4
+    out = str(tmp_path / "back.parquet")
+    export_sqlite_table(db, "tricky", out, df.schema)
+    back = spark.read.parquet(out)
+    src = {r["id"]: (r["s"], r["v"], r["ts"]) for r in df.collect()}
+    got = {r["id"]: (r["s"], r["v"], r["ts"]) for r in back.collect()}
+    assert got == src
+
+
+def test_sqlite_mode_semantics(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id int")
+    db = str(tmp_path / "m.sqlite")
+    d = str(tmp_path / "csvm")
+    assert bulk_load_sqlite(df, db, "t", d, mode="overwrite") == 1
+    assert bulk_load_sqlite(df, db, "t", d, mode="append") == 2
+    assert bulk_load_sqlite(df, db, "t", d, mode="overwrite") == 1
+    with pytest.raises(ValueError, match="mode=error"):
+        bulk_load_sqlite(df, db, "t", d, mode="error")
+    drifted = spark.createDataFrame([(1,)], "other int")
+    with pytest.raises(ValueError, match="drifted schema"):
+        bulk_load_sqlite(drifted, db, "t", d, mode="append")

@@ -151,3 +151,25 @@ def test_reflection_query_executes_on_live_information_schema(tmp_path):
     got2 = sorted(r[0] for r in con.execute(schema_q.strip()[1:-3]).fetchall())
     assert got2 == ["t1", "t2"]
     con.close()
+
+
+def test_migrate_duckdb_append_double_load_audit(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "app.duckdb")
+    mk = lambda: Migration(
+        source=FileSource(SF_DIR, included_tables=["nation"]),
+        target=Target(db, fmt="duckdb", mode="append"),
+    )
+    reports1, _ = mk().run(spark)
+    assert [r.n_rows for r in reports1] == [25]  # create-if-absent leg
+    reports2, _ = mk().run(spark)
+    # the row-count audit reports the table's post-load total: 2x rows
+    assert [r.n_rows for r in reports2] == [50]
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM nation").fetchall()[0][0] == 50
+    assert (
+        con.execute("SELECT COUNT(DISTINCT n_nationkey) FROM nation").fetchall()[0][0]
+        == 25
+    )
+    con.close()
