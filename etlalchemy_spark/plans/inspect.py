@@ -78,6 +78,30 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     return offenders
 
 
+def plan_tree(df: DataFrame) -> str:
+    """Normalized physical-plan shape: the formatted explain's tree
+    section with node ids stripped — node names + nesting only, none
+    of the volatile details (paths, sizes, expr ids). Two runs of the
+    same code over the same fixtures produce identical trees; a code
+    change that alters the plan's shape changes it."""
+    lines = []
+    for line in explain_formatted(df).splitlines():
+        if not line.strip():
+            break  # details section follows the tree
+        if line.startswith("=="):
+            continue
+        lines.append(re.sub(r"\s*\(\d+\)\s*$", "", line.rstrip()))
+    return "\n".join(lines)
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Short stable hash of ``plan_tree`` — the regression tripwire
+    unit (tests/test_plan_fingerprints.py pins one per bench query)."""
+    import hashlib
+
+    return hashlib.md5(plan_tree(df).encode()).hexdigest()[:16]
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Codegen spans show as ``*(n)`` stage markers in the simple plan
     (the formatted mode hides them behind AdaptiveSparkPlan)."""
