@@ -59,8 +59,8 @@ class Target:
     dialect's DROP DATABASE — generated, not executed, in this
     sandbox)."""
 
-    path: str  # directory (file target), .duckdb file, or JDBC url
-    fmt: str = "parquet"  # parquet/csv/json/orc, "duckdb", or "jdbc"
+    path: str  # directory (file target), .duckdb/.sqlite file, or JDBC url
+    fmt: str = "parquet"  # parquet/csv/json/orc, "duckdb", "sqlite", or "jdbc"
     dialect: str = "postgresql"  # for csv conventions / jdbc DDL
     mode: str = "overwrite"  # error | overwrite | append
     drop_destination: bool = False
@@ -110,7 +110,7 @@ class Migration:
                 f"DROP DATABASE IF EXISTS {db}",
             )
             return
-        if self.target.fmt == "duckdb":
+        if self.target.fmt in ("duckdb", "sqlite"):
             for p in (self.target.path, self.target.path + ".wal"):
                 if os.path.exists(p):
                     os.remove(p)
@@ -166,12 +166,19 @@ class Migration:
                     mode="errorifexists" if self.target.mode == "error" else self.target.mode,
                     varchar_meta=varchar_metadata(decisions),
                 )
-            elif self.target.fmt == "duckdb":
+            elif self.target.fmt in ("duckdb", "sqlite"):
                 # W3 native bulk path: per-partition dialect CSV +
-                # COPY FROM into the embedded destination DB
-                from etlalchemy_spark.sources.bulkload import bulk_load_duckdb
+                # native loader into the embedded destination DB
+                # (duckdb COPY FROM / sqlite .import-equivalent)
+                from etlalchemy_spark.sources.bulkload import (
+                    bulk_load_duckdb,
+                    bulk_load_sqlite,
+                )
 
-                n_loaded = bulk_load_duckdb(
+                loader = (
+                    bulk_load_duckdb if self.target.fmt == "duckdb" else bulk_load_sqlite
+                )
+                n_loaded = loader(
                     df,
                     self.target.path,
                     dest_name,

@@ -810,6 +810,36 @@ def etl_bulk_load_sqlite_roundtrip(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+_MIGRATE_SQLITE_SQL = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("etl_migrate_sqlite_roundtrip", oracle=_MIGRATE_SQLITE_SQL, tags=("etl", "migrate", "bulkload"))
+def etl_migrate_sqlite_roundtrip(spark, sf_dir):
+    """O1 through the SECOND executed destination engine: Migration
+    drops the sqlite database file, reflects region, standardizes, and
+    loads through the .import-equivalent bulk path (per-partition CSV +
+    batched typed INSERTs via stdlib sqlite3); the loaded table is
+    exported back and hash-compared against the source."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.sources.bulkload import export_sqlite_table
+
+    tmp = scratch_dir("migrate_sqlite", sf_dir)
+    db = os.path.join(tmp, "dest.sqlite")
+    mig = Migration(
+        source=FileSource(sf_dir, included_tables=["region"]),
+        target=Target(db, fmt="sqlite", mode="error", drop_destination=True),
+    )
+    mig.run(spark)
+    out = os.path.join(tmp, "region_back.parquet")
+    src_schema = t(spark, sf_dir, "region").schema
+    export_sqlite_table(db, "region", out, src_schema)
+    return spark.read.parquet(out).select("r_regionkey", "r_name")
+
+
 _MIGRATE_DUCK_SQL = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """

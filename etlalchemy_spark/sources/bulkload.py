@@ -83,6 +83,34 @@ _BULK_DDL_TYPES: dict[str, dict[str, str]] = {
         "date": "DATE",
         "binary": "BLOB",
     },
+    "mssql": {
+        "tinyint": "TINYINT",
+        "smallint": "SMALLINT",
+        "int": "INT",
+        "bigint": "BIGINT",
+        "boolean": "BIT",
+        "float": "REAL",
+        "double": "FLOAT",
+        "string": "NVARCHAR(MAX)",
+        "timestamp": "DATETIME2(6)",
+        "timestamp_ntz": "DATETIME2(6)",
+        "date": "DATE",
+        "binary": "VARBINARY(MAX)",
+    },
+    "oracle": {
+        "tinyint": "NUMBER(3)",
+        "smallint": "NUMBER(5)",
+        "int": "NUMBER(10)",
+        "bigint": "NUMBER(19)",
+        "boolean": "NUMBER(1)",
+        "float": "BINARY_FLOAT",
+        "double": "BINARY_DOUBLE",
+        "string": "CLOB",
+        "timestamp": "TIMESTAMP(6)",
+        "timestamp_ntz": "TIMESTAMP(6)",
+        "date": "DATE",
+        "binary": "BLOB",
+    },
     # SQLite columns are affinity-typed; timestamps/dates/decimals are
     # stored as TEXT (ISO-8601 / decimal strings) and re-typed on
     # export — the lossless choice, since NUMERIC affinity would
