@@ -778,6 +778,34 @@ def etl_bulk_load_roundtrip(spark, sf_dir):
     )
 
 
+_BULK_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@register("etl_bulk_load_events_roundtrip", oracle=_BULK_EVENTS_SQL, tags=("etl", "bulkload"))
+def etl_bulk_load_events_roundtrip(spark, sf_dir):
+    """The µs-precision regression gate for W3: the events table (whose
+    ``ts`` values carry sub-millisecond precision) through the duckdb
+    bulk path and back. Spark's CSV writer default truncates to
+    milliseconds — this query would hash-mismatch the oracle if the
+    dialect bundles ever lose their explicit timestampFormat."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.sources.bulkload import bulk_load_duckdb, export_duckdb_table
+
+    tmp = scratch_dir("bulkload_events", sf_dir)
+    db = os.path.join(tmp, "dest.duckdb")
+    out = os.path.join(tmp, "events_back.parquet")
+    df = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bulk_load_duckdb(df, db, "events_bulk", os.path.join(tmp, "events_csv"))
+    export_duckdb_table(db, "events_bulk", out)
+    return spark.read.parquet(out)
+
+
 _BULK_SQLITE_SQL = """
 SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
 """

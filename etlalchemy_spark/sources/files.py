@@ -103,5 +103,11 @@ def write_csv_for_bulk_load(
     scalable version of the reference's single dump file — each
     partition feeds a parallel loader invocation)."""
     opts = dict(CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"]))
+    # Spark's CSV WRITER trims leading/trailing whitespace by default
+    # (univocity ignore*WhiteSpace=true), silently corrupting values
+    # like "  x " or "\n" on the way to the loader — found by the
+    # hypothesis roundtrip property, disabled for every dialect
+    opts.setdefault("ignoreLeadingWhiteSpace", "false")
+    opts.setdefault("ignoreTrailingWhiteSpace", "false")
     opts.update({k: str(v) for k, v in overrides.items()})
     df.write.mode("overwrite").options(**opts).csv(path)
