@@ -778,6 +778,64 @@ def etl_bulk_load_roundtrip(spark, sf_dir):
     )
 
 
+_JDBC_LIVE_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+"""
+
+
+@register("etl_jdbc_live_roundtrip", oracle=_JDBC_LIVE_SQL, tags=("etl", "jdbc"))
+def etl_jdbc_live_roundtrip(spark, sf_dir):
+    """S2 + W3's JDBC legs EXECUTED live: customer is bulk-written
+    through ``df.write.jdbc`` into embedded Derby (the JDBC engine on
+    Spark's own classpath) and read back with the PARTITIONED jdbc
+    scan — live MIN/MAX bounds probe, 4 range-partitioned pulls — then
+    hash-compared against the source. The Postgres/MySQL legs differ
+    only in URL/driver; every line of engine code here (option
+    plumbing, bounds probing, dialect type mapping) is the code a real
+    deployment runs."""
+    from etlalchemy_spark.sources.jdbc import read_jdbc_partitioned, write_jdbc
+
+    url = "jdbc:derby:memory:gate_customer;create=true"
+    df = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    write_jdbc(df, url, "customer_live", mode="overwrite")
+    return read_jdbc_partitioned(
+        spark,
+        url,
+        "customer_live",
+        partition_column="c_custkey",
+        num_partitions=4,
+    )
+
+
+_MIGRATE_JDBC_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("etl_migrate_jdbc_roundtrip", oracle=_MIGRATE_JDBC_SQL, tags=("etl", "migrate", "jdbc"))
+def etl_migrate_jdbc_roundtrip(spark, sf_dir):
+    """O1 over a LIVE JDBC destination: the full
+    reflect→standardize→load lifecycle into embedded Derby through
+    ``df.write.jdbc`` — the exact code path a Postgres/MySQL
+    deployment runs — then the loaded table is read back over JDBC and
+    hash-compared against the source."""
+    url = "jdbc:derby:memory:gate_migrate;create=true"
+    mig = Migration(
+        source=FileSource(sf_dir, included_tables=["nation"]),
+        target=Target(url, fmt="jdbc", mode="overwrite"),
+    )
+    mig.run(spark)
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .load()
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 _BULK_EVENTS_SQL = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """

@@ -59,9 +59,17 @@ def read_jdbc_partitioned(
         reader = reader.option(k, str(v))
     if partition_column:
         if lower_bound is None or upper_bound is None:
+            # quote like Spark quotes partitionColumn itself: engines
+            # with case-folding catalogs (Derby, Oracle, Postgres)
+            # would otherwise fold an unquoted name away from the
+            # Spark-created identifier
+            qc = (
+                f"`{partition_column}`"
+                if dialect_of(url) == "mysql"
+                else f'"{partition_column}"'
+            )
             bounds_query = (
-                f"(SELECT MIN({partition_column}) AS lo, "
-                f"MAX({partition_column}) AS hi FROM {table}) b"
+                f"(SELECT MIN({qc}) AS lo, MAX({qc}) AS hi FROM {table}) b"
             )
             probe = (
                 spark.read.format("jdbc")
@@ -72,9 +80,11 @@ def read_jdbc_partitioned(
             # driver, ssl...) as the main reader
             for k, v in options.items():
                 probe = probe.option(k, str(v))
+            # positional access: case-folding catalogs (Derby, Oracle)
+            # uppercase the lo/hi aliases
             row = probe.load().collect()[0]
-            lower_bound = row["lo"] if lower_bound is None else lower_bound
-            upper_bound = row["hi"] if upper_bound is None else upper_bound
+            lower_bound = row[0] if lower_bound is None else lower_bound
+            upper_bound = row[1] if upper_bound is None else upper_bound
         if lower_bound is None or upper_bound is None:
             # empty table: MIN/MAX are NULL — partitioning is moot,
             # issue the plain (single-partition) scan of the empty table

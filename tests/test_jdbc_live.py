@@ -1,0 +1,129 @@
+"""LIVE JDBC execution of the S1/S2/W3 jdbc legs against embedded
+Derby — the one JDBC engine whose driver ships on Spark's own
+classpath (derby*.jar, used for the Hive metastore). In-memory Derby
+lives inside the single local-mode JVM, so every executor task's
+connection reaches the same database: `spark.read/write.jdbc` runs the
+REAL datasource code path (driver resolution, option plumbing, dialect
+type mapping, partitioned scans, bounds-probe queries) — previously
+the only untested residue of the jar-blocked Postgres/MySQL legs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.sources.jdbc import (
+    read_jdbc_by_predicates,
+    read_jdbc_partitioned,
+    write_jdbc,
+)
+
+_N = 0
+
+
+def _url():
+    """Fresh in-memory database per test (same-JVM scoped)."""
+    global _N
+    _N += 1
+    return f"jdbc:derby:memory:live{_N};create=true"
+
+
+def _src(spark):
+    return spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+    )
+
+
+def test_write_then_plain_read_roundtrip(spark):
+    url = _url()
+    df = _src(spark)
+    write_jdbc(df, url, "t_round", mode="overwrite")
+    back = spark.read.format("jdbc").option("url", url).option("dbtable", "t_round").load()
+    assert back.count() == 100
+    src = {r["id"]: (r["name"], r["v"]) for r in df.collect()}
+    got = {r["id"]: (r["name"], r["v"]) for r in back.collect()}
+    assert got == src
+
+
+def test_partitioned_read_with_live_bounds_probe(spark):
+    url = _url()
+    write_jdbc(_src(spark), url, "t_part", mode="overwrite")
+    # no explicit bounds: the MIN/MAX pushdown probe executes live
+    back = read_jdbc_partitioned(
+        spark, url, "t_part", partition_column="id", num_partitions=4
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_partitioned_read_empty_table_null_bounds(spark):
+    url = _url()
+    write_jdbc(_src(spark).where(F.lit(False)), url, "t_empty", mode="overwrite")
+    back = read_jdbc_partitioned(
+        spark, url, "t_empty", partition_column="id", num_partitions=4
+    )
+    assert back.count() == 0
+
+
+def test_predicate_partitioned_read(spark):
+    url = _url()
+    write_jdbc(_src(spark), url, "t_pred", mode="overwrite")
+    # predicates are raw destination-dialect SQL: quote for Derby's
+    # case-folding catalog
+    back = read_jdbc_by_predicates(
+        spark, url, "t_pred", predicates=['"id" < 50', '"id" >= 50']
+    )
+    assert back.rdd.getNumPartitions() == 2
+    assert back.count() == 100
+
+
+def test_append_mode_doubles_rows(spark):
+    url = _url()
+    df = _src(spark)
+    write_jdbc(df, url, "t_app", mode="overwrite")
+    write_jdbc(df, url, "t_app", mode="append")
+    back = spark.read.format("jdbc").option("url", url).option("dbtable", "t_app").load()
+    assert back.count() == 200
+
+
+def test_varchar_meta_reaches_live_ddl(spark):
+    url = _url()
+    df = _src(spark)
+    write_jdbc(df, url, "t_ddl", mode="overwrite", varchar_meta={"name": 32})
+    # reflect the LIVE catalog: Derby's SYS tables via the jdbc reader
+    cols = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "dbtable",
+            "(SELECT c.COLUMNNAME, CAST(c.COLUMNDATATYPE AS VARCHAR(64)) AS DT "
+            "FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t "
+            "ON c.REFERENCEID = t.TABLEID WHERE t.TABLENAME = 'T_DDL') q",
+        )
+        .load()
+        .collect()
+    )
+    # Spark quotes column identifiers (case preserved) but not the
+    # table name (Derby uppercases it)
+    types = {r["COLUMNNAME"]: r["DT"] for r in cols}
+    assert types["name"].startswith("VARCHAR(32)")  # standardizer decision landed
+
+
+def test_live_catalog_table_discovery(spark):
+    """S1 executed over a live JDBC catalog: table-name discovery via
+    the engine's system tables through spark.read.jdbc."""
+    url = _url()
+    write_jdbc(_src(spark), url, "t_one", mode="overwrite")
+    write_jdbc(_src(spark), url, "t_two", mode="overwrite")
+    names = {
+        r["TABLENAME"]
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "dbtable",
+            "(SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T') q",
+        )
+        .load()
+        .collect()
+    }
+    assert {"T_ONE", "T_TWO"} <= names
