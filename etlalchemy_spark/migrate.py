@@ -31,8 +31,8 @@ from etlalchemy_spark.operators.ddl import DDLEpilogue, FKSpec, IndexSpec, fk_or
 from etlalchemy_spark.operators.rules import SchemaRules
 from etlalchemy_spark.operators.standardize import standardize, varchar_metadata
 from etlalchemy_spark.sources.files import read_file, write_file
-from etlalchemy_spark.sources.jdbc import write_jdbc
-from etlalchemy_spark.sources.reflection import reflect_dir
+from etlalchemy_spark.sources.jdbc import read_jdbc_partitioned, write_jdbc
+from etlalchemy_spark.sources.reflection import reflect_dir, reflect_jdbc
 
 log = logging.getLogger("etlalchemy_spark.migrate")
 
@@ -43,6 +43,22 @@ class FileSource:
     fmt: str = "parquet"
     included_tables: list[str] | None = None
     excluded_tables: list[str] | None = None
+
+
+@dataclass
+class JdbcSource:
+    """Live database source (the reference's primary extract side):
+    tables are enumerated through the engine's system catalog
+    (reflect_jdbc) and each is pulled over JDBC — partitioned range
+    scans when ``partition_columns`` names the table's numeric split
+    key, a plain scan otherwise."""
+
+    url: str
+    included_tables: list[str] | None = None
+    excluded_tables: list[str] | None = None
+    partition_columns: dict[str, str] = field(default_factory=dict)
+    num_partitions: int = 8
+    options: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -85,7 +101,7 @@ class TableReport:
 
 @dataclass
 class Migration:
-    source: FileSource
+    source: FileSource | JdbcSource
     target: Target
     rules: SchemaRules | None = None
     standardize_types: bool = True
@@ -128,14 +144,23 @@ class Migration:
         loaded = {}
         if self.target.drop_destination:
             self._drop_destination()
-        tables = reflect_dir(
-            spark,
-            self.source.path,
-            self.source.fmt,
-            self.source.included_tables,
-            self.source.excluded_tables,
-            with_schema=False,
-        )
+        if isinstance(self.source, JdbcSource):
+            tables = reflect_jdbc(
+                spark,
+                self.source.url,
+                self.source.included_tables,
+                self.source.excluded_tables,
+                **self.source.options,
+            )
+        else:
+            tables = reflect_dir(
+                spark,
+                self.source.path,
+                self.source.fmt,
+                self.source.included_tables,
+                self.source.excluded_tables,
+                with_schema=False,
+            )
         for info in tables:
             t0 = time.monotonic()
             name = info.name
@@ -143,7 +168,17 @@ class Migration:
             if dest_name is None:  # X2: table deleted by rule
                 log.info("skipping table %s (delete rule)", name)
                 continue
-            df = read_file(spark, info.location, info.fmt)
+            if info.fmt == "jdbc":
+                df = read_jdbc_partitioned(
+                    spark,
+                    self.source.url,
+                    info.location,
+                    partition_column=self.source.partition_columns.get(name),
+                    num_partitions=self.source.num_partitions,
+                    **self.source.options,
+                )
+            else:
+                df = read_file(spark, info.location, info.fmt)
             t_read = time.monotonic()
 
             if self.rules:

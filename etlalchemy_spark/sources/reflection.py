@@ -48,6 +48,68 @@ def reflect_dir(
     return out
 
 
+def system_tables_query(
+    dialect: str, catalog: str | None = None, schema: str | None = None
+) -> str:
+    """S1 per dialect: the table-enumeration probe as a jdbc dbtable
+    subquery. information_schema for the engines that have it; system
+    catalogs for Derby (SYS.SYSTABLES) and Oracle (ALL_TABLES)."""
+    if dialect == "derby":
+        return "(SELECT TABLENAME AS table_name FROM SYS.SYSTABLES WHERE TABLETYPE = 'T') t"
+    if dialect == "oracle":
+        where = f" WHERE OWNER = '{schema}'" if schema else ""
+        return f"(SELECT TABLE_NAME FROM ALL_TABLES{where}) t"
+    return information_schema_query(catalog, schema)
+
+
+def reflect_jdbc(
+    spark: SparkSession,
+    url: str,
+    included_tables: list[str] | None = None,
+    excluded_tables: list[str] | None = None,
+    with_schema: bool = False,
+    catalog: str | None = None,
+    schema: str | None = None,
+    **options,
+) -> list[TableInfo]:
+    """S1+S3 over a LIVE JDBC catalog: enumerate base tables through
+    the engine's system tables, filter, and (optionally) resolve each
+    table's Spark schema with a zero-row probe. Name matching is
+    case-insensitive — case-folding catalogs (Derby, Oracle) store
+    unquoted identifiers uppercased; ``TableInfo.name`` is normalized
+    to lowercase for destination naming while ``location`` keeps the
+    catalog's exact spelling for reads."""
+    from etlalchemy_spark.sources.jdbc import dialect_of
+
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", system_tables_query(dialect_of(url), catalog, schema))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    names = sorted(r[0] for r in reader.load().collect())
+    inc = {n.lower() for n in included_tables} if included_tables else None
+    exc = {n.lower() for n in excluded_tables} if excluded_tables else set()
+    out: list[TableInfo] = []
+    for cat_name in names:
+        name = cat_name.lower()
+        if inc is not None and name not in inc:
+            continue
+        if name in exc:
+            continue
+        schema_t = None
+        if with_schema:
+            probe = (
+                spark.read.format("jdbc").option("url", url).option("dbtable", cat_name)
+            )
+            for k, v in options.items():
+                probe = probe.option(k, str(v))
+            schema_t = probe.load().schema  # resolved via a 0-row query
+        out.append(TableInfo(name=name, location=cat_name, fmt="jdbc", schema=schema_t))
+    return out
+
+
 def information_schema_query(catalog: str | None = None, schema: str | None = None) -> str:
     """S1 for JDBC: the table-enumeration probe pushed to the source
     (wrap as a dbtable subquery). Standard information_schema works for

@@ -127,3 +127,56 @@ def test_live_catalog_table_discovery(spark):
         .collect()
     }
     assert {"T_ONE", "T_TWO"} <= names
+
+
+# --- live reflection + db->db migration through the engine API --------------
+
+from etlalchemy_spark.migrate import JdbcSource, Migration, Target
+from etlalchemy_spark.sources.reflection import reflect_jdbc, system_tables_query
+
+
+def test_reflect_jdbc_live_with_filters(spark):
+    url = _url()
+    write_jdbc(_src(spark), url, "alpha", mode="overwrite")
+    write_jdbc(_src(spark), url, "beta", mode="overwrite")
+    write_jdbc(_src(spark), url, "gamma", mode="overwrite")
+    infos = reflect_jdbc(spark, url, excluded_tables=["beta"])
+    assert [i.name for i in infos] == ["alpha", "gamma"]
+    assert all(i.fmt == "jdbc" for i in infos)
+    only = reflect_jdbc(spark, url, included_tables=["ALPHA"])  # case-insensitive
+    assert [i.name for i in only] == ["alpha"]
+    with_schema = reflect_jdbc(spark, url, included_tables=["alpha"], with_schema=True)
+    assert [f.name for f in with_schema[0].schema.fields] == ["id", "name", "v"]
+
+
+def test_system_tables_query_dialects():
+    assert "SYS.SYSTABLES" in system_tables_query("derby")
+    assert "ALL_TABLES" in system_tables_query("oracle")
+    assert "information_schema" in system_tables_query("postgresql")
+
+
+def test_migration_jdbc_to_jdbc_live(spark):
+    src_url, dst_url = _url(), _url()
+    df = _src(spark)
+    write_jdbc(df, src_url, "people", mode="overwrite")
+    write_jdbc(df.limit(3), src_url, "skipme", mode="overwrite")
+    reports, _ = Migration(
+        source=JdbcSource(
+            src_url,
+            included_tables=["people"],
+            partition_columns={"people": "id"},
+            num_partitions=4,
+        ),
+        target=Target(dst_url, fmt="jdbc", mode="overwrite"),
+    ).run(spark)
+    assert [(r.table, r.n_rows) for r in reports] == [("people", 100)]
+    back = (
+        spark.read.format("jdbc")
+        .option("url", dst_url)
+        .option("dbtable", "people")
+        .load()
+    )
+    assert back.count() == 100
+    src = {r["id"]: r["name"] for r in df.collect()}
+    got = {int(r["id"]): r["name"] for r in back.collect()}
+    assert got == src
