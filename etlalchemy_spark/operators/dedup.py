@@ -451,8 +451,10 @@ def lsh_band_store(
 
 def _check_sig_version(store_bands: DataFrame) -> DataFrame:
     """Fail loudly if a persisted band store carries a different
-    signature format. The distinct() collapses to ≤ a few rows — a
-    bounded metadata probe, not a data collect."""
+    signature format. Costs one column-pruned pass over the store's
+    sig_version column (the distinct collapses map-side to ≤ a few
+    rows); matching silently against a mixed-format store would cost
+    the whole corpus its dedup."""
     if "sig_version" not in store_bands.columns:
         raise ValueError(
             "band store has no sig_version column — refusing to match "
