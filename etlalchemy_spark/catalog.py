@@ -79,6 +79,14 @@ def _scan_splits(path: str) -> tuple[int, int] | None:
     return cache[key]
 
 
+# (appId, path, fanout, mtime) → DataFrame. A DataFrame is an immutable
+# logical plan; re-resolving the same parquet footer costs ~0.1 s of
+# driver time per call (file-index + schema), which multiplies across
+# every query build. Caching the HANDLE (not data) is what any engine's
+# catalog does; mtime in the key invalidates on fixture regeneration.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
 ) -> DataFrame:
@@ -97,6 +105,15 @@ def load_table(
     redistributes the work, and the extra round-robin pass is pure tax.
     On real lake data (many files / row groups) the condition is false
     and no exchange is added either way."""
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, fanout, mtime)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANOS_TS_COLS.get(name, []):
         if c not in df.columns:
@@ -117,6 +134,7 @@ def load_table(
             n_rows, n_groups = splits
             if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:
                 df = df.repartition(slots)
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -135,16 +135,21 @@ def minhash_signatures(
     universal-hash ``array<bigint>`` signatures — mixing persisted v1
     signatures or band keys with v2 output yields zero matches. Re-sign
     the corpus rather than mixing formats."""
-    base = ((F.xxhash64(F.col(shingle_col)) % MINHASH_P) + MINHASH_P) % MINHASH_P
+    # expressions built as single F.expr strings: the column-algebra
+    # form costs hundreds of Py4J roundtrips (one per operator node),
+    # which dominated this operator's bench time as pure driver-side
+    # plan-construction overhead; the parsed trees are identical
+    base = F.expr(
+        f"((xxhash64({shingle_col}) % {MINHASH_P}) + {MINHASH_P}) % {MINHASH_P}"
+    )
     hashed = sh.select(F.col(id_col), base.alias("_h"))
     mins = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        F.expr(f"min(({a} * _h + {b}) % {MINHASH_P}) AS h{j}")
         for j, (a, b) in enumerate(minhash_params(num_hashes, seed=17))
     ]
     agg = hashed.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
-    )
+    sig = ", ".join(f"h{j}" for j in range(num_hashes))
+    return agg.select(F.col(id_col), F.expr(f"array({sig}) AS sig"))
 
 
 def lsh_candidate_pairs(
@@ -155,21 +160,14 @@ def lsh_candidate_pairs(
     linear candidate generation, the core LSH trick."""
     # band signature collapsed to ONE bigint (xxhash64 over the slice):
     # the candidate join shuffles 8-byte keys instead of int arrays
+    structs = ", ".join(
+        f"struct({b} AS band, xxhash64(slice(sig, {b * rows_per_band + 1}, "
+        f"{rows_per_band})) AS band_sig)"
+        for b in range(bands)
+    )
     banded = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({structs})")).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_sig")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
@@ -236,29 +234,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> 
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    h = F.hash(F.col("tok"))
     # static python loop over the 32 bits (shift amounts must be
     # literals) → 32 vote columns, then 32 plain SUM aggregates:
-    # partial aggregation map-side, no collect_list, no array shuffle
+    # partial aggregation map-side, no collect_list, no array shuffle.
+    # All built as single F.expr strings — the column-algebra form cost
+    # ~200 Py4J roundtrips of pure plan-construction time.
     votes = tokens.select(
         id_col,
+        F.expr("hash(tok)").alias("_h"),
+    ).select(
+        id_col,
         *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
+            F.expr(f"IF((shiftright(_h, {i}) & 1) = 1, 1, -1) AS b{i}")
             for i in range(32)
         ],
     )
     summed = votes.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
+        *[F.expr(f"sum(b{i}) AS s{i}") for i in range(32)]
     )
-    sig = None
-    for i in range(32):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return summed.select(F.col(id_col), sig.alias(out))
+    sig = " + ".join(f"IF(s{i} > 0, CAST({1 << i} AS BIGINT), 0)" for i in range(32))
+    return summed.select(F.col(id_col), F.expr(f"{sig} AS {out}"))
 
 
 def simhash_near_dup_pairs(
@@ -346,8 +341,10 @@ def minhash_signature_exact(
     MIN aggregates (partial+final, single shuffle on id)."""
     sh = word_shingles(spread(df, id_col), id_col, text_col, k)
     hm = (md5_prefix60(F.col("shingle")) % MINHASH_P).alias("_hm")
+    # single-string expressions: one Py4J call per aggregate instead of
+    # one per operator node (driver-side plan-construction time)
     aggs = [
-        F.min((F.lit(a) * F.col("_hm") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
+        F.expr(f"min(({a} * _hm + {b}) % {MINHASH_P}) AS mh_{j}")
         for j, (a, b) in enumerate(minhash_params(num_hashes, seed))
     ]
     return sh.select(F.col(id_col), hm).groupBy(id_col).agg(*aggs)
@@ -411,14 +408,13 @@ def minhash_lsh_pairs_exact(
 
 def _band_key_array(num_hashes: int, bands: int):
     r = num_hashes // bands
-    return F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"mh_{band * r + i}").cast("string") for i in range(r)]
-            )
-            for band in range(bands)
-        ]
+    keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"CAST(mh_{band * r + i} AS STRING)" for i in range(r))
+        + ")"
+        for band in range(bands)
     )
+    return F.expr(f"array({keys})")
 
 
 # Version tag persisted with every signature/band store. v1 was the
@@ -547,25 +543,18 @@ def simhash_exact(df: DataFrame, id_col: str, text_col: str, out: str = "simhash
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     h32 = (md5_prefix60(F.col("tok")) % F.lit(4294967296)).alias("_h32")
-    votes = tokens.select(
+    votes = tokens.select(id_col, h32).select(
         id_col,
         *[
-            F.when(F.shiftright(h32, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
+            F.expr(f"IF((shiftright(_h32, {i}) & 1) = 1, 1, -1) AS b{i}")
             for i in range(32)
         ],
     )
     summed = votes.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
+        *[F.expr(f"sum(b{i}) AS s{i}") for i in range(32)]
     )
-    sig = None
-    for i in range(32):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return summed.select(F.col(id_col), sig.alias(out))
+    sig = " + ".join(f"IF(s{i} > 0, CAST({1 << i} AS BIGINT), 0)" for i in range(32))
+    return summed.select(F.col(id_col), F.expr(f"{sig} AS {out}"))
 
 
 def simhash_pairs_from_sigs(
