@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 
 def _lit_vec(vec: list[float]):
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Literal double array as ONE parsed expression: the per-element
+    F.lit form cost ~2 Py4J roundtrips per dimension of pure plan-
+    construction time. CAST('<repr>' AS DOUBLE) parses the shortest
+    round-trip repr back to the identical bits F.lit would embed."""
+    body = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+    return F.expr(f"array({body})")
 
 
 # Per-element decimal width for exact dot products: embeddings are
@@ -348,7 +353,8 @@ def lsh_buckets_exact(
     xd = F.col("_x").cast("double").cast(_D)
     aggs = []
     for j, p in enumerate(planes):
-        plit = F.array(*[F.lit(float(v)).cast("double").cast(_D) for v in p])
+        body = ", ".join(f"CAST(CAST('{float(v)!r}' AS DOUBLE) AS {_D})" for v in p)
+        plit = F.expr(f"array({body})")
         aggs.append(F.sum(xd * F.element_at(plit, F.col("_pos") + 1)).alias(f"_d{j}"))
     sums = e.groupBy(id_col).agg(*aggs)
     bucket = None
