@@ -369,17 +369,10 @@ def minhash_lsh_pairs_exact(
     docs rows, one shuffle on the band key); only candidate PAIRS pay
     the set-intersection verify, and the shingle sets ride along the
     (already shuffled) band join rather than a second corpus scan."""
-    r = num_hashes // bands
     sig = minhash_signature_exact(df, id_col, text_col, k, num_hashes, seed)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"mh_{band * r + i}").cast("string") for i in range(r)]
-            )
-            for band in range(bands)
-        ]
+    kv = sig.select(
+        F.col(id_col), F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "bk")
     )
-    kv = sig.select(F.col(id_col), F.posexplode(band_keys).alias("band", "bk"))
     a = kv.select(F.col(id_col).alias("id_a"), "band", "bk")
     b = kv.select(F.col(id_col).alias("id_b"), "band", "bk")
     cands = (
