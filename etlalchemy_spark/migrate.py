@@ -109,16 +109,27 @@ class Migration:
     fks: list[FKSpec] = field(default_factory=list)
     validate_fks: bool = False
 
-    def _drop_destination(self) -> None:
+    def _drop_destination(self, spark: SparkSession) -> None:
         """drop_database parity (ETLAlchemyTarget.py ≈L20–60): file
-        targets remove the destination directory, duckdb targets the
-        database file; live-server JDBC targets get the DROP DATABASE
-        statement logged (execution needs a maintenance connection —
-        no live server in this sandbox)."""
+        targets remove the destination directory, duckdb/sqlite targets
+        the database file, embedded-Derby JDBC targets are dropped live
+        (`;drop=true` maintenance connection); server JDBC targets get
+        the DROP DATABASE statement logged (execution needs a
+        maintenance connection to a server this sandbox doesn't have)."""
         import shutil
         import os
 
         if self.target.fmt == "jdbc":
+            if self.target.path.startswith("jdbc:derby:memory:"):
+                drop_url = self.target.path.split(";")[0] + ";drop=true"
+                try:
+                    spark._jvm.java.sql.DriverManager.getConnection(drop_url)
+                except Exception:
+                    # Derby signals a successful drop with
+                    # SQLNonTransientConnectionException ("dropped");
+                    # a nonexistent db (XJ004) is equally done
+                    pass
+                return
             db = self.target.path.rsplit("/", 1)[-1].split("?")[0]
             log.warning(
                 "drop_destination on a live JDBC target: issue %r on a "
@@ -143,7 +154,7 @@ class Migration:
         reports: list[TableReport] = []
         loaded = {}
         if self.target.drop_destination:
-            self._drop_destination()
+            self._drop_destination(spark)
         if isinstance(self.source, JdbcSource):
             tables = reflect_jdbc(
                 spark,

@@ -233,3 +233,20 @@ def test_index_fk_ddl_executes_live(spark):
     # and it ENFORCES: an orphan insert must be rejected
     with pytest.raises(Exception, match="foreign key|FOREIGN KEY|fk_"):
         _exec_sql(spark, url, 'INSERT INTO CHI ("cid", "pid") VALUES (999, 42)')
+
+
+def test_drop_destination_executes_on_derby(spark):
+    """drop_database parity EXECUTED on the live JDBC target: the
+    in-memory Derby database is destroyed before the first table
+    loads, so mode='error' succeeds into the reborn-empty catalog."""
+    url = _url()
+    write_jdbc(_src(spark), url, "leftover", mode="overwrite")
+    src2 = _url()
+    write_jdbc(_src(spark), src2, "people", mode="overwrite")
+    reports, _ = Migration(
+        source=JdbcSource(src2, included_tables=["people"]),
+        target=Target(url, fmt="jdbc", mode="error", drop_destination=True),
+    ).run(spark)
+    assert [r.n_rows for r in reports] == [100]
+    names = {i.name for i in reflect_jdbc(spark, url)}
+    assert names == {"people"}  # 'leftover' died with the old database
