@@ -79,12 +79,15 @@ def _scan_splits(path: str) -> tuple[int, int] | None:
     return cache[key]
 
 
-# (appId, path, fanout, mtime) → DataFrame. A DataFrame is an immutable
-# logical plan; re-resolving the same parquet footer costs ~0.1 s of
-# driver time per call (file-index + schema), which multiplies across
-# every query build. Caching the HANDLE (not data) is what any engine's
-# catalog does; mtime in the key invalidates on fixture regeneration.
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# (appId, path, fanout) → (mtime, DataFrame). A DataFrame is an
+# immutable logical plan; re-resolving the same parquet footer costs
+# ~0.1 s of driver time per call (file-index + schema), which
+# multiplies across every query build. Caching the HANDLE (not data) is
+# what any engine's catalog does. mtime lives in the VALUE, not the
+# key, so a fixture regeneration REPLACES the stale entry instead of
+# accumulating plans over deleted files; an unreadable mtime is never
+# cached (a degenerate shared key would serve stale plans).
+_TABLE_CACHE: dict[tuple, tuple[float, DataFrame]] = {}
 
 
 def load_table(
@@ -110,11 +113,11 @@ def load_table(
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None
-    key = (spark.sparkContext.applicationId, path, fanout, mtime)
+    key = (spark.sparkContext.applicationId, path, fanout)
     cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    df = spark.read.parquet(table_path(sf_dir, name))
+    if cached is not None and mtime is not None and cached[0] == mtime:
+        return cached[1]
+    df = spark.read.parquet(path)
     for c in NANOS_TS_COLS.get(name, []):
         if c not in df.columns:
             continue
@@ -129,12 +132,13 @@ def load_table(
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if fanout:
         slots = spark.sparkContext.defaultParallelism
-        splits = _scan_splits(table_path(sf_dir, name))
+        splits = _scan_splits(path)
         if splits is not None:
             n_rows, n_groups = splits
             if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:
                 df = df.repartition(slots)
-    _TABLE_CACHE[key] = df
+    if mtime is not None:
+        _TABLE_CACHE[key] = (mtime, df)
     return df
 
 

@@ -124,11 +124,22 @@ class Migration:
                 drop_url = self.target.path.split(";")[0] + ";drop=true"
                 try:
                     spark._jvm.java.sql.DriverManager.getConnection(drop_url)
-                except Exception:
-                    # Derby signals a successful drop with
-                    # SQLNonTransientConnectionException ("dropped");
-                    # a nonexistent db (XJ004) is equally done
-                    pass
+                except Exception as e:
+                    # Derby signals a SUCCESSFUL drop with SQLState
+                    # 08006 ("database dropped"); a nonexistent db is
+                    # XJ004 — equally done. Anything else is a real
+                    # failure and must not be silently ignored (the
+                    # migration would proceed into a NOT-dropped
+                    # destination the user asked to destroy).
+                    state = None
+                    je = getattr(e, "java_exception", None)
+                    if je is not None:
+                        try:
+                            state = je.getSQLState()
+                        except Exception:
+                            state = None
+                    if state not in ("08006", "XJ004"):
+                        raise
                 return
             db = self.target.path.rsplit("/", 1)[-1].split("?")[0]
             log.warning(
@@ -138,7 +149,12 @@ class Migration:
             )
             return
         if self.target.fmt in ("duckdb", "sqlite"):
-            for p in (self.target.path, self.target.path + ".wal"):
+            sidecars = (
+                (".wal",)  # duckdb WAL naming
+                if self.target.fmt == "duckdb"
+                else ("-journal", "-wal", "-shm")  # sqlite sidecar naming
+            )
+            for p in (self.target.path, *[self.target.path + s for s in sidecars]):
                 if os.path.exists(p):
                     os.remove(p)
             shutil.rmtree(self.target.path + ".csv_stage", ignore_errors=True)

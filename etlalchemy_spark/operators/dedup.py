@@ -410,11 +410,22 @@ def _band_key_array(num_hashes: int, bands: int):
     return F.expr(f"array({keys})")
 
 
-# Version tag persisted with every signature/band store. v1 was the
+# Format version persisted with every signature/band store. v1 was the
 # per-seed Murmur3 array<int> format (round 2); v2 is the current
-# universal-hash mod-p format. Mixing formats silently yields ZERO
-# matches, so readers hard-fail on a version mismatch instead.
+# universal-hash mod-p format. The persisted tag also carries the
+# signature PARAMETERS — a store signed with different k/num_hashes/
+# bands/seed builds incompatible band keys and silently matches
+# nothing, exactly like a format mismatch, so readers hard-fail on
+# either.
 SIG_VERSION = 2
+
+
+def sig_version_tag(
+    k: int = 5, num_hashes: int = 16, bands: int = 4, seed: int = 42
+) -> str:
+    """The full compatibility tag: format version + every parameter
+    that changes the band keys."""
+    return f"v{SIG_VERSION}/k{k}/n{num_hashes}/b{bands}/s{seed}"
 
 
 def lsh_band_store(
@@ -428,35 +439,35 @@ def lsh_band_store(
 ) -> DataFrame:
     """The PERSISTABLE signature store for incremental dedup: flat
     (id, band, band_key, sig_version) rows — write once per corpus
-    epoch, reuse for every incoming batch. ``sig_version`` travels with
-    the rows so a store written under one signature format can never be
-    silently banded against another (see SIG_VERSION)."""
+    epoch, reuse for every incoming batch. ``sig_version`` carries the
+    format AND parameters (see sig_version_tag) so a store signed one
+    way can never be silently banded against another."""
     sig = minhash_signature_exact(df, id_col, text_col, k, num_hashes, seed)
     return sig.select(
         F.col(id_col),
         F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
-    ).withColumn("sig_version", F.lit(SIG_VERSION))
+    ).withColumn("sig_version", F.lit(sig_version_tag(k, num_hashes, bands, seed)))
 
 
-def _check_sig_version(store_bands: DataFrame) -> DataFrame:
+def _check_sig_version(store_bands: DataFrame, expected_tag: str) -> DataFrame:
     """Fail loudly if a persisted band store carries a different
-    signature format. Costs one column-pruned pass over the store's
-    sig_version column (the distinct collapses map-side to ≤ a few
-    rows); matching silently against a mixed-format store would cost
-    the whole corpus its dedup."""
+    signature format OR parameters. Costs one column-pruned pass over
+    the store's sig_version column (the distinct collapses map-side to
+    ≤ a few rows); matching silently against an incompatible store
+    would cost the whole corpus its dedup."""
     if "sig_version" not in store_bands.columns:
         raise ValueError(
             "band store has no sig_version column — refusing to match "
-            f"against an unversioned store (current format v{SIG_VERSION})"
+            f"against an unversioned store (expected {expected_tag})"
         )
     versions = sorted(
-        r[0] for r in store_bands.select("sig_version").distinct().collect()
+        str(r[0]) for r in store_bands.select("sig_version").distinct().collect()
     )
-    if versions not in ([], [SIG_VERSION]):
+    if versions not in ([], [expected_tag]):
         raise ValueError(
-            f"band store sig_version {versions} != engine format "
-            f"v{SIG_VERSION}: mixed formats yield zero matches — re-sign "
-            "the corpus instead"
+            f"band store sig_version {versions} != expected "
+            f"{expected_tag!r}: incompatible signatures match nothing — "
+            "re-sign the corpus instead"
         )
     return store_bands
 
@@ -486,7 +497,9 @@ def incremental_lsh_matches(
     if store_bands is None:
         store_bands = lsh_band_store(store, id_col, text_col, k, num_hashes, bands, seed)
     else:
-        store_bands = _check_sig_version(store_bands)
+        store_bands = _check_sig_version(
+            store_bands, sig_version_tag(k, num_hashes, bands, seed)
+        )
     sig_new = minhash_signature_exact(new, id_col, text_col, k, num_hashes, seed)
     kv_store = store_bands.select(
         F.col(id_col).alias("store_id"), "band", F.col("band_key").alias("bk")

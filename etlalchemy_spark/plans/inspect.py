@@ -102,6 +102,40 @@ def plan_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(plan_tree(df).encode()).hexdigest()[:16]
 
 
+def aux_plan_trees(name: str, spark, sf_dir: str) -> list[str]:
+    """Extra plan trees for queries whose returned frame hides the
+    real work behind a build-time action: sketch_quantile_histogram
+    collects its bin aggregate and returns a 3-row literal, so its
+    visible plan is just Range→Generate — without this probe the
+    fingerprint tripwire would wave through a regression in the very
+    aggregation it exists to guard."""
+    if name == "sketch_quantile_histogram":
+        from pyspark.sql import functions as F
+
+        from etlalchemy_spark.operators.sketch import hist_bins
+        from etlalchemy_spark.queries._util import t
+        from etlalchemy_spark.queries.sketches import _HQ_LO, _HQ_NBINS, _HQ_WIDTH
+
+        li = t(spark, sf_dir, "lineitem")
+        return [
+            plan_tree(hist_bins(li, F.col("l_extendedprice"), _HQ_LO, _HQ_WIDTH, _HQ_NBINS))
+        ]
+    return []
+
+
+def pinned_plan_text(name: str, df: DataFrame, spark, sf_dir: str) -> str:
+    """The full text a fingerprint pin covers: the query's own plan
+    tree plus any aux probes."""
+    parts = [plan_tree(df)] + aux_plan_trees(name, spark, sf_dir)
+    return "\n-- aux --\n".join(parts)
+
+
+def pinned_plan_fingerprint(name: str, df: DataFrame, spark, sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(pinned_plan_text(name, df, spark, sf_dir).encode()).hexdigest()[:16]
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Codegen spans show as ``*(n)`` stage markers in the simple plan
     (the formatted mode hides them behind AdaptiveSparkPlan)."""

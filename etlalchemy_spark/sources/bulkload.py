@@ -304,10 +304,11 @@ def bulk_load_statements(
             # the stdlib driver)
             stmts.append(f'.import --csv "{f}" {table}')
         elif dialect == "mssql":
+            # -f carries character mode + terminators inside the format
+            # file; combining it with -c/-t is a bcp switch conflict
             fmt = os.path.join(csv_dir, f"{table}.bcp.fmt")
             stmts.append(
-                f'bcp {table} in "{f}" -f "{fmt}" -c -t "{delim}" '
-                f'-e "{f}.err" -b 10000'
+                f'bcp {table} in "{f}" -f "{fmt}" -e "{f}.err" -b 10000'
             )
         elif dialect == "oracle":
             ctl = os.path.join(csv_dir, f"{table}.ctl")

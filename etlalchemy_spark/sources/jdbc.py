@@ -59,14 +59,23 @@ def read_jdbc_partitioned(
         reader = reader.option(k, str(v))
     if partition_column:
         if lower_bound is None or upper_bound is None:
-            # quote like Spark quotes partitionColumn itself: engines
-            # with case-folding catalogs (Derby, Oracle, Postgres)
-            # would otherwise fold an unquoted name away from the
-            # Spark-created identifier
+            # resolve the column's exact catalog spelling the way Spark
+            # resolves partitionColumn — case-insensitively against the
+            # table schema — then quote THAT. Quoting the user's
+            # spelling verbatim breaks case-folding catalogs (Derby/
+            # Oracle store unquoted DDL uppercase, Spark-created tables
+            # are quoted lowercase); the schema probe is a zero-row
+            # metadata query.
+            actual = next(
+                (
+                    f.name
+                    for f in reader.load().schema.fields
+                    if f.name.lower() == partition_column.lower()
+                ),
+                partition_column,
+            )
             qc = (
-                f"`{partition_column}`"
-                if dialect_of(url) == "mysql"
-                else f'"{partition_column}"'
+                f"`{actual}`" if dialect_of(url) == "mysql" else f'"{actual}"'
             )
             bounds_query = (
                 f"(SELECT MIN({qc}) AS lo, MAX({qc}) AS hi FROM {table}) b"

@@ -52,13 +52,23 @@ def system_tables_query(
     dialect: str, catalog: str | None = None, schema: str | None = None
 ) -> str:
     """S1 per dialect: the table-enumeration probe as a jdbc dbtable
-    subquery. information_schema for the engines that have it; system
-    catalogs for Derby (SYS.SYSTABLES) and Oracle (ALL_TABLES)."""
+    subquery, returning SCHEMA-QUALIFIED names (an unqualified name is
+    ambiguous when the same table exists in two schemas, and unreadable
+    when it lives outside the connection's default schema).
+    information_schema for the engines that have it; system catalogs
+    for Derby (SYS.SYSTABLES ⋈ SYSSCHEMAS, default schema APP) and
+    Oracle (ALL_TABLES)."""
     if dialect == "derby":
-        return "(SELECT TABLENAME AS table_name FROM SYS.SYSTABLES WHERE TABLETYPE = 'T') t"
+        sch = schema or "APP"  # Derby's default user schema
+        return (
+            "(SELECT s.SCHEMANAME || '.' || t.TABLENAME AS table_name "
+            "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
+            "ON t.SCHEMAID = s.SCHEMAID "
+            f"WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME = '{sch}') t"
+        )
     if dialect == "oracle":
         where = f" WHERE OWNER = '{schema}'" if schema else ""
-        return f"(SELECT TABLE_NAME FROM ALL_TABLES{where}) t"
+        return f"(SELECT OWNER || '.' || TABLE_NAME AS table_name FROM ALL_TABLES{where}) t"
     return information_schema_query(catalog, schema)
 
 
@@ -93,7 +103,9 @@ def reflect_jdbc(
     exc = {n.lower() for n in excluded_tables} if excluded_tables else set()
     out: list[TableInfo] = []
     for cat_name in names:
-        name = cat_name.lower()
+        # filters/dest-naming use the bare table name; location keeps
+        # the schema-qualified catalog spelling for reads
+        name = cat_name.split(".")[-1].lower()
         if inc is not None and name not in inc:
             continue
         if name in exc:

@@ -162,6 +162,9 @@ def test_mssql_oracle_statements_reference_artifacts(spark, tmp_path):
     assert len(stmts) == 2
     assert all(s.startswith("bcp t in ") for s in stmts)
     assert all(arts["format_file"] in s for s in stmts)
+    # -f is mutually exclusive with -c/-t: the format file already
+    # carries character mode and terminators
+    assert all(" -c" not in s and " -t" not in s for s in stmts)
 
     write_csv_for_bulk_load(df, d, dialect="oracle")
     arts = write_loader_artifacts(df, "t", d, "oracle")

@@ -5,8 +5,6 @@ Spark CSV stage → native loader → export → Spark re-read bit-exactly.
 The example-based tests in test_bulkload.py pin known hazards; this
 one searches for unknown ones."""
 
-import math
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -44,11 +42,6 @@ _rows = st.lists(
     min_size=1,
     max_size=20,
 )
-
-
-@pytest.fixture(scope="module")
-def _spark(spark):
-    return spark
 
 
 @settings(
@@ -96,9 +89,3 @@ def test_sqlite_roundtrip_arbitrary_rows(spark, tmp_path_factory, rows):
         for r in df.collect()
     }
     assert back == src
-
-
-def _canon(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "nan"
-    return v

@@ -128,7 +128,6 @@ def test_minhash_lsh_exact_finds_duplicate(spark):
 # --- incremental LSH vs a persisted signature store -------------------------
 
 from etlalchemy_spark.operators.dedup import (
-    SIG_VERSION,
     incremental_lsh_matches,
     lsh_band_store,
 )
@@ -176,11 +175,22 @@ def test_incremental_lsh_store_roundtrips_through_parquet(spark, tmp_path):
 def test_incremental_lsh_rejects_wrong_sig_version(spark):
     store, new = _inc_corpus(spark)
     v1 = lsh_band_store(store, "doc_id", "text").withColumn(
-        "sig_version", F.lit(SIG_VERSION - 1)
+        "sig_version", F.lit("v1/murmur3")
     )
     with pytest.raises(ValueError, match="sig_version"):
         incremental_lsh_matches(
             store, new, "doc_id", "text", store_bands=v1
+        ).collect()
+
+
+def test_incremental_lsh_rejects_parameter_mismatch(spark):
+    # same FORMAT, different banding parameters: band keys are
+    # incompatible and would silently match nothing — must be loud
+    store, new = _inc_corpus(spark)
+    wide = lsh_band_store(store, "doc_id", "text", num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="sig_version"):
+        incremental_lsh_matches(
+            store, new, "doc_id", "text", num_hashes=16, bands=4, store_bands=wide
         ).collect()
 
 

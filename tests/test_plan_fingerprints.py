@@ -12,7 +12,10 @@ import os
 
 import pytest
 
-from etlalchemy_spark.plans.inspect import plan_fingerprint, plan_tree
+from etlalchemy_spark.plans.inspect import (
+    pinned_plan_fingerprint,
+    pinned_plan_text,
+)
 from etlalchemy_spark.registry import all_queries
 
 PIN_FILE = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
@@ -38,8 +41,8 @@ def test_bench_plan_shape_unchanged(spark, name):
     if name not in PINNED:
         pytest.skip("unpinned (covered by test_every_bench_query_is_pinned)")
     df = all_queries()[name].fn(spark, PIN_SF_DIR)
-    got_tree = plan_tree(df)
-    if plan_fingerprint(df) == PINNED[name]["fingerprint"]:
+    got_tree = pinned_plan_text(name, df, spark, PIN_SF_DIR)
+    if pinned_plan_fingerprint(name, df, spark, PIN_SF_DIR) == PINNED[name]["fingerprint"]:
         return
     diff = "\n".join(
         difflib.unified_diff(

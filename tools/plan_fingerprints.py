@@ -20,7 +20,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from etlalchemy_spark.plans.inspect import plan_fingerprint, plan_tree
+from etlalchemy_spark.plans.inspect import (
+    pinned_plan_fingerprint,
+    pinned_plan_text,
+)
 from etlalchemy_spark.registry import all_queries
 from etlalchemy_spark.session import get_spark
 
@@ -41,7 +44,10 @@ def current() -> dict[str, dict[str, str]]:
         if "bench" not in q.tags:
             continue
         df = q.fn(spark, PIN_SF_DIR)
-        out[name] = {"fingerprint": plan_fingerprint(df), "tree": plan_tree(df)}
+        out[name] = {
+            "fingerprint": pinned_plan_fingerprint(name, df, spark, PIN_SF_DIR),
+            "tree": pinned_plan_text(name, df, spark, PIN_SF_DIR),
+        }
     return out
 
 
