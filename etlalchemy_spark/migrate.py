@@ -51,12 +51,21 @@ class JdbcSource:
     tables are enumerated through the engine's system catalog
     (reflect_jdbc) and each is pulled over JDBC — partitioned range
     scans when ``partition_columns`` names the table's numeric split
-    key, a plain scan otherwise."""
+    key, a plain scan otherwise.
+
+    ``table_filters`` maps table name → a Spark SQL condition applied
+    to that table's extract; Catalyst pushes every translatable
+    conjunct into the source query's WHERE clause
+    (read_jdbc_partitioned's pushDownPredicate), so a filtered
+    migration ships only the matching rows off the source — the
+    upstream reference's per-table ``SELECT *`` is the documented
+    anti-pattern this replaces."""
 
     url: str
     included_tables: list[str] | None = None
     excluded_tables: list[str] | None = None
     partition_columns: dict[str, str] = field(default_factory=dict)
+    table_filters: dict[str, str] = field(default_factory=dict)
     num_partitions: int = 8
     options: dict[str, str] = field(default_factory=dict)
 
@@ -202,6 +211,7 @@ class Migration:
                     info.location,
                     partition_column=self.source.partition_columns.get(name),
                     num_partitions=self.source.num_partitions,
+                    where=self.source.table_filters.get(name),
                     **self.source.options,
                 )
             else:

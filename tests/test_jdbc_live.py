@@ -129,6 +129,127 @@ def test_live_catalog_table_discovery(spark):
     assert {"T_ONE", "T_TWO"} <= names
 
 
+# --- source-side pushdown (predicates, pruning, aggregates) -----------------
+
+
+def _executed_plan(df) -> str:
+    # scan metadata (PushedFilters/ReadSchema) truncates at 100 chars
+    # by default — widen while rendering so asserts see the full list
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def test_filter_pushdown_reaches_source_plan(spark):
+    """The plan-pinned proof that a filtered partitioned extract drops
+    rows AT THE SOURCE: every conjunct appears in the JDBC scan's
+    PushedFilters with the ``*`` marker (source-evaluated, no Spark-side
+    re-filter) and the unselected column is pruned from ReadSchema."""
+    url = _url()
+    write_jdbc(_src(spark), url, "t_push", mode="overwrite")
+    out = read_jdbc_partitioned(
+        spark,
+        url,
+        "t_push",
+        partition_column="id",
+        num_partitions=4,
+        where="v > 30.0 AND name LIKE 'name-%'",
+    ).select("id", "v")
+    plan = _executed_plan(out)
+    assert "PushedFilters: [" in plan
+    assert "*GreaterThan(v,30.0)" in plan
+    assert "*StringStartsWith(name,name-)" in plan
+    # column pruning reached the source query: name is filtered on but
+    # not read back
+    assert "ReadSchema: struct<id:bigint,v:double>" in plan
+    assert sorted(r["id"] for r in out.collect()) == list(range(21, 100))
+
+
+def test_pushdown_disabled_keeps_filter_spark_side(spark):
+    url = _url()
+    write_jdbc(_src(spark), url, "t_nopush", mode="overwrite")
+    out = read_jdbc_partitioned(
+        spark, url, "t_nopush", where="v > 30.0", push_down_predicate=False
+    )
+    plan = _executed_plan(out)
+    # no '*' marker: nothing is source-evaluated, Spark re-filters
+    assert "*GreaterThan" not in plan
+    assert "Filter" in plan  # evaluated by Spark instead
+    assert out.count() == 79
+
+
+def test_v2_catalog_aggregate_pushdown(spark):
+    """DSv2 JDBCTableCatalog: the GROUP BY executes ON Derby — the scan
+    advertises PushedAggregates/PushedGroupByExpressions and ships one
+    row per group."""
+    from etlalchemy_spark.sources.jdbc import register_jdbc_catalog
+
+    url = _url()
+    df = _src(spark).withColumn("g", F.col("id") % 7)
+    write_jdbc(df, url, "t_agg", mode="overwrite")
+    register_jdbc_catalog(spark, "derby_test_cat", url)
+    out = spark.sql(
+        "SELECT g, COUNT(*) AS n, MAX(v) AS mx "
+        "FROM derby_test_cat.APP.T_AGG GROUP BY g"
+    )
+    plan = _executed_plan(out)
+    assert "PushedAggregates: [COUNT(*), MAX(v)]" in plan
+    assert "PushedGroupByExpressions: [g]" in plan
+    expected = {
+        (r["g"], r["n"], r["mx"])
+        for r in df.groupBy("g").agg(F.count("*").alias("n"), F.max("v").alias("mx")).collect()
+    }
+    assert {(r["g"], r["n"], r["mx"]) for r in out.collect()} == expected
+
+
+def test_migration_table_filters_push_to_source(spark):
+    """A filtered migration ships only the matching rows: JdbcSource's
+    table_filters lands in the extract scan's PushedFilters."""
+    from etlalchemy_spark.migrate import JdbcSource, Migration, Target
+
+    src_url, dst_url = _url(), _url()
+    write_jdbc(_src(spark), src_url, "people", mode="overwrite")
+    reports, _ = Migration(
+        source=JdbcSource(
+            src_url,
+            included_tables=["people"],
+            partition_columns={"people": "id"},
+            table_filters={"people": "id < 50"},
+            num_partitions=4,
+        ),
+        target=Target(dst_url, fmt="jdbc", mode="overwrite"),
+    ).run(spark)
+    assert [(r.table, r.n_rows) for r in reports] == [("people", 50)]
+    back = (
+        spark.read.format("jdbc")
+        .option("url", dst_url)
+        .option("dbtable", "people")
+        .load()
+    )
+    assert sorted(int(r["id"]) for r in back.collect()) == list(range(50))
+
+
+def test_gate_pushdown_query_plan(spark):
+    """Pin the registered etl_jdbc_pushdown_extract query's plan: both
+    predicates pushed (source-evaluated) and only the 4 selected
+    columns read."""
+    from conftest import SF_DIR
+
+    from etlalchemy_spark.queries.etl import etl_jdbc_pushdown_extract
+
+    out = etl_jdbc_pushdown_extract(spark, SF_DIR)
+    plan = _executed_plan(out)
+    assert "*GreaterThan(c_acctbal,1000.0)" in plan
+    assert "*EqualTo(c_mktsegment,BUILDING)" in plan
+    # all 4 selected columns (and only those) reach the source SELECT
+    assert "c_custkey" in plan and "c_mktsegment" in plan
+    assert plan.count("struct<") == 1 and plan.split("struct<")[1].count(":") == 4
+
+
 # --- live reflection + db->db migration through the engine API --------------
 
 from etlalchemy_spark.migrate import JdbcSource, Migration, Target
