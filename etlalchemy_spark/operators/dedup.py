@@ -540,6 +540,106 @@ def incremental_lsh_matches(
     )
 
 
+def incremental_dedup_step(
+    store: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    seed: int = 42,
+    store_bands: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE steady-state step of corpus dedup — the complete loop the
+    100 TB pipeline runs per arriving batch. Returns
+    ``(matches, updated_store_bands)``:
+
+    - ``matches``: every near-dup pair the batch introduces, i.e.
+      batch×store pairs AND in-batch batch×batch pairs, as
+      ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` — the same
+      orientation as ``minhash_lsh_pairs_exact``. Replayed over
+      consecutive batches starting from an empty store, the union of
+      per-step matches is EXACTLY the one-shot full-corpus pair set
+      (tests/test_dedup_props.py replays this invariant), because a
+      pair's first-arriving doc is in some batch's store by the time
+      its partner arrives.
+    - ``updated_store_bands``: the persisted band store plus the
+      batch's bands (same version tag) — write this back and the next
+      step never re-reads the corpus.
+
+    Cost shape: the batch is signed ONCE (``new_bands`` feeds the
+    cross join, the self join, and the store append); the store side
+    contributes only its persisted band rows to the equi-join plus the
+    re-shingling of candidate-hit docs (left-semi restricted), so each
+    step scales with the batch, never the corpus. Requires
+    ``store ∩ new = ∅`` on ``id_col`` (a doc can't be its own store
+    partner); with disjoint sides the cross and within pair sets are
+    disjoint by construction, so the union needs no dedup shuffle."""
+    tag = sig_version_tag(k, num_hashes, bands, seed)
+    if store_bands is None:
+        store_bands = lsh_band_store(store, id_col, text_col, k, num_hashes, bands, seed)
+    else:
+        store_bands = _check_sig_version(store_bands, tag)
+    new_bands = lsh_band_store(new, id_col, text_col, k, num_hashes, bands, seed)
+
+    kv_new = new_bands.select(
+        F.col(id_col).alias("new_id"), "band", F.col("band_key").alias("bk")
+    )
+    kv_store = store_bands.select(
+        F.col(id_col).alias("store_id"), "band", F.col("band_key").alias("bk")
+    )
+    cross_c = kv_new.join(kv_store, ["band", "bk"]).select("new_id", "store_id").distinct()
+    a = kv_new.select(F.col("new_id").alias("id_a"), "band", "bk")
+    b = kv_new.select(F.col("new_id").alias("id_b"), "band", "bk")
+    within_c = (
+        a.join(b, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets_new = (
+        word_shingles(spread(new, id_col), id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
+    store_hits = store.join(
+        cross_c.select(F.col("store_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sets_store = (
+        word_shingles(spread(store_hits, id_col), id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
+
+    def _verify(cands, left_key, left_sets, right_key, right_sets):
+        sl = left_sets.select(F.col(id_col).alias(left_key), F.col("ss").alias("ss_l"))
+        sr = right_sets.select(F.col(id_col).alias(right_key), F.col("ss").alias("ss_r"))
+        n_inter = F.size(F.array_intersect(F.col("ss_l"), F.col("ss_r")))
+        jac = n_inter.cast("double") / (
+            F.size("ss_l") + F.size("ss_r") - n_inter
+        ).cast("double")
+        return (
+            cands.join(sl, left_key)
+            .join(sr, right_key)
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    cross_pairs = _verify(cross_c, "new_id", sets_new, "store_id", sets_store).select(
+        F.least("new_id", "store_id").alias("id_a"),
+        F.greatest("new_id", "store_id").alias("id_b"),
+        "jaccard",
+    )
+    within_pairs = _verify(within_c, "id_a", sets_new, "id_b", sets_new).select(
+        "id_a", "id_b", "jaccard"
+    )
+    matches = cross_pairs.unionByName(within_pairs)
+    return matches, store_bands.unionByName(new_bands)
+
+
 def simhash_exact(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> DataFrame:
     """Cross-engine-exact SimHash(32): same vote shape as ``simhash``
     but token bits come from the portable md5 prefix instead of

@@ -388,6 +388,69 @@ def dedup_incremental_lsh_exact(spark, sf_dir):
     )
 
 
+# One steady-state STEP: every pair the batch (doc_id % 5 = 0)
+# introduces — against the store AND within itself. The oracle is the
+# one-shot full-corpus pipeline restricted to pairs touching the batch:
+# exactly what the step must produce for the replay invariant
+# (consecutive steps from an empty store ≡ full-corpus dedup) to hold.
+_MH_PIPE_SQL = f"""{_HM_CTES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM h GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, UNNEST([{_BANDS_LIST}]) AS band, UNNEST([{_KEYS_LIST}]) AS bkey
+  FROM sig
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+       CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+      CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) >= {_MH_THRESHOLD}
+"""
+
+
+@register("dedup_incremental_pipeline_exact", oracle=_MH_PIPE_SQL, tags=("dedup", "approx"))
+def dedup_incremental_pipeline_exact(spark, sf_dir):
+    """The CLOSED steady-state dedup loop, one full step: the arriving
+    batch is banded against the persisted store (batch×store), against
+    itself (batch×batch), and its bands are appended to the store —
+    all from ONE signing of the batch. Replaying steps over
+    consecutive batches from an empty store reproduces the one-shot
+    full-corpus pair set exactly (invariant pinned in
+    tests/test_dedup_props.py); this query checks one step against the
+    restricted one-shot oracle."""
+    from etlalchemy_spark.operators.dedup import incremental_dedup_step, lsh_band_store
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    store = docs.where(F.col("doc_id") % 5 != 0)
+    bands_tbl = lsh_band_store(
+        store, "doc_id", "text", k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS
+    )
+    matches, _ = incremental_dedup_step(
+        store,
+        new,
+        "doc_id",
+        "text",
+        k=_MH_K,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+        store_bands=bands_tbl,
+    )
+    return matches
+
+
 # --- cross-engine-exact SimHash --------------------------------------------
 
 from etlalchemy_spark.operators.dedup import (  # noqa: E402

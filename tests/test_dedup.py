@@ -201,3 +201,62 @@ def test_incremental_lsh_rejects_unversioned_store(spark):
         incremental_lsh_matches(
             store, new, "doc_id", "text", store_bands=bare
         ).collect()
+
+
+# --- the closed steady-state loop: replay == one-shot ------------------------
+
+from etlalchemy_spark.operators.dedup import incremental_dedup_step
+
+
+def test_incremental_step_finds_cross_and_within_pairs(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    store = spark.createDataFrame([(1, base)], "doc_id int, text string")
+    # batch carries a near-dup of the store doc AND an in-batch pair
+    new = spark.createDataFrame(
+        [(2, base + " wX"), (4, base + " wY")], "doc_id int, text string"
+    )
+    matches, updated = incremental_dedup_step(
+        store, new, "doc_id", "text", threshold=0.5
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in matches.collect())
+    assert got == [(1, 2), (1, 4), (2, 4)]  # cross ×2 + within ×1
+    # store append: updated bands cover all three docs, one tag
+    assert sorted(
+        r["doc_id"] for r in updated.select("doc_id").distinct().collect()
+    ) == [1, 2, 4]
+    assert updated.select("sig_version").distinct().count() == 1
+
+
+def test_incremental_replay_equals_one_shot(spark):
+    """The 100 TB steady-state invariant: batches replayed through
+    incremental_dedup_step from an EMPTY store yield exactly the
+    one-shot full-corpus pair set, each pair reported exactly once (in
+    the step where its second doc arrives)."""
+    from conftest import SF_DIR
+
+    from etlalchemy_spark.operators.dedup import minhash_lsh_pairs_exact
+
+    docs = (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 2 == 0)  # halve for test runtime
+    )
+    one_shot = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_exact(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert one_shot  # the fixture corpus must actually contain near-dups
+
+    seen: set = set()
+    acc = docs.where(F.lit(False))
+    store_bands = lsh_band_store(acc, "doc_id", "text")
+    for b in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == b)
+        matches, store_bands = incremental_dedup_step(
+            acc, batch, "doc_id", "text", threshold=0.2, store_bands=store_bands
+        )
+        step_pairs = [(r["id_a"], r["id_b"]) for r in matches.collect()]
+        assert not (set(step_pairs) & seen)  # no pair reported twice
+        seen.update(step_pairs)
+        acc = acc.unionByName(batch)
+    assert seen == one_shot
