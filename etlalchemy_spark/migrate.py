@@ -89,6 +89,13 @@ class Target:
     dialect: str = "postgresql"  # for csv conventions / jdbc DDL
     mode: str = "overwrite"  # error | overwrite | append
     drop_destination: bool = False
+    # Completion manifest for resumable runs (see Migration.run's
+    # ``resume``): one JSON file recording per-table phase + rows.
+    # None → a per-target default (inside the destination directory for
+    # file targets, a sidecar for db-file targets, a url-keyed temp
+    # file for jdbc — real deployments should point jdbc manifests at
+    # durable storage explicitly).
+    manifest_path: str | None = None
 
 
 @dataclass
@@ -170,16 +177,78 @@ class Migration:
             return
         shutil.rmtree(self.target.path, ignore_errors=True)
 
-    def run(self, spark: SparkSession) -> tuple[list[TableReport], list[str]]:
+    # --- resumable-run manifest ------------------------------------------
+    # The upstream reference's per-table loop restarts from zero on any
+    # failure — at 100 TB (hours of load time) that is fatal. Every run
+    # records per-table completion in a small JSON manifest; a re-run
+    # with ``resume=True`` skips tables recorded 'loaded' and re-runs
+    # tables recorded 'loading' (a crash mid-load left partial rows —
+    # those are overwritten, never appended to).
+
+    def _manifest_path(self) -> str:
+        import hashlib
+        import os
+        import tempfile
+
+        t = self.target
+        if t.manifest_path:
+            return t.manifest_path
+        if t.fmt in ("duckdb", "sqlite"):
+            return t.path + ".manifest.json"
+        if t.fmt == "jdbc":
+            h = hashlib.md5(t.path.encode()).hexdigest()[:12]
+            return os.path.join(
+                tempfile.gettempdir(), f"etlalchemy_spark_manifest_{h}.json"
+            )
+        return os.path.join(t.path, "_migration_manifest.json")
+
+    def _load_manifest(self) -> dict:
+        import json
+        import os
+
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, manifest: dict) -> None:
+        import json
+        import os
+
+        p = self._manifest_path()
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, p)  # atomic: a crash never leaves a torn manifest
+
+    def run(
+        self, spark: SparkSession, resume: bool = False
+    ) -> tuple[list[TableReport], list[str]]:
         """Execute the migration; returns (per-table reports, DDL strings).
 
         Matches the reference's phase order per table and defers all
         index/FK DDL until every table is loaded.
+
+        ``resume=True`` continues a previous run of the SAME migration:
+        tables the manifest records as 'loaded' are skipped outright,
+        tables caught mid-load ('loading' — partial rows may exist at
+        the destination) are re-run with overwrite semantics regardless
+        of ``target.mode``, and unseen tables run normally. The
+        manifest is written on every run (resume or not) so any run is
+        resumable after a crash.
         """
+        import os
+
         reports: list[TableReport] = []
         loaded = {}
         if self.target.drop_destination:
             self._drop_destination(spark)
+            mp = self._manifest_path()
+            if os.path.exists(mp):
+                os.remove(mp)  # a dropped destination has no history
+        manifest = self._load_manifest() if resume else {}
         if isinstance(self.source, JdbcSource):
             tables = reflect_jdbc(
                 spark,
@@ -204,6 +273,20 @@ class Migration:
             if dest_name is None:  # X2: table deleted by rule
                 log.info("skipping table %s (delete rule)", name)
                 continue
+            prior = manifest.get(name)
+            if resume and prior and prior.get("phase") == "loaded":
+                log.info(
+                    "resume: skipping %s (already loaded, %s rows)",
+                    name,
+                    prior.get("rows"),
+                )
+                continue
+            # a 'loading' entry means a prior run died mid-load: partial
+            # rows may exist at the destination — overwrite, never append
+            partial = resume and prior is not None and prior.get("phase") == "loading"
+            table_mode = "overwrite" if partial else self.target.mode
+            manifest[name] = {"phase": "loading", "dest": dest_name}
+            self._save_manifest(manifest)
             if info.fmt == "jdbc":
                 df = read_jdbc_partitioned(
                     spark,
@@ -235,7 +318,7 @@ class Migration:
                     df,
                     self.target.path,
                     dest_name,
-                    mode="errorifexists" if self.target.mode == "error" else self.target.mode,
+                    mode="errorifexists" if table_mode == "error" else table_mode,
                     varchar_meta=varchar_metadata(decisions),
                 )
             elif self.target.fmt in ("duckdb", "sqlite"):
@@ -255,13 +338,13 @@ class Migration:
                     self.target.path,
                     dest_name,
                     f"{self.target.path}.csv_stage/{dest_name}",
-                    mode=self.target.mode,
+                    mode=table_mode,
                 )
             else:
                 write_file(
                     df, f"{self.target.path.rstrip('/')}/{dest_name}.{self.target.fmt}",
                     fmt=self.target.fmt,
-                    mode="errorifexists" if self.target.mode == "error" else self.target.mode,
+                    mode="errorifexists" if table_mode == "error" else table_mode,
                 )
             t_write = time.monotonic()
 
@@ -278,6 +361,8 @@ class Migration:
                     f"{self.target.path.rstrip('/')}/{dest_name}.{self.target.fmt}",
                     fmt=self.target.fmt,
                 ).count()
+            manifest[name] = {"phase": "loaded", "dest": dest_name, "rows": n_rows}
+            self._save_manifest(manifest)
             loaded[dest_name] = df
             reports.append(
                 TableReport(

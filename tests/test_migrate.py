@@ -173,3 +173,105 @@ def test_migrate_duckdb_append_double_load_audit(spark, tmp_path):
         == 25
     )
     con.close()
+
+
+# --- resumable migration (per-table completion manifest) ---------------------
+
+
+def test_resume_skips_completed_and_redoes_partial_derby(spark):
+    """Kill a two-table Derby migration mid-way (first table loaded,
+    second caught mid-load with partial rows at the destination), then
+    resume: the completed table is NOT rewritten, the partial table is
+    overwritten, and the end state is oracle-exact vs a clean run."""
+    import etlalchemy_spark.migrate as migmod
+    from etlalchemy_spark.migrate import JdbcSource
+    from etlalchemy_spark.sources.jdbc import write_jdbc
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    src_url = "jdbc:derby:memory:resume_src;create=true"
+    dst_url = "jdbc:derby:memory:resume_dst;create=true"
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("n-"), F.col("id")).alias("name")
+    )
+    write_jdbc(df, src_url, "aaa", mode="overwrite")
+    write_jdbc(df, src_url, "bbb", mode="overwrite")
+
+    mk = lambda: Migration(
+        source=JdbcSource(src_url, included_tables=["aaa", "bbb"]),
+        target=Target(dst_url, fmt="jdbc", mode="error"),
+    )
+
+    real_write = migmod.write_jdbc
+    calls: list = []
+
+    def crashing_write(df, url, table, mode="overwrite", **kw):
+        calls.append((table, mode))
+        if table == "bbb":
+            # leave PARTIAL rows at the destination, then die — the
+            # worst-case crash point for a naive re-run (append would
+            # duplicate, error would refuse)
+            real_write(df.where(F.col("id") < 30), url, table, mode="overwrite", **kw)
+            raise RuntimeError("simulated crash mid-load")
+        return real_write(df, url, table, mode=mode, **kw)
+
+    migmod.write_jdbc = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            mk().run(spark)
+    finally:
+        migmod.write_jdbc = real_write
+
+    # the manifest recorded: aaa loaded, bbb mid-load
+    m = mk()._load_manifest()
+    assert m["aaa"]["phase"] == "loaded" and m["aaa"]["rows"] == 100
+    assert m["bbb"]["phase"] == "loading"
+
+    # resume: only bbb runs, and it runs as OVERWRITE despite mode=error
+    calls.clear()
+    migmod.write_jdbc = lambda *a, **kw: (calls.append((a[2], kw.get("mode"))), real_write(*a, **kw))[1]
+    try:
+        reports, _ = mk().run(spark, resume=True)
+    finally:
+        migmod.write_jdbc = real_write
+    assert [c[0] for c in calls] == ["bbb"]
+    assert calls[0][1] == "overwrite"
+    assert [(r.table, r.n_rows) for r in reports] == [("bbb", 100)]
+
+    for tbl in ("aaa", "bbb"):
+        back = (
+            spark.read.format("jdbc")
+            .option("url", dst_url)
+            .option("dbtable", tbl)
+            .load()
+        )
+        assert sorted(int(r["id"]) for r in back.collect()) == list(range(100))
+    assert mk()._load_manifest()["bbb"]["phase"] == "loaded"
+
+
+def test_resume_file_target_manifest_in_destination(spark, tmp_path):
+    """File targets keep the manifest inside the destination directory;
+    a completed run resumes to a no-op."""
+    mk = lambda: Migration(
+        source=FileSource(SF_DIR, included_tables=["nation", "region"]),
+        target=Target(str(tmp_path), mode="error"),
+    )
+    reports1, _ = mk().run(spark)
+    assert len(reports1) == 2
+    assert os.path.exists(tmp_path / "_migration_manifest.json")
+    # mode=error would explode on any rewrite — resume must skip both
+    reports2, _ = mk().run(spark, resume=True)
+    assert reports2 == []
+
+
+def test_drop_destination_clears_manifest(spark, tmp_path):
+    mk = lambda kw: Migration(
+        source=FileSource(SF_DIR, included_tables=["region"]),
+        target=Target(str(tmp_path), mode="overwrite", **kw),
+    )
+    mk({}).run(spark)
+    assert os.path.exists(tmp_path / "_migration_manifest.json")
+    reports, _ = mk({"drop_destination": True}).run(spark, resume=True)
+    # history died with the destination: the table re-runs fully
+    assert [r.table for r in reports] == ["region"]
