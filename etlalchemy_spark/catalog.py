@@ -56,18 +56,19 @@ _FANOUT_MIN_ROWS = 50_000
 
 def _scan_splits(path: str) -> tuple[int, int] | None:
     """(num_rows, num_row_groups) from the parquet footer — cached on
-    (path, mtime) so an in-process fixture rewrite invalidates; returns
-    None (caller skips fanout) when the footer can't be read, e.g. a
-    multi-file parquet directory. Driver-side metadata read only."""
+    (path, content signature) so an in-process fixture rewrite
+    invalidates even within mtime granularity; returns None (caller
+    skips fanout) when the footer can't be read, e.g. a multi-file
+    parquet directory. Driver-side metadata read only."""
     global _SPLIT_CACHE
     try:
         cache = _SPLIT_CACHE
     except NameError:
         cache = _SPLIT_CACHE = {}
-    try:
-        key = (path, os.path.getmtime(path))
-    except OSError:
+    sig = _freshness_signature(path)
+    if sig is None:
         return None
+    key = (path, sig)
     if key not in cache:
         try:
             import pyarrow.parquet as pq
@@ -79,15 +80,39 @@ def _scan_splits(path: str) -> tuple[int, int] | None:
     return cache[key]
 
 
-# (appId, path, fanout) → (mtime, DataFrame). A DataFrame is an
+# (appId, path, fanout) → (signature, DataFrame). A DataFrame is an
 # immutable logical plan; re-resolving the same parquet footer costs
 # ~0.1 s of driver time per call (file-index + schema), which
 # multiplies across every query build. Caching the HANDLE (not data) is
-# what any engine's catalog does. mtime lives in the VALUE, not the
-# key, so a fixture regeneration REPLACES the stale entry instead of
-# accumulating plans over deleted files; an unreadable mtime is never
-# cached (a degenerate shared key would serve stale plans).
-_TABLE_CACHE: dict[tuple, tuple[float, DataFrame]] = {}
+# what any engine's catalog does. The freshness signature lives in the
+# VALUE, not the key, so a fixture regeneration REPLACES the stale
+# entry instead of accumulating plans over deleted files; an unreadable
+# signature is never cached (a degenerate shared key would serve stale
+# plans). The signature is content-shaped — (mtime_ns, size) for a
+# file, the sorted (name, mtime_ns, size) listing for a directory —
+# because bare mtime has 1-second granularity on some filesystems and a
+# regeneration within the same second would serve a cached plan whose
+# captured file index points at deleted part files.
+_TABLE_CACHE: dict[tuple, tuple[tuple, DataFrame]] = {}
+_TABLE_CACHE_MAX = 128  # bound: oldest-inserted evicts first
+
+
+def _freshness_signature(path: str) -> tuple | None:
+    """Content-shaped freshness token for a table path; None when the
+    path is unreadable (never cached). Driver-side metadata only: one
+    stat for a file, one scandir for a directory."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return ("f", st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                s = e.stat()
+                entries.append((e.name, s.st_mtime_ns, s.st_size))
+        return ("d", tuple(sorted(entries)))
+    except OSError:
+        return None
 
 
 def load_table(
@@ -109,13 +134,10 @@ def load_table(
     On real lake data (many files / row groups) the condition is false
     and no exchange is added either way."""
     path = table_path(sf_dir, name)
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = None
+    sig = _freshness_signature(path)
     key = (spark.sparkContext.applicationId, path, fanout)
     cached = _TABLE_CACHE.get(key)
-    if cached is not None and mtime is not None and cached[0] == mtime:
+    if cached is not None and sig is not None and cached[0] == sig:
         return cached[1]
     df = spark.read.parquet(path)
     for c in NANOS_TS_COLS.get(name, []):
@@ -137,8 +159,10 @@ def load_table(
             n_rows, n_groups = splits
             if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:
                 df = df.repartition(slots)
-    if mtime is not None:
-        _TABLE_CACHE[key] = (mtime, df)
+    if sig is not None:
+        if key not in _TABLE_CACHE and len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = (sig, df)
     return df
 
 

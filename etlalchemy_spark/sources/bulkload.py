@@ -399,10 +399,63 @@ def export_duckdb_table(db_path: str, table: str, parquet_path: str) -> None:
 # Python's stdlib sqlite3 is the second destination engine available in
 # this sandbox, so W3 gets a second EXECUTED leg: the .import-equivalent
 # (CREATE TABLE + batched positional INSERTs fed from the dialect CSV
-# files) driven through the DBAPI connection. Convention note: the
-# 'sqlite' dialect marks NULL as the empty field (same single-marker
-# convention the reference used), so empty string and NULL collapse —
-# documented, matches .import semantics.
+# files) driven through the DBAPI connection. NULL convention: the
+# staged files distinguish NULL (unquoted empty field) from the empty
+# string (quoted '""') — same lossless set as the duckdb leg — and the
+# parser below preserves that distinction, which csv.reader cannot (it
+# collapses both to '').
+
+
+def _parse_rfc4180(text: str, delimiter: str = ","):
+    """Yield records as lists of ``(value, was_quoted)`` from RFC-4180
+    text (quote doubling, embedded delimiters/newlines inside quoted
+    fields). ``was_quoted`` is what csv.reader throws away — and the
+    only way to tell a quoted empty string from the unquoted-empty NULL
+    marker. Driver-side Python by design: this leg feeds sqlite through
+    DBAPI ``executemany``, which is Python-bound anyway."""
+    rec: list = []
+    buf: list = []
+    quoted = in_q = False
+    saw_any = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_q:
+            if ch == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    buf.append('"')
+                    i += 2
+                    continue
+                in_q = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == '"' and not buf and not quoted:
+            in_q = quoted = saw_any = True
+            i += 1
+            continue
+        if ch == delimiter:
+            rec.append(("".join(buf), quoted))
+            buf, quoted = [], False
+            saw_any = True
+            i += 1
+            continue
+        if ch == "\n" or (ch == "\r" and i + 1 < n and text[i + 1] == "\n"):
+            rec.append(("".join(buf), quoted))
+            yield rec
+            rec, buf, quoted, saw_any = [], [], False, False
+            i += 1 if ch == "\n" else 2
+            continue
+        buf.append(ch)
+        saw_any = True
+        i += 1
+    if in_q:
+        raise ValueError("unterminated quoted field in staged CSV")
+    if rec or saw_any or buf:
+        rec.append(("".join(buf), quoted))
+        yield rec
 
 
 def _sqlite_converters(df: DataFrame):
@@ -438,8 +491,9 @@ def bulk_load_sqlite(
     partition → CREATE TABLE → ``executemany`` batches per file (the
     driver-level equivalent of the CLI ``.import`` the statement
     generator emits). Same mode semantics and pre-flight ordering as
-    ``bulk_load_duckdb``."""
-    import csv
+    ``bulk_load_duckdb``, and the same losslessness: NULL is the
+    UNQUOTED empty field, the quoted '""' is the empty string — the
+    quote-aware parser preserves what csv.reader would collapse."""
     import sqlite3
 
     con = sqlite3.connect(db_path)
@@ -472,11 +526,11 @@ def bulk_load_sqlite(
         for path in partition_files(csv_dir):
             with open(path, newline="") as fh:
                 batch = []
-                for row in csv.reader(fh):
+                for row in _parse_rfc4180(fh.read()):
                     batch.append(
                         tuple(
-                            None if v == "" else fn(v)
-                            for fn, v in zip(convs, row)
+                            None if (v == "" and not was_quoted) else fn(v)
+                            for fn, (v, was_quoted) in zip(convs, row)
                         )
                     )
                     if len(batch) >= batch_rows:

@@ -28,12 +28,49 @@ CSV_DIALECT_OPTIONS: dict[str, dict[str, str]] = {
     "mysql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"', **_TS_US},
     # Postgres COPY text format: \N for NULL
     "postgresql": {"nullValue": r"\N", "delimiter": ",", "escape": "\\", "quote": '"', **_TS_US},
-    # SQL Server bcp: empty string NULL, tab-delimited
-    "mssql": {"nullValue": "", "delimiter": "\t", "quote": '"', **_TS_US},
-    # Oracle sqlldr (field formats in the generated ctl file match)
-    "oracle": {"nullValue": "", "delimiter": ",", "quote": '"', **_TS_US},
-    # SQLite .import --csv expects RFC-4180 quote doubling
-    "sqlite": {"nullValue": "", "delimiter": ",", "quote": '"', "escape": '"', **_TS_US},
+    # SQL Server bcp character mode: bcp performs NO quote/escape
+    # processing — fields are raw terminator-bounded bytes (the
+    # generated non-XML format file declares exactly that). So the
+    # writer must not quote at all (quote=NUL disables it; embedded
+    # '"' rides raw and loads literally) and empty string collapses to
+    # the empty NULL marker (the dialect's single-marker convention;
+    # Spark's default emptyValue would emit literal "" which bcp loads
+    # as a 2-char string). Values containing the tab delimiter or a
+    # newline are UNREPRESENTABLE in this mode —
+    # write_csv_for_bulk_load rejects them up front.
+    "mssql": {
+        "nullValue": "",
+        "emptyValue": "",
+        "delimiter": "\t",
+        "quote": "\u0000",
+        **_TS_US,
+    },
+    # Oracle sqlldr with OPTIONALLY ENCLOSED BY '"': enclosed fields
+    # escape an embedded quote by DOUBLING it (RFC-4180), not \" —
+    # escape='"' makes the writer emit exactly that. Empty string is
+    # pinned to the enclosed form ('""'); Oracle collapses '' to NULL
+    # server-side either way. Embedded newlines would split the
+    # record (sqlldr's default record terminator) — rejected up front.
+    "oracle": {
+        "nullValue": "",
+        "emptyValue": '""',
+        "delimiter": ",",
+        "quote": '"',
+        "escape": '"',
+        **_TS_US,
+    },
+    # SQLite .import --csv expects RFC-4180 quote doubling. Lossless
+    # NULL-vs-'' set (same as duckdb): NULL = unquoted empty,
+    # '' = quoted "" (pinned explicitly — the executed loader's
+    # quote-aware parser depends on the distinction).
+    "sqlite": {
+        "nullValue": "",
+        "emptyValue": '""',
+        "delimiter": ",",
+        "quote": '"',
+        "escape": '"',
+        **_TS_US,
+    },
     # DuckDB / Postgres COPY **CSV-mode defaults** — the lossless set:
     # NULL = unquoted empty, empty string = quoted "", RFC-4180 quote
     # doubling (escape = quote). Unlike the \N conventions above, this
@@ -96,12 +133,57 @@ def write_file(
     writer.format(fmt).save(path)
 
 
+# Characters a dialect's loader cannot represent AT ALL: bcp character
+# mode has no quoting, so the tab delimiter and record terminators are
+# unrepresentable inside values; sqlldr's default record terminator is
+# the newline, so embedded newlines split the record even when quoted.
+_UNREPRESENTABLE: dict[str, list[str]] = {
+    "mssql": ["\t", "\n", "\r"],
+    "oracle": ["\n", "\r"],
+}
+
+
+def assert_loader_representable(df: DataFrame, dialect: str) -> None:
+    """Refuse to stage data a dialect's native loader would CORRUPT
+    (it cannot round-trip these characters, it mangles them silently):
+    one aggregate pass (JVM-side contains() per string column, map-side
+    max) naming the offending columns. Callers with an upstream
+    cleanliness guarantee skip it via write_csv_for_bulk_load's
+    ``validate=False``."""
+    from pyspark.sql import functions as F
+
+    bad = _UNREPRESENTABLE.get(dialect)
+    if not bad:
+        return
+    cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    if not cols:
+        return
+    aggs = []
+    for c in cols:
+        cond = F.col(c).contains(bad[0])
+        for ch in bad[1:]:
+            cond = cond | F.col(c).contains(ch)
+        aggs.append(F.max(F.when(cond, 1).otherwise(0)).alias(c))
+    row = df.agg(*aggs).collect()[0]
+    offending = [c for c in cols if row[c] == 1]
+    if offending:
+        names = ", ".join(repr(ch) for ch in bad)
+        raise ValueError(
+            f"columns {offending} contain characters ({names}) the "
+            f"{dialect} native loader cannot represent — they would be "
+            "corrupted, not escaped. Clean or drop them first, or pass "
+            "validate=False to accept the corruption knowingly."
+        )
+
+
 def write_csv_for_bulk_load(
-    df: DataFrame, path: str, dialect: str = "postgresql", **overrides
+    df: DataFrame, path: str, dialect: str = "postgresql", validate: bool = True, **overrides
 ) -> None:
     """W1: dialect-convention CSV dump, one file per partition (the
     scalable version of the reference's single dump file — each
     partition feeds a parallel loader invocation)."""
+    if validate:
+        assert_loader_representable(df, dialect)
     opts = dict(CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"]))
     # Spark's CSV WRITER trims leading/trailing whitespace by default
     # (univocity ignore*WhiteSpace=true), silently corrupting values

@@ -48,6 +48,13 @@ def reflect_dir(
     return out
 
 
+def _sql_lit(s: str) -> str:
+    """SQL string literal: double embedded quotes (every dialect's
+    standard literal escaping — interpolating raw caller input into the
+    catalog probe would both break on and inject through quotes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def system_tables_query(
     dialect: str, catalog: str | None = None, schema: str | None = None
 ) -> str:
@@ -64,10 +71,10 @@ def system_tables_query(
             "(SELECT s.SCHEMANAME || '.' || t.TABLENAME AS table_name "
             "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
             "ON t.SCHEMAID = s.SCHEMAID "
-            f"WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME = '{sch}') t"
+            f"WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME = {_sql_lit(sch)}) t"
         )
     if dialect == "oracle":
-        where = f" WHERE OWNER = '{schema}'" if schema else ""
+        where = f" WHERE OWNER = {_sql_lit(schema)}" if schema else ""
         return f"(SELECT OWNER || '.' || TABLE_NAME AS table_name FROM ALL_TABLES{where}) t"
     return information_schema_query(catalog, schema)
 
@@ -119,24 +126,37 @@ def reflect_jdbc(
                 probe = probe.option(k, str(v))
             schema_t = probe.load().schema  # resolved via a 0-row query
         out.append(TableInfo(name=name, location=cat_name, fmt="jdbc", schema=schema_t))
+    dupes = {
+        n: locs
+        for n in {i.name for i in out}
+        if len(locs := [i.location for i in out if i.name == n]) > 1
+    }
+    if dupes:
+        # same destination name from two source schemas: a silent
+        # last-write-wins migration would drop one of them
+        raise ValueError(
+            f"reflected tables collapse to duplicate destination names "
+            f"{dupes}; use included_tables/excluded_tables or migrate "
+            "the schemas separately"
+        )
     return out
 
 
 def information_schema_query(catalog: str | None = None, schema: str | None = None) -> str:
     """S1 for JDBC: the table-enumeration probe pushed to the source
     (wrap as a dbtable subquery). Standard information_schema works for
-    MySQL/Postgres/MSSQL; Oracle would use ALL_TABLES."""
+    MySQL/Postgres/MSSQL; Oracle would use ALL_TABLES. Names come back
+    SCHEMA-QUALIFIED like every other branch — otherwise tables outside
+    the connection's default schema are unreadable and same-named
+    tables in two schemas would silently collapse to one destination."""
     where = ["table_type = 'BASE TABLE'"]
-
-    def lit(s: str) -> str:  # SQL string literal: double embedded quotes
-        return "'" + s.replace("'", "''") + "'"
-
     if catalog:
-        where.append(f"table_catalog = {lit(catalog)}")
+        where.append(f"table_catalog = {_sql_lit(catalog)}")
     if schema:
-        where.append(f"table_schema = {lit(schema)}")
+        where.append(f"table_schema = {_sql_lit(schema)}")
     return (
-        "(SELECT table_name FROM information_schema.tables WHERE "
+        "(SELECT table_schema || '.' || table_name AS table_name "
+        "FROM information_schema.tables WHERE "
         + " AND ".join(where)
         + ") t"
     )

@@ -78,14 +78,6 @@ def test_sqlite_roundtrip_arbitrary_rows(spark, tmp_path_factory, rows):
     out = str(tmp / "back.parquet")
     export_sqlite_table(db, "t", out, df.schema)
     back = {r["id"]: (r["k"], r["s"], r["v"]) for r in spark.read.parquet(out).collect()}
-    # sqlite leg convention: the empty field is the NULL marker, so ''
-    # collapses to NULL — normalize the expectation accordingly
-    src = {
-        r["id"]: (
-            r["k"] if r["k"] != "" else None,
-            r["s"] if r["s"] != "" else None,
-            r["v"],
-        )
-        for r in df.collect()
-    }
+    # lossless since the quote-aware loader: '' and NULL both survive
+    src = {r["id"]: (r["k"], r["s"], r["v"]) for r in df.collect()}
     assert back == src

@@ -1,0 +1,50 @@
+"""Table-handle cache freshness + bound (ADVICE r4): a regeneration
+that lands within mtime granularity must still invalidate (the
+signature is content-shaped), and the cache must not grow without
+bound."""
+
+import os
+
+import etlalchemy_spark.catalog as cat
+from etlalchemy_spark.catalog import load_table
+
+
+def _write_range(spark, path, n):
+    spark.range(n).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_same_second_regeneration_invalidates(spark, tmp_path):
+    sf = str(tmp_path)
+    p = os.path.join(sf, "events.parquet")
+    _write_range(spark, p, 10)
+    df1 = load_table(spark, sf, "events")
+    assert df1.count() == 10
+    assert load_table(spark, sf, "events") is df1  # cache hit
+
+    # regenerate, then force the directory/file mtimes BACK to the
+    # cached ones — only the content signature (sizes / part names)
+    # can catch this
+    stats = {
+        e.path: (e.stat().st_atime_ns, e.stat().st_mtime_ns)
+        for e in os.scandir(p)
+    }
+    dstat = os.stat(p)
+    _write_range(spark, p, 2000)
+    for child in os.scandir(p):
+        old = stats.get(child.path)
+        if old:
+            os.utime(child.path, ns=old)
+    os.utime(p, ns=(dstat.st_atime_ns, dstat.st_mtime_ns))
+
+    df2 = load_table(spark, sf, "events")
+    assert df2.count() == 2000  # not the stale 10-row plan
+
+
+def test_cache_is_bounded(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(cat, "_TABLE_CACHE_MAX", 3)
+    cat._TABLE_CACHE.clear()
+    for i in range(5):
+        sf = str(tmp_path / f"sf{i}")
+        _write_range(spark, os.path.join(sf, "events.parquet"), 5)
+        load_table(spark, sf, "events")
+    assert len(cat._TABLE_CACHE) <= 3

@@ -371,3 +371,28 @@ def test_drop_destination_executes_on_derby(spark):
     assert [r.n_rows for r in reports] == [100]
     names = {i.name for i in reflect_jdbc(spark, url)}
     assert names == {"people"}  # 'leftover' died with the old database
+
+
+def test_system_tables_query_escapes_schema_literal():
+    q = system_tables_query("derby", schema="o'brien")
+    assert "'o''brien'" in q
+    q2 = system_tables_query("oracle", schema="o'brien")
+    assert "'o''brien'" in q2
+
+
+def test_reflect_jdbc_rejects_duplicate_destination_names(spark):
+    """Two catalog tables that normalize to the same destination name
+    (here: unquoted-uppercase vs quoted-lowercase spellings in one
+    schema) must not silently collapse — last write wins would drop
+    one of them."""
+    url = _url()
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = con.createStatement()
+        st.execute("CREATE TABLE DUP_X (A INT)")
+        st.execute('CREATE TABLE "dup_x" (A INT)')
+        st.close()
+    finally:
+        con.close()
+    with pytest.raises(ValueError, match="duplicate destination"):
+        reflect_jdbc(spark, url)

@@ -146,10 +146,16 @@ def test_reflection_query_executes_on_live_information_schema(tmp_path):
     inner = sub.strip()
     assert inner.startswith("(") and inner.endswith(") t")
     got = sorted(r[0] for r in con.execute(inner[1:-3]).fetchall())
-    assert got == ["t1", "t2"]  # BASE TABLE filter excludes the view
+    # names come back schema-qualified; BASE TABLE filter excludes the view
+    assert got == ["main.t1", "main.t2"]
     schema_q = information_schema_query(schema="main")
     got2 = sorted(r[0] for r in con.execute(schema_q.strip()[1:-3]).fetchall())
-    assert got2 == ["t1", "t2"]
+    assert got2 == ["main.t1", "main.t2"]
+    # literal escaping: a quote in the schema filter must not break the
+    # probe (or inject through it)
+    evil = information_schema_query(schema="o'brien")
+    assert "'o''brien'" in evil
+    assert con.execute(evil.strip()[1:-3]).fetchall() == []
     con.close()
 
 
