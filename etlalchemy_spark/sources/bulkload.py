@@ -259,7 +259,7 @@ def write_loader_artifacts(
 
 
 def bulk_load_statements(
-    table: str, csv_dir: str, dialect: str = "postgresql"
+    table: str, csv_dir: str, dialect: str = "postgresql", columns: list[str] | None = None
 ) -> list[str]:
     """One native bulk-load statement (or loader command line) per
     partition file, matching the CSV conventions
@@ -268,11 +268,20 @@ def bulk_load_statements(
     (parallelizable) instead of one monolithic dump. The mssql/oracle
     command lines reference the sidecar files from
     ``write_loader_artifacts`` and leave connection flags
-    (-S/-U/-P, userid=) to the deployment environment."""
+    (-S/-U/-P, userid=) to the deployment environment.
+
+    ``columns`` names the staged files' column ORDER explicitly (the
+    COPY/LOAD column list) — how an append maps by NAME into an
+    existing table whose physical order differs."""
     opts = CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"])
     delim = opts.get("delimiter", ",")
     nullv = opts.get("nullValue", "")
     q = _quote_ident(table, dialect)
+    collist = (
+        " (" + ", ".join(_quote_ident(c, dialect) for c in columns) + ")"
+        if columns
+        else ""
+    )
     stmts: list[str] = []
     for f in partition_files(csv_dir):
         if dialect == "mysql":
@@ -280,20 +289,21 @@ def bulk_load_statements(
                 f"LOAD DATA LOCAL INFILE '{_sql_path(f)}' INTO TABLE {q} "
                 f"FIELDS TERMINATED BY '{delim}' OPTIONALLY ENCLOSED BY '\"' "
                 f"ESCAPED BY '\\\\'"
+                + (collist if columns else "")
             )
         elif dialect == "duckdb":
             # quote-doubling escape + quoted-null rejection: the exact
             # mirror of the "duckdb" writer conventions (lossless for
             # NULL vs '' vs a literal nullstr-lookalike)
             stmts.append(
-                f"COPY {q} FROM '{_sql_path(f)}' "
+                f"COPY {q}{collist} FROM '{_sql_path(f)}' "
                 f"(FORMAT CSV, HEADER FALSE, DELIMITER '{delim}', "
                 f"QUOTE '\"', ESCAPE '\"', NULLSTR '{nullv}', "
                 f"ALLOW_QUOTED_NULLS FALSE)"
             )
         elif dialect == "postgresql":
             stmts.append(
-                f"COPY {q} FROM '{_sql_path(f)}' WITH "
+                f"COPY {q}{collist} FROM '{_sql_path(f)}' WITH "
                 f"(FORMAT csv, HEADER false, DELIMITER '{delim}', "
                 f"QUOTE '\"', ESCAPE '\\', NULL '{nullv}')"
             )
@@ -345,6 +355,8 @@ def bulk_load_duckdb(
                 [table],
             ).fetchall()
         )
+        want = [f.name for f in df.schema.fields]
+        columns: list[str] | None = None
         if exists and mode == "error":
             raise ValueError(f"table {table} already exists (mode=error)")
         if exists and mode == "append":
@@ -356,20 +368,23 @@ def bulk_load_duckdb(
                     [table],
                 ).fetchall()
             ]
-            want = [f.name for f in df.schema.fields]
-            if have != want:
+            if sorted(have) != sorted(want):
                 raise ValueError(
-                    f"append into {table}: existing columns {have} != "
-                    f"DataFrame columns {want} — refusing a positional "
-                    "COPY into a drifted schema"
+                    f"append into {table}: existing columns {sorted(have)} "
+                    f"!= DataFrame columns {sorted(want)} — the names must "
+                    "match as a set"
                 )
+            if have != want:
+                # same names, different physical order: map BY NAME via
+                # an explicit COPY column list instead of refusing
+                columns = want
         write_csv_for_bulk_load(df, csv_dir, dialect="duckdb")
         if mode == "overwrite":
             con.execute(f"DROP TABLE IF EXISTS {_quote_ident(table, 'duckdb')}")
             exists = False
         if not exists:
             con.execute(schema_ddl(df, table, "duckdb"))
-        for stmt in bulk_load_statements(table, csv_dir, "duckdb"):
+        for stmt in bulk_load_statements(table, csv_dir, "duckdb", columns=columns):
             con.execute(stmt)
         return con.execute(
             f"SELECT COUNT(*) FROM {_quote_ident(table, 'duckdb')}"
@@ -503,16 +518,23 @@ def bulk_load_sqlite(
                 "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", [table]
             ).fetchall()
         )
+        want = [f.name for f in df.schema.fields]
+        collist = ""
         if exists and mode == "error":
             raise ValueError(f"table {table} already exists (mode=error)")
         if exists and mode == "append":
             have = [r[1] for r in con.execute(f"PRAGMA table_info({_quote_ident(table, 'sqlite')})")]
-            want = [f.name for f in df.schema.fields]
-            if have != want:
+            if sorted(have) != sorted(want):
                 raise ValueError(
-                    f"append into {table}: existing columns {have} != "
-                    f"DataFrame columns {want} — refusing a positional "
-                    "INSERT into a drifted schema"
+                    f"append into {table}: existing columns {sorted(have)} "
+                    f"!= DataFrame columns {sorted(want)} — the names must "
+                    "match as a set"
+                )
+            if have != want:
+                # same names, different physical order: name the INSERT
+                # columns so values map BY NAME
+                collist = (
+                    " (" + ", ".join(_quote_ident(c, "sqlite") for c in want) + ")"
                 )
         write_csv_for_bulk_load(df, csv_dir, dialect="sqlite")
         if mode == "overwrite":
@@ -522,7 +544,10 @@ def bulk_load_sqlite(
             con.execute(schema_ddl(df, table, "sqlite"))
         convs = _sqlite_converters(df)
         placeholders = ", ".join("?" for _ in convs)
-        ins = f"INSERT INTO {_quote_ident(table, 'sqlite')} VALUES ({placeholders})"
+        ins = (
+            f"INSERT INTO {_quote_ident(table, 'sqlite')}{collist} "
+            f"VALUES ({placeholders})"
+        )
         for path in partition_files(csv_dir):
             with open(path, newline="") as fh:
                 batch = []

@@ -199,7 +199,7 @@ def test_duckdb_append_rejects_schema_drift(spark, tmp_path):
     d = str(tmp_path / "csvd")
     bulk_load_duckdb(df, db, "t", d, mode="overwrite")
     drifted = spark.createDataFrame([(1, "a")], "id int, renamed string")
-    with pytest.raises(ValueError, match="drifted schema"):
+    with pytest.raises(ValueError, match="names must match as a set"):
         bulk_load_duckdb(drifted, db, "t", d, mode="append")
     # and the pre-flight ran BEFORE any CSV landed for the drifted frame
     assert bulk_load_duckdb(df, db, "t", d, mode="append") == 2
@@ -239,7 +239,7 @@ def test_sqlite_mode_semantics(spark, tmp_path):
     with pytest.raises(ValueError, match="mode=error"):
         bulk_load_sqlite(df, db, "t", d, mode="error")
     drifted = spark.createDataFrame([(1,)], "other int")
-    with pytest.raises(ValueError, match="drifted schema"):
+    with pytest.raises(ValueError, match="names must match as a set"):
         bulk_load_sqlite(drifted, db, "t", d, mode="append")
 
 

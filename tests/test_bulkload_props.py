@@ -81,3 +81,41 @@ def test_sqlite_roundtrip_arbitrary_rows(spark, tmp_path_factory, rows):
     # lossless since the quote-aware loader: '' and NULL both survive
     src = {r["id"]: (r["k"], r["s"], r["v"]) for r in df.collect()}
     assert back == src
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows, perm_seed=st.integers(min_value=0, max_value=5))
+def test_append_maps_columns_by_name(spark, tmp_path_factory, rows, perm_seed):
+    """Appending a column-PERMUTED DataFrame into an existing table must
+    map values by name (explicit COPY/INSERT column list), not refuse
+    or load positionally — for both executed legs."""
+    import itertools
+
+    tmp = tmp_path_factory.mktemp("perm_prop")
+    data = [(i, k, s, v) for i, (k, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, k string, s string, v double")
+    perm = list(itertools.permutations(df.columns))[perm_seed % 24]
+    permuted = df.select(*perm)
+
+    for leg, load, export, ext in (
+        ("duckdb", bulk_load_duckdb, export_duckdb_table, "duckdb"),
+        ("sqlite", bulk_load_sqlite, export_sqlite_table, "sqlite"),
+    ):
+        db = str(tmp / f"p.{ext}")
+        assert load(df, db, "t", str(tmp / f"csv_{leg}_1")) == len(rows)
+        n = load(permuted, db, "t", str(tmp / f"csv_{leg}_2"), mode="append")
+        assert n == 2 * len(rows)
+        out = str(tmp / f"back_{leg}.parquet")
+        if leg == "sqlite":
+            export(db, "t", out, df.schema)
+        else:
+            export(db, "t", out)
+        back = sorted(
+            ((r["id"], r["k"], r["s"], r["v"]) for r in spark.read.parquet(out).collect()),
+        )
+        src = sorted((r["id"], r["k"], r["s"], r["v"]) for r in df.collect())
+        assert back == sorted(src + src)  # both loads landed identically
