@@ -358,7 +358,7 @@ WHERE CAST(len(list_intersect(sn.ss, ss.ss)) AS DOUBLE) /
 """
 
 
-@register("dedup_incremental_lsh_exact", oracle=_MH_INC_SQL, tags=("dedup", "approx"))
+@register("dedup_incremental_lsh_exact", oracle=_MH_INC_SQL, tags=("dedup", "approx", "bench"))
 def dedup_incremental_lsh_exact(spark, sf_dir):
     """Steady-state incremental dedup: a new batch (doc_id % 5 = 0) is
     banded against a PERSISTED signature store of the corpus

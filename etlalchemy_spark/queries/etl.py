@@ -923,7 +923,7 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
-@register("etl_migrate_jdbc_to_jdbc", oracle=_MIGRATE_DB2DB_SQL, tags=("etl", "migrate", "jdbc"))
+@register("etl_migrate_jdbc_to_jdbc", oracle=_MIGRATE_DB2DB_SQL, tags=("etl", "migrate", "jdbc", "bench"))
 def etl_migrate_jdbc_to_jdbc(spark, sf_dir):
     """The reference's HEADLINE use case executed live end to end:
     database → database. A source Derby catalog is seeded from the

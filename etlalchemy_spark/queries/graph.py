@@ -179,7 +179,7 @@ def _kcore_sql(k: int = 60, rounds: int = 3) -> str:
     )
 
 
-@register("graph_kcore_peel", oracle=_kcore_sql(), tags=("graph", "iterative"))
+@register("graph_kcore_peel", oracle=_kcore_sql(), tags=("graph", "iterative", "bench"))
 def graph_kcore_peel(spark, sf_dir):
     """Bounded k-core decomposition (k=60, 3 peel rounds, unrolled):
     drop nodes under degree k, remove their edges, repeat — the
@@ -187,12 +187,21 @@ def graph_kcore_peel(spark, sf_dir):
     graph. Each round is one degree aggregate + two semi-join filters
     on node id, all hash-partitioned the same way; unrolling a FIXED
     round count keeps the plan static and cross-engine exact (full
-    convergence would use iterate-to-fixpoint like pagerank_exact,
-    checkpointing lineage every few rounds at scale)."""
+    convergence would use iterate-to-fixpoint like pagerank_exact).
+    Each round ends in a LINEAGE CUT (lazy localCheckpoint, the same
+    policy as connected_components): a round references the surviving
+    edge set three times (degree aggregate + two semi joins), so an
+    un-cut unroll grows the plan ~3^rounds — at rounds=3 that was a
+    3,400-node optimized plan costing >10 s of cold codegen. Cut, each
+    round plans against the previous round's materialized edges
+    (exactly what a Pregel-style engine persists per superstep) and
+    plan size stays constant per round; tests/test_graph.py pins the
+    node-count bound so depth creep fails a test before it costs
+    codegen time."""
     k, rounds = 60, 3
     edges = _edges(spark, sf_dir)
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    for _ in range(rounds):
+    for r in range(rounds):
         alive = (
             sym.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -203,4 +212,6 @@ def graph_kcore_peel(spark, sf_dir):
             sym.join(alive, sym.u == alive.node, "left_semi")
             .join(alive.select(F.col("node").alias("nv")), F.col("v") == F.col("nv"), "left_semi")
         )
+        if r + 1 < rounds:
+            sym = sym.localCheckpoint(eager=False)
     return sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("core_degree"))
