@@ -79,10 +79,12 @@ class Target:
     exists), overwrite (drop + recreate — upstream's default behavior
     after a drop_database), append. ``drop_destination`` is the
     drop_database parity: remove the WHOLE destination before the
-    first table loads (file target: delete the directory; duckdb
-    target: delete the database file; live-server JDBC: issue the
-    dialect's DROP DATABASE — generated, not executed, in this
-    sandbox)."""
+    first table loads (file target: delete the directory;
+    duckdb/sqlite target: delete the database file; embedded-Derby
+    JDBC: dropped LIVE via the ;drop=true maintenance connection —
+    executed in tests; a networked server gets the dialect's DROP
+    DATABASE logged for a maintenance connection this sandbox cannot
+    open)."""
 
     path: str  # directory (file target), .duckdb/.sqlite file, or JDBC url
     fmt: str = "parquet"  # parquet/csv/json/orc, "duckdb", "sqlite", or "jdbc"
