@@ -87,12 +87,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("verify_local")
     con = duck_con(sf_dir)
     qs = all_queries()
     n_pass = n_fail = n_rows_only = 0
+    statuses: dict[str, dict] = {}
     for name, q in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -101,26 +107,52 @@ def main() -> int:
             sdf = q.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            statuses[name] = {"status": "fail", "detail": f"spark error: {e}"[:300]}
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
+            statuses[name] = {"status": "rows_only", "rows": len(sdf)}
             n_rows_only += 1
             continue
         try:
             ddf = con.execute(q.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            statuses[name] = {"status": "fail", "detail": f"duckdb error: {e}"[:300]}
             n_fail += 1
             continue
         issues = compare(sdf, ddf)
         if issues:
             print(f"FAIL  {name}: " + " | ".join(issues))
+            statuses[name] = {"status": "fail", "detail": " | ".join(issues)[:300]}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows [{time.monotonic()-t0:.1f}s]")
+            statuses[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "secs": round(time.monotonic() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": statuses,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
