@@ -69,6 +69,8 @@ def _scan_splits(path: str) -> tuple[int, int] | None:
     if sig is None:
         return None
     key = (path, sig)
+    if key not in cache and len(cache) >= _TABLE_CACHE_MAX:
+        cache.pop(next(iter(cache)))  # bounded, oldest-inserted first
     if key not in cache:
         try:
             import pyarrow.parquet as pq
@@ -100,16 +102,27 @@ _TABLE_CACHE_MAX = 128  # bound: oldest-inserted evicts first
 def _freshness_signature(path: str) -> tuple | None:
     """Content-shaped freshness token for a table path; None when the
     path is unreadable (never cached). Driver-side metadata only: one
-    stat for a file, one scandir for a directory."""
+    stat for a file, one recursive scandir for a directory — recursive
+    because partitioned layouts nest part files under key=value
+    subdirectories, and an in-place rewrite down there changes neither
+    the top directory's mtime nor its entry listing."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
             return ("f", st.st_mtime_ns, st.st_size)
         entries = []
-        with os.scandir(path) as it:
-            for e in it:
-                s = e.stat()
-                entries.append((e.name, s.st_mtime_ns, s.st_size))
+        stack = [path]
+        while stack:
+            d = stack.pop()
+            with os.scandir(d) as it:
+                for e in it:
+                    if e.is_dir(follow_symlinks=False):
+                        stack.append(e.path)
+                    else:
+                        s = e.stat()
+                        entries.append(
+                            (os.path.relpath(e.path, path), s.st_mtime_ns, s.st_size)
+                        )
         return ("d", tuple(sorted(entries)))
     except OSError:
         return None

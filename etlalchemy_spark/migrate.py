@@ -67,6 +67,12 @@ class JdbcSource:
     partition_columns: dict[str, str] = field(default_factory=dict)
     table_filters: dict[str, str] = field(default_factory=dict)
     num_partitions: int = 8
+    # Scope reflection to one schema/catalog — the way to resolve
+    # same-named tables across schemas (include/exclude filters match
+    # the BARE table name, so they cannot keep one of two same-named
+    # tables; the schema filter can).
+    schema: str | None = None
+    catalog: str | None = None
     options: dict[str, str] = field(default_factory=dict)
 
 
@@ -225,6 +231,59 @@ class Migration:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, p)  # atomic: a crash never leaves a torn manifest
 
+    def _dest_table_exists(self, spark: SparkSession, dest_name: str) -> bool:
+        """Cheap destination existence probe per target kind — the
+        resume path's guard against trusting a manifest whose
+        destination has been recreated empty behind our back."""
+        import os
+
+        t = self.target
+        if t.fmt == "jdbc":
+            try:
+                (
+                    spark.read.format("jdbc")
+                    .option("url", t.path)
+                    .option("dbtable", dest_name)
+                    .load()
+                    .schema  # resolved via a zero-row metadata query
+                )
+                return True
+            except Exception:
+                return False
+        if t.fmt == "duckdb":
+            import duckdb
+
+            if not os.path.exists(t.path):
+                return False
+            con = duckdb.connect(t.path, read_only=True)
+            try:
+                return bool(
+                    con.execute(
+                        "SELECT 1 FROM information_schema.tables WHERE table_name = ?",
+                        [dest_name],
+                    ).fetchall()
+                )
+            finally:
+                con.close()
+        if t.fmt == "sqlite":
+            import sqlite3
+
+            if not os.path.exists(t.path):
+                return False
+            con = sqlite3.connect(t.path)
+            try:
+                return bool(
+                    con.execute(
+                        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                        [dest_name],
+                    ).fetchall()
+                )
+            finally:
+                con.close()
+        return os.path.exists(
+            os.path.join(t.path, f"{dest_name}.{t.fmt}")
+        )
+
     def run(
         self, spark: SparkSession, resume: bool = False
     ) -> tuple[list[TableReport], list[str]]:
@@ -245,6 +304,7 @@ class Migration:
 
         reports: list[TableReport] = []
         loaded = {}
+        skipped: dict[str, str] = {}  # dest_name -> source name (resume skips)
         if self.target.drop_destination:
             self._drop_destination(spark)
             mp = self._manifest_path()
@@ -257,6 +317,8 @@ class Migration:
                 self.source.url,
                 self.source.included_tables,
                 self.source.excluded_tables,
+                catalog=self.source.catalog,
+                schema=self.source.schema,
                 **self.source.options,
             )
         else:
@@ -277,15 +339,42 @@ class Migration:
                 continue
             prior = manifest.get(name)
             if resume and prior and prior.get("phase") == "loaded":
-                log.info(
-                    "resume: skipping %s (already loaded, %s rows)",
+                # trust-but-verify: a manifest can outlive its
+                # destination (url-keyed jdbc temp manifests especially
+                # — an in-memory Derby dies with its JVM, a server db
+                # can be dropped/recreated behind our back). Skipping a
+                # table the destination does not actually hold would
+                # turn resume into silent data loss.
+                if self._dest_table_exists(spark, dest_name):
+                    log.info(
+                        "resume: skipping %s (already loaded, %s rows)",
+                        name,
+                        prior.get("rows"),
+                    )
+                    skipped[dest_name] = name
+                    continue
+                log.warning(
+                    "resume: manifest says %s is loaded but the "
+                    "destination has no such table — re-running it",
                     name,
-                    prior.get("rows"),
                 )
-                continue
+                prior = None
             # a 'loading' entry means a prior run died mid-load: partial
-            # rows may exist at the destination — overwrite, never append
+            # rows may exist at the destination — they must be replaced,
+            # never appended to or refused
             partial = resume and prior is not None and prior.get("phase") == "loading"
+            if partial and self.target.mode == "append":
+                # overwrite would also destroy whatever the table held
+                # BEFORE this migration ever ran, and append would
+                # duplicate the crashed run's partial rows — neither is
+                # safe without row identity. Fail loudly instead.
+                raise ValueError(
+                    f"resume: table {dest_name!r} was mid-load in append "
+                    "mode; its partial rows cannot be distinguished from "
+                    "pre-existing destination rows. Clean the table (or "
+                    "use mode='overwrite' if the destination table is "
+                    "exclusively this migration's) and re-run."
+                )
             table_mode = "overwrite" if partial else self.target.mode
             manifest[name] = {"phase": "loading", "dest": dest_name}
             self._save_manifest(manifest)
@@ -392,9 +481,46 @@ class Migration:
         ddl = epilogue.index_ddl() + epilogue.fk_ddl()
 
         if self.validate_fks and self.fks:
+            # a resumed run skipped some tables, but skipping a LOAD must
+            # not silently skip its VALIDATION: read skipped tables back
+            # from the destination so every FK check a fresh run performs
+            # still runs. Targets we can't cheaply read back (none today)
+            # would warn rather than stay silent.
+            def _side(dest_name):
+                if dest_name in loaded:
+                    return loaded[dest_name]
+                if dest_name not in skipped:
+                    return None
+                t = self.target
+                if t.fmt == "jdbc":
+                    return (
+                        spark.read.format("jdbc")
+                        .option("url", t.path)
+                        .option("dbtable", dest_name)
+                        .load()
+                    )
+                if t.fmt in ("duckdb", "sqlite"):
+                    # embedded db files aren't Spark-readable without an
+                    # export round trip — too heavy for a validation
+                    # epilogue; be loud instead of silent
+                    log.warning(
+                        "resume: FK validation for skipped table %s "
+                        "unavailable on a %s target — re-run without "
+                        "resume to validate",
+                        dest_name,
+                        t.fmt,
+                    )
+                    return None
+                return read_file(
+                    spark,
+                    f"{t.path.rstrip('/')}/{dest_name}.{t.fmt}",
+                    fmt=t.fmt,
+                )
+
             for fk in self.fks:
-                if fk.table in loaded and fk.ref_table in loaded:
-                    row = fk_orphan_count(loaded[fk.table], loaded[fk.ref_table], fk).collect()[0]
+                child, parent = _side(fk.table), _side(fk.ref_table)
+                if child is not None and parent is not None:
+                    row = fk_orphan_count(child, parent, fk).collect()[0]
                     if row["n_orphans"]:
                         log.warning("FK %s has %d orphans", row["fk"], row["n_orphans"])
         return reports, ddl

@@ -272,7 +272,21 @@ def bulk_load_statements(
 
     ``columns`` names the staged files' column ORDER explicitly (the
     COPY/LOAD column list) — how an append maps by NAME into an
-    existing table whose physical order differs."""
+    existing table whose physical order differs. Only duckdb/postgres/
+    mysql statements can express a column list; passing ``columns``
+    for the others raises instead of silently loading positionally
+    (for oracle the by-name mapping belongs in the ctl file —
+    regenerate it from the reordered DataFrame via
+    write_loader_artifacts and sqlldr maps fields to the named
+    columns; bcp format files and sqlite ``.import`` are positional
+    by design)."""
+    if columns and dialect not in ("duckdb", "postgresql", "mysql"):
+        raise ValueError(
+            f"bulk_load_statements: the {dialect} loader command cannot "
+            "express a column list — a by-name append is not "
+            "representable here (for oracle, regenerate the ctl file "
+            "from the reordered DataFrame instead)"
+        )
     opts = CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"])
     delim = opts.get("delimiter", ",")
     nullv = opts.get("nullValue", "")
@@ -421,17 +435,18 @@ def export_duckdb_table(db_path: str, table: str, parquet_path: str) -> None:
 # collapses both to '').
 
 
-def _parse_rfc4180(text: str, delimiter: str = ","):
-    """Yield records as lists of ``(value, was_quoted)`` from RFC-4180
-    text (quote doubling, embedded delimiters/newlines inside quoted
-    fields). ``was_quoted`` is what csv.reader throws away — and the
-    only way to tell a quoted empty string from the unquoted-empty NULL
-    marker. Driver-side Python by design: this leg feeds sqlite through
-    DBAPI ``executemany``, which is Python-bound anyway."""
+def _parse_record(text: str, delimiter: str = ","):
+    """Parse ONE complete RFC-4180 record (no trailing terminator) into
+    a list of ``(value, was_quoted)``. ``was_quoted`` is what
+    csv.reader throws away — and the only way to tell a quoted empty
+    string from the unquoted-empty NULL marker. Records without any
+    quote character (the overwhelmingly common case) take a fast
+    ``str.split`` path."""
+    if '"' not in text:
+        return [(v, False) for v in text.split(delimiter)]
     rec: list = []
     buf: list = []
     quoted = in_q = False
-    saw_any = False
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -448,29 +463,54 @@ def _parse_rfc4180(text: str, delimiter: str = ","):
             i += 1
             continue
         if ch == '"' and not buf and not quoted:
-            in_q = quoted = saw_any = True
+            in_q = quoted = True
             i += 1
             continue
         if ch == delimiter:
             rec.append(("".join(buf), quoted))
             buf, quoted = [], False
-            saw_any = True
             i += 1
             continue
-        if ch == "\n" or (ch == "\r" and i + 1 < n and text[i + 1] == "\n"):
-            rec.append(("".join(buf), quoted))
-            yield rec
-            rec, buf, quoted, saw_any = [], [], False, False
-            i += 1 if ch == "\n" else 2
-            continue
         buf.append(ch)
-        saw_any = True
         i += 1
     if in_q:
         raise ValueError("unterminated quoted field in staged CSV")
-    if rec or saw_any or buf:
-        rec.append(("".join(buf), quoted))
-        yield rec
+    rec.append(("".join(buf), quoted))
+    return rec
+
+
+def _parse_rfc4180(fh, delimiter: str = ","):
+    """Stream records as lists of ``(value, was_quoted)`` from an
+    RFC-4180 file object (quote doubling, embedded delimiters/newlines
+    inside quoted fields) WITHOUT slurping the file: lines are
+    accumulated only until quote parity closes the record (doubling
+    keeps parity even, so an odd count of quote chars means an open
+    quoted field spanning the newline), then one record is parsed and
+    released. Memory tracks the largest record, not the partition
+    file. Driver-side Python by design: this leg feeds sqlite through
+    DBAPI ``executemany``, which is Python-bound anyway."""
+    pending: list[str] = []
+    open_quotes = 0
+    for line in fh:
+        pending.append(line)
+        open_quotes = (open_quotes + line.count('"')) & 1
+        if open_quotes:
+            continue  # record continues past this newline
+        text = "".join(pending)
+        pending = []
+        if text.endswith("\r\n"):
+            text = text[:-2]
+        elif text.endswith("\n"):
+            text = text[:-1]
+        # an empty line is still a record: a single-column NULL row
+        # stages as a bare terminator
+        yield _parse_record(text, delimiter)
+    if pending:
+        if open_quotes:
+            raise ValueError("unterminated quoted field in staged CSV")
+        text = "".join(pending)
+        if text:
+            yield _parse_record(text, delimiter)
 
 
 def _sqlite_converters(df: DataFrame):
@@ -551,7 +591,7 @@ def bulk_load_sqlite(
         for path in partition_files(csv_dir):
             with open(path, newline="") as fh:
                 batch = []
-                for row in _parse_rfc4180(fh.read()):
+                for row in _parse_rfc4180(fh):
                     batch.append(
                         tuple(
                             None if (v == "" and not was_quoted) else fn(v)

@@ -184,6 +184,24 @@ def write_csv_for_bulk_load(
     partition feeds a parallel loader invocation)."""
     if validate:
         assert_loader_representable(df, dialect)
+        # Spark's CSV writer silently OMITS a row whose rendering is a
+        # fully empty line — which is exactly how a single-column NULL
+        # row renders under the empty NULL marker. (Multi-column
+        # all-NULL rows render as bare delimiters and survive.) Losing
+        # rows silently is worse than refusing: fail loudly.
+        if len(df.columns) == 1:
+            from pyspark.sql import functions as F
+
+            c = df.columns[0]
+            if df.where(F.col(c).isNull()).limit(1).count():
+                raise ValueError(
+                    f"single-column table with NULLs in {c!r}: the CSV "
+                    "stage cannot represent a fully-empty row (Spark's "
+                    "writer drops it), so the bulk load would silently "
+                    "lose those rows. Use a non-CSV path (write_jdbc) "
+                    "or add a surrogate column; validate=False accepts "
+                    "the loss knowingly."
+                )
     opts = dict(CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"]))
     # Spark's CSV WRITER trims leading/trailing whitespace by default
     # (univocity ignore*WhiteSpace=true), silently corrupting values

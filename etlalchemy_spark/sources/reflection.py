@@ -132,12 +132,16 @@ def reflect_jdbc(
         if len(locs := [i.location for i in out if i.name == n]) > 1
     }
     if dupes:
-        # same destination name from two source schemas: a silent
-        # last-write-wins migration would drop one of them
+        # same destination name from two source schemas (or two case
+        # spellings): a silent last-write-wins migration would drop one.
+        # include/exclude can't fix this — they match the BARE name and
+        # would keep or drop both copies together — so point at the
+        # knob that can.
         raise ValueError(
             f"reflected tables collapse to duplicate destination names "
-            f"{dupes}; use included_tables/excluded_tables or migrate "
-            "the schemas separately"
+            f"{dupes}; scope the reflection to one schema "
+            "(JdbcSource.schema / reflect_jdbc(schema=...)) or migrate "
+            "each schema in its own run"
         )
     return out
 

@@ -338,3 +338,49 @@ def test_unrepresentable_values_rejected_up_front(spark, tmp_path):
     assert_loader_representable(_tricky_df(spark), "oracle")
     # loaders with real quoting (mysql/pg/duckdb) accept anything
     assert_loader_representable(multiline, "duckdb")
+
+
+def test_statement_columns_rejected_where_not_expressible():
+    """Loader command lines that cannot carry a column list must refuse
+    one rather than silently load positionally."""
+    for dialect in ("mssql", "oracle", "sqlite"):
+        with pytest.raises(ValueError, match="column list"):
+            bulk_load_statements("t", "/nonexistent", dialect, columns=["b", "a"])
+
+
+def test_single_column_nulls_refused_not_lost(spark, tmp_path):
+    """Spark's CSV writer silently drops a row that renders as a fully
+    empty line — a single-column NULL row under the empty NULL marker.
+    The stage must refuse rather than lose rows silently; single-column
+    tables WITHOUT nulls and multi-column all-NULL rows are fine."""
+    df = spark.createDataFrame([("x",), (None,), ("",), (None,)], "v string").coalesce(1)
+    db = str(tmp_path / "one.sqlite")
+    with pytest.raises(ValueError, match="single-column"):
+        bulk_load_sqlite(df, db, "t", str(tmp_path / "csv1"))
+
+    clean = spark.createDataFrame([("x",), ("",)], "v string").coalesce(1)
+    assert bulk_load_sqlite(clean, db, "t", str(tmp_path / "csv2")) == 2
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    assert sorted(r[0] for r in con.execute("SELECT v FROM t")) == ["", "x"]
+    con.close()
+
+
+def test_sqlite_multi_column_all_null_rows_survive(spark, tmp_path):
+    """Multi-column all-NULL rows render as bare delimiters (not empty
+    lines) — they must round-trip as NULLs through the streaming
+    parser."""
+    df = spark.createDataFrame(
+        [("a", "b"), (None, None), (None, "c")], "x string, y string"
+    ).coalesce(1)
+    db = str(tmp_path / "two.sqlite")
+    assert bulk_load_sqlite(df, db, "t2", str(tmp_path / "csv3")) == 3
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    rows = sorted(
+        (r[0] or "<N>", r[1] or "<N>") for r in con.execute("SELECT x, y FROM t2")
+    )
+    con.close()
+    assert rows == [("<N>", "<N>"), ("<N>", "c"), ("a", "b")]

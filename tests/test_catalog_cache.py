@@ -48,3 +48,25 @@ def test_cache_is_bounded(spark, tmp_path, monkeypatch):
         _write_range(spark, os.path.join(sf, "events.parquet"), 5)
         load_table(spark, sf, "events")
     assert len(cat._TABLE_CACHE) <= 3
+
+
+def test_nested_partitioned_rewrite_invalidates(spark, tmp_path):
+    """Partitioned layouts nest part files under key=value dirs; an
+    in-place rewrite down there must invalidate even when the top
+    directory's listing is unchanged (recursive signature)."""
+    sf = str(tmp_path)
+    p = os.path.join(sf, "events.parquet")
+    from pyspark.sql import functions as F
+
+    df10 = spark.range(10).withColumn("k", F.col("id") % 2)
+    df10.write.mode("overwrite").partitionBy("k").parquet(p)
+    assert load_table(spark, sf, "events").count() == 10
+    top_before = sorted(os.listdir(p))
+    spark.range(500).withColumn("k", F.col("id") % 2).write.mode(
+        "overwrite"
+    ).partitionBy("k").parquet(p)
+    # same top-level entry names (k=0, k=1, _SUCCESS)
+    assert sorted(e for e in os.listdir(p) if not e.startswith(".")) == [
+        e for e in top_before if not e.startswith(".")
+    ]
+    assert load_table(spark, sf, "events").count() == 500

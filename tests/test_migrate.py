@@ -281,3 +281,74 @@ def test_drop_destination_clears_manifest(spark, tmp_path):
     reports, _ = mk({"drop_destination": True}).run(spark, resume=True)
     # history died with the destination: the table re-runs fully
     assert [r.table for r in reports] == ["region"]
+
+
+def test_resume_append_mode_partial_refuses(spark, tmp_path):
+    """A mid-load crash in APPEND mode is not safely resumable: partial
+    rows can't be told apart from pre-existing destination rows, so
+    overwrite would destroy legacy data and append would duplicate.
+    Resume must refuse loudly."""
+    import json
+
+    import pytest
+
+    mk = lambda: Migration(
+        source=FileSource(SF_DIR, included_tables=["region"]),
+        target=Target(str(tmp_path), mode="append"),
+    )
+    mk().run(spark)
+    # simulate the crash: mark region as caught mid-load
+    mp = tmp_path / "_migration_manifest.json"
+    m = json.loads(mp.read_text())
+    m["region"]["phase"] = "loading"
+    mp.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="append"):
+        mk().run(spark, resume=True)
+
+
+def test_resume_reverifies_destination_existence(spark, tmp_path):
+    """A manifest can outlive its destination (url-keyed jdbc temp
+    manifests especially). Resume must not trust 'loaded' entries whose
+    table is absent from the CURRENT destination."""
+    import shutil
+
+    mk = lambda: Migration(
+        source=FileSource(SF_DIR, included_tables=["nation", "region"]),
+        target=Target(str(tmp_path / "dest"), mode="overwrite",
+                      manifest_path=str(tmp_path / "manifest.json")),
+    )
+    reports1, _ = mk().run(spark)
+    assert len(reports1) == 2
+    # destination recreated empty behind our back; manifest survives
+    shutil.rmtree(tmp_path / "dest")
+    reports2, _ = mk().run(spark, resume=True)
+    assert sorted(r.table for r in reports2) == ["nation", "region"]
+    assert os.path.exists(tmp_path / "dest" / "nation.parquet")
+
+
+def test_resume_still_validates_fks_for_skipped_tables(spark, tmp_path):
+    """Skipping a LOAD on resume must not silently skip its FK
+    VALIDATION: skipped tables are read back from the destination."""
+    import etlalchemy_spark.migrate as migmod
+
+    calls = []
+    real = migmod.fk_orphan_count
+
+    def counting(child, parent, fk):
+        calls.append(fk.table)
+        return real(child, parent, fk)
+
+    mk = lambda: Migration(
+        source=FileSource(SF_DIR, included_tables=["nation", "region"]),
+        target=Target(str(tmp_path), mode="error"),
+        fks=[FKSpec("nation", ["n_regionkey"], "region", ["r_regionkey"])],
+        validate_fks=True,
+    )
+    mk().run(spark)
+    migmod.fk_orphan_count = counting
+    try:
+        reports, _ = mk().run(spark, resume=True)
+    finally:
+        migmod.fk_orphan_count = real
+    assert reports == []  # both tables skipped...
+    assert calls == ["nation"]  # ...but the FK check still ran

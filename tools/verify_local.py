@@ -87,11 +87,26 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     json_path = None
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a == "--json":
+            # space-separated form: consume the next token as the path
+            # (silently treating it as a query filter wrote no snapshot
+            # while printing a green '0 pass, 0 fail')
+            if i + 1 >= len(argv):
+                print("--json requires a path", file=sys.stderr)
+                return 2
+            i += 1
+            json_path = argv[i]
+        else:
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("verify_local")
