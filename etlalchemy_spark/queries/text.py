@@ -690,3 +690,69 @@ def text_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# --- concat-then-chunk packing (pretraining data prep) -----------------------
+
+from etlalchemy_spark.queries.sampling import _bucket_sql  # noqa: E402
+
+_PACK_W = 2048
+
+_PACK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tok,
+         {_bucket_sql("doc_id", "pack:")} AS h
+  FROM documents
+), pref AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM tok
+)
+SELECT doc_id, n_tok, start_offset,
+       start_offset // {_PACK_W} AS window_id,
+       start_offset % {_PACK_W} AS within_offset
+FROM pref
+"""
+
+
+@register("text_concat_chunk_packing", oracle=_PACK_SQL, tags=("text", "scale"))
+def text_concat_chunk_packing(spark, sf_dir):
+    """Concat-then-chunk packing — the canonical pretraining data-prep
+    step: documents are laid head-to-tail in a DETERMINISTIC shuffled
+    order (portable md5 hash of doc_id, reproducible in any engine and
+    on any cluster), each gets its global token offset in the
+    concatenated stream, and from the offset the context window that
+    contains its first token (window_id = offset div W, W=2048) plus
+    the position inside it. The global offset is an exclusive prefix
+    sum over the shuffle order computed with the range-bucketed
+    two-phase decomposition (operators/prefix.py) — per-bucket local
+    window + broadcast bucket offsets, no single-partition WindowExec,
+    so the layout step scales to a 100 TB corpus. Oracle: the serial
+    SUM ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING formulation."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        hash_bucket(F.col("doc_id"), salt="pack:").alias("h"),
+    )
+    run = running_global_sum(
+        docs, F.col("h"), ["doc_id"], F.col("n_tok"), alias="_run", n_buckets=16
+    )
+    out = run.withColumn(
+        "start_offset", (F.col("_run") - F.col("n_tok")).cast("bigint")
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "start_offset",
+        F.expr(f"start_offset div {_PACK_W}").alias("window_id"),
+        (F.col("start_offset") % _PACK_W).alias("within_offset"),
+    )
