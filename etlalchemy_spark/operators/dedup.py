@@ -472,6 +472,42 @@ def _check_sig_version(store_bands: DataFrame, expected_tag: str) -> DataFrame:
     return store_bands
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, ss=collect_set(shingle)) — the verify-side operand shared
+    by every candidates-then-exact-Jaccard pipeline in this module."""
+    return (
+        word_shingles(spread(df, id_col), id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
+
+
+def _jaccard_verify_pairs(
+    cands: DataFrame,
+    left_key: str,
+    left_sets: DataFrame,
+    right_key: str,
+    right_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs against ``_shingle_sets``
+    operands — the single definition of the candidates⋈sets⋈sets filter
+    the incremental pipelines share (one copy, no drift)."""
+    sl = left_sets.select(F.col(id_col).alias(left_key), F.col("ss").alias("ss_l"))
+    sr = right_sets.select(F.col(id_col).alias(right_key), F.col("ss").alias("ss_r"))
+    n_inter = F.size(F.array_intersect(F.col("ss_l"), F.col("ss_r")))
+    jac = n_inter.cast("double") / (
+        F.size("ss_l") + F.size("ss_r") - n_inter
+    ).cast("double")
+    return (
+        cands.join(sl, left_key)
+        .join(sr, right_key)
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def incremental_lsh_matches(
     store: DataFrame,
     new: DataFrame,
@@ -510,34 +546,17 @@ def incremental_lsh_matches(
     )
     cands = kv_new.join(kv_store, ["band", "bk"]).select("new_id", "store_id").distinct()
 
-    sets_new = (
-        word_shingles(spread(new, id_col), id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("ss_n"))
-        .withColumnRenamed(id_col, "new_id")
-    )
+    sets_new = _shingle_sets(new, id_col, text_col, k)
     # only candidate store docs are re-shingled for the verify: at
-    # steady state the candidate set is batch-sized, not corpus-sized
+    # steady state the candidate set is batch-sized, not corpus-sized.
+    # (left_semi is insensitive to duplicate right rows — no distinct)
     store_hits = store.join(
-        cands.select(F.col("store_id").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("store_id").alias(id_col)), id_col, "left_semi"
     )
-    sets_store = (
-        word_shingles(spread(store_hits, id_col), id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("ss_s"))
-        .withColumnRenamed(id_col, "store_id")
-    )
-    n_inter = F.size(F.array_intersect(F.col("ss_n"), F.col("ss_s")))
-    jac = n_inter.cast("double") / (
-        F.size("ss_n") + F.size("ss_s") - n_inter
-    ).cast("double")
-    return (
-        cands.join(sets_new, "new_id")
-        .join(sets_store, "store_id")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("new_id", "store_id", "jaccard")
-    )
+    sets_store = _shingle_sets(store_hits, id_col, text_col, k)
+    return _jaccard_verify_pairs(
+        cands, "new_id", sets_new, "store_id", sets_store, id_col, threshold
+    ).select("new_id", "store_id", "jaccard")
 
 
 def incremental_dedup_step(
@@ -551,6 +570,7 @@ def incremental_dedup_step(
     threshold: float = 0.2,
     seed: int = 42,
     store_bands: DataFrame | None = None,
+    check_disjoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """ONE steady-state step of corpus dedup — the complete loop the
     100 TB pipeline runs per arriving batch. Returns
@@ -574,21 +594,53 @@ def incremental_dedup_step(
     contributes only its persisted band rows to the equi-join plus the
     re-shingling of candidate-hit docs (left-semi restricted), so each
     step scales with the batch, never the corpus. "Signed once" is
-    literal: the batch-sized intermediates consumed by more than one
-    branch (bands, cross candidates, shingle sets) end in lazy
-    localCheckpoints — without the cuts Spark recomputes each subtree
-    per consumer (~1.5x the step cost at sf0.1). Requires
-    ``store ∩ new = ∅`` on ``id_col`` (a doc can't be its own store
-    partner); with disjoint sides the cross and within pair sets are
-    disjoint by construction, so the union needs no dedup shuffle."""
+    literal for the IN-STEP consumers: the batch-sized intermediates
+    consumed by more than one branch (bands, cross candidates, shingle
+    sets) end in lazy localCheckpoints — without the cuts Spark
+    recomputes each subtree per consumer (~1.5x the step cost at
+    sf0.1). The RETURNED ``updated_store_bands`` is deliberately built
+    from the un-checkpointed band plan instead: checkpoint blocks are
+    non-replicated executor-local state, and a persisted store must
+    never depend on them (an executor loss would make the store
+    unrecoverable) — writing it back re-signs the batch once, which is
+    batch-sized and fully recomputable. On the ``store_bands=None``
+    convenience path the corpus bands are likewise left un-checkpointed
+    (corpus-sized state does not belong in the block manager); that
+    path signs the corpus once per materialized output — production
+    passes the persisted store.
+
+    Requires ``store ∩ new = ∅`` on ``id_col`` (a doc can't be its own
+    store partner); with disjoint sides the cross and within pair sets
+    are disjoint by construction, so the union needs no dedup shuffle.
+    ``check_disjoint`` (default on) enforces this against the band
+    store — one column-pruned pass over its id column — because the
+    likeliest violation is real: a batch replayed after its bands were
+    already absorbed. Silently, that replay would emit every batch doc
+    as its own duplicate and double its band rows in the store."""
     tag = sig_version_tag(k, num_hashes, bands, seed)
     if store_bands is None:
         store_bands = lsh_band_store(store, id_col, text_col, k, num_hashes, bands, seed)
     else:
         store_bands = _check_sig_version(store_bands, tag)
-    new_bands = lsh_band_store(
-        new, id_col, text_col, k, num_hashes, bands, seed
-    ).localCheckpoint(eager=False)
+    if check_disjoint:
+        overlap = [
+            r[0]
+            for r in store_bands.select(id_col)
+            .join(new.select(id_col), id_col, "left_semi")
+            .limit(5)
+            .collect()
+        ]
+        if overlap:
+            raise ValueError(
+                f"incremental_dedup_step: batch ids already present in "
+                f"the band store (sample: {overlap}) — this batch (or "
+                "part of it) was already absorbed. Re-running it would "
+                "report every shared doc as its own duplicate and "
+                "double its band rows; drop the already-absorbed ids "
+                "first (check_disjoint=False skips this guard)."
+            )
+    new_bands_plan = lsh_band_store(new, id_col, text_col, k, num_hashes, bands, seed)
+    new_bands = new_bands_plan.localCheckpoint(eager=False)
 
     kv_new = new_bands.select(
         F.col(id_col).alias("new_id"), "band", F.col("band_key").alias("bk")
@@ -598,6 +650,9 @@ def incremental_dedup_step(
     )
     cross_c = (
         kv_new.join(kv_store, ["band", "bk"])
+        # belt-and-braces against an overlap that slipped past the
+        # guard: a doc is never its own near-dup
+        .where(F.col("new_id") != F.col("store_id"))
         .select("new_id", "store_id")
         .distinct()
         .localCheckpoint(eager=False)
@@ -611,45 +666,25 @@ def incremental_dedup_step(
         .distinct()
     )
 
-    sets_new = (
-        word_shingles(spread(new, id_col), id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("ss"))
-        .localCheckpoint(eager=False)
-    )
+    sets_new = _shingle_sets(new, id_col, text_col, k).localCheckpoint(eager=False)
+    # (left_semi is insensitive to duplicate right rows — no distinct)
     store_hits = store.join(
-        cross_c.select(F.col("store_id").alias(id_col)).distinct(), id_col, "left_semi"
+        cross_c.select(F.col("store_id").alias(id_col)), id_col, "left_semi"
     )
-    sets_store = (
-        word_shingles(spread(store_hits, id_col), id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("ss"))
-    )
+    sets_store = _shingle_sets(store_hits, id_col, text_col, k)
 
-    def _verify(cands, left_key, left_sets, right_key, right_sets):
-        sl = left_sets.select(F.col(id_col).alias(left_key), F.col("ss").alias("ss_l"))
-        sr = right_sets.select(F.col(id_col).alias(right_key), F.col("ss").alias("ss_r"))
-        n_inter = F.size(F.array_intersect(F.col("ss_l"), F.col("ss_r")))
-        jac = n_inter.cast("double") / (
-            F.size("ss_l") + F.size("ss_r") - n_inter
-        ).cast("double")
-        return (
-            cands.join(sl, left_key)
-            .join(sr, right_key)
-            .withColumn("jaccard", jac)
-            .where(F.col("jaccard") >= threshold)
-        )
-
-    cross_pairs = _verify(cross_c, "new_id", sets_new, "store_id", sets_store).select(
+    cross_pairs = _jaccard_verify_pairs(
+        cross_c, "new_id", sets_new, "store_id", sets_store, id_col, threshold
+    ).select(
         F.least("new_id", "store_id").alias("id_a"),
         F.greatest("new_id", "store_id").alias("id_b"),
         "jaccard",
     )
-    within_pairs = _verify(within_c, "id_a", sets_new, "id_b", sets_new).select(
-        "id_a", "id_b", "jaccard"
-    )
+    within_pairs = _jaccard_verify_pairs(
+        within_c, "id_a", sets_new, "id_b", sets_new, id_col, threshold
+    ).select("id_a", "id_b", "jaccard")
     matches = cross_pairs.unionByName(within_pairs)
-    return matches, store_bands.unionByName(new_bands)
+    return matches, store_bands.unionByName(new_bands_plan)
 
 
 def simhash_exact(df: DataFrame, id_col: str, text_col: str, out: str = "simhash") -> DataFrame:

@@ -260,3 +260,18 @@ def test_incremental_replay_equals_one_shot(spark):
         seen.update(step_pairs)
         acc = acc.unionByName(batch)
     assert seen == one_shot
+
+
+def test_incremental_step_rejects_absorbed_batch(spark):
+    """Replaying a batch whose bands were already absorbed into the
+    store must fail loudly — silently it would report every shared doc
+    as its own duplicate and double its band rows."""
+    base = " ".join(f"w{i}" for i in range(100))
+    store = spark.createDataFrame([(1, base)], "doc_id int, text string")
+    new = spark.createDataFrame([(2, base + " wX")], "doc_id int, text string")
+    _, updated = incremental_dedup_step(store, new, "doc_id", "text", threshold=0.5)
+    with pytest.raises(ValueError, match="already absorbed|already present"):
+        incremental_dedup_step(
+            store.unionByName(new), new, "doc_id", "text",
+            threshold=0.5, store_bands=updated,
+        )
