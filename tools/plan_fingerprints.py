@@ -38,7 +38,11 @@ PIN_SF_DIR = "/root/testdata/sf0.01"
 
 
 def current() -> dict[str, dict[str, str]]:
-    spark = get_spark("plan_fingerprints")
+    # SAME session config as tests/conftest.py: a plan's shape can
+    # legitimately depend on spark.sql.shuffle.partitions (aggregate
+    # split/exchange placement), so pinning under a different count
+    # than the tripwire runs under manufactures phantom diffs
+    spark = get_spark("plan_fingerprints", shuffle_partitions=4)
     out: dict[str, dict[str, str]] = {}
     for name, q in sorted(all_queries().items()):
         if "bench" not in q.tags:
