@@ -54,10 +54,12 @@ NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 _FANOUT_MIN_ROWS = 50_000
 
 
-def _scan_splits(path: str) -> tuple[int, int] | None:
+def _scan_splits(path: str, sig: tuple | None) -> tuple[int, int] | None:
     """(num_rows, num_row_groups) from the parquet footer — cached on
     (path, content signature) so an in-process fixture rewrite
-    invalidates even within mtime granularity; returns None (caller
+    invalidates even within mtime granularity; ``sig`` is the
+    signature the caller already computed (the recursive walk is
+    O(files), not worth doing twice per load). Returns None (caller
     skips fanout) when the footer can't be read, e.g. a multi-file
     parquet directory. Driver-side metadata read only."""
     global _SPLIT_CACHE
@@ -65,7 +67,6 @@ def _scan_splits(path: str) -> tuple[int, int] | None:
         cache = _SPLIT_CACHE
     except NameError:
         cache = _SPLIT_CACHE = {}
-    sig = _freshness_signature(path)
     if sig is None:
         return None
     key = (path, sig)
@@ -167,7 +168,7 @@ def load_table(
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if fanout:
         slots = spark.sparkContext.defaultParallelism
-        splits = _scan_splits(path)
+        splits = _scan_splits(path, sig)
         if splits is not None:
             n_rows, n_groups = splits
             if n_rows >= _FANOUT_MIN_ROWS and n_groups < slots // 2:

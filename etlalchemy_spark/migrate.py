@@ -248,8 +248,29 @@ class Migration:
                     .schema  # resolved via a zero-row metadata query
                 )
                 return True
-            except Exception:
-                return False
+            except Exception as e:
+                # ONLY a definitive missing-object error means "absent".
+                # Treating a transient failure (network blip, auth
+                # timeout) as absent would re-run the table — on an
+                # append-mode target that silently duplicates every
+                # row. Check the SQLState chain for the dialects'
+                # missing-table codes; anything else propagates.
+                missing_states = {"42X05", "42P01", "42S02", "S0002", "42704"}
+                je = getattr(e, "java_exception", None)
+                while je is not None:
+                    try:
+                        state = je.getSQLState()
+                    except Exception:
+                        state = None
+                    if state in missing_states:
+                        return False
+                    msg = str(getattr(je, "getMessage", lambda: "")() or "")
+                    if "ORA-00942" in msg:  # Oracle: table or view does not exist
+                        return False
+                    je = getattr(je, "getCause", lambda: None)()
+                if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+                    return False
+                raise
         if t.fmt == "duckdb":
             import duckdb
 

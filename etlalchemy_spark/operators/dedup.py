@@ -618,14 +618,21 @@ def incremental_dedup_step(
     already absorbed. Silently, that replay would emit every batch doc
     as its own duplicate and double its band rows in the store."""
     tag = sig_version_tag(k, num_hashes, bands, seed)
-    if store_bands is None:
+    inline_bands = store_bands is None
+    if inline_bands:
         store_bands = lsh_band_store(store, id_col, text_col, k, num_hashes, bands, seed)
     else:
         store_bands = _check_sig_version(store_bands, tag)
     if check_disjoint:
+        # probe the cheapest id source: on the convenience path the
+        # store DataFrame's id column (probing the in-plan band store
+        # would sign the whole corpus just to sample five ids); on the
+        # persisted path the band store's column-pruned id column (the
+        # store DataFrame may be the bigger scan there)
+        id_src = store if inline_bands else store_bands
         overlap = [
             r[0]
-            for r in store_bands.select(id_col)
+            for r in id_src.select(id_col)
             .join(new.select(id_col), id_col, "left_semi")
             .limit(5)
             .collect()

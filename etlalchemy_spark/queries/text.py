@@ -701,8 +701,8 @@ _PACK_W = 2048
 _PACK_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tok,
+         COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END, 0) AS n_tok,
          {_bucket_sql("doc_id", "pack:")} AS h
   FROM documents
 ), pref AS (
@@ -738,9 +738,12 @@ def text_concat_chunk_packing(spark, sf_dir):
     from etlalchemy_spark.operators.sampling import hash_bucket
     from etlalchemy_spark.operators.text import token_count
 
+    # NULL text packs as 0 tokens (token_count returns NULL for NULL
+    # input, which would poison the prefix sum and diverge from the
+    # oracle's NULL-skipping window SUM)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
-        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.coalesce(token_count(F.col("text")), F.lit(0)).cast("bigint").alias("n_tok"),
         hash_bucket(F.col("doc_id"), salt="pack:").alias("h"),
     )
     run = running_global_sum(

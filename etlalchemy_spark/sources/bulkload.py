@@ -479,23 +479,66 @@ def _parse_record(text: str, delimiter: str = ","):
     return rec
 
 
+def _advance_quote_state(
+    line: str, in_q: bool, field_has_data: bool, delimiter: str
+) -> tuple[bool, bool]:
+    """Advance the (inside-quoted-field, current-field-has-data) state
+    across one physical line, using the SAME transition rules as
+    ``_parse_record`` (a quote only OPENS a quoted field at field
+    start; a bare quote mid-field is literal data; doubling stays
+    inside). Counting raw quote parity instead would merge two records
+    whenever an unquoted field carries a lone quote character."""
+    i, n = 0, len(line)
+    while i < n:
+        ch = line[i]
+        if in_q:
+            if ch == '"':
+                if i + 1 < n and line[i + 1] == '"':
+                    i += 2
+                    continue
+                in_q = False
+                field_has_data = True  # a closed quote means the field had content
+            i += 1
+            continue
+        if ch == '"' and not field_has_data:
+            in_q = True
+        elif ch == delimiter:
+            field_has_data = False
+        else:
+            field_has_data = True
+        i += 1
+    return in_q, field_has_data
+
+
 def _parse_rfc4180(fh, delimiter: str = ","):
     """Stream records as lists of ``(value, was_quoted)`` from an
     RFC-4180 file object (quote doubling, embedded delimiters/newlines
     inside quoted fields) WITHOUT slurping the file: lines are
-    accumulated only until quote parity closes the record (doubling
-    keeps parity even, so an odd count of quote chars means an open
-    quoted field spanning the newline), then one record is parsed and
-    released. Memory tracks the largest record, not the partition
-    file. Driver-side Python by design: this leg feeds sqlite through
-    DBAPI ``executemany``, which is Python-bound anyway."""
+    accumulated only while a quoted field spans the newline (tracked
+    by the real field-state machine, not raw quote parity), then one
+    record is parsed and released. Memory tracks the largest record,
+    not the partition file. Driver-side Python by design: this leg
+    feeds sqlite through DBAPI ``executemany``, which is Python-bound
+    anyway."""
     pending: list[str] = []
-    open_quotes = 0
+    in_q = False
+    field_has_data = False
     for line in fh:
         pending.append(line)
-        open_quotes = (open_quotes + line.count('"')) & 1
-        if open_quotes:
+        if in_q or '"' in line:
+            # state-scan the line minus its record terminator (the
+            # terminator never toggles state; mid-field \r IS data)
+            scan = line[:-1] if line.endswith("\n") else line
+            if scan.endswith("\r"):
+                scan = scan[:-1]
+            in_q, field_has_data = _advance_quote_state(
+                scan, in_q, field_has_data, delimiter
+            )
+        else:
+            field_has_data = False  # quote-free line: record completes below
+        if in_q:
             continue  # record continues past this newline
+        field_has_data = False  # next record starts fresh
         text = "".join(pending)
         pending = []
         if text.endswith("\r\n"):
@@ -506,7 +549,7 @@ def _parse_rfc4180(fh, delimiter: str = ","):
         # stages as a bare terminator
         yield _parse_record(text, delimiter)
     if pending:
-        if open_quotes:
+        if in_q:
             raise ValueError("unterminated quoted field in staged CSV")
         text = "".join(pending)
         if text:

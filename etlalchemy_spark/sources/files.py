@@ -182,26 +182,6 @@ def write_csv_for_bulk_load(
     """W1: dialect-convention CSV dump, one file per partition (the
     scalable version of the reference's single dump file — each
     partition feeds a parallel loader invocation)."""
-    if validate:
-        assert_loader_representable(df, dialect)
-        # Spark's CSV writer silently OMITS a row whose rendering is a
-        # fully empty line — which is exactly how a single-column NULL
-        # row renders under the empty NULL marker. (Multi-column
-        # all-NULL rows render as bare delimiters and survive.) Losing
-        # rows silently is worse than refusing: fail loudly.
-        if len(df.columns) == 1:
-            from pyspark.sql import functions as F
-
-            c = df.columns[0]
-            if df.where(F.col(c).isNull()).limit(1).count():
-                raise ValueError(
-                    f"single-column table with NULLs in {c!r}: the CSV "
-                    "stage cannot represent a fully-empty row (Spark's "
-                    "writer drops it), so the bulk load would silently "
-                    "lose those rows. Use a non-CSV path (write_jdbc) "
-                    "or add a surrogate column; validate=False accepts "
-                    "the loss knowingly."
-                )
     opts = dict(CSV_DIALECT_OPTIONS.get(dialect, CSV_DIALECT_OPTIONS["postgresql"]))
     # Spark's CSV WRITER trims leading/trailing whitespace by default
     # (univocity ignore*WhiteSpace=true), silently corrupting values
@@ -210,4 +190,39 @@ def write_csv_for_bulk_load(
     opts.setdefault("ignoreLeadingWhiteSpace", "false")
     opts.setdefault("ignoreTrailingWhiteSpace", "false")
     opts.update({k: str(v) for k, v in overrides.items()})
+    if validate:
+        assert_loader_representable(df, dialect)
+        # Spark's CSV writer silently OMITS a row whose rendering is a
+        # fully empty line. For a single-column table that happens for
+        # any value whose RENDERED form is the empty string under this
+        # dialect's conventions: NULL when nullValue='' and '' when
+        # emptyValue='' (mssql renders both empty; the \N dialects
+        # render neither, so they pass). Multi-column all-NULL rows
+        # render as bare delimiters and survive everywhere. Losing
+        # rows silently is worse than refusing: fail loudly.
+        if len(df.columns) == 1:
+            from pyspark.sql import functions as F
+
+            c = df.columns[0]
+            conds = []
+            if opts.get("nullValue", "") == "":
+                conds.append(F.col(c).isNull())
+            # Spark's writer default emptyValue is the quoted '""'
+            # (non-empty); only an explicit '' renders empty
+            if opts.get("emptyValue", '""') == "" and dict(df.dtypes)[c] == "string":
+                conds.append(F.col(c) == "")
+            if conds:
+                cond = conds[0]
+                for x in conds[1:]:
+                    cond = cond | x
+                if df.where(cond).limit(1).count():
+                    raise ValueError(
+                        f"single-column table where {c!r} holds values "
+                        f"the {dialect} CSV conventions render as a "
+                        "fully-empty line (NULL and/or empty string): "
+                        "Spark's writer drops such rows, so the bulk "
+                        "load would silently lose them. Use a non-CSV "
+                        "path (write_jdbc) or add a surrogate column; "
+                        "validate=False accepts the loss knowingly."
+                    )
     df.write.mode("overwrite").options(**opts).csv(path)

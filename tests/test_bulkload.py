@@ -384,3 +384,40 @@ def test_sqlite_multi_column_all_null_rows_survive(spark, tmp_path):
     )
     con.close()
     assert rows == [("<N>", "<N>"), ("<N>", "c"), ("a", "b")]
+
+
+def test_parser_bare_quote_mid_field_does_not_merge_records(spark, tmp_path):
+    """A lone quote inside an UNQUOTED field is literal data, not a
+    field opener — raw quote-parity counting would glue the next
+    physical record onto this one."""
+    from etlalchemy_spark.sources.bulkload import _parse_rfc4180
+    import io
+
+    recs = list(_parse_rfc4180(io.StringIO('ab"cd,x\nef,y\n')))
+    assert recs == [[('ab"cd', False), ("x", False)], [("ef", False), ("y", False)]]
+    # quoted field spanning a newline still assembles into one record
+    recs2 = list(_parse_rfc4180(io.StringIO('"a\nb",x\nc,y\n')))
+    assert recs2 == [[("a\nb", True), ("x", False)], [("c", False), ("y", False)]]
+
+
+def test_single_column_guard_is_dialect_aware(spark, tmp_path):
+    """Only dialects whose conventions render the value as a fully
+    empty line lose the row: \\N dialects stage single-column NULLs
+    fine; mssql additionally loses empty STRINGS (emptyValue='')."""
+    nulls = spark.createDataFrame([("x",), (None,)], "v string").coalesce(1)
+    empties = spark.createDataFrame([("x",), ("",)], "v string").coalesce(1)
+    # postgresql renders NULL as the non-empty line '\N' — loadable
+    d = str(tmp_path / "pg")
+    write_csv_for_bulk_load(nulls, d, dialect="postgresql")
+    raw = "".join(open(p).read() for p in partition_files(d))
+    assert "\\N\n" in raw
+    # sqlite/duckdb/oracle: NULL renders empty -> refused; '' renders
+    # quoted -> fine
+    with pytest.raises(ValueError, match="single-column"):
+        write_csv_for_bulk_load(nulls, str(tmp_path / "sq"), dialect="sqlite")
+    write_csv_for_bulk_load(empties, str(tmp_path / "sq2"), dialect="sqlite")
+    # mssql: BOTH NULL and '' render as empty lines -> both refused
+    with pytest.raises(ValueError, match="single-column"):
+        write_csv_for_bulk_load(nulls, str(tmp_path / "ms"), dialect="mssql")
+    with pytest.raises(ValueError, match="single-column"):
+        write_csv_for_bulk_load(empties, str(tmp_path / "ms2"), dialect="mssql")
