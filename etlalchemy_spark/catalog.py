@@ -49,6 +49,27 @@ def table_path(sf_dir: str, name: str) -> str:
 NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def normalize_event_time(df: DataFrame, name: str) -> DataFrame:
+    """Apply the table's event-time physical-type guard (see
+    NANOS_TS_COLS): nanos-as-long → integer ns→µs floor-division,
+    micros NTZ → session-UTC TIMESTAMP cast. The ONE definition shared
+    by the batch catalog and the streaming reader — the two drifted
+    twice when this logic lived in both places."""
+    for c in NANOS_TS_COLS.get(name, []):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType.simpleString()
+        if dt == "bigint":
+            # integer division: ns epoch (~1.7e18) overflows double, so
+            # never divide in float here
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            # micros fixture: NTZ → TIMESTAMP interprets the wall clock
+            # in the session zone (pinned UTC) — values unchanged
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 # Fan-out threshold: below this many rows a single-task scan is cheaper
 # than an exchange.
 _FANOUT_MIN_ROWS = 50_000
@@ -153,19 +174,7 @@ def load_table(
     cached = _TABLE_CACHE.get(key)
     if cached is not None and sig is not None and cached[0] == sig:
         return cached[1]
-    df = spark.read.parquet(path)
-    for c in NANOS_TS_COLS.get(name, []):
-        if c not in df.columns:
-            continue
-        dt = df.schema[c].dataType.simpleString()
-        if dt == "bigint":
-            # integer division: ns epoch (~1.7e18) overflows double, so
-            # never divide in float here
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        elif dt == "timestamp_ntz":
-            # micros fixture: NTZ → TIMESTAMP interprets the wall clock
-            # in the session zone (pinned UTC) — values unchanged
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    df = normalize_event_time(spark.read.parquet(path), name)
     if fanout:
         slots = spark.sparkContext.defaultParallelism
         splits = _scan_splits(path, sig)

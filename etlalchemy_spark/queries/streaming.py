@@ -33,8 +33,11 @@ def stream_sliding_counts(spark, sf_dir):
 
 @register("stream_session_window", oracle=None, tags=("streaming", "session"))
 def stream_session_window(spark, sf_dir):
-    """Streaming session_window (gap 30m) per user; append mode after
-    the watermark closes sessions."""
+    """Streaming session_window (gap 30m) per user, drained in
+    COMPLETE mode: all session state is retained and re-emitted (the
+    watermark bounds late data, not state retention here). A
+    production pipeline that must bound state uses append mode, where
+    only watermark-closed sessions emit."""
     ev = read_events_stream(spark, sf_dir)
     return drain_to_memory(session_windows(ev), "complete")
 
@@ -73,7 +76,30 @@ def stream_stateful_user_counts(spark, sf_dir):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return drain_to_memory(counted, "update")
+    # update-mode emissions are cumulative per-key SNAPSHOTS and the
+    # memory sink appends every one of them — with multi-batch delivery
+    # a key appears once per batch it received rows in. The final state
+    # is the snapshot with the highest count (counts are strictly
+    # increasing per emission), so the finalize is exact at any batch
+    # granularity, not just the single-batch fixture delivery.
+    return (
+        drain_to_memory(counted, "update")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+def _finalize_running(drained):
+    """Collapse update-mode snapshot emissions to final per-key state:
+    each emission carries cumulative (n_events, total_value) and
+    n_events strictly increases per emission, so the row with the
+    max n_events IS the final state — exact at any batch granularity
+    (max_by keeps the total paired with its count; a bare max(total)
+    would be wrong for negative values)."""
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
 
 
 @register("stream_tws_running_totals", oracle=None, tags=("streaming", "stateful"))
@@ -119,7 +145,7 @@ def stream_tws_running_totals(spark, sf_dir):
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        return drain_to_memory(out, "update")
+        return _finalize_running(drain_to_memory(out, "update"))
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -151,7 +177,7 @@ def stream_tws_running_totals(spark, sf_dir):
         outputMode="Update",
         timeMode="None",
     )
-    return drain_to_memory(out, "update")
+    return _finalize_running(drain_to_memory(out, "update"))
 
 
 @register("stream_stream_join", oracle=None, tags=("streaming", "join"))
@@ -160,9 +186,11 @@ def stream_stream_join_q(spark, sf_dir):
     twin with SQL oracle: events_click_view_attrib)."""
     from etlalchemy_spark.streaming.events import stream_stream_join
 
+    # streaming self-join: ONE reader serves both sides (a second
+    # read_events_stream would pay the batch-side schema resolution
+    # twice for the identical source)
     ev = read_events_stream(spark, sf_dir)
-    ev2 = read_events_stream(spark, sf_dir)
-    return drain_to_memory(stream_stream_join(ev, ev2), "append")
+    return drain_to_memory(stream_stream_join(ev, ev), "append")
 
 
 @register("stream_foreach_batch_sink", oracle=None, tags=("streaming", "sources"))
@@ -189,11 +217,7 @@ def stream_static_enrich(spark, sf_dir):
     customer→nation dimension, counted per (nation, event_type). The
     batch twin events_user_enrich carries the SQL oracle."""
     from etlalchemy_spark.catalog import load_table
-    from etlalchemy_spark.streaming.events import (
-        drain_to_memory,
-        read_events_stream,
-        static_enrich_counts,
-    )
+    from etlalchemy_spark.streaming.events import static_enrich_counts
 
     ev = read_events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")

@@ -12,38 +12,46 @@ identical to the batch catalog.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etlalchemy_spark.catalog import load_table, table_path
+from etlalchemy_spark.catalog import normalize_event_time, table_path
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the batch schema."""
-    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # FileStreamSource wants a directory: stream the fixture dir with a
-    # glob pinned to the events file
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # same dtype guard as catalog.load_table: nanos-as-long reads get
-    # the integer ns→µs conversion; micros NTZ reads cast to session-UTC
-    # TIMESTAMP; an already-timestamp read passes through
-    dt = raw.schema["ts"].dataType.simpleString()
-    if dt == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dt == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    """readStream over the events parquet with the batch schema. The
+    fixture may be a single file (stream the parent dir with a glob
+    pinned to the leaf name) or a Spark-written DIRECTORY of part
+    files (stream the directory itself — pathGlobFilter matches leaf
+    FILE names, so the single-file glob would silently match nothing
+    and every query would drain 0 rows)."""
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    # the catalog's event-time physical-type guard, shared verbatim
+    return normalize_event_time(raw, "events")
 
 
 def drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run the streaming query to completion against the (already
-    complete) file source and return the materialized result table."""
+    complete) file source and return the materialized result.
+
+    The memory-sink table is materialized (eager localCheckpoint) and
+    its temp view dropped before returning: memory-sink tables are
+    driver-pinned for the session's lifetime with no reclaim path, so
+    the old keep-the-view approach leaked one full result copy per
+    drain; checkpointed RDD blocks are reclaimed by the ContextCleaner
+    when the returned DataFrame is garbage-collected."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -56,7 +64,9 @@ def drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     finally:
         q.stop()
     spark = stream_df.sparkSession
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

@@ -44,3 +44,80 @@ def test_stateful_counts_equal_groupby(spark):
     )
     cols = ["user_id", "n_events"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+# --- the remaining streaming queries' twin equivalence (r5 review) ----------
+#
+# Rows-only gate entries prove the query RUNS; only these comparisons
+# prove the streaming result EQUALS the oracle-checked batch twin.
+
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.queries.events import (
+    events_click_view_attrib,
+    events_sliding_1h_15m,
+    events_user_enrich,
+)
+from etlalchemy_spark.queries.streaming import (
+    stream_dedup_watermark,
+    stream_foreach_batch_sink,
+    stream_static_enrich,
+    stream_stream_join_q,
+    stream_sliding_counts,
+    stream_tws_running_totals,
+)
+
+
+def test_stream_sliding_equals_batch(spark):
+    stream = stream_sliding_counts(spark, SF_DIR)
+    batch = events_sliding_1h_15m(spark, SF_DIR)
+    cols = ["window_start", "window_end", "n"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    stream = stream_dedup_watermark(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    # fixture event_ids are unique, so the dedup must be the identity
+    assert stream.count() == ev.count()
+    assert stream.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_join_equals_batch_attrib(spark):
+    stream = stream_stream_join_q(spark, SF_DIR)
+    batch = events_click_view_attrib(spark, SF_DIR)
+    s = sorted((r["c_event"], r["v_event"]) for r in stream.collect())
+    b = sorted((r["c_event"], r["v_event"]) for r in batch.collect())
+    assert s == b
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    stream = stream_static_enrich(spark, SF_DIR)
+    batch = events_user_enrich(spark, SF_DIR)
+    cols = ["nation", "event_type", "n"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_tws_totals_equal_groupby(spark):
+    stream = stream_tws_running_totals(spark, SF_DIR)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    s = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in stream.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert s.keys() == b.keys()
+    for k in b:
+        assert s[k][0] == b[k][0]
+        assert abs(s[k][1] - b[k][1]) < 1e-6  # float accumulation order differs
+
+
+def test_foreach_batch_sink_loses_nothing(spark):
+    landed = stream_foreach_batch_sink(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    assert landed.count() == ev.count()  # the docstring's claim, enforced
+    assert landed.select("event_id").distinct().count() == ev.count()
