@@ -89,7 +89,13 @@ def _exclusive_prefix_frame(stats: DataFrame, combines: list[tuple[str, str, str
     fields = [T.StructField("_pid", pid_field.dataType, False)]
     for src, o, _ in combines:
         fields.append(T.StructField(o, stats.schema[src].dataType, True))
-    return spark.createDataFrame(out_rows, T.StructType(fields))
+    # single slice: bare createDataFrame parallelizes a <= n_buckets-row
+    # list to defaultParallelism python partitions, paying one python
+    # worker roundtrip per partition to emit a handful of rows (the
+    # cost sketch.py's literal-array pattern documents)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out_rows, 1), T.StructType(fields)
+    )
 
 
 def global_ranks(

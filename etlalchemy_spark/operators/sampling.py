@@ -38,8 +38,10 @@ def bernoulli_sample(
     df: DataFrame, key: Column, rate: float, salt: str = ""
 ) -> DataFrame:
     """Deterministic Bernoulli(rate) sample keyed on ``key``. A pure
-    narrow filter — pushes into the scan stage, shuffles nothing."""
-    return df.where(hash_bucket(key, salt) < int(rate * _DENOM))
+    narrow filter — pushes into the scan stage, shuffles nothing.
+    (round, not int: truncation would sample 0.615 as 0.614999 —
+    IEEE 0.615*1e6 is 614999.999...)"""
+    return df.where(hash_bucket(key, salt) < round(rate * _DENOM))
 
 
 def stratified_sample(
@@ -53,9 +55,9 @@ def stratified_sample(
     """Per-stratum Bernoulli rates (e.g. downsample common languages,
     keep rare ones whole). Still a narrow filter: the rate lookup is a
     literal CASE over the stratum column."""
-    thresh = F.lit(int(default_rate * _DENOM))
+    thresh = F.lit(round(default_rate * _DENOM))
     for value, rate in sorted(rates.items()):
-        thresh = F.when(stratum == F.lit(value), int(rate * _DENOM)).otherwise(thresh)
+        thresh = F.when(stratum == F.lit(value), round(rate * _DENOM)).otherwise(thresh)
     return df.where(hash_bucket(key, salt) < thresh)
 
 
@@ -110,8 +112,12 @@ def weighted_systematic_sample(
         n_buckets=n_buckets,
     ).withColumn("_cum", F.col("_cum").cast("long"))
     total = d.agg(F.sum("_wsw").alias("_W"))
-    hi = F.expr(f"(_cum * {n}) DIV _W")
-    lo = F.expr(f"((_cum - _wsw) * {n}) DIV _W")
+    # 128-bit-safe integral division: _cum * n overflows int64 at full
+    # scale (total weight ~1e13 × n ~1e6 > 2^63 → ANSI overflow abort
+    # on exactly the tail rows). Decimal(38,0) DIV is exact integral
+    # division with 38-digit headroom; result identical in range.
+    hi = F.expr(f"CAST((CAST(_cum AS DECIMAL(38,0)) * {n}) DIV _W AS BIGINT)")
+    lo = F.expr(f"CAST((CAST(_cum - _wsw AS DECIMAL(38,0)) * {n}) DIV _W AS BIGINT)")
     return (
         cum.crossJoin(F.broadcast(total))
         .withColumn("n_picks", hi - lo)

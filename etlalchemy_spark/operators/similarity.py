@@ -49,7 +49,10 @@ def exact_cosine(df: DataFrame, keys: list[str], va, vb) -> DataFrame:
     vb = vb if isinstance(vb, Column) else F.col(vb)
     e = (
         df.select(*keys, vb.alias("_vb"), F.posexplode(va).alias("_pos", "_xa"))
-        .withColumn("_xb", F.element_at("_vb", F.col("_pos") + 1))
+        # try_element_at: a length mismatch degrades the overhanging
+        # positions to NULL (dropped by the sums) instead of throwing
+        # INVALID_ARRAY_INDEX under Spark's default ANSI mode
+        .withColumn("_xb", F.try_element_at("_vb", F.col("_pos") + 1))
     )
     # float → DOUBLE → decimal: DuckDB's direct float→decimal cast is
     # imprecise (fixed-point artifact); via double both engines round
@@ -67,11 +70,14 @@ def exact_cosine(df: DataFrame, keys: list[str], va, vb) -> DataFrame:
     def to_dbl(c):
         return F.round(c, 12).cast("double")
 
+    # try_divide: a zero-norm vector yields NULL cosine instead of a
+    # DIVIDE_BY_ZERO abort under ANSI mode (downstream top-k drops
+    # NULL-scored rows)
     return g.select(
         *keys,
-        (
-            to_dbl(F.col("_dot"))
-            / (F.sqrt(to_dbl(F.col("_na"))) * F.sqrt(to_dbl(F.col("_nb"))))
+        F.try_divide(
+            to_dbl(F.col("_dot")),
+            F.sqrt(to_dbl(F.col("_na"))) * F.sqrt(to_dbl(F.col("_nb"))),
         ).alias("cosine"),
     )
 
@@ -86,7 +92,11 @@ def dot_double(a, b):
 
 
 def cosine_double(a, b):
-    return dot_double(a, b) / (F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)))
+    # try_divide: zero-norm vectors score NULL instead of aborting the
+    # whole query under ANSI division
+    return F.try_divide(
+        dot_double(a, b), F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b))
+    )
 
 
 def _topk_ranked(scored: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -96,7 +106,13 @@ def _topk_ranked(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     ≤k survivors are then ranked by one collect_list aggregate +
     array_sort + posexplode — O(k) state, no WindowExec at all (a
     window here, even over k rows, would plan unpartitioned and
-    single-task; Spark 4 strips foldable partition keys)."""
+    single-task; Spark 4 strips foldable partition keys). NULL-scored
+    rows (zero-norm vectors under the try_divide guards) are dropped
+    up front: the limit's NULLS-LAST order and array_sort's
+    nulls-first struct order would otherwise DISAGREE, handing rank 1
+    to an unscorable row whenever a bucket holds fewer than k real
+    candidates."""
+    scored = scored.where(F.col("cosine").isNotNull())
     top = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
     arr = F.array_sort(
         F.collect_list(F.struct((-F.col("cosine")).alias("_neg"), F.col(id_col), F.col("cosine")))
@@ -142,6 +158,18 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def query_bits(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side bucket id of a query vector — the ONE definition of
+    the sign convention shared by the LSH probes (a fix applied to one
+    inline copy and not the other would silently diverge the buckets
+    from the engine-side ``lsh_bucket``)."""
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+            qbits |= 1 << i
+    return qbits
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Bit-signature bucket id: sign of <v, plane_i> per plane."""
     bits = [
@@ -169,10 +197,7 @@ def cosine_topk_lsh(
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     # query bucket computed driver-side (tiny, pure python)
-    qbits = 0
-    for i, p in enumerate(planes):
-        if sum(x * y for x, y in zip(query_vec, p)) > 0:
-            qbits |= 1 << i
+    qbits = query_bits(query_vec, planes)
     q = _lit_vec(query_vec)
     cands = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes)).where(
         F.col("_bucket") == qbits
@@ -199,10 +224,24 @@ def embedding_near_dup_pairs(
     into bucket 0, and degrade candidate generation to the full cross
     join this function exists to avoid."""
     if dim is None:
-        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        probe = (
+            df.select(F.size(F.col(vec_col)).alias("d"))
+            .where(F.col("d").isNotNull())  # skip NULL-vector rows
+            .first()
+        )
         if probe is None:
+            from pyspark.sql import types as T
+
+            idt = df.schema[id_col].dataType  # keep the caller's id type
             return df.sparkSession.createDataFrame(
-                [], f"id_a long, id_b long, cosine double"
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id_a", idt),
+                        T.StructField("id_b", idt),
+                        T.StructField("cosine", T.DoubleType()),
+                    ]
+                ),
             )
         dim = probe["d"]
     planes = hyperplanes(dim, n_planes, seed)
@@ -327,10 +366,7 @@ def cosine_topk_lsh_multiprobe(
     of (n_planes+1)/2^n_planes of the data — still a >95% candidate cut
     at 8 planes."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbits = 0
-    for i, p in enumerate(planes):
-        if sum(x * y for x, y in zip(query_vec, p)) > 0:
-            qbits |= 1 << i
+    qbits = query_bits(query_vec, planes)
     probes = [qbits] + [qbits ^ (1 << i) for i in range(n_planes)]
     q = _lit_vec(query_vec)
     cands = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes)).where(
@@ -355,7 +391,9 @@ def lsh_buckets_exact(
     for j, p in enumerate(planes):
         body = ", ".join(f"CAST(CAST('{float(v)!r}' AS DOUBLE) AS {_D})" for v in p)
         plit = F.expr(f"array({body})")
-        aggs.append(F.sum(xd * F.element_at(plit, F.col("_pos") + 1)).alias(f"_d{j}"))
+        # try_element_at: a dim > len(planes[j]) mismatch degrades to
+        # NULL terms (skipped by SUM) instead of an ANSI index abort
+        aggs.append(F.sum(xd * F.try_element_at(plit, F.col("_pos") + 1)).alias(f"_d{j}"))
     sums = e.groupBy(id_col).agg(*aggs)
     bucket = None
     for j in range(len(planes)):

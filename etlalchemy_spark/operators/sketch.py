@@ -33,7 +33,12 @@ _W_BITS = 52  # hash bits left after the bucket byte
 
 
 def hll_registers(df: DataFrame, key: Column) -> DataFrame:
-    """(bucket, register) table — the mergeable sketch state."""
+    """(bucket, register) table — the mergeable sketch state. NULL
+    keys are excluded (COUNT DISTINCT semantics): un-filtered they
+    would emit a (NULL, NULL) row that hll_estimate counts as a
+    non-empty bucket while its register contributes nothing, biasing
+    the estimate high."""
+    df = df.where(key.isNotNull())
     h = md5_prefix60(key.cast("string"))
     w = F.shiftright(h, 8)
     # rho = leading zeros in the 52-bit window + 1 = 53 - bit_length(w);
@@ -50,7 +55,13 @@ def hll_registers(df: DataFrame, key: Column) -> DataFrame:
 
 def hll_estimate(registers: DataFrame) -> DataFrame:
     """One-row (estimate double) from a register table. Empty buckets
-    contribute 2^0 = 1 to the harmonic denominator."""
+    contribute 2^0 = 1 to the harmonic denominator. Standard
+    small-range correction (r5 review): the raw harmonic estimate is
+    badly biased high when n ≪ m (raw ~185 for 2 true distincts at
+    m=256), so for raw ≤ 2.5m with empty buckets present the estimate
+    switches to linear counting, m·ln(m/V) — the same double-precision
+    ln on identical operands in any engine, so oracle exactness
+    holds."""
     alpha = 0.7213 / (1.0 + 1.079 / M_BUCKETS)
     scaled = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - register)"))
     agg = registers.agg(
@@ -59,13 +70,18 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     s_total = F.col("_s_nonempty") + (F.lit(M_BUCKETS) - F.col("_nonempty")) * F.lit(
         1 << (_W_BITS + 1)
     )
-    est = (
+    raw = (
         F.lit(alpha)
         * F.lit(float(M_BUCKETS))
         * F.lit(float(M_BUCKETS))
         * F.lit(float(1 << (_W_BITS + 1)))
         / s_total.cast("double")
     )
+    v_empty = F.lit(M_BUCKETS) - F.col("_nonempty")
+    est = F.when(
+        (raw <= F.lit(2.5 * M_BUCKETS)) & (v_empty > 0),
+        F.lit(float(M_BUCKETS)) * F.log(F.lit(float(M_BUCKETS)) / v_empty.cast("double")),
+    ).otherwise(raw)
     return agg.select(est.alias("estimate"))
 
 
@@ -210,7 +226,11 @@ def bitmap_distinct_count(df: DataFrame, key: Column) -> DataFrame:
 
 def hist_bins(df: DataFrame, x: Column, lo: float, width: float, nbins: int) -> DataFrame:
     """(bin, cnt) integer bin table; values outside [lo, lo+nbins*width)
-    clamp into the edge bins."""
+    clamp into the edge bins. NULLs are excluded up front — GREATEST/
+    LEAST skip NULL operands, so an un-filtered NULL would silently
+    clamp into the TOP bin (least(nbins-1, NULL) = nbins-1), inflating
+    the upper tail and dragging every high quantile estimate up."""
+    df = df.where(x.isNotNull())
     raw = F.floor((x.cast("double") - F.lit(lo)) / F.lit(width))
     b = F.greatest(F.lit(0).cast("long"), F.least(F.lit(nbins - 1).cast("long"), raw))
     return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))

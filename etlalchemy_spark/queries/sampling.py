@@ -57,7 +57,7 @@ def sample_bernoulli_hash(spark, sf_dir):
 
 _STRAT_RATES = {"en": 0.1, "zh": 0.5, "es": 0.5, "de": 0.8, "fr": 0.8}
 _STRAT_CASE = " ".join(
-    f"WHEN lang = '{v}' THEN {int(r * 1_000_000)}" for v, r in sorted(_STRAT_RATES.items())
+    f"WHEN lang = '{v}' THEN {round(r * 1_000_000)}" for v, r in sorted(_STRAT_RATES.items())
 )
 _STRATIFIED_SQL = f"""
 SELECT doc_id, lang, source

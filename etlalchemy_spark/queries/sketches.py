@@ -85,10 +85,17 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)
 _HLL_EST_SQL = f"""{_HLL_REG_CTES}
 , agg AS (
   SELECT SUM(CAST(1 AS BIGINT) << (53 - register)) AS s_ne, COUNT(*) AS ne FROM reg
+),
+raw AS (
+  SELECT ne,
+         (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
+         / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS r
+  FROM agg
 )
-SELECT (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
-       / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS estimate
-FROM agg
+SELECT CASE WHEN r <= 640.0 AND (256 - ne) > 0
+            THEN 256.0 * ln(256.0 / CAST(256 - ne AS DOUBLE))
+            ELSE r END AS estimate
+FROM raw
 """
 
 
@@ -281,10 +288,17 @@ _HLL_ERR_SQL = f"""{_HLL_REG_CTES}
 , agg AS (
   SELECT SUM(CAST(1 AS BIGINT) << (53 - register)) AS s_ne, COUNT(*) AS ne FROM reg
 ),
-est AS (
-  SELECT (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
-         / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS estimate
+raw AS (
+  SELECT ne,
+         (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
+         / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS r
   FROM agg
+),
+est AS (
+  SELECT CASE WHEN r <= 640.0 AND (256 - ne) > 0
+              THEN 256.0 * ln(256.0 / CAST(256 - ne AS DOUBLE))
+              ELSE r END AS estimate
+  FROM raw
 ),
 ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_n FROM orders)
 SELECT estimate, exact_n,

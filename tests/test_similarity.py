@@ -104,3 +104,37 @@ def test_kmeans_ivf_recall(spark):
     exact = {r.vec_id for r in all_queries()["sim_cosine_topk_exact"].fn(spark, SF_DIR).collect()}
     ivf = {r.vec_id for r in all_queries()["sim_ivf_kmeans_topk"].fn(spark, SF_DIR).collect()}
     assert len(ivf & exact) >= 5
+
+
+def test_zero_norm_and_null_vectors_degrade_not_crash(spark):
+    """ANSI-mode hazards (r5 review): a zero-norm vector must score
+    NULL (try_divide) and be dropped from the ranking, not abort the
+    query with DIVIDE_BY_ZERO; NULL-probe rows must not break the dim
+    probe."""
+    from etlalchemy_spark.operators.similarity import (
+        cosine_topk_exact,
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8]), (4, None)],
+        "vec_id int, embedding array<double>",
+    )
+    top = cosine_topk_exact(df.where("vec_id != 4"), "vec_id", "embedding", [1.0, 0.0], k=4)
+    rows = {r["vec_id"]: r["rank"] for r in top.collect()}
+    assert rows == {1: 1, 3: 2}  # zero-norm row 2 dropped, no crash
+    # NULL first row must not break the dim probe
+    pairs = embedding_near_dup_pairs(
+        df.where("vec_id = 4").unionByName(df.where("vec_id != 4")),
+        "vec_id", "embedding", threshold=0.99,
+    )
+    assert pairs.count() == 0  # runs; no near-dups planted
+
+
+def test_dim_mismatch_degrades_not_crashes(spark):
+    from etlalchemy_spark.operators.similarity import exact_cosine
+
+    df = spark.createDataFrame([(1, [1.0, 0.0, 5.0])], "id int, v array<double>")
+    out = exact_cosine(df, ["id"], F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).collect()
+    # third position has no partner: try_element_at -> NULL term, sum skips
+    assert out[0]["cosine"] is not None

@@ -194,3 +194,22 @@ def test_hist_quantiles_zero_quantile_maps_to_min_bin(spark):
     }
     assert "p0" in got and got["p0"] <= 10.0
     assert abs(got["p100"] - 1000.0) <= 10.0
+
+
+def test_hist_bins_and_hll_ignore_nulls(spark):
+    """NULLs must not count (r5 review): un-filtered they landed in the
+    TOP histogram bin (GREATEST/LEAST skip NULLs) and inflated the HLL
+    denominator via a (NULL, NULL) register row."""
+    from etlalchemy_spark.operators.sketch import hist_bins, hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], "x double"
+    )
+    bins = {r["bin"]: r["cnt"] for r in hist_bins(df, F.col("x"), 0.0, 1.0, 10).collect()}
+    assert bins == {1: 1, 2: 1}  # no NULL row in bin 9
+
+    keys = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+    regs = hll_registers(keys, F.col("k"))
+    assert regs.where(F.col("bucket").isNull()).count() == 0
+    est = hll_estimate(regs).collect()[0]["estimate"]
+    assert 1.5 < est < 2.5  # ~2 distinct, NULL excluded
