@@ -41,6 +41,25 @@ def asof_join(
     kdb ``wj`` staleness bound.
     """
     lcols = left.columns
+    # Name-collision guards (same policy as bloom_probe): the internal
+    # markers would silently OVERWRITE same-named left columns, and an
+    # output column clashing with an existing left column (e.g. a
+    # chained asof_join with the default prefix) would emit duplicate/
+    # ambiguous columns.
+    reserved = {"_side", "_asof", "_stale"}
+    clash = reserved & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with the "
+            "operator's internal marker columns — rename them first"
+        )
+    out_cols = {f"{prefix}ts", *[f"{prefix}{c}" for c in payload_cols]}
+    clash = out_cols & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: output columns {sorted(clash)} already exist on "
+            "the left side (chained as-of joins need distinct prefixes)"
+        )
     l = left.withColumn("_side", F.lit(1))
     # The whole right row travels as ONE struct so last(ignorenulls)
     # carries it atomically: per-column carries would backfill a NULL

@@ -84,4 +84,8 @@ def bloom_probe(
             f" CAST(__bloom_p{i} % 64 AS INT))) & 1) = 1"
         )
         cond = c if cond is None else cond & c
-    return probed.withColumn(out, cond).drop(*tmp_cols)
+    # NULL keys hash to NULL positions → NULL verdict, and a consumer
+    # splitting on where(col) vs where(~col) would lose the row from
+    # BOTH branches. A NULL key is definitely-not-a-member: False, the
+    # same side an exact anti-join would keep it on.
+    return probed.withColumn(out, F.coalesce(cond, F.lit(False))).drop(*tmp_cols)

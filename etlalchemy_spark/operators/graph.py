@@ -33,8 +33,17 @@ def connected_components(
 
     ``edges`` is undirected input (each pair once is fine).
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    if max_iter < 1:
+        raise ValueError(f"connected_components: max_iter must be >= 1, got {max_iter}")
+    # materialize the symmetrized edges ONCE: `und` is consumed by the
+    # label init plus every propagation round, and each round is its
+    # own job (the localCheckpoints below cut exchange reuse) — without
+    # this cut the full upstream edge pipeline (e.g. the quadratic
+    # shingle join feeding dedup CC) re-executes 2x per round
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = (
         und.select(F.col("a").alias("node"))
@@ -108,7 +117,12 @@ def pagerank_exact(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
     )
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_outw"))
-    ew = e.join(outw, "_s")
+    # materialized once: the checkpoints below split the iterations
+    # into separate jobs, and without this cut each job re-derives the
+    # edge scan + out-weight aggregate + join for every iteration since
+    # the last checkpoint — the docstring's "scanned from their cached
+    # partitioning" made literal
+    ew = e.join(outw, "_s").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionAll(e.select("_d"))

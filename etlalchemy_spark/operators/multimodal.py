@@ -56,8 +56,11 @@ def byte_features(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic 'decode': per-payload byte-level features via
     mapInPandas (n_bytes, first_byte, byte_sum over the first 64 bytes)
     — the stand-in for decode→feature-extract with identical batch
-    shape, schema handling, and partitioning."""
-    out_schema = f"{id_col} long, n_bytes long, first_byte int, head_byte_sum long"
+    shape, schema handling, and partitioning. The id column keeps the
+    CALLER's type (a hardcoded long broke string/int-keyed tables at
+    the Arrow conversion)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, n_bytes long, first_byte int, head_byte_sum long"
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -87,11 +90,16 @@ def frame_sample_stub(df: DataFrame, id_col: str, every_n_bytes: int = 16) -> Da
     """'Frame sampling' on the byte stream: one row per sampled offset
     (the video-frame-sampling plumbing — explode of sampled positions,
     payload sliced per frame). Deterministic byte slices stand in for
-    decoded frames."""
+    decoded frames. NULL payloads are ROUTED, not dropped (module
+    contract, same as byte_features): greatest() skips the NULL
+    length so the id keeps one placeholder row (offset 1, NULL
+    bytes), and explode_outer backstops that if the length expression
+    ever returns NULL outright — a per-id reconciliation against
+    byte_features must agree on row sets."""
     n = F.octet_length("payload")
     offsets = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(every_n_bytes))
     return (
-        df.select(F.col(id_col), "payload", F.explode(offsets).alias("frame_offset"))
+        df.select(F.col(id_col), "payload", F.explode_outer(offsets).alias("frame_offset"))
         .select(
             id_col,
             "frame_offset",
@@ -107,7 +115,8 @@ def resize_stub(df: DataFrame, id_col: str, target_bytes: int = 32) -> DataFrame
     crop/pad is the deterministic stand-in for pixel resampling — swap
     the body for PIL ``Image.resize`` on a real cluster); the schema,
     batch iteration, and updated metadata are the real contract."""
-    out_schema = f"{id_col} long, payload binary, n_bytes bigint"
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, payload binary, n_bytes bigint"
 
     def resize(batches):
         import pandas as pd

@@ -60,7 +60,11 @@ class ColumnDecision:
 
 def stats_exprs(df: DataFrame) -> list:
     """The single-pass observation expressions for every column."""
-    exprs: list = []
+    # total row count: distinguishes a 0-ROW table (standardize is a
+    # no-op — dropping every column of an empty partition would destroy
+    # the schema) from a populated table with all-NULL columns (T8's
+    # actual target)
+    exprs: list = [F.count(F.lit(1)).alias("__total")]
     for f in df.schema.fields:
         c, dt = f.name, f.dataType
         exprs.append(F.count(F.col(c)).alias(f"{c}__n"))
@@ -78,9 +82,9 @@ def stats_exprs(df: DataFrame) -> list:
             )
         elif isinstance(dt, T.StringType):
             exprs.append(F.max(F.length(c)).alias(f"{c}__maxlen"))
-        elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
-            exprs.append(F.min(c).alias(f"{c}__min"))
-            exprs.append(F.max(c).alias(f"{c}__max"))
+        # floats/decimals: no stats — decide() passes them through
+        # unconditionally (T5), so min/max here was dead aggregate work
+        # on the one-pass scan this module advertises as the cost center
     return exprs
 
 
@@ -95,7 +99,17 @@ def observe(df: DataFrame) -> dict:
 
 
 def decide(df: DataFrame, stats: dict, ignored_suffixes: list[str] | None = None) -> list[ColumnDecision]:
-    """Compile observed stats into per-column decisions (T2/T3/T4/T8/T9)."""
+    """Compile observed stats into per-column decisions (T2/T3/T4/T8/T9).
+
+    A 0-ROW input keeps every column untouched: with no observations
+    there is no evidence for ANY decision, and the old behavior
+    (all counts 0 → drop_empty everywhere) returned a zero-column
+    frame that destroyed the table schema on empty partitions."""
+    if stats.get("__total") == 0:
+        return [
+            ColumnDecision(f.name, f.dataType.simpleString(), "keep")
+            for f in df.schema.fields
+        ]
     out: list[ColumnDecision] = []
     for f in df.schema.fields:
         c, dt = f.name, f.dataType

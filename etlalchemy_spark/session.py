@@ -28,6 +28,11 @@ REQUIRED_RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # size(NULL) must be NULL, not the legacy -1: with ANSI off (common
+    # in prod clusters) the legacy default turns every token/size count
+    # over NULL text into -1 — negative counts feeding quality scores.
+    # Pinning makes the semantics config-independent.
+    "spark.sql.legacy.sizeOfNull": "false",
 }
 
 
@@ -73,6 +78,7 @@ def get_spark(
         # (integer ns→µs floor-division — matches DuckDB's scan-time
         # truncation of nanos).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

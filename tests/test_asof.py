@@ -56,3 +56,19 @@ def test_asof_null_payload_not_backfilled(spark):
     assert len(out) == 1
     assert str(out[0].asof_ts) == "1970-01-01 00:00:02"
     assert out[0].asof_value is None
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    """Internal markers and output names must not silently overwrite
+    left columns (r5 review)."""
+    import pytest
+    from etlalchemy_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t int, _side string")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, rt int, v double")
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, "k", "t", "rt", ["v"])
+    left2 = spark.createDataFrame([(1, 10, 0.0)], "k int, t int, asof_v double")
+    with pytest.raises(ValueError, match="asof_v"):
+        asof_join(left2, right, "k", "t", "rt", ["v"])

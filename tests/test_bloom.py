@@ -36,3 +36,21 @@ def test_bloom_probe_preserves_user_words_column(spark):
     assert "words" in out.columns
     assert sorted(r["words"] for r in out.collect()) == ["a b", "c d"]
     assert out.where(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_probe_null_key_is_false(spark):
+    """NULL keys get a False verdict, not NULL — a NULL verdict row
+    vanishes from BOTH sides of a where(col)/where(~col) split."""
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(1,), (2,)], "k int")
+    bloom = bloom_build(keys, F.col("k"))
+    df = spark.createDataFrame([(1,), (99,), (None,)], "k int")
+    out = bloom_probe(df, F.col("k"), bloom)
+    verdicts = {r["k"]: r["bloom_pass"] for r in out.collect()}
+    assert verdicts[1] is True
+    assert verdicts[None] is False
+    n_split = out.where(F.col("bloom_pass")).count() + out.where(~F.col("bloom_pass")).count()
+    assert n_split == 3  # no row lost between the two branches

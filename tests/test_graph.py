@@ -48,3 +48,12 @@ def test_kcore_plan_depth_bounded(spark):
         1 for ln in plan.splitlines() if ln.strip(" :+-").partition(" ")[0]
     )
     assert n_nodes < 120, f"k-core optimized plan grew to {n_nodes} nodes"
+
+
+def test_connected_components_rejects_zero_iters(spark):
+    import pytest
+    from etlalchemy_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)

@@ -45,3 +45,30 @@ def test_frame_sampling(spark, media):
         by_id.setdefault(r.id, []).append(r.frame_offset)
     assert by_id[1] == [1, 5, 9]  # 11 bytes, stride 4
     assert by_id[2] == [1]  # empty payload still yields one probe
+
+
+def test_byte_features_string_ids(spark):
+    """The mapInPandas schema keeps the caller's id type (a hardcoded
+    long broke string-keyed tables, r5 review)."""
+    from etlalchemy_spark.operators.multimodal import attach_payload, byte_features
+
+    df = spark.createDataFrame([("doc-a", "hello")], "doc_id string, text string")
+    out = byte_features(attach_payload(df, "doc_id", "text"), "doc_id").collect()
+    assert out[0]["doc_id"] == "doc-a" and out[0]["n_bytes"] == 5
+
+
+def test_frame_sample_routes_null_payload(spark):
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.multimodal import frame_sample_stub
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, None)], "doc_id int, payload binary"
+    )
+    out = frame_sample_stub(df, "doc_id", every_n_bytes=4)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2}  # NULL payload routed, not dropped
+    # the NULL-payload doc yields exactly one placeholder row with NULL
+    # frame bytes (greatest() skips the NULL length -> offset 1)
+    null_rows = out.where(F.col("doc_id") == 2).collect()
+    assert len(null_rows) == 1 and null_rows[0]["frame_bytes"] is None

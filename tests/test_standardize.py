@@ -105,3 +105,15 @@ def test_boolean_inferred_with_nulls(spark):
     assert by_name["b"].target_type == "boolean"
     got = sorted((r.b for r in out.collect()), key=lambda x: (x is None, x))
     assert got == [False, True, None]
+
+
+def test_standardize_empty_table_is_noop(spark):
+    """A 0-row partition must keep its schema — the old behavior
+    classified every column drop_empty and returned a zero-column
+    frame (r5 review)."""
+    from etlalchemy_spark.operators.standardize import standardize
+
+    df = spark.createDataFrame([], "a int, b string, c double")
+    out, decisions = standardize(df)
+    assert out.columns == ["a", "b", "c"]
+    assert all(d.action == "keep" for d in decisions)
