@@ -73,10 +73,13 @@ def word_shingles(
     grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, k), " "))
     if hashed:
         grams = F.transform(grams, lambda g: F.xxhash64(g))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias(out))
-        .distinct()
-    )
+    # Per-doc dedup happens NARROWLY via array_distinct before the
+    # explode: (id, shingle) pairs are distinct iff each doc's own
+    # shingle list is, so the old explode-then-.distinct() shuffle of
+    # the whole shingle stream bought nothing — downstream consumers
+    # re-shuffle on shingle (the equi-join) or on id (the signature
+    # agg) anyway, never on the (id, shingle) pair.
+    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias(out))
 
 
 # --- exact n-gram Jaccard (ground truth; oracle-able) ----------------------

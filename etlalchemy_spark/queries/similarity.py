@@ -510,3 +510,35 @@ def sim_knn_batch_exact(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --- ANN recall audit (exact vs LSH operating point) -----------------------
+
+_RECALL_AUDIT_SQL = f"""
+SELECT 10 AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_k
+FROM ({_TOPK_SQL}) e JOIN ({_lsh_exact_sql()}) a USING (vec_id)
+"""
+
+
+@register("sim_lsh_recall_audit", oracle=_RECALL_AUDIT_SQL, tags=("similarity", "approx"))
+def sim_lsh_recall_audit(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH top-k against the brute-force
+    ground truth — the similarity twin of ``dedup_lsh_recall`` /
+    ``sketch_hll_error_report``: the audit that tells you whether an
+    ANN operating point (here 6 planes, single-probe) is safe to ship
+    before pointing it at the full corpus. Both sides reuse the
+    oracle-exact formulations above, so the recall number itself is
+    engine-portable; the overlap join touches two <=k-row results
+    (broadcast), and the audit costs two corpus scans total —
+    run-once-per-config, not per-query."""
+    exact_ids = sim_cosine_topk_exact(spark, sf_dir).select("vec_id")
+    lsh_ids = sim_cosine_topk_lsh_exact(spark, sf_dir).select("vec_id")
+    return exact_ids.join(F.broadcast(lsh_ids), "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    ).select(
+        F.lit(10).cast("int").alias("k"),
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.lit(10.0)).alias("recall_at_k"),
+    )

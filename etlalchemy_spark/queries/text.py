@@ -759,3 +759,199 @@ def text_concat_chunk_packing(spark, sf_dir):
         F.expr(f"start_offset div {_PACK_W}").alias("window_id"),
         (F.col("start_offset") % _PACK_W).alias("within_offset"),
     )
+
+
+# --- benchmark decontamination (train-vs-eval n-gram overlap) ---------------
+
+_DECONTAM_SQL = f"""
+WITH tr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE {_bucket_sql("doc_id", "sp:")} < 800000
+), te AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE {_bucket_sql("doc_id", "sp:")} >= 900000
+), shtr AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
+    FROM tr)
+), shte AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
+    FROM te)
+)
+SELECT a.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(b.shingle) AS n_contaminated,
+       CAST(COUNT(b.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS contamination_ratio
+FROM shtr a LEFT JOIN shte b USING (shingle)
+GROUP BY a.doc_id
+HAVING COUNT(b.shingle) > 0
+"""
+
+
+@register("text_decontamination", oracle=_DECONTAM_SQL, tags=("text", "dedup"))
+def text_decontamination(spark, sf_dir):
+    """Benchmark decontamination — flag training documents sharing any
+    word 5-gram with the held-out eval split (the n-gram-overlap scrub
+    every pretraining pipeline runs before training). The splits reuse
+    the content-addressed ``sp:`` hash of ``sample_train_test_split``
+    (train = bucket < 80%, eval = the 10% test tail), so membership is
+    a pure function of the row on any engine. Scale shape: the eval
+    side is tiny at any corpus size (benchmarks are thousands of docs,
+    the corpus is billions), so its distinct shingle set BROADCASTS;
+    the train corpus is shingled narrowly and the only shuffle is the
+    per-doc count aggregate — no corpus-vs-corpus join anywhere."""
+    from etlalchemy_spark.operators.dedup import spread, word_shingles
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    d = spread(t(spark, sf_dir, "documents"), "doc_id")
+    b = hash_bucket(F.col("doc_id"), salt="sp:")
+    train = d.where(b < 800000)
+    test = d.where(b >= 900000)
+    tr_sh = word_shingles(train, "doc_id", "text", k=5)
+    te_sh = (
+        word_shingles(test, "doc_id", "text", k=5)
+        .select(F.col("shingle").alias("te_shingle"))
+        .distinct()
+    )
+    flagged = tr_sh.join(
+        F.broadcast(te_sh), tr_sh.shingle == F.col("te_shingle"), "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("te_shingle").alias("n_contaminated"),
+            (
+                F.count("te_shingle").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("contamination_ratio"),
+        )
+        .where(F.col("n_contaminated") > 0)
+    )
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+
+_BM25_TERMS = ("vector", "stream", "window", "merge", "filter")
+
+_BM25_CASES = "\n         + ".join(
+    f"COALESCE(MAX(CASE WHEN term = '{term}' THEN s END), 0.0)"
+    for term in _BM25_TERMS
+)
+
+_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM dl
+), toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE t IN {_BM25_TERMS!r}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+            / (CAST(dfreq.df AS DOUBLE) + 0.5))
+         * ((CAST(tf.tf AS DOUBLE) * 2.2)
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id,
+         {_BM25_CASES} AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score FROM per_doc ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("text_bm25_search", oracle=_BM25_SQL, tags=("text", "similarity"))
+def text_bm25_search(spark, sf_dir):
+    """BM25 top-20 retrieval over the corpus for a fixed 5-term query
+    (k1=1.2, b=0.75) — the standard lexical ranking next to
+    ``text_tfidf_topterms``'s per-doc characteristic terms. Like tfidf,
+    the idf keeps the RATIONAL core (N-df+0.5)/(df+0.5) instead of its
+    log: log() rounding is libm-specific while a division is correctly
+    rounded everywhere — same ranking, hash-exact scores. The per-doc
+    sum over query terms is a fixed-order chain of per-term MAX slots
+    (COALESCE(...,0) + ...), so the double addition order is identical
+    in both engines regardless of row order. Scale shape: tokens are
+    filtered to the 5 query terms BEFORE any shuffle, so the tf/df
+    aggregates touch a sliver of the corpus; the per-doc length pass is
+    a narrow expression (no explode); corpus stats and df broadcast;
+    the top-20 is a TakeOrderedAndProject, never a global sort."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), "[^a-z]+")
+    base = d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda x: x != "")).cast("bigint").alias("dl"),
+        F.explode(words).alias("term"),
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    dl = d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda x: x != "")).cast("bigint").alias("dl"),
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf").cast("double") * F.lit(2.2))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75)
+                            * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    slots = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == term, F.col("s"))), F.lit(0.0)
+        )
+        for term in _BM25_TERMS
+    ]
+    score = slots[0]
+    for extra in slots[1:]:
+        score = score + extra
+    return (
+        scored.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -238,3 +238,33 @@ def test_no_unpartitioned_windows_in_hot_queries(spark):
         if bad:
             offenders[name] = bad[0]
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_decontamination_broadcasts_eval_shingles(spark):
+    """The eval split's distinct shingle set must BROADCAST into the
+    train-side join (benchmarks stay tiny at any corpus scale); the
+    train corpus must never appear on the build side or in a
+    corpus-vs-corpus shuffle join."""
+    df = _q("text_decontamination").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_bm25_filters_before_shuffle_and_takeordered(spark):
+    """BM25's token explode is filtered to the query terms in the scan
+    stage (the tf/df aggregates touch a sliver of the corpus) and the
+    top-20 is a TakeOrderedAndProject, never a global sort."""
+    df = _q("text_bm25_search").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+
+
+def test_shingle_dedup_is_narrow(spark):
+    """word_shingles dedups per-doc via array_distinct BEFORE the
+    explode — the per-doc dedup must be visible as the narrow
+    array_distinct expression, not as an extra (id, shingle) distinct
+    shuffle of the whole shingle stream (which bought nothing: every
+    consumer re-shuffles on shingle or on id, never on the pair)."""
+    plan = explain_formatted(_q("dedup_ngram_jaccard").fn(spark, SF_DIR))
+    assert "array_distinct" in plan.lower()
