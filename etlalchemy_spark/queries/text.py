@@ -283,10 +283,21 @@ def text_tfidf_topterms(spark, sf_dir):
     # like it should share tf's shuffle, but measured SLOWER (1.32 s vs
     # 1.10 s median at sf0.1): the reuse doesn't materialize and the
     # dfreq broadcast then serializes behind the full (doc,term)
-    # aggregate, while this two-branch form computes both aggregates
-    # concurrently with map-side partials.
-    dfreq = toks.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    # aggregate, while the two-branch form computes both aggregates
+    # concurrently with map-side partials. The df branch dedups each
+    # doc's terms NARROWLY (array_distinct before the explode, same
+    # move as word_shingles) so it is one shuffle, not an exploded
+    # (doc, term) distinct followed by the per-term count (0.84 s →
+    # 0.61 s median at sf0.1).
+    dfreq = (
+        d.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), "[^a-z]+"))
+            ).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
