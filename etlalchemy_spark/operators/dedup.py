@@ -63,6 +63,14 @@ def word_shingles(
     """(id, shingle) pairs: distinct word k-grams of the normalized text.
     Pure expression pipeline: split → sequence → transform → explode.
 
+    CONTRACT: ``df`` must carry ONE ROW PER id (the documents table's
+    shape; run ``exact_dedup`` first if ids can repeat). Per-doc
+    dedup happens narrowly via ``array_distinct`` on the doc's own
+    gram list, so duplicate id rows would emit duplicate (id, shingle)
+    pairs and double every count-based consumer — the pre-r5 global
+    ``.distinct()`` tolerated that input but paid a corpus-sized
+    shuffle for it on every call.
+
     ``hashed=True`` replaces the shingle string with its xxhash64 —
     shuffle payload drops from ~k words to 8 bytes per shingle, which
     is what the MinHash pipeline joins on at scale (collision odds at

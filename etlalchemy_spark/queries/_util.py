@@ -119,3 +119,31 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), "etlalchemy_spark_scratch", f"{kind}_{tag}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def shingle_ctes(
+    k: int,
+    relation: str = "documents",
+    words_cte: str = "w",
+    sh_cte: str = "sh",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``operators.dedup.word_shingles`` as a pair of
+    CTE bodies (``words_cte`` + ``sh_cte``): distinct word k-grams per
+    id with the same trim/whitespace split and the same
+    GREATEST(len - (k-1), 1) short-doc clamp. DuckDB list slices are
+    end-INCLUSIVE, so the ``+ (k-1)`` span selects k words. Single
+    source of truth — the Jaccard / connected-components / MinHash /
+    boilerplate / decontamination oracles all embed this; edit shingle
+    semantics here and in word_shingles together."""
+    span = k - 1
+    return f"""{words_cte} AS (
+  SELECT {id_col}, regexp_split_to_array(trim(text), '\\s+') AS words FROM {relation}
+), {sh_cte} AS (
+  SELECT DISTINCT {id_col}, shingle FROM (
+    SELECT {id_col},
+           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - {span}, 1)),
+                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+{span}], ' '))) AS shingle
+    FROM {words_cte}
+  )
+)"""

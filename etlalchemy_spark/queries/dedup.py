@@ -20,7 +20,7 @@ from etlalchemy_spark.operators.dedup import (
 from etlalchemy_spark.operators.similarity import embedding_near_dup_pairs
 from etlalchemy_spark.operators.text import md5_fingerprint
 from etlalchemy_spark.registry import register
-from etlalchemy_spark.queries._util import t
+from etlalchemy_spark.queries._util import shingle_ctes, t
 
 _EXACT_SQL = """
 SELECT doc_id, lang, source, n_chars
@@ -67,17 +67,8 @@ def dedup_exact_content_hash(spark, sf_dir):
     )
 
 
-_JACCARD_SQL = """
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
-    FROM w
-  )
-), sizes AS (
+_JACCARD_SQL = f"""
+WITH {shingle_ctes(5)}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -130,17 +121,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-_CC_SQL = """
-WITH RECURSIVE w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
-    FROM w
-  )
-), sizes AS (
+_CC_SQL = f"""
+WITH RECURSIVE {shingle_ctes(5)}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -231,16 +213,7 @@ _MH_THRESHOLD = 0.2
 _MH_PARAMS = minhash_params(_MH_N)
 
 _HM_CTES = f"""
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - {_MH_K - 1}, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+{_MH_K - 1}], ' '))) AS shingle
-    FROM w
-  )
-), u AS (
+WITH {shingle_ctes(_MH_K)}, u AS (
   SELECT doc_id, shingle, md5_number_upper(shingle) AS u FROM sh
 ), h AS (
   SELECT doc_id, shingle, CAST((
@@ -669,17 +642,8 @@ def dedup_minhash_cc_exact(spark, sf_dir):
     )
 
 
-_PREFIX_JACCARD_SQL = """
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 2, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS shingle
-    FROM w
-  )
-), sizes AS (
+_PREFIX_JACCARD_SQL = f"""
+WITH {shingle_ctes(3)}, sizes AS (
   SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
@@ -707,17 +671,8 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     return prefix_filter_jaccard_pairs(d, "doc_id", "text", k=3, theta_num=3, theta_den=5)
 
 
-_CONTAIN_SQL = """
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
-    FROM w
-  )
-), sizes AS (
+_CONTAIN_SQL = f"""
+WITH {shingle_ctes(5)}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_inter

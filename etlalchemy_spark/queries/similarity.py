@@ -515,30 +515,52 @@ def sim_knn_batch_exact(spark, sf_dir):
 # --- ANN recall audit (exact vs LSH operating point) -----------------------
 
 _RECALL_AUDIT_SQL = f"""
-SELECT 10 AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_overlap,
-       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_k
-FROM ({_TOPK_SQL}) e JOIN ({_lsh_exact_sql()}) a USING (vec_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_neighbors,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM (SELECT vec_id FROM ({_TOPK_SQL}) WHERE vec_id <> 0) e
+LEFT JOIN (SELECT vec_id FROM ({_lsh_exact_sql()}) WHERE vec_id <> 0) a
+  USING (vec_id)
 """
 
 
 @register("sim_lsh_recall_audit", oracle=_RECALL_AUDIT_SQL, tags=("similarity", "approx"))
 def sim_lsh_recall_audit(spark, sf_dir):
-    """Recall@10 of the hyperplane-LSH top-k against the brute-force
-    ground truth — the similarity twin of ``dedup_lsh_recall`` /
-    ``sketch_hll_error_report``: the audit that tells you whether an
-    ANN operating point (here 6 planes, single-probe) is safe to ship
-    before pointing it at the full corpus. Both sides reuse the
-    oracle-exact formulations above, so the recall number itself is
-    engine-portable; the overlap join touches two <=k-row results
-    (broadcast), and the audit costs two corpus scans total —
+    """Neighbor recall of the hyperplane-LSH top-k against the
+    brute-force ground truth — the similarity twin of
+    ``dedup_lsh_recall`` / ``sketch_hll_error_report``: the audit that
+    tells you whether an ANN operating point (here 6 planes,
+    single-probe) is safe to ship before pointing it at the full
+    corpus. The query vector itself is EXCLUDED from both sides
+    (cosine(q, q) = 1 ranks first in any configuration, so counting it
+    would floor-bias the metric to 1/k even when the LSH retrieves no
+    real neighbor), and the denominator is the measured size of the
+    exact neighbor set — not a hard-coded k — so a changed operating
+    point can't silently skew the ratio. Both sides reuse the
+    oracle-exact formulations above; the overlap is one left join of
+    two <=k-row results (LSH side broadcast) aggregated in a single
+    pass, and the audit costs two corpus scans total —
     run-once-per-config, not per-query."""
-    exact_ids = sim_cosine_topk_exact(spark, sf_dir).select("vec_id")
-    lsh_ids = sim_cosine_topk_lsh_exact(spark, sf_dir).select("vec_id")
-    return exact_ids.join(F.broadcast(lsh_ids), "vec_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
-    ).select(
-        F.lit(10).cast("int").alias("k"),
-        "n_overlap",
-        (F.col("n_overlap").cast("double") / F.lit(10.0)).alias("recall_at_k"),
+    exact_ids = (
+        sim_cosine_topk_exact(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    lsh_ids = (
+        sim_cosine_topk_lsh_exact(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("a_vec_id"))
+    )
+    return (
+        exact_ids.join(
+            F.broadcast(lsh_ids), exact_ids.vec_id == F.col("a_vec_id"), "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_neighbors"),
+            F.count("a_vec_id").cast("bigint").alias("n_overlap"),
+            (
+                F.count("a_vec_id").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
     )

@@ -19,7 +19,7 @@ from etlalchemy_spark.operators.text import (
     token_count,
 )
 from etlalchemy_spark.registry import register
-from etlalchemy_spark.queries._util import t
+from etlalchemy_spark.queries._util import shingle_ctes, t
 
 _TOKENS_SQL = """
 SELECT doc_id,
@@ -288,7 +288,9 @@ def text_tfidf_topterms(spark, sf_dir):
     # doc's terms NARROWLY (array_distinct before the explode, same
     # move as word_shingles) so it is one shuffle, not an exploded
     # (doc, term) distinct followed by the per-term count (0.84 s →
-    # 0.61 s median at sf0.1).
+    # 0.61 s median at sf0.1). Same one-row-per-doc_id precondition as
+    # word_shingles: duplicate doc_id rows would count df per ROW
+    # while the oracle counts DISTINCT doc_id.
     dfreq = (
         d.select(
             F.explode(
@@ -320,17 +322,8 @@ def text_tfidf_topterms(spark, sf_dir):
     )
 
 
-_BOILERPLATE_SQL = """
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
-    FROM w
-  )
-)
+_BOILERPLATE_SQL = f"""
+WITH {shingle_ctes(5)}
 SELECT shingle, COUNT(*) AS n_docs
 FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
 """
@@ -776,22 +769,15 @@ def text_concat_chunk_packing(spark, sf_dir):
 
 _DECONTAM_SQL = f"""
 WITH tr AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  SELECT doc_id, text
   FROM documents WHERE {_bucket_sql("doc_id", "sp:")} < 800000
 ), te AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  SELECT doc_id, text
   FROM documents WHERE {_bucket_sql("doc_id", "sp:")} >= 900000
-), shtr AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
-    FROM tr)
-), shte AS (
-  SELECT DISTINCT shingle FROM (
-    SELECT UNNEST(list_transform(generate_series(1, GREATEST(len(words) - 4, 1)),
-                  i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+4], ' '))) AS shingle
-    FROM te)
+), {shingle_ctes(5, relation="tr", words_cte="wtr", sh_cte="shtr")},
+{shingle_ctes(5, relation="te", words_cte="wte", sh_cte="shte_full")},
+shte AS (
+  SELECT DISTINCT shingle FROM shte_full
 )
 SELECT a.doc_id,
        COUNT(*) AS n_shingles,

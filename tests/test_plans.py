@@ -244,10 +244,19 @@ def test_decontamination_broadcasts_eval_shingles(spark):
     """The eval split's distinct shingle set must BROADCAST into the
     train-side join (benchmarks stay tiny at any corpus scale); the
     train corpus must never appear on the build side or in a
-    corpus-vs-corpus shuffle join."""
+    corpus-vs-corpus shuffle join. Pinned structurally: the overlap
+    join is specifically a LeftOuter BuildRight broadcast hash join
+    (train stream side, eval build side), and NO sort-merge join may
+    appear anywhere in the plan."""
     df = _q("text_decontamination").fn(spark, SF_DIR)
-    assert has_broadcast_join(df)
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" not in plan
     assert not has_cartesian(df)
+    import re
+
+    m = re.search(r"BroadcastHashJoin LeftOuter (Build\w+)", plan)
+    assert m, f"no LeftOuter broadcast hash join in plan:\n{plan[:2000]}"
+    assert m.group(1) == "BuildRight", "eval side must be the build side"
 
 
 def test_bm25_filters_before_shuffle_and_takeordered(spark):
