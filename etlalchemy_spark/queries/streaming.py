@@ -223,3 +223,38 @@ def stream_static_enrich(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     return drain_to_memory(static_enrich_counts(ev, cust, nat), "complete")
+
+
+@register("stream_decontam_scrub", oracle=None, tags=("streaming", "dedup", "text"))
+def stream_decontam_scrub(spark, sf_dir):
+    """Streaming benchmark-decontamination scrub: the arriving TRAIN
+    corpus (content-addressed ``sp:`` split, same as the batch op) is
+    shingled in-flight and stream-static joined against the broadcast
+    eval 5-gram set; per-doc contamination counts aggregate in complete
+    mode. The batch twin ``text_decontamination`` carries the SQL
+    oracle (its n_contaminated column over the same split and shingle
+    semantics)."""
+    from etlalchemy_spark.catalog import load_table
+    from etlalchemy_spark.operators.dedup import word_shingles
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.streaming.documents import (
+        decontam_hit_counts,
+        read_documents_stream,
+    )
+
+    train = read_documents_stream(spark, sf_dir).where(
+        hash_bucket(F.col("doc_id"), salt="sp:") < 800000
+    )
+    eval_sh = (
+        word_shingles(
+            load_table(spark, sf_dir, "documents").where(
+                hash_bucket(F.col("doc_id"), salt="sp:") >= 900000
+            ),
+            "doc_id",
+            "text",
+            k=5,
+        )
+        .select(F.col("shingle").alias("te_shingle"))
+        .distinct()
+    )
+    return drain_to_memory(decontam_hit_counts(train, eval_sh), "complete")

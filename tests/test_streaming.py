@@ -121,3 +121,21 @@ def test_foreach_batch_sink_loses_nothing(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert landed.count() == ev.count()  # the docstring's claim, enforced
     assert landed.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_decontam_equals_batch(spark):
+    """The streaming scrub's per-doc contamination counts must equal
+    the batch twin's n_contaminated exactly (same split, same shingle
+    semantics, integer counts — no float slack)."""
+    from etlalchemy_spark.registry import all_queries
+
+    qs = all_queries()
+    s = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in qs["stream_decontam_scrub"].fn(spark, SF_DIR).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in qs["text_decontamination"].fn(spark, SF_DIR).collect()
+    }
+    assert s == b
