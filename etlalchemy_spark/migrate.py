@@ -204,7 +204,18 @@ class Migration:
         if t.fmt in ("duckdb", "sqlite"):
             return t.path + ".manifest.json"
         if t.fmt == "jdbc":
-            h = hashlib.md5(t.path.encode()).hexdigest()[:12]
+            # key the default manifest on the (source, destination)
+            # PAIR: keyed on the destination url alone, a later
+            # migration from a DIFFERENT source to the same database
+            # would adopt the first run's manifest and silently skip
+            # its own tables as 'loaded'. Distinct migrations now get
+            # distinct manifests; concurrent runs of the SAME pair
+            # still race — point manifest_path at durable per-run
+            # storage for those.
+            src_id = getattr(self.source, "url", None) or getattr(
+                self.source, "path", ""
+            )
+            h = hashlib.md5(f"{src_id}->{t.path}".encode()).hexdigest()[:12]
             return os.path.join(
                 tempfile.gettempdir(), f"etlalchemy_spark_manifest_{h}.json"
             )

@@ -420,6 +420,12 @@ def dedup_incremental_pipeline_exact(spark, sf_dir):
         bands=_MH_BANDS,
         threshold=_MH_THRESHOLD,
         store_bands=bands_tbl,
+        # batch and store are disjoint BY CONSTRUCTION (doc_id % 5
+        # split); the guard's left-semi probe would otherwise force a
+        # second full signing of the store corpus per run, because this
+        # self-contained query builds its band store in-plan rather
+        # than reading a persisted one
+        check_disjoint=False,
     )
     return matches
 

@@ -303,7 +303,7 @@ def bulk_load_statements(
                 f"LOAD DATA LOCAL INFILE '{_sql_path(f)}' INTO TABLE {q} "
                 f"FIELDS TERMINATED BY '{delim}' OPTIONALLY ENCLOSED BY '\"' "
                 f"ESCAPED BY '\\\\'"
-                + (collist if columns else "")
+                + collist
             )
         elif dialect == "duckdb":
             # quote-doubling escape + quoted-null rejection: the exact
@@ -548,12 +548,12 @@ def _parse_rfc4180(fh, delimiter: str = ","):
         # an empty line is still a record: a single-column NULL row
         # stages as a bare terminator
         yield _parse_record(text, delimiter)
-    if pending:
-        if in_q:
-            raise ValueError("unterminated quoted field in staged CSV")
-        text = "".join(pending)
-        if text:
-            yield _parse_record(text, delimiter)
+    if in_q:
+        raise ValueError("unterminated quoted field in staged CSV")
+    # the loop yields (and clears pending) on every record boundary,
+    # including a final line with no trailing newline — leftover lines
+    # without an open quote cannot occur
+    assert not pending
 
 
 def _sqlite_converters(df: DataFrame):

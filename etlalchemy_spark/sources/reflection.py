@@ -152,14 +152,18 @@ def information_schema_query(catalog: str | None = None, schema: str | None = No
     MySQL/Postgres/MSSQL; Oracle would use ALL_TABLES. Names come back
     SCHEMA-QUALIFIED like every other branch — otherwise tables outside
     the connection's default schema are unreadable and same-named
-    tables in two schemas would silently collapse to one destination."""
+    tables in two schemas would silently collapse to one destination.
+    Qualification uses CONCAT(), not ``||``: ``||`` is logical OR under
+    MySQL's default sql_mode (every name would evaluate to '0'/'1') and
+    a syntax error on SQL Server, while CONCAT() is accepted by MySQL,
+    SQL Server (2012+), and Postgres alike."""
     where = ["table_type = 'BASE TABLE'"]
     if catalog:
         where.append(f"table_catalog = {_sql_lit(catalog)}")
     if schema:
         where.append(f"table_schema = {_sql_lit(schema)}")
     return (
-        "(SELECT table_schema || '.' || table_name AS table_name "
+        "(SELECT CONCAT(table_schema, '.', table_name) AS table_name "
         "FROM information_schema.tables WHERE "
         + " AND ".join(where)
         + ") t"
