@@ -352,3 +352,25 @@ def test_resume_still_validates_fks_for_skipped_tables(spark, tmp_path):
         migmod.fk_orphan_count = real
     assert reports == []  # both tables skipped...
     assert calls == ["nation"]  # ...but the FK check still ran
+
+
+def test_jdbc_manifest_keyed_on_source_and_destination():
+    """The default JDBC resume manifest must differ when the SOURCE
+    differs, even for the same destination url — otherwise a second
+    migration from another source adopts the first run's manifest and
+    silently skips its tables as 'loaded'."""
+    from etlalchemy_spark.migrate import FileSource, JdbcSource, Migration, Target
+
+    dst = Target(path="jdbc:derby:memory:manifestkey", fmt="jdbc")
+    a = Migration(source=FileSource(path="/data/a"), target=dst)
+    b = Migration(source=FileSource(path="/data/b"), target=dst)
+    c = Migration(source=JdbcSource(url="jdbc:derby:memory:src"), target=dst)
+    paths = {a._manifest_path(), b._manifest_path(), c._manifest_path()}
+    assert len(paths) == 3
+    # same (source, destination) pair stays stable across runs
+    assert a._manifest_path() == Migration(
+        source=FileSource(path="/data/a"), target=dst
+    )._manifest_path()
+    # explicit manifest_path still wins
+    e = Target(path="jdbc:derby:memory:manifestkey", fmt="jdbc", manifest_path="/x/m.json")
+    assert Migration(source=a.source, target=e)._manifest_path() == "/x/m.json"
