@@ -952,3 +952,73 @@ def text_bm25_search(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- corpus snapshot diff (dataset versioning) ------------------------------
+
+_SNAPDIFF_SQL = f"""
+WITH v1 AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE {_bucket_sql("doc_id", "add:")} >= 50000
+), v2 AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN {_bucket_sql("doc_id", "rev:")} < 100000
+                THEN text || ' rev2' ELSE text END)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE {_bucket_sql("doc_id", "rm:")} >= 50000
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+"""
+
+
+@register("text_corpus_snapshot_diff", oracle=_SNAPDIFF_SQL, tags=("text", "etl"))
+def text_corpus_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff — the dataset-versioning op between two
+    corpus versions: added / removed / changed doc ids by whole-content
+    fingerprint compare (changed = present in both, normalized-md5
+    differs). The versions are simulated deterministically from the one
+    fixture corpus (content-addressed hash slices: 5% absent from v1 =
+    'added', 5% dropped from v2 = 'removed', 10% of v2 revised =
+    'changed'), so the query is reproducible on any engine. Scale
+    shape: each side reduces to (doc_id, 16-byte fp) narrowly before
+    the single full-outer equi-join on doc_id — the join payload is
+    fingerprints, never document bodies, and unchanged docs (the
+    overwhelming majority between real snapshots) are filtered by the
+    fp compare without leaving the join stage."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.operators.text import md5_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    v1 = d.where(hash_bucket(F.col("doc_id"), "add:") >= 50000).select(
+        F.col("doc_id").alias("id1"), md5_fingerprint(F.col("text")).alias("fp1")
+    )
+    rev = F.when(
+        hash_bucket(F.col("doc_id"), "rev:") < 100000,
+        F.concat(F.col("text"), F.lit(" rev2")),
+    ).otherwise(F.col("text"))
+    v2 = d.where(hash_bucket(F.col("doc_id"), "rm:") >= 50000).select(
+        F.col("doc_id").alias("id2"), md5_fingerprint(rev).alias("fp2")
+    )
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    status = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.where(
+            F.col("id1").isNull()
+            | F.col("id2").isNull()
+            | (F.col("fp1") != F.col("fp2"))
+        )
+        .select(
+            F.coalesce(F.col("id1"), F.col("id2")).alias("doc_id"),
+            status.alias("status"),
+        )
+    )
