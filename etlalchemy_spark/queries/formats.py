@@ -330,3 +330,49 @@ def fmt_csv_mysql_dialect(spark, sf_dir):
         nullValue=r"\N",
         escape="\\",
     )
+
+
+_PYDS_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("fmt_python_datasource_pushdown", oracle=_PYDS_SQL, tags=("sources", "pyds"))
+def fmt_python_datasource_pushdown(spark, sf_dir):
+    """Spark 4 Python Data Source API: the W1 duckdb-dialect dump read
+    back through the custom ``dialect_csv`` source
+    (sources/pydatasource.py) — one InputPartition per part file, Arrow
+    RecordBatch reads, and SOURCE-SIDE filter pushdown: the price/status
+    predicates are applied to Arrow columns inside the Python worker,
+    so rejected rows never cross the Arrow→JVM boundary (the pushed
+    scan is pinned equal to Spark's generic CSV reader on the same
+    dialect options in tests/test_pydatasource.py)."""
+    from etlalchemy_spark.sources.files import write_csv_for_bulk_load
+    from etlalchemy_spark.sources.pydatasource import register_dialect_csv
+
+    register_dialect_csv(spark)
+    orders = t(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir("pyds", sf_dir), "orders_dialect_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_csv_for_bulk_load(orders, path, dialect="duckdb")
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    back = spark.read.format("dialect_csv").schema(schema).load(path)
+    return (
+        back.where((F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -215,3 +215,42 @@ def graph_kcore_peel(spark, sf_dir):
         if r + 1 < rounds:
             sym = sym.localCheckpoint(eager=False)
     return sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_nationkey AS BIGINT) + 1000 AS child,
+         CAST(n_regionkey AS BIGINT) AS parent FROM nation
+  UNION ALL
+  SELECT CAST(s_suppkey AS BIGINT) + 2000 AS child,
+         CAST(s_nationkey AS BIGINT) + 1000 AS parent FROM supplier
+), closure AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS node,
+         CAST(r_regionkey AS BIGINT) AS root, 0 AS depth FROM region
+  UNION ALL
+  SELECT e.child AS node, c.root, c.depth + 1 AS depth
+  FROM closure c JOIN edges e ON e.parent = c.node
+)
+SELECT root, depth, COUNT(*) AS n_nodes, SUM(node) AS node_sum
+FROM closure GROUP BY root, depth
+"""
+
+
+@register("graph_recursive_closure", oracle=_RECURSIVE_SQL, tags=("graph", "sql", "iterative"))
+def graph_recursive_closure(spark, sf_dir):
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): transitive closure of
+    the region→nation→supplier hierarchy (keys offset into disjoint id
+    spaces), reporting subtree size and id-sum per (root, depth). Like
+    sql_api_passthrough, the ORACLE TEXT ITSELF runs on both engines —
+    recursive CTEs are the first iterative construct the two engines
+    share syntactically. Execution is a UnionLoop: each step is one
+    equi-join shuffle of the frontier against edges, and the step count
+    is the HIERARCHY DEPTH (2 here), not the data size — the same
+    superstep structure connected_components builds imperatively
+    (operators/graph.py), declared in portable SQL. Frontier rows per
+    step are bounded by the dimension hierarchy, so at 100 TB the
+    recursion never touches fact tables."""
+    from etlalchemy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

@@ -480,3 +480,35 @@ def join_dynamic_partition_pruning(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM nation,
+LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top_c
+"""
+
+
+@register("join_lateral_topk", oracle=_LATERAL_SQL, tags=("joins", "lateral"))
+def join_lateral_topk(spark, sf_dir):
+    """Correlated lateral join (Spark 4 ``DataFrame.lateralJoin``): for
+    each nation row the right side references that row's n_nationkey via
+    ``.outer()`` and returns its top-2 customers by balance. Catalyst
+    DECORRELATES the per-row LIMIT — the physical plan is a
+    partial+final WindowGroupLimit over the customer side (map-side
+    top-k pruning before the single shuffle on the correlation key)
+    joined back to the broadcast outer — so at 100 TB this costs the
+    same as the hand-written top-k-per-group window
+    (window_topk_per_group), never a per-outer-row re-scan, while
+    keeping the per-row subquery semantics users write naturally."""
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    sub = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return nation.lateralJoin(sub).select("n_name", "c_custkey", "c_name", "c_acctbal")

@@ -277,3 +277,70 @@ def test_shingle_dedup_is_narrow(spark):
     consumer re-shuffles on shingle or on id, never on the pair)."""
     plan = explain_formatted(_q("dedup_ngram_jaccard").fn(spark, SF_DIR))
     assert "array_distinct" in plan.lower()
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    # The correlated LIMIT-per-outer-row must NOT execute as a per-row
+    # re-scan or nested loop: Catalyst rewrites it to partial+final
+    # WindowGroupLimit (map-side top-k pruning) + one shuffle on the
+    # correlation key + broadcast of the bounded outer side.
+    df = _q("join_lateral_topk").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan
+    assert not has_cartesian(df)
+    assert has_broadcast_join(df)
+
+
+def test_variant_extract_single_parse_no_udf(spark):
+    # One parse_json feeding every extraction; whole plan stays JVM-side.
+    df = _q("scalar_variant_extract").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "pythonudf" not in plan.lower()
+    assert not has_cartesian(df)
+
+
+def test_recursive_closure_matches_hand_rolled_joins(spark):
+    # Cross-check WITH RECURSIVE against the equivalent explicit
+    # bounded-depth join cascade (depth = hierarchy height = 2).
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.queries._util import t
+
+    df = _q("graph_recursive_closure").fn(spark, SF_DIR)
+    got = {(r.root, r.depth): (r.n_nodes, r.node_sum) for r in df.collect()}
+
+    region = t(spark, SF_DIR, "region").select(
+        F.col("r_regionkey").cast("bigint").alias("node"),
+        F.col("r_regionkey").cast("bigint").alias("root"),
+        F.lit(0).alias("depth"),
+    )
+    nation = t(spark, SF_DIR, "nation").select(
+        (F.col("n_nationkey").cast("bigint") + 1000).alias("child"),
+        F.col("n_regionkey").cast("bigint").alias("parent"),
+    )
+    supplier = t(spark, SF_DIR, "supplier").select(
+        (F.col("s_suppkey").cast("bigint") + 2000).alias("child"),
+        (F.col("s_nationkey").cast("bigint") + 1000).alias("parent"),
+    )
+    edges = nation.unionAll(supplier)
+    frontier, levels = region, [region]
+    for _ in range(2):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.parent)
+            .select(
+                F.col("child").alias("node"),
+                "root",
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        levels.append(frontier)
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.unionAll(lv)
+    want = {
+        (r.root, r.depth): (r.n_nodes, r.node_sum)
+        for r in closure.groupBy("root", "depth")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("node").alias("node_sum"))
+        .collect()
+    }
+    assert got == want
