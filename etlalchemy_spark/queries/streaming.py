@@ -258,3 +258,27 @@ def stream_decontam_scrub(spark, sf_dir):
         .distinct()
     )
     return drain_to_memory(decontam_hit_counts(train, eval_sh), "complete")
+
+
+@register("stream_pyds_replay_tumbling", oracle=None, tags=("streaming", "pyds"))
+def stream_pyds_replay_tumbling(spark, sf_dir):
+    """The Spark 4 Python Data Source STREAMING leg
+    (sources/pydatasource.py EventsReplayStreamReader): the events
+    fixture replayed through a custom ``DataSourceStreamReader`` as
+    deterministic row-range micro-batches (multiple tasks per batch),
+    feeding the SAME tumbling-window aggregation as
+    stream_tumbling_counts — so the result is pinned equal to the
+    oracle-exact batch twin events_tumbling_1h regardless of how rows
+    were sliced into triggers (tested across batch sizes in
+    tests/test_pydatasource.py)."""
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.sources.pydatasource import register_events_replay
+
+    register_events_replay(spark)
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("rowsperbatch", 4000)
+        .option("tasksperbatch", 4)
+        .load(table_path(sf_dir, "events"))
+    )
+    return drain_to_memory(tumbling_counts(ev), "complete")

@@ -27,17 +27,22 @@ no Python row loop anywhere.
 Parsing pins the duckdb/sqlite "lossless" conventions from
 CSV_DIALECT_OPTIONS: RFC-4180 quote doubling, unquoted empty = NULL,
 quoted "" = empty string (``quoted_strings_can_be_null=False``).
+
+The module also carries the STREAMING leg of the same API:
+``events_replay`` (``DataSourceStreamReader``) replays an events
+parquet as deterministic row-range micro-batches with task-level
+parallelism inside each batch — see EventsReplayStreamReader.
 """
 
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -103,15 +108,21 @@ class DialectCsvReader(DataSourceReader):
 
     # -- planning ---------------------------------------------------------
 
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Keep the filters we can evaluate on Arrow columns; everything
-        else goes back to Spark (must be the input objects by reference)."""
+        else goes back to Spark (must be the input objects by reference).
+        Partitioned EAGERLY: a lazy generator would only populate
+        self._pushed as Spark drains it, racing the pickling of self
+        for read() — the contract allows mutating self, so mutate it
+        before returning."""
         names = {f.name for f in self._schema.fields}
+        residual = []
         for f in filters:
             if self._supported(f, names):
                 self._pushed.append(f)
             else:
-                yield f
+                residual.append(f)
+        return residual
 
     def _supported(self, f: Filter, names: set[str]) -> bool:
         if isinstance(f, Not):
@@ -261,8 +272,135 @@ def register_dialect_csv(spark) -> None:
     (DATA_SOURCE_PUSHDOWN_DISABLED) — there is no silent unpushed
     fallback, so a failed set here surfaces loudly at first read."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    key = spark.sparkContext.applicationId
+    key = ("dialect_csv", spark.sparkContext.applicationId)
     if key in _REGISTERED:
         return
     spark.dataSource.register(DialectCsvDataSource)
+    _REGISTERED.add(key)
+
+
+# ---------------------------------------------------------------------------
+# Streaming leg: deterministic replay of an events parquet as micro-batches
+# ---------------------------------------------------------------------------
+
+STREAM_FORMAT_NAME = "events_replay"
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+@dataclass
+class _RowRangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class EventsReplayStreamReader(DataSourceStreamReader):
+    """Partitioned streaming reader (``DataSourceStreamReader``, not the
+    driver-only Simple variant): offsets are ROW positions into the
+    ordered parquet file list; each trigger advances the cursor by
+    ``rowsPerBatch`` rows and ``partitions(start, end)`` splits the
+    range into ``tasksPerBatch`` contiguous sub-ranges — one Spark task
+    each, so a micro-batch scans in parallel. Planning touches only
+    footer metadata (num_rows per file); no data is read on the driver.
+
+    At fixture scale ``read`` slices whole-file Arrow reads; at 100 TB
+    the same offset model maps ranges onto file/row-group boundaries so
+    each task reads only its row groups — the planner already tracks
+    per-file row spans to make that split."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        import pyarrow.parquet as pq
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("events_replay requires a path (option or load(path))")
+        self._rows_per_batch = int(options.get("rowsperbatch", 4000))
+        self._tasks_per_batch = max(1, int(options.get("tasksperbatch", 2)))
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        spans = []  # (file, first_row, last_row_exclusive)
+        total = 0
+        for f in files:
+            n = pq.ParquetFile(f).metadata.num_rows
+            spans.append((f, total, total + n))
+            total += n
+        self._spans = spans
+        self._total = total
+        self._cursor = 0
+
+    # -- offset management (driver) ---------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._cursor = min(self._cursor + self._rows_per_batch, self._total)
+        return {"row": self._cursor}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["row"]), int(end["row"])
+        if s >= e:
+            return []
+        n = min(self._tasks_per_batch, e - s)
+        step = (e - s + n - 1) // n
+        return [_RowRangePartition(i, min(i + step, e)) for i in range(s, e, step)]
+
+    def commit(self, end: dict) -> None:
+        pass  # replay source: nothing to release
+
+    # -- execution (executors) --------------------------------------------
+
+    def read(self, partition: _RowRangePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for f, first, last in self._spans:
+            lo, hi = max(partition.start, first), min(partition.end, last)
+            if lo >= hi:
+                continue
+            table = pq.read_table(f, memory_map=True).slice(lo - first, hi - lo)
+            ts = table.column("ts")
+            if pa.types.is_timestamp(ts.type) and ts.type.tz is None:
+                # nanos fixtures truncate to µs (the catalog's scan-time
+                # convention), then pin the UTC zone Spark expects
+                ts = pc.assume_timezone(ts.cast(pa.timestamp("us")), "UTC")
+                table = table.set_column(
+                    table.schema.get_field_index("ts"),
+                    pa.field("ts", ts.type),
+                    ts,
+                )
+            yield from table.to_batches()
+
+
+class EventsReplayDataSource(DataSource):
+    """``spark.readStream.format("events_replay").load(path)`` — the
+    events fixture replayed as a deterministic micro-batch stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return STREAM_FORMAT_NAME
+
+    def schema(self) -> str:
+        return EVENTS_DDL
+
+    def streamReader(self, schema: StructType) -> EventsReplayStreamReader:
+        return EventsReplayStreamReader(schema, self.options)
+
+
+def register_events_replay(spark) -> None:
+    """Idempotently register the streaming source with this session."""
+    key = ("events_replay", spark.sparkContext.applicationId)
+    if key in _REGISTERED:
+        return
+    spark.dataSource.register(EventsReplayDataSource)
     _REGISTERED.add(key)

@@ -156,3 +156,69 @@ def test_empty_table_roundtrip(spark, tmp_path):
     back = spark.read.format("dialect_csv").schema(SCHEMA).load(path)
     assert back.count() == 0
     assert back.schema == StructType.fromDDL(SCHEMA)
+
+
+# -- streaming leg (events_replay) ----------------------------------------
+
+
+def test_replay_stream_equals_batch_twin_across_batch_sizes(spark):
+    # The tumbling aggregate must be independent of how the replay
+    # source slices rows into micro-batches: tiny triggers (many
+    # batches, 2 tasks each) and one-shot (single batch) both equal
+    # the oracle-exact batch twin.
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.registry import all_queries
+    from etlalchemy_spark.sources.pydatasource import register_events_replay
+    from etlalchemy_spark.streaming.events import drain_to_memory, tumbling_counts
+
+    register_events_replay(spark)
+    twin = sorted(
+        map(tuple, all_queries()["events_tumbling_1h"].fn(spark, SF_DIR).collect())
+    )
+    for rows_per_batch in (300, 10**9):
+        ev = (
+            spark.readStream.format("events_replay")
+            .option("rowsperbatch", rows_per_batch)
+            .option("tasksperbatch", 2)
+            .load(table_path(SF_DIR, "events"))
+        )
+        got = sorted(map(tuple, drain_to_memory(tumbling_counts(ev), "complete").collect()))
+        assert got == twin, f"rowsperbatch={rows_per_batch}"
+
+
+def test_replay_offsets_partitions_cover_exactly_once(spark):
+    # Offset/partition arithmetic: consecutive [start, end) ranges tile
+    # the row space with no overlap and no gap, split into at most
+    # tasksPerBatch non-empty sub-ranges. (spark fixture: fromDDL needs
+    # an active session.)
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.sources.pydatasource import EventsReplayStreamReader
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("event_id bigint")
+    reader = EventsReplayStreamReader(
+        schema,
+        {"path": table_path(SF_DIR, "events"), "rowsperbatch": 333, "tasksperbatch": 3},
+    )
+    assert reader.initialOffset() == {"row": 0}
+    seen = []
+    prev = reader.initialOffset()
+    while True:
+        nxt = reader.latestOffset()
+        parts = reader.partitions(prev, nxt)
+        if nxt["row"] == prev["row"]:
+            assert parts == []
+            break
+        assert 1 <= len(parts) <= 3
+        for p in parts:
+            assert p.start < p.end
+            seen.append((p.start, p.end))
+        prev = nxt
+    # exactly-once tiling of [0, total), total taken from the footer
+    import pyarrow.parquet as pq
+
+    expected = pq.ParquetFile(table_path(SF_DIR, "events")).metadata.num_rows
+    seen.sort()
+    assert seen[0][0] == 0
+    assert all(a[1] == b[0] for a, b in zip(seen, seen[1:]))
+    assert seen[-1][1] == reader._total == expected

@@ -31,6 +31,7 @@ EXACT_TWINS = {
     "stream_stateful_user_counts": "events_power_users_p95",
     "stream_static_enrich": "events_user_enrich",
     "stream_stream_join": "events_click_view_attrib",
+    "stream_pyds_replay_tumbling": "events_tumbling_1h",
     "stream_tumbling_counts": "events_tumbling_1h",
     "stream_tws_running_totals": "events_power_users_p95",
 }
