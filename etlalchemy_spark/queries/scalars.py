@@ -426,3 +426,78 @@ def scalar_variant_extract(spark, sf_dir):
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
         F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+_COLLATION_SQL = """
+SELECT lower(seg) AS seg, COUNT(*) AS n
+FROM (
+  SELECT CASE WHEN c_custkey % 2 = 0
+              THEN concat(upper(substr(c_mktsegment, 1, 1)),
+                          lower(substr(c_mktsegment, 2)))
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+GROUP BY lower(seg)
+"""
+
+
+@register("scalar_collation_group", oracle=_COLLATION_SQL, tags=("scalar", "collation"))
+def scalar_collation_group(spark, sf_dir):
+    """String collations (Spark 4): rows carry the segment in two
+    casings (Initcap for even keys, lower otherwise); grouping on the
+    column COLLATED as UTF8_LCASE merges them into one group per
+    segment — the engine-level alternative to sprinkling lower() into
+    every comparison, and unlike lower() it composes with comparisons,
+    joins and sorts at no expression cost. The emitted key is
+    normalized with lower() only for display determinism (the collated
+    group's representative value is otherwise partition-order
+    dependent); the ORACLE does the whole thing with lower() — same
+    result, proving the collation semantics."""
+    c = t(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.initcap("c_mktsegment"))
+        .otherwise(F.lower(F.col("c_mktsegment")))
+        .alias("seg")
+    )
+    return mixed.groupBy(F.collate("seg", "UTF8_LCASE").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lower("k").alias("seg"), "n")
+
+
+_PARAM_SQL_TEXT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderdate >= :start_ts
+  AND o_totalprice > :min_price
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_parameterized_query",
+    oracle=_PARAM_SQL_TEXT.replace(":start_ts", "TIMESTAMP '1995-06-01 00:00:00'").replace(
+        ":min_price", "100000"
+    ),
+    tags=("sql",),
+)
+def sql_parameterized_query(spark, sf_dir):
+    """Parameterized spark.sql (named markers + args dict): the SQL
+    TEXT is constant and the values bind as literals server-side — no
+    string interpolation, no injection surface, and one parse/plan
+    cache entry for every parameter set. The oracle is the same text
+    with the literals inlined."""
+    from etlalchemy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    import datetime
+
+    return spark.sql(
+        _PARAM_SQL_TEXT,
+        args={
+            "start_ts": datetime.datetime(1995, 6, 1),
+            "min_price": 100000,
+        },
+    )

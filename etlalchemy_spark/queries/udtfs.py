@@ -74,3 +74,50 @@ def udtf_sentence_split(spark, sf_dir):
         """
     )
     return out.select("doc_id", "sent_idx", F.length("sentence").alias("sent_len"))
+
+
+_SQL_UDF_SQL = """
+SELECT band, COUNT(*) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS total_price
+FROM (
+  SELECT CASE WHEN p_retailprice < 930 THEN 'low'
+              WHEN p_retailprice < 970 THEN 'mid'
+              ELSE 'high' END AS band,
+         p_retailprice
+  FROM part
+)
+GROUP BY band
+"""
+
+
+@register("udf_sql_scalar", oracle=_SQL_UDF_SQL, tags=("sql", "udf"))
+def udf_sql_scalar(spark, sf_dir):
+    """SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN): the
+    price-banding logic is declared once as a catalog function and
+    INLINED by the analyzer into the calling query — the plan is the
+    same CASE expression a hand-written projection produces (whole-
+    stage codegen, no Python boundary, unlike every interpreted UDF).
+    This is the scalable replacement for the reference's per-row
+    Python cleaning hooks (D1): shared logic without leaving the JVM."""
+    from etlalchemy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 930 THEN 'low'
+                    WHEN p < 970 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT band, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)))
+                    AS DECIMAL(38,4)) :: DOUBLE AS total_price
+        FROM (SELECT price_band(p_retailprice) AS band, p_retailprice FROM part)
+        GROUP BY band
+        """
+    )

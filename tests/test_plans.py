@@ -344,3 +344,21 @@ def test_recursive_closure_matches_hand_rolled_joins(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sql_udf_inlines_to_codegen_no_python(spark):
+    # The SQL-defined scalar UDF must inline into the calling plan —
+    # a CASE expression inside WholeStageCodegen, never a Python eval.
+    df = _q("udf_sql_scalar").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "pythonudf" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_collation_group_single_aggregate(spark):
+    # Collated grouping is a plain hash aggregate on the collated key —
+    # no extra shuffle or sort beyond the one aggregation exchange.
+    df = _q("scalar_collation_group").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert plan.count("Exchange") <= 2  # partial+final agg exchange (AQE may reuse)
+    assert "pythonudf" not in plan.lower()
