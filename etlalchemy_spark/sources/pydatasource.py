@@ -114,15 +114,41 @@ class DialectCsvReader(DataSourceReader):
         Partitioned EAGERLY: a lazy generator would only populate
         self._pushed as Spark drains it, racing the pickling of self
         for read() — the contract allows mutating self, so mutate it
-        before returning."""
+        before returning.
+
+        Accepted temporal literals are normalized HERE (driver/planner
+        process), not at mask time: PySpark materializes TimestampType
+        filter values via ``fromInternal`` as tz-NAIVE datetimes in this
+        process's LOCAL time, so the instant is only recoverable in the
+        same process — ``_normalize_temporal`` re-attaches the local
+        offset before the filter is pickled to executors (whose local
+        zone may differ)."""
         names = {f.name for f in self._schema.fields}
         residual = []
         for f in filters:
             if self._supported(f, names):
-                self._pushed.append(f)
+                self._pushed.append(self._normalize_temporal(f))
             else:
                 residual.append(f)
         return residual
+
+    @staticmethod
+    def _normalize_temporal(f: Filter) -> Filter:
+        """Rewrite naive-datetime comparison literals to aware (local
+        offset → exact instant); non-temporal filters pass through
+        unchanged. ``fromtimestamp``'s naive result is this process's
+        wall clock, so ``astimezone()`` (which assumes local for naive
+        input) is the exact inverse."""
+        import dataclasses
+        import datetime
+
+        if isinstance(f, Not):
+            child = DialectCsvReader._normalize_temporal(f.child)
+            return f if child is f.child else Not(child)
+        v = getattr(f, "value", None)
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            return dataclasses.replace(f, value=v.astimezone())
+        return f
 
     def _supported(self, f: Filter, names: set[str]) -> bool:
         if isinstance(f, Not):
@@ -224,7 +250,15 @@ class DialectCsvReader(DataSourceReader):
         import pyarrow.compute as pc
 
         if isinstance(f, Not):
-            return pc.invert(self._mask(table, f.child))
+            inv = pc.invert(self._mask(table, f.child))
+            if isinstance(f.child, In):
+                # SQL three-valued semantics: `col NOT IN (...)` is NULL
+                # (row dropped) for a NULL col, but pc.is_in returns
+                # false (not null) there, so a bare invert would KEEP
+                # NULL rows. Mask them out explicitly. (Plain
+                # Not(EqualTo) is safe: invert(null) = null.)
+                return pc.and_(inv, pc.is_valid(table.column(f.child.attribute[0])))
+            return inv
         col = table.column(f.attribute[0])
         if isinstance(f, IsNull):
             return pc.is_null(col)
@@ -261,22 +295,23 @@ class DialectCsvDataSource(DataSource):
         return DialectCsvReader(schema, self.options)
 
 
-_REGISTERED: set[str] = set()
-
-
 def register_dialect_csv(spark) -> None:
-    """Idempotently register the source with this session and enable
-    Python-source filter pushdown (a runtime conf). The conf is
-    REQUIRED, not advisory: Spark 4.1 refuses to plan a reader that
-    implements pushFilters while it is off
-    (DATA_SOURCE_PUSHDOWN_DISABLED) — there is no silent unpushed
-    fallback, so a failed set here surfaces loudly at first read."""
+    """Register the source with this session and enable Python-source
+    filter pushdown (a runtime conf). The conf is REQUIRED, not
+    advisory: Spark 4.1 refuses to plan a reader that implements
+    pushFilters while it is off (DATA_SOURCE_PUSHDOWN_DISABLED) — there
+    is no silent unpushed fallback, so a failed set here surfaces
+    loudly at first read.
+
+    Registration is unconditional: same-session re-registration is a
+    cheap idempotent replace, so a dedup cache buys nothing and an
+    applicationId-keyed one is actively wrong. Boundary (pinned in
+    tests/test_pydatasource.py): in Spark 4.1 a ``spark.newSession()``
+    can neither resolve a Python source (resolution is session-scoped)
+    nor re-register it (the exists-check consults an application-shared
+    registry) — Python data sources are single-session in this build."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    key = ("dialect_csv", spark.sparkContext.applicationId)
-    if key in _REGISTERED:
-        return
     spark.dataSource.register(DialectCsvDataSource)
-    _REGISTERED.add(key)
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +383,14 @@ class EventsReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["row"]), int(end["row"])
+        # Checkpoint-restart resync: a fresh reader starts with
+        # _cursor = 0, but Spark replans from the CHECKPOINTED offsets —
+        # the first partitions()/commit() call after a restart carries
+        # the committed position, so fast-forward the replay cursor to
+        # it instead of spinning through already-replayed rows (the
+        # in-memory cursor is pacing state, not source of truth; the
+        # checkpoint is).
+        self._cursor = max(self._cursor, s, e)
         if s >= e:
             return []
         n = min(self._tasks_per_batch, e - s)
@@ -355,7 +398,9 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         return [_RowRangePartition(i, min(i + step, e)) for i in range(s, e, step)]
 
     def commit(self, end: dict) -> None:
-        pass  # replay source: nothing to release
+        # nothing to release (replay source) — but keep the pacing
+        # cursor monotone with the committed offset (restart resync).
+        self._cursor = max(self._cursor, int(end["row"]))
 
     # -- execution (executors) --------------------------------------------
 
@@ -398,9 +443,6 @@ class EventsReplayDataSource(DataSource):
 
 
 def register_events_replay(spark) -> None:
-    """Idempotently register the streaming source with this session."""
-    key = ("events_replay", spark.sparkContext.applicationId)
-    if key in _REGISTERED:
-        return
+    """Register the streaming source with this session (unconditional —
+    session-scoped registry, see register_dialect_csv)."""
     spark.dataSource.register(EventsReplayDataSource)
-    _REGISTERED.add(key)

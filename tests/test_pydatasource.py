@@ -158,6 +158,110 @@ def test_empty_table_roundtrip(spark, tmp_path):
     assert back.schema == StructType.fromDDL(SCHEMA)
 
 
+def test_not_in_pushdown_drops_nulls_sql_semantics(spark, tmp_path):
+    # `col NOT IN (...)` is NULL (row dropped) when col is NULL under
+    # SQL three-valued logic; pc.is_in returns false (not null) there,
+    # so a bare invert would KEEP null rows. The mask ANDs with
+    # is_valid — pushed result must equal Spark's own evaluation.
+    register_dialect_csv(spark)
+    df = spark.createDataFrame(TRICKY)
+    path = _write(spark, df, tmp_path, "notin")
+    schema = StructType.fromDDL(SCHEMA)
+    reader = DialectCsvReader(schema, {"path": path})
+    assert list(reader.pushFilters([Not(In(attribute=("s",), value=("plain",)))])) == []
+    rows = [
+        r for p in reader.partitions() for b in reader.read(p) for r in b.to_pylist()
+    ]
+    # id=2 (s NULL) must DROP; id=3 (s='') must stay
+    assert sorted(r["id"] for r in rows) == [3, 4, 5, 6, 7]
+    # end-to-end: the planned pushed scan equals a non-pushed Spark filter
+    back = spark.read.format("dialect_csv").schema(SCHEMA).load(path)
+    got = sorted(r.id for r in back.where(~F.col("s").isin("plain")).collect())
+    assert got == [3, 4, 5, 6, 7]
+
+
+def test_temporal_filter_pushdown_instant_correct(spark, tmp_path):
+    # Pushed timestamp comparisons must select the same INSTANTS as
+    # Spark's own evaluation. PySpark hands the reader tz-naive
+    # local-wall-clock literals; _normalize_temporal re-attaches the
+    # local offset at push time (driver/planner process) so the Arrow
+    # scalar is exact on any executor.
+    import datetime
+
+    register_dialect_csv(spark)
+    rows = [
+        Row(id=i, ts=datetime.datetime(2024, 3, 1, h, 30, tzinfo=datetime.timezone.utc))
+        for i, h in enumerate([1, 5, 9, 13, 17])
+    ]
+    df = spark.createDataFrame(rows)
+    path = _write(spark, df, tmp_path, "temporal")
+    schema = "id bigint, ts timestamp"
+    back = spark.read.format("dialect_csv").schema(schema).load(path)
+    cutoff = datetime.datetime(2024, 3, 1, 9, 0)
+    got = sorted(r.id for r in back.where(F.col("ts") > F.lit(cutoff)).collect())
+    want = sorted(r.id for r in df.where(F.col("ts") > F.lit(cutoff)).collect())
+    assert got == want == [2, 3, 4]
+
+
+def test_temporal_normalization_uses_process_local_zone():
+    # The naive→aware rewrite must interpret the literal in THIS
+    # process's local zone (the exact inverse of how fromInternal
+    # produced it) — simulated by flipping TZ around the call.
+    import datetime
+    import os
+    import time
+
+    from pyspark.sql.datasource import GreaterThan as GT
+
+    naive = datetime.datetime(2024, 3, 1, 12, 0)
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        out = DialectCsvReader._normalize_temporal(GT(attribute=("ts",), value=naive))
+        assert out.value.utcoffset() == datetime.timedelta(hours=-5)
+        assert out.value.replace(tzinfo=None) == naive
+        wrapped = DialectCsvReader._normalize_temporal(Not(GT(attribute=("ts",), value=naive)))
+        assert wrapped.child.value.utcoffset() == datetime.timedelta(hours=-5)
+    finally:
+        if old is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
+def test_registration_is_per_session_boundary_pinned(spark, tmp_path):
+    # Registration scoping, pinned empirically (Spark 4.1 local):
+    # (a) re-registering in the SAME session is a cheap idempotent
+    #     replace (the register_* helpers call it unconditionally —
+    #     the old applicationId-keyed dedup cache was wrong either
+    #     way), and
+    # (b) a spark.newSession() can NEITHER resolve the source
+    #     (DATA_SOURCE_NOT_FOUND: resolution is session-scoped) NOR
+    #     re-register it (DATA_SOURCE_ALREADY_EXISTS: the exists-check
+    #     consults an application-shared registry) — an upstream
+    #     inconsistency, so Python data sources are single-session in
+    #     this build. If a Spark upgrade fixes either leg, this test
+    #     flags the boundary doc as stale.
+    register_dialect_csv(spark)
+    register_dialect_csv(spark)  # same-session re-register: no error
+    df = spark.createDataFrame(TRICKY)
+    path = _write(spark, df, tmp_path, "newsess")
+    back = spark.read.format("dialect_csv").schema(SCHEMA).load(path)
+    assert back.count() == len(TRICKY)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    with pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND"):
+        s2.read.format("dialect_csv").schema(SCHEMA).load(path).count()
+    with pytest.raises(Exception, match="DATA_SOURCE_ALREADY_EXISTS"):
+        s2.dataSource.register(
+            __import__(
+                "etlalchemy_spark.sources.pydatasource", fromlist=["DialectCsvDataSource"]
+            ).DialectCsvDataSource
+        )
+
+
 # -- streaming leg (events_replay) ----------------------------------------
 
 
@@ -222,3 +326,85 @@ def test_replay_offsets_partitions_cover_exactly_once(spark):
     assert seen[0][0] == 0
     assert all(a[1] == b[0] for a, b in zip(seen, seen[1:]))
     assert seen[-1][1] == reader._total == expected
+
+
+def test_replay_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    # The streaming half of the resilience story (batch half:
+    # tests/test_migrate.py kill-and-resume): kill a running
+    # events_replay query mid-stream, restart a FRESH reader from the
+    # same checkpointLocation, and require (a) the final aggregate
+    # equals the oracle-exact batch twin, (b) rows processed across
+    # both runs sum to the fixture's row count — exactly-once, no
+    # replayed rows, no cursor-reset spin through empty batches.
+    import glob
+    import json
+    import time
+
+    import pyarrow.parquet as pq
+
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.registry import all_queries
+    from etlalchemy_spark.sources.pydatasource import register_events_replay
+    from etlalchemy_spark.streaming.events import tumbling_counts
+
+    register_events_replay(spark)
+    events_path = table_path(SF_DIR, "events")
+    total = pq.ParquetFile(events_path).metadata.num_rows
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def start(name):
+        ev = (
+            spark.readStream.format("events_replay")
+            .option("rowsperbatch", 100)
+            .option("tasksperbatch", 2)
+            .load(events_path)
+        )
+        return (
+            tumbling_counts(ev)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q1 = start("restart_run1")
+    deadline = time.monotonic() + 60
+    while len(q1.recentProgress) < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    q1.stop()  # kill mid-stream (10 batches needed to drain 1000 rows)
+    spark.catalog.dropTempView("restart_run1")
+    rows1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert 0 < rows1 < total, "run 1 must stop mid-stream for the test to bite"
+
+    q2 = start("restart_run2")
+    q2.processAllAvailable()
+    rows2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    empty = sum(1 for p in q2.recentProgress if p["numInputRows"] == 0)
+    got = sorted(map(tuple, spark.table("restart_run2").collect()))
+    q2.stop()
+    spark.catalog.dropTempView("restart_run2")
+
+    twin = sorted(
+        map(tuple, all_queries()["events_tumbling_1h"].fn(spark, SF_DIR).collect())
+    )
+    assert got == twin
+    # exactly-once across the restart: WAL-replayed rows count once
+    # (rows1 includes only COMMITTED progress; the restarted query
+    # re-runs at most the one in-flight WAL batch, which the progress
+    # accounting attributes to exactly one of the two runs)
+    assert rows1 + rows2 == total
+    assert empty <= 1, f"cursor-reset spin: {empty} empty micro-batches after restart"
+    # offsets in the checkpoint must be strictly increasing (no
+    # backward latestOffset after the fresh reader's cursor reset)
+    offs = sorted(
+        glob.glob(os.path.join(ckpt, "offsets", "[0-9]*")),
+        key=lambda f: int(os.path.basename(f)),
+    )
+    ends = []
+    for f in offs:
+        with open(f) as fh:
+            ends.append(json.loads(fh.read().strip().splitlines()[-1])["row"])
+    assert ends == sorted(ends) and len(set(ends)) == len(ends)
+    assert ends[-1] == total
