@@ -113,6 +113,145 @@ def mm_resize_stub(spark, sf_dir):
     )
 
 
+_WAV_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         50 + doc_id % 97 AS n_samples,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 16000 END AS sample_rate
+  FROM documents
+),
+amps AS (
+  SELECT doc_id, n_samples, sample_rate,
+         list_transform(generate_series(0, n_samples - 1),
+                        i -> abs((doc_id * 31 + i * 17) % 65536 - 32768)) AS a
+  FROM params
+)
+SELECT doc_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us,
+       CAST(list_aggregate(a, 'sum') AS BIGINT) AS sum_abs_amplitude,
+       CAST(list_aggregate(a, 'max') AS BIGINT) AS peak_amplitude
+FROM amps
+"""
+
+
+@register("mm_decode_wav_stats", oracle=_WAV_SQL, tags=("multimodal", "udf"))
+def mm_decode_wav_stats(spark, sf_dir):
+    """REAL audio decode, stdlib-only: every document gets a synthetic
+    mono 16-bit PCM WAV payload (samples are a deterministic function
+    of doc_id, so DuckDB can recompute the expected stats without
+    parsing bytes), encoded and then DECODED back through the Arrow
+    mapInPandas path — RIFF chunk walk, fmt parse, int16 LE sample
+    extraction (operators/multimodal.py decode_wav). The encode→decode
+    round trip is the proof the decoder reads real WAV bytes; only
+    compressed codecs remain NotImplementedError. Both stages are
+    partition-local (no shuffle): at 100 TB this is scan-speed modulo
+    Python CPU, the same shape a real resample/feature job has."""
+    from etlalchemy_spark.operators.multimodal import encode_wav_pcm16, wav_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(50) + F.col("doc_id") % 97).cast("int").alias("n_samples"),
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 11025)
+        .otherwise(16000)
+        .alias("sample_rate"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n, rate in zip(pdf["doc_id"], pdf["n_samples"], pdf["sample_rate"]):
+                i = np.arange(int(n), dtype=np.int64)
+                samples = (int(doc_id) * 31 + i * 17) % 65536 - 32768
+                payloads.append(encode_wav_pcm16(samples, int(rate)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    wavs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return wav_stats(wavs, "doc_id")
+
+
+_IMG_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 7 AS width,
+         1 + doc_id % 5 AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+  FROM documents
+),
+px AS (
+  SELECT doc_id, format, width, height,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> (doc_id + 3 * (i % width) + 5 * (i // width)) % 256) AS r,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> (doc_id * 2 + (i % width)) % 256) AS g,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> ((i % width) * (i // width) + doc_id) % 256) AS b
+  FROM params
+)
+SELECT doc_id, format,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(r, 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(g, 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(b, 'sum') AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("mm_decode_image_stats", oracle=_IMG_SQL, tags=("multimodal", "udf"))
+def mm_decode_image_stats(spark, sf_dir):
+    """REAL image decode, stdlib-only, mixed formats: even doc_ids
+    become 24-bit BMP payloads (bottom-up BGR rows, 4-byte padding),
+    odd ones binary PPM (P6) — pixels a deterministic function of
+    doc_id so DuckDB recomputes expected sums formula-side. The
+    payloads are then DECODED back via the magic-byte router
+    (operators/multimodal.py decode_image → decode_bmp/decode_ppm):
+    header parse, stride/orientation/channel-order recovery, per-
+    channel sums. Compressed codecs (PNG/JPEG) remain the documented
+    NotImplementedError boundary."""
+    from etlalchemy_spark.operators.multimodal import (
+        encode_bmp_24,
+        encode_ppm_p6,
+        image_stats,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("width"),
+        (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 2 == 0, "bmp").otherwise("ppm").alias("format"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h, fmt in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["format"]
+            ):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = (doc_id + 3 * x + 5 * y) % 256
+                g = (doc_id * 2 + x) % 256
+                b = (x * y + doc_id) % 256
+                px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(encode_bmp_24(px) if fmt == "bmp" else encode_ppm_p6(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_stats(imgs, "doc_id")
+
+
 _BINFILE_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
