@@ -1081,3 +1081,82 @@ def etl_migrate_duckdb_roundtrip(spark, sf_dir):
     out = os.path.join(tmp, "nation_back.parquet")
     export_duckdb_table(db, "nation", out)
     return spark.read.parquet(out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS ord_year
+  FROM orders
+),
+touched AS (
+  SELECT * FROM base WHERE ord_year IN (1995, 1996)
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 50.0 AS o_totalprice, ord_year
+  FROM touched WHERE o_orderkey % 13 = 1 AND o_orderkey % 17 <> 2
+),
+deletes AS (
+  SELECT o_orderkey FROM touched WHERE o_orderkey % 17 = 2
+),
+inserts AS (
+  SELECT o_orderkey + 600000000 AS o_orderkey, o_custkey,
+         o_totalprice, ord_year
+  FROM touched WHERE o_orderkey % 19 = 3
+)
+SELECT b.o_orderkey, b.o_custkey,
+       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       b.ord_year
+FROM base b
+LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, ord_year FROM inserts
+"""
+
+
+@register("etl_merge_upsert", oracle=_MERGE_SQL, tags=("etl",))
+def etl_merge_upsert(spark, sf_dir):
+    """Lake-side MERGE upsert (operators/merge.py): a parquet target
+    partitioned by order year takes a change set confined to the
+    1995/1996 partitions — matched-update (+50.0 price), matched-delete,
+    not-matched-insert — through the full-outer-join MERGE rewrite with
+    DYNAMIC partition overwrite; the measured result is the post-merge
+    readback of the whole target. Partitions outside the change set are
+    neither read (pruning on the bounded touched-key list) nor
+    rewritten (byte-identical files, pinned in tests/test_merge.py).
+    DuckDB 1.0.0 predates MERGE INTO (added in 1.4), so the oracle is
+    the canonical expansion: base LEFT JOIN updates, NOT IN deletes,
+    UNION ALL inserts. Setup rebuilds the base target each invocation so
+    the merge is deterministic and the real write path runs every time."""
+    from etlalchemy_spark.operators.merge import merge_upsert
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("ord_year"),
+    )
+    target = scratch_dir("merge_upsert", sf_dir) + "/orders_snap"
+    base.write.mode("overwrite").partitionBy("ord_year").parquet(target)
+
+    touched = base.where(F.col("ord_year").isin(1995, 1996))
+    k = F.col("o_orderkey")
+    updates = touched.where((k % 13 == 1) & (k % 17 != 2)).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+        "ord_year", F.lit("U").alias("op"),
+    )
+    deletes = touched.where(k % 17 == 2).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "ord_year", F.lit("D").alias("op")
+    )
+    inserts = touched.where(k % 19 == 3).select(
+        (k + 600000000).alias("o_orderkey"), "o_custkey",
+        "o_totalprice", "ord_year", F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merge_upsert(spark, target, changes, key="o_orderkey", part_col="ord_year")
+    return spark.read.parquet(target).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.col("ord_year").cast("int").alias("ord_year")
+    )
