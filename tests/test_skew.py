@@ -71,3 +71,51 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError):
             salted_join(probe, build, ["k"], n=4, how=how)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The first line of defense at 100 TB is AQE's OptimizeSkewedJoin,
+    not manual salting: a 90%-hot-key join must show the runtime skew
+    split in the final adaptive plan (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed) and still produce exact results. Thresholds
+    are lowered to make fixture-scale partitions register as skewed —
+    at real scale the defaults (256MB/5x median) fire the same rule.
+    See SCALING.md "Skew: AQE vs salting" for when salting still wins
+    (skewed AGGREGATE keys, which AQE cannot split)."""
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 997).alias("k"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        dim = spark.range(997).select(F.col("id").alias("k"), (F.col("id") + 5).alias("w"))
+        j = fact.join(dim, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        [row] = j.collect()
+        # exact expected values, computed independently
+        n_hot = sum(1 for i in range(400000) if i % 10 < 9)
+        exp_n = 400000  # every fact key exists in dim (0..996)
+        exp_s = sum((i % 1000) + ((0 if i % 10 < 9 else i % 997) + 5) for i in range(400000))
+        assert (row.n, row.s) == (exp_n, exp_s) and n_hot == 360000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the definitive OptimizeSkewedJoin marker (the companion
+        # "AQEShuffleRead skewed" line's exact rendering varies with
+        # shuffle-partition count, so it is not pinned)
+        assert "skew=true" in plan, "AQE skew-join split did not fire"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
