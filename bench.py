@@ -24,6 +24,22 @@ import time
 
 TIMED_RUNS = 3
 
+# Frozen round-4 bench composition (21 queries): every run also emits
+# the subtotal over exactly this set so round-over-round trend lines
+# stay comparable when the full suite grows (r5 added 3 heavy queries;
+# comparing raw totals across compositions mis-reads growth as
+# regression — SCALING.md round-5 addendum 2). Do not edit this list.
+R4_SUBSET = (
+    "dedup_exact_content_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "events_tumbling_1h", "q10_returned_items", "q1_pricing_summary",
+    "q21_waiting_supplier", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q9_product_profit", "sim_cosine_topk_exact",
+    "sketch_bitmap_distinct_total", "sketch_cms_registers",
+    "sketch_quantile_histogram", "text_quality_score", "text_tfidf_topterms",
+    "ts_gapfill_hourly", "ts_rollup_cascade", "window_sessionize",
+    "window_topk_per_group",
+)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlalchemy_spark.registry import all_queries
@@ -58,6 +74,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    r4_subtotal = round(sum(timings[q] for q in R4_SUBSET if q in timings), 3)
     print(
         json.dumps(
             {
@@ -66,6 +83,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
+                "r4_comparable_subtotal": r4_subtotal,
+                "r4_comparable_n": sum(1 for q in R4_SUBSET if q in timings),
             }
         )
     )

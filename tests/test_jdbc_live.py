@@ -206,6 +206,28 @@ def test_v2_catalog_aggregate_pushdown(spark):
     assert {(r["g"], r["n"], r["mx"]) for r in out.collect()} == expected
 
 
+def test_v2_catalog_limit_pushdown_absent_on_derby(spark):
+    """Boundary, mechanized (VERDICT r5 ask 8): register_jdbc_catalog
+    REQUESTS pushDownLimit, but Derby's JDBC dialect has no LIMIT
+    clause builder, so the plan must NOT carry PushedLimit — the limit
+    stays Spark-side. If a Spark upgrade teaches the Derby dialect
+    LIMIT, this test fails and the honest-boundaries doc
+    (sources/jdbc.py register_jdbc_catalog docstring, README) must be
+    updated to the new reality."""
+    from etlalchemy_spark.sources.jdbc import register_jdbc_catalog
+
+    url = _url()
+    write_jdbc(_src(spark), url, "t_limit", mode="overwrite")
+    register_jdbc_catalog(spark, "derby_limit_cat", url)
+    out = spark.sql("SELECT id, v FROM derby_limit_cat.APP.T_LIMIT LIMIT 5")
+    plan = _executed_plan(out)
+    assert "PushedLimit" not in plan, (
+        "Derby now accepts limit pushdown — update the boundary docs "
+        "(sources/jdbc.py, README honest boundaries)"
+    )
+    assert len(out.collect()) == 5  # Spark-side limit still correct
+
+
 def test_migration_table_filters_push_to_source(spark):
     """A filtered migration ships only the matching rows: JdbcSource's
     table_filters lands in the extract scan's PushedFilters."""
