@@ -124,3 +124,52 @@ def weighted_systematic_sample(
         .where(F.col("n_picks") > 0)
         .drop("_wsw", "_cum", "_W")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-rebalanced source mixture — the multinomial
+    α-rebalancing used to flatten multi-source/multilingual LLM
+    corpora (target share p_s ∝ n_s^α, α<1 boosts small sources).
+    Realized as per-source acceptance rates
+    ``r_s = n_s^(α-1) / max_t n_t^(α-1)`` (the smallest source keeps
+    everything; larger sources downsample toward the tempered share),
+    then the usual content-hash Bernoulli filter.
+
+    Cost shape: one tiny per-source count aggregate (rows = number of
+    sources), a one-row max joined back broadcast, and a narrow filter
+    over the corpus — the corpus itself never shuffles.
+
+    Cross-engine exactness: α = 0.5 computes n^(−1/2) as
+    ``1/sqrt(n)`` (division and sqrt are correctly-rounded IEEE ops,
+    bit-identical in Spark and DuckDB). Other α use ``pow``, which is
+    NOT guaranteed correctly rounded across engines — fine for
+    production, but only the sqrt form is used in oracle-gated
+    queries."""
+    if alpha == 0.5:
+        pw = F.lit(1.0) / F.sqrt(F.col("_n").cast("double"))
+    else:
+        pw = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
+    rates = (
+        df.groupBy(stratum.alias("_stratum"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_stratum", pw.alias("_pw"))
+    )
+    mx = rates.agg(F.max("_pw").alias("_mx"))
+    thresh = (
+        rates.crossJoin(F.broadcast(mx))  # one-row aggregate frame
+        .select(
+            "_stratum",
+            F.round(F.col("_pw") / F.col("_mx") * _DENOM, 0).cast("long").alias("_thresh"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresh), stratum == F.col("_stratum"), "inner")
+        .where(hash_bucket(key, salt) < F.col("_thresh"))
+        .drop("_stratum", "_thresh")
+    )

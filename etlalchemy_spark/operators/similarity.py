@@ -510,3 +510,67 @@ def cosine_topk_lsh_multiprobe_exact(
     cands = df.join(cand_ids, id_col)
     scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
     return _topk_ranked(scored, id_col, k)
+
+
+# --- int8 scalar quantization (compressed exact-arithmetic path) -----------
+
+
+def int8_quantize(vec_col) -> Column:
+    """Per-vector symmetric int8 quantization: s = max|v_i|, q_i =
+    floor(v_i/s·127 + 0.5) ∈ [-127, 127] (half-up via floor — the one
+    rounding rule Spark and DuckDB share bit-for-bit; banker's rounding
+    would diverge). Cosine is scale-invariant per vector, so the
+    per-vector scale drops out of ranking entirely and everything
+    downstream of quantization is INTEGER arithmetic — exact on any
+    engine with no decimal machinery, and a 4× scan-bandwidth /
+    memory cut vs float32, which is the point at 100 TB: quantize once
+    at ingest, score candidates in int8, re-rank the short list in
+    float only if the application needs calibrated scores."""
+    v = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        s == F.lit(0.0), F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") / s * 127 + F.lit(0.5)).cast("long")
+        )
+    )
+
+
+def int8_quantize_py(vec: list[float]) -> list[int]:
+    """Driver-side twin of ``int8_quantize`` for the query vector.
+    Python floats ARE IEEE doubles and the op order mirrors the
+    engine expression exactly, so the ints match bit-for-bit."""
+    import math
+
+    s = max(abs(float(x)) for x in vec)
+    if s == 0:
+        return [0] * len(vec)
+    return [math.floor(float(x) / s * 127 + 0.5) for x in vec]
+
+
+def int8_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_q: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k on QUANTIZED vectors: integer zip_with dot +
+    integer norms inside codegen, one double division at the end,
+    TakeOrderedAndProject for the k survivors. Output (id, cosine,
+    rank) — same shape as cosine_topk_exact so recall audits compose."""
+    qarr = F.expr("array(" + ", ".join(f"{int(x)}L" for x in query_q) + ")")
+    nq = sum(int(x) * int(x) for x in query_q)
+    q = int8_quantize(vec_col)
+    acc0 = F.lit(0).cast("long")
+    dot = F.aggregate(F.zip_with(q, qarr, lambda a, b: a * b), acc0, lambda a, x: a + x)
+    nb = F.aggregate(F.transform(q, lambda x: x * x), acc0, lambda a, x: a + x)
+    scored = df.select(
+        F.col(id_col),
+        F.try_divide(
+            dot.cast("double"),
+            F.sqrt(nb.cast("double")) * F.sqrt(F.lit(nq).cast("double")),
+        ).alias("cosine"),
+    )
+    return _topk_ranked(scored, id_col, k)

@@ -376,3 +376,88 @@ def fmt_python_datasource_pushdown(spark, sf_dir):
             .alias("sum_price"),
         )
     )
+
+
+_FOOTER_SQL = """
+SELECT CAST(o_orderkey % 4 AS INT) AS bkt,
+       COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS null_count,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("fmt_parquet_footer_audit", oracle=_FOOTER_SQL, tags=("sources", "layout"))
+def fmt_parquet_footer_audit(spark, sf_dir):
+    """Lake-layout observability: DISTRIBUTED parquet footer reads.
+    Orders are written partitioned by a bucket column, then the audit
+    reads ONLY footers (pyarrow metadata — no data pages) across
+    executors via mapInPandas over the file list, aggregating per-
+    partition row counts, null counts, and o_orderkey min/max from the
+    row-group statistics. The oracle recomputes the same numbers from
+    the DATA — footer stats must agree exactly, which is precisely the
+    invariant min/max pruning (and the Z-order write path,
+    operators/layout.py) depends on. 100 TB shape: the driver handles
+    only file PATHS (at scale, from the table manifest); footer I/O is
+    partition-parallel and touches a few KB per file regardless of
+    file size."""
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 4).cast("int").alias("bkt")
+    )
+    tmp = os.path.join(scratch_dir("footer", sf_dir), "orders_bkt")
+    base.repartition(4, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(tmp)
+    files = sorted(
+        os.path.join(dp, n)
+        for dp, _dirs, names in os.walk(tmp)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    fdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        min(8, len(files))
+    )
+
+    def read_footers(batches):
+        import re
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                bkt = int(re.search(r"bkt=(\d+)", p).group(1))
+                mins, maxs, nulls = [], [], 0
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    col = next(
+                        rg.column(j)
+                        for j in range(rg.num_columns)
+                        if rg.column(j).path_in_schema == "o_orderkey"
+                    )
+                    st = col.statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                    nulls += st.null_count
+                rows.append((bkt, md.num_rows, nulls, min(mins), max(maxs)))
+            yield pd.DataFrame(
+                rows,
+                columns=["bkt", "n_rows", "null_count", "min_orderkey", "max_orderkey"],
+            )
+
+    footers = fdf.mapInPandas(
+        read_footers,
+        "bkt int, n_rows bigint, null_count bigint, "
+        "min_orderkey bigint, max_orderkey bigint",
+    )
+    # layout-robust: a partition written as several files folds here
+    return footers.groupBy("bkt").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("null_count").alias("null_count"),
+        F.min("min_orderkey").alias("min_orderkey"),
+        F.max("max_orderkey").alias("max_orderkey"),
+    )

@@ -249,3 +249,38 @@ def sample_negative_sampling(spark, sf_dir):
         "neg_item",
         (F.col("neg_item") == F.col("pos_item")).alias("collides"),
     )
+
+
+_TEMP_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY lang
+),
+pw AS (
+  SELECT s, CAST(1 AS DOUBLE) / SQRT(CAST(n AS DOUBLE)) AS p FROM counts
+),
+thresh AS (
+  SELECT s, CAST(ROUND(p / (SELECT MAX(p) FROM pw) * 1000000, 0) AS BIGINT) AS th FROM pw
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thresh t ON d.lang = t.s
+WHERE {_bucket_sql("d.doc_id", "tm:")} < t.th
+"""
+
+
+@register("sample_temperature_mixture", oracle=_TEMP_MIX_SQL, tags=("sampling",))
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-rebalanced language mixture (alpha = 0.5): the
+    standard multinomial rebalancing that flattens a skewed
+    multilingual corpus toward p_l proportional to n_l^alpha — the
+    rarest language keeps every row, dominant ones downsample by
+    sqrt(n_min/n_l)-shaped acceptance rates (en at ~2.7x de volume
+    keeps ~61% here), all realized with the portable content-hash draw
+    (operators/sampling.py temperature_mixture_sample). Corpus never
+    shuffles: per-language counts are a languages-sized aggregate
+    broadcast back as a threshold; the draw is a narrow filter."""
+    from etlalchemy_spark.operators.sampling import temperature_mixture_sample
+
+    d = t(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        d, F.col("doc_id"), F.col("lang"), alpha=0.5, salt="tm:"
+    ).select("doc_id", "source", "lang")

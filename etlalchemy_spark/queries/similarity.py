@@ -564,3 +564,58 @@ def sim_lsh_recall_audit(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+_INT8_Q_EXPR = """CASE WHEN s = 0 THEN list_transform(e, v -> CAST(0 AS BIGINT))
+       ELSE list_transform(e, v -> CAST(FLOOR(CAST(v AS DOUBLE) / s * 127 + 0.5) AS BIGINT)) END"""
+
+_INT8_TOPK_SQL = f"""
+WITH qq AS (
+  SELECT {_INT8_Q_EXPR} AS q
+  FROM (SELECT embedding AS e,
+               list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+        FROM embeddings WHERE vec_id = 0)
+),
+base AS (
+  SELECT vec_id, {_INT8_Q_EXPR} AS q
+  FROM (SELECT vec_id, embedding AS e,
+               list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+        FROM embeddings)
+),
+scored AS (
+  SELECT b.vec_id,
+         CAST(list_aggregate(list_transform(generate_series(1, 64),
+              i -> b.q[CAST(i AS INT)] * qq.q[CAST(i AS INT)]), 'sum') AS BIGINT) AS dot,
+         CAST(list_aggregate(list_transform(b.q, x -> x * x), 'sum') AS BIGINT) AS nb,
+         CAST(list_aggregate(list_transform(qq.q, x -> x * x), 'sum') AS BIGINT) AS nq
+  FROM base b, qq
+),
+cos AS (
+  SELECT vec_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(nb AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cosine
+  FROM scored WHERE nb > 0 AND nq > 0
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM cos ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_int8_quantized_topk", oracle=_INT8_TOPK_SQL, tags=("similarity",))
+def sim_int8_quantized_topk(spark, sf_dir):
+    """Compressed-vector ANN path: per-vector symmetric int8
+    quantization (operators/similarity.py int8_quantize), then top-10
+    by QUANTIZED cosine — integer zip_with dot products and integer
+    norms in codegen, one double division at the end. Both engines
+    quantize independently with the same floor-half-up formula, so the
+    whole query is oracle-exact without decimal accumulators: the
+    integers make exact arithmetic free. 100 TB story: 4x less scan
+    bandwidth than float32; the int8 sweep is the candidate generator
+    and a float re-rank (sim_cosine_topk_exact's plan) runs only on
+    the k survivors. tests/test_similarity.py pins recall vs the
+    float exact top-10."""
+    from etlalchemy_spark.operators.similarity import int8_cosine_topk, int8_quantize_py
+
+    emb = t(spark, sf_dir, "embeddings")
+    qq = int8_quantize_py(_query_vec(spark, sf_dir))
+    return int8_cosine_topk(emb, "vec_id", "embedding", qq, k=10)

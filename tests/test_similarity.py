@@ -138,3 +138,35 @@ def test_dim_mismatch_degrades_not_crashes(spark):
     out = exact_cosine(df, ["id"], F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).collect()
     # third position has no partner: try_element_at -> NULL term, sum skips
     assert out[0]["cosine"] is not None
+
+
+def test_int8_quantized_topk_recall_vs_float_exact(spark):
+    """The quantized sweep must stay a faithful candidate generator:
+    top-10 by int8 cosine overlaps the float exact top-10 by >= 0.7
+    on the fixture (scalar int8 typically costs only a few points of
+    recall; a broken quantizer craters this immediately)."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    qs = all_queries()
+    exact = {r.vec_id for r in qs["sim_cosine_topk_exact"].fn(spark, SF_DIR).collect()}
+    int8 = {r.vec_id for r in qs["sim_int8_quantized_topk"].fn(spark, SF_DIR).collect()}
+    assert len(exact) == len(int8) == 10
+    assert len(exact & int8) / 10 >= 0.7
+
+
+def test_int8_quantize_py_matches_engine():
+    """Driver-side quantizer must equal the engine expression bit-for-
+    bit (it feeds the query vector into the integer dot products)."""
+    import math
+
+    from etlalchemy_spark.operators.similarity import int8_quantize_py
+
+    vec = [0.5, -0.25, 0.125, -1.0, 0.0, 0.3333333333333333]
+    got = int8_quantize_py(vec)
+    s = 1.0
+    want = [math.floor(v / s * 127 + 0.5) for v in vec]
+    assert got == want
+    assert int8_quantize_py([0.0, 0.0]) == [0, 0]
+    assert all(-127 <= x <= 127 for x in int8_quantize_py([3.7, -9.1, 0.004]))
