@@ -93,3 +93,66 @@ def merge_upsert(
         merged.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def upsert_latest(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key: str,
+    part_col: str,
+    seq_col: str,
+) -> None:
+    """Sequence-guarded upsert — the CDC-apply merge arm: for each key
+    the row with the HIGHER ``seq_col`` wins (target wins ties), and
+    absent keys insert. No physical delete arm: CDC tombstones ride as
+    a flag column and downstream reads filter them, which is what makes
+    replay DETERMINISTIC under out-of-order and re-delivered changes —
+    a stale or duplicated change row can never overwrite newer state,
+    so the final table equals the global max-seq snapshot no matter how
+    the change stream was batched (property-tested in
+    tests/test_merge.py; the streaming sink in queries/streaming.py
+    builds on exactly this invariant).
+
+    Same scale shape as merge_upsert: touched-partition pruning on the
+    bounded key list, dynamic partition overwrite, one full-outer
+    equi-join per applied batch. ``changes`` must be pre-reduced to one
+    row per key (the caller's in-batch max-seq reduce). Bootstrap: an
+    empty or not-yet-existing target (no parquet files to infer a
+    schema from) merges as if empty — the first batch simply writes."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        target = spark.read.parquet(target_path)
+    except AnalysisException:
+        target = spark.createDataFrame([], changes.select(*changes.columns).schema)
+    cols = target.columns
+    missing = [c for c in cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing columns: {missing}")
+    touched = [r[0] for r in changes.select(part_col).distinct().collect()]
+    if not touched:
+        return
+    t = target.where(F.col(part_col).isin(touched)).select(
+        *[F.col(c).alias(f"t_{c}") for c in cols]
+    )
+    c = changes.where(F.col(key).isNotNull()).select(
+        *[F.col(x).alias(f"c_{x}") for x in cols]
+    )
+    j = t.join(c, t[f"t_{key}"] == c[f"c_{key}"], "full_outer")
+    src_wins = F.col(f"c_{key}").isNotNull() & (
+        F.col(f"t_{key}").isNull() | (F.col(f"c_{seq_col}") > F.col(f"t_{seq_col}"))
+    )
+    merged = j.select(
+        *[
+            F.when(src_wins, F.col(f"c_{x}")).otherwise(F.col(f"t_{x}")).alias(x)
+            for x in cols
+        ]
+    )
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

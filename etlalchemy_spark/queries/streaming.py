@@ -282,3 +282,103 @@ def stream_pyds_replay_tumbling(spark, sf_dir):
         .load(table_path(sf_dir, "events"))
     )
     return drain_to_memory(tumbling_counts(ev), "complete")
+
+
+_CDC_SINK_SQL = """
+WITH mapped AS (
+  SELECT user_id, event_id AS seq, value,
+         (event_type = 'error') AS deleted
+  FROM events
+),
+latest AS (
+  SELECT user_id, seq, value, deleted,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM mapped
+)
+SELECT user_id, seq AS last_seq, value AS last_value
+FROM latest WHERE rn = 1 AND NOT deleted
+"""
+
+
+@register("stream_cdc_merge_sink", oracle=_CDC_SINK_SQL, tags=("streaming", "etl"))
+def stream_cdc_merge_sink(spark, sf_dir):
+    """Streaming CDC → lake MERGE sink: the events replay stream is
+    interpreted as a change feed (event_id = change sequence, 'error'
+    events = tombstones) and applied to a partitioned parquet target
+    via ``foreachBatch`` + the sequence-guarded upsert
+    (operators/merge.py upsert_latest). Each micro-batch reduces to
+    its max-seq row per key, then merges; the seq guard makes the
+    final table equal the GLOBAL max-seq snapshot no matter how the
+    stream was sliced into batches or re-delivered — which is exactly
+    why a DuckDB oracle can score a streaming sink: the result is
+    batch-boundary-invariant by construction. Tombstones are soft
+    (flag column) so a late pre-delete change can never resurrect a
+    deleted key. 100 TB shape: per batch, one small keyed reduce +
+    one touched-partition merge; the target is never fully rewritten."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.operators.merge import upsert_latest
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.sources.pydatasource import register_events_replay
+
+    register_events_replay(spark)
+    root = scratch_dir("cdc_sink", sf_dir)
+    target = os.path.join(root, "user_state")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # no seed write: upsert_latest bootstraps an absent target from the
+    # first batch (empty-target merge == plain write)
+
+    events_path = table_path(sf_dir, "events")
+    if os.path.isfile(events_path):
+        total = pq.ParquetFile(events_path).metadata.num_rows
+    else:
+        total = sum(
+            pq.ParquetFile(os.path.join(events_path, n)).metadata.num_rows
+            for n in os.listdir(events_path)
+            if n.endswith(".parquet")
+        )
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("rowsperbatch", max(1, total // 3 + 1))  # ~3 micro-batches
+        .option("tasksperbatch", 4)
+        .load(events_path)
+    )
+
+    def apply_batch(df, _batch_id):
+        ch = (
+            df.select(
+                "user_id",
+                F.col("event_id").alias("seq"),
+                "value",
+                (F.col("event_type") == "error").alias("deleted"),
+                (F.col("user_id") % 4).cast("int").alias("part"),
+            )
+            # in-batch reduce: one change row per key (struct max on the
+            # unique seq — no window, one partial+final aggregate)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("seq", "value", "deleted", "part")).alias("_m"))
+            .select("user_id", "_m.seq", "_m.value", "_m.deleted", "_m.part")
+        )
+        upsert_latest(spark, target, ch, key="user_id", part_col="part", seq_col="seq")
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.read.parquet(target)
+    return snap.where(~F.col("deleted")).select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        F.col("value").alias("last_value"),
+    )

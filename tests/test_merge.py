@@ -87,3 +87,37 @@ def test_merge_validates_change_columns(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1)], "k long, p int")  # no val/op
     with pytest.raises(ValueError, match="missing columns"):
         merge_upsert(spark, target, bad, key="k", part_col="p")
+
+
+def test_upsert_latest_batch_order_invariant(spark, tmp_path):
+    """The seq guard makes replay deterministic: applying change
+    batches in ANY order (even fully reversed, with re-delivered
+    rows) must converge to the global max-seq snapshot."""
+    import itertools
+
+    from etlalchemy_spark.operators.merge import upsert_latest
+
+    # 6 keys, 3 changes each, seq unique; 'deleted' tombstones ride along
+    changes = [
+        (k, seq, f"v{k}_{seq}", seq % 4 == 3, k % 2)
+        for k in range(6)
+        for seq in (k, k + 10, k + 20)
+    ]
+    schema = "k long, seq long, val string, deleted boolean, p int"
+    want = {k: (k + 20, f"v{k}_{k + 20}") for k in range(6)}  # max seq wins
+
+    batches = [changes[0::3], changes[1::3], changes[2::3]]
+    for perm_i, perm in enumerate(itertools.permutations(range(3))):
+        target = os.path.join(str(tmp_path), f"t{perm_i}")
+        for bi in perm:
+            # re-deliver one batch to prove idempotence under retries
+            rows = batches[bi] + (batches[bi][:2] if bi == 0 else [])
+            df = (
+                spark.createDataFrame(rows, schema)
+                .groupBy("k")
+                .agg(F.max(F.struct("seq", "val", "deleted", "p")).alias("m"))
+                .select("k", "m.seq", "m.val", "m.deleted", "m.p")
+            )
+            upsert_latest(spark, target, df, key="k", part_col="p", seq_col="seq")
+        got = {r.k: (r.seq, r.val) for r in spark.read.parquet(target).collect()}
+        assert got == want, f"permutation {perm} diverged"
