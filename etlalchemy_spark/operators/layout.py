@@ -58,3 +58,40 @@ def zorder_write(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    order_col: str | None = None,
+) -> int:
+    """Small-file compaction — the lake-maintenance half of the layout
+    story (zorder_write is the clustering half). A streaming/CDC sink
+    leaves thousands of KB-sized files; scans then pay per-file open +
+    footer + scheduling overhead instead of sequential column reads.
+    Compaction sizes the output from the OBSERVED byte total:
+    ``n = ceil(total_bytes / target_bytes)`` files (the driver reads
+    only directory metadata to decide), rewritten in one distributed
+    pass — ``repartitionByRange(order_col)`` when an ordering column is
+    given (keeps min/max footer pruning selective after compaction),
+    plain round-robin ``repartition`` otherwise. Returns n. At 100 TB
+    this runs per-partition-directory on a schedule, never over the
+    whole table at once."""
+    import math
+    import os
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(src_path)
+        if e.name.endswith(".parquet") and e.is_file()
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    if order_col is not None:
+        out = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n

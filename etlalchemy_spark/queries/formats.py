@@ -461,3 +461,32 @@ def fmt_parquet_footer_audit(spark, sf_dir):
         F.min("min_orderkey").alias("min_orderkey"),
         F.max("max_orderkey").alias("max_orderkey"),
     )
+
+
+_COMPACT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@register("fmt_compact_small_files", oracle=_COMPACT_SQL, tags=("sources", "layout"))
+def fmt_compact_small_files(spark, sf_dir):
+    """Small-file compaction (operators/layout.py compact_small_files):
+    a deliberately fragmented copy of orders (32 tiny files — the
+    typical residue of a micro-batching sink) is compacted into
+    size-targeted, range-clustered files; the measured result is the
+    compacted table's content, which must be IDENTICAL to the source
+    (compaction moves bytes, never changes them — the oracle is the
+    source itself). tests/test_layout.py pins the file-count reduction
+    and the post-compaction clustering (disjoint o_orderkey ranges)."""
+    from etlalchemy_spark.operators.layout import compact_small_files
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    root = scratch_dir("compact", sf_dir)
+    frag = os.path.join(root, "fragmented")
+    compacted = os.path.join(root, "compacted")
+    base.repartition(32).write.mode("overwrite").parquet(frag)
+    compact_small_files(
+        spark, frag, compacted, target_bytes=4 * 1024 * 1024, order_col="o_orderkey"
+    )
+    return spark.read.parquet(compacted)

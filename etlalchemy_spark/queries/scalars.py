@@ -501,3 +501,36 @@ def sql_parameterized_query(spark, sf_dir):
             "min_price": 100000,
         },
     )
+
+
+_PIPE_SQL = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS ord_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority, year(o_orderdate)
+HAVING COUNT(*) > 5
+ORDER BY o_orderpriority, ord_year
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_SQL, tags=("sql",))
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe syntax: the same logical plan as classic
+    WHERE/GROUP BY/HAVING/ORDER BY expressed as a linear |> pipeline
+    (FROM → WHERE → EXTEND → AGGREGATE...GROUP BY → post-aggregation
+    WHERE → ORDER BY). Purely front-end sugar — Catalyst receives the
+    identical plan, so pushdown/pruning behave exactly as in the
+    classic form; the oracle IS the classic form."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql("""
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(year(o_orderdate) AS INT) AS ord_year
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           GROUP BY o_orderpriority, ord_year
+        |> WHERE n_orders > 5
+        |> ORDER BY o_orderpriority, ord_year
+    """)

@@ -121,3 +121,58 @@ def udf_sql_scalar(spark, sf_dir):
         GROUP BY band
         """
     )
+
+
+@udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+class UserGapStats:
+    """Per-partition stateful table function: consumes one user's
+    events in ts order, emits one summary row at partition end."""
+
+    def __init__(self):
+        self._uid = None
+        self._prev = None
+        self._n = 0
+        self._gmax = None
+
+    def eval(self, row):  # noqa: D102 (engine-called per input row)
+        self._uid = row["user_id"]
+        self._n += 1
+        ts = row["ts"]
+        if self._prev is not None:
+            d = ts - self._prev
+            us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+            self._gmax = us if self._gmax is None else max(self._gmax, us)
+        self._prev = ts
+
+    def terminate(self):  # noqa: D102
+        if self._uid is not None:
+            yield self._uid, self._n, self._gmax
+
+
+_GAP_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+@register("udtf_table_arg_partitioned", oracle=_GAP_SQL, tags=("udtf", "events"))
+def udtf_table_arg_partitioned(spark, sf_dir):
+    """Spark 4 polymorphic UDTF over a TABLE argument with analyzer-
+    managed partitioning: ``gap_stats(TABLE(events) PARTITION BY
+    user_id ORDER BY ts, event_id)`` — the ENGINE shuffles/sorts each
+    user's rows to one UDTF instance (same exchange a window function
+    gets), the Python class keeps O(1) running state per partition and
+    emits one row from terminate(). This is the custom-stateful-
+    operator escape hatch when neither built-ins nor pandas grouped-map
+    fit; the oracle recomputes the gaps with LAG."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("_udtf_events")
+    spark.udtf.register("user_gap_stats", UserGapStats)
+    return spark.sql(
+        "SELECT * FROM user_gap_stats"
+        "(TABLE(_udtf_events) PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

@@ -44,3 +44,48 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
     assert avg_sx < 48 and avg_sy < 48
     # and the data round-trips completely
     assert back.count() == 4096
+
+
+def test_compact_small_files_reduces_count_and_clusters(spark, tmp_path):
+    """Compaction must (a) hit the computed file count, (b) keep
+    content identical, (c) leave DISJOINT o-key ranges per file when an
+    order column is given (footer pruning stays selective)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.layout import compact_small_files
+
+    frag = os.path.join(str(tmp_path), "frag")
+    out = os.path.join(str(tmp_path), "out")
+    df = spark.range(20000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    df.repartition(24).write.parquet(frag)
+    n_frag = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_frag == 24
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n = compact_small_files(spark, frag, out, target_bytes=total // 3 + 1, order_col="k")
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == n <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # disjoint, sorted k-ranges across files
+    ranges = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        ks = [
+            md.row_group(i).column(j)
+            for i in range(md.num_row_groups)
+            for j in range(md.row_group(i).num_columns)
+            if md.row_group(i).column(j).path_in_schema == "k"
+        ]
+        ranges.append((min(c.statistics.min for c in ks), max(c.statistics.max for c in ks)))
+    ranges.sort()
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:])), f"overlap: {ranges}"
