@@ -352,10 +352,13 @@ def test_replay_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     total = pq.ParquetFile(events_path).metadata.num_rows
     ckpt = os.path.join(str(tmp_path), "ckpt")
 
+    # 80 rows/batch over the 1000-row fixture = 13 micro-batches at a
+    # 400 ms trigger (~5 s full drain): even a multi-second poll stall
+    # cannot let run 1 finish before we stop it mid-stream.
     def start(name):
         ev = (
             spark.readStream.format("events_replay")
-            .option("rowsperbatch", 100)
+            .option("rowsperbatch", 80)
             .option("tasksperbatch", 2)
             .load(events_path)
         )
@@ -365,7 +368,7 @@ def test_replay_stream_checkpoint_restart_exactly_once(spark, tmp_path):
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="200 milliseconds")
+            .trigger(processingTime="400 milliseconds")
             .start()
         )
 
