@@ -1160,3 +1160,70 @@ def etl_merge_upsert(spark, sf_dir):
     return spark.read.parquet(target).select(
         "o_orderkey", "o_custkey", "o_totalprice", F.col("ord_year").cast("int").alias("ord_year")
     )
+
+
+_CONSTRAINT_SQL = """
+SELECT 'orders' AS tbl, 'o_orderkey' AS cols,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_violations,
+       COUNT(*) - COUNT(o_orderkey) AS null_violations,
+       COUNT(*) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_orderkey,l_linenumber',
+       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)),
+       COUNT(*) - COUNT(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL THEN 1 END),
+       COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'events', 'user_id',
+       COUNT(*) - COUNT(DISTINCT user_id),
+       COUNT(*) - COUNT(user_id),
+       COUNT(*)
+FROM events
+"""
+
+
+@register("etl_unique_notnull_audit", oracle=_CONSTRAINT_SQL, tags=("etl", "profile"))
+def etl_unique_notnull_audit(spark, sf_dir):
+    """Destination-constraint pre-flight — the validation a migration
+    runs BEFORE emitting PRIMARY KEY / NOT NULL DDL (reference parity:
+    upstream trusts reflected constraints and fails at load time when
+    data violates them; here violations are counted up front, the
+    data-quality twin of the FK orphan check `etl_fk_integrity`).
+    One aggregate per audited table: uniqueness violations =
+    rows − distinct(key), null violations = rows − non-null(key).
+    Orders/lineitem PKs audit clean; events.user_id (intentionally
+    non-unique) shows real violation counts, proving the math. At
+    100 TB each check is a single partial+final aggregate — no join,
+    no window, no collect."""
+    o = t(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("tbl"),
+        F.lit("o_orderkey").alias("cols"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_violations"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    li = t(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("tbl"),
+        F.lit("l_orderkey,l_linenumber").alias("cols"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")).alias(
+            "dup_violations"
+        ),
+        (
+            F.count(F.lit(1))
+            - F.count(
+                F.when(
+                    F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull(), 1
+                )
+            )
+        ).alias("null_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ev = t(spark, sf_dir, "events").agg(
+        F.lit("events").alias("tbl"),
+        F.lit("user_id").alias("cols"),
+        (F.count(F.lit(1)) - F.countDistinct("user_id")).alias("dup_violations"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return o.unionByName(li).unionByName(ev)

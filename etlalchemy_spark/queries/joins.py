@@ -512,3 +512,31 @@ def join_lateral_topk(spark, sf_dir):
         .select("c_custkey", "c_name", "c_acctbal")
     )
     return nation.lateralJoin(sub).select("n_name", "c_custkey", "c_name", "c_acctbal")
+
+
+_HINTED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_strategy_hints", oracle=_HINTED_SQL, tags=("join",))
+def join_strategy_hints(spark, sf_dir):
+    """Explicit physical-strategy control: the same equi-join forced
+    onto SortMergeJoin with a ``merge`` hint. Hints are the practical
+    override at 100 TB when statistics mislead the optimizer — e.g. a
+    'small' dim that explodes after a selective-looking filter, where
+    an auto-broadcast would OOM the executors; results are strategy-
+    invariant (the oracle is the plain join), and the plan pin lives
+    in tests/test_plans_hints.py: merge hint → SortMergeJoin,
+    broadcast hint → BroadcastHashJoin, identical output either way."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("double").alias("total_price"),
+    )

@@ -170,3 +170,48 @@ def test_int8_quantize_py_matches_engine():
     assert got == want
     assert int8_quantize_py([0.0, 0.0]) == [0, 0]
     assert all(-127 <= x <= 127 for x in int8_quantize_py([3.7, -9.1, 0.004]))
+
+
+def test_int8_quantize_properties_and_engine_parity(spark):
+    """Property sweep: for any float vector, quantized values stay in
+    [-127, 127], the max-|v| element maps to ±127 exactly (floor-half-
+    up of ±127.0), and the engine expression agrees with the Python
+    twin bit-for-bit (hypothesis-driven vectors incl. negatives,
+    zeros, denormal-ish magnitudes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from etlalchemy_spark.operators.similarity import int8_quantize, int8_quantize_py
+
+    vecs = st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(vecs)
+    def check_py(vec):
+        q = int8_quantize_py(vec)
+        assert all(-127 <= x <= 127 for x in q)
+        if any(v != 0 for v in vec):
+            i = max(range(len(vec)), key=lambda j: abs(vec[j]))
+            assert abs(q[i]) == 127
+        else:
+            assert q == [0] * len(vec)
+        collected.append(vec)
+
+    check_py()
+
+    # engine parity on the hypothesis-generated corpus, one batch
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(collected)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        r.id: list(r.q)
+        for r in df.select("id", int8_quantize("vec").alias("q")).collect()
+    }
+    want = {i: int8_quantize_py(v) for i, v in rows}
+    assert got == want
