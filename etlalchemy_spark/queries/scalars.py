@@ -534,3 +534,25 @@ def sql_pipe_syntax(spark, sf_dir):
         |> WHERE n_orders > 5
         |> ORDER BY o_orderpriority, ord_year
     """)
+
+
+_IDENT_SQL = """
+SELECT n_name, CAST(n_regionkey AS BIGINT) AS region_key
+FROM nation WHERE n_regionkey < 3
+"""
+
+
+@register("sql_identifier_param", oracle=_IDENT_SQL, tags=("sql",))
+def sql_identifier_param(spark, sf_dir):
+    """Spark 4 IDENTIFIER clause: table and column names bound as SQL
+    PARAMETERS (constant text + args), closing the injection surface
+    for dynamic identifiers the same way sql_parameterized_query
+    closes it for literals — templating a table name with f-strings is
+    the SQL-injection shape; IDENTIFIER(:t) parses the argument as ONE
+    identifier or fails."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_id_nation")
+    return spark.sql(
+        "SELECT n_name, CAST(IDENTIFIER(:keycol) AS BIGINT) AS region_key "
+        "FROM IDENTIFIER(:tbl) WHERE IDENTIFIER(:keycol) < 3",
+        args={"tbl": "_id_nation", "keycol": "n_regionkey"},
+    )

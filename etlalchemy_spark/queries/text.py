@@ -1022,3 +1022,60 @@ def text_corpus_snapshot_diff(spark, sf_dir):
             status.alias("status"),
         )
     )
+
+
+_CHARGRAM_SQL = """
+WITH tg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, GREATEST(length(lower(text)) - 2, 0)),
+                i -> substr(lower(text), CAST(i AS INT), 3))) AS g
+  FROM documents
+),
+vocab AS (
+  SELECT g, COUNT(*) AS c FROM tg GROUP BY g
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_trigrams,
+       CAST(SUM(v.c) AS BIGINT) AS sum_freq,
+       CAST(SUM(v.c) AS DOUBLE) / COUNT(*) AS mean_freq
+FROM tg t JOIN vocab v ON t.g = v.g
+GROUP BY t.doc_id
+"""
+
+
+@register("text_chargram_quality", oracle=_CHARGRAM_SQL, tags=("text",))
+def text_chargram_quality(spark, sf_dir):
+    """Character-trigram frequency quality score — the integer-exact
+    cousin of a KenLM perplexity filter: each document's character
+    trigrams are scored by their CORPUS frequency and averaged; docs
+    whose mean trigram frequency sits far below the corpus norm are
+    gibberish/mojibake candidates, far above are boilerplate. Two
+    corpus passes: (1) trigram counts, (2) per-doc frequency sums —
+    and the join between them BROADCASTS at any corpus size, because
+    the trigram vocabulary is bounded by charset³, not by data volume
+    (the property that makes this filter 100 TB-practical where a
+    word-level LM vocab would shuffle). Integer count sums keep it
+    oracle-exact; only the final mean divides in double."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    # guard: Spark's sequence(1, 0) REVERSES (step defaults to -1)
+    # instead of yielding empty like DuckDB's generate_series — a
+    # <3-char doc must contribute zero trigrams on both engines
+    grams = F.when(
+        F.length(low) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - 2),
+            lambda i: F.substring(low, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = d.select("doc_id", F.explode(grams).alias("g"))
+    vocab = tg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tg.join(F.broadcast(vocab), "g")  # charset^3-bounded build side
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("c").cast("bigint").alias("sum_freq"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
+        )
+    )

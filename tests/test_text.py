@@ -106,3 +106,33 @@ def test_label_centroids_shape_and_range(spark):
     assert len(out) == len(labels) * 64
     assert dims == set(range(64))
     assert all(abs(r["centroid"]) < 1.0 for r in out)
+
+
+def test_chargram_quality_short_docs_contribute_nothing(spark):
+    """Spark's sequence(1, 0) REVERSES rather than yielding empty; the
+    guard must keep <3-char docs out of the trigram stream (DuckDB's
+    generate_series(1, 0) is empty, so divergence here would be an
+    oracle mismatch on any corpus with short docs)."""
+    import etlalchemy_spark.queries.text  # noqa: F401 (registration)
+    from etlalchemy_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    fn = all_queries()["text_chargram_quality"].fn
+    # monkey-free: run the same expression shape on a local frame
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abcd"), (4, "xyz")], "doc_id long, text string"
+    )
+    low = F.lower(F.col("text"))
+    grams = F.when(
+        F.length(low) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - 2),
+            lambda i: F.substring(low, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select("doc_id", F.explode(grams).alias("g")).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r.g)
+    assert 1 not in by_id and 2 not in by_id  # short docs: zero rows
+    assert by_id[3] == ["abc", "bcd"] and by_id[4] == ["xyz"]
