@@ -113,12 +113,9 @@ def test_chargram_quality_short_docs_contribute_nothing(spark):
     guard must keep <3-char docs out of the trigram stream (DuckDB's
     generate_series(1, 0) is empty, so divergence here would be an
     oracle mismatch on any corpus with short docs)."""
-    import etlalchemy_spark.queries.text  # noqa: F401 (registration)
-    from etlalchemy_spark.registry import all_queries
     from pyspark.sql import functions as F
 
-    fn = all_queries()["text_chargram_quality"].fn
-    # monkey-free: run the same expression shape on a local frame
+    # same expression shape as text_chargram_quality, on a local frame
     df = spark.createDataFrame(
         [(1, "ab"), (2, ""), (3, "abcd"), (4, "xyz")], "doc_id long, text string"
     )
