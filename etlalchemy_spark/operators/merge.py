@@ -48,8 +48,15 @@ def merge_upsert(
     - unmatched + op='I' → insert
     - unmatched + op='U'/'D' → no-op (nothing to update/delete)
 
-    ``key`` must be non-null on both sides (enforced). Assumed: one
-    change row per key, and updates never MOVE a row across partitions
+    NULL-key change rows are dropped (no identity to merge on);
+    NULL-key target rows are PRESERVED untouched — side membership is
+    tracked with presence markers, not key nullity, so a NULL target
+    key can never be mistaken for an unmatched change row. A delete arm
+    that empties a touched partition removes that partition's directory
+    explicitly (dynamic overwrite only rewrites partitions present in
+    the output, so an all-deleted partition would otherwise survive on
+    disk and its rows reappear on readback). Assumed: one change row
+    per key, and updates never MOVE a row across partitions
     (``part_col`` is part of row identity — the standard dynamic-
     overwrite constraint; a partition-moving update would need its OLD
     partition in the change set to retire the stale copy)."""
@@ -63,15 +70,21 @@ def merge_upsert(
     # partition-pruning list) — at most the table's partition count.
     touched = [r[0] for r in changes.select(part_col).distinct().collect()]
 
+    # Presence markers, NOT key nullity, decide side membership: a
+    # target row with a NULL key must read as "matched nothing" (kept
+    # as-is), never as a change-side-only row (ADVICE r6).
     t = target.where(F.col(part_col).isin(touched)).select(
-        *[F.col(c).alias(f"t_{c}") for c in cols]
+        F.lit(True).alias("t_present"),
+        *[F.col(c).alias(f"t_{c}") for c in cols],
     )
     c = changes.where(F.col(key).isNotNull()).select(
-        *[F.col(x).alias(f"c_{x}") for x in cols], "op"
+        F.lit(True).alias("c_present"),
+        *[F.col(x).alias(f"c_{x}") for x in cols],
+        "op",
     )
     j = t.join(c, t[f"t_{key}"] == c[f"c_{key}"], "full_outer")
-    matched = F.col(f"t_{key}").isNotNull() & F.col(f"c_{key}").isNotNull()
-    src_only = F.col(f"t_{key}").isNull()
+    matched = F.col("t_present").isNotNull() & F.col("c_present").isNotNull()
+    src_only = F.col("t_present").isNull()
     merged = (
         j.where(~(matched & (F.col("op") == "D")))  # matched-delete arm
         .where(~(src_only & (F.col("op") != "I")))  # U/D with no match: no-op
@@ -87,12 +100,38 @@ def merge_upsert(
     )
     # Materialize before overwriting directories the plan reads from.
     merged = merged.localCheckpoint(eager=True)
+    # Bounded collect #2 (≤ len(touched) keys): partitions whose every
+    # row the delete arm removed. Dynamic overwrite only rewrites
+    # partitions PRESENT in the output, so an emptied partition's old
+    # files would survive and its "deleted" rows reappear on readback
+    # — delete those directories explicitly after the write.
+    remaining = {r[0] for r in merged.select(part_col).distinct().collect()}
+    emptied = [v for v in touched if v not in remaining]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _delete_partition_dirs(spark, target_path, part_col, emptied)
+
+
+def _delete_partition_dirs(spark, target_path, part_col, values) -> None:
+    """Remove ``part_col=<value>`` directories via the Hadoop FileSystem
+    API (works on any Spark-supported FS, not just local disk), using
+    Spark's own partition-path escaping so the paths match what the
+    writer produced."""
+    if not values:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    for v in values:
+        name = (
+            "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
+        )
+        p = jvm.org.apache.hadoop.fs.Path(target_path, f"{part_col}={name}")
+        p.getFileSystem(hconf).delete(p, True)
 
 
 def upsert_latest(

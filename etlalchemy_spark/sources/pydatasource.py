@@ -132,21 +132,31 @@ class DialectCsvReader(DataSourceReader):
                 residual.append(f)
         return residual
 
-    @staticmethod
-    def _normalize_temporal(f: Filter) -> Filter:
+    def _normalize_temporal(self, f: Filter) -> Filter:
         """Rewrite naive-datetime comparison literals to aware (local
         offset → exact instant); non-temporal filters pass through
         unchanged. ``fromtimestamp``'s naive result is this process's
         wall clock, so ``astimezone()`` (which assumes local for naive
-        input) is the exact inverse."""
+        input) is the exact inverse — but ONLY for TimestampType
+        columns, whose literals encode an instant. A timestamp_ntz
+        column's literal IS a wall-clock value and must stay naive:
+        attaching the driver's local offset would shift which rows
+        match whenever the driver zone isn't UTC (ADVICE r6)."""
         import dataclasses
         import datetime
 
         if isinstance(f, Not):
-            child = DialectCsvReader._normalize_temporal(f.child)
+            child = self._normalize_temporal(f.child)
             return f if child is f.child else Not(child)
         v = getattr(f, "value", None)
         if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            attr = getattr(f, "attribute", None)
+            if attr and len(attr) == 1:
+                fld = next(
+                    (x for x in self._schema.fields if x.name == attr[0]), None
+                )
+                if fld is not None and fld.dataType.typeName() != "timestamp":
+                    return f  # timestamp_ntz / date-typed: wall-clock, stays naive
             return dataclasses.replace(f, value=v.astimezone())
         return f
 
@@ -250,22 +260,22 @@ class DialectCsvReader(DataSourceReader):
         import pyarrow.compute as pc
 
         if isinstance(f, Not):
-            inv = pc.invert(self._mask(table, f.child))
-            if isinstance(f.child, In):
-                # SQL three-valued semantics: `col NOT IN (...)` is NULL
-                # (row dropped) for a NULL col, but pc.is_in returns
-                # false (not null) there, so a bare invert would KEEP
-                # NULL rows. Mask them out explicitly. (Plain
-                # Not(EqualTo) is safe: invert(null) = null.)
-                return pc.and_(inv, pc.is_valid(table.column(f.child.attribute[0])))
-            return inv
+            # Safe for any nesting depth because every child mask below
+            # propagates NULL for NULL inputs (invert(null) = null), so
+            # the final table.filter drops the row per SQL 3VL.
+            return pc.invert(self._mask(table, f.child))
         col = table.column(f.attribute[0])
         if isinstance(f, IsNull):
             return pc.is_null(col)
         if isinstance(f, IsNotNull):
             return pc.is_valid(col)
         if isinstance(f, In):
-            return pc.is_in(col, value_set=pa.array(list(f.value), col.type))
+            # pc.is_in yields non-null false for a NULL input, but SQL
+            # `col IN (...)` is NULL there — re-inject the null so any
+            # nesting of Not (`NOT IN`, `NOT NOT IN`, …) inverts
+            # correctly instead of special-casing one level (ADVICE r6).
+            member = pc.is_in(col, value_set=pa.array(list(f.value), col.type))
+            return pc.if_else(pc.is_valid(col), member, pa.scalar(None, pa.bool_()))
         lit = pa.scalar(f.value, col.type)
         ops = {
             EqualTo: pc.equal,

@@ -121,3 +121,53 @@ def test_upsert_latest_batch_order_invariant(spark, tmp_path):
             upsert_latest(spark, target, df, key="k", part_col="p", seq_col="seq")
         got = {r.k: (r.seq, r.val) for r in spark.read.parquet(target).collect()}
         assert got == want, f"permutation {perm} diverged"
+
+
+def test_merge_delete_empties_partition_directory(spark, tmp_path):
+    # ADVICE r6 (medium): with partitionOverwriteMode=dynamic the write
+    # only rewrites partitions present in the merged OUTPUT — a delete
+    # arm that removes every row of a partition would leave the old
+    # files on disk and the rows reappear. merge_upsert must remove the
+    # emptied partition directory explicitly.
+    target = os.path.join(str(tmp_path), "tgt_empty")
+    # partition 5 holds exactly two rows; partition 6 holds two more
+    rows = [(1, "a", 5), (2, "b", 5), (3, "c", 6), (4, "d", 6)]
+    spark.createDataFrame(rows, "k long, val string, p int").write.partitionBy(
+        "p"
+    ).parquet(target)
+
+    changes = spark.createDataFrame(
+        [(1, "x", 5, "D"), (2, "x", 5, "D"), (3, "updated", 6, "U")],
+        "k long, val string, p int, op string",
+    )
+    merge_upsert(spark, target, changes, key="k", part_col="p")
+
+    back = spark.read.parquet(target)
+    got = {(r.k, r.val, r.p) for r in back.collect()}
+    assert got == {(3, "updated", 6), (4, "d", 6)}, "deleted rows reappeared"
+    assert not os.path.exists(os.path.join(target, "p=5")), (
+        "emptied partition directory must be removed"
+    )
+    assert os.path.exists(os.path.join(target, "p=6"))
+
+
+def test_merge_preserves_null_key_target_rows(spark, tmp_path):
+    # ADVICE r6: a NULL-key target row must ride through the merge
+    # untouched — side membership is decided by presence markers, so a
+    # NULL target key can never be classified as an unmatched change
+    # row (which the op-is-NULL arithmetic silently deleted before).
+    target = os.path.join(str(tmp_path), "tgt_nullkey")
+    rows = [(1, "a", 0), (None, "nullkey", 0), (2, "b", 0)]
+    spark.createDataFrame(rows, "k long, val string, p int").write.partitionBy(
+        "p"
+    ).parquet(target)
+
+    changes = spark.createDataFrame(
+        [(1, "updated", 0, "U"), (None, "ghost", 0, "I")],
+        "k long, val string, p int, op string",
+    )
+    merge_upsert(spark, target, changes, key="k", part_col="p")
+
+    got = {(r.k, r.val) for r in spark.read.parquet(target).collect()}
+    # NULL-key change row dropped (no identity); NULL-key target row kept
+    assert got == {(1, "updated"), (None, "nullkey"), (2, "b")}

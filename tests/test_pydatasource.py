@@ -206,29 +206,103 @@ def test_temporal_filter_pushdown_instant_correct(spark, tmp_path):
 def test_temporal_normalization_uses_process_local_zone():
     # The naive→aware rewrite must interpret the literal in THIS
     # process's local zone (the exact inverse of how fromInternal
-    # produced it) — simulated by flipping TZ around the call.
+    # produced it) — simulated by flipping TZ around the call. It must
+    # apply ONLY to TimestampType columns: a timestamp_ntz literal is a
+    # wall-clock value and stays naive (ADVICE r6 — attaching the local
+    # offset would shift which rows match off-UTC drivers).
     import datetime
     import os
     import time
 
     from pyspark.sql.datasource import GreaterThan as GT
 
+    reader = DialectCsvReader(
+        StructType.fromDDL("ts timestamp, wall timestamp_ntz"), {"path": "/dev/null"}
+    )
     naive = datetime.datetime(2024, 3, 1, 12, 0)
     old = os.environ.get("TZ")
     os.environ["TZ"] = "America/New_York"
     time.tzset()
     try:
-        out = DialectCsvReader._normalize_temporal(GT(attribute=("ts",), value=naive))
+        out = reader._normalize_temporal(GT(attribute=("ts",), value=naive))
         assert out.value.utcoffset() == datetime.timedelta(hours=-5)
         assert out.value.replace(tzinfo=None) == naive
-        wrapped = DialectCsvReader._normalize_temporal(Not(GT(attribute=("ts",), value=naive)))
+        wrapped = reader._normalize_temporal(Not(GT(attribute=("ts",), value=naive)))
         assert wrapped.child.value.utcoffset() == datetime.timedelta(hours=-5)
+        # NTZ column: literal must come back untouched (still naive)
+        ntz = reader._normalize_temporal(GT(attribute=("wall",), value=naive))
+        assert ntz.value.tzinfo is None and ntz.value == naive
+        ntz_wrapped = reader._normalize_temporal(Not(GT(attribute=("wall",), value=naive)))
+        assert ntz_wrapped.child.value.tzinfo is None
     finally:
         if old is None:
             del os.environ["TZ"]
         else:
             os.environ["TZ"] = old
         time.tzset()
+
+
+def test_ntz_filter_pushdown_non_utc_driver(spark, tmp_path):
+    # End-to-end NTZ pushdown: with the driver in a non-UTC zone, a
+    # pushed `wall > <naive literal>` over a timestamp_ntz column must
+    # select the same wall-clock rows as Spark's own evaluation.
+    import datetime
+
+    register_dialect_csv(spark)
+    rows = [
+        Row(id=i, wall=datetime.datetime(2024, 3, 1, h, 30))
+        for i, h in enumerate([1, 5, 9, 13, 17])
+    ]
+    schema = StructType.fromDDL("id bigint, wall timestamp_ntz")
+    df = spark.createDataFrame(rows, schema)
+    path = _write(spark, df, tmp_path, "ntz")
+    import os
+    import time
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        back = spark.read.format("dialect_csv").schema(schema).load(path)
+        # build the NTZ literal from a STRING: a bare F.lit(datetime) is
+        # TimestampType (an instant) and would coerce the comparison
+        # through the session zone instead of comparing wall clocks
+        cutoff = F.lit("2024-03-01 09:00:00").cast("timestamp_ntz")
+        got = sorted(r.id for r in back.where(F.col("wall") > cutoff).collect())
+        want = sorted(r.id for r in df.where(F.col("wall") > cutoff).collect())
+        assert got == want == [2, 3, 4]
+    finally:
+        if old is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
+def test_double_negated_in_mask_null_propagation(spark, tmp_path):
+    # Not(Not(In)) must behave exactly like In under SQL 3VL: NULL rows
+    # drop at any nesting depth because the In mask now propagates NULL
+    # instead of special-casing one Not level (ADVICE r6).
+    register_dialect_csv(spark)
+    df = spark.createDataFrame(TRICKY)
+    path = _write(spark, df, tmp_path, "notnotin")
+    schema = StructType.fromDDL(SCHEMA)
+    reader = DialectCsvReader(schema, {"path": path})
+    inner = In(attribute=("s",), value=("plain",))
+    assert list(reader.pushFilters([Not(Not(inner))])) == []
+    rows = [
+        r for p in reader.partitions() for b in reader.read(p) for r in b.to_pylist()
+    ]
+    # only id=1 (s='plain') matches; NULL s (id=2) must NOT reappear
+    assert sorted(r["id"] for r in rows) == [1]
+    # single Not still drops NULLs too (regression for the removed
+    # special case)
+    reader2 = DialectCsvReader(schema, {"path": path})
+    assert list(reader2.pushFilters([Not(In(attribute=("s",), value=("plain",)))])) == []
+    rows2 = [
+        r for p in reader2.partitions() for b in reader2.read(p) for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows2) == [3, 4, 5, 6, 7]
 
 
 def test_registration_is_per_session_boundary_pinned(spark, tmp_path):
