@@ -26,6 +26,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from etlalchemy_spark.operators.ddl import DDLEpilogue, FKSpec, IndexSpec, fk_orphan_count
 from etlalchemy_spark.operators.rules import SchemaRules
@@ -437,13 +438,23 @@ class Migration:
 
             n_loaded: int | None = None
             if self.target.fmt == "jdbc":
+                # O2 metrics from the WRITE job itself: an Observation
+                # node rides the plan the jdbc write executes, so the
+                # row count comes out of the same single pass — the old
+                # df.count() here lazily re-executed the whole
+                # read→rules→standardize pipeline a second time per
+                # table (2x source scans at any scale).
+                from pyspark.sql import Observation
+
+                obs = Observation(f"migrate_{dest_name}")
                 write_jdbc(
-                    df,
+                    df.observe(obs, F.count(F.lit(1)).alias("rows")),
                     self.target.path,
                     dest_name,
                     mode="errorifexists" if table_mode == "error" else table_mode,
                     varchar_meta=varchar_metadata(decisions),
                 )
+                n_loaded = int(obs.get["rows"])
             elif self.target.fmt in ("duckdb", "sqlite"):
                 # W3 native bulk path: per-partition dialect CSV +
                 # native loader into the embedded destination DB
@@ -473,8 +484,6 @@ class Migration:
 
             if n_loaded is not None:
                 n_rows = n_loaded
-            elif self.target.fmt == "jdbc":
-                n_rows = df.count()
             else:
                 # count from the WRITTEN files (parquet/orc footers, csv
                 # line scan) — a df.count() here would lazily re-execute

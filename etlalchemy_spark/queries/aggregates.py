@@ -729,3 +729,4 @@ def agg_chi2_independence(spark, sf_dir):
         F.sum(term).cast("decimal(38,10)").cast("double").alias("chi2"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+

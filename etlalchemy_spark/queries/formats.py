@@ -490,3 +490,80 @@ def fmt_compact_small_files(spark, sf_dir):
         spark, frag, compacted, target_bytes=4 * 1024 * 1024, order_col="o_orderkey"
     )
     return spark.read.parquet(compacted)
+
+
+_LINEAGE_SQL = """
+SELECT o_orderkey,
+       'bucket=' || CAST(o_orderkey % 4 AS VARCHAR) AS part_dir,
+       ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) - 1
+         AS row_idx
+FROM orders
+"""
+
+
+@register("fmt_row_lineage", oracle=_LINEAGE_SQL, tags=("sources",))
+def fmt_row_lineage(spark, sf_dir):
+    """Row-level provenance via the parquet ``_metadata`` hidden
+    columns (file_path + row_index) — the thing a 100 TB corpus needs
+    to answer "which shard and offset did this training example come
+    from" without writing an id column into the data. The fixture is
+    written deterministically (hash-partitioned into 4 bucket dirs,
+    sorted within each file), so file identity and in-file position
+    are pure functions of the data and the oracle can recompute both:
+    row_index must equal the rank within the bucket. ``_metadata`` is
+    scan-time metadata, not stored bytes — zero storage cost, exact
+    lineage."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    tmp = scratch_dir("lineage", sf_dir)
+    path = os.path.join(tmp, "orders_lineage")
+    bucketed = orders.withColumn("bucket", F.col("o_orderkey") % 4)
+    (
+        bucketed.repartition(4, "bucket")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        F.regexp_extract(F.col("_metadata.file_path"), r"(bucket=\d+)", 1).alias(
+            "part_dir"
+        ),
+        F.col("_metadata.row_index").alias("row_idx"),
+    )
+
+
+_BLOOM_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (42, 4242, 424242)
+"""
+
+
+@register("fmt_parquet_bloom", oracle=_BLOOM_SQL, tags=("sources",))
+def fmt_parquet_bloom(spark, sf_dir):
+    """Parquet bloom filters on a high-cardinality key
+    (``parquet.bloom.filter.enabled#col``): min/max row-group stats
+    prune RANGES, but a point lookup on a key that's uniformly spread
+    (like o_orderkey across unsorted shards) matches every row group's
+    [min,max] — the bloom filter is what lets the reader skip row
+    groups that cannot contain the probed keys, turning a 100 TB
+    needle-in-haystack lookup from a full scan into a handful of row
+    groups. The write-side option cost is a few KB per row group
+    (size delta pinned in tests/test_formats_bloom.py); results are
+    byte-identical to scanning the source."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = scratch_dir("bloom", sf_dir)
+    path = os.path.join(tmp, "orders_bloom")
+    (
+        orders.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "100000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.where(F.col("o_orderkey").isin(42, 4242, 424242))

@@ -284,3 +284,46 @@ def sample_temperature_mixture(spark, sf_dir):
     return temperature_mixture_sample(
         d, F.col("doc_id"), F.col("lang"), alpha=0.5, salt="tm:"
     ).select("doc_id", "source", "lang")
+
+
+_GROUP_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN {_bucket_sql("source", "gsplit:")} < 800000 THEN 'train'
+              WHEN {_bucket_sql("source", "gsplit:")} < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_id, source, split,
+       COUNT(DISTINCT split) OVER (PARTITION BY source) AS group_split_count
+FROM assigned
+"""
+
+
+@register("sample_split_group_disjoint", oracle=_GROUP_SPLIT_SQL, tags=("sampling", "window"))
+def sample_split_group_disjoint(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split is a hash of the
+    GROUP key (source), not the document, so near-duplicate documents
+    that share a provenance group can never straddle the
+    train/evaluation boundary — the standard guard against benchmark
+    leakage that per-row splits (sample_train_test_split) do not give.
+    Stateless per-row arithmetic (no shuffle to assign); the
+    group_split_count audit column (distinct splits seen per group —
+    structurally 1) rides along so a pipeline can assert disjointness
+    from the output itself. 80/10/10 by group; at 100 TB the only
+    requirement is enough groups to make the ratio concentrate."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("source"), "gsplit:")
+    assigned = d.select(
+        "doc_id",
+        "source",
+        F.when(b < 800000, "train").when(b < 900000, "val").otherwise("test").alias("split"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return assigned.withColumn(
+        "group_split_count", F.size(F.collect_set("split").over(w)).cast("bigint")
+    )

@@ -556,3 +556,26 @@ def sql_identifier_param(spark, sf_dir):
         "FROM IDENTIFIER(:tbl) WHERE IDENTIFIER(:keycol) < 3",
         args={"tbl": "_id_nation", "keycol": "n_regionkey"},
     )
+
+
+_GBALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GBALL_SQL, tags=("sql",))
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 and DuckDB share the
+    dialect, so the oracle is the SAME text): the analyzer derives the
+    grouping set from the non-aggregate select items and the sort keys
+    from the full select list — sugar only, the plan is the explicit
+    partial+final hash aggregate + sort. Kills the classic drift bug
+    where a new select item is forgotten in the GROUP BY clause."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gball_li")
+    return spark.sql(_GBALL_SQL.replace("FROM lineitem", "FROM _gball_li"))

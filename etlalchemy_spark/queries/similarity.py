@@ -619,3 +619,83 @@ def sim_int8_quantized_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qq = int8_quantize_py(_query_vec(spark, sf_dir))
     return int8_cosine_topk(emb, "vec_id", "embedding", qq, k=10)
+
+
+_PQ_CODES_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv AS aqv
+  FROM q ORDER BY vec_id LIMIT 16
+), dist AS (
+  SELECT q.vec_id, m.m AS subspace, a.code,
+         list_sum(list_transform(range(1, 9),
+           d -> (q.qv[m.m*8+d] - a.aqv[m.m*8+d])*(q.qv[m.m*8+d] - a.aqv[m.m*8+d]))) AS dist
+  FROM q
+  CROSS JOIN generate_series(0, 7) AS m(m)
+  CROSS JOIN anch a
+)
+SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code
+FROM (
+  SELECT vec_id, subspace, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+  FROM dist) WHERE rn = 1
+"""
+
+
+@register("sim_pq_codes_exact", oracle=_PQ_CODES_SQL, tags=("similarity",))
+def sim_pq_codes_exact(spark, sf_dir):
+    """Product-quantization ENCODING, oracle-exact: each 64-dim vector
+    becomes 8 sub-space codes (argmin integer L2 against 16 anchor
+    codebooks on a shared global grid — floor-half-up, the portable
+    rounding). One narrow projection pass: codebooks are plan
+    literals, so there is NO join and NO shuffle at any corpus size;
+    ties break to the lowest code on both engines. This is the
+    correctness gate for the PQ family — sim_pq_adc_topk runs the
+    kmeans-trained float path that SQL can't reproduce."""
+    from etlalchemy_spark.operators.similarity import (
+        pq_anchor_codebooks,
+        pq_codes_exact,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = pq_anchor_codebooks(emb, "vec_id", "embedding", n_codes=16)
+    return pq_codes_exact(emb, "vec_id", "embedding", anchors)
+
+
+@register("sim_pq_adc_topk", oracle=None, tags=("similarity", "approx", "iterative"))
+def sim_pq_adc_topk(spark, sf_dir):
+    """PQ + asymmetric distance computation as the CANDIDATE
+    GENERATOR, exact re-rank on the shortlist — the production ANN
+    shape at 100 TB: per-subspace L2 kmeans codebooks (8 subspaces x
+    32 codes, driver-literal state, three Lloyd iterations), corpus
+    scanned in code space (8 small ints/vector, a 32x memory cut vs
+    float32 — RAM-resident index instead of spilling), query scored by
+    summing 8 lookup-table entries instead of 64 multiplies. The ADC
+    top-100 shortlist (TakeOrderedAndProject) then gets ONE exact
+    float re-rank — 100 vectors, not the corpus — so PQ's score
+    distortion costs recall only if a true neighbor misses the
+    shortlist (recall@10 pinned in tests/test_similarity.py; the
+    fixture's vectors are near-random, the hardest operating point —
+    neighbor margins of ~0.05 cosine — so the shortlist is sized
+    generously; real embedding corpora separate far better). The
+    unit-norm corpus makes the L2 ranking a cosine ranking.
+    Rows-only (kmeans is float/iteration-order dependent); exact-gate
+    twin sim_pq_codes_exact covers the encoder."""
+    from etlalchemy_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    books = pq_train_codebooks(emb, "vec_id", "embedding", n_codes=32, iters=3)
+    shortlist = pq_adc_topk(emb, "vec_id", "embedding", q, books, k=100)
+    cands = emb.join(
+        F.broadcast(shortlist.select("vec_id")), "vec_id", "left_semi"
+    )
+    return cosine_topk_exact(cands, "vec_id", "embedding", q, k=10)

@@ -382,3 +382,42 @@ def stream_cdc_merge_sink(spark, sf_dir):
         F.col("seq").alias("last_seq"),
         F.col("value").alias("last_value"),
     )
+
+
+@register("stream_incremental_dedup", oracle=None, tags=("streaming", "dedup", "approx"))
+def stream_incremental_dedup(spark, sf_dir):
+    """Streaming steady-state dedup: the documents corpus sliced into
+    4 hash-disjoint parquet files dropped in an ingest dir, replayed
+    as one micro-batch per file (maxFilesPerTrigger=1, availableNow),
+    each batch running incremental_dedup_step against the persisted
+    band store. The accumulated match set must equal the ONE-SHOT
+    full-corpus MinHash-LSH pair set no matter how files arrive — the
+    replay invariance the batch op property-tests, now exercised
+    through real trigger/checkpoint machinery. Twin
+    dedup_minhash_lsh_exact carries the oracle; set equality pinned in
+    tests/test_streaming.py."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.queries._util import scratch_dir, t
+    from etlalchemy_spark.streaming.documents import run_incremental_dedup_stream
+
+    docs = t(spark, sf_dir, "documents")
+    sd = scratch_dir("inc_dedup_stream", sf_dir)
+    ingest = _os.path.join(sd, "ingest")
+    _shutil.rmtree(ingest, ignore_errors=True)
+    _os.makedirs(ingest)
+    for i in range(4):
+        slice_dir = _os.path.join(sd, f"_slice{i}")
+        (
+            docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(slice_dir)
+        )
+        part = _glob.glob(_os.path.join(slice_dir, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(ingest, f"slice{i}.parquet"))
+    return run_incremental_dedup_stream(
+        spark, ingest, _os.path.join(sd, "state"), docs.schema
+    )

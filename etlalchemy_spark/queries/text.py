@@ -1079,3 +1079,75 @@ def text_chargram_quality(spark, sf_dir):
             (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
         )
     )
+
+
+_HEALTH_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang, n_chars, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+  FROM documents
+), dup AS (
+  SELECT content_fp, COUNT(*) AS n_copies FROM fp GROUP BY content_fp
+), flagged AS (
+  SELECT f.doc_id, f.lang, f.n_chars,
+         CASE WHEN f.n_chars < 100 THEN 1 ELSE 0 END AS is_short,
+         CASE WHEN length(regexp_replace(f.text, '[a-zA-Z0-9\\s]', '', 'g')) * 5
+                   > length(f.text) THEN 1 ELSE 0 END AS is_punct_heavy,
+         CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM fp f JOIN dup d ON f.content_fp = d.content_fp
+)
+SELECT
+  COUNT(*) AS n_docs,
+  CAST(SUM(is_short) AS BIGINT) AS n_short,
+  CAST(SUM(is_punct_heavy) AS BIGINT) AS n_punct_heavy,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dup_member,
+  COUNT(DISTINCT lang) AS n_langs,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+FROM flagged
+"""
+
+
+@register("text_corpus_health_report", oracle=_HEALTH_SQL, tags=("text",))
+def text_corpus_health_report(spark, sf_dir):
+    """One-row corpus health dashboard — the observability pass a
+    100 TB ingest runs BEFORE committing a snapshot: doc count,
+    too-short docs, punctuation-heavy docs (>20% non-alnum), docs
+    that are members of an exact-duplicate group, language count, and
+    total characters. Doc-level flags are pure column expressions; the
+    only shuffle is the content-fingerprint dup count (hash aggregate)
+    joined back — same shape at any corpus size, final reduce is one
+    partial+final aggregate to a single row. Every threshold is an
+    integer comparison on integer counts, so the report is
+    oracle-exact, not approximately right."""
+    from etlalchemy_spark.operators.text import md5_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        md5_fingerprint(F.col("text")).alias("content_fp"),
+    )
+    dup = fp.groupBy("content_fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    flagged = fp.join(dup, "content_fp").select(
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("is_short"),
+        F.when(
+            F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", "")) * 5
+            > F.length(F.col("text")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_punct_heavy"),
+        F.when(F.col("n_copies") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_short").cast("bigint").alias("n_short"),
+        F.sum("is_punct_heavy").cast("bigint").alias("n_punct_heavy"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_member"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+    )

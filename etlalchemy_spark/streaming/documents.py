@@ -51,3 +51,80 @@ def decontam_hit_counts(
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated")
     )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    ingest_dir: str,
+    state_dir: str,
+    doc_schema,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The STREAMING leg of the closed incremental-dedup loop
+    (operators/dedup.py incremental_dedup_step): ingest arrives as
+    parquet FILES dropped into ``ingest_dir`` — the real shape of a
+    100 TB feed — and ``maxFilesPerTrigger=1`` makes each file one
+    micro-batch. Per batch, foreachBatch runs ONE step against the
+    PERSISTED band store (parquet under ``state_dir``): matches land
+    append-only, the batch's band rows append to the store (appending
+    new bands ≡ the step's returned union, without rewriting — or
+    reading-while-overwriting — corpus-sized state), and the batch
+    docs append to the store corpus for future candidate re-shingling.
+    Every per-batch write is batch-sized; the store is only ever
+    APPENDED to — exactly the steady-state cost shape of the batch op,
+    now driven by Structured Streaming's trigger/checkpoint machinery.
+    Replay invariance of the step (any batch slicing → the one-shot
+    pair set) is what makes this sink correct under arbitrary file
+    arrival order; tests/test_streaming.py pins stream ≡ one-shot."""
+    import shutil
+
+    from etlalchemy_spark.operators.dedup import incremental_dedup_step, lsh_band_store
+
+    store_docs_p = os.path.join(state_dir, "store_docs")
+    store_bands_p = os.path.join(state_dir, "store_bands")
+    matches_p = os.path.join(state_dir, "matches")
+    ckpt = os.path.join(state_dir, "ckpt")
+    for p in (store_docs_p, store_bands_p, matches_p, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.exists(store_bands_p):
+            store = s.read.parquet(store_docs_p)
+            store_bands = s.read.parquet(store_bands_p)
+        else:
+            store = s.createDataFrame([], doc_schema)
+            store_bands = None
+        matches, _ = incremental_dedup_step(
+            store,
+            batch_df,
+            "doc_id",
+            "text",
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            store_bands=store_bands,
+        )
+        matches.write.mode("append").parquet(matches_p)
+        lsh_band_store(
+            batch_df, "doc_id", "text", k=k, num_hashes=num_hashes, bands=bands
+        ).write.mode("append").parquet(store_bands_p)
+        batch_df.write.mode("append").parquet(store_docs_p)
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingest_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(matches_p)

@@ -215,3 +215,40 @@ def test_int8_quantize_properties_and_engine_parity(spark):
     }
     want = {i: int8_quantize_py(v) for i, v in rows}
     assert got == want
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ-ADC shortlist (top-50 in code space) + exact re-rank must
+    recover nearly all of the exact cosine top-10 — the shortlist
+    absorbs PQ's score distortion, so a miss means a true neighbor
+    fell outside the top-10% of the corpus by approximate distance
+    (a broken encoder or LUT craters this immediately)."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    exact = {
+        r.vec_id
+        for r in all_queries()["sim_cosine_topk_exact"].fn(spark, SF_DIR).collect()
+    }
+    pq = {r.vec_id for r in all_queries()["sim_pq_adc_topk"].fn(spark, SF_DIR).collect()}
+    assert len(pq & exact) >= 8, f"PQ recall too low: {len(pq & exact)}/10"
+
+
+def test_pq_codes_anchor_vectors_encode_to_themselves(spark):
+    """Structural sanity for the exact encoder: each anchor vector's
+    code in every subspace is its own anchor index (distance 0), and
+    every (vec, subspace) emits exactly one code in [0, 16)."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    out = all_queries()["sim_pq_codes_exact"].fn(spark, SF_DIR)
+    rows = out.collect()
+    n_vec = len({r.vec_id for r in rows})
+    assert len(rows) == n_vec * 8
+    assert all(0 <= r.code < 16 for r in rows)
+    anchor_ids = sorted({r.vec_id for r in rows})[:16]
+    for i, vid in enumerate(anchor_ids):
+        own = [r.code for r in rows if r.vec_id == vid]
+        assert own == [i] * 8, f"anchor {vid} must encode to itself ({i}), got {own}"

@@ -139,3 +139,25 @@ def test_stream_decontam_equals_batch(spark):
         for r in qs["text_decontamination"].fn(spark, SF_DIR).collect()
     }
     assert s == b
+
+
+def test_stream_incremental_dedup_equals_one_shot(spark):
+    """The streaming foreachBatch dedup sink must converge to exactly
+    the one-shot full-corpus pair set — the replay invariance of
+    incremental_dedup_step carried through real trigger/checkpoint
+    machinery (file-per-batch ingest, persisted band store)."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    qs = all_queries()
+    stream = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in qs["stream_incremental_dedup"].fn(spark, SF_DIR).collect()
+    }
+    one_shot = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in qs["dedup_minhash_lsh_exact"].fn(spark, SF_DIR).collect()
+    }
+    assert stream == one_shot
+    assert one_shot, "fixture must contain at least one near-dup pair"

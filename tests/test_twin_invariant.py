@@ -20,12 +20,14 @@ EXACT_TWINS = {
     "sim_cosine_topk_lsh": "sim_cosine_topk_lsh_exact",
     "sim_cosine_topk_lsh_multiprobe": "sim_cosine_topk_lsh_multiprobe_exact",
     "sim_ivf_kmeans_topk": "sim_ivf_topk_exact",
+    "sim_pq_adc_topk": "sim_pq_codes_exact",
     "sim_ivf_topk": "sim_ivf_topk_exact",
     "sketch_hll_cross_table_union": "sketch_hll_portable_registers",
     "sketch_hll_distinct_customers": "sketch_hll_portable_estimate",
     "stream_decontam_scrub": "text_decontamination",
     "stream_dedup_watermark": "dedup_exact_first_per_key",
     "stream_foreach_batch_sink": "events_tumbling_1h",
+    "stream_incremental_dedup": "dedup_minhash_lsh_exact",
     "stream_session_window": "events_session_window",
     "stream_sliding_counts": "events_sliding_1h_15m",
     "stream_stateful_user_counts": "events_power_users_p95",
