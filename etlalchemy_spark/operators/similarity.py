@@ -818,3 +818,77 @@ def pq_adc_topk(
             (F.col("_pos") + 1).cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index (r7): persisted hyperplane-bucket store with
+# batch append — the similarity mirror of the dedup band store. Index
+# once, append arriving batches (each signed once, batch-sized cost),
+# probe the STORE at query time; the corpus is never re-hashed.
+
+
+def bucket_index_version(n_planes: int, seed: int) -> str:
+    """Version tag persisted with every index row: probing a store
+    built with different planes would silently return wrong buckets —
+    same guard discipline as the dedup band store's sig_version."""
+    return f"hp:{n_planes}:{seed}:v1"
+
+
+def append_bucket_index(
+    store_path: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> None:
+    """Sign ONE batch against the literal hyperplanes and append its
+    (id, bucket, idx_version) rows to the parquet store. Cost scales
+    with the batch, never the indexed corpus; the store is append-only
+    (no read-modify-write), so concurrent batch appends compose. A
+    re-appended batch only duplicates candidate rows, which the
+    probe's left-semi fetch ignores — append is idempotent for
+    RESULT correctness (unlike the dedup band store, where a replayed
+    batch would fabricate self-duplicate pairs and needs the
+    disjointness guard); the waste is storage only, so dedup the store
+    offline if replays are common."""
+    planes = hyperplanes(dim, n_planes, seed)
+    rows = lsh_buckets_exact(df, id_col, vec_col, planes).withColumn(
+        "idx_version", F.lit(bucket_index_version(n_planes, seed))
+    )
+    rows.write.mode("append").parquet(store_path)
+
+
+def probe_bucket_index(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Query-time path: read the persisted index, take the query's OWN
+    bucket row (in-store — the query vector was indexed like any other
+    doc), equi-join to candidate ids (broadcast: one bucket), fetch
+    only those vectors from the corpus, exact-rerank. The full-corpus
+    work happened at INDEX time; the probe touches one bucket + k
+    vectors. Wrong-version stores fail loudly."""
+    tag = bucket_index_version(n_planes, seed)
+    idx = spark.read.parquet(store_path)
+    bad = idx.where(F.col("idx_version") != tag).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"bucket index at {store_path} has rows with version "
+            f"{bad[0]['idx_version']!r}, expected {tag!r} — rebuild or "
+            "probe with matching planes"
+        )
+    qb = idx.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
+    cand_ids = idx.join(F.broadcast(qb), idx.bucket == F.col("_qb")).select(id_col)
+    cands = corpus.join(cand_ids, id_col, "left_semi")
+    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(scored, id_col, k)

@@ -567,3 +567,45 @@ def fmt_parquet_bloom(spark, sf_dir):
     )
     back = spark.read.parquet(path)
     return back.where(F.col("o_orderkey").isin(42, 4242, 424242))
+
+
+def _shard_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, {_bucket_sql("doc_id", "shard:")} % 8 AS shard,
+         n_chars
+  FROM documents
+)
+SELECT CAST(shard AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS n_chars_total
+FROM assigned GROUP BY shard
+"""
+
+
+@register("fmt_balanced_shards", oracle=_shard_sql(), tags=("sources", "sampling"))
+def fmt_balanced_shards(spark, sf_dir):
+    """Hash-balanced shard layout for training exports: shard =
+    content-hash of the doc id (deterministic across engines, retries,
+    and re-runs — a trainer can reproduce the exact shard membership
+    from the id alone), so shard sizes concentrate tightly around
+    corpus/n with zero coordination and no sort. The query returns the
+    per-shard audit (doc and char totals — what a dataloader needs to
+    plan epochs); the actual 8-file write and its balance bound are
+    pinned in tests/test_formats_bloom.py. At 100 TB this is the
+    no-shuffle alternative to repartition(n): the assignment column
+    prunes straight into partitioned writes."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        (hash_bucket(F.col("doc_id"), "shard:") % 8).cast("int").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("n_chars_total"),
+    )

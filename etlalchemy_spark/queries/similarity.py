@@ -699,3 +699,37 @@ def sim_pq_adc_topk(spark, sf_dir):
         F.broadcast(shortlist.select("vec_id")), "vec_id", "left_semi"
     )
     return cosine_topk_exact(cands, "vec_id", "embedding", q, k=10)
+
+
+@register("sim_incremental_index_topk", oracle=_lsh_exact_sql(), tags=("similarity", "approx"))
+def sim_incremental_index_topk(spark, sf_dir):
+    """Incremental ANN index — the similarity mirror of the dedup band
+    store: the corpus arrives as two disjoint batches, each signed
+    ONCE and appended to a persisted (id, bucket, version) parquet
+    store; the query probes the STORE (one bucket broadcast, left-semi
+    candidate fetch, exact re-rank) without ever re-hashing indexed
+    vectors. The oracle is the ONE-SHOT whole-corpus LSH search
+    (sim_cosine_topk_lsh_exact's SQL): equality proves append-built ≡
+    built-at-once — the invariant that lets a 100 TB index absorb
+    daily batches instead of rebuilding."""
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.similarity import (
+        append_bucket_index,
+        probe_bucket_index,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    emb = t(spark, sf_dir, "embeddings")
+    store = _os.path.join(scratch_dir("sim_bucket_index", sf_dir), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    append_bucket_index(
+        store, emb.where(F.col("vec_id") % 3 != 0), "vec_id", "embedding", dim=64
+    )
+    append_bucket_index(
+        store, emb.where(F.col("vec_id") % 3 == 0), "vec_id", "embedding", dim=64
+    )
+    return probe_bucket_index(
+        spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
+    )

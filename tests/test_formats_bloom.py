@@ -41,3 +41,28 @@ def test_bloom_option_adds_bitset_bytes(spark, tmp_path):
     )
     want = sorted(r.v for r in df.where(F.col("k").isin(probe)).collect())
     assert got == want and got
+
+
+def test_balanced_shards_write_and_bound(spark, tmp_path):
+    """The shard assignment must land as exactly 8 partition dirs with
+    a tight balance bound (hash uniformity: max/min doc count < 1.6 at
+    500+ docs), and partitionBy on the assignment column must write
+    without any extra shuffle of the data."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.queries._util import t
+
+    from conftest import SF_DIR
+
+    d = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    assigned = d.withColumn(
+        "shard", (hash_bucket(F.col("doc_id"), "shard:") % 8).cast("int")
+    )
+    out = os.path.join(str(tmp_path), "shards")
+    assigned.write.partitionBy("shard").parquet(out)
+    dirs = sorted(n for n in os.listdir(out) if n.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(8)]
+    back = spark.read.parquet(out)
+    counts = {r.shard: r.n for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()}
+    assert len(counts) == 8
+    assert max(counts.values()) / min(counts.values()) < 1.6, counts
+    assert sum(counts.values()) == d.count()

@@ -362,3 +362,40 @@ def test_collation_group_single_aggregate(spark):
     plan = explain_formatted(df)
     assert plan.count("Exchange") <= 2  # partial+final agg exchange (AQE may reuse)
     assert "pythonudf" not in plan.lower()
+
+
+def test_pq_codes_broadcasts_codebook_no_cartesian(spark):
+    # the codebook must ride as a broadcast dimension (the r7 rewrite
+    # away from plan literals); a cartesian here would be corpus x 128
+    df = _q("sim_pq_codes_exact").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_pq_adc_broadcasts_codebook_no_cartesian(spark):
+    df = _q("sim_pq_adc_topk").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_incremental_index_probe_broadcasts_bucket(spark):
+    # the probe joins the one-row query-bucket frame broadcast-side and
+    # fetches candidates via left-semi — never a corpus-wide shuffle of
+    # vectors against the index
+    df = _q("sim_incremental_index_topk").fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_parquet_bloom_point_lookup_pushes_in_filter(spark):
+    df = _q("fmt_parquet_bloom").fn(spark, SF_DIR)
+    assert has_pushed_filters(df, "o_orderkey")
+
+
+def test_corpus_health_single_fingerprint_shuffle(spark):
+    df = _q("text_corpus_health_report").fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert not has_cartesian(df)
+    # dup-count join must be a real join (hash agg + join back), and
+    # the final reduce one partial+final aggregate pair
+    assert "HashAggregate" in plan
