@@ -730,3 +730,26 @@ def agg_chi2_independence(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cells"),
     )
 
+
+
+_FILTER_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_filter_clause", oracle=_FILTER_SQL, tags=("agg",))
+def agg_filter_clause(spark, sf_dir):
+    """ANSI aggregate FILTER clause — several conditional aggregates
+    in ONE partial+final hash-agg pass (the pattern that otherwise
+    multiplies into N self-joins or N CASE pyramids); the SQL text is
+    shared verbatim with DuckDB. Each filtered sum keeps the decimal
+    reduction, so the oracle is exact."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_filter_orders")
+    return spark.sql(_FILTER_SQL.replace("FROM orders", "FROM _filter_orders"))

@@ -421,3 +421,65 @@ def stream_incremental_dedup(spark, sf_dir):
     return run_incremental_dedup_stream(
         spark, ingest, _os.path.join(sd, "state"), docs.schema
     )
+
+
+@register("stream_incremental_ann_index", oracle=None, tags=("streaming", "similarity", "approx"))
+def stream_incremental_ann_index(spark, sf_dir):
+    """Streaming maintenance of the persisted ANN bucket index:
+    embedding batches arrive as files (one micro-batch each), and
+    foreachBatch signs ONLY the batch and appends its (id, bucket,
+    version) rows to the store — the probe afterwards must equal the
+    one-shot whole-corpus search. The append-only store is what makes
+    the streaming sink trivially exactly-once-tolerant: a replayed
+    batch duplicates candidate rows the left-semi probe ignores (the
+    dedup band store, by contrast, needs its disjointness guard).
+    Twin sim_incremental_index_topk carries the oracle over the same
+    final state; stream ≡ batch pinned in tests/test_streaming.py."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.similarity import (
+        append_bucket_index,
+        probe_bucket_index,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir, t
+    from etlalchemy_spark.queries.similarity import _query_vec
+
+    emb = t(spark, sf_dir, "embeddings")
+    sd = scratch_dir("ann_index_stream", sf_dir)
+    ingest = _os.path.join(sd, "ingest")
+    store = _os.path.join(sd, "store")
+    ckpt = _os.path.join(sd, "ckpt")
+    for p in (ingest, store, ckpt):
+        _shutil.rmtree(p, ignore_errors=True)
+    _os.makedirs(ingest)
+    for i in range(3):
+        slice_dir = _os.path.join(sd, f"_slice{i}")
+        (
+            emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(slice_dir)
+        )
+        part = _glob.glob(_os.path.join(slice_dir, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(ingest, f"slice{i}.parquet"))
+
+    def step(batch_df, batch_id):
+        append_bucket_index(store, batch_df, "vec_id", "embedding", dim=64)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingest)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return probe_bucket_index(
+        spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
+    )

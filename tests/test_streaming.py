@@ -161,3 +161,24 @@ def test_stream_incremental_dedup_equals_one_shot(spark):
     }
     assert stream == one_shot
     assert one_shot, "fixture must contain at least one near-dup pair"
+
+
+def test_stream_ann_index_append_equals_one_shot(spark):
+    """Streaming index maintenance must converge to the one-shot
+    whole-corpus search: probe of the stream-appended bucket store ==
+    the oracle-exact batch query over the same corpus."""
+    from etlalchemy_spark.registry import all_queries
+
+    from conftest import SF_DIR
+
+    qs = all_queries()
+    stream = [
+        (r.vec_id, round(r.cosine, 9), r["rank"])
+        for r in qs["stream_incremental_ann_index"].fn(spark, SF_DIR).collect()
+    ]
+    batch = [
+        (r.vec_id, round(r.cosine, 9), r["rank"])
+        for r in qs["sim_incremental_index_topk"].fn(spark, SF_DIR).collect()
+    ]
+    assert sorted(stream) == sorted(batch)
+    assert stream, "probe returned no rows"

@@ -27,6 +27,7 @@ EXACT_TWINS = {
     "stream_decontam_scrub": "text_decontamination",
     "stream_dedup_watermark": "dedup_exact_first_per_key",
     "stream_foreach_batch_sink": "events_tumbling_1h",
+    "stream_incremental_ann_index": "sim_incremental_index_topk",
     "stream_incremental_dedup": "dedup_minhash_lsh_exact",
     "stream_session_window": "events_session_window",
     "stream_sliding_counts": "events_sliding_1h_15m",
