@@ -402,6 +402,30 @@ def lsh_buckets_exact(
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def probe_buckets_topk(
+    bkt: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """THE bucket-probe pipeline, shared by the in-plan search
+    (cosine_topk_lsh_exact) and the persisted-store search
+    (probe_bucket_index): query's own bucket row (broadcast, one row)
+    → candidate ids → left-semi fetch from the corpus → decimal-exact
+    cosine re-rank. One definition so a tie-break or null-handling fix
+    can never silently diverge the two paths (r7 review finding);
+    left-semi also makes the fetch insensitive to duplicate index rows
+    (re-appended store batches)."""
+    qb = bkt.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
+    cand_ids = bkt.join(F.broadcast(qb), bkt.bucket == F.col("_qb")).select(id_col)
+    cands = corpus.join(cand_ids, id_col, "left_semi")
+    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(scored, id_col, k)
+
+
 def cosine_topk_lsh_exact(
     df: DataFrame,
     id_col: str,
@@ -419,11 +443,7 @@ def cosine_topk_lsh_exact(
     engine-specific arithmetic."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     bkt = lsh_buckets_exact(df, id_col, vec_col, planes)
-    qb = bkt.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
-    cand_ids = bkt.join(F.broadcast(qb), bkt.bucket == F.col("_qb")).select(id_col)
-    cands = df.join(cand_ids, id_col)
-    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
-    return _topk_ranked(scored, id_col, k)
+    return probe_buckets_topk(bkt, df, id_col, vec_col, query_id, query_vec, k)
 
 
 def embedding_near_dup_pairs_exact(
@@ -827,11 +847,16 @@ def pq_adc_topk(
 # probe the STORE at query time; the corpus is never re-hashed.
 
 
-def bucket_index_version(n_planes: int, seed: int) -> str:
+def bucket_index_version(dim: int, n_planes: int, seed: int) -> str:
     """Version tag persisted with every index row: probing a store
     built with different planes would silently return wrong buckets —
-    same guard discipline as the dedup band store's sig_version."""
-    return f"hp:{n_planes}:{seed}:v1"
+    same guard discipline as the dedup band store's sig_version. The
+    DIMENSION is part of the tag because hyperplanes(dim, ...) chunks
+    one LCG stream per plane by dim: stores built at different dims
+    share no planes even with equal (n_planes, seed), so a dim-blind
+    tag would wave exactly the mismatch it exists to catch (r7 review
+    finding)."""
+    return f"hp:{dim}:{n_planes}:{seed}:v1"
 
 
 def append_bucket_index(
@@ -855,7 +880,7 @@ def append_bucket_index(
     offline if replays are common."""
     planes = hyperplanes(dim, n_planes, seed)
     rows = lsh_buckets_exact(df, id_col, vec_col, planes).withColumn(
-        "idx_version", F.lit(bucket_index_version(n_planes, seed))
+        "idx_version", F.lit(bucket_index_version(dim, n_planes, seed))
     )
     rows.write.mode("append").parquet(store_path)
 
@@ -878,7 +903,7 @@ def probe_bucket_index(
     only those vectors from the corpus, exact-rerank. The full-corpus
     work happened at INDEX time; the probe touches one bucket + k
     vectors. Wrong-version stores fail loudly."""
-    tag = bucket_index_version(n_planes, seed)
+    tag = bucket_index_version(len(query_vec), n_planes, seed)
     idx = spark.read.parquet(store_path)
     bad = idx.where(F.col("idx_version") != tag).limit(1).collect()
     if bad:
@@ -887,8 +912,4 @@ def probe_bucket_index(
             f"{bad[0]['idx_version']!r}, expected {tag!r} — rebuild or "
             "probe with matching planes"
         )
-    qb = idx.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
-    cand_ids = idx.join(F.broadcast(qb), idx.bucket == F.col("_qb")).select(id_col)
-    cands = corpus.join(cand_ids, id_col, "left_semi")
-    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
-    return _topk_ranked(scored, id_col, k)
+    return probe_buckets_topk(idx, corpus, id_col, vec_col, query_id, query_vec, k)

@@ -517,9 +517,15 @@ def fmt_row_lineage(spark, sf_dir):
     tmp = scratch_dir("lineage", sf_dir)
     path = os.path.join(tmp, "orders_lineage")
     bucketed = orders.withColumn("bucket", F.col("o_orderkey") % 4)
+    # sort by (bucket, o_orderkey): this satisfies the partitionBy
+    # write's required ordering directly, so the planner inserts no
+    # second Sort above it — sorting by o_orderkey alone relied on the
+    # inserted Sort(bucket) preserving tie order, which is stable for
+    # in-memory sorts but NOT a contract across spill-merge runs
+    # (r7 review finding)
     (
         bucketed.repartition(4, "bucket")
-        .sortWithinPartitions("o_orderkey")
+        .sortWithinPartitions("bucket", "o_orderkey")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)

@@ -651,10 +651,12 @@ def sim_pq_codes_exact(spark, sf_dir):
     """Product-quantization ENCODING, oracle-exact: each 64-dim vector
     becomes 8 sub-space codes (argmin integer L2 against 16 anchor
     codebooks on a shared global grid — floor-half-up, the portable
-    rounding). One narrow projection pass: codebooks are plan
-    literals, so there is NO join and NO shuffle at any corpus size;
-    ties break to the lowest code on both engines. This is the
-    correctness gate for the PQ family — sim_pq_adc_topk runs the
+    rounding). The codebook rides as a BROADCAST dimension table
+    (n_sub x n_codes rows, bounded by the codebook never the data):
+    one broadcast equi-join + one per-(id, subspace) argmin aggregate
+    — the only shuffle — at any corpus size; ties break to the lowest
+    code on both engines (struct-MIN == ORDER BY dist, code). This is
+    the correctness gate for the PQ family — sim_pq_adc_topk runs the
     kmeans-trained float path that SQL can't reproduce."""
     from etlalchemy_spark.operators.similarity import (
         pq_anchor_codebooks,

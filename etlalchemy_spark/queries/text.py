@@ -1122,17 +1122,15 @@ def text_corpus_health_report(spark, sf_dir):
     from etlalchemy_spark.operators.text import md5_fingerprint
 
     d = t(spark, sf_dir, "documents")
+    # per-doc flags computed BEFORE the dup-count join: Catalyst prunes
+    # columns but does not push computed expressions below joins, so
+    # flagging after the join would shuffle every document's raw text
+    # for the fingerprint equi-join; flagged-first, the join payload is
+    # (fp, lang, n_chars, two ints) per doc (r7 review finding)
     fp = d.select(
-        "doc_id",
         "lang",
         "n_chars",
-        "text",
         md5_fingerprint(F.col("text")).alias("content_fp"),
-    )
-    dup = fp.groupBy("content_fp").agg(F.count(F.lit(1)).alias("n_copies"))
-    flagged = fp.join(dup, "content_fp").select(
-        "lang",
-        "n_chars",
         F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("is_short"),
         F.when(
             F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", "")) * 5
@@ -1141,6 +1139,13 @@ def text_corpus_health_report(spark, sf_dir):
         )
         .otherwise(0)
         .alias("is_punct_heavy"),
+    )
+    dup = fp.groupBy("content_fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    flagged = fp.join(dup, "content_fp").select(
+        "lang",
+        "n_chars",
+        "is_short",
+        "is_punct_heavy",
         F.when(F.col("n_copies") > 1, 1).otherwise(0).alias("is_dup"),
     )
     return flagged.agg(

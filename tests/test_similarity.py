@@ -218,11 +218,13 @@ def test_int8_quantize_properties_and_engine_parity(spark):
 
 
 def test_pq_adc_recall_vs_exact(spark):
-    """PQ-ADC shortlist (top-50 in code space) + exact re-rank must
-    recover nearly all of the exact cosine top-10 — the shortlist
-    absorbs PQ's score distortion, so a miss means a true neighbor
-    fell outside the top-10% of the corpus by approximate distance
-    (a broken encoder or LUT craters this immediately)."""
+    """PQ-ADC shortlist (top-100 in code space — ~20% of the ~500
+    near-random fixture vectors, sized generously because neighbor
+    margins here are ~0.05 cosine) + exact re-rank must recover
+    nearly all of the exact cosine top-10 — the shortlist absorbs
+    PQ's score distortion, so a miss means a true neighbor fell
+    outside it entirely (a broken encoder or LUT craters this
+    immediately)."""
     from etlalchemy_spark.registry import all_queries
 
     from conftest import SF_DIR
