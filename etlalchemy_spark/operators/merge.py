@@ -27,8 +27,26 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _touched_partition_filter(part_col: str, touched: list) -> Column:
+    """Null-safe membership test for the touched-partition pruning
+    read. ``isin(touched)`` alone evaluates to NULL for NULL partition
+    values, so when the change set touches the NULL partition
+    (``None in touched``) the target's NULL-partition rows would never
+    be loaded into the join — and then either get classified as
+    "emptied" (merge_upsert deleting __HIVE_DEFAULT_PARTITION__ with
+    live rows in it) or get clobbered by a dynamic overwrite that
+    rewrites the partition from change rows alone (upsert_latest).
+    NULL partition membership must be tested with ``isNull()``
+    (ADVICE r7, high)."""
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        cond = cond | F.col(part_col).isNull()
+    return cond
 
 
 def merge_upsert(
@@ -73,7 +91,7 @@ def merge_upsert(
     # Presence markers, NOT key nullity, decide side membership: a
     # target row with a NULL key must read as "matched nothing" (kept
     # as-is), never as a change-side-only row (ADVICE r6).
-    t = target.where(F.col(part_col).isin(touched)).select(
+    t = target.where(_touched_partition_filter(part_col, touched)).select(
         F.lit(True).alias("t_present"),
         *[F.col(c).alias(f"t_{c}") for c in cols],
     )
@@ -172,7 +190,7 @@ def upsert_latest(
     touched = [r[0] for r in changes.select(part_col).distinct().collect()]
     if not touched:
         return
-    t = target.where(F.col(part_col).isin(touched)).select(
+    t = target.where(_touched_partition_filter(part_col, touched)).select(
         *[F.col(c).alias(f"t_{c}") for c in cols]
     )
     c = changes.where(F.col(key).isNotNull()).select(

@@ -53,6 +53,24 @@ def decontam_hit_counts(
     )
 
 
+def _list_batch_dirs(spark: SparkSession, root: str) -> list[str]:
+    """Enumerate ``batch=*`` subdirectories of ``root`` via the Hadoop
+    FileSystem API — works on any Spark-supported filesystem, not just
+    driver-local disk (``os.listdir`` would silently see nothing on
+    object storage — ADVICE r7; same portability discipline as
+    merge._delete_partition_dirs)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().toString()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    ]
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     ingest_dir: str,
@@ -99,15 +117,9 @@ def run_incremental_dedup_stream(
         shutil.rmtree(p, ignore_errors=True)
 
     def _read_store_excluding(s, root: str, batch_id: int, schema) -> DataFrame:
-        dirs = (
-            [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith("batch=") and d != f"batch={batch_id}"
-            ]
-            if os.path.isdir(root)
-            else []
-        )
+        dirs = [
+            d for d in _list_batch_dirs(s, root) if not d.endswith(f"batch={batch_id}")
+        ]
         if not dirs:
             return s.createDataFrame([], schema)
         return s.read.schema(schema).parquet(*dirs)
@@ -155,9 +167,4 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
-    match_dirs = [
-        os.path.join(matches_p, d)
-        for d in os.listdir(matches_p)
-        if d.startswith("batch=")
-    ]
-    return spark.read.parquet(*match_dirs)
+    return spark.read.parquet(*_list_batch_dirs(spark, matches_p))

@@ -151,6 +151,53 @@ def test_merge_delete_empties_partition_directory(spark, tmp_path):
     assert os.path.exists(os.path.join(target, "p=6"))
 
 
+def test_merge_null_partition_rows_survive_partial_change(spark, tmp_path):
+    # ADVICE r7 (high): isin(touched) evaluates NULL for NULL partition
+    # values, so target rows in the NULL partition were never loaded
+    # into the join — and when the change set touched that partition
+    # without re-emitting them, the partition read as "emptied" and
+    # _delete_partition_dirs removed __HIVE_DEFAULT_PARTITION__ with
+    # live rows inside. The null-safe touched filter must load them.
+    target = os.path.join(str(tmp_path), "tgt_nullpart")
+    rows = [(10, "keep", None), (11, "other", None), (1, "a", 0)]
+    spark.createDataFrame(rows, "k long, val string, p int").write.partitionBy(
+        "p"
+    ).parquet(target)
+
+    changes = spark.createDataFrame(
+        [(10, "x", None, "D"), (1, "updated", 0, "U")],
+        "k long, val string, p int, op string",
+    )
+    merge_upsert(spark, target, changes, key="k", part_col="p")
+
+    got = {(r.k, r.val, r.p) for r in spark.read.parquet(target).collect()}
+    assert got == {(11, "other", None), (1, "updated", 0)}, (
+        "NULL-partition target row not re-emitted by the change set was lost"
+    )
+    assert os.path.exists(os.path.join(target, "p=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_merge_null_partition_genuinely_emptied_is_deleted(spark, tmp_path):
+    # The converse must still hold: when the delete arm removes EVERY
+    # NULL-partition row, the __HIVE_DEFAULT_PARTITION__ directory is
+    # cleaned up like any other emptied partition.
+    target = os.path.join(str(tmp_path), "tgt_nullpart2")
+    rows = [(10, "a", None), (11, "b", None), (1, "a", 0)]
+    spark.createDataFrame(rows, "k long, val string, p int").write.partitionBy(
+        "p"
+    ).parquet(target)
+
+    changes = spark.createDataFrame(
+        [(10, "x", None, "D"), (11, "x", None, "D")],
+        "k long, val string, p int, op string",
+    )
+    merge_upsert(spark, target, changes, key="k", part_col="p")
+
+    got = {(r.k, r.val, r.p) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a", 0)}
+    assert not os.path.exists(os.path.join(target, "p=__HIVE_DEFAULT_PARTITION__"))
+
+
 def test_merge_preserves_null_key_target_rows(spark, tmp_path):
     # ADVICE r6: a NULL-key target row must ride through the merge
     # untouched — side membership is decided by presence markers, so a

@@ -9,14 +9,17 @@ Runs in a SUBPROCESS with master local[4,2]: plain local[N] has task
 retries disabled (maxFailures=1), so the shared test session cannot
 exercise the rescheduling path at all."""
 
+import os
 import subprocess
 import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = r"""
 import sys
 from pyspark.sql import SparkSession, functions as F
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[2])  # repo root, passed by the test
 from etlalchemy_spark.operators.sampling import bernoulli_sample
 
 spark = (
@@ -57,11 +60,11 @@ spark.stop()
 def test_hash_sample_identical_under_task_retry(tmp_path):
     marker = str(tmp_path / "fail_marker")
     out = subprocess.run(
-        [sys.executable, "-c", _SCRIPT, marker],
+        [sys.executable, "-c", _SCRIPT, marker, _REPO_ROOT],
         capture_output=True,
         text=True,
         timeout=240,
-        cwd="/root/repo",
+        cwd=_REPO_ROOT,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "RETRY_OK" in out.stdout
