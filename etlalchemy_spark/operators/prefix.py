@@ -27,6 +27,16 @@ Bounds and offsets are plan literals, so the bucket assignment is
 deterministic even if the stage is recomputed — no cached shuffle to
 trust.
 
+The DOUBLE cast of the key is used ONLY for bucket assignment (the
+quantile machinery needs one numeric axis); all ordering inside a
+bucket is by the NATIVE key column. Casting to double is monotone
+(non-strictly) for every numeric type, so bucket order is consistent
+with native order, and native keys that collide as doubles (distinct
+int64s above 2^53 — e.g. 64-bit content hashes used as ordering keys)
+merely share a bucket, where the native-typed window still separates
+them exactly. Ordering by the double itself would silently merge such
+keys into one rank/prefix group (r7 verdict finding).
+
 Reference parity note: the reference (seanharr11/etlalchemy) has no
 window/rank surface at all (SURVEY.md §2 Table B); this module is part
 of the mandated relational layer, engineered for the 100 TB target.
@@ -43,6 +53,8 @@ def range_bounds(df: DataFrame, key_num: Column, n_buckets: int = 32) -> list[fl
     castable-to-double expression), deduplicated and sorted. One
     aggregate-only pass; the result (≤ n_buckets-1 doubles) lives on the
     driver and is baked into downstream plans as literals."""
+    if n_buckets <= 1:
+        return []  # degenerate single bucket: no split points, no pass
     tmp = df.select(key_num.cast("double").alias("_k")).where(F.col("_k").isNotNull())
     probs = [i / n_buckets for i in range(1, n_buckets)]
     raw = tmp.approxQuantile("_k", probs, 0.001)
@@ -114,32 +126,34 @@ def global_ranks(
     group). Note the negated-key descending trick therefore orders
     NULLs FIRST, whereas SQL ``DESC`` defaults to NULLS LAST — filter
     NULLs out beforehand if descending SQL parity is required."""
-    d = df.withColumn("_k", key_num.cast("double"))
+    d = df.withColumn("_ko", key_num).withColumn("_k", F.col("_ko").cast("double"))
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
     # count_distinct excludes NULLs, but NULL keys form a real
     # dense-rank group in the window they offset — count it explicitly
     # or every later bucket's dense offset comes up one short.
+    # Distinctness is over the NATIVE key: two int64 keys that collide
+    # as doubles are still two dense-rank groups.
     stats = d.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_n"),
         (
-            F.count_distinct(F.col("_k"))
-            + F.max(F.when(F.col("_k").isNull(), 1).otherwise(0))
+            F.count_distinct(F.col("_ko"))
+            + F.max(F.when(F.col("_ko").isNull(), 1).otherwise(0))
         ).alias("_nd"),
     )
     offs = _exclusive_prefix_frame(
         stats, [("_n", "_row_off", "sum"), ("_nd", "_dense_off", "sum")]
     ).fillna({"_row_off": 0, "_dense_off": 0})
 
-    w_rn = Window.partitionBy("_pid").orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
-    w_key = Window.partitionBy("_pid").orderBy(F.col("_k"))
+    w_rn = Window.partitionBy("_pid").orderBy(F.col("_ko"), *[F.col(c) for c in tie_cols])
+    w_key = Window.partitionBy("_pid").orderBy(F.col("_ko"))
     return (
         d.join(F.broadcast(offs), "_pid")
         .withColumn("rn", F.row_number().over(w_rn) + F.col("_row_off"))
         .withColumn("rnk", F.rank().over(w_key) + F.col("_row_off"))
         .withColumn("drnk", F.dense_rank().over(w_key) + F.col("_dense_off"))
-        .drop("_pid", "_k", "_row_off", "_dense_off")
+        .drop("_pid", "_k", "_ko", "_row_off", "_dense_off")
     )
 
 
@@ -157,7 +171,11 @@ def running_global_sum(
     ``value`` should be decimal for cross-engine exactness (the
     per-bucket offsets re-add partial sums in a different grouping than
     a serial scan would)."""
-    d = df.withColumn("_k", key_num.cast("double")).withColumn("_v", value)
+    d = (
+        df.withColumn("_ko", key_num)
+        .withColumn("_k", F.col("_ko").cast("double"))
+        .withColumn("_v", value)
+    )
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
@@ -166,14 +184,14 @@ def running_global_sum(
 
     w = (
         Window.partitionBy("_pid")
-        .orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
+        .orderBy(F.col("_ko"), *[F.col(c) for c in tie_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = F.sum("_v").over(w)
     return (
         d.join(F.broadcast(offs), "_pid")
         .withColumn(alias, local + F.coalesce(F.col("_off"), F.lit(0).cast("decimal(1,0)")))
-        .drop("_pid", "_k", "_v", "_off")
+        .drop("_pid", "_k", "_ko", "_v", "_off")
     )
 
 
@@ -188,7 +206,11 @@ def running_global_max(
     """Append a running MAX(``value``) over the global order — the
     scalable twin of ``MAX(v) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING)``. Max is idempotent, so no exactness caveats."""
-    d = df.withColumn("_k", key_num.cast("double")).withColumn("_v", value)
+    d = (
+        df.withColumn("_ko", key_num)
+        .withColumn("_k", F.col("_ko").cast("double"))
+        .withColumn("_v", value)
+    )
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
@@ -197,12 +219,12 @@ def running_global_max(
 
     w = (
         Window.partitionBy("_pid")
-        .orderBy(F.col("_k"), *[F.col(c) for c in tie_cols])
+        .orderBy(F.col("_ko"), *[F.col(c) for c in tie_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = F.max("_v").over(w)
     return (
         d.join(F.broadcast(offs), "_pid")
         .withColumn(alias, F.greatest(local, F.coalesce(F.col("_off"), local)))
-        .drop("_pid", "_k", "_v", "_off")
+        .drop("_pid", "_k", "_ko", "_v", "_off")
     )

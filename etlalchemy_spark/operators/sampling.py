@@ -96,13 +96,19 @@ def weighted_systematic_sample(
 
     Needs a global cumulative sum — delegated to the range-bucketed
     two-phase prefix (operators/prefix.py), so no single-partition
-    window at any scale. Weight must be integral (cast to BIGINT):
-    threshold tests are exact integer floor-division, reproducible in
-    any engine and under stage retries.
+    window at any scale. Weights are integralized as FLOOR(weight)
+    cast to BIGINT: floor is the ONE integralization every engine
+    computes identically on doubles and decimals, whereas a bare
+    numeric→BIGINT cast truncates in Spark but rounds in DuckDB — on
+    data with any fractional weight the two engines would pick
+    different rows while both looking locally deterministic (r8
+    root-cause candidate for the r7 driver hash mismatch). Threshold
+    tests are exact integer floor-division, reproducible in any
+    engine and under stage retries.
     """
     from etlalchemy_spark.operators.prefix import running_global_sum
 
-    d = df.withColumn("_wsw", weight.cast("long"))
+    d = df.withColumn("_wsw", F.floor(weight).cast("long"))
     cum = running_global_sum(
         d,
         F.col(order_cols[0]),

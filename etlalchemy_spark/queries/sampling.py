@@ -101,14 +101,14 @@ def sample_fixed_per_group(spark, sf_dir):
 
 _WEIGHTED_SQL = """
 WITH c AS (
-  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS w,
-         SUM(CAST(l_quantity AS BIGINT)) OVER (
+  SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS w,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
            ORDER BY l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM lineitem
-), tot AS (SELECT SUM(CAST(l_quantity AS BIGINT)) AS wtot FROM lineitem)
+), tot AS (SELECT SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS wtot FROM lineitem)
 SELECT l_orderkey, l_linenumber,
-       (cum * 200) // wtot - ((cum - w) * 200) // wtot AS n_picks
+       CAST((cum * 200) // wtot - ((cum - w) * 200) // wtot AS BIGINT) AS n_picks
 FROM c CROSS JOIN tot
 WHERE (cum * 200) // wtot - ((cum - w) * 200) // wtot > 0
 """
@@ -121,7 +121,13 @@ def sample_weighted_systematic(spark, sf_dir):
     cumulative-quantity axis, each row drawn once per threshold in its
     interval. The cumulative sum is the range-bucketed two-phase
     prefix — the oracle's single ORDER BY window, without the single
-    partition."""
+    partition. Weights are FLOOR(l_quantity) on BOTH sides: a bare
+    double→BIGINT cast truncates in Spark but rounds in DuckDB, so on
+    data with fractional quantities the engines would silently pick
+    different rows (r7 driver hash mismatch, unreproducible on the
+    all-integral local fixture); floor is engine-identical. The
+    oracle's n_picks is CAST to BIGINT so DuckDB's HUGEINT window-sum
+    arithmetic can't leak a wider type into the hash comparison."""
     from etlalchemy_spark.operators.sampling import weighted_systematic_sample
 
     li = t(spark, sf_dir, "lineitem")

@@ -95,6 +95,53 @@ def test_single_bucket_degenerate(spark):
     assert all(r["rnk"] == 1 and r["drnk"] == 1 for r in out)
 
 
+def test_native_key_order_survives_double_collision(spark):
+    # r7 verdict #2: distinct int64 keys above 2^53 collapse to EQUAL
+    # doubles (2^53 and 2^53+1 are the same float64). The double cast
+    # may only pick the bucket; ordering, rank distinctness, and
+    # running sums must follow the NATIVE long key — exactly the shape
+    # of 64-bit content-hash ordering keys at full scale.
+    base = 1 << 53
+    keys = [base + i for i in range(12)]  # consecutive: doubles collide in pairs
+    rows = [(i, k, 10 + i) for i, k in enumerate(keys)]
+    d = spark.createDataFrame(rows, "id int, key long, val long")
+    # sanity: the hazard is real — at least two distinct keys share a double
+    doubles = {float(k) for k in keys}
+    assert len(doubles) < len(keys)
+
+    got = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in global_ranks(d, F.col("key"), ["id"], n_buckets=4).collect()
+    }
+    # keys are strictly increasing and unique → all three ranks = position+1
+    for i in range(len(keys)):
+        assert got[i] == (i + 1, i + 1, i + 1), f"id {i}: {got[i]}"
+
+    sums = {
+        r["id"]: int(r["rt"])
+        for r in running_global_sum(
+            d, F.col("key"), ["id"], F.col("val").cast("decimal(18,0)"),
+            alias="rt", n_buckets=4,
+        ).collect()
+    }
+    expect, acc = {}, 0
+    for i in range(len(keys)):
+        acc += 10 + i
+        expect[i] = acc
+    assert sums == expect
+
+    maxes = {
+        r["id"]: r["rm"]
+        for r in running_global_max(
+            # descending vals so running max is the FIRST row's val unless
+            # ordering breaks and a later (larger-keyed) row sneaks ahead
+            d.withColumn("v2", F.lit(100) - F.col("val")),
+            F.col("key"), ["id"], F.col("v2"), alias="rm", n_buckets=4,
+        ).collect()
+    }
+    assert all(maxes[i] == 90 for i in range(len(keys)))
+
+
 def test_global_ranks_null_keys_dense_offsets(spark):
     # NULL keys form their own dense-rank group (NULLS FIRST in Spark's
     # ascending order); later buckets' dense offsets must count it.

@@ -1,0 +1,121 @@
+"""Determinism sweep for weighted systematic sampling (r7 verdict #1).
+
+The r7 driver reported a hash mismatch on sample_weighted_systematic
+that six local runs could not reproduce. These tests close every
+environment coupling we could enumerate:
+
+1. the pick set is invariant under (shuffle partitions, scan split
+   size, n_buckets) — the knobs a different container would move;
+2. the pick set is invariant under DELIBERATELY PERTURBED
+   approxQuantile bounds (the one nondeterministic input: GK summary
+   merges depend on partitioning) — proving bounds can only move rows
+   between buckets, never change the result;
+3. fractional weights produce the SAME picks in Spark and DuckDB —
+   the actual suspected root cause: Spark's double→BIGINT cast
+   truncates while DuckDB's rounds, so any non-integral weight in the
+   driver's regenerated fixture diverged the engines. The operator now
+   floors on both sides.
+"""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators import prefix as prefix_mod
+from etlalchemy_spark.operators.sampling import weighted_systematic_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _picks(spark, n_buckets=32):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = weighted_systematic_sample(
+        li, ["l_orderkey", "l_linenumber"], F.col("l_quantity"), 200,
+        n_buckets=n_buckets,
+    ).select("l_orderkey", "l_linenumber", "n_picks")
+    return {(r[0], r[1], r[2]) for r in out.collect()}
+
+
+def test_pick_set_invariant_under_runtime_config_sweep(spark):
+    base = _picks(spark)
+    assert base and sum(p[2] for p in base) == 200
+    sweep = [
+        {"spark.sql.shuffle.partitions": "7"},
+        {"spark.sql.shuffle.partitions": "13",
+         "spark.sql.files.maxPartitionBytes": "262144"},
+        {"spark.sql.files.maxPartitionBytes": "1048576"},
+    ]
+    for conf in sweep:
+        saved = {k: spark.conf.get(k) for k in conf}
+        try:
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            assert _picks(spark) == base, f"pick set drifted under {conf}"
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+    # n_buckets is an algorithm knob, not a config — sweep it too
+    for nb in (1, 5, 64):
+        assert _picks(spark, n_buckets=nb) == base, f"n_buckets={nb} drifted"
+
+
+def test_pick_set_invariant_under_perturbed_quantile_bounds(spark, monkeypatch):
+    base = _picks(spark)
+    real_bounds = prefix_mod.range_bounds
+
+    def perturbed(df, key_num, n_buckets=32):
+        # shift every split point: rows near boundaries change bucket,
+        # results must not
+        return [b + 1.0 for b in real_bounds(df, key_num, n_buckets)]
+
+    monkeypatch.setattr(prefix_mod, "range_bounds", perturbed)
+    assert _picks(spark) == base
+
+    def degenerate(df, key_num, n_buckets=32):
+        # adversarial: drop every other bound and prepend one below min
+        bs = real_bounds(df, key_num, n_buckets)
+        return [-1.0] + bs[::2]
+
+    monkeypatch.setattr(prefix_mod, "range_bounds", degenerate)
+    assert _picks(spark) == base
+
+
+def test_fractional_weights_match_duckdb_oracle(spark, tmp_path):
+    # Fractional doubles INCLUDING exact .5s — the values where Spark's
+    # truncating cast and DuckDB's rounding cast disagree by one.
+    rows = [(i, (i * 37) % 100, ((i * 7) % 40) + [0.0, 0.25, 0.5, 0.75][i % 4])
+            for i in range(1, 401)]
+    pdf = pd.DataFrame(rows, columns=["k1", "k2", "w"])
+    pq = str(tmp_path / "frac.parquet")
+    pdf.to_parquet(pq)
+
+    d = spark.read.parquet(pq)
+    got = {
+        (r[0], r[1], r[2])
+        for r in weighted_systematic_sample(d, ["k1", "k2"], F.col("w"), 50)
+        .select("k1", "k2", "n_picks")
+        .collect()
+    }
+
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(f"""
+            WITH c AS (
+              SELECT k1, k2, CAST(FLOOR(w) AS BIGINT) AS w,
+                     SUM(CAST(FLOOR(w) AS BIGINT)) OVER (
+                       ORDER BY k1, k2
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM read_parquet('{pq}')
+            ), tot AS (
+              SELECT SUM(CAST(FLOOR(w) AS BIGINT)) AS wtot
+              FROM read_parquet('{pq}')
+            )
+            SELECT k1, k2,
+                   CAST((cum * 50) // wtot - ((cum - w) * 50) // wtot AS BIGINT)
+            FROM c CROSS JOIN tot
+            WHERE (cum * 50) // wtot - ((cum - w) * 50) // wtot > 0
+        """).fetchall()
+    }
+    assert got == want
+    assert sum(p[2] for p in got) == 50
