@@ -402,6 +402,25 @@ def lsh_buckets_exact(
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def _candidates_topk(
+    cand_ids: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+) -> DataFrame:
+    """THE candidates→answer tail shared by every bucket-probe path
+    (in-plan, persisted-store): left-semi fetch from the corpus →
+    decimal-exact cosine re-rank → ranked top-k. One definition so a
+    tie-break or null-handling fix can never silently diverge the
+    paths (r7 review finding); left-semi also makes the fetch
+    insensitive to duplicate index rows (re-appended store batches)."""
+    cands = corpus.join(cand_ids, id_col, "left_semi")
+    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(scored, id_col, k)
+
+
 def probe_buckets_topk(
     bkt: DataFrame,
     corpus: DataFrame,
@@ -411,19 +430,12 @@ def probe_buckets_topk(
     query_vec: list[float],
     k: int = 10,
 ) -> DataFrame:
-    """THE bucket-probe pipeline, shared by the in-plan search
-    (cosine_topk_lsh_exact) and the persisted-store search
-    (probe_bucket_index): query's own bucket row (broadcast, one row)
-    → candidate ids → left-semi fetch from the corpus → decimal-exact
-    cosine re-rank. One definition so a tie-break or null-handling fix
-    can never silently diverge the two paths (r7 review finding);
-    left-semi also makes the fetch insensitive to duplicate index rows
-    (re-appended store batches)."""
+    """In-plan bucket probe (cosine_topk_lsh_exact): the query's own
+    bucket row (broadcast, one row) → candidate ids → the shared
+    _candidates_topk tail."""
     qb = bkt.where(F.col(id_col) == query_id).select(F.col("bucket").alias("_qb"))
     cand_ids = bkt.join(F.broadcast(qb), bkt.bucket == F.col("_qb")).select(id_col)
-    cands = corpus.join(cand_ids, id_col, "left_semi")
-    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
-    return _topk_ranked(scored, id_col, k)
+    return _candidates_topk(cand_ids, corpus, id_col, vec_col, query_vec, k)
 
 
 def cosine_topk_lsh_exact(
@@ -841,22 +853,80 @@ def pq_adc_topk(
 
 
 # ---------------------------------------------------------------------------
-# Incremental ANN index (r7): persisted hyperplane-bucket store with
-# batch append — the similarity mirror of the dedup band store. Index
-# once, append arriving batches (each signed once, batch-sized cost),
-# probe the STORE at query time; the corpus is never re-hashed.
+# Incremental ANN index (r7, store layout reworked r8): persisted
+# hyperplane-bucket store with batch append — the similarity mirror of
+# the dedup band store. Index once, append arriving batches (each
+# signed once, batch-sized cost), probe the STORE at query time; the
+# corpus is never re-hashed. The store is laid out
+# ``partitionBy("bucket")`` so a probe prunes to ONE directory (at
+# 100 TB the store itself is large; a probe that scans every bucket's
+# row groups scales with the store, not the answer), and the version
+# tag lives in a one-line ``_INDEX_VERSION`` sidecar read via the
+# Hadoop FileSystem API — the guard costs zero data scan (r7 verdict
+# #7; `_`-prefixed files are invisible to parquet readers).
 
 
 def bucket_index_version(dim: int, n_planes: int, seed: int) -> str:
-    """Version tag persisted with every index row: probing a store
-    built with different planes would silently return wrong buckets —
-    same guard discipline as the dedup band store's sig_version. The
-    DIMENSION is part of the tag because hyperplanes(dim, ...) chunks
-    one LCG stream per plane by dim: stores built at different dims
-    share no planes even with equal (n_planes, seed), so a dim-blind
-    tag would wave exactly the mismatch it exists to catch (r7 review
-    finding)."""
+    """Version tag persisted with the store: probing a store built with
+    different planes would silently return wrong buckets — same guard
+    discipline as the dedup band store's sig_version. The DIMENSION is
+    part of the tag because hyperplanes(dim, ...) chunks one LCG stream
+    per plane by dim: stores built at different dims share no planes
+    even with equal (n_planes, seed), so a dim-blind tag would wave
+    exactly the mismatch it exists to catch (r7 review finding)."""
     return f"hp:{dim}:{n_planes}:{seed}:v1"
+
+
+_SIDECAR = "_INDEX_VERSION"
+
+
+def _sidecar_fs_path(spark, store_path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(store_path, _SIDECAR)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def read_index_version(spark, store_path: str) -> str | None:
+    """The store's version tag from the sidecar — metadata-only, no
+    parquet row group is touched. None if the sidecar doesn't exist."""
+    fs, p = _sidecar_fs_path(spark, store_path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Spark; byte-level Py4J reads don't
+        # round-trip cleanly
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    except Exception as exc:  # checksum/IO failure = corrupted sidecar
+        raise ValueError(
+            f"bucket index version sidecar at {p} is unreadable "
+            f"(corrupted store?): {exc}"
+        ) from None
+    finally:
+        stream.close()
+    return text.strip() or None
+
+
+def _write_index_version(spark, store_path: str, tag: str) -> None:
+    fs, p = _sidecar_fs_path(spark, store_path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(f"{tag}\n", "utf-8"))
+    finally:
+        out.close()
+
+
+def _require_index_version(spark, store_path: str, tag: str) -> None:
+    found = read_index_version(spark, store_path)
+    if found != tag:
+        raise ValueError(
+            f"bucket index at {store_path} carries version {found!r}, "
+            f"expected {tag!r} — rebuild or probe with matching planes "
+            "(a missing/None sidecar means an unversioned or corrupted "
+            "store and is refused the same way)"
+        )
 
 
 def append_bucket_index(
@@ -869,20 +939,46 @@ def append_bucket_index(
     seed: int = 42,
 ) -> None:
     """Sign ONE batch against the literal hyperplanes and append its
-    (id, bucket, idx_version) rows to the parquet store. Cost scales
-    with the batch, never the indexed corpus; the store is append-only
-    (no read-modify-write), so concurrent batch appends compose. A
-    re-appended batch only duplicates candidate rows, which the
-    probe's left-semi fetch ignores — append is idempotent for
+    (id, idx_version) rows under ``bucket=<b>`` partition directories.
+    Cost scales with the batch, never the indexed corpus; the store is
+    append-only (no read-modify-write), so concurrent batch appends
+    compose. A re-appended batch only duplicates candidate rows, which
+    the probe's left-semi fetch ignores — append is idempotent for
     RESULT correctness (unlike the dedup band store, where a replayed
     batch would fabricate self-duplicate pairs and needs the
-    disjointness guard); the waste is storage only, so dedup the store
-    offline if replays are common."""
+    disjointness guard); the storage waste is reclaimed by
+    compact_bucket_index. Appending against a store signed with
+    DIFFERENT planes fails loudly here, not just at probe time."""
+    spark = df.sparkSession
+    tag = bucket_index_version(dim, n_planes, seed)
+    existing = read_index_version(spark, store_path)
+    if existing is not None and existing != tag:
+        raise ValueError(
+            f"bucket index at {store_path} carries version {existing!r}; "
+            f"refusing to append rows signed as {tag!r} — mixed-plane "
+            "stores return wrong buckets silently"
+        )
     planes = hyperplanes(dim, n_planes, seed)
     rows = lsh_buckets_exact(df, id_col, vec_col, planes).withColumn(
-        "idx_version", F.lit(bucket_index_version(dim, n_planes, seed))
+        "idx_version", F.lit(tag)
     )
-    rows.write.mode("append").parquet(store_path)
+    rows.write.mode("append").partitionBy("bucket").parquet(store_path)
+    if existing is None:
+        _write_index_version(spark, store_path, tag)
+
+
+def query_bucket_exact(spark, query_vec: list[float], n_planes: int, seed: int) -> int:
+    """The query vector's bucket under the DECIMAL-exact sign
+    convention — computed on a one-row frame through the same
+    lsh_buckets_exact expression the store was signed with, so a
+    near-zero plane dot can never flip sign between index and probe
+    (driver-side float arithmetic could). O(dim) work, one collect of
+    one int."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    one = spark.range(1).select(
+        F.lit(0).alias("_qid"), _lit_vec(query_vec).alias("_qv")
+    )
+    return lsh_buckets_exact(one, "_qid", "_qv", planes).collect()[0]["bucket"]
 
 
 def probe_bucket_index(
@@ -897,19 +993,60 @@ def probe_bucket_index(
     n_planes: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Query-time path: read the persisted index, take the query's OWN
-    bucket row (in-store — the query vector was indexed like any other
-    doc), equi-join to candidate ids (broadcast: one bucket), fetch
-    only those vectors from the corpus, exact-rerank. The full-corpus
-    work happened at INDEX time; the probe touches one bucket + k
-    vectors. Wrong-version stores fail loudly."""
+    """Query-time path: version-check the SIDECAR (no data scan),
+    compute the query's bucket decimal-exactly from the literal vector
+    (the query need not be in the store), read ONLY that bucket's
+    partition directory (partition pruning — plan-pinned in
+    tests/test_bucket_index.py), fetch the candidate vectors from the
+    corpus with a left-semi join, exact-rerank. The full-corpus work
+    happened at INDEX time; the probe touches one directory + k
+    vectors. Wrong-version or unversioned stores fail loudly before
+    any data is read."""
     tag = bucket_index_version(len(query_vec), n_planes, seed)
+    _require_index_version(spark, store_path, tag)
+    qb = query_bucket_exact(spark, query_vec, n_planes, seed)
+    cand_ids = (
+        spark.read.parquet(store_path).where(F.col("bucket") == qb).select(id_col)
+    )
+    return _candidates_topk(cand_ids, corpus, id_col, vec_col, query_vec, k)
+
+
+def compact_bucket_index(spark, store_path: str, id_col: str) -> dict[str, int]:
+    """Offline maintenance: collapse re-appended duplicate rows (one
+    row per id — same planes ⇒ same bucket, enforced by the version
+    guard) and rewrite each bucket's directory as one well-sized file,
+    so probe cost tracks LIVE ids, not append history. The row-level
+    idx_version audit is null-safe (~eqNullSafe — a NULL version must
+    fail the check, not slide through a != filter; ADVICE r7). Rewrite
+    goes to a sibling directory then swaps via FileSystem rename, so a
+    crashed compaction leaves the live store untouched. Returns
+    {"rows_before", "rows_after"} for the caller's audit log."""
+    tag = read_index_version(spark, store_path)
+    if tag is None:
+        raise ValueError(f"bucket index at {store_path} has no version sidecar")
     idx = spark.read.parquet(store_path)
-    bad = idx.where(F.col("idx_version") != tag).limit(1).collect()
+    bad = (
+        idx.where(~F.col("idx_version").eqNullSafe(F.lit(tag))).limit(1).collect()
+    )
     if bad:
         raise ValueError(
             f"bucket index at {store_path} has rows with version "
-            f"{bad[0]['idx_version']!r}, expected {tag!r} — rebuild or "
-            "probe with matching planes"
+            f"{bad[0]['idx_version']!r}, expected {tag!r} — store is "
+            "corrupt; rebuild instead of compacting"
         )
-    return probe_buckets_topk(idx, corpus, id_col, vec_col, query_id, query_vec, k)
+    before = idx.count()
+    # dropDuplicates on id alone: the version audit above guarantees a
+    # single plane set, so duplicate ids carry identical buckets.
+    compacted = idx.dropDuplicates([id_col]).repartition("bucket")
+    tmp = store_path.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    _write_index_version(spark, tmp, tag)
+    after = spark.read.parquet(tmp).count()
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = live.getFileSystem(hconf)
+    fs.delete(live, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live)
+    return {"rows_before": before, "rows_after": after}

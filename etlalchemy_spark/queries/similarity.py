@@ -735,3 +735,42 @@ def sim_incremental_index_topk(spark, sf_dir):
     return probe_bucket_index(
         spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
     )
+
+
+@register("sim_index_compaction", oracle=_lsh_exact_sql(), tags=("similarity", "approx"))
+def sim_index_compaction(spark, sf_dir):
+    """ANN index compaction invariant, oracle-gated: a batch is
+    RE-APPENDED (the at-least-once replay the append-only store
+    tolerates by design), the store is compacted back to one row per
+    id (dead duplicate rows dropped, each bucket directory rewritten
+    as one well-sized file), and the probe of the compacted store must
+    still equal the one-shot whole-corpus LSH search. Store-size
+    reduction and probe partition-pruning are pinned in
+    tests/test_bucket_index.py; this query makes 'compaction never
+    changes an answer' part of the cross-engine gate. At 100 TB this
+    is the maintenance op that keeps probe cost tracking LIVE ids
+    instead of append history."""
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.similarity import (
+        append_bucket_index,
+        compact_bucket_index,
+        probe_bucket_index,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    emb = t(spark, sf_dir, "embeddings")
+    store = _os.path.join(scratch_dir("sim_index_compaction", sf_dir), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    append_bucket_index(store, half, "vec_id", "embedding", dim=64)
+    append_bucket_index(
+        store, emb.where(F.col("vec_id") % 2 != 0), "vec_id", "embedding", dim=64
+    )
+    append_bucket_index(store, half, "vec_id", "embedding", dim=64)  # replayed batch
+    stats = compact_bucket_index(spark, store, "vec_id")
+    assert stats["rows_after"] < stats["rows_before"]
+    return probe_bucket_index(
+        spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
+    )
