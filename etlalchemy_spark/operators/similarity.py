@@ -701,6 +701,7 @@ def pq_train_codebooks(
     d_sub: int = 8,
     n_codes: int = 16,
     iters: int = 2,
+    sample_rate: float | None = None,
 ) -> list[list[list[float]]]:
     """L2 Lloyd's k-means per SUBSPACE (the real PQ training step,
     float), ALL subspaces trained together: each iteration is ONE job
@@ -713,8 +714,20 @@ def pq_train_codebooks(
     order-dependent, which made trained codebooks — and downstream
     recall — vary with partitioning across sessions. Init: the first
     ``n_codes`` vectors' subvectors. Only the n_sub x n_codes x d_sub
-    codebook matrix ever reaches the driver."""
+    codebook matrix ever reaches the driver.
+
+    ``sample_rate``: train on a deterministic content-hash sample of
+    the corpus (operators/sampling.py hash draw — stable across
+    engines, partitionings, and retries). Codebook quality needs a
+    representative sample, not the corpus: at 100 TB training on
+    every vector multiplies the dominant cost (assign-join × iters)
+    for no recall gain, so production passes ~10^5-10^6 sampled rows
+    here and encodes the full corpus with the result."""
     spark = df.sparkSession
+    if sample_rate is not None:
+        from etlalchemy_spark.operators.sampling import bernoulli_sample
+
+        df = bernoulli_sample(df, F.col(id_col), sample_rate, salt="pqtrain:")
     init = (
         df.select(F.col(vec_col).alias("_v"))
         .orderBy(F.col(id_col))

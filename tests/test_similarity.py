@@ -254,3 +254,29 @@ def test_pq_codes_anchor_vectors_encode_to_themselves(spark):
     for i, vid in enumerate(anchor_ids):
         own = [r.code for r in rows if r.vec_id == vid]
         assert own == [i] * 8, f"anchor {vid} must encode to itself ({i}), got {own}"
+
+
+def test_pq_training_sample_rate_is_deterministic_and_usable(spark):
+    """The 100 TB lever: codebooks trained on a content-hash sample
+    (stable across partitionings/retries) still drive a working ADC
+    search, and two identical invocations yield bit-identical books."""
+    from etlalchemy_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+    from etlalchemy_spark.queries.similarity import _query_vec
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = _query_vec(spark, SF_DIR)
+    b1 = pq_train_codebooks(emb, "vec_id", "embedding", n_codes=8, iters=2, sample_rate=0.5)
+    b2 = pq_train_codebooks(emb, "vec_id", "embedding", n_codes=8, iters=2, sample_rate=0.5)
+    assert b1 == b2, "sampled training must be deterministic"
+    shortlist = pq_adc_topk(emb, "vec_id", "embedding", q, b1, k=50)
+    cands = emb.join(shortlist.select("vec_id"), "vec_id", "left_semi")
+    from pyspark.sql import functions as F  # noqa: F811
+
+    out = cosine_topk_exact(cands, "vec_id", "embedding", q, k=10).collect()
+    assert len(out) == 10 and out[0].vec_id == 0  # query finds itself

@@ -1,0 +1,119 @@
+"""ANN operators at 100× the fixture's vector count (r7 verdict #4).
+
+The driver fixture holds ~500 embeddings at every SF, so the bench's
+sim_* rows measure fixed orchestration, not data scaling. This module
+synthesizes a deterministic 50,000-vector corpus (256 well-separated
+cluster centers + small noise — the geometry real embedding corpora
+have; pure-random vectors are a pathological no-structure case) as a
+drop-in sf_dir and pins, at scale:
+
+- PQ-ADC recall@10 against the exact search,
+- incremental-index probe ≡ one-shot LSH search (append-built ≡
+  built-at-once survives 100×),
+- LSH bucket selectivity (candidates are a small fraction of the
+  corpus — the mechanism that makes probe cost flat),
+- wall-clock growth from 5k → 50k bounded (generously: 10× data may
+  not cost more than 30× time even on a noisy machine; the real
+  ratios land far lower and are recorded in SCALING.md).
+"""
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.registry import all_queries
+
+DIM = 64
+N_BIG = 50_000
+N_SMALL = 5_000
+
+
+def _make_corpus(path: str, n: int) -> None:
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(256, DIM)).astype(np.float32)
+    assign = rng.integers(0, 256, size=n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array((assign % 8).astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def big_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("emb50k"))
+    _make_corpus(d, N_BIG)
+    return d
+
+
+@pytest.fixture(scope="module")
+def small_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("emb5k"))
+    _make_corpus(d, N_SMALL)
+    return d
+
+
+def _run(spark, name, sf_dir):
+    t0 = time.monotonic()
+    rows = all_queries()[name].fn(spark, sf_dir).collect()
+    return rows, time.monotonic() - t0
+
+
+def test_pq_adc_recall_at_50k(spark, big_dir):
+    exact, _ = _run(spark, "sim_cosine_topk_exact", big_dir)
+    adc, _ = _run(spark, "sim_pq_adc_topk", big_dir)
+    exact_ids = {r.vec_id for r in exact}
+    adc_ids = {r.vec_id for r in adc}
+    assert len(exact_ids) == 10
+    # clustered geometry: the top-100 code-space shortlist must recover
+    # nearly all true neighbors even at 100x the fixture corpus
+    assert len(adc_ids & exact_ids) >= 8, f"recall {len(adc_ids & exact_ids)}/10"
+
+
+def test_incremental_index_probe_equals_one_shot_at_50k(spark, big_dir):
+    one_shot, _ = _run(spark, "sim_cosine_topk_lsh_exact", big_dir)
+    probe, _ = _run(spark, "sim_incremental_index_topk", big_dir)
+    assert [(r.vec_id, r.rank) for r in probe] == [
+        (r.vec_id, r.rank) for r in one_shot
+    ], "append-built index diverged from built-at-once at 50k vectors"
+
+
+def test_lsh_bucket_selectivity_at_50k(spark, big_dir):
+    # the probe's candidate set — one bucket of a 6-plane index — must
+    # be a small fraction of the corpus even on clustered data (the
+    # flat-probe-cost mechanism). 64 buckets uniform would give ~1.6%;
+    # clustering skews buckets, so pin a generous 15%.
+    from etlalchemy_spark.operators.similarity import (
+        hyperplanes,
+        lsh_buckets_exact,
+    )
+
+    emb = spark.read.parquet(os.path.join(big_dir, "embeddings.parquet"))
+    planes = hyperplanes(DIM, 6, 42)
+    bkt = lsh_buckets_exact(emb, "vec_id", "embedding", planes)
+    qb = bkt.where(F.col("vec_id") == 0).collect()[0]["bucket"]
+    n_cand = bkt.where(F.col("bucket") == qb).count()
+    assert 0 < n_cand < 0.15 * N_BIG, f"bucket holds {n_cand}/{N_BIG}"
+
+
+def test_scaling_ratio_5k_to_50k(spark, small_dir, big_dir):
+    # warm both paths once (JVM/codegen warmup), then time. 10x the
+    # vectors must stay within 30x the time (generous noise headroom;
+    # observed ratios are ~1-4x — recorded in SCALING.md r8 addendum).
+    for name in ("sim_cosine_topk_lsh_exact", "sim_pq_adc_topk"):
+        _run(spark, name, small_dir)
+        _, t_small = _run(spark, name, small_dir)
+        _, t_big = _run(spark, name, big_dir)
+        assert t_big <= max(30 * t_small, t_small + 20.0), (
+            f"{name}: {t_small:.2f}s @5k -> {t_big:.2f}s @50k"
+        )
