@@ -1,0 +1,72 @@
+"""Cross-config determinism sweep for the oracle-exact family
+(r7 verdict #5).
+
+The failure class the driver reported in r7 — a result that differs on
+another container while every local run agrees — had no systematic
+guard: each query is deterministic BY DESIGN (content-hash draws,
+decimal reductions, plan-literal bounds), but nothing executed them
+under materially different runtime configs and compared VALUES. This
+sweep runs a representative slice of the registry (one per family
+whose machinery could plausibly couple to the environment: quantile
+bounds, window bucketing, float ordering, iterative state, driver-side
+literals) under two (shuffle partitions, scan split size) configs and
+asserts bit-identical canonical results. A drift here is a real bug; a
+green sweep makes 'unreproducible driver flake' strong evidence of a
+data/oracle-side cause instead.
+"""
+
+import pytest
+
+from etlalchemy_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SWEEP_QUERIES = [
+    "window_running_sum_global_scalable",  # prefix buckets + approxQuantile
+    "window_rank_global_scalable",
+    "dedup_minhash_lsh_exact",             # banded candidates + md5 signatures
+    "sim_cosine_topk_lsh_exact",           # decimal signs + top-k tie-breaks
+    "sketch_quantile_histogram",           # driver-literal bin bounds
+    "agg_mode_exact",                      # per-group argmax tie-breaks
+    "agg_percentile_exact",
+    "text_tfidf_topterms",                 # float scores -> rank ordering
+    "ts_holt_brown_forecast",              # iterative float recurrence
+    "sample_reservoir_hash_topk",          # per-partition heaps + driver merge
+    "graph_recursive_closure",             # iterative fixpoint
+]
+
+CONFIGS = [
+    {"spark.sql.shuffle.partitions": "5",
+     "spark.sql.files.maxPartitionBytes": "262144"},
+    {"spark.sql.shuffle.partitions": "32",
+     "spark.sql.files.maxPartitionBytes": "134217728"},
+]
+
+
+def _canonical(df):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from verify_local import normalize
+
+    pdf = normalize(df.toPandas())
+    return [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
+
+
+@pytest.mark.parametrize("name", SWEEP_QUERIES)
+def test_exact_result_invariant_across_configs(spark, name):
+    fn = all_queries()[name].fn
+    results = []
+    for conf in CONFIGS:
+        saved = {k: spark.conf.get(k) for k in conf}
+        try:
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            results.append(_canonical(fn(spark, SF_DIR)))
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+    assert results[0] == results[1], (
+        f"{name}: result drifted between runtime configs — "
+        "environment-coupled nondeterminism"
+    )

@@ -257,3 +257,53 @@ def test_stream_incremental_dedup_batch_redelivery_idempotent(spark, tmp_path):
         ).collect()
     )
     assert replayed == first
+
+
+def test_compact_batch_store_preserves_step_results(spark, tmp_path):
+    """Band-store compaction (the dedup mirror of compact_bucket_index):
+    folding N batch=<id> dirs into one batch=-1 dir must preserve every
+    row, and a follow-up incremental step against the compacted store
+    must emit the identical match set. Run only at a checkpoint barrier
+    — the per-batch layout is the replay guard (docstring pins why)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.dedup import incremental_dedup_step, lsh_band_store
+    from etlalchemy_spark.streaming.documents import (
+        _list_batch_dirs,
+        compact_batch_store,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store_docs = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+
+    bands_root = str(tmp_path / "store_bands")
+    docs_root = str(tmp_path / "store_docs")
+    for i in range(3):
+        part = store_docs.where(F.col("doc_id") % 3 == i)
+        lsh_band_store(part, "doc_id", "text").write.mode("overwrite").parquet(
+            os.path.join(bands_root, f"batch={i}")
+        )
+        part.write.mode("overwrite").parquet(os.path.join(docs_root, f"batch={i}"))
+
+    def run_step():
+        sb = spark.read.parquet(*_list_batch_dirs(spark, bands_root))
+        sd = spark.read.parquet(*_list_batch_dirs(spark, docs_root))
+        m, _ = incremental_dedup_step(sd, new, "doc_id", "text", store_bands=sb)
+        return sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in m.collect())
+
+    before_rows = spark.read.parquet(*_list_batch_dirs(spark, bands_root)).count()
+    want = run_step()
+
+    for root in (bands_root, docs_root):
+        stats = compact_batch_store(spark, root)
+        assert stats["dirs_before"] == 3 and stats["dirs_after"] == 1
+        dirs = _list_batch_dirs(spark, root)
+        assert len(dirs) == 1 and dirs[0].endswith("batch=-1")
+    assert spark.read.parquet(*_list_batch_dirs(spark, bands_root)).count() == before_rows
+    assert run_step() == want, "compaction changed the step's match set"
+    # idempotent / empty-store cases
+    assert compact_batch_store(spark, bands_root)["dirs_before"] == 1
+    assert compact_batch_store(spark, str(tmp_path / "nothing"))["rows"] == 0

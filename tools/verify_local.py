@@ -86,6 +86,23 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return issues
 
 
+def result_hash(pdf: pd.DataFrame) -> str:
+    """Canonical value-level fingerprint of a result: columns sorted by
+    name, rows sorted by all columns, every cell stringified — md5 of
+    the whole. Recorded per query in the gate snapshot so future
+    rounds can diff VALUE drift across rounds/machines, not just
+    pass/fail status (r7 verdict #6)."""
+    import hashlib
+
+    n = normalize(pdf)
+    payload = "\x1e".join(
+        ["|".join(map(str, n.columns))]
+        + ["\x1f".join("" if pd.isna(v) is True else str(v) for v in row)
+           for row in n.itertuples(index=False)]
+    )
+    return hashlib.md5(payload.encode("utf-8", "surrogatepass")).hexdigest()
+
+
 def main() -> int:
     argv = sys.argv[1:]
     args: list[str] = []
@@ -127,7 +144,11 @@ def main() -> int:
             continue
         if q.oracle is None:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
-            statuses[name] = {"status": "rows_only", "rows": len(sdf)}
+            statuses[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "result_hash": result_hash(sdf),
+            }
             n_rows_only += 1
             continue
         try:
@@ -148,6 +169,7 @@ def main() -> int:
                 "status": "pass",
                 "rows": len(sdf),
                 "secs": round(time.monotonic() - t0, 2),
+                "result_hash": result_hash(sdf),
             }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
