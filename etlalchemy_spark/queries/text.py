@@ -1156,3 +1156,64 @@ def text_corpus_health_report(spark, sf_dir):
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
     )
+
+
+# --- tokenizer vocabulary build (frequency rank + cumulative coverage) -------
+
+_VOCAB_COVERAGE_SQL = r"""
+WITH w AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+tot AS (SELECT SUM(n) AS total FROM freq),
+ranked AS (
+  SELECT word, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk,
+         SUM(n) OVER (ORDER BY n DESC, word
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM freq
+)
+SELECT word,
+       n AS n_occurrences,
+       CAST(rnk AS BIGINT) AS rank,
+       CAST(cum AS BIGINT) AS cum_occurrences,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+FROM ranked CROSS JOIN tot
+WHERE rnk <= 200
+"""
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_COVERAGE_SQL, tags=("text", "window", "scale"))
+def text_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary construction: the corpus word-frequency
+    table ranked by (count DESC, word), with each candidate's
+    CUMULATIVE token coverage — the curve vocab-size decisions are read
+    off of ('how many entries cover 95% of tokens'). The oracle is one
+    global ORDER BY window; at 100 TB the vocabulary itself is
+    millions of rows, so the rank and running sum are the range-
+    bucketed two-phase prefix (operators/prefix.py — native-key
+    ordering, no single-partition WindowExec anywhere), and only then
+    is the curve cut to the top 200. Coverage divides two exact longs
+    in DOUBLE (both < 2^53: exact conversion + one correctly-rounded
+    IEEE divide, bit-identical across engines)."""
+    from etlalchemy_spark.operators.prefix import global_ranks, running_global_sum
+
+    d = t(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_ranks(freq, -F.col("n"), ["word"]).drop("rnk", "drnk")
+    cum = running_global_sum(ranked, -F.col("n"), ["word"], F.col("n"), alias="cum")
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        cum.where(F.col("rn") <= 200)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            F.col("n").alias("n_occurrences"),
+            F.col("rn").cast("bigint").alias("rank"),
+            F.col("cum").cast("bigint").alias("cum_occurrences"),
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
