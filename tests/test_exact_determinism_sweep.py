@@ -24,6 +24,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SWEEP_QUERIES = [
     "window_running_sum_global_scalable",  # prefix buckets + approxQuantile
     "window_rank_global_scalable",
+    "text_vocab_coverage",                 # rank + running sum over word freqs
     "dedup_minhash_lsh_exact",             # banded candidates + md5 signatures
     "sim_cosine_topk_lsh_exact",           # decimal signs + top-k tie-breaks
     "sketch_quantile_histogram",           # driver-literal bin bounds
