@@ -95,3 +95,42 @@ def compact_small_files(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def swap_directory(spark, live_path: str, tmp_path: str) -> None:
+    """Crash-safe(ish) directory replacement shared by the store
+    compaction ops (r8 review): the old delete-then-rename order could
+    crash between the two calls and leave NO store — readers silently
+    saw an empty/partial store and produced wrong results with no
+    error. Protocol here:
+
+    1. rename live → live__precompact   (one atomic FS rename)
+    2. rename tmp  → live               (one atomic FS rename; on
+       failure, roll 1 back and raise)
+    3. delete live__precompact
+
+    Every Hadoop ``FileSystem.rename`` result is CHECKED (it reports
+    most failures by returning false, not raising). A crash between 1
+    and 2 leaves the store absent at ``live_path`` but fully intact at
+    ``live_path__precompact`` — readers fail LOUDLY on the missing
+    path instead of silently reading truncated data, and recovery is
+    one rename back. True multi-object atomicity needs a table format
+    with a commit protocol (README "Honest boundaries"); this is the
+    strongest ordering plain directories support."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    live, tmp = Path(live_path), Path(tmp_path)
+    aside = Path(live_path.rstrip("/") + "__precompact")
+    fs = live.getFileSystem(hconf)
+    if fs.exists(aside):
+        raise ValueError(
+            f"{aside} already exists — a previous compaction crashed "
+            "mid-swap; recover (rename it back or delete it) first"
+        )
+    if not fs.rename(live, aside):
+        raise IOError(f"could not rename {live} aside to {aside}")
+    if not fs.rename(tmp, live):
+        fs.rename(aside, live)  # roll back; best effort
+        raise IOError(f"could not rename {tmp} into place at {live}")
+    fs.delete(aside, True)

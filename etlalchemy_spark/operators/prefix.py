@@ -228,3 +228,58 @@ def running_global_max(
         .withColumn(alias, F.greatest(local, F.coalesce(F.col("_off"), local)))
         .drop("_pid", "_k", "_ko", "_v", "_off")
     )
+
+
+def ranks_and_running_sum(
+    df: DataFrame,
+    key_num: Column,
+    tie_cols: list[str],
+    value: Column,
+    alias: str = "running",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``global_ranks`` AND ``running_global_sum`` over the SAME order
+    in one fused pass: one bounds estimate, one per-bucket stats
+    aggregate (row count, distinct keys, bucket sum), one bucket
+    window. Callers that need both (e.g. a frequency table ranked with
+    cumulative coverage) previously chained the two operators, which
+    re-executed the upstream plan once per internal pass — ~5
+    recomputations of the dominant upstream aggregate (r8 review).
+    Same semantics as the two operators composed."""
+    d = (
+        df.withColumn("_ko", key_num)
+        .withColumn("_k", F.col("_ko").cast("double"))
+        .withColumn("_v", value)
+    )
+    bounds = range_bounds(d, F.col("_k"), n_buckets)
+    d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
+
+    stats = d.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            F.count_distinct(F.col("_ko"))
+            + F.max(F.when(F.col("_ko").isNull(), 1).otherwise(0))
+        ).alias("_nd"),
+        F.sum("_v").alias("_bucket_sum"),
+    )
+    offs = _exclusive_prefix_frame(
+        stats,
+        [("_n", "_row_off", "sum"), ("_nd", "_dense_off", "sum"),
+         ("_bucket_sum", "_off", "sum")],
+    ).fillna({"_row_off": 0, "_dense_off": 0})
+
+    w_rn = Window.partitionBy("_pid").orderBy(F.col("_ko"), *[F.col(c) for c in tie_cols])
+    w_key = Window.partitionBy("_pid").orderBy(F.col("_ko"))
+    w_sum = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn("rn", F.row_number().over(w_rn) + F.col("_row_off"))
+        .withColumn("rnk", F.rank().over(w_key) + F.col("_row_off"))
+        .withColumn("drnk", F.dense_rank().over(w_key) + F.col("_dense_off"))
+        .withColumn(
+            alias,
+            F.sum("_v").over(w_sum)
+            + F.coalesce(F.col("_off"), F.lit(0).cast("decimal(1,0)")),
+        )
+        .drop("_pid", "_k", "_ko", "_v", "_row_off", "_dense_off", "_off")
+    )

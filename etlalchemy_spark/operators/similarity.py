@@ -734,6 +734,12 @@ def pq_train_codebooks(
         .limit(n_codes)
         .collect()
     )
+    if len(init) < n_codes:
+        raise ValueError(
+            f"pq_train_codebooks: only {len(init)} training vectors "
+            f"available (sample_rate={sample_rate}) but n_codes={n_codes} "
+            "centroids requested — raise the sample rate or lower n_codes"
+        )
     books: list[list[list[float]]] = [
         [[float(r["_v"][m * d_sub + d]) for d in range(d_sub)] for r in init]
         for m in range(n_sub)
@@ -975,9 +981,15 @@ def append_bucket_index(
     rows = lsh_buckets_exact(df, id_col, vec_col, planes).withColumn(
         "idx_version", F.lit(tag)
     )
-    rows.write.mode("append").partitionBy("bucket").parquet(store_path)
+    # Sidecar BEFORE data (r8 review): rows-then-sidecar left a crash
+    # window where a first append died after writing rows signed with
+    # planes A, a later first append stamped the sidecar with planes B,
+    # and the mixed store probed as valid. Sidecar-first means a crash
+    # leaves a sidecar with no rows (probe fails loudly on the missing
+    # parquet) and a second different-plane append is refused.
     if existing is None:
         _write_index_version(spark, store_path, tag)
+    rows.write.mode("append").partitionBy("bucket").parquet(store_path)
 
 
 def query_bucket_exact(spark, query_vec: list[float], n_planes: int, seed: int) -> int:
@@ -1000,7 +1012,6 @@ def probe_bucket_index(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    query_id: int,
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 6,
@@ -1031,8 +1042,10 @@ def compact_bucket_index(spark, store_path: str, id_col: str) -> dict[str, int]:
     so probe cost tracks LIVE ids, not append history. The row-level
     idx_version audit is null-safe (~eqNullSafe — a NULL version must
     fail the check, not slide through a != filter; ADVICE r7). Rewrite
-    goes to a sibling directory then swaps via FileSystem rename, so a
-    crashed compaction leaves the live store untouched. Returns
+    goes to a sibling directory then swaps via the checked rename
+    protocol (layout.swap_directory): a crash can leave the store
+    renamed aside — a LOUD missing-path failure with one-rename
+    recovery — never a silently truncated store. Returns
     {"rows_before", "rows_after"} for the caller's audit log."""
     tag = read_index_version(spark, store_path)
     if tag is None:
@@ -1056,10 +1069,7 @@ def compact_bucket_index(spark, store_path: str, id_col: str) -> dict[str, int]:
     _write_index_version(spark, tmp, tag)
     after = spark.read.parquet(tmp).count()
 
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    live = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = live.getFileSystem(hconf)
-    fs.delete(live, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live)
+    from etlalchemy_spark.operators.layout import swap_directory
+
+    swap_directory(spark, store_path, tmp)
     return {"rows_before": before, "rows_after": after}

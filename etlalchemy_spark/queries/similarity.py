@@ -733,7 +733,7 @@ def sim_incremental_index_topk(spark, sf_dir):
         store, emb.where(F.col("vec_id") % 3 == 0), "vec_id", "embedding", dim=64
     )
     return probe_bucket_index(
-        spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
+        spark, store, emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
     )
 
 
@@ -772,5 +772,5 @@ def sim_index_compaction(spark, sf_dir):
     stats = compact_bucket_index(spark, store, "vec_id")
     assert stats["rows_after"] < stats["rows_before"]
     return probe_bucket_index(
-        spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
+        spark, store, emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
     )

@@ -481,5 +481,5 @@ def stream_incremental_ann_index(spark, sf_dir):
     )
     q.awaitTermination()
     return probe_bucket_index(
-        spark, store, emb, "vec_id", "embedding", 0, _query_vec(spark, sf_dir), k=10
+        spark, store, emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
     )

@@ -1190,19 +1190,27 @@ def text_vocab_coverage(spark, sf_dir):
     CUMULATIVE token coverage — the curve vocab-size decisions are read
     off of ('how many entries cover 95% of tokens'). The oracle is one
     global ORDER BY window; at 100 TB the vocabulary itself is
-    millions of rows, so the rank and running sum are the range-
-    bucketed two-phase prefix (operators/prefix.py — native-key
-    ordering, no single-partition WindowExec anywhere), and only then
-    is the curve cut to the top 200. Coverage divides two exact longs
-    in DOUBLE (both < 2^53: exact conversion + one correctly-rounded
-    IEEE divide, bit-identical across engines)."""
-    from etlalchemy_spark.operators.prefix import global_ranks, running_global_sum
+    millions of rows, so the rank and running sum are the FUSED
+    range-bucketed two-phase prefix (prefix.ranks_and_running_sum —
+    one bounds pass, one stats pass, one window; native-key ordering,
+    no single-partition WindowExec anywhere), and only then is the
+    curve cut to the top 200. The frequency aggregate — whose upstream
+    is the corpus tokenization, the dominant cost — is lazily
+    localCheckpointed so the prefix machinery's internal passes reuse
+    it instead of re-tokenizing the corpus (r8 review). Coverage
+    divides two exact longs in DOUBLE (both < 2^53: exact conversion +
+    one correctly-rounded IEEE divide, bit-identical across
+    engines)."""
+    from etlalchemy_spark.operators.prefix import ranks_and_running_sum
 
     d = t(spark, sf_dir, "documents")
     w = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
-    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    ranked = global_ranks(freq, -F.col("n"), ["word"]).drop("rnk", "drnk")
-    cum = running_global_sum(ranked, -F.col("n"), ["word"], F.col("n"), alias="cum")
+    freq = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cum = ranks_and_running_sum(freq, -F.col("n"), ["word"], F.col("n"), alias="cum")
     total = freq.agg(F.sum("n").alias("total"))
     return (
         cum.where(F.col("rn") <= 200)

@@ -86,9 +86,15 @@ def compact_batch_store(spark: SparkSession, root: str, n_files: int = 8) -> dic
     per-batch-dir layout is what makes replays exactly-once, and a
     batch re-delivered AFTER its rows were folded into ``batch=-1``
     would see its own rows as "store" and fabricate self-duplicate
-    matches. Rewrite lands in a sibling directory first and swaps in
-    via FileSystem rename, so a crashed compaction leaves the live
-    store intact. Returns {"dirs_before", "dirs_after", "rows"}."""
+    matches. Rewrite lands in a sibling directory first, is
+    row-count-verified, and swaps in via the CHECKED rename protocol
+    (layout.swap_directory — r8 review: the first cut deleted live
+    dirs before renaming, so a mid-swap crash silently truncated the
+    store; now a crash can only leave the store renamed aside, a loud
+    missing-path failure with one-rename recovery). Returns
+    {"dirs_before", "dirs_after", "rows"}."""
+    from etlalchemy_spark.operators.layout import swap_directory
+
     dirs = _list_batch_dirs(spark, root)
     if not dirs:
         return {"dirs_before": 0, "dirs_after": 0, "rows": 0}
@@ -98,17 +104,13 @@ def compact_batch_store(spark: SparkSession, root: str, n_files: int = 8) -> dic
     df.coalesce(max(1, n_files)).write.mode("overwrite").parquet(
         os.path.join(tmp, "batch=-1")
     )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    root_p = jvm.org.apache.hadoop.fs.Path(root)
-    fs = root_p.getFileSystem(hconf)
-    for d in dirs:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(tmp, "batch=-1")),
-        jvm.org.apache.hadoop.fs.Path(root, "batch=-1"),
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    got = spark.read.parquet(os.path.join(tmp, "batch=-1")).count()
+    if got != rows:
+        raise IOError(
+            f"compacted store at {tmp} holds {got} rows, expected {rows} — "
+            "aborting before touching the live store"
+        )
+    swap_directory(spark, root, tmp)
     return {"dirs_before": len(dirs), "dirs_after": 1, "rows": rows}
 
 

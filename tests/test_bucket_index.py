@@ -44,16 +44,16 @@ def test_append_probe_equals_one_shot_and_compaction_invariant(spark, tmp_path):
     append_bucket_index(store, emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", dim=DIM)
     append_bucket_index(store, emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", dim=DIM)
     one_shot = _res(cosine_topk_lsh_exact(emb, "vec_id", "embedding", 0, q, k=5))
-    before = _res(probe_bucket_index(spark, store, emb, "vec_id", "embedding", 0, q, k=5))
+    before = _res(probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5))
     assert before == one_shot, "append-built probe != built-at-once search"
 
     # replay a batch: probe unchanged (left-semi ignores dup rows)
     append_bucket_index(store, emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", dim=DIM)
-    assert _res(probe_bucket_index(spark, store, emb, "vec_id", "embedding", 0, q, k=5)) == one_shot
+    assert _res(probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5)) == one_shot
 
     stats = compact_bucket_index(spark, store, "vec_id")
     assert stats["rows_after"] == emb.count() < stats["rows_before"], stats
-    after = _res(probe_bucket_index(spark, store, emb, "vec_id", "embedding", 0, q, k=5))
+    after = _res(probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5))
     assert after == one_shot, "compaction changed the probe result"
     assert read_index_version(spark, store) == bucket_index_version(DIM, 6, 42)
     # layout: rows live under bucket=<b> partition directories
@@ -66,7 +66,7 @@ def test_probe_prunes_to_one_bucket_partition(spark, tmp_path):
     store = os.path.join(str(tmp_path), "store")
     append_bucket_index(store, emb, "vec_id", "embedding", dim=DIM)
 
-    probe = probe_bucket_index(spark, store, emb, "vec_id", "embedding", 0, q, k=5)
+    probe = probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan, plan
     # the store scan must carry the bucket equality as a PARTITION
@@ -83,7 +83,7 @@ def test_probe_works_for_unindexed_query_vector(spark, tmp_path):
     append_bucket_index(store, emb.where(F.col("vec_id") > 0), "vec_id", "embedding", dim=DIM)
     q = _qvec(emb)  # vec 0 is NOT indexed
     got = probe_bucket_index(
-        spark, store, emb.where(F.col("vec_id") > 0), "vec_id", "embedding", 0, q, k=5
+        spark, store, emb.where(F.col("vec_id") > 0), "vec_id", "embedding", q, k=5
     )
     assert got.count() >= 1
 
@@ -101,7 +101,7 @@ def test_version_guards_fail_loudly(spark, tmp_path):
     # probe with different planes: sidecar mismatch, no data scan needed
     with pytest.raises(ValueError, match="expected"):
         probe_bucket_index(
-            spark, store, emb, "vec_id", "embedding", 0, q, k=5, seed=99
+            spark, store, emb, "vec_id", "embedding", q, k=5, seed=99
         )
 
     # unversioned store (sidecar removed): refused, not silently probed
@@ -110,7 +110,7 @@ def test_version_guards_fail_loudly(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     with pytest.raises(ValueError, match="None"):
-        probe_bucket_index(spark, store, emb, "vec_id", "embedding", 0, q, k=5)
+        probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5)
     with pytest.raises(ValueError, match="no version sidecar"):
         compact_bucket_index(spark, store, "vec_id")
 
@@ -118,7 +118,7 @@ def test_version_guards_fail_loudly(spark, tmp_path):
     with open(os.path.join(store, "_INDEX_VERSION"), "w") as fh:
         fh.write("hp:8:6:7:v1\n")
     with pytest.raises(ValueError, match="carries version"):
-        probe_bucket_index(spark, store, emb, "vec_id", "embedding", 0, q, k=5)
+        probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5)
 
 
 def test_compaction_rejects_null_version_rows(spark, tmp_path):

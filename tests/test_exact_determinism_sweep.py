@@ -15,11 +15,15 @@ green sweep makes 'unreproducible driver flake' strong evidence of a
 data/oracle-side cause instead.
 """
 
+import os
+import sys
+
 import pytest
 
+from conftest import SF_DIR
 from etlalchemy_spark.registry import all_queries
 
-SF_DIR = "/root/testdata/sf0.001"
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 
 SWEEP_QUERIES = [
     "window_running_sum_global_scalable",  # prefix buckets + approxQuantile
@@ -45,9 +49,8 @@ CONFIGS = [
 
 
 def _canonical(df):
-    import sys
-
-    sys.path.insert(0, "tools")
+    if _TOOLS not in sys.path:
+        sys.path.insert(0, _TOOLS)
     from verify_local import normalize
 
     pdf = normalize(df.toPandas())

@@ -165,3 +165,26 @@ def test_global_ranks_null_keys_dense_offsets(spark):
     assert got == want
     # distinct non-null values 10/20/30 must get dense ranks 2/3/4, not 2/3/3
     assert got[5][2] == 4
+
+
+def test_fused_ranks_and_running_sum_matches_composition(spark, df):
+    from etlalchemy_spark.operators.prefix import ranks_and_running_sum
+
+    d = df.withColumn("dval", F.col("val").cast("decimal(18,4)"))
+    fused = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"], r["rt"])
+        for r in ranks_and_running_sum(
+            d, F.col("key"), ["id"], F.col("dval"), alias="rt", n_buckets=8
+        ).collect()
+    }
+    ranks = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in global_ranks(d, F.col("key"), ["id"], n_buckets=8).collect()
+    }
+    sums = {
+        r["id"]: r["rt"]
+        for r in running_global_sum(
+            d, F.col("key"), ["id"], F.col("dval"), alias="rt", n_buckets=8
+        ).collect()
+    }
+    assert fused == {i: (*ranks[i], sums[i]) for i in ranks}

@@ -21,10 +21,9 @@ import duckdb
 import pandas as pd
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from etlalchemy_spark.operators import prefix as prefix_mod
 from etlalchemy_spark.operators.sampling import weighted_systematic_sample
-
-SF_DIR = "/root/testdata/sf0.001"
 
 
 def _picks(spark, n_buckets=32):
