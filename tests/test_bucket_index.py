@@ -136,3 +136,18 @@ def test_compaction_rejects_null_version_rows(spark, tmp_path):
     ).parquet(bucket_dir)
     with pytest.raises(ValueError, match="None"):
         compact_bucket_index(spark, store, "vec_id")
+
+
+def test_swap_refuses_when_prior_crash_left_aside_dir(spark, tmp_path):
+    # swap_directory must refuse to run over the debris of a crashed
+    # compaction (the aside dir IS the recovery copy — clobbering it
+    # would destroy the only intact store).
+    emb = _corpus(spark)
+    store = os.path.join(str(tmp_path), "store")
+    append_bucket_index(store, emb, "vec_id", "embedding", dim=DIM)
+    os.makedirs(store + "__precompact")
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        compact_bucket_index(spark, store, "vec_id")
+    # live store untouched and still probeable after the refusal
+    q = _qvec(emb)
+    assert probe_bucket_index(spark, store, emb, "vec_id", "embedding", q, k=5).count() >= 1
