@@ -74,3 +74,74 @@ def test_exact_result_invariant_across_configs(spark, name):
         f"{name}: result drifted between runtime configs — "
         "environment-coupled nondeterminism"
     )
+
+
+_SUBPROC_QUERIES = [
+    "window_running_sum_global_scalable",
+    "sample_weighted_systematic",
+    "dedup_minhash_lsh_exact",
+    "text_vocab_coverage",
+]
+
+_SUBPROC_SCRIPT = r"""
+import sys
+repo, sf_dir = sys.argv[1], sys.argv[2]
+sys.path.insert(0, repo)
+import os
+sys.path.insert(0, os.path.join(repo, "tools"))
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[3]")
+    .appName("det-sweep-subproc")
+    .config("spark.sql.shuffle.partitions", "3")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.driver.memory", "3g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from etlalchemy_spark.session import ensure_session_confs
+ensure_session_confs(spark)
+from etlalchemy_spark.registry import all_queries
+from verify_local import result_hash
+for name in sys.argv[3:]:
+    pdf = all_queries()[name].fn(spark, sf_dir).toPandas()
+    print(f"HASH {name} {result_hash(pdf)}")
+spark.stop()
+"""
+
+
+def test_exact_results_invariant_across_parallelism(spark):
+    """The axis in-session sweeps can't move: EXECUTOR PARALLELISM
+    (defaultParallelism drives file splits, createDataFrame slicing,
+    and task scheduling — exactly what differs on the driver's
+    container). Runs a slice of the sweep in a local[3] subprocess and
+    compares canonical result hashes against this session's
+    local[4]."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _SUBPROC_SCRIPT, repo, SF_DIR, *_SUBPROC_QUERIES],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    theirs = dict(
+        line.split()[1:3]
+        for line in out.stdout.splitlines()
+        if line.startswith("HASH ")
+    )
+    assert set(theirs) == set(_SUBPROC_QUERIES)
+
+    if _TOOLS not in sys.path:
+        sys.path.insert(0, _TOOLS)
+    from verify_local import result_hash
+
+    for name in _SUBPROC_QUERIES:
+        mine = result_hash(all_queries()[name].fn(spark, SF_DIR).toPandas())
+        assert mine == theirs[name], (
+            f"{name}: result differs between local[4] session and "
+            f"local[3] subprocess — parallelism-coupled nondeterminism"
+        )
