@@ -858,9 +858,19 @@ def _lsh_recall_sql() -> str:
   FROM h GROUP BY doc_id
 ),
 sets AS (SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id),
+-- Jaccard >= t > 0 implies >= 1 shared shingle: the inverted-index
+-- equi-join generates an EXACT candidate superset of the truth, so the
+-- set intersections run only on overlapping pairs (same rewrite as the
+-- Spark side; the all-pairs theta join was the oracle's own bottleneck)
+truth_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 truth AS (
-  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
-  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+  SELECT tc.id_a, tc.id_b
+  FROM truth_cand tc
+  JOIN sets sa ON sa.doc_id = tc.id_a
+  JOIN sets sb ON sb.doc_id = tc.id_b
   WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
         CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) >= {_MH_THRESHOLD}
 ),
@@ -900,12 +910,28 @@ def dedup_lsh_recall(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", k=_MH_K)
     sets = sh.groupBy("doc_id").agg(_F.collect_set("shingle").alias("ss"))
+    # "Exhaustive" truth WITHOUT the all-pairs theta join (r8: the
+    # a×b BNLJ evaluated array_intersect on ~n²/2 pairs — 277 s at
+    # sf0.1): Jaccard ≥ t > 0 requires ≥ 1 SHARED SHINGLE, so the
+    # inverted-index equi-join on shingle generates a candidate
+    # superset of the truth EXACTLY (a zero-overlap pair has Jaccard
+    # 0), and the expensive set intersection runs only on pairs that
+    # share something. Same result, equi-join plan.
+    sh_a = sh.select(_F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(_F.col("doc_id").alias("id_b"), "shingle")
+    cand_true = (
+        sh_a.join(sh_b, "shingle")
+        .where(_F.col("id_a") < _F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = sets.select(_F.col("doc_id").alias("id_a"), _F.col("ss").alias("sa"))
     b = sets.select(_F.col("doc_id").alias("id_b"), _F.col("ss").alias("sb"))
     inter = _F.size(_F.array_intersect(_F.col("sa"), _F.col("sb")))
     union = _F.size("sa") + _F.size("sb") - inter
     truth = (
-        a.join(b, _F.col("id_a") < _F.col("id_b"))
+        cand_true.join(a, "id_a")
+        .join(b, "id_b")
         .where(inter.cast("double") / union.cast("double") >= _MH_THRESHOLD)
         .select("id_a", "id_b")
     )
