@@ -3,13 +3,17 @@
 Mandated extension surface (BASELINE.json): image/audio/video are
 ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched Pandas functions over
-``mapInPandas``. UNCOMPRESSED formats decode for real with stdlib-only
-parsers — WAV/PCM-16 (``decode_wav``), 24-bit BMP (``decode_bmp``),
-binary PPM (``decode_ppm``) — producing genuine per-asset stats
-(duration, sample rate, amplitude; dimensions, channel sums). Only
-COMPRESSED codecs (PNG/JPEG/ADPCM/...) remain ``NotImplementedError``:
-their libraries aren't in this container (SURVEY.md environment), and
-the router raises with the sniffed format so the boundary is explicit.
+``mapInPandas``. Formats whose byte layout is decodable with the
+stdlib decode for REAL — WAV/PCM-16 (``decode_wav``), 24-bit BMP
+(``decode_bmp``), binary PPM (``decode_ppm``), and since r8 PNG
+(``decode_png`` — zlib inflate + full five-filter scanline
+unfiltering; PNG's "compression" is stdlib zlib, so it never needed an
+external codec) — producing genuine per-asset stats (duration, sample
+rate, amplitude; dimensions, channel sums). Only codecs with
+non-stdlib compression (JPEG/GIF/WEBP/ADPCM/...) remain
+``NotImplementedError``: their libraries aren't in this container
+(SURVEY.md environment), and the router raises with the sniffed
+format so the boundary is explicit.
 
 Scale shape: mapInPandas streams Arrow batches partition-local — no
 shuffle, no driver traffic; exactly how a real decoder would run over
@@ -19,6 +23,7 @@ queries never touch bytes).
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -44,9 +49,10 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "text/
 
 
 # ---------------------------------------------------------------------------
-# Real stdlib-only decoders for UNCOMPRESSED formats (WAV/PCM, BMP, PPM).
-# Compressed codecs (PNG/JPEG/MP3/...) need libraries this container does
-# not ship; those — and only those — remain NotImplementedError.
+# Real stdlib-only decoders: WAV/PCM, BMP, PPM (uncompressed) and PNG
+# (zlib-compressed — stdlib). Codecs needing non-stdlib libraries
+# (JPEG/GIF/WEBP/MP3/ADPCM/...) — and only those — remain
+# NotImplementedError.
 # ---------------------------------------------------------------------------
 
 
@@ -222,18 +228,152 @@ def encode_ppm_p6(pixels) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL stdlib PNG decode (r8 — PNG moved from the documented
+    compressed-codec boundary to a native decoder: its compression is
+    plain zlib, which python ships): chunk walk (IHDR/IDAT*/IEND),
+    zlib inflate, and full scanline UNFILTERING for all five filter
+    types (None/Sub/Up/Average/Paeth). Supports bit depth 8, color
+    types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced — the shapes a
+    training pipeline's thumbnail/feature payloads actually take.
+    Indexed/16-bit/Adam7 raise NotImplementedError with the exact
+    unsupported field. Stats convention: grayscale reports its sum as
+    r=g=b; alpha is ignored in channel sums."""
+    import struct
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, depth, ctype, interlace = len(_PNG_SIG), None, None, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, chunk = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if chunk == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif chunk == b"IDAT":
+            idat += data
+        elif chunk == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not implemented (only 8)")
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG color type {ctype} not implemented (0/2/6 decode natively)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not implemented")
+    ch = _PNG_CHANNELS[ctype]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"PNG scanline payload is {len(raw)} bytes, expected {(stride + 1) * height}")
+    prev = bytearray(stride)
+    rows = []
+    for y in range(height):
+        base = y * (stride + 1)
+        f = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG filter type {f} is invalid")
+        rows.append(bytes(row))
+        prev = row
+    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, ch)
+    s = px.astype(np.int64)
+    if ctype == 0:
+        sum_r = sum_g = sum_b = int(s[:, :, 0].sum())
+    else:
+        sum_r, sum_g, sum_b = (int(s[:, :, i].sum()) for i in range(3))
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, color_type: int = 2) -> bytes:
+    """Minimal spec-correct PNG writer from an (h, w[, ch]) uint8 array:
+    filter byte 0 per scanline, one zlib IDAT, CRC-stamped chunks.
+    ``color_type``: 0 (gray, (h,w) or (h,w,1)), 2 (RGB), 6 (RGBA).
+    What decode_png recovers; also valid for any external reader."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if color_type == 0 and px.ndim == 2:
+        px = px[:, :, None]
+    ch = _PNG_CHANNELS[color_type]
+    if px.shape[2] != ch:
+        raise ValueError(f"color_type {color_type} needs {ch} channels, got {px.shape[2]}")
+    h, w = px.shape[0], px.shape[1]
+    body = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> dict:
-    """Content-sniffing image decode: real stdlib decoders for the
-    uncompressed formats (BMP via decode_bmp, P6 PPM via decode_ppm);
-    compressed codecs (PNG/JPEG/GIF/WEBP) raise NotImplementedError —
-    the libraries aren't in this container; swap in
-    PIL.Image.open(io.BytesIO(payload)) on a real cluster."""
+    """Content-sniffing image decode: real stdlib decoders for BMP
+    (decode_bmp), P6 PPM (decode_ppm), and PNG (decode_png — zlib is
+    stdlib, so PNG decodes natively since r8); JPEG/GIF/WEBP raise
+    NotImplementedError — their codecs aren't in this container; swap
+    in PIL.Image.open(io.BytesIO(payload)) on a real cluster."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     sniffed = {
-        b"\x89PNG": "PNG",
         b"\xff\xd8\xff": "JPEG",
         b"GIF8": "GIF",
         b"RIFF": "RIFF(WEBP/AVI)",
@@ -241,7 +381,7 @@ def decode_image(payload: bytes) -> dict:
     kind = next((v for k, v in sniffed.items() if payload[: len(k)] == k), "unknown")
     raise NotImplementedError(
         f"{kind} decode requires a codec library not present in this "
-        "environment; only uncompressed BMP/PPM decode natively"
+        "environment; BMP/PPM/PNG decode natively"
     )
 
 

@@ -352,3 +352,86 @@ def mm_magic_byte_router(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+_PNG_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 6 AS width,
+         1 + doc_id % 4 AS height,
+         CASE doc_id % 3 WHEN 0 THEN 'gray' WHEN 1 THEN 'rgb' ELSE 'rgba' END AS kind
+  FROM documents
+),
+px AS (
+  SELECT doc_id, kind, width, height,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> (doc_id + 3 * (i % width) + 5 * (i // width)) % 256) AS r,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> (doc_id * 2 + (i % width)) % 256) AS g,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> ((i % width) * (i // width) + doc_id) % 256) AS b
+  FROM params
+)
+SELECT doc_id, 'png' AS format,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(r, 'sum') AS BIGINT) AS sum_r,
+       CAST(CASE WHEN kind = 'gray' THEN list_aggregate(r, 'sum')
+                 ELSE list_aggregate(g, 'sum') END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN kind = 'gray' THEN list_aggregate(r, 'sum')
+                 ELSE list_aggregate(b, 'sum') END AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("mm_decode_png_stats", oracle=_PNG_SQL, tags=("multimodal", "udf"))
+def mm_decode_png_stats(spark, sf_dir):
+    """REAL PNG decode, stdlib-only (r8 — PNG left the compressed-codec
+    boundary: its compression is plain zlib): payloads cycle grayscale
+    / RGB / RGBA by doc_id, pixels a deterministic function of doc_id
+    so DuckDB recomputes expected channel sums formula-side, then the
+    bytes round-trip through the magic-byte router (decode_image →
+    decode_png: chunk walk, zlib inflate, five-filter scanline
+    unfiltering). Grayscale reports its sum as r=g=b; RGBA's alpha is
+    ignored in sums — both conventions asserted by the oracle. Same
+    Arrow mapInPandas shape as the BMP/PPM query: partition-local,
+    payload bytes never shuffle."""
+    from etlalchemy_spark.operators.multimodal import encode_png, image_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 6).cast("int").alias("width"),
+        (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("height"),
+        (F.col("doc_id") % 3).cast("int").alias("kind"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h, kind in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["kind"]
+            ):
+                doc_id, w, h, kind = int(doc_id), int(w), int(h), int(kind)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = (doc_id + 3 * x + 5 * y) % 256
+                g = (doc_id * 2 + x) % 256
+                b = (x * y + doc_id) % 256
+                a = (x + 2 * y + doc_id) % 256  # alpha: present, ignored in sums
+                if kind == 0:
+                    px = r.reshape(h, w).astype(np.uint8)
+                    payloads.append(encode_png(px, color_type=0))
+                elif kind == 1:
+                    px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                    payloads.append(encode_png(px, color_type=2))
+                else:
+                    px = np.stack([r, g, b, a], axis=1).reshape(h, w, 4).astype(np.uint8)
+                    payloads.append(encode_png(px, color_type=6))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_stats(imgs, "doc_id")

@@ -178,7 +178,112 @@ def test_decode_image_router_compressed_boundary():
 
     from etlalchemy_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError, match="PNG"):
+    # PNG decodes natively since r8 — a bare signature with no IHDR is
+    # a MALFORMED png now, not an unimplemented codec
+    with pytest.raises(ValueError, match="no IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0....")
+
+
+def test_png_roundtrip_all_color_types_and_filters(spark):
+    """decode_png recovers exact pixel sums for gray/RGB/RGBA payloads
+    written by encode_png, AND for PNGs whose scanlines use every
+    filter type (Sub/Up/Average/Paeth) — the part external writers
+    exercise that a filter-0-only decoder would get wrong silently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for ct, ch in ((0, 1), (2, 3), (6, 4)):
+        px = rng.integers(0, 256, size=(6, 9, ch), dtype=np.uint8)
+        d = decode_png(encode_png(px if ch > 1 else px[:, :, 0], ct))
+        a = px.astype(np.int64)
+        want = ((int(a.sum()),) * 3 if ct == 0
+                else tuple(int(a[:, :, i].sum()) for i in range(3)))
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == want
+        assert (d["width"], d["height"], d["format"]) == (9, 6, "png")
+
+    # hand-filter rows with types 0..4 and confirm exact unfiltering
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = px.shape
+    prev, rows = bytes(w * ch), []
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        cur = px[y].tobytes()
+        out = bytearray()
+        for i in range(w * ch):
+            x, a = cur[i], (cur[i - ch] if i >= ch else 0)
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 255
+            elif f == 2:
+                v = (x - b) & 255
+            elif f == 3:
+                v = (x - ((a + b) >> 1)) & 255
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 255
+            out.append(v)
+        rows.append(bytes([f]) + bytes(out))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + _png_chunk(b"IEND", b""))
+    d = decode_image(payload)  # router dispatch, not direct call
+    a = px.astype(np.int64)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(
+        int(a[:, :, i].sum()) for i in range(3)
+    )
+
+
+def test_png_unsupported_variants_fail_loudly(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    def hdr_png(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 4))
+                + _png_chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(hdr_png(16, 2, 0))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        decode_png(hdr_png(8, 3, 0))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(hdr_png(8, 2, 1))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+    # truncated scanline payload is detected, not mis-summed
+    ok = encode_png(np.zeros((3, 3, 3), np.uint8), 2)
+    with pytest.raises(ValueError, match="scanline payload"):
+        ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+                   + _png_chunk(b"IEND", b""))
+    assert ok  # writer output itself was consumed above
