@@ -82,15 +82,23 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1:
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 17:  # IMA ADPCM — pure table arithmetic (r8)
+        if n_channels != 1:
+            raise NotImplementedError("only mono IMA ADPCM implemented")
+        decoded: list[int] = []
+        for off in range(0, len(data) - 3, block_align):
+            decoded.extend(_ima_decode_block(data[off : off + block_align]))
+        samples = np.asarray(decoded, dtype=np.int64)
+    elif audio_format != 1:
         raise NotImplementedError(
-            f"WAV audio format {audio_format} is compressed; only PCM (1) "
-            "decodes without a codec library"
+            f"WAV audio format {audio_format} is compressed with a "
+            "non-stdlib codec; PCM (1) and IMA ADPCM (17) decode natively"
         )
-    if bits != 16:
-        raise NotImplementedError(f"only 16-bit PCM implemented, got {bits}")
-    samples = np.frombuffer(data, dtype="<i2")
+    else:
+        if bits != 16:
+            raise NotImplementedError(f"only 16-bit PCM implemented, got {bits}")
+        samples = np.frombuffer(data, dtype="<i2")
     n_frames = len(samples) // n_channels
     return {
         "sample_rate": sample_rate,
@@ -100,6 +108,105 @@ def decode_wav(payload: bytes) -> dict:
         "sum_abs_amplitude": int(np.abs(samples.astype(np.int64)).sum()),
         "peak_amplitude": int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0,
     }
+
+
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state update (shared by encode and decode so the
+    two can never drift): returns (new_pred, new_index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return pred, index
+
+
+def _ima_decode_block(block: bytes) -> list[int]:
+    """Decode one mono IMA ADPCM block: 4-byte header (predictor int16
+    LE = sample 0, step index uint8, reserved) + 2 samples/byte, low
+    nibble first."""
+    import struct
+
+    pred, index = struct.unpack_from("<hB", block, 0)[0], block[2]
+    index = max(0, min(88, index))
+    out = [pred]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            pred, index = _ima_step(pred, index, nibble)
+            out.append(pred)
+    return out
+
+
+def encode_wav_ima_adpcm(samples, sample_rate: int, block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM (WAV format tag 17) writer — the lossy-audio
+    fixture synthesizer for decode_wav's ADPCM leg. Each block:
+    4-byte header (current predictor = block's sample 0, step index)
+    + quantized 4-bit deltas, encoder state advanced with the SAME
+    _ima_step the decoder uses. Trailing nibbles of the last block pad
+    with 0 (decoders emit the padding as trailing samples — standard
+    for the format; 'fact' chunk carries the true count)."""
+    import struct
+
+    import numpy as np
+
+    pcm = [int(x) for x in np.asarray(samples, dtype="<i2")]
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    blocks = bytearray()
+    index = 0
+    i = 0
+    n_blocks = 0
+    while i < len(pcm):
+        chunk = pcm[i : i + spb]
+        i += spb
+        n_blocks += 1
+        pred = chunk[0]
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        while len(nibbles) < spb - 1:  # pad the final block
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+    data = bytes(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 17, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = b"fact" + struct.pack("<II", 4, len(pcm))
+    hdr = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(fact) + 8 + len(data)) + b"WAVE"
+    return hdr + fmt + fact + b"data" + struct.pack("<I", len(data)) + data
 
 
 def encode_wav_pcm16(samples, sample_rate: int) -> bytes:

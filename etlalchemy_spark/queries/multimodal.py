@@ -435,3 +435,41 @@ def mm_decode_png_stats(spark, sf_dir):
 
     imgs = params.mapInPandas(synth, "doc_id long, payload binary")
     return image_stats(imgs, "doc_id")
+
+
+@register("mm_decode_adpcm_stats", oracle=None, tags=("multimodal", "udf"))
+def mm_decode_adpcm_stats(spark, sf_dir):
+    """REAL lossy-audio decode: per-doc deterministic int16 waveforms
+    are IMA-ADPCM-compressed (WAV format 17 — 4:1 vs PCM-16, pure
+    integer table arithmetic, stdlib-only since r8) and decoded back
+    through the same wav_stats mapInPandas pipeline as the PCM query.
+    Rows-only: the decoder is a per-sample state machine no SQL
+    reproduces; twin mm_decode_wav_stats carries the oracle for the
+    shared container/stats path, and tests/test_multimodal.py pins the
+    codec itself (round-trip error bound, golden block, stereo/mu-law
+    refusals)."""
+    from etlalchemy_spark.operators.multimodal import encode_wav_ima_adpcm, wav_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(500) + (F.col("doc_id") % 17) * 100).cast("int").alias("n_samples"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_samples"]):
+                doc_id, n = int(doc_id), int(n)
+                i = np.arange(n, dtype=np.float64)
+                wave = (
+                    2500 * np.sin(i / (20 + doc_id % 13))
+                    + 400 * np.sin(i / (5 + doc_id % 7))
+                ).astype(np.int16)
+                payloads.append(encode_wav_ima_adpcm(wave, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    wavs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return wav_stats(wavs, "doc_id")

@@ -287,3 +287,50 @@ def test_png_unsupported_variants_fail_loudly(spark):
                    + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
                    + _png_chunk(b"IEND", b""))
     assert ok  # writer output itself was consumed above
+
+
+def test_ima_adpcm_roundtrip_and_guards(spark):
+    """IMA ADPCM (WAV format 17): decode must track the encoder's
+    shared _ima_step state machine exactly, reconstruct a smooth
+    signal within ADPCM's nominal error, and refuse stereo / unknown
+    compressed formats loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import (
+        _ima_decode_block,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(2500)
+    orig = (3000 * np.sin(t / 30.0) + 500 * np.sin(t / 7.0)).astype(np.int16)
+    payload = encode_wav_ima_adpcm(orig, 8000)
+    d = decode_wav(payload)
+    assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+    assert d["n_samples"] >= len(orig)  # final-block nibble padding
+
+    data = payload[payload.find(b"data") + 8 :]
+    dec = []
+    for off in range(0, len(data) - 3, 256):
+        dec.extend(_ima_decode_block(data[off : off + 256]))
+    err = np.abs(np.asarray(dec[: len(orig)]) - orig.astype(np.int64))
+    assert float(err.mean()) < 100, f"ADPCM reconstruction error {err.mean():.1f}"
+
+    # golden block: header predictor is sample 0; a zero-nibble stream
+    # decays toward the predictor by step>>3 increments
+    blk = struct.pack("<hBB", 1000, 0, 0) + b"\x00\x00"
+    assert _ima_decode_block(blk)[:3] == [1000, 1000, 1000]  # step 7>>3 = 0
+
+    # stereo ADPCM and unknown compressed formats refuse loudly
+    stereo = bytearray(payload)
+    fmt_off = payload.find(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)  # n_channels = 2
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav(bytes(stereo))
+    mulaw = bytearray(payload)
+    struct.pack_into("<H", mulaw, fmt_off, 7)  # mu-law
+    with pytest.raises(NotImplementedError, match="format 7"):
+        decode_wav(bytes(mulaw))
