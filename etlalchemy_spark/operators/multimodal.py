@@ -468,6 +468,191 @@ def encode_png(pixels, color_type: int = 2) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bitstream, CLEAR/END control codes,
+    dictionary growing to 12-bit codes, KwKwK case handled."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, code_size
+        table = [[i] for i in range(clear)] + [[], []]
+        code_size = min_code_size + 1
+
+    code_size = min_code_size + 1
+    reset()
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # KwKwK
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} of {len(table)}")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (dictionary-growing, CLEAR on full) —
+    the fixture writer; code-size growth mirrors _lzw_decode's rule
+    exactly so round trips exercise the real dictionary path."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    cur: tuple[int, ...] = ()
+    for px in indices:
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        # decoder adds its entry THEN grows when table hits 1<<code_size
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        cur = (px,)
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL stdlib GIF decode (r8): header + logical screen descriptor,
+    global/local color tables, extension-block skipping, and a full
+    LZW inflate of the FIRST image frame (dictionary growth to 12-bit
+    codes, KwKwK). Interlaced frames raise NotImplementedError. Stats
+    are per-channel sums of the palette-mapped pixels — same contract
+    as the other image decoders."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not implemented")
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code)[: w * h]
+            if len(idx) < w * h:
+                raise ValueError(f"GIF frame decoded {len(idx)} of {w * h} pixels")
+            px = ct[np.asarray(idx, dtype=np.int64)].astype(np.int64)
+            return {
+                "format": "gif",
+                "width": w,
+                "height": h,
+                "n_pixels": w * h,
+                "sum_r": int(px[:, 0].sum()),
+                "sum_g": int(px[:, 1].sum()),
+                "sum_b": int(px[:, 2].sum()),
+            }
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image frame")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Minimal GIF89a writer: one frame, global color table, real LZW
+    compression. ``indices``: (h, w) uint8 palette indices; ``palette``:
+    (n, 3) uint8 RGB, n a power of two >= 4."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    size_field = max(1, (n - 1).bit_length() - 1)  # 2^(f+1) = n
+    min_code = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (0 << 4) | size_field, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    lzw = _lzw_encode([int(v) for v in idx.reshape(-1)], min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> dict:
     """Content-sniffing image decode: real stdlib decoders for BMP
     (decode_bmp), P6 PPM (decode_ppm), and PNG (decode_png — zlib is
@@ -480,15 +665,16 @@ def decode_image(payload: bytes) -> dict:
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     sniffed = {
         b"\xff\xd8\xff": "JPEG",
-        b"GIF8": "GIF",
         b"RIFF": "RIFF(WEBP/AVI)",
     }
     kind = next((v for k, v in sniffed.items() if payload[: len(k)] == k), "unknown")
     raise NotImplementedError(
         f"{kind} decode requires a codec library not present in this "
-        "environment; BMP/PPM/PNG decode natively"
+        "environment; BMP/PPM/PNG/GIF decode natively"
     )
 
 

@@ -473,3 +473,71 @@ def mm_decode_adpcm_stats(spark, sf_dir):
 
     wavs = params.mapInPandas(synth, "doc_id long, payload binary")
     return wav_stats(wavs, "doc_id")
+
+
+_GIF_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         2 + doc_id % 9 AS width,
+         2 + doc_id % 6 AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         list_transform(generate_series(0, width * height - 1),
+                        i -> (doc_id + 3 * (i % width) + 5 * (i // width)) % 8) AS idx
+  FROM params
+)
+SELECT doc_id, 'gif' AS format,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(list_transform(idx, v -> (31 * v + 7) % 256), 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(list_transform(idx, v -> (63 * v + 11) % 256), 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(list_transform(idx, v -> (17 * v + 23) % 256), 'sum') AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("mm_decode_gif_stats", oracle=_GIF_SQL, tags=("multimodal", "udf"))
+def mm_decode_gif_stats(spark, sf_dir):
+    """REAL GIF decode, stdlib-only (r8): per-doc palette-indexed
+    frames (8-color palette, indices a deterministic function of
+    doc_id) are LZW-compressed by the fixture writer and decoded back
+    through the magic-byte router — header, color table, extension
+    skipping, full dictionary-growing LZW inflate, palette mapping.
+    DuckDB recomputes the expected palette-mapped channel sums
+    formula-side, so the whole compress→decompress→map path is
+    oracle-exact. Same partition-local Arrow mapInPandas shape as the
+    other decoders."""
+    from etlalchemy_spark.operators.multimodal import encode_gif, image_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 9).cast("int").alias("width"),
+        (F.lit(2) + F.col("doc_id") % 6).cast("int").alias("height"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [
+                (31 * np.arange(8) + 7) % 256,
+                (63 * np.arange(8) + 11) % 256,
+                (17 * np.arange(8) + 23) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                idx = ((doc_id + 3 * (i % w) + 5 * (i // w)) % 8).reshape(h, w)
+                payloads.append(encode_gif(idx.astype(np.uint8), pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_stats(imgs, "doc_id")

@@ -334,3 +334,62 @@ def test_ima_adpcm_roundtrip_and_guards(spark):
     struct.pack_into("<H", mulaw, fmt_off, 7)  # mu-law
     with pytest.raises(NotImplementedError, match="format 7"):
         decode_wav(bytes(mulaw))
+
+
+def test_gif_lzw_roundtrip_and_router(spark):
+    """GIF decode: real LZW (dictionary growth to 12-bit codes, KwKwK,
+    4096-entry CLEAR reset), palette mapping, extension skipping —
+    pinned over repetitive, random, dict-saturating, and 4-color
+    images, plus the constant-code-size CLEAR-heavy style simple
+    external writers emit."""
+    import numpy as np
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import (
+        _lzw_decode,
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    cases = [
+        ((np.arange(40 * 60) * 7 % 5 % 16).reshape(40, 60).astype(np.uint8), pal),
+        (rng.integers(0, 16, size=(120, 130), dtype=np.uint8), pal),  # dict-full
+        (rng.integers(0, 4, size=(9, 11), dtype=np.uint8),
+         np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)),
+    ]
+    for idx, p in cases:
+        d = decode_image(encode_gif(idx, p))  # router dispatch
+        px = p[idx.reshape(-1).astype(np.int64)].astype(np.int64)
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(
+            int(px[:, i].sum()) for i in range(3)
+        )
+        assert (d["width"], d["height"]) == (idx.shape[1], idx.shape[0])
+
+    # constant-code-size, CLEAR-before-every-code external style
+    min_code, clear, end, cs = 4, 16, 17, 5
+    pixels = [3, 7, 15, 0, 0, 9, 9, 9, 2]
+    codes = [c for p in pixels for c in (clear, p)] + [end]
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += cs
+        while bits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 255)
+    assert _lzw_decode(bytes(out), min_code) == pixels
+
+    # guards: interlaced and truncated frames fail loudly
+    g = bytearray(encode_gif(cases[0][0], pal))
+    desc = g.find(b"\x2c")
+    g[desc + 9] |= 0x40  # interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(g))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG....")
