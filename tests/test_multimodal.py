@@ -393,3 +393,37 @@ def test_gif_lzw_roundtrip_and_router(spark):
         decode_gif(bytes(g))
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"\x89PNG....")
+
+
+def test_avi_frame_sampling_and_guards(spark):
+    """AVI container walk: sampled-frame channel sums match the raw
+    frames exactly, skipped frames stay unrasterized (every_n honored),
+    fps survives the avih header, and compressed ('00dc') streams or
+    non-AVI RIFFs refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_rgb,
+    )
+
+    rng = np.random.default_rng(13)
+    fr = rng.integers(0, 256, size=(7, 5, 9, 3), dtype=np.uint8)
+    payload = encode_avi_rgb(fr, fps=25)
+    out = decode_avi_frames(payload, every_n=3)
+    assert [f["frame_index"] for f in out] == [0, 3, 6]
+    for f in out:
+        a = fr[f["frame_index"]].astype(np.int64)
+        assert (f["sum_r"], f["sum_g"], f["sum_b"]) == tuple(
+            int(a[:, :, i].sum()) for i in range(3)
+        )
+        assert f["us_per_frame"] == 1_000_000 // 25
+
+    comp = bytearray(payload)
+    db = comp.find(b"00db")
+    comp[db : db + 4] = b"00dc"  # pretend the first frame is compressed
+    with pytest.raises(NotImplementedError, match="00dc"):
+        decode_avi_frames(bytes(comp))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
