@@ -9,8 +9,10 @@ stdlib decode for REAL — WAV/PCM-16 (``decode_wav``), 24-bit BMP
 (``decode_png`` — zlib inflate + full five-filter scanline
 unfiltering; PNG's "compression" is stdlib zlib, so it never needed an
 external codec) — producing genuine per-asset stats (duration, sample
-rate, amplitude; dimensions, channel sums). Only codecs with
-non-stdlib compression (JPEG/GIF/WEBP/ADPCM/...) remain
+rate, amplitude; dimensions, channel sums) — GIF (pure-python LZW),
+IMA ADPCM audio, and uncompressed-AVI frame sampling joined the
+native set later in r8. Only codecs with non-stdlib compression
+(JPEG/WEBP images, mu-law/MP3 audio, compressed video) remain
 ``NotImplementedError``: their libraries aren't in this container
 (SURVEY.md environment), and the router raises with the sniffed
 format so the boundary is explicit.
@@ -49,10 +51,10 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "text/
 
 
 # ---------------------------------------------------------------------------
-# Real stdlib-only decoders: WAV/PCM, BMP, PPM (uncompressed) and PNG
-# (zlib-compressed — stdlib). Codecs needing non-stdlib libraries
-# (JPEG/GIF/WEBP/MP3/ADPCM/...) — and only those — remain
-# NotImplementedError.
+# Real stdlib-only decoders: WAV/PCM, BMP, PPM (uncompressed), PNG
+# (zlib), GIF (pure-python LZW), IMA ADPCM, uncompressed-AVI frames.
+# Codecs needing non-stdlib libraries (JPEG/WEBP/mu-law/MP3/compressed
+# video) — and only those — remain NotImplementedError.
 # ---------------------------------------------------------------------------
 
 
@@ -60,18 +62,22 @@ def decode_wav(payload: bytes) -> dict:
     """Decode a RIFF/WAVE container with 16-bit LE PCM samples —
     stdlib ``struct`` + numpy only, no codec library.
 
-    Walks the chunk list (tolerating extra chunks like LIST/fact),
-    parses the fmt chunk, and materializes the sample array. Only
-    format tag 1 (integer PCM) at 16 bits is implemented; compressed
-    WAV payloads (ADPCM, MP3-in-WAV, ...) raise NotImplementedError —
-    the genuine container boundary, scoped to compression only."""
+    Walks the chunk list (tolerating extra chunks like LIST),
+    parses the fmt chunk, and materializes the sample array. Format
+    tag 1 (integer PCM, 16-bit) and 17 (mono IMA ADPCM — r8, pure
+    table arithmetic) decode natively; formats needing a non-stdlib
+    codec (mu-law, MP3-in-WAV, ...) raise NotImplementedError — the
+    genuine container boundary. For ADPCM the 'fact' chunk's true
+    sample count truncates the final block's nibble padding (padding
+    samples are NOT silence — each moves the predictor — so counting
+    them would inflate duration and amplitude stats; r8 review)."""
     import struct
 
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
@@ -79,6 +85,8 @@ def decode_wav(payload: bytes) -> dict:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt/data chunk")
@@ -89,6 +97,8 @@ def decode_wav(payload: bytes) -> dict:
         decoded: list[int] = []
         for off in range(0, len(data) - 3, block_align):
             decoded.extend(_ima_decode_block(data[off : off + block_align]))
+        if fact_samples is not None:
+            decoded = decoded[:fact_samples]
         samples = np.asarray(decoded, dtype=np.int64)
     elif audio_format != 1:
         raise NotImplementedError(
@@ -172,11 +182,9 @@ def encode_wav_ima_adpcm(samples, sample_rate: int, block_align: int = 256) -> b
     blocks = bytearray()
     index = 0
     i = 0
-    n_blocks = 0
     while i < len(pcm):
         chunk = pcm[i : i + spb]
         i += spb
-        n_blocks += 1
         pred = chunk[0]
         blocks += struct.pack("<hBB", pred, index, 0)
         nibbles = []
@@ -223,14 +231,46 @@ def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
 
 
+def _dib_rows(payload: bytes, offset: int, width: int, height: int, top_down: bool = False):
+    """(h, w, 3) BGR raster from a 24-bit DIB pixel array (4-byte
+    padded rows, bottom-up unless ``top_down``) — THE raster reader
+    shared by BMP and AVI so the two contracts can never drift (r8
+    review)."""
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = [
+        np.frombuffer(
+            payload, dtype=np.uint8, count=width * 3, offset=offset + y * stride
+        ).reshape(width, 3)
+        for y in range(height)
+    ]
+    if not top_down:
+        rows.reverse()  # bottom-up storage → natural top-down order
+    return np.stack(rows) if rows else np.zeros((0, 0, 3), np.uint8)
+
+
+def _dib_body(frame) -> bytes:
+    """Bottom-up 4-byte-padded BGR bytes from an (h, w, 3) RGB uint8
+    frame — the writer twin of _dib_rows, shared by BMP and AVI."""
+    import numpy as np
+
+    px = np.asarray(frame, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - len(row))
+    return bytes(body)
+
+
 def decode_bmp(payload: bytes) -> dict:
     """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER): header
     fields + per-channel pixel sums. Rows are stored bottom-up,
     BGR-ordered, padded to 4-byte boundaries — all handled here; any
     BI_RLE/BI_PNG compression raises NotImplementedError."""
     import struct
-
-    import numpy as np
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -247,16 +287,8 @@ def decode_bmp(payload: bytes) -> dict:
         raise NotImplementedError(f"only 24-bit BMP implemented, got {bpp}")
     top_down = height < 0
     height = abs(height)
-    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
-    rows = []
-    for y in range(height):
-        off = data_offset + y * stride
-        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
-        rows.append(row.reshape(width, 3))
-    if not top_down:
-        rows.reverse()  # bottom-up storage → natural top-down order
-    px = np.stack(rows) if rows else np.zeros((0, 0, 3), np.uint8)
-    bgr = px.astype(np.int64)
+    px = _dib_rows(payload, data_offset, width, height, top_down=top_down)
+    bgr = px.astype("int64")
     return {
         "format": "bmp",
         "width": width,
@@ -278,11 +310,7 @@ def encode_bmp_24(pixels) -> bytes:
 
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[0], px.shape[1]
-    stride = (w * 3 + 3) & ~3
-    body = bytearray()
-    for y in range(h - 1, -1, -1):  # bottom-up
-        row = px[y, :, ::-1].tobytes()  # RGB → BGR
-        body += row + b"\x00" * (stride - len(row))
+    body = _dib_body(px)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
     return hdr + info + bytes(body)
@@ -572,6 +600,17 @@ def decode_gif(payload: bytes) -> dict:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except IndexError as exc:  # ran off the end of a sub-block walk
+        raise ValueError(f"truncated GIF payload: {exc}") from None
+
+
+def _decode_gif_body(payload: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
@@ -608,7 +647,13 @@ def decode_gif(payload: bytes) -> dict:
             idx = _lzw_decode(bytes(data), min_code)[: w * h]
             if len(idx) < w * h:
                 raise ValueError(f"GIF frame decoded {len(idx)} of {w * h} pixels")
-            px = ct[np.asarray(idx, dtype=np.int64)].astype(np.int64)
+            ia = np.asarray(idx, dtype=np.int64)
+            if ia.size and int(ia.max()) >= len(ct):
+                raise ValueError(
+                    f"GIF pixel index {int(ia.max())} exceeds the "
+                    f"{len(ct)}-entry color table"
+                )
+            px = ct[ia].astype(np.int64)
             return {
                 "format": "gif",
                 "width": w,
@@ -656,9 +701,10 @@ def encode_gif(indices, palette) -> bytes:
 def decode_image(payload: bytes) -> dict:
     """Content-sniffing image decode: real stdlib decoders for BMP
     (decode_bmp), P6 PPM (decode_ppm), and PNG (decode_png — zlib is
-    stdlib, so PNG decodes natively since r8); JPEG/GIF/WEBP raise
-    NotImplementedError — their codecs aren't in this container; swap
-    in PIL.Image.open(io.BytesIO(payload)) on a real cluster."""
+    stdlib, so PNG decodes natively since r8), and GIF (decode_gif —
+    pure-python LZW); JPEG/WEBP raise NotImplementedError — their
+    codecs aren't in this container; swap in
+    PIL.Image.open(io.BytesIO(payload)) on a real cluster."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -796,6 +842,7 @@ def decode_avi_frames(payload: bytes, every_n: int = 1) -> list[dict]:
 
     def walk(pos: int, end: int):
         nonlocal us_per_frame, width, height, frame_i
+        import struct as _s
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -808,6 +855,20 @@ def decode_avi_frames(payload: bytes, every_n: int = 1) -> list[dict]:
                     struct.unpack_from("<I", payload, body_start + 32)[0],
                     struct.unpack_from("<I", payload, body_start + 36)[0],
                 )
+            elif cid == b"strf" and size >= 20:
+                # BITMAPINFOHEADER: 16/32-bpp DIBs are still '00db'
+                # BI_RGB — decoding them as 24-bpp would produce
+                # silently wrong sums, exactly what decode_bmp's guard
+                # refuses (r8 review)
+                _bpp, _comp = (
+                    _s.unpack_from("<H", payload, body_start + 14)[0],
+                    _s.unpack_from("<I", payload, body_start + 16)[0],
+                )
+                if _comp != 0 or _bpp != 24:
+                    raise NotImplementedError(
+                        f"AVI DIB stream with biBitCount={_bpp} "
+                        f"biCompression={_comp}; only 24-bit BI_RGB decodes"
+                    )
             elif cid[2:4] == b"dc":
                 raise NotImplementedError(
                     "compressed AVI stream ('00dc') requires a video codec; "
@@ -817,15 +878,7 @@ def decode_avi_frames(payload: bytes, every_n: int = 1) -> list[dict]:
                 if width is None:
                     raise ValueError("AVI frame before avih header")
                 if frame_i % every_n == 0:
-                    stride = (width * 3 + 3) & ~3
-                    rows = [
-                        np.frombuffer(
-                            payload, np.uint8, width * 3, body_start + y * stride
-                        ).reshape(width, 3)
-                        for y in range(height)
-                    ]
-                    rows.reverse()  # bottom-up
-                    px = np.stack(rows).astype(np.int64)
+                    px = _dib_rows(payload, body_start, width, height).astype(np.int64)
                     frames.append(
                         {
                             "frame_index": frame_i,
@@ -858,13 +911,7 @@ def encode_avi_rgb(frames, fps: int = 10) -> bytes:
     fr = np.asarray(frames, dtype=np.uint8)
     n, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
     stride = (w * 3 + 3) & ~3
-
-    def dib(frame) -> bytes:
-        body = bytearray()
-        for y in range(h - 1, -1, -1):
-            row = frame[y, :, ::-1].tobytes()
-            body += row + b"\x00" * (stride - len(row))
-        return bytes(body)
+    dib = _dib_body
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")

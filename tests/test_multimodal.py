@@ -186,7 +186,7 @@ def test_decode_image_router_compressed_boundary():
         decode_image(b"\xff\xd8\xff\xe0....")
 
 
-def test_png_roundtrip_all_color_types_and_filters(spark):
+def test_png_roundtrip_all_color_types_and_filters():
     """decode_png recovers exact pixel sums for gray/RGB/RGBA payloads
     written by encode_png, AND for PNGs whose scanlines use every
     filter type (Sub/Up/Average/Paeth) — the part external writers
@@ -251,7 +251,7 @@ def test_png_roundtrip_all_color_types_and_filters(spark):
     )
 
 
-def test_png_unsupported_variants_fail_loudly(spark):
+def test_png_unsupported_variants_fail_loudly():
     import struct
     import zlib
 
@@ -289,7 +289,7 @@ def test_png_unsupported_variants_fail_loudly(spark):
     assert ok  # writer output itself was consumed above
 
 
-def test_ima_adpcm_roundtrip_and_guards(spark):
+def test_ima_adpcm_roundtrip_and_guards():
     """IMA ADPCM (WAV format 17): decode must track the encoder's
     shared _ima_step state machine exactly, reconstruct a smooth
     signal within ADPCM's nominal error, and refuse stereo / unknown
@@ -310,7 +310,7 @@ def test_ima_adpcm_roundtrip_and_guards(spark):
     payload = encode_wav_ima_adpcm(orig, 8000)
     d = decode_wav(payload)
     assert d["sample_rate"] == 8000 and d["n_channels"] == 1
-    assert d["n_samples"] >= len(orig)  # final-block nibble padding
+    assert d["n_samples"] == len(orig)  # fact chunk truncates nibble padding
 
     data = payload[payload.find(b"data") + 8 :]
     dec = []
@@ -336,7 +336,7 @@ def test_ima_adpcm_roundtrip_and_guards(spark):
         decode_wav(bytes(mulaw))
 
 
-def test_gif_lzw_roundtrip_and_router(spark):
+def test_gif_lzw_roundtrip_and_router():
     """GIF decode: real LZW (dictionary growth to 12-bit codes, KwKwK,
     4096-entry CLEAR reset), palette mapping, extension skipping —
     pinned over repetitive, random, dict-saturating, and 4-color
@@ -395,7 +395,7 @@ def test_gif_lzw_roundtrip_and_router(spark):
         decode_gif(b"\x89PNG....")
 
 
-def test_avi_frame_sampling_and_guards(spark):
+def test_avi_frame_sampling_and_guards():
     """AVI container walk: sampled-frame channel sums match the raw
     frames exactly, skipped frames stay unrasterized (every_n honored),
     fps survives the avih header, and compressed ('00dc') streams or
