@@ -819,7 +819,7 @@ def byte_features(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
 
 
-def decode_avi_frames(payload: bytes, every_n: int = 1) -> list[dict]:
+def decode_avi_frames(payload: bytes, every_n: int = 1, with_raster: bool = False) -> list[dict]:
     """REAL video decode (r8 — the video modality leaves stub-land for
     the uncompressed case): walk the RIFF/AVI container (hdrl → avih
     main header for dims/fps/frame count, movi LIST for frame chunks)
@@ -879,17 +879,18 @@ def decode_avi_frames(payload: bytes, every_n: int = 1) -> list[dict]:
                     raise ValueError("AVI frame before avih header")
                 if frame_i % every_n == 0:
                     px = _dib_rows(payload, body_start, width, height).astype(np.int64)
-                    frames.append(
-                        {
-                            "frame_index": frame_i,
-                            "width": int(width),
-                            "height": int(height),
-                            "us_per_frame": int(us_per_frame or 0),
-                            "sum_r": int(px[:, :, 2].sum()),  # DIB rows are BGR
-                            "sum_g": int(px[:, :, 1].sum()),
-                            "sum_b": int(px[:, :, 0].sum()),
-                        }
-                    )
+                    f = {
+                        "frame_index": frame_i,
+                        "width": int(width),
+                        "height": int(height),
+                        "us_per_frame": int(us_per_frame or 0),
+                        "sum_r": int(px[:, :, 2].sum()),  # DIB rows are BGR
+                        "sum_g": int(px[:, :, 1].sum()),
+                        "sum_b": int(px[:, :, 0].sum()),
+                    }
+                    if with_raster:
+                        f["raster"] = px
+                    frames.append(f)
                 frame_i += 1
             pos = body_start + size + (size & 1)  # chunks are word-aligned
 
@@ -986,6 +987,118 @@ def frame_sample_stub(df: DataFrame, id_col: str, every_n_bytes: int = 16) -> Da
             F.substring(F.col("payload"), F.col("frame_offset"), 4).alias("frame_bytes"),
         )
     )
+
+
+def resize_nearest(px, target_w: int, target_h: int):
+    """REAL pixel resampling (r8 — resize leaves stub-land):
+    nearest-neighbor resize of an (h, w, c) raster with pure integer
+    index arithmetic — src_x = (x * w) // target_w — so the mapping is
+    engine-reproducible (an oracle can recompute it formula-side,
+    unlike interpolating kernels whose float rounding varies). The
+    thumbnailing workhorse for training-data pipelines; swap for a
+    PIL/area kernel when fidelity beats reproducibility."""
+    import numpy as np
+
+    a = np.asarray(px)
+    h, w = a.shape[0], a.shape[1]
+    ys = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    return a[ys][:, xs]
+
+
+def image_resize_stats(
+    df: DataFrame, id_col: str, target_w: int, target_h: int
+) -> DataFrame:
+    """decode → RESIZE → feature-extract: every payload is decoded by
+    the magic-byte router, nearest-neighbor-resampled to
+    (target_w, target_h), and summarized per channel — the thumbnail
+    normalization step of an image-training pipeline, partition-local
+    over Arrow batches like the other extractors. Emits the ORIGINAL
+    dimensions beside the resized sums so audits can bucket by source
+    size without a second decode."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, format string, src_width int, src_height int, "
+        "width int, height int, sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                meta = decode_image(payload)
+                w, h = meta["width"], meta["height"]
+                # re-materialize the raster with the shared DIB/PPM/PNG
+                # readers: decode_image returns sums only, so decode the
+                # pixel grid per format here (router mirror)
+                if payload[:2] == b"BM":
+                    import struct
+
+                    off = struct.unpack_from("<I", payload, 10)[0]
+                    raster = _dib_rows(payload, off, w, h)[:, :, ::-1]  # BGR→RGB
+                elif payload[:2] == b"P6":
+                    hdr_end = payload.index(b"255\n") + 4
+                    raster = np.frombuffer(
+                        payload, np.uint8, w * h * 3, hdr_end
+                    ).reshape(h, w, 3)
+                else:
+                    raise NotImplementedError(
+                        "image_resize_stats decodes BMP/PPM rasters; other "
+                        "formats route through their stats-only decoders"
+                    )
+                rz = resize_nearest(raster, target_w, target_h).astype(np.int64)
+                rows.append(
+                    (i, meta["format"], w, h, target_w, target_h,
+                     int(rz[:, :, 0].sum()), int(rz[:, :, 1].sum()),
+                     int(rz[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "src_width", "src_height",
+                         "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+def video_motion_energy(df: DataFrame, id_col: str, every_n: int = 1) -> DataFrame:
+    """Frame-to-frame motion energy (r8): per consecutive SAMPLED frame
+    pair, the summed absolute per-channel pixel difference — the
+    shot-boundary / static-clip detector of video curation pipelines.
+    Consumes decode_avi_frames(with_raster=True), so there is exactly
+    ONE container walker and one DIB raster reader to maintain; one
+    output row per frame pair, partition-local."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, frame_a int, frame_b int, "
+        "abs_diff_r bigint, abs_diff_g bigint, abs_diff_b bigint"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = decode_avi_frames(payload, every_n=every_n, with_raster=True)
+                for fa, fb in zip(frames, frames[1:]):
+                    d = np.abs(fb["raster"] - fa["raster"])
+                    rows.append(
+                        (i, fa["frame_index"], fb["frame_index"],
+                         int(d[:, :, 2].sum()), int(d[:, :, 1].sum()),
+                         int(d[:, :, 0].sum()))  # DIB rows are BGR
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_a", "frame_b",
+                         "abs_diff_r", "abs_diff_g", "abs_diff_b"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)
 
 
 def resize_stub(df: DataFrame, id_col: str, target_bytes: int = 32) -> DataFrame:

@@ -623,3 +623,152 @@ def mm_decode_avi_frames(spark, sf_dir):
 
     vids = params.mapInPandas(synth, "doc_id long, payload binary")
     return video_frame_stats(vids, "doc_id", every_n=2)
+
+
+_RESIZE_NEAREST_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         3 + doc_id % 7 AS w,
+         3 + doc_id % 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(generate_series(0, 11),
+           i -> (doc_id + 3 * (((i % 4) * w) // 4) + 5 * (((i // 4) * h) // 3)) % 256) AS r,
+         list_transform(generate_series(0, 11),
+           i -> (doc_id * 2 + (((i % 4) * w) // 4)) % 256) AS g,
+         list_transform(generate_series(0, 11),
+           i -> ((((i % 4) * w) // 4) * (((i // 4) * h) // 3) + doc_id) % 256) AS b
+  FROM params
+)
+SELECT doc_id, 'bmp' AS format,
+       CAST(w AS INT) AS src_width,
+       CAST(h AS INT) AS src_height,
+       CAST(4 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(list_aggregate(r, 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(g, 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(b, 'sum') AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("mm_resize_nearest_stats", oracle=_RESIZE_NEAREST_SQL, tags=("multimodal", "udf"))
+def mm_resize_nearest_stats(spark, sf_dir):
+    """REAL pixel resampling (r8 — resize leaves stub-land): per-doc
+    BMP payloads decode through the shared DIB reader and resample to
+    a fixed 4x3 thumbnail with nearest-neighbor INTEGER index
+    arithmetic (src_x = (x*w)//tw) — the mapping is engine-exact, so
+    DuckDB recomputes the resized channel sums formula-side and the
+    whole decode→resize→extract path is oracle-gated. Thumbnail
+    normalization is the first step of every image-training pipeline;
+    the op emits source dimensions beside the resized sums so audits
+    bucket by origin size without a second decode."""
+    from etlalchemy_spark.operators.multimodal import encode_bmp_24, image_resize_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("width"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("height"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = (doc_id + 3 * x + 5 * y) % 256
+                g = (doc_id * 2 + x) % 256
+                b = (x * y + doc_id) % 256
+                px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(encode_bmp_24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_resize_stats(imgs, "doc_id", target_w=4, target_h=3)
+
+
+_MOTION_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         2 + doc_id % 5 AS w,
+         2 + doc_id % 3 AS h,
+         1 + doc_id % 4 AS n_frames
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, w, h, UNNEST(generate_series(0, n_frames - 2)) AS f
+  FROM params WHERE n_frames >= 2
+),
+d AS (
+  SELECT doc_id, f, w, h,
+         list_transform(generate_series(0, w * h - 1),
+           i -> ABS((doc_id + 3 * (i % w) + 5 * (i // w) + 11 * (f + 1)) % 256
+                  - (doc_id + 3 * (i % w) + 5 * (i // w) + 11 * f) % 256)) AS dr,
+         list_transform(generate_series(0, w * h - 1),
+           i -> ABS((doc_id * 2 + (i % w) + 7 * (f + 1)) % 256
+                  - (doc_id * 2 + (i % w) + 7 * f) % 256)) AS dg,
+         list_transform(generate_series(0, w * h - 1),
+           i -> ABS(((i % w) * (i // w) + doc_id + 13 * (f + 1)) % 256
+                  - ((i % w) * (i // w) + doc_id + 13 * f) % 256)) AS db
+  FROM pairs
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_a,
+       CAST(f + 1 AS INT) AS frame_b,
+       CAST(list_aggregate(dr, 'sum') AS BIGINT) AS abs_diff_r,
+       CAST(list_aggregate(dg, 'sum') AS BIGINT) AS abs_diff_g,
+       CAST(list_aggregate(db, 'sum') AS BIGINT) AS abs_diff_b
+FROM d
+"""
+
+
+@register("mm_video_motion_energy", oracle=_MOTION_SQL, tags=("multimodal", "udf"))
+def mm_video_motion_energy(spark, sf_dir):
+    """Frame-to-frame motion energy over the same synthetic AVI corpus
+    as mm_decode_avi_frames (every frame sampled here): per consecutive
+    frame pair, summed absolute per-channel pixel difference — the
+    shot-boundary / static-clip signal video curation pipelines cut on.
+    Single-frame clips emit no rows. DuckDB recomputes |Δ| sums
+    formula-side, so the container walk, raster decode, and differencing
+    are all oracle-exact."""
+    from etlalchemy_spark.operators.multimodal import encode_avi_rgb, video_motion_energy
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("width"),
+        (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("height"),
+        (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h, nf in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["n_frames"]
+            ):
+                doc_id, w, h, nf = int(doc_id), int(w), int(h), int(nf)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                frames = []
+                for f in range(nf):
+                    r = (doc_id + 3 * x + 5 * y + 11 * f) % 256
+                    g = (doc_id * 2 + x + 7 * f) % 256
+                    b = (x * y + doc_id + 13 * f) % 256
+                    frames.append(
+                        np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                    )
+                payloads.append(encode_avi_rgb(np.stack(frames), fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    vids = params.mapInPandas(synth, "doc_id long, payload binary")
+    return video_motion_energy(vids, "doc_id", every_n=1)

@@ -427,3 +427,45 @@ def test_avi_frame_sampling_and_guards():
         decode_avi_frames(bytes(comp))
     with pytest.raises(ValueError, match="not a RIFF/AVI"):
         decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_resize_nearest_mapping_exact():
+    """resize_nearest uses pure integer index arithmetic — each target
+    pixel must equal exactly its (y*h//th, x*w//tw) source pixel, for
+    upscale and downscale alike."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    for tw, th in ((4, 3), (18, 12), (1, 1), (9, 6)):
+        rz = resize_nearest(px, tw, th)
+        assert rz.shape == (th, tw, 3)
+        for y2 in range(th):
+            for x2 in range(tw):
+                assert (rz[y2, x2] == px[(y2 * 6) // th, (x2 * 9) // tw]).all()
+
+
+def test_video_motion_energy_matches_frames():
+    """Motion energy per consecutive frame pair equals the brute |diff|
+    of the raw frames; single-frame clips produce no pairs."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_rgb,
+    )
+
+    rng = np.random.default_rng(23)
+    fr = rng.integers(0, 256, size=(4, 5, 6, 3), dtype=np.uint8)
+    out = decode_avi_frames(encode_avi_rgb(fr, 10), every_n=1, with_raster=True)
+    for a, b in zip(out, out[1:]):
+        d = np.abs(b["raster"] - a["raster"])
+        want = np.abs(fr[b["frame_index"]].astype(np.int64) - fr[a["frame_index"]].astype(np.int64))
+        # raster is BGR; compare channel-mapped
+        assert int(d[:, :, 2].sum()) == int(want[:, :, 0].sum())
+        assert int(d[:, :, 1].sum()) == int(want[:, :, 1].sum())
+        assert int(d[:, :, 0].sum()) == int(want[:, :, 2].sum())
+    one = decode_avi_frames(encode_avi_rgb(fr[:1], 10), every_n=1, with_raster=True)
+    assert len(one) == 1  # no pair rows downstream
