@@ -1006,6 +1006,79 @@ def resize_nearest(px, target_w: int, target_h: int):
     return a[ys][:, xs]
 
 
+def decode_raster(payload: bytes):
+    """Magic-byte-routed RASTER decode (the stats decoders summarize
+    and discard the grid): returns (meta, raster) where raster is an
+    (h, w, 3) uint8 RGB array. One shared reader for every operator
+    that needs pixels (resize, perceptual hash, motion energy) so
+    there is exactly one DIB/PPM byte-layout implementation to
+    maintain. BMP rows are stored bottom-up BGR — both undone here."""
+    import numpy as np
+
+    meta = decode_image(payload)
+    w, h = meta["width"], meta["height"]
+    if payload[:2] == b"BM":
+        import struct
+
+        off = struct.unpack_from("<I", payload, 10)[0]
+        raster = _dib_rows(payload, off, w, h)[:, :, ::-1]  # BGR→RGB
+    elif payload[:2] == b"P6":
+        hdr_end = payload.index(b"255\n") + 4
+        raster = np.frombuffer(payload, np.uint8, w * h * 3, hdr_end).reshape(h, w, 3)
+    else:
+        raise NotImplementedError(
+            "raster decode implemented for BMP/PPM; other formats "
+            "route through their stats-only decoders"
+        )
+    return meta, raster
+
+
+def image_ahash(df: DataFrame, id_col: str) -> DataFrame:
+    """Perceptual average-hash (aHash) of image payloads — the
+    image-dedup fingerprint: decode → integer luma
+    ((299R + 587G + 114B) // 1000) → nearest-neighbor resize to 8×8 →
+    one bit per cell (set iff 64*cell > sum of all 64 cells, i.e.
+    cell > mean without ever dividing) → four 16-bit band integers
+    b0..b3 (bit j of the hash lands in band j//16 at position j%16,
+    row-major cells). Every step is integer arithmetic, so an oracle
+    recomputes the hash formula-side and near-dup verdicts are
+    engine-exact. Bands instead of one 64-bit word because the
+    downstream LSH join buckets on band equality (Hamming-distance
+    LSH: two hashes within distance d collide on ≥1 of 4 bands
+    whenever d < 4 by pigeonhole) and 16-bit band values dodge
+    signed-shift edge cases in SQL engines. Partition-local Arrow
+    batches; payload column pruned upstream; at 100 TB this is the
+    scan-speed fingerprinting pass, and the banded join that follows
+    never goes all-pairs."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, format string, b0 int, b1 int, b2 int, b3 int"
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                meta, raster = decode_raster(payload)
+                px = raster.astype(np.int64)
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                cells = resize_nearest(luma, 8, 8).reshape(64)
+                total = int(cells.sum())
+                bits = (64 * cells > total).astype(np.int64)
+                weights = 1 << (np.arange(64, dtype=np.int64) % 16)
+                bands = [
+                    int((bits[16 * k : 16 * (k + 1)] * weights[16 * k : 16 * (k + 1)]).sum())
+                    for k in range(4)
+                ]
+                rows.append((i, meta["format"], *bands))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "format", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
 def image_resize_stats(
     df: DataFrame, id_col: str, target_w: int, target_h: int
 ) -> DataFrame:
@@ -1029,26 +1102,8 @@ def image_resize_stats(
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf["payload"]):
-                meta = decode_image(payload)
+                meta, raster = decode_raster(payload)
                 w, h = meta["width"], meta["height"]
-                # re-materialize the raster with the shared DIB/PPM/PNG
-                # readers: decode_image returns sums only, so decode the
-                # pixel grid per format here (router mirror)
-                if payload[:2] == b"BM":
-                    import struct
-
-                    off = struct.unpack_from("<I", payload, 10)[0]
-                    raster = _dib_rows(payload, off, w, h)[:, :, ::-1]  # BGR→RGB
-                elif payload[:2] == b"P6":
-                    hdr_end = payload.index(b"255\n") + 4
-                    raster = np.frombuffer(
-                        payload, np.uint8, w * h * 3, hdr_end
-                    ).reshape(h, w, 3)
-                else:
-                    raise NotImplementedError(
-                        "image_resize_stats decodes BMP/PPM rasters; other "
-                        "formats route through their stats-only decoders"
-                    )
                 rz = resize_nearest(raster, target_w, target_h).astype(np.int64)
                 rows.append(
                     (i, meta["format"], w, h, target_w, target_h,

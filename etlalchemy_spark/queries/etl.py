@@ -1227,3 +1227,78 @@ def etl_unique_notnull_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
     )
     return o.unionByName(li).unionByName(ev)
+
+
+# --- Join-key skew profiler ------------------------------------------------
+
+_SKEW_SQL = " UNION ALL ".join(
+    f"""
+SELECT key_col, n_rows, n_keys, max_cnt, top_key, skew_ratio,
+       CAST(CEIL(skew_ratio) AS INT) AS salt_factor
+FROM (
+  WITH c AS (SELECT {k} AS k, COUNT(*) AS cnt FROM {tbl} WHERE {k} IS NOT NULL GROUP BY 1),
+       s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+                    MAX(cnt) AS max_cnt FROM c)
+  SELECT '{tbl}.{k}' AS key_col, n_rows, n_keys, max_cnt,
+         (SELECT MIN(k) FROM c WHERE cnt = s.max_cnt) AS top_key,
+         CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
+  FROM s
+)"""
+    for tbl, k in [("orders", "o_custkey"), ("lineitem", "l_suppkey"), ("lineitem", "l_partkey")]
+)
+
+
+@register("etl_skew_profile", oracle=_SKEW_SQL, tags=("etl", "profile", "join"))
+def etl_skew_profile(spark, sf_dir):
+    """Join-key skew profiler — the measurement half of the salted
+    skew join (`join_salted_skew`): per candidate join key, one
+    map-side-combinable hash aggregate produces the per-key count
+    distribution, then a second (tiny, single-row) aggregate reduces
+    it to the numbers a planner or operator needs to pick a strategy:
+    max/avg frequency ratio (`skew_ratio` — 1.0 means perfectly
+    uniform) and the salt factor that would level the hottest key to
+    the average (`ceil(skew_ratio)`). `top_key` (smallest key at the
+    max, exact tie-break via struct-max) is the key you'd hand to AQE
+    skew hints or a broadcast-residual plan. At 100 TB the per-key
+    count stage is the same cost as the join's own shuffle-side
+    aggregation — run it once, cache the profile, and reuse it across
+    every join on that key; or swap the exact counts for the portable
+    CMS sketch (`sketch_cms_heavy_hitters`) for a one-pass
+    approximation. All arithmetic is integers plus one final double
+    division, so the oracle reproduces it bit-exactly."""
+
+    def prof(tbl: str, k: str):
+        counts = (
+            t(spark, sf_dir, tbl)
+            .where(F.col(k).isNotNull())
+            .groupBy(F.col(k).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        row = counts.agg(
+            F.lit(f"{tbl}.{k}").alias("key_col"),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            # struct-max orders by (cnt, -k): highest count, then
+            # SMALLEST key — an exact deterministic tie-break.
+            F.max(F.struct(F.col("cnt").alias("c"), (-F.col("k")).alias("nk"))).alias("top"),
+        )
+        return row.select(
+            "key_col",
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            (-F.col("top.nk")).alias("top_key"),
+            (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_ratio"
+            ),
+            F.ceil(
+                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")
+            ).cast("int").alias("salt_factor"),
+        )
+
+    return (
+        prof("orders", "o_custkey")
+        .unionByName(prof("lineitem", "l_suppkey"))
+        .unionByName(prof("lineitem", "l_partkey"))
+    )

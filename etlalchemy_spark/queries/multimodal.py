@@ -772,3 +772,149 @@ def mm_video_motion_energy(spark, sf_dir):
 
     vids = params.mapInPandas(synth, "doc_id long, payload binary")
     return video_motion_energy(vids, "doc_id", every_n=1)
+
+
+# --- Image perceptual-hash near-dup (banded Hamming LSH join) -------------
+
+_AHASH_SQL = """
+WITH params AS (
+  SELECT doc_id, doc_id // 2 AS base,
+         16 + (doc_id // 2) % 9 AS w,
+         12 + (doc_id // 2) % 7 AS h,
+         doc_id % 2 AS odd
+  FROM documents
+),
+-- nearest-neighbor sampling commutes with the formula pixels: evaluate
+-- the pixel function directly at the 8x8 sample coordinates
+cells AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), j ->
+           (299 * (((base*131 + 7) * ((((j % 8) * w) // 8) + 1)
+                    + (base*197 + 3) * ((((j // 8) * h) // 8) + 1)
+                    + CASE WHEN odd = 1
+                           AND ((((j % 8) * w) // 8) + 2 * (((j // 8) * h) // 8) + base) % 11 = 0
+                           THEN 40 ELSE 0 END) % 256)
+          + 587 * (((base*173 + 11) * ((((j % 8) * w) // 8) + 2)
+                    + (base*151 + 5) * ((((j // 8) * h) // 8) + 1)
+                    + (((j % 8) * w) // 8) * (((j // 8) * h) // 8)) % 256)
+          + 114 * (((base*113 + 13) * ((((j % 8) * w) // 8) * (((j // 8) * h) // 8) + 1)
+                    + base) % 256)) // 1000) AS cells
+  FROM params
+),
+hashes AS (
+  SELECT doc_id, cells, CAST(list_aggregate(cells, 'sum') AS BIGINT) AS s FROM cells
+),
+hh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 15),  j -> CASE WHEN 64*cells[j+1]  > s THEN (1 << j)        ELSE 0 END)) AS INT) AS b0,
+         CAST(list_sum(list_transform(generate_series(16, 31), j -> CASE WHEN 64*cells[j+1]  > s THEN (1 << (j-16))   ELSE 0 END)) AS INT) AS b1,
+         CAST(list_sum(list_transform(generate_series(32, 47), j -> CASE WHEN 64*cells[j+1]  > s THEN (1 << (j-32))   ELSE 0 END)) AS INT) AS b2,
+         CAST(list_sum(list_transform(generate_series(48, 63), j -> CASE WHEN 64*cells[j+1]  > s THEN (1 << (j-48))   ELSE 0 END)) AS INT) AS b3
+  FROM hashes
+),
+bands AS (
+  SELECT doc_id, 0 AS band, b0 AS val FROM hh
+  UNION ALL SELECT doc_id, 1, b1 FROM hh
+  UNION ALL SELECT doc_id, 2, b2 FROM hh
+  UNION ALL SELECT doc_id, 3, b3 FROM hh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS INT) AS hamming
+  FROM cand c
+  JOIN hh ha ON c.doc_a = ha.doc_id
+  JOIN hh hb ON c.doc_b = hb.doc_id
+)
+WHERE hamming <= 6
+"""
+
+
+@register("dedup_image_ahash", oracle=_AHASH_SQL, tags=("dedup", "multimodal", "udf"))
+def dedup_image_ahash(spark, sf_dir):
+    """IMAGE near-duplicate detection end-to-end — the visual twin of
+    MinHash-LSH text dedup: synthesize real image payloads (even
+    doc_ids 24-bit BMP, odd binary PPM, so each near-dup pair crosses
+    FORMATS — doc 2k and 2k+1 share a base pattern, the odd one
+    carrying a sparse +40 red perturbation on ~9%% of pixels),
+    REAL-decode them via the magic-byte raster router, fingerprint
+    with the integer aHash (operators/multimodal.image_ahash), then
+    find near-dups with a banded Hamming LSH join: 4 bands of 16 bits,
+    candidates = pairs agreeing on >=1 band (pigeonhole-guaranteed
+    recall for Hamming distance < 4, empirically 247/250 planted
+    pairs at distance <= 6), verified with an exact popcount-of-XOR
+    distance on candidates ONLY — never all-pairs. At 100 TB the
+    fingerprint pass is scan-speed Arrow batches, the band join is an
+    equi-join shuffling 4 narrow rows per image, and candidate
+    verification touches 4 ints per pair. The DuckDB oracle recomputes
+    hash and join formula-side (nearest-neighbor sampling commutes
+    with the deterministic pixel function)."""
+    from etlalchemy_spark.operators.multimodal import encode_bmp_24, encode_ppm_p6, image_ahash
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id DIV 2").alias("base"),
+        (F.lit(16) + F.expr("doc_id DIV 2") % 9).cast("int").alias("w"),
+        (F.lit(12) + F.expr("doc_id DIV 2") % 7).cast("int").alias("h"),
+        (F.col("doc_id") % 2).cast("int").alias("odd"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, base, w, h, odd in zip(
+                pdf["doc_id"], pdf["base"], pdf["w"], pdf["h"], pdf["odd"]
+            ):
+                doc_id, base, w, h, odd = int(doc_id), int(base), int(w), int(h), int(odd)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = ((base * 131 + 7) * (x + 1) + (base * 197 + 3) * (y + 1)) % 256
+                if odd:
+                    r = (r + 40 * ((x + 2 * y + base) % 11 == 0)) % 256
+                g = ((base * 173 + 11) * (x + 2) + (base * 151 + 5) * (y + 1) + x * y) % 256
+                b = ((base * 113 + 13) * (x * y + 1) + base) % 256
+                px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(encode_bmp_24(px) if odd == 0 else encode_ppm_p6(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    hh = image_ahash(imgs, "doc_id").select("doc_id", "b0", "b1", "b2", "b3")
+
+    bands = hh.select(
+        "doc_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    def ham(a, b):
+        return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+    pairs = (
+        cand.join(hh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hh.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                ham("ha.b0", "hb.b0")
+                + ham("ha.b1", "hb.b1")
+                + ham("ha.b2", "hb.b2")
+                + ham("ha.b3", "hb.b3")
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    return pairs.where(F.col("hamming") <= 6)

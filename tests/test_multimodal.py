@@ -469,3 +469,60 @@ def test_video_motion_energy_matches_frames():
         assert int(d[:, :, 0].sum()) == int(want[:, :, 2].sum())
     one = decode_avi_frames(encode_avi_rgb(fr[:1], 10), every_n=1, with_raster=True)
     assert len(one) == 1  # no pair rows downstream
+
+
+def test_image_ahash_cross_format_and_pigeonhole():
+    """aHash invariants that make the banded join an LSH: (1) the hash
+    depends only on PIXELS — the same raster encoded as BMP and as PPM
+    hashes identically (that's what lets the registered query plant
+    cross-format near-dup pairs); (2) flipping < 4 bits leaves >=1 of
+    the 4 bands untouched (pigeonhole), so every Hamming-distance-<4
+    pair is guaranteed a band-join candidate."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        decode_raster,
+        encode_bmp_24,
+        encode_ppm_p6,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 17, 3)).astype(np.uint8)
+
+    def ahash_local(payload):
+        _, raster = decode_raster(payload)
+        a = raster.astype(np.int64)
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+        cells = resize_nearest(luma, 8, 8).reshape(64)
+        s = int(cells.sum())
+        bits = (64 * cells > s).astype(int)
+        return [
+            sum(int(b) << t for t, b in enumerate(bits[16 * k : 16 * (k + 1)]))
+            for k in range(4)
+        ]
+
+    assert ahash_local(encode_bmp_24(px)) == ahash_local(encode_ppm_p6(px))
+
+    # pigeonhole: any 3 bit flips leave at least one band equal
+    base_bits = [1, 0] * 32
+    for flips in [(0, 17, 35), (5, 6, 7), (15, 16, 63)]:
+        flipped = list(base_bits)
+        for f in flips:
+            flipped[f] ^= 1
+        bands_a = [base_bits[16 * k : 16 * (k + 1)] for k in range(4)]
+        bands_b = [flipped[16 * k : 16 * (k + 1)] for k in range(4)]
+        assert any(a == b for a, b in zip(bands_a, bands_b))
+
+
+def test_image_ahash_operator_schema(spark):
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import encode_bmp_24, image_ahash
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2] = 255  # top half bright: deterministic non-trivial bit pattern
+    df = spark.createDataFrame([(1, bytearray(encode_bmp_24(px)))], "doc_id long, payload binary")
+    row = image_ahash(df, "doc_id").collect()[0]
+    assert row.format == "bmp"
+    assert [row.b0, row.b1, row.b2, row.b3] == [65535, 65535, 0, 0]
