@@ -918,3 +918,78 @@ def dedup_image_ahash(spark, sf_dir):
         )
     )
     return pairs.where(F.col("hamming") <= 6)
+
+
+# --- Audio periodicity: integer autocorrelation pitch ---------------------
+
+_AUTOCORR_SQL = """
+WITH params AS (
+  SELECT doc_id, 2 + doc_id % 7 AS p, 64 + doc_id % 33 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 1),
+                        i -> ((doc_id*13 + (i % p) * 997) % 4001) - 2000) AS s
+  FROM params
+),
+acs AS (
+  SELECT doc_id, L,
+         CAST(list_sum(list_transform(generate_series(0, n - 1 - L),
+                                      i -> s[i+1] * s[i+L+1])) AS BIGINT) AS ac
+  FROM s CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS L) lags
+),
+m AS (SELECT doc_id, MAX(ac) AS best_ac FROM acs GROUP BY doc_id),
+b AS (
+  SELECT a.doc_id, CAST(MIN(a.L) AS INT) AS best_lag, m.best_ac
+  FROM acs a JOIN m ON a.doc_id = m.doc_id AND a.ac = m.best_ac
+  GROUP BY a.doc_id, m.best_ac
+),
+e AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT) AS energy,
+         CAST(list_sum(list_transform(generate_series(0, n - 2),
+                                      i -> CASE WHEN s[i+1] * s[i+2] < 0 THEN 1 ELSE 0 END))
+              AS BIGINT) AS zero_crossings
+  FROM s
+)
+SELECT e.doc_id, e.n_samples, e.energy, b.best_lag, b.best_ac, e.zero_crossings
+FROM e JOIN b ON e.doc_id = b.doc_id
+"""
+
+
+@register("mm_audio_autocorr_pitch", oracle=_AUTOCORR_SQL, tags=("multimodal", "udf"))
+def mm_audio_autocorr_pitch(spark, sf_dir):
+    """Audio periodicity features over REAL encode→decode round trips:
+    each doc synthesizes a periodic 16-bit PCM waveform (period
+    2 + doc_id%7 samples, 64-96 samples long), encodes it into a RIFF
+    container, and the operator decodes it back (shared chunk walker)
+    and computes the exact integer autocorrelation over lags 1..8,
+    reporting the maximizing lag (the detected fundamental period,
+    smallest-lag tie-break), total energy, and zero-crossing count —
+    the classic voiced/unvoiced + pitch front-end of an audio
+    curation pipeline, all-integer so DuckDB recomputes the verdicts
+    formula-side. Partition-local; no shuffle; O(max_lag * n) per
+    asset."""
+    from etlalchemy_spark.operators.multimodal import audio_autocorr, encode_wav_pcm16
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("p"),
+        (F.lit(64) + F.col("doc_id") % 33).cast("int").alias("n"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, p, n in zip(pdf["doc_id"], pdf["p"], pdf["n"]):
+                doc_id, p, n = int(doc_id), int(p), int(n)
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 13 + (i % p) * 997) % 4001) - 2000
+                payloads.append(encode_wav_pcm16(s, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    wavs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_autocorr(wavs, "doc_id", max_lag=8)

@@ -526,3 +526,30 @@ def test_image_ahash_operator_schema(spark):
     row = image_ahash(df, "doc_id").collect()[0]
     assert row.format == "bmp"
     assert [row.b0, row.b1, row.b2, row.b3] == [65535, 65535, 0, 0]
+
+
+def test_audio_autocorr_detects_period(spark):
+    """A clean periodic waveform's best autocorrelation lag IS its
+    period, and mono-only refusal fires on stereo payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import audio_autocorr, encode_wav_pcm16
+
+    i = np.arange(80, dtype=np.int64)
+    s = np.where(i % 5 < 2, 1500, -900)  # period 5, asymmetric duty cycle
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(s, 8000)))], "doc_id long, payload binary"
+    )
+    row = audio_autocorr(df, "doc_id", max_lag=8).collect()[0]
+    assert row.best_lag == 5
+    assert row.energy == int((s * s).sum())
+    assert row.zero_crossings == int(((s[:-1] * s[1:]) < 0).sum())
+
+    stereo = bytearray(encode_wav_pcm16(s, 8000))
+    struct.pack_into("<H", stereo, 22, 2)  # fmt chunk n_channels -> 2
+    df2 = spark.createDataFrame([(2, bytes(stereo))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="mono"):
+        audio_autocorr(df2, "doc_id").collect()
