@@ -1,0 +1,371 @@
+"""Versioned lake table: snapshots, time travel, copy-on-write MERGE
+with manifest-level file skipping, rollback, vacuum.
+
+The storage contract the big lake formats (Delta/Iceberg/Hudi) settled
+on, built from first principles on plain parquet + JSON manifests:
+
+- Data files are IMMUTABLE. Every commit writes its new rows to a
+  fresh ``data/c<version>/`` directory and never touches existing
+  bytes.
+- A commit is ONE manifest file ``_manifests/v<version>.json``
+  holding the FULL file list of that snapshot plus per-file stats
+  (row count, min/max of the table key). Writing the manifest is the
+  atomic commit point: readers either see the whole version or none
+  of it, and a crash mid-commit leaves dangling data files but no
+  visible version (tested). The manifest is created exclusively
+  (``FileSystem.create(overwrite=False)``), so two racing writers on
+  the same parent cannot both commit one version — single-table
+  optimistic concurrency, the Delta protocol's core trick.
+- Time travel is O(1) metadata: reading version N opens one manifest
+  and hands Spark its file list. No log replay, no directory listing
+  of ``data/``.
+- UPSERT is copy-on-write with FILE SKIPPING from manifest stats:
+  only files whose [min_key, max_key] overlaps the change set's key
+  hull are read and rewritten; every other file is carried into the
+  new manifest BY REFERENCE (compared paths test-pinned). A matched
+  key can only live in an overlapping file, so the skip is exact.
+  At 100 TB with a sorted/clustered key this is the difference
+  between rewriting a partition and rewriting the table.
+- DELETE prunes by actually counting matches per file in one scan
+  (``_metadata.file_path`` group-by — arbitrary predicates can't be
+  answered from key stats alone); files with zero matches are
+  carried by reference.
+- ROLLBACK is a new commit pointing at an old version's file list —
+  history is append-only, the bad version stays auditable.
+- VACUUM deletes data files unreachable from the retained manifests
+  (and the manifests themselves below the horizon) — the explicit,
+  separate step where time travel is traded for space, exactly as in
+  Delta.
+
+All driver-side metadata work is bounded by the FILE COUNT, never row
+count, and all IO goes through the Hadoop FileSystem API (HDFS/S3A/
+local alike), same discipline as operators/merge.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _manifest_path(jvm, root: str, version: int):
+    return jvm.org.apache.hadoop.fs.Path(root, f"{_MANIFEST_DIR}/v{version:08d}.json")
+
+
+def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    fs, jvm = _fs(spark, root)
+    p = _manifest_path(jvm, root, version)
+    if not fs.exists(p):
+        raise ValueError(f"lake table at {root} has no version {version}")
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
+    """The atomic commit point. ``create(overwrite=False)`` throws if
+    the version already exists — a racing writer loses cleanly and its
+    data files stay invisible (vacuum sweeps them)."""
+    fs, jvm = _fs(spark, root)
+    p = _manifest_path(jvm, root, manifest["version"])
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True) + "\n", "utf-8"))
+    finally:
+        out.close()
+
+
+def latest_version(spark: SparkSession, root: str) -> int:
+    """Highest committed version — one directory listing of the
+    manifest dir (file count == version count, never data-sized)."""
+    fs, jvm = _fs(spark, root)
+    d = jvm.org.apache.hadoop.fs.Path(root, _MANIFEST_DIR)
+    if not fs.exists(d):
+        raise ValueError(f"{root} is not a lake table (no {_MANIFEST_DIR}/)")
+    versions = [
+        int(st.getPath().getName()[1:-5])
+        for st in fs.listStatus(d)
+        if st.getPath().getName().startswith("v")
+        and st.getPath().getName().endswith(".json")
+    ]
+    if not versions:
+        raise ValueError(f"{root} has no committed versions")
+    return max(versions)
+
+
+def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list[dict]:
+    """Per-file (rows, min/max key) for a freshly written commit dir —
+    ONE distributed aggregate over ``_metadata.file_path``, collected
+    at file-count size. These stats power upsert's file skipping."""
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.col("_metadata.file_path").alias("path"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+        )
+        .collect()
+    )
+    return sorted(
+        (
+            {
+                "path": r["path"],
+                "rows": r["rows"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+            }
+            for r in rows
+        ),
+        key=lambda f: f["path"],
+    )
+
+
+def _commit_data(
+    spark: SparkSession, root: str, version: int, df: DataFrame, key: str
+) -> list[dict]:
+    data_dir = f"{root}/data/c{version:08d}"
+    df.write.mode("errorifexists").parquet(data_dir)
+    return _file_stats(spark, data_dir, key)
+
+
+def lake_drop(spark: SparkSession, root: str) -> None:
+    """Remove the whole table (data + manifests) — for scratch rebuilds
+    and tests; production tables vacuum instead."""
+    fs, jvm = _fs(spark, root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root), True)
+
+
+def lake_create(spark: SparkSession, root: str, df: DataFrame, key: str) -> int:
+    """Create version 1 from ``df``. ``key`` is the table's logical
+    primary key; its per-file min/max drives upsert file skipping."""
+    files = _commit_data(spark, root, 1, df, key)
+    _write_manifest(
+        spark, root, {"version": 1, "parent": 0, "op": "create", "key": key, "files": files}
+    )
+    return 1
+
+
+def lake_read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: one manifest fetch, then Spark plans over exactly
+    that version's files. Older versions stay readable until vacuumed."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    if not m["files"]:
+        schema_src = _find_schema_source(spark, root, v)
+        if schema_src is None:
+            raise ValueError(f"version {v} is empty and no ancestor has files")
+        return spark.read.parquet(*schema_src).limit(0)
+    return spark.read.parquet(*[f["path"] for f in m["files"]])
+
+
+def _find_schema_source(spark, root, v):
+    while v > 0:
+        m = _read_manifest(spark, root, v)
+        if m["files"]:
+            return [f["path"] for f in m["files"]]
+        v = m["parent"]
+    return None
+
+
+def lake_append(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Blind append: O(new data) write + metadata commit. No existing
+    file is read or rewritten."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    new_files = _commit_data(spark, root, v, df, m["key"])
+    _write_manifest(
+        spark,
+        root,
+        {
+            "version": v,
+            "parent": parent,
+            "op": "append",
+            "key": m["key"],
+            "files": m["files"] + new_files,
+        },
+    )
+    return v
+
+
+def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
+    """Copy-on-write MERGE (update matched keys, insert the rest) with
+    manifest-stats file skipping: only files whose [min_key, max_key]
+    overlaps the change hull are read; a matched key cannot live in a
+    non-overlapping file, so carried files need no inspection. The
+    rewrite reads O(overlapping files) + O(changes), never the table."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    key = m["key"]
+    v = parent + 1
+
+    hull = changes.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    if hull["lo"] is None:  # empty change set: metadata-only no-op commit
+        _write_manifest(
+            spark,
+            root,
+            {"version": v, "parent": parent, "op": "upsert", "key": key, "files": m["files"]},
+        )
+        return v
+
+    cand = [
+        f
+        for f in m["files"]
+        if f["min_key"] is not None
+        and not (f["max_key"] < hull["lo"] or f["min_key"] > hull["hi"])
+    ]
+    carried = [f for f in m["files"] if f not in cand]
+
+    merged = changes
+    if cand:
+        old = spark.read.parquet(*[f["path"] for f in cand])
+        merged = old.join(changes.select(key), key, "left_anti").unionByName(changes)
+    new_files = _commit_data(spark, root, v, merged, key)
+    _write_manifest(
+        spark,
+        root,
+        {
+            "version": v,
+            "parent": parent,
+            "op": "upsert",
+            "key": key,
+            "files": carried + new_files,
+        },
+    )
+    return v
+
+
+def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
+    """Copy-on-write DELETE of rows matching a SQL predicate. Arbitrary
+    predicates can't be pruned from key stats, so pruning is one scan
+    counting matches per file (``_metadata.file_path`` group-by with
+    the predicate pushed into the scan); files with zero matches carry
+    by reference, files with matches are rewritten predicate-inverted."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    if not m["files"]:
+        _write_manifest(
+            spark,
+            root,
+            {"version": v, "parent": parent, "op": "delete", "key": m["key"], "files": []},
+        )
+        return v
+
+    all_paths = [f["path"] for f in m["files"]]
+    touched = {
+        r["path"]
+        for r in spark.read.parquet(*all_paths)
+        .where(F.expr(predicate))
+        .groupBy(F.col("_metadata.file_path").alias("path"))
+        .count()
+        .collect()
+    }
+    carried = [f for f in m["files"] if f["path"] not in touched]
+    new_files: list[dict] = []
+    if touched:
+        survivors = (
+            spark.read.parquet(*sorted(touched)).where(~F.expr(predicate))
+        )
+        new_files = _commit_data(spark, root, v, survivors, m["key"])
+    _write_manifest(
+        spark,
+        root,
+        {
+            "version": v,
+            "parent": parent,
+            "op": "delete",
+            "key": m["key"],
+            "files": carried + new_files,
+        },
+    )
+    return v
+
+
+def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
+    """Roll the table back by COMMITTING FORWARD: the new version's
+    file list is the target version's, and the bad intermediate
+    versions remain in history for audit — nothing is deleted."""
+    parent = latest_version(spark, root)
+    target = _read_manifest(spark, root, to_version)
+    v = parent + 1
+    _write_manifest(
+        spark,
+        root,
+        {
+            "version": v,
+            "parent": parent,
+            "op": f"rollback:{to_version}",
+            "key": target["key"],
+            "files": target["files"],
+        },
+    )
+    return v
+
+
+def lake_history(spark: SparkSession, root: str) -> list[dict]:
+    """Commit log: (version, parent, op, n_files, n_rows) per version,
+    newest last — metadata only."""
+    out = []
+    for v in range(1, latest_version(spark, root) + 1):
+        m = _read_manifest(spark, root, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(f["rows"] for f in m["files"]),
+            }
+        )
+    return out
+
+
+def lake_vacuum(spark: SparkSession, root: str, retain_last: int = 1) -> dict:
+    """Delete data files unreachable from the newest ``retain_last``
+    manifests, and drop the manifests below that horizon. This is the
+    explicit space-for-time-travel trade; reads of vacuumed versions
+    fail loudly afterwards (no manifest). Driver work is file-count
+    bounded."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    fs, jvm = _fs(spark, root)
+    latest = latest_version(spark, root)
+    horizon = max(1, latest - retain_last + 1)
+    keep: set[str] = set()
+    for v in range(horizon, latest + 1):
+        keep.update(f["path"] for f in _read_manifest(spark, root, v)["files"])
+
+    removed_files = 0
+    data_dir = jvm.org.apache.hadoop.fs.Path(root, "data")
+    if fs.exists(data_dir):
+        for cdir in fs.listStatus(data_dir):
+            for st in fs.listStatus(cdir.getPath()):
+                path_str = st.getPath().toString()
+                # manifests store fully-qualified paths from _metadata
+                if st.getPath().getName().startswith("_"):
+                    continue
+                if not any(k.endswith(path_str.split("/data/", 1)[-1]) for k in keep):
+                    fs.delete(st.getPath(), False)
+                    removed_files += 1
+    removed_manifests = 0
+    for v in range(1, horizon):
+        p = _manifest_path(jvm, root, v)
+        if fs.exists(p):
+            fs.delete(p, False)
+            removed_manifests += 1
+    return {"removed_files": removed_files, "removed_manifests": removed_manifests}

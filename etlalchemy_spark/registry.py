@@ -95,6 +95,7 @@ def _load_all() -> None:
         pandas_grouped,
         sampling,
         graph,
+        lake,
     )
 
     _LOADED = True

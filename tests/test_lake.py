@@ -1,0 +1,145 @@
+"""Versioned lake table invariants (operators/lake.py): atomic commit
+protocol, O(1) time travel, copy-on-write file skipping, rollback
+audit trail, vacuum reachability."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlalchemy_spark.operators.lake import (
+    lake_append,
+    lake_create,
+    lake_delete,
+    lake_drop,
+    lake_history,
+    lake_read,
+    lake_rollback,
+    lake_upsert,
+    lake_vacuum,
+    latest_version,
+    _read_manifest,
+)
+
+
+@pytest.fixture()
+def root(spark, tmp_path):
+    return str(tmp_path / "laketbl")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_create_append_time_travel(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(spark, root, _mk(spark, [(3, "c")]))
+    lake_append(spark, root, _mk(spark, [(4, "d")]))
+    assert latest_version(spark, root) == 3
+    assert _rows(lake_read(spark, root, 1)) == [(1, "a"), (2, "b")]
+    assert _rows(lake_read(spark, root, 2)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # append carries parent files by reference — no rewrite
+    m1, m2 = _read_manifest(spark, root, 1), _read_manifest(spark, root, 2)
+    assert {f["path"] for f in m1["files"]} <= {f["path"] for f in m2["files"]}
+
+
+def test_upsert_file_skipping_and_semantics(spark, root):
+    # low and high key ranges land in separate commit dirs (two files min)
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(spark, root, _mk(spark, [(100, "x"), (200, "y")]))
+    v = lake_upsert(spark, root, _mk(spark, [(100, "X"), (150, "new")]))
+    assert _rows(lake_read(spark, root, v)) == [
+        (1, "a"), (2, "b"), (100, "X"), (150, "new"), (200, "y"),
+    ]
+    # the low-range file(s) must be carried untouched by reference
+    m_parent = _read_manifest(spark, root, v - 1)
+    m_new = _read_manifest(spark, root, v)
+    # change hull is [100, 150]: the key-200 file is outside it too
+    low_files = {
+        f["path"] for f in m_parent["files"] if f["max_key"] < 100 or f["min_key"] > 150
+    }
+    assert low_files and low_files <= {f["path"] for f in m_new["files"]}
+    # and the hull-overlapping file(s) must NOT appear in v
+    overlapping = {
+        f["path"] for f in m_parent["files"] if f["max_key"] >= 100 and f["min_key"] <= 150
+    }
+    assert overlapping and overlapping.isdisjoint({f["path"] for f in m_new["files"]})
+    # time travel still sees the pre-upsert state
+    assert _rows(lake_read(spark, root, v - 1)) == [
+        (1, "a"), (2, "b"), (100, "x"), (200, "y"),
+    ]
+
+
+def test_delete_prunes_untouched_files(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(spark, root, _mk(spark, [(10, "keep"), (11, "drop")]))
+    v = lake_delete(spark, root, "v = 'drop'")
+    assert _rows(lake_read(spark, root, v)) == [(1, "a"), (2, "b"), (10, "keep")]
+    m_parent = _read_manifest(spark, root, v - 1)
+    m_new = _read_manifest(spark, root, v)
+    untouched = {f["path"] for f in m_parent["files"] if f["max_key"] <= 2}
+    assert untouched and untouched <= {f["path"] for f in m_new["files"]}
+
+
+def test_rollback_commits_forward(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    lake_upsert(spark, root, _mk(spark, [(1, "BAD")]))
+    v = lake_rollback(spark, root, 1)
+    assert v == 3
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+    # the bad version stays readable (audit trail)
+    assert _rows(lake_read(spark, root, 2)) == [(1, "BAD")]
+    ops = [h["op"] for h in lake_history(spark, root)]
+    assert ops == ["create", "upsert", "rollback:1"]
+
+
+def test_crash_before_manifest_leaves_version_invisible(spark, root):
+    """Data files without a manifest are NOT a committed version — the
+    manifest write is the atomic commit point."""
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    # simulate a writer that died after writing data, before manifest
+    _mk(spark, [(9, "ghost")]).write.parquet(f"{root}/data/c00000002")
+    assert latest_version(spark, root) == 1
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+
+
+def test_concurrent_commit_collision_fails_loudly(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    m = _read_manifest(spark, root, 1)
+    from etlalchemy_spark.operators.lake import _write_manifest
+
+    with pytest.raises(Exception):  # create(overwrite=False) on existing version
+        _write_manifest(spark, root, m)
+
+
+def test_vacuum_reclaims_and_preserves(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    lake_upsert(spark, root, _mk(spark, [(1, "b")]))
+    lake_upsert(spark, root, _mk(spark, [(1, "c")]))
+    stats = lake_vacuum(spark, root, retain_last=1)
+    assert stats["removed_files"] >= 1 and stats["removed_manifests"] == 2
+    assert _rows(lake_read(spark, root)) == [(1, "c")]
+    with pytest.raises(ValueError, match="no version 1"):
+        lake_read(spark, root, 1)
+
+
+def test_empty_change_set_is_metadata_only(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    v = lake_upsert(spark, root, _mk(spark, []).limit(0))
+    assert v == 2
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+    m1, m2 = _read_manifest(spark, root, 1), _read_manifest(spark, root, 2)
+    assert m1["files"] == m2["files"]
+
+
+def test_drop_removes_table(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    lake_drop(spark, root)
+    with pytest.raises(ValueError, match="not a lake table"):
+        latest_version(spark, root)
