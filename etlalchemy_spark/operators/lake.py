@@ -296,6 +296,87 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
     return v
 
 
+def lake_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed between two snapshots by FILE diff: only files
+    in the symmetric difference of the two manifests are read (carried
+    files can't contain changes), then unchanged rows that merely rode
+    along in copy-on-write rewrites cancel out via EXCEPT ALL in both
+    directions. Result: '+' rows (inserts + post-update values) and
+    '-' rows (deletes + pre-update values) — the multiset state diff,
+    computed at O(changed files) cost instead of scanning both
+    snapshots. The lake-native equivalent of
+    `text_corpus_snapshot_diff`, and the input a downstream
+    incremental MV wants."""
+    mf = _read_manifest(spark, root, v_from)
+    mt = _read_manifest(spark, root, v_to)
+    from_paths = {f["path"] for f in mf["files"]}
+    to_paths = {f["path"] for f in mt["files"]}
+    added_only = sorted(to_paths - from_paths)
+    removed_only = sorted(from_paths - to_paths)
+
+    schema_files = added_only or removed_only or sorted(to_paths)
+    if not schema_files:
+        raise ValueError("both snapshots are empty — no schema to diff against")
+    empty = spark.read.parquet(*schema_files).limit(0)
+    added = spark.read.parquet(*added_only) if added_only else empty
+    removed = spark.read.parquet(*removed_only) if removed_only else empty
+
+    plus = added.exceptAll(removed).select(F.lit("+").alias("op"), "*")
+    minus = removed.exceptAll(added).select(F.lit("-").alias("op"), "*")
+    return plus.unionByName(minus)
+
+
+def committed_tags(spark: SparkSession, root: str) -> set:
+    """Idempotence tags of every committed version — file-count-bounded
+    manifest reads, the check a replaying streaming writer makes."""
+    tags = set()
+    for v in range(1, latest_version(spark, root) + 1):
+        tag = _read_manifest(spark, root, v).get("tag")
+        if tag is not None:
+            tags.add(tag)
+    return tags
+
+
+def lake_stream_append(
+    spark: SparkSession, root: str, df: DataFrame, batch_id: int, key: str
+) -> int | None:
+    """Exactly-once streaming ingest under foreachBatch's
+    at-least-once contract (the Delta `txnAppId`/`txnVersion` idea):
+    each micro-batch commit carries its batch id as an idempotence
+    tag in the manifest; a re-delivered batch finds its tag already
+    committed and SKIPS — the table state is append-exactly-once no
+    matter how often the engine replays. First batch bootstraps the
+    table. Returns the committed version, or None for a skip."""
+    tag = f"stream-append:{batch_id}"
+    fs, jvm = _fs(spark, root)
+    exists = fs.exists(jvm.org.apache.hadoop.fs.Path(root, _MANIFEST_DIR))
+    if exists and tag in committed_tags(spark, root):
+        return None
+    if not exists:
+        v = 1
+        files = _commit_data(spark, root, v, df, key)
+        _write_manifest(
+            spark,
+            root,
+            {"version": 1, "parent": 0, "op": "create", "key": key, "files": files,
+             "tag": tag},
+        )
+        return v
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    new_files = _commit_data(spark, root, v, df, m["key"])
+    _write_manifest(
+        spark,
+        root,
+        {"version": v, "parent": parent, "op": "append", "key": m["key"],
+         "files": m["files"] + new_files, "tag": tag},
+    )
+    return v
+
+
 def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Roll the table back by COMMITTING FORWARD: the new version's
     file list is the target version's, and the bad intermediate

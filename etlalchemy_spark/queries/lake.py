@@ -120,3 +120,129 @@ def lake_rollback_read(spark, sf_dir):
     lake_append(spark, root, appended)
 
     return lake_read(spark, root)
+
+
+_CDF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+v3 AS (
+  SELECT * FROM (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0
+  ) WHERE o_custkey % 5 <> 0
+)
+SELECT '+' AS op, * FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1)
+UNION ALL
+SELECT '-' AS op, * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+"""
+
+
+@register("lake_change_data_feed", oracle=_CDF_SQL, tags=("lake", "etl"))
+def lake_change_data_feed(spark, sf_dir):
+    """Change data feed from snapshot manifests: after v2 upsert and
+    v3 delete, diff v1 → v3 by reading ONLY files in the manifests'
+    symmetric difference (carried files cannot contain changes), with
+    EXCEPT ALL in both directions cancelling the unchanged rows that
+    rode along in copy-on-write rewrites. Emits '+' (inserts +
+    post-update values) and '-' (deletes + pre-update values) — the
+    exact multiset state diff, verified against DuckDB computing it
+    the expensive way (full EXCEPT ALL of both reconstructed
+    snapshots). At 100 TB the CDF cost tracks the churn, not the
+    table: a 0.1%% daily change feed reads 0.1%% of the files."""
+    root = scratch_dir("lake_cdf", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    lake_create(spark, root, _base(spark, sf_dir), "o_orderkey")
+
+    orders = t(spark, sf_dir, "orders")
+    updates = orders.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey", "o_custkey", F.lit("X").alias("o_orderstatus"), "o_totalprice"
+    )
+    inserts = orders.where(
+        (F.col("o_orderkey") % 7 == 1) & (F.col("o_orderkey") % 3 == 0)
+    ).select(*_BASE_COLS)
+    lake_upsert(spark, root, updates.unionByName(inserts))
+    lake_delete(spark, root, "o_custkey % 5 = 0")
+
+    from etlalchemy_spark.operators.lake import lake_changes
+
+    return lake_changes(spark, root, 1, 3)
+
+
+_STREAM_SINK_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+@register("stream_lake_append_sink", oracle=_STREAM_SINK_SQL, tags=("streaming", "lake"))
+def stream_lake_append_sink(spark, sf_dir):
+    """Streaming ingest → versioned lake table, exactly-once: the
+    events replay stream lands in ~3 micro-batches through
+    ``foreachBatch`` + lake_stream_append, each commit carrying its
+    batch id as a manifest idempotence tag (the Delta txnAppId/
+    txnVersion discipline) so foreachBatch's at-least-once
+    re-deliveries skip instead of duplicating. Appends never read or
+    rewrite existing files, so per-trigger cost is batch-sized at any
+    table size — and because append-only ingest is batch-boundary-
+    invariant, the final table equals the plain batch union of the
+    feed, which is exactly what the DuckDB oracle checks. Replay
+    idempotence is directly pinned in tests/test_lake.py."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.operators.lake import lake_stream_append
+    from etlalchemy_spark.sources.pydatasource import register_events_replay
+
+    register_events_replay(spark)
+    root = scratch_dir("lake_stream", sf_dir) + "/tbl"
+    ckpt = scratch_dir("lake_stream", sf_dir) + "/ckpt"
+    lake_drop(spark, root)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    events_path = table_path(sf_dir, "events")
+    if os.path.isfile(events_path):
+        total = pq.ParquetFile(events_path).metadata.num_rows
+    else:
+        total = sum(
+            pq.ParquetFile(os.path.join(events_path, n)).metadata.num_rows
+            for n in os.listdir(events_path)
+            if n.endswith(".parquet")
+        )
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("rowsperbatch", max(1, total // 3 + 1))
+        .option("tasksperbatch", 4)
+        .load(events_path)
+    )
+
+    def apply_batch(df, batch_id):
+        lake_stream_append(
+            spark,
+            root,
+            df.select("event_id", "user_id", "event_type", "value"),
+            batch_id,
+            "event_id",
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return lake_read(spark, root)

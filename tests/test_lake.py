@@ -143,3 +143,38 @@ def test_drop_removes_table(spark, root):
     lake_drop(spark, root)
     with pytest.raises(ValueError, match="not a lake table"):
         latest_version(spark, root)
+
+
+def test_stream_append_replay_is_exactly_once(spark, root):
+    """A re-delivered micro-batch (same batch id) must SKIP: the
+    idempotence tag is already committed, so the table never double-
+    appends under foreachBatch's at-least-once contract."""
+    from etlalchemy_spark.operators.lake import lake_stream_append
+
+    b0 = _mk(spark, [(1, "a"), (2, "b")])
+    b1 = _mk(spark, [(3, "c")])
+    assert lake_stream_append(spark, root, b0, 0, "k") == 1
+    assert lake_stream_append(spark, root, b1, 1, "k") == 2
+    # engine restarts and re-delivers both batches
+    assert lake_stream_append(spark, root, b0, 0, "k") is None
+    assert lake_stream_append(spark, root, b1, 1, "k") is None
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert latest_version(spark, root) == 2
+
+
+def test_changes_reads_only_diff_files(spark, root):
+    """lake_changes must not plan over carried files — the file-diff
+    pruning is the whole point."""
+    from etlalchemy_spark.operators.lake import lake_changes
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(spark, root, _mk(spark, [(100, "x")]))
+    lake_upsert(spark, root, _mk(spark, [(100, "X"), (150, "new")]))
+    cdf = lake_changes(spark, root, 2, 3)
+    got = sorted((r.op, r.k, r.v) for r in cdf.collect())
+    assert got == [("+", 100, "X"), ("+", 150, "new"), ("-", 100, "x")]
+    # the carried low-range file must not appear in the scan plan
+    m2 = _read_manifest(spark, root, 2)
+    low = [f["path"] for f in m2["files"] if f["max_key"] < 100]
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    assert low and all(p.rsplit("/", 1)[-1] not in plan for p in low)
