@@ -169,7 +169,12 @@ def lake_read(spark: SparkSession, root: str, version: int | None = None) -> Dat
         if schema_src is None:
             raise ValueError(f"version {v} is empty and no ancestor has files")
         return spark.read.parquet(*schema_src).limit(0)
-    return spark.read.parquet(*[f["path"] for f in m["files"]])
+    # mergeSchema: a snapshot whose commits evolved the schema (added
+    # columns) reads as the union schema, old files null-filling — the
+    # additive-evolution contract lake formats promise
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[f["path"] for f in m["files"]]
+    )
 
 
 def _find_schema_source(spark, root, v):
@@ -393,6 +398,44 @@ def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
             "op": f"rollback:{to_version}",
             "key": target["key"],
             "files": target["files"],
+        },
+    )
+    return v
+
+
+def lake_compact(
+    spark: SparkSession, root: str, small_rows: int, target_partitions: int = 1
+) -> int:
+    """OPTIMIZE/bin-packing: coalesce files below ``small_rows`` into
+    ``target_partitions`` larger ones in a new metadata commit — the
+    logical state is IDENTICAL (read-before ≡ read-after, test-pinned)
+    and files at or above the threshold carry by reference, so the
+    cost tracks the small-file debt, not the table. The maintenance
+    commit streaming ingest needs: appends land batch-sized files,
+    compaction periodically folds them, and time travel still reads
+    the pre-compaction layout from the old manifests."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    small = [f for f in m["files"] if f["rows"] < small_rows]
+    carried = [f for f in m["files"] if f["rows"] >= small_rows]
+    new_files: list[dict] = []
+    if len(small) > 1:
+        packed = spark.read.parquet(*[f["path"] for f in small]).coalesce(
+            target_partitions
+        )
+        new_files = _commit_data(spark, root, v, packed, m["key"])
+    else:
+        carried = m["files"]  # nothing worth packing: metadata-only commit
+    _write_manifest(
+        spark,
+        root,
+        {
+            "version": v,
+            "parent": parent,
+            "op": "compact",
+            "key": m["key"],
+            "files": carried + new_files,
         },
     )
     return v

@@ -246,3 +246,69 @@ def stream_lake_append_sink(spark, sf_dir):
         q.stop()
 
     return lake_read(spark, root)
+
+
+_COMPACT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 3
+"""
+
+
+@register("lake_compact_read", oracle=_COMPACT_SQL, tags=("lake", "etl"))
+def lake_compact_read(spark, sf_dir):
+    """OPTIMIZE bin-packing as a lake commit: four small appends leave
+    batch-sized file debt (the steady-state shape under streaming
+    ingest), compaction folds every small file into one per bin in a
+    new metadata version — the read after MUST be bit-identical to
+    the read before (that identity is what the oracle hashes), the
+    file count drops (test-pinned in tests/test_lake.py), and the
+    pre-compaction layout stays time-travelable. Cost tracks the
+    small-file debt: files at or above the threshold carry by
+    reference."""
+    from etlalchemy_spark.operators.lake import lake_compact
+
+    root = scratch_dir("lake_cmp", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    lake_create(spark, root, _base(spark, sf_dir), "o_orderkey")
+    sl = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 3).select(*_BASE_COLS)
+    for i in range(4):
+        lake_append(spark, root, sl.where(F.col("o_orderkey") % 4 == i).coalesce(1))
+    lake_compact(spark, root, small_rows=10**9, target_partitions=2)
+    return lake_read(spark, root)
+
+
+_EVOLVE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 7 = 4
+"""
+
+
+@register("lake_schema_evolution_read", oracle=_EVOLVE_SQL, tags=("lake", "etl"))
+def lake_schema_evolution_read(spark, sf_dir):
+    """Additive schema evolution: v2 appends rows carrying a column v1
+    never had; the snapshot read plans the UNION schema with
+    mergeSchema, null-filling the old files — no rewrite of existing
+    data, the evolution cost is zero bytes. The oracle reconstructs
+    the same null-filled union relationally."""
+    root = scratch_dir("lake_evo", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    lake_create(spark, root, base, "o_orderkey")
+    widened = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 4)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    lake_append(spark, root, widened)
+    return lake_read(spark, root)

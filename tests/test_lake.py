@@ -178,3 +178,30 @@ def test_changes_reads_only_diff_files(spark, root):
     low = [f["path"] for f in m2["files"] if f["max_key"] < 100]
     plan = cdf._jdf.queryExecution().executedPlan().toString()
     assert low and all(p.rsplit("/", 1)[-1] not in plan for p in low)
+
+
+def test_compact_preserves_state_and_reduces_files(spark, root):
+    from etlalchemy_spark.operators.lake import lake_compact
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    for i in range(3, 7):
+        lake_append(spark, root, _mk(spark, [(i, f"v{i}")]).coalesce(1))
+    before = _rows(lake_read(spark, root))
+    v_pre = latest_version(spark, root)
+    v = lake_compact(spark, root, small_rows=2, target_partitions=1)
+    assert _rows(lake_read(spark, root, v)) == before
+    m_pre, m_post = _read_manifest(spark, root, v_pre), _read_manifest(spark, root, v)
+    assert len(m_post["files"]) < len(m_pre["files"])
+    # pre-compaction layout stays time-travelable
+    assert _rows(lake_read(spark, root, v_pre)) == before
+    # nothing-to-pack is a metadata-only no-op commit
+    v2 = lake_compact(spark, root, small_rows=1)
+    assert _read_manifest(spark, root, v2)["files"] == m_post["files"]
+
+
+def test_schema_evolution_null_fills_old_files(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    widened = spark.createDataFrame([(2, "b", 99)], "k long, v string, extra long")
+    lake_append(spark, root, widened)
+    got = sorted((r.k, r.v, r.extra) for r in lake_read(spark, root).collect())
+    assert got == [(1, "a", None), (2, "b", 99)]
