@@ -1302,3 +1302,85 @@ def etl_skew_profile(spark, sf_dir):
         .unionByName(prof("lineitem", "l_suppkey"))
         .unionByName(prof("lineitem", "l_partkey"))
     )
+
+
+# --- Declarative expectations: quarantine + violation report --------------
+
+_EXPECT_QUAR_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       concat_ws(',',
+         CASE WHEN NOT coalesce(o_totalprice < 400000, FALSE) THEN 'price_under_cap' END,
+         CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE) THEN 'status_closed_or_open' END,
+         CASE WHEN NOT coalesce(o_orderkey % 10 <> 3, FALSE) THEN 'key_not_mod3' END
+       ) AS failed_rules
+FROM orders
+WHERE NOT coalesce(o_totalprice < 400000, FALSE)
+   OR NOT coalesce(o_orderstatus IN ('O','F'), FALSE)
+   OR NOT coalesce(o_orderkey % 10 <> 3, FALSE)
+"""
+
+
+def _order_rules():
+    return [
+        ("price_under_cap", F.col("o_totalprice") < 400000),
+        ("status_closed_or_open", F.col("o_orderstatus").isin("O", "F")),
+        ("key_not_mod3", F.col("o_orderkey") % 10 != 3),
+    ]
+
+
+@register("etl_expectations_quarantine", oracle=_EXPECT_QUAR_SQL, tags=("etl", "profile"))
+def etl_expectations_quarantine(spark, sf_dir):
+    """Declarative data-quality gates with quarantine routing (the
+    dbt-test / Delta-Live-Tables 'expectations' idea; spiritually the
+    reference's clean-while-it-moves hooks made declarative): three
+    named rules over orders, rows failing ANY rule are routed out
+    carrying the comma-joined names of the rules they failed, in
+    declaration order — the triage key a steward filters on.
+    Expectations evaluating to NULL count as FAILURES by design
+    (coalesce(pred, false)); the pure-Column one-scan shape is the
+    100 TB story, and the pass/quarantine split feeds the pipeline
+    vs. the review queue."""
+    from etlalchemy_spark.operators.expectations import split_quarantine
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    _passed, quarantined = split_quarantine(orders, _order_rules())
+    return quarantined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.array_join("_failed_rules", ",").alias("failed_rules"),
+    )
+
+
+_EXPECT_REPORT_SQL = """
+SELECT rule, n_violations, n_rows,
+       CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+FROM (
+  SELECT 'price_under_cap' AS rule,
+         COUNT(*) FILTER (WHERE NOT coalesce(o_totalprice < 400000, FALSE)) AS n_violations,
+         COUNT(*) AS n_rows FROM orders
+  UNION ALL
+  SELECT 'status_closed_or_open',
+         COUNT(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F'), FALSE)),
+         COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'key_not_mod3',
+         COUNT(*) FILTER (WHERE NOT coalesce(o_orderkey % 10 <> 3, FALSE)),
+         COUNT(*) FROM orders
+)
+"""
+
+
+@register("etl_expectations_report", oracle=_EXPECT_REPORT_SQL, tags=("etl", "profile"))
+def etl_expectations_report(spark, sf_dir):
+    """The monitoring face of the same expectations: per-rule violation
+    counts and rates computed as N conditional sums in ONE
+    partial+final aggregate pass — one exploded row per rule from a
+    single aggregated row, never one scan per rule (the report you
+    page on when a feed's violation rate jumps)."""
+    from etlalchemy_spark.operators.expectations import expectation_report
+
+    return expectation_report(t(spark, sf_dir, "orders"), _order_rules())

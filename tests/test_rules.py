@@ -75,3 +75,43 @@ def test_suffix_rename_and_ignore(spark):
     df = spark.createDataFrame([(1, 2, 3)], "created_tmstmp long, junk_tmp long, id long")
     out = r.transform("t", df)
     assert out.columns == ["created_dt", "id"]
+
+
+def test_expectations_null_counts_as_failure(spark):
+    """An expectation evaluating to NULL routes the row to quarantine —
+    unknown data is what quarantine is FOR — and the passed side drops
+    the bookkeeping column."""
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.expectations import (
+        expectation_report,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, price double"
+    )
+    rules = [("price_pos", F.col("price") > 0)]
+    passed, quarantined = split_quarantine(df, rules)
+    assert [r.id for r in passed.collect()] == [1]
+    assert "_failed_rules" not in passed.columns
+    got = sorted((r.id, list(r._failed_rules)) for r in quarantined.collect())
+    assert got == [(2, ["price_pos"]), (3, ["price_pos"])]
+
+    rep = expectation_report(df, rules).collect()[0]
+    assert (rep.rule, rep.n_violations, rep.n_rows) == ("price_pos", 2, 3)
+
+
+def test_expectation_report_is_single_scan(spark):
+    """N rules must not become N scans: exactly one aggregate over one
+    relation in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.expectations import expectation_report
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    rep = expectation_report(
+        df, [("a", F.col("m") < 5), ("b", F.col("m") != 0), ("c", F.col("id") < 90)]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2  # one partial + one final
