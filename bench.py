@@ -40,6 +40,22 @@ R4_SUBSET = (
     "window_topk_per_group",
 )
 
+# Frozen round-6/7 composition (24 queries): r8 added 2 bench entries
+# (dedup_image_ahash, lake_time_travel_read), so raw totals stop being
+# comparable to BENCH_r06/r07 — this subtotal keeps that trend line
+# alive, same discipline as R4_SUBSET. Do not edit this list.
+R7_SUBSET = (
+    "dedup_exact_content_hash", "dedup_incremental_lsh_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "etl_migrate_jdbc_to_jdbc",
+    "events_tumbling_1h", "graph_kcore_peel", "q10_returned_items",
+    "q1_pricing_summary", "q21_waiting_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q9_product_profit",
+    "sim_cosine_topk_exact", "sketch_bitmap_distinct_total",
+    "sketch_cms_registers", "sketch_quantile_histogram",
+    "text_quality_score", "text_tfidf_topterms", "ts_gapfill_hourly",
+    "ts_rollup_cascade", "window_sessionize", "window_topk_per_group",
+)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlalchemy_spark.registry import all_queries
@@ -85,6 +101,10 @@ def main() -> None:
                 "sf": sf_of(SF_DIR),
                 "r4_comparable_subtotal": r4_subtotal,
                 "r4_comparable_n": sum(1 for q in R4_SUBSET if q in timings),
+                "r7_comparable_subtotal": round(
+                    sum(timings[q] for q in R7_SUBSET if q in timings), 3
+                ),
+                "r7_comparable_n": sum(1 for q in R7_SUBSET if q in timings),
             }
         )
     )

@@ -1073,3 +1073,49 @@ def compact_bucket_index(spark, store_path: str, id_col: str) -> dict[str, int]:
 
     swap_directory(spark, store_path, tmp)
     return {"rows_before": before, "rows_after": after}
+
+
+def semantic_dedup_keep_first(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space (decimal-exact max-cosine assignment to existing-row
+    centroids, ties to the lowest centroid id — the same cell
+    machinery as ivf_topk_exact), then inside each cell verify pairs
+    with the decimal-exact cosine and apply the KEEP-FIRST policy: a
+    document is dropped iff some LOWER-id document in its cell sits
+    within ``threshold`` cosine. Output is the drop list —
+    (id, dup_of = the smallest such keeper, n_dups = how many keepers
+    beat it) — which a curation pipeline anti-joins against the
+    corpus. Clustering is the blocking step: pair verification is
+    quadratic IN THE CELL, so at 100 TB you scale the centroid count
+    with the corpus (cells of ~1/k each), exactly the SemDeDup recipe;
+    candidates never go all-pairs across cells. Keep-first needs no
+    iteration or connected components: the verdict for one doc
+    depends only on pairs pointing DOWN to smaller ids."""
+    cents = df.where(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
+    scored = exact_cosine(pairs, [id_col, "_cid"], F.col(vec_col), F.col("_cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col("_cid"))
+    cells = (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .where(F.col("_crank") == 1)
+        .select(id_col, F.col("_cid").alias("_cell"))
+    )
+
+    withc = df.join(cells, id_col)
+    a = withc.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell")
+    b = withc.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell")
+    cand = a.join(b, "_cell").where(F.col("id_a") < F.col("id_b"))
+    sc = exact_cosine(cand, ["id_a", "id_b"], F.col("_va"), F.col("_vb")).where(
+        F.col("cosine") >= threshold
+    )
+    return sc.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups")
+    )

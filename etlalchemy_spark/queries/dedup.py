@@ -970,3 +970,81 @@ def dedup_lsh_recall(spark, sf_dir):
             / _F.greatest(_F.col("n_true_pairs"), _F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+# --- SemDeDup: cluster-blocked semantic dedup, keep-first policy ----------
+
+_SD_DOT = (
+    "SUM(CAST(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))"
+    " * CAST(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10)))"
+)
+
+_SEMANTIC_SQL = """
+WITH dots AS (
+  SELECT e.vec_id, c.vec_id AS cid,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e
+  JOIN embeddings c ON c.vec_id < 8
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, c.vec_id
+), cscore AS (
+  SELECT vec_id, cid,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+         / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM dots
+), ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS crank
+  FROM cscore
+), cells AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE crank = 1
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), prod AS (
+  SELECT c.id_a, c.id_b,
+         {dot} AS dot,
+         SUM(CAST(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY c.id_a, c.id_b
+), sc AS (
+  SELECT id_a, id_b
+  FROM prod
+  WHERE CAST(ROUND(dot, 12) AS DOUBLE)
+        / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) >= 0.3
+)
+SELECT id_b AS vec_id, MIN(id_a) AS dup_of, COUNT(*) AS n_dups
+FROM sc GROUP BY id_b
+""".format(dot=_SD_DOT)
+
+
+@register("dedup_semantic_keep_first", oracle=_SEMANTIC_SQL, tags=("dedup", "similarity"))
+def dedup_semantic_keep_first(spark, sf_dir):
+    """SemDeDup over the embeddings corpus: cluster-blocked (8
+    existing-row centroids, decimal-exact max-cosine cells) semantic
+    near-dup detection with the keep-first policy — a vector is
+    dropped iff a lower-id vector in its cell is within cosine 0.3;
+    output is the drop list (vec_id, dup_of, n_dups) a curation
+    pipeline anti-joins against the corpus. No iteration, no
+    connected components: keep-first verdicts only ever look DOWN to
+    smaller ids. Pair verification is quadratic in the CELL, never
+    the corpus — at scale the centroid count grows with the corpus so
+    cell sizes stay bounded (operators/similarity.py
+    semantic_dedup_keep_first docstring has the 100 TB sizing)."""
+    from etlalchemy_spark.operators.similarity import semantic_dedup_keep_first
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep_first(
+        emb, "vec_id", "embedding", centroid_ids=list(range(8)), threshold=0.3
+    )

@@ -43,7 +43,7 @@ FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0
 """
 
 
-@register("lake_time_travel_read", oracle=_TIME_TRAVEL_SQL, tags=("lake", "etl"))
+@register("lake_time_travel_read", oracle=_TIME_TRAVEL_SQL, tags=("lake", "etl", "bench"))
 def lake_time_travel_read(spark, sf_dir):
     """Snapshot isolation + time travel end-to-end: build a versioned
     lake table (v1 create from an orders slice, v2 copy-on-write

@@ -834,7 +834,7 @@ WHERE hamming <= 6
 """
 
 
-@register("dedup_image_ahash", oracle=_AHASH_SQL, tags=("dedup", "multimodal", "udf"))
+@register("dedup_image_ahash", oracle=_AHASH_SQL, tags=("dedup", "multimodal", "udf", "bench"))
 def dedup_image_ahash(spark, sf_dir):
     """IMAGE near-duplicate detection end-to-end — the visual twin of
     MinHash-LSH text dedup: synthesize real image payloads (even
