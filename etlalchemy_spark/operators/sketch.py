@@ -179,6 +179,37 @@ def cms_merge(*register_tables: DataFrame) -> DataFrame:
     return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
+def cms_join_size(reg_a: DataFrame, reg_b: DataFrame) -> DataFrame:
+    """One-row equi-join cardinality estimate from two Count-Min
+    counter tables: est = min over rows j of the inner product
+    sum_c A[j][c] * B[j][c] (AMS/CMS join-size estimator — each row's
+    inner product >= the true |A JOIN B| because colliding keys only
+    ever ADD counts, and min over depth independent rows tightens it).
+
+    This is the planner's question — "how big is this join?" —
+    answered from two fixed-size sketches without shuffling either
+    table: the counter tables are <= depth*width rows each, so the
+    estimate costs a broadcast-sized join of aggregates no matter how
+    big the inputs were. Products accumulate in DECIMAL(38,0): at
+    10^12-row inputs a row inner product reaches ~N^2/width ~ 10^21,
+    past int64 but exact in decimal."""
+    a = reg_a.select("r", "c", F.col("cnt").alias("_ca"))
+    b = reg_b.select("r", "c", F.col("cnt").alias("_cb"))
+    prod = (
+        a.join(b, ["r", "c"], "left")
+        .groupBy("r")
+        .agg(
+            F.sum(
+                F.col("_ca").cast("decimal(19,0)")
+                * F.coalesce(F.col("_cb"), F.lit(0)).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("_ip")
+        )
+    )
+    return prod.agg(F.min("_ip").cast("double").alias("join_size_est"))
+
+
 # --- exact distinct-count via bitmap buckets --------------------------------
 #
 # For dense integer keys, exact COUNT(DISTINCT) in O(keyspace/8) bits

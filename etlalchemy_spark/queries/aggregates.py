@@ -753,3 +753,168 @@ def agg_filter_clause(spark, sf_dir):
     reduction, so the oracle is exact."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("_filter_orders")
     return spark.sql(_FILTER_SQL.replace("FROM orders", "FROM _filter_orders"))
+
+
+_WINSOR_SQL = """
+WITH r AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+), k AS (
+  SELECT o_orderstatus, v, rn, n,
+         GREATEST(1, (5 * n + 99) // 100) AS lo_k,
+         n + 1 - GREATEST(1, (5 * n + 99) // 100) AS hi_k
+  FROM r
+), g AS (
+  SELECT o_orderstatus,
+         MAX(n) AS n,
+         MAX(lo_k) AS lo_k,
+         SUM(CASE WHEN rn >= lo_k AND rn <= hi_k THEN v END) AS sum_mid,
+         MAX(CASE WHEN rn = lo_k THEN v END) AS lo_v,
+         MAX(CASE WHEN rn = hi_k THEN v END) AS hi_v
+  FROM k GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       CAST(n AS BIGINT) AS n,
+       CAST(lo_v AS DOUBLE) AS lo_cut,
+       CAST(hi_v AS DOUBLE) AS hi_cut,
+       CAST(CAST(ROUND(
+         (sum_mid + (lo_k - 1) * lo_v + (lo_k - 1) * hi_v) / n, 4
+       ) AS DECIMAL(38,4)) AS DOUBLE) AS winsorized_mean
+FROM g
+"""
+
+
+@register("agg_winsorized_mean", oracle=_WINSOR_SQL, tags=("agg",))
+def agg_winsorized_mean(spark, sf_dir):
+    """5%-winsorized mean of order totals per status — the robust
+    location estimate a quality pipeline uses when raw means are
+    outlier-dominated. Order statistics, not interpolation: the cut
+    points are the lo_k-th / hi_k-th actual values (lo_k = ceil(0.05n)
+    by pure integer arithmetic), so every term stays in exact decimal
+    and even the mean hash-matches. One window pass for ranks, then a
+    SINGLE hash aggregate computes the trimmed sum AND both cut values
+    via conditional aggregates — the tail contributions are
+    reconstructed as (lo_k-1)*cut instead of a second pass or a
+    bounds-join. Scales as one shuffle on the group key plus the rank
+    window; group count never matters."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w_rn = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_n = W.partitionBy("o_orderstatus")
+    ranked = (
+        o.select(
+            "o_orderstatus",
+            dec("o_totalprice").alias("v"),
+            F.row_number().over(w_rn).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .withColumn("lo_k", F.floor((5 * F.col("n") + 99) / F.lit(100)))
+        .withColumn("lo_k", F.greatest(F.lit(1).cast("long"), F.col("lo_k")))
+        .withColumn("hi_k", F.col("n") + 1 - F.col("lo_k"))
+    )
+    g = ranked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        F.max("lo_k").alias("lo_k"),
+        F.sum(
+            F.when((F.col("rn") >= F.col("lo_k")) & (F.col("rn") <= F.col("hi_k")), F.col("v"))
+        ).alias("sum_mid"),
+        F.max(F.when(F.col("rn") == F.col("lo_k"), F.col("v"))).alias("lo_v"),
+        F.max(F.when(F.col("rn") == F.col("hi_k"), F.col("v"))).alias("hi_v"),
+    )
+    tails = (F.col("lo_k") - 1) * F.col("lo_v") + (F.col("lo_k") - 1) * F.col("hi_v")
+    return g.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("lo_v").cast("double").alias("lo_cut"),
+        F.col("hi_v").cast("double").alias("hi_cut"),
+        F.round((F.col("sum_mid") + tails) / F.col("n"), 4)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("winsorized_mean"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as shared literals:
+# embedding the SAME double constants in both engines sidesteps any
+# libm log10() ulp differences.
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+# DuckDB's string->double parse is NOT correctly rounded for every
+# literal (0.12493873660829993 lands one ulp off), so each probability
+# is emitted as its exact rational num/2^k: both operands are exact
+# doubles and the division is a single correctly-rounded IEEE op.
+def _exact_double_sql(p: float) -> str:
+    num, den = p.as_integer_ratio()
+    return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {_exact_double_sql(p)}" for d, p in _BENFORD_P.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+), obs AS (
+  SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit
+), tot AS (SELECT SUM(observed) AS n FROM obs)
+SELECT obs.digit,
+       CAST(obs.observed AS BIGINT) AS observed,
+       CAST(tot.n AS DOUBLE) * ({_BENFORD_CASE_SQL}) AS expected,
+       CAST(obs.observed AS DOUBLE)
+         - CAST(tot.n AS DOUBLE) * ({_BENFORD_CASE_SQL}) AS delta
+FROM obs, tot
+"""
+
+
+@register("agg_benford_audit", oracle=_BENFORD_SQL, tags=("agg", "etl"))
+def agg_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    fraud/synthetic-data smell test a profiling pass runs on every
+    monetary column. The leading digit is extracted through exact
+    decimal->bigint->string conversion (no log10 on data), the
+    expected counts use shared literal probabilities, and the delta is
+    one float multiply+subtract on identical operands — all nine rows
+    hash-match the oracle. One hash aggregate over a 9-value key: the
+    map-side partials collapse to 9 rows per task regardless of input
+    size."""
+    digit = F.substring(
+        (dec("o_totalprice") * 10000).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").alias("n"))
+    p_expr = F.element_at(
+        F.create_map(*[F.lit(x) for d, p in _BENFORD_P.items() for x in (d, p)]),
+        F.col("digit"),
+    )
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("observed").cast("bigint").alias("observed"),
+        (F.col("n").cast("double") * p_expr).alias("expected"),
+        (
+            F.col("observed").cast("double") - F.col("n").cast("double") * p_expr
+        ).alias("delta"),
+    )

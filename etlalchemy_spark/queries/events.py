@@ -1175,3 +1175,95 @@ def ts_week_over_week_growth(spark, sf_dir):
             ((F.col("revenue") - prev) / prev).alias("wow_growth"),
         )
     )
+
+
+_INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + 300000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, event_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS is_new
+  FROM m
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), merged AS (
+  SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e - s) // 1000000 AS BIGINT) AS covered_seconds
+FROM merged GROUP BY user_id
+"""
+
+
+@register("ts_interval_union_coverage", oracle=_INTERVAL_UNION_SQL, tags=("ts", "window"))
+def ts_interval_union_coverage(spark, sf_dir):
+    """Total union length of overlapping intervals per user (each
+    event opens a 5-minute activity interval; overlapping/touching
+    intervals merge): the classic interval-union problem solved with
+    the running-max sweep — a row opens a new island exactly when its
+    start exceeds the max end of every earlier interval. One window
+    per user partition + one aggregate; never a self-join of
+    intervals (the naive O(n^2) overlap join at 100 TB). All
+    arithmetic on epoch-microsecond longs — exact in any engine. The
+    is_new flag tie-breaks on event_id and the island cumsum on
+    (s, event_id) so same-timestamp rows order deterministically. Distinct-position
+    explosion is avoided entirely: coverage comes from per-island
+    (min start, max end), so cost is O(n) rows regardless of interval
+    length."""
+    from pyspark.sql import Window as W
+
+    span_us = 300 * 1_000_000
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + span_us).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull() | (F.col("s") > F.max("e").over(w_prev)), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_cum).alias("island")
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(F.min("s").alias("_s"), F.max("e").alias("_e"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            (F.sum(F.col("_e") - F.col("_s")) / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("covered_seconds"),
+        )
+    )

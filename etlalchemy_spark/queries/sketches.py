@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etlalchemy_spark.registry import register
-from etlalchemy_spark.queries._util import t
+from etlalchemy_spark.queries._util import t, ts
 
 _HLL_ROLLUP_SQL = None  # engine-specific estimates — rows-only
 
@@ -305,6 +305,196 @@ SELECT estimate, exact_n,
        (estimate - CAST(exact_n AS DOUBLE)) / CAST(exact_n AS DOUBLE) AS rel_error
 FROM est, ex
 """
+
+
+_CMS_JOIN_SIZE_SQL = f"""
+WITH p(r, a, b) AS (VALUES {_CMS_PARAMS_SQL}),
+ua AS (
+  SELECT md5_number_upper(CAST(o_custkey AS VARCHAR)) AS u FROM orders
+), ha AS (
+  SELECT ({_BE60_FROM_U}) % {MINHASH_P} AS hm FROM ua
+), rega AS (
+  SELECT p.r AS r, ((p.a * ha.hm + p.b) % {MINHASH_P}) % {CMS_WIDTH} AS c, COUNT(*) AS cnt
+  FROM ha CROSS JOIN p GROUP BY 1, 2
+), ub AS (
+  SELECT md5_number_upper(CAST(c_custkey AS VARCHAR)) AS u FROM customer
+  WHERE c_acctbal > 0
+), hb AS (
+  SELECT ({_BE60_FROM_U}) % {MINHASH_P} AS hm FROM ub
+), regb AS (
+  SELECT p.r AS r, ((p.a * hb.hm + p.b) % {MINHASH_P}) % {CMS_WIDTH} AS c, COUNT(*) AS cnt
+  FROM hb CROSS JOIN p GROUP BY 1, 2
+), ip AS (
+  SELECT rega.r,
+         SUM(CAST(rega.cnt AS HUGEINT) * CAST(COALESCE(regb.cnt, 0) AS HUGEINT)) AS ipr
+  FROM rega LEFT JOIN regb ON rega.r = regb.r AND rega.c = regb.c
+  GROUP BY rega.r
+), est AS (
+  SELECT CAST(MIN(ipr) AS DOUBLE) AS join_size_est FROM ip
+), exact AS (
+  SELECT CAST(SUM(oa.n * cb.n) AS BIGINT) AS join_size_exact
+  FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) oa
+  JOIN (SELECT c_custkey, COUNT(*) AS n FROM customer WHERE c_acctbal > 0 GROUP BY 1) cb
+    ON oa.o_custkey = cb.c_custkey
+)
+SELECT join_size_est, join_size_exact,
+       join_size_est / CAST(join_size_exact AS DOUBLE) AS overestimate_ratio
+FROM est, exact
+"""
+
+
+@register("sketch_cms_join_size", oracle=_CMS_JOIN_SIZE_SQL, tags=("sketch",))
+def sketch_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimate from two Count-Min sketches (AMS
+    inner product, min over depth rows) next to the true join size —
+    the planner question "how big is orders JOIN customer going to
+    be?" answered WITHOUT joining the tables. Each side builds its
+    fixed <= depth*width counter table in one scan (map-side partial
+    combine); the estimate is a broadcast-sized join of aggregates.
+    The true size is itself computed scalably: per-key count
+    aggregates joined and product-summed — never materializing the
+    join. Every term is integer (HUGEINT/DECIMAL(38,0) products), so
+    the estimate, the exact size, and even their float ratio
+    hash-match the oracle."""
+    from etlalchemy_spark.operators.sketch import cms_join_size, cms_registers
+
+    o = t(spark, sf_dir, "orders", fanout=True)
+    c = t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    reg_a = cms_registers(o, F.col("o_custkey"))
+    reg_b = cms_registers(c, F.col("c_custkey"))
+    est = cms_join_size(reg_a, reg_b)
+
+    oa = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_na"))
+    cb = c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("_nb"))
+    exact = (
+        oa.join(cb, oa.o_custkey == cb.c_custkey)
+        .agg(F.sum(F.col("_na") * F.col("_nb")).cast("bigint").alias("join_size_exact"))
+    )
+    return est.crossJoin(exact).select(
+        "join_size_est",
+        "join_size_exact",
+        (F.col("join_size_est") / F.col("join_size_exact").cast("double")).alias(
+            "overestimate_ratio"
+        ),
+    )
+
+
+def _hll_est_ctes(tag: str, key_sql: str, rel_sql: str) -> str:
+    """DuckDB CTE chain computing the portable-HLL register table
+    ``reg_{tag}`` for ``key_sql`` over ``rel_sql`` — the SQL twin of
+    operators/sketch.hll_registers, shared by the intersection oracle
+    below (same shape as _HLL_REG_CTES, parameterized)."""
+    return f"""u_{tag} AS (
+  SELECT md5_number_upper(CAST({key_sql} AS VARCHAR)) AS u FROM {rel_sql}
+), h_{tag} AS (
+  SELECT {_BE60_FROM_U} AS h FROM u_{tag}
+), r_{tag} AS (
+  SELECT h % 256 AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - CAST(length(bin(h >> 8)) AS INTEGER) END AS rho
+  FROM h_{tag}
+), reg_{tag} AS (
+  SELECT bucket, MAX(rho) AS register FROM r_{tag} GROUP BY bucket
+)"""
+
+
+def _hll_est_select(reg: str) -> str:
+    """Scalar-subquery estimate over register CTE ``reg`` — the SQL
+    twin of operators/sketch.hll_estimate (raw harmonic + linear
+    counting small-range switch)."""
+    return f"""(
+  SELECT CASE WHEN r <= 640.0 AND (256 - ne) > 0
+              THEN 256.0 * ln(256.0 / CAST(256 - ne AS DOUBLE))
+              ELSE r END
+  FROM (
+    SELECT ne,
+           (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
+           / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS r
+    FROM (
+      SELECT SUM(CAST(1 AS BIGINT) << (53 - register)) AS s_ne, COUNT(*) AS ne
+      FROM {reg}
+    )
+  )
+)"""
+
+
+_HLL_A_REL = "orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'"
+_HLL_B_REL = "orders WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'"
+
+_HLL_INTERSECT_SQL = f"""
+WITH {_hll_est_ctes("a", "o_custkey", _HLL_A_REL)},
+{_hll_est_ctes("b", "o_custkey", _HLL_B_REL)},
+reg_u AS (
+  SELECT bucket, MAX(register) AS register
+  FROM (SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b) GROUP BY bucket
+),
+est AS (
+  SELECT {_hll_est_select("reg_a")} AS est_a,
+         {_hll_est_select("reg_b")} AS est_b,
+         {_hll_est_select("reg_u")} AS est_union
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT o_custkey FROM {_HLL_A_REL}
+    INTERSECT
+    SELECT o_custkey FROM {_HLL_B_REL}
+  )
+)
+SELECT est_a, est_b, est_union,
+       (est_a + est_b) - est_union AS est_intersection,
+       exact_intersection
+FROM est, exact
+"""
+
+
+@register("sketch_hll_intersection", oracle=_HLL_INTERSECT_SQL, tags=("sketch",))
+def sketch_hll_intersection(spark, sf_dir):
+    """Set-overlap estimate by inclusion-exclusion over portable HLL
+    sketches: customers active in BOTH halves of the order history,
+    estimated as est(A) + est(B) - est(A UNION B) — where the union
+    sketch is a per-bucket MAX merge of the two register tables, never
+    a rescan. This is the audience-overlap / cross-shard-dedup
+    question a 100 TB pipeline answers from per-day sketch state: N
+    daily register tables (256 ints each) give any window's overlap in
+    milliseconds. The exact intersection rides along for the error
+    audit. Every estimate is the integer-harmonic formula, so all five
+    columns hash-match the oracle bit-for-bit."""
+    from etlalchemy_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    cut = ts("1995-07-01 00:00:00")
+    a = o.where(F.col("o_orderdate") < cut)
+    b = o.where(F.col("o_orderdate") >= cut)
+    reg_a = hll_registers(a, F.col("o_custkey"))
+    reg_b = hll_registers(b, F.col("o_custkey"))
+    est_a = hll_estimate(reg_a).select(F.col("estimate").alias("est_a"))
+    est_b = hll_estimate(reg_b).select(F.col("estimate").alias("est_b"))
+    est_u = hll_estimate(hll_merge(reg_a, reg_b)).select(
+        F.col("estimate").alias("est_union")
+    )
+    exact = (
+        a.select("o_custkey")
+        .intersect(b.select("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            ((F.col("est_a") + F.col("est_b")) - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+        )
+    )
 
 
 @register("sketch_hll_error_report", oracle=_HLL_ERR_SQL, tags=("sketch",))
