@@ -333,3 +333,106 @@ def sample_split_group_disjoint(spark, sf_dir):
     return assigned.withColumn(
         "group_split_count", F.size(F.collect_set("split").over(w)).cast("bigint")
     )
+
+
+# Poisson(1) CDF thresholds scaled to the integer bucket space [0, 1e6):
+# bucket < 367879 -> weight 0, < 735759 -> 1, ... else 8. Shared literal
+# integers on both engines — the whole bootstrap is float-free until the
+# final mean division.
+_POIS_THRESH = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+_BOOT_REPS = 8
+
+
+def _pois_weight_sql(bucket_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {bucket_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+    )
+    return f"(CASE {whens} ELSE {len(_POIS_THRESH)} END)"
+
+
+_BOOT_KEY = "l_orderkey || '-' || l_linenumber"
+
+_BOOT_COLS_SQL = ",\n".join(
+    f"""  SUM(CAST({_pois_weight_sql(_bucket_sql(_BOOT_KEY, f'boot{r}:'))} AS BIGINT)) AS n_{r},
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      * {_pois_weight_sql(_bucket_sql(_BOOT_KEY, f'boot{r}:'))}), 4) AS DOUBLE)
+    / CAST(SUM(CAST({_pois_weight_sql(_bucket_sql(_BOOT_KEY, f'boot{r}:'))} AS BIGINT)) AS DOUBLE) AS m_{r}"""
+    for r in range(_BOOT_REPS)
+)
+
+_BOOT_UNION_SQL = "\nUNION ALL\n".join(
+    f"SELECT {r} AS rep, n_{r} AS n_resampled, m_{r} AS boot_mean FROM agg"
+    for r in range(_BOOT_REPS)
+)
+
+_BOOT_SQL = f"""
+WITH agg AS (
+  SELECT
+{_BOOT_COLS_SQL}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+)
+{_BOOT_UNION_SQL}
+"""
+
+
+@register("sample_poisson_bootstrap", oracle=_BOOT_SQL, tags=("sampling",))
+def sample_poisson_bootstrap(spark, sf_dir):
+    """Resampling-free bootstrap: 8 Poisson(1) replicate estimates of
+    mean(l_extendedprice) in ONE scan. Per (row, replicate) the
+    resample multiplicity is drawn deterministically — portable
+    content hash of (salt_r, row key) into the integer bucket space,
+    inverse-CDF'd through shared literal integer thresholds — so no
+    data is ever copied, shuffled, or RNG-dependent: each replicate is
+    a pair of conditional aggregates (weighted decimal sum + weight
+    count) and the 8 replicate means leave the scan as one row,
+    unpivoted to 8. This is how variance/CI estimation works at
+    100 TB: the naive bootstrap (materialize R resampled copies) is
+    R× the data; this is R extra aggregate columns. Replicates
+    decorrelate by salt. Float ops: exactly one division per
+    replicate, on identical operands — hash-exact in any engine."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    v = F.col("l_extendedprice").cast("decimal(18,4)")
+
+    def pois_w(r: int) -> F.Column:
+        b = hash_bucket(key, salt=f"boot{r}:")
+        expr = F.when(b < _POIS_THRESH[0], 0)
+        for k, th in enumerate(_POIS_THRESH[1:], start=1):
+            expr = expr.when(b < th, k)
+        return expr.otherwise(len(_POIS_THRESH))
+
+    aggs = []
+    for r in range(_BOOT_REPS):
+        w = pois_w(r)
+        aggs.append(F.sum(w.cast("bigint")).alias(f"n_{r}"))
+        aggs.append(
+            (
+                F.sum(v * w).cast("decimal(38,4)").cast("double")
+                / F.sum(w.cast("bigint")).cast("double")
+            ).alias(f"m_{r}")
+        )
+    one = li.agg(*aggs)
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rep"),
+                F.col(f"n_{r}").alias("n_resampled"),
+                F.col(f"m_{r}").alias("boot_mean"),
+            )
+            for r in range(_BOOT_REPS)
+        ]
+    )
+    return one.select(F.explode(reps).alias("_e")).select(
+        "_e.rep", "_e.n_resampled", "_e.boot_mean"
+    )

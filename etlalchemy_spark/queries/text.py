@@ -1225,3 +1225,173 @@ def text_vocab_coverage(spark, sf_dir):
             ),
         )
     )
+
+
+_PASSAGE_K = 6
+
+_PASSAGE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+), pos AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, GREATEST(len(words) - {_PASSAGE_K - 1}, 0))) AS pos,
+         UNNEST(list_transform(
+           generate_series(1, GREATEST(len(words) - {_PASSAGE_K - 1}, 0)),
+           i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT)+{_PASSAGE_K - 1}], ' ')
+         )) AS shingle
+  FROM w
+), dup AS (
+  SELECT shingle FROM pos GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS covered
+  FROM (
+    SELECT pos.doc_id, UNNEST(generate_series(pos.pos, pos.pos + {_PASSAGE_K - 1})) AS p
+    FROM pos SEMI JOIN dup ON pos.shingle = dup.shingle
+  )
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.words) AS BIGINT) AS n_words,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS dup_covered,
+       CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+         / CAST(GREATEST(len(w.words), 1) AS DOUBLE) AS dup_fraction
+FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+"""
+
+
+@register("text_duplicate_passage_spans", oracle=_PASSAGE_SQL, tags=("text", "dedup"))
+def text_duplicate_passage_spans(spark, sf_dir):
+    """Substring-level duplication audit (the exact-substring signal
+    behind suffix-array training-data dedup, reduced to its scalable
+    core): every positional word {k}-gram that appears in MORE THAN
+    ONE document marks its span [i, i+k-1] as duplicated; a document's
+    dup_fraction is the share of its word positions covered by any
+    such span. Distributed shape: one positional-shingle explode (a
+    narrow (doc_id, pos, shingle-hash) stream — bodies never shuffle),
+    one hash-agg to find cross-doc shingles, one semi-join back, and a
+    distinct-position count — never a doc-by-doc suffix comparison.
+    Downstream, rows with high dup_fraction are the cut candidates
+    (boilerplate, mirrored pages, licence blocks). Cross-engine exact:
+    positions and counts are pure integers; the one division is a
+    single IEEE op.""".replace("{k}", str(_PASSAGE_K))
+    k = _PASSAGE_K
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    n_pos = F.greatest(F.size("words") - (k - 1), F.lit(0))
+    pos = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_pos),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("words", i, k)).alias("shingle"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.pos", "e.shingle")
+    )
+    dup = (
+        pos.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("shingle")
+    )
+    cov = (
+        pos.join(dup, "shingle", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered"))
+    )
+    return (
+        words.select("doc_id", F.size("words").cast("bigint").alias("n_words"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("dup_covered"),
+            (
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+_QNORM_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (
+  SELECT q.doc_id, d.source, q.quality FROM q JOIN documents d ON q.doc_id = d.doc_id
+), r AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS src_rn,
+         COUNT(*) OVER (PARTITION BY source) AS src_n,
+         ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS g_rn,
+         COUNT(*) OVER () AS g_n
+  FROM j
+)
+SELECT doc_id, source, quality,
+       CAST(LEAST(9, ((src_rn - 1) * 10) // GREATEST(src_n - 1, 1)) AS INTEGER) AS src_decile,
+       CAST(LEAST(9, ((g_rn - 1) * 10) // GREATEST(g_n - 1, 1)) AS INTEGER) AS global_decile
+FROM r
+"""
+
+
+@register("text_quality_quantile_norm", oracle=_QNORM_SQL, tags=("text",))
+def text_quality_quantile_norm(spark, sf_dir):
+    """Cross-source quality-score calibration: raw quality scores are
+    not comparable across heterogeneous sources (a web crawl's p90 may
+    be a curated corpus's p10), so mixture sampling uses the
+    WITHIN-SOURCE quantile rank instead. Each document gets its decile
+    within its source and globally — pure integer rank arithmetic
+    (((rn-1)*10) // (n-1), clamped), no float percent_rank boundary
+    hazards. The global rank runs on the range-bucketed two-phase
+    prefix path (operators/prefix.global_ranks) — never a
+    single-partition WindowExec — and the global count is a broadcast
+    one-row aggregate; the per-source windows partition by source and
+    scale as ordinary shuffles. Reuses the oracle-exact quality
+    formula (operators.text.quality_score) as its input: one scoring
+    scan, two window passes, zero joins of bodies."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.prefix import global_ranks
+
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", "source", quality_score(feats).alias("quality")
+    )
+    w_src = W.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = global_ranks(scored, F.col("quality"), ["doc_id"]).withColumnRenamed(
+        "rn", "g_rn"
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("g_n"))
+    r = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(w_src).alias("src_rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("src_n"),
+        "g_rn",
+        "g_n",
+    )
+
+    def decile(rn, n):
+        return F.least(
+            F.lit(9).cast("int"),
+            F.floor(((F.col(rn) - 1) * 10) / F.greatest(F.col(n) - 1, F.lit(1))).cast(
+                "int"
+            ),
+        )
+
+    return r.select(
+        "doc_id",
+        "source",
+        "quality",
+        decile("src_rn", "src_n").alias("src_decile"),
+        decile("g_rn", "g_n").alias("global_decile"),
+    )
