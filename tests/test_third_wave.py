@@ -1,0 +1,197 @@
+"""Invariant tests for the round-8 third wave, beyond the oracle gate:
+estimator guarantees (CMS overestimates, HLL error bounds, bootstrap
+weight moments) and brute-force property checks (interval union,
+winsorization, passage coverage) the hash-compare can't express.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_cms_join_size_overestimates(spark):
+    from etlalchemy_spark.queries.sketches import sketch_cms_join_size
+
+    row = sketch_cms_join_size(spark, SF_DIR).collect()[0]
+    # CMS inner product can only ADD colliding mass: est >= exact, always.
+    assert row["join_size_est"] >= row["join_size_exact"]
+    # and with depth=4 rows of width 512 the collision inflation on a
+    # fixture-sized input stays small
+    assert row["overestimate_ratio"] < 1.5
+
+
+def test_hll_intersection_error_bounded(spark):
+    from etlalchemy_spark.queries.sketches import sketch_hll_intersection
+
+    row = sketch_hll_intersection(spark, SF_DIR).collect()[0]
+    exact = row["exact_intersection"]
+    assert exact > 0
+    # inclusion-exclusion compounds three ~6.5%-error estimates; allow 3x
+    assert abs(row["est_intersection"] - exact) / exact < 0.2
+    # union estimate can never exceed est_a + est_b
+    assert row["est_union"] <= row["est_a"] + row["est_b"] + 1e-9
+
+
+def test_interval_union_matches_brute_force(spark):
+    from etlalchemy_spark.queries.events import ts_interval_union_coverage
+
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_seconds"])
+        for r in ts_interval_union_coverage(spark, SF_DIR).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("s"))
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["s"], r["s"] + 300_000_000))
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e))
+            else:
+                islands.append((s, e))
+        covered = sum(e - s for s, e in islands) // 1_000_000
+        assert got[uid] == (len(islands), covered), uid
+
+
+def test_winsorized_mean_properties(spark):
+    from etlalchemy_spark.queries.aggregates import agg_winsorized_mean
+
+    rows = agg_winsorized_mean(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    by_status = {}
+    for r in orders:
+        by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
+    for r in rows:
+        vs = sorted(by_status[r["o_orderstatus"]])
+        n = len(vs)
+        lo_k = max(1, math.ceil(0.05 * n))
+        hi_k = n + 1 - lo_k
+        # brute-force winsorization on exact cents to dodge float-sum order
+        cents = [round(v * 10000) for v in vs]
+        lo_c, hi_c = cents[lo_k - 1], cents[hi_k - 1]
+        wins = [min(max(c, lo_c), hi_c) for c in cents]
+        expect = round((sum(wins) / n)) / 10000.0
+        assert r["n"] == n
+        assert abs(r["lo_cut"] - vs[lo_k - 1]) < 1e-3
+        assert abs(r["hi_cut"] - vs[hi_k - 1]) < 1e-3
+        assert abs(r["winsorized_mean"] - expect) < 2e-4
+        assert r["lo_cut"] <= r["winsorized_mean"] <= r["hi_cut"]
+
+
+def test_benford_counts_complete(spark):
+    from etlalchemy_spark.queries.aggregates import agg_benford_audit
+
+    rows = agg_benford_audit(spark, SF_DIR).collect()
+    n_pos = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_totalprice") > 0)
+        .count()
+    )
+    assert sum(r["observed"] for r in rows) == n_pos
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    # expected counts are a probability distribution times n
+    assert abs(sum(r["expected"] for r in rows) - n_pos) < 1e-6 * n_pos
+    for r in rows:
+        assert abs(r["delta"] - (r["observed"] - r["expected"])) < 1e-9
+
+
+def test_duplicate_passage_planted(spark):
+    """Plant a shared 8-word passage across two synthetic docs; a third
+    unique doc must report zero coverage."""
+    from etlalchemy_spark.queries import text as qt
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one {passage} tail words here"),
+            (2, f"other head {passage} different ending entirely"),
+            (3, "completely disjoint vocabulary nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    k = qt._PASSAGE_K
+    # reuse the registered query body on a temp view-less path: inline
+    # the same operator chain over the synthetic frame
+    words = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+    n_pos = F.greatest(F.size("words") - (k - 1), F.lit(0))
+    pos = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("words", i, k)).alias("shingle"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.pos", "e.shingle")
+    dup = (
+        pos.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    cov = (
+        pos.join(dup, "shingle", "left_semi")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered"))
+    )
+    got = {r["doc_id"]: r["covered"] for r in cov.collect()}
+    # the 8-word passage spans 8 positions in each carrier (plus any
+    # overlapping 6-gram windows with the surrounding words are NOT
+    # shared, so coverage == the 8 passage positions)
+    assert got[1] == 8 and got[2] == 8
+    assert 3 not in got
+
+
+def test_quality_quantile_norm_monotone(spark):
+    from etlalchemy_spark.queries.text import text_quality_quantile_norm
+
+    rows = text_quality_quantile_norm(spark, SF_DIR).collect()
+    assert all(0 <= r["src_decile"] <= 9 for r in rows)
+    assert all(0 <= r["global_decile"] <= 9 for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["quality"], r["doc_id"]))
+        deciles = [r["src_decile"] for r in rs]
+        assert deciles == sorted(deciles), src
+        # a full decile sweep when the source has >= 10 docs
+        if len(rs) >= 10:
+            assert deciles[0] == 0 and deciles[-1] == 9
+    g = sorted(rows, key=lambda r: (r["quality"], r["doc_id"]))
+    gd = [r["global_decile"] for r in g]
+    assert gd == sorted(gd)
+
+
+def test_poisson_bootstrap_moments(spark):
+    from etlalchemy_spark.queries.sampling import sample_poisson_bootstrap
+
+    rows = sample_poisson_bootstrap(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    n = li.count()
+    mean = li.agg(F.avg("l_extendedprice")).collect()[0][0]
+    for r in rows:
+        # E[Poisson(1)] = 1: each replicate resamples ~n rows
+        assert abs(r["n_resampled"] - n) / n < 0.15
+        # replicate means cluster around the point estimate
+        assert abs(r["boot_mean"] - mean) / mean < 0.1
+    # salts decorrelate: not all replicates identical
+    assert len({r["n_resampled"] for r in rows}) > 1
