@@ -1259,7 +1259,7 @@ FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
 """
 
 
-@register("text_duplicate_passage_spans", oracle=_PASSAGE_SQL, tags=("text", "dedup"))
+@register("text_duplicate_passage_spans", oracle=_PASSAGE_SQL, tags=("text", "dedup", "bench"))
 def text_duplicate_passage_spans(spark, sf_dir):
     """Substring-level duplication audit (the exact-substring signal
     behind suffix-array training-data dedup, reduced to its scalable
@@ -1280,6 +1280,8 @@ def text_duplicate_passage_spans(spark, sf_dir):
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     n_pos = F.greatest(F.size("words") - (k - 1), F.lit(0))
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
     pos = (
         words.select(
             "doc_id",
@@ -1293,16 +1295,21 @@ def text_duplicate_passage_spans(spark, sf_dir):
                 )
             ).alias("e"),
         )
-        .select("doc_id", "e.pos", "e.shingle")
+        # only the 60-bit portable hash ever shuffles — shingle TEXT
+        # stays inside the scan stage. A cross-shingle hash collision
+        # could mark a span duplicated spuriously (~n^2/2^61: absent at
+        # fixture scale, audit-grade noise at 100 TB — the standard
+        # hashed-substring-dedup tradeoff).
+        .select("doc_id", "e.pos", md5_prefix60(F.col("e.shingle")).alias("sh_h"))
     )
     dup = (
-        pos.groupBy("shingle")
+        pos.groupBy("sh_h")
         .agg(F.count_distinct("doc_id").alias("_nd"))
         .where(F.col("_nd") >= 2)
-        .select("shingle")
+        .select("sh_h")
     )
     cov = (
-        pos.join(dup, "shingle", "left_semi")
+        pos.join(dup, "sh_h", "left_semi")
         .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"))
         .groupBy("doc_id")
         .agg(F.count_distinct("p").alias("covered"))
