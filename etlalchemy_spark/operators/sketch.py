@@ -85,6 +85,50 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     return agg.select(est.alias("estimate"))
 
 
+def hll_registers_grouped(df: DataFrame, group_cols: list[str], key: Column) -> DataFrame:
+    """Per-group (group..., bucket, register) sketch state — one hash
+    aggregate; each group's 256-int register set merges across
+    partitions/days exactly like the global sketch."""
+    df = df.where(key.isNotNull())
+    h = md5_prefix60(key.cast("string"))
+    w = F.shiftright(h, 8)
+    rho = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (h % M_BUCKETS).alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., estimate) — the hll_estimate formula applied per
+    group in one aggregate pass (integer harmonic denominator, linear
+    counting small-range switch; identical float chain per group)."""
+    alpha = 0.7213 / (1.0 + 1.079 / M_BUCKETS)
+    scaled = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - register)"))
+    agg = registers.groupBy(*group_cols).agg(
+        scaled.alias("_s_nonempty"), F.count(F.lit(1)).alias("_nonempty")
+    )
+    s_total = F.col("_s_nonempty") + (F.lit(M_BUCKETS) - F.col("_nonempty")) * F.lit(
+        1 << (_W_BITS + 1)
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(M_BUCKETS))
+        * F.lit(float(M_BUCKETS))
+        * F.lit(float(1 << (_W_BITS + 1)))
+        / s_total.cast("double")
+    )
+    v_empty = F.lit(M_BUCKETS) - F.col("_nonempty")
+    est = F.when(
+        (raw <= F.lit(2.5 * M_BUCKETS)) & (v_empty > 0),
+        F.lit(float(M_BUCKETS)) * F.log(F.lit(float(M_BUCKETS)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("estimate"))
+
+
 def hll_merge(*register_tables: DataFrame) -> DataFrame:
     """Union register tables (e.g. one per partition/day) into one
     sketch: per-bucket MAX."""

@@ -436,3 +436,82 @@ def sample_poisson_bootstrap(spark, sf_dir):
     return one.select(F.explode(reps).alias("_e")).select(
         "_e.rep", "_e.n_resampled", "_e.boot_mean"
     )
+
+
+_ALLOC_BUDGET = 1000
+
+_ALLOC_SQL = f"""
+WITH s AS (
+  SELECT o_orderpriority, COUNT(*) AS n_h FROM orders GROUP BY 1
+), tot AS (SELECT SUM(n_h) AS n FROM s),
+q AS (
+  SELECT s.o_orderpriority, s.n_h,
+         ({_ALLOC_BUDGET} * s.n_h) // tot.n AS base,
+         ({_ALLOC_BUDGET} * s.n_h) % tot.n AS rem
+  FROM s, tot
+), rs AS (
+  SELECT o_orderpriority, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority) AS rr,
+         SUM(base) OVER () AS sum_base
+  FROM q
+), quota AS (
+  SELECT o_orderpriority,
+         base + CASE WHEN rr <= {_ALLOC_BUDGET} - sum_base THEN 1 ELSE 0 END AS quota
+  FROM rs
+), r AS (
+  SELECT o_orderkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {_bucket_sql("o_orderkey", "alloc:")}, o_orderkey) AS rn
+  FROM orders
+)
+SELECT r.o_orderkey, r.o_orderpriority
+FROM r JOIN quota USING (o_orderpriority)
+WHERE r.rn <= quota.quota
+"""
+
+
+@register("sample_fixed_total_allocation", oracle=_ALLOC_SQL, tags=("sampling",))
+def sample_fixed_total_allocation(spark, sf_dir):
+    """EXACTLY-N stratified sample via largest-remainder (Hamilton)
+    allocation: a fixed budget of {n} rows is split across strata
+    proportionally in pure integer arithmetic — base = floor(B*n_h/N),
+    the leftover seats go to the largest remainders (deterministic
+    stratum tie-break) — then each stratum takes its quota of rows by
+    portable-hash order. Rate-based samplers (Bernoulli/stratified)
+    only hit a budget in expectation; pipelines with a hard row/token
+    budget (eval slices, human-review batches) need the exact-N
+    contract. Scale shape: the allocation runs on AGGREGATE state (one
+    count row per stratum, collected within the repo's bounded-collect
+    budget and baked back as plan literals — no quota join, no
+    driver-data loop); the per-stratum rank window partitions by
+    stratum and the final filter is narrow. The sample is
+    row-identical in any engine, and |result| == B exactly.""".replace(
+        "{n}", str(_ALLOC_BUDGET)
+    )
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    stats = sorted(
+        (r["o_orderpriority"], r["n"])
+        for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_total = sum(n for _, n in stats)
+    base = {p: (_ALLOC_BUDGET * n) // n_total for p, n in stats}
+    rem = {p: (_ALLOC_BUDGET * n) % n_total for p, n in stats}
+    leftover = _ALLOC_BUDGET - sum(base.values())
+    for p, _ in sorted(stats, key=lambda x: (-rem[x[0]], x[0]))[:leftover]:
+        base[p] += 1
+    quota = F.create_map(
+        *[F.lit(x) for p, q in sorted(base.items()) for x in (p, q)]
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        hash_bucket(F.col("o_orderkey"), "alloc:"), "o_orderkey"
+    )
+    return (
+        o.select("o_orderkey", "o_orderpriority")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.element_at(quota, F.col("o_orderpriority")))
+        .drop("_rn")
+    )

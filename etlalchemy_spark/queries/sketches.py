@@ -307,6 +307,71 @@ FROM est, ex
 """
 
 
+_HLL_GROUPED_SQL = f"""
+WITH uu AS (
+  SELECT o_orderpriority,
+         md5_number_upper(CAST(o_custkey AS VARCHAR)) AS u
+  FROM orders
+), hh AS (
+  SELECT o_orderpriority, {_BE60_FROM_U} AS h FROM uu
+), r AS (
+  SELECT o_orderpriority, h % 256 AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 53
+              ELSE 53 - CAST(length(bin(h >> 8)) AS INTEGER) END AS rho
+  FROM hh
+), reg AS (
+  SELECT o_orderpriority, bucket, MAX(rho) AS register
+  FROM r GROUP BY o_orderpriority, bucket
+), agg AS (
+  SELECT o_orderpriority,
+         SUM(CAST(1 AS BIGINT) << (53 - register)) AS s_ne, COUNT(*) AS ne
+  FROM reg GROUP BY o_orderpriority
+), raw AS (
+  SELECT o_orderpriority, ne,
+         (((CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0) * 256.0) * 9007199254740992.0)
+         / CAST(s_ne + (256 - ne) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS r
+  FROM agg
+), est AS (
+  SELECT o_orderpriority,
+         CASE WHEN r <= 640.0 AND (256 - ne) > 0
+              THEN 256.0 * ln(256.0 / CAST(256 - ne AS DOUBLE))
+              ELSE r END AS estimate
+  FROM raw
+), exact AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT est.o_orderpriority, est.estimate, exact.exact_customers
+FROM est JOIN exact USING (o_orderpriority)
+"""
+
+
+@register("sketch_hll_grouped_estimate", oracle=_HLL_GROUPED_SQL, tags=("sketch", "agg"))
+def sketch_hll_grouped_estimate(spark, sf_dir):
+    """Distinct customers PER PRIORITY from per-group portable HLL
+    sketches — the oracle-exact twin of the rows-only DataSketches
+    query `sketch_hll_distinct_customers`: same rollup shape, but the
+    sketch state is plain (group, bucket, max-rho) integers, so even
+    the per-group ESTIMATES hash-match DuckDB. This is the
+    re-aggregatable distinct-count table a 100 TB pipeline persists:
+    one 256-int register set per group per day, mergeable by
+    per-(group, bucket) MAX to answer any coarser grain or window
+    without rescanning; estimate cost is one aggregate over the
+    register table. Exact counts ride along as the error audit."""
+    from etlalchemy_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    reg = hll_registers_grouped(o, ["o_orderpriority"], F.col("o_custkey"))
+    est = hll_estimate_grouped(reg, ["o_orderpriority"])
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return est.join(exact, "o_orderpriority")
+
+
 _CMS_JOIN_SIZE_SQL = f"""
 WITH p(r, a, b) AS (VALUES {_CMS_PARAMS_SQL}),
 ua AS (

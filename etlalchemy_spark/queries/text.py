@@ -1402,3 +1402,61 @@ def text_quality_quantile_norm(spark, sf_dir):
         decile("src_rn", "src_n").alias("src_decile"),
         decile("g_rn", "g_n").alias("global_decile"),
     )
+
+
+_NOVELTY_SQL = f"""
+WITH {shingle_ctes(5)},
+firstseen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+), per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN firstseen fs ON sh.shingle = fs.shingle
+  GROUP BY sh.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+FROM per_doc
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_SQL, tags=("text", "dedup"))
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus-order novelty score: a document's word 5-grams are
+    'novel' iff no SMALLER doc_id contains them (doc_id as ingestion
+    order), novelty = novel/total — the score incremental curation
+    uses to decide whether a new batch still adds information, and the
+    per-document contribution curve behind dataset-mixing decisions
+    (near-zero novelty tail = mirrored/boilerplate mass). Shape: the
+    shared shingle stream (operators/dedup.word_shingles — bodies
+    never shuffle), one MIN aggregate for global first-seen, one
+    equi-join back, one count aggregate. The MIN-per-shingle state is
+    mergeable, so a standing novelty index updates per-batch without
+    rescanning the corpus (same contract as the incremental dedup
+    band store). Integer counts + one division: cross-engine exact."""
+    from etlalchemy_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=5)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "novelty"
+        ),
+    )

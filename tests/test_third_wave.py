@@ -5,9 +5,7 @@ winsorization, passage coverage) the hash-compare can't express.
 """
 
 import math
-import random
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -195,3 +193,74 @@ def test_poisson_bootstrap_moments(spark):
         assert abs(r["boot_mean"] - mean) / mean < 0.1
     # salts decorrelate: not all replicates identical
     assert len({r["n_resampled"] for r in rows}) > 1
+
+
+def test_hll_grouped_estimate_error_bounded(spark):
+    from etlalchemy_spark.queries.sketches import sketch_hll_grouped_estimate
+
+    rows = sketch_hll_grouped_estimate(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["estimate"] - r["exact_customers"]) / r["exact_customers"] < 0.2
+
+
+def test_hll_grouped_merge_equals_rebuild(spark):
+    """Register state merged from two halves == registers built at
+    once (the per-day mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.sketch import hll_registers_grouped
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    whole = hll_registers_grouped(o, ["o_orderpriority"], F.col("o_custkey"))
+    h1 = hll_registers_grouped(
+        o.where(F.col("o_orderkey") % 2 == 0), ["o_orderpriority"], F.col("o_custkey")
+    )
+    h2 = hll_registers_grouped(
+        o.where(F.col("o_orderkey") % 2 == 1), ["o_orderpriority"], F.col("o_custkey")
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    from etlalchemy_spark.queries.text import text_ngram_novelty
+
+    rows = {r["doc_id"]: r for r in text_ngram_novelty(spark, SF_DIR).collect()}
+    first = rows[min(rows)]
+    # the smallest doc_id can never have seen anything earlier
+    assert first["novelty"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_shingles"]
+
+
+def test_fixed_total_allocation_exact_budget(spark):
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.queries.sampling import (
+        _ALLOC_BUDGET,
+        sample_fixed_total_allocation,
+    )
+
+    got = sample_fixed_total_allocation(spark, SF_DIR)
+    assert got.count() == _ALLOC_BUDGET
+    # proportionality: each stratum's take is within 1 of B*n_h/N
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_h = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(n_h.values())
+    taken = {
+        r["o_orderpriority"]: r["n"]
+        for r in got.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for p, k in taken.items():
+        ideal = _ALLOC_BUDGET * n_h[p] / n
+        assert abs(k - ideal) < 1.0
