@@ -1384,3 +1384,84 @@ def etl_expectations_report(spark, sf_dir):
     from etlalchemy_spark.operators.expectations import expectation_report
 
     return expectation_report(t(spark, sf_dir, "orders"), _order_rules())
+
+
+_RECON_HASH = """(
+    (CAST((u >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST((u >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST((u >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST((u >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST((u >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST((u >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST((u >> 48) & 255 AS UBIGINT) * 256) +
+     CAST((u >> 56) & 255 AS UBIGINT)
+  ) // 16"""
+
+_RECON_ROW_SQL = """md5_number_upper(
+  CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+  o_orderstatus || '|' ||
+  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS VARCHAR)
+)"""
+
+_RECON_SQL = f"""
+WITH h AS (
+  SELECT {_RECON_ROW_SQL} AS u FROM orders
+), cs AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CAST({_RECON_HASH} AS HUGEINT)) AS checksum
+  FROM h
+)
+SELECT 'source' AS side, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(checksum AS DOUBLE) AS checksum FROM cs
+UNION ALL
+SELECT 'destination' AS side, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(checksum AS DOUBLE) AS checksum FROM cs
+"""
+
+
+@register("etl_rowhash_reconciliation", oracle=_RECON_SQL, tags=("etl",))
+def etl_rowhash_reconciliation(spark, sf_dir):
+    """Migration validation by order-insensitive row checksum — the
+    did-every-row-arrive-intact check a source→destination move ends
+    with (the reference migrates then trusts; this VERIFIES —
+    upstream seanharr11/etlalchemy has no post-load reconciliation at
+    all). Each row canonicalizes to integer/string fields (money as
+    exact decimal cents — no float formatting in the hash input),
+    hashes through the portable 60-bit md5 prefix, and the table
+    checksum is the exact DECIMAL(38,0) SUM of row hashes: ADDITIVE,
+    so it is order-insensitive, partition-mergeable, and computable
+    side-by-side on any engine pair (Spark here, DuckDB oracle; in a
+    real migration, source DB and destination DB each run their
+    dialect's md5). The destination leg is a REAL parquet round trip
+    (write + read back), proving byte fidelity, not expression
+    identity. Cost: one scan + one aggregate per side, no shuffle of
+    data rows."""
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    src = t(spark, sf_dir, "orders").select(*cols)
+
+    tmp = scratch_dir("recon", sf_dir) + "/orders_copy"
+    src.write.mode("overwrite").parquet(tmp)
+    dst = spark.read.parquet(tmp)
+
+    def checksum(df, side):
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .cast("string"),
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(md5_prefix60(row_str).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("checksum"),
+        ).select(F.lit(side).alias("side"), "n_rows", "checksum")
+
+    return checksum(src, "source").unionAll(checksum(dst, "destination"))

@@ -1267,3 +1267,80 @@ def ts_interval_union_coverage(spark, sf_dir):
             .alias("covered_seconds"),
         )
     )
+
+
+_ACF_MAX_LAG = 6
+
+_ACF_SQL = f"""
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         COUNT(*) AS x
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS k
+), p AS (
+  SELECT lags.k, a.x AS xa, b.x AS xb
+  FROM s a JOIN lags ON TRUE
+  JOIN s b ON b.h = a.h + lags.k
+), m AS (
+  SELECT k, COUNT(*) AS n,
+         SUM(xa) AS sa, SUM(xb) AS sb,
+         SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb,
+         SUM(xa * xb) AS sab
+  FROM p GROUP BY k
+)
+SELECT CAST(k AS INTEGER) AS lag_hours,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+         AS acf
+FROM m
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_SQL, tags=("ts",))
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the hourly event-count series at lags 1..6 —
+    the seasonality detector behind alerting baselines and forecast
+    model choice (a daily cycle shows as a lag-24 peak; here short
+    lags on the fixture's span). Gap-tolerant by construction: each
+    lag correlates only OBSERVED hour pairs via an equi-join on
+    h + k, so missing hours drop out instead of being imputed as
+    zeros. Every sum is integer (counts of events), so both Pearson
+    numerator and variance terms are exact; the only float ops are
+    one sqrt (IEEE correctly rounded) and one division — the ACF
+    values hash-match DuckDB. Shape: one hourly pre-aggregate
+    (bounded: rows = hours, not events), a 6-way lag equi-join on
+    that AGGREGATE, one group-by-lag — event rows shuffle exactly
+    once, into the hourly rollup."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    a = s.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = s.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    p = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("hb") == F.col("ha") + F.col("k")
+    )
+    m = p.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    va = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    vb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        F.col("k").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (num / F.sqrt(va * vb)).alias("acf"),
+    )

@@ -254,3 +254,69 @@ def graph_recursive_closure(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_CN_HUB_CAP = 64
+
+_COMMON_NEIGHBORS_SQL = _EDGE_CTES + f"""
+, sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), lowdeg AS (
+  SELECT node FROM deg WHERE degree <= {_CN_HUB_CAP}
+), wedge AS (
+  SELECT a.v AS w, a.u AS x, b.u AS y
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  SEMI JOIN lowdeg ON a.v = lowdeg.node
+), cn AS (
+  SELECT x, y, COUNT(*) AS common_neighbors FROM wedge GROUP BY x, y
+), nonadj AS (
+  SELECT cn.x, cn.y, cn.common_neighbors
+  FROM cn ANTI JOIN pairs ON cn.x = pairs.u AND cn.y = pairs.v
+)
+SELECT x AS u, y AS v, CAST(common_neighbors AS BIGINT) AS common_neighbors
+FROM nonadj
+ORDER BY common_neighbors DESC, x, y
+LIMIT 20
+"""
+
+
+@register("graph_common_neighbors_topk", oracle=_COMMON_NEIGHBORS_SQL, tags=("graph",))
+def graph_common_neighbors_topk(spark, sf_dir):
+    """Link prediction by common-neighbor counting: the top-20
+    NON-ADJACENT part pairs sharing the most co-purchase neighbors —
+    the candidate-edge score behind entity-resolution review queues
+    and recommendation backfills (a missing edge with many shared
+    neighbors is probably real). Wedges are enumerated only through
+    LOW-DEGREE shared endpoints (degree <= 64, the standard hub cap:
+    raw wedge cost is sum(deg_w^2), and a hub's wedges carry almost
+    no link signal — the same reasoning as Adamic-Adar's 1/log(deg)
+    downweight, taken to its scalable limit); the cap bounds per-node
+    work by a constant, so the enumeration stays linear in edges at
+    any scale. Then one hash-agg with an x < y orientation (each
+    unordered pair counted once per wedge), an anti-join against the
+    edge list to keep only PREDICTED links, and a
+    TakeOrderedAndProject top-20 — no global sort. Deterministic
+    (count desc, u, v) tie-break; integer-only."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+    lowdeg = deg.where(F.col("degree") <= _CN_HUB_CAP).select("node")
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.join(lowdeg, sym.v == lowdeg.node, "left_semi")
+    a = sym.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    b = sym.select(F.col("v").alias("w"), F.col("u").alias("y"))
+    wedge = a.join(b, "w").where(F.col("x") < F.col("y"))
+    cn = wedge.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common_neighbors"))
+    nonadj = cn.join(
+        edges,
+        (cn.x == edges.u) & (cn.y == edges.v),
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), "u", "v")
+        .limit(20)
+    )

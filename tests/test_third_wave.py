@@ -264,3 +264,80 @@ def test_fixed_total_allocation_exact_budget(spark):
     for p, k in taken.items():
         ideal = _ALLOC_BUDGET * n_h[p] / n
         assert abs(k - ideal) < 1.0
+
+
+def test_rowhash_reconciliation_sides_agree(spark):
+    from etlalchemy_spark.queries.etl import etl_rowhash_reconciliation
+
+    rows = {r["side"]: r for r in etl_rowhash_reconciliation(spark, SF_DIR).collect()}
+    assert rows["source"]["n_rows"] == rows["destination"]["n_rows"]
+    assert rows["source"]["checksum"] == rows["destination"]["checksum"]
+
+
+def test_rowhash_checksum_detects_single_row_change(spark):
+    """The reconciliation must actually DETECT corruption: flipping one
+    row's value changes the additive checksum."""
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def cs(df):
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .cast("string"),
+        )
+        return df.agg(
+            F.sum(md5_prefix60(row_str).cast("decimal(38,0)")).alias("c")
+        ).collect()[0]["c"]
+
+    base = cs(o)
+    corrupted = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == o.select(F.min("o_orderkey")).collect()[0][0],
+               F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")),
+    )
+    assert cs(corrupted) != base
+
+
+def test_autocorrelation_bounds_and_lag0_sanity(spark):
+    from etlalchemy_spark.queries.events import ts_autocorrelation
+
+    rows = ts_autocorrelation(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] > 0
+    # each lag-k pair needs two distinct observed hours: strictly
+    # fewer pairs than hours (n_pairs is NOT monotone in k once the
+    # series has gaps, so no cross-lag ordering is asserted)
+    n_hours = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["n_pairs"] < n_hours
+
+
+def test_common_neighbors_predictions_are_nonadjacent(spark):
+    from etlalchemy_spark.queries.graph import _edges, graph_common_neighbors_topk
+
+    rows = graph_common_neighbors_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    edge_set = {(r["u"], r["v"]) for r in _edges(spark, SF_DIR).collect()}
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert (r["u"], r["v"]) not in edge_set
+        assert r["common_neighbors"] >= 1
+    scores = [r["common_neighbors"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
