@@ -918,3 +918,65 @@ def agg_benford_audit(spark, sf_dir):
             F.col("observed").cast("double") - F.col("n").cast("double") * p_expr
         ).alias("delta"),
     )
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS xc
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT xc, ROW_NUMBER() OVER (ORDER BY xc, o_custkey) AS rn FROM rev
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(xc AS HUGEINT)) AS s0,
+         SUM(CAST(rn AS HUGEINT) * CAST(xc AS HUGEINT)) AS s1
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+         - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
+FROM s
+"""
+
+
+@register("agg_gini_concentration", oracle=_GINI_SQL, tags=("agg",))
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the concentration
+    number a pipeline owner reads before deciding source mixing or
+    per-key budget caps (and the skew early-warning for every
+    downstream groupBy on the key). Computed by the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the ascending revenue
+    order: ranks come from the range-bucketed two-phase prefix path
+    (operators/prefix.global_ranks — no single-partition window),
+    revenue is exact integer cents, and both moment sums accumulate in
+    DECIMAL(38,0)/HUGEINT — so the only float ops are the final
+    divisions on identical operands. One shuffle for the per-customer
+    rollup, one for the rank bucketing, one aggregate."""
+    from etlalchemy_spark.operators.prefix import global_ranks
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((dec("o_totalprice") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("xc")
+        )
+    )
+    ranked = global_ranks(rev, F.col("xc"), ["o_custkey"])
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s0"),
+        F.sum(F.col("rn").cast("decimal(19,0)") * F.col("xc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (
+            (F.lit(2.0) * F.col("s1").cast("double")) / (nd * F.col("s0").cast("double"))
+            - ((F.col("n") + 1).cast("double") / nd)
+        ).alias("gini"),
+    )

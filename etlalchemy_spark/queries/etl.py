@@ -1465,3 +1465,72 @@ def etl_rowhash_reconciliation(spark, sf_dir):
         ).select(F.lit(side).alias("side"), "n_rows", "checksum")
 
     return checksum(src, "source").unionAll(checksum(dst, "destination"))
+
+
+_PSEUD_U = "md5_number_upper('pseud:' || CAST({key} AS VARCHAR))"
+
+_PSEUD_SQL = f"""
+WITH oc AS (
+  SELECT {_RECON_HASH.replace("u >>", "uo >>")} AS p
+  FROM (SELECT {_PSEUD_U.format(key="o_custkey")} AS uo FROM orders)
+), cc AS (
+  SELECT {_RECON_HASH.replace("u >>", "uc >>")} AS p
+  FROM (SELECT {_PSEUD_U.format(key="c_custkey")} AS uc FROM customer)
+), raw AS (
+  SELECT COUNT(*) AS n_joined,
+         COUNT(DISTINCT o.o_custkey) AS n_keys
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), anon AS (
+  SELECT COUNT(*) AS n_joined,
+         COUNT(DISTINCT oc.p) AS n_keys
+  FROM oc JOIN (SELECT DISTINCT p FROM cc) ccd ON oc.p = ccd.p
+)
+SELECT 'raw' AS side, CAST(n_joined AS BIGINT) AS n_joined,
+       CAST(n_keys AS BIGINT) AS n_distinct_keys FROM raw
+UNION ALL
+SELECT 'anonymized' AS side, CAST(n_joined AS BIGINT) AS n_joined,
+       CAST(n_keys AS BIGINT) AS n_distinct_keys FROM anon
+"""
+
+
+@register("etl_pseudonymize_referential", oracle=_PSEUD_SQL, tags=("etl",))
+def etl_pseudonymize_referential(spark, sf_dir):
+    """Consistent keyed pseudonymization across tables — the
+    share-the-data-not-the-identities ETL step: every custkey maps
+    through the salted portable 60-bit hash ('pseud:' as the stand-in
+    secret; production swaps in an HMAC key), the SAME function on
+    both tables, so referential integrity survives anonymization —
+    proven by joining orders to customer ON THE PSEUDONYMS and
+    hash-comparing (join cardinality, distinct-key count) against the
+    raw-key join. Collision-freedom at fixture scale shows as
+    n_distinct_keys equality; at 100 TB, 60 bits give ~N^2/2^61
+    collision odds — swap to the full 128-bit md5 when keys approach
+    billions (same plan shape). Narrow column maps + one join each
+    side; identities never leave the cluster."""
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    def pseud(col):
+        return md5_prefix60(F.concat(F.lit("pseud:"), F.col(col).cast("string")))
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    raw = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_joined"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_distinct_keys"),
+        )
+        .select(F.lit("raw").alias("side"), "n_joined", "n_distinct_keys")
+    )
+    oa = o.select(pseud("o_custkey").alias("p"))
+    ca = c.select(pseud("c_custkey").alias("p")).distinct()
+    anon = (
+        oa.join(ca, "p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_joined"),
+            F.count_distinct("p").cast("bigint").alias("n_distinct_keys"),
+        )
+        .select(F.lit("anonymized").alias("side"), "n_joined", "n_distinct_keys")
+    )
+    return raw.unionAll(anon)

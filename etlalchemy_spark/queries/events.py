@@ -1344,3 +1344,84 @@ def ts_autocorrelation(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_pairs"),
         (num / F.sqrt(va * vb)).alias("acf"),
     )
+
+
+_CUSUM_SQL = """
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+), r AS (
+  SELECT h, x,
+         ROW_NUMBER() OVER (ORDER BY h) AS t,
+         SUM(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM s
+), tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM s),
+c AS (
+  SELECT r.h, r.t,
+         ABS(CAST(tot.n AS HUGEINT) * CAST(r.pre AS HUGEINT)
+             - CAST(r.t AS HUGEINT) * CAST(tot.sx AS HUGEINT)) AS stat_n,
+         tot.n, tot.sx
+  FROM r, tot
+)
+SELECT CAST(to_timestamp(h * 3600) AS TIMESTAMP) AS changepoint_hour,
+       CAST(t AS BIGINT) AS t_index,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(stat_n AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_stat
+FROM c
+ORDER BY stat_n DESC, t
+LIMIT 1
+"""
+
+
+@register("ts_cusum_changepoint", oracle=_CUSUM_SQL, tags=("ts",))
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on the hourly event-rate series —
+    where did the level shift? The statistic max_t |sum_{i<=t}(x_i -
+    mean)| is computed SCALED BY n: n*prefix_t - t*sum(x) is pure
+    integer arithmetic (no float mean, no accumulation-order drift),
+    so the argmax comparison is exact and the reported normalized stat
+    is one division. The prefix runs on the range-bucketed scalable
+    path (operators/prefix.ranks_and_running_sum — rank and running
+    sum fused in one pass, no single-partition WindowExec) even though
+    the hourly rollup is aggregate-sized — the same query shape works
+    on a per-second series at 100 TB. Deterministic earliest-t
+    tie-break; TakeOrderedAndProject top-1, no global sort."""
+    from etlalchemy_spark.operators.prefix import ranks_and_running_sum
+
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+                / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    r = ranks_and_running_sum(
+        s, F.col("h"), [], F.col("x").cast("decimal(18,0)"), alias="pre"
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    c = r.crossJoin(F.broadcast(tot)).select(
+        "h",
+        F.col("rn").alias("t"),
+        F.abs(
+            F.col("n").cast("decimal(19,0)") * F.col("pre").cast("decimal(19,0)")
+            - F.col("rn").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+        ).alias("stat_n"),
+        "n",
+    )
+    return (
+        c.orderBy(F.desc("stat_n"), "t")
+        .limit(1)
+        .select(
+            F.timestamp_seconds(F.col("h") * 3600).alias("changepoint_hour"),
+            F.col("t").cast("bigint").alias("t_index"),
+            F.col("n").cast("bigint").alias("n_hours"),
+            (F.col("stat_n").cast("double") / F.col("n").cast("double")).alias(
+                "cusum_stat"
+            ),
+        )
+    )

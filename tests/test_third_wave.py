@@ -341,3 +341,54 @@ def test_common_neighbors_predictions_are_nonadjacent(spark):
         assert r["common_neighbors"] >= 1
     scores = [r["common_neighbors"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_gini_against_brute_force(spark):
+    from etlalchemy_spark.queries.aggregates import agg_gini_concentration
+
+    row = agg_gini_concentration(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    rev = {}
+    for r in o:
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + round(r["o_totalprice"] * 10000)
+    xs = sorted(rev.values())
+    n = len(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2 * s1 / (n * sum(xs)) - (n + 1) / n
+    assert row["n_customers"] == n
+    assert abs(row["gini"] - gini) < 1e-9
+    assert 0.0 <= row["gini"] <= 1.0
+
+
+def test_cusum_against_brute_force(spark):
+    from etlalchemy_spark.queries.events import ts_cusum_changepoint
+
+    row = ts_cusum_changepoint(spark, SF_DIR).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000 AS LONG) AS h")
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    series = sorted((r["h"], r["count"]) for r in ev)
+    n = len(series)
+    sx = sum(x for _, x in series)
+    best = None
+    pre = 0
+    for t, (_, x) in enumerate(series, start=1):
+        pre += x
+        stat = abs(n * pre - t * sx)
+        if best is None or stat > best[0] or (stat == best[0] and t < best[1]):
+            best = (stat, t)
+    assert row["t_index"] == best[1]
+    assert abs(row["cusum_stat"] - best[0] / n) < 1e-9
+    assert row["n_hours"] == n
+
+
+def test_pseudonymization_preserves_referential_integrity(spark):
+    from etlalchemy_spark.queries.etl import etl_pseudonymize_referential
+
+    rows = {r["side"]: r for r in etl_pseudonymize_referential(spark, SF_DIR).collect()}
+    assert rows["raw"]["n_joined"] == rows["anonymized"]["n_joined"]
+    assert rows["raw"]["n_distinct_keys"] == rows["anonymized"]["n_distinct_keys"]
