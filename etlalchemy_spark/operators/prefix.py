@@ -195,6 +195,53 @@ def running_global_sum(
     )
 
 
+def running_global_sums(
+    df: DataFrame,
+    key_num: Column,
+    tie_cols: list[str],
+    values: list[tuple[Column, str]],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Running sums of SEVERAL value columns over ONE global order in
+    ONE pass: same bucket machinery as running_global_sum, with the
+    per-bucket totals aggregate, the prefix frame, and the bucket
+    window all carrying every value column (``values`` is a list of
+    (decimal expression, output alias)). Callers needing k running
+    sums previously chained k single-value passes, re-executing the
+    upstream plan k times — e.g. the two-sample ECDF pair the KS drift
+    test needs."""
+    d = df.withColumn("_ko", key_num).withColumn("_k", F.col("_ko").cast("double"))
+    names = []
+    for expr, alias in values:
+        d = d.withColumn(f"_v_{alias}", expr)
+        names.append(alias)
+    bounds = range_bounds(d, F.col("_k"), n_buckets)
+    d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
+
+    totals = d.groupBy("_pid").agg(
+        *[F.sum(f"_v_{a}").alias(f"_bs_{a}") for a in names]
+    )
+    offs = _exclusive_prefix_frame(
+        totals, [(f"_bs_{a}", f"_off_{a}", "sum") for a in names]
+    )
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_ko"), *[F.col(c) for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d.join(F.broadcast(offs), "_pid")
+    for a in names:
+        out = out.withColumn(
+            a,
+            F.sum(f"_v_{a}").over(w)
+            + F.coalesce(F.col(f"_off_{a}"), F.lit(0).cast("decimal(1,0)")),
+        )
+    return out.drop(
+        "_pid", "_k", "_ko", *[f"_v_{a}" for a in names], *[f"_off_{a}" for a in names]
+    )
+
+
 def running_global_max(
     df: DataFrame,
     key_num: Column,

@@ -980,3 +980,101 @@ def agg_gini_concentration(spark, sf_dir):
             - ((F.col("n") + 1).cast("double") / nd)
         ).alias("gini"),
     )
+
+
+_KS_A = "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+_KS_B = "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+
+_KS_SQL = f"""
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vc,
+         CASE WHEN {_KS_A} THEN 1 ELSE 0 END AS in_a
+  FROM lineitem
+  WHERE ({_KS_A}) OR ({_KS_B})
+), per_val AS (
+  SELECT vc, SUM(in_a) AS a, SUM(1 - in_a) AS b FROM v GROUP BY vc
+), cum AS (
+  SELECT vc,
+         SUM(a) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(b) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM per_val
+), tot AS (
+  SELECT SUM(a) AS n1, SUM(b) AS n2 FROM per_val
+), d AS (
+  SELECT cum.vc,
+         ABS(CAST(tot.n2 AS HUGEINT) * CAST(cum.ca AS HUGEINT)
+             - CAST(tot.n1 AS HUGEINT) * CAST(cum.cb AS HUGEINT)) AS d_scaled,
+         tot.n1, tot.n2
+  FROM cum, tot
+)
+SELECT CAST(vc AS DOUBLE) / 10000.0 AS at_price,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+FROM d
+ORDER BY d_scaled DESC, vc
+LIMIT 1
+"""
+
+
+@register("agg_ks_drift_test", oracle=_KS_SQL, tags=("agg", "ts"))
+def agg_ks_drift_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test between 1996 and 1997
+    price distributions — the did-the-distribution-shift gate a feed
+    monitor runs between corpus snapshots or feature versions. The
+    statistic sup|ECDF₁−ECDF₂| is computed SCALED: at each distinct
+    value, |n₂·cum₁ − n₁·cum₂| is pure integer arithmetic (values as
+    exact decimal cents), so the argmax is exact and only the final
+    normalization divides. Both cumulative counts run over ONE global
+    order via the multi-value scalable prefix pass
+    (operators/prefix.running_global_sums — one bucket window carries
+    both ECDFs, no single-partition WindowExec, no double upstream
+    execution); per-distinct-value pre-aggregation means the ordered
+    pass touches distinct prices, not rows. Earliest-value tie-break;
+    TakeOrderedAndProject top-1."""
+    from etlalchemy_spark.operators.prefix import running_global_sums
+
+    li = t(spark, sf_dir, "lineitem")
+    a_lo, a_hi = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+    b_hi = "1998-01-01 00:00:00"
+    sd = F.col("l_shipdate").cast("timestamp")
+    in_a = (sd >= F.lit(a_lo).cast("timestamp")) & (sd < F.lit(a_hi).cast("timestamp"))
+    in_b = (sd >= F.lit(a_hi).cast("timestamp")) & (sd < F.lit(b_hi).cast("timestamp"))
+    v = li.where(in_a | in_b).select(
+        (dec("l_extendedprice") * 10000).cast("bigint").alias("vc"),
+        F.when(in_a, 1).otherwise(0).alias("in_a"),
+    )
+    per_val = v.groupBy("vc").agg(
+        F.sum("in_a").alias("a"), F.sum(1 - F.col("in_a")).alias("b")
+    )
+    cum = running_global_sums(
+        per_val,
+        F.col("vc"),
+        [],
+        [
+            (F.col("a").cast("decimal(18,0)"), "ca"),
+            (F.col("b").cast("decimal(18,0)"), "cb"),
+        ],
+    )
+    tot = per_val.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "vc",
+        F.abs(
+            F.col("n2").cast("decimal(19,0)") * F.col("ca").cast("decimal(19,0)")
+            - F.col("n1").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")
+        ).alias("d_scaled"),
+        "n1",
+        "n2",
+    )
+    return (
+        d.orderBy(F.desc("d_scaled"), "vc")
+        .limit(1)
+        .select(
+            (F.col("vc").cast("double") / F.lit(10000.0)).alias("at_price"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            (
+                F.col("d_scaled").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )

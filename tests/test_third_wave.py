@@ -392,3 +392,35 @@ def test_pseudonymization_preserves_referential_integrity(spark):
     rows = {r["side"]: r for r in etl_pseudonymize_referential(spark, SF_DIR).collect()}
     assert rows["raw"]["n_joined"] == rows["anonymized"]["n_joined"]
     assert rows["raw"]["n_distinct_keys"] == rows["anonymized"]["n_distinct_keys"]
+
+
+def test_ks_drift_against_brute_force(spark):
+    from etlalchemy_spark.queries.aggregates import agg_ks_drift_test
+
+    row = agg_ks_drift_test(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vc",
+        "CAST(l_shipdate AS TIMESTAMP) AS sd",
+    ).collect()
+    import datetime
+
+    a_lo = datetime.datetime(1996, 1, 1)
+    a_hi = datetime.datetime(1997, 1, 1)
+    b_hi = datetime.datetime(1998, 1, 1)
+    sa = sorted(r["vc"] for r in li if a_lo <= r["sd"] < a_hi)
+    sb = sorted(r["vc"] for r in li if a_hi <= r["sd"] < b_hi)
+    n1, n2 = len(sa), len(sb)
+    vals = sorted(set(sa) | set(sb))
+    import bisect
+
+    best = None
+    for v in vals:
+        ca = bisect.bisect_right(sa, v)
+        cb = bisect.bisect_right(sb, v)
+        d = abs(n2 * ca - n1 * cb)
+        if best is None or d > best[0] or (d == best[0] and v < best[1]):
+            best = (d, v)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["ks_stat"] - best[0] / (n1 * n2)) < 1e-12
+    assert abs(row["at_price"] - best[1] / 10000.0) < 1e-9
+    assert 0.0 <= row["ks_stat"] <= 1.0
