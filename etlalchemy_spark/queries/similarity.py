@@ -774,3 +774,170 @@ def sim_index_compaction(spark, sf_dir):
     return probe_bucket_index(
         spark, store, emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
     )
+
+
+# --- MMR diverse top-k (oracle-exact via unrolled selection CTEs) -----------
+
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+_MMR_OML = 0.3  # literal, NOT 1-0.7 (0.30000000000000004 in binary)
+
+_MMR_DOT = """
+  SELECT {a_id} AS ia, {b_id} AS ib,
+         SUM(CAST(CAST({a_e}[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST({b_e}[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST({a_e}[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST({a_e}[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST({b_e}[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST({b_e}[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM {rels}, generate_series(1, 64) AS t(i)
+  {where}
+  GROUP BY {group}
+"""
+
+
+def _mmr_sql() -> str:
+    steps = []
+    picks = []
+    for s in range(1, _MMR_K + 1):
+        if s == 1:
+            steps.append("s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)")
+            picks.append("p1 AS (SELECT vec_id FROM s1)")
+        else:
+            steps.append(
+                f"""s{s} AS (
+  SELECT c.vec_id, c.rel FROM cand c
+  ANTI JOIN p{s - 1} ON c.vec_id = p{s - 1}.vec_id
+  ORDER BY {_MMR_LAM} * c.rel - {_MMR_OML} * (
+      SELECT MAX(sym.cos) FROM sym SEMI JOIN p{s - 1} ON sym.b = p{s - 1}.vec_id
+      WHERE sym.a = c.vec_id
+    ) DESC, c.vec_id
+  LIMIT 1)"""
+            )
+            picks.append(
+                f"p{s} AS (SELECT vec_id FROM p{s - 1} UNION ALL SELECT vec_id FROM s{s})"
+            )
+    qdot = _MMR_DOT.format(
+        a_id="e.vec_id", b_id="0", a_e="e.embedding", b_e="q.qe",
+        rels="embeddings e, q", where="WHERE e.vec_id <> 0",
+        group="e.vec_id",
+    )
+    pdot = _MMR_DOT.format(
+        a_id="a.vec_id", b_id="b.vec_id", a_e="a.embedding", b_e="b.embedding",
+        rels="ce a JOIN ce b ON a.vec_id < b.vec_id", where="",
+        group="a.vec_id, b.vec_id",
+    )
+    chain = []
+    for s, p in zip(steps, picks):
+        chain.append(s)
+        chain.append(p)
+    chain_sql = ",\n".join(chain)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {s} AS step, vec_id, rel AS relevance FROM s{s}"
+        for s in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qp AS ({qdot}),
+cand AS (
+  SELECT ia AS vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+           / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS rel
+  FROM qp ORDER BY rel DESC, ia LIMIT {_MMR_SHORTLIST}
+),
+ce AS (SELECT e.vec_id, e.embedding FROM embeddings e SEMI JOIN cand ON e.vec_id = cand.vec_id),
+pp AS ({pdot}),
+pairs AS (
+  SELECT ia, ib,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+           / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cos
+  FROM pp
+),
+sym AS (SELECT ia AS a, ib AS b, cos FROM pairs UNION ALL SELECT ib AS a, ia AS b, cos FROM pairs),
+{chain_sql}
+{union}
+"""
+
+
+_MMR_SQL = _mmr_sql()
+
+
+@register("sim_mmr_diverse_topk", oracle=_MMR_SQL, tags=("similarity",))
+def sim_mmr_diverse_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse retrieval: greedy k=5
+    selection maximizing lam*rel(q,d) - (1-lam)*max_{s in S} sim(d,s)
+    over a top-20 exact-cosine shortlist — the dedup-aware top-k that
+    keeps near-duplicate neighbors from crowding a retrieval slate
+    (RAG contexts, eval panels, labeling batches). Split of labor at
+    scale: the SHORTLIST is the distributed part (exact decimal
+    cosine, TakeOrderedAndProject over any corpus size); the greedy
+    selection is inherently sequential-in-k but runs on
+    aggregate-sized state (20 relevances + <=190 pairwise cosines,
+    both computed by the same oracle-exact decimal formula in-plan,
+    collected within the bounded-collect budget like the histogram
+    quantile walk) and returns as a literal frame. The oracle unrolls
+    the 5 selection steps as chained CTEs with identical float
+    scoring — selections AND relevances hash-match. (1-lam) is the
+    literal 0.3 on both sides: computing 1-0.7 in binary gives
+    0.30000000000000004 and would diverge the score by an ulp."""
+    from etlalchemy_spark.operators.similarity import exact_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = exact_cosine(
+        emb.where(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        ["vec_id"],
+        F.col("embedding"),
+        qlit,
+    )
+    short = scored.orderBy(F.desc("cosine"), "vec_id").limit(_MMR_SHORTLIST)
+    rel = {r["vec_id"]: r["cosine"] for r in short.collect()}  # <= 20 rows
+    ids = sorted(rel)
+
+    se = emb.where(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+    a = se.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = se.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pair_scored = exact_cosine(
+        a.join(F.broadcast(b), F.col("a") < F.col("b")),
+        ["a", "b"],
+        F.col("ea"),
+        F.col("eb"),
+    )
+    pair: dict[tuple[int, int], float] = {}
+    for r in pair_scored.collect():  # <= 190 rows
+        pair[(r["a"], r["b"])] = r["cosine"]
+        pair[(r["b"], r["a"])] = r["cosine"]
+
+    picked: list[int] = []
+    out: list[tuple[int, int, float]] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for v in ids:
+            if v in picked:
+                continue
+            if step == 1:
+                score = rel[v]
+            else:
+                score = _MMR_LAM * rel[v] - _MMR_OML * max(pair[(v, p)] for p in picked)
+            if best is None or score > best[0] or (score == best[0] and v < best[1]):
+                best = (score, v)
+        picked.append(best[1])
+        out.append((step, best[1], rel[best[1]]))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("step"),
+                F.lit(v).cast("bigint").alias("vec_id"),
+                F.lit(float(r)).alias("relevance"),
+            )
+            for s, v, r in out
+        ]
+    )
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.explode(entries).alias("_e"))
+        .select("_e.step", "_e.vec_id", "_e.relevance")
+    )

@@ -424,3 +424,19 @@ def test_ks_drift_against_brute_force(spark):
     assert abs(row["ks_stat"] - best[0] / (n1 * n2)) < 1e-12
     assert abs(row["at_price"] - best[1] / 10000.0) < 1e-9
     assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    from etlalchemy_spark.queries.similarity import (
+        _MMR_K,
+        sim_mmr_diverse_topk,
+    )
+
+    rows = sorted(sim_mmr_diverse_topk(spark, SF_DIR).collect(), key=lambda r: r["step"])
+    assert len(rows) == _MMR_K
+    assert len({r["vec_id"] for r in rows}) == _MMR_K
+    # step 1 is the plain argmax-relevance pick
+    assert rows[0]["relevance"] == max(r["relevance"] for r in rows)
+    # every pick is a real shortlist member with a sane cosine
+    for r in rows:
+        assert -1.0 <= r["relevance"] <= 1.0
