@@ -1078,3 +1078,76 @@ def agg_ks_drift_test(spark, sf_dir):
             ).alias("ks_stat"),
         )
     )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH x AS (
+  SELECT l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT l_suppkey, v, w,
+         SUM(w) OVER (PARTITION BY l_suppkey
+                      ORDER BY v, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY l_suppkey) AS tot
+  FROM x
+)
+SELECT l_suppkey,
+       CAST(MIN(v) AS DOUBLE) AS weighted_median_price,
+       CAST(MIN(tot) AS BIGINT) AS total_qty
+FROM c
+WHERE 2 * cum >= tot
+GROUP BY l_suppkey
+"""
+
+
+@register("agg_weighted_median", oracle=_WEIGHTED_MEDIAN_SQL, tags=("agg",))
+def agg_weighted_median(spark, sf_dir):
+    """Exact WEIGHTED median (lower median: smallest value whose
+    cumulative weight reaches half the total) of line price per
+    supplier, weighted by quantity — the robust per-entity price
+    summary a mean can't give under outliers and a plain median can't
+    give under varying line sizes. Formulated entirely in exact
+    arithmetic: values as DECIMAL(12,2) (double->decimal conversion
+    rounds identically in both engines), weights and cumulative sums
+    as BIGINT, the threshold test as the integer cross-product
+    ``2*cum >= tot`` — no float quantile interpolation to drift.
+    Shape: ONE window pass partitioned by supplier + one hash
+    aggregate. The group key's cardinality GROWS with the data
+    (suppliers, not a 3-value flag), so per-group window state stays
+    bounded at 100 TB — the same reason window_topk_per_group is safe;
+    a global weighted median would instead ride the range-bucketed
+    prefix pass (operators/prefix.py)."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        W.partitionBy("l_suppkey")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("l_suppkey")
+    c = x.select(
+        "l_suppkey",
+        "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.min("v").cast("double").alias("weighted_median_price"),
+            F.min("tot").cast("bigint").alias("total_qty"),
+        )
+    )

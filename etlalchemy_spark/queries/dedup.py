@@ -1048,3 +1048,138 @@ def dedup_semantic_keep_first(spark, sf_dir):
     return semantic_dedup_keep_first(
         emb, "vec_id", "embedding", centroid_ids=list(range(8)), threshold=0.3
     )
+
+
+# Raw-URL fixture for canonicalization dedup: both engines synthesize
+# the SAME messy URL per doc (scheme case, www. prefix, host case,
+# tracking params, fragment, trailing slash all vary with doc_id) such
+# that docs sharing doc_id DIV 3 refer to the same logical resource
+# through different surface forms. The construction is shared text;
+# the CANONICALIZATION under test is implemented independently on each
+# engine as a generic regexp pipeline (it never peeks at how the
+# fixture varied the noise).
+_RAW_URL_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+  || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN upper('site-' || CAST((doc_id // 3) % 25 AS VARCHAR))
+          ELSE 'site-' || CAST((doc_id // 3) % 25 AS VARCHAR) END
+  || '.'
+  || CASE CAST((doc_id // 3) % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          WHEN 2 THEN 'net' ELSE 'io' END
+  || '/p/' || CAST(doc_id // 3 AS VARCHAR)
+  || CASE CAST(doc_id % 3 AS INT)
+       WHEN 0 THEN '?utm_source=feed&x=1'
+       WHEN 1 THEN '?x=1'
+       ELSE '?x=1&utm_campaign=mirror' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+"""
+
+# Generic canonicalization, applied in this order on BOTH engines:
+# 1. drop the fragment; 2. lowercase scheme+host (path/query case is
+# significant and preserved); 3. drop the scheme; 4. strip a leading
+# www.; 5. strip utm_*/fbclid/gclid tracking parameters; 6. tidy the
+# separator debris that strip leaves (?&->?, trailing ?/&); 7. strip a
+# trailing slash on non-root paths.
+_CANON_STEPS_SQL = """
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                                 '^[A-Za-z]+://([^/?#]+)', 1))
+            || regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                              '^[A-Za-z]+://[^/?#]+(.*)$', 1),
+            '^www\\.', ''),
+          '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', ''),
+        '\\?&', '?'),
+      '[?&]$', ''),
+    '/$', '')
+"""
+
+_URL_CANON_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+), canon AS (
+  SELECT doc_id, {_CANON_STEPS_SQL} AS canonical_url FROM raw
+)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_CANON_SQL, tags=("dedup", "text"))
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup — the cheapest and highest-yield
+    dedup pass in a web-crawl pipeline (CCNet/RefinedWeb run it before
+    any content hashing): fragment dropped, scheme+host lowercased,
+    scheme and leading ``www.`` stripped, ``utm_*``/``fbclid``/``gclid``
+    tracking parameters removed, separator debris tidied, trailing
+    slash normalized — then keep the FIRST document per canonical URL.
+    Pure string expressions in whole-stage codegen (no UDF), one hash
+    aggregate on the canonical key: one narrow shuffle at any corpus
+    size, and the canonical key is exactly what the incremental dedup
+    band store would version for new-crawl batches. The oracle runs
+    the same generic pipeline in DuckDB's regexp engine — RE2 vs Java
+    regex agreeing on every step is part of what the gate checks."""
+    docs = t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 3).cast("bigint")  # doc_id DIV 3, non-negative ids
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.upper(F.concat(F.lit("site-"), (g % 25).cast("string"))),
+            ).otherwise(F.concat(F.lit("site-"), (g % 25).cast("string"))),
+            F.lit("."),
+            F.when(g % 4 == 0, F.lit("com"))
+            .when(g % 4 == 1, F.lit("org"))
+            .when(g % 4 == 2, F.lit("net"))
+            .otherwise(F.lit("io")),
+            F.lit("/p/"),
+            g.cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&x=1"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?x=1"))
+            .otherwise(F.lit("?x=1&utm_campaign=mirror")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(
+                F.lit("")
+            ),
+        ).alias("raw_url"),
+    )
+    no_frag = F.regexp_replace(F.col("raw_url"), F.lit("#.*$"), F.lit(""))
+    host = F.lower(F.regexp_extract(no_frag, "^[A-Za-z]+://([^/?#]+)", 1))
+    rest = F.regexp_extract(no_frag, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.concat(host, rest), F.lit("^www\\."), F.lit("")
+                    ),
+                    F.lit("(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"),
+                    F.lit(""),
+                ),
+                F.lit("\\?&"),
+                F.lit("?"),
+            ),
+            F.lit("[?&]$"),
+            F.lit(""),
+        ),
+        F.lit("/$"),
+        F.lit(""),
+    )
+    return (
+        raw.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+    )

@@ -1534,3 +1534,63 @@ def etl_pseudonymize_referential(spark, sf_dir):
         .select(F.lit("anonymized").alias("side"), "n_joined", "n_distinct_keys")
     )
     return raw.unionAll(anon)
+
+
+_K_ANON_SQL = """
+WITH q AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS acctbal_band
+  FROM customer
+), g AS (
+  SELECT c_nationkey, c_mktsegment, acctbal_band, COUNT(*) AS n
+  FROM q GROUP BY c_nationkey, c_mktsegment, acctbal_band
+), tot AS (
+  SELECT SUM(n) AS n_total FROM g
+)
+SELECT g.c_nationkey,
+       g.c_mktsegment,
+       g.acctbal_band,
+       CAST(g.n AS BIGINT) AS n,
+       (g.n >= 5) AS meets_k,
+       CAST(g.n AS DOUBLE) / CAST(tot.n_total AS BIGINT) AS share
+FROM g, tot
+"""
+
+
+@register("etl_k_anonymity_audit", oracle=_K_ANON_SQL, tags=("etl",))
+def etl_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): the pre-release
+    privacy gate — every QI equivalence class smaller than k is a
+    re-identification risk the publisher must suppress or generalize
+    (the rows `meets_k = false` flags ARE the suppression worklist,
+    and `share` is the generalization-loss input). Pairs with
+    etl_pseudonymize_referential: pseudonymization protects direct
+    identifiers, this audits the indirect ones. Banding uses
+    FLOOR(exact-double / 1000): the inputs are exact decimal-cent
+    magnitudes, so the IEEE division and floor agree bit-for-bit in
+    both engines. Shape: one narrow projection + ONE hash aggregate +
+    a one-row broadcast total — a single narrow shuffle at any scale,
+    and the group state is bounded by the QI domain, not the row
+    count."""
+    cust = t(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("acctbal_band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "acctbal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = g.agg(F.sum("n").alias("n_total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_band",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") >= 5).alias("meets_k"),
+        (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
+    )

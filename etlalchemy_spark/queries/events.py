@@ -1425,3 +1425,100 @@ def ts_cusum_changepoint(spark, sf_dir):
             ),
         )
     )
+
+
+_DECOMP_SQL = """
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+), r AS (
+  SELECT h, x,
+         SUM(x) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS wsum,
+         COUNT(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS wn
+  FROM s
+), d AS (
+  SELECT h, x,
+         CASE WHEN wn = 24 THEN wsum END AS trend_sum,
+         CASE WHEN wn = 24 THEN 24 * x - wsum END AS d24,
+         h % 24 AS hod
+  FROM r
+), seas AS (
+  SELECT hod, SUM(d24) AS s_sum, COUNT(d24) AS s_n
+  FROM d WHERE d24 IS NOT NULL GROUP BY hod
+)
+SELECT d.h AS hour_id,
+       CAST(d.x AS BIGINT) AS cnt,
+       CAST(d.trend_sum AS DOUBLE) / 24.0 AS trend,
+       CAST(seas.s_sum AS DOUBLE) / (24.0 * seas.s_n) AS seasonal,
+       CAST(seas.s_n * d.d24 - seas.s_sum AS DOUBLE) / (24.0 * seas.s_n)
+         AS remainder
+FROM d LEFT JOIN seas ON d.hod = seas.hod
+"""
+
+
+@register("ts_seasonal_decompose", oracle=_DECOMP_SQL, tags=("ts",))
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the hourly event
+    series (period 24): trend = centered 24-row moving average,
+    seasonal = per-hour-of-day mean of the detrended series, remainder
+    = what neither explains — the decomposition behind "is this spike
+    load growth, the daily cycle, or an anomaly?". Exactness: the
+    moving average is kept SCALED BY 24 (an integer window sum), the
+    detrended series as ``24*x - wsum`` (pure integers), and the
+    seasonal/remainder divisions happen once at the end on exact
+    integer operands — so all three float columns hash-match despite
+    three levels of derived means. Shape: event rows shuffle once into
+    the hourly rollup; the centered window then rides the
+    range-bucketed prefix pass (operators/prefix.ranks_and_running_sum
+    — trend(t) = pre[t+11] - pre[t-13], two narrow self-joins on
+    shifted rank, NO single-partition WindowExec) and the <=24-row
+    seasonal table broadcasts. Assumes a gap-free series (compose with
+    ts_gapfill_hourly upstream); ROWS framing matches the oracle
+    row-for-row either way."""
+    from etlalchemy_spark.operators.prefix import ranks_and_running_sum
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    r = ranks_and_running_sum(
+        s, F.col("h"), [], F.col("x").cast("decimal(18,0)"), alias="pre"
+    )
+    base = r.select("h", "x", "rn")
+    hi = r.select((F.col("rn") - 11).alias("rn"), F.col("pre").alias("pre_hi"))
+    lo = r.select((F.col("rn") + 13).alias("rn"), F.col("pre").alias("pre_lo"))
+    zero = F.lit(0).cast("decimal(18,0)")
+    j = (
+        base.join(hi, "rn", "left")
+        .join(lo, "rn", "left")
+        .select(
+            "h",
+            "x",
+            F.when(
+                (F.col("rn") >= 13) & F.col("pre_hi").isNotNull(),
+                F.col("pre_hi") - F.coalesce(F.col("pre_lo"), zero),
+            ).alias("trend_sum"),
+            (F.col("h") % 24).alias("hod"),
+        )
+        .withColumn("d24", F.lit(24) * F.col("x") - F.col("trend_sum"))
+    )
+    seas = (
+        j.where(F.col("d24").isNotNull())
+        .groupBy("hod")
+        .agg(F.sum("d24").alias("s_sum"), F.count("d24").alias("s_n"))
+    )
+    return j.join(F.broadcast(seas), "hod", "left").select(
+        F.col("h").alias("hour_id"),
+        F.col("x").cast("bigint").alias("cnt"),
+        (F.col("trend_sum").cast("double") / 24.0).alias("trend"),
+        (F.col("s_sum").cast("double") / (24.0 * F.col("s_n"))).alias("seasonal"),
+        (
+            (F.col("s_n") * F.col("d24") - F.col("s_sum")).cast("double")
+            / (24.0 * F.col("s_n"))
+        ).alias("remainder"),
+    )

@@ -1460,3 +1460,155 @@ def text_ngram_novelty(spark, sf_dir):
             "novelty"
         ),
     )
+
+
+# URL fixture: the documents table carries no URL column, so both
+# engines synthesize the SAME deterministic raw URL per doc (scheme /
+# www-prefix / TLD / tracking-query variety keyed off doc_id) — the
+# operator under test is the HOST EXTRACTION + distribution audit, not
+# the fixture. Shared text keeps the construction identical; the
+# extraction is implemented independently (Spark parse_url vs DuckDB
+# regexp), so a parse divergence fails the gate.
+_URL_EXPR_SQL = """
+  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+   || source || '.'
+   || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+           WHEN 2 THEN 'net' ELSE 'io' END
+   || '/d/' || CAST(doc_id AS VARCHAR)
+   || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=crawl&ref=idx' ELSE '' END
+"""
+
+_DOMAIN_SQL = f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents
+), hosts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                        '^www\\.', '') AS domain
+  FROM urls
+), per AS (
+  SELECT domain, COUNT(*) AS n_docs FROM hosts GROUP BY domain
+), tot AS (
+  SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_domains FROM per
+)
+SELECT per.domain,
+       CAST(per.n_docs AS BIGINT) AS n_docs,
+       CAST(per.n_docs AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share,
+       (2 * per.n_docs * tot.n_domains > 3 * tot.n_total) AS over_represented
+FROM per, tot
+"""
+
+
+@register("text_domain_distribution", oracle=_DOMAIN_SQL, tags=("text",))
+def text_domain_distribution(spark, sf_dir):
+    """Source-domain distribution audit — the first chart every
+    web-corpus curation run draws (C4 / RefinedWeb style): registrable
+    domain per document (host parsed from the URL, leading ``www.``
+    stripped), document count and corpus share per domain, and an
+    over-representation flag (share > 1.5x the mean domain share,
+    decided by EXACT integer cross-multiplication ``2*n*d > 3*N`` —
+    no float threshold to drift). Shape: one narrow (doc_id, host)
+    projection, ONE hash aggregate on domain, one broadcast of the
+    one-row total — bodies never move, so the audit costs a single
+    narrow shuffle at any corpus size. Host extraction uses Spark's
+    native ``parse_url`` (JVM codegen) while the oracle parses with a
+    regexp — independent implementations that must agree."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("net"))
+        .otherwise(F.lit("io")),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=crawl&ref=idx")).otherwise(
+            F.lit("")
+        ),
+    )
+    hosts = docs.select(
+        F.regexp_replace(
+            F.parse_url(url, F.lit("HOST")), F.lit("^www\\."), F.lit("")
+        ).alias("domain")
+    )
+    per = hosts.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_domains")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+        (2 * F.col("n_docs") * F.col("n_domains") > 3 * F.col("n_total")).alias(
+            "over_represented"
+        ),
+    )
+
+
+_COMMONNESS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.freq) AS BIGINT) AS freq_sum,
+       CAST(SUM(v.freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq,
+       CAST(SUM(CASE WHEN v.freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN v.freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+FROM toks t JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("text_unigram_commonness", oracle=_COMMONNESS_SQL, tags=("text",))
+def text_unigram_commonness(spark, sf_dir):
+    """Unigram-LM commonness scoring — the rational-arithmetic stand-in
+    for perplexity-based quality filtering (log() is libm-specific, a
+    ratio of exact longs is bit-identical): per document, the mean
+    CORPUS frequency of its token occurrences and the share of tokens
+    that are corpus-rare (global frequency <= 2). Low mean frequency +
+    high rare ratio flags gibberish / OCR noise / wrong-language docs;
+    high mean frequency flags boilerplate — the two tails a perplexity
+    filter cuts. Shape: one narrow (doc_id, token) explode (bodies
+    never shuffle), ONE vocabulary hash-agg, one equi-join on token,
+    one per-doc re-agg — at 100 TB the vocabulary aggregate is the
+    classic word-count and the join key is Zipf-skewed, which AQE's
+    skew split handles (tests/test_skew.py proves the mechanism)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    per = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("freq_sum"),
+            F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("freq_sum").cast("bigint").alias("freq_sum"),
+        (F.col("freq_sum").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_token_freq"
+        ),
+        F.col("n_rare").cast("bigint").alias("n_rare"),
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "rare_ratio"
+        ),
+    )

@@ -1,0 +1,152 @@
+"""Invariant tests for the round-8 fourth wave, beyond the oracle gate:
+canonicalization postconditions, BFS frontier properties, weighted-
+median brute-force agreement, and the exact additive identity of the
+seasonal decomposition — properties the hash-compare can't express.
+"""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_url_canonical_postconditions(spark):
+    from etlalchemy_spark.queries.dedup import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_variants"] for r in rows) == n_docs
+    # the fixture varies scheme/www/case/trackers/fragment/slash across
+    # groups of 3 docs: canonicalization must actually collapse them
+    assert len(rows) < n_docs
+    for r in rows:
+        u = r["canonical_url"]
+        assert "://" not in u and "#" not in u and "utm_" not in u
+        assert not u.startswith("www.")
+        host = u.split("/", 1)[0]
+        assert host == host.lower()
+        assert not u.endswith("/") and not u.endswith("?") and not u.endswith("&")
+
+
+def test_bfs_hops_frontier_properties(spark):
+    from etlalchemy_spark.queries.graph import graph_bfs_hops
+
+    rows = graph_bfs_hops(spark, SF_DIR).collect()
+    hops = {r["node"]: r["hops"] for r in rows}
+    assert len(hops) == len(rows)  # one row per node
+    assert all(0 <= h <= 3 for h in hops.values())
+    seeds = {
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .where(F.col("p_size") == 50)
+        .collect()
+    }
+    assert {n for n, h in hops.items() if h == 0} == seeds
+    # every hop-h>0 node must be adjacent to a hop-(h-1) node, and no
+    # edge may span more than one hop level (BFS level consistency)
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    for n, h in hops.items():
+        if h > 0:
+            assert any(hops.get(m) == h - 1 for m in adj[n]), (n, h)
+        for m in adj[n]:
+            if m in hops:
+                assert abs(hops[m] - h) <= 1, (n, h, m, hops[m])
+
+
+def test_weighted_median_matches_brute_force(spark):
+    from etlalchemy_spark.queries.aggregates import agg_weighted_median
+
+    got = {
+        r["l_suppkey"]: (r["weighted_median_price"], r["total_qty"])
+        for r in agg_weighted_median(spark, SF_DIR).collect()
+    }
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_suppkey", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_supp = defaultdict(list)
+    for r in li:
+        by_supp[r["l_suppkey"]].append(
+            (round(r["l_extendedprice"], 2), int(r["l_quantity"]))
+        )
+    assert set(got) == set(by_supp)
+    for k, vw in by_supp.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                assert abs(got[k][0] - v) < 1e-9, k
+                break
+        assert got[k][1] == tot
+
+
+def test_seasonal_decompose_additive_identity(spark):
+    from etlalchemy_spark.queries.events import ts_seasonal_decompose
+
+    rows = ts_seasonal_decompose(spark, SF_DIR).collect()
+    assert rows
+    n_trend = 0
+    for r in rows:
+        if r["trend"] is not None and r["remainder"] is not None:
+            n_trend += 1
+            # exact rational identity x = trend + seasonal + remainder,
+            # up to the three final float divisions
+            recon = r["trend"] + r["seasonal"] + r["remainder"]
+            assert abs(recon - r["cnt"]) < 1e-6, r
+    # interior rows (full 24-row window) must exist on the fixture
+    assert n_trend > 0
+    # edge rows: exactly 12 leading + 11 trailing hours lack a trend
+    assert sum(1 for r in rows if r["trend"] is None) == 23
+
+
+def test_unigram_commonness_bounds(spark):
+    from etlalchemy_spark.queries.text import text_unigram_commonness
+
+    rows = text_unigram_commonness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["freq_sum"] >= r["n_tokens"] >= 1  # every token freq >= 1
+        assert r["mean_token_freq"] >= 1.0
+        assert 0.0 <= r["rare_ratio"] <= 1.0
+
+
+def test_domain_distribution_shares(spark):
+    from etlalchemy_spark.queries.text import text_domain_distribution
+
+    rows = text_domain_distribution(spark, SF_DIR).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        assert r["over_represented"] == (r["share"] > 1.5 * mean_share)
+
+
+def test_k_anonymity_totals(spark):
+    from etlalchemy_spark.queries.etl import etl_k_anonymity_audit
+
+    rows = etl_k_anonymity_audit(spark, SF_DIR).collect()
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r["n"] for r in rows) == n_cust
+    for r in rows:
+        assert r["meets_k"] == (r["n"] >= 5)
+        assert abs(r["share"] - r["n"] / n_cust) < 1e-12
