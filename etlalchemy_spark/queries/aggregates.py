@@ -1151,3 +1151,64 @@ def agg_weighted_median(spark, sf_dir):
             F.min("tot").cast("bigint").alias("total_qty"),
         )
     )
+
+
+_WILSON_SQL = """
+WITH g AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+       ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+        - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS wilson_lo,
+       ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+        + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS wilson_hi
+FROM g
+"""
+
+
+@register("agg_wilson_interval", oracle=_WILSON_SQL, tags=("agg", "events"))
+def agg_wilson_interval(spark, sf_dir):
+    """Wilson 95% score interval for a per-group proportion (share of
+    events with value > 50 per event type) — the CI that stays inside
+    [0,1] and behaves at small n / extreme p, i.e. the number an
+    experiment dashboard should print instead of the +-1.96*sqrt(pq/n)
+    Wald interval. Float discipline: the only inputs are the two exact
+    longs (k, n); every derived term (p_hat, z^2 corrections, the sqrt)
+    is the SAME expression tree of correctly-rounded IEEE ops on both
+    engines (z = 1.96 as an exact shared literal, never z^2 = 3.8416
+    precomputed — the engines' literal parses could differ), so lo/hi
+    hash-match. Shape: ONE hash aggregate; interval math is per-group
+    scalar arithmetic in codegen. Group-key cardinality (event types)
+    is domain-bounded — at 100 TB this is the canonical map-side
+    partial aggregate."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = F.lit(1.96)
+    center = p + z * z / (2.0 * nd)
+    margin = z * F.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))
+    denom = 1.0 + z * z / nd
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        p.alias("p_hat"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    )

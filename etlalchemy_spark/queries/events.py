@@ -1522,3 +1522,96 @@ def ts_seasonal_decompose(spark, sf_dir):
             / (24.0 * F.col("s_n"))
         ).alias("remainder"),
     )
+
+
+_BURSTINESS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events
+), g AS (
+  SELECT user_id,
+         us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+  FROM e
+), m AS (
+  SELECT user_id,
+         COUNT(gap) AS n,
+         SUM(gap) AS s,
+         SUM(CAST(gap AS HUGEINT) * gap) AS q
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING SUM(gap) > 0
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+       CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_gap,
+       (sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       / (sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+          + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS burstiness,
+       (s < 2000000 * n OR 4 * CAST(n AS HUGEINT) * q < 5 * CAST(s AS HUGEINT) * s)
+         AS suspicious
+FROM m
+"""
+
+
+@register("events_bot_burstiness", oracle=_BURSTINESS_SQL, tags=("events",))
+def events_bot_burstiness(spark, sf_dir):
+    """Bot / scripted-traffic detection from inter-event timing — the
+    behavioral screen a training-data pipeline runs before trusting
+    engagement signals (and an abuse team runs on API logs): per user,
+    the gap-series mean, variance, and Goh-Barabasi burstiness
+    B = (sigma - mu)/(sigma + mu) — human activity is bursty (B > 0),
+    timers and scripts are metronomic (B -> -1). `suspicious` flags
+    metronomic-or-rapid actors by EXACT integer tests (mean gap < 2 s
+    as ``s < 2e6*n``; sigma < mu/2 as ``4nq < 5s^2`` — cross-multiplied
+    HUGEINT/decimal, no float threshold). Variance comes from integer
+    moments (n*sum(g^2) - sum(g)^2, exact decimal) so mean/var/
+    burstiness all hash-match; the only float ops are two divisions
+    and one sqrt on identical operands. Shape: one lag window
+    partitioned by user (cardinality grows with data, state bounded),
+    one hash aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    wl = W.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id", (F.col("us") - F.lag("us").over(wl)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n"),
+            F.sum("gap").alias("s"),
+            F.sum(
+                F.col("gap").cast("decimal(13,0)") * F.col("gap").cast("decimal(13,0)")
+            ).alias("q"),
+        )
+        .where(F.col("s") > 0)
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var_num = F.col("n").cast("decimal(10,0)") * F.col("q") - F.col("s").cast(
+        "decimal(19,0)"
+    ) * F.col("s").cast("decimal(19,0)")
+    var = var_num.cast("double") / (nd * nd)
+    sigma = F.sqrt(var)
+    rapid = F.col("s") < 2000000 * F.col("n")
+    regular = 4 * (F.col("n").cast("decimal(10,0)") * F.col("q")) < 5 * (
+        F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        mean.alias("mean_gap_us"),
+        var.alias("var_gap"),
+        ((sigma - mean) / (sigma + mean)).alias("burstiness"),
+        (rapid | regular).alias("suspicious"),
+    )

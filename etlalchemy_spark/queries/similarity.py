@@ -941,3 +941,73 @@ def sim_mmr_diverse_topk(spark, sf_dir):
         .select(F.explode(entries).alias("_e"))
         .select("_e.step", "_e.vec_id", "_e.relevance")
     )
+
+
+def _hybrid_rrf_sql() -> str:
+    from etlalchemy_spark.queries.text import _BM25_SQL
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+  FROM ( {_BM25_SQL} )
+), co AS (
+  SELECT vec_id AS doc_id, CAST(rank AS INT) AS r FROM ( {_TOPK_SQL} )
+), ids AS (
+  SELECT doc_id FROM bm UNION SELECT doc_id FROM co
+)
+SELECT ids.doc_id,
+       CAST(COALESCE(1.0 / (60 + bm.r), 0.0)
+            + COALESCE(1.0 / (60 + co.r), 0.0) AS DOUBLE) AS rrf,
+       bm.r AS bm25_rank,
+       co.r AS cosine_rank
+FROM ids LEFT JOIN bm ON ids.doc_id = bm.doc_id
+         LEFT JOIN co ON ids.doc_id = co.doc_id
+ORDER BY rrf DESC, ids.doc_id
+LIMIT 10
+"""
+
+
+@register("sim_hybrid_rrf_fusion", oracle=_hybrid_rrf_sql(), tags=("similarity", "text"))
+def sim_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with exact-cosine
+    vector top-10 by reciprocal-rank fusion (RRF, k=60) — the standard
+    two-tower retrieval stack (sparse + dense, fused rank-side so the
+    incomparable score scales never meet). Built by COMPOSING the two
+    registered retrievers (text_bm25_search, sim_cosine_topk_exact):
+    each list is the distributed part, the fusion runs on
+    aggregate-sized state (<=30 ids). RRF terms 1/(60+rank) are
+    divisions of exact integers (correctly rounded, bit-identical)
+    summed in a fixed two-slot order, so fused scores hash-match.
+    The documents and embeddings fixtures share the 0..N id space —
+    doc_id IS vec_id (TESTDATA.md)."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.queries.text import text_bm25_search
+
+    bm = text_bm25_search(spark, sf_dir)
+    bm = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("r_bm"),
+    )
+    co = sim_cosine_topk_exact(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("r_co")
+    )
+    ids = bm.select("doc_id").union(co.select("doc_id")).distinct()
+    j = ids.join(bm, "doc_id", "left").join(co, "doc_id", "left")
+    rrf = F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("r_co")), F.lit(0.0)
+    )
+    return (
+        j.select(
+            "doc_id",
+            rrf.cast("double").alias("rrf"),
+            F.col("r_bm").alias("bm25_rank"),
+            F.col("r_co").alias("cosine_rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )

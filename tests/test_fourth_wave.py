@@ -150,3 +150,64 @@ def test_k_anonymity_totals(spark):
     for r in rows:
         assert r["meets_k"] == (r["n"] >= 5)
         assert abs(r["share"] - r["n"] / n_cust) < 1e-12
+
+
+def test_rrf_fusion_composes_both_retrievers(spark):
+    from etlalchemy_spark.queries.similarity import (
+        sim_cosine_topk_exact,
+        sim_hybrid_rrf_fusion,
+    )
+    from etlalchemy_spark.queries.text import text_bm25_search
+
+    fused = sim_hybrid_rrf_fusion(spark, SF_DIR).collect()
+    assert len(fused) == 10
+    bm_ids = {r["doc_id"] for r in text_bm25_search(spark, SF_DIR).collect()}
+    co_ids = {r["vec_id"] for r in sim_cosine_topk_exact(spark, SF_DIR).collect()}
+    for r in fused:
+        # every fused doc comes from at least one list, its rank
+        # columns agree with membership, and the RRF score is exactly
+        # the sum of its two reciprocal terms
+        in_bm, in_co = r["doc_id"] in bm_ids, r["doc_id"] in co_ids
+        assert in_bm or in_co
+        assert (r["bm25_rank"] is not None) == in_bm
+        assert (r["cosine_rank"] is not None) == in_co
+        expect = (1.0 / (60 + r["bm25_rank"]) if in_bm else 0.0) + (
+            1.0 / (60 + r["cosine_rank"]) if in_co else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-15
+    # a doc present in BOTH lists must outrank a doc present in one
+    # list at the same positions — monotonicity of fusion
+    scores = [r["rrf"] for r in fused]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_wilson_interval_properties(spark):
+    from etlalchemy_spark.queries.aggregates import agg_wilson_interval
+
+    rows = agg_wilson_interval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+        # Wilson shrinks toward 1/2: the midpoint sits between p_hat and 0.5
+        mid = (r["wilson_lo"] + r["wilson_hi"]) / 2
+        assert min(r["p_hat"], 0.5) - 1e-12 <= mid <= max(r["p_hat"], 0.5) + 1e-12
+
+
+def test_burstiness_bounds_and_flags(spark):
+    from etlalchemy_spark.queries.events import events_bot_burstiness
+
+    rows = events_bot_burstiness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["burstiness"] <= 1.0
+        assert r["var_gap"] >= 0.0
+        sigma = r["var_gap"] ** 0.5
+        rapid = r["mean_gap_us"] < 2_000_000
+        regular = 2 * sigma < r["mean_gap_us"]
+        # float reconstruction of the exact integer flags (tolerance-
+        # free cases only: skip rows within 1e-9 of either boundary)
+        if (
+            abs(r["mean_gap_us"] - 2_000_000) > 1e-3
+            and abs(2 * sigma - r["mean_gap_us"]) > 1e-3
+        ):
+            assert r["suspicious"] == (rapid or regular), r
