@@ -1212,3 +1212,192 @@ def agg_wilson_interval(spark, sf_dir):
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
     )
+
+
+_WELCH_SQL = """
+WITH x AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01 00:00:00' THEN 'pre' ELSE 'post' END AS era,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), m AS (
+  SELECT era, COUNT(*) AS n, SUM(cents) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS q
+  FROM x GROUP BY era
+), w AS (
+  SELECT
+    (SELECT n FROM m WHERE era = 'pre') AS n1,
+    (SELECT s FROM m WHERE era = 'pre') AS s1,
+    (SELECT q FROM m WHERE era = 'pre') AS q1,
+    (SELECT n FROM m WHERE era = 'post') AS n2,
+    (SELECT s FROM m WHERE era = 'post') AS s2,
+    (SELECT q FROM m WHERE era = 'post') AS q2
+)
+SELECT CAST(n1 AS BIGINT) AS n_pre,
+       CAST(n2 AS BIGINT) AS n_post,
+       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_pre,
+       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS mean_post,
+       (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         / sqrt(
+             (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+             + (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))
+           ) AS t_stat,
+       (
+         (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+         + (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+            / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))
+       ) * (
+         (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+         + (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+            / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))
+       ) / (
+         (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+         * (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+         / CAST(n1 - 1 AS DOUBLE)
+         + (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+            / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))
+         * (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+            / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))
+         / CAST(n2 - 1 AS DOUBLE)
+       ) AS welch_dof
+FROM w
+"""
+
+
+@register("agg_welch_ttest", oracle=_WELCH_SQL, tags=("agg",))
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-test (unequal variances) comparing order
+    totals before/after mid-1998 — the "did the metric actually move?"
+    gate between two corpus snapshots / experiment arms / pipeline
+    versions. Sufficient statistics only: each group reduces to the
+    exact integer triple (n, sum-of-cents, sum-of-squared-cents); the
+    t statistic and the Welch-Satterthwaite dof are then one shared
+    IEEE expression tree over those longs — both floats hash-match.
+    (The p-value needs an incomplete-beta, i.e. a libm special
+    function that is NOT correctly rounded — by the same policy as
+    log-free TF-IDF we publish the statistic and dof, which any client
+    can turn into a p-value.) Shape: one map-side-partial aggregate to
+    TWO rows, then a broadcast one-row pivot — nothing else moves, so
+    the test costs one scan at any scale."""
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.when(F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"), "pre")
+        .otherwise("post")
+        .alias("era"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    m = x.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("q"),
+    )
+    pre = m.where(F.col("era") == "pre").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    post = m.where(F.col("era") == "post").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("q").alias("q2")
+    )
+    w = pre.crossJoin(F.broadcast(post))
+
+    def sem2(n, s, q):
+        nd = F.col(n).cast("double")
+        num = (
+            F.col(n).cast("decimal(10,0)") * F.col(q)
+            - F.col(s).cast("decimal(19,0)") * F.col(s).cast("decimal(19,0)")
+        ).cast("double")
+        return num / (nd * nd * (F.col(n) - 1).cast("double"))
+
+    v1, v2 = sem2("n1", "s1", "q1"), sem2("n2", "s2", "q2")
+    mean1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    mean2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_pre"),
+        F.col("n2").cast("bigint").alias("n_post"),
+        (mean1 / 100.0).alias("mean_pre"),
+        (mean2 / 100.0).alias("mean_post"),
+        ((mean1 - mean2) / F.sqrt(v1 + v2)).alias("t_stat"),
+        (
+            (v1 + v2) * (v1 + v2)
+            / (
+                v1 * v1 / (F.col("n1") - 1).cast("double")
+                + v2 * v2 / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_dof"),
+    )
+
+
+_HHI_SQL = """
+WITH x AS (
+  SELECT s_nationkey,
+         l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+), n AS (
+  SELECT s_nationkey,
+         SUM(rev) AS tot,
+         SUM(CAST(rev AS HUGEINT) * rev) AS sq,
+         COUNT(*) AS n_suppliers
+  FROM x GROUP BY s_nationkey
+)
+SELECT s_nationkey,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi,
+       (10000 * CAST(sq AS HUGEINT) > 2500 * CAST(tot AS HUGEINT) * tot)
+         AS concentrated
+FROM n
+"""
+
+
+@register("agg_hhi_concentration", oracle=_HHI_SQL, tags=("agg",))
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each nation — HHI = sum(share^2) = sum(x^2)/(sum(x))^2, the
+    antitrust-style "is this market/source/shard dominated by a few
+    keys?" number (pairs with agg_gini_concentration: Gini measures
+    inequality, HHI measures dominance). All moments are exact
+    integers (revenue in cents, squares in HUGEINT/decimal), the HHI
+    one final division; the DOJ 0.25 threshold is tested by exact
+    integer cross-multiplication (10000*sq > 2500*tot^2), not a float
+    compare. Shape: two hash aggregates (supplier rollup, then nation
+    moments) — the second runs on supplier-level state, already
+    aggregate-sized."""
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier")
+    x = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("rev")
+        )
+    )
+    n = x.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("tot"),
+        F.sum(
+            F.col("rev").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")
+        ).alias("sq"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return n.select(
+        "s_nationkey",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        (
+            F.col("sq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        ).alias("hhi"),
+        (
+            10000 * F.col("sq")
+            > 2500 * F.col("tot").cast("decimal(19,0)") * F.col("tot").cast("decimal(19,0)")
+        ).alias("concentrated"),
+    )

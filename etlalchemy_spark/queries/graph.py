@@ -384,3 +384,65 @@ def graph_bfs_hops(spark, sf_dir):
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited.select("node", F.col("hop").cast("int").alias("hops"))
+
+
+_ASSORT_SQL = _EDGE_CTES + """
+, sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), dd AS (
+  SELECT s.u, s.v, du.degree AS dx, dv.degree AS dy
+  FROM sym s JOIN deg du ON s.u = du.node JOIN deg dv ON s.v = dv.node
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM dd
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+         AS assortativity
+FROM m
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_SQL, tags=("graph",))
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the symmetric edge list — the
+    one-number topology fingerprint (positive = hubs link to hubs,
+    social-network-like; negative = hub-and-spoke, web/biology-like)
+    that decides whether hub-capped algorithms (triangle counting,
+    common-neighbors) will prune a little or a lot. All five Pearson
+    moments are integer sums (degrees are counts; squares/products in
+    HUGEINT/decimal), so the only float ops are one sqrt and one
+    division on identical operands — hash-exact. Shape: degree
+    aggregate + two narrow joins tagging each edge endpoint + ONE
+    moment aggregate to a single row. Edges shuffle on node id twice;
+    nothing wider than (u, v, two ints) ever moves."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = _degrees(sym.select("u", "v"))  # symmetric list: degree = count per u
+    dd = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("dx")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dy")), "v")
+    )
+    m = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(19,0)") * F.col("dx").cast("decimal(19,0)")).alias("sxx"),
+        F.sum(F.col("dy").cast("decimal(19,0)") * F.col("dy").cast("decimal(19,0)")).alias("syy"),
+        F.sum(F.col("dx").cast("decimal(19,0)") * F.col("dy").cast("decimal(19,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(19,0)")
+    num = (n * F.col("sxy") - F.col("sx").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        (num / F.sqrt(vx * vy)).alias("assortativity"),
+    )

@@ -1612,3 +1612,78 @@ def text_unigram_commonness(spark, sf_dir):
             "rare_ratio"
         ),
     )
+
+
+_SRC_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+    FROM documents
+  )
+), sz AS (
+  SELECT source, COUNT(*) AS n FROM st GROUP BY source
+), ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT ov.src_a, ov.src_b,
+       CAST(ov.inter AS BIGINT) AS intersection,
+       CAST(na.n AS BIGINT) AS vocab_a,
+       CAST(nb.n AS BIGINT) AS vocab_b,
+       CAST(ov.inter AS DOUBLE)
+         / CAST(na.n + nb.n - ov.inter AS DOUBLE) AS jaccard
+FROM ov
+JOIN sz na ON ov.src_a = na.source
+JOIN sz nb ON ov.src_b = nb.source
+"""
+
+
+@register("text_source_vocab_overlap", oracle=_SRC_OVERLAP_SQL, tags=("text",))
+def text_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    mixing-matrix diagnostic behind dataset-composition decisions: two
+    sources with near-1 overlap are redundant (keep the higher-quality
+    one), near-0 overlap means a genuinely new domain (up-weight it).
+    Shape: the (source, token) DISTINCT stream is the only thing
+    derived from bodies (narrow — text never shuffles); pair counts
+    come from ONE equi-join on token (never a source-cross-source
+    scan: pairs materialize only where a token is shared, and the
+    source< source orientation halves them); sizes join back
+    broadcast-sized. Intersections and vocabulary sizes are exact
+    longs, Jaccard one division — hash-exact. At 100 TB source count
+    is small while tokens are Zipf-skewed: the token join is the AQE
+    skew-split case proven in tests/test_skew.py."""
+    docs = t(spark, sf_dir, "documents")
+    st = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "tok"
+        ),
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    ov = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sz.select(F.col("source").alias("src_a"), F.col("n").alias("vocab_a"))
+    nb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("vocab_b"))
+    return (
+        ov.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("bigint").alias("intersection"),
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -211,3 +211,72 @@ def test_burstiness_bounds_and_flags(spark):
             and abs(2 * sigma - r["mean_gap_us"]) > 1e-3
         ):
             assert r["suspicious"] == (rapid or regular), r
+
+
+def test_welch_ttest_matches_scipy_free_reference(spark):
+    from etlalchemy_spark.queries.aggregates import agg_welch_ttest
+
+    r = agg_welch_ttest(spark, SF_DIR).collect()[0]
+    # brute-force Welch from the raw rows
+    rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    import datetime
+
+    split = datetime.datetime(1998, 7, 1)
+    pre = [round(x["o_totalprice"], 2) for x in rows if x["o_orderdate"] < split]
+    post = [round(x["o_totalprice"], 2) for x in rows if x["o_orderdate"] >= split]
+    assert (r["n_pre"], r["n_post"]) == (len(pre), len(post))
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return m, v / n
+
+    m1, se1 = mv(pre)
+    m2, se2 = mv(post)
+    t = (m1 - m2) / (se1 + se2) ** 0.5
+    dof = (se1 + se2) ** 2 / (se1**2 / (len(pre) - 1) + se2**2 / (len(post) - 1))
+    assert abs(r["t_stat"] - t) < 1e-6
+    assert abs(r["welch_dof"] - dof) / dof < 1e-6
+
+
+def test_hhi_bounds(spark):
+    from etlalchemy_spark.queries.aggregates import agg_hhi_concentration
+
+    rows = agg_hhi_concentration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # HHI ranges from 1/n (perfect equality) to 1 (monopoly)
+        assert 1.0 / r["n_suppliers"] - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
+        assert r["concentrated"] == (r["hhi"] > 0.25) or abs(r["hhi"] - 0.25) < 1e-9
+
+
+def test_vocab_overlap_symmetric_complete(spark):
+    from etlalchemy_spark.queries.text import text_source_vocab_overlap
+
+    rows = text_source_vocab_overlap(spark, SF_DIR).collect()
+    n_sources = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    # every unordered source pair with a shared token appears at most once
+    pairs = {(r["src_a"], r["src_b"]) for r in rows}
+    assert len(pairs) == len(rows)
+    assert len(rows) <= n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["intersection"] <= min(r["vocab_a"], r["vocab_b"])
+        denom = r["vocab_a"] + r["vocab_b"] - r["intersection"]
+        assert abs(r["jaccard"] - r["intersection"] / denom) < 1e-12
+
+
+def test_assortativity_in_range(spark):
+    from etlalchemy_spark.queries.graph import graph_degree_assortativity
+
+    r = graph_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+    assert r["n_directed_edges"] % 2 == 0  # symmetric list
