@@ -1401,3 +1401,55 @@ def agg_hhi_concentration(spark, sf_dir):
             > 2500 * F.col("tot").cast("decimal(19,0)") * F.col("tot").cast("decimal(19,0)")
         ).alias("concentrated"),
     )
+
+
+_EB_RATE_SQL = """
+WITH per AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+  FROM lineitem GROUP BY l_suppkey
+), g AS (
+  SELECT SUM(n) AS big_n, SUM(k) AS big_k FROM per
+)
+SELECT per.l_suppkey,
+       CAST(per.n AS BIGINT) AS n,
+       CAST(per.k AS BIGINT) AS k,
+       CAST(per.k AS DOUBLE) / CAST(per.n AS DOUBLE) AS raw_rate,
+       (CAST(per.k AS DOUBLE)
+        + 50.0 * (CAST(g.big_k AS DOUBLE) / CAST(g.big_n AS DOUBLE)))
+         / (CAST(per.n AS DOUBLE) + 50.0) AS smoothed_rate
+FROM per, g
+"""
+
+
+@register("agg_eb_smoothed_rate", oracle=_EB_RATE_SQL, tags=("agg",))
+def agg_eb_smoothed_rate(spark, sf_dir):
+    """Empirical-Bayes smoothed rate (beta-binomial shrinkage,
+    pseudo-count m=50): per-supplier return rate pulled toward the
+    global rate — the fix for the universal small-n ranking bug where
+    a 1-for-1 supplier "beats" a 490-for-10000 one. smoothed =
+    (k + m*p0)/(n + m) with p0 the corpus rate; ranking by this column
+    is the production answer for review queues, seller scores, and
+    source-quality ordering. Inputs are four exact longs (k, n, K, N);
+    the smoothing is one shared IEEE expression tree — hash-exact.
+    Shape: one per-key hash aggregate + a one-row global broadcast;
+    the global prior is FREE (re-aggregated from per-key state, no
+    second scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
+    )
+    g = per.agg(F.sum("n").alias("big_n"), F.sum("k").alias("big_k"))
+    p0 = F.col("big_k").cast("double") / F.col("big_n").cast("double")
+    return per.crossJoin(F.broadcast(g)).select(
+        "l_suppkey",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        (F.col("k").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        (
+            (F.col("k").cast("double") + 50.0 * p0)
+            / (F.col("n").cast("double") + 50.0)
+        ).alias("smoothed_rate"),
+    )

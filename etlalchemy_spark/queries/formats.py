@@ -615,3 +615,41 @@ def fmt_balanced_shards(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("n_chars_total"),
     )
+
+
+_MINMAX_PRUNE_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("fmt_sorted_minmax_pruning", oracle=_MINMAX_PRUNE_SQL, tags=("sources",))
+def fmt_sorted_minmax_pruning(spark, sf_dir):
+    """Time-range layout + footer min/max pruning: lineitem is
+    range-partitioned AND sorted on l_shipdate into 8 files (each file
+    owns a disjoint date span, so its parquet footer min/max is
+    maximally selective), then a quarter-long range scan reads it
+    back. This is the single-dimension sibling of
+    fmt_zorder_clustered_write (z-order trades per-column selectivity
+    across TWO keys; a pure sort gives one key everything) and the
+    layout a time-series lake should default to: at 100 TB a
+    quarter-scan touches ~1/24 of the files, and WITHIN each touched
+    file row-group stats skip further. Value fidelity is the oracle
+    (same range predicate on the original table); the disjoint-span +
+    PushedFilters claims are pinned in tests/test_layout.py."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    tmp = os.path.join(scratch_dir("minmax", sf_dir), "lineitem_by_shipdate")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    return back.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))

@@ -515,3 +515,90 @@ def sample_fixed_total_allocation(spark, sf_dir):
         .where(F.col("_rn") <= F.element_at(quota, F.col("o_orderpriority")))
         .drop("_rn")
     )
+
+
+_AB_SQL = f"""
+WITH a AS (
+  SELECT c_custkey,
+         CASE WHEN {_bucket_sql("c_custkey", "ab:")} < 500000
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM customer
+), per AS (
+  SELECT arm, COUNT(*) AS n_customers FROM a GROUP BY arm
+), om AS (
+  SELECT a.arm,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS s
+  FROM orders JOIN a ON o_custkey = a.c_custkey
+  GROUP BY a.arm
+), srm AS (
+  SELECT SUM(CASE WHEN arm = 'control' THEN n_customers ELSE 0 END) AS nc,
+         SUM(CASE WHEN arm = 'treatment' THEN n_customers ELSE 0 END) AS nt
+  FROM per
+)
+SELECT per.arm,
+       CAST(per.n_customers AS BIGINT) AS n_customers,
+       CAST(om.n_orders AS BIGINT) AS n_orders,
+       CAST(om.s AS DOUBLE) / CAST(om.n_orders AS DOUBLE) AS mean_order_total,
+       CAST((srm.nc - srm.nt) * (srm.nc - srm.nt) AS DOUBLE)
+         / CAST(srm.nc + srm.nt AS DOUBLE) AS srm_chi2,
+       (100 * (srm.nc - srm.nt) * (srm.nc - srm.nt) > 384 * (srm.nc + srm.nt))
+         AS srm_violated
+FROM per JOIN om ON per.arm = om.arm, srm
+"""
+
+
+@register("sample_ab_assignment", oracle=_AB_SQL, tags=("sampling", "events"))
+def sample_ab_assignment(spark, sf_dir):
+    """Deterministic A/B experiment assignment + sample-ratio-mismatch
+    (SRM) guard: customers hash into control/treatment by the portable
+    60-bit md5 bucket (stateless — any engine, any day, same arms; no
+    assignment table to sync), the per-arm readout is order count and
+    mean order value, and the SRM chi-square (1 dof, equal split:
+    (nc-nt)^2/(nc+nt)) is the first thing a trustworthy experiment
+    dashboard checks — a violated split means the assignment or
+    logging is broken and the metric readout is garbage. The 3.84
+    critical value is tested by exact integer cross-multiplication.
+    Shape: one narrow assignment projection, one broadcast-ready
+    customer->arm join, two hash aggregates, a 2-row broadcast for the
+    SRM columns."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    a = cust.select(
+        "c_custkey",
+        F.when(hash_bucket(F.col("c_custkey"), "ab:") < 500000, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    per = a.groupBy("arm").agg(F.count(F.lit(1)).alias("n_customers"))
+    om = (
+        orders.join(a, orders.o_custkey == a.c_custkey)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("s"),
+        )
+    )
+    srm = per.agg(
+        F.sum(F.when(F.col("arm") == "control", F.col("n_customers")).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("n_customers")).otherwise(0)).alias("nt"),
+    )
+    d = F.col("nc") - F.col("nt")
+    return (
+        per.join(om, "arm")
+        .crossJoin(F.broadcast(srm))
+        .select(
+            "arm",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.col("s").cast("double") / F.col("n_orders").cast("double")).alias(
+                "mean_order_total"
+            ),
+            ((d * d).cast("double") / (F.col("nc") + F.col("nt")).cast("double")).alias(
+                "srm_chi2"
+            ),
+            (100 * d * d > 384 * (F.col("nc") + F.col("nt"))).alias("srm_violated"),
+        )
+    )

@@ -89,3 +89,42 @@ def test_compact_small_files_reduces_count_and_clusters(spark, tmp_path):
         ranges.append((min(c.statistics.min for c in ks), max(c.statistics.max for c in ks)))
     ranges.sort()
     assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:])), f"overlap: {ranges}"
+
+
+def test_minmax_pruning_layout_disjoint_and_pushed(spark):
+    """fmt_sorted_minmax_pruning's claims: (a) each written file owns a
+    near-disjoint l_shipdate span (footer min/max selective), (b) the
+    range predicate reaches the parquet scan as PushedFilters."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etlalchemy_spark.plans.inspect import explain_formatted
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.queries.formats import fmt_sorted_minmax_pruning
+    from tests.conftest import SF_DIR
+
+    df = fmt_sorted_minmax_pruning(spark, SF_DIR)
+    plan = explain_formatted(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+
+    tmp = os.path.join(scratch_dir("minmax", SF_DIR), "lineitem_by_shipdate")
+    spans = []
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            for j in range(md.row_group(i).num_columns):
+                c = md.row_group(i).column(j)
+                if c.path_in_schema == "l_shipdate" and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4
+    spans.sort()
+    # range partitioning: spans may touch at a boundary value but not
+    # properly overlap
+    for a, b in zip(spans, spans[1:]):
+        assert a[1] <= b[0], f"overlapping spans: {a} {b}"
