@@ -993,3 +993,113 @@ def mm_audio_autocorr_pitch(spark, sf_dir):
 
     wavs = params.mapInPandas(synth, "doc_id long, payload binary")
     return audio_autocorr(wavs, "doc_id", max_lag=8)
+
+
+_VAD_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         50 + doc_id % 97 AS n_samples
+  FROM documents
+), frames AS (
+  SELECT doc_id, f,
+         list_aggregate(
+           list_transform(generate_series(f * 16, f * 16 + 15),
+             i -> CAST(((doc_id * 31 + i * 17) % 65536 - 32768) AS HUGEINT)
+                  * ((doc_id * 31 + i * 17) % 65536 - 32768)),
+           'sum') AS energy
+  FROM params, UNNEST(generate_series(0, n_samples // 16 - 1)) AS t(f)
+  WHERE n_samples >= 16
+), flagged AS (
+  SELECT doc_id, f, (energy > 3200000000) AS active FROM frames
+), runs AS (
+  SELECT doc_id, active, f - ROW_NUMBER() OVER (PARTITION BY doc_id, active ORDER BY f) AS grp
+  FROM flagged
+), runlen AS (
+  SELECT doc_id, MAX(cnt) AS longest_active_run FROM (
+    SELECT doc_id, grp, COUNT(*) AS cnt FROM runs WHERE active GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+)
+SELECT fl.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN fl.active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN fl.active THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS active_ratio,
+       CAST(COALESCE(MIN(rl.longest_active_run), 0) AS BIGINT) AS longest_active_run
+FROM flagged fl LEFT JOIN runlen rl ON fl.doc_id = rl.doc_id
+GROUP BY fl.doc_id
+"""
+
+
+@register("mm_audio_vad_segments", oracle=_VAD_SQL, tags=("multimodal", "udf"))
+def mm_audio_vad_segments(spark, sf_dir):
+    """Energy-threshold voice-activity detection over REAL decoded
+    WAV bytes: the synthetic corpus (same deterministic samples as
+    mm_decode_wav_stats, so the oracle recomputes expectations
+    formula-side without parsing bytes) is encoded to RIFF/PCM16,
+    decoded back through the Arrow mapInPandas path, split into
+    16-sample frames, and each frame's energy (sum of squared
+    samples, exact int64 in numpy / HUGEINT in the oracle) is
+    compared to an exact integer threshold. Per asset: frame count,
+    active count/ratio, and the longest active run — the segmentation
+    primitive behind silence trimming and speech-span extraction in
+    audio dataset prep. Decode+frame+flag are partition-local (one
+    Arrow pass, no shuffle, no per-row UDF); only per-asset summary
+    rows leave the executor — at 100 TB this is scan-bound exactly
+    like the production job."""
+    from etlalchemy_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(50) + F.col("doc_id") % 97).cast("int").alias("n_samples"),
+    )
+
+    def synth_decode_vad(batches):
+        import numpy as np
+        import pandas as pd
+
+        out_ids, out_nf, out_na, out_run = [], [], [], []
+        for pdf in batches:
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_samples"]):
+                i = np.arange(int(n), dtype=np.int64)
+                samples = (int(doc_id) * 31 + i * 17) % 65536 - 32768
+                payload = encode_wav_pcm16(samples, 8000)
+                _, dec = decode_wav_samples(payload)
+                nf = len(dec) // 16
+                if nf == 0:
+                    continue
+                frames = dec[: nf * 16].reshape(nf, 16).astype(np.int64)
+                energy = (frames * frames).sum(axis=1)
+                active = energy > 3_200_000_000
+                run = best = 0
+                for a in active:
+                    run = run + 1 if a else 0
+                    best = max(best, run)
+                out_ids.append(int(doc_id))
+                out_nf.append(nf)
+                out_na.append(int(active.sum()))
+                out_run.append(best)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "n_frames": pd.Series(out_nf, dtype="int64"),
+                "n_active": pd.Series(out_na, dtype="int64"),
+                "longest_active_run": pd.Series(out_run, dtype="int64"),
+            }
+        )
+
+    res = params.mapInPandas(
+        synth_decode_vad,
+        "doc_id long, n_frames long, n_active long, longest_active_run long",
+    )
+    return res.select(
+        "doc_id",
+        "n_frames",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("n_frames").cast("double")).alias(
+            "active_ratio"
+        ),
+        "longest_active_run",
+    )

@@ -483,3 +483,44 @@ def stream_incremental_ann_index(spark, sf_dir):
     return probe_bucket_index(
         spark, store, emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
     )
+
+
+@register("stream_ab_srm_monitor", oracle=None, tags=("streaming", "sampling"))
+def stream_ab_srm_monitor(spark, sf_dir):
+    """Streaming sample-ratio-mismatch monitor: events stream in, each
+    user hashes into control/treatment by the SAME portable 60-bit md5
+    bucket as the batch assignment (sample_ab_assignment, the
+    oracle-exact twin), per-arm distinct-user counts aggregate in
+    complete mode, and the final select computes the running SRM
+    chi-square — the alarm an experimentation platform wants MINUTES
+    into a rollout, not at readout time. Arm assignment is stateless,
+    so the streaming and batch paths can never disagree on who is in
+    which arm; state is two counters per arm plus the distinct-user
+    dedup state bounded by the user universe."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.streaming.events import drain_to_memory, read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    armed = ev.select(
+        F.when(hash_bucket(F.col("user_id"), "ab:") < 500000, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+        "user_id",
+    )
+    counts = armed.groupBy("arm").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = drain_to_memory(counts, "complete")
+    nc = F.sum(F.when(F.col("arm") == "control", F.col("n_events")).otherwise(0))
+    nt = F.sum(F.when(F.col("arm") == "treatment", F.col("n_events")).otherwise(0))
+    srm = out.agg(nc.alias("nc"), nt.alias("nt"))
+    d = F.col("nc") - F.col("nt")
+    return out.crossJoin(F.broadcast(srm)).select(
+        "arm",
+        "n_users_approx",
+        "n_events",
+        ((d * d).cast("double") / (F.col("nc") + F.col("nt")).cast("double")).alias(
+            "srm_chi2_events"
+        ),
+    )

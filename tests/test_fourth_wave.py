@@ -280,3 +280,40 @@ def test_assortativity_in_range(spark):
     r = graph_degree_assortativity(spark, SF_DIR).collect()[0]
     assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
     assert r["n_directed_edges"] % 2 == 0  # symmetric list
+
+
+def test_vad_consistency_with_wav_stats(spark):
+    from etlalchemy_spark.queries.multimodal import mm_audio_vad_segments
+
+    rows = mm_audio_vad_segments(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_frames"] <= (50 + 96) // 16  # n_samples in [50,146]
+        assert 0 <= r["n_active"] <= r["n_frames"]
+        assert 0 <= r["longest_active_run"] <= r["n_active"]
+        assert abs(r["active_ratio"] - r["n_active"] / r["n_frames"]) < 1e-12
+
+
+def test_stream_srm_matches_batch_assignment(spark):
+    """Streaming and batch paths share the stateless hash: every user
+    must land in the same arm both ways."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+    from etlalchemy_spark.queries.streaming import stream_ab_srm_monitor
+
+    out = {r["arm"]: r for r in stream_ab_srm_monitor(spark, SF_DIR).collect()}
+    assert set(out) <= {"control", "treatment"}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = {
+        r["arm"]: r["n_events"]
+        for r in ev.select(
+            F.when(hash_bucket(F.col("user_id"), "ab:") < 500000, "control")
+            .otherwise("treatment")
+            .alias("arm")
+        )
+        .groupBy("arm")
+        .count()
+        .withColumnRenamed("count", "n_events")
+        .collect()
+    }
+    for arm, r in out.items():
+        assert r["n_events"] == batch[arm], arm

@@ -25,6 +25,7 @@ EXACT_TWINS = {
     "sim_ivf_topk": "sim_ivf_topk_exact",
     "sketch_hll_cross_table_union": "sketch_hll_portable_registers",
     "sketch_hll_distinct_customers": "sketch_hll_portable_estimate",
+    "stream_ab_srm_monitor": "sample_ab_assignment",
     "stream_decontam_scrub": "text_decontamination",
     "stream_dedup_watermark": "dedup_exact_first_per_key",
     "stream_foreach_batch_sink": "events_tumbling_1h",
