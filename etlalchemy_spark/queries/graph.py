@@ -345,7 +345,7 @@ GROUP BY node
 """
 
 
-@register("graph_bfs_hops", oracle=_BFS_SQL, tags=("graph", "iterative"))
+@register("graph_bfs_hops", oracle=_BFS_SQL, tags=("graph", "iterative", "bench"))
 def graph_bfs_hops(spark, sf_dir):
     """Multi-source BFS hop distance (<= 3 hops) from a seed set
     (parts of size 50) over the co-purchase graph — the blast-radius /

@@ -968,7 +968,7 @@ LIMIT 10
 """
 
 
-@register("sim_hybrid_rrf_fusion", oracle=_hybrid_rrf_sql(), tags=("similarity", "text"))
+@register("sim_hybrid_rrf_fusion", oracle=_hybrid_rrf_sql(), tags=("similarity", "text", "bench"))
 def sim_hybrid_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 fused with exact-cosine
     vector top-10 by reciprocal-rank fusion (RRF, k=60) — the standard
@@ -981,17 +981,24 @@ def sim_hybrid_rrf_fusion(spark, sf_dir):
     summed in a fixed two-slot order, so fused scores hash-match.
     The documents and embeddings fixtures share the 0..N id space —
     doc_id IS vec_id (TESTDATA.md)."""
-    from pyspark.sql import Window as W
-
     from etlalchemy_spark.queries.text import text_bm25_search
 
+    # Rank the <=20-row BM25 list with the array-packed cumulative
+    # idiom (sort_array + posexplode on ONE aggregate row) instead of
+    # an unpartitioned window — the tiny-frame house rule the plan
+    # police enforces on every bench query (tests/test_plans.py).
     bm = text_bm25_search(spark, sf_dir)
-    bm = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
-        .cast("int")
-        .alias("r_bm"),
+    bm = (
+        bm.agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("score")).alias("neg"), "doc_id"))
+            ).alias("a")
+        )
+        .select(F.posexplode("a").alias("pos", "st"))
+        .select(
+            F.col("st.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias("r_bm"),
+        )
     )
     co = sim_cosine_topk_exact(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("r_co")

@@ -1569,7 +1569,7 @@ GROUP BY t.doc_id
 """
 
 
-@register("text_unigram_commonness", oracle=_COMMONNESS_SQL, tags=("text",))
+@register("text_unigram_commonness", oracle=_COMMONNESS_SQL, tags=("text", "bench"))
 def text_unigram_commonness(spark, sf_dir):
     """Unigram-LM commonness scoring — the rational-arithmetic stand-in
     for perplexity-based quality filtering (log() is libm-specific, a
