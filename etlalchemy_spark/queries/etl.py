@@ -1594,3 +1594,82 @@ def etl_k_anonymity_audit(spark, sf_dir):
         (F.col("n") >= 5).alias("meets_k"),
         (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
     )
+
+
+_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+  FROM events
+), f AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+)
+SELECT user_id,
+       CAST(island AS INT) AS island,
+       CAST(MIN(s) AS BIGINT) AS valid_from_us,
+       CAST(MAX(e) AS BIGINT) AS valid_to_us,
+       CAST(COUNT(*) AS BIGINT) AS n_source_rows
+FROM isl
+GROUP BY user_id, island
+"""
+
+
+@register("etl_interval_merge_compaction", oracle=_INTERVAL_MERGE_SQL, tags=("etl", "ts"))
+def etl_interval_merge_compaction(spark, sf_dir):
+    """Validity-interval compaction — the SCD housekeeping step that
+    collapses overlapping/abutting per-key validity rows (here: each
+    event opens a 30-minute span) into maximal disjoint intervals,
+    each tagged with how many source rows it absorbed. This is what
+    keeps a slowly-changing dimension readable after months of
+    micro-updates, and the same sweep powers downtime/uptime
+    consolidation. One running-max window ordered within each key
+    detects island breaks (new interval <=> start exceeds max end of
+    ALL earlier intervals — the O(n) sweep, never the O(n^2) overlap
+    self-join), one running sum numbers the islands, one hash
+    aggregate emits them. Epoch-microsecond longs end to end;
+    event_id tie-breaks pin same-timestamp order in both engines. Key
+    cardinality grows with data, so per-key window state stays
+    bounded at 100 TB."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 1_800_000_000).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    f = iv.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    isl = f.withColumn("island", F.sum("brk").over(w_run))
+    return isl.groupBy("user_id", F.col("island").cast("int").alias("island")).agg(
+        F.min("s").cast("bigint").alias("valid_from_us"),
+        F.max("e").cast("bigint").alias("valid_to_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_rows"),
+    )

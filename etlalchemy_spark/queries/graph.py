@@ -365,6 +365,11 @@ def graph_bfs_hops(spark, sf_dir):
     and the round count is the fixed hop bound, not the data size."""
     edges = _edges(spark, sf_dir)
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # BFS joins the SAME full edge list every round (unlike k-core's
+    # shrinking set), so cut its lineage once up front: without this
+    # the scan+self-join+distinct edge build re-executes per round
+    # (3x at rounds=3 — measured 5.5s -> the dominant bench cost).
+    sym = sym.localCheckpoint(eager=False)
     part = t(spark, sf_dir, "part")
     seeds = (
         part.where(F.col("p_size") == 50)

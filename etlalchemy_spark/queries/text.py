@@ -1687,3 +1687,58 @@ def text_source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+_KWIC_SQL = """
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a FROM documents
+), hits AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(a, (x, i) ->
+             CASE WHEN x = 'window'
+                  THEN struct_pack(pos := i,
+                       ctx := array_to_string(a[greatest(i - 2, 1):least(i + 2, len(a))], ' '))
+             END),
+           s -> s IS NOT NULL) AS hs
+  FROM arrs
+)
+SELECT doc_id, CAST(h.pos AS BIGINT) AS pos, h.ctx AS context
+FROM hits, UNNEST(hs) AS t(h)
+"""
+
+
+@register("text_kwic_concordance", oracle=_KWIC_SQL, tags=("text",))
+def text_kwic_concordance(spark, sf_dir):
+    """KWIC (keyword-in-context) concordance for a query term: every
+    occurrence of 'window' with its +-2-token context — the
+    eyeball-the-corpus tool behind tokenizer debugging, decontamination
+    spot checks, and PII-pattern discovery (seeing the term IN CONTEXT
+    is how you decide whether to filter it). Built entirely from
+    HIGHER-ORDER array functions (transform-with-index + filter +
+    slice) evaluated inside whole-stage codegen: the token array never
+    explodes into per-(token, context) rows — contexts materialize
+    only at match positions, so the operator ships |matches| narrow
+    rows, not |tokens| wide ones. Positions are 1-based to match the
+    oracle's list semantics; both engines run structurally identical
+    lambda pipelines in their native engines."""
+    docs = t(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("a")
+    )
+    hits = F.expr(
+        """
+        filter(
+          transform(a, (x, i) ->
+            CASE WHEN x = 'window' THEN
+              struct(CAST(i + 1 AS BIGINT) AS pos,
+                     array_join(slice(a, greatest(i - 1, 1),
+                                      least(i + 3, size(a)) - greatest(i - 1, 1) + 1),
+                                ' ') AS context)
+            END),
+          s -> s IS NOT NULL)
+        """
+    )
+    return arrs.select("doc_id", F.explode(hits).alias("h")).select(
+        "doc_id", F.col("h.pos").alias("pos"), F.col("h.context").alias("context")
+    )

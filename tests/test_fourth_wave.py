@@ -317,3 +317,41 @@ def test_stream_srm_matches_batch_assignment(spark):
     }
     for arm, r in out.items():
         assert r["n_events"] == batch[arm], arm
+
+
+def test_kwic_contexts_contain_term_at_right_offset(spark):
+    from etlalchemy_spark.queries.text import text_kwic_concordance
+
+    rows = text_kwic_concordance(spark, SF_DIR).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    import re
+
+    for r in rows[:200]:
+        toks = re.findall(r"[a-z0-9]+", docs[r["doc_id"]].lower())
+        p = r["pos"] - 1  # 1-based -> 0-based
+        assert toks[p] == "window"
+        lo, hi = max(p - 2, 0), min(p + 2, len(toks) - 1)
+        assert r["context"] == " ".join(toks[lo : hi + 1])
+
+
+def test_interval_merge_islands_disjoint_and_complete(spark):
+    from etlalchemy_spark.queries.etl import etl_interval_merge_compaction
+
+    rows = etl_interval_merge_compaction(spark, SF_DIR).collect()
+    assert rows
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_source_rows"] for r in rows) == n_events
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        assert r["valid_from_us"] < r["valid_to_us"]
+        per_user[r["user_id"]].append((r["valid_from_us"], r["valid_to_us"]))
+    for user, ivs in per_user.items():
+        ivs.sort()
+        for a, b in zip(ivs, ivs[1:]):
+            assert a[1] < b[0], f"user {user}: islands overlap/abut: {a} {b}"
