@@ -1673,3 +1673,94 @@ def etl_interval_merge_compaction(spark, sf_dir):
         F.max("e").cast("bigint").alias("valid_to_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_source_rows"),
     )
+
+
+_COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 2592000000000) AS cohort_m
+  FROM orders GROUP BY o_custkey
+), facts AS (
+  SELECT o.o_custkey,
+         f.cohort_m,
+         (epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 2592000000000) - f.cohort_m
+           AS offset_m,
+         CAST(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+), cohort_sizes AS (
+  SELECT cohort_m, COUNT(*) AS n_customers FROM firsts GROUP BY cohort_m
+), cell AS (
+  SELECT cohort_m, offset_m, SUM(cents) AS rev, COUNT(*) AS n_orders
+  FROM facts GROUP BY cohort_m, offset_m
+), cum AS (
+  SELECT cohort_m, offset_m, n_orders,
+         SUM(rev) OVER (PARTITION BY cohort_m ORDER BY offset_m
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM cell
+)
+SELECT c.cohort_m AS cohort_month,
+       c.offset_m AS months_since_first,
+       CAST(s.n_customers AS BIGINT) AS cohort_customers,
+       CAST(c.n_orders AS BIGINT) AS n_orders,
+       CAST(c.cum_rev AS DOUBLE) / (100.0 * CAST(s.n_customers AS DOUBLE))
+         AS cum_ltv_per_customer
+FROM cum c JOIN cohort_sizes s ON c.cohort_m = s.cohort_m
+WHERE c.offset_m <= 12
+"""
+
+
+@register("etl_cohort_ltv", oracle=_COHORT_LTV_SQL, tags=("etl", "events"))
+def etl_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers cohorted by their FIRST
+    order month (epoch 30-day buckets — calendar-free integer month
+    arithmetic identical in both engines), each later order assigned a
+    month offset, and cumulative revenue per customer unfolded across
+    the first year — the (cohort x age) LTV triangle every
+    subscription/marketplace finance team lives in, and the payback
+    curve experiment arms get compared on. Revenue stays exact integer
+    cents through the cumulative window; the per-customer division
+    happens once at the end. Shape: one first-order aggregate, one
+    fact join back (both keyed on customer), one (cohort, offset) cell
+    aggregate, and a cumulative window PARTITIONED BY COHORT over
+    offsets (per-cohort state = months, bounded) — cohort count grows
+    with time, not data volume, so the matrix is aggregate-sized at
+    any scale."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    month = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(2_592_000_000_000)
+    ).cast("long")
+    base = o.select(
+        "o_custkey",
+        month.alias("m"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint").alias("cents"),
+    )
+    firsts = base.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("n_customers"))
+    facts = base.join(firsts, "o_custkey").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset_m"), "cents"
+    )
+    cell = facts.groupBy("cohort_m", "offset_m").agg(
+        F.sum("cents").alias("rev"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        W.partitionBy("cohort_m")
+        .orderBy("offset_m")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = cell.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.where(F.col("offset_m") <= 12)
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            F.col("offset_m").alias("months_since_first"),
+            F.col("n_customers").cast("bigint").alias("cohort_customers"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (
+                F.col("cum_rev").cast("double")
+                / (100.0 * F.col("n_customers").cast("double"))
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

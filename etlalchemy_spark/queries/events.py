@@ -1427,6 +1427,56 @@ def ts_cusum_changepoint(spark, sf_dir):
     )
 
 
+
+def _hourly_scaled_decomposition(spark, sf_dir):
+    """Shared integer-scaled classical decomposition core: the hourly
+    rollup with trend window-sums via the scalable prefix pass
+    (trend_sum, exact decimal) and the detrended series SCALED BY 24
+    (d24 = 24*x - trend_sum, exact), plus the per-hour-of-day seasonal
+    moment table (s_sum, s_n). ts_seasonal_decompose divides these
+    into the float trend/seasonal/remainder columns;
+    ts_seasonal_anomaly keeps them integral to flag outliers with
+    exact arithmetic."""
+    from etlalchemy_spark.operators.prefix import ranks_and_running_sum
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    r = ranks_and_running_sum(
+        s, F.col("h"), [], F.col("x").cast("decimal(18,0)"), alias="pre"
+    )
+    base = r.select("h", "x", "rn")
+    hi = r.select((F.col("rn") - 11).alias("rn"), F.col("pre").alias("pre_hi"))
+    lo = r.select((F.col("rn") + 13).alias("rn"), F.col("pre").alias("pre_lo"))
+    zero = F.lit(0).cast("decimal(18,0)")
+    j = (
+        base.join(hi, "rn", "left")
+        .join(lo, "rn", "left")
+        .select(
+            "h",
+            "x",
+            F.when(
+                (F.col("rn") >= 13) & F.col("pre_hi").isNotNull(),
+                F.col("pre_hi") - F.coalesce(F.col("pre_lo"), zero),
+            ).alias("trend_sum"),
+            (F.col("h") % 24).alias("hod"),
+        )
+        .withColumn("d24", F.lit(24) * F.col("x") - F.col("trend_sum"))
+    )
+    seas = (
+        j.where(F.col("d24").isNotNull())
+        .groupBy("hod")
+        .agg(F.sum("d24").alias("s_sum"), F.count("d24").alias("s_n"))
+    )
+    return j, seas
+
+
 _DECOMP_SQL = """
 WITH s AS (
   SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
@@ -1475,43 +1525,7 @@ def ts_seasonal_decompose(spark, sf_dir):
     seasonal table broadcasts. Assumes a gap-free series (compose with
     ts_gapfill_hourly upstream); ROWS framing matches the oracle
     row-for-row either way."""
-    from etlalchemy_spark.operators.prefix import ranks_and_running_sum
-
-    ev = t(spark, sf_dir, "events")
-    s = ev.groupBy(
-        (
-            F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
-            / F.lit(3_600_000_000)
-        )
-        .cast("long")
-        .alias("h")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    r = ranks_and_running_sum(
-        s, F.col("h"), [], F.col("x").cast("decimal(18,0)"), alias="pre"
-    )
-    base = r.select("h", "x", "rn")
-    hi = r.select((F.col("rn") - 11).alias("rn"), F.col("pre").alias("pre_hi"))
-    lo = r.select((F.col("rn") + 13).alias("rn"), F.col("pre").alias("pre_lo"))
-    zero = F.lit(0).cast("decimal(18,0)")
-    j = (
-        base.join(hi, "rn", "left")
-        .join(lo, "rn", "left")
-        .select(
-            "h",
-            "x",
-            F.when(
-                (F.col("rn") >= 13) & F.col("pre_hi").isNotNull(),
-                F.col("pre_hi") - F.coalesce(F.col("pre_lo"), zero),
-            ).alias("trend_sum"),
-            (F.col("h") % 24).alias("hod"),
-        )
-        .withColumn("d24", F.lit(24) * F.col("x") - F.col("trend_sum"))
-    )
-    seas = (
-        j.where(F.col("d24").isNotNull())
-        .groupBy("hod")
-        .agg(F.sum("d24").alias("s_sum"), F.count("d24").alias("s_n"))
-    )
+    j, seas = _hourly_scaled_decomposition(spark, sf_dir)
     return j.join(F.broadcast(seas), "hod", "left").select(
         F.col("h").alias("hour_id"),
         F.col("x").cast("bigint").alias("cnt"),
@@ -1614,4 +1628,161 @@ def events_bot_burstiness(spark, sf_dir):
         var.alias("var_gap"),
         ((sigma - mean) / (sigma + mean)).alias("burstiness"),
         (rapid | regular).alias("suspicious"),
+    )
+
+
+_TOP_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS us3
+  FROM events
+), paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+         us3 - us AS span_us
+  FROM e
+  WHERE e3 IS NOT NULL AND us3 - us <= 3600000000
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(SUM(span_us) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+         AS mean_span_sec
+FROM paths
+GROUP BY path
+ORDER BY n_walks DESC, path
+LIMIT 20
+"""
+
+
+@register("events_top_paths", oracle=_TOP_PATHS_SQL, tags=("events",))
+def events_top_paths(spark, sf_dir):
+    """Top-20 three-step user paths completed within an hour — the
+    Sankey/flow diagram behind onboarding and checkout funnels, and
+    the sequence-frequency table session-based recommenders train on.
+    Sliding trigrams come from two LEADs over the per-user event
+    order (event_id tie-breaks pin same-timestamp order in both
+    engines) — no self-joins, no path enumeration: each event emits
+    at most ONE trigram, so the operator is linear in events. The
+    one-hour completion bound is an exact integer test on epoch
+    microseconds; mean span is an exact-int division. Per-user window
+    state is bounded (2 rows of lookahead), the path aggregate is
+    domain-bounded, and the final top-20 is TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.lead("event_type", 1).over(wl).alias("e2"),
+        F.lead("event_type", 2).over(wl).alias("e3"),
+        F.lead(us, 2).over(wl).alias("us3"),
+    )
+    paths = e.where(
+        F.col("e3").isNotNull() & ((F.col("us3") - F.col("us")) <= 3_600_000_000)
+    ).select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"),
+        (F.col("us3") - F.col("us")).alias("span_us"),
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_walks"), F.sum("span_us").alias("span_sum")
+    )
+    return (
+        agg.select(
+            "path",
+            F.col("n_walks").cast("bigint").alias("n_walks"),
+            (
+                F.col("span_sum").cast("double")
+                / (F.col("n_walks").cast("double") * 1_000_000.0)
+            ).alias("mean_span_sec"),
+        )
+        .orderBy(F.desc("n_walks"), F.asc("path"))
+        .limit(20)
+    )
+
+
+_SEASONAL_ANOM_SQL = """
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+), r AS (
+  SELECT h, x,
+         SUM(x) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS wsum,
+         COUNT(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS wn
+  FROM s
+), d AS (
+  SELECT h, x,
+         CASE WHEN wn = 24 THEN 24 * x - wsum END AS d24,
+         h % 24 AS hod
+  FROM r
+), seas AS (
+  SELECT hod, SUM(d24) AS s_sum, COUNT(d24) AS s_n
+  FROM d WHERE d24 IS NOT NULL GROUP BY hod
+), rs AS (
+  SELECT d.h, d.x,
+         CAST(seas.s_n AS HUGEINT) * d.d24 - seas.s_sum AS r_s,
+         seas.s_n
+  FROM d JOIN seas ON d.hod = seas.hod
+  WHERE d.d24 IS NOT NULL
+), mom AS (
+  SELECT COUNT(*) AS cnt, SUM(r_s) AS sr, SUM(r_s * r_s) AS qr FROM rs
+)
+SELECT rs.h AS hour_id,
+       CAST(rs.x AS BIGINT) AS cnt,
+       CAST(CAST(mom.cnt AS HUGEINT) * rs.r_s - mom.sr AS DOUBLE)
+         / sqrt(CAST(CAST(mom.cnt AS HUGEINT) * mom.qr - mom.sr * mom.sr AS DOUBLE))
+         AS residual_z,
+       ((CAST(mom.cnt AS HUGEINT) * rs.r_s - mom.sr)
+          * (CAST(mom.cnt AS HUGEINT) * rs.r_s - mom.sr)
+        > 9 * (CAST(mom.cnt AS HUGEINT) * mom.qr - mom.sr * mom.sr))
+         AS is_anomaly
+FROM rs, mom
+"""
+
+
+@register("ts_seasonal_anomaly", oracle=_SEASONAL_ANOM_SQL, tags=("ts",))
+def ts_seasonal_anomaly(spark, sf_dir):
+    """Seasonally-adjusted anomaly detection — the composition the
+    decomposition exists FOR: an hour is anomalous iff its REMAINDER
+    (what neither trend nor daily cycle explains) sits more than 3
+    sigma from the remainder distribution, so a normal evening peak
+    never alarms but the same count at 4am does. Everything stays in
+    the decomposition's SCALED-INTEGER space (r_s = s_n*d24 - s_sum,
+    exact decimal): the z-score is (cnt*r_s - S)/sqrt(cnt*Q - S^2)
+    over exact moments, and the 3-sigma flag is the exact integer
+    cross-multiplication (cnt*r_s - S)^2 > 9*(cnt*Q - S^2) — no float
+    threshold anywhere, both columns hash-match. Shape: reuses
+    _hourly_scaled_decomposition (prefix-pass trend, broadcast
+    seasonal table) + ONE one-row moment aggregate broadcast back."""
+    j, seas = _hourly_scaled_decomposition(spark, sf_dir)
+    rs = (
+        j.where(F.col("d24").isNotNull())
+        .join(F.broadcast(seas), "hod")
+        .select(
+            "h",
+            "x",
+            (F.col("s_n").cast("decimal(10,0)") * F.col("d24") - F.col("s_sum")).alias(
+                "r_s"
+            ),
+        )
+    )
+    mom = rs.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("r_s").alias("sr"),
+        F.sum(F.col("r_s").cast("decimal(19,0)") * F.col("r_s").cast("decimal(19,0)")).alias("qr"),
+    )
+    zn = F.col("cnt").cast("decimal(10,0)") * F.col("r_s") - F.col("sr")
+    varn = (
+        F.col("cnt").cast("decimal(10,0)") * F.col("qr")
+        - F.col("sr").cast("decimal(19,0)") * F.col("sr").cast("decimal(19,0)")
+    )
+    return rs.crossJoin(F.broadcast(mom)).select(
+        F.col("h").alias("hour_id"),
+        F.col("x").cast("bigint").alias("cnt"),
+        (zn.cast("double") / F.sqrt(varn.cast("double"))).alias("residual_z"),
+        ((zn * zn) > 9 * varn).alias("is_anomaly"),
     )

@@ -355,3 +355,52 @@ def test_interval_merge_islands_disjoint_and_complete(spark):
         ivs.sort()
         for a, b in zip(ivs, ivs[1:]):
             assert a[1] < b[0], f"user {user}: islands overlap/abut: {a} {b}"
+
+
+def test_cohort_ltv_monotone_and_complete(spark):
+    from collections import defaultdict
+
+    from etlalchemy_spark.queries.etl import etl_cohort_ltv
+
+    rows = etl_cohort_ltv(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r["months_since_first"] >= 0
+        by_cohort[r["cohort_month"]].append(
+            (r["months_since_first"], r["cum_ltv_per_customer"])
+        )
+    for c, pts in by_cohort.items():
+        pts.sort()
+        assert pts[0][0] == 0  # every cohort has its first month
+        vals = [v for _, v in pts]
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), c  # cumulative
+
+
+def test_top_paths_bounds(spark):
+    from etlalchemy_spark.queries.events import events_top_paths
+
+    rows = events_top_paths(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    walks = [r["n_walks"] for r in rows]
+    assert walks == sorted(walks, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(" > ")) == 3
+        assert 0.0 <= r["mean_span_sec"] <= 3600.0
+
+
+def test_seasonal_anomaly_flag_consistency(spark):
+    from etlalchemy_spark.queries.events import ts_seasonal_anomaly
+
+    rows = ts_seasonal_anomaly(spark, SF_DIR).collect()
+    assert rows
+    n_anom = 0
+    for r in rows:
+        z = r["residual_z"]
+        # flag is the exact-integer version of |z| > 3; away from the
+        # boundary the float reconstruction must agree
+        if abs(abs(z) - 3.0) > 1e-6:
+            assert r["is_anomaly"] == (abs(z) > 3.0), r
+        n_anom += bool(r["is_anomaly"])
+    # 3-sigma on a real series: anomalies exist but are rare
+    assert n_anom < len(rows) * 0.1
