@@ -326,10 +326,10 @@ def encode_bmp_24(pixels) -> bytes:
     return hdr + info + bytes(body)
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Decode a binary PPM (P6): whitespace/comment-tolerant header
-    (width, height, maxval) + raw RGB samples. maxval > 255 (2-byte
-    samples) raises NotImplementedError."""
+def _ppm_raster(payload: bytes):
+    """Parse a binary PPM (P6) into an (h, w, 3) int64 RGB raster:
+    whitespace/comment-tolerant header (width, height, maxval) + raw
+    samples. maxval > 255 (2-byte samples) raises NotImplementedError."""
     import numpy as np
 
     if payload[:2] != b"P6":
@@ -352,7 +352,38 @@ def decode_ppm(payload: bytes) -> dict:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM samples not implemented")
     px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
-    rgb = px.reshape(height, width, 3).astype(np.int64)
+    return px.reshape(height, width, 3).astype(np.int64)
+
+
+def decode_image_pixels(payload: bytes):
+    """Pixel-level decode for the uncompressed raster formats: BMP
+    (``_dib_rows`` + BGR->RGB reorder) and P6 PPM. Returns an
+    (h, w, 3) int64 RGB array — the input shape of patch/tile/resize
+    operators. Compressed formats raise NotImplementedError (same
+    boundary as decode_image)."""
+    if payload[:2] == b"BM":
+        import struct
+
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        if hdr_size < 40:
+            raise NotImplementedError("BITMAPCOREHEADER variant not implemented")
+        _, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if compression != 0 or bpp != 24:
+            raise NotImplementedError("only uncompressed 24-bit BMP decodes to pixels")
+        top_down = height < 0
+        px = _dib_rows(payload, data_offset, width, abs(height), top_down=top_down)
+        return px.astype("int64")[:, :, ::-1]  # BGR -> RGB
+    if payload[:2] == b"P6":
+        return _ppm_raster(payload)
+    raise NotImplementedError("pixel decode implemented for BMP/P6 PPM only")
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary PPM (P6): header + raw RGB samples via
+    ``_ppm_raster``; summary stats shape matching decode_bmp."""
+    rgb = _ppm_raster(payload)
+    height, width = rgb.shape[0], rgb.shape[1]
     return {
         "format": "ppm",
         "width": width,
@@ -1236,3 +1267,53 @@ def resize_stub(df: DataFrame, id_col: str, target_bytes: int = 32) -> DataFrame
             )
 
     return df.select(id_col, "payload").mapInPandas(resize, out_schema)
+
+
+def image_patch_grid(df: DataFrame, id_col: str, grid: int = 2) -> DataFrame:
+    """ViT-style patch preparation: decode each payload to pixels
+    (decode_image_pixels) and emit one row per grid cell — patch
+    coordinates, pixel count, exact integer intensity sum (r+g+b) —
+    the tabular form patch-embedding pipelines batch from. Pixel
+    (x, y) belongs to patch ((y*grid)//h, (x*grid)//w), so any image
+    size maps onto the same grid without resampling. Arrow
+    mapInPandas, partition-local, no shuffle; only grid^2 summary
+    rows per asset leave the executor."""
+    from typing import Iterator
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, prs, pcs, ns, sums = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                rgb = decode_image_pixels(bytes(payload))
+                h, w = rgb.shape[0], rgb.shape[1]
+                inten = rgb.sum(axis=2)  # (h, w) int64
+                ys = (np.arange(h) * grid) // h
+                xs = (np.arange(w) * grid) // w
+                for pr in range(grid):
+                    for pc in range(grid):
+                        mask = np.ix_(ys == pr, xs == pc)
+                        cell = inten[mask]
+                        if cell.size == 0:
+                            continue
+                        ids.append(int(i))
+                        prs.append(pr)
+                        pcs.append(pc)
+                        ns.append(int(cell.size))
+                        sums.append(int(cell.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "intensity_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        extract,
+        f"{id_col} long, patch_row int, patch_col int, n_px long, intensity_sum long",
+    )

@@ -1183,3 +1183,91 @@ def dedup_url_canonical(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_variants"),
         )
     )
+
+
+def _leakage_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    split_case = (
+        f"CASE WHEN {_bucket_sql('doc_id', 'sp:')} < 800000 "
+        "THEN 'train' ELSE 'test' END"
+    )
+    return f"""
+WITH pairs AS ( {_MH_LSH_SQL} ), sp AS (
+  SELECT doc_id, {split_case} AS split FROM documents
+), tagged AS (
+  SELECT CASE WHEN sa.split = sb.split THEN sa.split || '_' || sb.split
+              ELSE 'cross_split' END AS category,
+         p.jaccard
+  FROM pairs p
+  JOIN sp sa ON p.id_a = sa.doc_id
+  JOIN sp sb ON p.id_b = sb.doc_id
+), agg AS (
+  SELECT category, COUNT(*) AS n_pairs,
+         SUM(CAST(ROUND(jaccard, 12) AS DECIMAL(30,12))) AS sj
+  FROM tagged GROUP BY category
+), tot AS (
+  SELECT SUM(n_pairs) AS total FROM agg
+)
+SELECT agg.category,
+       CAST(agg.n_pairs AS BIGINT) AS n_pairs,
+       CAST(agg.sj AS DOUBLE) AS sum_jaccard,
+       CAST(agg.n_pairs AS DOUBLE) / CAST(tot.total AS DOUBLE) AS pair_share
+FROM agg, tot
+"""
+
+
+@register("dedup_split_leakage_audit", oracle=_leakage_sql(), tags=("dedup", "sampling"))
+def dedup_split_leakage_audit(spark, sf_dir):
+    """Train/test near-dup LEAKAGE audit — the eval-integrity check a
+    benchmark split must pass before any number it produces is
+    trusted: run the exact MinHash-LSH near-dup detector over the
+    whole corpus, tag each verified pair by which side(s) of the
+    80/20 hash split (sample_train_test_split's own hash and salt)
+    its endpoints landed on, and report the pair census —
+    `cross_split` rows ARE the leakage (a test doc with a train
+    near-duplicate inflates eval scores). Composition of two
+    registered operators, so the audit can never drift from either:
+    the split that ships and the detector that dedups are the ones
+    audited. Jaccard sums follow the decimal-reduction house style
+    (per-pair doubles are identical cross-engine; ROUND(j,12) ==
+    Spark's decimal(30,12) cast makes the SUM associative). Cost is
+    the detector's banded-join cost; the split tag is a narrow
+    broadcast-ready join per endpoint."""
+    from etlalchemy_spark.operators.dedup import minhash_lsh_pairs_exact
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_exact(
+        docs, "doc_id", "text",
+        k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_THRESHOLD,
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id"), "sp:") < 800000, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tagged = (
+        pairs.join(sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+        .select(
+            F.when(F.col("sa") == F.col("sb"), F.concat_ws("_", "sa", "sb"))
+            .otherwise("cross_split")
+            .alias("category"),
+            "jaccard",
+        )
+    )
+    agg = tagged.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("jaccard").cast("decimal(30,12)")).alias("sj"),
+    )
+    tot = agg.agg(F.sum("n_pairs").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "category",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("sj").cast("double").alias("sum_jaccard"),
+        (F.col("n_pairs").cast("double") / F.col("total").cast("double")).alias(
+            "pair_share"
+        ),
+    )

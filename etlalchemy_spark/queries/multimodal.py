@@ -1103,3 +1103,91 @@ def mm_audio_vad_segments(spark, sf_dir):
         ),
         "longest_active_run",
     )
+
+
+_PATCH_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 7 AS w,
+         1 + doc_id % 5 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         (((i % w) * 2) // w) AS patch_col,
+         (((i // w) * 2) // h) AS patch_row,
+         ((doc_id + 3 * (i % w) + 5 * (i // w)) % 256)
+           + ((doc_id * 2 + (i % w)) % 256)
+           + (((i % w) * (i // w) + doc_id) % 256) AS inten
+  FROM params, UNNEST(generate_series(0, w * h - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(inten) AS BIGINT) AS intensity_sum,
+       CAST(SUM(inten) AS DOUBLE) / (3.0 * CAST(COUNT(*) AS DOUBLE))
+         AS mean_intensity
+FROM px
+GROUP BY doc_id, patch_row, patch_col
+"""
+
+
+@register("mm_image_patch_grid", oracle=_PATCH_SQL, tags=("multimodal", "udf"))
+def mm_image_patch_grid(spark, sf_dir):
+    """ViT-style 2x2 patch grid over REAL decoded images: the same
+    mixed BMP/PPM corpus as mm_decode_image_stats (pixels a
+    deterministic function of doc_id, so the oracle recomputes every
+    patch sum formula-side) is encoded, pixel-DECODED back
+    (operators/multimodal.decode_image_pixels — BGR reorder, stride
+    and orientation recovery included), and each image maps onto a
+    2x2 patch grid by pure integer arithmetic ((y*2)//h, (x*2)//w) —
+    no resampling, any image size. Per patch: pixel count, EXACT
+    integer intensity sum, mean. This is the patch-embedding prep
+    shape: decode and tile are partition-local Arrow batches, and
+    only grid^2 summary rows per asset ever leave the executor — at
+    100 TB the job is scan-bound with a 4-rows-per-image output."""
+    from etlalchemy_spark.operators.multimodal import (
+        encode_bmp_24,
+        encode_ppm_p6,
+        image_patch_grid,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("width"),
+        (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 2 == 0, "bmp").otherwise("ppm").alias("format"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h, fmt in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["format"]
+            ):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = (doc_id + 3 * x + 5 * y) % 256
+                g = (doc_id * 2 + x) % 256
+                b = (x * y + doc_id) % 256
+                px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(encode_bmp_24(px) if fmt == "bmp" else encode_ppm_p6(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    patches = image_patch_grid(imgs, "doc_id", grid=2)
+    return patches.select(
+        "doc_id",
+        "patch_row",
+        "patch_col",
+        "n_px",
+        "intensity_sum",
+        (
+            F.col("intensity_sum").cast("double")
+            / (3.0 * F.col("n_px").cast("double"))
+        ).alias("mean_intensity"),
+    )

@@ -404,3 +404,37 @@ def test_seasonal_anomaly_flag_consistency(spark):
         n_anom += bool(r["is_anomaly"])
     # 3-sigma on a real series: anomalies exist but are rare
     assert n_anom < len(rows) * 0.1
+
+
+def test_patch_grid_covers_every_pixel_once(spark):
+    from collections import defaultdict
+
+    from etlalchemy_spark.queries.multimodal import mm_image_patch_grid
+
+    rows = mm_image_patch_grid(spark, SF_DIR).collect()
+    assert rows
+    per_doc = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["patch_row"] <= 1 and 0 <= r["patch_col"] <= 1
+        assert r["n_px"] >= 1
+        assert abs(r["mean_intensity"] - r["intensity_sum"] / (3 * r["n_px"])) < 1e-12
+        per_doc[r["doc_id"]] += r["n_px"]
+    for doc_id, total in per_doc.items():
+        w, h = 1 + doc_id % 7, 1 + doc_id % 5
+        assert total == w * h, doc_id  # partition: every pixel in exactly one patch
+
+
+def test_leakage_audit_census_consistent(spark):
+    from etlalchemy_spark.queries.dedup import (
+        dedup_minhash_lsh_exact,
+        dedup_split_leakage_audit,
+    )
+
+    rows = {r["category"]: r for r in dedup_split_leakage_audit(spark, SF_DIR).collect()}
+    n_pairs_total = dedup_minhash_lsh_exact(spark, SF_DIR).count()
+    assert sum(r["n_pairs"] for r in rows.values()) == n_pairs_total
+    assert abs(sum(r["pair_share"] for r in rows.values()) - 1.0) < 1e-9
+    assert set(rows) <= {"train_train", "test_test", "cross_split"}
+    for r in rows.values():
+        # every verified pair has jaccard in [threshold, 1]
+        assert 0.2 * r["n_pairs"] - 1e-6 <= r["sum_jaccard"] <= r["n_pairs"] + 1e-6
