@@ -1786,3 +1786,112 @@ def ts_seasonal_anomaly(spark, sf_dir):
         (zn.cast("double") / F.sqrt(varn.cast("double"))).alias("residual_z"),
         ((zn * zn) > 9 * varn).alias("is_anomaly"),
     )
+
+
+_USHAPE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), np AS (
+  SELECT user_id, event_type, event_id, us,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_us
+  FROM e
+), touches AS (
+  SELECT user_id, event_type, event_id, us, conv_us
+  FROM np
+  WHERE event_type IN ('view', 'click')
+    AND conv_us IS NOT NULL AND conv_us - us <= 3600000000 AND conv_us > us
+), ranked AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_us ORDER BY us, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, conv_us) AS k
+  FROM touches
+), credited AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN rn = 1 OR rn = k THEN 0.4
+              ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS credit
+  FROM ranked
+), agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_touches,
+         SUM(CAST(ROUND(credit, 12) AS DECIMAL(30,12))) AS c
+  FROM credited GROUP BY event_type
+), tot AS (
+  SELECT SUM(c) AS total FROM agg
+)
+SELECT agg.event_type AS channel,
+       CAST(agg.n_touches AS BIGINT) AS n_touches,
+       CAST(agg.c AS DOUBLE) AS total_credit,
+       CAST(agg.c AS DOUBLE) / CAST(tot.total AS DOUBLE) AS credit_share
+FROM agg, tot
+"""
+
+
+@register("events_attribution_ushaped", oracle=_USHAPE_SQL, tags=("events",))
+def events_attribution_ushaped(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase distributes credit over the view/click touches in its
+    trailing hour — 40% to the first touch, 40% to the last, 20%
+    split over the middle (100%/50-50 for 1-2 touch paths) — the
+    standard martech model between last-touch
+    (events_click_view_attrib) and data-driven. Touch-to-conversion
+    pairing is ONE conditional running-min window per user (next
+    purchase timestamp), never a time-range self-join; positions come
+    from one window per (user, conversion). Per-touch credits are
+    identical IEEE doubles in both engines (one shared CASE tree);
+    the channel sums follow the decimal-reduction idiom (ROUND(c,12)
+    == decimal(30,12) cast) so totals AND shares hash-match. Per-user
+    window state is bounded; channel aggregate is domain-bounded."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_type", "event_id", us.alias("us"))
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    np_df = e.withColumn(
+        "conv_us",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).over(w_next),
+    )
+    touches = np_df.where(
+        F.col("event_type").isin("view", "click")
+        & F.col("conv_us").isNotNull()
+        & ((F.col("conv_us") - F.col("us")) <= 3_600_000_000)
+        & (F.col("conv_us") > F.col("us"))
+    )
+    w_rn = W.partitionBy("user_id", "conv_us").orderBy("us", "event_id")
+    w_k = W.partitionBy("user_id", "conv_us")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_k).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2).cast("double"))
+    )
+    agg = ranked.select("event_type", credit.alias("credit")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.col("credit").cast("decimal(30,12)")).alias("c"),
+    )
+    tot = agg.agg(F.sum("c").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("event_type").alias("channel"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.col("c").cast("double").alias("total_credit"),
+        (F.col("c").cast("double") / F.col("total").cast("double")).alias(
+            "credit_share"
+        ),
+    )

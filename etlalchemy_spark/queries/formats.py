@@ -653,3 +653,39 @@ def fmt_sorted_minmax_pruning(spark, sf_dir):
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
     return back.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+
+
+_CSV_GZIP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_totalprice
+FROM orders
+"""
+
+
+@register("fmt_csv_gzip_roundtrip", oracle=_CSV_GZIP_SQL, tags=("sources",))
+def fmt_csv_gzip_roundtrip(spark, sf_dir):
+    """orders → gzip-compressed CSV → read back with an explicit
+    schema. Compressed text interchange is how most external vendors
+    actually ship data; the catch this query pins is that gzip is an
+    UNSPLITTABLE codec — each .csv.gz file is one task on read, so
+    the WRITE side must control file count (8 here) or a 100 TB feed
+    collapses to single-digit read parallelism. (Columnar or
+    zstd/bzip2 feeds don't have this failure mode — documented here
+    rather than hidden.) Money survives the text round trip as an
+    explicit DECIMAL(15,2) schema, never a double re-parse."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"),
+    )
+    tmp = os.path.join(scratch_dir("csvgz", sf_dir), "orders_gz")
+    o.repartition(8).write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(tmp)
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice decimal(15,2)"
+    ).option("header", True).csv(tmp)
+    # decimal(15,2) -> double only for the cross-engine compare; the
+    # typed decimal is what the schema carries through the round trip
+    return back.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))

@@ -579,3 +579,39 @@ def sql_group_by_all(spark, sf_dir):
     where a new select item is forgotten in the GROUP BY clause."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gball_li")
     return spark.sql(_GBALL_SQL.replace("FROM lineitem", "FROM _gball_li"))
+
+
+_TRY_ARITH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE)
+         / CAST(NULLIF(CAST(l_quantity AS BIGINT) - 25, 0) AS DOUBLE)
+         AS price_per_excess_unit,
+       CASE WHEN CAST(l_quantity AS BIGINT) - 25 = 0 THEN NULL
+            ELSE CAST(l_partkey AS BIGINT) % (CAST(l_quantity AS BIGINT) - 25)
+       END AS mod_or_null
+FROM lineitem
+WHERE l_orderkey % 31 = 0
+"""
+
+
+@register("scalar_try_arithmetic", oracle=_TRY_ARITH_SQL, tags=("scalar",))
+def scalar_try_arithmetic(spark, sf_dir):
+    """ANSI-mode-safe arithmetic: Spark 4 runs with
+    spark.sql.ansi.enabled=true, where division/modulo by zero is a
+    RUNTIME ERROR, not a quiet NULL — the single biggest migration
+    trap for pipelines ported from 3.x. try_divide/try_mod are the
+    sanctioned escape hatches: NULL on the poison rows, exact
+    arithmetic everywhere else (the oracle expresses the same
+    semantics with NULLIF/CASE — the pre-ANSI idiom, so this query
+    also documents the translation). Narrow filter pushed to the
+    scan, pure codegen expressions."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.where(F.col("l_orderkey") % 31 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice").cast("double"), (q - 25).cast("double")
+        ).alias("price_per_excess_unit"),
+        F.try_mod(F.col("l_partkey").cast("bigint"), q - 25).alias("mod_or_null"),
+    )

@@ -438,3 +438,59 @@ def test_leakage_audit_census_consistent(spark):
     for r in rows.values():
         # every verified pair has jaccard in [threshold, 1]
         assert 0.2 * r["n_pairs"] - 1e-6 <= r["sum_jaccard"] <= r["n_pairs"] + 1e-6
+
+
+def test_ushaped_attribution_credit_conserved(spark):
+    """Total distributed credit must equal the number of attributed
+    conversions (each conversion hands out exactly 1.0)."""
+    from etlalchemy_spark.queries.events import events_attribution_ushaped
+
+    rows = events_attribution_ushaped(spark, SF_DIR).collect()
+    assert {r["channel"] for r in rows} <= {"view", "click"}
+    total = sum(r["total_credit"] for r in rows)
+    assert abs(total - round(total)) < 1e-6  # integer number of conversions
+    assert total > 0
+    assert abs(sum(r["credit_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_csv_gzip_files_and_fidelity(spark):
+    import glob
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.queries.formats import fmt_csv_gzip_roundtrip
+
+    n = fmt_csv_gzip_roundtrip(spark, SF_DIR).count()
+    assert n == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    files = glob.glob(
+        os.path.join(scratch_dir("csvgz", SF_DIR), "orders_gz", "*.csv.gz")
+    )
+    # the unsplittable-codec contract: write-side file count = read
+    # parallelism, so the writer must fan out
+    assert len(files) == 8
+
+
+def test_try_arithmetic_nulls_exactly_on_poison_rows(spark):
+    from etlalchemy_spark.queries.scalars import scalar_try_arithmetic
+
+    rows = scalar_try_arithmetic(spark, SF_DIR).collect()
+    assert rows
+    # (l_orderkey, l_linenumber) is NOT unique in the driver fixture,
+    # so compare per-key MULTISETS of poison flags instead of rows
+    from collections import Counter, defaultdict
+
+    expect = defaultdict(Counter)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_orderkey") % 31 == 0)
+        .collect()
+    ):
+        expect[(r["l_orderkey"], r["l_linenumber"])][int(r["l_quantity"]) == 25] += 1
+    got = defaultdict(Counter)
+    for r in rows:
+        got[(r["l_orderkey"], r["l_linenumber"])][
+            r["price_per_excess_unit"] is None
+        ] += 1
+        assert (r["price_per_excess_unit"] is None) == (r["mod_or_null"] is None)
+    assert got == expect
+    assert sum(c[True] for c in expect.values()) > 0  # poison rows exist
