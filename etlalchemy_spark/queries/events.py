@@ -1895,3 +1895,103 @@ def events_attribution_ushaped(spark, sf_dir):
             "credit_share"
         ),
     )
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT user_id,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS recency_us,
+         COUNT(*) AS frequency,
+         SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS monetary_cents
+  FROM events GROUP BY user_id
+), n AS (
+  SELECT COUNT(*) AS n_users FROM per
+), ranked AS (
+  SELECT user_id, recency_us, frequency, monetary_cents,
+         ROW_NUMBER() OVER (ORDER BY recency_us, user_id) AS rn_r,
+         ROW_NUMBER() OVER (ORDER BY frequency, user_id) AS rn_f,
+         ROW_NUMBER() OVER (ORDER BY monetary_cents, user_id) AS rn_m
+  FROM per
+), scored AS (
+  SELECT user_id,
+         1 + ((rn_r - 1) * 5) // n.n_users AS r_score,
+         1 + ((rn_f - 1) * 5) // n.n_users AS f_score,
+         1 + ((rn_m - 1) * 5) // n.n_users AS m_score
+  FROM ranked, n
+)
+SELECT user_id,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+@register("events_rfm_segments", oracle=_RFM_SQL, tags=("events", "scale"))
+def events_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the workhorse customer-value model behind lifecycle campaigns and
+    retention targeting, and the feature triple churn models start
+    from. Quintiles use the INTEGER rank formula 1 + ((rn-1)*5)//n
+    (exact — no float percent_rank boundary), with all three global
+    ranks computed on the RANGE-BUCKETED prefix path
+    (operators/prefix.global_ranks — no single-partition window; the
+    per-user rollup is lineage-cut once so the three rank passes
+    don't re-aggregate events). Monetary stays exact integer cents.
+    At 100 TB: events shuffle once into the per-user rollup; the
+    three rank passes run on one row per user."""
+    from etlalchemy_spark.operators.prefix import global_ranks
+
+    ev = t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                (F.col("value").cast("decimal(15,2)") * 100).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = per.agg(F.count(F.lit(1)).alias("n_users"))
+
+    d = per
+    for metric, alias in (
+        ("recency_us", "rn_r"),
+        ("frequency", "rn_f"),
+        ("monetary_cents", "rn_m"),
+    ):
+        d = (
+            global_ranks(d, F.col(metric), ["user_id"])
+            .withColumnRenamed("rn", alias)
+            .drop("rnk", "drnk")
+        )
+
+    def score(rn):
+        return (1 + F.floor(((F.col(rn) - 1) * 5) / F.col("n_users"))).cast("int")
+
+    scored = d.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        score("rn_r").alias("r_score"),
+        score("rn_f").alias("f_score"),
+        score("rn_m").alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+        .alias("segment"),
+    )

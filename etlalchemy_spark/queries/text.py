@@ -1742,3 +1742,77 @@ def text_kwic_concordance(spark, sf_dir):
     return arrs.select("doc_id", F.explode(hits).alias("h")).select(
         "doc_id", F.col("h.pos").alias("pos"), F.col("h.context").alias("context")
     )
+
+
+_READABILITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END,
+                  1) AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch_reading_ease,
+       0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         - 15.59 AS fk_grade_level
+FROM f
+"""
+
+
+@register("text_readability_score", oracle=_READABILITY_SQL, tags=("text",))
+def text_readability_score(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade level — the oldest
+    and still most-used document quality/complexity features (corpus
+    mixing recipes bucket by grade level; children's-content filters
+    cut on reading ease). Syllables use the standard vowel-group
+    heuristic (runs of [aeiouy]); words and sentences are regexp
+    counts — all three are exact integers, and the two scores are one
+    shared literal formula over their ratios, so both float columns
+    hash-match. Floors at 1 keep empty/degenerate docs defined
+    instead of dividing by zero (the ANSI trap scalar_try_arithmetic
+    documents). Pure codegen expressions, no shuffle at all — the
+    scoring pass is scan-bound at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_words = F.greatest(
+        F.when(F.length(trimmed) == 0, 0).otherwise(
+            F.size(F.split(trimmed, "\\s+"))
+        ),
+        F.lit(1),
+    )
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")), F.lit(1)
+    )
+    f = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_syllables.cast("bigint").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_reading_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade_level"
+        ),
+    )

@@ -494,3 +494,40 @@ def test_try_arithmetic_nulls_exactly_on_poison_rows(spark):
         assert (r["price_per_excess_unit"] is None) == (r["mod_or_null"] is None)
     assert got == expect
     assert sum(c[True] for c in expect.values()) > 0  # poison rows exist
+
+
+def test_rfm_quintiles_balanced_and_labels_consistent(spark):
+    from collections import Counter
+
+    from etlalchemy_spark.queries.events import events_rfm_segments
+
+    rows = events_rfm_segments(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n == (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for dim in ("r_score", "f_score", "m_score"):
+        c = Counter(r[dim] for r in rows)
+        assert set(c) <= {1, 2, 3, 4, 5}
+        # integer rank formula: bucket sizes differ by at most 1
+        assert max(c.values()) - min(c.values()) <= 1, (dim, c)
+    for r in rows:
+        if r["r_score"] >= 4 and r["f_score"] >= 4 and r["m_score"] >= 4:
+            assert r["segment"] == "champion"
+
+
+def test_readability_known_text(spark):
+    from etlalchemy_spark.queries.text import text_readability_score
+
+    rows = text_readability_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # identity: formulas reconstruct from the emitted counts
+        wps = r["n_words"] / r["n_sentences"]
+        spw = r["n_syllables"] / r["n_words"]
+        assert abs(r["flesch_reading_ease"] - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9
+        assert abs(r["fk_grade_level"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
+        assert r["n_syllables"] >= 1 and r["n_words"] >= 1
