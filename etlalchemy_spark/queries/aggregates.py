@@ -1453,3 +1453,42 @@ def agg_eb_smoothed_rate(spark, sf_dir):
             / (F.col("n").cast("double") + 50.0)
         ).alias("smoothed_rate"),
     )
+
+
+_LOG2_HIST_SQL = """
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT LENGTH(BIN(cents)) - 1 AS bucket FROM x WHERE cents > 0
+)
+SELECT CAST(bucket AS INT) AS log2_bucket,
+       CAST(POW(2.0, bucket) / 100.0 AS DOUBLE) AS bucket_floor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+"""
+
+
+@register("agg_log2_histogram", oracle=_LOG2_HIST_SQL, tags=("agg",))
+def agg_log2_histogram(spark, sf_dir):
+    """Order-of-magnitude (power-of-two) histogram of order values —
+    the latency/size/value distribution shape every ops dashboard
+    uses (hdr-histogram's coarsest tier): exponentially wider buckets
+    summarize ranges spanning many decades in a handful of rows, and
+    the bucket state is mergeable across partitions/days by plain
+    addition. The bucket index floor(log2(cents)) is computed EXACTLY
+    as LENGTH(BIN(cents))-1 — integer bit-length, not float log2()
+    (libm log2 near an exact power of two can round to either side;
+    bit length cannot). bucket_floor = 2^b/100 is one shared double
+    expression. ONE hash aggregate over a ~40-key domain: the
+    canonical map-side-partial shape."""
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
+    b = o.select(cents.alias("cents")).where(F.col("cents") > 0).select(
+        (F.length(F.expr("bin(cents)")) - 1).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.col("bucket").cast("int").alias("log2_bucket"),
+        (F.pow(F.lit(2.0), F.col("bucket")) / 100.0).alias("bucket_floor"),
+        F.col("cnt").cast("bigint").alias("n"),
+    )

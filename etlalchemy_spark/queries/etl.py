@@ -1764,3 +1764,40 @@ def etl_cohort_ltv(spark, sf_dir):
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+_SURROGATE_SQL = """
+WITH ranked AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+  FROM customer
+)
+SELECT CAST(sk + 1000000 AS BIGINT) AS surrogate_key,
+       c_custkey, c_name, c_nationkey
+FROM ranked
+"""
+
+
+@register("etl_surrogate_keys", oracle=_SURROGATE_SQL, tags=("etl", "scale"))
+def etl_surrogate_keys(spark, sf_dir):
+    """Deterministic surrogate-key assignment for a dimension load —
+    the warehouse-ETL step upstream's PK/auto-increment repair (D2)
+    gestures at, done the only way that is REPRODUCIBLE on a cluster:
+    a dense global rank over the business key (+ a 1e6 namespace
+    offset), never monotonically_increasing_id (partition-dependent,
+    re-runs disagree) and never a sequence (a serialization point).
+    The rank rides the range-bucketed prefix path
+    (operators/prefix.global_ranks — no single-partition window), so
+    assignment parallelizes at any dimension size while two
+    independent runs — or two different ENGINES, as the oracle proves
+    — mint identical keys."""
+    from etlalchemy_spark.operators.prefix import global_ranks
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    r = global_ranks(c, F.col("c_custkey"), [])
+    return r.select(
+        (F.col("rn") + 1_000_000).cast("bigint").alias("surrogate_key"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+    )

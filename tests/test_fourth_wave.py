@@ -531,3 +531,35 @@ def test_readability_known_text(spark):
         assert abs(r["flesch_reading_ease"] - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9
         assert abs(r["fk_grade_level"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
         assert r["n_syllables"] >= 1 and r["n_words"] >= 1
+
+
+def test_log2_histogram_total_and_bounds(spark):
+    from etlalchemy_spark.queries.aggregates import agg_log2_histogram
+
+    rows = agg_log2_histogram(spark, SF_DIR).collect()
+    n_orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_totalprice") > 0)
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert abs(r["bucket_floor"] - 2 ** r["log2_bucket"] / 100.0) < 1e-9
+
+
+def test_surrogate_keys_dense_and_stable(spark):
+    from etlalchemy_spark.queries.etl import etl_surrogate_keys
+
+    rows = sorted(
+        etl_surrogate_keys(spark, SF_DIR).collect(), key=lambda r: r["c_custkey"]
+    )
+    keys = [r["surrogate_key"] for r in rows]
+    # dense, gapless, offset by the namespace base, ordered like the
+    # business key
+    assert keys == list(range(1_000_001, 1_000_001 + len(rows)))
+    # rerun mints identical keys (determinism is the whole point)
+    again = {
+        r["c_custkey"]: r["surrogate_key"]
+        for r in etl_surrogate_keys(spark, SF_DIR).collect()
+    }
+    assert all(again[r["c_custkey"]] == r["surrogate_key"] for r in rows)
