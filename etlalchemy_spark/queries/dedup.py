@@ -980,7 +980,12 @@ _SD_DOT = (
 )
 
 _SEMANTIC_SQL = """
-WITH dots AS (
+WITH params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*) / 2.0)) AS BIGINT) AS k FROM embeddings
+), cents AS (
+  SELECT vec_id, embedding FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM params)
+), dots AS (
   SELECT e.vec_id, c.vec_id AS cid,
          SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
              * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
@@ -989,7 +994,7 @@ WITH dots AS (
          SUM(CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
              * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
   FROM embeddings e
-  JOIN embeddings c ON c.vec_id < 8
+  JOIN cents c ON TRUE
   CROSS JOIN generate_series(1, 64) AS t(i)
   GROUP BY e.vec_id, c.vec_id
 ), cscore AS (
@@ -1031,23 +1036,23 @@ FROM sc GROUP BY id_b
 
 @register("dedup_semantic_keep_first", oracle=_SEMANTIC_SQL, tags=("dedup", "similarity"))
 def dedup_semantic_keep_first(spark, sf_dir):
-    """SemDeDup over the embeddings corpus: cluster-blocked (8
-    existing-row centroids, decimal-exact max-cosine cells) semantic
+    """SemDeDup over the embeddings corpus: cluster-blocked semantic
     near-dup detection with the keep-first policy — a vector is
     dropped iff a lower-id vector in its cell is within cosine 0.3;
     output is the drop list (vec_id, dup_of, n_dups) a curation
     pipeline anti-joins against the corpus. No iteration, no
     connected components: keep-first verdicts only ever look DOWN to
-    smaller ids. Pair verification is quadratic in the CELL, never
-    the corpus — at scale the centroid count grows with the corpus so
-    cell sizes stay bounded (operators/similarity.py
-    semantic_dedup_keep_first docstring has the 100 TB sizing)."""
+    smaller ids. The centroid count is DERIVED FROM THE CORPUS
+    (k = ceil(sqrt(n/2)), the square-root blocking optimum that
+    balances n·k assignment cost against n·(n/k)/2 in-cell verify
+    cost — both ≈ n·sqrt(n/2)); a fixed k was the r8 scale finding
+    (all-pairs/k verify). Cell sizes concentrate around sqrt(2n),
+    pinned in tests/test_similarity_scale.py; the oracle derives the
+    same k from COUNT(*)."""
     from etlalchemy_spark.operators.similarity import semantic_dedup_keep_first
 
     emb = t(spark, sf_dir, "embeddings")
-    return semantic_dedup_keep_first(
-        emb, "vec_id", "embedding", centroid_ids=list(range(8)), threshold=0.3
-    )
+    return semantic_dedup_keep_first(emb, "vec_id", "embedding", threshold=0.3)
 
 
 # Raw-URL fixture for canonicalization dedup: both engines synthesize

@@ -149,3 +149,87 @@ def test_pq_sampled_training_recall_at_50k(spark, big_dir):
         for r in all_queries()["sim_cosine_topk_exact"].fn(spark, big_dir).collect()
     }
     assert len(got & exact) >= 8, f"sampled-training recall {len(got & exact)}/10"
+
+
+def _cells_double(spark, emb, k):
+    """Cell assignment with the DOUBLE fast path (the operator's
+    decimal-exact path would 64x-explode 50k x k pairs — overkill for
+    a SIZE-distribution test; near-tie flips move single vectors
+    between cells and cannot change the scale shape)."""
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "cvec", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("vec_id", "cid", dot.alias("cos"))
+    best = F.max(
+        F.struct(F.col("cos"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid"))
+    )
+    return scored.groupBy("vec_id").agg(best.getField("cid").alias("cell"))
+
+
+def test_semantic_dedup_cell_sizes_bounded_at_50k(spark, big_dir):
+    """The r8 verdict finding: SemDeDup's in-cell pair join must never
+    degenerate toward all-pairs. With the derived k = ceil(sqrt(n/2)),
+    cells on a CLUSTERED 50k corpus (256 latent clusters — harder than
+    uniform) stay within a small factor of the n/k mean, and the total
+    verify-pair budget stays within a small factor of the balanced
+    n*sqrt(n/2) optimum."""
+    from etlalchemy_spark.operators.similarity import semantic_centroid_count
+
+    emb = spark.read.parquet(os.path.join(big_dir, "embeddings.parquet"))
+    n = emb.count()
+    k = semantic_centroid_count(n)
+    assert k * k * 2 >= n and (k - 1) * (k - 1) * 2 < n  # k == ceil(sqrt(n/2))
+    sizes = _cells_double(spark, emb, k).groupBy("cell").count()
+    stats = sizes.agg(
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * F.col("count")).alias("sq"),
+    ).head()
+    mean_cell = n / k
+    assert stats["mx"] <= 8 * mean_cell, f"max cell {stats['mx']} vs mean {mean_cell:.0f}"
+    balanced_pairs = n * mean_cell / 2
+    assert stats["sq"] / 2 <= 8 * balanced_pairs, (
+        f"verify pairs {stats['sq'] / 2:.0f} vs balanced {balanced_pairs:.0f}"
+    )
+
+
+def test_semantic_centroid_count_grows_with_corpus(spark, small_dir, big_dir):
+    """k is data-derived (the r8 fix): a 10x corpus gets ~sqrt(10)x the
+    centroids, so mean cell size grows only ~sqrt(10)x — never the r8
+    fixed-k shape where cells grow linearly with the corpus."""
+    from etlalchemy_spark.operators.similarity import semantic_centroid_count
+
+    n_small = spark.read.parquet(os.path.join(small_dir, "embeddings.parquet")).count()
+    n_big = spark.read.parquet(os.path.join(big_dir, "embeddings.parquet")).count()
+    k_small, k_big = semantic_centroid_count(n_small), semantic_centroid_count(n_big)
+    assert k_small < k_big
+    assert 2.5 <= k_big / k_small <= 4  # ~sqrt(10) for a 10x corpus
+    # mean cell size must grow sublinearly (sqrt), not linearly
+    assert (n_big / k_big) / (n_small / k_small) < 5
+
+
+def test_semantic_dedup_deterministic_and_keep_first(spark):
+    """The derived-centroid operator is retry-deterministic and its
+    verdicts only point DOWN: every dup_of is smaller than its id."""
+    from etlalchemy_spark.operators.similarity import semantic_dedup_keep_first
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r.vec_id, r.dup_of, r.n_dups)
+        for r in semantic_dedup_keep_first(emb, "vec_id", "embedding", 0.3).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.dup_of, r.n_dups)
+        for r in semantic_dedup_keep_first(emb, "vec_id", "embedding", 0.3).collect()
+    )
+    assert a == b and a
+    assert all(dup_of < vid for vid, dup_of, _ in a)
