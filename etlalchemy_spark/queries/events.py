@@ -651,118 +651,104 @@ def ts_ewma(spark, sf_dir):
     )
 
 
-_INTERP_SQL = """
-WITH bounds AS (
-  SELECT user_id,
-         date_trunc('hour', MIN(ts)) AS h0,
-         date_trunc('hour', MAX(ts)) AS h1
-  FROM events GROUP BY user_id
-),
-grid AS (
-  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-  FROM bounds
-),
-hourly AS (
-  SELECT user_id AS hu, date_trunc('hour', ts) AS hh,
+# Interpolate only gaps of at most this many hours; longer gaps stay
+# UNFILLED (the series remains sparse there). This is the contract that
+# survives 100 TB: a years-long sparse user materializes O(observed
+# hours + G per gap), never a min(ts)..max(ts) dense grid (r8 verdict
+# watch item: the dense grid made one idle year cost ~10^4 rows).
+_INTERP_MAX_GAP_HOURS = 72
+
+_INTERP_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hh,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
            / CAST(COUNT(value) AS DOUBLE) AS v
   FROM events GROUP BY 1, 2
 ),
-joined AS (
-  SELECT g.user_id, g.hour, v
-  FROM grid g LEFT JOIN hourly ON hu = g.user_id AND hh = g.hour
+pairs AS (
+  SELECT user_id, hh, v,
+         LEAD(hh) OVER (PARTITION BY user_id ORDER BY hh) AS nh,
+         LEAD(v) OVER (PARTITION BY user_id ORDER BY hh) AS nv
+  FROM hourly
 ),
-ctx AS (
-  SELECT user_id, hour, v,
-         last_value(v IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY hour
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
-         last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY hour
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
-         first_value(v IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY hour
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-         first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY hour
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
-  FROM joined
+gaps AS (
+  -- integer series + one interval add: DuckDB's row-wise TIMESTAMP
+  -- generate_series is ~50x slower than the integer form
+  SELECT user_id, hh, v, nv, datediff('hour', hh, nh) AS d,
+         UNNEST(generate_series(1, datediff('hour', hh, nh) - 1)) AS i
+  FROM pairs
+  WHERE nh IS NOT NULL
+    AND datediff('hour', hh, nh) > 1
+    AND datediff('hour', hh, nh) <= {_INTERP_MAX_GAP_HOURS}
 )
-SELECT user_id, hour,
-       CASE WHEN v IS NOT NULL THEN v
-            WHEN prev_v IS NULL THEN next_v
-            WHEN next_v IS NULL THEN prev_v
-            ELSE prev_v + (next_v - prev_v)
-                 * (CAST(datediff('hour', prev_h, hour) AS DOUBLE)
-                    / CAST(datediff('hour', prev_h, next_h) AS DOUBLE))
-       END AS v_interp
-FROM ctx
+SELECT user_id, hh AS hour, v AS v_interp FROM pairs
+UNION ALL
+SELECT user_id, hh + i * INTERVAL 1 HOUR AS hour,
+       v + (nv - v) * (CAST(i AS DOUBLE) / CAST(d AS DOUBLE)) AS v_interp
+FROM gaps
 """
 
 
 @register("ts_interpolate_linear", oracle=_INTERP_SQL, tags=("events", "timeseries", "window"))
 def ts_interpolate_linear(spark, sf_dir):
     """Linear interpolation of gap hours in a per-user hourly series
-    (the hypertable `interpolate()` shape): dense grid via
-    sequence/explode, sparse hourly decimal-exact averages, then one
-    per-user window pass carrying (prev, next) anchor value+hour;
-    gap rows get prev + (next-prev) * elapsed/span. All reductions are
-    decimal; the closing chain is correctly-rounded IEEE mul/div/add on
-    exact integer hour distances, so it hash-matches the oracle.
-    Windows are partitioned by user — no global single-partition sort —
-    and the grid join is co-partitioned with the aggregate feeding it."""
+    (the hypertable `interpolate()` shape), GAP-BOUNDED: sparse hourly
+    decimal-exact averages, one per-user LEAD window pairing each
+    observed hour with its successor, then sequence/explode fills ONLY
+    gaps of 2..{G} hours with prev + (next-prev) * elapsed/span; gaps
+    longer than {G} hours are left unfilled — interpolating across a
+    months-long silence is statistically meaningless and, at 100 TB,
+    the old min..max dense grid made one idle year cost ~10^4 rows per
+    user regardless of data density (r8 verdict). Output cost is
+    O(observed hours + G per gap). All reductions are decimal; the
+    closing chain is correctly-rounded IEEE mul/div/add on exact
+    integer hour distances, so it hash-matches the oracle. Windows are
+    partitioned by user — no global sort anywhere."""
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
-    )
     hourly = ev.groupBy(
-        F.col("user_id").alias("hu"), F.date_trunc("hour", "ts").alias("hh")
+        "user_id", F.date_trunc("hour", "ts").alias("hh")
     ).agg(
         (
             F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").cast("double")
             / F.count("value").cast("double")
         ).alias("v")
     )
-    joined = grid.join(
-        hourly, (grid.user_id == F.col("hu")) & (grid.hour == F.col("hh")), "left"
-    ).select("user_id", "hour", "v")
-    wp = (
-        W.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.partitionBy("user_id").orderBy("hh")
+    pairs = hourly.select(
+        "user_id", "hh", "v",
+        F.lead("hh").over(w).alias("nh"),
+        F.lead("v").over(w).alias("nv"),
     )
-    wn = (
-        W.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    anchors = pairs.select("user_id", F.col("hh").alias("hour"), F.col("v").alias("v_interp"))
+    span = F.expr("timestampdiff(HOUR, hh, nh)")
+    gaps = (
+        pairs.where(
+            F.col("nh").isNotNull()
+            & (span > 1)
+            & (span <= _INTERP_MAX_GAP_HOURS)
+        )
+        .select(
+            "user_id", "hh", "v", "nh", "nv",
+            F.explode(
+                F.sequence(
+                    F.expr("hh + INTERVAL 1 HOUR"),
+                    F.expr("nh - INTERVAL 1 HOUR"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
     )
-    v_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
-    ctx = joined.select(
+    frac = F.expr("CAST(timestampdiff(HOUR, hh, hour) AS DOUBLE)") / F.expr(
+        "CAST(timestampdiff(HOUR, hh, nh) AS DOUBLE)"
+    )
+    filled = gaps.select(
         "user_id",
         "hour",
-        "v",
-        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
-        F.last(v_hour, ignorenulls=True).over(wp).alias("prev_h"),
-        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
-        F.first(v_hour, ignorenulls=True).over(wn).alias("next_h"),
+        (F.col("v") + (F.col("nv") - F.col("v")) * frac).alias("v_interp"),
     )
-    frac = F.expr("CAST(timestampdiff(HOUR, prev_h, hour) AS DOUBLE)") / F.expr(
-        "CAST(timestampdiff(HOUR, prev_h, next_h) AS DOUBLE)"
-    )
-    interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("prev_v").isNull(), F.col("next_v"))
-        .when(F.col("next_v").isNull(), F.col("prev_v"))
-        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
-    )
-    return ctx.select("user_id", "hour", interp.alias("v_interp"))
+    return anchors.unionByName(filled)
 
 
 def _brown_kernel(depth: int = 20):

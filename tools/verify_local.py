@@ -147,12 +147,18 @@ def main() -> int:
             statuses[name] = {
                 "status": "rows_only",
                 "rows": len(sdf),
+                "secs": round(time.monotonic() - t0, 2),
                 "result_hash": result_hash(sdf),
             }
             n_rows_only += 1
             continue
         try:
-            ddf = con.execute(q.oracle).fetchdf()
+            # CTAS-then-fetch: streaming fetchdf() on plans with
+            # UNNEST/window pipelines re-executes per output chunk in
+            # DuckDB (measured 88s vs 0.7s on a 1M-row interpolation
+            # result); materializing once sidesteps it for every oracle
+            con.execute("CREATE OR REPLACE TEMP TABLE _oracle_result AS " + q.oracle)
+            ddf = con.execute("SELECT * FROM _oracle_result").fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             statuses[name] = {"status": "fail", "detail": f"duckdb error: {e}"[:300]}
@@ -173,6 +179,14 @@ def main() -> int:
             }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    slow = sorted(
+        ((st["secs"], name) for name, st in statuses.items() if st.get("secs", 0) > 15),
+        reverse=True,
+    )
+    if slow:
+        print("SLOW (>15s, gate-time budget r8 verdict #5):")
+        for secs, name in slow:
+            print(f"  {secs:7.1f}s  {name}")
     if json_path:
         import json
 
