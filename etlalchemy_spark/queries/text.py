@@ -1816,3 +1816,201 @@ def text_readability_score(spark, sf_dir):
             "fk_grade_level"
         ),
     )
+
+
+# --- BPE tokenizer: train + subword apply (r8 verdict #3) -------------------
+
+_BPE_PAIRS_SQL = """
+WITH docw AS (
+  SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+),
+wc AS (
+  SELECT substring(w, 1, 14) AS word, COUNT(*) AS cnt
+  FROM docw WHERE w <> '' GROUP BY 1
+),
+pos AS (
+  SELECT word, cnt, UNNEST(generate_series(1, length(word) - 1)) AS i
+  FROM wc WHERE length(word) >= 2
+)
+SELECT substring(word, CAST(i AS INT), 1) AS left_sym,
+       substring(word, CAST(i AS INT) + 1, 1) AS right_sym,
+       CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM pos
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 30
+"""
+
+
+@register("text_bpe_pair_counts", oracle=_BPE_PAIRS_SQL, tags=("text",))
+def text_bpe_pair_counts(spark, sf_dir):
+    """The distributed heart of BPE training (round 1): adjacent
+    character-pair counts weighted by word frequency, top 30 with the
+    trainer's deterministic ordering (count desc, then pair asc — the
+    exact argmax `train_bpe` takes each round). The corpus shuffles
+    only (word) then (2-char pair) keys; at 100 TB the pair table is
+    alphabet²-sized. Exact twin anchoring the rows-only
+    `text_bpe_train` (full merge loop)."""
+    from etlalchemy_spark.operators.bpe import word_counts
+
+    wc = word_counts(t(spark, sf_dir, "documents"), "text")
+    pos = wc.where(F.length("word") >= 2).select(
+        "word", "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    )
+    return (
+        pos.select(
+            F.expr("substring(word, i, 1)").alias("left_sym"),
+            F.expr("substring(word, i + 1, 1)").alias("right_sym"),
+            "cnt",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(30)
+    )
+
+
+@register("text_bpe_train", oracle=None, tags=("text", "iterative"))
+def text_bpe_train(spark, sf_dir):
+    """Full BPE merge training (rows-only; exact twin =
+    `text_bpe_pair_counts`, and the trainer is pinned against an
+    independent brute-force reference in tests/test_bpe.py): ONE
+    distributed word-count pass, then 32 exact merge rounds on the
+    top-512 word table (count desc, word asc — deterministic cap).
+    The collected state is VOCABULARY-sized (512 rows — the cap IS
+    the bound), the shape every production BPE trainer uses: at
+    100 TB the corpus contributes one groupBy; the merge loop never
+    sees it. Output is the learned merge table in rank order."""
+    from etlalchemy_spark.operators.bpe import train_bpe, word_counts
+
+    wc = word_counts(t(spark, sf_dir, "documents"), "text")
+    top = wc.orderBy(F.desc("cnt"), "word").limit(512).collect()
+    merges = train_bpe([(r["word"], r["cnt"]) for r in top], 32)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string, merged string",
+    )
+
+
+# Pinned tokenizer snapshot: 32 merges trained once with `train_bpe`
+# (top-512 words of the dev corpus). A FIXED vocabulary is the point —
+# tokenization must be stable across corpora and rounds (retraining per
+# input would silently re-segment every downstream token count), so
+# both engines consume the same literal, the same discipline as the
+# literal LSH hyperplanes.
+_BPE_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("d", "er"), ("or", "der"),
+    ("or", "t"), ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"),
+    ("ag", "g"), ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+]
+
+
+def _bpe_tokenize_sql() -> str:
+    from etlalchemy_spark.operators.bpe import bpe_vocab, tokenize_sql
+
+    unroll = tokenize_sql(bpe_vocab(_BPE_MERGES), "words")
+    return f"""
+WITH docw AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, substring(w, 1, 14) AS word FROM docw WHERE w <> ''
+),
+words AS (SELECT DISTINCT word FROM occ),
+{unroll},
+firstw AS (
+  SELECT doc_id,
+         substring(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')[1], 1, 14) AS fw
+  FROM documents
+),
+agg AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(o.word)) AS BIGINT) AS n_chars
+  FROM occ o JOIN bpe_tok b USING (word)
+  GROUP BY o.doc_id
+)
+SELECT a.doc_id, a.n_words, a.n_tokens,
+       CAST(a.n_chars AS DOUBLE) / CAST(NULLIF(a.n_tokens, 0) AS DOUBLE)
+         AS chars_per_token,
+       ft.tokens AS first_word_tokens
+FROM agg a
+LEFT JOIN firstw f ON a.doc_id = f.doc_id
+LEFT JOIN bpe_tok ft ON ft.word = f.fw
+"""
+
+
+@register("text_bpe_tokenize", oracle=_bpe_tokenize_sql(), tags=("text",))
+def text_bpe_tokenize(spark, sf_dir):
+    """Greedy longest-match subword tokenization against the pinned
+    BPE vocabulary (single chars + 32 learned merges): per document,
+    word count, total subword token count, chars-per-token compression
+    ratio, and the first word's full segmentation (value-rich probe of
+    the greedy path). The scalable shape: DISTINCT truncated words are
+    tokenized (pure codegen — a 14-step unrolled longest-match, no
+    UDF), then joined back to occurrences; tokenize cost tracks the
+    corpus VOCABULARY, aggregation cost one (doc_id) shuffle. The
+    same unroll spec generates the DuckDB twin chain
+    (operators/bpe.py tokenize_sql — shingle_ctes discipline)."""
+    from etlalchemy_spark.operators.bpe import (
+        MAX_WORD_LEN,
+        WORD_SPLIT_RE,
+        bpe_vocab,
+        tokenize_words,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .select("doc_id", F.substring("w", 1, MAX_WORD_LEN).alias("word"))
+    )
+    tok = tokenize_words(occ.select("word").distinct(), "word", bpe_vocab(_BPE_MERGES))
+    agg = (
+        occ.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+    )
+    firstw = docs.select(
+        "doc_id",
+        F.substring(
+            F.try_element_at(
+                F.filter(
+                    F.split(F.lower(F.col("text")), WORD_SPLIT_RE),
+                    lambda x: x != F.lit(""),
+                ),
+                F.lit(1),
+            ),
+            1,
+            MAX_WORD_LEN,
+        ).alias("fw"),
+    )
+    ft = tok.select(F.col("word").alias("fw"), F.col("tokens").alias("first_word_tokens"))
+    return (
+        agg.join(firstw, "doc_id", "left")
+        .join(ft, "fw", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.try_divide(
+                F.col("n_chars").cast("double"), F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+            "first_word_tokens",
+        )
+    )

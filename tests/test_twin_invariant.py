@@ -39,6 +39,7 @@ EXACT_TWINS = {
     "stream_pyds_replay_tumbling": "events_tumbling_1h",
     "stream_tumbling_counts": "events_tumbling_1h",
     "stream_tws_running_totals": "events_power_users_p95",
+    "text_bpe_train": "text_bpe_pair_counts",
 }
 
 
