@@ -741,10 +741,11 @@ def encode_gif(indices, palette) -> bytes:
 
 def decode_image(payload: bytes) -> dict:
     """Content-sniffing image decode: real stdlib decoders for BMP
-    (decode_bmp), P6 PPM (decode_ppm), and PNG (decode_png — zlib is
-    stdlib, so PNG decodes natively since r8), and GIF (decode_gif —
-    pure-python LZW); JPEG/WEBP raise NotImplementedError — their
-    codecs aren't in this container; swap in
+    (decode_bmp), P6 PPM (decode_ppm), PNG (decode_png — zlib is
+    stdlib, native since r8), GIF (decode_gif — pure-python LZW), and
+    baseline sequential JPEG (operators/jpeg.py — first-principles
+    Huffman + DCT since r9; progressive refuses loudly); WEBP raises
+    NotImplementedError — its codec isn't in this container; swap in
     PIL.Image.open(io.BytesIO(payload)) on a real cluster."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -754,14 +755,14 @@ def decode_image(payload: bytes) -> dict:
         return decode_png(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
-    sniffed = {
-        b"\xff\xd8\xff": "JPEG",
-        b"RIFF": "RIFF(WEBP/AVI)",
-    }
-    kind = next((v for k, v in sniffed.items() if payload[: len(k)] == k), "unknown")
+    if payload[:3] == b"\xff\xd8\xff":
+        from etlalchemy_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    kind = "RIFF(WEBP/AVI)" if payload[:4] == b"RIFF" else "unknown"
     raise NotImplementedError(
         f"{kind} decode requires a codec library not present in this "
-        "environment; BMP/PPM/PNG/GIF decode natively"
+        "environment; BMP/PPM/PNG/GIF/JPEG decode natively"
     )
 
 

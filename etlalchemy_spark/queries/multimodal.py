@@ -1191,3 +1191,157 @@ def mm_image_patch_grid(spark, sf_dir):
             / (3.0 * F.col("n_px").cast("double"))
         ).alias("mean_intensity"),
     )
+
+
+# --- REAL baseline JPEG decode (r9) ----------------------------------------
+
+_JPEG_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 AS INT) AS mode,
+         16 * (1 + CAST(doc_id % 2 AS INT)) AS w,
+         16 AS h
+  FROM documents
+),
+lbx AS (
+  SELECT doc_id, mode, w, h, UNNEST(generate_series(0, w // 8 - 1)) AS bx
+  FROM params
+),
+lblk AS (
+  SELECT doc_id, mode, w, h, bx, UNNEST(generate_series(0, h // 8 - 1)) AS by
+  FROM lbx
+),
+lvals AS (
+  SELECT doc_id, mode, w, h,
+         (7 * doc_id + 11 * bx + 13 * by) % 256 AS l,
+         CASE WHEN mode = 1 THEN (5 * doc_id + 3 * bx + 7 * by) % 256
+              WHEN mode = 2 THEN (5 * doc_id + 3 * (bx // 2) + 7 * (by // 2)) % 256
+         END AS cbv,
+         CASE WHEN mode = 1 THEN (3 * doc_id + 5 * bx + 1 * by) % 256
+              WHEN mode = 2 THEN (3 * doc_id + 5 * (bx // 2) + 1 * (by // 2)) % 256
+         END AS crv
+  FROM lblk
+),
+rgb AS (
+  SELECT doc_id,
+         CAST(SUM(l) AS BIGINT) AS suml,
+         CAST(SUM(CASE WHEN mode = 0 THEN l
+                       ELSE LEAST(GREATEST(FLOOR(l + 1.402 * (crv - 128) + 0.5), 0), 255)
+                  END) AS BIGINT) AS sumr,
+         CAST(SUM(CASE WHEN mode = 0 THEN l
+                       ELSE LEAST(GREATEST(FLOOR(l - 0.344136 * (cbv - 128)
+                                                   - 0.714136 * (crv - 128) + 0.5),
+                                           0), 255)
+                  END) AS BIGINT) AS sumg,
+         CAST(SUM(CASE WHEN mode = 0 THEN l
+                       ELSE LEAST(GREATEST(FLOOR(l + 1.772 * (cbv - 128) + 0.5), 0), 255)
+                  END) AS BIGINT) AS sumb
+  FROM lvals GROUP BY doc_id
+),
+cbx AS (
+  SELECT doc_id, mode, w, h,
+         UNNEST(generate_series(0, (CASE WHEN mode = 1 THEN w // 8 ELSE w // 16 END) - 1)) AS bx
+  FROM params WHERE mode > 0
+),
+cblk AS (
+  SELECT doc_id, mode, bx,
+         UNNEST(generate_series(0, (CASE WHEN mode = 1 THEN h // 8 ELSE h // 16 END) - 1)) AS by
+  FROM cbx
+),
+csum AS (
+  SELECT doc_id,
+         CAST(SUM((5 * doc_id + 3 * bx + 7 * by) % 256) AS BIGINT) AS scb,
+         CAST(SUM((3 * doc_id + 5 * bx + 1 * by) % 256) AS BIGINT) AS scr
+  FROM cblk GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CASE p.mode WHEN 0 THEN 'gray' WHEN 1 THEN '444' ELSE '420' END AS subsampling,
+       CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       CAST(p.w * p.h AS BIGINT) AS n_pixels,
+       CAST(64 * r.suml AS BIGINT) AS sum_y,
+       CAST(64 * COALESCE(c.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(64 * COALESCE(c.scr, 0) AS BIGINT) AS sum_cr,
+       CAST(64 * r.sumr AS BIGINT) AS sum_r,
+       CAST(64 * r.sumg AS BIGINT) AS sum_g,
+       CAST(64 * r.sumb AS BIGINT) AS sum_b
+FROM params p
+JOIN rgb r USING (doc_id)
+LEFT JOIN csum c ON p.doc_id = c.doc_id
+"""
+
+
+@register("mm_decode_jpeg_stats", oracle=_JPEG_SQL, tags=("multimodal", "udf"))
+def mm_decode_jpeg_stats(spark, sf_dir):
+    """REAL baseline-sequential JPEG decode, stdlib+numpy (r9 — the
+    dominant real-world image format leaves the refusal list;
+    operators/jpeg.py implements ITU T.81 markers, DHT-from-file
+    Huffman decode with byte unstuffing, DC prediction, ZRL/EOB runs,
+    dequant + float64 IDCT, 4:2:0 upsample, YCbCr→RGB). Payloads cycle
+    grayscale / 4:4:4 / 4:2:0 by doc_id. What makes a LOSSY codec
+    oracle-checkable: the fixture is BLOCK-CONSTANT (each 8x8 block one
+    value), and at quality 100 the Annex-K scaling yields all-ones
+    quant tables, so every block is DC-only and the decode is EXACT —
+    DuckDB recomputes plane sums AND the post-conversion RGB sums
+    formula-side (identical floor(x+0.5) rounding chain). General
+    -image loss is bounded and golden-pinned in tests/test_jpeg.py.
+    Same Arrow mapInPandas shape as the PNG query: partition-local,
+    payload bytes never shuffle; at 100 TB decode cost is linear in
+    bytes and embarrassingly parallel."""
+    from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("mode"),
+        (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        ones = np.ones((8, 8), dtype=np.int64)
+
+        def plane(doc, nbx, nby, ka, kb, kc):
+            bx = np.arange(nbx, dtype=np.int64)
+            by = np.arange(nby, dtype=np.int64)
+            blocks = (ka * doc + kb * bx[None, :] + kc * by[:, None]) % 256
+            return np.kron(blocks, ones).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for doc, mode, w, h in zip(pdf["doc_id"], pdf["mode"], pdf["w"], pdf["h"]):
+                doc, mode, w, h = int(doc), int(mode), int(w), int(h)
+                y = plane(doc, w // 8, h // 8, 7, 11, 13)
+                if mode == 0:
+                    payload = encode_jpeg(y, quality=100)
+                elif mode == 1:
+                    cb = plane(doc, w // 8, h // 8, 5, 3, 7)
+                    cr = plane(doc, w // 8, h // 8, 3, 5, 1)
+                    payload = encode_jpeg(y, cb, cr, quality=100, subsampling="444")
+                else:
+                    cb = plane(doc, w // 16, h // 16, 5, 3, 7)
+                    cr = plane(doc, w // 16, h // 16, 3, 5, 1)
+                    payload = encode_jpeg(y, cb, cr, quality=100, subsampling="420")
+                d = decode_jpeg(payload)
+                rows.append(
+                    (
+                        doc, d["subsampling"], d["width"], d["height"],
+                        d["n_pixels"], d["sum_y"], d["sum_cb"], d["sum_cr"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subsampling", "width", "height", "n_pixels",
+                    "sum_y", "sum_cb", "sum_cr", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, subsampling string, width int, height int, n_pixels bigint, "
+        "sum_y bigint, sum_cb bigint, sum_cr bigint, sum_r bigint, sum_g bigint, "
+        "sum_b bigint",
+    )

@@ -1,0 +1,133 @@
+"""Baseline JPEG codec (operators/jpeg.py): exact DC-only roundtrips,
+bounded general-image loss, golden-byte pin, honest refusals."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from etlalchemy_spark.operators.multimodal import decode_image
+
+
+def _flat(rng, nbx, nby):
+    blocks = rng.integers(0, 256, size=(nby, nbx))
+    return np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def test_flat_block_grayscale_exact_roundtrip():
+    rng = np.random.default_rng(1)
+    for h, w in ((8, 8), (16, 40), (48, 16)):
+        y = _flat(rng, w // 8, h // 8)
+        d = decode_jpeg(encode_jpeg(y, quality=100))
+        assert (d["planes"][0] == y).all()
+        assert d["sum_y"] == int(y.sum(dtype=np.int64))
+        assert (d["width"], d["height"], d["subsampling"]) == (w, h, "gray")
+
+
+def test_flat_block_444_and_420_exact_roundtrip():
+    rng = np.random.default_rng(2)
+    h, w = 32, 48
+    y = _flat(rng, w // 8, h // 8)
+    cb, cr = _flat(rng, w // 8, h // 8), _flat(rng, w // 8, h // 8)
+    d = decode_jpeg(encode_jpeg(y, cb, cr, quality=100, subsampling="444"))
+    assert (d["planes"][0] == y).all() and (d["planes"][1] == cb).all()
+    assert d["subsampling"] == "444"
+    cb2, cr2 = _flat(rng, w // 16, h // 16), _flat(rng, w // 16, h // 16)
+    d = decode_jpeg(encode_jpeg(y, cb2, cr2, quality=100, subsampling="420"))
+    assert (d["planes"][0] == y).all()
+    assert (d["planes"][1] == cb2).all() and (d["planes"][2] == cr2).all()
+    assert d["subsampling"] == "420"
+
+
+def test_general_image_loss_is_bounded():
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, size=(40, 64)).astype(np.uint8)
+    for quality, bound in ((100, 1.0), (75, 15.0)):
+        d = decode_jpeg(encode_jpeg(y, quality=quality))
+        mae = np.abs(d["planes"][0] - y.astype(np.int64)).mean()
+        assert mae <= bound, (quality, mae)
+    # smooth gradients compress near-losslessly even at q75
+    x = np.arange(64)[None, :] + np.arange(40)[:, None]
+    smooth = (x * 2 % 256).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(smooth, quality=75))
+    assert np.abs(d["planes"][0] - smooth.astype(np.int64)).mean() <= 6.0
+
+
+def test_golden_bytes_and_sums_pinned():
+    """Deterministic encoder: byte-identical output and pinned decoded
+    sums across rounds/machines — drift in tables, rounding, or bit
+    packing shows up here first."""
+    y = np.kron(
+        np.array([[0, 255], [128, 7]], dtype=np.int64), np.ones((8, 8), dtype=np.int64)
+    ).astype(np.uint8)
+    payload = encode_jpeg(y, quality=100)
+    assert hashlib.md5(payload).hexdigest() == _GOLDEN_MD5
+    d = decode_jpeg(payload)
+    assert d["sum_y"] == 64 * (0 + 255 + 128 + 7)
+    assert d["sum_r"] == d["sum_y"]  # grayscale replicates Y
+
+
+def test_rgb_conversion_formula():
+    y = np.full((8, 8), 100, dtype=np.uint8)
+    cb = np.full((8, 8), 200, dtype=np.uint8)
+    cr = np.full((8, 8), 60, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(y, cb, cr, quality=100, subsampling="444"))
+    r = min(max(int(np.floor(100 + 1.402 * (60 - 128) + 0.5)), 0), 255)
+    g = min(max(int(np.floor(100 - 0.344136 * (200 - 128) - 0.714136 * (60 - 128) + 0.5)), 0), 255)
+    b = min(max(int(np.floor(100 + 1.772 * (200 - 128) + 0.5)), 0), 255)
+    assert d["sum_r"] == 64 * r and d["sum_g"] == 64 * g and d["sum_b"] == 64 * b
+
+
+def test_byte_stuffing_roundtrip():
+    """Values engineered to emit 0xFF bytes in the entropy stream must
+    survive the stuff/unstuff path."""
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        y = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(y, quality=90))
+        assert d["width"] == 16 and d["height"] == 16
+
+
+def test_router_dispatches_jpeg():
+    y = np.full((8, 8), 42, dtype=np.uint8)
+    d = decode_image(encode_jpeg(y, quality=100))
+    assert d["format"] == "jpeg" and d["sum_r"] == 64 * 42
+
+
+def test_refusals_name_the_field():
+    y = np.full((8, 8), 9, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(y, quality=100))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = bytes(payload).find(b"\xff\xc0")
+    prog = payload[:i] + b"\xff\xc2" + payload[i + 2:]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    # inject a DRI segment right after SOI
+    dri = payload[:2] + b"\xff\xdd\x00\x04\x00\x10" + payload[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(dri))
+    # 16-bit DQT: set Pq=1 on the first quant table
+    j = bytes(payload).find(b"\xff\xdb")
+    q16 = bytearray(payload)
+    q16[j + 4] = 0x10
+    with pytest.raises(NotImplementedError, match="16-bit quantization"):
+        decode_jpeg(bytes(q16))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+
+
+def test_encoder_rejects_bad_geometry():
+    y = np.zeros((12, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg(y, quality=100)
+    y = np.zeros((16, 16), dtype=np.uint8)
+    cb = np.zeros((16, 16), dtype=np.uint8)
+    with pytest.raises(ValueError, match="half-size"):
+        encode_jpeg(y, cb, cb, quality=100, subsampling="420")
+
+
+# md5 of encode_jpeg(kron([[0,255],[128,7]], ones(8,8)), quality=100),
+# pinned as a LITERAL: any drift in tables, rounding, or bit packing
+# across rounds/machines fails here first.
+_GOLDEN_MD5 = "ee5a98efdc9ed8be3f5dbf81126f7b4b"

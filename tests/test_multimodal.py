@@ -182,8 +182,12 @@ def test_decode_image_router_compressed_boundary():
     # a MALFORMED png now, not an unimplemented codec
     with pytest.raises(ValueError, match="no IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0....")
+    # JPEG decodes natively since r9 — a bare SOI+APP0 with no scan is
+    # MALFORMED, not unimplemented; WEBP remains the refusal boundary
+    with pytest.raises(ValueError, match="expected marker"):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x02..")
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_image(b"RIFFxxxxWEBPxxxx")
 
 
 def test_png_roundtrip_all_color_types_and_filters():
