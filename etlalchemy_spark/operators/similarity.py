@@ -1135,12 +1135,22 @@ def semantic_dedup_keep_first(
             .limit(int(n_centroids))
             .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
         )
+    withc = df.select(F.col(id_col), F.col(vec_col)).join(
+        semantic_cells(df, id_col, vec_col, cents), id_col
+    )
+    return _semantic_drop_list(withc, withc, id_col, vec_col, threshold)
+
+
+def semantic_cells(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """(id, _cell): decimal-exact max-cosine assignment to the centroid
+    set ``cents`` (columns _cid, _cvec). Argmax via one MAX(struct)
+    aggregate — deterministic tie-break (highest cosine, then lowest
+    centroid id), no window shuffle. NULL cosines (zero-norm vectors)
+    sink below every real score."""
     pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
     scored = exact_cosine(pairs, [id_col, "_cid"], F.col(vec_col), F.col("_cvec"))
-    # argmax via one MAX(struct) aggregate instead of a row_number
-    # window: same deterministic tie-break (highest cosine, then
-    # lowest centroid id), one fewer shuffle+sort. NULL cosines
-    # (zero-norm vectors) sink below every real score.
     best = F.max(
         F.struct(
             F.coalesce(F.col("cosine"), F.lit(-2.0)).alias("c"),
@@ -1148,11 +1158,18 @@ def semantic_dedup_keep_first(
             F.col("_cid").alias("cid"),
         )
     )
-    cells = scored.groupBy(id_col).agg(best.getField("cid").alias("_cell"))
+    return scored.groupBy(id_col).agg(best.getField("cid").alias("_cell"))
 
-    withc = df.join(cells, id_col)
-    a = withc.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell")
-    b = withc.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell")
+
+def _semantic_drop_list(
+    lower: DataFrame, upper: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Keep-first pair verify: (id, dup_of, n_dups) for every ``upper``
+    row beaten by a LOWER-id ``lower`` row in the same cell within the
+    cosine threshold. Both inputs carry (id, vec, _cell); the join is
+    cell-blocked — never all-pairs."""
+    a = lower.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell")
+    b = upper.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell")
     cand = a.join(b, "_cell").where(F.col("id_a") < F.col("id_b"))
     sc = exact_cosine(cand, ["id_a", "id_b"], F.col("_va"), F.col("_vb")).where(
         F.col("cosine") >= threshold
@@ -1160,3 +1177,76 @@ def semantic_dedup_keep_first(
     return sc.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups")
     )
+
+
+def semantic_cell_version(centroid_ids: list[int], threshold: float) -> str:
+    """Store version tag binding the centroid set AND threshold: a
+    store assigned under one codebook can never be silently stepped
+    against another (the lsh_band_store sig_version discipline)."""
+    import hashlib
+
+    key = ",".join(str(i) for i in sorted(centroid_ids)) + f"|t={threshold!r}"
+    return "semcells:" + hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def semantic_dedup_step(
+    store: DataFrame | None,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    threshold: float,
+    version_tag: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SemDeDup (the lsh_band_store/incremental ANN shape
+    for embeddings — r8 verdict #8): one batch is cell-assigned and
+    verified against the persisted cell store PLUS its own lower-id
+    rows; per-batch cost is (batch × centroids) assignment + pairs in
+    the touched cells only (store rows outside the batch's cells are
+    pruned by a left-semi join, i.e. partition-prunable when the store
+    is written partitioned by _cell). Returns (drop list for the
+    batch, the batch's store rows to append). The store holds EVERY
+    seen vector — keep-first verdicts cite the smallest matching id,
+    dropped or not, so id-ordered replay reproduces the one-shot
+    drop list EXACTLY (gate-pinned: `dedup_semantic_incremental`
+    shares the one-shot oracle). ORDER-INVARIANT: the step emits BOTH
+    directions — batch rows beaten by (store ∪ batch) lower ids, AND
+    store rows beaten by lower-id batch arrivals — so each (a, b)
+    pair is examined exactly once, when the later of the two batches
+    lands. The step therefore returns PARTIAL drop rows; callers
+    aggregate across batches with groupBy(id).agg(MIN(dup_of),
+    SUM(n_dups)), which equals the one-shot drop list under ANY
+    arrival order (streaming replay included — per-batch overwrite
+    dirs keep re-deliveries idempotent). Version-tag mismatches fail
+    loudly before any pair math."""
+    bc = batch.select(F.col(id_col), F.col(vec_col)).join(
+        semantic_cells(batch, id_col, vec_col, cents), id_col
+    )
+    lower = bc
+    pruned = None
+    if store is not None:
+        if "cell_version" not in store.columns:
+            raise ValueError(
+                f"semantic cell store has no cell_version column — refusing "
+                f"to step an unversioned store (expected {version_tag})"
+            )
+        versions = sorted(
+            str(r[0]) for r in store.select("cell_version").distinct().collect()
+        )
+        if versions not in ([], [version_tag]):
+            raise ValueError(
+                f"semantic cell store version {versions} != expected "
+                f"{version_tag!r} — re-assign the store instead"
+            )
+        pruned = store.select(F.col(id_col), F.col(vec_col), "_cell").join(
+            bc.select("_cell").distinct(), "_cell", "left_semi"
+        )
+        lower = pruned.unionByName(bc)
+    drops = _semantic_drop_list(lower, bc, id_col, vec_col, threshold)
+    if pruned is not None:
+        # new evidence against OLD rows: lower-id batch arrivals can
+        # beat store rows that arrived earlier out of id order
+        drops = drops.unionByName(
+            _semantic_drop_list(bc, pruned, id_col, vec_col, threshold)
+        )
+    return drops, bc.withColumn("cell_version", F.lit(version_tag))

@@ -1276,3 +1276,74 @@ def dedup_split_leakage_audit(spark, sf_dir):
             "pair_share"
         ),
     )
+
+
+@register("dedup_semantic_incremental", oracle=_SEMANTIC_SQL, tags=("dedup", "similarity"))
+def dedup_semantic_incremental(spark, sf_dir):
+    """Incremental SemDeDup against a PERSISTED cell store (r8 verdict
+    #8 — the lsh_band_store / incremental-ANN pattern for embeddings):
+    the corpus is replayed as three id-range batches; each batch is
+    cell-assigned under the SAME data-derived codebook as the one-shot
+    (k = ceil(sqrt(n/2)) smallest-id centroids, fixed upfront — how
+    production pins a codebook before streaming), verified against the
+    store + its own lower ids via semantic_dedup_step, and appended to
+    the store parquet. Partial drop rows aggregate across batches with
+    MIN(dup_of)/SUM(n_dups); the result must be IDENTICAL to the
+    one-shot `dedup_semantic_keep_first` — it shares that query's
+    DuckDB oracle verbatim, which IS the replay≡one-shot gate.
+    Per-batch cost: batch×k assignment + pairs in touched cells only;
+    the store is append-only."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as _F
+
+    from etlalchemy_spark.operators.similarity import (
+        semantic_cell_version,
+        semantic_centroid_count,
+        semantic_dedup_step,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = semantic_centroid_count(n)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(_F.col("vec_id").alias("_cid"), _F.col("embedding").alias("_cvec"))
+    )
+    centroid_ids = [r["_cid"] for r in cents.select("_cid").collect()]  # k rows
+    tag = semantic_cell_version(centroid_ids, 0.3)
+
+    bounds = emb.agg(_F.min("vec_id").alias("lo"), _F.max("vec_id").alias("hi")).head()
+    lo, hi = bounds["lo"], bounds["hi"]
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    batches = [
+        emb.where(_F.col("vec_id") <= cut1),
+        emb.where((_F.col("vec_id") > cut1) & (_F.col("vec_id") <= cut2)),
+        emb.where(_F.col("vec_id") > cut2),
+    ]
+
+    sd = scratch_dir("sem_inc", sf_dir)
+    store_p = sd + "/store"
+    _shutil.rmtree(store_p, ignore_errors=True)
+    store_df = None
+    partials = []
+    store_dirs = []
+    for i, b in enumerate(batches):
+        drops, rows = semantic_dedup_step(
+            store_df, b, "vec_id", "embedding", cents, 0.3, tag
+        )
+        partials.append(drops)
+        d = f"{store_p}/batch={i}"
+        rows.write.mode("overwrite").parquet(d)
+        store_dirs.append(d)
+        store_df = spark.read.parquet(*store_dirs)
+
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("vec_id").agg(
+        _F.min("dup_of").alias("dup_of"), _F.sum("n_dups").alias("n_dups")
+    )

@@ -524,3 +524,63 @@ def stream_ab_srm_monitor(spark, sf_dir):
             "srm_chi2_events"
         ),
     )
+
+
+@register(
+    "stream_semantic_incremental",
+    oracle=None,
+    tags=("streaming", "similarity", "dedup", "approx"),
+)
+def stream_semantic_incremental(spark, sf_dir):
+    """Streaming incremental SemDeDup: the embeddings corpus sliced
+    into 3 id-range parquet files dropped in an ingest dir, replayed
+    one micro-batch per file, each batch cell-assigned under the
+    data-derived codebook (k = ceil(sqrt(n/2)) smallest-id centroids,
+    fixed BEFORE the stream starts) and keep-first-verified against
+    the persisted cell store via semantic_dedup_step. The aggregated
+    drop list must equal the one-shot `dedup_semantic_keep_first` no
+    matter how files arrive (order-invariant two-direction step) —
+    twin `dedup_semantic_incremental` carries the oracle; stream ≡
+    one-shot pinned in tests/test_streaming.py."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.similarity import (
+        semantic_cell_version,
+        semantic_centroid_count,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir, t
+    from etlalchemy_spark.streaming.documents import run_semantic_dedup_stream
+
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = semantic_centroid_count(n)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec"))
+    )
+    tag = semantic_cell_version(
+        [r["_cid"] for r in cents.select("_cid").collect()], 0.3
+    )
+    bounds = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).head()
+    lo, hi = bounds["lo"], bounds["hi"]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        emb.where(F.col("vec_id") <= cut1),
+        emb.where((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)),
+        emb.where(F.col("vec_id") > cut2),
+    ]
+    sd = scratch_dir("sem_inc_stream", sf_dir)
+    ingest = _os.path.join(sd, "ingest")
+    _shutil.rmtree(ingest, ignore_errors=True)
+    _os.makedirs(ingest)
+    for i, sl in enumerate(slices):
+        slice_dir = _os.path.join(sd, f"_slice{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        part = _glob.glob(_os.path.join(slice_dir, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(ingest, f"slice{i}.parquet"))
+    return run_semantic_dedup_stream(
+        spark, ingest, _os.path.join(sd, "state"), emb.schema, cents, tag
+    )

@@ -211,3 +211,74 @@ def run_incremental_dedup_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(*_list_batch_dirs(spark, matches_p))
+
+
+def run_semantic_dedup_stream(
+    spark: SparkSession,
+    ingest_dir: str,
+    state_dir: str,
+    emb_schema,
+    cents: DataFrame,
+    version_tag: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """STREAMING leg of incremental SemDeDup (r8 verdict #8):
+    embedding batches arrive as parquet files (maxFilesPerTrigger=1,
+    availableNow), foreachBatch runs semantic_dedup_step against the
+    persisted cell store under a FIXED codebook (``cents`` +
+    ``version_tag`` — pinned upfront, exactly how production ships a
+    SemDeDup codebook ahead of the stream). Exactly-once under
+    at-least-once delivery via the same per-batch ``batch=<id>``
+    overwrite-dir protocol as run_incremental_dedup_stream — and the
+    step reads the store EXCLUDING the current batch's dir, so a
+    replay never pairs a batch against its own half-written rows.
+    The step is ORDER-INVARIANT (both pair directions emitted), so
+    the final MIN(dup_of)/SUM(n_dups) aggregate over partials equals
+    the one-shot drop list under ANY file arrival order; twin
+    `dedup_semantic_incremental` carries the oracle."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etlalchemy_spark.operators.similarity import semantic_dedup_step
+
+    store_p = os.path.join(state_dir, "store")
+    drops_p = os.path.join(state_dir, "drops")
+    ckpt = os.path.join(state_dir, "ckpt")
+    for p in (store_p, drops_p, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        dirs = [
+            d
+            for d in _list_batch_dirs(s, store_p)
+            if not d.endswith(f"batch={batch_id}")
+        ]
+        store = s.read.parquet(*dirs) if dirs else None
+        drops, rows = semantic_dedup_step(
+            store, batch_df, "vec_id", "embedding", cents, threshold, version_tag
+        )
+        drops.write.mode("overwrite").parquet(
+            os.path.join(drops_p, f"batch={batch_id}")
+        )
+        rows.write.mode("overwrite").parquet(
+            os.path.join(store_p, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingest_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(*_list_batch_dirs(spark, drops_p))
+    return partials.groupBy("vec_id").agg(
+        F.min("dup_of").alias("dup_of"), F.sum("n_dups").alias("n_dups")
+    )

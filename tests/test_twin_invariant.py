@@ -31,6 +31,7 @@ EXACT_TWINS = {
     "stream_foreach_batch_sink": "events_tumbling_1h",
     "stream_incremental_ann_index": "sim_incremental_index_topk",
     "stream_incremental_dedup": "dedup_minhash_lsh_exact",
+    "stream_semantic_incremental": "dedup_semantic_incremental",
     "stream_session_window": "events_session_window",
     "stream_sliding_counts": "events_sliding_1h_15m",
     "stream_stateful_user_counts": "events_power_users_p95",
