@@ -102,18 +102,31 @@ def decode_wav_samples(payload: bytes):
         raise ValueError("WAVE payload missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
     if audio_format == 17:  # IMA ADPCM — pure table arithmetic (r8)
-        if n_channels != 1:
-            raise NotImplementedError("only mono IMA ADPCM implemented")
         decoded: list[int] = []
         for off in range(0, len(data) - 3, block_align):
-            decoded.extend(_ima_decode_block(data[off : off + block_align]))
+            block = data[off : off + block_align]
+            if n_channels == 1:
+                decoded.extend(_ima_decode_block(block))
+            elif n_channels == 2:  # r9: stereo — per-channel state,
+                # data interleaved in 4-byte (8-nibble) groups
+                left, right = _ima_decode_block_stereo(block)
+                for l_s, r_s in zip(left, right):
+                    decoded.append(l_s)
+                    decoded.append(r_s)
+            else:
+                raise NotImplementedError(
+                    f"{n_channels}-channel IMA ADPCM not implemented (1/2 only)"
+                )
         if fact_samples is not None:
-            decoded = decoded[:fact_samples]
+            decoded = decoded[: fact_samples * n_channels]
         samples = np.asarray(decoded, dtype=np.int64)
+    elif audio_format == 7:  # G.711 mu-law — a pure 8-bit table (r9)
+        samples = _mulaw_decode_bytes(data)
     elif audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} is compressed with a "
-            "non-stdlib codec; PCM (1) and IMA ADPCM (17) decode natively"
+            "non-stdlib codec; PCM (1), mu-law (7), and IMA ADPCM (17) "
+            "decode natively"
         )
     else:
         if bits != 16:
@@ -173,6 +186,154 @@ def _ima_decode_block(block: bytes) -> list[int]:
             pred, index = _ima_step(pred, index, nibble)
             out.append(pred)
     return out
+
+
+def _ima_decode_block_stereo(block: bytes) -> tuple[list[int], list[int]]:
+    """Decode one STEREO IMA ADPCM block (r9): two 4-byte channel
+    headers (left, right), then nibble data interleaved in 4-byte
+    groups per channel (8 left samples, 8 right samples, ...). Each
+    channel carries its own (predictor, step-index) state through the
+    SAME _ima_step as mono — the layout is the only difference."""
+    import struct
+
+    lp, li = struct.unpack_from("<hB", block, 0)[0], max(0, min(88, block[2]))
+    rp, ri = struct.unpack_from("<hB", block, 4)[0], max(0, min(88, block[6]))
+    left, right = [lp], [rp]
+    body = block[8:]
+    for g in range(0, len(body) - 7, 8):
+        for byte in body[g : g + 4]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                lp, li = _ima_step(lp, li, nibble)
+                left.append(lp)
+        for byte in body[g + 4 : g + 8]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                rp, ri = _ima_step(rp, ri, nibble)
+                right.append(rp)
+    return left, right
+
+
+def encode_wav_ima_adpcm_stereo(
+    left, right, sample_rate: int, block_align: int = 264
+) -> bytes:
+    """STEREO IMA ADPCM (format 17, 2 channels) writer — the fixture
+    synthesizer for the stereo decode leg. block_align must satisfy
+    (block_align - 8) % 8 == 0; samples per channel per block =
+    (block_align - 8) // 4 + 1."""
+    import struct
+
+    import numpy as np
+
+    if (block_align - 8) % 8:
+        raise ValueError("stereo block_align must be 8 + multiple of 8")
+    lpcm = [int(x) for x in np.asarray(left, dtype="<i2")]
+    rpcm = [int(x) for x in np.asarray(right, dtype="<i2")]
+    if len(lpcm) != len(rpcm):
+        raise ValueError("left/right must be equal length")
+    # (block_align - 8) data bytes split evenly between channels, two
+    # nibbles per byte, plus the header sample
+    spb = (block_align - 8) + 1  # samples per CHANNEL per block
+
+    def _enc_channel(chunk: list[int], index: int) -> tuple[list[int], int, int]:
+        pred = chunk[0]
+        head_pred = pred
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        while len(nibbles) < spb - 1:
+            nibbles.append(0)
+        return nibbles, head_pred, index
+
+    blocks = bytearray()
+    li = ri = 0
+    i = 0
+    while i < len(lpcm):
+        lc, rc = lpcm[i : i + spb], rpcm[i : i + spb]
+        i += spb
+        li0, ri0 = li, ri  # header carries the BLOCK-START step index
+        ln, lh, li = _enc_channel(lc, li)
+        rn, rh, ri = _enc_channel(rc, ri)
+        blocks += struct.pack("<hBB", lh, li0, 0) + struct.pack("<hBB", rh, ri0, 0)
+        for g in range(0, len(ln), 8):
+            for ch in (ln, rn):
+                grp = ch[g : g + 8] + [0] * max(0, 8 - len(ch[g : g + 8]))
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    blocks.append(lo | (hi << 4))
+    data = bytes(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 17, 2, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = b"fact" + struct.pack("<II", 4, len(lpcm))
+    hdr = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(fact) + 8 + len(data)) + b"WAVE"
+    return hdr + fmt + fact + b"data" + struct.pack("<I", len(data)) + data
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """G.711 mu-law expansion of one encoded byte — pure integer
+    formula (ITU G.711, public): complement, split sign/exponent/
+    mantissa, rebuild magnitude around the 0x84 bias. The DuckDB
+    oracle replicates this exact arithmetic with // and % — the whole
+    point of closing this 'codec': it was never a codec, just a
+    table."""
+    u = ~b & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -magnitude if sign else magnitude
+
+
+def _mulaw_decode_bytes(data: bytes):
+    import numpy as np
+
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    u = 255 - b
+    sign = u >> 7
+    exponent = (u >> 4) & 7
+    mantissa = u & 15
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign == 1, -magnitude, magnitude)
+
+
+def mulaw_encode_sample(s: int) -> int:
+    """G.711 mu-law compression of one int16 sample (bias 0x84, clip
+    32635) — the fixture synthesizer's inverse of mulaw_decode_byte."""
+    sign = 0x80 if s < 0 else 0
+    s = min(abs(s), 32635) + 0x84
+    exponent = s.bit_length() - 8  # top bit position above the mantissa
+    mantissa = (s >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def encode_wav_mulaw(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Mono/stereo G.711 mu-law WAV (format tag 7) writer. ``samples``
+    is the interleaved int16 stream."""
+    import struct
+
+    import numpy as np
+
+    pcm = [int(x) for x in np.asarray(samples, dtype="<i2")]
+    data = bytes(mulaw_encode_sample(s) for s in pcm)
+    byte_rate = sample_rate * n_channels
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHH", 18, 7, n_channels, sample_rate, byte_rate, n_channels, 8, 0
+    )
+    fact = b"fact" + struct.pack("<II", 4, len(pcm) // n_channels)
+    hdr = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(fact) + 8 + len(data)) + b"WAVE"
+    return hdr + fmt + fact + b"data" + struct.pack("<I", len(data)) + data
 
 
 def encode_wav_ima_adpcm(samples, sample_rate: int, block_align: int = 256) -> bytes:

@@ -1345,3 +1345,126 @@ def mm_decode_jpeg_stats(spark, sf_dir):
         "sum_y bigint, sum_cb bigint, sum_cr bigint, sum_r bigint, sum_g bigint, "
         "sum_b bigint",
     )
+
+
+# --- G.711 mu-law + stereo ADPCM (r9) ---------------------------------------
+
+_MULAW_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         64 + CAST(doc_id % 64 AS INT) AS nbytes,
+         1 + CAST(doc_id % 2 AS INT) AS ch
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, nbytes, ch, UNNEST(generate_series(0, nbytes - 1)) AS i
+  FROM params
+),
+dec AS (
+  SELECT doc_id, nbytes, ch,
+         (((255 - (13 * doc_id + 7 * i) % 256) % 16) * 8 + 132)
+           * (1 << CAST(((255 - (13 * doc_id + 7 * i) % 256) // 16) % 8 AS INT))
+           - 132 AS mag
+  FROM bytes
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       CAST(MIN(ch) AS INT) AS n_channels,
+       CAST(MIN(nbytes) // MIN(ch) AS BIGINT) AS n_samples,
+       CAST((MIN(nbytes) // MIN(ch)) * 1000000 // 8000 AS BIGINT) AS duration_us,
+       CAST(SUM(mag) AS BIGINT) AS sum_abs_amplitude,
+       CAST(MAX(mag) AS BIGINT) AS peak_amplitude
+FROM dec GROUP BY doc_id
+"""
+
+
+@register("mm_decode_mulaw_stats", oracle=_MULAW_SQL, tags=("multimodal", "udf"))
+def mm_decode_mulaw_stats(spark, sf_dir):
+    """REAL G.711 mu-law decode (WAV format tag 7, mono and stereo —
+    r9): this 'codec' was never a codec, just an 8-bit companding
+    table, so it leaves the refusal list as pure integer arithmetic.
+    The fixture synthesizes the ENCODED byte stream directly from a
+    doc_id formula (every byte is valid mu-law), wraps it in a RIFF
+    container, and decodes through the same wav_stats mapInPandas
+    pipeline as PCM/ADPCM; DuckDB replicates the exact expansion
+    formula — complement, exponent shift around the 0x84 bias — per
+    byte, so sums and peaks are oracle-exact (the sign never matters:
+    |sample| = magnitude). Partition-local, linear in bytes."""
+    import struct as _struct
+
+    from etlalchemy_spark.operators.multimodal import wav_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("nbytes"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("ch"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        def wav(doc: int, nbytes: int, ch: int) -> bytes:
+            data = bytes((13 * doc + 7 * i) % 256 for i in range(nbytes))
+            fmt = b"fmt " + _struct.pack(
+                "<IHHIIHHH", 18, 7, ch, 8000, 8000 * ch, ch, 8, 0
+            )
+            hdr = (
+                b"RIFF"
+                + _struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+                + b"WAVE"
+            )
+            return hdr + fmt + b"data" + _struct.pack("<I", len(data)) + data
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        wav(int(d), int(n), int(c))
+                        for d, n, c in zip(pdf["doc_id"], pdf["nbytes"], pdf["ch"])
+                    ],
+                }
+            )
+
+    wavs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return wav_stats(wavs, "doc_id")
+
+
+@register("mm_decode_adpcm_stereo", oracle=None, tags=("multimodal", "udf", "approx"))
+def mm_decode_adpcm_stereo(spark, sf_dir):
+    """REAL STEREO IMA ADPCM decode (format 17, 2 channels — r9,
+    closing the last named audio boundary): per-doc deterministic
+    integer waveforms per channel are compressed with the stereo
+    encoder (two per-channel predictor/step states, nibble data
+    interleaved in 4-byte groups) and decoded back through wav_stats.
+    Iterative predictor state has no SQL form — rows-only with twin
+    mm_decode_wav_stats (the PCM leg of the same pipeline carries the
+    oracle); encoder/decoder closeness and the mono-equivalence
+    property are pinned in tests/test_multimodal.py."""
+    from etlalchemy_spark.operators.multimodal import (
+        encode_wav_ima_adpcm_stereo,
+        wav_stats,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(200) + F.col("doc_id") % 57).cast("int").alias("n")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc, n in zip(pdf["doc_id"], pdf["n"]):
+                doc, n = int(doc), int(n)
+                i = np.arange(n, dtype=np.int64)
+                left = ((doc * 31 + i * i * 3) % 8000 - 4000).astype(np.int16)
+                right = ((doc * 17 + i * 5) % 6000 - 3000).astype(np.int16)
+                payloads.append(encode_wav_ima_adpcm_stereo(left, right, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    wavs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return wav_stats(wavs, "doc_id")

@@ -328,16 +328,16 @@ def test_ima_adpcm_roundtrip_and_guards():
     blk = struct.pack("<hBB", 1000, 0, 0) + b"\x00\x00"
     assert _ima_decode_block(blk)[:3] == [1000, 1000, 1000]  # step 7>>3 = 0
 
-    # stereo ADPCM and unknown compressed formats refuse loudly
-    stereo = bytearray(payload)
+    # stereo decodes natively since r9; >2 channels refuse loudly
+    three = bytearray(payload)
     fmt_off = payload.find(b"fmt ") + 8
-    struct.pack_into("<H", stereo, fmt_off + 2, 2)  # n_channels = 2
-    with pytest.raises(NotImplementedError, match="mono"):
-        decode_wav(bytes(stereo))
-    mulaw = bytearray(payload)
-    struct.pack_into("<H", mulaw, fmt_off, 7)  # mu-law
-    with pytest.raises(NotImplementedError, match="format 7"):
-        decode_wav(bytes(mulaw))
+    struct.pack_into("<H", three, fmt_off + 2, 3)  # n_channels = 3
+    with pytest.raises(NotImplementedError, match="3-channel"):
+        decode_wav(bytes(three))
+    mp3 = bytearray(payload)
+    struct.pack_into("<H", mp3, fmt_off, 85)  # MP3-in-WAV stays refused
+    with pytest.raises(NotImplementedError, match="format 85"):
+        decode_wav(bytes(mp3))
 
 
 def test_gif_lzw_roundtrip_and_router():
@@ -557,3 +557,73 @@ def test_audio_autocorr_detects_period(spark):
     df2 = spark.createDataFrame([(2, bytes(stereo))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="mono"):
         audio_autocorr(df2, "doc_id").collect()
+
+
+def test_mulaw_codec_roundtrip_and_formula():
+    """G.711 mu-law: decode formula spot values, companding error
+    bound, and container round-trip incl. stereo frame math."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_mulaw,
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    assert mulaw_decode_byte(0xFF) == 0  # encoded zero
+    assert mulaw_decode_byte(0x7F) == -0
+    for s in (0, 1, -1, 100, -100, 5000, -5000, 32635, -32635, 32767, -32768):
+        d = mulaw_decode_byte(mulaw_encode_sample(s))
+        clipped = max(-32635, min(32635, s))
+        assert abs(d - clipped) <= max(32, abs(clipped) // 16), (s, d)
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-32000, 32000, size=1000).astype(np.int16)
+    meta, samples = decode_wav_samples(encode_wav_mulaw(pcm, 8000))
+    assert (meta["n_channels"], meta["n_samples"]) == (1, 1000)
+    rel = np.abs(samples - pcm) / np.maximum(np.abs(pcm.astype(np.int64)), 64)
+    assert np.percentile(rel, 99) < 0.05
+    meta2, _ = decode_wav_samples(encode_wav_mulaw(pcm, 8000, n_channels=2))
+    assert (meta2["n_channels"], meta2["n_samples"]) == (2, 500)
+
+
+def test_stereo_adpcm_roundtrip_and_channel_isolation():
+    """Stereo IMA ADPCM: bounded reconstruction error per channel and
+    per-channel state isolation — each channel must decode exactly as
+    its mono encoding does (same _ima_step path, interleaved layout
+    only)."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+        encode_wav_ima_adpcm_stereo,
+    )
+
+    t = np.arange(1200)
+    left = (6000 * np.sin(t / 5)).astype(np.int16)
+    right = (-4000 * np.cos(t / 9)).astype(np.int16)
+    meta, s = decode_wav_samples(encode_wav_ima_adpcm_stereo(left, right, 16000))
+    assert (meta["n_channels"], meta["n_samples"]) == (2, 1200)
+    l2, r2 = s[0::2], s[1::2]
+    assert np.abs(l2 - left).mean() < 150 and np.abs(r2 - right).mean() < 150
+    # channel isolation: stereo left == mono decode when block sample
+    # counts line up (stereo block 72 -> 65 samples/ch; mono 132 -> 65)
+    _, mono_l = decode_wav_samples(encode_wav_ima_adpcm(left, 16000, block_align=36))
+    _, st = decode_wav_samples(
+        encode_wav_ima_adpcm_stereo(left, right, 16000, block_align=72)
+    )
+    assert np.array_equal(st[0::2][: len(left)], mono_l[: len(left)])
+
+
+def test_wav_format_refusal_still_names_the_codec():
+    import struct
+
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import decode_wav
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 16)  # MP3
+    hdr = b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8) + b"WAVE"
+    with pytest.raises(NotImplementedError, match="format 85"):
+        decode_wav(hdr + fmt + b"data" + struct.pack("<I", 0))
