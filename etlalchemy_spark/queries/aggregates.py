@@ -1492,3 +1492,76 @@ def agg_log2_histogram(spark, sf_dir):
         (F.pow(F.lit(2.0), F.col("bucket")) / 100.0).alias("bucket_floor"),
         F.col("cnt").cast("bigint").alias("n"),
     )
+
+
+# --- Market-basket co-occurrence lift (r9) ----------------------------------
+
+_BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+bc AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(p.n_ab * n.n_orders AS DOUBLE)
+         / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM pairs p
+CROSS JOIN n
+JOIN bc ca ON ca.brand = p.brand_a
+JOIN bc cb ON cb.brand = p.brand_b
+ORDER BY lift DESC, p.brand_a, p.brand_b
+LIMIT 20
+"""
+
+
+@register("agg_market_basket_lift", oracle=_BASKET_SQL, tags=("agg", "join"))
+def agg_market_basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence lift over order contents: distinct
+    (order, brand) pairs, within-order brand pairs (a < b), lift =
+    P(a,b)/(P(a)P(b)) as exact-integer products divided once in DOUBLE
+    (n_ab·n_orders and n_a·n_b both < 2^53 ⇒ the division operands are
+    bit-identical in both engines). The self-join is blocked by
+    ORDER — pair cost is Σ basket_size², never catalog²; with 25
+    brands the pair/count tables are alphabet-sized aggregates. Top 20
+    by (lift DESC, brands ASC) — fully deterministic under ties."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.select("ok").distinct().count()  # one scalar
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ob.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (
+                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )

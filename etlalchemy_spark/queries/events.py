@@ -1981,3 +1981,53 @@ def events_rfm_segments(spark, sf_dir):
         .otherwise("regular")
         .alias("segment"),
     )
+
+
+# --- OHLC bars (r9) ----------------------------------------------------------
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS hour, ts, event_id, value FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id, value) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC,
+                            value DESC) AS rn_d
+  FROM e
+)
+SELECT hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY hour
+"""
+
+
+@register("ts_ohlc_bars", oracle=_OHLC_SQL, tags=("events", "timeseries"))
+def ts_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candle bars (the market-data resampling shape —
+    pairs with `ts_downsample_minmax` for plotting): open/close are
+    the first/last values under the TOTAL (ts, event_id, value) order
+    — deterministic even with duplicate timestamps — computed as ONE
+    MIN/MAX(struct) aggregate per bar instead of a row_number window,
+    so the whole query is a single hash aggregate with map-side
+    partials: one shuffle of bar-count rows, no sort anywhere. The
+    oracle reaches the same rows via rank windows."""
+    from pyspark.sql import functions as _F
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        _F.date_trunc("hour", "ts").alias("hour"), "ts", "event_id", "value"
+    )
+    first = _F.min(_F.struct("ts", "event_id", _F.col("value").alias("v")))
+    last = _F.max(_F.struct("ts", "event_id", _F.col("value").alias("v")))
+    return e.groupBy("hour").agg(
+        first.getField("v").alias("open"),
+        _F.max("value").alias("high"),
+        _F.min("value").alias("low"),
+        last.getField("v").alias("close"),
+        _F.count(_F.lit(1)).cast("bigint").alias("n_events"),
+    )
