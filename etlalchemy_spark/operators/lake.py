@@ -121,12 +121,19 @@ def latest_version(spark: SparkSession, root: str) -> int:
 
 
 def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list[dict]:
-    """Per-file (rows, min/max key) for a freshly written commit dir —
-    ONE distributed aggregate over ``_metadata.file_path``, collected
-    at file-count size. These stats power upsert's file skipping."""
+    """Per-file (rows, min/max key, schema fingerprint) for a freshly
+    written commit dir — ONE distributed aggregate over
+    ``_metadata.file_path``, collected at file-count size. The stats
+    power upsert's file skipping; the schema ``sig`` lets readers skip
+    the mergeSchema footer pass when every file in a snapshot shares
+    one schema (the common case — Delta stores the schema in the log
+    for exactly this)."""
+    scan = spark.read.parquet(data_dir)
+    import hashlib
+
+    sig = hashlib.md5(scan.schema.simpleString().encode()).hexdigest()[:12]
     rows = (
-        spark.read.parquet(data_dir)
-        .groupBy(F.col("_metadata.file_path").alias("path"))
+        scan.groupBy(F.col("_metadata.file_path").alias("path"))
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.min(key).alias("min_key"),
@@ -141,11 +148,25 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list[dict]:
                 "rows": r["rows"],
                 "min_key": r["min_key"],
                 "max_key": r["max_key"],
+                "sig": sig,
             }
             for r in rows
         ),
         key=lambda f: f["path"],
     )
+
+
+def _read_files(spark: SparkSession, files: list[dict]):
+    """Plan a scan over manifest file entries: when every entry carries
+    the SAME schema fingerprint, a plain read suffices (one footer);
+    mixed or unknown (pre-r9 manifests) fingerprints take the
+    mergeSchema path so evolved columns null-fill instead of silently
+    dropping (ADVICE r8 high)."""
+    sigs = {f.get("sig") for f in files}
+    reader = spark.read
+    if len(sigs) != 1 or None in sigs:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f["path"] for f in files])
 
 
 def _commit_data(
@@ -190,12 +211,10 @@ def lake_read(spark: SparkSession, root: str, version: int | None = None) -> Dat
         if schema_src is None:
             raise ValueError(f"version {v} is empty and no ancestor has files")
         return spark.read.parquet(*schema_src).limit(0)
-    # mergeSchema: a snapshot whose commits evolved the schema (added
-    # columns) reads as the union schema, old files null-filling — the
-    # additive-evolution contract lake formats promise
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[f["path"] for f in m["files"]]
-    )
+    # union-schema read (null-filling old files) when the snapshot's
+    # fingerprints differ — the additive-evolution contract lake
+    # formats promise; single-schema snapshots skip the footer merge
+    return _read_files(spark, m["files"])
 
 
 def _find_schema_source(spark, root, v):
@@ -275,13 +294,12 @@ def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
 
     merged = changes
     if cand:
-        # mergeSchema + allowMissingColumns: a rewrite that touches
-        # files from before AND after an additive schema evolution must
-        # carry the union schema forward (old rows null-fill), never
-        # infer one footer's narrow schema and drop evolved columns.
-        old = spark.read.option("mergeSchema", "true").parquet(
-            *[f["path"] for f in cand]
-        )
+        # union-schema read + allowMissingColumns: a rewrite that
+        # touches files from before AND after an additive schema
+        # evolution must carry the union schema forward (old rows
+        # null-fill), never infer one footer's narrow schema and drop
+        # evolved columns (ADVICE r8 high).
+        old = _read_files(spark, cand)
         merged = old.join(changes.select(key), key, "left_anti").unionByName(
             changes, allowMissingColumns=True
         )
@@ -324,14 +342,12 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
         )
         return v
 
-    # mergeSchema on both scans: a predicate may reference an evolved
-    # column, and the survivor rewrite must carry the union schema
-    # (old files null-fill) instead of one footer's narrow schema.
-    all_paths = [f["path"] for f in m["files"]]
+    # union-schema scans (fingerprint-gated): a predicate may reference
+    # an evolved column, and the survivor rewrite must carry the union
+    # schema (old files null-fill) instead of one footer's narrow one.
     touched = {
         r["path"]
-        for r in spark.read.option("mergeSchema", "true")
-        .parquet(*all_paths)
+        for r in _read_files(spark, m["files"])
         .where(F.expr(predicate))
         .groupBy(F.col("_metadata.file_path").alias("path"))
         .count()
@@ -343,11 +359,9 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
         # DELETE removes rows where the predicate is TRUE; rows where
         # it evaluates NULL (e.g. an evolved column null-filled in old
         # files) must SURVIVE — a bare NOT(p) would silently drop them.
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*sorted(touched))
-            .where(~F.coalesce(F.expr(predicate), F.lit(False)))
-        )
+        survivors = _read_files(
+            spark, [f for f in m["files"] if f["path"] in touched]
+        ).where(~F.coalesce(F.expr(predicate), F.lit(False)))
         new_files = _commit_data(spark, root, v, survivors, m["key"])
     _write_manifest(
         spark,
@@ -383,21 +397,24 @@ def lake_changes(
     mt = _read_manifest(spark, root, v_to)
     from_paths = {f["path"] for f in mf["files"]}
     to_paths = {f["path"] for f in mt["files"]}
-    added_only = sorted(to_paths - from_paths)
-    removed_only = sorted(from_paths - to_paths)
+    added_only = sorted(
+        (f for f in mt["files"] if f["path"] not in from_paths),
+        key=lambda f: f["path"],
+    )
+    removed_only = sorted(
+        (f for f in mf["files"] if f["path"] not in to_paths),
+        key=lambda f: f["path"],
+    )
 
-    schema_files = added_only or removed_only or sorted(to_paths)
+    schema_files = added_only or removed_only or mt["files"]
     if not schema_files:
         raise ValueError("both snapshots are empty — no schema to diff against")
 
-    def _read(paths):
-        # mergeSchema within each side: a diff window spanning several
-        # commits may mix pre- and post-evolution files on one side.
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
-
-    empty = _read(schema_files).limit(0)
-    added = _read(added_only) if added_only else empty
-    removed = _read(removed_only) if removed_only else empty
+    # fingerprint-gated union-schema reads: a diff window spanning
+    # several commits may mix pre- and post-evolution files on one side
+    empty = _read_files(spark, schema_files).limit(0)
+    added = _read_files(spark, added_only) if added_only else empty
+    removed = _read_files(spark, removed_only) if removed_only else empty
 
     # Align the two sides to the UNION schema (null-filling missing
     # columns) before exceptAll: across a schema-evolution boundary the
@@ -534,13 +551,9 @@ def lake_compact(
     carried = [f for f in m["files"] if f["rows"] >= small_rows]
     new_files: list[dict] = []
     if len(small) > 1:
-        # mergeSchema: the small-file set may straddle an additive
-        # schema evolution; the packed rewrite carries the union schema
-        packed = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[f["path"] for f in small])
-            .coalesce(target_partitions)
-        )
+        # fingerprint-gated union-schema read: the small-file set may
+        # straddle an additive evolution; the rewrite carries the union
+        packed = _read_files(spark, small).coalesce(target_partitions)
         new_files = _commit_data(spark, root, v, packed, m["key"])
     else:
         carried = m["files"]  # nothing worth packing: metadata-only commit

@@ -1521,7 +1521,7 @@ LIMIT 20
 """
 
 
-@register("agg_market_basket_lift", oracle=_BASKET_SQL, tags=("agg", "join"))
+@register("agg_market_basket_lift", oracle=_BASKET_SQL, tags=("agg", "join", "bench"))
 def agg_market_basket_lift(spark, sf_dir):
     """Market-basket co-occurrence lift over order contents: distinct
     (order, brand) pairs, within-order brand pairs (a < b), lift =

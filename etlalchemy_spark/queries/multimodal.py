@@ -1270,7 +1270,7 @@ LEFT JOIN csum c ON p.doc_id = c.doc_id
 """
 
 
-@register("mm_decode_jpeg_stats", oracle=_JPEG_SQL, tags=("multimodal", "udf"))
+@register("mm_decode_jpeg_stats", oracle=_JPEG_SQL, tags=("multimodal", "udf", "bench"))
 def mm_decode_jpeg_stats(spark, sf_dir):
     """REAL baseline-sequential JPEG decode, stdlib+numpy (r9 — the
     dominant real-world image format leaves the refusal list;

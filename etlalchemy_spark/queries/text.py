@@ -1948,7 +1948,7 @@ LEFT JOIN bpe_tok ft ON ft.word = f.fw
 """
 
 
-@register("text_bpe_tokenize", oracle=_bpe_tokenize_sql(), tags=("text",))
+@register("text_bpe_tokenize", oracle=_bpe_tokenize_sql(), tags=("text", "bench"))
 def text_bpe_tokenize(spark, sf_dir):
     """Greedy longest-match subword tokenization against the pinned
     BPE vocabulary (single chars + 32 learned merges): per document,
