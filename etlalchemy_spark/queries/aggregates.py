@@ -1565,3 +1565,108 @@ def agg_market_basket_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+# --- Mann-Whitney U rank-sum test (r9) ---------------------------------------
+
+_MWU_SQL = """
+WITH s AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END AS grp,
+         o.o_totalprice AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+g AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS cb,
+         COUNT(*) AS t
+  FROM s GROUP BY v
+),
+p AS (
+  SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+),
+agg AS (
+  SELECT CAST(SUM(p.ca) AS BIGINT) AS na,
+         CAST(SUM(p.cb) AS BIGINT) AS nb,
+         CAST(SUM(p.ca * (2 * p.cum_before + p.t + 1)) AS BIGINT) AS two_ra,
+         CAST(SUM(p.t * p.t * p.t - p.t) AS BIGINT) AS sum_t
+  FROM p
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(two_ra - na * (na + 1) AS BIGINT) AS two_u_a,
+       CAST(two_ra - na * (na + 1) - na * nb AS DOUBLE)
+         / SQRT((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 3.0)
+                * (CAST(na + nb + 1 AS DOUBLE)
+                   - CAST(sum_t AS DOUBLE)
+                     / CAST((na + nb) * (na + nb - 1) AS DOUBLE))) AS z
+FROM agg
+"""
+
+
+@register("agg_mann_whitney_u", oracle=_MWU_SQL, tags=("agg", "scale"))
+def agg_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (two-sided z with tie correction)
+    comparing order totals between two customer segments — the
+    nonparametric sibling of `agg_welch_ttest`. NO global window: the
+    combined sample is reduced to per-DISTINCT-VALUE counts (ca, cb,
+    t), the tie-averaged rank identity 2·rank(v) = 2·cum_before(v) +
+    t + 1 turns the rank sum into exact-integer sums over that value
+    table, and the one global prefix (cum_before) runs through the
+    range-bucketed two-phase decomposition (operators/prefix.py) — so
+    the whole test is hash aggregates plus one bucket-parallel prefix,
+    scalable to any N. All state is exact integers until the closing
+    z, a fixed chain of IEEE ops on identical operands in both engines
+    (house discipline). Accumulators are decimal(38,0) Spark-side —
+    the rank sum is bounded by 2·N·n_A, which outgrows int64 around
+    N ≈ 10^9·n_A ratios; DuckDB sums in int128 natively."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", "A").otherwise("B").alias("grp"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("cb"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    p = running_global_sum(
+        g, F.col("v"), [], F.col("t").cast("decimal(38,0)"), alias="_cum", n_buckets=16
+    )
+    p = p.withColumn("cum_before", (F.col("_cum") - F.col("t")).cast("decimal(38,0)"))
+    d38 = "decimal(38,0)"
+    agg = p.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(
+            (F.col("ca").cast(d38))
+            * (F.lit(2).cast(d38) * F.col("cum_before") + F.col("t") + 1)
+        ).cast("bigint").alias("two_ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("sum_t"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    two_u = F.col("two_ra") - na * (na + 1)
+    den = F.sqrt(
+        (na.cast("double") * nb.cast("double") / F.lit(3.0))
+        * (
+            (na + nb + 1).cast("double")
+            - F.col("sum_t").cast("double") / ((na + nb) * (na + nb - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        two_u.cast("bigint").alias("two_u_a"),
+        ((two_u - na * nb).cast("double") / den).alias("z"),
+    )
