@@ -689,3 +689,40 @@ def fmt_csv_gzip_roundtrip(spark, sf_dir):
     # decimal(15,2) -> double only for the cross-engine compare; the
     # typed decimal is what the schema carries through the round trip
     return back.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+
+
+_XML_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@register("fmt_xml_roundtrip", oracle=_XML_SQL, tags=("sources",))
+def fmt_xml_roundtrip(spark, sf_dir):
+    """parquet → XML (Spark 4's NATIVE xml source — rowTag elements,
+    no external package) → schema-first read back → identical values.
+    XML is the interchange format the enterprise systems upstream
+    etlalchemy migrates from still emit; schema-first read avoids the
+    full inference pass, and the writer/reader pair proves typed
+    round-tripping (longs, decimals, strings with markup-escapable
+    characters), not just that files appear."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    tmp = scratch_dir("xml", sf_dir)
+    path = os.path.join(tmp, "supplier_xml")
+    (
+        sup.write.mode("overwrite")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(path)
+    )
+    schema_src = t(spark, sf_dir, "supplier").schema
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in schema_src.fields
+        if f.name in {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"}
+    )
+    return spark.read.option("rowTag", "supplier").schema(schema).format("xml").load(path)
