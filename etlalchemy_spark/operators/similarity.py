@@ -32,8 +32,13 @@ def _lit_vec(vec: list[float]):
 # Per-element decimal width for exact dot products: embeddings are
 # unit-scale floats, so (12,10) fits; products are (25,20) and a
 # grouped SUM caps at decimal(35,20) — exact, no precision loss.
-# (F.aggregate can't do this: lambda-fold addition re-derives the
-# accumulator type each step and Spark rejects/rounds it.)
+# (F.aggregate can't replace the explode+SUM: a (38,20) accumulator
+# silently loses a scale digit per add under allowPrecisionLoss, and
+# even with a (30,20) accumulator + per-step casts — which IS exact —
+# higher-order functions evaluate INTERPRETED, not codegen: measured
+# ~2x SLOWER than the posexplode+hash-agg path at sf0.1 (r9 A/B:
+# dedup_semantic_keep_first 16s→30s, sim_knn_batch_exact 10s→20s).
+# The explode pays one shuffle but stays in whole-stage codegen.)
 _D = "decimal(12,10)"
 
 
