@@ -2031,3 +2031,55 @@ def ts_ohlc_bars(spark, sf_dir):
         last.getField("v").alias("close"),
         _F.count(_F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# --- Markov transition matrix (r9) -------------------------------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+tc AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, SUM(n) AS n_from FROM tc GROUP BY from_type
+)
+SELECT tc.from_type, tc.to_type,
+       CAST(tc.n AS BIGINT) AS n_transitions,
+       CAST(tc.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+FROM tc JOIN tot USING (from_type)
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_SQL, tags=("events", "window"))
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: LEAD window partitioned by user (never global), bigram
+    counts, row-normalized probabilities as one exact-int division in
+    DOUBLE. The behavioral-model building block next to
+    `events_top_paths` (full path strings) and `events_funnel`
+    (fixed-order steps): event-type² output, two shuffles total
+    (user window + type pair agg)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    tc = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = tc.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return tc.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
