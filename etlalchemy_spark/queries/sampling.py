@@ -602,3 +602,46 @@ def sample_ab_assignment(spark, sf_dir):
             (100 * d * d > 384 * (F.col("nc") + F.col("nt"))).alias("srm_violated"),
         )
     )
+
+
+# --- k-fold cross-validation assignment (r9) ---------------------------------
+
+_KFOLD_K = 5
+
+_KFOLD_SQL = f"""
+WITH folds AS (
+  SELECT doc_id, lang, {_bucket_sql("doc_id", "cv:")} % {_KFOLD_K} AS fold
+  FROM documents
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_val,
+       CAST((SELECT COUNT(*) FROM documents) - COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM folds GROUP BY fold
+"""
+
+
+@register("sample_kfold_assignment", oracle=_KFOLD_SQL, tags=("sampling",))
+def sample_kfold_assignment(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5):
+    fold = salted 60-bit md5 prefix of the key, mod k — stateless,
+    engine/retry-reproducible, no RNG, no shuffle for the assignment
+    itself (the same contract as `sample_bernoulli_hash`; a given doc
+    lands in the same fold on any engine, any cluster, any rerun —
+    what makes CV results auditable). Output is the per-fold summary
+    (validation size, complementary train size, language coverage,
+    smallest id) a training harness checks before launching k runs."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    n_total = docs.count()  # one scalar aggregate
+    folds = docs.select(
+        "doc_id", "lang", (hash_bucket(F.col("doc_id"), salt="cv:") % _KFOLD_K).alias("fold")
+    )
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_val"),
+        (F.lit(n_total) - F.count(F.lit(1))).cast("bigint").alias("n_train"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
