@@ -726,3 +726,66 @@ def fmt_xml_roundtrip(spark, sf_dir):
         if f.name in {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"}
     )
     return spark.read.option("rowTag", "supplier").schema(schema).format("xml").load(path)
+
+
+# --- Bucketed tables: co-located shuffle-free join (r9) -----------------------
+
+_BUCKETED_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "fmt_bucketed_join_no_shuffle",
+    oracle=_BUCKETED_SQL,
+    tags=("sources", "layout", "join", "scale"),
+)
+def fmt_bucketed_join_no_shuffle(spark, sf_dir):
+    """Hive-style BUCKETED tables (`bucketBy(8, key).sortBy(key)`) —
+    the storage-level answer to the big-join shuffle: both fact tables
+    are written pre-hashed into the same bucket layout, so the
+    SortMergeJoin reads bucket i against bucket i with NO Exchange on
+    either side (pinned in tests/test_layout.py: zero shuffles between
+    the scans and the join). At 100 TB this converts every recurring
+    join on the bucket key from a full network shuffle into a local
+    merge — THE reason warehouses bucket fact tables; pairs with
+    `fmt_zorder_clustered_write` (pruning) and `join_bloom_prefilter`
+    (runtime row filtering). The aggregate result is oracle-checked;
+    bucketing must not change a single row."""
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    t_orders, t_lines = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(t_lines)
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lines)
+    j = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+    )

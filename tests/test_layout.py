@@ -128,3 +128,29 @@ def test_minmax_pruning_layout_disjoint_and_pushed(spark):
     # properly overlap
     for a, b in zip(spans, spans[1:]):
         assert a[1] <= b[0], f"overlapping spans: {a} {b}"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of fmt_bucketed_join_no_shuffle: with both
+    sides bucketed (8, key) and sorted, the SortMergeJoin consumes the
+    bucket layout directly — ZERO Exchange operators between the scans
+    and the join (the groupBy above it may still shuffle; we pin the
+    JOIN subtree)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    from etlalchemy_spark.registry import all_queries
+
+    # build the bucketed tables via the registered query (it returns
+    # the aggregate; re-derive the join-only plan from the tables)
+    all_queries()["fmt_bucketed_join_no_shuffle"].fn(spark, sf_dir).collect()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    o = spark.table(f"bkt_orders_{tag}")
+    li = spark.table(f"bkt_lineitem_{tag}")
+    j = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:2000]
