@@ -1670,3 +1670,113 @@ def agg_mann_whitney_u(spark, sf_dir):
         two_u.cast("bigint").alias("two_u_a"),
         ((two_u - na * nb).cast("double") / den).alias("z"),
     )
+
+
+# --- Grouped OLS trend (r9) ---------------------------------------------------
+
+_OLS_SQL = """
+WITH pts AS (
+  SELECT o_custkey % 10 AS grp,
+         CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y4
+  FROM orders
+),
+s AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y4) AS BIGINT) AS sy4,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y4) AS BIGINT) AS sxy4
+  FROM pts GROUP BY grp
+)
+SELECT grp, n,
+       (CAST(n AS DOUBLE) * CAST(sxy4 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy4 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / 10000.0 AS slope_per_day,
+       (CAST(sy4 AS DOUBLE) / 10000.0
+        - ((CAST(n AS DOUBLE) * CAST(sxy4 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy4 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / 10000.0) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+@register("agg_ols_by_group", oracle=_OLS_SQL, tags=("agg", "scale"))
+def agg_ols_by_group(spark, sf_dir):
+    """Per-group ordinary least squares (closed form) — revenue trend
+    per customer cohort: slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) with
+    EVERY moment an exact integer (prices scaled ×10⁴ into longs, days
+    since epoch as x), so the closing slope/intercept doubles are a
+    fixed IEEE chain on identical operands in both engines. ONE hash
+    aggregate over the fact table — the grouped-regression shape that
+    needs no MLlib, no iteration, no second pass; at 100 TB it is
+    map-side partials all the way down. Spark sums in decimal(38,0)
+    (Σxy reaches n·x·y ≈ 10^4·10^9-scale products; DuckDB sums in
+    int128 natively)."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 10).alias("grp"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("y4"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("bigint").alias("sx"),
+        F.sum(F.col("y4").cast(d38)).cast("bigint").alias("sy4"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("bigint").alias("sxx"),
+        F.sum((F.col("x") * F.col("y4")).cast(d38)).cast("bigint").alias("sxy4"),
+    )
+    # each exact int64 moment converts to double FIRST (int64->double
+    # is correctly rounded in both engines), then the slope is one
+    # identical IEEE chain — int128/decimal products would double-round
+    # differently in the final conversion (1-ulp drift, measured)
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    n, sx, sy4 = dd("n"), dd("sx"), dd("sy4")
+    sxx, sxy4 = dd("sxx"), dd("sxy4")
+    slope = (
+        (n * sxy4 - sx * sy4) / (n * sxx - sx * sx) / F.lit(10000.0)
+    )
+    intercept = (sy4 / F.lit(10000.0) - slope * sx) / n
+    return s.select("grp", "n", slope.alias("slope_per_day"), intercept.alias("intercept"))
+
+
+_HIST2D_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bin,
+       CAST(FLOOR(datediff('day', DATE '1995-01-01', o_orderdate) / 365.0) AS BIGINT)
+         AS year_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS bin_revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("agg_histogram_2d", oracle=_HIST2D_SQL, tags=("agg",))
+def agg_histogram_2d(spark, sf_dir):
+    """2-D equi-width histogram (price x order-year heatmap): both bin
+    ids are exact integer floor-divisions, so the grid is engine-
+    identical; counts + decimal-exact per-bin revenue in ONE hash
+    aggregate with map-side partials — the density-grid shape every
+    heatmap/viz layer asks the warehouse for, at any scale."""
+    o = t(spark, sf_dir, "orders")
+    price_bin = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    year_bin = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) / 365
+    ).cast("bigint")
+    return o.groupBy(
+        price_bin.alias("price_bin"), year_bin.alias("year_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("bin_revenue"),
+    )
