@@ -30,6 +30,7 @@ def asof_join(
     payload_cols: list[str],
     prefix: str = "asof_",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Returns ``left`` columns plus, per payload col,
     ``{prefix}{col}`` = value from the latest right row with
@@ -39,7 +40,15 @@ def asof_join(
     ``tolerance`` (SQL interval string, e.g. ``'2 hours'``): matches
     staler than it are nulled out — the pandas ``merge_asof`` /
     kdb ``wj`` staleness bound.
+
+    ``direction='forward'`` (r9) flips the inequality: the EARLIEST
+    right row with ``right[right_ts] >= left[left_ts]`` — the same
+    union-merge window run over descending time (equal-ts right rows
+    still qualify on both directions, mirroring pandas); tolerance
+    then bounds how far into the future a match may sit.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     # Name-collision guards (same policy as bloom_probe): the internal
     # markers would silently OVERWRITE same-named left columns, and an
@@ -81,9 +90,14 @@ def asof_join(
             r_aligned = r_aligned.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l.select(r_aligned.columns).unionByName(r_aligned)
 
+    order = (
+        [F.col(left_ts), F.col("_side")]
+        if direction == "backward"
+        else [F.col(left_ts).desc(), F.col("_side")]
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts), F.col("_side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn("_asof", F.last("_asof", ignorenulls=True).over(w))
@@ -97,11 +111,44 @@ def asof_join(
         # evaluate staleness ONCE before any payload column is nulled —
         # a per-column withColumn(when(stale,...)) would re-derive the
         # predicate from the already-nulled {prefix}ts
-        out = out.withColumn(
-            "_stale",
-            F.col(f"{prefix}ts") < F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"),
+        stale = (
+            F.col(f"{prefix}ts") < F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col(f"{prefix}ts") > F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
         )
+        out = out.withColumn("_stale", stale)
         for c in carried:
             out = out.withColumn(c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c)))
         out = out.drop("_stale")
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')``: per left row, the
+    right row minimizing |right_ts − left_ts|; exact ties go BACKWARD
+    (the prior row), matching pandas. Composed from one backward and
+    one forward pass of the union-merge window operator — two shuffles
+    on the key, still no join; distances compare as exact
+    integer microseconds."""
+    b = asof_join(left, right, on, left_ts, right_ts, payload_cols, prefix="_b_")
+    f2 = asof_join(b, right, on, left_ts, right_ts, payload_cols, prefix="_f_",
+                   direction="forward")
+    bd = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_b_ts"))
+    fd = F.unix_micros(F.col("_f_ts")) - F.unix_micros(F.col(left_ts))
+    take_fwd = F.col("_b_ts").isNull() | (F.col("_f_ts").isNotNull() & (fd < bd))
+    out = f2
+    for c in ["ts"] + payload_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(take_fwd, F.col(f"_f_{c}")).otherwise(F.col(f"_b_{c}")),
+        )
+    return out.drop(*[f"_b_{c}" for c in ["ts"] + payload_cols],
+                    *[f"_f_{c}" for c in ["ts"] + payload_cols])

@@ -540,3 +540,45 @@ def join_strategy_hints(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum(dec("l_extendedprice")).cast("decimal(38,4)").cast("double").alias("total_price"),
     )
+
+
+_ASOF_NEAREST_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT l.event_id, l.user_id, l.ts, rb.ts AS b_ts, rb.value AS b_value
+  FROM l ASOF LEFT JOIN r rb ON l.user_id = rb.user_id AND l.ts >= rb.ts
+),
+f AS (
+  SELECT l.event_id, rf.ts AS f_ts, rf.value AS f_value
+  FROM l ASOF LEFT JOIN r rf ON l.user_id = rf.user_id AND l.ts <= rf.ts
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL
+                 AND epoch_us(f_ts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b_ts))
+            THEN f_ts ELSE b_ts END AS asof_ts,
+       CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL
+                 AND epoch_us(f_ts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b_ts))
+            THEN f_value ELSE b_value END AS asof_value
+FROM b JOIN f USING (event_id)
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_SQL, tags=("join", "asof"))
+def join_asof_nearest(spark, sf_dir):
+    """pandas merge_asof(direction='nearest') semantics: each click
+    pairs with the user's temporally CLOSEST purchase, past or future;
+    exact ties go backward (the prior purchase), matching pandas. One
+    backward + one forward pass of the union-merge window operator —
+    two shuffles on user_id, zero joins engine-side; distances compare
+    as exact integer microseconds. The oracle composes DuckDB's native
+    backward and forward ASOF joins with the same tie rule."""
+    from etlalchemy_spark.operators.asof import asof_join_nearest
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join_nearest(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["value"],
+    )

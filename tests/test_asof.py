@@ -72,3 +72,55 @@ def test_asof_join_rejects_column_collisions(spark):
     left2 = spark.createDataFrame([(1, 10, 0.0)], "k int, t int, asof_v double")
     with pytest.raises(ValueError, match="asof_v"):
         asof_join(left2, right, "k", "t", "rt", ["v"])
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """pandas merge_asof(direction='nearest') tie rule: equidistant
+    past/future matches resolve to the PRIOR row; one-sided cases fall
+    back to whichever side exists."""
+    from datetime import datetime
+
+    from etlalchemy_spark.operators.asof import asof_join_nearest
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", ts(10)), (2, "u", ts(1)), (3, "v", ts(30))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(5), 50.0), ("u", ts(15), 150.0), ("v", ts(40), 400.0)],
+        "k string, ts timestamp, value double",
+    )
+    got = {
+        r["id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join_nearest(
+            left, right, on="k", left_ts="ts", right_ts="ts", payload_cols=["value"]
+        ).collect()
+    }
+    assert got[1] == (ts(5), 50.0)  # tie (5 min both ways) -> backward
+    assert got[2] == (ts(5), 50.0)  # only future exists -> forward
+    assert got[3] == (ts(40), 400.0)  # only future exists -> forward
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    from datetime import datetime
+
+    from etlalchemy_spark.operators.asof import asof_join
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([(1, "u", ts(10))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", ts(5), 5.0), ("u", ts(20), 20.0), ("u", ts(50), 50.0)],
+        "k string, ts timestamp, value double",
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["value"], direction="forward",
+    ).head()
+    assert fwd["asof_ts"] == ts(20) and fwd["asof_value"] == 20.0
+    # tolerance bounds the future distance
+    tight = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["value"], direction="forward", tolerance="5 MINUTES",
+    ).head()
+    assert tight["asof_ts"] is None and tight["asof_value"] is None
