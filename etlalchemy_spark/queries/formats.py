@@ -761,6 +761,17 @@ def fmt_bucketed_join_no_shuffle(spark, sf_dir):
 
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     t_orders, t_lines = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # a FRESH session's in-memory catalog doesn't know tables a prior
+    # session left in the warehouse dir, and managed-table creation
+    # refuses to reuse the orphaned location — drop both table and
+    # leftover directory (Hadoop FS: works on any filesystem)
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for name in (t_orders, t_lines):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        p = jvm.org.apache.hadoop.fs.Path(warehouse, name)
+        p.getFileSystem(fs_conf).delete(p, True)
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")
