@@ -456,12 +456,13 @@ def graph_degree_assortativity(spark, sf_dir):
 # --- Local clustering coefficient (r9) ---------------------------------------
 
 _CLUSTERING_SQL = (
-    _EDGE_CTES
+    _EDGE_CTES.replace("pairs AS (", "pairs AS MATERIALIZED (")
+    .replace("deg AS (", "deg AS MATERIALIZED (")
     + """,
 rk AS (
   SELECT node, degree, degree * 1073741824 + node AS rnk FROM deg
 ),
-d AS (
+d AS MATERIALIZED (
   SELECT CASE WHEN ru.rnk < rv.rnk THEN p.u ELSE p.v END AS a,
          CASE WHEN ru.rnk < rv.rnk THEN p.v ELSE p.u END AS b,
          CASE WHEN ru.rnk < rv.rnk THEN rv.rnk ELSE ru.rnk END AS rk_b
@@ -503,18 +504,24 @@ def graph_clustering_coefficient(spark, sf_dir):
     degree ≥ 2 (coefficient undefined below). The community-structure
     diagnostic next to the global triangle count and degree
     assortativity."""
-    edges = _edges(spark, sf_dir)
+    # edge list referenced twice (degrees + orientation join): one
+    # lineage cut avoids rebuilding the scan+self-join+distinct twice
+    edges = _edges(spark, sf_dir).localCheckpoint()
     deg = _degrees(edges)
     rk = F.col("degree") * F.lit(1073741824)
     du = deg.select(F.col("node").alias("u"), (rk + F.col("node")).alias("rk_u"))
     dv = deg.select(F.col("node").alias("v"), (rk + F.col("node")).alias("rk_v"))
     ranked = edges.join(du, "u").join(dv, "v")
     lower = F.col("rk_u") < F.col("rk_v")
+    # the oriented edge list is referenced THREE times (e1/e2/e3) and
+    # Catalyst re-executes the scan+self-join+distinct edge build per
+    # reference — one localCheckpoint cuts the lineage once (the same
+    # fix that took graph_bfs_hops 5.5s → 2.6s in r8; E rows × 3 ints)
     d = ranked.select(
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower, F.col("rk_v")).otherwise(F.col("rk_u")).alias("rk_b"),
-    )
+    ).localCheckpoint()
     e1, e2 = d.alias("e1"), d.alias("e2")
     e3 = d.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
     tri = (
