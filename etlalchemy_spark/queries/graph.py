@@ -133,8 +133,12 @@ def graph_triangle_count(spark, sf_dir):
     wedge), close with a semi-probe back into the edge list. Joins are
     all equi-joins on node ids → shuffle-hash/SMJ, AQE-skew-splittable;
     the orientation bounds out-degree at O(sqrt(E)) so wedge volume is
-    E^1.5 worst case, far below the sum(deg^2) of naive enumeration."""
-    edges = _edges(spark, sf_dir)
+    E^1.5 worst case, far below the sum(deg^2) of naive enumeration.
+    The raw edge list (2 references) and the oriented list (3
+    references) are lineage-cut once each — Catalyst re-executes the
+    scan+self-join+distinct build per reference otherwise (the
+    graph_bfs_hops r8 fix, applied here in r9)."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
     deg = _degrees(edges)
     rk = F.col("degree") * F.lit(1073741824)
     du = deg.select(F.col("node").alias("u"), (rk + F.col("node")).alias("rk_u"))
@@ -145,7 +149,7 @@ def graph_triangle_count(spark, sf_dir):
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower, F.col("rk_v")).otherwise(F.col("rk_u")).alias("rk_b"),
-    )
+    ).localCheckpoint()
     e1 = d.alias("e1")
     e2 = d.alias("e2")
     e3 = d.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
