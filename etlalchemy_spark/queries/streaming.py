@@ -270,16 +270,37 @@ def stream_pyds_replay_tumbling(spark, sf_dir):
     stream_tumbling_counts — so the result is pinned equal to the
     oracle-exact batch twin events_tumbling_1h regardless of how rows
     were sliced into triggers (tested across batch sizes in
-    tests/test_pydatasource.py)."""
+    tests/test_pydatasource.py). The batch size is DERIVED from the
+    fixture's footer row count so the replay always runs ~6 triggers
+    at any SF — per-trigger overhead is fixed cost, so a pinned
+    4000-row batch made the sf0.1 gate pay 25 trigger startups for
+    the same pinned answer (r8 verdict watch item: gate-time budget);
+    batch-size invariance is what the twin + cross-size tests prove,
+    so slicing by fraction-of-corpus is semantics-neutral."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
     from etlalchemy_spark.catalog import table_path
     from etlalchemy_spark.sources.pydatasource import register_events_replay
 
     register_events_replay(spark)
+    path = table_path(sf_dir, "events")
+    if _os.path.isdir(path):
+        files = [
+            _os.path.join(path, n)
+            for n in _os.listdir(path)
+            if n.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    total = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    rows_per_batch = max(4000, -(-total // 6))
     ev = (
         spark.readStream.format("events_replay")
-        .option("rowsperbatch", 4000)
+        .option("rowsperbatch", rows_per_batch)
         .option("tasksperbatch", 4)
-        .load(table_path(sf_dir, "events"))
+        .load(path)
     )
     return drain_to_memory(tumbling_counts(ev), "complete")
 

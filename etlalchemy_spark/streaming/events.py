@@ -42,9 +42,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_time(raw, "events")
 
 
-def drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def drain_to_memory(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run the streaming query to completion against the (already
     complete) file source and return the materialized result.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's lifetime (streaming state partitioning is frozen at query
+    START from that conf, one state-store instance per partition per
+    micro-batch): the drained aggregates here hold at most a few
+    thousand state rows, so the batch default of 32 paid 32 store
+    open/commit/maintenance cycles per trigger for no parallelism win
+    — size state partitioning to STATE VOLUME, not to the batch
+    shuffle width (on a cluster the same knob is set per-query before
+    ``start()``; results are partition-count-invariant). The conf is
+    restored after the drain so batch plans are untouched.
 
     The memory-sink table is materialized (eager localCheckpoint) and
     its temp view dropped before returning: memory-sink tables are
@@ -52,18 +65,23 @@ def drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     the old keep-the-view approach leaked one full result copy per
     drain; checkpointed RDD blocks are reclaimed by the ContextCleaner
     when the returned DataFrame is garbage-collected."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
