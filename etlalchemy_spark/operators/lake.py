@@ -32,6 +32,15 @@ on, built from first principles on plain parquet + JSON manifests:
   (``_metadata.file_path`` group-by — arbitrary predicates can't be
   answered from key stats alone); files with zero matches are
   carried by reference.
+- DELETION VECTORS (merge-on-read DELETE): ``lake_delete_dv`` writes
+  the matched (file, row-position) pairs to an immutable sidecar under
+  ``dv/`` and leaves every data file untouched; each manifest pins the
+  ``dvs`` list alongside its file list, reads subtract the vectors
+  with one anti-join, and every other commit carries the vectors
+  forward (or applies them before rewriting a file — resurrection is
+  the invariant being defended, test-pinned). ``lake_compact_dvs``
+  folds vectors back into data and empties the list. Delta DV /
+  Iceberg positional-delete semantics from first principles.
 - ROLLBACK is a new commit pointing at an old version's file list —
   history is append-only, the bad version stays auditable.
 - VACUUM deletes data files unreachable from the retained manifests
@@ -92,13 +101,20 @@ def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
 
 
 def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
-    """Carry the cumulative per-app transaction watermarks (Delta's
-    txnAppId/txnVersion idea) forward through EVERY commit, so a
-    maintenance commit (compact/upsert/rollback) between streaming
-    micro-batches can never make a replayed batch look uncommitted."""
+    """Carry cross-commit table state forward through EVERY commit:
+    the cumulative per-app transaction watermarks (Delta's txnAppId/
+    txnVersion idea — a maintenance commit between streaming
+    micro-batches can never make a replayed batch look uncommitted)
+    AND the deletion vectors (a commit that doesn't explicitly rewrite
+    or drop them must keep them, or the first append after a DV delete
+    would silently resurrect the deleted rows). A manifest that sets
+    ``dvs`` itself (DV deletes, DV compaction, rollback) wins."""
     txns = parent_manifest.get("txns")
     if txns:
         manifest = {**manifest, "txns": txns}
+    dvs = parent_manifest.get("dvs")
+    if dvs and "dvs" not in manifest:
+        manifest = {**manifest, "dvs": dvs}
     return manifest
 
 
@@ -169,6 +185,40 @@ def _read_files(spark: SparkSession, files: list[dict]):
     return reader.parquet(*[f["path"] for f in files])
 
 
+def _dv_frame(spark: SparkSession, m: dict):
+    """Union of a snapshot's deletion-vector sidecars as a
+    (_dv_fp, _dv_ri) DataFrame, deduplicated (two DV commits are
+    allowed to mark the same physical position — only once counts), or
+    None when the snapshot carries no vectors. DV volume is O(deleted
+    rows since the last DV compaction), never table-sized."""
+    dvs = m.get("dvs") or []
+    if not dvs:
+        return None
+    return (
+        spark.read.parquet(*[d["path"] for d in dvs])
+        .select(F.col("file_path").alias("_dv_fp"), F.col("row_index").alias("_dv_ri"))
+        .dropDuplicates(["_dv_fp", "_dv_ri"])
+    )
+
+
+def _apply_dvs(scan: DataFrame, dv, out_cols: list[str]) -> DataFrame:
+    """Merge-on-read: anti-join a fresh file-source scan (``_metadata``
+    still reachable) against the deletion vectors on (file, in-file row
+    position — parquet's stable ``_metadata.row_index``). One shuffle,
+    O(scan + |dv|); AQE broadcasts the DV side while deletions are
+    small, which is the regime deletion vectors exist for."""
+    if dv is None:
+        return scan.select(*out_cols)
+    keyed = scan.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+        "_ri", F.col("_metadata.row_index")
+    )
+    return keyed.join(
+        dv,
+        (keyed["_fp"] == dv["_dv_fp"]) & (keyed["_ri"] == dv["_dv_ri"]),
+        "left_anti",
+    ).select(*out_cols)
+
+
 def _commit_data(
     spark: SparkSession, root: str, version: int, df: DataFrame, key: str
 ) -> list[dict]:
@@ -203,7 +253,9 @@ def lake_create(spark: SparkSession, root: str, df: DataFrame, key: str) -> int:
 
 def lake_read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Snapshot read: one manifest fetch, then Spark plans over exactly
-    that version's files. Older versions stay readable until vacuumed."""
+    that version's files, minus that version's deletion-vector rows
+    (merge-on-read anti-join — a no-op when the snapshot has no DVs).
+    Older versions stay readable until vacuumed."""
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
     if not m["files"]:
@@ -214,7 +266,8 @@ def lake_read(spark: SparkSession, root: str, version: int | None = None) -> Dat
     # union-schema read (null-filling old files) when the snapshot's
     # fingerprints differ — the additive-evolution contract lake
     # formats promise; single-schema snapshots skip the footer merge
-    return _read_files(spark, m["files"])
+    base = _read_files(spark, m["files"])
+    return _apply_dvs(base, _dv_frame(spark, m), base.columns)
 
 
 def _find_schema_source(spark, root, v):
@@ -298,8 +351,12 @@ def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
         # touches files from before AND after an additive schema
         # evolution must carry the union schema forward (old rows
         # null-fill), never infer one footer's narrow schema and drop
-        # evolved columns (ADVICE r8 high).
+        # evolved columns (ADVICE r8 high). Deletion vectors are
+        # applied BEFORE the rewrite — a COW rewrite of a DV'd file
+        # must not resurrect its deleted rows (the rewritten file
+        # leaves the manifest, so its DV rows go inert with it).
         old = _read_files(spark, cand)
+        old = _apply_dvs(old, _dv_frame(spark, m), old.columns)
         merged = old.join(changes.select(key), key, "left_anti").unionByName(
             changes, allowMissingColumns=True
         )
@@ -345,11 +402,20 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
     # union-schema scans (fingerprint-gated): a predicate may reference
     # an evolved column, and the survivor rewrite must carry the union
     # schema (old files null-fill) instead of one footer's narrow one.
+    # Both scans are LIVE-row scans (deletion vectors applied): a row
+    # already DV-deleted must neither count as a match nor be written
+    # back as a survivor (resurrection).
+    dv = _dv_frame(spark, m)
+    scan = _read_files(spark, m["files"])
+    keyed = _apply_dvs(
+        scan.withColumn("_path", F.col("_metadata.file_path")),
+        dv,
+        [*scan.columns, "_path"],
+    )
     touched = {
         r["path"]
-        for r in _read_files(spark, m["files"])
-        .where(F.expr(predicate))
-        .groupBy(F.col("_metadata.file_path").alias("path"))
+        for r in keyed.where(F.expr(predicate))
+        .groupBy(F.col("_path").alias("path"))
         .count()
         .collect()
     }
@@ -359,9 +425,10 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
         # DELETE removes rows where the predicate is TRUE; rows where
         # it evaluates NULL (e.g. an evolved column null-filled in old
         # files) must SURVIVE — a bare NOT(p) would silently drop them.
-        survivors = _read_files(
-            spark, [f for f in m["files"] if f["path"] in touched]
-        ).where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        tscan = _read_files(spark, [f for f in m["files"] if f["path"] in touched])
+        survivors = _apply_dvs(tscan, dv, tscan.columns).where(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
         new_files = _commit_data(spark, root, v, survivors, m["key"])
     _write_manifest(
         spark,
@@ -375,6 +442,93 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
                 "key": m["key"],
                 "files": carried + new_files,
             },
+        ),
+    )
+    return v
+
+
+def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
+    """Merge-on-read DELETE via deletion vectors: instead of rewriting
+    every touched file (lake_delete's copy-on-write), record the
+    POSITIONS of matched rows — (file_path, _metadata.row_index),
+    parquet's stable in-file row numbering — in an immutable sidecar
+    parquet under ``dv/``, and let reads subtract them with an
+    anti-join. The Delta deletion-vector / Iceberg positional-delete
+    trade: a 10-row delete from a 100 TB table writes kilobytes and
+    rewrites NOTHING; reads pay one extra (file, pos) anti-join whose
+    build side is O(deleted rows), paid down by lake_compact_dvs.
+
+    Semantics match lake_delete exactly (test-pinned): rows where the
+    predicate is TRUE are marked; NULL survives. The matching scan is
+    a LIVE scan (existing vectors applied), so re-running a predicate
+    marks nothing new and two overlapping DV deletes never
+    double-mark. Data files are untouched — time travel to any prior
+    version still sees the rows, because each manifest pins its own
+    ``dvs`` list alongside its file list."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    dvs = list(m.get("dvs") or [])
+    if m["files"]:
+        scan = _read_files(spark, m["files"])
+        keyed = _apply_dvs(
+            scan.withColumn("file_path", F.col("_metadata.file_path")).withColumn(
+                "row_index", F.col("_metadata.row_index")
+            ),
+            _dv_frame(spark, m),
+            [*scan.columns, "file_path", "row_index"],
+        )
+        matched = keyed.where(F.expr(predicate)).select("file_path", "row_index")
+        dv_dir = f"{root}/dv/d{v:08d}-{uuid.uuid4().hex[:8]}"
+        matched.write.mode("errorifexists").parquet(dv_dir)
+        n = spark.read.parquet(dv_dir).count()
+        if n:
+            dvs.append({"path": dv_dir, "rows": n})
+        # a zero-match attempt leaves an empty dir for vacuum to sweep
+    _write_manifest(
+        spark,
+        root,
+        _with_txns(
+            m,
+            {"version": v, "parent": parent, "op": "delete_dv", "key": m["key"],
+             "files": m["files"], "dvs": dvs},
+        ),
+    )
+    return v
+
+
+def lake_compact_dvs(spark: SparkSession, root: str) -> int:
+    """Fold the deletion vectors back into the data (merge-on-read →
+    copy-on-write): rewrite exactly the files that have DV'd positions
+    with their deletions applied, carry every clean file by REFERENCE,
+    and commit with an empty ``dvs`` list. Logical state is identical
+    (read-before ≡ read-after, test-pinned); cost tracks the DV'd-file
+    volume, never the table. This is the maintenance step that keeps
+    the read-side anti-join bounded — run it when the vector volume or
+    per-file deletion ratio crosses a threshold, exactly Delta's
+    OPTIMIZE on tables with deletion vectors."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    v = parent + 1
+    dv = _dv_frame(spark, m)
+    carried, new_files = m["files"], []
+    if dv is not None:
+        # bounded collect: DISTINCT file paths present in the vectors —
+        # file-count sized, never row-count sized
+        dv_paths = {r["_dv_fp"] for r in dv.select("_dv_fp").distinct().collect()}
+        touched = [f for f in m["files"] if f["path"] in dv_paths]
+        carried = [f for f in m["files"] if f["path"] not in dv_paths]
+        if touched:
+            tscan = _read_files(spark, touched)
+            live = _apply_dvs(tscan, dv, tscan.columns)
+            new_files = _commit_data(spark, root, v, live, m["key"])
+    _write_manifest(
+        spark,
+        root,
+        _with_txns(
+            m,
+            {"version": v, "parent": parent, "op": "compact_dvs", "key": m["key"],
+             "files": carried + new_files, "dvs": []},
         ),
     )
     return v
@@ -411,10 +565,75 @@ def lake_changes(
         raise ValueError("both snapshots are empty — no schema to diff against")
 
     # fingerprint-gated union-schema reads: a diff window spanning
-    # several commits may mix pre- and post-evolution files on one side
+    # several commits may mix pre- and post-evolution files on one side.
+    # Each side is a LIVE scan under ITS OWN snapshot's deletion
+    # vectors: a file appended then DV-deleted inside the window must
+    # not emit '+' rows for its dead positions, and a file that was
+    # DV'd at v_from must not emit '-' rows for positions that were
+    # already invisible there.
     empty = _read_files(spark, schema_files).limit(0)
-    added = _read_files(spark, added_only) if added_only else empty
-    removed = _read_files(spark, removed_only) if removed_only else empty
+    dv_from, dv_to = _dv_frame(spark, mf), _dv_frame(spark, mt)
+    if added_only:
+        a_scan = _read_files(spark, added_only)
+        added = _apply_dvs(a_scan, dv_to, a_scan.columns)
+    else:
+        added = empty
+    if removed_only:
+        r_scan = _read_files(spark, removed_only)
+        removed = _apply_dvs(r_scan, dv_from, r_scan.columns)
+    else:
+        removed = empty
+
+    # DV-diff leg: vectors ADDED in the window delete rows from files
+    # carried in BOTH manifests (rows in files that left the manifest
+    # already show up via the file diff — restricting to carried files
+    # is what prevents double-counting them). Resolve the new positions
+    # back to row content with an inner join on (file, pos): O(new DV
+    # rows), never a table scan.
+    from_dv_paths = {d["path"] for d in mf.get("dvs") or []}
+    new_dv = [d for d in mt.get("dvs") or [] if d["path"] not in from_dv_paths]
+    both = [f for f in mt["files"] if f["path"] in from_paths]
+    if new_dv and both:
+        marks = (
+            spark.read.parquet(*[d["path"] for d in new_dv])
+            .select(
+                F.col("file_path").alias("_dv_fp"),
+                F.col("row_index").alias("_dv_ri"),
+            )
+            .dropDuplicates(["_dv_fp", "_dv_ri"])
+        )
+        b_scan = _read_files(spark, both)
+        keyed = b_scan.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+            "_ri", F.col("_metadata.row_index")
+        )
+        dv_removed = keyed.join(
+            marks,
+            (keyed["_fp"] == marks["_dv_fp"]) & (keyed["_ri"] == marks["_dv_ri"]),
+        ).select(*b_scan.columns)
+        removed = removed.unionByName(dv_removed, allowMissingColumns=True)
+
+    # symmetric leg: vectors DROPPED in the window while their files
+    # carried (a rollback across a DV delete) RESURRECT those rows
+    to_dv_paths = {d["path"] for d in mt.get("dvs") or []}
+    gone_dv = [d for d in mf.get("dvs") or [] if d["path"] not in to_dv_paths]
+    if gone_dv and both:
+        marks = (
+            spark.read.parquet(*[d["path"] for d in gone_dv])
+            .select(
+                F.col("file_path").alias("_dv_fp"),
+                F.col("row_index").alias("_dv_ri"),
+            )
+            .dropDuplicates(["_dv_fp", "_dv_ri"])
+        )
+        b_scan = _read_files(spark, both)
+        keyed = b_scan.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+            "_ri", F.col("_metadata.row_index")
+        )
+        dv_added = keyed.join(
+            marks,
+            (keyed["_fp"] == marks["_dv_fp"]) & (keyed["_ri"] == marks["_dv_ri"]),
+        ).select(*b_scan.columns)
+        added = added.unionByName(dv_added, allowMissingColumns=True)
 
     # Align the two sides to the UNION schema (null-filling missing
     # columns) before exceptAll: across a schema-evolution boundary the
@@ -497,12 +716,11 @@ def lake_stream_append(
     v = parent + 1
     new_files = _commit_data(spark, root, v, df, m["key"])
     txns = {**m.get("txns", {}), app: batch_id}
-    _write_manifest(
-        spark,
-        root,
-        {"version": v, "parent": parent, "op": "append", "key": m["key"],
-         "files": m["files"] + new_files, "tag": tag, "txns": txns},
-    )
+    manifest = {"version": v, "parent": parent, "op": "append", "key": m["key"],
+                "files": m["files"] + new_files, "tag": tag, "txns": txns}
+    if m.get("dvs"):  # appends never drop the table's deletion vectors
+        manifest["dvs"] = m["dvs"]
+    _write_manifest(spark, root, manifest)
     return v
 
 
@@ -515,7 +733,9 @@ def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     v = parent + 1
     # txns come from the PARENT (latest), not the rollback target:
     # rolling back data must not forget which stream batches committed,
-    # or a replay after rollback would double-append.
+    # or a replay after rollback would double-append. DVs come from the
+    # TARGET — they are part of the data state being restored (files
+    # and their deletion vectors travel together).
     _write_manifest(
         spark,
         root,
@@ -527,6 +747,7 @@ def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
                 "op": f"rollback:{to_version}",
                 "key": target["key"],
                 "files": target["files"],
+                "dvs": target.get("dvs") or [],
             },
         ),
     )
@@ -552,8 +773,13 @@ def lake_compact(
     new_files: list[dict] = []
     if len(small) > 1:
         # fingerprint-gated union-schema read: the small-file set may
-        # straddle an additive evolution; the rewrite carries the union
-        packed = _read_files(spark, small).coalesce(target_partitions)
+        # straddle an additive evolution; the rewrite carries the union.
+        # DVs applied before packing (a DV'd small file must not
+        # resurrect its deleted rows in the packed file).
+        sscan = _read_files(spark, small)
+        packed = _apply_dvs(sscan, _dv_frame(spark, m), sscan.columns).coalesce(
+            target_partitions
+        )
         new_files = _commit_data(spark, root, v, packed, m["key"])
     else:
         carried = m["files"]  # nothing worth packing: metadata-only commit
@@ -587,6 +813,7 @@ def lake_history(spark: SparkSession, root: str) -> list[dict]:
                 "op": m["op"],
                 "n_files": len(m["files"]),
                 "n_rows": sum(f["rows"] for f in m["files"]),
+                "n_dv_rows": sum(d["rows"] for d in m.get("dvs") or []),
             }
         )
     return out
@@ -604,8 +831,13 @@ def lake_vacuum(spark: SparkSession, root: str, retain_last: int = 1) -> dict:
     latest = latest_version(spark, root)
     horizon = max(1, latest - retain_last + 1)
     keep: set[str] = set()
+    keep_dv: set[str] = set()
     for v in range(horizon, latest + 1):
-        keep.update(f["path"] for f in _read_manifest(spark, root, v)["files"])
+        mv = _read_manifest(spark, root, v)
+        keep.update(f["path"] for f in mv["files"])
+        # dv dirs are reachable state exactly like data files: a swept
+        # vector would silently RESURRECT its deleted rows
+        keep_dv.update(d["path"].rstrip("/").rsplit("/", 1)[-1] for d in mv.get("dvs") or [])
 
     removed_files = 0
     data_dir = jvm.org.apache.hadoop.fs.Path(root, "data")
@@ -626,10 +858,21 @@ def lake_vacuum(spark: SparkSession, root: str, retain_last: int = 1) -> dict:
             # is dead weight in future listings — remove it
             if not kept_any:
                 fs.delete(cdir.getPath(), True)
+    removed_dv_dirs = 0
+    dv_dir = jvm.org.apache.hadoop.fs.Path(root, "dv")
+    if fs.exists(dv_dir):
+        for st in fs.listStatus(dv_dir):
+            if st.getPath().getName() not in keep_dv:
+                fs.delete(st.getPath(), True)
+                removed_dv_dirs += 1
     removed_manifests = 0
     for v in range(1, horizon):
         p = _manifest_path(jvm, root, v)
         if fs.exists(p):
             fs.delete(p, False)
             removed_manifests += 1
-    return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+    return {
+        "removed_files": removed_files,
+        "removed_manifests": removed_manifests,
+        "removed_dv_dirs": removed_dv_dirs,
+    }

@@ -389,3 +389,88 @@ def lake_incremental_mv(spark, sf_dir):
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+_DV_DELETE_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+live2 AS (SELECT * FROM v1 WHERE NOT (o_custkey % 5 = 0)),
+v3 AS (
+  SELECT * FROM live2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 5
+)
+SELECT * FROM v3 WHERE NOT (o_totalprice > 150000)
+"""
+
+
+@register("lake_dv_delete_read", oracle=_DV_DELETE_SQL, tags=("lake", "etl"))
+def lake_dv_delete_read(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors: v2 marks a customer
+    stripe as deleted by POSITION (file_path + parquet row_index in an
+    immutable ``dv/`` sidecar — NO data file is rewritten, pinned in
+    tests/test_lake.py by path identity), v3 appends a disjoint slice
+    (appends carry the vectors forward; positional vectors never leak
+    onto new files), v4 DV-deletes a price stripe over the LIVE rows
+    (existing vectors applied first, so nothing is double-marked).
+    The latest read subtracts all vectors with one (file, pos)
+    anti-join whose build side is O(deleted rows). The Delta
+    deletion-vector / Iceberg positional-delete trade, from first
+    principles: at 100 TB a GDPR-style trickle of deletes writes
+    kilobytes per commit instead of rewriting terabytes, and
+    lake_compact_dvs folds the debt down on maintenance windows.
+    Oracle: the relational reconstruction of exactly this state."""
+    from etlalchemy_spark.operators.lake import lake_delete_dv
+
+    root = scratch_dir("lake_dv", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    lake_create(spark, root, _base(spark, sf_dir), "o_orderkey")
+    lake_delete_dv(spark, root, "o_custkey % 5 = 0")
+    appended = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 5)
+        .select(*_BASE_COLS)
+    )
+    lake_append(spark, root, appended)
+    lake_delete_dv(spark, root, "o_totalprice > 150000")
+    return lake_read(spark, root)
+
+
+_DV_COMPACT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_custkey % 5 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 6
+"""
+
+
+@register("lake_dv_compact_read", oracle=_DV_COMPACT_SQL, tags=("lake", "etl"))
+def lake_dv_compact_read(spark, sf_dir):
+    """Deletion-vector compaction (merge-on-read → copy-on-write): v2
+    DV-deletes a stripe, v3 appends a clean slice, v4 folds the
+    vectors back into the data — ONLY the DV'd files are rewritten
+    (the clean append carries by reference, path-pinned in tests), the
+    new manifest's vector list is empty, and the read after must be
+    bit-identical to the read before (that identity is what the
+    oracle hashes; pre-compaction snapshots stay time-travelable with
+    their vectors). The maintenance step that bounds the read-side
+    anti-join: vector debt accrues O(deleted rows) per delete and is
+    settled at O(DV'd-file volume), never table cost."""
+    from etlalchemy_spark.operators.lake import lake_compact_dvs, lake_delete_dv
+
+    root = scratch_dir("lake_dvc", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    lake_create(spark, root, _base(spark, sf_dir), "o_orderkey")
+    lake_delete_dv(spark, root, "o_custkey % 5 = 0")
+    appended = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 6)
+        .select(*_BASE_COLS)
+    )
+    lake_append(spark, root, appended)
+    lake_compact_dvs(spark, root)
+    return lake_read(spark, root)

@@ -377,3 +377,141 @@ def test_concurrent_writers_loser_retries_cleanly(spark, root):
     assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "A"), (3, "B")]
     ops = [h["op"] for h in lake_history(spark, root)]
     assert ops == ["create", "append", "append"]
+
+
+# --- deletion vectors (merge-on-read) ----------------------------------------
+
+from etlalchemy_spark.operators.lake import (  # noqa: E402
+    lake_changes,
+    lake_compact,
+    lake_compact_dvs,
+    lake_delete_dv,
+)
+
+
+def test_dv_delete_leaves_files_untouched_and_time_travels(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), "k")
+    v2 = lake_delete_dv(spark, root, "k % 2 = 0")
+    m1, m2 = _read_manifest(spark, root, 1), _read_manifest(spark, root, v2)
+    # data files are IDENTICAL by path — nothing was rewritten
+    assert [f["path"] for f in m1["files"]] == [f["path"] for f in m2["files"]]
+    assert m2["dvs"] and m2["dvs"][0]["rows"] == 2
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (3, "c")]
+    # the pre-delete snapshot still sees every row
+    assert _rows(lake_read(spark, root, 1)) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_dv_append_carries_vectors_and_never_marks_new_files(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    # an append must not resurrect the deleted row (dvs carried forward)
+    lake_append(spark, root, _mk(spark, [(2, "fresh")]))
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "fresh")]
+
+
+def test_dv_delete_is_idempotent_on_live_scan(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    v3 = lake_delete_dv(spark, root, "k = 2")  # matches nothing live
+    m3 = _read_manifest(spark, root, v3)
+    assert len(m3["dvs"]) == 1  # no second vector was recorded
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+
+
+def test_dv_cow_upsert_does_not_resurrect(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    lake_upsert(spark, root, _mk(spark, [(3, "C"), (4, "d")]))  # rewrites the file
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (3, "C"), (4, "d")]
+
+
+def test_dv_cow_delete_does_not_resurrect(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    lake_delete(spark, root, "k = 3")  # COW rewrite of the same file
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+
+
+def test_dv_small_file_compaction_applies_vectors(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    lake_append(spark, root, _mk(spark, [(2, "b")]))
+    lake_delete_dv(spark, root, "k = 2")
+    lake_compact(spark, root, small_rows=10**9, target_partitions=1)
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+
+
+def test_dv_compact_folds_clears_and_carries_clean_files(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(spark, root, _mk(spark, [(10, "x")]))  # clean file
+    lake_delete_dv(spark, root, "k = 1")
+    before = _rows(lake_read(spark, root))
+    v = lake_compact_dvs(spark, root)
+    m = _read_manifest(spark, root, v)
+    assert m["dvs"] == []
+    assert _rows(lake_read(spark, root)) == before == [(2, "b"), (10, "x")]
+    # the clean file carried by reference
+    clean = {f["path"] for f in _read_manifest(spark, root, 2)["files"]} - {
+        f["path"] for f in _read_manifest(spark, root, 1)["files"]
+    }
+    assert clean <= {f["path"] for f in m["files"]}
+
+
+def test_dv_rollback_restores_vector_state(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    v2 = lake_delete_dv(spark, root, "k = 2")
+    lake_delete_dv(spark, root, "k = 1")
+    lake_rollback(spark, root, v2)  # restore: only k=2 deleted
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+    lake_rollback(spark, root, 1)  # restore the vector-free state
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b")]
+
+
+def test_dv_change_feed_emits_removed_rows(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), "k")
+    v2 = lake_delete_dv(spark, root, "k >= 2")
+    ch = lake_changes(spark, root, 1, v2)
+    got = sorted((r.op, r.k, r.v) for r in ch.collect())
+    assert got == [("-", 2, "b"), ("-", 3, "c")]
+
+
+def test_dv_change_feed_filters_window_added_files(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    lake_append(spark, root, _mk(spark, [(2, "b"), (3, "c")]))
+    v3 = lake_delete_dv(spark, root, "k = 3")
+    # appended-then-DV-deleted inside the window: '+' only for the live row
+    ch = lake_changes(spark, root, 1, v3)
+    got = sorted((r.op, r.k, r.v) for r in ch.collect())
+    assert got == [("+", 2, "b")]
+
+
+def test_dv_change_feed_rollback_resurrects(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    v2 = lake_delete_dv(spark, root, "k = 2")
+    v3 = lake_rollback(spark, root, 1)
+    ch = lake_changes(spark, root, v2, v3)
+    got = sorted((r.op, r.k, r.v) for r in ch.collect())
+    assert got == [("+", 2, "b")]
+
+
+def test_dv_vacuum_reachability(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    stats = lake_vacuum(spark, root, retain_last=1)
+    assert stats["removed_dv_dirs"] == 0  # reachable vector kept
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+    lake_compact_dvs(spark, root)
+    stats = lake_vacuum(spark, root, retain_last=1)
+    assert stats["removed_dv_dirs"] == 1  # orphaned vector swept
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+
+
+def test_dv_stream_append_carries_vectors(spark, root):
+    from etlalchemy_spark.operators.lake import lake_stream_append
+
+    lake_stream_append(spark, root, _mk(spark, [(1, "a"), (2, "b")]), 0, "k")
+    lake_delete_dv(spark, root, "k = 2")
+    lake_stream_append(spark, root, _mk(spark, [(3, "c")]), 1, "k")
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (3, "c")]
+    # replayed batch still skips, with vectors intact
+    assert lake_stream_append(spark, root, _mk(spark, [(3, "c")]), 1, "k") is None
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (3, "c")]
