@@ -366,3 +366,96 @@ def hist_quantiles(
         .select(F.explode(entries).alias("_e"))
         .select("_e.q", "_e.estimate")
     )
+
+
+# --- portable Bloom filter (cross-engine-exact registers) --------------------
+#
+# The runtime-filter data structure as PORTABLE state (contrast
+# join_bloom_prefilter, which uses Spark's engine-native bloom whose
+# bits no other system can reproduce): k salted 60-bit md5 positions
+# per key, registers = 60-bit words built with one bit_or aggregate —
+# mergeable across shards/days like the HLL/CMS/bitmap families above,
+# and bit-identical in any engine that can md5 UTF-8 bytes. 60-bit
+# words (not 64) because DuckDB's BIGINT << errors at shift 63 and a
+# sign bit would change the word's decimal rendering; Spark is
+# indifferent, so the word layout bends to the portability contract.
+
+BLOOM_K = 4
+BLOOM_M_BITS = 122880  # 60 bits/word * 2048 words
+
+
+def _bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    return F.array(
+        *[
+            md5_prefix60(F.concat(F.lit(f"bf{i}:"), key.cast("string"))) % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_registers(
+    df: DataFrame, key: Column, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
+    """(word_idx, bits): the Bloom filter as 60-bit integer words.
+    Duplicate keys are idempotent under OR — no distinct pass needed.
+    One narrow explode (k small ints per row) + one hash aggregate;
+    the filter is ~m/8 bytes however big the input."""
+    p = df.select(F.explode(_bloom_positions(key, k, m_bits)).alias("_pos"))
+    return (
+        p.select(
+            F.expr("_pos DIV 60").alias("word_idx"), (F.col("_pos") % 60).alias("_bit")
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_membership(
+    registers: DataFrame,
+    probes: DataFrame,
+    probe_key: Column,
+    truth: Column,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Probe the filter: a key is FLAGGED iff all k of its bits are
+    set (an absent register word means an unset bit). ``truth`` is the
+    ground-truth membership column for the false-positive readout.
+    Shape: probes explode to k narrow rows, one equi-join on word_idx
+    against the ~m/60-row register table (broadcast), one aggregate."""
+    pr = probes.select(
+        probe_key.cast("string").alias("_pk"),
+        truth.alias("_truth"),
+        F.posexplode(_bloom_positions(probe_key, k, m_bits)).alias("_i", "_pos"),
+    ).select(
+        "_pk",
+        "_truth",
+        F.expr("_pos DIV 60").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 60 AS INT))").alias("_mask"),
+    )
+    j = pr.join(F.broadcast(registers), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
+    ).cast("int")
+    per = j.groupBy("_pk").agg(
+        F.min(hit).alias("_all_set"), F.first("_truth").alias("_truth")
+    )
+    fl = F.col("_all_set") == 1
+    tr = F.col("_truth")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(fl.cast("long")).alias("n_flagged"),
+        F.sum(tr.cast("long")).alias("n_members"),
+        F.sum((fl & ~tr).cast("long")).alias("n_false_positives"),
+        F.sum((~fl & tr).cast("long")).alias("n_false_negatives"),
+        F.try_divide(
+            F.sum((fl & ~tr).cast("long")).cast("double"),
+            F.nullif(F.sum((~tr).cast("long")), F.lit(0)).cast("double"),
+        ).alias("fpp_observed"),
+    )

@@ -523,17 +523,17 @@ def agg_gini_impurity(spark, sf_dir):
 
 _CORR_SQL = """
 SELECT l_returnflag,
-       (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
-        - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
-          * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+       (CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS VARCHAR) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE))
-       / (sqrt(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
-               - CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
-                 * CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE)
+       / (sqrt(CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS VARCHAR) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE))
-          * sqrt(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
-                 - CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
-                   * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+          * sqrt(CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4) AS VARCHAR) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE))) AS corr_qty_price
 FROM lineitem
 GROUP BY l_returnflag
@@ -548,6 +548,11 @@ def agg_corr_exact(spark, sf_dir):
     closing chain is correctly-rounded IEEE ops only (mul/div/sub and
     sqrt, which IEEE 754 requires exact) — the built-in corr()
     accumulates doubles in shuffle order and is not reproducible.
+    The oracle converts its decimal sums to double THROUGH VARCHAR:
+    DuckDB's native int128-decimal→double cast is not correctly
+    rounded (one ulp off for some values beyond 2^53 — caught at
+    sf0.001 in r9), while its string parse is, matching the JVM's
+    one-step BigDecimal cast at any magnitude.
     One shuffle on the group key, partial+final like any hash agg."""
     li = t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(12,2)")
@@ -1779,4 +1784,78 @@ def agg_histogram_2d(spark, sf_dir):
         .cast("decimal(38,4)")
         .cast("double")
         .alias("bin_revenue"),
+    )
+
+
+# --- Cramér's V effect size (r9) ----------------------------------------------
+
+_CRAMERS_SQL = """
+WITH obs AS (
+  SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT r, SUM(o) AS row_tot FROM obs GROUP BY r),
+ct AS (SELECT c, SUM(o) AS col_tot FROM obs GROUP BY c),
+n AS (SELECT SUM(o) AS total,
+             COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc FROM obs),
+cells AS (
+  SELECT o, CAST(row_tot * col_tot AS DOUBLE) / CAST(total AS DOUBLE) AS e,
+         total, nr, nc
+  FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n
+)
+SELECT CAST(ROUND(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS DECIMAL(24,10))), 10) AS DOUBLE) AS chi2,
+       CAST(MAX(total) AS BIGINT) AS n,
+       CAST(MAX(nr) AS BIGINT) AS r_levels,
+       CAST(MAX(nc) AS BIGINT) AS c_levels,
+       SQRT(CAST(ROUND(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS DECIMAL(24,10))), 10) AS DOUBLE)
+            / (CAST(MAX(total) AS DOUBLE)
+               * CAST(LEAST(MAX(nr) - 1, MAX(nc) - 1) AS DOUBLE))) AS cramers_v
+FROM cells
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_SQL, tags=("agg", "stats"))
+def agg_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for order status × priority: the
+    chi-square independence statistic (the agg_chi2_independence
+    discipline — per-cell double terms on exact integer inputs,
+    quantized to decimal before the order-insensitive reduction)
+    normalized to [0,1] by sqrt(chi2 / (n·min(r-1,c-1))), the measure
+    analysts actually compare across tables because unlike raw chi2 it
+    doesn't grow with n. sqrt is IEEE-754 correctly rounded, so it is
+    the one libm-adjacent function that IS safe cross-engine — the
+    same reason rational idf replaced log elsewhere (SURVEY §2). Shape:
+    three aggregate-sized frames joined back onto ≤ r·c cells."""
+    o = t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("r"), F.col("o_orderpriority").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(
+        F.sum("o").alias("total"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    cells = (
+        obs.join(rt, "r")
+        .join(ct, "c")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e",
+            (F.col("row_tot") * F.col("col_tot")).cast("double")
+            / F.col("total").cast("double"),
+        )
+    )
+    od = F.col("o").cast("double")
+    term = ((od - F.col("e")) * (od - F.col("e")) / F.col("e")).cast("decimal(24,10)")
+    chi2 = F.sum(term).cast("decimal(38,10)").cast("double")
+    tot = F.max("total")
+    dof = F.least(F.max("nr") - 1, F.max("nc") - 1)
+    return cells.agg(
+        chi2.alias("chi2"),
+        tot.cast("bigint").alias("n"),
+        F.max("nr").cast("bigint").alias("r_levels"),
+        F.max("nc").cast("bigint").alias("c_levels"),
+        F.sqrt(chi2 / (tot.cast("double") * dof.cast("double"))).alias("cramers_v"),
     )

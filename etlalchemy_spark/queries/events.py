@@ -2083,3 +2083,153 @@ def events_markov_transitions(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_transitions"),
         (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
     )
+
+
+# --- CUPED variance-reduced experiment readout (r9) ---------------------------
+
+_CUPED_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN 2 * epoch_us(ts) <= b.lo + b.hi
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  ELSE 0 END) AS x,
+         SUM(CASE WHEN 2 * epoch_us(ts) > b.lo + b.hi
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events
+  CROSS JOIN (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events) b
+  GROUP BY user_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM pu
+),
+th AS (
+  SELECT (g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx) AS theta,
+         g.sx / g.n AS mx_all
+  FROM g
+),
+pa AS (
+  SELECT CASE WHEN {bucket} < 500000 THEN 'control' ELSE 'treatment' END AS arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_users,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM pu GROUP BY 1
+)
+SELECT arm,
+       CAST(n_users AS BIGINT) AS n_users,
+       th.theta AS theta,
+       (sy / n) / 1000000.0 AS mean_post,
+       ((sy / n) - th.theta * ((sx / n) - th.mx_all)) / 1000000.0 AS mean_post_cuped,
+       ((syy - 2 * th.theta * sxy + th.theta * th.theta * sxx) / n
+          - ((sy / n) - th.theta * (sx / n)) * ((sy / n) - th.theta * (sx / n)))
+       / ((syy / n) - (sy / n) * (sy / n)) AS var_ratio
+FROM pa CROSS JOIN th
+"""
+
+
+def _cuped_oracle():
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    return _CUPED_SQL.replace("{bucket}", _bucket_sql("user_id", "cuped:"))
+
+
+@register("events_cuped", oracle=_cuped_oracle(), tags=("events", "sampling", "agg"))
+def events_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    the industry-standard pre-experiment covariate adjustment): users
+    hash deterministically into arms (portable 60-bit md5 — the
+    sample_ab_assignment assigner), the post-period metric y and
+    pre-period covariate x split the event stream at the integer
+    midpoint of its epoch-µs span, theta = cov(x,y)/var(x) is fit on
+    the POOLED population (fitting per-arm would bias the contrast),
+    and each arm reports mean_post, the CUPED-adjusted mean
+    (y - theta*(x - mean_x_all)), and the achieved variance ratio
+    var(y - theta*x)/var(y) — the fraction of metric variance the
+    covariate removed (the experiment reads as if it had 1/ratio times
+    the traffic). Exactness: per-user sums are integer micro-units
+    (value -> DECIMAL(18,6) * 1e6, the OLS-by-group discipline), all
+    moment sums are exact integers (decimal(38,0) here = HUGEINT in
+    the oracle — converted to double through VARCHAR, because DuckDB's
+    native int128->double cast is NOT correctly rounded and drifts one
+    ulp above 2^53 while its string parser IS correctly rounded,
+    matching the JVM's BigDecimal path), and both engines apply the
+    IDENTICAL final double
+    formula — so even the variance ratio hash-matches. Shape: one
+    two-row broadcast of the epoch bounds, ONE per-user shuffle, two
+    one-row/two-row aggregates broadcast back; no window, no second
+    pass over events."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    e = F.unix_micros(F.col("ts"))
+    sv = (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+    bounds = ev.agg(F.min(e).alias("lo"), F.max(e).alias("hi"))
+    pre = (2 * e) <= (F.col("lo") + F.col("hi"))
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, sv).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(~pre, sv).otherwise(F.lit(0))).alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    g = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mx_all"),
+    )
+    pa = (
+        pu.withColumn(
+            "arm",
+            F.when(hash_bucket(F.col("user_id"), "cuped:") < 500000, "control")
+            .otherwise("treatment"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(xd).cast("double").alias("sx"),
+            F.sum(yd).cast("double").alias("sy"),
+            F.sum(xd * yd).cast("double").alias("sxy"),
+            F.sum(xd * xd).cast("double").alias("sxx"),
+            F.sum(yd * yd).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    theta, mx_all = F.col("theta"), F.col("mx_all")
+    adj_mean_scaled = (sy / n) - theta * (sx / n)
+    return pa.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        theta.alias("theta"),
+        ((sy / n) / 1000000.0).alias("mean_post"),
+        (((sy / n) - theta * ((sx / n) - mx_all)) / 1000000.0).alias("mean_post_cuped"),
+        (
+            (
+                (syy - 2 * theta * sxy + theta * theta * sxx) / n
+                - adj_mean_scaled * adj_mean_scaled
+            )
+            / ((syy / n) - (sy / n) * (sy / n))
+        ).alias("var_ratio"),
+    )

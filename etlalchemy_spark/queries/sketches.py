@@ -584,3 +584,119 @@ def sketch_hll_error_report(spark, sf_dir):
             / F.col("exact_n").cast("double")
         ).alias("rel_error"),
     )
+
+
+# --- portable Bloom filter (r9) ------------------------------------------------
+
+_BF_M = 122880
+_BF_PREFIX60 = """CAST((
+    (CAST(({u} >> 0)  & 255 AS UBIGINT) * 72057594037927936) +
+    (CAST(({u} >> 8)  & 255 AS UBIGINT) * 281474976710656) +
+    (CAST(({u} >> 16) & 255 AS UBIGINT) * 1099511627776) +
+    (CAST(({u} >> 24) & 255 AS UBIGINT) * 4294967296) +
+    (CAST(({u} >> 32) & 255 AS UBIGINT) * 16777216) +
+    (CAST(({u} >> 40) & 255 AS UBIGINT) * 65536) +
+    (CAST(({u} >> 48) & 255 AS UBIGINT) * 256) +
+     CAST(({u} >> 56) & 255 AS UBIGINT)
+  ) // 16 AS BIGINT)"""
+
+
+def _bf_pos(key_expr: str, i: int) -> str:
+    u = f"md5_number_upper('bf{i}:' || CAST({key_expr} AS VARCHAR))"
+    return _BF_PREFIX60.replace("{u}", u) + f" % {_BF_M}"
+
+
+_BF_POS_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT {_bf_pos('o_custkey', i)} AS pos FROM orders" for i in range(4)
+)
+
+_BF_REG_SQL = f"""
+WITH pos AS (
+{_BF_POS_UNION}
+)
+SELECT pos // 60 AS word_idx,
+       BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bits
+FROM pos GROUP BY 1
+"""
+
+
+@register("sketch_bloom_registers", oracle=_BF_REG_SQL, tags=("sketch",))
+def sketch_bloom_registers(spark, sf_dir):
+    """Portable Bloom filter over order custkeys: k=4 salted 60-bit
+    md5 positions per key, registers = 60-bit words from ONE bit_or
+    aggregate — mergeable across shards/days exactly like the HLL/CMS
+    register families, and (unlike Spark's engine-native bloom in
+    join_bloom_prefilter) bit-identical in ANY engine that can md5:
+    the oracle REBUILDS the words in DuckDB and hash-compares them.
+    60-bit words because DuckDB's BIGINT << errors at 63 and a sign
+    bit would change the rendering — the layout bends to portability.
+    At 100 TB: the filter is m/8 bytes (~15 KB here) regardless of
+    input size; the build is one narrow explode + hash agg."""
+    from etlalchemy_spark.operators.sketch import bloom_registers
+
+    o = t(spark, sf_dir, "orders")
+    return bloom_registers(o, F.col("o_custkey"))
+
+
+_BF_MEM_SQL = f"""
+WITH pos AS (
+{_BF_POS_UNION}
+),
+reg AS (
+  SELECT pos // 60 AS word_idx,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT p_partkey,
+         p_partkey IN (SELECT o_custkey FROM orders) AS truth,
+         p.i AS i,
+         CASE p.i
+           WHEN 0 THEN {_bf_pos('p_partkey', 0)}
+           WHEN 1 THEN {_bf_pos('p_partkey', 1)}
+           WHEN 2 THEN {_bf_pos('p_partkey', 2)}
+           ELSE        {_bf_pos('p_partkey', 3)}
+         END AS pos
+  FROM part CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS i) p
+),
+per AS (
+  SELECT p_partkey,
+         MIN(CASE WHEN (COALESCE(reg.bits, 0) & (CAST(1 AS BIGINT) << CAST(probe.pos % 60 AS INT))) <> 0
+                  THEN 1 ELSE 0 END) AS all_set,
+         MAX(CASE WHEN truth THEN 1 ELSE 0 END) AS truth
+  FROM probe LEFT JOIN reg ON probe.pos // 60 = reg.word_idx
+  GROUP BY p_partkey
+)
+SELECT COUNT(*) AS n_probes,
+       SUM(CASE WHEN all_set = 1 THEN 1 ELSE 0 END) AS n_flagged,
+       SUM(truth) AS n_members,
+       SUM(CASE WHEN all_set = 1 AND truth = 0 THEN 1 ELSE 0 END) AS n_false_positives,
+       SUM(CASE WHEN all_set = 0 AND truth = 1 THEN 1 ELSE 0 END) AS n_false_negatives,
+       CAST(SUM(CASE WHEN all_set = 1 AND truth = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(NULLIF(SUM(CASE WHEN truth = 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) AS fpp_observed
+FROM per
+"""
+
+
+@register("sketch_bloom_membership", oracle=_BF_MEM_SQL, tags=("sketch",))
+def sketch_bloom_membership(spark, sf_dir):
+    """Bloom membership audit: probe EVERY customer against the
+    order-custkey filter and report flagged / true-member /
+    false-positive / false-negative counts plus the measured FPP. The
+    zero-false-negative guarantee is structural (a member's bits are
+    all set by construction) and the oracle proves it on real data;
+    partkeys half-overlap the custkey space, so both member and
+    non-member populations are exercised;
+    the FPP readout is what a query planner checks before trusting a
+    runtime filter at this fill factor. Probe cost: k narrow rows per
+    probe joined against a broadcast register table."""
+    from etlalchemy_spark.operators.sketch import bloom_membership, bloom_registers
+
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    reg = bloom_registers(o, F.col("o_custkey"))
+    ok = o.select(F.col("o_custkey").alias("p_partkey")).distinct()
+    probes = p.join(ok.withColumn("_m", F.lit(True)), "p_partkey", "left").select(
+        "p_partkey", F.coalesce(F.col("_m"), F.lit(False)).alias("truth")
+    )
+    return bloom_membership(reg, probes, F.col("p_partkey"), F.col("truth"))
