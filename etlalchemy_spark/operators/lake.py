@@ -447,6 +447,20 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
     return v
 
 
+def _write_dv(spark: SparkSession, root: str, version: int, matched: DataFrame):
+    """Write one deletion-vector sidecar and return (rows, dir). The
+    row count rides an Observation on the write action itself — no
+    second read-back job per delete commit."""
+    from pyspark.sql import Observation
+
+    dv_dir = f"{root}/dv/d{version:08d}-{uuid.uuid4().hex[:8]}"
+    obs = Observation()
+    matched.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "errorifexists"
+    ).parquet(dv_dir)
+    return int(obs.get["n"]), dv_dir
+
+
 def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
     """Merge-on-read DELETE via deletion vectors: instead of rewriting
     every touched file (lake_delete's copy-on-write), record the
@@ -479,9 +493,7 @@ def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
             [*scan.columns, "file_path", "row_index"],
         )
         matched = keyed.where(F.expr(predicate)).select("file_path", "row_index")
-        dv_dir = f"{root}/dv/d{v:08d}-{uuid.uuid4().hex[:8]}"
-        matched.write.mode("errorifexists").parquet(dv_dir)
-        n = spark.read.parquet(dv_dir).count()
+        n, dv_dir = _write_dv(spark, root, v, matched)
         if n:
             dvs.append({"path": dv_dir, "rows": n})
         # a zero-match attempt leaves an empty dir for vacuum to sweep
@@ -494,6 +506,71 @@ def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
              "files": m["files"], "dvs": dvs},
         ),
     )
+    return v
+
+
+def lake_delete_dv_keys(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    app: str | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """Positional delete by KEY SET — the CDC/GDPR tombstone shape
+    (lake_delete_dv's predicate form can't carry a million-id IN
+    list through the plan). Manifest key stats prune the scan to
+    files whose [min_key, max_key] overlaps the key hull (a matched
+    key cannot live elsewhere), existing vectors apply first
+    (idempotent re-marking), and the matched positions append as one
+    sidecar: cost is O(overlapping files + |keys|), rewrite nothing.
+
+    With ``app``/``batch_id`` the commit is EXACTLY-ONCE under
+    foreachBatch's at-least-once contract via the same cumulative
+    ``txns`` watermark as lake_stream_append (returns None on a
+    replayed batch) — streaming deletes and streaming appends share
+    one idempotence ledger, so interleaving them stays safe."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    if app is not None:
+        last = m.get("txns", {}).get(app)
+        if last is not None and batch_id is not None and batch_id <= last:
+            return None
+    v = parent + 1
+    key = m["key"]
+    dvs = list(m.get("dvs") or [])
+    hull = keys.agg(
+        F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    cand = (
+        []
+        if hull["n"] == 0 or hull["lo"] is None
+        else [
+            f
+            for f in m["files"]
+            if f["min_key"] is not None
+            and not (f["max_key"] < hull["lo"] or f["min_key"] > hull["hi"])
+        ]
+    )
+    if cand:
+        scan = _read_files(spark, cand)
+        keyed = _apply_dvs(
+            scan.withColumn("file_path", F.col("_metadata.file_path")).withColumn(
+                "row_index", F.col("_metadata.row_index")
+            ),
+            _dv_frame(spark, m),
+            [key, "file_path", "row_index"],
+        )
+        matched = keyed.join(keys.select(key), key, "left_semi").select(
+            "file_path", "row_index"
+        )
+        n, dv_dir = _write_dv(spark, root, v, matched)
+        if n:
+            dvs.append({"path": dv_dir, "rows": n})
+    manifest = {"version": v, "parent": parent, "op": "delete_dv_keys",
+                "key": key, "files": m["files"], "dvs": dvs}
+    if app is not None and batch_id is not None:
+        manifest["txns"] = {**m.get("txns", {}), app: batch_id}
+    _write_manifest(spark, root, _with_txns(m, manifest))
     return v
 
 

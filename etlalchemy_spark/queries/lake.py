@@ -474,3 +474,91 @@ def lake_dv_compact_read(spark, sf_dir):
     lake_append(spark, root, appended)
     lake_compact_dvs(spark, root)
     return lake_read(spark, root)
+
+
+_DV_STREAM_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type <> 'error'
+"""
+
+
+@register("stream_dv_delete_sink", oracle=_DV_STREAM_SQL, tags=("streaming", "lake"))
+def stream_dv_delete_sink(spark, sf_dir):
+    """Streaming GDPR/CDC deletes via deletion vectors, exactly-once:
+    the full events table is committed as a lake table keyed by
+    event_id, then the SAME feed replays as ~4 micro-batches through
+    foreachBatch and each batch's 'error' rows become a key-set
+    positional delete (lake_delete_dv_keys) — manifest key stats
+    prune the scan to hull-overlapping files, matched positions land
+    in one sidecar per batch, NO data file is ever rewritten, and the
+    batch id rides the same cumulative txns watermark as streaming
+    appends so re-delivered batches skip (pinned in tests). Because
+    deletes are keyed and the feed partitions them disjointly, the
+    final state is batch-boundary-invariant: table minus all error
+    rows, which is exactly what the oracle checks. The steady-state
+    shape of a privacy-deletion pipeline at 100 TB: each trickle
+    commit costs kilobytes, lake_compact_dvs settles the debt on
+    maintenance windows."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from etlalchemy_spark.catalog import table_path
+    from etlalchemy_spark.operators.lake import lake_delete_dv_keys
+    from etlalchemy_spark.sources.pydatasource import register_events_replay
+
+    register_events_replay(spark)
+    root = scratch_dir("lake_dv_stream", sf_dir) + "/tbl"
+    ckpt = scratch_dir("lake_dv_stream", sf_dir) + "/ckpt"
+    lake_drop(spark, root)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # fixture-scale layout: a handful of files keeps per-batch footer/
+    # stats work proportionate (at 100 TB the same table is thousands
+    # of files and the hull pruning is what bounds each delete's scan)
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .coalesce(4)
+    )
+    lake_create(spark, root, ev, "event_id")
+
+    events_path = table_path(sf_dir, "events")
+    if os.path.isfile(events_path):
+        total = pq.ParquetFile(events_path).metadata.num_rows
+    else:
+        total = sum(
+            pq.ParquetFile(os.path.join(events_path, n)).metadata.num_rows
+            for n in os.listdir(events_path)
+            if n.endswith(".parquet")
+        )
+    feed = (
+        spark.readStream.format("events_replay")
+        .option("rowsperbatch", max(1, total // 4 + 1))
+        .option("tasksperbatch", 4)
+        .load(events_path)
+    )
+
+    def apply_batch(df, batch_id):
+        # materialize the (small) tombstone key set ONCE: the
+        # foreachBatch frame recomputes through the Python source per
+        # action, and the delete runs two (key hull + position join)
+        keys = (
+            df.where(F.col("event_type") == "error")
+            .select("event_id")
+            .localCheckpoint(eager=True)
+        )
+        lake_delete_dv_keys(spark, root, keys, app="gdpr-scrub", batch_id=batch_id)
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return lake_read(spark, root)

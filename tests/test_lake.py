@@ -515,3 +515,24 @@ def test_dv_stream_append_carries_vectors(spark, root):
     # replayed batch still skips, with vectors intact
     assert lake_stream_append(spark, root, _mk(spark, [(3, "c")]), 1, "k") is None
     assert _rows(lake_read(spark, root)) == [(1, "a"), (3, "c")]
+
+
+def test_dv_delete_keys_hull_pruning_and_exactly_once(spark, root):
+    from etlalchemy_spark.operators.lake import lake_delete_dv_keys
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_append(spark, root, _mk(spark, [(100, "x"), (200, "y")]))
+    keys = _mk(spark, [(200, "_")]).select("k")
+    v = lake_delete_dv_keys(spark, root, keys, app="scrub", batch_id=0)
+    assert v == 3
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (100, "x")]
+    # replayed batch id skips without touching state
+    assert lake_delete_dv_keys(spark, root, keys, app="scrub", batch_id=0) is None
+    assert latest_version(spark, root) == 3
+    # a later batch with an all-null / empty key set commits metadata-only
+    empty = keys.where("k < 0")
+    v2 = lake_delete_dv_keys(spark, root, empty, app="scrub", batch_id=1)
+    assert v2 == 4
+    m = _read_manifest(spark, root, v2)
+    assert len(m["dvs"]) == 1  # no empty vector appended
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (100, "x")]
