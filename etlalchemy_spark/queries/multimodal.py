@@ -1468,3 +1468,82 @@ def mm_decode_adpcm_stereo(spark, sf_dir):
 
     wavs = params.mapInPandas(synth, "doc_id long, payload binary")
     return wav_stats(wavs, "doc_id")
+
+
+# --- Sobel edge energy (r9) ----------------------------------------------------
+
+
+def _sobel_luma(dx: int, dy: int) -> str:
+    x = f"((i % (w-2)) + 1 + {dx})"
+    y = f"((i // (w-2)) + 1 + {dy})"
+    return (
+        f"(299*((doc_id + 3*{x} + 5*{y}) % 256)"
+        f" + 587*((doc_id*2 + {x}) % 256)"
+        f" + 114*(({x}*{y} + doc_id) % 256))"
+    )
+
+
+_SOBEL_GX = (
+    f"(({_sobel_luma(1, -1)} + 2*{_sobel_luma(1, 0)} + {_sobel_luma(1, 1)})"
+    f" - ({_sobel_luma(-1, -1)} + 2*{_sobel_luma(-1, 0)} + {_sobel_luma(-1, 1)}))"
+)
+_SOBEL_GY = (
+    f"(({_sobel_luma(-1, 1)} + 2*{_sobel_luma(0, 1)} + {_sobel_luma(1, 1)})"
+    f" - ({_sobel_luma(-1, -1)} + 2*{_sobel_luma(0, -1)} + {_sobel_luma(1, -1)}))"
+)
+
+_SOBEL_SQL = f"""
+WITH params AS (
+  SELECT doc_id, 3 + doc_id % 7 AS w, 3 + doc_id % 5 AS h FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((w-2)*(h-2) AS BIGINT) AS interior_pixels,
+       CAST(list_aggregate(list_transform(generate_series(0, (w-2)*(h-2) - 1),
+              i -> ABS({_SOBEL_GX}) + ABS({_SOBEL_GY})), 'sum') AS BIGINT)
+         AS edge_energy
+FROM params
+"""
+
+
+@register("mm_image_sobel_energy", oracle=_SOBEL_SQL, tags=("multimodal", "udf"))
+def mm_image_sobel_energy(spark, sf_dir):
+    """REAL edge detection over the same synthesized BMP corpus as
+    mm_resize_nearest_stats: decode → integer luma (299R+587G+114B,
+    ×1000-scaled, never divided) → both 3×3 Sobel kernels over the
+    interior → Σ(|gx|+|gy|) per image. The sharpness/blur score image
+    curation pipelines threshold on (near-constant or blurred frames
+    score ~0, text/structure scores high). Every tap is integer
+    arithmetic, so DuckDB recomputes the full convolution from the
+    pixel formulas and the decode→convolve→reduce path is oracle-exact
+    end to end. Scale shape: decode + convolution are partition-local
+    Arrow batches; only (id, dims, energy) rows ever leave the
+    executors."""
+    from etlalchemy_spark.operators.multimodal import encode_bmp_24, image_sobel_energy
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("width"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("height"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = (doc_id + 3 * x + 5 * y) % 256
+                g = (doc_id * 2 + x) % 256
+                b = (x * y + doc_id) % 256
+                px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(encode_bmp_24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_sobel_energy(imgs, "doc_id")

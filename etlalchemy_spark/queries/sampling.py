@@ -645,3 +645,125 @@ def sample_kfold_assignment(spark, sf_dir):
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# --- Neyman-optimal stratified allocation (r9) ---------------------------------
+
+_NEY_BUDGET = 1000
+
+_NEY_SQL = f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_h,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sx,
+         SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+             * CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxx
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT o_orderpriority, n_h,
+         CASE WHEN n_h > 1 THEN
+           CAST(FLOOR(SQRT(
+             CAST(CAST(n_h * (n_h * sxx - CAST(sx AS HUGEINT) * sx) AS VARCHAR) AS DOUBLE)
+             / CAST(n_h - 1 AS DOUBLE)
+           )) AS BIGINT)
+         ELSE 0 END AS wq
+  FROM s
+),
+tot AS (SELECT SUM(wq) AS tw FROM w),
+q AS (
+  SELECT w.o_orderpriority, w.wq,
+         ({_NEY_BUDGET} * w.wq) // tot.tw AS base,
+         ({_NEY_BUDGET} * w.wq) % tot.tw AS rem
+  FROM w, tot
+),
+rs AS (
+  SELECT o_orderpriority, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority) AS rr,
+         SUM(base) OVER () AS sum_base
+  FROM q
+),
+quota AS (
+  SELECT o_orderpriority,
+         base + CASE WHEN rr <= {_NEY_BUDGET} - sum_base THEN 1 ELSE 0 END AS quota
+  FROM rs
+),
+r AS (
+  SELECT o_orderkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {{bucket}}, o_orderkey) AS rn
+  FROM orders
+)
+SELECT r.o_orderkey, r.o_orderpriority
+FROM r JOIN quota USING (o_orderpriority)
+WHERE r.rn <= quota.quota
+"""
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=_NEY_SQL.replace("{bucket}", _bucket_sql("o_orderkey", "ney:")),
+    tags=("sampling",),
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-OPTIMAL stratified allocation: the fixed budget splits
+    across strata proportionally to n_h·S_h (stratum size × stratum
+    std of the survey metric, here order total in exact cents) — the
+    allocation that minimizes the stratified mean's variance, vs
+    sample_fixed_total_allocation's size-proportional split. Cross-
+    engine exactness at every hazard: moment sums are exact integers
+    (HUGEINT ≡ decimal(38,0)); n²S² = n(n·Σx²−(Σx)²)/(n−1) closes as
+    ONE division + IEEE-correctly-rounded sqrt on a VARCHAR-routed
+    double; weights then FLOOR to integers (cent-granular — n·S here
+    is ~1e10, so the truncation is 1e-10 relative) BEFORE the Hamilton
+    largest-remainder step, so every floor/remainder comparison is
+    integer arithmetic (a 5-row double SUM would be order-sensitive —
+    the quantization removes the hazard). Zero-
+    variance or singleton strata weigh 0 and draw nothing, exactly as
+    Neyman prescribes. Scale shape: allocation on aggregate state
+    baked back as plan literals (bounded collect, ≤ strata rows), one
+    per-stratum rank window, narrow filter; |result| == budget."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    cd = cents.cast("decimal(19,0)")
+    stats = {
+        r["o_orderpriority"]: (r["n_h"], int(r["sx"]), int(r["sxx"]))
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum(cents).alias("sx"),
+            F.sum(cd * cd).alias("sxx"),
+        )
+        .collect()  # bounded: one row per stratum
+    }
+    wq = {}
+    for p, (n_h, sx, sxx) in stats.items():
+        if n_h > 1:
+            num = n_h * (n_h * sxx - sx * sx)
+            # float(num)/float(den): the same two correctly-rounded
+            # conversions + one division the oracle performs
+            wq[p] = int(math.floor(math.sqrt(float(num) / float(n_h - 1))))
+        else:
+            wq[p] = 0
+    tw = sum(wq.values())
+    base = {p: (_NEY_BUDGET * w) // tw for p, w in wq.items()}
+    rem = {p: (_NEY_BUDGET * w) % tw for p, w in wq.items()}
+    leftover = _NEY_BUDGET - sum(base.values())
+    for p in sorted(base, key=lambda p: (-rem[p], p))[:leftover]:
+        base[p] += 1
+    quota = F.create_map(*[F.lit(x) for p in sorted(base) for x in (p, base[p])])
+    w = W.partitionBy("o_orderpriority").orderBy(
+        hash_bucket(F.col("o_orderkey"), "ney:"), "o_orderkey"
+    )
+    return (
+        o.select("o_orderkey", "o_orderpriority")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.element_at(quota, F.col("o_orderpriority")))
+        .drop("_rn")
+    )
