@@ -115,6 +115,9 @@ def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
     dvs = parent_manifest.get("dvs")
     if dvs and "dvs" not in manifest:
         manifest = {**manifest, "dvs": dvs}
+    sc = parent_manifest.get("stat_cols")
+    if sc and "stat_cols" not in manifest:
+        manifest = {**manifest, "stat_cols": sc}
     return manifest
 
 
@@ -136,40 +139,63 @@ def latest_version(spark: SparkSession, root: str) -> int:
     return max(versions)
 
 
-def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list[dict]:
-    """Per-file (rows, min/max key, schema fingerprint) for a freshly
-    written commit dir — ONE distributed aggregate over
-    ``_metadata.file_path``, collected at file-count size. The stats
-    power upsert's file skipping; the schema ``sig`` lets readers skip
-    the mergeSchema footer pass when every file in a snapshot shares
-    one schema (the common case — Delta stores the schema in the log
-    for exactly this)."""
+def _json_stat(v):
+    """Manifest-JSON-safe stat value: dates/timestamps serialize to
+    ISO strings (which compare lexicographically in range order), the
+    rest pass through."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _file_stats(
+    spark: SparkSession, data_dir: str, key: str, stat_cols: list[str] | None = None
+) -> list[dict]:
+    """Per-file (rows, min/max key, schema fingerprint, optional extra
+    column min/max) for a freshly written commit dir — ONE distributed
+    aggregate over ``_metadata.file_path``, collected at file-count
+    size. The key stats power upsert's file skipping; ``stat_cols``
+    (declared at lake_create, carried in the manifest) power
+    lake_read_range's metadata-only pruning on NON-key columns — the
+    Iceberg idea: scan planning reads zero parquet footers. The schema
+    ``sig`` lets readers skip the mergeSchema footer pass when every
+    file in a snapshot shares one schema (the common case — Delta
+    stores the schema in the log for exactly this)."""
     scan = spark.read.parquet(data_dir)
     import hashlib
 
     sig = hashlib.md5(scan.schema.simpleString().encode()).hexdigest()[:12]
-    rows = (
-        scan.groupBy(F.col("_metadata.file_path").alias("path"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(key).alias("min_key"),
-            F.max(key).alias("max_key"),
-        )
-        .collect()
-    )
-    return sorted(
-        (
-            {
-                "path": r["path"],
-                "rows": r["rows"],
-                "min_key": r["min_key"],
-                "max_key": r["max_key"],
-                "sig": sig,
-            }
-            for r in rows
-        ),
-        key=lambda f: f["path"],
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.min(key).alias("min_key"),
+        F.max(key).alias("max_key"),
+    ]
+    for c in stat_cols or []:
+        if c in scan.columns:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+    rows = scan.groupBy(F.col("_metadata.file_path").alias("path")).agg(*aggs).collect()
+
+    def entry(r):
+        e = {
+            "path": r["path"],
+            "rows": r["rows"],
+            "min_key": r["min_key"],
+            "max_key": r["max_key"],
+            "sig": sig,
+        }
+        stats = {
+            c: [_json_stat(r[f"_lo_{c}"]), _json_stat(r[f"_hi_{c}"])]
+            for c in stat_cols or []
+            if f"_lo_{c}" in r.__fields__
+        }
+        if stats:
+            e["stats"] = stats
+        return e
+
+    return sorted((entry(r) for r in rows), key=lambda f: f["path"])
 
 
 def _read_files(spark: SparkSession, files: list[dict]):
@@ -220,7 +246,12 @@ def _apply_dvs(scan: DataFrame, dv, out_cols: list[str]) -> DataFrame:
 
 
 def _commit_data(
-    spark: SparkSession, root: str, version: int, df: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    version: int,
+    df: DataFrame,
+    key: str,
+    stat_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write a commit attempt's data under a UNIQUE per-attempt
     directory (``data/c<version>-<nonce>/``). The manifest records full
@@ -231,7 +262,7 @@ def _commit_data(
     same version."""
     data_dir = f"{root}/data/c{version:08d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(data_dir)
-    return _file_stats(spark, data_dir, key)
+    return _file_stats(spark, data_dir, key, stat_cols)
 
 
 def lake_drop(spark: SparkSession, root: str) -> None:
@@ -241,13 +272,24 @@ def lake_drop(spark: SparkSession, root: str) -> None:
     fs.delete(jvm.org.apache.hadoop.fs.Path(root), True)
 
 
-def lake_create(spark: SparkSession, root: str, df: DataFrame, key: str) -> int:
+def lake_create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str,
+    stat_cols: list[str] | None = None,
+) -> int:
     """Create version 1 from ``df``. ``key`` is the table's logical
-    primary key; its per-file min/max drives upsert file skipping."""
-    files = _commit_data(spark, root, 1, df, key)
-    _write_manifest(
-        spark, root, {"version": 1, "parent": 0, "op": "create", "key": key, "files": files}
-    )
+    primary key; its per-file min/max drives upsert file skipping.
+    ``stat_cols`` declares extra columns whose per-file min/max ride
+    every future commit's manifest — the metadata layer lake_read_range
+    prunes on (write date-clustered, e.g. repartitionByRange on the
+    stat column, or the hulls all overlap and nothing prunes)."""
+    manifest = {"version": 1, "parent": 0, "op": "create", "key": key}
+    if stat_cols:
+        manifest["stat_cols"] = list(stat_cols)
+    manifest["files"] = _commit_data(spark, root, 1, df, key, stat_cols)
+    _write_manifest(spark, root, manifest)
     return 1
 
 
@@ -270,6 +312,40 @@ def lake_read(spark: SparkSession, root: str, version: int | None = None) -> Dat
     return _apply_dvs(base, _dv_frame(spark, m), base.columns)
 
 
+def lake_read_range(
+    spark: SparkSession, root: str, column: str, lo, hi, version: int | None = None
+):
+    """Range read planned ENTIRELY from manifest metadata (the Iceberg
+    scan-planning idea): files whose stored [min, max] for ``column``
+    (a ``stat_cols`` member declared at lake_create) is disjoint from
+    [lo, hi] are never handed to Spark — zero parquet footers are
+    opened to decide, so planning cost is one manifest fetch at any
+    table size. Files without stats for the column (pre-declaration
+    commits) are conservatively kept. The residual filter still
+    applies (pruning is file-granular), and deletion vectors apply as
+    in lake_read. Returns (DataFrame, n_files_planned, n_files_total)
+    so callers and tests can assert the prune actually happened —
+    date-cluster the writes (repartitionByRange on the stat column)
+    or every hull overlaps and nothing prunes."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    lo_j, hi_j = _json_stat(lo), _json_stat(hi)
+
+    def overlaps(f):
+        st = (f.get("stats") or {}).get(column)
+        if st is None or st[0] is None:
+            return True  # no stats recorded: must read
+        return not (st[1] < lo_j or st[0] > hi_j)
+
+    kept = [f for f in m["files"] if overlaps(f)]
+    if not kept:
+        base = lake_read(spark, root, v).limit(0)
+        return base.where(F.col(column).between(lo, hi)), 0, len(m["files"])
+    scan = _read_files(spark, kept)
+    live = _apply_dvs(scan, _dv_frame(spark, m), scan.columns)
+    return live.where(F.col(column).between(lo, hi)), len(kept), len(m["files"])
+
+
 def _find_schema_source(spark, root, v):
     while v > 0:
         m = _read_manifest(spark, root, v)
@@ -285,7 +361,7 @@ def lake_append(spark: SparkSession, root: str, df: DataFrame) -> int:
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent)
     v = parent + 1
-    new_files = _commit_data(spark, root, v, df, m["key"])
+    new_files = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
     _write_manifest(
         spark,
         root,
@@ -360,7 +436,7 @@ def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
         merged = old.join(changes.select(key), key, "left_anti").unionByName(
             changes, allowMissingColumns=True
         )
-    new_files = _commit_data(spark, root, v, merged, key)
+    new_files = _commit_data(spark, root, v, merged, key, m.get("stat_cols"))
     _write_manifest(
         spark,
         root,
@@ -429,7 +505,7 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
         survivors = _apply_dvs(tscan, dv, tscan.columns).where(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         )
-        new_files = _commit_data(spark, root, v, survivors, m["key"])
+        new_files = _commit_data(spark, root, v, survivors, m["key"], m.get("stat_cols"))
     _write_manifest(
         spark,
         root,
@@ -598,7 +674,7 @@ def lake_compact_dvs(spark: SparkSession, root: str) -> int:
         if touched:
             tscan = _read_files(spark, touched)
             live = _apply_dvs(tscan, dv, tscan.columns)
-            new_files = _commit_data(spark, root, v, live, m["key"])
+            new_files = _commit_data(spark, root, v, live, m["key"], m.get("stat_cols"))
     _write_manifest(
         spark,
         root,
@@ -791,7 +867,7 @@ def lake_stream_append(
     elif last is not None and batch_id <= last:
         return None
     v = parent + 1
-    new_files = _commit_data(spark, root, v, df, m["key"])
+    new_files = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
     txns = {**m.get("txns", {}), app: batch_id}
     manifest = {"version": v, "parent": parent, "op": "append", "key": m["key"],
                 "files": m["files"] + new_files, "tag": tag, "txns": txns}
@@ -857,7 +933,7 @@ def lake_compact(
         packed = _apply_dvs(sscan, _dv_frame(spark, m), sscan.columns).coalesce(
             target_partitions
         )
-        new_files = _commit_data(spark, root, v, packed, m["key"])
+        new_files = _commit_data(spark, root, v, packed, m["key"], m.get("stat_cols"))
     else:
         carried = m["files"]  # nothing worth packing: metadata-only commit
     _write_manifest(

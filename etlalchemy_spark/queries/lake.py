@@ -562,3 +562,48 @@ def stream_dv_delete_sink(spark, sf_dir):
         q.stop()
 
     return lake_read(spark, root)
+
+
+_RANGE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderkey % 3 = 0
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 00:00:00'
+"""
+
+
+@register("lake_stats_pruned_range_read", oracle=_RANGE_SQL, tags=("lake", "etl"))
+def lake_stats_pruned_range_read(spark, sf_dir):
+    """Iceberg-style scan planning from MANIFEST column stats: the
+    table declares o_orderdate as a stats column at creation, writes
+    land date-clustered (repartitionByRange), and a half-year range
+    read is planned by comparing the manifest's per-file [min, max]
+    hulls — ZERO parquet footers are opened to decide which files to
+    hand Spark (contrast fmt_sorted_minmax_pruning, where Spark's own
+    reader consults footers after planning has listed every file).
+    The prune is pinned real in tests/test_lake.py (planned ⊂ total);
+    correctness here is value-level: pruned read ≡ plain range select,
+    because the residual filter catches file-granularity slack. At
+    100 TB with daily-clustered commits, a one-day read plans ~1/2000
+    of the files from one manifest fetch."""
+    from etlalchemy_spark.operators.lake import lake_read_range
+
+    root = scratch_dir("lake_rng", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    lake_create(spark, root, base, "o_orderkey", stat_cols=["o_orderdate"])
+    import datetime
+
+    df, kept, total = lake_read_range(
+        spark,
+        root,
+        "o_orderdate",
+        datetime.datetime(1996, 1, 1),
+        datetime.datetime(1996, 6, 30),
+    )
+    return df

@@ -536,3 +536,32 @@ def test_dv_delete_keys_hull_pruning_and_exactly_once(spark, root):
     m = _read_manifest(spark, root, v2)
     assert len(m["dvs"]) == 1  # no empty vector appended
     assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (100, "x")]
+
+
+def test_stats_pruned_range_read(spark, root):
+    from etlalchemy_spark.operators.lake import lake_read_range
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    # date-cluster analog: range-partition by v so per-file hulls are tight
+    lake_create(
+        spark, root, df.repartitionByRange(5, "v"), "k", stat_cols=["v"]
+    )
+    out, kept, total = lake_read_range(spark, root, "v", 10, 25)
+    assert kept < total  # the prune actually happened, from metadata only
+    assert out.count() == df.where("v between 10 and 25").count()
+    # conservative on a column without stats: nothing pruned, still correct
+    out2, kept2, total2 = lake_read_range(spark, root, "k", 10, 25)
+    assert kept2 == total2
+    assert out2.count() == 16
+    # stats keep riding later commits (appends re-derive them)
+    lake_append(spark, root, df.where("v = 50").limit(5))
+    out3, kept3, total3 = lake_read_range(spark, root, "v", 10, 25)
+    assert kept3 < total3 and out3.count() == df.where("v between 10 and 25").count()
+    # deletion vectors still apply under the pruned scan
+    from etlalchemy_spark.operators.lake import lake_delete_dv
+
+    lake_delete_dv(spark, root, "v = 10")
+    out4, _, _ = lake_read_range(spark, root, "v", 10, 25)
+    assert out4.count() == df.where("v between 11 and 25").count()
