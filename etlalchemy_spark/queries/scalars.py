@@ -615,3 +615,42 @@ def scalar_try_arithmetic(spark, sf_dir):
         ).alias("price_per_excess_unit"),
         F.try_mod(F.col("l_partkey").cast("bigint"), q - 25).alias("mod_or_null"),
     )
+
+
+# --- SQL session variables (r9) -------------------------------------------------
+
+_SESSVAR_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderkey % 4 = 1
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_session_variables", oracle=_SESSVAR_SQL, tags=("sql",))
+def sql_session_variables(spark, sf_dir):
+    """Spark 4 SQL session variables (DECLARE VARIABLE / SET VAR /
+    read as IDENTIFIER-free scalar refs): thresholds flow into the
+    query as TYPED session state instead of f-string splices — the
+    procedural-SQL affordance migration scripts lean on (the upstream
+    reference templated literals into INSERT text; variables are the
+    injection-safe Spark-native form next to sql_parameterized_query
+    and sql_identifier_param). The plan under it is the same
+    scan+filter+agg, so the oracle just inlines the values."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_total DOUBLE")
+    spark.sql("DECLARE OR REPLACE VARIABLE key_mod INT")
+    spark.sql("SET VAR min_total = 150000.0")
+    spark.sql("SET VAR key_mod = 4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _sv_orders
+        WHERE o_totalprice > min_total AND o_orderkey % key_mod = 1
+        GROUP BY o_orderpriority
+        """
+    )

@@ -2014,3 +2014,86 @@ def text_bpe_tokenize(spark, sf_dir):
             "first_word_tokens",
         )
     )
+
+
+# --- Tokenizer fertility audit (r9) --------------------------------------------
+
+
+def _bpe_fertility_sql() -> str:
+    from etlalchemy_spark.operators.bpe import bpe_vocab, tokenize_sql
+
+    unroll = tokenize_sql(bpe_vocab(_BPE_MERGES), "words")
+    return f"""
+WITH docw AS (
+  SELECT doc_id, lang, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, lang, substring(w, 1, 14) AS word FROM docw WHERE w <> ''
+),
+words AS (SELECT DISTINCT word FROM occ),
+{unroll}
+SELECT o.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(o.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(b.n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       CAST(SUM(length(o.word)) AS DOUBLE) / CAST(SUM(b.n_tokens) AS DOUBLE)
+         AS chars_per_token,
+       CAST(SUM(CASE WHEN b.n_tokens >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS frac_fragmented
+FROM occ o JOIN bpe_tok b USING (word)
+GROUP BY o.lang
+"""
+
+
+@register("text_bpe_fertility", oracle=_bpe_fertility_sql(), tags=("text",))
+def text_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language — the metric that decides
+    whether a tokenizer is fair to a language mix (fertility =
+    subword tokens per word; high fertility means the language pays
+    more sequence length per word, skewing both cost and effective
+    context): the pinned BPE vocabulary tokenizes the DISTINCT
+    truncated vocabulary once (pure-codegen unrolled longest-match, no
+    UDF), joins back to occurrences, and aggregates tokens/words/chars
+    per lang plus the fragmented-word share (≥3 subwords ≈ the
+    continuation-heavy tail). Exact integer sums close in single
+    divisions, so all three ratios hash-match. Same scale shape as
+    text_bpe_tokenize: tokenize cost tracks vocabulary, one (lang)
+    hash aggregate over narrow rows."""
+    from etlalchemy_spark.operators.bpe import (
+        MAX_WORD_LEN,
+        WORD_SPLIT_RE,
+        bpe_vocab,
+        tokenize_words,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .select("lang", F.substring("w", 1, MAX_WORD_LEN).alias("word"))
+    )
+    tok = tokenize_words(occ.select("word").distinct(), "word", bpe_vocab(_BPE_MERGES))
+    nt = F.sum("n_tokens").cast("bigint")
+    nw = F.count(F.lit(1))
+    nc = F.sum(F.length("word")).cast("bigint")
+    return (
+        occ.join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            nw.cast("bigint").alias("n_words"),
+            nt.alias("n_tokens"),
+            nc.alias("n_chars"),
+            (nt.cast("double") / nw.cast("double")).alias("fertility"),
+            (nc.cast("double") / nt.cast("double")).alias("chars_per_token"),
+            (
+                F.sum((F.col("n_tokens") >= 3).cast("long")).cast("double")
+                / nw.cast("double")
+            ).alias("frac_fragmented"),
+        )
+    )
