@@ -1859,3 +1859,104 @@ def agg_cramers_v(spark, sf_dir):
         F.max("nc").cast("bigint").alias("c_levels"),
         F.sqrt(chi2 / (tot.cast("double") * dof.cast("double"))).alias("cramers_v"),
     )
+
+
+# --- Permutation test (r9) ------------------------------------------------------
+
+_PERM_B = 20
+
+
+def _perm_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    arm_cols = ",\n         ".join(
+        f"CASE WHEN {_bucket_sql('o_custkey', f'perm{r}:')} < 500000 THEN 1 ELSE 0 END AS a{r}"
+        for r in range(_PERM_B)
+    )
+    per_r = ",\n       ".join(
+        f"""(CAST(CAST(SUM(CASE WHEN a{r} = 1 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE)
+          / CAST(SUM(a{r}) AS DOUBLE)
+        - CAST(CAST(SUM(CASE WHEN a{r} = 0 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE)
+          / CAST(COUNT(*) - SUM(a{r}) AS DOUBLE)) AS d{r}"""
+        for r in range(_PERM_B)
+    )
+    ge = " + ".join(f"(CASE WHEN ABS(d{r}) >= ABS(d_obs) THEN 1 ELSE 0 END)" for r in range(_PERM_B))
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents,
+         CASE WHEN {_bucket_sql('o_custkey', 'ab:')} < 500000 THEN 1 ELSE 0 END AS obs,
+         {arm_cols}
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT COUNT(*) AS n_units,
+       (CAST(CAST(SUM(CASE WHEN obs = 1 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE)
+          / CAST(SUM(obs) AS DOUBLE)
+        - CAST(CAST(SUM(CASE WHEN obs = 0 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE)
+          / CAST(COUNT(*) - SUM(obs) AS DOUBLE)) AS d_obs,
+       {per_r}
+  FROM pc
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       d_obs / 100.0 AS observed_diff,
+       CAST({ge} AS BIGINT) AS n_as_extreme,
+       CAST(1 + ({ge}) AS DOUBLE) / CAST(1 + {_PERM_B} AS DOUBLE) AS p_value
+FROM d
+"""
+
+
+@register("agg_permutation_test", oracle=_perm_sql(), tags=("agg", "stats", "sampling"))
+def agg_permutation_test(spark, sf_dir):
+    """Permutation test for the A/B spend contrast — the
+    nonparametric significance readout that makes no normality
+    assumption (contrast agg_welch_ttest): the observed arm split is
+    the portable md5 assignment (sample_ab_assignment's), and each of
+    B=20 permuted re-assignments is just a RE-SALTED hash — stateless,
+    engine/retry-reproducible, no RNG state to ship (the
+    sample_poisson_bootstrap discipline applied to inference). All
+    B+1 mean differences compute in ONE aggregate over the per-unit
+    frame (per-customer exact cents; sums VARCHAR-routed to double),
+    and the p-value is the add-one-smoothed exceedance count — a
+    single rational. Scale shape: one per-unit shuffle + one
+    aggregate whose width is B columns; B scales the CPU of the
+    aggregate, never a second pass over the fact table."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    arms = [
+        (hash_bucket(F.col("o_custkey"), "ab:") < 500000).cast("int").alias("obs")
+    ] + [
+        (hash_bucket(F.col("o_custkey"), f"perm{r}:") < 500000)
+        .cast("int")
+        .alias(f"a{r}")
+        for r in range(_PERM_B)
+    ]
+    pc = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")).select(
+        "o_custkey", "cents", *arms
+    )
+
+    def diff(col):
+        a = F.col(col)
+        st = F.sum(F.when(a == 1, F.col("cents")).otherwise(F.lit(0)))
+        sc = F.sum(F.when(a == 0, F.col("cents")).otherwise(F.lit(0)))
+        return st.cast("decimal(38,0)").cast("double") / F.sum(a).cast("double") - sc.cast(
+            "decimal(38,0)"
+        ).cast("double") / (F.count(F.lit(1)) - F.sum(a)).cast("double")
+
+    d = pc.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        diff("obs").alias("d_obs"),
+        *[diff(f"a{r}").alias(f"d{r}") for r in range(_PERM_B)],
+    )
+    ge = sum(
+        (F.abs(F.col(f"d{r}")) >= F.abs(F.col("d_obs"))).cast("int")
+        for r in range(_PERM_B)
+    )
+    return d.select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        (F.col("d_obs") / 100.0).alias("observed_diff"),
+        ge.cast("bigint").alias("n_as_extreme"),
+        ((1 + ge).cast("double") / F.lit(1 + _PERM_B).cast("double")).alias("p_value"),
+    )
