@@ -1906,7 +1906,7 @@ FROM d
 """
 
 
-@register("agg_permutation_test", oracle=_perm_sql(), tags=("agg", "stats", "sampling"))
+@register("agg_permutation_test", oracle=_perm_sql(), tags=("agg", "stats", "sampling", "bench"))
 def agg_permutation_test(spark, sf_dir):
     """Permutation test for the A/B spend contrast — the
     nonparametric significance readout that makes no normality

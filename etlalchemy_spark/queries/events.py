@@ -2142,7 +2142,7 @@ def _cuped_oracle():
     return _CUPED_SQL.replace("{bucket}", _bucket_sql("user_id", "cuped:"))
 
 
-@register("events_cuped", oracle=_cuped_oracle(), tags=("events", "sampling", "agg"))
+@register("events_cuped", oracle=_cuped_oracle(), tags=("events", "sampling", "agg", "bench"))
 def events_cuped(spark, sf_dir):
     """CUPED variance-reduced experiment readout (Deng et al. 2013,
     the industry-standard pre-experiment covariate adjustment): users

@@ -407,7 +407,7 @@ SELECT * FROM v3 WHERE NOT (o_totalprice > 150000)
 """
 
 
-@register("lake_dv_delete_read", oracle=_DV_DELETE_SQL, tags=("lake", "etl"))
+@register("lake_dv_delete_read", oracle=_DV_DELETE_SQL, tags=("lake", "etl", "bench"))
 def lake_dv_delete_read(spark, sf_dir):
     """Merge-on-read DELETE via deletion vectors: v2 marks a customer
     stripe as deleted by POSITION (file_path + parquet row_index in an

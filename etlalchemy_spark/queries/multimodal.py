@@ -1507,7 +1507,7 @@ FROM params
 """
 
 
-@register("mm_image_sobel_energy", oracle=_SOBEL_SQL, tags=("multimodal", "udf"))
+@register("mm_image_sobel_energy", oracle=_SOBEL_SQL, tags=("multimodal", "udf", "bench"))
 def mm_image_sobel_energy(spark, sf_dir):
     """REAL edge detection over the same synthesized BMP corpus as
     mm_resize_nearest_stats: decode → integer luma (299R+587G+114B,

@@ -678,7 +678,7 @@ FROM per
 """
 
 
-@register("sketch_bloom_membership", oracle=_BF_MEM_SQL, tags=("sketch",))
+@register("sketch_bloom_membership", oracle=_BF_MEM_SQL, tags=("sketch", "bench"))
 def sketch_bloom_membership(spark, sf_dir):
     """Bloom membership audit: probe EVERY customer against the
     order-custkey filter and report flagged / true-member /
