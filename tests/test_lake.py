@@ -565,3 +565,16 @@ def test_stats_pruned_range_read(spark, root):
     lake_delete_dv(spark, root, "v = 10")
     out4, _, _ = lake_read_range(spark, root, "v", 10, 25)
     assert out4.count() == df.where("v between 11 and 25").count()
+
+
+def test_dv_change_feed_mixed_window_and_empty_upsert_carry(spark, root):
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    # metadata-only (empty-changes) upsert must carry the vectors
+    v3 = lake_upsert(spark, root, _mk(spark, []).limit(0))
+    assert _read_manifest(spark, root, v3).get("dvs")
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (3, "c")]
+    # one CDF window spanning a DV delete AND a COW upsert
+    lake_upsert(spark, root, _mk(spark, [(3, "C"), (4, "d")]))
+    ch = sorted((r.op, r.k, r.v) for r in lake_changes(spark, root, 1, 4).collect())
+    assert ch == [("+", 3, "C"), ("+", 4, "d"), ("-", 2, "b"), ("-", 3, "c")]
