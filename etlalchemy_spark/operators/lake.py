@@ -41,6 +41,11 @@ on, built from first principles on plain parquet + JSON manifests:
   the invariant being defended, test-pinned). ``lake_compact_dvs``
   folds vectors back into data and empties the list. Delta DV /
   Iceberg positional-delete semantics from first principles.
+- MANIFEST COLUMN STATS (Iceberg-style scan planning): ``stat_cols``
+  declared at create ride every commit as per-file [min, max] hulls;
+  ``lake_read_range`` plans a range read from ONE manifest fetch with
+  zero parquet footers opened, keeps stat-less files conservatively,
+  and applies the residual filter plus deletion vectors.
 - ROLLBACK is a new commit pointing at an old version's file list —
   history is append-only, the bad version stays auditable.
 - VACUUM deletes data files unreachable from the retained manifests
