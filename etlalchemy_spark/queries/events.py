@@ -2233,3 +2233,95 @@ def events_cuped(spark, sf_dir):
             / ((syy / n) - (sy / n) * (sy / n))
         ).alias("var_ratio"),
     )
+
+
+# --- Funnel time-to-convert (r9) -----------------------------------------------
+
+_TTC_SQL = """
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' AND ts > (
+               SELECT MIN(e2.ts) FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.event_type = 'signup')
+             THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > (
+               SELECT MIN(e3.ts) FROM events e3
+               WHERE e3.user_id = e.user_id AND e3.event_type = 'click'
+                 AND e3.ts > (SELECT MIN(e4.ts) FROM events e4
+                              WHERE e4.user_id = e.user_id AND e4.event_type = 'signup'))
+             THEN ts END) AS t_purchase
+  FROM events e
+  GROUP BY user_id
+),
+d AS (
+  SELECT 'signup_to_click' AS step,
+         epoch_us(t_click) - epoch_us(t_signup) AS dus
+  FROM per WHERE t_click IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase' AS step,
+         epoch_us(t_purchase) - epoch_us(t_click) AS dus
+  FROM per WHERE t_purchase IS NOT NULL
+)
+SELECT step,
+       COUNT(*) AS n_converted,
+       quantile_cont(dus, 0.5) / 1000000.0 AS median_s,
+       quantile_cont(dus, 0.9) / 1000000.0 AS p90_s
+FROM d GROUP BY step
+"""
+
+
+@register("events_time_to_convert", oracle=_TTC_SQL, tags=("events", "agg", "funnel"))
+def events_time_to_convert(spark, sf_dir):
+    """Funnel step-transition latency — the readout next to
+    events_funnel's conversion COUNTS that growth teams actually act
+    on (where do converting users stall?): the same ordered
+    conditional-min cascade (first signup, first later click, first
+    later purchase; one user_id shuffle, no self-joins), then per
+    step-pair the converted count and exact interpolated median/p90 of
+    the transition delay. Deltas are exact epoch-µs integers;
+    F.percentile ≡ quantile_cont (the agg_percentile_exact identity),
+    so even the interpolated seconds hash-match."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    base = ev.join(per_user, "user_id")
+    stage2 = base.groupBy("user_id", "t_signup").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+                F.col("ts"),
+            )
+        ).alias("t_click")
+    )
+    stage3 = (
+        base.join(stage2.select("user_id", "t_click"), "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    sc = stage3.where(F.col("t_click").isNotNull()).select(
+        F.lit("signup_to_click").alias("step"),
+        (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias("dus"),
+    )
+    cp = stage3.where(F.col("t_purchase").isNotNull()).select(
+        F.lit("click_to_purchase").alias("step"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("dus"),
+    )
+    return (
+        sc.unionByName(cp)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            (F.percentile("dus", F.lit(0.5)) / 1000000.0).alias("median_s"),
+            (F.percentile("dus", F.lit(0.9)) / 1000000.0).alias("p90_s"),
+        )
+    )
