@@ -1801,3 +1801,93 @@ def etl_surrogate_keys(spark, sf_dir):
         "c_name",
         "c_nationkey",
     )
+
+
+# --- k-anonymity generalization (r9) ---------------------------------------------
+
+_KANON_K = 10
+
+_KANON_GEN_SQL = f"""
+WITH q AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 100) * 100 AS BIGINT) AS b100,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) * 1000 AS BIGINT) AS b1000
+  FROM customer
+),
+m0 AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM q GROUP BY seg, b100)),
+m1 AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM q GROUP BY seg, b1000)),
+m2 AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM q GROUP BY b1000)),
+lvl AS (
+  SELECT CASE WHEN m0.mn >= {_KANON_K} THEN 0
+              WHEN m1.mn >= {_KANON_K} THEN 1
+              WHEN m2.mn >= {_KANON_K} THEN 2
+              ELSE 3 END AS level
+  FROM m0, m1, m2
+)
+SELECT q.c_custkey,
+       CASE WHEN lvl.level <= 1 THEN q.seg ELSE '*' END AS gen_segment,
+       CASE lvl.level
+         WHEN 0 THEN CAST(q.b100 AS VARCHAR)
+         WHEN 3 THEN '*'
+         ELSE CAST(q.b1000 AS VARCHAR) END AS gen_balance,
+       CAST(lvl.level AS BIGINT) AS level
+FROM q, lvl
+"""
+
+
+@register("etl_k_anonymity_generalize", oracle=_KANON_GEN_SQL, tags=("etl", "privacy"))
+def etl_k_anonymity_generalize(spark, sf_dir):
+    """k-anonymity GENERALIZATION (the enforcement step after
+    etl_k_anonymity_audit's diagnosis): quasi-identifiers climb a
+    deterministic coarsening ladder — (segment, balance÷100) →
+    (segment, balance÷1000) → (balance÷1000) → full suppression — and
+    the table publishes at the MINIMAL level whose smallest
+    equivalence class reaches k={_KANON_K} (global recoding: one level
+    for all rows, so the k guarantee is structural — local per-row
+    recoding would let rows published at lower levels thin out the
+    higher-level classes below k). Level choice is three aggregate-
+    sized MIN-of-COUNT scans; the rewrite is a pure projection. At
+    100 TB: ladder evaluation is one pass per level over narrow QI
+    columns (or one pass with grouping sets), the publish is
+    shuffle-free.""".replace("{_KANON_K}", str(_KANON_K))
+    c = t(spark, sf_dir, "customer")
+    q = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        (F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 100) * 100)
+        .cast("bigint")
+        .alias("b100"),
+        (F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000) * 1000)
+        .cast("bigint")
+        .alias("b1000"),
+    )
+    mins = []
+    for i, cols in enumerate((["seg", "b100"], ["seg", "b1000"], ["b1000"])):
+        mn = (
+            q.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.min("n").alias("mn"))
+            .collect()[0]["mn"]  # bounded: one row per ladder level
+        )
+        mins.append(mn)
+    if mins[0] >= _KANON_K:
+        level = 0
+    elif mins[1] >= _KANON_K:
+        level = 1
+    elif mins[2] >= _KANON_K:
+        level = 2
+    else:
+        level = 3
+    gen_seg = F.col("seg") if level <= 1 else F.lit("*")
+    if level == 0:
+        gen_bal = F.col("b100").cast("string")
+    elif level == 3:
+        gen_bal = F.lit("*")
+    else:
+        gen_bal = F.col("b1000").cast("string")
+    return q.select(
+        "c_custkey",
+        gen_seg.alias("gen_segment"),
+        gen_bal.alias("gen_balance"),
+        F.lit(level).cast("bigint").alias("level"),
+    )

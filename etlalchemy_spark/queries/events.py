@@ -2325,3 +2325,70 @@ def events_time_to_convert(spark, sf_dir):
             (F.percentile("dus", F.lit(0.9)) / 1000000.0).alias("p90_s"),
         )
     )
+
+
+# --- Local-peak detection (r9) --------------------------------------------------
+
+_PEAKS_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         SUM(CAST(value AS DECIMAL(18,6))) AS total
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, hour, total,
+         LAG(total)  OVER w AS prev_total,
+         LEAD(total) OVER w AS next_total,
+         AVG(total)  OVER (PARTITION BY event_type) AS _mean
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, hour,
+       CAST(ROUND(total, 4) AS DOUBLE) AS total,
+       CAST(ROUND(prev_total, 4) AS DOUBLE) AS prev_total,
+       CAST(ROUND(next_total, 4) AS DOUBLE) AS next_total
+FROM s
+WHERE prev_total IS NOT NULL AND next_total IS NOT NULL
+  AND total > prev_total AND total > next_total
+  AND total > _mean
+"""
+
+
+@register("ts_peak_detection", oracle=_PEAKS_SQL, tags=("events", "timeseries", "window"))
+def ts_peak_detection(spark, sf_dir):
+    """Local-peak detection over the hourly per-type series: a point
+    is a peak iff it strictly exceeds BOTH neighbors and the series
+    mean — the spike shortlist alerting/capacity dashboards page on
+    (contrast ts_zscore_anomaly's rolling deviation: peaks are shape
+    features, not distribution outliers). All comparisons run on
+    EXACT decimal hourly sums (the mean via decimal AVG), so the
+    peak SET is engine-identical; doubles appear only in the output
+    projection. One hourly hash-agg + one lag/lead window per type."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    s = h.select(
+        "event_type",
+        "hour",
+        "total",
+        F.lag("total").over(w).alias("prev_total"),
+        F.lead("total").over(w).alias("next_total"),
+        F.avg("total").over(W.partitionBy("event_type")).alias("_mean"),
+    )
+    return s.where(
+        F.col("prev_total").isNotNull()
+        & F.col("next_total").isNotNull()
+        & (F.col("total") > F.col("prev_total"))
+        & (F.col("total") > F.col("next_total"))
+        & (F.col("total") > F.col("_mean"))
+    ).select(
+        "event_type",
+        "hour",
+        F.col("total").cast("decimal(38,4)").cast("double").alias("total"),
+        F.col("prev_total").cast("decimal(38,4)").cast("double").alias("prev_total"),
+        F.col("next_total").cast("decimal(38,4)").cast("double").alias("next_total"),
+    )

@@ -800,3 +800,51 @@ def fmt_bucketed_join_no_shuffle(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- Fixed-width interchange (r9) ------------------------------------------------
+
+_FW_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+@register("fmt_fixed_width_roundtrip", oracle=_FW_SQL, tags=("sources", "etl"))
+def fmt_fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width (COBOL/mainframe copybook) interchange — the one
+    legacy-migration format the reference's world runs on that has no
+    Spark reader: rows render as fixed-offset text (zero-padded
+    numerics, right-padded strings — lpad/rpad expressions), write
+    through the text sink, read back with spark.read.text, and parse
+    by SUBSTRING offsets with typed casts. Roundtrip identity is the
+    oracle. Both directions are pure codegen string expressions — a
+    copybook layout is just (offset, width, type) triples, so the
+    parser generalizes to any spec; at 100 TB the parse is a narrow
+    map over the text scan, splittable per line, no shuffle."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    # layout: orderkey 12 (zero-pad), custkey 12 (zero-pad),
+    # status 1, priority 15 (right-pad)
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    ).alias("value")
+    out = os.path.join(scratch_dir("fw", sf_dir), "orders_fw")
+    o.select(line).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 12).cast("bigint").alias("o_custkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.rtrim(F.substring("value", 26, 15)).alias("o_orderpriority"),
+    )
