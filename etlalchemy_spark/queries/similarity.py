@@ -1018,3 +1018,94 @@ def sim_hybrid_rrf_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# --- Matryoshka prefix-dimension search (r9) -------------------------------------
+
+_MRL_PRE_D = 16
+_MRL_SHORTLIST = 50
+
+_MRL_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pre AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e, q, generate_series(1, {_MRL_PRE_D}) AS t(i)
+  GROUP BY e.vec_id
+),
+pre_scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+           / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS c
+  FROM pre
+),
+short AS (
+  SELECT vec_id FROM pre_scored WHERE c IS NOT NULL
+  ORDER BY c DESC, vec_id LIMIT {_MRL_SHORTLIST}
+),
+prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e JOIN short USING (vec_id), q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+),
+scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+           / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_matryoshka_prefix_topk", oracle=_MRL_SQL, tags=("similarity",))
+def sim_matryoshka_prefix_topk(spark, sf_dir):
+    """Matryoshka (MRL) adaptive-dimension search — the third modern
+    ANN family beside LSH/IVF and PQ: embeddings trained with
+    matryoshka loss rank usefully under PREFIX truncation, so stage 1
+    scores every vector on the first {pre} dims (a {ratio}× cheaper
+    scan that reads a quarter of the vector bytes — with dimension-
+    major storage, only the prefix columns), keeps a {short}-candidate
+    shortlist, and stage 2 re-ranks ONLY the shortlist at full
+    dimension. Both stages are the decimal-exact cosine, the shortlist
+    boundary tie-breaks deterministically, and the oracle replays the
+    exact two-stage pipeline — so this gate pins the SEARCH PIPELINE,
+    not just a score. At 100 TB: stage-1 cost scales with corpus ×
+    prefix dims; full-dim work is shortlist-sized.""".format(
+        pre=_MRL_PRE_D, ratio=64 // _MRL_PRE_D, short=_MRL_SHORTLIST
+    )
+    from etlalchemy_spark.operators.similarity import _topk_ranked, exact_cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    q_pre = F.array(*[F.lit(float(x)) for x in qv[:_MRL_PRE_D]])
+    q_full = F.array(*[F.lit(float(x)) for x in qv])
+    pre = exact_cosine(
+        emb.select("vec_id", F.slice("embedding", 1, _MRL_PRE_D).alias("_pre")),
+        ["vec_id"],
+        F.col("_pre"),
+        q_pre,
+    ).where(F.col("cosine").isNotNull())
+    short = pre.orderBy(F.desc("cosine"), F.col("vec_id")).limit(_MRL_SHORTLIST)
+    full = exact_cosine(
+        emb.join(short.select("vec_id"), "vec_id", "left_semi"),
+        ["vec_id"],
+        F.col("embedding"),
+        q_full,
+    )
+    return _topk_ranked(full, "vec_id", 10)
