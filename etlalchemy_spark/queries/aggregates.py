@@ -1960,3 +1960,74 @@ def agg_permutation_test(spark, sf_dir):
         ge.cast("bigint").alias("n_as_extreme"),
         ((1 + ge).cast("double") / F.lit(1 + _PERM_B).cast("double")).alias("p_value"),
     )
+
+
+# --- ABC / Pareto classification (r9) --------------------------------------------
+
+_ABC_SQL = """
+WITH pr AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+  FROM lineitem GROUP BY 1
+),
+c AS (SELECT p_partkey, CAST(r * 10000 AS BIGINT) AS rev4 FROM pr),
+t AS (SELECT SUM(rev4) AS tot FROM c),
+runs AS (
+  SELECT p_partkey, rev4,
+         SUM(rev4) OVER (ORDER BY rev4 DESC, p_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM c
+)
+SELECT p_partkey,
+       CAST(rev4 AS DOUBLE) / 10000.0 AS revenue,
+       CAST(run AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+       CASE WHEN 100 * run <= 70 * tot THEN 'A'
+            WHEN 100 * run <= 90 * tot THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM runs, t
+"""
+
+
+@register("agg_abc_pareto", oracle=_ABC_SQL, tags=("agg", "window", "scale"))
+def agg_abc_pareto(spark, sf_dir):
+    """ABC/Pareto classification of parts by revenue — the 80/20
+    inventory segmentation every supply-chain and catalog team runs:
+    parts sort by exact revenue (integer 1e-4 units) descending,
+    cumulative share classifies A (top 70% of revenue), B (to 90%),
+    C (tail). The global running sum uses the range-bucketed prefix
+    path (operators/prefix.py) — NO single-partition window at any
+    corpus size — ordered by the exact NEGATED integer revenue with a
+    partkey tie-break, and class boundaries compare exact integers
+    (100·run ≤ 70·total), so the class assignment is engine-identical
+    even at boundary parts. One lineitem shuffle + the prefix
+    machinery's bucket pass."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+    )
+    c = (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg((rev * 10000).cast("bigint").alias("rev4"))
+    )
+    tot = c.agg(F.sum("rev4").alias("tot"))
+    runs = running_global_sum(
+        c,
+        -F.col("rev4"),
+        ["p_partkey"],
+        F.col("rev4").cast("decimal(18,0)"),
+        alias="_run",
+        n_buckets=16,
+    ).withColumn("run", F.col("_run").cast("bigint"))
+    return runs.crossJoin(F.broadcast(tot)).select(
+        "p_partkey",
+        (F.col("rev4").cast("double") / 10000.0).alias("revenue"),
+        (F.col("run").cast("double") / F.col("tot").cast("double")).alias("cum_share"),
+        F.when(100 * F.col("run") <= 70 * F.col("tot"), "A")
+        .when(100 * F.col("run") <= 90 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
