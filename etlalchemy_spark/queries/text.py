@@ -2097,3 +2097,76 @@ def text_bpe_fertility(spark, sf_dir):
             ).alias("frac_fragmented"),
         )
     )
+
+
+# --- Chat-template packing with loss-mask offsets (r9) ---------------------------
+
+_CHAT_SYS = "You are a helpful assistant."
+
+_CHAT_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words
+  FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         array_to_string(words[1:8], ' ') AS prompt,
+         array_to_string(words[9:len(words)], ' ') AS response
+  FROM w WHERE len(words) > 8
+)
+SELECT doc_id,
+       '<|system|>' || chr(10) || '{_CHAT_SYS}' || chr(10) ||
+       '<|user|>' || chr(10) || prompt || chr(10) ||
+       '<|assistant|>' || chr(10) || response || '<|end|>' AS packed,
+       CAST(length('<|system|>') + 1 + length('{_CHAT_SYS}') + 1
+            + length('<|user|>') + 1 + length(prompt) + 1
+            + length('<|assistant|>') + 1 AS BIGINT) AS assistant_start,
+       CAST(length('<|system|>') + 1 + length('{_CHAT_SYS}') + 1
+            + length('<|user|>') + 1 + length(prompt) + 1
+            + length('<|assistant|>') + 1 + length(response) AS BIGINT)
+         AS assistant_end
+FROM pr
+"""
+
+
+@register("text_chat_template_pack", oracle=_CHAT_SQL, tags=("text", "llm"))
+def text_chat_template_pack(spark, sf_dir):
+    """SFT chat-template serialization with LOSS-MASK offsets — the
+    step between curated documents and supervised fine-tuning: each
+    doc splits into a prompt (first 8 words) and response (rest),
+    renders through a fixed chat template, and emits the assistant
+    span's [start, end) character offsets so the trainer can mask
+    loss to the response tokens without re-parsing the template
+    (offset bugs here silently train on the prompt — making the
+    offsets part of the hashed contract is the point of this gate).
+    Pure codegen string expressions, zero shuffle; at 100 TB this is
+    scan-speed map work feeding the packing/batching ops
+    (text_concat_chunk_packing, text_length_bucket_batching)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    pr = docs.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 8), " ").alias("prompt"),
+        F.array_join(
+            F.slice(words, 9, F.greatest(F.size(words) - 8, F.lit(0))), " "
+        ).alias("response"),
+    ).where(F.size(words) > 8)
+    nl = "\n"
+    prefix_len = (
+        F.lit(len("<|system|>") + 1 + len(_CHAT_SYS) + 1 + len("<|user|>") + 1)
+        + F.length("prompt")
+        + F.lit(1 + len("<|assistant|>") + 1)
+    )
+    packed = F.concat(
+        F.lit("<|system|>" + nl + _CHAT_SYS + nl + "<|user|>" + nl),
+        F.col("prompt"),
+        F.lit(nl + "<|assistant|>" + nl),
+        F.col("response"),
+        F.lit("<|end|>"),
+    )
+    return pr.select(
+        "doc_id",
+        packed.alias("packed"),
+        prefix_len.cast("bigint").alias("assistant_start"),
+        (prefix_len + F.length("response")).cast("bigint").alias("assistant_end"),
+    )
