@@ -882,6 +882,38 @@ def lake_stream_append(
     return v
 
 
+def lake_shallow_clone(
+    spark: SparkSession, src_root: str, dst_root: str, version: int | None = None
+) -> int:
+    """Zero-copy SHALLOW CLONE (Delta's CLONE): the new table's v1
+    manifest REFERENCES the source snapshot's data files and deletion
+    vectors by absolute path — no byte is copied, clone cost is one
+    manifest write at any table size. The clone then evolves
+    independently (its appends/deletes/compactions land under its own
+    root and never touch source bytes — immutability test-pinned).
+    The honest caveat every shallow-clone implementation carries:
+    VACUUMING THE SOURCE can delete files a clone still references
+    (the clone's manifests are invisible to the source's reachability
+    walk) — promote to a deep clone (rewrite via lake_create on a
+    clone read) before vacuuming a cloned-from table, exactly as the
+    Delta docs prescribe."""
+    v = latest_version(spark, src_root) if version is None else version
+    m = _read_manifest(spark, src_root, v)
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "op": f"clone:{src_root}@{v}",
+        "key": m["key"],
+        "files": m["files"],
+    }
+    if m.get("dvs"):
+        manifest["dvs"] = m["dvs"]
+    if m.get("stat_cols"):
+        manifest["stat_cols"] = m["stat_cols"]
+    _write_manifest(spark, dst_root, manifest)
+    return 1
+
+
 def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Roll the table back by COMMITTING FORWARD: the new version's
     file list is the target version's, and the bad intermediate

@@ -607,3 +607,46 @@ def lake_stats_pruned_range_read(spark, sf_dir):
         datetime.datetime(1996, 6, 30),
     )
     return df
+
+
+_CLONE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 7 = 0 AND NOT (o_custkey % 5 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, 'CLONE' AS o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 4 AND o_orderkey % 2 = 0
+"""
+
+
+@register("lake_shallow_clone_read", oracle=_CLONE_SQL, tags=("lake", "etl"))
+def lake_shallow_clone_read(spark, sf_dir):
+    """Zero-copy shallow clone: the source table (create + DV delete —
+    so the clone must inherit deletion vectors too) clones by manifest
+    REFERENCE into a new root (no byte copied, O(1) at any size), then
+    the clone evolves independently with its own append; the read is
+    source-live-state + clone-only rows, and tests pin that the
+    source's files and version history are untouched by the clone's
+    commits. The dev/test-sandbox and experiment-branching primitive
+    every lakehouse ships; the source-vacuum hazard is documented on
+    the operator (promote to deep clone before vacuuming the
+    source)."""
+    from etlalchemy_spark.operators.lake import lake_delete_dv, lake_shallow_clone
+
+    src = scratch_dir("lake_clone", sf_dir) + "/src"
+    dst = scratch_dir("lake_clone", sf_dir) + "/dst"
+    lake_drop(spark, src)
+    lake_drop(spark, dst)
+    lake_create(spark, src, _base(spark, sf_dir), "o_orderkey")
+    lake_delete_dv(spark, src, "o_custkey % 5 = 0")
+    lake_shallow_clone(spark, src, dst)
+    appended = (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 7 == 4) & (F.col("o_orderkey") % 2 == 0))
+        .select(
+            "o_orderkey", "o_custkey", F.lit("CLONE").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    lake_append(spark, dst, appended)
+    return lake_read(spark, dst)

@@ -578,3 +578,28 @@ def test_dv_change_feed_mixed_window_and_empty_upsert_carry(spark, root):
     lake_upsert(spark, root, _mk(spark, [(3, "C"), (4, "d")]))
     ch = sorted((r.op, r.k, r.v) for r in lake_changes(spark, root, 1, 4).collect())
     assert ch == [("+", 3, "C"), ("+", 4, "d"), ("-", 2, "b"), ("-", 3, "c")]
+
+
+def test_shallow_clone_zero_copy_and_independence(spark, root):
+    from etlalchemy_spark.operators.lake import lake_shallow_clone
+
+    src, dst = root + "/src", root + "/dst"
+    lake_create(spark, src, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_delete_dv(spark, src, "k = 2")
+    lake_shallow_clone(spark, src, dst)
+    # clone sees the source's LIVE state (vectors inherited), zero copy
+    assert _rows(lake_read(spark, dst)) == [(1, "a")]
+    m = _read_manifest(spark, dst, 1)
+    assert {f["path"] for f in m["files"]} == {
+        f["path"] for f in _read_manifest(spark, src, 1)["files"]
+    }
+    # clone evolves independently; the source never moves
+    lake_append(spark, dst, _mk(spark, [(3, "c")]))
+    lake_delete_dv(spark, dst, "k = 1")
+    assert _rows(lake_read(spark, dst)) == [(3, "c")]
+    assert _rows(lake_read(spark, src)) == [(1, "a")]
+    assert latest_version(spark, src) == 2
+    # cloning a historical version pins that snapshot
+    dst2 = root + "/dst2"
+    lake_shallow_clone(spark, src, dst2, version=1)
+    assert _rows(lake_read(spark, dst2)) == [(1, "a"), (2, "b")]
