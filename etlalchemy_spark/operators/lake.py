@@ -46,6 +46,11 @@ on, built from first principles on plain parquet + JSON manifests:
   ``lake_read_range`` plans a range read from ONE manifest fetch with
   zero parquet footers opened, keeps stat-less files conservatively,
   and applies the residual filter plus deletion vectors.
+- CHECK CONSTRAINTS (write-side governance): predicates declared at
+  create ride every manifest; appends and streaming ingest validate
+  each batch BEFORE any row lands — strict mode refuses the commit
+  loudly, quarantine mode diverts violators to ``_quarantine/`` and
+  admits the rest; NULL predicate results count as violations.
 - ROLLBACK is a new commit pointing at an old version's file list —
   history is append-only, the bad version stays auditable.
 - VACUUM deletes data files unreachable from the retained manifests
@@ -123,6 +128,9 @@ def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
     sc = parent_manifest.get("stat_cols")
     if sc and "stat_cols" not in manifest:
         manifest = {**manifest, "stat_cols": sc}
+    cons = parent_manifest.get("constraints")
+    if cons and "constraints" not in manifest:
+        manifest = {**manifest, "constraints": cons}
     return manifest
 
 
@@ -283,6 +291,7 @@ def lake_create(
     df: DataFrame,
     key: str,
     stat_cols: list[str] | None = None,
+    constraints: list[str] | None = None,
 ) -> int:
     """Create version 1 from ``df``. ``key`` is the table's logical
     primary key; its per-file min/max drives upsert file skipping.
@@ -293,6 +302,9 @@ def lake_create(
     manifest = {"version": 1, "parent": 0, "op": "create", "key": key}
     if stat_cols:
         manifest["stat_cols"] = list(stat_cols)
+    if constraints:
+        manifest["constraints"] = list(constraints)
+        df = _enforce_constraints(spark, root, df, list(constraints), "strict")[0]
     manifest["files"] = _commit_data(spark, root, 1, df, key, stat_cols)
     _write_manifest(spark, root, manifest)
     return 1
@@ -360,12 +372,53 @@ def _find_schema_source(spark, root, v):
     return None
 
 
-def lake_append(spark: SparkSession, root: str, df: DataFrame) -> int:
+def _enforce_constraints(
+    spark: SparkSession, root: str, df: DataFrame, constraints: list[str], mode: str
+):
+    """Write-side CHECK constraints (the Delta table-constraint idea):
+    every incoming row must satisfy EVERY stored predicate. ``strict``
+    refuses the whole commit loudly on the first violation count
+    (one aggregate over the batch — no row ever lands); ``quarantine``
+    diverts violating rows to ``_quarantine/`` parquet and admits the
+    rest (the etl_expectations_quarantine discipline applied at the
+    storage boundary, so EVERY writer — batch, streaming, clone —
+    goes through one gate). Rows where a predicate is NULL count as
+    violations: an unevaluable constraint must never admit a row.
+    Returns (valid_df, n_rejected)."""
+    ok = None
+    for c in constraints:
+        cond = F.coalesce(F.expr(c), F.lit(False))
+        ok = cond if ok is None else (ok & cond)
+    bad = df.where(~ok)
+    if mode == "strict":
+        n_bad = bad.count()
+        if n_bad:
+            raise ValueError(
+                f"constraint violation: {n_bad} incoming row(s) fail "
+                f"{constraints!r} — commit refused (strict mode)"
+            )
+        return df, 0
+    q_dir = f"{root}/_quarantine/q{uuid.uuid4().hex[:8]}"
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("errorifexists").parquet(
+        q_dir
+    )
+    return df.where(ok), int(obs.get["n"])
+
+
+def lake_append(
+    spark: SparkSession, root: str, df: DataFrame, on_violation: str = "strict"
+) -> int:
     """Blind append: O(new data) write + metadata commit. No existing
-    file is read or rewritten."""
+    file is read or rewritten. Stored CHECK constraints validate the
+    batch first (strict refuse / quarantine divert)."""
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent)
     v = parent + 1
+    if m.get("constraints"):
+        df, _ = _enforce_constraints(spark, root, df, m["constraints"], on_violation)
     new_files = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
     _write_manifest(
         spark,
@@ -872,6 +925,10 @@ def lake_stream_append(
     elif last is not None and batch_id <= last:
         return None
     v = parent + 1
+    if m.get("constraints"):
+        # streaming ingest quarantines rather than raising: one poison
+        # batch must not kill the query; the diverted rows are auditable
+        df, _ = _enforce_constraints(spark, root, df, m["constraints"], "quarantine")
     new_files = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
     txns = {**m.get("txns", {}), app: batch_id}
     manifest = {"version": v, "parent": parent, "op": "append", "key": m["key"],

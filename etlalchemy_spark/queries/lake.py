@@ -650,3 +650,55 @@ def lake_shallow_clone_read(spark, sf_dir):
     )
     lake_append(spark, dst, appended)
     return lake_read(spark, dst)
+
+
+_CONSTRAINT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 7 = 0 AND o_totalprice <= 250000.0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 7 = 3 AND o_totalprice <= 250000.0
+"""
+
+
+@register("lake_constrained_append", oracle=_CONSTRAINT_SQL, tags=("lake", "etl"))
+def lake_constrained_append(spark, sf_dir):
+    """Write-side CHECK constraints (Delta table constraints): the
+    table declares its invariants at creation and EVERY writer goes
+    through one gate — an append in quarantine mode admits only rows
+    satisfying all predicates and diverts violators to an auditable
+    ``_quarantine/`` sidecar (strict mode refuses the whole commit
+    loudly before any row lands, test-pinned). Governance at the
+    STORAGE boundary beats per-pipeline checks at 100 TB because
+    there is exactly one enforcement point for batch, streaming, and
+    clone writers alike; validation is one aggregate (strict) or one
+    filtered write (quarantine) over the batch, never the table. The
+    oracle reconstructs base + admitted rows relationally."""
+    from etlalchemy_spark.operators.lake import lake_create as _create
+
+    root = scratch_dir("lake_cons", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_totalprice") <= 250000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(4)
+    )
+    # create validates too (strict): a table is born satisfying its
+    # own invariants or not at all
+    _create(
+        spark, root, base, "o_orderkey", constraints=["o_totalprice <= 250000.0"]
+    )
+    mixed = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(4)
+    )
+    lake_append(spark, root, mixed, on_violation="quarantine")
+    return lake_read(spark, root)

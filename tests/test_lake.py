@@ -603,3 +603,40 @@ def test_shallow_clone_zero_copy_and_independence(spark, root):
     dst2 = root + "/dst2"
     lake_shallow_clone(spark, src, dst2, version=1)
     assert _rows(lake_read(spark, dst2)) == [(1, "a"), (2, "b")]
+
+
+def test_check_constraints_strict_and_quarantine(spark, root):
+    from etlalchemy_spark.operators.lake import lake_stream_append
+
+    lake_create(
+        spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k",
+        constraints=["k > 0", "v IS NOT NULL"],
+    )
+    # strict refuses the whole commit before any row lands
+    with pytest.raises(ValueError, match="constraint violation"):
+        lake_append(spark, root, _mk(spark, [(3, "c"), (-4, "bad")]))
+    assert latest_version(spark, root) == 1
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b")]
+    # quarantine admits the valid rows and diverts the rest
+    lake_append(
+        spark, root, _mk(spark, [(3, "c"), (-4, "bad")]), on_violation="quarantine"
+    )
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    q = spark.read.parquet(root + "/_quarantine/*")
+    assert sorted((r.k, r.v) for r in q.collect()) == [(-4, "bad")]
+    # NULL predicate result counts as a violation (never admit unevaluable)
+    lake_append(
+        spark, root, spark.createDataFrame([(None, "n")], "k long, v string"),
+        on_violation="quarantine",
+    )
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    # streaming ingest goes through the same gate (quarantine, never dies)
+    lake_stream_append(spark, root, _mk(spark, [(5, "e"), (-6, "bad")]), 0, "k")
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (3, "c"), (5, "e")]
+
+
+def test_create_refuses_constraint_violating_seed(spark, root):
+    with pytest.raises(ValueError, match="constraint violation"):
+        lake_create(
+            spark, root, _mk(spark, [(1, "a"), (-2, "b")]), "k", constraints=["k > 0"]
+        )
