@@ -971,6 +971,27 @@ def lake_shallow_clone(
     return 1
 
 
+def lake_deep_clone(
+    spark: SparkSession, src_root: str, dst_root: str, version: int | None = None
+) -> int:
+    """Promote to a DEEP clone: materialize the source snapshot's LIVE
+    rows (vectors applied) into the clone's own data files — after
+    this, vacuuming the source can never strand the clone (the shallow
+    clone's documented hazard). Costs one full read+write of the
+    snapshot, which is exactly the price of independence; constraints
+    and stat columns carry so the clone keeps enforcing and pruning."""
+    v = latest_version(spark, src_root) if version is None else version
+    m = _read_manifest(spark, src_root, v)
+    return lake_create(
+        spark,
+        dst_root,
+        lake_read(spark, src_root, v),
+        m["key"],
+        stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+    )
+
+
 def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Roll the table back by COMMITTING FORWARD: the new version's
     file list is the target version's, and the bad intermediate

@@ -2392,3 +2392,54 @@ def ts_peak_detection(spark, sf_dir):
         F.col("prev_total").cast("decimal(38,4)").cast("double").alias("prev_total"),
         F.col("next_total").cast("decimal(38,4)").cast("double").alias("next_total"),
     )
+
+
+# --- IQR / Tukey-fence outliers (r9) ---------------------------------------------
+
+_IQR_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       q.q1, q.q3,
+       (e.value < q.q1 - 1.5 * (q.q3 - q.q1)) AS low_outlier
+FROM events e JOIN q USING (event_type)
+WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+@register("events_anomaly_iqr", oracle=_IQR_SQL, tags=("events", "agg", "stats"))
+def events_anomaly_iqr(spark, sf_dir):
+    """Tukey-fence (IQR) outliers per event type — the ROBUST
+    complement to ts_zscore_anomaly: quartiles don't move when the
+    outliers themselves grow, so the fences stay put under heavy
+    contamination where mean/std fences chase the anomaly. Exact
+    interpolated quartiles (F.percentile ≡ quantile_cont on identical
+    doubles), fence arithmetic one shared double chain, flagging a
+    broadcast join of the per-type quartile table back onto the scan
+    — outlier SET is engine-identical. Two aggregates + one broadcast
+    join; the events table shuffles once."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .where((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "q1",
+            "q3",
+            (F.col("value") < lo).alias("low_outlier"),
+        )
+    )

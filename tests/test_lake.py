@@ -640,3 +640,19 @@ def test_create_refuses_constraint_violating_seed(spark, root):
         lake_create(
             spark, root, _mk(spark, [(1, "a"), (-2, "b")]), "k", constraints=["k > 0"]
         )
+
+
+def test_deep_clone_survives_source_vacuum(spark, root):
+    from etlalchemy_spark.operators.lake import lake_deep_clone, lake_shallow_clone
+
+    src, shallow, deep = root + "/src", root + "/shallow", root + "/deep"
+    lake_create(spark, src, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_delete_dv(spark, src, "k = 2")
+    lake_shallow_clone(spark, src, shallow)
+    lake_deep_clone(spark, src, deep)
+    assert _rows(lake_read(spark, deep)) == [(1, "a")]
+    # rewrite the source so its old files become unreachable, then vacuum
+    lake_upsert(spark, src, _mk(spark, [(1, "A"), (2, "B")]))
+    lake_vacuum(spark, src, retain_last=1)
+    # the deep clone owns its bytes and still reads
+    assert _rows(lake_read(spark, deep)) == [(1, "a")]
