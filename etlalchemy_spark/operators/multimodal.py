@@ -1541,3 +1541,56 @@ def image_sobel_energy(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+def audio_rms_gain(df: DataFrame, id_col: str, target_rms: float) -> DataFrame:
+    """Loudness-normalization audit — the gain pass every speech/audio
+    training pipeline runs before feature extraction: per clip, RMS
+    from the exact integer energy sum, the LINEAR gain that would hit
+    ``target_rms``, the clip-safe ceiling 32767/peak, and the applied
+    gain = min of the two (dB is just 20·log10 of this ratio — kept
+    linear so the whole chain stays libm-free and cross-engine exact:
+    integer sums → one sqrt + divisions). Arrow-batched partition-local
+    like every decoder here; only summary rows leave the executors."""
+    import math
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, n_samples bigint, sum_sq bigint, peak bigint, "
+        "rms double, target_gain double, clip_safe_gain double, applied_gain double"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n", "ss", "pk", "rms", "tg", "cg", "ag")}
+            for b in pdf["payload"]:
+                _, samples = decode_wav_samples(bytes(b))
+                s = np.asarray(samples, dtype=np.int64)
+                n = int(s.size)
+                ss = int((s * s).sum())
+                pk = int(np.abs(s).max()) if n else 0
+                rms = math.sqrt(ss / n) if n else 0.0
+                tg = target_rms / rms if rms > 0 else None
+                cg = 32767.0 / pk if pk > 0 else None
+                ag = min(tg, cg) if tg is not None and cg is not None else None
+                rows["n"].append(n); rows["ss"].append(ss); rows["pk"].append(pk)
+                rows["rms"].append(rms); rows["tg"].append(tg)
+                rows["cg"].append(cg); rows["ag"].append(ag)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_samples": rows["n"],
+                    "sum_sq": rows["ss"],
+                    "peak": rows["pk"],
+                    "rms": rows["rms"],
+                    "target_gain": rows["tg"],
+                    "clip_safe_gain": rows["cg"],
+                    "applied_gain": rows["ag"],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)

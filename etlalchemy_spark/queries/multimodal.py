@@ -1547,3 +1547,70 @@ def mm_image_sobel_energy(spark, sf_dir):
 
     imgs = params.mapInPandas(synth, "doc_id long, payload binary")
     return image_sobel_energy(imgs, "doc_id")
+
+
+# --- RMS loudness-normalization audit (r9) ---------------------------------------
+
+_RMS_TARGET = 8000.0
+
+_RMS_SQL = f"""
+WITH params AS (
+  SELECT doc_id, 50 + doc_id % 97 AS n_samples FROM documents
+),
+s AS (
+  SELECT doc_id, n_samples,
+         list_transform(generate_series(0, n_samples - 1),
+                        i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS sig
+  FROM params
+),
+m AS (
+  SELECT doc_id,
+         CAST(n_samples AS BIGINT) AS n_samples,
+         CAST(list_aggregate(list_transform(sig, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
+         CAST(list_aggregate(list_transform(sig, x -> abs(x)), 'max') AS BIGINT) AS peak
+  FROM s
+)
+SELECT doc_id, n_samples, sum_sq, peak,
+       SQRT(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+       {_RMS_TARGET!r} / SQRT(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS target_gain,
+       32767.0 / CAST(peak AS DOUBLE) AS clip_safe_gain,
+       LEAST({_RMS_TARGET!r} / SQRT(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)),
+             32767.0 / CAST(peak AS DOUBLE)) AS applied_gain
+FROM m
+"""
+
+
+@register("mm_audio_rms_gain", oracle=_RMS_SQL, tags=("multimodal", "udf"))
+def mm_audio_rms_gain(spark, sf_dir):
+    """Loudness normalization over the SAME synthetic PCM corpus as
+    mm_decode_wav_stats (real encode → real decode per clip): per-clip
+    RMS from the exact integer energy sum, the linear gain to a fixed
+    target RMS, the clip-safe ceiling 32767/peak, and the applied gain
+    = min of the two — the pass speech pipelines run before feature
+    extraction so quiet and loud sources train at one level. The chain
+    is libm-free (integer sums → sqrt + divisions, both IEEE-exact),
+    so every double hash-matches the formula-side recompute."""
+    from etlalchemy_spark.operators.multimodal import (
+        audio_rms_gain,
+        encode_wav_pcm16,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id", (50 + F.col("doc_id") % 97).cast("int").alias("n_samples")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_samples"]):
+                doc_id, n = int(doc_id), int(n)
+                i = np.arange(n, dtype=np.int64)
+                s = (doc_id * 31 + i * 17) % 65536 - 32768
+                payloads.append(encode_wav_pcm16([int(x) for x in s], 16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    clips = params.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_rms_gain(clips, "doc_id", _RMS_TARGET)
