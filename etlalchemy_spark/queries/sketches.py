@@ -800,3 +800,77 @@ def sketch_hll_rolling_mau(spark, sf_dir):
     # DuckDB DATE to Timestamp, which the value compare treats as
     # different — strings sidestep the container mismatch
     return est.join(exact, "day").withColumn("day", F.col("day").cast("string"))
+
+
+# --- k-minhash corpus Jaccard (r9) -----------------------------------------------
+
+_MHJ_K = 32
+
+def _mhj_min(i: int) -> str:
+    u = f"md5_number_upper('mj{i}:' || CAST(k AS VARCHAR))"
+    return "MIN(" + _BF_PREFIX60.replace("{u}", u) + f") AS m{i}"
+
+
+_MHJ_SIG = ",\n         ".join(_mhj_min(i) for i in range(_MHJ_K))
+
+_MHJ_SQL = f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+b AS (SELECT DISTINCT p_partkey AS k FROM part),
+sa AS (SELECT {_MHJ_SIG} FROM a),
+sb AS (SELECT {_MHJ_SIG} FROM b),
+mt AS (
+  SELECT {" + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_MHJ_K))} AS matches
+  FROM sa, sb
+),
+ex AS (
+  SELECT CAST((SELECT COUNT(*) FROM a JOIN b USING (k)) AS BIGINT) AS n_inter,
+         CAST((SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS BIGINT) AS n_union
+)
+SELECT CAST(matches AS BIGINT) AS n_matching_mins,
+       CAST(matches AS DOUBLE) / {_MHJ_K}.0 AS jaccard_est,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact
+FROM mt, ex
+"""
+
+
+@register("sketch_minhash_jaccard_corpora", oracle=_MHJ_SQL, tags=("sketch", "dedup"))
+def sketch_minhash_jaccard_corpora(spark, sf_dir):
+    """Corpus-level k-MinHash Jaccard — the constant-size overlap
+    sketch for WHOLE SETS (contrast dedup's per-document signatures):
+    each side reduces to k=32 salted minimum hashes in ONE aggregate
+    (mergeable across shards by MIN — ship 64 ints, never the keys),
+    the estimate is matching-mins/k, and the exact Jaccard rides along
+    as the error audit. The 'how much does this source overlap that
+    one' readout data-sourcing teams check before paying for a corpus;
+    at 100 TB each side's sketch costs one scan and k·8 bytes of
+    state (k=32 here: ±1/sqrt(k) ≈ 18% standard error, plenty for a
+    sourcing decision). Portable 60-bit md5 mins, so even the signatures
+    hash-match."""
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    def sig(df, col):
+        aggs = [
+            F.min(
+                md5_prefix60(F.concat(F.lit(f"mj{i}:"), F.col(col).cast("string")))
+            ).alias(f"m{i}")
+            for i in range(_MHJ_K)
+        ]
+        return df.select(col).distinct().agg(*aggs)
+
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    p = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    sa, sb = sig(o, "k"), sig(p, "k")
+    matches = sum(
+        F.when(sa[f"m{i}"] == sb[f"m{i}"], 1).otherwise(0) for i in range(_MHJ_K)
+    )
+    inter = o.distinct().join(p.distinct(), "k").count()
+    union = o.union(p).distinct().count()
+    return (
+        sa.crossJoin(sb)
+        .select(matches.alias("_m"))
+        .select(
+            F.col("_m").cast("bigint").alias("n_matching_mins"),
+            (F.col("_m").cast("double") / float(_MHJ_K)).alias("jaccard_est"),
+            F.lit(float(inter) / float(union)).alias("jaccard_exact"),
+        )
+    )
