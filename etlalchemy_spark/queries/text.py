@@ -2170,3 +2170,96 @@ def text_chat_template_pack(spark, sf_dir):
         prefix_len.cast("bigint").alias("assistant_start"),
         (prefix_len + F.length("response")).cast("bigint").alias("assistant_end"),
     )
+
+
+# --- Windowed co-occurrence lift (r9) --------------------------------------------
+
+_COOC_WIN = 3
+_COOC_MIN = 50
+
+_COOC_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(words))) AS i, words
+  FROM w
+),
+tok AS (SELECT doc_id, i, words[CAST(i AS INT)] AS wrd FROM pos),
+n AS (SELECT COUNT(*) AS total FROM tok),
+uni AS (SELECT wrd, COUNT(*) AS c FROM tok GROUP BY wrd),
+pairs AS (
+  SELECT a.wrd AS w1, b.wrd AS w2, COUNT(*) AS c12
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.i > a.i AND b.i <= a.i + {_COOC_WIN}
+   AND a.wrd < b.wrd
+  GROUP BY a.wrd, b.wrd
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS n_cooc,
+       CAST(u1.c AS BIGINT) AS n_w1, CAST(u2.c AS BIGINT) AS n_w2,
+       (CAST(c12 AS DOUBLE) * CAST(total AS DOUBLE))
+         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+FROM pairs
+JOIN uni u1 ON u1.wrd = w1
+JOIN uni u2 ON u2.wrd = w2
+CROSS JOIN n
+WHERE c12 >= {_COOC_MIN}
+ORDER BY lift DESC, w1, w2
+LIMIT 25
+"""
+
+
+@register("text_cooccurrence_lift", oracle=_COOC_SQL, tags=("text", "topk"))
+def text_cooccurrence_lift(spark, sf_dir):
+    """Windowed co-occurrence lift — phrase/collocation mining done
+    without libm: for word pairs within a ±{win} token window, lift =
+    N·c(w1,w2)/(c(w1)·c(w2)) (PMI's exponential — same ranking, exact
+    rational on integer counts instead of a log). Distinct from
+    text_top_bigrams (adjacent only) and agg_market_basket_lift
+    (basket-level): the window catches 'strong' collocations spanning
+    a word or two. Shape: tokens explode ONCE with positions, the
+    window pair join is a self-equi-join on doc_id banded by position
+    (≤ {win} pairs emitted per token — linear, never all-pairs), two
+    hash aggregates, a broadcast margin join, top-25 TakeOrdered with
+    deterministic tie-break.""".replace("{win}", str(_COOC_WIN))
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select(
+        "doc_id", F.posexplode(words).alias("i0", "wrd")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "wrd")
+    total = tok.count()
+    uni = tok.groupBy("wrd").agg(F.count(F.lit(1)).alias("c"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") > F.col("a.i"))
+            & (F.col("b.i") <= F.col("a.i") + _COOC_WIN)
+            & (F.col("a.wrd") < F.col("b.wrd")),
+        )
+        .groupBy(F.col("a.wrd").alias("w1"), F.col("b.wrd").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= _COOC_MIN)
+    )
+    u1 = uni.select(F.col("wrd").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("wrd").alias("w2"), F.col("c").alias("n_w2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_cooc"),
+            F.col("n_w1").cast("bigint").alias("n_w1"),
+            F.col("n_w2").cast("bigint").alias("n_w2"),
+            (
+                F.col("c12").cast("double") * F.lit(float(total))
+                / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(25)
+    )
