@@ -1891,3 +1891,89 @@ def etl_k_anonymity_generalize(spark, sf_dir):
         gen_bal.alias("gen_balance"),
         F.lit(level).cast("bigint").alias("level"),
     )
+
+
+# --- Entity resolution pipeline (r9) ----------------------------------------------
+
+_ER_SQL = """
+WITH recs AS (
+  SELECT c_custkey * 2 AS rec_id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey * 2 + 1 AS rec_id,
+         substring(c_name, 1, length(c_name) - 1) AS name
+  FROM customer WHERE c_custkey % 3 = 0
+),
+blocked AS (
+  SELECT rec_id, name, substring(name, 1, 16) AS blk FROM recs
+),
+pairs AS (
+  SELECT a.rec_id AS src, b.rec_id AS dst
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.rec_id < b.rec_id
+   AND length(a.name) <> length(b.name)
+   AND levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+cc AS (
+  WITH RECURSIVE walk(node, reach) AS (
+    SELECT src AS node, src AS reach FROM edges
+    UNION
+    SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+  )
+  SELECT node, MIN(reach) AS canonical FROM walk GROUP BY node
+)
+SELECT r.rec_id, r.name,
+       COALESCE(cc.canonical, r.rec_id) AS canonical_id
+FROM recs r LEFT JOIN cc ON cc.node = r.rec_id
+"""
+
+
+@register("etl_entity_resolution", oracle=_ER_SQL, tags=("etl", "dedup", "iterative"))
+def etl_entity_resolution(spark, sf_dir):
+    """End-to-end ENTITY RESOLUTION — the master-data pipeline every
+    CRM/customer-360 migration runs, composed from shipped parts:
+    dirty records (every third customer gains a truncated-name
+    variant), BLOCKING on a 16-char name prefix (candidate pairs are
+    generated inside blocks only — linear in block volume, never
+    all-pairs: the same discipline as MinHash bands and SemDeDup
+    cells), pair scoring with levenshtein ≤ 1 restricted to
+    length-mismatched records (the variant signature), then
+    connected components (operators/graph.py min-label propagation)
+    assign each record the minimum reachable rec_id as its canonical
+    entity. The oracle replays blocking + scoring relationally and
+    closes the clusters with a recursive CTE. Unmatched records
+    canonicalize to themselves. At 100 TB: block key is the shuffle
+    key; skewed blocks split under AQE exactly like the salted-join
+    row."""
+    from etlalchemy_spark.operators.graph import connected_components
+
+    c = t(spark, sf_dir, "customer")
+    orig = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"), F.col("c_name").alias("name")
+    )
+    variant = c.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("name"),
+    )
+    recs = orig.unionByName(variant)
+    blocked = recs.withColumn("blk", F.substring("name", 1, 16))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.rec_id") < F.col("b.rec_id"))
+        & (F.length(F.col("a.name")) != F.length(F.col("b.name")))
+        & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1),
+    ).select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
+    cc = connected_components(pairs)
+    return recs.join(
+        cc.select(F.col("node").alias("rec_id"), F.col("component")),
+        "rec_id",
+        "left",
+    ).select(
+        "rec_id",
+        "name",
+        F.coalesce(F.col("component"), F.col("rec_id")).alias("canonical_id"),
+    )
