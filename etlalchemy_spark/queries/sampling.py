@@ -767,3 +767,84 @@ def sample_neyman_allocation(spark, sf_dir):
         .where(F.col("_rn") <= F.element_at(quota, F.col("o_orderpriority")))
         .drop("_rn")
     )
+
+
+# --- Inverse-propensity weighted estimate (r9) -------------------------------------
+
+_IPW_SQL = f"""
+WITH rated AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 4 ELSE 20 END AS inv_rate
+  FROM orders
+),
+samp AS (
+  SELECT * FROM rated
+  WHERE {_bucket_sql("o_orderkey", "ipw:")} * inv_rate < 1000000
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(CAST(cents AS HUGEINT) * inv_rate) AS BIGINT) AS wsum,
+         CAST(SUM(inv_rate) AS BIGINT) AS wn
+  FROM samp
+),
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS s_all
+  FROM rated
+)
+SELECT n_sampled, n_all,
+       (CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE)) / 100.0 AS ipw_mean,
+       (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) / 100.0 AS true_mean,
+       (CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE))
+         / (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) - 1.0 AS rel_bias
+FROM est, truth
+"""
+
+
+@register("sample_ipw_estimate", oracle=_IPW_SQL, tags=("sampling", "stats"))
+def sample_ipw_estimate(spark, sf_dir):
+    """Inverse-propensity-weighted estimation — the correction that
+    makes a DELIBERATELY biased sample (urgent orders kept at 25%,
+    the rest at 5% — the shape every cost-tiered telemetry pipeline
+    produces) estimate the population mean without bias: each sampled
+    row weighs 1/p(sampled), here the exact integer inv_rate, so the
+    Horvitz-Thompson ratio wsum/wn is exact-integer until one double
+    division. The riding true mean and relative-bias column are the
+    audit: IPW lands within sampling noise of truth while the naive
+    sample mean would skew toward urgent orders. Membership is the
+    portable content hash (deterministic, retry-stable); one narrow
+    filter + two aggregates."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    inv_rate = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(4)
+    ).otherwise(F.lit(20))
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    rated = o.select(
+        "o_orderkey", cents.alias("cents"), inv_rate.alias("inv_rate")
+    )
+    samp = rated.where(
+        hash_bucket(F.col("o_orderkey"), "ipw:") * F.col("inv_rate") < 1000000
+    )
+    est = samp.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("inv_rate"))
+        .cast("bigint")
+        .alias("wsum"),
+        F.sum("inv_rate").cast("bigint").alias("wn"),
+    )
+    truth = rated.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("cents").cast("decimal(19,0)")).cast("bigint").alias("s_all"),
+    )
+    ipw = F.col("wsum").cast("double") / F.col("wn").cast("double")
+    tm = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("n_sampled").cast("bigint").alias("n_sampled"),
+        F.col("n_all").cast("bigint").alias("n_all"),
+        (ipw / 100.0).alias("ipw_mean"),
+        (tm / 100.0).alias("true_mean"),
+        (ipw / tm - 1.0).alias("rel_bias"),
+    )
