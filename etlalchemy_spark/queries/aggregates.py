@@ -2031,3 +2031,101 @@ def agg_abc_pareto(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# --- Delta-method ratio-metric SE (r9) ---------------------------------------------
+
+
+def _ratio_delta_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    return f"""
+WITH pu AS (
+  SELECT o_custkey,
+         CASE WHEN {_bucket_sql("o_custkey", "ab:")} < 500000
+              THEN 'control' ELSE 'treatment' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS y,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_units,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pu GROUP BY arm
+)
+SELECT arm,
+       CAST(n_units AS BIGINT) AS n_units,
+       ((sx / n) / (sy / n)) / 100.0 AS revenue_per_order,
+       SQRT(
+         (((sx / n) / (sy / n)) * ((sx / n) / (sy / n)))
+         * ( ((sxx / n) - (sx / n) * (sx / n)) / ((sx / n) * (sx / n))
+           + ((syy / n) - (sy / n) * (sy / n)) / ((sy / n) * (sy / n))
+           - 2.0 * ((sxy / n) - (sx / n) * (sy / n)) / ((sx / n) * (sy / n)) )
+         / n
+       ) / 100.0 AS se_delta
+FROM m
+"""
+
+
+@register("agg_ratio_delta_method", oracle=_ratio_delta_sql(), tags=("agg", "stats", "sampling"))
+def agg_ratio_delta_method(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (revenue per
+    order by arm) — the experimentation stat the t-test can't give
+    you: both numerator and denominator are random per unit
+    (customer), so Var(X̄/Ȳ) needs the first-order expansion
+    (x/y)²·(vx/x² + vy/y² − 2cov/xy)/n. Naively treating orders as
+    units understates the SE whenever customers differ in order count
+    — the classic A/B pitfall this operator exists to prevent. All
+    moments are exact integer sums (HUGEINT ≡ decimal(38,0),
+    VARCHAR-routed to double), the closing chain is one shared
+    double formula, so even the SE hash-matches. One per-unit
+    shuffle + one per-arm aggregate."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    pu = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("y"), F.sum(cents).alias("x"))
+        .withColumn(
+            "arm",
+            F.when(hash_bucket(F.col("o_custkey"), "ab:") < 500000, "control")
+            .otherwise("treatment"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    mx, my = sx / n, sy / n
+    r = mx / my
+    se = F.sqrt(
+        (r * r)
+        * (
+            ((sxx / n) - mx * mx) / (mx * mx)
+            + ((syy / n) - my * my) / (my * my)
+            - 2.0 * ((sxy / n) - mx * my) / (mx * my)
+        )
+        / n
+    )
+    return m.select(
+        "arm",
+        F.col("n_units").cast("bigint").alias("n_units"),
+        (r / 100.0).alias("revenue_per_order"),
+        (se / 100.0).alias("se_delta"),
+    )
