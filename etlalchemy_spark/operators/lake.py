@@ -1068,6 +1068,58 @@ def lake_compact(
     return v
 
 
+def lake_fsck(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Integrity audit (fsck) of a snapshot: re-count every manifest
+    file's ACTUAL parquet rows against the recorded stats, and split
+    the deletion vectors into live rows (referencing current files)
+    vs inert rows (referencing files that later rewrites dropped —
+    harmless by design, but a monotonically growing inert share is
+    the signal to run lake_compact_dvs). One distributed count per
+    audit (the scan is the cost — this is the weekly maintenance
+    report, not a hot-path op); emits a single summary row so the
+    audit itself is cheap to store per table per day."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    manifest_rows = sum(f["rows"] for f in m["files"])
+    actual = {}
+    if m["files"]:
+        actual = {
+            r["path"]: r["n"]
+            for r in spark.read.parquet(*[f["path"] for f in m["files"]])
+            .groupBy(F.col("_metadata.file_path").alias("path"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per data file
+        }
+    mismatched = sum(
+        1 for f in m["files"] if actual.get(f["path"], 0) != f["rows"]
+    )
+    dv_live = dv_inert = 0
+    dv = _dv_frame(spark, m)
+    if dv is not None:
+        paths = {f["path"] for f in m["files"]}
+        by_file = dv.groupBy("_dv_fp").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in by_file:  # bounded: one row per DV'd file
+            if r["_dv_fp"] in paths:
+                dv_live += r["n"]
+            else:
+                dv_inert += r["n"]
+    return spark.createDataFrame(
+        [
+            (
+                v,
+                len(m["files"]),
+                manifest_rows,
+                sum(actual.values()),
+                mismatched,
+                dv_live,
+                dv_inert,
+            )
+        ],
+        "version long, n_files long, manifest_rows long, actual_rows long, "
+        "n_mismatched_files long, dv_live_rows long, dv_inert_rows long",
+    )
+
+
 def lake_history(spark: SparkSession, root: str) -> list[dict]:
     """Commit log: (version, parent, op, n_files, n_rows) per version,
     newest last — metadata only."""

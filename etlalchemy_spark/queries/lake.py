@@ -702,3 +702,57 @@ def lake_constrained_append(spark, sf_dir):
     )
     lake_append(spark, root, mixed, on_violation="quarantine")
     return lake_read(spark, root)
+
+
+_FSCK_SQL = """
+WITH base AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+),
+app AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 6
+),
+dv AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 6
+  ) WHERE o_custkey % 4 = 0
+)
+SELECT CAST(3 AS BIGINT) AS version,
+       CAST(3 AS BIGINT) AS n_files,
+       CAST((SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM app) AS BIGINT)
+         AS manifest_rows,
+       CAST((SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM app) AS BIGINT)
+         AS actual_rows,
+       CAST(0 AS BIGINT) AS n_mismatched_files,
+       CAST((SELECT n FROM dv) AS BIGINT) AS dv_live_rows,
+       CAST(0 AS BIGINT) AS dv_inert_rows
+"""
+
+
+@register("lake_fsck_audit", oracle=_FSCK_SQL, tags=("lake", "etl"))
+def lake_fsck_audit(spark, sf_dir):
+    """Snapshot integrity audit: after create (2 files) + append
+    (1 file) + a DV delete, fsck re-counts every file's actual rows
+    against the manifest stats (zero mismatches on a healthy table —
+    the zero IS the assertion) and splits vector rows into live vs
+    inert (inert growth is the run-lake_compact_dvs signal). The
+    oracle reconstructs every expected number relationally, so the
+    audit itself is under the same exactness contract as the data
+    ops it audits; a deliberately corrupted stat is caught in
+    tests/test_lake.py."""
+    from etlalchemy_spark.operators.lake import lake_delete_dv, lake_fsck
+
+    root = scratch_dir("lake_fsck", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    base = _base(spark, sf_dir).repartition(2)
+    lake_create(spark, root, base, "o_orderkey")
+    appended = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 6)
+        .select(*_BASE_COLS)
+        .coalesce(1)
+    )
+    lake_append(spark, root, appended)
+    lake_delete_dv(spark, root, "o_custkey % 4 = 0")
+    return lake_fsck(spark, root)

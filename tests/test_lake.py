@@ -656,3 +656,38 @@ def test_deep_clone_survives_source_vacuum(spark, root):
     lake_vacuum(spark, src, retain_last=1)
     # the deep clone owns its bytes and still reads
     assert _rows(lake_read(spark, deep)) == [(1, "a")]
+
+
+def test_fsck_catches_corrupted_stats_and_counts_inert_dvs(spark, root):
+    from etlalchemy_spark.operators.lake import lake_compact_dvs, lake_fsck
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), "k")
+    lake_delete_dv(spark, root, "k = 2")
+    row = lake_fsck(spark, root).collect()[0]
+    assert row.n_mismatched_files == 0 and row.dv_live_rows == 1 and row.dv_inert_rows == 0
+    # a COW rewrite of a DIFFERENT file carries the vector -> still live
+    lake_upsert(spark, root, _mk(spark, [(3, "C")]))
+    row = lake_fsck(spark, root).collect()[0]
+    assert row.dv_live_rows == 1 and row.dv_inert_rows == 0
+    # rewriting the DV'd key's own file strands the vector -> inert
+    lake_upsert(spark, root, _mk(spark, [(2, "B2")]))
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "B2"), (3, "C")]
+    row = lake_fsck(spark, root).collect()[0]
+    assert row.dv_live_rows == 0 and row.dv_inert_rows == 1
+    lake_compact_dvs(spark, root)
+    row = lake_fsck(spark, root).collect()[0]
+    assert row.dv_live_rows == 0 and row.dv_inert_rows == 0
+    # corrupt a recorded row count: fsck must flag exactly that file
+    import json as _json
+
+    v = latest_version(spark, root)
+    m = _read_manifest(spark, root, v)
+    m["files"][0]["rows"] += 1
+    m["version"] = v + 1
+    m["parent"] = v
+    from etlalchemy_spark.operators.lake import _write_manifest
+
+    _write_manifest(spark, root, m)
+    row = lake_fsck(spark, root).collect()[0]
+    assert row.n_mismatched_files == 1
+    assert row.manifest_rows == row.actual_rows + 1
