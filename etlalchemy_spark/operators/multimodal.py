@@ -1594,3 +1594,39 @@ def audio_rms_gain(df: DataFrame, id_col: str, target_rms: float) -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+def image_color_histogram(df: DataFrame, id_col: str, bins: int = 8) -> DataFrame:
+    """Per-channel color histogram (``bins`` equal-width buckets over
+    0..255, bucket = value * bins // 256 — pure integer) from the real
+    raster decode: the color-distribution feature image curation uses
+    for near-monochrome filtering, palette clustering, and cheap
+    pre-dedup blocking. Output is long-form (id, channel, bucket,
+    n_pixels) so histograms merge across shards by SUM — the same
+    mergeable-register discipline as the sketch family. Arrow-batched
+    partition-local; rows out = 3·bins per image."""
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, channel string, bucket int, n_pixels bigint"
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, chans, buckets, counts = [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                _, px = decode_raster(bytes(b))
+                for ci, cname in enumerate(("r", "g", "b")):
+                    v = px[:, :, ci].astype(np.int64) * bins // 256
+                    cnt = np.bincount(v.reshape(-1), minlength=bins)
+                    for bk in range(bins):
+                        ids.append(rid)
+                        chans.append(cname)
+                        buckets.append(bk)
+                        counts.append(int(cnt[bk]))
+            yield pd.DataFrame(
+                {id_col: ids, "channel": chans, "bucket": buckets, "n_pixels": counts}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)

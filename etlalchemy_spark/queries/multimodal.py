@@ -1614,3 +1614,81 @@ def mm_audio_rms_gain(spark, sf_dir):
 
     clips = params.mapInPandas(synth, "doc_id long, payload binary")
     return audio_rms_gain(clips, "doc_id", _RMS_TARGET)
+
+
+# --- Color histogram (r9) ----------------------------------------------------------
+
+_CHIST_SQL = """
+WITH params AS (
+  SELECT doc_id, 3 + doc_id % 7 AS w, 3 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id,
+         UNNEST(generate_series(0, w * h - 1)) AS i, w, h
+  FROM params
+),
+vals AS (
+  SELECT doc_id, 'r' AS channel,
+         ((doc_id + 3 * (i % w) + 5 * (i // w)) % 256) * 8 // 256 AS bucket
+  FROM px
+  UNION ALL
+  SELECT doc_id, 'g', ((doc_id * 2 + (i % w)) % 256) * 8 // 256 FROM px
+  UNION ALL
+  SELECT doc_id, 'b', (((i % w) * (i // w) + doc_id) % 256) * 8 // 256 FROM px
+),
+grid AS (
+  SELECT p.doc_id, c.channel, b.bucket
+  FROM params p,
+       (SELECT UNNEST(['r','g','b']) AS channel) c,
+       (SELECT UNNEST(generate_series(0, 7)) AS bucket) b
+)
+SELECT g.doc_id, g.channel, CAST(g.bucket AS INT) AS bucket,
+       CAST(COALESCE(v.n, 0) AS BIGINT) AS n_pixels
+FROM grid g
+LEFT JOIN (
+  SELECT doc_id, channel, bucket, COUNT(*) AS n FROM vals GROUP BY 1, 2, 3
+) v ON v.doc_id = g.doc_id AND v.channel = g.channel AND v.bucket = g.bucket
+"""
+
+
+@register("mm_image_color_histogram", oracle=_CHIST_SQL, tags=("multimodal", "udf"))
+def mm_image_color_histogram(spark, sf_dir):
+    """Per-channel 8-bucket color histograms over the same synthesized
+    BMP corpus as the resize/Sobel rows — the color-distribution
+    feature curation uses for near-monochrome filtering and cheap
+    pre-dedup blocking: bucket = value·8 DIV 256 (pure integer), output
+    long-form so shard histograms merge by SUM (the sketch-family
+    register discipline). Empty buckets emit explicitly (the grid is
+    part of the contract — a missing-zero bug upstream would silently
+    shift every downstream distance metric). DuckDB recomputes the
+    buckets from the pixel formulas including the zero grid."""
+    from etlalchemy_spark.operators.multimodal import (
+        encode_bmp_24,
+        image_color_histogram,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("width"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("height"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                r = (doc_id + 3 * x + 5 * y) % 256
+                g = (doc_id * 2 + x) % 256
+                b = (x * y + doc_id) % 256
+                px = np.stack([r, g, b], axis=1).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(encode_bmp_24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_color_histogram(imgs, "doc_id", bins=8)
