@@ -756,3 +756,103 @@ def lake_fsck_audit(spark, sf_dir):
     lake_append(spark, root, appended)
     lake_delete_dv(spark, root, "o_custkey % 4 = 0")
     return lake_fsck(spark, root)
+
+
+_DRIFT_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_custkey % 5 = 0)
+),
+s1 AS (
+  SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_custkey) AS n_nulls,
+         COUNT(DISTINCT o_custkey) AS n_distinct FROM v1
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus) FROM v1
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+         COUNT(DISTINCT o_totalprice) FROM v1
+),
+s2 AS (
+  SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_custkey) AS n_nulls,
+         COUNT(DISTINCT o_custkey) AS n_distinct FROM v2
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus) FROM v2
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+         COUNT(DISTINCT o_totalprice) FROM v2
+)
+SELECT s1.col,
+       CAST(s1.n_rows AS BIGINT) AS rows_from, CAST(s2.n_rows AS BIGINT) AS rows_to,
+       CAST(s1.n_nulls AS BIGINT) AS nulls_from, CAST(s2.n_nulls AS BIGINT) AS nulls_to,
+       CAST(s1.n_distinct AS BIGINT) AS distinct_from,
+       CAST(s2.n_distinct AS BIGINT) AS distinct_to
+FROM s1 JOIN s2 USING (col)
+"""
+
+
+@register("lake_profile_drift", oracle=_DRIFT_SQL, tags=("lake", "etl"))
+def lake_profile_drift(spark, sf_dir):
+    """Column-profile drift between two LAKE VERSIONS — time travel
+    turned into a data-quality monitor: v2 upserts a status-nulling
+    change and DV-deletes a customer stripe, then one report compares
+    per-column row/null/distinct counts across the versions (the
+    null-rate jump in o_orderstatus is exactly what a silent upstream
+    mapping bug looks like; catching it is why warehouses snapshot
+    profiles). Each side is one multi-column aggregate over a
+    snapshot read; counts are exact integers, so the report
+    hash-matches the relational reconstruction of both states."""
+    root = scratch_dir("lake_drift", sf_dir) + "/tbl"
+    lake_drop(spark, root)
+    lake_create(spark, root, _base(spark, sf_dir), "o_orderkey")
+    from etlalchemy_spark.operators.lake import lake_delete_dv
+
+    changes = (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    lake_upsert(spark, root, changes)
+    lake_delete_dv(spark, root, "o_custkey % 5 = 0")
+
+    def profile(df, tag):
+        legs = []
+        for c in ("o_custkey", "o_orderstatus", "o_totalprice"):
+            legs.append(
+                df.agg(
+                    F.lit(c).alias("col"),
+                    F.count(F.lit(1)).alias(f"rows_{tag}"),
+                    (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{tag}"),
+                    F.count_distinct(c).alias(f"distinct_{tag}"),
+                )
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+    p1 = profile(lake_read(spark, root, 1), "from")
+    p2 = profile(lake_read(spark, root), "to")
+    return p1.join(p2, "col").select(
+        "col",
+        F.col("rows_from").cast("bigint").alias("rows_from"),
+        F.col("rows_to").cast("bigint").alias("rows_to"),
+        F.col("nulls_from").cast("bigint").alias("nulls_from"),
+        F.col("nulls_to").cast("bigint").alias("nulls_to"),
+        F.col("distinct_from").cast("bigint").alias("distinct_from"),
+        F.col("distinct_to").cast("bigint").alias("distinct_to"),
+    )
