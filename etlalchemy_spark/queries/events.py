@@ -2443,3 +2443,61 @@ def events_anomaly_iqr(spark, sf_dir):
             (F.col("value") < lo).alias("low_outlier"),
         )
     )
+
+
+# --- Maximum drawdown (r9) -----------------------------------------------------
+
+_DRAWDOWN_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS v
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT day, v,
+         SUM(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+),
+p AS (
+  SELECT day, v, cum,
+         MAX(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(cum AS DOUBLE) / 1000000.0 AS cum_value,
+       CAST(peak AS DOUBLE) / 1000000.0 AS peak_value,
+       CAST(peak - cum AS DOUBLE) / 1000000.0 AS drawdown,
+       (peak - cum) = (SELECT MAX(peak - cum) FROM p) AS is_max_drawdown
+FROM p
+"""
+
+
+@register("ts_max_drawdown", oracle=_DRAWDOWN_SQL, tags=("events", "timeseries", "window"))
+def ts_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily value series — the
+    risk metric ops/finance dashboards track (how far below the
+    high-water mark did we sink, and when): daily sums in exact
+    integer micro-units, running cumulative + running peak, drawdown
+    = peak − cum, the max flagged per day. The event scan reduces to
+    ONE DAILY ROW PER DAY before any window runs — the windows walk
+    aggregate-sized state (≤ a few thousand rows at a 10-year
+    horizon), which is the documented exception to the
+    no-unpartitioned-window rule (same pattern as the histogram
+    quantile walk). Integer comparisons make the flagged day
+    engine-identical."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    sv = (F.col("value").cast("decimal(12,6)") * 1000000).cast("long")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.sum(sv).alias("v"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select("day", "v", F.sum("v").over(w).alias("cum"))
+    p = c.select("day", "v", "cum", F.max("cum").over(w).alias("peak"))
+    mx = p.agg(F.max(F.col("peak") - F.col("cum")).alias("mdd"))
+    return p.crossJoin(F.broadcast(mx)).select(
+        F.col("day").cast("string").alias("day"),
+        (F.col("cum").cast("double") / 1000000.0).alias("cum_value"),
+        (F.col("peak").cast("double") / 1000000.0).alias("peak_value"),
+        ((F.col("peak") - F.col("cum")).cast("double") / 1000000.0).alias("drawdown"),
+        ((F.col("peak") - F.col("cum")) == F.col("mdd")).alias("is_max_drawdown"),
+    )
