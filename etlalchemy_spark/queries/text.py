@@ -2263,3 +2263,81 @@ def text_cooccurrence_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(25)
     )
+
+
+# --- McNemar paired classifier test (r9) -------------------------------------------
+
+_MCNEMAR_SQL = f"""
+WITH p AS ({_LANG_SQL}),
+maj AS (
+  SELECT labeled_lang AS m FROM p
+  GROUP BY labeled_lang ORDER BY COUNT(*) DESC, labeled_lang LIMIT 1
+),
+paired AS (
+  SELECT (predicted_lang = labeled_lang) AS a_right,
+         (labeled_lang = maj.m) AS b_right
+  FROM p, maj
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END) AS BIGINT) AS b_discordant,
+       CAST(SUM(CASE WHEN b_right AND NOT a_right THEN 1 ELSE 0 END) AS BIGINT) AS c_discordant,
+       CAST(SUM(CASE WHEN a_right THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc_a,
+       CAST(SUM(CASE WHEN b_right THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc_b,
+       CAST(
+         (SUM(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN b_right AND NOT a_right THEN 1 ELSE 0 END))
+         * (SUM(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN b_right AND NOT a_right THEN 1 ELSE 0 END)) AS DOUBLE)
+       / CAST(NULLIF(SUM(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN b_right AND NOT a_right THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         AS mcnemar_chi2
+FROM paired
+"""
+
+
+@register("text_langid_mcnemar", oracle=_MCNEMAR_SQL, tags=("text", "stats"))
+def text_langid_mcnemar(spark, sf_dir):
+    """McNemar's paired test — the CORRECT way to compare two
+    classifiers evaluated on the SAME documents (two independent
+    accuracy CIs ignore the pairing and waste power): classifier A is
+    the shipped marker-word lang_id, B the majority-class baseline
+    (deterministic tie-break), and the statistic (b−c)²/(b+c) uses
+    only the DISCORDANT pairs — documents where exactly one method is
+    right. All counts exact integers, one double division; the model-
+    comparison gate a curation team runs before swapping a quality
+    classifier. One scan + one aggregate, the majority label a
+    broadcast one-rower."""
+    from etlalchemy_spark.operators.text import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    maj = (
+        p.groupBy("labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "labeled_lang")
+        .limit(1)
+        .select(F.col("labeled_lang").alias("m"))
+    )
+    paired = p.crossJoin(F.broadcast(maj)).select(
+        (F.col("predicted_lang") == F.col("labeled_lang")).alias("a_right"),
+        (F.col("labeled_lang") == F.col("m")).alias("b_right"),
+    )
+    a, b = F.col("a_right"), F.col("b_right")
+    bd = F.sum((a & ~b).cast("long"))
+    cd = F.sum((b & ~a).cast("long"))
+    n = F.count(F.lit(1))
+    return paired.agg(
+        n.cast("bigint").alias("n_docs"),
+        bd.cast("bigint").alias("b_discordant"),
+        cd.cast("bigint").alias("c_discordant"),
+        (F.sum(a.cast("long")).cast("double") / n.cast("double")).alias("acc_a"),
+        (F.sum(b.cast("long")).cast("double") / n.cast("double")).alias("acc_b"),
+        (
+            ((bd - cd) * (bd - cd)).cast("double")
+            / F.nullif(bd + cd, F.lit(0)).cast("double")
+        ).alias("mcnemar_chi2"),
+    )
