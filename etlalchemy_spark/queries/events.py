@@ -2501,3 +2501,87 @@ def ts_max_drawdown(spark, sf_dir):
         ((F.col("peak") - F.col("cum")).cast("double") / 1000000.0).alias("drawdown"),
         ((F.col("peak") - F.col("cum")) == F.col("mdd")).alias("is_max_drawdown"),
     )
+
+
+# --- Max session concurrency (sweep line) (r9) --------------------------------------
+
+_CONCUR_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, session_id
+), sweep AS (
+  SELECT s AS t, 1 AS delta, user_id, session_id FROM sess
+  UNION ALL
+  SELECT e AS t, -1 AS delta, user_id, session_id FROM sess
+), run AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta, user_id, session_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM sweep
+)
+SELECT CAST(MAX(c) AS BIGINT) AS max_concurrency,
+       MIN(CASE WHEN c = (SELECT MAX(c) FROM run) THEN t END) AS at_ts
+FROM run
+"""
+
+
+@register("ts_max_concurrency", oracle=_CONCUR_SQL, tags=("events", "timeseries", "scale"))
+def ts_max_concurrency(spark, sf_dir):
+    """Peak concurrent sessions via the sweep line — the capacity
+    number load planning actually needs (how many sessions were open
+    AT ONCE, not per hour): sessions from the shipped 30-min
+    sessionization collapse to ±1 boundary events (half-open
+    intervals: the −1 sorts before the +1 at equal timestamps, so a
+    back-to-back session handoff never double-counts), and the GLOBAL
+    running sum rides the range-bucketed prefix path — no
+    single-partition window over the sweep at any scale. Max and its
+    first timestamp compare exact integers. Two shuffles total:
+    user_id for sessionization, the bucketed prefix pass for the
+    sweep."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+    from etlalchemy_spark.queries._util import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    sweep = sess.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        sess.select(
+            F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id"
+        )
+    )
+    run = running_global_sum(
+        sweep.withColumn("_tus", F.unix_micros("t")),
+        F.col("_tus"),
+        ["delta", "user_id", "session_id"],
+        F.col("delta").cast("decimal(10,0)"),
+        alias="_c",
+        n_buckets=16,
+    ).withColumn("c", F.col("_c").cast("bigint"))
+    mx = run.agg(F.max("c").alias("mc"))
+    return (
+        run.crossJoin(F.broadcast(mx))
+        .where(F.col("c") == F.col("mc"))
+        .agg(
+            F.max("mc").cast("bigint").alias("max_concurrency"),
+            F.min("t").alias("at_ts"),
+        )
+    )
