@@ -848,3 +848,61 @@ def sample_ipw_estimate(spark, sf_dir):
         (tm / 100.0).alias("true_mean"),
         (ipw / tm - 1.0).alias("rel_bias"),
     )
+
+
+# --- Kish design effect (r9) ---------------------------------------------------
+
+_DEFF_SQL = f"""
+WITH rated AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 4 ELSE 20 END AS w
+  FROM orders
+),
+samp AS (
+  SELECT * FROM rated
+  WHERE {_bucket_sql("o_orderkey", "ipw:")} * w < 1000000
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(w * w) AS BIGINT) AS sum_w2,
+       (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(w * w) AS DOUBLE))
+         / (CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)) AS design_effect,
+       (CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE))
+         / CAST(SUM(w * w) AS DOUBLE) AS n_effective
+FROM samp
+"""
+
+
+@register("sample_design_effect", oracle=_DEFF_SQL, tags=("sampling", "stats"))
+def sample_design_effect(spark, sf_dir):
+    """Kish design effect of the tiered IPW sample — the audit that
+    says what unequal weights COST: deff = n·Σw²/(Σw)² ≥ 1 inflates
+    every variance by that factor, and n_eff = (Σw)²/Σw² is the
+    equal-weight sample the weighted one is actually worth (budget
+    planning reads THIS, not the raw row count). Same deterministic
+    tiered membership as sample_ipw_estimate; exact integer weight
+    sums close in two double divisions. One filter + one aggregate."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    w = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(4)
+    ).otherwise(F.lit(20))
+    samp = o.select("o_orderkey", w.alias("w")).where(
+        hash_bucket(F.col("o_orderkey"), "ipw:") * F.col("w") < 1000000
+    )
+    n = F.count(F.lit(1))
+    sw = F.sum("w")
+    sw2 = F.sum(F.col("w") * F.col("w"))
+    return samp.agg(
+        n.cast("bigint").alias("n_sampled"),
+        sw.cast("bigint").alias("sum_w"),
+        sw2.cast("bigint").alias("sum_w2"),
+        (
+            (n.cast("double") * sw2.cast("double"))
+            / (sw.cast("double") * sw.cast("double"))
+        ).alias("design_effect"),
+        (
+            (sw.cast("double") * sw.cast("double")) / sw2.cast("double")
+        ).alias("n_effective"),
+    )
