@@ -2479,20 +2479,39 @@ def ts_max_drawdown(spark, sf_dir):
     high-water mark did we sink, and when): daily sums in exact
     integer micro-units, running cumulative + running peak, drawdown
     = peak − cum, the max flagged per day. The event scan reduces to
-    ONE DAILY ROW PER DAY before any window runs — the windows walk
-    aggregate-sized state (≤ a few thousand rows at a 10-year
-    horizon), which is the documented exception to the
-    no-unpartitioned-window rule (same pattern as the histogram
-    quantile walk). Integer comparisons make the flagged day
-    engine-identical."""
-    from pyspark.sql import Window as W
+    one row per day first, and BOTH running aggregates ride the
+    range-bucketed prefix path — no unpartitioned window even over
+    the day-sized series (the plan tripwire enforces it), so the
+    identical plan serves a minute-grained series at any horizon.
+    Integer comparisons make the flagged day engine-identical."""
+    from etlalchemy_spark.operators.prefix import (
+        running_global_max,
+        running_global_sum,
+    )
 
     ev = t(spark, sf_dir, "events")
     sv = (F.col("value").cast("decimal(12,6)") * 1000000).cast("long")
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.sum(sv).alias("v"))
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = d.select("day", "v", F.sum("v").over(w).alias("cum"))
-    p = c.select("day", "v", "cum", F.max("cum").over(w).alias("peak"))
+    # both running aggregates ride the range-bucketed prefix path — the
+    # repo's no-unpartitioned-window rule holds even for the day-sized
+    # series (tests/test_plans.py tripwire), and the same plan serves a
+    # minute-grained series at any horizon
+    c = running_global_sum(
+        d.withColumn("_kd", F.unix_date(F.col("day"))),
+        F.col("_kd"),
+        ["day"],
+        F.col("v").cast("decimal(19,0)"),
+        alias="_cum",
+        n_buckets=8,
+    ).select("day", "v", F.col("_cum").cast("long").alias("cum"))
+    p = running_global_max(
+        c.withColumn("_kd", F.unix_date(F.col("day"))),
+        F.col("_kd"),
+        ["day"],
+        F.col("cum"),
+        alias="peak",
+        n_buckets=8,
+    ).select("day", "v", "cum", "peak")
     mx = p.agg(F.max(F.col("peak") - F.col("cum")).alias("mdd"))
     return p.crossJoin(F.broadcast(mx)).select(
         F.col("day").cast("string").alias("day"),
