@@ -120,7 +120,11 @@ def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
     would silently resurrect the deleted rows). A manifest that sets
     ``dvs`` itself (DV deletes, DV compaction, rollback) wins."""
     txns = parent_manifest.get("txns")
-    if txns:
+    if txns and "txns" not in manifest:
+        # same guard as dvs/stat_cols/constraints: a manifest that sets
+        # its own txns (DV-keyed streaming deletes merging a new batch
+        # watermark) must win, or the watermark would never advance past
+        # the first delete batch and replays would re-execute (ADVICE r9)
         manifest = {**manifest, "txns": txns}
     dvs = parent_manifest.get("dvs")
     if dvs and "dvs" not in manifest:
@@ -398,14 +402,16 @@ def _enforce_constraints(
                 f"{constraints!r} — commit refused (strict mode)"
             )
         return df, 0
+    # count first and skip the write entirely on a clean batch — the
+    # common case for a healthy stream; otherwise every micro-batch
+    # leaves an empty _quarantine/ dir that nothing sweeps (ADVICE r9).
+    # The count is one batch-sized aggregate, never table-sized.
+    n_bad = bad.count()
+    if n_bad == 0:
+        return df, 0
     q_dir = f"{root}/_quarantine/q{uuid.uuid4().hex[:8]}"
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("errorifexists").parquet(
-        q_dir
-    )
-    return df.where(ok), int(obs.get["n"])
+    bad.write.mode("errorifexists").parquet(q_dir)
+    return df.where(ok), n_bad
 
 
 def lake_append(
@@ -933,9 +939,11 @@ def lake_stream_append(
     txns = {**m.get("txns", {}), app: batch_id}
     manifest = {"version": v, "parent": parent, "op": "append", "key": m["key"],
                 "files": m["files"] + new_files, "tag": tag, "txns": txns}
-    if m.get("dvs"):  # appends never drop the table's deletion vectors
-        manifest["dvs"] = m["dvs"]
-    _write_manifest(spark, root, manifest)
+    # route through _with_txns so dvs/stat_cols/constraints all carry —
+    # a streaming micro-batch must not silently drop the table's CHECK
+    # constraints or per-file stats (ADVICE r9 high); the manifest's own
+    # txns (merged watermark) wins under the not-in-manifest guard
+    _write_manifest(spark, root, _with_txns(m, manifest))
     return v
 
 
@@ -967,6 +975,10 @@ def lake_shallow_clone(
         manifest["dvs"] = m["dvs"]
     if m.get("stat_cols"):
         manifest["stat_cols"] = m["stat_cols"]
+    if m.get("constraints"):
+        # clones keep enforcing the source's CHECK invariants, matching
+        # lake_deep_clone (ADVICE r9: the two paths were inconsistent)
+        manifest["constraints"] = m["constraints"]
     _write_manifest(spark, dst_root, manifest)
     return 1
 

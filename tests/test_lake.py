@@ -691,3 +691,81 @@ def test_fsck_catches_corrupted_stats_and_counts_inert_dvs(spark, root):
     row = lake_fsck(spark, root).collect()[0]
     assert row.n_mismatched_files == 1
     assert row.manifest_rows == row.actual_rows + 1
+
+
+def test_dv_delete_keys_watermark_advances_with_parent_txns(spark, root):
+    """ADVICE r9 high: _with_txns used to overwrite a delete-keys
+    manifest's own merged txns with the parent's whenever the parent
+    had any — so the scrub watermark never advanced past its first
+    batch and a replayed delete re-executed, wrongly deleting keys
+    re-inserted in between."""
+    from etlalchemy_spark.operators.lake import lake_delete_dv_keys, lake_stream_append
+
+    # parent manifest HAS txns (the bug trigger): table born via stream
+    lake_stream_append(spark, root, _mk(spark, [(1, "a"), (2, "b")]), 0, "k")
+    keys = _mk(spark, [(2, "_")]).select("k")
+    v = lake_delete_dv_keys(spark, root, keys, app="scrub", batch_id=0)
+    assert v == 2
+    m = _read_manifest(spark, root, v)
+    assert m["txns"] == {"stream-append": 0, "scrub": 0}
+    # key 2 is re-inserted AFTER the delete committed...
+    lake_append(spark, root, _mk(spark, [(2, "b2")]))
+    # ...then the delete batch replays (at-least-once): must be a no-op
+    assert lake_delete_dv_keys(spark, root, keys, app="scrub", batch_id=0) is None
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b2")]
+    # and a genuinely new batch still commits and advances the watermark
+    v2 = lake_delete_dv_keys(spark, root, keys, app="scrub", batch_id=1)
+    assert v2 is not None
+    assert _read_manifest(spark, root, v2)["txns"]["scrub"] == 1
+    assert _rows(lake_read(spark, root)) == [(1, "a")]
+
+
+def test_stream_append_carries_constraints_and_stat_cols(spark, root):
+    """ADVICE r9 high: a streaming micro-batch used to drop the
+    table's CHECK constraints and stat_cols from its manifest, so the
+    NEXT writer stopped enforcing and range reads stopped pruning."""
+    from etlalchemy_spark.operators.lake import lake_stream_append
+
+    lake_create(
+        spark, root, _mk(spark, [(1, "a")]), "k",
+        stat_cols=["v"], constraints=["k > 0"],
+    )
+    v = lake_stream_append(spark, root, _mk(spark, [(2, "b")]), 0, "k")
+    m = _read_manifest(spark, root, v)
+    assert m["constraints"] == ["k > 0"] and m["stat_cols"] == ["v"]
+    # the post-stream table still enforces on the batch path
+    with pytest.raises(ValueError, match="constraint violation"):
+        lake_append(spark, root, _mk(spark, [(-3, "bad")]))
+    # and new stream files still carry v-stats for pruning
+    new_files = [f for f in m["files"] if f not in
+                 _read_manifest(spark, root, 1)["files"]]
+    assert new_files and all("v" in f.get("stats", {}) for f in new_files)
+
+
+def test_shallow_clone_carries_constraints(spark, root):
+    """ADVICE r9 medium: shallow clones used to drop constraints,
+    letting writers bypass the source's CHECK invariants (deep clone
+    carried them — the two paths were inconsistent)."""
+    from etlalchemy_spark.operators.lake import lake_shallow_clone
+
+    src, dst = root + "/src", root + "/clone"
+    lake_create(spark, src, _mk(spark, [(1, "a")]), "k", constraints=["k > 0"])
+    lake_shallow_clone(spark, src, dst)
+    assert _read_manifest(spark, dst, 1)["constraints"] == ["k > 0"]
+    with pytest.raises(ValueError, match="constraint violation"):
+        lake_append(spark, dst, _mk(spark, [(-1, "bad")]))
+
+
+def test_quarantine_skips_write_on_clean_batch(spark, root):
+    """ADVICE r9 low: quarantine mode used to write one empty
+    _quarantine/ parquet dir per clean micro-batch with no sweeper."""
+    from etlalchemy_spark.operators.lake import lake_stream_append
+
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k", constraints=["k > 0"])
+    for b in range(3):  # three clean micro-batches
+        lake_stream_append(spark, root, _mk(spark, [(10 + b, "x")]), b, "k")
+    assert not os.path.exists(os.path.join(root, "_quarantine"))
+    # a dirty batch still quarantines its violating rows
+    lake_stream_append(spark, root, _mk(spark, [(5, "e"), (-6, "bad")]), 3, "k")
+    q = spark.read.parquet(root + "/_quarantine/*")
+    assert [(r.k, r.v) for r in q.collect()] == [(-6, "bad")]
