@@ -145,7 +145,7 @@ def graph_triangle_count(spark, sf_dir):
     references) are lineage-cut once each — Catalyst re-executes the
     scan+self-join+distinct build per reference otherwise (the
     graph_bfs_hops r8 fix, applied here in r9)."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _degrees(edges)
     rk = F.col("degree") * F.lit(1073741824)
     du = deg.select(F.col("node").alias("u"), (rk + F.col("node")).alias("rk_u"))
@@ -156,7 +156,7 @@ def graph_triangle_count(spark, sf_dir):
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower, F.col("rk_v")).otherwise(F.col("rk_u")).alias("rk_b"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e1 = d.alias("e1")
     e2 = d.alias("e2")
     e3 = d.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
@@ -524,7 +524,7 @@ def graph_clustering_coefficient(spark, sf_dir):
     # Runs on the even-part half of the co-purchase graph: coefficient
     # semantics and plan shape are identical, wedge volume ~8x smaller
     # (graph_triangle_count keeps full volume on the same edge build).
-    edges = _edges(spark, sf_dir, even_parts_only=True).localCheckpoint()
+    edges = _edges(spark, sf_dir, even_parts_only=True).localCheckpoint(eager=False)
     deg = _degrees(edges)
     rk = F.col("degree") * F.lit(1073741824)
     du = deg.select(F.col("node").alias("u"), (rk + F.col("node")).alias("rk_u"))
@@ -539,7 +539,7 @@ def graph_clustering_coefficient(spark, sf_dir):
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower, F.col("rk_v")).otherwise(F.col("rk_u")).alias("rk_b"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e1, e2 = d.alias("e1"), d.alias("e2")
     e3 = d.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
     tri = (
