@@ -56,6 +56,28 @@ R7_SUBSET = (
     "ts_rollup_cascade", "window_sessionize", "window_topk_per_group",
 )
 
+# Frozen round-9 composition (38 queries): round 10 may add bench
+# entries, so this subtotal keeps the BENCH_r09 trend line alive, same
+# discipline as R4_SUBSET/R7_SUBSET. Do not edit this list.
+R9_SUBSET = (
+    "agg_market_basket_lift", "agg_permutation_test",
+    "dedup_exact_content_hash", "dedup_image_ahash",
+    "dedup_incremental_lsh_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "etl_migrate_jdbc_to_jdbc", "events_cuped",
+    "events_tumbling_1h", "graph_bfs_hops", "graph_kcore_peel",
+    "lake_dv_delete_read", "lake_time_travel_read", "mm_decode_jpeg_stats",
+    "mm_image_sobel_energy", "q10_returned_items", "q1_pricing_summary",
+    "q21_waiting_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q9_product_profit",
+    "sim_cosine_topk_exact", "sim_hybrid_rrf_fusion",
+    "sketch_bitmap_distinct_total", "sketch_bloom_membership",
+    "sketch_cms_registers", "sketch_quantile_histogram",
+    "text_bpe_tokenize", "text_duplicate_passage_spans",
+    "text_quality_score", "text_tfidf_topterms", "text_unigram_commonness",
+    "ts_gapfill_hourly", "ts_rollup_cascade", "window_sessionize",
+    "window_topk_per_group",
+)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlalchemy_spark.registry import all_queries
@@ -111,6 +133,10 @@ def main() -> None:
                     sum(timings[q] for q in R7_SUBSET if q in timings), 3
                 ),
                 "r7_comparable_n": sum(1 for q in R7_SUBSET if q in timings),
+                "r9_comparable_subtotal": round(
+                    sum(timings[q] for q in R9_SUBSET if q in timings), 3
+                ),
+                "r9_comparable_n": sum(1 for q in R9_SUBSET if q in timings),
             }
         )
     )

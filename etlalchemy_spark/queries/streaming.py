@@ -276,7 +276,20 @@ def stream_pyds_replay_tumbling(spark, sf_dir):
     4000-row batch made the sf0.1 gate pay 25 trigger startups for
     the same pinned answer (r8 verdict watch item: gate-time budget);
     batch-size invariance is what the twin + cross-size tests prove,
-    so slicing by fraction-of-corpus is semantics-neutral."""
+    so slicing by fraction-of-corpus is semantics-neutral. The replay
+    result is a pure function of the testdata, so it parquet-caches
+    under a content tag (VERDICT r9 #2 gate-time budget)."""
+    from etlalchemy_spark.queries._util import cached_result
+    from etlalchemy_spark.sources import pydatasource as _pyds_mod
+
+    return cached_result(
+        spark, "pyds_replay_tumbling", sf_dir,
+        deps=(_pyds_replay_build, _pyds_mod),
+        build=lambda: _pyds_replay_build(spark, sf_dir),
+    )
+
+
+def _pyds_replay_build(spark, sf_dir):
     import os as _os
 
     import pyarrow.parquet as _pq
@@ -335,7 +348,21 @@ def stream_cdc_merge_sink(spark, sf_dir):
     batch-boundary-invariant by construction. Tombstones are soft
     (flag column) so a late pre-delete change can never resurrect a
     deleted key. 100 TB shape: per batch, one small keyed reduce +
-    one touched-partition merge; the target is never fully rewritten."""
+    one touched-partition merge; the target is never fully rewritten.
+    The replay is a pure function of the testdata, so the final
+    snapshot parquet-caches under a content tag (VERDICT r9 #2)."""
+    from etlalchemy_spark.operators import merge as _merge_mod
+    from etlalchemy_spark.queries._util import cached_result
+    from etlalchemy_spark.sources import pydatasource as _pyds_mod
+
+    return cached_result(
+        spark, "cdc_sink", sf_dir,
+        deps=(_cdc_merge_build, _merge_mod, _pyds_mod),
+        build=lambda: _cdc_merge_build(spark, sf_dir),
+    )
+
+
+def _cdc_merge_build(spark, sf_dir):
     import os
     import shutil
 
@@ -416,7 +443,20 @@ def stream_incremental_dedup(spark, sf_dir):
     replay invariance the batch op property-tests, now exercised
     through real trigger/checkpoint machinery. Twin
     dedup_minhash_lsh_exact carries the oracle; set equality pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py. The whole replay is a pure function of the
+    testdata, so the accumulated match set parquet-caches under a
+    content tag (VERDICT r9 #2 gate-time budget)."""
+    from etlalchemy_spark.queries._util import cached_result
+    from etlalchemy_spark.streaming import documents as _docs_mod
+
+    return cached_result(
+        spark, "inc_dedup_stream", sf_dir,
+        deps=(_incremental_dedup_stream_build, _docs_mod),
+        build=lambda: _incremental_dedup_stream_build(spark, sf_dir),
+    )
+
+
+def _incremental_dedup_stream_build(spark, sf_dir):
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -455,20 +495,43 @@ def stream_incremental_ann_index(spark, sf_dir):
     batch duplicates candidate rows the left-semi probe ignores (the
     dedup band store, by contrast, needs its disjointness guard).
     Twin sim_incremental_index_topk carries the oracle over the same
-    final state; stream ≡ batch pinned in tests/test_streaming.py."""
+    final state; stream ≡ batch pinned in tests/test_streaming.py.
+    The stream-maintained store is the production artifact — index
+    once, probe many — so the staged store caches under a content tag
+    (VERDICT r9 #2); the probe always runs live."""
+    import os as _os
+
+    from etlalchemy_spark.operators import similarity as _sim_mod
+    from etlalchemy_spark.operators.similarity import probe_bucket_index
+    from etlalchemy_spark.queries._util import (
+        cached_fixture,
+        commit_fixture,
+        fixture_tag,
+        t,
+    )
+    from etlalchemy_spark.queries.similarity import _query_vec
+
+    emb = t(spark, sf_dir, "embeddings")
+    tag = fixture_tag(sf_dir, deps=(_ann_index_stream_build, _sim_mod), extra="ann_stream")
+    sd, meta = cached_fixture("ann_index_stream", sf_dir, tag)
+    if meta is None:
+        _ann_index_stream_build(spark, sf_dir, sd)
+        commit_fixture(sd, tag)
+    return probe_bucket_index(
+        spark, _os.path.join(sd, "store"), emb, "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=10,
+    )
+
+
+def _ann_index_stream_build(spark, sf_dir, sd):
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
-    from etlalchemy_spark.operators.similarity import (
-        append_bucket_index,
-        probe_bucket_index,
-    )
-    from etlalchemy_spark.queries._util import scratch_dir, t
-    from etlalchemy_spark.queries.similarity import _query_vec
+    from etlalchemy_spark.operators.similarity import append_bucket_index
+    from etlalchemy_spark.queries._util import t
 
     emb = t(spark, sf_dir, "embeddings")
-    sd = scratch_dir("ann_index_stream", sf_dir)
     ingest = _os.path.join(sd, "ingest")
     store = _os.path.join(sd, "store")
     ckpt = _os.path.join(sd, "ckpt")
@@ -501,9 +564,6 @@ def stream_incremental_ann_index(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return probe_bucket_index(
-        spark, store, emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
-    )
 
 
 @register("stream_ab_srm_monitor", oracle=None, tags=("streaming", "sampling"))
@@ -562,7 +622,21 @@ def stream_semantic_incremental(spark, sf_dir):
     drop list must equal the one-shot `dedup_semantic_keep_first` no
     matter how files arrive (order-invariant two-direction step) —
     twin `dedup_semantic_incremental` carries the oracle; stream ≡
-    one-shot pinned in tests/test_streaming.py."""
+    one-shot pinned in tests/test_streaming.py. The replay is a pure
+    function of the testdata, so the drop list parquet-caches under a
+    content tag (VERDICT r9 #2 gate-time budget)."""
+    from etlalchemy_spark.operators import similarity as _sim_mod
+    from etlalchemy_spark.queries._util import cached_result
+    from etlalchemy_spark.streaming import documents as _docs_mod
+
+    return cached_result(
+        spark, "sem_inc_stream", sf_dir,
+        deps=(_semantic_stream_build, _sim_mod, _docs_mod),
+        build=lambda: _semantic_stream_build(spark, sf_dir),
+    )
+
+
+def _semantic_stream_build(spark, sf_dir):
     import glob as _glob
     import os as _os
     import shutil as _shutil
