@@ -437,17 +437,95 @@ def mm_decode_png_stats(spark, sf_dir):
     return image_stats(imgs, "doc_id")
 
 
-@register("mm_decode_adpcm_stats", oracle=None, tags=("multimodal", "udf"))
+# IMA ADPCM constant tables as DuckDB list literals (ITU/IMA public
+# spec, the same _IMA_STEP_TABLE / _IMA_INDEX_TABLE the operators use)
+_IMA_ST_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,"
+    "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,"
+    "190,209,230,253,279,307,337,371,408,449,494,544,598,658,"
+    "724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,"
+    "2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,"
+    "6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+_IMA_IDX_SQL = "[-1,-1,-1,-1,2,4,6,8]"
+
+# WITH RECURSIVE twin of encode_wav_ima_adpcm → decode_wav: because the
+# encoder's running (predictor, step-index) state IS the decoder's
+# reconstruction, one recursive pass over (doc, sample-index) replays
+# quantize + _ima_step exactly — block starts (i % 505 = 0, spb=505 at
+# block_align=256) reset the predictor to the raw sample and carry the
+# index, exactly like the 4-byte block header. numpy-vs-DuckDB sin
+# truncation agreement is verified exhaustively over the full (p1, p2,
+# i) parameter space in tests/test_multimodal.py.
+_ADPCM_SQL = f"""
+WITH RECURSIVE
+params AS (
+  SELECT doc_id,
+         CAST(500 + (doc_id % 17) * 100 AS BIGINT) AS n,
+         CAST(20 + doc_id % 13 AS DOUBLE) AS p1,
+         CAST(5 + doc_id % 7 AS DOUBLE) AS p2
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, n, p1, p2, CAST(0 AS BIGINT) AS i,
+         CAST(TRUNC(2500*sin(0.0/p1) + 400*sin(0.0/p2)) AS BIGINT) AS pred,
+         0 AS idx
+  FROM params
+  UNION ALL
+  SELECT doc_id, n, p1, p2, i,
+         CASE WHEN i % 505 = 0 THEN raw
+              ELSE GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN sgn THEN -delta ELSE delta END)) END,
+         CASE WHEN i % 505 = 0 THEN idx
+              ELSE GREATEST(0, LEAST(88, idx + ({_IMA_IDX_SQL})[1 + b4*4 + b2*2 + b1])) END
+  FROM (
+    SELECT *,
+           (step >> 3) + b4 * step + b2 * (step >> 1) + b1 * (step >> 2) AS delta
+    FROM (
+      SELECT *,
+             CASE WHEN a - b4*step - b2*(step >> 1) >= step >> 2 THEN 1 ELSE 0 END AS b1
+      FROM (
+        SELECT *, CASE WHEN a - b4*step >= step >> 1 THEN 1 ELSE 0 END AS b2
+        FROM (
+          SELECT *, CASE WHEN a >= step THEN 1 ELSE 0 END AS b4
+          FROM (
+            SELECT d.doc_id, d.n, d.p1, d.p2, d.i + 1 AS i, d.pred, d.idx,
+                   CAST(TRUNC(2500*sin(CAST(d.i+1 AS DOUBLE)/d.p1)
+                            + 400*sin(CAST(d.i+1 AS DOUBLE)/d.p2)) AS BIGINT) AS raw,
+                   ({_IMA_ST_SQL})[d.idx + 1] AS step
+            FROM dec d
+            WHERE d.i + 1 < d.n
+          ), LATERAL (SELECT raw - pred < 0 AS sgn, ABS(raw - pred) AS a)
+        )
+      )
+    )
+  )
+)
+SELECT d.doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(MAX(d.n) AS BIGINT) AS n_samples,
+       CAST(MAX(d.n) * 125 AS BIGINT) AS duration_us,
+       CAST(SUM(ABS(d.pred)) AS BIGINT) AS sum_abs_amplitude,
+       CAST(MAX(ABS(d.pred)) AS BIGINT) AS peak_amplitude
+FROM dec d
+GROUP BY d.doc_id
+"""
+
+
+@register("mm_decode_adpcm_stats", oracle=_ADPCM_SQL, tags=("multimodal", "udf"))
 def mm_decode_adpcm_stats(spark, sf_dir):
     """REAL lossy-audio decode: per-doc deterministic int16 waveforms
     are IMA-ADPCM-compressed (WAV format 17 — 4:1 vs PCM-16, pure
     integer table arithmetic, stdlib-only since r8) and decoded back
     through the same wav_stats mapInPandas pipeline as the PCM query.
-    Rows-only: the decoder is a per-sample state machine no SQL
-    reproduces; twin mm_decode_wav_stats carries the oracle for the
-    shared container/stats path, and tests/test_multimodal.py pins the
-    codec itself (round-trip error bound, golden block, stereo/mu-law
-    refusals)."""
+    Oracle-exact since r10 (VERDICT r9 #3): the encoder's running
+    (predictor, index) state is the decoder's output, so a DuckDB
+    WITH RECURSIVE over (doc, sample) replays quantize + _ima_step
+    bit-for-bit — no sample array is ever materialized Spark-side.
+    tests/test_multimodal.py still pins the codec itself (round-trip
+    error bound, golden block, refusals)."""
     from etlalchemy_spark.operators.multimodal import encode_wav_ima_adpcm, wav_stats
 
     params = t(spark, sf_dir, "documents").select(
@@ -1430,17 +1508,81 @@ def mm_decode_mulaw_stats(spark, sf_dir):
     return wav_stats(wavs, "doc_id")
 
 
-@register("mm_decode_adpcm_stereo", oracle=None, tags=("multimodal", "udf", "approx"))
+# Stereo twin: n ≤ 256 < spb=257 at block_align=264, so every doc is
+# ONE block and each channel is an independent mono recursion (pure
+# integer waveforms — no sin); one recursion carries both channels'
+# (pred, index) states side by side.
+_ADPCM_STEREO_SQL = f"""
+WITH RECURSIVE
+params AS (
+  SELECT doc_id, CAST(200 + doc_id % 57 AS BIGINT) AS n FROM documents
+),
+dec AS (
+  SELECT doc_id, n, CAST(0 AS BIGINT) AS i,
+         CAST((doc_id * 31) % 8000 - 4000 AS BIGINT) AS lpred, 0 AS lidx,
+         CAST((doc_id * 17) % 6000 - 3000 AS BIGINT) AS rpred, 0 AS ridx
+  FROM params
+  UNION ALL
+  SELECT doc_id, n, i,
+         GREATEST(-32768, LEAST(32767, lpred + CASE WHEN lsgn THEN -ldelta ELSE ldelta END)),
+         GREATEST(0, LEAST(88, lidx + ({_IMA_IDX_SQL})[1 + lb4*4 + lb2*2 + lb1])),
+         GREATEST(-32768, LEAST(32767, rpred + CASE WHEN rsgn THEN -rdelta ELSE rdelta END)),
+         GREATEST(0, LEAST(88, ridx + ({_IMA_IDX_SQL})[1 + rb4*4 + rb2*2 + rb1]))
+  FROM (
+    SELECT *,
+           (lstep >> 3) + lb4*lstep + lb2*(lstep >> 1) + lb1*(lstep >> 2) AS ldelta,
+           (rstep >> 3) + rb4*rstep + rb2*(rstep >> 1) + rb1*(rstep >> 2) AS rdelta
+    FROM (
+      SELECT *,
+             CASE WHEN la - lb4*lstep - lb2*(lstep >> 1) >= lstep >> 2 THEN 1 ELSE 0 END AS lb1,
+             CASE WHEN ra - rb4*rstep - rb2*(rstep >> 1) >= rstep >> 2 THEN 1 ELSE 0 END AS rb1
+      FROM (
+        SELECT *,
+               CASE WHEN la - lb4*lstep >= lstep >> 1 THEN 1 ELSE 0 END AS lb2,
+               CASE WHEN ra - rb4*rstep >= rstep >> 1 THEN 1 ELSE 0 END AS rb2
+        FROM (
+          SELECT *,
+                 CASE WHEN la >= lstep THEN 1 ELSE 0 END AS lb4,
+                 CASE WHEN ra >= rstep THEN 1 ELSE 0 END AS rb4
+          FROM (
+            SELECT d.doc_id, d.n, d.i + 1 AS i, d.lpred, d.lidx, d.rpred, d.ridx,
+                   CAST((d.doc_id * 31 + (d.i+1) * (d.i+1) * 3) % 8000 - 4000 AS BIGINT) AS lraw,
+                   CAST((d.doc_id * 17 + (d.i+1) * 5) % 6000 - 3000 AS BIGINT) AS rraw,
+                   ({_IMA_ST_SQL})[d.lidx + 1] AS lstep,
+                   ({_IMA_ST_SQL})[d.ridx + 1] AS rstep
+            FROM dec d
+            WHERE d.i + 1 < d.n
+          ), LATERAL (SELECT lraw - lpred < 0 AS lsgn, ABS(lraw - lpred) AS la,
+                             rraw - rpred < 0 AS rsgn, ABS(rraw - rpred) AS ra)
+        )
+      )
+    )
+  )
+)
+SELECT d.doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(2 AS INT) AS n_channels,
+       CAST(MAX(d.n) AS BIGINT) AS n_samples,
+       CAST(MAX(d.n) * 125 AS BIGINT) AS duration_us,
+       CAST(SUM(ABS(d.lpred)) + SUM(ABS(d.rpred)) AS BIGINT) AS sum_abs_amplitude,
+       CAST(GREATEST(MAX(ABS(d.lpred)), MAX(ABS(d.rpred))) AS BIGINT) AS peak_amplitude
+FROM dec d
+GROUP BY d.doc_id
+"""
+
+
+@register("mm_decode_adpcm_stereo", oracle=_ADPCM_STEREO_SQL, tags=("multimodal", "udf"))
 def mm_decode_adpcm_stereo(spark, sf_dir):
     """REAL STEREO IMA ADPCM decode (format 17, 2 channels — r9,
     closing the last named audio boundary): per-doc deterministic
     integer waveforms per channel are compressed with the stereo
     encoder (two per-channel predictor/step states, nibble data
     interleaved in 4-byte groups) and decoded back through wav_stats.
-    Iterative predictor state has no SQL form — rows-only with twin
-    mm_decode_wav_stats (the PCM leg of the same pipeline carries the
-    oracle); encoder/decoder closeness and the mono-equivalence
-    property are pinned in tests/test_multimodal.py."""
+    Oracle-exact since r10 (VERDICT r9 #3): every doc fits one block
+    (n ≤ 256 < spb=257), so each channel is an independent recursion
+    and one DuckDB WITH RECURSIVE carries both channel states —
+    encoder/decoder closeness and the mono-equivalence property stay
+    pinned in tests/test_multimodal.py."""
     from etlalchemy_spark.operators.multimodal import (
         encode_wav_ima_adpcm_stereo,
         wav_stats,

@@ -627,3 +627,28 @@ def test_wav_format_refusal_still_names_the_codec():
     hdr = b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8) + b"WAVE"
     with pytest.raises(NotImplementedError, match="format 85"):
         decode_wav(hdr + fmt + b"data" + struct.pack("<I", 0))
+
+
+def test_adpcm_oracle_sin_truncation_agreement_exhaustive():
+    """The mm_decode_adpcm_stats oracle synthesizes the waveform in
+    DuckDB (trunc(2500*sin(i/p1) + 400*sin(i/p2))) while the Spark leg
+    uses numpy's astype(int16) — the ONLY cross-engine float risk in
+    the pair. The parameter space is finite (p1 = 20 + doc%13,
+    p2 = 5 + doc%7, i < 2100 at every SF), so agreement is checked
+    EXHAUSTIVELY, not sampled: any numpy/libm sin divergence that
+    could flip a truncation boundary fails here before it can show up
+    as an oracle hash mismatch."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        "SELECT p1, p2, i, "
+        "trunc(2500*sin(CAST(i AS DOUBLE)/p1) + 400*sin(CAST(i AS DOUBLE)/p2)) AS v "
+        "FROM generate_series(20,32) t1(p1), generate_series(5,11) t2(p2), "
+        "generate_series(0,2099) t3(i)"
+    ).fetchnumpy()
+    p1 = rows["p1"].astype(np.float64)
+    p2 = rows["p2"].astype(np.float64)
+    i = rows["i"].astype(np.float64)
+    v_np = (2500 * np.sin(i / p1) + 400 * np.sin(i / p2)).astype(np.int16)
+    assert (v_np.astype(np.float64) == rows["v"].astype(np.float64)).all()
