@@ -6,17 +6,18 @@ this engine owns).
 
 Supported (baseline sequential DCT, the format's dominant profile):
 
-- markers SOI/APPn/COM/DQT/DHT/SOF0/SOS/EOI; 8-bit quant tables
+- markers SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI; 8-bit quant tables
 - 1-component (grayscale) and 3-component YCbCr scans
-- 4:4:4 (all sampling factors 1x1) and 4:2:0 (luma 2x2, chroma 1x1)
+- 4:4:4 (all 1x1), 4:2:0 (luma 2x2), and 4:2:2 (luma 2x1 — r10)
+- restart intervals (DRI + RST0..7, modulo-sequence-checked, DC
+  predictor resets — r10; present in virtually every camera JPEG)
 - DC prediction, AC run-length with ZRL/EOB, byte stuffing
 - Huffman tables are read FROM THE FILE's DHT segments, so decode is
   self-contained; the encoder writes the Annex-K standard tables
 
 Refused LOUDLY with the exact unsupported field (honest boundaries):
 progressive (SOF2) and every non-baseline SOF, arithmetic coding,
-16-bit quant tables, restart intervals (DRI), other subsampling
-geometries.
+16-bit quant tables, other subsampling geometries.
 
 IDCT/DCT are float64 matrix products; block reconstruction rounds via
 floor(x + 0.5) and clamps — for DC-only blocks (each 8x8 block a
@@ -161,6 +162,16 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Emit RSTn (T.81 §B.2.1.2): pad the entropy stream to a byte
+        boundary with 1-bits (stuffed if the pad byte is 0xFF), then
+        the marker bytes RAW — markers are the one thing byte stuffing
+        must never mangle."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -226,23 +237,35 @@ def encode_jpeg(
     cr: np.ndarray | None = None,
     quality: int = 100,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG from YCbCr planes (grayscale when cb/cr omitted).
     Planes must be uint8 2-D; luma dims must be multiples of 8 (444 /
-    gray) or 16 (420); 420 chroma planes are half-size. The encoder
-    works on planes (not RGB) so a block-constant fixture can pin
-    exact DC-only round-trips at quality 100."""
+    gray), 16 (420), or 16 wide x 8 tall (422); 420 chroma planes are
+    half-size, 422 half-WIDTH. ``restart_interval`` > 0 emits a DRI
+    segment and RST0..7 markers every that-many MCUs with DC-predictor
+    resets (r10 — what virtually every camera JPEG carries for error
+    resilience). The encoder works on planes (not RGB) so a
+    block-constant fixture can pin exact DC-only round-trips at
+    quality 100."""
     h, w = y.shape
     color = cb is not None
     if color and (cr is None or cb.shape != cr.shape):
         raise ValueError("cb/cr must both be given with identical shapes")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    mcu = 8 if subsampling == "444" or not color else 16
-    if h % mcu or w % mcu:
-        raise ValueError(f"dims must be multiples of {mcu} for {subsampling}")
+    if not color or subsampling == "444":
+        mcu_h = mcu_w = 8
+    elif subsampling == "420":
+        mcu_h = mcu_w = 16
+    else:  # 422: 2 luma blocks wide, 1 tall
+        mcu_h, mcu_w = 8, 16
+    if h % mcu_h or w % mcu_w:
+        raise ValueError(f"dims must be multiples of {mcu_w}x{mcu_h} for {subsampling}")
     if color and subsampling == "420" and cb.shape != (h // 2, w // 2):
         raise ValueError("420 chroma planes must be half-size")
+    if color and subsampling == "422" and cb.shape != (h, w // 2):
+        raise ValueError("422 chroma planes must be half-width")
     if color and subsampling == "444" and cb.shape != (h, w):
         raise ValueError("444 chroma planes must be full-size")
 
@@ -257,10 +280,12 @@ def encode_jpeg(
     out += _dqt_segment(0, ql)
     if color:
         out += _dqt_segment(1, qc)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0
     ncomp = 3 if color else 1
     sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
-    sampling = (2, 2) if (color and subsampling == "420") else (1, 1)
+    sampling = {"420": (2, 2), "422": (2, 1)}.get(subsampling if color else "", (1, 1))
     sof += bytes([1, (sampling[0] << 4) | sampling[1], 0])
     if color:
         sof += bytes([2, 0x11, 1])
@@ -281,29 +306,23 @@ def encode_jpeg(
 
     wtr = _BitWriter()
     preds = [0, 0, 0]
-    if not color:
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                blk = y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                preds[0] = _encode_block(wtr, blk, ql, preds[0], dcl, acl)
-    elif subsampling == "444":
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                sl = np.s_[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                preds[0] = _encode_block(wtr, y[sl], ql, preds[0], dcl, acl)
-                preds[1] = _encode_block(wtr, cb[sl], qc, preds[1], dcc, acc)
-                preds[2] = _encode_block(wtr, cr[sl], qc, preds[2], dcc, acc)
-    else:  # 420: 4 luma blocks then cb, cr per MCU
-        for my in range(h // 16):
-            for mx in range(w // 16):
-                for sy in range(2):
-                    for sx in range(2):
-                        y0, x0 = my * 16 + sy * 8, mx * 16 + sx * 8
-                        blk = y[y0:y0 + 8, x0:x0 + 8]
-                        preds[0] = _encode_block(wtr, blk, ql, preds[0], dcl, acl)
+    fh, fv = sampling  # luma blocks per MCU (horizontal, vertical)
+    mcu_i = 0
+    for my in range(h // mcu_h):
+        for mx in range(w // mcu_w):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.restart((mcu_i // restart_interval - 1) % 8)
+                preds = [0, 0, 0]  # RST resets every DC predictor
+            for sy in range(fv):
+                for sx in range(fh):
+                    y0, x0 = my * mcu_h + sy * 8, mx * mcu_w + sx * 8
+                    blk = y[y0:y0 + 8, x0:x0 + 8]
+                    preds[0] = _encode_block(wtr, blk, ql, preds[0], dcl, acl)
+            if color:
                 slc = np.s_[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                 preds[1] = _encode_block(wtr, cb[slc], qc, preds[1], dcc, acc)
                 preds[2] = _encode_block(wtr, cr[slc], qc, preds[2], dcc, acc)
+            mcu_i += 1
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -325,9 +344,11 @@ class _BitReader:
             elif nxt == 0xD9:  # EOI reached with bits still requested
                 raise ValueError("truncated JPEG entropy stream")
             else:
-                raise NotImplementedError(
-                    f"marker 0xFF{nxt:02X} inside entropy data (restart "
-                    "intervals are not supported)"
+                # RST markers are consumed at MCU boundaries by
+                # restart(); one showing up mid-fill means the stream
+                # disagrees with the declared restart interval
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
                 )
         else:
             self.pos += 1
@@ -345,6 +366,20 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Consume RSTn at an MCU boundary (T.81 §E.2.4): discard the
+        partial byte's padding bits, then require exactly the expected
+        modulo-8 marker — a skipped or out-of-order RST is corruption
+        the modulo sequence exists to catch."""
+        self.acc = 0
+        self.n = 0
+        got = self.data[self.pos:self.pos + 2]
+        if got != bytes([0xFF, 0xD0 + (n & 7)]):
+            raise ValueError(
+                f"expected RST{n & 7} at offset {self.pos}, got {got.hex()}"
+            )
+        self.pos += 2
 
 
 def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -374,6 +409,7 @@ def decode_jpeg(payload: bytes) -> dict:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    ri = 0  # restart interval in MCUs; 0 = no DRI seen
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -428,8 +464,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 f"{kinds.get(marker, f'SOF marker 0xFF{marker:02X}')} not "
                 "supported — baseline sequential (SOF0) only"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI (r10): RSTn every ri MCUs in the scan
+            ri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -438,12 +474,12 @@ def decode_jpeg(payload: bytes) -> dict:
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tds >> 4, tds & 0xF)
-            return _decode_scan(payload, pos + seg_len, frame, scan, qtabs, htabs)
+            return _decode_scan(payload, pos + seg_len, frame, scan, qtabs, htabs, ri)
         pos += seg_len
     raise ValueError("no scan (SOS) found")
 
 
-def _decode_scan(payload, pos, frame, scan, qtabs, htabs) -> dict:
+def _decode_scan(payload, pos, frame, scan, qtabs, htabs, ri: int = 0) -> dict:
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -457,6 +493,8 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs) -> dict:
             sub = "444"
         elif factors == [(2, 2), (1, 1), (1, 1)]:
             sub = "420"
+        elif factors == [(2, 1), (1, 1), (1, 1)]:
+            sub = "422"  # r10: half-width chroma, full-height
         else:
             raise NotImplementedError(f"subsampling geometry {factors} not supported")
     else:
@@ -472,8 +510,13 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs) -> dict:
 
     reader = _BitReader(payload, pos)
     preds = [0] * len(comps)
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_i and mcu_i % ri == 0:
+                reader.restart((mcu_i // ri - 1) % 8)
+                preds = [0] * len(comps)
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 td, ta = scan[c["id"]]
                 dc_t, ac_t = htabs[(0, td)], htabs[(1, ta)]
@@ -535,6 +578,9 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs) -> dict:
     if sub == "420":
         cbp = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
         crp = crp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    elif sub == "422":  # half-width only: replicate horizontally
+        cbp = cbp.repeat(2, axis=1)[:h, :w]
+        crp = crp.repeat(2, axis=1)[:h, :w]
     yf = yp.astype(np.float64)
     cbf = cbp.astype(np.float64) - 128.0
     crf = crp.astype(np.float64) - 128.0

@@ -437,6 +437,148 @@ def mm_decode_png_stats(spark, sf_dir):
     return image_stats(imgs, "doc_id")
 
 
+_JPEG_DRI_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(doc_id % 2 AS INT) AS mode,          -- 0: 4:2:2, 1: 4:2:0
+         16 * (1 + CAST(doc_id % 3 AS INT)) AS w,
+         16 AS h
+  FROM documents
+),
+lbx AS (
+  SELECT doc_id, mode, w, h, UNNEST(generate_series(0, w // 8 - 1)) AS bx
+  FROM params
+),
+lblk AS (
+  SELECT doc_id, mode, w, h, bx, UNNEST(generate_series(0, h // 8 - 1)) AS by
+  FROM lbx
+),
+lvals AS (
+  SELECT doc_id, mode, w, h,
+         (7 * doc_id + 11 * bx + 13 * by) % 256 AS l,
+         (5 * doc_id + 3 * (bx // 2) + 7 * (CASE WHEN mode = 0 THEN by ELSE by // 2 END)) % 256 AS cbv,
+         (3 * doc_id + 5 * (bx // 2) + 1 * (CASE WHEN mode = 0 THEN by ELSE by // 2 END)) % 256 AS crv
+  FROM lblk
+),
+rgb AS (
+  SELECT doc_id,
+         CAST(SUM(l) AS BIGINT) AS suml,
+         CAST(SUM(LEAST(GREATEST(FLOOR(l + 1.402 * (crv - 128) + 0.5), 0), 255)) AS BIGINT) AS sumr,
+         CAST(SUM(LEAST(GREATEST(FLOOR(l - 0.344136 * (cbv - 128)
+                                         - 0.714136 * (crv - 128) + 0.5), 0), 255)) AS BIGINT) AS sumg,
+         CAST(SUM(LEAST(GREATEST(FLOOR(l + 1.772 * (cbv - 128) + 0.5), 0), 255)) AS BIGINT) AS sumb
+  FROM lvals GROUP BY doc_id
+),
+cbx AS (
+  SELECT doc_id, mode, w, h, UNNEST(generate_series(0, w // 16 - 1)) AS bx
+  FROM params
+),
+cblk AS (
+  SELECT doc_id, mode, bx,
+         UNNEST(generate_series(0, (CASE WHEN mode = 0 THEN h // 8 ELSE h // 16 END) - 1)) AS by
+  FROM cbx
+),
+csum AS (
+  SELECT doc_id,
+         CAST(SUM((5 * doc_id + 3 * bx + 7 * by) % 256) AS BIGINT) AS scb,
+         CAST(SUM((3 * doc_id + 5 * bx + 1 * by) % 256) AS BIGINT) AS scr
+  FROM cblk GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CASE p.mode WHEN 0 THEN '422' ELSE '420' END AS subsampling,
+       CAST(1 + p.doc_id % 3 AS INT) AS restart_interval,
+       CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       CAST(p.w * p.h AS BIGINT) AS n_pixels,
+       CAST(64 * r.suml AS BIGINT) AS sum_y,
+       CAST(64 * c.scb AS BIGINT) AS sum_cb,
+       CAST(64 * c.scr AS BIGINT) AS sum_cr,
+       CAST(64 * r.sumr AS BIGINT) AS sum_r,
+       CAST(64 * r.sumg AS BIGINT) AS sum_g,
+       CAST(64 * r.sumb AS BIGINT) AS sum_b
+FROM params p
+JOIN rgb r USING (doc_id)
+JOIN csum c ON p.doc_id = c.doc_id
+"""
+
+
+@register("mm_decode_jpeg_dri", oracle=_JPEG_DRI_SQL, tags=("multimodal", "udf"))
+def mm_decode_jpeg_dri(spark, sf_dir):
+    """JPEG restart intervals + 4:2:2 (r10, VERDICT r9 #4 — the two
+    most common still-refused baseline features; DRI appears in
+    virtually every camera JPEG): payloads cycle 4:2:2 / 4:2:0 with a
+    doc-derived DRI, so every decode crosses RST0..7 markers
+    (byte-align, modulo-sequence check, DC predictor reset) before
+    producing plane sums. Block-constant fixtures at quality 100 keep
+    the decode DC-exact, so DuckDB recomputes the sums formula-side —
+    the restart machinery must be value-invisible, which is exactly
+    what the shared oracle asserts. Golden DRI/422 byte round-trips
+    live in tests/test_jpeg.py; same partition-local Arrow
+    mapInPandas shape as every decoder in this file."""
+    from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("mode"),
+        (F.lit(16) * (1 + F.col("doc_id") % 3)).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("ri"),
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        ones = np.ones((8, 8), dtype=np.int64)
+
+        def plane(doc, nbx, nby, ka, kb, kc):
+            bx = np.arange(nbx, dtype=np.int64)
+            by = np.arange(nby, dtype=np.int64)
+            blocks = (ka * doc + kb * bx[None, :] + kc * by[:, None]) % 256
+            return np.kron(blocks, ones).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for doc, mode, w, h, ri in zip(
+                pdf["doc_id"], pdf["mode"], pdf["w"], pdf["h"], pdf["ri"]
+            ):
+                doc, mode, w, h, ri = int(doc), int(mode), int(w), int(h), int(ri)
+                y = plane(doc, w // 8, h // 8, 7, 11, 13)
+                if mode == 0:  # 4:2:2 — chroma half-width, full height
+                    cb = plane(doc, w // 16, h // 8, 5, 3, 7)
+                    cr = plane(doc, w // 16, h // 8, 3, 5, 1)
+                    sub = "422"
+                else:  # 4:2:0
+                    cb = plane(doc, w // 16, h // 16, 5, 3, 7)
+                    cr = plane(doc, w // 16, h // 16, 3, 5, 1)
+                    sub = "420"
+                d = decode_jpeg(
+                    encode_jpeg(y, cb, cr, quality=100, subsampling=sub,
+                                restart_interval=ri)
+                )
+                rows.append(
+                    (
+                        doc, d["subsampling"], ri, d["width"], d["height"],
+                        d["n_pixels"], d["sum_y"], d["sum_cb"], d["sum_cr"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subsampling", "restart_interval", "width", "height",
+                    "n_pixels", "sum_y", "sum_cb", "sum_cr", "sum_r", "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, subsampling string, restart_interval int, width int, "
+        "height int, n_pixels bigint, sum_y bigint, sum_cb bigint, sum_cr bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
 # IMA ADPCM constant tables as DuckDB list literals (ITU/IMA public
 # spec, the same _IMA_STEP_TABLE / _IMA_INDEX_TABLE the operators use)
 _IMA_ST_SQL = (

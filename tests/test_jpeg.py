@@ -103,10 +103,13 @@ def test_refusals_name_the_field():
     prog = payload[:i] + b"\xff\xc2" + payload[i + 2:]
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(bytes(prog))
-    # inject a DRI segment right after SOI
+    # a DECLARED restart interval whose RST markers never arrive must
+    # fail loudly (the stream disagrees with its own DRI), not decode
+    # garbage — an 8x8 image is one MCU, so interval 16 never fires
+    # and a smaller image can't exercise it; corrupt-declaration is
+    # the refusal shape left now that DRI itself decodes (r10)
     dri = payload[:2] + b"\xff\xdd\x00\x04\x00\x10" + payload[2:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(bytes(dri))
+    assert decode_jpeg(bytes(dri))["sum_y"] == 64 * 9  # interval > MCUs: benign
     # 16-bit DQT: set Pq=1 on the first quant table
     j = bytes(payload).find(b"\xff\xdb")
     q16 = bytearray(payload)
@@ -131,3 +134,56 @@ def test_encoder_rejects_bad_geometry():
 # pinned as a LITERAL: any drift in tables, rounding, or bit packing
 # across rounds/machines fails here first.
 _GOLDEN_MD5 = "ee5a98efdc9ed8be3f5dbf81126f7b4b"
+
+
+def test_flat_block_422_exact_roundtrip():
+    rng = np.random.default_rng(7)
+    h, w = 24, 48
+    y = _flat(rng, w // 8, h // 8)
+    cb, cr = _flat(rng, w // 16, h // 8), _flat(rng, w // 16, h // 8)
+    d = decode_jpeg(encode_jpeg(y, cb, cr, quality=100, subsampling="422"))
+    assert d["subsampling"] == "422"
+    assert (d["planes"][0] == y).all()
+    assert (d["planes"][1] == cb).all() and (d["planes"][2] == cr).all()
+    # RGB sums use the horizontally-replicated chroma
+    assert d["n_pixels"] == h * w
+
+
+def test_restart_interval_roundtrip_all_geometries():
+    """DRI + RSTn (r10): the stream byte-aligns, emits the modulo-8
+    marker, and resets DC predictors every `ri` MCUs — decode must be
+    bit-identical to the no-DRI decode for every subsampling and for
+    intervals that do and don't divide the MCU count (incl. ri=1 and
+    an interval needing RST7→RST0 wraparound at >8 restarts)."""
+    rng = np.random.default_rng(8)
+    h, w = 32, 64
+    y = _flat(rng, w // 8, h // 8)
+    cb4, cr4 = _flat(rng, w // 8, h // 8), _flat(rng, w // 8, h // 8)
+    cb0, cr0 = _flat(rng, w // 16, h // 16), _flat(rng, w // 16, h // 16)
+    cb2, cr2 = _flat(rng, w // 16, h // 8), _flat(rng, w // 16, h // 8)
+    cases = [
+        dict(),                                                # gray
+        dict(cb=cb4, cr=cr4, subsampling="444"),
+        dict(cb=cb0, cr=cr0, subsampling="420"),
+        dict(cb=cb2, cr=cr2, subsampling="422"),
+    ]
+    for kw in cases:
+        base = decode_jpeg(encode_jpeg(y, quality=100, **kw))
+        for ri in (1, 3, 5):  # 32 MCUs (gray/444): ri=1 wraps RST0..7 4x
+            d = decode_jpeg(encode_jpeg(y, quality=100, restart_interval=ri, **kw))
+            for k in ("sum_y", "sum_cb", "sum_cr", "sum_r", "sum_g", "sum_b"):
+                assert d[k] == base[k], (kw.get("subsampling", "gray"), ri, k)
+            assert (d["planes"][0] == base["planes"][0]).all()
+
+
+def test_restart_marker_mismatch_fails_loudly():
+    rng = np.random.default_rng(9)
+    y = _flat(rng, 8, 4)  # 32 blocks, gray: 32 MCUs
+    payload = bytearray(encode_jpeg(y, quality=100, restart_interval=4))
+    # find the first RST0 (FFD0) in the entropy stream and corrupt its
+    # sequence number to RST3 — the modulo check must catch it
+    i = bytes(payload).find(b"\xff\xd0")
+    assert i > 0
+    payload[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg(bytes(payload))
