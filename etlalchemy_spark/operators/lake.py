@@ -97,17 +97,60 @@ def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(text)
 
 
+class CommitConflict(Exception):
+    """A racing writer committed this version first. Ops retry onto the
+    new latest via _retry_on_conflict; losers' data files stay
+    invisible until vacuum."""
+
+
 def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
     """The atomic commit point. ``create(overwrite=False)`` throws if
-    the version already exists — a racing writer loses cleanly and its
+    the version already exists — a racing writer loses cleanly (as
+    CommitConflict, so the op-level retry loop can rebase) and its
     data files stay invisible (vacuum sweeps them)."""
     fs, jvm = _fs(spark, root)
     p = _manifest_path(jvm, root, manifest["version"])
-    out = fs.create(p, False)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # noqa: BLE001 — py4j error classes vary by FS
+        msg = str(e)
+        if "exist" in msg.lower() or "FileAlreadyExists" in msg:
+            raise CommitConflict(
+                f"version {manifest['version']} was committed by a racing writer"
+            ) from None
+        raise
     try:
         out.write(bytearray(json.dumps(manifest, sort_keys=True) + "\n", "utf-8"))
     finally:
         out.close()
+
+
+_MAX_COMMIT_RETRIES = 4
+
+
+def _retry_on_conflict(fn):
+    """Optimistic-concurrency wrapper (VERDICT r9 #5): on a manifest
+    collision the WHOLE op re-executes against the new latest —
+    re-reads the parent, re-validates constraints/hulls, re-stages —
+    so both racing writers succeed without caller intervention and
+    semantics compose as if the ops ran serially (which, commit-order-
+    wise, they did). Metadata-only ops rebase for free; copy-on-write
+    ops pay a re-stage, whose orphaned first-attempt files vacuum
+    sweeps. lake_append keeps its own loop (data files are parent-
+    independent, so ITS retry is metadata-only). Bounded: the final
+    attempt propagates CommitConflict."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        for _ in range(_MAX_COMMIT_RETRIES):
+            try:
+                return fn(*args, **kwargs)
+            except CommitConflict:
+                continue
+        return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
@@ -419,30 +462,51 @@ def lake_append(
 ) -> int:
     """Blind append: O(new data) write + metadata commit. No existing
     file is read or rewritten. Stored CHECK constraints validate the
-    batch first (strict refuse / quarantine divert)."""
-    parent = latest_version(spark, root)
-    m = _read_manifest(spark, root, parent)
-    v = parent + 1
-    if m.get("constraints"):
-        df, _ = _enforce_constraints(spark, root, df, m["constraints"], on_violation)
-    new_files = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
-    _write_manifest(
-        spark,
-        root,
-        _with_txns(
-            m,
-            {
-                "version": v,
-                "parent": parent,
-                "op": "append",
-                "key": m["key"],
-                "files": m["files"] + new_files,
-            },
-        ),
-    )
-    return v
+    batch first (strict refuse / quarantine divert). Commit collisions
+    retry METADATA-ONLY (VERDICT r9 #5): the staged files are parent-
+    independent and referenced by full path, so a losing writer just
+    re-reads the new latest and re-lists — unless the table's
+    constraints changed underneath it, which refuses loudly (the
+    staged batch was validated against the old invariants)."""
+    staged = checked = None
+    for attempt in range(_MAX_COMMIT_RETRIES + 1):
+        parent = latest_version(spark, root)
+        m = _read_manifest(spark, root, parent)
+        v = parent + 1
+        cons = m.get("constraints")
+        if staged is not None and cons != checked:
+            raise CommitConflict(
+                "table constraints changed while retrying append; re-run "
+                "so the batch re-validates against the new invariants"
+            )
+        if staged is None:
+            if cons:
+                df, _ = _enforce_constraints(spark, root, df, cons, on_violation)
+            checked = cons
+            staged = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
+        try:
+            _write_manifest(
+                spark,
+                root,
+                _with_txns(
+                    m,
+                    {
+                        "version": v,
+                        "parent": parent,
+                        "op": "append",
+                        "key": m["key"],
+                        "files": m["files"] + staged,
+                    },
+                ),
+            )
+            return v
+        except CommitConflict:
+            if attempt == _MAX_COMMIT_RETRIES:
+                raise
+    raise AssertionError("unreachable")
 
 
+@_retry_on_conflict
 def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
     """Copy-on-write MERGE (update matched keys, insert the rest) with
     manifest-stats file skipping: only files whose [min_key, max_key]
@@ -518,6 +582,7 @@ def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
     return v
 
 
+@_retry_on_conflict
 def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
     """Copy-on-write DELETE of rows matching a SQL predicate. Arbitrary
     predicates can't be pruned from key stats, so pruning is one scan
@@ -601,6 +666,7 @@ def _write_dv(spark: SparkSession, root: str, version: int, matched: DataFrame):
     return int(obs.get["n"]), dv_dir
 
 
+@_retry_on_conflict
 def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
     """Merge-on-read DELETE via deletion vectors: instead of rewriting
     every touched file (lake_delete's copy-on-write), record the
@@ -649,6 +715,7 @@ def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
     return v
 
 
+@_retry_on_conflict
 def lake_delete_dv_keys(
     spark: SparkSession,
     root: str,
@@ -714,6 +781,7 @@ def lake_delete_dv_keys(
     return v
 
 
+@_retry_on_conflict
 def lake_compact_dvs(spark: SparkSession, root: str) -> int:
     """Fold the deletion vectors back into the data (merge-on-read →
     copy-on-write): rewrite exactly the files that have DV'd positions
@@ -890,6 +958,7 @@ def committed_tags(spark: SparkSession, root: str) -> set:
     return tags
 
 
+@_retry_on_conflict
 def lake_stream_append(
     spark: SparkSession,
     root: str,
@@ -1004,6 +1073,7 @@ def lake_deep_clone(
     )
 
 
+@_retry_on_conflict
 def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Roll the table back by COMMITTING FORWARD: the new version's
     file list is the target version's, and the bad intermediate
@@ -1034,6 +1104,7 @@ def lake_rollback(spark: SparkSession, root: str, to_version: int) -> int:
     return v
 
 
+@_retry_on_conflict
 def lake_compact(
     spark: SparkSession, root: str, small_rows: int, target_partitions: int = 1
 ) -> int:

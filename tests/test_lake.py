@@ -769,3 +769,77 @@ def test_quarantine_skips_write_on_clean_batch(spark, root):
     lake_stream_append(spark, root, _mk(spark, [(5, "e"), (-6, "bad")]), 3, "k")
     q = spark.read.parquet(root + "/_quarantine/*")
     assert [(r.k, r.v) for r in q.collect()] == [(-6, "bad")]
+
+
+def test_concurrent_append_and_upsert_both_succeed(spark, root, monkeypatch):
+    """API-level optimistic retry (VERDICT r9 #5): a competing upsert
+    lands BETWEEN the append's data staging and its manifest write —
+    deterministically injected — and the append must succeed on its
+    own by rebasing metadata-only onto the new latest."""
+    import etlalchemy_spark.operators.lake as L
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (8, "h")]), "k")
+    real_write = L._write_manifest
+    state = {"injected": False}
+
+    def racing_write(sp, rt, manifest):
+        if not state["injected"] and manifest["op"] == "append":
+            state["injected"] = True
+            L.lake_upsert(sp, rt, _mk(sp, [(8, "H2")]))  # steals this version
+        return real_write(sp, rt, manifest)
+
+    monkeypatch.setattr(L, "_write_manifest", racing_write)
+    appended_v = L.lake_append(spark, root, _mk(spark, [(2, "b")]))
+    assert state["injected"]
+    assert appended_v == 3  # v2 went to the racing upsert
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "b"), (8, "H2")]
+    # the rebase carried the upsert's rewrite BY REFERENCE: every v2
+    # file path appears untouched in v3
+    m2, m3 = _read_manifest(spark, root, 2), _read_manifest(spark, root, 3)
+    assert {f["path"] for f in m2["files"]} <= {f["path"] for f in m3["files"]}
+    assert [h["op"] for h in lake_history(spark, root)] == ["create", "upsert", "append"]
+
+
+def test_concurrent_upsert_re_executes_against_new_state(spark, root, monkeypatch):
+    """A COW upsert that loses the race re-EXECUTES (not just re-lists):
+    the competing append lands a hull-overlapping key the upsert's
+    first staging never saw, and the retried upsert must still produce
+    the serial-order result."""
+    import etlalchemy_spark.operators.lake as L
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    real_write = L._write_manifest
+    state = {"injected": False}
+
+    def racing_write(sp, rt, manifest):
+        if not state["injected"] and manifest["op"] == "upsert":
+            state["injected"] = True
+            L.lake_append(sp, rt, _mk(sp, [(3, "c")]))
+        return real_write(sp, rt, manifest)
+
+    monkeypatch.setattr(L, "_write_manifest", racing_write)
+    v = L.lake_upsert(spark, root, _mk(spark, [(2, "B2"), (4, "d")]))
+    assert state["injected"] and v == 3
+    assert _rows(lake_read(spark, root)) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    assert [h["op"] for h in lake_history(spark, root)] == ["create", "append", "upsert"]
+
+
+def test_retry_is_bounded(spark, root, monkeypatch):
+    """A pathological writer that ALWAYS loses must fail loudly after
+    the bounded retries, never spin."""
+    import etlalchemy_spark.operators.lake as L
+
+    lake_create(spark, root, _mk(spark, [(1, "a")]), "k")
+    calls = {"n": 0}
+    real_write = L._write_manifest
+
+    def always_stolen(sp, rt, manifest):
+        if manifest["op"] == "append":
+            calls["n"] += 1
+            raise L.CommitConflict("stolen")
+        return real_write(sp, rt, manifest)
+
+    monkeypatch.setattr(L, "_write_manifest", always_stolen)
+    with pytest.raises(L.CommitConflict):
+        L.lake_append(spark, root, _mk(spark, [(2, "b")]))
+    assert calls["n"] == L._MAX_COMMIT_RETRIES + 1
