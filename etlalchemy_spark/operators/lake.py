@@ -507,16 +507,24 @@ def lake_append(
 
 
 @_retry_on_conflict
-def lake_upsert(spark: SparkSession, root: str, changes: DataFrame) -> int:
+def lake_upsert(
+    spark: SparkSession, root: str, changes: DataFrame, on_violation: str = "strict"
+) -> int:
     """Copy-on-write MERGE (update matched keys, insert the rest) with
     manifest-stats file skipping: only files whose [min_key, max_key]
     overlaps the change hull are read; a matched key cannot live in a
     non-overlapping file, so carried files need no inspection. The
-    rewrite reads O(overlapping files) + O(changes), never the table."""
+    rewrite reads O(overlapping files) + O(changes), never the table.
+    Stored CHECK constraints validate the change set first (r10 —
+    MERGE used to bypass the gate every other writer goes through)."""
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent)
     key = m["key"]
     v = parent + 1
+    if m.get("constraints"):
+        changes = _enforce_constraints(
+            spark, root, changes, m["constraints"], on_violation
+        )[0]
 
     hull = changes.agg(
         F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")

