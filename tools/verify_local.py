@@ -107,10 +107,16 @@ def main() -> int:
     argv = sys.argv[1:]
     args: list[str] = []
     json_path = None
+    timed_runs = 1
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--json="):
+        if a.startswith("--timed-runs="):
+            # median-of-N Spark-leg timing (VERDICT r9 #1: single-shot
+            # gate secs let one loaded machine-state fake a 2x
+            # regression; the committed GATE snapshot runs with 3)
+            timed_runs = max(1, int(a.split("=", 1)[1]))
+        elif a.startswith("--json="):
             json_path = a.split("=", 1)[1]
         elif a == "--json":
             # space-separated form: consume the next token as the path
@@ -136,20 +142,31 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         try:
-            sdf = q.fn(spark, sf_dir).toPandas()
+            runs = []
+            for _ in range(timed_runs):
+                t1 = time.monotonic()
+                sdf = q.fn(spark, sf_dir).toPandas()
+                runs.append(time.monotonic() - t1)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             statuses[name] = {"status": "fail", "detail": f"spark error: {e}"[:300]}
             n_fail += 1
             continue
+        import statistics
+
+        spark_secs = round(statistics.median(runs), 2)
+        spread = [round(min(runs), 2), round(max(runs), 2)]
         if q.oracle is None:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
-            statuses[name] = {
+            st = {
                 "status": "rows_only",
                 "rows": len(sdf),
-                "secs": round(time.monotonic() - t0, 2),
+                "secs": spark_secs if timed_runs > 1 else round(time.monotonic() - t0, 2),
                 "result_hash": result_hash(sdf),
             }
+            if timed_runs > 1:
+                st["spread"] = spread
+            statuses[name] = st
             n_rows_only += 1
             continue
         try:
@@ -171,12 +188,15 @@ def main() -> int:
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows [{time.monotonic()-t0:.1f}s]")
-            statuses[name] = {
+            st = {
                 "status": "pass",
                 "rows": len(sdf),
-                "secs": round(time.monotonic() - t0, 2),
+                "secs": spark_secs if timed_runs > 1 else round(time.monotonic() - t0, 2),
                 "result_hash": result_hash(sdf),
             }
+            if timed_runs > 1:
+                st["spread"] = spread
+            statuses[name] = st
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     slow = sorted(
@@ -194,6 +214,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "timed_runs": timed_runs,
                     "n_pass": n_pass,
                     "n_fail": n_fail,
                     "n_rows_only": n_rows_only,
