@@ -566,76 +566,40 @@ def encode_ppm_p6(pixels) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, RGB, indexed, gray+alpha, RGBA
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) — T.81's PNG
+# sibling, public spec (PNG §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL stdlib PNG decode (r8 — PNG moved from the documented
-    compressed-codec boundary to a native decoder: its compression is
-    plain zlib, which python ships): chunk walk (IHDR/IDAT*/IEND),
-    zlib inflate, and full scanline UNFILTERING for all five filter
-    types (None/Sub/Up/Average/Paeth). Supports bit depth 8, color
-    types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced — the shapes a
-    training pipeline's thumbnail/feature payloads actually take.
-    Indexed/16-bit/Adam7 raise NotImplementedError with the exact
-    unsupported field. Stats convention: grayscale reports its sum as
-    r=g=b; alpha is ignored in channel sums."""
-    import struct
-
-    import numpy as np
-
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, width, height, depth, ctype, interlace = len(_PNG_SIG), None, None, None, None, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        length, chunk = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + type + data + crc
-        if chunk == b"IHDR":
-            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif chunk == b"IDAT":
-            idat += data
-        elif chunk == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG has no IHDR chunk")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not implemented (only 8)")
-    if ctype not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG color type {ctype} not implemented (0/2/6 decode natively)"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not implemented")
-    ch = _PNG_CHANNELS[ctype]
-    stride = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(f"PNG scanline payload is {len(raw)} bytes, expected {(stride + 1) * height}")
+def _png_unfilter(raw: bytes, offset: int, stride: int, bpp: int, height: int):
+    """Undo the five scanline filters for one (sub-)image; returns
+    (rows bytes, bytes consumed). ``bpp`` is the filter's left-pixel
+    distance in BYTES (max(1, bits_per_pixel // 8) per spec)."""
     prev = bytearray(stride)
     rows = []
     for y in range(height):
-        base = y * (stride + 1)
+        base = offset + y * (stride + 1)
         f = raw[base]
         row = bytearray(raw[base + 1 : base + 1 + stride])
         if f == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -644,12 +608,111 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG filter type {f} is invalid")
         rows.append(bytes(row))
         prev = row
-    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, ch)
-    s = px.astype(np.int64)
-    if ctype == 0:
-        sum_r = sum_g = sum_b = int(s[:, :, 0].sum())
+    return b"".join(rows), height * (stride + 1)
+
+
+def _png_samples(rows: bytes, width: int, height: int, ch: int, depth: int):
+    """Unpack unfiltered scanline bytes into an (h, w, ch) int64 sample
+    array: 8/16-bit samples direct (16-bit big-endian per spec),
+    sub-byte depths bit-unpacked MSB-first with row-tail padding bits
+    discarded."""
+    import numpy as np
+
+    stride = (width * ch * depth + 7) // 8
+    arr = np.frombuffer(rows, dtype=np.uint8).reshape(height, stride)
+    if depth == 8:
+        return arr[:, : width * ch].astype(np.int64).reshape(height, width, ch)
+    if depth == 16:
+        a16 = np.frombuffer(rows, dtype=">u2").reshape(height, stride // 2)
+        return a16[:, : width * ch].astype(np.int64).reshape(height, width, ch)
+    bits = np.unpackbits(arr, axis=1)  # MSB-first, matching PNG packing
+    vals = bits.reshape(height, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    packed = (vals * weights).sum(axis=2)
+    return packed[:, : width * ch].astype(np.int64).reshape(height, width, ch)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL stdlib PNG decode (r8; extended r10 — the format's full
+    baseline matrix): chunk walk (IHDR/PLTE/IDAT*/IEND), zlib inflate,
+    scanline unfiltering for all five filter types (None/Sub/Up/
+    Average/Paeth) at the spec's byte-distance for every depth, bit
+    depths 1/2/4/8/16 (sub-byte MSB-first unpack, 16-bit big-endian),
+    ALL FIVE color types (0 gray, 2 RGB, 3 indexed via PLTE, 4
+    gray+alpha, 6 RGBA), and Adam7 INTERLACING (7 independently-filtered sub-images
+    scattered by the pass geometry). Stats convention: grayscale
+    reports its sum as r=g=b; indexed sums the palette-mapped RGB;
+    alpha is ignored in channel sums; 16-bit sums raw sample values."""
+    import struct
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, depth, ctype, interlace = len(_PNG_SIG), None, None, None, None, None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        length, chunk = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if chunk == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif chunk == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        elif chunk == b"IDAT":
+            idat += data
+        elif chunk == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {depth} is invalid")
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG color type {ctype} not implemented (0/2/3/4/6 decode natively)"
+        )
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed PNG has no PLTE chunk")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} is invalid")
+    ch = _PNG_CHANNELS[ctype]
+    bpp = max(1, ch * depth // 8)
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        stride = (width * ch * depth + 7) // 8
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG scanline payload is {len(raw)} bytes, "
+                f"expected {(stride + 1) * height}"
+            )
+        rows, _ = _png_unfilter(raw, 0, stride, bpp, height)
+        img = _png_samples(rows, width, height, ch, depth)
+    else:  # Adam7: each pass filters independently, then scatters
+        img = np.zeros((height, width, ch), dtype=np.int64)
+        offset = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = max(0, -(-(width - x0) // xs))
+            ph = max(0, -(-(height - y0) // ys))
+            if pw == 0 or ph == 0:
+                continue
+            pstride = (pw * ch * depth + 7) // 8
+            if len(raw) - offset < (pstride + 1) * ph:
+                raise ValueError("Adam7 pass payload size mismatch")
+            rows, used = _png_unfilter(raw, offset, pstride, bpp, ph)
+            offset += used
+            img[y0::ys, x0::xs] = _png_samples(rows, pw, ph, ch, depth)
+        if offset != len(raw):
+            raise ValueError("Adam7 pass payload size mismatch")
+    if ctype in (0, 4):  # gray (+alpha, ignored in sums)
+        sum_r = sum_g = sum_b = int(img[:, :, 0].sum())
+    elif ctype == 3:
+        rgb = plte[img[:, :, 0]]
+        sum_r, sum_g, sum_b = (int(rgb[:, :, i].sum()) for i in range(3))
     else:
-        sum_r, sum_g, sum_b = (int(s[:, :, i].sum()) for i in range(3))
+        sum_r, sum_g, sum_b = (int(img[:, :, i].sum()) for i in range(3))
     return {
         "format": "png",
         "width": width,
@@ -672,30 +735,77 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, color_type: int = 2) -> bytes:
-    """Minimal spec-correct PNG writer from an (h, w[, ch]) uint8 array:
+def _png_pack_rows(px, w: int, h: int, ch: int, depth: int) -> list[bytes]:
+    """Pack an (h, w, ch) int sample array into per-row scanline bytes
+    at the given depth (sub-byte MSB-first, 16-bit big-endian)."""
+    import numpy as np
+
+    flat = px.reshape(h, w * ch)
+    if depth == 8:
+        return [flat[y].astype(np.uint8).tobytes() for y in range(h)]
+    if depth == 16:
+        return [flat[y].astype(">u2").tobytes() for y in range(h)]
+    per_byte = 8 // depth
+    rows = []
+    for y in range(h):
+        vals = flat[y]
+        pad = (-len(vals)) % per_byte
+        if pad:
+            vals = np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
+        shifts = np.arange(per_byte - 1, -1, -1) * depth
+        packed = (vals.reshape(-1, per_byte).astype(np.uint16) << shifts).sum(axis=1)
+        rows.append(packed.astype(np.uint8).tobytes())
+    return rows
+
+
+def encode_png(
+    pixels,
+    color_type: int = 2,
+    bit_depth: int = 8,
+    palette=None,
+    interlace: bool = False,
+) -> bytes:
+    """Spec-correct PNG writer from an (h, w[, ch]) sample array:
     filter byte 0 per scanline, one zlib IDAT, CRC-stamped chunks.
-    ``color_type``: 0 (gray, (h,w) or (h,w,1)), 2 (RGB), 6 (RGBA).
-    What decode_png recovers; also valid for any external reader."""
+    ``color_type``: 0 (gray), 2 (RGB), 3 (indexed — pass ``palette``
+    as (n, 3) uint8, pixels are indices), 6 (RGBA). ``bit_depth``
+    1/2/4/8 for gray/indexed, 8/16 for 2/6 (r10). ``interlace=True``
+    writes Adam7 passes (each filtered independently). What decode_png
+    recovers; also valid for any external reader."""
     import struct
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if color_type == 0 and px.ndim == 2:
+    px = np.asarray(pixels)
+    if color_type in (0, 3) and px.ndim == 2:
         px = px[:, :, None]
     ch = _PNG_CHANNELS[color_type]
     if px.shape[2] != ch:
         raise ValueError(f"color_type {color_type} needs {ch} channels, got {px.shape[2]}")
+    if color_type == 3 and palette is None:
+        raise ValueError("color_type 3 requires a palette")
+    allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8), 2: (8, 16), 4: (8, 16), 6: (8, 16)}
+    if bit_depth not in allowed[color_type]:
+        raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
     h, w = px.shape[0], px.shape[1]
-    body = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(body, 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = _png_pack_rows(sub, sub.shape[1], sub.shape[0], ch, bit_depth)
+            parts.extend(b"\x00" + r for r in rows)
+        body = b"".join(parts)
+    else:
+        body = b"".join(
+            b"\x00" + r for r in _png_pack_rows(px, w, h, ch, bit_depth)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, int(interlace))
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(body, 6)) + _png_chunk(b"IEND", b"")
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -789,13 +899,33 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """Display row for each STORAGE row of an interlaced frame — the
+    four GIF89a passes (every 8th from 0, every 8th from 4, every 4th
+    from 2, every 2nd from 1)."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
+def _gif_deinterlace(stored):
+    """Reorder an interlaced frame's (h, w) storage-order rows into
+    display order (r10)."""
+    import numpy as np
+
+    out = np.empty_like(stored)
+    out[_gif_interlace_order(stored.shape[0])] = stored
+    return out
+
+
 def decode_gif(payload: bytes) -> dict:
     """REAL stdlib GIF decode (r8): header + logical screen descriptor,
     global/local color tables, extension-block skipping, and a full
     LZW inflate of the FIRST image frame (dictionary growth to 12-bit
-    codes, KwKwK). Interlaced frames raise NotImplementedError. Stats
-    are per-channel sums of the palette-mapped pixels — same contract
-    as the other image decoders."""
+    codes, KwKwK). Interlaced frames deinterlace via the four-pass row
+    order (r10). Stats are per-channel sums of the palette-mapped
+    pixels — same contract as the other image decoders."""
     import struct
 
     import numpy as np
@@ -835,8 +965,7 @@ def _decode_gif_body(payload: bytes) -> dict:
                 n = 2 ** ((ipacked & 0x07) + 1)
                 ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not implemented")
+            interlaced = bool(ipacked & 0x40)
             if ct is None:
                 raise ValueError("GIF frame has no color table")
             min_code = payload[pos]
@@ -855,6 +984,8 @@ def _decode_gif_body(payload: bytes) -> dict:
                     f"GIF pixel index {int(ia.max())} exceeds the "
                     f"{len(ct)}-entry color table"
                 )
+            if interlaced:  # r10: four-pass row reorder (GIF89a §20)
+                ia = _gif_deinterlace(ia.reshape(h, w)).reshape(-1)
             px = ct[ia].astype(np.int64)
             return {
                 "format": "gif",
@@ -872,10 +1003,11 @@ def _decode_gif_body(payload: bytes) -> dict:
     raise ValueError("GIF has no image frame")
 
 
-def encode_gif(indices, palette) -> bytes:
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     """Minimal GIF89a writer: one frame, global color table, real LZW
     compression. ``indices``: (h, w) uint8 palette indices; ``palette``:
-    (n, 3) uint8 RGB, n a power of two >= 4."""
+    (n, 3) uint8 RGB, n a power of two >= 4. ``interlace=True`` stores
+    rows in the four-pass order with the flag set (r10)."""
     import struct
 
     import numpy as np
@@ -883,13 +1015,15 @@ def encode_gif(indices, palette) -> bytes:
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]  # display -> storage order
     n = pal.shape[0]
     size_field = max(1, (n - 1).bit_length() - 1)  # 2^(f+1) = n
     min_code = max(2, (n - 1).bit_length())
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (0 << 4) | size_field, 0, 0)
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     out.append(min_code)
     lzw = _lzw_encode([int(v) for v in idx.reshape(-1)], min_code)
     for off in range(0, len(lzw), 255):

@@ -385,6 +385,128 @@ FROM px
 """
 
 
+_PNG_MATRIX_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INT) AS mode,
+         2 + doc_id % 7 AS w,
+         2 + doc_id % 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, mode, w, h,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> [doc_id + 3 * (i % w) + 5 * (i // w),
+                              doc_id * 2 + (i % w),
+                              (i % w) * (i // w) + doc_id]) AS base
+  FROM params
+),
+sums AS (
+  SELECT doc_id, mode, w, h,
+         CASE mode
+           WHEN 0 THEN list_aggregate(list_transform(base,
+                v -> (31 * (v[1] % 16) + 7 + doc_id) % 256), 'sum')
+           WHEN 1 THEN list_aggregate(list_transform(base,
+                v -> (doc_id * 97 + v[1] * 13) % 65536), 'sum')
+           WHEN 2 THEN list_aggregate(list_transform(base,
+                v -> (v[1] * 257) % 65536), 'sum')
+           ELSE list_aggregate(list_transform(base, v -> v[1] % 256), 'sum')
+         END AS sum_r,
+         CASE mode
+           WHEN 0 THEN list_aggregate(list_transform(base,
+                v -> (63 * (v[1] % 16) + 11 + doc_id) % 256), 'sum')
+           WHEN 1 THEN list_aggregate(list_transform(base,
+                v -> (doc_id * 97 + v[1] * 13) % 65536), 'sum')
+           WHEN 2 THEN list_aggregate(list_transform(base,
+                v -> (v[2] * 263) % 65536), 'sum')
+           ELSE list_aggregate(list_transform(base, v -> v[2] % 256), 'sum')
+         END AS sum_g,
+         CASE mode
+           WHEN 0 THEN list_aggregate(list_transform(base,
+                v -> (17 * (v[1] % 16) + 23 + doc_id) % 256), 'sum')
+           WHEN 1 THEN list_aggregate(list_transform(base,
+                v -> (doc_id * 97 + v[1] * 13) % 65536), 'sum')
+           WHEN 2 THEN list_aggregate(list_transform(base,
+                v -> (v[3] * 269) % 65536), 'sum')
+           ELSE list_aggregate(list_transform(base, v -> v[3] % 256), 'sum')
+         END AS sum_b
+  FROM px
+)
+SELECT doc_id, 'png' AS format,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b
+FROM sums
+"""
+
+
+@register("mm_decode_png_matrix", oracle=_PNG_MATRIX_SQL, tags=("multimodal", "udf"))
+def mm_decode_png_matrix(spark, sf_dir):
+    """The PNG baseline matrix r8's decoder refused (r10): payloads
+    cycle indexed-4-bit-with-PLTE / 16-bit grayscale / 16-bit RGB
+    (big-endian samples) / Adam7-interlaced RGB by doc_id, every pixel
+    a deterministic doc_id formula so DuckDB recomputes the channel
+    sums (palette-mapped for indexed, raw 16-bit values for deep
+    rasters) formula-side. Exercises sub-byte MSB-first unpacking,
+    sample-width filter distances, PLTE mapping, and the seven-pass
+    interlace scatter — all through the magic-byte router, same
+    partition-local Arrow mapInPandas shape as every decoder here."""
+    from etlalchemy_spark.operators.multimodal import encode_png, image_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("mode"),
+        (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("w"),
+        (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc, mode, w, h in zip(pdf["doc_id"], pdf["mode"], pdf["w"], pdf["h"]):
+                doc, mode, w, h = int(doc), int(mode), int(w), int(h)
+                i = np.arange(w * h, dtype=np.int64)
+                x, y = i % w, i // w
+                base = (doc + 3 * x + 5 * y).reshape(h, w)
+                if mode == 0:  # indexed 4-bit + doc-derived palette
+                    v = np.arange(16, dtype=np.int64)
+                    pal = np.stack(
+                        [(31 * v + 7 + doc) % 256, (63 * v + 11 + doc) % 256,
+                         (17 * v + 23 + doc) % 256], axis=1,
+                    ).astype(np.uint8)
+                    payloads.append(
+                        encode_png(base % 16, color_type=3, bit_depth=4, palette=pal)
+                    )
+                elif mode == 1:  # 16-bit grayscale
+                    g = (doc * 97 + base * 13) % 65536
+                    payloads.append(encode_png(g, color_type=0, bit_depth=16))
+                elif mode == 2:  # 16-bit RGB
+                    r = (base * 257) % 65536
+                    g = (((doc * 2 + x).reshape(h, w)) * 263) % 65536
+                    b = (((x * y + doc).reshape(h, w)) * 269) % 65536
+                    payloads.append(
+                        encode_png(np.stack([r, g, b], axis=2),
+                                   color_type=2, bit_depth=16)
+                    )
+                else:  # Adam7-interlaced 8-bit RGB
+                    r = base % 256
+                    g = (doc * 2 + x).reshape(h, w) % 256
+                    b = (x * y + doc).reshape(h, w) % 256
+                    payloads.append(
+                        encode_png(np.stack([r, g, b], axis=2).astype(np.uint8),
+                                   color_type=2, interlace=True)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    imgs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return image_stats(imgs, "doc_id")
+
+
 @register("mm_decode_png_stats", oracle=_PNG_SQL, tags=("multimodal", "udf"))
 def mm_decode_png_stats(spark, sf_dir):
     """REAL PNG decode, stdlib-only (r8 — PNG left the compressed-codec
@@ -756,7 +878,13 @@ def mm_decode_gif_stats(spark, sf_dir):
                 doc_id, w, h = int(doc_id), int(w), int(h)
                 i = np.arange(w * h, dtype=np.int64)
                 idx = ((doc_id + 3 * (i % w) + 5 * (i // w)) % 8).reshape(h, w)
-                payloads.append(encode_gif(idx.astype(np.uint8), pal))
+                # odd docs store INTERLACED (r10): the four-pass row
+                # reorder must be value-invisible to the channel sums
+                # the shared oracle recomputes — deinterlacing is
+                # row-placement-pinned in tests/test_multimodal.py
+                payloads.append(
+                    encode_gif(idx.astype(np.uint8), pal, interlace=bool(doc_id % 2))
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     imgs = params.mapInPandas(synth, "doc_id long, payload binary")

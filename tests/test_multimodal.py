@@ -275,12 +275,17 @@ def test_png_unsupported_variants_fail_loudly():
                 + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 4))
                 + _png_chunk(b"IEND", b""))
 
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(hdr_png(16, 2, 0))
-    with pytest.raises(NotImplementedError, match="color type 3"):
+    # r10: depth 16 / indexed / Adam7 now decode; the refusal surface
+    # left is invalid depths, UNKNOWN color types, invalid interlace
+    # methods, and an indexed frame missing its PLTE
+    with pytest.raises(ValueError, match="bit depth 3"):
+        decode_png(hdr_png(3, 2, 0))
+    with pytest.raises(NotImplementedError, match="color type 5"):
+        decode_png(hdr_png(8, 5, 0))
+    with pytest.raises(ValueError, match="interlace method 2"):
+        decode_png(hdr_png(8, 2, 2))
+    with pytest.raises(ValueError, match="no PLTE"):
         decode_png(hdr_png(8, 3, 0))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(hdr_png(8, 2, 1))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"GIF89a....")
     # truncated scanline payload is detected, not mis-summed
@@ -389,12 +394,17 @@ def test_gif_lzw_roundtrip_and_router():
         out.append(acc & 255)
     assert _lzw_decode(bytes(out), min_code) == pixels
 
-    # guards: interlaced and truncated frames fail loudly
+    # r10: flipping the interlace flag on a frame whose rows were
+    # stored sequentially just permutes rows — channel sums (all this
+    # decoder reports) are row-permutation-invariant, so the flip must
+    # decode to the same sums, not refuse
     g = bytearray(encode_gif(cases[0][0], pal))
     desc = g.find(b"\x2c")
     g[desc + 9] |= 0x40  # interlace flag
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(g))
+    flipped, straight = decode_gif(bytes(g)), decode_gif(encode_gif(cases[0][0], pal))
+    assert {k: flipped[k] for k in ("sum_r", "sum_g", "sum_b")} == {
+        k: straight[k] for k in ("sum_r", "sum_g", "sum_b")
+    }
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"\x89PNG....")
 
@@ -652,3 +662,126 @@ def test_adpcm_oracle_sin_truncation_agreement_exhaustive():
     i = rows["i"].astype(np.float64)
     v_np = (2500 * np.sin(i / p1) + 400 * np.sin(i / p2)).astype(np.int16)
     assert (v_np.astype(np.float64) == rows["v"].astype(np.float64)).all()
+
+
+def test_png_extended_matrix_roundtrip():
+    """r10 PNG coverage: indexed (PLTE) at depths 1/2/4/8, grayscale
+    sub-byte depths, 16-bit gray/RGB (big-endian samples), and Adam7
+    interlacing for every shape — each must decode to the exact sums
+    of the source raster, including sizes where some Adam7 passes are
+    empty."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    for depth, ncol in ((8, 256), (4, 16), (2, 4), (1, 2)):
+        pal = rng.integers(0, 256, size=(ncol, 3)).astype(np.uint8)
+        idx = rng.integers(0, ncol, size=(9, 11))
+        rgb = pal.astype(np.int64)[idx]
+        for inter in (False, True):
+            d = decode_png(
+                encode_png(idx, color_type=3, bit_depth=depth, palette=pal,
+                           interlace=inter)
+            )
+            assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(
+                int(rgb[:, :, i].sum()) for i in range(3)
+            ), (depth, inter)
+    for depth in (1, 2, 4):
+        g = rng.integers(0, 1 << depth, size=(10, 17))
+        d = decode_png(encode_png(g, color_type=0, bit_depth=depth))
+        assert d["sum_r"] == int(g.sum()) == d["sum_b"], depth
+    g16 = rng.integers(0, 65536, size=(5, 6))
+    d = decode_png(encode_png(g16, color_type=0, bit_depth=16))
+    assert d["sum_r"] == int(g16.sum())
+    px16 = rng.integers(0, 65536, size=(7, 9, 3))
+    for inter in (False, True):
+        d = decode_png(encode_png(px16, color_type=2, bit_depth=16, interlace=inter))
+        assert d["sum_g"] == int(px16[:, :, 1].sum()), inter
+    for hw in ((1, 1), (2, 3), (3, 2), (5, 1)):  # empty Adam7 passes
+        g = rng.integers(0, 256, size=hw)
+        d = decode_png(encode_png(g, color_type=0, interlace=True))
+        assert d["sum_r"] == int(g.sum()), hw
+
+
+def test_png_16bit_filters_unfilter_at_sample_width():
+    """Hand-filter 16-bit scanlines with Sub/Up/Average/Paeth at the
+    spec's 6-byte left distance (3 channels x 2 bytes) — an 8-bit-only
+    unfilter distance would corrupt these silently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 65536, size=(5, 4, 3))
+    h, w, ch = px.shape
+    bpp = ch * 2
+    raw_rows = [px[y].astype(">u2").tobytes() for y in range(h)]
+    prev = bytes(w * bpp)
+    body = bytearray()
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        cur = raw_rows[y]
+        out = bytearray([f])
+        for i in range(len(cur)):
+            x = cur[i]
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 255
+            elif f == 2:
+                v = (x - b) & 255
+            elif f == 3:
+                v = (x - ((a + b) >> 1)) & 255
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 255
+            out.append(v)
+        body += out
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(
+        int(px[:, :, i].astype(np.int64).sum()) for i in range(3)
+    )
+
+
+def test_gif_interlace_roundtrip_and_row_placement():
+    """r10 GIF interlacing: the four-pass storage order must invert
+    exactly — pinned on the helper with row-identifiable content (sums
+    alone can't see a row permutation), then end-to-end through the
+    LZW encode/decode path."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        _gif_deinterlace,
+        _gif_interlace_order,
+        decode_gif,
+        encode_gif,
+    )
+
+    h, w = 13, 4
+    display = np.arange(h, dtype=np.uint8)[:, None].repeat(w, axis=1) % 8
+    stored = display[_gif_interlace_order(h)]
+    assert (_gif_deinterlace(stored) == display).all()
+    pal = (np.arange(8 * 3, dtype=np.uint8) * 7 % 256).reshape(8, 3)
+    d_inter = decode_gif(encode_gif(display, pal, interlace=True))
+    d_plain = decode_gif(encode_gif(display, pal))
+    for k in ("sum_r", "sum_g", "sum_b", "width", "height"):
+        assert d_inter[k] == d_plain[k], k
