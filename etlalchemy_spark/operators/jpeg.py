@@ -1,22 +1,25 @@
-"""Baseline sequential JPEG (ITU-T T.81, public spec) encoder +
-decoder — pure stdlib + numpy, same discipline as the r8 PNG/GIF/
-ADPCM/AVI codecs (no codec libraries exist in this container; on a
-real cluster you'd swap PIL in, but the Spark-side plumbing is what
-this engine owns).
+"""JPEG (ITU-T T.81, public spec) encoder + decoder — pure stdlib +
+numpy, same discipline as the r8 PNG/GIF/ADPCM/AVI codecs (no codec
+libraries exist in this container; on a real cluster you'd swap PIL
+in, but the Spark-side plumbing is what this engine owns).
 
-Supported (baseline sequential DCT, the format's dominant profile):
+Supported (the format's two dominant profiles):
 
-- markers SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI; 8-bit quant tables
+- BASELINE SEQUENTIAL (SOF0) and PROGRESSIVE (SOF2 — r10: spectral
+  selection, successive approximation, interleaved DC scans,
+  single-component AC scans, EOB runs, correction bits, per-scan
+  DHT/DQT/DRI between scans)
+- markers SOI/APPn/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/EOI; 8-bit quant
 - 1-component (grayscale) and 3-component YCbCr scans
 - 4:4:4 (all 1x1), 4:2:0 (luma 2x2), and 4:2:2 (luma 2x1 — r10)
 - restart intervals (DRI + RST0..7, modulo-sequence-checked, DC
-  predictor resets — r10; present in virtually every camera JPEG)
+  predictor + EOB-run resets — r10)
 - DC prediction, AC run-length with ZRL/EOB, byte stuffing
 - Huffman tables are read FROM THE FILE's DHT segments, so decode is
   self-contained; the encoder writes the Annex-K standard tables
 
 Refused LOUDLY with the exact unsupported field (honest boundaries):
-progressive (SOF2) and every non-baseline SOF, arithmetic coding,
+lossless/hierarchical/extended-sequential SOFs, arithmetic coding,
 16-bit quant tables, other subsampling geometries.
 
 IDCT/DCT are float64 matrix products; block reconstruction rounds via
@@ -457,18 +460,34 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive (r10)
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"sample precision {prec} (only 8)")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            kinds = {0xC2: "progressive DCT (SOF2)", 0xC1: "extended sequential (SOF1)"}
+            kinds = {0xC1: "extended sequential (SOF1)"}
             raise NotImplementedError(
                 f"{kinds.get(marker, f'SOF marker 0xFF{marker:02X}')} not "
-                "supported — baseline sequential (SOF0) only"
+                "supported — baseline sequential (SOF0) and progressive "
+                "(SOF2) only"
             )
         elif marker == 0xDD:  # DRI (r10): RSTn every ri MCUs in the scan
             ri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
+            if frame.get("progressive"):
+                # take over the remaining marker walk: progressive
+                # frames carry MANY scans with DHT/DRI between them
+                return _decode_progressive(
+                    payload, pos - 2, frame, qtabs, htabs, ri
+                )
             ns = seg[0]
             scan = {}
             for i in range(ns):
@@ -479,8 +498,9 @@ def decode_jpeg(payload: bytes) -> dict:
     raise ValueError("no scan (SOS) found")
 
 
-def _decode_scan(payload, pos, frame, scan, qtabs, htabs, ri: int = 0) -> dict:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _sub_geometry(comps):
+    """(sub, hmax, vmax) for a frame's components — shared by the
+    baseline and progressive paths so geometry support can't drift."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if len(comps) == 1:
@@ -499,6 +519,58 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs, ri: int = 0) -> dict:
             raise NotImplementedError(f"subsampling geometry {factors} not supported")
     else:
         raise NotImplementedError(f"{len(comps)}-component scans not supported")
+    return sub, hmax, vmax
+
+
+def _planes_to_stats(h, w, comps, planes, sub, hmax, vmax) -> dict:
+    """Crop decoded planes to nominal size, upsample chroma, convert to
+    RGB, and emit the stats dict — the shared tail of the baseline and
+    progressive decoders."""
+    crops = []
+    for c, plane in zip(comps, planes):
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        crops.append(plane[:ch, :cw])
+
+    yp = crops[0]
+    out = {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "subsampling": sub,
+        "n_pixels": int(w) * int(h),
+        "sum_y": int(yp.sum()),
+        "sum_cb": int(crops[1].sum()) if len(crops) == 3 else 0,
+        "sum_cr": int(crops[2].sum()) if len(crops) == 3 else 0,
+    }
+    if len(crops) == 1:
+        out["sum_r"] = out["sum_g"] = out["sum_b"] = out["sum_y"]
+        out["planes"] = crops
+        return out
+    cbp, crp = crops[1], crops[2]
+    if sub == "420":
+        cbp = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        crp = crp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    elif sub == "422":  # half-width only: replicate horizontally
+        cbp = cbp.repeat(2, axis=1)[:h, :w]
+        crp = crp.repeat(2, axis=1)[:h, :w]
+    yf = yp.astype(np.float64)
+    cbf = cbp.astype(np.float64) - 128.0
+    crf = crp.astype(np.float64) - 128.0
+    # floor(x + 0.5) rounding — the formula the DuckDB oracle mirrors
+    r = np.clip(np.floor(yf + 1.402 * crf + 0.5), 0, 255)
+    g = np.clip(np.floor(yf - 0.344136 * cbf - 0.714136 * crf + 0.5), 0, 255)
+    b = np.clip(np.floor(yf + 1.772 * cbf + 0.5), 0, 255)
+    out["sum_r"] = int(r.sum())
+    out["sum_g"] = int(g.sum())
+    out["sum_b"] = int(b.sum())
+    out["planes"] = crops
+    return out
+
+
+def _decode_scan(payload, pos, frame, scan, qtabs, htabs, ri: int = 0) -> dict:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    sub, hmax, vmax = _sub_geometry(comps)
 
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-w // mcu_w)
@@ -552,44 +624,460 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs, ri: int = 0) -> dict:
                         x0 = (mx * c["h"] + sx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
 
-    # crop to nominal plane sizes
-    crops = []
-    for c, plane in zip(comps, planes):
+    return _planes_to_stats(h, w, comps, planes, sub, hmax, vmax)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Advance from inside/at the end of entropy data to the next real
+    marker (skipping stuffed 0x00 and RSTn)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("ran off the end of JPEG entropy data")
+
+
+def _decode_progressive(payload, pos, frame, qtabs, htabs, ri: int) -> dict:
+    """Progressive DCT decode (SOF2, T.81 §G — r10, the last named JPEG
+    refusal): coefficients accumulate across MANY scans, each carrying
+    a spectral band [Ss, Se] and successive-approximation bit position
+    (Ah → Al). DC scans may interleave all components in MCU order; AC
+    scans are single-component over the non-interleaved block grid.
+    First passes (Ah=0) Huffman-decode magnitudes shifted left by Al;
+    refinement passes (Ah>0) add one bit of precision per coefficient
+    — newly-significant coefficients arrive as ±1<<Al, already-nonzero
+    ones consume correction bits, and EOB runs span blocks. After the
+    walk hits EOI, every component dequantizes and inverse-transforms
+    exactly like the baseline path (shared _planes_to_stats tail).
+    ``pos`` points at the first SOS marker; DHT/DQT/DRI between scans
+    are honored; RSTn inside scans reset predictors and the EOB run."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    sub, hmax, vmax = _sub_geometry(comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # MCU-padded coefficient store per component (zigzag order);
+    # non-interleaved scans cover the unpadded prefix grid
+    coefs = []
+    nonint_dims = []
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        coefs.append(np.zeros((bh, bw, 64), dtype=np.int32))
         cw = -(-w * c["h"] // hmax)
         ch = -(-h * c["v"] // vmax)
-        crops.append(plane[:ch, :cw])
+        nonint_dims.append((-(-ch // 8), -(-cw // 8)))
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
 
-    yp = crops[0]
-    out = {
-        "format": "jpeg",
-        "width": w,
-        "height": h,
-        "subsampling": sub,
-        "n_pixels": int(w) * int(h),
-        "sum_y": int(yp.sum()),
-        "sum_cb": int(crops[1].sum()) if len(crops) == 3 else 0,
-        "sum_cr": int(crops[2].sum()) if len(crops) == 3 else 0,
-    }
-    if len(crops) == 1:
-        out["sum_r"] = out["sum_g"] = out["sum_b"] = out["sum_y"]
-        out["planes"] = crops
-        return out
-    cbp, crp = crops[1], crops[2]
-    if sub == "420":
-        cbp = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
-        crp = crp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
-    elif sub == "422":  # half-width only: replicate horizontally
-        cbp = cbp.repeat(2, axis=1)[:h, :w]
-        crp = crp.repeat(2, axis=1)[:h, :w]
-    yf = yp.astype(np.float64)
-    cbf = cbp.astype(np.float64) - 128.0
-    crf = crp.astype(np.float64) - 128.0
-    # floor(x + 0.5) rounding — the formula the DuckDB oracle mirrors
-    r = np.clip(np.floor(yf + 1.402 * crf + 0.5), 0, 255)
-    g = np.clip(np.floor(yf - 0.344136 * cbf - 0.714136 * crf + 0.5), 0, 255)
-    b = np.clip(np.floor(yf + 1.772 * cbf + 0.5), 0, 255)
-    out["sum_r"] = int(r.sum())
-    out["sum_g"] = int(g.sum())
-    out["sum_b"] = int(b.sum())
-    out["planes"] = crops
-    return out
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seg_len]
+        if marker == 0xC4:  # DHT between scans
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nvals = sum(bits)
+                values = list(seg[p + 17:p + 17 + nvals])
+                table = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = values[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(tc, th)] = table
+                p += 17 + nvals
+        elif marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables (DQT Pq=1) not supported"
+                    )
+                qtabs[tq] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(
+                    np.int32
+                )
+                p += 65
+        elif marker == 0xDD:
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((by_id[cs], tds >> 4, tds & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_prog_scan(
+                payload, pos + seg_len, frame, comps, coefs, nonint_dims,
+                scomps, ss, se, ah, al, qtabs, htabs, ri, mcus_x, mcus_y,
+            )
+            continue
+        pos += seg_len
+
+    # dequantize + IDCT every block, then the shared reconstruction
+    planes = []
+    for c, cf in zip(comps, coefs):
+        bh, bw = cf.shape[0], cf.shape[1]
+        q = qtabs[c["tq"]]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = cf[by, bx] * q
+                blk = _M.T @ coef.reshape(8, 8) @ _M
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                    np.floor(blk + 128.0 + 0.5), 0, 255
+                ).astype(np.int32)
+        planes.append(plane)
+    return _planes_to_stats(h, w, comps, planes, sub, hmax, vmax)
+
+
+def _decode_prog_scan(
+    payload, pos, frame, comps, coefs, nonint_dims, scomps, ss, se, ah, al,
+    qtabs, htabs, ri, mcus_x, mcus_y,
+) -> int:
+    """Decode ONE progressive scan's entropy data; returns the offset
+    of the next marker. DC scans (ss == 0) may interleave components;
+    AC scans (ss > 0) cover one component's non-interleaved grid."""
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "progressive scan with Ss=0 must have Se=0 (DC scans carry "
+            "no AC band) — T.81 §G.1"
+        )
+    if ah and ah != al + 1:
+        raise ValueError(f"successive approximation must step by 1 bit (Ah={ah}, Al={al})")
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+    preds = [0] * len(comps)
+
+    def dc_first(ci, blk, td):
+        ssss = _decode_huff(reader, htabs[(0, td)])
+        diff = _extend(reader.bits(ssss), ssss) if ssss else 0
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+
+    def dc_refine(blk):
+        if reader.bit():
+            blk[0] |= 1 << al
+
+    def ac_first(blk, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, htabs[(1, ta)])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows the spectral band")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, ta):
+        # T.81 §G.1.2.3 correction-bit algorithm (the hard one): new
+        # coefficients arrive as ±1<<al; every already-nonzero
+        # coefficient passed on the way consumes one correction bit
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, htabs[(1, ta)])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        # total run INCLUDING this block; the tail
+                        # correction loop below consumes this block's
+                        # remaining bits and decrements
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    # r == 15: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude must be 1")
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        if reader.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k]:
+                    if reader.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def restart(unit_i):
+        nonlocal eobrun, preds
+        if ri and unit_i and unit_i % ri == 0:
+            reader.restart((unit_i // ri - 1) % 8)
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    if ss == 0:  # DC scan, possibly interleaved
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(unit)
+                unit += 1
+                for ci, td, _ta in scomps:
+                    c = comps[ci]
+                    for sy in range(c["v"]):
+                        for sx in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + sy, mx * c["h"] + sx]
+                            if ah == 0:
+                                dc_first(ci, blk, td)
+                            else:
+                                dc_refine(blk)
+    else:  # AC scan: exactly one component, non-interleaved grid
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        ci, _td, ta = scomps[0]
+        bh, bw = nonint_dims[ci]
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                restart(unit)
+                unit += 1
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    ac_first(blk, ta)
+                else:
+                    ac_refine(blk, ta)
+
+    return _next_marker(payload, reader.pos)
+
+
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantization to a zigzag-order int32 vector — the
+    shared front half of the baseline and progressive encoders."""
+    coef = _M @ (block.astype(np.float64) - 128.0) @ _M.T
+    flat = coef.reshape(64)[ZIGZAG]
+    scaled = flat / q
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int32)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al truncating toward ZERO (DC
+    uses a plain arithmetic shift instead — T.81 A.4)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    quality: int = 100,
+    subsampling: str = "444",
+) -> bytes:
+    """Progressive JPEG (SOF2) writer — the fixture synthesizer for the
+    progressive decode leg (r10). Emits a libjpeg-style scan script
+    exercising EVERY progressive decode path: DC first at Al=1 →
+    banded AC first passes at Al>0 (spectral selection + EOB runs) →
+    DC refinement → chained AC refinements down to Al=0 (new ±1
+    coefficients, correction bits, EOB-run corrections). Per-block EOB
+    emission (no cross-block run accumulation) keeps the writer simple
+    — decoders must accept it, and the stream is bit-exact recoverable:
+    after all scans every coefficient equals the baseline quantized
+    value, so block-constant quality-100 fixtures stay DC-exact and
+    ORACLE-CHECKABLE exactly like the sequential path. Geometry and
+    plane rules match encode_jpeg (gray/444/420/422)."""
+    h, w = y.shape
+    color = cb is not None
+    if color and (cr is None or cb.shape != cr.shape):
+        raise ValueError("cb/cr must both be given with identical shapes")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if not color or subsampling == "444":
+        mcu_h = mcu_w = 8
+    elif subsampling == "420":
+        mcu_h = mcu_w = 16
+    else:
+        mcu_h, mcu_w = 8, 16
+    if h % mcu_h or w % mcu_w:
+        raise ValueError(f"dims must be multiples of {mcu_w}x{mcu_h} for {subsampling}")
+    sampling = {"420": (2, 2), "422": (2, 1)}.get(subsampling if color else "", (1, 1))
+    fh, fv = sampling
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    dcl = _canonical_codes(*DC_LUMA_SPEC)
+    acl = _canonical_codes(*AC_LUMA_SPEC)
+    dcc = _canonical_codes(*DC_CHROMA_SPEC)
+    acc = _canonical_codes(*AC_CHROMA_SPEC)
+
+    # quantize every block up front, per component, in block-grid order
+    mcus_x, mcus_y = w // mcu_w, h // mcu_h
+    planes = [(y, ql, fh, fv)]
+    if color:
+        planes += [(cb, qc, 1, 1), (cr, qc, 1, 1)]
+    zz = []  # per component: (bh, bw) grid of 64-vectors
+    for plane, q, ch_, cv_ in planes:
+        bh, bw = mcus_y * cv_, mcus_x * ch_
+        grid = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                grid[by, bx] = _quantize_block(
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q
+                )
+        zz.append(grid)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, ql)
+    if color:
+        out += _dqt_segment(1, qc)
+    ncomp = 3 if color else 1
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    sof += bytes([1, (fh << 4) | fv, 0])
+    if color:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += _dht_segment(0, 0, DC_LUMA_SPEC)
+    out += _dht_segment(1, 0, AC_LUMA_SPEC)
+    if color:
+        out += _dht_segment(0, 1, DC_CHROMA_SPEC)
+        out += _dht_segment(1, 1, AC_CHROMA_SPEC)
+
+    all_comps = list(range(ncomp))
+    script = [(all_comps, 0, 0, 0, 1)]  # DC first, Al=1
+    script += [([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2)]  # luma AC first, banded
+    if color:
+        script += [([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1)]
+    script += [(all_comps, 0, 0, 1, 0)]  # DC refine
+    script += [([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)]  # luma AC refine chain
+    if color:
+        script += [([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+
+    for scomps, ss, se, ah, al in script:
+        sos = bytearray([len(scomps)])
+        for ci in scomps:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+        wtr = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first: interleaved MCU order
+            preds = [0] * ncomp
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in scomps:
+                        dc = dcl if ci == 0 else dcc
+                        ch_ = fh if ci == 0 else 1
+                        cv_ = fv if ci == 0 else 1
+                        for sy in range(cv_):
+                            for sx in range(ch_):
+                                v = int(zz[ci][my * cv_ + sy, mx * ch_ + sx][0]) >> al
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                ssss = _category(diff)
+                                code, ln = dc[ssss]
+                                wtr.put(code, ln)
+                                if ssss:
+                                    wtr.put(_value_bits(diff, ssss), ssss)
+        elif ss == 0:  # DC refine: one bit per block, MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in scomps:
+                        ch_ = fh if ci == 0 else 1
+                        cv_ = fv if ci == 0 else 1
+                        for sy in range(cv_):
+                            for sx in range(ch_):
+                                v = int(zz[ci][my * cv_ + sy, mx * ch_ + sx][0])
+                                wtr.put((v >> al) & 1, 1)
+        else:
+            ci = scomps[0]
+            ac = acl if ci == 0 else acc
+            grid = zz[ci]
+            for by in range(grid.shape[0]):
+                for bx in range(grid.shape[1]):
+                    blk = grid[by, bx]
+                    if ah == 0:  # AC first pass at this precision
+                        r = 0
+                        for k in range(ss, se + 1):
+                            t = _pt(int(blk[k]), al)
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15:
+                                c, ln = ac[0xF0]
+                                wtr.put(c, ln)
+                                r -= 16
+                            s = _category(t)
+                            c, ln = ac[(r << 4) | s]
+                            wtr.put(c, ln)
+                            wtr.put(_value_bits(t, s), s)
+                            r = 0
+                        if r:
+                            c, ln = ac[0x00]  # EOB0: this block only
+                            wtr.put(c, ln)
+                    else:  # AC refinement: ah -> al
+                        r = 0
+                        pending: list[int] = []
+                        for k in range(ss, se + 1):
+                            mag = abs(int(blk[k])) >> al
+                            if mag == 0:
+                                r += 1
+                                continue
+                            # ZRL flush BEFORE buffering this position's
+                            # correction bit: the decoder's ZRL walk only
+                            # consumes bits for nonzero-history positions
+                            # it actually passes (before its 16th zero)
+                            while r > 15:
+                                c, ln = ac[0xF0]
+                                wtr.put(c, ln)
+                                for b in pending:
+                                    wtr.put(b, 1)
+                                pending = []
+                                r -= 16
+                            if mag > 1:  # already significant: 1 bit
+                                pending.append(mag & 1)
+                                continue
+                            c, ln = ac[(r << 4) | 1]
+                            wtr.put(c, ln)
+                            wtr.put(1 if int(blk[k]) > 0 else 0, 1)
+                            for b in pending:
+                                wtr.put(b, 1)
+                            pending = []
+                            r = 0
+                        if r or pending:
+                            c, ln = ac[0x00]
+                            wtr.put(c, ln)
+                            for b in pending:
+                                wtr.put(b, 1)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1618,6 +1618,83 @@ LEFT JOIN csum c ON p.doc_id = c.doc_id
 """
 
 
+@register("mm_decode_jpeg_progressive", oracle=_JPEG_SQL, tags=("multimodal", "udf"))
+def mm_decode_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (SOF2 — r10, the web's default encode
+    mode leaves the refusal list): the SAME block-constant fixtures as
+    mm_decode_jpeg_stats, but encoded with a libjpeg-style progressive
+    scan script — DC first at Al=1, banded AC first passes, DC
+    refinement, chained AC refinements to Al=0 — so every decode walks
+    spectral selection, successive approximation, EOB runs, and
+    correction bits before producing its sums. The oracle is SHARED
+    VERBATIM with the sequential query: progressive encoding of the
+    same coefficients must be value-invisible, and the gate hashes
+    that claim. Lossy-quality bit-exact equivalence to the baseline
+    path is pinned in tests/test_jpeg.py."""
+    from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("mode"),
+        (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        ones = np.ones((8, 8), dtype=np.int64)
+
+        def plane(doc, nbx, nby, ka, kb, kc):
+            bx = np.arange(nbx, dtype=np.int64)
+            by = np.arange(nby, dtype=np.int64)
+            blocks = (ka * doc + kb * bx[None, :] + kc * by[:, None]) % 256
+            return np.kron(blocks, ones).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for doc, mode, w, h in zip(pdf["doc_id"], pdf["mode"], pdf["w"], pdf["h"]):
+                doc, mode, w, h = int(doc), int(mode), int(w), int(h)
+                y = plane(doc, w // 8, h // 8, 7, 11, 13)
+                if mode == 0:
+                    payload = encode_jpeg_progressive(y, quality=100)
+                elif mode == 1:
+                    cb = plane(doc, w // 8, h // 8, 5, 3, 7)
+                    cr = plane(doc, w // 8, h // 8, 3, 5, 1)
+                    payload = encode_jpeg_progressive(
+                        y, cb, cr, quality=100, subsampling="444"
+                    )
+                else:
+                    cb = plane(doc, w // 16, h // 16, 5, 3, 7)
+                    cr = plane(doc, w // 16, h // 16, 3, 5, 1)
+                    payload = encode_jpeg_progressive(
+                        y, cb, cr, quality=100, subsampling="420"
+                    )
+                d = decode_jpeg(payload)
+                rows.append(
+                    (
+                        doc, d["subsampling"], d["width"], d["height"],
+                        d["n_pixels"], d["sum_y"], d["sum_cb"], d["sum_cr"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subsampling", "width", "height", "n_pixels",
+                    "sum_y", "sum_cb", "sum_cr", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, subsampling string, width int, height int, n_pixels bigint, "
+        "sum_y bigint, sum_cb bigint, sum_cr bigint, sum_r bigint, sum_g bigint, "
+        "sum_b bigint",
+    )
+
+
 @register("mm_decode_jpeg_stats", oracle=_JPEG_SQL, tags=("multimodal", "udf", "bench"))
 def mm_decode_jpeg_stats(spark, sf_dir):
     """REAL baseline-sequential JPEG decode, stdlib+numpy (r9 — the

@@ -98,11 +98,18 @@ def test_router_dispatches_jpeg():
 def test_refusals_name_the_field():
     y = np.full((8, 8), 9, dtype=np.uint8)
     payload = bytearray(encode_jpeg(y, quality=100))
-    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): r10 decodes real
+    # progressive streams, so the mislabeled baseline scan (Ss=0 with
+    # Se=63 — illegal for a progressive DC scan) must refuse as
+    # corrupt, not decode garbage
     i = bytes(payload).find(b"\xff\xc0")
     prog = payload[:i] + b"\xff\xc2" + payload[i + 2:]
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
+    # SOF1 (extended sequential) still refuses by name
+    sof1 = payload[:i] + b"\xff\xc1" + payload[i + 2:]
+    with pytest.raises(NotImplementedError, match="SOF1"):
+        decode_jpeg(bytes(sof1))
     # a DECLARED restart interval whose RST markers never arrive must
     # fail loudly (the stream disagrees with its own DRI), not decode
     # garbage — an 8x8 image is one MCU, so interval 16 never fires
@@ -187,3 +194,57 @@ def test_restart_marker_mismatch_fails_loudly():
     payload[i + 1] = 0xD3
     with pytest.raises(ValueError, match="expected RST0"):
         decode_jpeg(bytes(payload))
+
+
+def test_progressive_decode_equals_baseline_bit_exact():
+    """SOF2 (r10): the progressive scan script encodes exactly the
+    same quantized coefficients as the sequential encoder, so after
+    all scans — DC first at Al=1, banded AC first passes, DC
+    refinement, chained AC refinements to Al=0 — the decode must be
+    BIT-IDENTICAL to the baseline decode, for every geometry and for
+    lossy qualities (not just DC-only fixtures)."""
+    from etlalchemy_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    cases = []
+    y = rng.integers(0, 256, size=(24, 40)).astype(np.uint8)
+    for q in (100, 90, 75):
+        cases.append((f"gray q{q}", dict(quality=q), (y,)))
+    y3 = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    cb4 = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    cr4 = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    cases.append(("444", dict(quality=85, subsampling="444"), (y3, cb4, cr4)))
+    cb0 = rng.integers(0, 256, size=(16, 24)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, size=(16, 24)).astype(np.uint8)
+    cases.append(("420", dict(quality=80, subsampling="420"), (y3, cb0, cr0)))
+    cb2 = rng.integers(0, 256, size=(32, 24)).astype(np.uint8)
+    cr2 = rng.integers(0, 256, size=(32, 24)).astype(np.uint8)
+    cases.append(("422", dict(quality=95, subsampling="422"), (y3, cb2, cr2)))
+    for tag, kw, planes in cases:
+        b = decode_jpeg(encode_jpeg(*planes, **kw))
+        p = decode_jpeg(encode_jpeg_progressive(*planes, **kw))
+        for k in ("width", "height", "subsampling", "sum_y", "sum_cb", "sum_cr",
+                  "sum_r", "sum_g", "sum_b"):
+            assert b[k] == p[k], (tag, k)
+        for pb, pp in zip(b["planes"], p["planes"]):
+            assert (pb == pp).all(), tag
+
+
+def test_progressive_golden_bytes_pinned():
+    """Deterministic progressive encoder: byte-identical output across
+    rounds/machines — drift in the scan script, EOB/ZRL emission, or
+    correction-bit buffering fails here first."""
+    from etlalchemy_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(77)
+    y = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    payload = encode_jpeg_progressive(y, quality=80)
+    assert hashlib.md5(payload).hexdigest() == _GOLDEN_PROG_MD5
+    d = decode_jpeg(payload)
+    b = decode_jpeg(encode_jpeg(y, quality=80))
+    assert d["sum_y"] == b["sum_y"]
+
+
+# md5 of encode_jpeg_progressive(rng(77) 16x16 gray, quality=80),
+# pinned as a LITERAL like the baseline golden hash
+_GOLDEN_PROG_MD5 = "d3ec9e6295fde71aa8f920e80014d0e9"
