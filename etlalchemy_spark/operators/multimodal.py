@@ -510,9 +510,12 @@ def _ppm_raster(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raw samples
     width, height, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM samples not implemented")
-    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    if maxval > 255:  # r10: 2-byte big-endian samples (PPM spec)
+        px = np.frombuffer(payload, dtype=">u2", count=width * height * 3, offset=pos)
+    else:
+        px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
     return px.reshape(height, width, 3).astype(np.int64)
 
 

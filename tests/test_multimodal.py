@@ -169,8 +169,9 @@ def test_ppm_decode_header_comments_and_pixels():
     # comment lines in the header are legal P6 and must be skipped
     commented = b"P6\n# generated by a camera\n2 2\n# maxval next\n255\n" + px.tobytes()
     assert decode_ppm(commented) == got
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    # r10: maxval > 255 decodes as 2-byte big-endian samples
+    deep = decode_ppm(b"P6\n1 1\n65535\n\x01\x00\x00\x02\xff\xff")
+    assert (deep["sum_r"], deep["sum_g"], deep["sum_b"]) == (256, 2, 65535)
 
 
 def test_decode_image_router_compressed_boundary():
@@ -785,3 +786,24 @@ def test_gif_interlace_roundtrip_and_row_placement():
     d_plain = decode_gif(encode_gif(display, pal))
     for k in ("sum_r", "sum_g", "sum_b", "width", "height"):
         assert d_inter[k] == d_plain[k], k
+
+
+def test_ppm_16bit_samples():
+    """r10: maxval > 255 PPM carries 2-byte big-endian samples (spec);
+    the raster and stats paths must both recover exact values."""
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import decode_image_pixels, decode_ppm
+
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 65536, size=(4, 5, 3))
+    payload = b"P6\n5 4\n65535\n" + px.astype(">u2").tobytes()
+    assert (decode_image_pixels(payload) == px).all()
+    d = decode_ppm(payload)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(
+        int(px[:, :, i].sum()) for i in range(3)
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n70000\n" + b"\x00" * 24)
