@@ -224,3 +224,32 @@ def shingle_ctes(
     FROM {words_cte}
   )
 )"""
+
+
+def ln_int_sql(n_expr: str) -> str:
+    """Cross-engine-EXACT natural log of a positive INTEGER expression,
+    as one SQL arithmetic expression valid in both Spark SQL and
+    DuckDB. libm ln() rounds differently across engines (the
+    text_tfidf_topterms finding), so this builds ln from operations
+    that ARE identically rounded everywhere (IEEE-754 +,-,*,/):
+    exact power-of-2 range reduction (k = length(bin(n)) - 1, a pure
+    integer/string op; m = n / 2^k lands in [1, 2) exactly), then the
+    atanh series ln(m) = 2z(1 + z²/3 + z⁴/5 + …) with z = (m-1)/(m+1)
+    ≤ 1/3, Horner-evaluated to the z³⁵ term (truncation ~1e-18,
+    below double resolution). Both engines evaluate the SAME
+    expression tree, so the result is bit-identical — accurate to
+    ~1 ulp of true ln, and deterministic, which is what the oracle
+    contract needs."""
+    # E-notation literals: `1.0` parses as DECIMAL in Spark SQL (and
+    # decimal division truncates), while `1e0` is DOUBLE in BOTH
+    # engines — every constant here must stay IEEE double
+    k = f"(length(bin({n_expr})) - 1)"
+    m = f"(CAST({n_expr} AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {k} AS DOUBLE))"
+    z = f"(({m} - 1e0) / ({m} + 1e0))"
+    w = f"({z} * {z})"
+    horner = "(1e0/35e0)"
+    for d in range(33, 0, -2):
+        horner = f"((1e0/{d}e0) + {w} * {horner})"
+    return (
+        f"(CAST({k} AS DOUBLE) * 6931471805599453e-16 + 2e0 * {z} * {horner})"
+    )

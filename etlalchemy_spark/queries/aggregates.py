@@ -2129,3 +2129,98 @@ def agg_ratio_delta_method(spark, sf_dir):
         (r / 100.0).alias("revenue_per_order"),
         (se / 100.0).alias("se_delta"),
     )
+
+
+from etlalchemy_spark.queries._util import ln_int_sql  # noqa: E402
+
+_LN_N = ln_int_sql("n")
+_LN_NT = ln_int_sql("nt")
+
+_ENTROPY_SQL = f"""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+),
+terms AS (
+  -- per-term double -> fixed-scale decimal BEFORE the sum: each
+  -- n*ln(n) term is the IDENTICAL arithmetic in both engines
+  -- (ln_int_sql -- libm ln is engine-specific, so ln is built from
+  -- identically-rounded IEEE ops), and the decimal sum is exact and
+  -- order-free
+  SELECT source,
+         SUM(CAST(CAST(n AS DOUBLE) * {_LN_N} AS DECIMAL(28,10))) AS s_nlogn,
+         SUM(n) AS nt,
+         COUNT(*) AS n_langs
+  FROM c GROUP BY source
+)
+SELECT source,
+       CAST(nt AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       -- numerator is an EXACT decimal whose unscaled value fits well
+       -- under 2^53, so the double conversion is exact in both
+       -- engines and the final H is ONE identical IEEE division
+       -- decimal -> double through VARCHAR: DuckDB's int128->double
+       -- conversion double-rounds (memory: duckdb-int128-double)
+       -- s_nlogn re-narrows to DECIMAL(28,10) (exact: fixture sums
+       -- are tiny) so the subtraction stays at full scale — Spark's
+       -- 38-precision cap would otherwise shave the last digit
+       CAST(CAST(CAST(CAST(CAST(nt AS DOUBLE) * {_LN_NT} AS DECIMAL(28,10))
+                      - CAST(s_nlogn AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)
+            / CAST(nt AS DOUBLE) AS DOUBLE) AS lang_entropy_nats
+FROM terms
+"""
+
+
+@register("agg_entropy_exact", oracle=_ENTROPY_SQL, tags=("agg", "stats", "text"))
+def agg_entropy_exact(spark, sf_dir):
+    """Shannon entropy of each source's language distribution — the
+    diversity diagnostic a corpus-mixing pipeline monitors per slice
+    (a source collapsing to one language is an ingestion bug). Uses
+    the algebraic form H = ln(N) - (1/N)*SUM n_i*ln(n_i) where ln of an
+    integer count is computed by ln_int_sql: libm ln rounds
+    differently across engines (the tfidf finding), so ln is BUILT
+    from identically-rounded IEEE arithmetic (exact power-of-2 range
+    reduction + atanh series) and BOTH formulations evaluate the same
+    expression text. Each n*ln(n) term casts to a fixed-scale decimal
+    before the sum (exact, order-free), the numerator converts to
+    double exactly, and H is one identical IEEE division. Two hash
+    aggregates, both partial-agg friendly; group count = distinct
+    (source, lang), never rows."""
+    from etlalchemy_spark.queries._util import t as _t
+
+    c = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    terms = c.groupBy("source").agg(
+        F.sum(
+            F.expr(f"CAST(CAST(n AS DOUBLE) * {_LN_N} AS DECIMAL(28,10))")
+        ).alias("s_nlogn"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    num = (
+        F.expr(f"CAST(CAST(nt AS DOUBLE) * {_LN_NT} AS DECIMAL(28,10))")
+        - F.col("s_nlogn").cast("decimal(28,10)")
+    )
+    return terms.select(
+        "source",
+        F.col("nt").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        (num.cast("double") / F.col("nt").cast("double")).alias("lang_entropy_nats"),
+    )
+    nd = F.col("n").cast("double")
+    terms = c.groupBy("source").agg(
+        F.sum((nd * F.log(nd)).cast("decimal(28,10)")).alias("s_nlogn"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    ntd = F.col("nt").cast("double")
+    num = (ntd * F.log(ntd)).cast("decimal(28,10)") - F.col("s_nlogn")
+    return terms.select(
+        "source",
+        F.col("nt").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        (num.cast("double") / ntd).alias("lang_entropy_nats"),
+    )

@@ -2341,3 +2341,227 @@ def text_langid_mcnemar(spark, sf_dir):
             / F.nullif(bd + cd, F.lit(0)).cast("double")
         ).alias("mcnemar_chi2"),
     )
+
+
+_URL_CANON_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END
+         || '://' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END
+         || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END
+                 ELSE '' END
+         || '/a/b' || CAST(doc_id % 20 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || '?' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=tw'
+              ELSE 'id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x'
+         END
+         || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS authority,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' ||
+         regexp_replace(
+           regexp_replace(regexp_replace(authority, '^www\\.', ''), ':80$', ''),
+           ':443$', '') ||
+         CASE WHEN path IN ('', '/') THEN '/'
+              ELSE regexp_replace(path, '/$', '') END ||
+         CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+  FROM (
+    SELECT doc_id, scheme, authority, path,
+           list_aggregate(
+             list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+             'string_agg', '&') AS kept0,
+           COALESCE(list_aggregate(
+             list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+             'string_agg', '&'), '') AS kept
+    FROM parts
+  )
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register("text_url_canonicalize_dedup", oracle=_URL_CANON_SQL, tags=("text", "dedup", "etl"))
+def text_url_canonicalize_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the first dedup pass of every
+    web-scale corpus pipeline (CommonCrawl-style), where the same page
+    hides behind scheme/host case, default ports, www prefixes,
+    trailing slashes, tracking parameters (utm_*/ref/fbclid/gclid),
+    parameter order, and fragments. Synthesized messy URLs (doc_id
+    formula, all variation axes) canonicalize with PURE built-ins —
+    regexp_extract to split, lower/regexp_replace for scheme-host-port
+    normalization, split + filter + array_sort + array_join for the
+    query string — so the hot path is whole-stage codegen; one hash
+    aggregate groups by canonical form (count + min-doc
+    representative). At 100 TB this is scan + one shuffle on the
+    canonical key; no UDF, no driver round-trip. DuckDB mirrors the
+    whole normalization chain for the oracle."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example")).otherwise(
+            F.lit("www.example")
+        ),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".COM"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/a/b"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("utm_source=feed&id="),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("&ref=tw"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("id="),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    authority = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(authority, r"^www\.", ""), ":80$", ""),
+        ":443$",
+        "",
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~p.rlike("^(utm_[^=]*|ref|fbclid|gclid)="),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path.isin("", "/"), F.lit("/")).otherwise(
+            F.regexp_replace(path, "/$", "")
+        ),
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+from etlalchemy_spark.queries._util import ln_int_sql  # noqa: E402
+
+_LN_C = ln_int_sql("c")
+_LN_NTOT = ln_int_sql("ntot")
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(c) AS ntot FROM vocab),
+per_tok AS (
+  SELECT t.doc_id,
+         CAST({_LN_C} AS DECIMAL(28,10)) AS lnc
+  FROM toks t JOIN vocab USING (tok)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(lnc) AS s_lnc
+  FROM per_tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_toks AS BIGINT) AS n_tokens,
+       CAST(CAST(CAST(CAST(CAST(d.n_toks AS DOUBLE) * {_LN_NTOT} AS DECIMAL(28,10))
+                      - CAST(d.s_lnc AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)
+            / CAST(d.n_toks AS DOUBLE) AS DOUBLE) AS mean_surprisal_nats
+FROM per_doc d, tot
+"""
+
+
+@register(
+    "text_unigram_logprob", oracle=_UNIGRAM_LOGPROB_SQL, tags=("text", "stats", "llm")
+)
+def text_unigram_logprob(spark, sf_dir):
+    """TRUE unigram-LM surprisal scoring (r10) — the perplexity-style
+    quality filter `text_unigram_commonness` could only approximate
+    rationally while log() was off-limits (libm rounds differently per
+    engine): per document, the mean token surprisal ln(N) - ln(c_tok)
+    in nats under the corpus unigram model. Now exact cross-engine via
+    ln_int_sql (ln of integer counts built from identically-rounded
+    IEEE arithmetic; see agg_entropy_exact), with per-token ln(c)
+    terms cast to fixed-scale decimals before the per-doc sum — exact,
+    order-free — and ONE final identical IEEE division per doc. High
+    surprisal flags gibberish/OCR noise, low flags boilerplate — the
+    two tails every corpus filter cuts. Shape: narrow token explode,
+    one vocabulary hash-agg, one Zipf-skewed equi-join (AQE skew
+    split), one per-doc re-agg; the global total rides in as a
+    1-row broadcast cross join, never a driver collect."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("ntot"))
+    per_tok = toks.join(vocab, "tok").select(
+        "doc_id", F.expr(f"CAST({_LN_C} AS DECIMAL(28,10))").alias("lnc")
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"), F.sum("lnc").alias("s_lnc")
+    )
+    joined = per_doc.crossJoin(F.broadcast(tot))
+    num = (
+        F.expr(f"CAST(CAST(n_toks AS DOUBLE) * {_LN_NTOT} AS DECIMAL(28,10))")
+        - F.col("s_lnc").cast("decimal(28,10)")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_tokens"),
+        (num.cast("double") / F.col("n_toks").cast("double")).alias(
+            "mean_surprisal_nats"
+        ),
+    )
