@@ -2224,3 +2224,74 @@ def agg_entropy_exact(spark, sf_dir):
         F.col("n_langs").cast("bigint").alias("n_langs"),
         (num.cast("double") / ntd).alias("lang_entropy_nats"),
     )
+
+
+_LN_M = ln_int_sql("m")
+_LN_NS = ln_int_sql("ns")
+_LN_MT = ln_int_sql("mt")
+
+_KL_SQL = f"""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+q AS (SELECT lang, SUM(n) AS m FROM c GROUP BY lang),
+qt AS (SELECT SUM(m) AS mt FROM q),
+terms AS (
+  -- n * (ln n - ln m): both lns are the shared identically-rounded
+  -- arithmetic, the difference and product are single IEEE ops, and
+  -- the decimal cast makes the per-source sum exact and order-free
+  SELECT c.source,
+         SUM(CAST(CAST(c.n AS DOUBLE) * ({ln_int_sql("c.n")} - {ln_int_sql("q.m")})
+                  AS DECIMAL(28,10))) AS s_term,
+         SUM(c.n) AS ns
+  FROM c JOIN q USING (lang) GROUP BY c.source
+)
+SELECT t.source,
+       CAST(t.ns AS BIGINT) AS n_docs,
+       CAST((CAST(CAST(CAST(t.s_term AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)
+             / CAST(t.ns AS DOUBLE) - {_LN_NS}) + {_LN_MT} AS DOUBLE)
+         AS kl_nats
+FROM terms t, qt
+"""
+
+
+@register("agg_kl_lang_drift", oracle=_KL_SQL, tags=("agg", "stats", "text"))
+def agg_kl_lang_drift(spark, sf_dir):
+    """KL divergence of each source's language mix from the corpus
+    language mix — the drift alarm a multi-source ingestion pipeline
+    runs per slice (a source whose mix diverges from the corpus is
+    mislabeled, re-crawled, or broken upstream). Algebraic form
+    KL = (1/N)*SUM n_i*(ln n_i - ln m_i) - ln N + ln M keeps every ln
+    on an INTEGER count (cross-engine-exact ln_int_sql, see
+    agg_entropy_exact), terms decimal-sum order-free, and the final
+    combine is a fixed parenthesization of identical doubles. Sources
+    missing a language contribute nothing (0*ln0 = 0 — the inner join
+    drops only n=0 cells, which don't exist in a count table). Two
+    hash aggregates + one tiny join on lang."""
+    from etlalchemy_spark.queries._util import t as _t
+
+    c = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = c.groupBy("lang").agg(F.sum("n").alias("m"))
+    qt = q.agg(F.sum("m").alias("mt"))
+    term = F.expr(
+        f"CAST(CAST(n AS DOUBLE) * ({ln_int_sql('n')} - {ln_int_sql('m')})"
+        " AS DECIMAL(28,10))"
+    )
+    terms = (
+        c.join(q, "lang")
+        .select("source", term.alias("term"), "n")
+        .groupBy("source")
+        .agg(F.sum("term").alias("s_term"), F.sum("n").alias("ns"))
+    )
+    return terms.crossJoin(F.broadcast(qt)).select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_docs"),
+        F.expr(
+            f"CAST((CAST(CAST(s_term AS DECIMAL(28,10)) AS DOUBLE)"
+            f" / CAST(ns AS DOUBLE) - {_LN_NS}) + {_LN_MT} AS DOUBLE)"
+        ).alias("kl_nats"),
+    )

@@ -2565,3 +2565,78 @@ def text_unigram_logprob(spark, sf_dir):
             "mean_surprisal_nats"
         ),
     )
+
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+u1m AS (SELECT w1 AS w, SUM(c) AS cu FROM bc GROUP BY w1),
+u2m AS (SELECT w2 AS w, SUM(c) AS cu FROM bc GROUP BY w2),
+tot AS (SELECT SUM(c) AS n FROM bc),
+pmi AS (
+  SELECT b.w1, b.w2, b.c,
+         CAST((({ln_int_sql("tot.n")} + {ln_int_sql("b.c")})
+               - ({ln_int_sql("u1.cu")} + {ln_int_sql("u2.cu")})) AS DOUBLE) AS pmi_nats
+  FROM bc b
+  JOIN u1m u1 ON u1.w = b.w1
+  JOIN u2m u2 ON u2.w = b.w2
+  CROSS JOIN tot
+  WHERE b.c >= 5
+)
+SELECT w1, w2, CAST(c AS BIGINT) AS n_occurrences, pmi_nats
+FROM pmi
+ORDER BY pmi_nats DESC, w1, w2 LIMIT 20
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_SQL, tags=("text", "stats", "topk"))
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining — the classic
+    phrase detector (Mikolov-style word2phrase) a tokenizer or phrase
+    vocabulary build runs first: PMI(w1,w2) = ln(N·c12 / (c1·c2)) over
+    adjacent-token bigrams, minimum-count 5, top 20. Every ln is on an
+    INTEGER count via the cross-engine-exact ln_int_sql, combined in a
+    fixed parenthesization — PMI doubles are bit-identical in both
+    engines, so even the ORDER BY ranking hash-matches (ties broken
+    lexicographically). Shape: positional-bigram explode (only token
+    pairs shuffle), one bigram hash-agg, unigram margins derived FROM
+    the bigram table (one reuse, no second corpus scan), two
+    broadcast-size joins on the margins, TakeOrderedAndProject
+    top-20."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
+    )
+    bi = toks.select(
+        F.expr("explode(transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2)))").alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # margins derived FROM the bigram table (one reuse, no second
+    # corpus scan): first-position counts for w1, second for w2
+    u1 = bc.groupBy("w1").agg(F.sum("c").alias("cu1"))
+    u2 = bc.groupBy("w2").agg(F.sum("c").alias("cu2"))
+    tot = bc.agg(F.sum("c").alias("n"))
+    pmi = (
+        bc.where(F.col("c") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n_occurrences"),
+            F.expr(
+                f"CAST((({ln_int_sql('n')} + {ln_int_sql('c')})"
+                f" - ({ln_int_sql('cu1')} + {ln_int_sql('cu2')})) AS DOUBLE)"
+            ).alias("pmi_nats"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi_nats"), "w1", "w2").limit(20)
