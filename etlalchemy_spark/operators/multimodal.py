@@ -1223,6 +1223,7 @@ def decode_avi_frames(payload: bytes, every_n: int = 1, with_raster: bool = Fals
     us_per_frame = width = height = None
     frames: list[dict] = []
     frame_i = 0
+    compression = ["raw"]  # mutated by strf; list for closure write
 
     def walk(pos: int, end: int):
         nonlocal us_per_frame, width, height, frame_i
@@ -1243,21 +1244,49 @@ def decode_avi_frames(payload: bytes, every_n: int = 1, with_raster: bool = Fals
                 # BITMAPINFOHEADER: 16/32-bpp DIBs are still '00db'
                 # BI_RGB — decoding them as 24-bpp would produce
                 # silently wrong sums, exactly what decode_bmp's guard
-                # refuses (r8 review)
+                # refuses (r8 review). biCompression 'MJPG' (r10)
+                # routes '00dc' frames through the in-house JPEG
+                # decoder; other codecs refuse by fourcc.
                 _bpp, _comp = (
                     _s.unpack_from("<H", payload, body_start + 14)[0],
                     _s.unpack_from("<I", payload, body_start + 16)[0],
                 )
-                if _comp != 0 or _bpp != 24:
+                if _comp == 0x47504A4D:  # 'MJPG' little-endian
+                    compression[0] = "mjpeg"
+                elif _comp != 0 or _bpp != 24:
                     raise NotImplementedError(
                         f"AVI DIB stream with biBitCount={_bpp} "
-                        f"biCompression={_comp}; only 24-bit BI_RGB decodes"
+                        f"biCompression={_comp:#x}; 24-bit BI_RGB and "
+                        "MJPG decode natively"
                     )
             elif cid[2:4] == b"dc":
-                raise NotImplementedError(
-                    "compressed AVI stream ('00dc') requires a video codec; "
-                    "only uncompressed DIB ('00db') decodes natively"
-                )
+                if compression[0] != "mjpeg":
+                    fourcc = payload[pos:pos + 4].decode("ascii", "replace")
+                    raise NotImplementedError(
+                        f"compressed AVI stream ({fourcc!r}) with a "
+                        "non-MJPG codec; MJPG (r10) and uncompressed DIB "
+                        "('00db') decode natively"
+                    )
+                if frame_i % every_n == 0:
+                    from etlalchemy_spark.operators.jpeg import decode_jpeg
+
+                    d = decode_jpeg(payload[body_start:body_start + size])
+                    f = {
+                        "frame_index": frame_i,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "us_per_frame": int(us_per_frame or 0),
+                        "sum_r": d["sum_r"],
+                        "sum_g": d["sum_g"],
+                        "sum_b": d["sum_b"],
+                    }
+                    if with_raster:
+                        raise NotImplementedError(
+                            "raster extraction from MJPG frames not wired "
+                            "(sums-level decode only)"
+                        )
+                    frames.append(f)
+                frame_i += 1
             elif cid[2:4] == b"db":
                 if width is None:
                     raise ValueError("AVI frame before avih header")
@@ -1317,6 +1346,40 @@ def encode_avi_rgb(frames, fps: int = 10) -> bytes:
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", dib(fr[i])) for i in range(n)))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """MJPEG AVI writer (r10): the container carries PRE-ENCODED JPEG
+    payloads as '00dc' chunks with strh fourcc + strf biCompression
+    'MJPG' — the classic webcam/DVR format, and the bridge between the
+    RIFF walker and the in-house T.81 codec. What decode_avi_frames'
+    MJPG path recovers."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    buf = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, buf * fps, 0, 0x10, n, 0, 1, buf, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, buf, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", buf, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

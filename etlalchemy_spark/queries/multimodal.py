@@ -925,6 +925,91 @@ FROM px
 """
 
 
+_AVI_MJPEG_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 2) AS w,
+         16 AS h,
+         1 + doc_id % 4 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, w, h, UNNEST(generate_series(0, n_frames - 1)) AS f
+  FROM params
+),
+blk AS (
+  SELECT doc_id, w, h, f,
+         SUM((7 * doc_id + 11 * bx + 13 * by + 17 * f) % 256) AS s
+  FROM frames,
+       UNNEST(generate_series(0, w // 8 - 1)) AS t1(bx),
+       UNNEST(generate_series(0, h // 8 - 1)) AS t2(by)
+  WHERE f % 2 = 0
+  GROUP BY doc_id, w, h, f
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_index,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(100000 AS BIGINT) AS us_per_frame,
+       CAST(64 * s AS BIGINT) AS sum_r,
+       CAST(64 * s AS BIGINT) AS sum_g,
+       CAST(64 * s AS BIGINT) AS sum_b
+FROM blk
+"""
+
+
+@register("mm_decode_avi_mjpeg", oracle=_AVI_MJPEG_SQL, tags=("multimodal", "udf"))
+def mm_decode_avi_mjpeg(spark, sf_dir):
+    """MJPEG AVI decode (r10 — compressed video leaves the refusal
+    list via the in-house T.81 codec): per-doc AVIs whose '00dc'
+    frames are REAL JPEG payloads (strf biCompression 'MJPG', the
+    webcam/DVR format), sampled every second frame through the same
+    video_frame_stats pipeline as the uncompressed query — each
+    sampled frame runs the full Huffman+IDCT decode, skipped frames
+    are never entropy-decoded. Block-constant grayscale frames at
+    quality 100 keep the decode DC-exact, so DuckDB recomputes the
+    per-sampled-frame sums formula-side: container walk + JPEG decode
+    + sampling, oracle-exact end to end. Non-MJPG fourccs still
+    refuse loudly by name."""
+    from etlalchemy_spark.operators.jpeg import encode_jpeg
+    from etlalchemy_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_stats,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("w"),
+        F.lit(16).cast("int").alias("h"),
+        (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc, w, h, nf in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["n_frames"]
+            ):
+                doc, w, h, nf = int(doc), int(w), int(h), int(nf)
+                bx = np.arange(w // 8, dtype=np.int64)
+                by = np.arange(h // 8, dtype=np.int64)
+                jpegs = []
+                for f in range(nf):
+                    blocks = (7 * doc + 11 * bx[None, :] + 13 * by[:, None]
+                              + 17 * f) % 256
+                    y = np.kron(blocks, ones).astype(np.uint8)
+                    jpegs.append(encode_jpeg(y, quality=100))
+                payloads.append(encode_avi_mjpeg(jpegs, w, h, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    vids = params.mapInPandas(synth, "doc_id long, payload binary")
+    return video_frame_stats(vids, "doc_id", every_n=2)
+
+
 @register("mm_decode_avi_frames", oracle=_AVI_SQL, tags=("multimodal", "udf"))
 def mm_decode_avi_frames(spark, sf_dir):
     """REAL video frame sampling, stdlib-only (r8 — the video modality

@@ -807,3 +807,43 @@ def test_ppm_16bit_samples():
 
     with pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n2 2\n70000\n" + b"\x00" * 24)
+
+
+def test_avi_mjpeg_roundtrip_and_refusal():
+    """r10: '00dc' chunks with strf biCompression 'MJPG' decode through
+    the in-house JPEG codec (per-frame sums equal the direct JPEG
+    decode; sampling honored); any OTHER compressed fourcc still
+    refuses loudly by name."""
+    import numpy as np
+    import pytest
+
+    from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from etlalchemy_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    ones = np.ones((8, 8), dtype=np.int64)
+    jpegs, expected = [], []
+    for _ in range(5):
+        y = np.kron(rng.integers(0, 256, size=(2, 3)), ones).astype(np.uint8)
+        p = encode_jpeg(y, quality=100)
+        jpegs.append(p)
+        expected.append(decode_jpeg(p))
+    avi = encode_avi_mjpeg(jpegs, 24, 16, fps=5)
+    out = decode_avi_frames(avi, every_n=2)
+    assert [f["frame_index"] for f in out] == [0, 2, 4]
+    for f in out:
+        e = expected[f["frame_index"]]
+        assert (f["sum_r"], f["sum_g"], f["sum_b"]) == (
+            e["sum_r"], e["sum_g"], e["sum_b"],
+        )
+        assert f["us_per_frame"] == 200000 and (f["width"], f["height"]) == (24, 16)
+    bad = bytearray(avi)
+    i = bad.find(b"MJPG")
+    while i != -1:
+        bad[i:i + 4] = b"H264"
+        i = bad.find(b"MJPG", i)
+    with pytest.raises(NotImplementedError, match="biCompression|H264"):
+        decode_avi_frames(bytes(bad))
