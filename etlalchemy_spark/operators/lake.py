@@ -178,6 +178,12 @@ def _with_txns(parent_manifest: dict, manifest: dict) -> dict:
     cons = parent_manifest.get("constraints")
     if cons and "constraints" not in manifest:
         manifest = {**manifest, "constraints": cons}
+    cmap = parent_manifest.get("column_map")
+    if cmap and "column_map" not in manifest:
+        manifest = {**manifest, "column_map": cmap}
+    dropped = parent_manifest.get("dropped_cols")
+    if dropped and "dropped_cols" not in manifest:
+        manifest = {**manifest, "dropped_cols": dropped}
     return manifest
 
 
@@ -357,11 +363,135 @@ def lake_create(
     return 1
 
 
+def _apply_column_map(df: DataFrame, m: dict) -> DataFrame:
+    """Project PHYSICAL parquet columns to the snapshot's LOGICAL view
+    (Delta column mapping, r10): ``column_map`` is {logical: physical}
+    for renamed columns, ``dropped_cols`` lists physical columns no
+    snapshot reader may see. Both are manifest metadata — renames and
+    drops never rewrite a byte, and because parquet is columnar a
+    dropped column is never even scanned (the projection prunes it at
+    the footer). Each manifest carries its OWN map, so time travel
+    shows every version under the names it had then."""
+    cmap = m.get("column_map") or {}
+    dropped = set(m.get("dropped_cols") or [])
+    if not cmap and not dropped:
+        return df
+    phys_to_logical = {p: l for l, p in cmap.items()}
+    cols = [
+        F.col(c).alias(phys_to_logical.get(c, c))
+        for c in df.columns
+        if c not in dropped
+    ]
+    return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, m: dict) -> DataFrame:
+    """Rename an incoming LOGICAL batch to PHYSICAL column names before
+    it lands — writers speak the logical schema, files keep physical
+    names, so old and new files always union cleanly."""
+    cmap = m.get("column_map") or {}
+    if not cmap:
+        return df
+    cols = [F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+    return df.select(*cols)
+
+
+def _guard_dropped(df: DataFrame, m: dict) -> DataFrame:
+    """Refuse a batch that re-uses a DROPPED physical column name: the
+    projection would silently hide the new data (full Delta column-ID
+    indirection is what lifts this; an honest refusal beats silently
+    invisible columns)."""
+    dropped = set(m.get("dropped_cols") or [])
+    clash = dropped & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} were dropped from this table; "
+            "re-adding a dropped name needs a fresh column name"
+        )
+    return df
+
+
+@_retry_on_conflict
+def lake_rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """Metadata-only column RENAME (Delta column mapping, r10): the
+    manifest's ``column_map`` {logical: physical} gains/updates one
+    entry and NO data file is touched — at 100 TB a rename costs one
+    manifest write, and every existing snapshot keeps its own map so
+    time travel shows each version under its then-current names.
+    Renaming a column referenced by a CHECK constraint refuses loudly
+    (the stored predicate text would silently stop matching)."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    cmap = dict(m.get("column_map") or {})
+    phys = cmap.get(old, old)
+    if old not in cmap and old in (m.get("dropped_cols") or []):
+        raise ValueError(f"column {old!r} was dropped")
+    # logical-name collision check costs one schema read (footer-bounded)
+    logical = set(lake_read(spark, root, parent).columns)
+    if old not in logical:
+        raise ValueError(f"column {old!r} does not exist")
+    if new in logical:
+        raise ValueError(f"column {new!r} already exists")
+    for c in m.get("constraints") or []:
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(old)}\b", c):
+            raise ValueError(
+                f"column {old!r} is referenced by constraint {c!r}; "
+                "drop or rewrite the constraint first"
+            )
+    cmap.pop(old, None)
+    if new != phys:
+        cmap[new] = phys
+    v = parent + 1
+    manifest = {"version": v, "parent": parent, "op": f"rename:{old}->{new}",
+                "key": m["key"], "files": m["files"], "column_map": cmap}
+    _write_manifest(spark, root, _with_txns(m, manifest))
+    return v
+
+
+@_retry_on_conflict
+def lake_drop_column(spark: SparkSession, root: str, col: str) -> int:
+    """Metadata-only column DROP: the physical column joins
+    ``dropped_cols`` and vanishes from every subsequent snapshot read
+    — parquet being columnar, its bytes are never even scanned again,
+    and the next COW rewrite of a file sheds them physically. The
+    table key, stat columns, and constraint-referenced columns refuse
+    to drop (each would break an invariant the manifest still
+    enforces). Time travel before the drop still sees the column."""
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent)
+    cmap = dict(m.get("column_map") or {})
+    phys = cmap.get(col, col)
+    if phys == m["key"]:
+        raise ValueError("cannot drop the table key column")
+    if phys in (m.get("stat_cols") or []):
+        raise ValueError(f"column {col!r} is a declared stat column")
+    for c in m.get("constraints") or []:
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(col)}\b", c):
+            raise ValueError(
+                f"column {col!r} is referenced by constraint {c!r}"
+            )
+    cmap.pop(col, None)
+    dropped = list(m.get("dropped_cols") or [])
+    if phys not in dropped:
+        dropped.append(phys)
+    v = parent + 1
+    manifest = {"version": v, "parent": parent, "op": f"drop_column:{col}",
+                "key": m["key"], "files": m["files"], "column_map": cmap,
+                "dropped_cols": dropped}
+    _write_manifest(spark, root, _with_txns(m, manifest))
+    return v
+
+
 def lake_read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Snapshot read: one manifest fetch, then Spark plans over exactly
     that version's files, minus that version's deletion-vector rows
-    (merge-on-read anti-join — a no-op when the snapshot has no DVs).
-    Older versions stay readable until vacuumed."""
+    (merge-on-read anti-join — a no-op when the snapshot has no DVs),
+    projected through the snapshot's column map (renames/drops are
+    metadata-only). Older versions stay readable until vacuumed."""
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
     if not m["files"]:
@@ -373,7 +503,9 @@ def lake_read(spark: SparkSession, root: str, version: int | None = None) -> Dat
     # fingerprints differ — the additive-evolution contract lake
     # formats promise; single-schema snapshots skip the footer merge
     base = _read_files(spark, m["files"])
-    return _apply_dvs(base, _dv_frame(spark, m), base.columns)
+    return _apply_column_map(
+        _apply_dvs(base, _dv_frame(spark, m), base.columns), m
+    )
 
 
 def lake_read_range(
@@ -393,10 +525,12 @@ def lake_read_range(
     or every hull overlaps and nothing prunes."""
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
+    # callers speak the logical schema; stats are keyed physical
+    phys = (m.get("column_map") or {}).get(column, column)
     lo_j, hi_j = _json_stat(lo), _json_stat(hi)
 
     def overlaps(f):
-        st = (f.get("stats") or {}).get(column)
+        st = (f.get("stats") or {}).get(phys)
         if st is None or st[0] is None:
             return True  # no stats recorded: must read
         return not (st[1] < lo_j or st[0] > hi_j)
@@ -406,7 +540,9 @@ def lake_read_range(
         base = lake_read(spark, root, v).limit(0)
         return base.where(F.col(column).between(lo, hi)), 0, len(m["files"])
     scan = _read_files(spark, kept)
-    live = _apply_dvs(scan, _dv_frame(spark, m), scan.columns)
+    live = _apply_column_map(
+        _apply_dvs(scan, _dv_frame(spark, m), scan.columns), m
+    )
     return live.where(F.col(column).between(lo, hi)), len(kept), len(m["files"])
 
 
@@ -483,7 +619,10 @@ def lake_append(
             if cons:
                 df, _ = _enforce_constraints(spark, root, df, cons, on_violation)
             checked = cons
-            staged = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
+            staged = _commit_data(
+                spark, root, v, _guard_dropped(_to_physical(df, m), m),
+                m["key"], m.get("stat_cols"),
+            )
         try:
             _write_manifest(
                 spark,
@@ -525,6 +664,7 @@ def lake_upsert(
         changes = _enforce_constraints(
             spark, root, changes, m["constraints"], on_violation
         )[0]
+    changes = _guard_dropped(_to_physical(changes, m), m)
 
     hull = changes.agg(
         F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -620,10 +760,13 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
     # back as a survivor (resurrection).
     dv = _dv_frame(spark, m)
     scan = _read_files(spark, m["files"])
-    keyed = _apply_dvs(
-        scan.withColumn("_path", F.col("_metadata.file_path")),
-        dv,
-        [*scan.columns, "_path"],
+    keyed = _apply_column_map(  # predicates speak the LOGICAL schema
+        _apply_dvs(
+            scan.withColumn("_path", F.col("_metadata.file_path")),
+            dv,
+            [*scan.columns, "_path"],
+        ),
+        m,
     )
     touched = {
         r["path"]
@@ -639,10 +782,14 @@ def lake_delete(spark: SparkSession, root: str, predicate: str) -> int:
         # it evaluates NULL (e.g. an evolved column null-filled in old
         # files) must SURVIVE — a bare NOT(p) would silently drop them.
         tscan = _read_files(spark, [f for f in m["files"] if f["path"] in touched])
-        survivors = _apply_dvs(tscan, dv, tscan.columns).where(
-            ~F.coalesce(F.expr(predicate), F.lit(False))
+        survivors = _apply_column_map(
+            _apply_dvs(tscan, dv, tscan.columns), m
+        ).where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        # survivors are logical; rewrite them physical (dropped columns
+        # fall away here — the lazy physical cleanup a COW pass buys)
+        new_files = _commit_data(
+            spark, root, v, _to_physical(survivors, m), m["key"], m.get("stat_cols")
         )
-        new_files = _commit_data(spark, root, v, survivors, m["key"], m.get("stat_cols"))
     _write_manifest(
         spark,
         root,
@@ -706,7 +853,11 @@ def lake_delete_dv(spark: SparkSession, root: str, predicate: str) -> int:
             _dv_frame(spark, m),
             [*scan.columns, "file_path", "row_index"],
         )
-        matched = keyed.where(F.expr(predicate)).select("file_path", "row_index")
+        matched = (
+            _apply_column_map(keyed, m)  # predicates speak logical
+            .where(F.expr(predicate))
+            .select("file_path", "row_index")
+        )
         n, dv_dir = _write_dv(spark, root, v, matched)
         if n:
             dvs.append({"path": dv_dir, "rows": n})
@@ -752,6 +903,7 @@ def lake_delete_dv_keys(
             return None
     v = parent + 1
     key = m["key"]
+    keys = _to_physical(keys, m)  # callers speak the logical schema
     dvs = list(m.get("dvs") or [])
     hull = keys.agg(
         F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -951,7 +1103,8 @@ def lake_changes(
     added, removed = _align(added), _align(removed)
     plus = added.exceptAll(removed).select(F.lit("+").alias("op"), "*")
     minus = removed.exceptAll(added).select(F.lit("-").alias("op"), "*")
-    return plus.unionByName(minus)
+    # emit under v_to's LOGICAL names (column map / drops applied)
+    return _apply_column_map(plus.unionByName(minus), mt)
 
 
 def committed_tags(spark: SparkSession, root: str) -> set:
@@ -1012,6 +1165,7 @@ def lake_stream_append(
         # streaming ingest quarantines rather than raising: one poison
         # batch must not kill the query; the diverted rows are auditable
         df, _ = _enforce_constraints(spark, root, df, m["constraints"], "quarantine")
+    df = _guard_dropped(_to_physical(df, m), m)
     new_files = _commit_data(spark, root, v, df, m["key"], m.get("stat_cols"))
     txns = {**m.get("txns", {}), app: batch_id}
     manifest = {"version": v, "parent": parent, "op": "append", "key": m["key"],

@@ -918,3 +918,57 @@ def _build_drift(spark, sf_dir, root):
     )
     lake_upsert(spark, tbl, changes)
     lake_delete_dv(spark, tbl, "o_custkey % 5 = 0")
+
+
+_COLMAP_SQL = """
+SELECT o_orderkey, o_custkey AS customer, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey AS customer, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 2
+"""
+
+
+@register("lake_column_mapping_read", oracle=_COLMAP_SQL, tags=("lake", "etl"))
+def lake_column_mapping_read(spark, sf_dir):
+    """Delta-style COLUMN MAPPING (r10): v2 renames o_custkey →
+    customer and v3 drops o_orderstatus — both metadata-only commits
+    (zero bytes rewritten; the dropped column's pages are never even
+    scanned again, parquet being columnar) — then v4 appends a slice
+    THROUGH the logical names. The final read must equal the
+    relational reconstruction under the new names, old snapshots still
+    time-travel under their then-current names, and at 100 TB the two
+    schema changes cost two manifest writes where a naive engine
+    rewrites the table. Guards (key/stat/constraint columns refuse to
+    rename or drop; dropped names can't silently return) are pinned in
+    tests/test_lake.py."""
+    root = _cached_table(spark, sf_dir, "lake_colmap", _build_colmap)
+    return lake_read(spark, root + "/tbl")
+
+
+def _build_colmap(spark, sf_dir, root):
+    from etlalchemy_spark.operators.lake import (
+        lake_drop_column,
+        lake_rename_column,
+    )
+
+    tbl = root + "/tbl"
+    lake_drop(spark, tbl)
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    lake_create(spark, tbl, base, "o_orderkey")
+    lake_rename_column(spark, tbl, "o_custkey", "customer")
+    lake_drop_column(spark, tbl, "o_orderstatus")
+    appended = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 2)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("customer"),
+            "o_totalprice",
+        )
+    )
+    lake_append(spark, tbl, appended)

@@ -843,3 +843,94 @@ def test_retry_is_bounded(spark, root, monkeypatch):
     with pytest.raises(L.CommitConflict):
         L.lake_append(spark, root, _mk(spark, [(2, "b")]))
     assert calls["n"] == L._MAX_COMMIT_RETRIES + 1
+
+
+def test_column_mapping_rename_is_metadata_only(spark, root):
+    """r10 Delta-style column mapping: RENAME touches no data file,
+    reads show the new name, writers speak the new name, time travel
+    shows each version under its then-current names, and the key's
+    physical stats keep driving upsert file skipping."""
+    from etlalchemy_spark.operators.lake import lake_rename_column
+
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    v = lake_rename_column(spark, root, "v", "label")
+    assert v == 2
+    m1, m2 = _read_manifest(spark, root, 1), _read_manifest(spark, root, 2)
+    assert m1["files"] == m2["files"]  # zero rewrite
+    assert m2["column_map"] == {"label": "v"}
+    assert lake_read(spark, root).columns == ["k", "label"]
+    assert lake_read(spark, root, 1).columns == ["k", "v"]  # time travel
+    # writers speak the logical name; files keep the physical one
+    df = spark.createDataFrame([(3, "c")], "k long, label string")
+    lake_append(spark, root, df)
+    assert sorted((r.k, r.label) for r in lake_read(spark, root).collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # upsert through the logical name, file skipping intact
+    lake_upsert(spark, root, spark.createDataFrame([(2, "B")], "k long, label string"))
+    assert sorted((r.k, r.label) for r in lake_read(spark, root).collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+    # chained rename points the NEW logical at the ORIGINAL physical
+    lake_rename_column(spark, root, "label", "tag")
+    m = _read_manifest(spark, root, latest_version(spark, root))
+    assert m["column_map"] == {"tag": "v"}
+    assert lake_read(spark, root).columns == ["k", "tag"]
+
+
+def test_column_mapping_drop_and_guards(spark, root):
+    from etlalchemy_spark.operators.lake import (
+        lake_delete_dv,
+        lake_drop_column,
+        lake_rename_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, x long"
+    )
+    lake_create(spark, root, df, "k")
+    lake_drop_column(spark, root, "x")
+    assert lake_read(spark, root).columns == ["k", "v"]
+    assert lake_read(spark, root, 1).columns == ["k", "v", "x"]  # time travel
+    # predicates and DV deletes speak the logical schema post-rename
+    lake_rename_column(spark, root, "v", "label")
+    lake_delete_dv(spark, root, "label = 'a'")
+    assert [(r.k, r.label) for r in lake_read(spark, root).collect()] == [(2, "b")]
+    # COW delete rewrites shed the dropped column physically
+    lake_delete(spark, root, "label = 'zzz'")  # no match: metadata only
+    # guards: key/dropped-name reuse refuse loudly
+    with pytest.raises(ValueError, match="key column"):
+        lake_drop_column(spark, root, "k")
+    with pytest.raises(ValueError, match="dropped"):
+        lake_append(
+            spark, root,
+            spark.createDataFrame([(9, "z", 1)], "k long, label string, x long"),
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        lake_rename_column(spark, root, "label", "k")
+
+
+def test_column_mapping_constraint_and_changes(spark, root):
+    from etlalchemy_spark.operators.lake import (
+        lake_changes,
+        lake_drop_column,
+        lake_rename_column,
+    )
+
+    lake_create(
+        spark, root, _mk(spark, [(1, "a")]), "k", constraints=["v IS NOT NULL"]
+    )
+    # renaming/dropping a constraint-referenced column refuses
+    with pytest.raises(ValueError, match="constraint"):
+        lake_rename_column(spark, root, "v", "label")
+    with pytest.raises(ValueError, match="constraint"):
+        lake_drop_column(spark, root, "v")
+    # the change feed emits LOGICAL names of the target version
+    lake_drop(spark, root)
+    lake_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]), "k")
+    lake_rename_column(spark, root, "v", "label")
+    lake_upsert(spark, root, spark.createDataFrame([(2, "B")], "k long, label string"))
+    cdf = lake_changes(spark, root, 1, 3)
+    assert set(cdf.columns) == {"op", "k", "label"}
+    got = sorted((r.op, r.k, r.label) for r in cdf.collect())
+    assert got == [("+", 2, "B"), ("-", 2, "b")]
