@@ -2604,3 +2604,80 @@ def ts_max_concurrency(spark, sf_dir):
             F.min("t").alias("at_ts"),
         )
     )
+
+
+_SEQ_PATTERN_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      ELSE 'e' END, '' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+),
+hits AS (
+  SELECT user_id, path,
+         regexp_extract(path, 'v[vc]*cp') AS matched
+  FROM seq
+)
+SELECT user_id,
+       CAST(length(path) AS BIGINT) AS n_events,
+       matched,
+       CAST(length(matched) AS BIGINT) AS match_len,
+       CAST(strpos(path, matched) AS BIGINT) AS match_pos
+FROM hits
+WHERE matched <> ''
+"""
+
+
+@register("events_sequence_pattern", oracle=_SEQ_PATTERN_SQL, tags=("events", "session"))
+def events_sequence_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern matching (r10) — the
+    row-pattern query SQL:2016 added and warehouses bolt on: find
+    users whose ordered event path matches view → (views|clicks)* →
+    click → purchase and report the matched span. Spark-first
+    formulation: each user's history reduces to ONE ordered
+    code-string (per-key sort happens inside the aggregate — no global
+    sort, no window over the fact table), then the REGEX engine does
+    the pattern work per aggregated row. At 100 TB this is a single
+    hash aggregate shuffling one compact string per user, and pattern
+    changes are a literal edit — contrast per-row state machines that
+    re-shuffle the whole fact table per pattern. Deterministic
+    tie-break (ts, event_id) keeps the path string cross-engine
+    stable; the first/leftmost regexp match is the reported span in
+    both engines."""
+    ev = t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .when(F.col("event_type") == "signup", F.lit("s"))
+        .otherwise(F.lit("e"))
+    )
+    seq = (
+        ev.select("user_id", code.alias("code"), "ts", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "code"))
+                    ),
+                    lambda s: s["code"],
+                ),
+            ).alias("path")
+        )
+    )
+    hits = seq.select(
+        "user_id",
+        "path",
+        F.regexp_extract("path", "v[vc]*cp", 0).alias("matched"),
+    )
+    return hits.where(F.col("matched") != "").select(
+        "user_id",
+        F.length("path").cast("bigint").alias("n_events"),
+        "matched",
+        F.length("matched").cast("bigint").alias("match_len"),
+        F.expr("instr(path, matched)").cast("bigint").alias("match_pos"),
+    )
