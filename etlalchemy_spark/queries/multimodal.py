@@ -271,17 +271,25 @@ def mm_binary_file_source(spark, sf_dir):
     byte fidelity through the blob round-trip."""
     import os
 
-    from etlalchemy_spark.queries._util import scratch_dir
+    from etlalchemy_spark.queries._util import (
+        cached_fixture,
+        commit_fixture,
+        fixture_tag,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    tmp = scratch_dir("mm_blob", sf_dir)
-    marker = os.path.join(tmp, "_done")
-    if not os.path.exists(marker):
+    # content-tagged (r10): the old bare _done marker survived a
+    # testdata regen and would have served stale blobs
+    tag = fixture_tag(sf_dir, extra="mm_blob_v1")
+    tmp, meta = cached_fixture("mm_blob", sf_dir, tag)
+    if meta is None:
+        for stale in os.listdir(tmp):  # doc_ids may differ post-regen
+            if stale.endswith(".bin"):
+                os.unlink(os.path.join(tmp, stale))
         for row in docs.select("doc_id", "text").toLocalIterator():
             with open(os.path.join(tmp, f"doc_{row['doc_id']}.bin"), "wb") as f:
                 f.write(row["text"].encode("utf-8"))
-        with open(marker, "w") as f:
-            f.write("ok")
+        commit_fixture(tmp, tag)
     bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)
     return bf.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
