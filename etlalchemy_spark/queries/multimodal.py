@@ -1711,7 +1711,7 @@ LEFT JOIN csum c ON p.doc_id = c.doc_id
 """
 
 
-@register("mm_decode_jpeg_progressive", oracle=_JPEG_SQL, tags=("multimodal", "udf"))
+@register("mm_decode_jpeg_progressive", oracle=_JPEG_SQL, tags=("multimodal", "udf", "bench"))
 def mm_decode_jpeg_progressive(spark, sf_dir):
     """PROGRESSIVE JPEG decode (SOF2 — r10, the web's default encode
     mode leaves the refusal list): the SAME block-constant fixtures as

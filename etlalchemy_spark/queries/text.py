@@ -2521,7 +2521,8 @@ FROM per_doc d, tot
 
 
 @register(
-    "text_unigram_logprob", oracle=_UNIGRAM_LOGPROB_SQL, tags=("text", "stats", "llm")
+    "text_unigram_logprob", oracle=_UNIGRAM_LOGPROB_SQL,
+    tags=("text", "stats", "llm", "bench"),
 )
 def text_unigram_logprob(spark, sf_dir):
     """TRUE unigram-LM surprisal scoring (r10) — the perplexity-style
