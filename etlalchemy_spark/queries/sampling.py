@@ -906,3 +906,64 @@ def sample_design_effect(spark, sf_dir):
             (sw.cast("double") * sw.cast("double")) / sw2.cast("double")
         ).alias("n_effective"),
     )
+
+
+from etlalchemy_spark.queries._util import ln_int_sql  # noqa: E402
+
+# Gumbel/exponential key for weighted sampling WITHOUT replacement
+# (Efraimidis–Spirakis A-ES): rank by ln(u)/w with u uniform — here
+# u = (hash_bucket + 1)/1e6, deterministic and content-addressed, and
+# ln comes from the cross-engine-exact integer construction, so the
+# ranking doubles are bit-identical in both engines.
+_GUMBEL_LN_U = f"({ln_int_sql('(hb + 1)')} - {ln_int_sql('1000000')})"
+
+_GUMBEL_SQL = f"""
+WITH h AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         {_bucket_sql("o_orderkey", "gw:")} AS hb
+  FROM orders
+  WHERE o_totalprice > 0
+),
+keyed AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST({_GUMBEL_LN_U} / CAST(o_totalprice AS DOUBLE) AS DOUBLE) AS gkey
+  FROM h
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM keyed
+ORDER BY gkey DESC, o_orderkey
+LIMIT 500
+"""
+
+
+@register("sample_gumbel_weighted_topk", oracle=_GUMBEL_SQL, tags=("sampling", "topk"))
+def sample_gumbel_weighted_topk(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (r10) — the
+    Efraimidis–Spirakis one-pass algorithm every data-mixing pipeline
+    wants when 'sample 500 docs proportional to quality score' must be
+    reproducible: each row draws key = ln(u)/w with u a deterministic
+    content-addressed uniform (portable md5 bucket) and w its weight;
+    the top-k keys ARE a weight-proportional sample without
+    replacement, one narrow map + one TakeOrderedAndProject — no
+    second pass, no rejection loop, rerun-stable. ln comes from the
+    cross-engine-exact integer construction (ln_int_sql), so even the
+    ranking doubles hash-match; `sample_weighted_systematic` is the
+    with-replacement/grid counterpart."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    h = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        hash_bucket(F.col("o_orderkey"), "gw:").alias("hb"),
+    )
+    keyed = h.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.expr(
+            f"CAST({_GUMBEL_LN_U} / CAST(o_totalprice AS DOUBLE) AS DOUBLE)"
+        ).alias("gkey"),
+    )
+    return (
+        keyed.orderBy(F.desc("gkey"), "o_orderkey")
+        .limit(500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -2641,3 +2641,90 @@ def text_pmi_collocations(spark, sf_dir):
         )
     )
     return pmi.orderBy(F.desc("pmi_nats"), "w1", "w2").limit(20)
+
+
+_LN_RNK = ln_int_sql("rnk")
+_LN_CNT = ln_int_sql("c")
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+  FROM vocab
+),
+xy AS (
+  SELECT CAST({_LN_RNK} AS DOUBLE) AS x, CAST({_LN_CNT} AS DOUBLE) AS y
+  FROM ranked
+),
+sums AS (
+  -- scale 8 keeps every unscaled sum under 2^53 (exact double
+  -- conversion both engines; VARCHAR route dodges DuckDB's int128
+  -- misrounding)
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS DOUBLE) AS zipf_slope,
+       CAST((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+            / CAST(n AS DOUBLE) AS DOUBLE) AS intercept
+FROM sums
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_SQL, tags=("text", "stats"))
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary (r10) — OLS of
+    ln(frequency) on ln(rank): natural text sits near slope −1, and a
+    corpus drifting toward 0 (too uniform — synthetic/templated) or
+    below −1.5 (boilerplate-dominated) fails health checks before
+    training does. Ranks tie-break lexicographically so both engines
+    rank identically; every ln is the cross-engine-exact integer
+    construction, per-term x·y products are identical IEEE doubles
+    cast to scale-8 decimals before the sums (unscaled stays under
+    2^53 — exact double conversion; the oracle routes through VARCHAR
+    past DuckDB's int128 misrounding), and the closed-form slope/
+    intercept are fixed parenthesizations of identical doubles. One
+    vocab hash-agg + one rank window over vocab (never corpus) rows +
+    one aggregate."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = vocab.select(
+        "c", F.row_number().over(W.orderBy(F.desc("c"), "tok")).alias("rnk")
+    )
+    xy = ranked.select(
+        F.expr(f"CAST({_LN_RNK} AS DOUBLE)").alias("x"),
+        F.expr(f"CAST({_LN_CNT} AS DOUBLE)").alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,8)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )
