@@ -2295,3 +2295,186 @@ def agg_kl_lang_drift(spark, sf_dir):
             f" / CAST(ns AS DOUBLE) - {_LN_NS}) + {_LN_MT} AS DOUBLE)"
         ).alias("kl_nats"),
     )
+
+
+# --- Spearman rank correlation (r10) --------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH pts AS (
+  SELECT l_returnflag AS grp,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+dx AS (SELECT grp, x AS v, COUNT(*) AS t FROM pts GROUP BY grp, x),
+px AS (
+  SELECT grp, v,
+         2 * COALESCE(SUM(t) OVER (PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM dx
+),
+dy AS (SELECT grp, y AS v, COUNT(*) AS t FROM pts GROUP BY grp, y),
+py AS (
+  SELECT grp, v,
+         2 * COALESCE(SUM(t) OVER (PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM dy
+),
+j AS (
+  SELECT p.grp, px.r2 AS rx, py.r2 AS ry
+  FROM pts p
+  JOIN px ON p.grp = px.grp AND p.x = px.v
+  JOIN py ON p.grp = py.grp AND p.y = py.v
+),
+s AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS srx,
+         SUM(CAST(ry AS HUGEINT)) AS sry,
+         SUM(CAST(rx AS HUGEINT) * rx) AS srxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS sryy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS srxy
+  FROM j GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(CAST(n * srxy - srx * sry AS VARCHAR) AS DOUBLE)
+       / SQRT(CAST(CAST(n * srxx - srx * srx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(n * sryy - sry * sry AS VARCHAR) AS DOUBLE)) AS spearman_rho
+FROM s
+"""
+
+
+@register("agg_spearman_corr", oracle=_SPEARMAN_SQL, tags=("agg", "stats", "scale"))
+def agg_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation with tie-averaged ranks, per group
+    (r10) — the monotone-association readout `agg_corr_exact` (Pearson)
+    misses when the relationship is nonlinear, and the standard screen
+    for 'does quality score track doc length?' style curation
+    questions. NO global sort of the fact table: each variable reduces
+    to per-DISTINCT-VALUE counts, the tie-averaged rank identity
+    2*rank(v) = 2*cum_before(v) + t + 1 (the `agg_mann_whitney_u`
+    machinery) turns ranks into exact integers over those value
+    tables, and the per-group prefix runs as a partitioned window over
+    VALUE rows, never fact rows. Two equi-joins hang the integer
+    double-ranks back on the facts; Pearson-on-ranks then needs one
+    hash aggregate of five decimal(38,0) sums. Everything is exact
+    integers until the closing rho, a fixed IEEE tree over
+    VARCHAR-routed doubles (house discipline)."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").alias("y"),
+    )
+
+    def rank2(col):
+        d = pts.groupBy("grp", F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        w = (
+            W.partitionBy("grp")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = F.sum(F.col("t").cast("decimal(38,0)")).over(w)
+        return d.select(
+            "grp",
+            "v",
+            (
+                F.lit(2).cast("decimal(38,0)") * (cum - F.col("t")) + F.col("t") + 1
+            ).cast("decimal(38,0)").alias("r2"),
+        )
+
+    px = rank2("x").withColumnRenamed("r2", "rx").withColumnRenamed("v", "x")
+    py = rank2("y").withColumnRenamed("r2", "ry").withColumnRenamed("v", "y")
+    j = pts.join(px, ["grp", "x"]).join(py, ["grp", "y"])
+    s = j.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").alias("srx"),
+        F.sum("ry").alias("sry"),
+        F.sum(F.col("rx") * F.col("rx")).alias("srxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("sryy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("srxy"),
+    )
+    num = (F.col("n") * F.col("srxy") - F.col("srx") * F.col("sry")).cast("double")
+    dx = (F.col("n") * F.col("srxx") - F.col("srx") * F.col("srx")).cast("double")
+    dy = (F.col("n") * F.col("sryy") - F.col("sry") * F.col("sry")).cast("double")
+    return s.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        (num / F.sqrt(dx * dy)).alias("spearman_rho"),
+    )
+
+
+# --- ROC AUC via rank statistic (r10) ---------------------------------------------
+
+_AUC_SQL = """
+WITH s AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+g AS (SELECT v, SUM(pos) AS c1, COUNT(*) - SUM(pos) AS c0 FROM s GROUP BY v),
+p AS (
+  SELECT *, COALESCE(SUM(c0) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM g
+),
+a AS (
+  SELECT SUM(c1) AS n1, SUM(c0) AS n0,
+         SUM(CAST(c1 AS HUGEINT) * (2 * cum0 + c0)) AS two_u
+  FROM p
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       CAST(CAST(two_u AS VARCHAR) AS DOUBLE)
+         / (2e0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc,
+       CAST(CAST(two_u AS VARCHAR) AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1e0 AS gini_coefficient
+FROM a
+"""
+
+
+@register("agg_auc_roc", oracle=_AUC_SQL, tags=("agg", "stats", "scale"))
+def agg_auc_roc(spark, sf_dir):
+    """Exact ROC AUC of a score against a binary label (r10) — the
+    standard readout for 'does this quality/classifier score actually
+    separate the classes?' before a threshold is picked. AUC is the
+    probability a positive outranks a negative, i.e. the normalized
+    Mann-Whitney U — so the same distinct-value machinery applies: per
+    score value count positives/negatives, one bucket-parallel global
+    prefix of negatives-below (operators/prefix.py — NO single-
+    partition window), and 2U = sum c1*(2*cum0_before + c0) counts
+    every (pos, neg) pair exactly, ties as half. One hash agg + one
+    prefix + one one-row reduce at any scale; exact integers until the
+    closing division (VARCHAR-routed doubles, house discipline). Also
+    emits the Gini coefficient 2*AUC - 1."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("pos"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("pos").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("c0"),
+    )
+    p = running_global_sum(
+        g, F.col("v"), [], F.col("c0").cast("decimal(38,0)"), alias="_cum", n_buckets=16
+    )
+    p = p.withColumn("cum0", (F.col("_cum") - F.col("c0")).cast("decimal(38,0)"))
+    a = p.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (F.lit(2).cast("decimal(38,0)") * F.col("cum0") + F.col("c0"))
+        ).alias("two_u"),
+    )
+    two_u = F.col("two_u").cast("double")
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    return a.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        (two_u / (F.lit(2.0) * n1d * n0d)).alias("auc"),
+        (two_u / (n1d * n0d) - F.lit(1.0)).alias("gini_coefficient"),
+    )
