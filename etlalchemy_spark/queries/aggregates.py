@@ -2478,3 +2478,241 @@ def agg_auc_roc(spark, sf_dir):
         (two_u / (F.lit(2.0) * n1d * n0d)).alias("auc"),
         (two_u / (n1d * n0d) - F.lit(1.0)).alias("gini_coefficient"),
     )
+
+
+# --- One-way ANOVA F statistic (r10) ----------------------------------------------
+
+_ANOVA_SQL = """
+WITH x AS (
+  SELECT c.c_mktsegment AS grp,
+         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT grp, COUNT(*) AS n, SUM(cents) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS q
+  FROM x GROUP BY grp
+),
+terms AS (
+  SELECT grp, n, s, q,
+         CAST(CAST(CAST(CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+              / CAST(n AS DOUBLE) AS DECIMAL(38,8)) AS term
+  FROM g
+),
+a AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+         CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS st
+  FROM terms
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n_total,
+       (st - CAST(CAST(CAST(ss AS HUGEINT) * ss AS VARCHAR) AS DOUBLE)
+               / CAST(nn AS DOUBLE)) / 10000e0 AS ss_between,
+       (CAST(CAST(qq AS VARCHAR) AS DOUBLE) - st) / 10000e0 AS ss_within,
+       ((st - CAST(CAST(CAST(ss AS HUGEINT) * ss AS VARCHAR) AS DOUBLE)
+                / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+       / ((CAST(CAST(qq AS VARCHAR) AS DOUBLE) - st) / CAST(nn - k AS DOUBLE))
+         AS f_stat,
+       (st - CAST(CAST(CAST(ss AS HUGEINT) * ss AS VARCHAR) AS DOUBLE)
+               / CAST(nn AS DOUBLE))
+       / (CAST(CAST(qq AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(CAST(ss AS HUGEINT) * ss AS VARCHAR) AS DOUBLE)
+            / CAST(nn AS DOUBLE)) AS eta_squared
+FROM a
+"""
+
+
+@register("agg_anova_oneway", oracle=_ANOVA_SQL, tags=("agg", "stats"))
+def agg_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F statistic across customer segments (r10) — the
+    k-group generalization of `agg_welch_ttest`: 'did ANY segment's
+    mean move?' asked once instead of k² pairwise t-tests. Sufficient
+    statistics only: each group reduces map-side to the exact integer
+    triple (n, sum-of-cents, sum-of-squared-cents); the between/within
+    decomposition needs one more k-row reduce. The only non-integer
+    intermediate is sum-of(s_g^2/n_g), whose per-group terms are
+    correctly-rounded doubles of exact operands cast to scale-8
+    decimals so the k-term sum is order-free (the zipf-fit idiom);
+    every closing expression is a fixed IEEE tree over VARCHAR-routed
+    doubles. Emits SSB/SSW (dollar^2 units), F, and eta-squared. One
+    fact-table scan at any scale."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
+        .alias("q"),
+    )
+    term = (
+        (F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+        .cast("double")
+        / F.col("n").cast("double")
+    ).cast("decimal(38,8)")
+    a = g.select("n", "s", "q", term.alias("term")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum("q").cast("decimal(38,0)").alias("qq"),
+        F.sum("term").cast("double").alias("st"),
+    )
+    grand = (
+        (F.col("ss") * F.col("ss")).cast("double") / F.col("nn").cast("double")
+    )
+    ssb = F.col("st") - grand
+    ssw = F.col("qq").cast("double") - F.col("st")
+    return a.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        (ssb / F.lit(10000.0)).alias("ss_between"),
+        (ssw / F.lit(10000.0)).alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("nn") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+        (ssb / (F.col("qq").cast("double") - grand)).alias("eta_squared"),
+    )
+
+
+# --- Benjamini-Hochberg FDR over exact permutation p-values (r10) -------------------
+
+_BH_M = 8  # tested groups
+_BH_B = 20  # permutations per group (p granularity 1/21)
+# reject p_i <= q*i/m with q = 1/20 and p = k/21  <=>  20*m*k <= 21*i
+_BH_LHS = 20 * _BH_M
+
+
+def _bh_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    arm_cols = ",\n         ".join(
+        f"CASE WHEN {_bucket_sql('o_custkey', f'perm{r}:')} < 500000 THEN 1 ELSE 0 END AS a{r}"
+        for r in range(_BH_B)
+    )
+    def diff(a):
+        return (
+            f"(CAST(CAST(SUM(CASE WHEN {a} = 1 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE)"
+            f" / CAST(SUM({a}) AS DOUBLE)"
+            f" - CAST(CAST(SUM(CASE WHEN {a} = 0 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE)"
+            f" / CAST(COUNT(*) - SUM({a}) AS DOUBLE))"
+        )
+
+    per_r = ",\n       ".join(f"{diff(f'a{r}')} AS d{r}" for r in range(_BH_B))
+    ge = " + ".join(
+        f"(CASE WHEN ABS(d{r}) >= ABS(d_obs) THEN 1 ELSE 0 END)" for r in range(_BH_B)
+    )
+    return f"""
+WITH pc AS (
+  SELECT o_custkey, o_custkey % {_BH_M} AS grp,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents,
+         CASE WHEN {_bucket_sql('o_custkey', 'ab:')} < 500000 THEN 1 ELSE 0 END AS obs,
+         {arm_cols}
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT grp, COUNT(*) AS n_units, {diff('obs')} AS d_obs, {per_r}
+  FROM pc GROUP BY grp
+),
+kp AS (
+  SELECT grp, n_units, d_obs, CAST(1 + {ge} AS BIGINT) AS k_exceed
+  FROM d
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY k_exceed, grp) AS i FROM kp
+),
+st AS (
+  SELECT *, MAX(CASE WHEN {_BH_LHS} * k_exceed <= {_BH_B + 1} * i THEN i ELSE 0 END)
+              OVER () AS i_star
+  FROM rk
+)
+SELECT grp, CAST(n_units AS BIGINT) AS n_units,
+       d_obs / 100.0 AS observed_diff,
+       CAST(k_exceed AS DOUBLE) / {_BH_B + 1}e0 AS p_value,
+       CAST(i AS BIGINT) AS bh_rank,
+       (i <= i_star) AS rejected
+FROM st
+"""
+
+
+@register("agg_bh_fdr", oracle=_bh_sql(), tags=("agg", "stats", "sampling"))
+def agg_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over per-group permutation tests
+    (r10) — the multiple-testing correction every metrics platform
+    needs once it tests 8 segments instead of 1: naive per-test
+    alpha=0.05 false-positives ~1/3 of healthy dashboards. Each
+    group's p-value is EXACT — the add-one-smoothed exceedance
+    rational k/21 from 20 salted-hash re-assignments (the
+    agg_permutation_test machinery, grouped) — so the BH step-up
+    condition p_i <= q*i/m clears denominators into the pure integer
+    test 20*m*k_i <= 21*i: no float thresholds anywhere. All B+1
+    contrasts for all m groups compute in ONE aggregate over the
+    per-customer frame; the BH sort/rank windows run over m GROUP
+    rows, never units. Emits per group: exact p, BH rank, and the
+    step-up reject decision at q=0.05."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    arms = [
+        (hash_bucket(F.col("o_custkey"), "ab:") < 500000).cast("int").alias("obs")
+    ] + [
+        (hash_bucket(F.col("o_custkey"), f"perm{r}:") < 500000)
+        .cast("int")
+        .alias(f"a{r}")
+        for r in range(_BH_B)
+    ]
+    pc = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+        .select(
+            "o_custkey", (F.col("o_custkey") % _BH_M).alias("grp"), "cents", *arms
+        )
+    )
+
+    def diff(col):
+        a = F.col(col)
+        st = F.sum(F.when(a == 1, F.col("cents")).otherwise(F.lit(0)))
+        sc = F.sum(F.when(a == 0, F.col("cents")).otherwise(F.lit(0)))
+        return st.cast("decimal(38,0)").cast("double") / F.sum(a).cast(
+            "double"
+        ) - sc.cast("decimal(38,0)").cast("double") / (
+            F.count(F.lit(1)) - F.sum(a)
+        ).cast("double")
+
+    d = pc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        diff("obs").alias("d_obs"),
+        *[diff(f"a{r}").alias(f"d{r}") for r in range(_BH_B)],
+    )
+    ge = sum(
+        (F.abs(F.col(f"d{r}")) >= F.abs(F.col("d_obs"))).cast("int")
+        for r in range(_BH_B)
+    )
+    kp = d.select(
+        "grp", "n_units", "d_obs", (F.lit(1) + ge).cast("bigint").alias("k_exceed")
+    )
+    rk = kp.withColumn(
+        "i", F.row_number().over(W.orderBy("k_exceed", "grp")).cast("bigint")
+    )
+    i_star = F.max(
+        F.when(
+            F.lit(_BH_LHS) * F.col("k_exceed") <= F.lit(_BH_B + 1) * F.col("i"),
+            F.col("i"),
+        ).otherwise(F.lit(0))
+    ).over(W.partitionBy())
+    return rk.select(
+        "grp",
+        F.col("n_units").cast("bigint").alias("n_units"),
+        (F.col("d_obs") / 100.0).alias("observed_diff"),
+        (F.col("k_exceed").cast("double") / F.lit(float(_BH_B + 1))).alias("p_value"),
+        F.col("i").alias("bh_rank"),
+        (F.col("i") <= i_star).alias("rejected"),
+    )
