@@ -2728,3 +2728,184 @@ def text_zipf_fit(spark, sf_dir):
         slope.alias("zipf_slope"),
         ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
     )
+
+
+# --- Cohen's kappa for the lang-id classifier (r10) ---------------------------------
+
+_KAPPA_SQL = f"""
+WITH p AS ({_LANG_SQL}),
+conf AS (
+  SELECT labeled_lang AS r, predicted_lang AS c, COUNT(*) AS n
+  FROM p GROUP BY 1, 2
+),
+rt AS (SELECT r, SUM(n) AS row_tot FROM conf GROUP BY r),
+ct AS (SELECT c, SUM(n) AS col_tot FROM conf GROUP BY c),
+a AS (
+  SELECT (SELECT SUM(n) FROM conf) AS nn,
+         (SELECT COALESCE(SUM(n), 0) FROM conf WHERE r = c) AS agree,
+         (SELECT SUM(CAST(rt.row_tot AS HUGEINT) * ct.col_tot)
+          FROM rt JOIN ct ON rt.r = ct.c) AS src
+)
+SELECT CAST(nn AS BIGINT) AS n_docs,
+       CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS p_observed,
+       CAST(CAST(src AS VARCHAR) AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS p_expected,
+       CAST(CAST(nn * agree - src AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(nn AS HUGEINT) * nn - src AS VARCHAR) AS DOUBLE) AS kappa
+FROM a
+"""
+
+
+@register("text_langid_kappa", oracle=_KAPPA_SQL, tags=("text", "stats"))
+def text_langid_kappa(spark, sf_dir):
+    """Cohen's kappa between the marker-word lang-id and the labeled
+    language (r10) — chance-corrected agreement, the standard
+    inter-annotator / classifier-vs-gold readout that raw accuracy
+    overstates whenever the class mix is skewed (a degenerate
+    all-'en' rater already 'agrees' with the majority share).
+    Multi-class kappa clears every denominator into pure integers:
+    kappa = (N*agree - sum_c row_c*col_c) / (N^2 - sum_c row_c*col_c)
+    from the confusion matrix and its margins — no float intermediate
+    at all until the closing divisions (VARCHAR-routed, house
+    discipline). Shape: one classify scan, one confusion hash-agg
+    (at most |langs|^2 cells), margin re-aggs over CELL rows, and a
+    one-row closing select — the fact table is scanned once.
+    Complements `text_langid_mcnemar` (paired significance) with the
+    effect-size view."""
+    docs = t(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("r"), lang_id(F.col("text")).alias("c")
+    )
+    conf = p.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+    rt = conf.groupBy("r").agg(F.sum("n").alias("row_tot"))
+    ct = conf.groupBy("c").agg(F.sum("n").alias("col_tot"))
+    nn = conf.agg(F.sum("n").alias("nn"))
+    agree = conf.where(F.col("r") == F.col("c")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("agree")
+    )
+    src = (
+        rt.join(ct, rt.r == ct.c)
+        .agg(
+            F.sum(
+                F.col("row_tot").cast("decimal(38,0)")
+                * F.col("col_tot").cast("decimal(38,0)")
+            ).alias("src")
+        )
+    )
+    a = nn.crossJoin(F.broadcast(agree)).crossJoin(F.broadcast(src))
+    nnd = F.col("nn").cast("decimal(38,0)")
+    return a.select(
+        F.col("nn").cast("bigint").alias("n_docs"),
+        (F.col("agree").cast("double") / F.col("nn").cast("double")).alias("p_observed"),
+        (
+            F.col("src").cast("double")
+            / (F.col("nn").cast("double") * F.col("nn").cast("double"))
+        ).alias("p_expected"),
+        (
+            (nnd * F.col("agree") - F.col("src")).cast("double")
+            / (nnd * nnd - F.col("src")).cast("double")
+        ).alias("kappa"),
+    )
+
+
+# --- Jensen-Shannon divergence between language corpora (r10) -----------------------
+
+_LN2 = "6931471805599453e-16"
+
+# Each row needs only THREE distinct integer lns: ln(2*a*n2), ln(2*b*n1)
+# and the shared mixture ln(a*n2 + b*n1) — materialized ONCE each in a
+# staged projection (the expanded atanh-series tree is ~5 KB of codegen
+# per use; the first cut evaluated four of them inline and paid 20 s of
+# cold whole-stage-codegen compile for a 500-doc corpus). GREATEST(x,1)
+# keeps bin() defined when a count is zero; the zero p-weight then
+# multiplies that placeholder ln(1)=0 away exactly.
+_JSD_LA = ln_int_sql("GREATEST(2 * a * n2, 1)")
+_JSD_LB = ln_int_sql("GREATEST(2 * b * n1, 1)")
+_JSD_LM = ln_int_sql("(a * n2 + b * n1)")
+
+_JSD_TERM = (
+    "CAST(((CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)) * (la - lm)"
+    " + (CAST(b AS DOUBLE) / CAST(n2 AS DOUBLE)) * (lb - lm)) / 2e0"
+    " AS DECIMAL(28,8))"
+)
+
+_JSD_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents WHERE lang IN ('en', 'de')
+),
+c1 AS (SELECT w, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY w),
+c2 AS (SELECT w, COUNT(*) AS c FROM toks WHERE lang = 'de' GROUP BY w),
+u AS (
+  SELECT COALESCE(c1.c, 0) AS a, COALESCE(c2.c, 0) AS b
+  FROM c1 FULL OUTER JOIN c2 ON c1.w = c2.w
+),
+tot AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM u),
+lns AS (
+  SELECT a, b, n1, n2,
+         {_JSD_LA} AS la, {_JSD_LB} AS lb, {_JSD_LM} AS lm
+  FROM u, tot
+),
+terms AS (SELECT {_JSD_TERM} AS v FROM lns)
+SELECT (SELECT COUNT(*) FROM u) AS n_vocab_union,
+       (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_tokens_a,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_tokens_b,
+       CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS jsd_nats,
+       CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / {_LN2} AS jsd_normalized
+FROM terms
+"""
+
+
+@register("text_js_divergence", oracle=_JSD_SQL, tags=("text", "stats"))
+def text_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the English and German token
+    distributions (r10) — the symmetric, bounded (0..ln2) corpus-drift
+    distance data-mixing pipelines prefer over KL (which blows up on
+    unseen words; JSD's mixture denominator never hits zero). Every
+    log is over INTEGERS — p*ln(2p/(p+q)) rewrites to counts as
+    ln(2*c1*N2) - ln(c1*N2 + c2*N1) — so the cross-engine-exact
+    ln_int construction applies and per-term doubles are identical
+    IEEE trees; only THREE ln trees per vocab row (the mixture ln is
+    shared between the two sides), each materialized once in a staged
+    projection to keep codegen small; scale-8 decimal term sums make
+    the vocabulary-wide reduction order-free (zipf idiom). Shape:
+    token hash-aggs per side, ONE full-outer vocab join (vocab rows,
+    never token stream), broadcast totals, one closing reduce. Also
+    emits the ln2-normalized value in [0, 1]."""
+    docs = t(spark, sf_dir, "documents").where(F.col("lang").isin("en", "de"))
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    c1 = toks.where(F.col("lang") == "en").groupBy("w").agg(F.count(F.lit(1)).alias("a"))
+    c2 = toks.where(F.col("lang") == "de").groupBy("w").agg(F.count(F.lit(1)).alias("b"))
+    u = (
+        c1.join(c2, "w", "full_outer")
+        .select(
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+    )
+    tot = u.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    lns = u.crossJoin(F.broadcast(tot)).select(
+        "a", "b", "n1", "n2",
+        F.expr(_JSD_LA).alias("la"),
+        F.expr(_JSD_LB).alias("lb"),
+        F.expr(_JSD_LM).alias("lm"),
+    )
+    terms = lns.select(F.expr(_JSD_TERM).alias("v"))
+    meta = u.agg(F.count(F.lit(1)).alias("n_vocab_union"))
+    s = terms.agg(F.sum("v").cast("double").alias("jsd"))
+    return (
+        meta.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            F.col("n_vocab_union").cast("bigint").alias("n_vocab_union"),
+            F.col("n1").cast("bigint").alias("n_tokens_a"),
+            F.col("n2").cast("bigint").alias("n_tokens_b"),
+            F.col("jsd").alias("jsd_nats"),
+            (F.col("jsd") / F.expr(_LN2)).alias("jsd_normalized"),
+        )
+    )
