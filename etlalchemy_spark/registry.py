@@ -96,6 +96,7 @@ def _load_all() -> None:
         sampling,
         graph,
         lake,
+        geo,
     )
 
     _LOADED = True
