@@ -874,3 +874,260 @@ def sketch_minhash_jaccard_corpora(spark, sf_dir):
             F.lit(float(inter) / float(union)).alias("jaccard_exact"),
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch (r10) -----------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_sketch_cte(rel: str, key: str, name: str) -> str:
+    """k smallest DISTINCT salted 60-bit hashes of ``key`` in ``rel``,
+    ranked — the whole KMV sketch as k integer rows."""
+    return f"""{name}_u AS (
+  SELECT DISTINCT md5_number_upper('kmv:' || CAST({key} AS VARCHAR)) AS u FROM {rel}
+), {name}_h AS (
+  SELECT {_BE60_FROM_U} AS h FROM {name}_u
+), {name} AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rank
+  FROM (SELECT h FROM {name}_h ORDER BY h LIMIT {_KMV_K})
+)"""
+
+
+_KMV_REG_SQL = f"""
+WITH {_kmv_sketch_cte("orders", "o_custkey", "kmv")}
+SELECT CAST(rank AS BIGINT) AS rank, CAST(h AS BIGINT) AS h
+FROM kmv
+"""
+
+
+def _kmv_spark(df, key, k: int = _KMV_K):
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    return (
+        df.select(
+            md5_prefix60(F.concat(F.lit("kmv:"), key.cast("string"))).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+@register("sketch_kmv_registers", oracle=_KMV_REG_SQL, tags=("sketch",))
+def sketch_kmv_registers(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) sketch state over
+    orders.o_custkey (r10) — the third portable distinct sketch next
+    to HLL and bitmap, and the only one whose state supports SET
+    ALGEBRA with plain SQL (union = k smallest of the concatenation,
+    Jaccard = overlap share — see sketch_kmv_union_jaccard). State is
+    k = 64 integer rows: the smallest distinct salted md5-60 hashes.
+    Scale shape: hash is a narrow map, DISTINCT is one hash-agg, and
+    ORDER BY h LIMIT k is TakeOrderedAndProject — every partition
+    keeps only its local bottom-k, so k values per partition move,
+    never the key stream."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    sk = _kmv_spark(o, F.col("o_custkey"))
+    return sk.select(
+        F.row_number().over(W.orderBy("h")).cast("bigint").alias("rank"),
+        F.col("h").cast("bigint").alias("h"),
+    )
+
+
+_KMV_EST_SQL = f"""
+WITH {_kmv_sketch_cte("orders", "o_custkey", "kmv")},
+kth AS (SELECT MAX(h) AS hk, COUNT(*) AS k FROM kmv),
+tru AS (SELECT COUNT(DISTINCT o_custkey) AS n_true FROM orders)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(hk AS BIGINT) AS kth_hash,
+       (CAST(k - 1 AS DOUBLE) * 1152921504606846976e0) / CAST(hk AS DOUBLE)
+         AS estimate,
+       CAST(n_true AS BIGINT) AS n_true,
+       ((CAST(k - 1 AS DOUBLE) * 1152921504606846976e0) / CAST(hk AS DOUBLE)
+        - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE) AS rel_error
+FROM kth, tru
+"""
+
+
+@register("sketch_kmv_estimate", oracle=_KMV_EST_SQL, tags=("sketch",))
+def sketch_kmv_estimate(spark, sf_dir):
+    """KMV distinct-count estimate + self-audit (r10): with k minimum
+    hash values uniform on [0, 2^60), the unbiased estimator is
+    (k-1) * 2^60 / h_k — one division over two exact integers, so the
+    'approximate' readout is still bit-identical cross-engine (the
+    estimation ERROR is the algorithm's, not the engine's; the
+    sketch_hll_error_report discipline). Emits the estimate beside the
+    exact distinct count and the relative error."""
+    o = t(spark, sf_dir, "orders")
+    sk = _kmv_spark(o, F.col("o_custkey"))
+    kth = sk.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
+    tru = o.agg(F.countDistinct("o_custkey").alias("n_true"))
+    a = kth.crossJoin(F.broadcast(tru))
+    est = (F.col("k") - 1).cast("double") * F.lit(
+        1152921504606846976.0
+    ) / F.col("hk").cast("double")
+    return a.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("hk").cast("bigint").alias("kth_hash"),
+        est.alias("estimate"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        ((est - F.col("n_true").cast("double")) / F.col("n_true").cast("double")).alias(
+            "rel_error"
+        ),
+    )
+
+
+_KMV_SETS_SQL = f"""
+WITH a_src AS (SELECT o_custkey FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+b_src AS (SELECT o_custkey FROM orders
+          WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')),
+{_kmv_sketch_cte("a_src", "o_custkey", "ka")},
+{_kmv_sketch_cte("b_src", "o_custkey", "kb")},
+un AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rank FROM (
+    SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+    ORDER BY h LIMIT {_KMV_K}
+  )
+),
+j AS (
+  SELECT COUNT(*) AS k_u, MAX(h) AS hk,
+         SUM(CASE WHEN h IN (SELECT h FROM ka)
+                   AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS n_both
+  FROM un
+)
+SELECT CAST(k_u AS BIGINT) AS k,
+       CAST(n_both AS BIGINT) AS n_in_both,
+       CAST(n_both AS DOUBLE) / CAST(k_u AS DOUBLE) AS jaccard_est,
+       (CAST(k_u - 1 AS DOUBLE) * 1152921504606846976e0) / CAST(hk AS DOUBLE)
+         AS union_est,
+       (CAST(n_both AS DOUBLE) / CAST(k_u AS DOUBLE))
+       * ((CAST(k_u - 1 AS DOUBLE) * 1152921504606846976e0) / CAST(hk AS DOUBLE))
+         AS intersection_est
+FROM j
+"""
+
+
+@register("sketch_kmv_union_jaccard", oracle=_KMV_SETS_SQL, tags=("sketch",))
+def sketch_kmv_union_jaccard(spark, sf_dir):
+    """KMV set algebra (r10) — the reason to store bottom-k sketches
+    instead of HLL: two persisted sketches answer UNION, JACCARD and
+    INTERSECTION cardinality with k-row arithmetic, no rescan of
+    either side. Union sketch = k smallest of the two sketches'
+    concatenation (closed under the same k); Jaccard estimate = share
+    of the union sketch present in BOTH input sketches; intersection
+    = J * union estimate (inclusion-exclusion on estimates). Because
+    both sides salt the SAME hash, common keys collide exactly —
+    membership is an integer equi-join over k-row sets. Sketch legs
+    cost one TakeOrderedAndProject each; everything downstream is
+    broadcast-sized."""
+    o = t(spark, sf_dir, "orders")
+    a_src = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    b_src = o.where(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+    ka = _kmv_spark(a_src, F.col("o_custkey"))
+    kb = _kmv_spark(b_src, F.col("o_custkey"))
+    un = ka.unionAll(kb).distinct().orderBy("h").limit(_KMV_K)
+    both = ka.join(kb, "h").select("h")
+    j = un.join(F.broadcast(both.withColumn("_b", F.lit(1))), "h", "left").agg(
+        F.count(F.lit(1)).alias("k_u"),
+        F.max("h").alias("hk"),
+        F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_both"),
+    )
+    jd = F.col("n_both").cast("double") / F.col("k_u").cast("double")
+    uest = (F.col("k_u") - 1).cast("double") * F.lit(
+        1152921504606846976.0
+    ) / F.col("hk").cast("double")
+    return j.select(
+        F.col("k_u").cast("bigint").alias("k"),
+        F.col("n_both").cast("bigint").alias("n_in_both"),
+        jd.alias("jaccard_est"),
+        uest.alias("union_est"),
+        (jd * uest).alias("intersection_est"),
+    )
+
+
+# --- AMS F2 / join-size sketch (r10) -------------------------------------------------
+
+_AMS_D = 16
+
+
+def _ams_sql() -> str:
+    def counters(rel: str, key: str, name: str) -> str:
+        cols = ",\n         ".join(
+            f"SUM(1 - 2 * (({_BE60_FROM_U.replace('u >>', f'u{j} >>').replace('(u ', f'(u{j} ')}) % 2)) AS x{j}"
+            for j in range(_AMS_D)
+        )
+        us = ",\n         ".join(
+            f"md5_number_upper('ams{j}:' || CAST({key} AS VARCHAR)) AS u{j}"
+            for j in range(_AMS_D)
+        )
+        return f"""{name}_u AS (
+  SELECT {us} FROM {rel}
+), {name} AS (
+  SELECT {cols} FROM {name}_u
+)"""
+
+    prods = " + ".join(f"CAST(a.x{j} AS HUGEINT) * b.x{j}" for j in range(_AMS_D))
+    return f"""
+WITH {counters("orders", "o_custkey", "a")},
+{counters("events", "user_id", "b")},
+tru AS (
+  SELECT COUNT(*) AS n_true
+  FROM orders JOIN events ON o_custkey = user_id
+)
+SELECT CAST({_AMS_D} AS BIGINT) AS d,
+       CAST(CAST(({prods}) AS VARCHAR) AS DOUBLE) / {_AMS_D}e0 AS join_size_est,
+       CAST(n_true AS BIGINT) AS n_true,
+       (CAST(CAST(({prods}) AS VARCHAR) AS DOUBLE) / {_AMS_D}e0
+        - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE) AS rel_error
+FROM a, b, tru
+"""
+
+
+@register("sketch_ams_join_size", oracle=_ams_sql(), tags=("sketch", "join"))
+def sketch_ams_join_size(spark, sf_dir):
+    """AMS (Alon-Matias-Szegedy) join-size estimate (r10) — the
+    tug-of-war sketch: each side reduces to d = 16 signed counters
+    X_j = sum over rows of (+/-1 from a salted hash bit of the key),
+    and E[X_j * Y_j] IS the equi-join size sum f_a(v) * f_b(v); the
+    d-fold mean cuts variance. The classic optimizer-statistics
+    alternative to `sketch_cms_join_size`: unbiased (CMS only
+    overestimates) at the cost of two-sided error. Each side costs ONE
+    narrow map + ONE d-wide aggregate — d integers per side leave the
+    executors, the join itself never runs (the exact count here is
+    the audit leg). Signs are salted portable-md5 parity bits, so
+    both engines' counters are identical integers; the estimate is
+    one integer dot product and a division."""
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    def counters(df, key):
+        signs = [
+            (
+                F.lit(1)
+                - 2 * (md5_prefix60(F.concat(F.lit(f"ams{j}:"), key.cast("string"))) % 2)
+            ).alias(f"s{j}")
+            for j in range(_AMS_D)
+        ]
+        return df.select(*signs).agg(
+            *[F.sum(f"s{j}").cast("decimal(38,0)").alias(f"x{j}") for j in range(_AMS_D)]
+        )
+
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    a = counters(o, F.col("o_custkey"))
+    b = counters(e, F.col("user_id"))
+    b = b.select(*[F.col(f"x{j}").alias(f"y{j}") for j in range(_AMS_D)])
+    tru = o.join(e, o.o_custkey == e.user_id).agg(F.count(F.lit(1)).alias("n_true"))
+    w = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(tru))
+    dot = sum(F.col(f"x{j}") * F.col(f"y{j}") for j in range(_AMS_D))
+    est = dot.cast("decimal(38,0)").cast("double") / F.lit(float(_AMS_D))
+    return w.select(
+        F.lit(_AMS_D).cast("bigint").alias("d"),
+        est.alias("join_size_est"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        ((est - F.col("n_true").cast("double")) / F.col("n_true").cast("double")).alias(
+            "rel_error"
+        ),
+    )
