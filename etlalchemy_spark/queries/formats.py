@@ -848,3 +848,155 @@ def fmt_fixed_width_roundtrip(spark, sf_dir):
         F.substring("value", 25, 1).alias("o_orderstatus"),
         F.rtrim(F.substring("value", 26, 15)).alias("o_orderpriority"),
     )
+
+
+# --- Arrow IPC interchange (r10) ---------------------------------------------------
+
+_ARROW_IPC_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@register("fmt_arrow_ipc_roundtrip", oracle=_ARROW_IPC_SQL, tags=("sources",))
+def fmt_arrow_ipc_roundtrip(spark, sf_dir):
+    """parquet → Arrow IPC (Feather V2) files → read back → identical
+    values. Arrow IPC is the zero-copy interchange lingua franca
+    between Spark, pandas, DuckDB, Polars and every ML dataloader —
+    the format you hand a training job that refuses parquet decode
+    cost. No Spark datasource exists for it, so BOTH directions run
+    executor-side through Arrow `mapInPandas`: the writer emits one
+    .arrows file per partition (TaskContext partition id names it —
+    deterministic, rerun-overwrites), the reader parallelizes the
+    FILE LIST (driver touches names only, never bytes) and each task
+    streams its file's record batches back out. Typed roundtrip
+    (long, double, string) is exact — Arrow is the same memory format
+    pandas-on-Spark already speaks."""
+    import glob as _glob
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out_dir = os.path.join(scratch_dir("arrow_ipc", sf_dir), "supplier_arrows")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tables = [pa.Table.from_pandas(b) for b in batches]
+        import pandas as pd
+
+        if tables:
+            path = os.path.join(out_dir, f"part-{pid:05d}.arrows")
+            with pa.OSFile(path, "wb") as f:
+                with pa.ipc.new_file(f, tables[0].schema) as w:
+                    for tb in tables:
+                        w.write_table(tb)
+        yield pd.DataFrame({"path": [f"part-{pid:05d}"], "n": [sum(len(t) for t in tables)]})
+
+    # materialize the write; the manifest is one row per partition —
+    # a bounded metadata collect (file names, never data)
+    sup.mapInPandas(write_part, "path string, n bigint").collect()
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.arrows")))
+    flist = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(max(len(files), 1))
+
+    def read_part(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            for path in b["path"]:
+                with pa.OSFile(path, "rb") as f:
+                    reader = pa.ipc.open_file(f)
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i).to_pandas()
+
+    schema = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    return flist.mapInPandas(read_part, schema)
+
+
+# --- Protobuf wire-format interchange (r10) ------------------------------------------
+
+_PROTO_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+_PROTO_SPEC = [
+    (1, "s_suppkey", "int64"),
+    (2, "s_name", "string"),
+    (3, "s_nationkey", "int64"),
+    (4, "s_acctbal", "double"),
+]
+
+
+@register("fmt_protobuf_roundtrip", oracle=_PROTO_SQL, tags=("sources",))
+def fmt_protobuf_roundtrip(spark, sf_dir):
+    """parquet → protobuf length-delimited stream files → decode back →
+    identical values. Protobuf is the RPC-exhaust format event
+    pipelines ingest by the petabyte; no proto library ships in the
+    sandbox, so the WIRE FORMAT itself is implemented from the public
+    spec (operators/protowire.py — varints, tags, fixed64 doubles,
+    length-delimited framing compatible with writeDelimitedTo; golden
+    bytes pinned in tests/test_protowire.py). Both directions run
+    inside Arrow `mapInPandas`: encode writes one .pb file per
+    partition, decode parallelizes the file list — bytes never touch
+    the driver. Doubles roundtrip bit-exact (fixed64 IS the IEEE
+    image), so the oracle hash-matches."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from etlalchemy_spark.operators.protowire import (
+        decode_delimited_stream,
+        encode_delimited_stream,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out_dir = os.path.join(scratch_dir("protobuf", sf_dir), "supplier_pb")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        blobs = []
+        n = 0
+        for b in batches:
+            rows = b.to_dict("records")
+            n += len(rows)
+            blobs.append(encode_delimited_stream(iter(rows), _PROTO_SPEC))
+        if n:
+            with open(os.path.join(out_dir, f"part-{pid:05d}.pb"), "wb") as f:
+                for blob in blobs:
+                    f.write(blob)
+        yield pd.DataFrame({"n": [n]})
+
+    sup.mapInPandas(write_part, "n bigint").collect()
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.pb")))
+    flist = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(max(len(files), 1))
+
+    def read_part(batches):
+        import pandas as pd
+
+        for b in batches:
+            for path in b["path"]:
+                buf = open(path, "rb").read()
+                rows = list(decode_delimited_stream(buf, _PROTO_SPEC))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    schema = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    return flist.mapInPandas(read_part, schema)
