@@ -1830,3 +1830,211 @@ def image_color_histogram(df: DataFrame, id_col: str, bins: int = 8) -> DataFram
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+# --- Walsh-Hadamard sequency bands (r10) -------------------------------------------
+
+def _wht_sequency(k: int, bits: int) -> int:
+    """Sequency (sign-change count) of the natural-order Hadamard
+    index ``k``: bit-reverse, then Gray-to-binary."""
+    r = 0
+    for i in range(bits):
+        r = (r << 1) | ((k >> i) & 1)
+    s = 0
+    while r:
+        s ^= r
+        r >>= 1
+    return s
+
+
+def wht_band_table(n: int, n_bands: int) -> list[int]:
+    """band index per natural-order WHT coefficient (shared by the
+    Spark operator and the SQL oracle literal)."""
+    bits = n.bit_length() - 1
+    per = n // n_bands
+    return [min(_wht_sequency(k, bits) // per, n_bands - 1) for k in range(n)]
+
+
+def wht_sequency_bands(
+    df: "DataFrame", id_col: str, n: int = 64, n_bands: int = 4
+) -> "DataFrame":
+    """Spectral feature extraction with ZERO float risk: the
+    Walsh-Hadamard transform is the +/-1-basis sibling of the FFT
+    (same O(n log n) butterfly; real pipelines use it for spectral
+    hashing and as the rotation in LSH/quantization preconditioners),
+    and over int16 PCM it is EXACT integer arithmetic — coefficients
+    bounded by n*32768, energies by n*(n*32768)^2 — so band energies
+    oracle-verify bit-for-bit where an FFT's libm twiddles could not.
+    Decodes the first ``n`` samples of each REAL WAV payload (shared
+    chunk walker), runs the integer butterfly, folds coefficients
+    into ``n_bands`` SEQUENCY bands (sign-change order — the WHT's
+    notion of low->high frequency; natural order would interleave).
+    Partition-local Arrow batches; n is a constant, so cost is
+    scan-speed times n log n."""
+    import numpy as np
+
+    band = wht_band_table(n, n_bands)
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, band int, energy bigint"
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bands, energies = [], [], []
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                _, samples = decode_wav_samples(bytes(b))
+                if len(samples) < n:
+                    raise ValueError(
+                        f"wht_sequency_bands: payload has {len(samples)} < {n} samples"
+                    )
+                x = np.asarray(samples[:n], dtype=np.int64).copy()
+                h = 1
+                while h < n:
+                    for i in range(0, n, h * 2):
+                        a = x[i : i + h].copy()
+                        bb = x[i + h : i + 2 * h].copy()
+                        x[i : i + h] = a + bb
+                        x[i + h : i + 2 * h] = a - bb
+                    h *= 2
+                acc = [0] * n_bands
+                for k in range(n):
+                    acc[band[k]] += int(x[k]) * int(x[k])
+                for bi in range(n_bands):
+                    ids.append(rid)
+                    bands.append(bi)
+                    energies.append(acc[bi])
+            yield pd.DataFrame({id_col: ids, "band": bands, "energy": energies})
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+# --- TIFF (uncompressed baseline) codec (r10) ---------------------------------------
+
+def encode_tiff_gray8(pixels, big_endian: bool = False) -> bytes:
+    """Minimal spec-correct TIFF 6.0: 8-bit grayscale, uncompressed,
+    single strip, header -> strip -> IFD. Both byte orders (II/MM) —
+    real scanner exhaust is frequently MM."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    strip = bytes(p for row in pixels for p in row)
+    strip_off = 8
+    ifd_off = strip_off + len(strip) + (len(strip) & 1)
+    entries = [
+        (256, 4, 1, w),            # ImageWidth LONG
+        (257, 4, 1, h),            # ImageLength LONG
+        (258, 3, 1, 8),            # BitsPerSample SHORT
+        (259, 3, 1, 1),            # Compression: none
+        (262, 3, 1, 1),            # Photometric: BlackIsZero
+        (273, 4, 1, strip_off),    # StripOffsets
+        (277, 3, 1, 1),            # SamplesPerPixel
+        (278, 4, 1, max(h, 1)),    # RowsPerStrip
+        (279, 4, 1, len(strip)),   # StripByteCounts
+    ]
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", ifd_off)
+    out += strip + (b"\x00" * (len(strip) & 1))
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:  # SHORT packs left-justified in the 4-byte slot
+            out += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack(e + "HHII", tag, typ, cnt, val)
+    out += struct.pack(e + "I", 0)  # next-IFD terminator
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """TIFF 6.0 baseline decode: both byte orders, IFD walk,
+    uncompressed 8-bit single-sample strips (multi-strip supported —
+    RowsPerStrip < height is the spec's norm). Anything needing a
+    codec or deeper sample model refuses LOUDLY by field name:
+    Compression != 1 (LZW/PackBits/JPEG-in-TIFF), BitsPerSample != 8,
+    SamplesPerPixel != 1, tiled layout (TileWidth present)."""
+    import struct
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    e = "<" if payload[:2] == b"II" else ">"
+    if struct.unpack_from(e + "H", payload, 2)[0] != 42:
+        raise ValueError("not a TIFF payload (magic != 42)")
+    ifd_off = struct.unpack_from(e + "I", payload, 4)[0]
+    n = struct.unpack_from(e + "H", payload, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+        if typ == 3:  # SHORT
+            if cnt <= 2:
+                vals = list(struct.unpack_from(e + f"{cnt}H", payload, off + 8))
+            else:
+                ptr = struct.unpack_from(e + "I", payload, off + 8)[0]
+                vals = list(struct.unpack_from(e + f"{cnt}H", payload, ptr))
+        elif typ == 4:  # LONG
+            if cnt == 1:
+                vals = [struct.unpack_from(e + "I", payload, off + 8)[0]]
+            else:
+                ptr = struct.unpack_from(e + "I", payload, off + 8)[0]
+                vals = list(struct.unpack_from(e + f"{cnt}I", payload, ptr))
+        else:
+            continue  # RATIONAL/ASCII metadata — ignorable for stats
+        tags[tag] = vals
+    if 322 in tags:
+        raise NotImplementedError("TIFF: tiled layout (TileWidth tag 322)")
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF: Compression {comp} (only 1 = none)")
+    bits = tags.get(258, [1])[0]
+    if bits != 8:
+        raise NotImplementedError(f"TIFF: BitsPerSample {bits} (only 8)")
+    spp = tags.get(277, [1])[0]
+    if spp != 1:
+        raise NotImplementedError(f"TIFF: SamplesPerPixel {spp} (only 1)")
+    w, h = tags[256][0], tags[257][0]
+    offs, cnts = tags[273], tags[279]
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(offs, cnts)
+    )
+    if len(data) != w * h:
+        raise ValueError(f"TIFF: strip bytes {len(data)} != {w}x{h}")
+    return {
+        "byte_order": "II" if e == "<" else "MM",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_pixels": sum(data),
+        "max_pixel": max(data) if data else 0,
+    }
+
+
+def tiff_stats(df: "DataFrame", id_col: str) -> "DataFrame":
+    """decode→stats for TIFF payloads — same Arrow mapInPandas shape
+    as wav_stats: partition-local, only summary rows leave."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, byte_order string, width int, height int, "
+        "n_pixels bigint, sum_pixels bigint, max_pixel int"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [decode_tiff(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "byte_order": [s["byte_order"] for s in stats],
+                    "width": [s["width"] for s in stats],
+                    "height": [s["height"] for s in stats],
+                    "n_pixels": [s["n_pixels"] for s in stats],
+                    "sum_pixels": [s["sum_pixels"] for s in stats],
+                    "max_pixel": [s["max_pixel"] for s in stats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)

@@ -2274,3 +2274,135 @@ def mm_image_color_histogram(spark, sf_dir):
 
     imgs = params.mapInPandas(synth, "doc_id long, payload binary")
     return image_color_histogram(imgs, "doc_id", bins=8)
+
+
+# --- Walsh-Hadamard sequency-band audio energy (r10) --------------------------------
+
+from etlalchemy_spark.operators.multimodal import wht_band_table  # noqa: E402
+
+_WHT_N = 64
+_WHT_BANDS = 4
+_WHT_BAND_LIST = ", ".join(str(b) for b in wht_band_table(_WHT_N, _WHT_BANDS))
+
+_WHT_SQL = f"""
+WITH ks AS (SELECT UNNEST(generate_series(0, {_WHT_N - 1})) AS k),
+coeffs AS (
+  SELECT d.doc_id, ks.k,
+         list_aggregate(list_transform(generate_series(0, {_WHT_N - 1}),
+           i -> ((d.doc_id * 31 + i * 17) % 65536 - 32768)
+                * (1 - 2 * (bit_count(CAST(i AS BIGINT) & ks.k) % 2))), 'sum') AS c
+  FROM documents d, ks
+),
+bands AS (
+  SELECT doc_id, ([{_WHT_BAND_LIST}])[k + 1] AS band, c FROM coeffs
+)
+SELECT doc_id, CAST(band AS INT) AS band,
+       CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS energy
+FROM bands GROUP BY doc_id, band
+"""
+
+
+@register("mm_audio_wht_bands", oracle=_WHT_SQL, tags=("multimodal", "udf"))
+def mm_audio_wht_bands(spark, sf_dir):
+    """Spectral band energy over REAL audio decode with ZERO float
+    risk (r10): the Walsh-Hadamard transform is the +/-1-basis
+    sibling of the FFT (same butterfly; real systems use it for
+    spectral hashing and as the LSH/PQ rotation preconditioner), and
+    over int16 PCM it is EXACT integer arithmetic — so unlike an FFT
+    spectrogram, the 4 sequency-band energies oracle-verify
+    bit-for-bit. Pipeline: synthesize deterministic 16-bit PCM WAVs,
+    ENCODE to real RIFF bytes, DECODE back through the shared chunk
+    walker, integer butterfly, fold into sequency bands (sign-change
+    order = the WHT's low->high frequency axis; the natural->sequency
+    map is one shared literal table). The DuckDB oracle recomputes
+    every coefficient from the closed-form sample function — it never
+    parses bytes, so agreement proves the decode+transform chain.
+    Partition-local Arrow batches; only (id, band, energy) rows
+    leave."""
+    from etlalchemy_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wht_sequency_bands,
+    )
+
+    params = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(_WHT_N, dtype=np.int64)
+                samples = (int(doc_id) * 31 + i * 17) % 65536 - 32768
+                payloads.append(encode_wav_pcm16(samples, 16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    wavs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return wht_sequency_bands(wavs, "doc_id", n=_WHT_N, n_bands=_WHT_BANDS)
+
+
+# --- TIFF decode (r10) ---------------------------------------------------------------
+
+_TIFF_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         3 + doc_id % 6 AS h,
+         CASE WHEN doc_id % 5 = 0 THEN 'MM' ELSE 'II' END AS byte_order
+  FROM documents
+),
+px AS (
+  SELECT doc_id, byte_order, w, h,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> (doc_id * 7 + i * 13) % 256) AS p
+  FROM params
+)
+SELECT doc_id, byte_order,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS sum_pixels,
+       CAST(list_aggregate(p, 'max') AS INT) AS max_pixel
+FROM px
+"""
+
+
+@register("mm_decode_tiff_stats", oracle=_TIFF_SQL, tags=("multimodal", "udf"))
+def mm_decode_tiff_stats(spark, sf_dir):
+    """REAL TIFF 6.0 decode, stdlib-only (r10) — the scanner/GIS/
+    medical interchange container, BOTH byte orders (every fifth doc
+    encodes big-endian 'MM', the Mac-heritage order real archives
+    mix): header magic, IFD walk with SHORT/LONG value-vs-pointer
+    slots, strip reassembly, 8-bit grayscale stats. Compression (LZW
+    /PackBits/JPEG-in-TIFF), deeper samples, and tiled layout refuse
+    LOUDLY by field name (operators/multimodal.py decode_tiff). The
+    encode->decode round trip against a closed-form pixel oracle
+    proves the parser reads real TIFF bytes; partition-local Arrow
+    batches, stats rows only leave the executors."""
+    from etlalchemy_spark.operators.multimodal import encode_tiff_gray8, tiff_stats
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 9).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 6).cast("int").alias("h"),
+        (F.col("doc_id") % 5 == 0).alias("big_endian"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, w, h, be in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["big_endian"]
+            ):
+                px = [
+                    [(int(doc_id) * 7 + (r * int(w) + c) * 13) % 256 for c in range(int(w))]
+                    for r in range(int(h))
+                ]
+                payloads.append(encode_tiff_gray8(px, big_endian=bool(be)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    tiffs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return tiff_stats(tiffs, "doc_id")

@@ -93,3 +93,81 @@ def test_mulaw_quantization_is_idempotent(s):
     d = mulaw_decode_byte(b)
     assert 0 <= b <= 255
     assert mulaw_encode_sample(d) == b
+
+
+# --- TIFF (r10) --------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=2**31),
+    st.booleans(),
+)
+def test_tiff_roundtrip(w, h, seed, big_endian):
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    px = [[(seed * 7 + (r * w + c) * 13) % 256 for c in range(w)] for r in range(h)]
+    d = decode_tiff(encode_tiff_gray8(px, big_endian=big_endian))
+    assert d["width"] == w and d["height"] == h
+    assert d["byte_order"] == ("MM" if big_endian else "II")
+    assert d["sum_pixels"] == sum(sum(r) for r in px)
+    assert d["max_pixel"] == max(max(r) for r in px)
+
+
+def test_tiff_refusals_name_the_field():
+    import struct
+
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    b = bytearray(encode_tiff_gray8([[1, 2], [3, 4]]))
+    # find the Compression entry (tag 259) in the IFD and set it to 5 (LZW)
+    ifd = struct.unpack_from("<I", b, 4)[0]
+    n = struct.unpack_from("<H", b, ifd)[0]
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", b, off)[0] == 259:
+            struct.pack_into("<H", b, off + 8, 5)
+    with pytest.raises(NotImplementedError, match="Compression 5"):
+        decode_tiff(bytes(b))
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x2a\x00garbage")
+
+
+# --- Walsh-Hadamard bands (r10) ----------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_wht_parseval_energy_identity(seed):
+    """Parseval for the unnormalized WHT: sum_k c_k^2 = n * sum_i s_i^2
+    — so the 4 band energies must sum to exactly n times the signal
+    energy, whatever the signal."""
+    import numpy as np
+    import pandas as pd
+
+    from etlalchemy_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wht_band_table,
+    )
+
+    n = 64
+    i = np.arange(n, dtype=np.int64)
+    samples = (seed * 31 + i * 17) % 65536 - 32768
+    x = samples.copy()
+    h = 1
+    while h < n:
+        for s0 in range(0, n, h * 2):
+            a = x[s0 : s0 + h].copy()
+            b = x[s0 + h : s0 + 2 * h].copy()
+            x[s0 : s0 + h] = a + b
+            x[s0 + h : s0 + 2 * h] = a - b
+        h *= 2
+    assert int((x.astype(object) ** 2).sum()) == n * int(
+        (samples.astype(object) ** 2).sum()
+    )
+    # and the band table is a partition of all 64 coefficients
+    tbl = wht_band_table(n, 4)
+    assert sorted(set(tbl)) == [0, 1, 2, 3] and len(tbl) == n
+    assert all(tbl.count(b) == 16 for b in range(4))
