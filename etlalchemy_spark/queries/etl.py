@@ -1977,3 +1977,79 @@ def etl_entity_resolution(spark, sf_dir):
         "name",
         F.coalesce(F.col("component"), F.col("rec_id")).alias("canonical_id"),
     )
+
+
+# --- Migration content-checksum manifest (r10) --------------------------------------
+
+# (table, canonical column exprs) — integer/string/decimal(12,2) only:
+# doubles and timestamps render differently across engines, so the
+# canonical row string sticks to types with one textual image.
+_CKSUM_TABLES = [
+    ("customer", ["CAST(c_custkey AS STRING)", "c_name",
+                  "CAST(c_nationkey AS STRING)",
+                  "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS STRING)"]),
+    ("orders", ["CAST(o_orderkey AS STRING)", "CAST(o_custkey AS STRING)",
+                "o_orderstatus",
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)"]),
+    ("supplier", ["CAST(s_suppkey AS STRING)", "s_name",
+                  "CAST(s_nationkey AS STRING)",
+                  "CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS STRING)"]),
+    ("nation", ["CAST(n_nationkey AS STRING)", "n_name",
+                "CAST(n_regionkey AS STRING)"]),
+]
+
+
+def _cksum_sql() -> str:
+    from etlalchemy_spark.queries.sketches import _BE60_FROM_U
+
+    legs = []
+    for name, cols in _CKSUM_TABLES:
+        row = " || '|' || ".join(cols)
+        legs.append(f"""
+SELECT '{name}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h) AS VARCHAR) AS content_checksum
+FROM (
+  SELECT {_BE60_FROM_U} AS h FROM (
+    SELECT md5_number_upper('ck:' || {row}) AS u FROM {name}
+  )
+)""")
+    return "\nUNION ALL\n".join(legs)
+
+
+@register("etl_checksum_manifest", oracle=_cksum_sql(), tags=("etl", "scale"))
+def etl_checksum_manifest(spark, sf_dir):
+    """Migration content-checksum manifest (r10) — the cheap
+    whole-table reconciliation every database migration signs off
+    with (upstream etlalchemy prints row counts per table, ≈send_data
+    timing report; a count can match while values silently differ):
+    per table, an ORDER-INSENSITIVE content checksum = exact sum of
+    the portable 60-bit md5 of each row's canonical string, beside
+    the row count. Sum-of-hashes is commutative, so source and target
+    can each compute their manifest with any partitioning/engine and
+    diff two tiny tables — the aggregate-level complement of the
+    per-row `etl_rowhash_reconciliation`. Canonical strings use only
+    types with one cross-engine textual image (ints, strings,
+    decimal(12,2)); the checksum column is emitted as a decimal
+    STRING since it outgrows int64. One narrow map + one 2-column
+    aggregate per table — scan-speed at any scale."""
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    legs = []
+    for name, cols in _CKSUM_TABLES:
+        df = t(spark, sf_dir, name)
+        row = F.expr(" || '|' || ".join(cols))
+        legs.append(
+            df.select(md5_prefix60(F.concat(F.lit("ck:"), row)).alias("h")).agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("content_checksum"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
