@@ -2343,7 +2343,7 @@ FROM s
 """
 
 
-@register("agg_spearman_corr", oracle=_SPEARMAN_SQL, tags=("agg", "stats", "scale"))
+@register("agg_spearman_corr", oracle=_SPEARMAN_SQL, tags=("agg", "stats", "scale", "bench"))
 def agg_spearman_corr(spark, sf_dir):
     """Spearman rank correlation with tie-averaged ranks, per group
     (r10) — the monotone-association readout `agg_corr_exact` (Pearson)

@@ -934,7 +934,7 @@ _PROTO_SPEC = [
 ]
 
 
-@register("fmt_protobuf_roundtrip", oracle=_PROTO_SQL, tags=("sources",))
+@register("fmt_protobuf_roundtrip", oracle=_PROTO_SQL, tags=("sources", "bench"))
 def fmt_protobuf_roundtrip(spark, sf_dir):
     """parquet → protobuf length-delimited stream files → decode back →
     identical values. Protobuf is the RPC-exhaust format event

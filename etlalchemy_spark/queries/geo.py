@@ -179,7 +179,7 @@ FROM rk WHERE rn <= {_KNN_K}
 """
 
 
-@register("geo_grid_knn", oracle=_knn_sql(), tags=("geo", "join", "scale"))
+@register("geo_grid_knn", oracle=_knn_sql(), tags=("geo", "join", "scale", "bench"))
 def geo_grid_knn(spark, sf_dir):
     """Grid-bucketed spatial kNN join (r10): nearest suppliers for a
     2% content-addressed sample of customers. THE scale shape for

@@ -2302,7 +2302,7 @@ FROM bands GROUP BY doc_id, band
 """
 
 
-@register("mm_audio_wht_bands", oracle=_WHT_SQL, tags=("multimodal", "udf"))
+@register("mm_audio_wht_bands", oracle=_WHT_SQL, tags=("multimodal", "udf", "bench"))
 def mm_audio_wht_bands(spark, sf_dir):
     """Spectral band energy over REAL audio decode with ZERO float
     risk (r10): the Walsh-Hadamard transform is the +/-1-basis

@@ -1010,7 +1010,7 @@ FROM j
 """
 
 
-@register("sketch_kmv_union_jaccard", oracle=_KMV_SETS_SQL, tags=("sketch",))
+@register("sketch_kmv_union_jaccard", oracle=_KMV_SETS_SQL, tags=("sketch", "bench"))
 def sketch_kmv_union_jaccard(spark, sf_dir):
     """KMV set algebra (r10) — the reason to store bottom-k sketches
     instead of HLL: two persisted sketches answer UNION, JACCARD and

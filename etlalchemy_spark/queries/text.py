@@ -2856,7 +2856,7 @@ FROM terms
 """
 
 
-@register("text_js_divergence", oracle=_JSD_SQL, tags=("text", "stats"))
+@register("text_js_divergence", oracle=_JSD_SQL, tags=("text", "stats", "bench"))
 def text_js_divergence(spark, sf_dir):
     """Jensen-Shannon divergence between the English and German token
     distributions (r10) — the symmetric, bounded (0..ln2) corpus-drift
