@@ -2681,3 +2681,201 @@ def events_sequence_pattern(spark, sf_dir):
         F.length("matched").cast("bigint").alias("match_len"),
         F.expr("instr(path, matched)").cast("bigint").alias("match_pos"),
     )
+
+
+# --- Kaplan-Meier survival curve (r10) ----------------------------------------------
+
+from etlalchemy_spark.queries._util import ln_int_sql, sessionize  # noqa: E402
+
+_KM_CENSOR_US = 30 * 60 * 1_000_000  # sessions ending near corpus end may be open
+
+_KM_TERM = (
+    f"CAST(CASE WHEN d > 0 AND n_at_risk > d"
+    f" THEN ({ln_int_sql('(n_at_risk - d)')} - {ln_int_sql('n_at_risk')})"
+    f" ELSE 0e0 END AS DECIMAL(28,12))"
+)
+
+_KM_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY 1, 2
+), horizon AS (SELECT MAX(ts) AS end_ts FROM events),
+dur AS (
+  SELECT (epoch_us(e) - epoch_us(s)) // 60000000 AS t,
+         CASE WHEN epoch_us(e) >= epoch_us(end_ts) - {_KM_CENSOR_US}
+              THEN 1 ELSE 0 END AS censored
+  FROM sess, horizon
+),
+per_t AS (
+  SELECT t, SUM(1 - censored) AS d, SUM(censored) AS c
+  FROM dur GROUP BY t
+),
+tot AS (SELECT SUM(d + c) AS n_subjects FROM per_t),
+risk AS (
+  SELECT t, d, c,
+         tot.n_subjects
+         - COALESCE(SUM(d + c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM per_t, tot
+),
+terms AS (
+  SELECT t, d, c, n_at_risk, {_KM_TERM} AS term FROM risk
+),
+curve AS (
+  SELECT t, d, c, n_at_risk,
+         SUM(term) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s
+  FROM terms
+)
+SELECT CAST(t AS BIGINT) AS t_minutes,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_ended,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(CAST(log_s AS VARCHAR) AS DOUBLE) AS log_survival
+FROM curve
+WHERE d > 0 AND n_at_risk > d
+"""
+
+
+@register("events_survival_km", oracle=_KM_SQL, tags=("events", "stats", "scale"))
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve over SESSION duration (r10) — THE
+    censoring-correct answer to 'how long do sessions last?': a
+    session still open at the corpus end is a LOWER BOUND on its
+    duration, and averaging durations as if complete systematically
+    understates engagement (the fixture's user lifetimes all span the
+    whole window, so sessions — not users — are the subject with real
+    variation). Emitted in LOG space: each factor ln(1 - d/n) is a
+    difference of integer lns (cross-engine-exact ln_int; exp() would
+    reintroduce libm drift — any client exps the column), terms
+    decimal-summed so the cumulative product is order-free. Scale
+    shape: sessionize (the shared gaps-and-islands helper) + per-
+    session reduce, then EVERYTHING runs over per-DURATION rows
+    (bounded by distinct session lengths in minutes, never sessions):
+    one bucket-parallel prefix for risk sets, one for the log-curve.
+    Terminal all-ended step (S = 0) excluded by the n > d guard."""
+    from etlalchemy_spark.operators.prefix import running_global_sums
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    dur = sess.crossJoin(F.broadcast(horizon)).select(
+        F.expr(
+            "(CAST(unix_micros(e) AS BIGINT) - CAST(unix_micros(s) AS BIGINT))"
+            " div 60000000"
+        ).alias("t"),
+        (
+            F.unix_micros(F.col("e"))
+            >= F.unix_micros(F.col("end_ts")) - _KM_CENSOR_US
+        )
+        .cast("int")
+        .alias("censored"),
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"), F.sum("censored").alias("c")
+    )
+    # lazy lineage cut: per_t is tiny (distinct durations in minutes)
+    # but sits on a sessionize window; the two prefix helpers and the
+    # totals agg would otherwise re-execute that window 5x (the
+    # graph-family localCheckpoint(eager=False) policy)
+    per_t = per_t.localCheckpoint(eager=False)
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_subjects"))
+    risk = running_global_sums(
+        per_t,
+        F.col("t"),
+        [],
+        [((F.col("d") + F.col("c")).cast("decimal(38,0)"), "cum_dc")],
+    ).crossJoin(F.broadcast(tot))
+    risk = risk.select(
+        "t", "d", "c",
+        (F.col("n_subjects") - (F.col("cum_dc") - F.col("d") - F.col("c")))
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    terms = risk.select("t", "d", "c", "n_at_risk", F.expr(_KM_TERM).alias("term"))
+    # prefix in integer PICOUNITS: Spark decimal ADD of (38,12)+(38,12)
+    # caps precision at 38 and silently drops to scale 11 (one lost
+    # digit vs the oracle's int128-backed window sum); scale-0 decimals
+    # add losslessly, and |cum| < 2^53 makes the closing int->double
+    # conversion exact, so the single /1e12 is the only rounding —
+    # same as the oracle's one VARCHAR-routed conversion
+    pico = (F.col("term") * F.lit(10**12).cast("decimal(13,0)")).cast("decimal(38,0)")
+    curve = running_global_sums(
+        terms.withColumn("_pico", pico), F.col("t"), [], [(F.col("_pico"), "log_s12")]
+    )
+    return curve.where((F.col("d") > 0) & (F.col("n_at_risk") > F.col("d"))).select(
+        F.col("t").cast("bigint").alias("t_minutes"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_ended"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        (F.col("log_s12").cast("double") / F.lit(1e12)).alias("log_survival"),
+    )
+
+
+# --- Calendar activity profile (r10) ------------------------------------------------
+
+_CAL_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+         CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS v
+  FROM events
+)
+SELECT CAST((day + 3) % 7 AS INT) AS dow,
+       CAST(hour AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(SUM(v), 4) AS DOUBLE) AS value_sum
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@register("events_calendar_profile", oracle=_CAL_SQL, tags=("events", "agg"))
+def events_calendar_profile(spark, sf_dir):
+    """Day-of-week x hour-of-day activity matrix (r10) — the calendar
+    heatmap behind every traffic dashboard and the seasonality prior
+    batch schedulers tune against. Weekday/hour derive from PURE
+    INTEGER epoch-microsecond arithmetic (epoch day 0 = Thursday, so
+    dow = (day + 3) % 7 with 0 = Monday) instead of engine date-part
+    functions, whose week-start conventions differ (Spark dayofweek
+    is 1 = Sunday, DuckDB dow is 0 = Sunday — the classic silent
+    off-by-one). One narrow map + one 168-cell hash aggregate; the
+    exact distinct-user count per cell is the only shuffle-heavy
+    column and stays a single hash-distinct."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT) div 86400000000").alias("day"),
+        F.expr(
+            "(CAST(unix_micros(ts) AS BIGINT) % 86400000000) div 3600000000"
+        ).alias("hour"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    return e.groupBy(
+        ((F.col("day") + 3) % 7).cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("v").cast("decimal(38,4)").cast("double").alias("value_sum"),
+    )
