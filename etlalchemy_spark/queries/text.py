@@ -2909,3 +2909,100 @@ def text_js_divergence(spark, sf_dir):
             (F.col("jsd") / F.expr(_LN2)).alias("jsd_normalized"),
         )
     )
+
+
+# --- Bigram LM surprisal (r10) -------------------------------------------------------
+
+_BG_LN1 = ln_int_sql("(cb + 1)")
+_BG_LN2 = ln_int_sql("(cl + v)")
+
+_BIGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bg
+  FROM w WHERE len(ws) >= 2
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT UNNEST(ws) AS tok FROM w)),
+cb_t AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+cl_t AS (
+  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cl FROM bg GROUP BY 1
+),
+types AS (
+  SELECT cb_t.bg,
+         CAST(({_BG_LN1}) - ({_BG_LN2}) AS DECIMAL(28,10)) AS lp
+  FROM cb_t JOIN cl_t ON split_part(cb_t.bg, ' ', 1) = cl_t.w1, vocab
+),
+docsum AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(t.lp) AS s
+  FROM bg b JOIN types t ON b.bg = t.bg
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS mean_bigram_logprob
+FROM docsum
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_SQL, tags=("text", "stats"))
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM surprisal scoring (r10) — the perplexity-style
+    quality filter one order up from `text_unigram_logprob`: a doc
+    whose WORD PAIRS are improbable under the corpus bigram model is
+    gibberish/shuffled/boilerplate even when its unigrams look fine
+    (the standard n-gram-LM filtering step in C4/CCNet-style
+    pipelines). Add-one smoothing over the vocabulary keeps every
+    probability a ratio of integers, so per-bigram-TYPE log
+    probabilities ln(c12+1) - ln(c1+V) are differences of
+    cross-engine-exact integer lns, evaluated once per distinct
+    bigram (types, never the token stream) and joined back; per-doc
+    means are scale-10 decimal sums over occurrences. Shape: one
+    bigram explode (narrow strings), two hash-aggs, one Zipf-skewed
+    type join (AQE handles the hot bigrams), one per-doc re-agg."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
+    )
+    bg = w.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    vocab = (
+        w.select(F.explode("ws").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    cb_t = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cl_t = bg.groupBy(F.expr("split_part(bg, ' ', 1)").alias("w1")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    types = (
+        cb_t.join(cl_t, F.expr("split_part(bg, ' ', 1)") == cl_t.w1)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.expr(f"CAST(({_BG_LN1}) - ({_BG_LN2}) AS DECIMAL(28,10))").alias("lp"),
+        )
+    )
+    docsum = (
+        bg.join(types, "bg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("s"))
+    )
+    return docsum.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        (F.col("s").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "mean_bigram_logprob"
+        ),
+    )
