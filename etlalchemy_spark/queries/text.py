@@ -3006,3 +3006,134 @@ def text_bigram_logprob(spark, sf_dir):
             "mean_bigram_logprob"
         ),
     )
+
+
+# --- RAKE keyword extraction (r10) ---------------------------------------------------
+
+_RAKE_STOPS = "'the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','be','this','that','are','was'"
+_RAKE_MAX_WORDS = 4
+_RAKE_TOPK = 15
+
+_RAKE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(words))) AS i, words FROM w
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, words[CAST(i AS INT)] AS wrd
+  FROM pos
+),
+kept AS (
+  SELECT doc_id, i, wrd,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM tok WHERE wrd NOT IN ({_RAKE_STOPS})
+),
+phrases AS (
+  SELECT doc_id, island,
+         string_agg(wrd, ' ' ORDER BY i) AS phrase,
+         COUNT(*) AS n_words
+  FROM kept GROUP BY doc_id, island
+  HAVING COUNT(*) <= {_RAKE_MAX_WORDS}
+),
+pw AS (
+  SELECT phrase, n_words, UNNEST(regexp_split_to_array(phrase, ' ')) AS wrd
+  FROM phrases
+),
+wstat AS (
+  SELECT wrd, COUNT(*) AS freq, SUM(n_words) AS degree FROM pw GROUP BY wrd
+),
+scored AS (
+  SELECT pw.phrase,
+         SUM(CAST(CAST(wstat.degree AS DOUBLE) / CAST(wstat.freq AS DOUBLE)
+                  AS DECIMAL(28,12))) AS score12
+  FROM pw JOIN wstat ON pw.wrd = wstat.wrd
+  GROUP BY pw.phrase
+),
+occ AS (SELECT phrase, COUNT(*) AS occurrences FROM phrases GROUP BY phrase)
+SELECT s.phrase,
+       CAST(len(regexp_split_to_array(s.phrase, ' ')) AS INT) AS n_words,
+       CAST(o.occurrences AS BIGINT) AS occurrences,
+       CAST(CAST(s.score12 AS VARCHAR) AS DOUBLE)
+         / CAST(o.occurrences AS DOUBLE) AS rake_score
+FROM scored s JOIN occ o ON s.phrase = o.phrase
+ORDER BY rake_score DESC, s.phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_SQL, tags=("text", "stats"))
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (r10) — the classic unsupervised
+    keyphrase scorer (Rose et al.: candidate phrases are maximal runs
+    of non-stopwords; word score = co-occurrence degree / frequency;
+    phrase score = sum of its word scores), the corpus-labeling /
+    topic-tagging primitive that needs no model. Phrase runs are the
+    gaps-and-islands identity (i - row_number over kept words) — the
+    sessionize trick applied to token positions, windows partitioned
+    per doc (doc-sized, never corpus); word stats are two hash-aggs
+    over PHRASE words; phrase scores sum degree/freq ratios as
+    scale-12 decimals (order-free; the SUM over a phrase's words
+    would otherwise be shuffle-order-dependent doubles). Scores
+    dedupe across identical phrases (score12/occurrences — the sum
+    counted each occurrence once). Top-15 via
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("i0", "wrd"),
+    ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "wrd")
+    stops = [s.strip("'") for s in _RAKE_STOPS.split(",")]
+    kept = tok.where(~F.col("wrd").isin(*stops)).withColumn(
+        "island",
+        F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i")),
+    )
+    phrases = (
+        kept.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(i, wrd))), x -> x.wrd)"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .where(F.col("n_words") <= _RAKE_MAX_WORDS)
+    )
+    pw = phrases.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("wrd")
+    )
+    wstat = pw.groupBy("wrd").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("degree")
+    )
+    scored = (
+        pw.join(wstat, "wrd")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                (
+                    F.col("degree").cast("double") / F.col("freq").cast("double")
+                ).cast("decimal(28,12)")
+            ).alias("score12")
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("occurrences"))
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("int").alias("n_words"),
+            F.col("occurrences").cast("bigint").alias("occurrences"),
+            (
+                F.col("score12").cast("double")
+                / F.col("occurrences").cast("double")
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

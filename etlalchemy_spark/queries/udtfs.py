@@ -176,3 +176,72 @@ def udtf_table_arg_partitioned(spark, sf_dir):
         "SELECT * FROM user_gap_stats"
         "(TABLE(_udtf_events) PARTITION BY user_id ORDER BY (ts, event_id))"
     )
+
+
+# --- n-gram generator UDTF (r10) -----------------------------------------------------
+
+@udtf(returnType="n int, start_idx int, ngram string")
+class NgramGenerator:
+    """Emit all word n-grams for n in 1..max_n with their start index —
+    one input row fans out to a variable number of rows depending on
+    doc length, the UDTF-shaped expansion. (An explode expression
+    could build this too; the UDTF variant exists to pin the
+    LATERAL-correlated table-function surface with a full value
+    oracle, not just the sentence splitter's.)"""
+
+    def eval(self, doc_id: int, text: str, max_n: int):  # noqa: D102
+        if text is None:
+            return
+        import re
+
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        for n in range(1, max_n + 1):
+            for i in range(len(words) - n + 1):
+                yield n, i + 1, " ".join(words[i : i + n])
+
+
+_NGRAM_UDTF_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents WHERE doc_id < 100
+),
+g AS (
+  SELECT doc_id, n,
+         UNNEST(list_transform(generate_series(1, len(ws) - n + 1),
+                i -> array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + CAST(n - 1 AS INT)], ' ')))
+           AS ngram
+  FROM w, (VALUES (1), (2), (3)) t(n)
+  WHERE len(ws) >= n
+)
+SELECT CAST(n AS INT) AS n, ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY n, ngram
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("udtf_ngram_generator", oracle=_NGRAM_UDTF_SQL, tags=("text", "udtf"))
+def udtf_ngram_generator(spark, sf_dir):
+    """Word n-gram generation (n = 1..3) through a LATERAL-correlated
+    Python UDTF, aggregated to corpus counts (r10) — the third UDTF
+    surface row beside the sentence splitter and the TABLE-argument
+    variant. The UDTF fans each doc out to a length-dependent number
+    of rows (Arrow-batched per partition — parallelism is the scan's);
+    the DuckDB oracle rebuilds identical n-grams with list slices, so
+    every emitted VALUE is verified, not just counts. The aggregate
+    keeps only n-grams seen >= 3 times (the vocabulary-building
+    shape), bounding the result to frequent types."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("_udtf_ngram_docs")
+    spark.udtf.register("ngram_gen", NgramGenerator)
+    out = spark.sql(
+        """
+        SELECT g.n, g.ngram
+        FROM _udtf_ngram_docs d, LATERAL ngram_gen(d.doc_id, d.text, 3) g
+        """
+    )
+    return (
+        out.groupBy("n", "ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= 3)
+        .select(F.col("n").cast("int").alias("n"), "ngram", "cnt")
+    )
