@@ -1,0 +1,516 @@
+"""WEBP-lossless (VP8L) codec, pure Python, from the public spec
+(https://developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification).
+
+Closes the longest-standing entry on the codec refusal list: the r9
+boundary said "WEBP refuses loudly"; this implements the LOSSLESS
+bitstream — RIFF/VP8L container, LSB-first bit reader, canonical
+Huffman (both the SIMPLE 1-2-symbol form and the full
+code-length-coded form with 16/17/18 repeat codes), LZ77
+backward references with prefix-coded lengths/distances, and the
+SUBTRACT_GREEN transform.
+
+Honest sub-boundaries (each refusal names the exact field):
+- PREDICTOR / CROSS_COLOR / COLOR_INDEXING transforms
+- meta-Huffman (entropy image) partitioning
+- color cache
+- 2D-neighbor distance map (plane codes <= 120; the in-house encoder
+  always emits raw distances, plane code = dist + 120)
+- VP8 (lossy) chunks
+
+Scale shape: like every codec here, decode runs partition-local
+inside Arrow ``mapInPandas`` batches; only stats rows leave."""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------- bit I/O
+
+
+class BitWriter:
+    """LSB-first within each byte (the VP8L stream order)."""
+
+    def __init__(self) -> None:
+        self._bits: int = 0
+        self._n: int = 0
+        self._out = bytearray()
+
+    def write(self, value: int, n_bits: int) -> None:
+        """Write the low n_bits of value, LSB first."""
+        self._bits |= (value & ((1 << n_bits) - 1)) << self._n
+        self._n += n_bits
+        while self._n >= 8:
+            self._out.append(self._bits & 0xFF)
+            self._bits >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman code bits go MSB-first (tree-walk order)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self._out)
+        if self._n:
+            out.append(self._bits & 0xFF)
+        return bytes(out)
+
+
+class BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0  # bit position
+
+    def read(self, n_bits: int) -> int:
+        v = 0
+        for i in range(n_bits):
+            byte = self._d[self._pos >> 3]
+            v |= ((byte >> (self._pos & 7)) & 1) << i
+            self._pos += 1
+        return v
+
+
+# ---------------------------------------------------------------- huffman
+
+_MAX_LEN = 15
+
+
+def huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Code lengths from frequencies — textbook heap Huffman. Small
+    alphabets + fixture-sized depth, so no length-limiting pass is
+    needed; an over-deep tree raises rather than emitting an invalid
+    stream."""
+    import heapq
+
+    syms = [s for s, f in freqs.items() if f > 0]
+    if not syms:
+        raise ValueError("huffman over empty alphabet")
+    if len(syms) == 1:
+        return {syms[0]: 0}  # 1-symbol code: zero bits per symbol
+    h = [(freqs[s], i, (s,)) for i, s in enumerate(sorted(syms))]
+    heapq.heapify(h)
+    depth = {s: 0 for s in syms}
+    uid = len(h)
+    while len(h) > 1:
+        fa, _, a = heapq.heappop(h)
+        fb, _, b = heapq.heappop(h)
+        for s in a + b:
+            depth[s] += 1
+        heapq.heappush(h, (fa + fb, uid, a + b))
+        uid += 1
+    if max(depth.values()) > _MAX_LEN:
+        raise NotImplementedError(
+            f"VP8L: huffman depth {max(depth.values())} > 15 (length limiting)"
+        )
+    return depth
+
+
+def canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """DEFLATE-style canonical assignment: symbols sorted by
+    (length, symbol); returns {symbol: (code, length)}."""
+    code = 0
+    prev_len = 0
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        if ln == 0:
+            continue
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+class HuffTree:
+    """Bit-at-a-time decode tree from canonical lengths."""
+
+    __slots__ = ("root", "single")
+
+    def __init__(self, lengths: dict[int, int]) -> None:
+        nonzero = {s: l for s, l in lengths.items() if l > 0}
+        if not nonzero:
+            singles = [s for s, l in lengths.items() if l == 0]
+            if len(singles) != 1:
+                raise ValueError("invalid huffman lengths")
+            self.single = singles[0]
+            self.root = None
+            return
+        self.single = None
+        self.root: list = [None, None]
+        for sym, (code, ln) in canonical_codes(nonzero).items():
+            node = self.root
+            for i in range(ln - 1, 0, -1):
+                b = (code >> i) & 1
+                if node[b] is None:
+                    node[b] = [None, None]
+                node = node[b]
+            node[code & 1] = sym
+
+    def read(self, br: BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        node = self.root
+        while True:
+            node = node[br.read(1)]
+            if not isinstance(node, list):
+                if node is None:
+                    raise ValueError("VP8L: invalid huffman code in stream")
+                return node
+
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+
+def _write_huffman_code(bw: BitWriter, lengths: dict[int, int]) -> None:
+    """Emit one Huffman code: SIMPLE form for <= 2 used symbols, else
+    the full code-length-coded form (no 16/17/18 repeats on the write
+    side — the reader handles them; zeros are emitted literally)."""
+    used = sorted(s for s, l in lengths.items() if l >= 0 and (l > 0 or len(lengths) == 1))
+    nonzero = sorted(s for s, l in lengths.items() if l > 0)
+    if len(nonzero) == 0 and len(lengths) == 1:
+        nonzero = list(lengths)  # 1-symbol code, length 0
+    if len(nonzero) <= 2 and all(s <= 255 for s in nonzero):
+        bw.write(1, 1)  # simple
+        n = max(len(nonzero), 1)
+        bw.write(n - 1, 1)
+        first = nonzero[0] if nonzero else 0
+        if first <= 1:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if n == 2:
+            bw.write(nonzero[1], 8)
+        return
+    bw.write(0, 1)  # normal
+    max_sym = max(nonzero)
+    lens = [lengths.get(s, 0) for s in range(max_sym + 1)]
+    cl_freq: dict[int, int] = {}
+    for l in lens:
+        cl_freq[l] = cl_freq.get(l, 0) + 1
+    cl_lengths = huffman_lengths(cl_freq)
+    if not any(l > 0 for l in cl_lengths.values()):
+        # heap huffman gives a lone CL symbol length 0; the CL table
+        # needs an explicit 1-bit entry so the reader can walk it —
+        # give it length 1 by pairing with a dummy
+        only = next(iter(cl_lengths))
+        cl_lengths = {only: 1, (only + 1) % 19: 1}
+    # how many 3-bit CL-code entries must be written (order prefix)
+    need = {s for s, l in cl_lengths.items() if l > 0}
+    num_codes = max(i + 1 for i, s in enumerate(_CL_ORDER) if s in need)
+    num_codes = max(num_codes, 4)
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.write(cl_lengths.get(_CL_ORDER[i], 0), 3)
+    # max_symbol shortcut: we write exactly len(lens) length entries,
+    # so the reader must stop there instead of scanning the full
+    # alphabet (one CL symbol per entry — the writer never emits
+    # 16/17/18 repeats)
+    bw.write(1, 1)
+    value = len(lens) - 2
+    k = 0
+    while (1 << (2 + 2 * k)) <= value:
+        k += 1
+    bw.write(k, 3)
+    bw.write(value, 2 + 2 * k)
+    cl_codes = canonical_codes({s: l for s, l in cl_lengths.items() if l > 0})
+    for l in lens:
+        code, ln = cl_codes[l]
+        bw.write_code(code, ln)
+
+
+def _read_huffman_code(br: BitReader, alphabet_size: int) -> HuffTree:
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        if br.read(1):
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = {sym0: 1}
+        if num_symbols == 2:
+            lengths[br.read(8)] = 1
+        else:
+            lengths = {sym0: 0}  # 1-symbol: zero-bit code
+        return HuffTree(lengths)
+    num_codes = 4 + br.read(4)
+    cl_lengths: dict[int, int] = {}
+    for i in range(num_codes):
+        l = br.read(3)
+        if l:
+            cl_lengths[_CL_ORDER[i]] = l
+    cl_tree = HuffTree(cl_lengths)
+    if br.read(1):  # max_symbol shortcut
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = {}
+    prev = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_tree.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev = code_len
+        elif code_len == 16:
+            for _ in range(3 + br.read(2)):
+                lengths[symbol] = prev
+                symbol += 1
+        elif code_len == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+    return HuffTree({s: l for s, l in lengths.items() if l > 0} or lengths)
+
+
+# ------------------------------------------------------- LZ77 prefix coding
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """length/distance value (>=1) -> (prefix_code, extra_bits_value,
+    n_extra_bits). Inverse of the spec's prefix decoding."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    nbits = v.bit_length() - 1
+    rest = v - (1 << nbits)
+    half = 1 << (nbits - 1)
+    if rest < half:
+        return 2 * nbits, rest, nbits - 1
+    return 2 * nbits + 1, rest - half, nbits - 1
+
+
+def _prefix_decode(code: int, br: BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def encode_webp_lossless(pixels) -> bytes:
+    """pixels: list of rows of (r, g, b, a) tuples. Emits a
+    spec-correct VP8L stream: SUBTRACT_GREEN transform, no cache, no
+    meta-Huffman, literals + distance-1 LZ77 runs (run length >= 4),
+    raw distances (plane code = dist + 120)."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    flat = [px for row in pixels for px in row]
+    # subtract-green (mod 256) — the decoder adds it back
+    tx = [((r - g) & 0xFF, g, (b - g) & 0xFF, a) for (r, g, b, a) in flat]
+
+    # tokenize: literal or (copy, length) with dist=1 for runs
+    tokens: list = []
+    i = 0
+    while i < len(tx):
+        run = 0
+        while i + run < len(tx) and run < 4096 and i > 0 and tx[i + run] == tx[i - 1]:
+            run += 1
+        if run >= 4:
+            tokens.append(("copy", run, 1))
+            i += run
+        else:
+            tokens.append(("lit", tx[i]))
+            i += 1
+
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for tok in tokens:
+        if tok[0] == "lit":
+            r, g, b, a = tok[1]
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        else:
+            _, length, dist = tok
+            lp, _, _ = _prefix_encode(length)
+            gf[256 + lp] = gf.get(256 + lp, 0) + 1
+            dp, _, _ = _prefix_encode(dist + 120)
+            df[dp] = df.get(dp, 0) + 1
+    for f in (rf, bf, af, df):
+        if not f:
+            f[0] = 1  # unused channel still needs a (1-symbol) code
+
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-huffman
+
+    codes = []
+    for freqs in (gf, rf, bf, af, df):
+        lengths = huffman_lengths(freqs)
+        _write_huffman_code(bw, lengths)
+        codes.append(canonical_codes({s: l for s, l in lengths.items() if l > 0}))
+    gcode, rcode, bcode, acode, dcode = codes
+
+    def emit(codebook, sym):
+        if not codebook:  # 1-symbol zero-bit code
+            return
+        code, ln = codebook[sym]
+        bw.write_code(code, ln)
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            r, g, b, a = tok[1]
+            emit(gcode, g)
+            emit(rcode, r)
+            emit(bcode, b)
+            emit(acode, a)
+        else:
+            _, length, dist = tok
+            lp, lx, ln = _prefix_encode(length)
+            emit(gcode, 256 + lp)
+            bw.write(lx, ln)
+            dp, dx, dn = _prefix_encode(dist + 120)
+            emit(dcode, dp)
+            bw.write(dx, dn)
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_webp(payload: bytes) -> dict:
+    """Decode a lossless WEBP; returns stats + the pixel matrix (rows
+    of (r, g, b, a)). Refusals name the exact unsupported field."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            vp8l = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(f"WEBP: {fourcc.decode().strip()} (lossy/extended)")
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise ValueError("WEBP: no VP8L chunk")
+    if vp8l[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = BitReader(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: version != 0")
+
+    subtract_green = False
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:
+            subtract_green = True
+        else:
+            name = {0: "PREDICTOR", 1: "CROSS_COLOR", 3: "COLOR_INDEXING"}[ttype]
+            raise NotImplementedError(f"VP8L: {name} transform")
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        raise NotImplementedError(f"VP8L: color cache ({cache_bits} bits)")
+    if br.read(1):
+        raise NotImplementedError("VP8L: meta-huffman (entropy image)")
+
+    gtree = _read_huffman_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
+    rtree = _read_huffman_code(br, 256)
+    btree = _read_huffman_code(br, 256)
+    atree = _read_huffman_code(br, 256)
+    dtree = _read_huffman_code(br, 40)
+
+    n = w * h
+    out: list = []
+    while len(out) < n:
+        s = gtree.read(br)
+        if s < 256:
+            g = s
+            r = rtree.read(br)
+            b = btree.read(br)
+            a = atree.read(br)
+            out.append((r, g, b, a))
+        elif s < 256 + 24:
+            length = _prefix_decode(s - 256, br)
+            dp = dtree.read(br)
+            plane = _prefix_decode(dp, br)
+            if plane <= 120:
+                raise NotImplementedError(
+                    "VP8L: 2D-neighbor distance map (plane code <= 120)"
+                )
+            dist = plane - 120
+            for _ in range(length):
+                out.append(out[-dist])
+        else:
+            raise NotImplementedError("VP8L: color cache reference")
+    if subtract_green:
+        out = [((r + g) & 0xFF, g, (b + g) & 0xFF, a) for (r, g, b, a) in out]
+    rows = [out[y * w : (y + 1) * w] for y in range(h)]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "sum_r": sum(p[0] for p in out),
+        "sum_g": sum(p[1] for p in out),
+        "sum_b": sum(p[2] for p in out),
+        "subtract_green": subtract_green,
+        "pixels": rows,
+    }
+
+
+def webp_stats(df, id_col: str):
+    """decode→stats over WEBP payloads — the shared Arrow mapInPandas
+    codec shape (only summary rows leave the executors)."""
+    from typing import Iterator
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, width int, height int, n_pixels bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, subtract_green boolean"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [decode_webp(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": [s["width"] for s in stats],
+                    "height": [s["height"] for s in stats],
+                    "n_pixels": [s["n_pixels"] for s in stats],
+                    "sum_r": [s["sum_r"] for s in stats],
+                    "sum_g": [s["sum_g"] for s in stats],
+                    "sum_b": [s["sum_b"] for s in stats],
+                    "subtract_green": [s["subtract_green"] for s in stats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)

@@ -1,0 +1,88 @@
+"""operators/webp.py — VP8L from the public spec. Golden header bits
+hand-derived from the spec, roundtrip properties covering SIMPLE and
+code-length-coded Huffman plus LZ77 runs, and loud-refusal checks."""
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from etlalchemy_spark.operators.webp import (
+    BitReader,
+    BitWriter,
+    _prefix_decode,
+    _prefix_encode,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+def test_golden_header_bits():
+    """1x1 image: 14+14 zero bits (w-1, h-1), alpha 0, version 000 =
+    four zero bytes; then transform-present=1, type=2 (bits 0,1
+    LSB-first), no-more=0, cache=0, meta=0 -> low bits 1,0,1,0,0,0 =
+    0x05 in the fifth payload byte. Container: RIFF/WEBP/VP8L with the
+    0x2F signature byte."""
+    blob = encode_webp_lossless([[(7, 7, 7, 255)]])
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+    assert blob[12:16] == b"VP8L"
+    payload = blob[20:]
+    assert payload[0] == 0x2F
+    assert payload[1:5] == b"\x00\x00\x00\x00"
+    assert payload[5] & 0x3F == 0x05
+
+
+def test_prefix_code_inverse():
+    for v in list(range(1, 200)) + [777, 4096]:
+        code, extra, nbits = _prefix_encode(v)
+        bw = BitWriter()
+        bw.write(extra, nbits)
+        assert _prefix_decode(code, BitReader(bw.bytes() + b"\x00\x00")) == v
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_roundtrip_random_images(seed):
+    rng = random.Random(seed)
+    w, h = rng.randint(1, 20), rng.randint(1, 15)
+    px = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            if (x or y) and rng.random() < 0.45:
+                row.append(row[-1] if row else px[-1][-1])
+            else:
+                row.append(
+                    (
+                        rng.randrange(256),
+                        rng.randrange(256),
+                        rng.randrange(256),
+                        rng.choice([255, 128, 0]),
+                    )
+                )
+        px.append(row)
+    d = decode_webp(encode_webp_lossless(px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == px
+    assert d["subtract_green"] is True
+
+
+def test_simple_code_paths():
+    flat = [[(10, 20, 30, 255) for _ in range(5)] for _ in range(3)]
+    assert decode_webp(encode_webp_lossless(flat))["pixels"] == flat
+    bi = [[(0, 0, 0, 255), (255, 255, 255, 255)] * 4 for _ in range(2)]
+    assert decode_webp(encode_webp_lossless(bi))["pixels"] == bi
+
+
+def test_refusals_name_the_field():
+    blob = bytearray(encode_webp_lossless([[(1, 2, 3, 255)]]))
+    # flip the transform type bits (payload byte 5, bits 1-2) from
+    # SUBTRACT_GREEN (10) to PREDICTOR (00)
+    blob[25] &= ~0x06
+    with pytest.raises(NotImplementedError, match="PREDICTOR"):
+        decode_webp(bytes(blob))
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_webp(b"RIFF\x00\x00\x00\x00JUNK")
+    lossy = b"RIFF" + b"\x14\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(lossy)
