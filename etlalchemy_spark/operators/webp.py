@@ -6,13 +6,13 @@ boundary said "WEBP refuses loudly"; this implements the LOSSLESS
 bitstream — RIFF/VP8L container, LSB-first bit reader, canonical
 Huffman (both the SIMPLE 1-2-symbol form and the full
 code-length-coded form with 16/17/18 repeat codes), LZ77
-backward references with prefix-coded lengths/distances, and the
+backward references with prefix-coded lengths/distances, the COLOR
+CACHE (spec hash 0x1e35a7bd, every produced pixel inserts), and the
 SUBTRACT_GREEN transform.
 
 Honest sub-boundaries (each refusal names the exact field):
 - PREDICTOR / CROSS_COLOR / COLOR_INDEXING transforms
 - meta-Huffman (entropy image) partitioning
-- color cache
 - 2D-neighbor distance map (plane codes <= 120; the in-house encoder
   always emits raw distances, plane code = dist + 120)
 - VP8 (lossy) chunks
@@ -298,18 +298,29 @@ def _prefix_decode(code: int, br: BitReader) -> int:
 # ---------------------------------------------------------------- encoder
 
 
-def encode_webp_lossless(pixels) -> bytes:
+_CACHE_MUL = 0x1E35A7BD  # spec hash multiplier
+
+
+def _cache_index(argb: int, bits: int) -> int:
+    return ((_CACHE_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def encode_webp_lossless(pixels, cache_bits: int = 6) -> bytes:
     """pixels: list of rows of (r, g, b, a) tuples. Emits a
-    spec-correct VP8L stream: SUBTRACT_GREEN transform, no cache, no
-    meta-Huffman, literals + distance-1 LZ77 runs (run length >= 4),
-    raw distances (plane code = dist + 120)."""
+    spec-correct VP8L stream: SUBTRACT_GREEN transform, color cache
+    (``cache_bits`` > 0; every produced pixel inserts, per spec), no
+    meta-Huffman, literals + distance-1 LZ77 runs (run length >= 4) +
+    cache references, raw distances (plane code = dist + 120)."""
     h = len(pixels)
     w = len(pixels[0]) if h else 0
     flat = [px for row in pixels for px in row]
     # subtract-green (mod 256) — the decoder adds it back
     tx = [((r - g) & 0xFF, g, (b - g) & 0xFF, a) for (r, g, b, a) in flat]
 
-    # tokenize: literal or (copy, length) with dist=1 for runs
+    # tokenize: run-copy > cache hit > literal; the cache state
+    # advances over EVERY pixel (copies included) exactly as the
+    # decoder replays it
+    cache = [None] * (1 << cache_bits) if cache_bits else []
     tokens: list = []
     i = 0
     while i < len(tx):
@@ -318,10 +329,21 @@ def encode_webp_lossless(pixels) -> bytes:
             run += 1
         if run >= 4:
             tokens.append(("copy", run, 1))
-            i += run
+            step = run
         else:
-            tokens.append(("lit", tx[i]))
-            i += 1
+            r, g, b, a = tx[i]
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            if cache_bits and cache[_cache_index(argb, cache_bits)] == argb:
+                tokens.append(("cache", _cache_index(argb, cache_bits)))
+            else:
+                tokens.append(("lit", tx[i]))
+            step = 1
+        if cache_bits:
+            for j in range(i, i + step):
+                r, g, b, a = tx[j]
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[_cache_index(argb, cache_bits)] = argb
+        i += step
 
     gf: dict[int, int] = {}
     rf: dict[int, int] = {}
@@ -335,6 +357,8 @@ def encode_webp_lossless(pixels) -> bytes:
             rf[r] = rf.get(r, 0) + 1
             bf[b] = bf.get(b, 0) + 1
             af[a] = af.get(a, 0) + 1
+        elif tok[0] == "cache":
+            gf[256 + 24 + tok[1]] = gf.get(256 + 24 + tok[1], 0) + 1
         else:
             _, length, dist = tok
             lp, _, _ = _prefix_encode(length)
@@ -353,7 +377,11 @@ def encode_webp_lossless(pixels) -> bytes:
     bw.write(1, 1)  # transform present
     bw.write(2, 2)  # SUBTRACT_GREEN
     bw.write(0, 1)  # no more transforms
-    bw.write(0, 1)  # no color cache
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta-huffman
 
     codes = []
@@ -376,6 +404,8 @@ def encode_webp_lossless(pixels) -> bytes:
             emit(rcode, r)
             emit(bcode, b)
             emit(acode, a)
+        elif tok[0] == "cache":
+            emit(gcode, 256 + 24 + tok[1])
         else:
             _, length, dist = tok
             lp, lx, ln = _prefix_encode(length)
@@ -436,7 +466,8 @@ def decode_webp(payload: bytes) -> dict:
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
-        raise NotImplementedError(f"VP8L: color cache ({cache_bits} bits)")
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L: color cache bits {cache_bits} out of range")
     if br.read(1):
         raise NotImplementedError("VP8L: meta-huffman (entropy image)")
 
@@ -448,6 +479,14 @@ def decode_webp(payload: bytes) -> dict:
 
     n = w * h
     out: list = []
+    cache = [None] * (1 << cache_bits) if cache_bits else []
+
+    def insert(px):
+        if cache_bits:
+            r, g, b, a = px
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            cache[_cache_index(argb, cache_bits)] = argb
+
     while len(out) < n:
         s = gtree.read(br)
         if s < 256:
@@ -456,6 +495,7 @@ def decode_webp(payload: bytes) -> dict:
             b = btree.read(br)
             a = atree.read(br)
             out.append((r, g, b, a))
+            insert(out[-1])
         elif s < 256 + 24:
             length = _prefix_decode(s - 256, br)
             dp = dtree.read(br)
@@ -467,8 +507,14 @@ def decode_webp(payload: bytes) -> dict:
             dist = plane - 120
             for _ in range(length):
                 out.append(out[-dist])
+                insert(out[-1])
         else:
-            raise NotImplementedError("VP8L: color cache reference")
+            argb = cache[s - 256 - 24]
+            if argb is None:
+                raise ValueError("VP8L: cache reference before insertion")
+            px = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF, (argb >> 24) & 0xFF)
+            out.append(px)
+            insert(px)
     if subtract_green:
         out = [((r + g) & 0xFF, g, (b + g) & 0xFF, a) for (r, g, b, a) in out]
     rows = [out[y * w : (y + 1) * w] for y in range(h)]

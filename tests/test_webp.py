@@ -19,17 +19,20 @@ from etlalchemy_spark.operators.webp import (
 
 def test_golden_header_bits():
     """1x1 image: 14+14 zero bits (w-1, h-1), alpha 0, version 000 =
-    four zero bytes; then transform-present=1, type=2 (bits 0,1
+    four zero bytes. Cache off: transform-present=1, type=2 (bits 0,1
     LSB-first), no-more=0, cache=0, meta=0 -> low bits 1,0,1,0,0,0 =
-    0x05 in the fifth payload byte. Container: RIFF/WEBP/VP8L with the
-    0x2F signature byte."""
-    blob = encode_webp_lossless([[(7, 7, 7, 255)]])
+    0x05. Default cache_bits=6: ...cache=1, bits 6=0110 LSB-first
+    (0,1,1,0), meta=0 -> fifth payload byte 1,0,1,0,1,0,1,1 = 0xD5.
+    Container: RIFF/WEBP/VP8L with the 0x2F signature byte."""
+    blob = encode_webp_lossless([[(7, 7, 7, 255)]], cache_bits=0)
     assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
     assert blob[12:16] == b"VP8L"
     payload = blob[20:]
     assert payload[0] == 0x2F
     assert payload[1:5] == b"\x00\x00\x00\x00"
     assert payload[5] & 0x3F == 0x05
+    cached = encode_webp_lossless([[(7, 7, 7, 255)]], cache_bits=6)
+    assert cached[25] == 0xD5
 
 
 def test_prefix_code_inverse():
@@ -75,7 +78,7 @@ def test_simple_code_paths():
 
 
 def test_refusals_name_the_field():
-    blob = bytearray(encode_webp_lossless([[(1, 2, 3, 255)]]))
+    blob = bytearray(encode_webp_lossless([[(1, 2, 3, 255)]], cache_bits=0))
     # flip the transform type bits (payload byte 5, bits 1-2) from
     # SUBTRACT_GREEN (10) to PREDICTOR (00)
     blob[25] &= ~0x06
@@ -86,3 +89,29 @@ def test_refusals_name_the_field():
     lossy = b"RIFF" + b"\x14\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError, match="VP8"):
         decode_webp(lossy)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_color_cache_roundtrip(seed):
+    """Scattered palette repeats are cache territory (runs go to LZ77
+    instead); both cache-on and cache-off streams must decode to the
+    same pixels, and the decoder must replay the encoder's
+    insert-every-pixel cache evolution exactly."""
+    rng = random.Random(seed)
+    palette = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256), 255)
+        for _ in range(6)
+    ]
+    w, h = rng.randint(2, 22), rng.randint(2, 16)
+    px = [
+        [
+            rng.choice(palette)
+            if rng.random() < 0.7
+            else (rng.randrange(256), rng.randrange(256), rng.randrange(256), 255)
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    assert decode_webp(encode_webp_lossless(px, cache_bits=6))["pixels"] == px
+    assert decode_webp(encode_webp_lossless(px, cache_bits=0))["pixels"] == px
