@@ -305,21 +305,88 @@ def _cache_index(argb: int, bits: int) -> int:
     return ((_CACHE_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
 
 
-def encode_webp_lossless(pixels, cache_bits: int = 6) -> bytes:
-    """pixels: list of rows of (r, g, b, a) tuples. Emits a
-    spec-correct VP8L stream: SUBTRACT_GREEN transform, color cache
-    (``cache_bits`` > 0; every produced pixel inserts, per spec), no
-    meta-Huffman, literals + distance-1 LZ77 runs (run length >= 4) +
-    cache references, raw distances (plane code = dist + 120)."""
-    h = len(pixels)
-    w = len(pixels[0]) if h else 0
-    flat = [px for row in pixels for px in row]
-    # subtract-green (mod 256) — the decoder adds it back
-    tx = [((r - g) & 0xFF, g, (b - g) & 0xFF, a) for (r, g, b, a) in flat]
+# ----------------------------------------------------- predictor transform
 
-    # tokenize: run-copy > cache hit > literal; the cache state
-    # advances over EVERY pixel (copies included) exactly as the
-    # decoder replays it
+def _avg2(a, b):
+    return tuple((x + y) // 2 for x, y in zip(a, b))
+
+
+def _clamp(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _predict(mode: int, L, T, TL, TR):
+    """The 14 spec predictors over (r, g, b, a) tuples."""
+    if mode == 0:
+        return (0, 0, 0, 255)  # 0xff000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        p = tuple(l + t - tl for l, t, tl in zip(L, T, TL))
+        pL = sum(abs(pc - lc) for pc, lc in zip(p, L))
+        pT = sum(abs(pc - tc) for pc, tc in zip(p, T))
+        return L if pL < pT else T
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(_clamp(l + t - tl) for l, t, tl in zip(L, T, TL))
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        out = []
+        for a, b in zip(ave, TL):
+            q = a - b
+            half = q // 2 if q >= 0 else -((-q) // 2)  # C trunc-toward-0
+            out.append(_clamp(a + half))
+        return tuple(out)
+    raise ValueError(f"VP8L: predictor mode {mode}")
+
+
+def _neighbors(out: list, idx: int, w: int):
+    """(L, T, TL, TR) with libwebp's contiguous-buffer edge semantics:
+    at x = w-1, top-right reads one past the previous row's end, which
+    is the CURRENT row's first pixel."""
+    L = out[idx - 1]
+    T = out[idx - w]
+    TL = out[idx - w - 1]
+    TR = out[idx - w + 1]
+    return L, T, TL, TR
+
+
+def _predict_at(out: list, idx: int, w: int, mode: int):
+    """Prediction for position idx given all prior reconstructed
+    pixels — spec edge rules: (0,0) is black, row 0 uses L, col 0
+    uses T."""
+    x, y = idx % w, idx // w
+    if x == 0 and y == 0:
+        return (0, 0, 0, 255)
+    if y == 0:
+        return out[idx - 1]
+    if x == 0:
+        return out[idx - w]
+    return _predict(mode, *_neighbors(out, idx, w))
+
+
+# ----------------------------------------------- entropy-coded image I/O
+
+def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool) -> None:
+    """Write one entropy-coded image (token stream + its 5 Huffman
+    codes). ``tx`` is the flat pixel list in coded space."""
     cache = [None] * (1 << cache_bits) if cache_bits else []
     tokens: list = []
     i = 0
@@ -369,20 +436,13 @@ def encode_webp_lossless(pixels, cache_bits: int = 6) -> bytes:
         if not f:
             f[0] = 1  # unused channel still needs a (1-symbol) code
 
-    bw = BitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    bw.write(1, 1)  # transform present
-    bw.write(2, 2)  # SUBTRACT_GREEN
-    bw.write(0, 1)  # no more transforms
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta-huffman
+    if is_main:
+        bw.write(0, 1)  # no meta-huffman
 
     codes = []
     for freqs in (gf, rf, bf, af, df):
@@ -415,63 +475,18 @@ def encode_webp_lossless(pixels, cache_bits: int = 6) -> bytes:
             emit(dcode, dp)
             bw.write(dx, dn)
 
-    payload = b"\x2f" + bw.bytes()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        chunk += b"\x00"
-    riff = b"WEBP" + chunk
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
-
-# ---------------------------------------------------------------- decoder
-
-
-def decode_webp(payload: bytes) -> dict:
-    """Decode a lossless WEBP; returns stats + the pixel matrix (rows
-    of (r, g, b, a)). Refusals name the exact unsupported field."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a RIFF/WEBP payload")
-    pos = 12
-    vp8l = None
-    while pos + 8 <= len(payload):
-        fourcc = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
-            vp8l = body
-            break
-        if fourcc in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(f"WEBP: {fourcc.decode().strip()} (lossy/extended)")
-        pos += 8 + size + (size & 1)
-    if vp8l is None:
-        raise ValueError("WEBP: no VP8L chunk")
-    if vp8l[0] != 0x2F:
-        raise ValueError("VP8L: bad signature byte")
-    br = BitReader(vp8l[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("VP8L: version != 0")
-
-    subtract_green = False
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype == 2:
-            subtract_green = True
-        else:
-            name = {0: "PREDICTOR", 1: "CROSS_COLOR", 3: "COLOR_INDEXING"}[ttype]
-            raise NotImplementedError(f"VP8L: {name} transform")
-
+def _read_entropy_image(br: BitReader, w: int, h: int, is_main: bool) -> list:
+    """Decode one entropy-coded image to a flat (r, g, b, a) list."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"VP8L: color cache bits {cache_bits} out of range")
-    if br.read(1):
+    if is_main and br.read(1):
         raise NotImplementedError("VP8L: meta-huffman (entropy image)")
 
-    gtree = _read_huffman_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
+    gtree = _read_huffman_code(br, 256 + 24 + ((1 << cache_bits) if cache_bits else 0))
     rtree = _read_huffman_code(br, 256)
     btree = _read_huffman_code(br, 256)
     atree = _read_huffman_code(br, 256)
@@ -515,17 +530,131 @@ def decode_webp(payload: bytes) -> dict:
             px = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF, (argb >> 24) & 0xFF)
             out.append(px)
             insert(px)
-    if subtract_green:
-        out = [((r + g) & 0xFF, g, (b + g) & 0xFF, a) for (r, g, b, a) in out]
+    return out
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None) -> bytes:
+    """pixels: list of rows of (r, g, b, a) tuples. Emits a
+    spec-correct VP8L stream. Default: SUBTRACT_GREEN + color cache +
+    literals/LZ77-runs/cache-refs, raw distances (plane code =
+    dist + 120). ``predictor_mode`` (0..13) switches to the PREDICTOR
+    transform instead of SUBTRACT_GREEN: one whole-image block
+    (size_bits = 9), residuals = pixel - prediction mod 256 per
+    channel, prediction over already-reconstructed neighbors with the
+    spec edge rules."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    flat = [px for row in pixels for px in row]
+
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    if predictor_mode is not None:
+        if not (w <= 512 and h <= 512):
+            raise NotImplementedError("VP8L encoder: predictor image > 1 block")
+        bw.write(1, 1)  # transform present
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(9 - 2, 3)  # size_bits = 9 -> 512x512 blocks
+        # 1x1 predictor sub-image; mode rides the green channel
+        _write_entropy_image(bw, [(0, predictor_mode, 0, 255)], 0, is_main=False)
+        bw.write(0, 1)  # no more transforms
+        tx = []
+        for idx in range(len(flat)):
+            pred = _predict_at(flat, idx, w, predictor_mode)
+            tx.append(tuple((c - p) & 0xFF for c, p in zip(flat[idx], pred)))
+    else:
+        bw.write(1, 1)  # transform present
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        bw.write(0, 1)  # no more transforms
+        # subtract-green (mod 256) — the decoder adds it back
+        tx = [((r - g) & 0xFF, g, (b - g) & 0xFF, a) for (r, g, b, a) in flat]
+
+    _write_entropy_image(bw, tx, cache_bits, is_main=True)
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_webp(payload: bytes) -> dict:
+    """Decode a lossless WEBP; returns stats + the pixel matrix (rows
+    of (r, g, b, a)). Refusals name the exact unsupported field."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            vp8l = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(f"WEBP: {fourcc.decode().strip()} (lossy/extended)")
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise ValueError("WEBP: no VP8L chunk")
+    if vp8l[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = BitReader(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: version != 0")
+
+    transforms = []  # (type, data) in read order
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:
+            transforms.append(("subtract_green", None))
+        elif ttype == 0:
+            size_bits = br.read(3) + 2
+            block = 1 << size_bits
+            pw = (w + block - 1) // block
+            ph = (h + block - 1) // block
+            modes = _read_entropy_image(br, pw, ph, is_main=False)
+            transforms.append(("predictor", (size_bits, pw, modes)))
+        else:
+            name = {1: "CROSS_COLOR", 3: "COLOR_INDEXING"}[ttype]
+            raise NotImplementedError(f"VP8L: {name} transform")
+
+    out = _read_entropy_image(br, w, h, is_main=True)
+
+    # inverse transforms, REVERSE read order (spec)
+    for ttype, data in reversed(transforms):
+        if ttype == "subtract_green":
+            out = [((r + g) & 0xFF, g, (b + g) & 0xFF, a) for (r, g, b, a) in out]
+        else:
+            size_bits, pw, modes = data
+            for idx in range(len(out)):
+                x, y = idx % w, idx // w
+                mode = modes[(y >> size_bits) * pw + (x >> size_bits)][1]
+                pred = _predict_at(out, idx, w, mode)
+                out[idx] = tuple((c + p) & 0xFF for c, p in zip(out[idx], pred))
+
     rows = [out[y * w : (y + 1) * w] for y in range(h)]
     return {
         "width": w,
         "height": h,
-        "n_pixels": n,
+        "n_pixels": w * h,
         "sum_r": sum(p[0] for p in out),
         "sum_g": sum(p[1] for p in out),
         "sum_b": sum(p[2] for p in out),
-        "subtract_green": subtract_green,
+        "subtract_green": any(t == "subtract_green" for t, _ in transforms),
         "pixels": rows,
     }
 

@@ -2431,7 +2431,7 @@ SELECT doc_id,
        CAST(list_aggregate(r, 'sum') AS BIGINT) AS sum_r,
        CAST(list_aggregate(g, 'sum') AS BIGINT) AS sum_g,
        CAST(list_aggregate(b, 'sum') AS BIGINT) AS sum_b,
-       TRUE AS subtract_green
+       (doc_id % 3 != 0) AS subtract_green
 FROM px
 """
 
@@ -2480,7 +2480,14 @@ def mm_decode_webp_stats(spark, sf_dir):
                     ]
                     for y in range(h)
                 ]
-                payloads.append(encode_webp_lossless(px))
+                if doc_id % 3 == 0:
+                    # every third doc goes through the PREDICTOR
+                    # transform path (mode cycles over all 14)
+                    payloads.append(
+                        encode_webp_lossless(px, predictor_mode=doc_id % 14)
+                    )
+                else:
+                    payloads.append(encode_webp_lossless(px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     webps = params.mapInPandas(synth, "doc_id long, payload binary")

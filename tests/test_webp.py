@@ -80,9 +80,9 @@ def test_simple_code_paths():
 def test_refusals_name_the_field():
     blob = bytearray(encode_webp_lossless([[(1, 2, 3, 255)]], cache_bits=0))
     # flip the transform type bits (payload byte 5, bits 1-2) from
-    # SUBTRACT_GREEN (10) to PREDICTOR (00)
-    blob[25] &= ~0x06
-    with pytest.raises(NotImplementedError, match="PREDICTOR"):
+    # SUBTRACT_GREEN (type 2: bits 0,1) to CROSS_COLOR (type 1: 1,0)
+    blob[25] = (blob[25] & ~0x06) | 0x02
+    with pytest.raises(NotImplementedError, match="CROSS_COLOR"):
         decode_webp(bytes(blob))
     with pytest.raises(ValueError, match="RIFF/WEBP"):
         decode_webp(b"RIFF\x00\x00\x00\x00JUNK")
@@ -115,3 +115,30 @@ def test_color_cache_roundtrip(seed):
     ]
     assert decode_webp(encode_webp_lossless(px, cache_bits=6))["pixels"] == px
     assert decode_webp(encode_webp_lossless(px, cache_bits=0))["pixels"] == px
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=13),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_predictor_modes_roundtrip(mode, seed):
+    """All 14 spec predictors, over gradients (where prediction bites)
+    with the libwebp contiguous-buffer top-right edge semantics."""
+    rng = random.Random(seed)
+    w, h = rng.randint(1, 18), rng.randint(1, 14)
+    px = [
+        [
+            (
+                (x * 7 + y * 3 + mode) % 256,
+                (x * 2 + y * 11 + seed) % 256,
+                (x * 5 + y) % 256,
+                rng.choice([255, 200]),
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    d = decode_webp(encode_webp_lossless(px, predictor_mode=mode))
+    assert d["pixels"] == px
+    assert d["subtract_green"] is False
