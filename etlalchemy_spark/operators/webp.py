@@ -10,8 +10,10 @@ backward references with prefix-coded lengths/distances, the COLOR
 CACHE (spec hash 0x1e35a7bd, every produced pixel inserts), and the
 SUBTRACT_GREEN transform.
 
-Honest sub-boundaries (each refusal names the exact field):
-- PREDICTOR / CROSS_COLOR / COLOR_INDEXING transforms
+All four spec transforms decode: SUBTRACT_GREEN, PREDICTOR (14
+modes), CROSS_COLOR, COLOR_INDEXING (palette). Honest sub-boundaries
+(each refusal names the exact field):
+- COLOR_INDEXING sub-byte pixel bundling (palettes of <= 16 colors)
 - meta-Huffman (entropy image) partitioning
 - 2D-neighbor distance map (plane codes <= 120; the in-house encoder
   always emits raw distances, plane code = dist + 120)
@@ -536,15 +538,30 @@ def _read_entropy_image(br: BitReader, w: int, h: int, is_main: bool) -> list:
 # ---------------------------------------------------------------- encoder
 
 
-def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None) -> bytes:
+def _s8(v: int) -> int:
+    """Reinterpret a byte as int8."""
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """Spec ColorTransformDelta: (int8(t) * int8(c)) >> 5 (arithmetic
+    shift — Python >> floors, matching libwebp)."""
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
+                         color_transform=None, palette: bool = False) -> bytes:
     """pixels: list of rows of (r, g, b, a) tuples. Emits a
     spec-correct VP8L stream. Default: SUBTRACT_GREEN + color cache +
     literals/LZ77-runs/cache-refs, raw distances (plane code =
     dist + 120). ``predictor_mode`` (0..13) switches to the PREDICTOR
-    transform instead of SUBTRACT_GREEN: one whole-image block
-    (size_bits = 9), residuals = pixel - prediction mod 256 per
-    channel, prediction over already-reconstructed neighbors with the
-    spec edge rules."""
+    transform (one whole-image block, residual coding over
+    reconstructed neighbors). ``color_transform`` = (green_to_red,
+    green_to_blue, red_to_blue) byte triple switches to CROSS_COLOR
+    (one whole-image block). ``palette=True`` switches to
+    COLOR_INDEXING (distinct colors become a delta-coded palette
+    sub-image; 17..256 colors — sub-byte index bundling is the
+    decoder's named refusal)."""
     h = len(pixels)
     w = len(pixels[0]) if h else 0
     flat = [px for row in pixels for px in row]
@@ -568,6 +585,51 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None) -> by
         for idx in range(len(flat)):
             pred = _predict_at(flat, idx, w, predictor_mode)
             tx.append(tuple((c - p) & 0xFF for c, p in zip(flat[idx], pred)))
+    elif color_transform is not None:
+        if not (w <= 512 and h <= 512):
+            raise NotImplementedError("VP8L encoder: cte image > 1 block")
+        g2r, g2b, r2b = color_transform
+        bw.write(1, 1)  # transform present
+        bw.write(1, 2)  # CROSS_COLOR
+        bw.write(9 - 2, 3)
+        # cte sub-image pixel: red_to_blue in RED, green_to_blue in
+        # GREEN, green_to_red in BLUE (spec channel mapping)
+        _write_entropy_image(bw, [(r2b, g2b, g2r, 255)], 0, is_main=False)
+        bw.write(0, 1)
+        tx = [
+            (
+                (r - _ct_delta(g2r, g)) & 0xFF,
+                g,
+                (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF,
+                a,
+            )
+            for (r, g, b, a) in flat
+        ]
+    elif palette:
+        colors = []
+        seen = set()
+        for px in flat:
+            if px not in seen:
+                seen.add(px)
+                colors.append(px)
+        if not 17 <= len(colors) <= 256:
+            raise NotImplementedError(
+                f"VP8L encoder: palette of {len(colors)} colors"
+                " (sub-byte bundling below 17 not emitted)"
+            )
+        index = {px: i for i, px in enumerate(colors)}
+        bw.write(1, 1)  # transform present
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(colors) - 1, 8)
+        # palette rows are delta-coded component-wise vs the previous
+        prev = (0, 0, 0, 0)
+        deltas = []
+        for px in colors:
+            deltas.append(tuple((c - p) & 0xFF for c, p in zip(px, prev)))
+            prev = px
+        _write_entropy_image(bw, deltas, 0, is_main=False)
+        bw.write(0, 1)
+        tx = [(0, index[px], 0, 255) for px in flat]
     else:
         bw.write(1, 1)  # transform present
         bw.write(2, 2)  # SUBTRACT_GREEN
@@ -628,9 +690,26 @@ def decode_webp(payload: bytes) -> dict:
             ph = (h + block - 1) // block
             modes = _read_entropy_image(br, pw, ph, is_main=False)
             transforms.append(("predictor", (size_bits, pw, modes)))
-        else:
-            name = {1: "CROSS_COLOR", 3: "COLOR_INDEXING"}[ttype]
-            raise NotImplementedError(f"VP8L: {name} transform")
+        elif ttype == 1:
+            size_bits = br.read(3) + 2
+            block = 1 << size_bits
+            pw = (w + block - 1) // block
+            ph = (h + block - 1) // block
+            ctes = _read_entropy_image(br, pw, ph, is_main=False)
+            transforms.append(("cross_color", (size_bits, pw, ctes)))
+        else:  # 3 = COLOR_INDEXING
+            n_colors = br.read(8) + 1
+            if n_colors <= 16:
+                raise NotImplementedError(
+                    f"VP8L: COLOR_INDEXING pixel bundling ({n_colors} colors)"
+                )
+            deltas = _read_entropy_image(br, n_colors, 1, is_main=False)
+            pal = []
+            prev = (0, 0, 0, 0)
+            for d in deltas:
+                prev = tuple((c + p) & 0xFF for c, p in zip(d, prev))
+                pal.append(prev)
+            transforms.append(("color_indexing", pal))
 
     out = _read_entropy_image(br, w, h, is_main=True)
 
@@ -638,7 +717,25 @@ def decode_webp(payload: bytes) -> dict:
     for ttype, data in reversed(transforms):
         if ttype == "subtract_green":
             out = [((r + g) & 0xFF, g, (b + g) & 0xFF, a) for (r, g, b, a) in out]
-        else:
+        elif ttype == "cross_color":
+            size_bits, pw, ctes = data
+            res = []
+            for idx, (r, g, b, a) in enumerate(out):
+                x, y = idx % w, idx // w
+                r2b, g2b, g2r, _ = ctes[(y >> size_bits) * pw + (x >> size_bits)]
+                red = (r + _ct_delta(g2r, g)) & 0xFF
+                blue = (b + _ct_delta(g2b, g) + _ct_delta(r2b, red)) & 0xFF
+                res.append((red, g, blue, a))
+            out = res
+        elif ttype == "color_indexing":
+            pal = data
+            res = []
+            for (r, g, b, a) in out:
+                if g >= len(pal):
+                    raise ValueError(f"VP8L: palette index {g} >= {len(pal)}")
+                res.append(pal[g])
+            out = res
+        else:  # predictor
             size_bits, pw, modes = data
             for idx in range(len(out)):
                 x, y = idx % w, idx // w

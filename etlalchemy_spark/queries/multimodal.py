@@ -2431,7 +2431,7 @@ SELECT doc_id,
        CAST(list_aggregate(r, 'sum') AS BIGINT) AS sum_r,
        CAST(list_aggregate(g, 'sum') AS BIGINT) AS sum_g,
        CAST(list_aggregate(b, 'sum') AS BIGINT) AS sum_b,
-       (doc_id % 3 != 0) AS subtract_green
+       (doc_id % 3 = 1) AS subtract_green
 FROM px
 """
 
@@ -2481,10 +2481,17 @@ def mm_decode_webp_stats(spark, sf_dir):
                     for y in range(h)
                 ]
                 if doc_id % 3 == 0:
-                    # every third doc goes through the PREDICTOR
-                    # transform path (mode cycles over all 14)
+                    # thirds of the corpus per transform: PREDICTOR
+                    # (mode cycles over all 14), CROSS_COLOR
+                    # (multipliers derived from the doc id), and the
+                    # SUBTRACT_GREEN default
                     payloads.append(
                         encode_webp_lossless(px, predictor_mode=doc_id % 14)
+                    )
+                elif doc_id % 3 == 2:
+                    ct = (doc_id * 37 % 256, doc_id * 59 % 256, doc_id * 83 % 256)
+                    payloads.append(
+                        encode_webp_lossless(px, color_transform=ct)
                     )
                 else:
                     payloads.append(encode_webp_lossless(px))

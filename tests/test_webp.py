@@ -79,10 +79,10 @@ def test_simple_code_paths():
 
 def test_refusals_name_the_field():
     blob = bytearray(encode_webp_lossless([[(1, 2, 3, 255)]], cache_bits=0))
-    # flip the transform type bits (payload byte 5, bits 1-2) from
-    # SUBTRACT_GREEN (type 2: bits 0,1) to CROSS_COLOR (type 1: 1,0)
-    blob[25] = (blob[25] & ~0x06) | 0x02
-    with pytest.raises(NotImplementedError, match="CROSS_COLOR"):
+    # set the meta-huffman bit (payload byte 5: transform=1, type=01,
+    # no-more=0, cache=0 occupy bits 0-4; meta is bit 5)
+    blob[25] |= 0x20
+    with pytest.raises(NotImplementedError, match="meta-huffman"):
         decode_webp(bytes(blob))
     with pytest.raises(ValueError, match="RIFF/WEBP"):
         decode_webp(b"RIFF\x00\x00\x00\x00JUNK")
@@ -142,3 +142,43 @@ def test_predictor_modes_roundtrip(mode, seed):
     d = decode_webp(encode_webp_lossless(px, predictor_mode=mode))
     assert d["pixels"] == px
     assert d["subtract_green"] is False
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_cross_color_roundtrip(ct, seed):
+    """CROSS_COLOR with arbitrary signed multipliers: the int8
+    reinterpretation and arithmetic >>5 must match between the
+    forward (encoder) and inverse (decoder) directions, including the
+    inverse's use of the RECONSTRUCTED red in the red_to_blue term."""
+    rng = random.Random(seed)
+    w, h = rng.randint(1, 16), rng.randint(1, 12)
+    px = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256), 255)
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    assert decode_webp(encode_webp_lossless(px, color_transform=ct))["pixels"] == px
+
+
+def test_color_indexing_roundtrip_and_bundling_refusal():
+    rng = random.Random(7)
+    pal = [(i * 11 % 256, i * 7 % 256, i * 3 % 256, 255) for i in range(20)]
+    w, h = 10, 8
+    flat = [pal[i % 20] for i in range(w * h)]
+    px = [flat[y * w : (y + 1) * w] for y in range(h)]
+    d = decode_webp(encode_webp_lossless(px, palette=True))
+    assert d["pixels"] == px
+    # <= 16 colors would need sub-byte bundling: encoder refuses by name
+    small = [[pal[i % 4] for i in range(w)] for _ in range(h)]
+    with pytest.raises(NotImplementedError, match="bundling|palette"):
+        encode_webp_lossless(small, palette=True)
