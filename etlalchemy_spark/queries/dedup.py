@@ -1361,3 +1361,106 @@ def _semantic_incremental_build(spark, sf_dir):
     return allp.groupBy("vec_id").agg(
         _F.min("dup_of").alias("dup_of"), _F.sum("n_dups").alias("n_dups")
     )
+
+
+# --- Content-defined chunking + chunk-level dedup (r10) ------------------------------
+
+_CDC_WIN = 8  # boundary window (chars)
+_CDC_MASK = 64  # boundary probability 1/64 -> expected ~64-char chunks
+
+
+def _cdc_sql() -> str:
+    from etlalchemy_spark.queries.sampling import _bucket_sql
+
+    bnd = _bucket_sql(f"substring(text, CAST(i - {_CDC_WIN - 1} AS INT), {_CDC_WIN})", "cdc:")
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+pos AS (
+  SELECT doc_id, text, n, UNNEST(generate_series({_CDC_WIN}, n)) AS i
+  FROM docs
+),
+bnd AS (
+  SELECT doc_id, text, CAST(i AS BIGINT) AS i FROM pos
+  WHERE ({bnd}) % {_CDC_MASK} = 0
+),
+ends AS (
+  SELECT doc_id, text, i FROM bnd
+  UNION
+  SELECT doc_id, text, CAST(n AS BIGINT) AS i FROM docs
+),
+chunks AS (
+  SELECT doc_id,
+         substring(text, CAST(COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS INT),
+                   CAST(i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS INT)) AS chunk
+  FROM ends
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(MIN(length(chunk)) AS BIGINT) AS chunk_len,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY md5(chunk)
+ORDER BY n_occurrences DESC, chunk_hash
+LIMIT 15
+"""
+
+
+@register("dedup_cdc_chunks", oracle=_cdc_sql(), tags=("dedup", "text"))
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + chunk-level dedup (r10) — the
+    rsync/LBFS/backup-dedup primitive applied to corpus curation:
+    chunk boundaries are declared where a hash of the trailing 8-char
+    window hits a 1/64 mask, so INSERTIONS SHIFT BOUNDARIES ONLY
+    LOCALLY (a fixed-width chunker would re-chunk the whole tail —
+    the whole point of CDC), and identical passages in different docs
+    produce identical chunks wherever they start. The boundary
+    predicate is STATELESS per position (windowed md5, not a
+    scan-carry rolling state), so chunking is one posexplode + one
+    narrow filter — no sequential pass, fully parallel; chunk
+    reassembly is a lag window PER DOC over boundary rows only.
+    Cross-doc dedup is then a hash-agg over chunk fingerprints.
+    Top-15 most-duplicated chunks with occurrence and doc counts."""
+    from pyspark.sql import Window as W
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    pos = docs.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(F.sequence(F.lit(_CDC_WIN), F.col("n"))).alias("i"),
+    )
+    bnd = pos.where(
+        hash_bucket(
+            F.expr(f"substring(text, CAST(i - {_CDC_WIN - 1} AS INT), {_CDC_WIN})"),
+            "cdc:",
+        )
+        % _CDC_MASK
+        == 0
+    ).select("doc_id", "text", F.col("i").cast("bigint").alias("i"))
+    ends = bnd.unionByName(
+        docs.select("doc_id", "text", F.col("n").cast("bigint").alias("i"))
+    ).distinct()
+    w = W.partitionBy("doc_id").orderBy("i")
+    prev = F.coalesce(F.lag("i").over(w), F.lit(0))
+    chunks = ends.withColumn("_prev", prev).select(
+        "doc_id",
+        F.expr(
+            "substring(text, CAST(_prev + 1 AS INT), CAST(i - _prev AS INT))"
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+        .limit(15)
+    )

@@ -2879,3 +2879,66 @@ def events_calendar_profile(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("v").cast("decimal(38,4)").cast("double").alias("value_sum"),
     )
+
+
+# --- Consecutive-day activity streaks (r10) ------------------------------------------
+
+_STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS g
+  FROM d
+),
+runs AS (SELECT user_id, COUNT(*) AS len FROM isl GROUP BY user_id, g),
+agg AS (
+  SELECT user_id,
+         CAST(MAX(len) AS BIGINT) AS longest_streak,
+         CAST(SUM(len) AS BIGINT) AS n_active_days,
+         CAST(COUNT(*) AS BIGINT) AS n_streaks
+  FROM runs GROUP BY user_id
+)
+SELECT user_id, longest_streak, n_active_days, n_streaks
+FROM agg
+ORDER BY longest_streak DESC, user_id
+LIMIT 20
+"""
+
+
+@register("events_activity_streaks", oracle=_STREAK_SQL, tags=("events", "window"))
+def events_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (r10) — the
+    engagement metric every retention dashboard headline-features
+    (and the 'streak' mechanic product teams A/B on). Distinct active
+    days reduce the event stream first (one hash-agg, the only pass
+    over facts); the gaps-and-islands identity day - row_number turns
+    consecutive-day runs into equal group keys with windows
+    partitioned PER USER (user-sized, never global); run lengths and
+    the per-user max are two more tiny hash-aggs, closing with a
+    TakeOrderedAndProject top-20. Integer-only end to end; day
+    arithmetic is epoch-microsecond integer division (the
+    events_calendar_profile discipline — no engine date functions)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT) div 86400000000").alias("day"),
+    ).distinct()
+    isl = d.withColumn(
+        "g",
+        F.col("day") - F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+    )
+    runs = isl.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    agg = runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+    return (
+        agg.orderBy(F.desc("longest_streak"), "user_id")
+        .limit(20)
+        .select("user_id", "longest_streak", "n_active_days", "n_streaks")
+    )
