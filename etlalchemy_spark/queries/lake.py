@@ -972,3 +972,76 @@ def _build_colmap(spark, sf_dir, root):
         )
     )
     lake_append(spark, tbl, appended)
+
+
+# --- Commit-history audit: ops + per-version logical state (r10) ----------------------
+
+_HISTORY_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0
+),
+v3 AS (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0
+  ) o WHERE o.o_custkey % 5 <> 0
+)
+SELECT 1 AS version, 'create' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+FROM v1
+UNION ALL
+SELECT 2, 'upsert', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+FROM v2
+UNION ALL
+SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+FROM v3
+"""
+
+
+@register("lake_history_audit", oracle=_HISTORY_SQL, tags=("lake", "etl"))
+def lake_history_audit(spark, sf_dir):
+    """Commit-history audit (r10) — DESCRIBE HISTORY with teeth: for
+    EVERY version of the versioned table, the manifest's recorded
+    operation (read from the commit log, NOT hardcoded — the oracle's
+    expected 'create'/'upsert'/'delete' literals check the metadata
+    the writers stamped) beside the version's LOGICAL row count and
+    price mass computed by an actual time-travel read. One query thus
+    proves the whole history chain at once: every snapshot remains
+    readable, upserts/deletes landed with exactly the claimed effect,
+    and later commits never perturbed earlier states. Per-version
+    cost is one manifest fetch + that snapshot's file list; the
+    history loop is over VERSIONS (metadata-bounded), never data."""
+    from etlalchemy_spark.operators.lake import lake_history
+
+    root = _cached_table(spark, sf_dir, "lake_cdf", _build_cdf)
+    tbl = root + "/tbl"
+    hist = lake_history(spark, tbl)  # bounded: one dict per version
+    legs = []
+    for entry in hist:
+        v = entry["version"]
+        legs.append(
+            lake_read(spark, tbl, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(entry["op"]).alias("op"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("decimal(38,4)")
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
