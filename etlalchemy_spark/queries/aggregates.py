@@ -2716,3 +2716,74 @@ def agg_bh_fdr(spark, sf_dir):
         F.col("i").alias("bh_rank"),
         (F.col("i") <= i_star).alias("rejected"),
     )
+
+
+# --- Capture-recapture population estimate (r10) -------------------------------------
+
+_CAPTURE_SQL = """
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+m AS (SELECT COUNT(*) AS m FROM a WHERE o_custkey IN (SELECT o_custkey FROM b)),
+tru AS (SELECT COUNT(DISTINCT o_custkey) AS n_true FROM orders)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_sample_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_sample_b,
+       CAST(m.m AS BIGINT) AS n_recaptured,
+       -- Chapman's bias-corrected Lincoln-Petersen (exact rational)
+       CAST((CAST((SELECT COUNT(*) FROM a) + 1 AS HUGEINT)
+             * ((SELECT COUNT(*) FROM b) + 1)) AS DOUBLE)
+         / CAST(m.m + 1 AS DOUBLE) - 1e0 AS population_est,
+       CAST(tru.n_true AS BIGINT) AS n_true
+FROM m, tru
+"""
+
+
+@register("agg_capture_recapture", oracle=_CAPTURE_SQL, tags=("agg", "stats"))
+def agg_capture_recapture(spark, sf_dir):
+    """Capture-recapture population estimate (r10) — the ecology
+    estimator data teams reach for when the denominator is unknowable
+    directly: how many TOTAL customers/entities/duplicate clusters
+    exist, given two independent 'sightings' (two crawl passes, two
+    date windows, two dedup runs) and their overlap? Chapman's
+    bias-corrected Lincoln-Petersen: N = (nA+1)(nB+1)/(m+1) - 1 —
+    exact integers until one closing division, audited against the
+    true distinct count. Shape: two distinct hash-aggs + one
+    semi-join for the overlap + one-row closing select; both capture
+    windows push their date filters into the scan."""
+    o = t(spark, sf_dir, "orders")
+    from etlalchemy_spark.queries._util import ts
+
+    a = o.where(F.col("o_orderdate") < ts("1994-01-01 00:00:00")).select(
+        "o_custkey"
+    ).distinct()
+    b = o.where(
+        (F.col("o_orderdate") >= ts("1994-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1996-01-01 00:00:00"))
+    ).select("o_custkey").distinct()
+    m = a.join(b, "o_custkey", "left_semi").agg(F.count(F.lit(1)).alias("m"))
+    na = a.agg(F.count(F.lit(1)).alias("na"))
+    nb = b.agg(F.count(F.lit(1)).alias("nb"))
+    tru = o.agg(F.countDistinct("o_custkey").alias("n_true"))
+    w = (
+        m.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tru))
+    )
+    est = (
+        ((F.col("na") + 1).cast("decimal(38,0)") * (F.col("nb") + 1)).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_sample_a"),
+        F.col("nb").cast("bigint").alias("n_sample_b"),
+        F.col("m").cast("bigint").alias("n_recaptured"),
+        est.alias("population_est"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+    )

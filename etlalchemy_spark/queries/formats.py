@@ -1000,3 +1000,64 @@ def fmt_protobuf_roundtrip(spark, sf_dir):
 
     schema = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
     return flist.mapInPandas(read_part, schema)
+
+
+# --- CSV with quoted newlines / embedded quotes (r10) --------------------------------
+
+_CSV_TORTURE_SQL = """
+SELECT doc_id,
+       'line1
+"quoted" middle,' || CAST(doc_id AS STRING) || '
+tail' AS gnarly,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'v' || CAST(doc_id AS STRING) END
+         AS maybe_null
+FROM documents WHERE doc_id < 200
+"""
+
+
+@register("fmt_csv_quoted_newlines", oracle=_CSV_TORTURE_SQL, tags=("sources",))
+def fmt_csv_quoted_newlines(spark, sf_dir):
+    """CSV torture roundtrip (r10): values containing EMBEDDED
+    NEWLINES, embedded double quotes, and commas — the cases that
+    break naive line-splitting ingestion — written with full quoting
+    and read back with ``multiLine=true`` (without it Spark's
+    line-oriented reader splits records mid-value; the option trades
+    per-line splittability for record correctness, the documented
+    cost on huge single files). NULL vs empty-string round-tripping
+    is pinned too (nullValue vs quoted empty — the classic silent CSV
+    corruption). Values reconstruct exactly; the oracle recomputes
+    them without touching the files."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit('line1\n"quoted" middle,'),
+                F.col("doc_id").cast("string"),
+                F.lit("\ntail"),
+            ).alias("gnarly"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("v"), F.col("doc_id").cast("string")))
+            .alias("maybe_null"),
+        )
+    )
+    path = os.path.join(scratch_dir("csv_torture", sf_dir), "gnarly_csv")
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("doc_id bigint, gnarly string, maybe_null string")
+        .csv(path)
+    )

@@ -781,3 +781,65 @@ def scalar_ipv4_cidr(spark, sf_dir):
         F.coalesce(F.col("n_ips"), F.lit(0)).cast("bigint").alias("n_ips"),
         F.coalesce(F.col("n_users"), F.lit(0)).cast("bigint").alias("n_users"),
     )
+
+
+# --- RFC 4122 v3 (md5, name-based) UUID surrogate keys (r10) --------------------------
+
+# Shared SQL fragment, valid verbatim in BOTH engines: md5 hex of the
+# namespaced name, re-laid-out 8-4-4-4-12 with the version nibble
+# forced to '3' and the variant nibble folded into 8/9/a/b.
+_UUID3_VARIANT = (
+    "CASE WHEN substring(h, 17, 1) IN ('0', '4', '8', 'c') THEN '8' "
+    "WHEN substring(h, 17, 1) IN ('1', '5', '9', 'd') THEN '9' "
+    "WHEN substring(h, 17, 1) IN ('2', '6', 'a', 'e') THEN 'a' "
+    "ELSE 'b' END"
+)
+_UUID3_EXPR = (
+    "substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-3' || substring(h, 14, 3)"
+    f" || '-' || {_UUID3_VARIANT} || substring(h, 18, 3) || '-' || substring(h, 21, 12)"
+)
+
+_UUID3_SQL = f"""
+WITH src AS (
+  SELECT md5('etlalchemy:customer:' || CAST(c_custkey AS STRING)) AS h
+  FROM customer
+),
+u AS (SELECT {_UUID3_EXPR} AS uuid FROM src)
+SELECT substring(uuid, 15, 1) AS version_nibble,
+       substring(uuid, 20, 1) AS variant_nibble,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT uuid) AS BIGINT) AS n_distinct
+FROM u
+GROUP BY 1, 2
+"""
+
+
+@register("scalar_uuid3_surrogate", oracle=_UUID3_SQL, tags=("scalar", "etl"))
+def scalar_uuid3_surrogate(spark, sf_dir):
+    """RFC 4122 version-3 (name-based, md5) UUIDs as surrogate keys
+    (r10) — the cross-system-stable identifier a migration mints when
+    the target wants UUID PKs but re-running the pipeline must mint
+    the SAME ids (uuid() is an RNG; v3 is a pure function of
+    namespace+name, so retries, engines, and both halves of a
+    dual-write agree — the `etl_surrogate_keys` discipline in
+    standard-UUID clothing). The layout fragment — version nibble
+    forced to '3', variant nibble folded into 8/9/a/b — is ONE SQL
+    string evaluated verbatim by both engines. Aggregated readout
+    pins the version/variant distribution and that distinct names
+    yield distinct UUIDs (md5 collision-free at fixture scale).
+    Narrow map in the scan stage; shuffles only the 4-row
+    aggregate."""
+    c = t(spark, sf_dir, "customer")
+    src = c.select(
+        F.md5(
+            F.concat(F.lit("etlalchemy:customer:"), F.col("c_custkey").cast("string"))
+        ).alias("h")
+    )
+    u = src.select(F.expr(_UUID3_EXPR).alias("uuid"))
+    return u.groupBy(
+        F.expr("substring(uuid, 15, 1)").alias("version_nibble"),
+        F.expr("substring(uuid, 20, 1)").alias("variant_nibble"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("uuid").cast("bigint").alias("n_distinct"),
+    )
