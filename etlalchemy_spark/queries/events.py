@@ -2942,3 +2942,65 @@ def events_activity_streaks(spark, sf_dir):
         .limit(20)
         .select("user_id", "longest_streak", "n_active_days", "n_streaks")
     )
+
+
+# --- Hill tail-index estimator (r10) --------------------------------------------------
+
+_HILL_K = 100
+_HILL_LN_V = ln_int_sql("v")
+_HILL_LN_VK = ln_int_sql("vk")
+
+_HILL_SQL = f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM orders
+),
+top AS (SELECT v FROM c ORDER BY v DESC LIMIT {_HILL_K + 1}),
+kth AS (SELECT MIN(v) AS vk, COUNT(*) AS n_top FROM top),
+terms AS (
+  SELECT CAST(({_HILL_LN_V}) - ({_HILL_LN_VK}) AS DECIMAL(28,12)) AS t
+  FROM top, kth
+),
+s AS (SELECT SUM(t) AS lsum FROM terms)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       CAST(kth.vk AS DOUBLE) / 100.0 AS threshold_price,
+       CAST(CAST(s.lsum AS VARCHAR) AS DOUBLE) / {_HILL_K}e0 AS mean_log_excess,
+       {_HILL_K}e0 / CAST(CAST(s.lsum AS VARCHAR) AS DOUBLE) AS hill_alpha
+FROM kth, s
+"""
+
+
+@register("events_hill_tail_index", oracle=_HILL_SQL, tags=("events", "stats", "agg"))
+def events_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the power-law tail index (r10) — the
+    heavy-tail diagnostic behind 'do whales dominate revenue?' /
+    'does doc length have finite variance?' decisions (alpha < 2
+    means variance is infinite and mean-based dashboards lie; the
+    time-series sibling of text_zipf_fit's rank-frequency slope).
+    alpha = k / sum ln(x_i / x_(k+1)) over the top k order
+    statistics: the top-(k+1) comes from TakeOrderedAndProject (every
+    partition forwards k+1 values, no global sort), each log-excess
+    is a DIFFERENCE OF INTEGER LNS (cents — ln_int, zero libm), and
+    the k-term sum is a scale-12 decimal. Ties at the threshold
+    contribute exact zeros, so the estimate is value-deterministic
+    even when LIMIT cuts inside a tie group."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("v")
+    )
+    top = c.orderBy(F.desc("v")).limit(_HILL_K + 1)
+    top = top.localCheckpoint(eager=False)  # k+1 rows; feeds two aggs
+    kth = top.agg(F.min("v").alias("vk"))
+    terms = top.crossJoin(F.broadcast(kth)).select(
+        F.expr(
+            f"CAST(({_HILL_LN_V}) - ({_HILL_LN_VK}) AS DECIMAL(28,12))"
+        ).alias("t")
+    )
+    s = terms.agg(F.sum("t").alias("lsum"))
+    w = kth.crossJoin(F.broadcast(s))
+    lsum_d = F.col("lsum").cast("double")
+    return w.select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        (F.col("vk").cast("double") / 100.0).alias("threshold_price"),
+        (lsum_d / F.lit(float(_HILL_K))).alias("mean_log_excess"),
+        (F.lit(float(_HILL_K)) / lsum_d).alias("hill_alpha"),
+    )

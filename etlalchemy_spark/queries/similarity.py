@@ -1124,3 +1124,153 @@ def sim_matryoshka_prefix_topk(spark, sf_dir):
         q_full,
     )
     return _topk_ranked(full, "vec_id", 10)
+
+
+# --- Clustering purity + NMI against labels (r10) ------------------------------------
+
+from etlalchemy_spark.queries._util import ln_int_sql  # noqa: E402
+
+_NMI_LN_NIJ = ln_int_sql("(n * n_ij)")
+_NMI_LN_MARG = ln_int_sql("(n_i * n_j)")
+_NMI_LN_N = ln_int_sql("n")
+_NMI_LN_NI = ln_int_sql("n_i")
+_NMI_LN_NJ = ln_int_sql("n_j")
+
+
+def _nmi_sql() -> str:
+    dot_aggs = ",\n         ".join(
+        "SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))"
+        f" * CAST(CAST(({_plane_lit_sql(p)})[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS d{j}"
+        for j, p in enumerate(_LSH_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_LSH_N_PLANES)
+    )
+    return f"""
+WITH pd AS (
+  SELECT e.vec_id, {dot_aggs}
+  FROM embeddings e, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+), bkt AS (
+  SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM pd
+), cont AS (
+  SELECT b.bucket, e.label, COUNT(*) AS n_ij
+  FROM bkt b JOIN embeddings e USING (vec_id)
+  GROUP BY b.bucket, e.label
+), ni AS (SELECT bucket, SUM(n_ij) AS n_i FROM cont GROUP BY bucket),
+nj AS (SELECT label, SUM(n_ij) AS n_j FROM cont GROUP BY label),
+nn AS (SELECT SUM(n_ij) AS n FROM cont),
+pur AS (SELECT SUM(mx) AS agree FROM (SELECT bucket, MAX(n_ij) AS mx FROM cont GROUP BY bucket)),
+mi AS (
+  SELECT SUM(CAST((CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (({_NMI_LN_NIJ}) - ({_NMI_LN_MARG})) AS DECIMAL(28,12))) AS i_sum
+  FROM cont JOIN ni USING (bucket) JOIN nj USING (label), nn
+),
+hx AS (
+  SELECT SUM(CAST((CAST(n_i AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (({_NMI_LN_N}) - ({_NMI_LN_NI})) AS DECIMAL(28,12))) AS h
+  FROM ni, nn
+),
+hy AS (
+  SELECT SUM(CAST((CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (({_NMI_LN_N}) - ({_NMI_LN_NJ})) AS DECIMAL(28,12))) AS h
+  FROM nj, nn
+)
+SELECT CAST(nn.n AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM ni) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM nj) AS BIGINT) AS n_labels,
+       CAST(pur.agree AS DOUBLE) / CAST(nn.n AS DOUBLE) AS purity,
+       CAST(CAST(mi.i_sum AS VARCHAR) AS DOUBLE) AS mi_nats,
+       CAST(CAST(mi.i_sum AS VARCHAR) AS DOUBLE)
+         / SQRT(CAST(CAST(hx.h AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(hy.h AS VARCHAR) AS DOUBLE)) AS nmi
+FROM nn, pur, mi, hx, hy
+"""
+
+
+@register("sim_cluster_purity_nmi", oracle=_nmi_sql(), tags=("similarity", "stats"))
+def sim_cluster_purity_nmi(spark, sf_dir):
+    """Clustering quality against ground-truth labels (r10): PURITY
+    (majority-label agreement) and NORMALIZED MUTUAL INFORMATION —
+    the two standard external cluster-evaluation metrics every
+    embedding-pipeline report quotes. Clusters are the decimal-exact
+    hyperplane-LSH buckets (the one clustering in the repo that is
+    bit-identical cross-engine; k-means is float-iteration-bound and
+    stays rows-only), so the metric pipeline itself is what's
+    verified: contingency hash-agg, margins, and every entropy/MI
+    term as integer-count ln differences (ln_int) summed as scale-12
+    decimals — information theory with zero libm. All reduction
+    happens on CONTINGENCY rows (<= clusters x labels), never
+    vectors."""
+    from etlalchemy_spark.operators.similarity import lsh_buckets_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    bkt = lsh_buckets_exact(emb, "vec_id", "embedding", _LSH_PLANES)
+    cont = (
+        bkt.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+    cont = cont.localCheckpoint(eager=False)  # tiny; feeds 4 aggregates
+    ni = cont.groupBy("bucket").agg(F.sum("n_ij").alias("n_i"))
+    nj = cont.groupBy("label").agg(F.sum("n_ij").alias("n_j"))
+    nn = cont.agg(F.sum("n_ij").alias("n"))
+    pur = (
+        cont.groupBy("bucket")
+        .agg(F.max("n_ij").alias("mx"))
+        .agg(F.sum("mx").alias("agree"))
+    )
+    mi = (
+        cont.join(ni, "bucket")
+        .join(nj, "label")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                f"CAST((CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE))"
+                f" * (({_NMI_LN_NIJ}) - ({_NMI_LN_MARG})) AS DECIMAL(28,12))"
+            ).alias("v")
+        )
+        .agg(F.sum("v").alias("i_sum"))
+    )
+    hx = (
+        ni.crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                f"CAST((CAST(n_i AS DOUBLE) / CAST(n AS DOUBLE))"
+                f" * (({_NMI_LN_N}) - ({_NMI_LN_NI})) AS DECIMAL(28,12))"
+            ).alias("v")
+        )
+        .agg(F.sum("v").alias("hx"))
+    )
+    hy = (
+        nj.crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                f"CAST((CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))"
+                f" * (({_NMI_LN_N}) - ({_NMI_LN_NJ})) AS DECIMAL(28,12))"
+            ).alias("v")
+        )
+        .agg(F.sum("v").alias("hy"))
+    )
+    n_clusters = ni.agg(F.count(F.lit(1)).alias("n_clusters"))
+    n_labels = nj.agg(F.count(F.lit(1)).alias("n_labels"))
+    w = (
+        nn.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(n_clusters))
+        .crossJoin(F.broadcast(n_labels))
+    )
+    i_d = F.col("i_sum").cast("double")
+    return w.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_labels").cast("bigint").alias("n_labels"),
+        (F.col("agree").cast("double") / F.col("n").cast("double")).alias("purity"),
+        i_d.alias("mi_nats"),
+        (
+            i_d
+            / F.sqrt(F.col("hx").cast("double") * F.col("hy").cast("double"))
+        ).alias("nmi"),
+    )
