@@ -2038,3 +2038,141 @@ def tiff_stats(df: "DataFrame", id_col: str) -> "DataFrame":
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+# --- EXIF metadata (r10) --------------------------------------------------------------
+
+def encode_exif_jpeg(make: str, orientation: int, datetime_str: str,
+                     xres: tuple[int, int], big_endian: bool = False) -> bytes:
+    """Minimal metadata-bearing JPEG: SOI + APP1("Exif\\0\\0" + a TIFF
+    IFD0 carrying Make[271]/Orientation[274]/XResolution[282]/
+    DateTime[306]) + EOI. The TIFF-in-EXIF structure is the real
+    layout cameras write; scan data is irrelevant to a metadata
+    extractor and omitted."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_str.encode("ascii") + b"\x00"
+    # header(8) + count(2) + 4 entries(48) + next(4) = 62 bytes of IFD
+    data_off = 8 + 2 + 4 * 12 + 4
+    entries = []
+    extra = bytearray()
+
+    def slot(tag, typ, cnt, payload: bytes, inline_ok: bool):
+        nonlocal extra
+        if inline_ok and len(payload) <= 4:
+            val = payload + b"\x00" * (4 - len(payload))
+            entries.append(struct.pack(e + "HHI", tag, typ, cnt) + val)
+        else:
+            ptr = data_off + len(extra)
+            entries.append(struct.pack(e + "HHII", tag, typ, cnt, ptr))
+            extra += payload
+
+    slot(271, 2, len(make_b), make_b, True)
+    entries.append(struct.pack(e + "HHIHH", 274, 3, 1, orientation, 0))
+    slot(282, 5, 1, struct.pack(e + "II", xres[0], xres[1]), False)
+    slot(306, 2, len(dt_b), dt_b, True)
+    tiff = (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    tiff += struct.pack(e + "I", 8)
+    tiff += struct.pack(e + "H", len(entries)) + b"".join(entries)
+    tiff += struct.pack(e + "I", 0) + bytes(extra)
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+def decode_exif(payload: bytes) -> dict:
+    """Walk JPEG markers to APP1/Exif, parse the TIFF IFD0 (both byte
+    orders), extract Make/Orientation/XResolution/DateTime. ASCII
+    (inline or pointed), SHORT, LONG and RATIONAL types decode;
+    missing APP1 or a non-JPEG payload refuses loudly."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("EXIF: bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        pos += 2 + size
+    if tiff is None:
+        raise ValueError("EXIF: no APP1 Exif segment")
+    if tiff[:2] not in (b"II", b"MM"):
+        raise ValueError("EXIF: bad TIFF byte-order mark")
+    e = "<" if tiff[:2] == b"II" else ">"
+    ifd_off = struct.unpack_from(e + "I", tiff, 4)[0]
+    n = struct.unpack_from(e + "H", tiff, ifd_off)[0]
+    out = {"byte_order": "II" if e == "<" else "MM"}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, off)
+        if typ == 2:  # ASCII
+            if cnt <= 4:
+                raw = tiff[off + 8 : off + 8 + cnt]
+            else:
+                ptr = struct.unpack_from(e + "I", tiff, off + 8)[0]
+                raw = tiff[ptr : ptr + cnt]
+            val = raw.rstrip(b"\x00").decode("ascii")
+        elif typ == 3:
+            val = struct.unpack_from(e + "H", tiff, off + 8)[0]
+        elif typ == 4:
+            val = struct.unpack_from(e + "I", tiff, off + 8)[0]
+        elif typ == 5:  # RATIONAL
+            ptr = struct.unpack_from(e + "I", tiff, off + 8)[0]
+            num, den = struct.unpack_from(e + "II", tiff, ptr)
+            val = (num, den)
+        else:
+            continue
+        out[tag] = val
+    return {
+        "byte_order": out["byte_order"],
+        "make": out.get(271),
+        "orientation": out.get(274),
+        "xres_num": out.get(282, (None, None))[0],
+        "xres_den": out.get(282, (None, None))[1],
+        "datetime": out.get(306),
+    }
+
+
+def exif_metadata(df: "DataFrame", id_col: str) -> "DataFrame":
+    """decode→metadata rows for EXIF-bearing JPEG payloads (the shared
+    Arrow mapInPandas codec shape)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, byte_order string, make string, orientation int, "
+        "xres_num bigint, xres_den bigint, exif_datetime string"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [decode_exif(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "byte_order": [s["byte_order"] for s in stats],
+                    "make": [s["make"] for s in stats],
+                    "orientation": [s["orientation"] for s in stats],
+                    "xres_num": [s["xres_num"] for s in stats],
+                    "xres_den": [s["xres_den"] for s in stats],
+                    "exif_datetime": [s["datetime"] for s in stats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, out_schema)

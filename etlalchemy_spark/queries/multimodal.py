@@ -2499,3 +2499,59 @@ def mm_decode_webp_stats(spark, sf_dir):
 
     webps = params.mapInPandas(synth, "doc_id long, payload binary")
     return webp_stats(webps, "doc_id")
+
+
+# --- EXIF metadata extraction (r10) ----------------------------------------------------
+
+_EXIF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       'CAM-' || CAST(doc_id % 7 AS STRING) AS make,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 300 ELSE 72 END AS BIGINT) AS xres_num,
+       CAST(1 AS BIGINT) AS xres_den,
+       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')
+         || ' ' || lpad(CAST(doc_id % 24 AS STRING), 2, '0') || ':30:00'
+         AS exif_datetime
+FROM documents
+"""
+
+
+@register("mm_exif_metadata", oracle=_EXIF_SQL, tags=("multimodal", "udf"))
+def mm_exif_metadata(spark, sf_dir):
+    """EXIF metadata extraction (r10) — the image-curation filter
+    every multimodal pipeline runs before pixels ('drop screenshots,
+    keep camera=X, fix orientation'): walk the JPEG marker stream to
+    APP1, parse the embedded TIFF IFD (EXIF IS a TIFF — same
+    byte-order marks, same 12-byte entries, both orders mixed in the
+    fixture), and extract Make (ASCII, pointer-stored), Orientation
+    (SHORT, inline), XResolution (RATIONAL — the num/den pair behind
+    a pointer) and DateTime. Encode->decode against a closed-form
+    oracle proves the parser reads real EXIF layout, not a lookup
+    table (operators/multimodal.py encode_exif_jpeg/decode_exif).
+    Partition-local Arrow batches; only metadata rows leave — at
+    100 TB this is THE cheap pre-decode pruning pass."""
+    from etlalchemy_spark.operators.multimodal import encode_exif_jpeg, exif_metadata
+
+    params = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payloads.append(
+                    encode_exif_jpeg(
+                        f"CAM-{doc_id % 7}",
+                        1 + doc_id % 8,
+                        f"2024:01:{1 + doc_id % 28:02d} {doc_id % 24:02d}:30:00",
+                        (300 if doc_id % 2 == 0 else 72, 1),
+                        big_endian=(doc_id % 4 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    jpegs = params.mapInPandas(synth, "doc_id long, payload binary")
+    return exif_metadata(jpegs, "doc_id")

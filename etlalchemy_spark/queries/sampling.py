@@ -967,3 +967,73 @@ def sample_gumbel_weighted_topk(spark, sf_dir):
         .limit(500)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --- Two-stage cluster sampling (r10) --------------------------------------------------
+
+_CL1_RATE = 100000  # 10% of customers (clusters)
+_CL2_RATE = 500000  # 50% of each sampled cluster's orders
+
+_CLUSTER_SQL = f"""
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  WHERE {_bucket_sql("o_custkey", "cl1:")} < {_CL1_RATE}
+    AND {_bucket_sql("o_orderkey", "cl2:")} < {_CL2_RATE}
+),
+cl AS (
+  SELECT COUNT(DISTINCT o_custkey) AS n_clusters FROM orders
+  WHERE {_bucket_sql("o_custkey", "cl1:")} < {_CL1_RATE}
+),
+tru AS (
+  SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tot
+  FROM orders
+)
+SELECT CAST(cl.n_clusters AS BIGINT) AS n_clusters_sampled,
+       CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_orders_sampled,
+       CAST((SELECT SUM(cents) * 20 FROM s) AS DOUBLE) / 100.0 AS estimated_total,
+       CAST(tru.tot AS DOUBLE) / 100.0 AS true_total,
+       (CAST((SELECT SUM(cents) * 20 FROM s) AS DOUBLE) - CAST(tru.tot AS DOUBLE))
+         / CAST(tru.tot AS DOUBLE) AS rel_error
+FROM cl, tru
+"""
+
+
+@register("sample_cluster_twostage", oracle=_CLUSTER_SQL, tags=("sampling", "stats"))
+def sample_cluster_twostage(spark, sf_dir):
+    """Two-stage cluster sampling (r10) — THE survey design when
+    enumerating units is expensive but enumerating GROUPS is cheap
+    (sample customers, then subsample their orders; crawl hosts, then
+    subsample their pages): stage 1 draws 10% of customers by
+    portable hash, stage 2 draws 50% of each sampled customer's
+    orders by an independent salt, and the Horvitz-Thompson estimate
+    inverts the known inclusion probability 1/(0.1 * 0.5) = 20
+    exactly. Both stages are pure narrow filters (content-addressed —
+    rerun/engine/retry-stable, the sample_bernoulli_hash discipline);
+    the estimate is exact integer cents times an integer weight,
+    audited against the true total. Scan-speed at any scale."""
+    from etlalchemy_spark.operators.sampling import hash_bucket
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    stage1 = o.where(hash_bucket(F.col("o_custkey"), "cl1:") < _CL1_RATE)
+    s = stage1.where(hash_bucket(F.col("o_orderkey"), "cl2:") < _CL2_RATE).select(
+        cents.alias("cents")
+    )
+    cl = stage1.agg(F.countDistinct("o_custkey").alias("n_clusters"))
+    samp = s.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents_sum")
+    )
+    tru = o.agg(F.sum(cents).alias("tot"))
+    w = cl.crossJoin(F.broadcast(samp)).crossJoin(F.broadcast(tru))
+    est = (F.col("cents_sum") * 20).cast("double")
+    return w.select(
+        F.col("n_clusters").cast("bigint").alias("n_clusters_sampled"),
+        F.col("n_orders").cast("bigint").alias("n_orders_sampled"),
+        (est / 100.0).alias("estimated_total"),
+        (F.col("tot").cast("double") / 100.0).alias("true_total"),
+        ((est - F.col("tot").cast("double")) / F.col("tot").cast("double")).alias(
+            "rel_error"
+        ),
+    )

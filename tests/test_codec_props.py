@@ -171,3 +171,36 @@ def test_wht_parseval_energy_identity(seed):
     tbl = wht_band_table(n, 4)
     assert sorted(set(tbl)) == [0, 1, 2, 3] and len(tbl) == n
     assert all(tbl.count(b) == 16 for b in range(4))
+
+
+# --- EXIF (r10) --------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=28),
+    st.booleans(),
+)
+def test_exif_roundtrip(cam, orientation, day, big_endian):
+    from etlalchemy_spark.operators.multimodal import decode_exif, encode_exif_jpeg
+
+    dt = f"2024:01:{day:02d} 10:30:00"
+    d = decode_exif(
+        encode_exif_jpeg(f"CAM-{cam}", orientation, dt, (300, 1), big_endian=big_endian)
+    )
+    assert d["make"] == f"CAM-{cam}" and d["orientation"] == orientation
+    assert d["datetime"] == dt and (d["xres_num"], d["xres_den"]) == (300, 1)
+    assert d["byte_order"] == ("MM" if big_endian else "II")
+
+
+def test_exif_refusals():
+    import pytest
+
+    from etlalchemy_spark.operators.multimodal import decode_exif
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_exif(b"not a jpeg")
+    # valid JPEG envelope, no APP1
+    with pytest.raises(ValueError, match="APP1"):
+        decode_exif(b"\xff\xd8\xff\xd9")
