@@ -2053,3 +2053,62 @@ def etl_checksum_manifest(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --- Late-arriving dimension (r10) -----------------------------------------------------
+
+_LATE_DIM_SQL = """
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_custkey % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_resolved
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("etl_late_arriving_dim", oracle=_LATE_DIM_SQL, tags=("etl",))
+def etl_late_arriving_dim(spark, sf_dir):
+    """Late-arriving dimension handling (r10) — the warehouse pattern
+    for facts that land before their dimension row (orders referencing
+    a customer the nightly dim load hasn't shipped yet): enrich
+    against the CURRENT dim snapshot, mint PLACEHOLDER rows
+    (nationkey -1, inferred=true) for unresolved keys instead of
+    dropping or stalling the load, then RESOLVE the placeholders when
+    the late stripe arrives — only inferred facts re-join, the
+    already-resolved majority never reprocesses. Here every ninth
+    customer arrives late; the final state must equal the
+    join-when-complete baseline (the oracle), with the
+    n_late_resolved column proving the placeholder path actually
+    carried those facts (zero unresolved rows remain — a lingering
+    nationkey -1 group would fail the hash). Both phases are plain
+    broadcast-able dim joins; the audit is one hash-agg."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim_full = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dim_v1 = dim_full.where(F.col("c_custkey") % 9 != 0)
+
+    # phase 1: enrich against the incomplete snapshot, mint placeholders
+    enriched = o.join(dim_v1, o.o_custkey == dim_v1.c_custkey, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"),
+        F.col("c_nationkey").isNull().alias("inferred"),
+    )
+    resolved = enriched.where(~F.col("inferred"))
+    placeholders = enriched.where(F.col("inferred"))
+
+    # phase 2: the late stripe arrives; ONLY placeholders re-join
+    late = dim_full.where(F.col("c_custkey") % 9 == 0)
+    backfilled = placeholders.join(
+        late, placeholders.o_custkey == late.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"),
+        F.lit(True).alias("inferred"),
+    )
+    final = resolved.unionByName(backfilled)
+    return final.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("inferred").cast("int")).cast("bigint").alias("n_late_resolved"),
+    )

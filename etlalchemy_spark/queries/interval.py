@@ -119,3 +119,100 @@ def unpivot_orders(spark, sf_dir):
             "'order_year', CAST(YEAR(o_orderdate) AS DOUBLE)) AS (metric, value)"
         ),
     )
+
+
+# --- Allen's interval algebra over session pairs (r10) --------------------------------
+
+# Boundary comparisons in integer microseconds; the seven relations
+# (+ their inverses folded by the a-before-b ordering) cover every
+# possible configuration of two intervals, so the counts partition
+# the pair set — a built-in completeness check.
+_ALLEN_CASE = """CASE
+  WHEN a_end < b_start THEN 'precedes'
+  WHEN a_end = b_start THEN 'meets'
+  WHEN a_start = b_start AND a_end = b_end THEN 'equals'
+  WHEN a_start = b_start AND a_end < b_end THEN 'starts'
+  WHEN a_start = b_start THEN 'started_by'
+  WHEN a_end = b_end AND a_start < b_start THEN 'finished_by'
+  WHEN a_end = b_end THEN 'finishes'
+  WHEN a_start < b_start AND a_end > b_end THEN 'contains'
+  WHEN a_start > b_start AND a_end < b_end THEN 'during'
+  ELSE 'overlaps' END"""
+
+_ALLEN_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(ts)) AS s,
+         epoch_us(MAX(ts)) + 1800000000 AS e
+  FROM numbered GROUP BY 1, 2
+), pairs AS (
+  SELECT a.s AS a_start, a.e AS a_end, b.s AS b_start, b.e AS b_end
+  FROM sess a JOIN sess b
+    ON a.s // 3600000000 = b.s // 3600000000
+   AND a.user_id < b.user_id
+)
+SELECT {_ALLEN_CASE} AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+@register("interval_allen_relations", oracle=_ALLEN_SQL, tags=("interval", "events"))
+def interval_allen_relations(spark, sf_dir):
+    """Allen's interval algebra (r10) — the 13-relation temporal
+    vocabulary (precedes/meets/overlaps/starts/during/finishes/
+    equals + inverses, inverses folded here by ordering each pair
+    user-id-ascending) classifying CROSS-USER session pairs that
+    start in the same hour (the bucketed candidate enumeration of
+    the interval join above — pair cost is bounded by per-bucket
+    density, never sessions²):
+    the formal footing under 'did these sessions overlap or merely
+    touch?' questions that ad-hoc boundary predicates get subtly
+    wrong (meets vs overlaps differ by ONE microsecond of shared
+    boundary; same-user pairs would all be 'precedes' — the 30-minute
+    gap DEFINES sessions). Comparisons are integer microseconds; the CASE ladder
+    is shared verbatim by both engines; and because the relations
+    PARTITION all possible configurations, the counts summing to the
+    pair total is a built-in completeness proof. Pairs stay
+    per-user (sessions-per-user bounded); one hash-agg closes."""
+    from etlalchemy_spark.queries._util import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s"),
+            (F.unix_micros(F.max("ts")) + 1800000000).alias("e"),
+        )
+    )
+    a = sess.select(
+        F.col("user_id").alias("ua"),
+        (F.col("s") / 3600000000).cast("bigint").alias("hb"),
+        F.col("s").alias("a_start"),
+        F.col("e").alias("a_end"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("ub"),
+        (F.col("s") / 3600000000).cast("bigint").alias("hb"),
+        F.col("s").alias("b_start"),
+        F.col("e").alias("b_end"),
+    )
+    pairs = a.join(b, "hb").where(F.col("ua") < F.col("ub"))
+    return pairs.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
