@@ -2787,3 +2787,116 @@ def agg_capture_recapture(spark, sf_dir):
         est.alias("population_est"),
         F.col("n_true").cast("bigint").alias("n_true"),
     )
+
+
+# --- Calibration bins + Brier score (r10) ----------------------------------------------
+
+_CALIB_SQL = """
+WITH s AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (SELECT v, COUNT(*) AS t, SUM(y) AS pos FROM s GROUP BY v),
+p AS (
+  SELECT v, t, pos,
+         2 * COALESCE(SUM(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM g
+),
+nn AS (SELECT SUM(t) AS n FROM g),
+b AS (
+  SELECT LEAST((10 * (r2 - 1)) // (2 * nn.n), 9) AS decile,
+         t, pos, r2, nn.n
+  FROM p, nn
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(SUM(t) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(CAST(SUM(CAST(t AS HUGEINT) * r2) AS VARCHAR) AS DOUBLE)
+         / (2e0 * CAST(MAX(n) AS DOUBLE) * CAST(SUM(t) AS DOUBLE)) AS mean_predicted,
+       CAST(SUM(pos) AS DOUBLE) / CAST(SUM(t) AS DOUBLE) AS observed_rate,
+       (CAST(CAST(SUM(CAST(r2 AS HUGEINT) * r2 * t) AS VARCHAR) AS DOUBLE)
+          / (4e0 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE))
+        - CAST(CAST(SUM(CAST(pos AS HUGEINT) * r2) AS VARCHAR) AS DOUBLE)
+          / CAST(MAX(n) AS DOUBLE)
+        + CAST(SUM(pos) AS DOUBLE)) / CAST(MAX(n) AS DOUBLE) AS brier_contrib
+FROM b GROUP BY decile
+"""
+
+
+@register("agg_calibration_brier", oracle=_CALIB_SQL, tags=("agg", "stats", "scale"))
+def agg_calibration_brier(spark, sf_dir):
+    """Calibration (reliability) bins + Brier decomposition (r10) —
+    the classifier-quality readout threshold pickers need: per
+    predicted-probability decile, the mean prediction vs the observed
+    positive rate (a calibrated model tracks the diagonal), plus each
+    decile's exact Brier contribution (summing to the overall mean
+    squared error of the probabilistic forecast). The 'model score'
+    is the exact percentile of order value — tie-averaged rank over
+    per-DISTINCT-VALUE counts (the Mann-Whitney/Spearman machinery,
+    no fact-table sort), so p = r2/(2N) is an exact rational and
+    every moment (sum p, sum p², sum p over positives) is an exact
+    integer sum over VALUE rows. One distinct-value agg + one prefix
+    + one 10-row re-agg; doubles only in the closing selects
+    (VARCHAR-routed, house discipline)."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("y"),
+    )
+    g = s.groupBy("v").agg(F.count(F.lit(1)).alias("t"), F.sum("y").alias("pos"))
+    p = running_global_sum(
+        g, F.col("v"), [], F.col("t").cast("decimal(38,0)"), alias="_cum", n_buckets=16
+    )
+    p = p.withColumn(
+        "r2",
+        (
+            F.lit(2).cast("decimal(38,0)") * (F.col("_cum") - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("decimal(38,0)"),
+    )
+    nn = g.agg(F.sum("t").alias("n"))
+    # decile by INTEGER floor division on longs: decimal `/` rounds
+    # HALF_UP at its result scale before a bigint cast truncates, so a
+    # quotient within 5e-7 below a boundary would mis-bin once 2N
+    # exceeds ~2e6 rows
+    b = p.crossJoin(F.broadcast(nn)).withColumn(
+        "decile",
+        F.least(
+            F.expr("(10 * (CAST(r2 AS BIGINT) - 1)) div (2 * CAST(n AS BIGINT))"),
+            F.lit(9).cast("bigint"),
+        ),
+    )
+    d38 = "decimal(38,0)"
+    agg = b.groupBy("decile").agg(
+        F.sum("t").cast("bigint").alias("n_bin"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t").cast(d38) * F.col("r2")).alias("sum_r2"),
+        F.sum(F.col("r2") * F.col("r2") * F.col("t").cast(d38)).alias("sum_r2sq"),
+        F.sum(F.col("pos").cast(d38) * F.col("r2")).alias("sum_pos_r2"),
+        F.max("n").cast("double").alias("nd"),
+    )
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_bin").alias("n"),
+        F.col("n_pos").alias("n_pos"),
+        (
+            F.col("sum_r2").cast("double")
+            / (F.lit(2.0) * F.col("nd") * F.col("n_bin").cast("double"))
+        ).alias("mean_predicted"),
+        (F.col("n_pos").cast("double") / F.col("n_bin").cast("double")).alias(
+            "observed_rate"
+        ),
+        (
+            (
+                F.col("sum_r2sq").cast("double") / (F.lit(4.0) * F.col("nd") * F.col("nd"))
+                - F.col("sum_pos_r2").cast("double") / F.col("nd")
+                + F.col("n_pos").cast("double")
+            )
+            / F.col("nd")
+        ).alias("brier_contrib"),
+    )
