@@ -2112,3 +2112,79 @@ def etl_late_arriving_dim(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.col("inferred").cast("int")).cast("bigint").alias("n_late_resolved"),
     )
+
+
+# --- Reconciliation drilldown: find corrupted keys without moving data (r10) ----------
+
+_DRILL_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS src_cents,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 + 1 AS BIGINT) AS tgt_cents
+FROM orders
+WHERE o_orderkey % 7777 = 5
+"""
+
+
+@register("etl_reconciliation_drilldown", oracle=_DRILL_SQL, tags=("etl", "scale"))
+def etl_reconciliation_drilldown(spark, sf_dir):
+    """Checksum-mismatch drilldown (r10) — what a migration does the
+    morning `etl_checksum_manifest` disagrees: find WHICH rows
+    diverged without shipping either table anywhere. Phase 1 reduces
+    both sides to 64 per-bucket checksum sums (two scans, 64-row
+    outputs); phase 2 re-scans ONLY the buckets whose sums differ
+    (pushed-down bucket filter — at 100 TB a single corrupted stripe
+    means 1/64th of each side re-reads) and anti-compares per-key
+    hashes to emit the exact divergent keys with both sides' values.
+    The 'target' here is the source with a deterministic corruption
+    injected (every 7777th key's price off by one cent); the gate
+    proves the drilldown finds exactly those keys — no more, no
+    fewer. Sum-of-hashes is order-insensitive, so bucket comparison
+    is partition-layout-proof (the manifest-checksum discipline,
+    recursively applied)."""
+    from etlalchemy_spark.operators.dedup import md5_prefix60
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    src = o.select("o_orderkey", cents.alias("cents"))
+    # deterministic injected corruption: every 7777th key off by 1 cent
+    tgt = src.select(
+        "o_orderkey",
+        (F.col("cents") + (F.col("o_orderkey") % 7777 == 5).cast("int")).alias("cents"),
+    )
+
+    def bucket_sums(df):
+        h = md5_prefix60(
+            F.concat(
+                F.lit("rk:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("cents").cast("string"),
+            )
+        )
+        return df.groupBy((F.col("o_orderkey") % 64).alias("bkt")).agg(
+            F.sum(h.cast("decimal(38,0)")).alias("hsum")
+        )
+
+    sb = bucket_sums(src).withColumnRenamed("hsum", "src_sum")
+    tb = bucket_sums(tgt).withColumnRenamed("hsum", "tgt_sum")
+    bad = (
+        sb.join(tb, "bkt")
+        .where(F.col("src_sum") != F.col("tgt_sum"))
+        .select("bkt")
+    )
+    # phase 2: per-key compare inside the divergent buckets only
+    s2 = src.withColumn("bkt", F.col("o_orderkey") % 64).join(
+        F.broadcast(bad), "bkt"
+    )
+    t2 = tgt.withColumn("bkt", F.col("o_orderkey") % 64).join(
+        F.broadcast(bad), "bkt"
+    ).select("o_orderkey", F.col("cents").alias("tgt_cents"))
+    return (
+        s2.join(t2, "o_orderkey")
+        .where(F.col("cents") != F.col("tgt_cents"))
+        .select(
+            "o_orderkey",
+            F.col("cents").cast("bigint").alias("src_cents"),
+            F.col("tgt_cents").cast("bigint").alias("tgt_cents"),
+        )
+    )

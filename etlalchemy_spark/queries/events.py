@@ -3004,3 +3004,93 @@ def events_hill_tail_index(spark, sf_dir):
         (lsum_d / F.lit(float(_HILL_K))).alias("mean_log_excess"),
         (F.lit(float(_HILL_K)) / lsum_d).alias("hill_alpha"),
     )
+
+
+# --- SAX symbolization + motif mining (r10) --------------------------------------------
+
+# 4-symbol SAX breakpoints (standard normal terciles +/-0.6745, 0) —
+# shared literals; z-scores are identical IEEE doubles both engines
+_SAX_CASE = (
+    "CASE WHEN z < -0.6745e0 THEN 'a' WHEN z < 0e0 THEN 'b'"
+    " WHEN z < 0.6745e0 THEN 'c' ELSE 'd' END"
+)
+
+_SAX_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(v * v) AS VARCHAR) AS DOUBLE) AS q
+  FROM daily
+),
+z AS (
+  SELECT day,
+         (CAST(CAST(v AS VARCHAR) AS DOUBLE) - s / CAST(n AS DOUBLE))
+           / SQRT((q - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+  FROM daily, stats
+),
+sym AS (SELECT day, {_SAX_CASE} AS c FROM z),
+tri AS (
+  SELECT c
+         || LEAD(c, 1) OVER (ORDER BY day)
+         || LEAD(c, 2) OVER (ORDER BY day) AS motif
+  FROM sym
+)
+SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tri WHERE motif IS NOT NULL AND length(motif) = 3
+GROUP BY motif
+ORDER BY n_occurrences DESC, motif
+LIMIT 10
+"""
+
+
+@register("ts_sax_motifs", oracle=_SAX_SQL, tags=("ts", "events", "stats"))
+def ts_sax_motifs(spark, sf_dir):
+    """SAX symbolization + motif mining (r10) — the time-series-mining
+    classic (Lin/Keogh): z-normalize the daily series, discretize into
+    an alphabet at standard-normal breakpoints, and count symbol
+    TRIGRAMS — recurring motifs ('spike-dip-spike') become countable
+    strings that any dedup/frequency machinery can chew on; the same
+    trick powers series indexing and anomaly discovery (rare motifs).
+    The z-scores are one shared IEEE tree over exact decimal moments
+    (VARCHAR-routed), breakpoints are shared literals, and the
+    trigram window runs over DAY rows (one row per day — the drawdown
+    exception's documented shape, state bounded by the calendar not
+    the event stream). Top-10 motifs by occurrence."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) AS BIGINT) div 86400000000").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (
+            (F.col("v").cast("double") - F.col("s") / nd)
+            / F.sqrt((F.col("q") - F.col("s") * F.col("s") / nd) / nd)
+        ).alias("z"),
+    )
+    sym = z.select("day", F.expr(_SAX_CASE).alias("c"))
+    w = W.orderBy("day")
+    tri = sym.select(
+        F.concat(
+            F.col("c"), F.lead("c", 1).over(w), F.lead("c", 2).over(w)
+        ).alias("motif")
+    )
+    return (
+        tri.where(F.col("motif").isNotNull() & (F.length("motif") == 3))
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "motif")
+        .limit(10)
+    )

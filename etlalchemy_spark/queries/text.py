@@ -3137,3 +3137,114 @@ def text_rake_keywords(spark, sf_dir):
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+# --- Per-class precision/recall/F1/MCC for lang-id (r10) ------------------------------
+
+_F1_SQL = f"""
+WITH p AS ({_LANG_SQL}),
+classes AS (SELECT DISTINCT labeled_lang AS cls FROM p),
+nn AS (SELECT COUNT(*) AS n FROM p),
+m AS (
+  SELECT c.cls,
+         SUM(CASE WHEN labeled_lang = c.cls AND predicted_lang = c.cls
+                  THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN labeled_lang <> c.cls AND predicted_lang = c.cls
+                  THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN labeled_lang = c.cls AND predicted_lang <> c.cls
+                  THEN 1 ELSE 0 END) AS fn
+  FROM p, classes c GROUP BY c.cls
+)
+SELECT cls AS lang,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(n - tp - fp - fn AS BIGINT) AS tn,
+       CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS precision_,
+       CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS recall_,
+       CAST(2 * tp AS DOUBLE) / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE) AS f1,
+       CAST(CAST(CAST(tp AS HUGEINT) * (n - tp - fp - fn)
+                 - CAST(fp AS HUGEINT) * fn AS VARCHAR) AS DOUBLE)
+         / NULLIF(SQRT(CAST(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                          * (n - tp - fn) * (n - tp - fp) AS VARCHAR) AS DOUBLE)), 0)
+         AS mcc
+FROM m, nn
+"""
+
+
+@register("text_langid_f1_report", oracle=_F1_SQL, tags=("text", "stats"))
+def text_langid_f1_report(spark, sf_dir):
+    """Per-class classifier report (r10): one-vs-rest precision,
+    recall, F1 and Matthews correlation for the lang-id heuristic
+    against the gold labels — the row-per-class table every model
+    card prints (kappa gives the single chance-corrected number,
+    McNemar the paired significance; this is the WHERE-does-it-fail
+    view). Every cell derives from exact confusion integers (TP/FP/FN
+    per class + TN by complement), divisions happen once per class in
+    a fixed IEEE tree (MCC's product-of-margins denominator rides
+    int128 exactly, VARCHAR-routed down to double — it overflows
+    int64 near N ~ 50k per margin pair). Shape: one classify scan,
+    one |classes|-row cross-tab agg — the cross join against the
+    class dimension is broadcast-sized."""
+    docs = t(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    p = p.localCheckpoint(eager=False)  # feeds classes + cross-tab + count
+    classes = p.select(F.col("labeled_lang").alias("cls")).distinct()
+    nn = p.agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        p.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                ((F.col("labeled_lang") == F.col("cls"))
+                 & (F.col("predicted_lang") == F.col("cls"))).cast("long")
+            ).alias("tp"),
+            F.sum(
+                ((F.col("labeled_lang") != F.col("cls"))
+                 & (F.col("predicted_lang") == F.col("cls"))).cast("long")
+            ).alias("fp"),
+            F.sum(
+                ((F.col("labeled_lang") == F.col("cls"))
+                 & (F.col("predicted_lang") != F.col("cls"))).cast("long")
+            ).alias("fn"),
+        )
+    )
+    w = m.crossJoin(F.broadcast(nn))
+    tn = F.col("n") - F.col("tp") - F.col("fp") - F.col("fn")
+    d38 = "decimal(38,0)"
+    mcc_num = (
+        F.col("tp").cast(d38) * tn - F.col("fp").cast(d38) * F.col("fn")
+    ).cast("double")
+    mcc_den = F.sqrt(
+        (
+            (F.col("tp") + F.col("fp")).cast(d38)
+            * (F.col("tp") + F.col("fn"))
+            * (F.col("n") - F.col("tp") - F.col("fn"))
+            * (F.col("n") - F.col("tp") - F.col("fp"))
+        ).cast("double")
+    )
+    return w.select(
+        F.col("cls").alias("lang"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fp")), F.lit(0)).cast("double")
+        ).alias("precision_"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")), F.lit(0)).cast("double")
+        ).alias("recall_"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / F.nullif((2 * F.col("tp") + F.col("fp") + F.col("fn")), F.lit(0)).cast(
+                "double"
+            )
+        ).alias("f1"),
+        (mcc_num / F.nullif(mcc_den, F.lit(0.0))).alias("mcc"),
+    )
