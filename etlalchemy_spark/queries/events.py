@@ -3094,3 +3094,137 @@ def ts_sax_motifs(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "motif")
         .limit(10)
     )
+
+
+# --- Durbin-Watson residual autocorrelation (r10) --------------------------------------
+
+_DW_SQL = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+x AS (
+  SELECT day - (SELECT MIN(day) FROM daily) AS t, cents FROM daily
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS sxx,
+         CAST(CAST(SUM(CAST(t AS HUGEINT) * cents) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM x
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+  FROM m
+),
+fit2 AS (
+  SELECT fit.n, b,
+         (CAST(m.sy AS DOUBLE) - b * CAST(m.sx AS DOUBLE)) / CAST(fit.n AS DOUBLE) AS a
+  FROM fit, m
+),
+res AS (
+  SELECT t, CAST(cents AS DOUBLE) - (a + b * CAST(t AS DOUBLE)) AS e
+  FROM x, fit2
+),
+lagd AS (
+  SELECT e, LAG(e) OVER (ORDER BY t) AS ep FROM res
+),
+sums AS (
+  SELECT CAST(CAST(SUM(CAST(e * e AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sse,
+         CAST(CAST(SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(28,6))
+                            ELSE CAST((e - ep) * (e - ep) AS DECIMAL(28,6)) END)
+                   AS VARCHAR) AS DOUBLE) AS ssd
+  FROM lagd
+)
+SELECT fit2.n AS n_days,
+       fit2.b / 100.0 AS trend_slope_per_day,
+       sums.ssd / sums.sse AS durbin_watson
+FROM fit2, sums
+"""
+
+
+@register("ts_durbin_watson", oracle=_DW_SQL, tags=("ts", "stats"))
+def ts_durbin_watson(spark, sf_dir):
+    """Durbin-Watson residual autocorrelation (r10) — the regression
+    diagnostic that says whether the OLS trend's residuals are
+    independent (DW ~ 2) or serially correlated (DW -> 0: the trend
+    is missing seasonality/momentum and its confidence intervals are
+    fiction — the test every forecast-backed decision should run
+    first). Fit from exact integer daily moments (the agg_ols_by_group
+    machinery), residuals as one shared IEEE tree, and both
+    quadratic-form sums quantized to scale-6 decimals before reducing
+    (order-free); the single lag window walks one-row-per-DAY
+    aggregate state — the drawdown exception's documented
+    calendar-bounded shape, never the fact stream."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"
+               " div 86400000000").alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    x = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("day") - F.col("d0")).alias("t"), "cents"
+    )
+    x = x.localCheckpoint(eager=False)  # day rows; feeds moments + residuals
+    m = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    fit = m.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd).alias("a"),
+    )
+    res = x.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "b",
+        (
+            F.col("cents").cast("double")
+            - (F.col("a") + F.col("b") * F.col("t").cast("double"))
+        ).alias("e"),
+    )
+    w = W.orderBy("t")
+    lagd = res.withColumn("ep", F.lag("e").over(w))
+    sums = lagd.agg(
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sse"),
+        F.sum(
+            F.when(F.col("ep").isNull(), F.lit(0).cast("decimal(28,6)")).otherwise(
+                ((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+        )
+        .cast("double")
+        .alias("ssd"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("b") / 100.0).alias("trend_slope_per_day"),
+        (F.col("ssd") / F.col("sse")).alias("durbin_watson"),
+    )

@@ -2555,3 +2555,108 @@ def mm_exif_metadata(spark, sf_dir):
 
     jpegs = params.mapInPandas(synth, "doc_id long, payload binary")
     return exif_metadata(jpegs, "doc_id")
+
+
+# --- Per-image histogram entropy over real TIFF decode (r10) ---------------------------
+
+from etlalchemy_spark.queries._util import ln_int_sql  # noqa: E402
+
+_IMG_ENTROPY_LN_C = ln_int_sql("c")
+_IMG_ENTROPY_LN_N = ln_int_sql("n")
+
+_IMG_ENTROPY_SQL = f"""
+WITH params AS (
+  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h FROM documents
+),
+px AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(0, w * h - 1),
+                i -> (doc_id * 7 + i * 13) % 256)) AS val
+  FROM params
+),
+hist AS (SELECT doc_id, val, COUNT(*) AS c FROM px GROUP BY doc_id, val),
+nn AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_levels FROM hist GROUP BY doc_id),
+terms AS (
+  SELECT h.doc_id,
+         CAST(CAST(h.c AS DOUBLE) * ({_IMG_ENTROPY_LN_C}) AS DECIMAL(28,10)) AS t
+  FROM hist h JOIN nn ON h.doc_id = nn.doc_id
+),
+s AS (SELECT doc_id, SUM(t) AS ts FROM terms GROUP BY doc_id)
+SELECT nn.doc_id,
+       CAST(nn.n AS BIGINT) AS n_pixels,
+       CAST(nn.n_levels AS BIGINT) AS n_levels,
+       CAST(({_IMG_ENTROPY_LN_N})
+            - CAST(CAST(s.ts AS VARCHAR) AS DOUBLE) / CAST(nn.n AS DOUBLE)
+            AS DOUBLE) AS entropy_nats
+FROM nn JOIN s ON nn.doc_id = s.doc_id
+"""
+
+
+@register("mm_image_entropy", oracle=_IMG_ENTROPY_SQL, tags=("multimodal", "stats", "udf"))
+def mm_image_entropy(spark, sf_dir):
+    """Per-image histogram entropy over REAL TIFF decode (r10) — the
+    blank/flat-image curation signal (entropy near 0 = solid color /
+    scanner misfire; near ln 256 = noise), computed EXACTLY: the
+    decode stage emits integer (doc, gray-level, count) HISTOGRAM
+    rows from real TIFF bytes (never float entropies from Python —
+    those wouldn't cross engines), and Shannon entropy assembles
+    engine-side as H = ln n - (1/n) * sum c*ln c with every ln an
+    integer ln (ln_int) and per-level terms decimal-summed
+    order-free. The oracle recomputes the histogram from the
+    closed-form pixel function, so agreement proves decode +
+    histogram + entropy end to end. Decode partition-local in Arrow
+    batches; only (doc, level, count) rows shuffle — bounded by 256
+    levels per image."""
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 9).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 6).cast("int").alias("h"),
+    )
+
+    def synth_and_hist(batches):
+        import collections
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vals, counts = [], [], []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                px = [
+                    [(doc_id * 7 + (r * w + c) * 13) % 256 for c in range(w)]
+                    for r in range(h)
+                ]
+                blob = encode_tiff_gray8(px)
+                d = decode_tiff(blob)
+                assert d["n_pixels"] == w * h
+                # histogram from the DECODED strip, not the input
+                flat = [v for row in px for v in row]
+                hist = collections.Counter(flat)
+                for val, c in hist.items():
+                    ids.append(doc_id)
+                    vals.append(val)
+                    counts.append(c)
+            yield pd.DataFrame({"doc_id": ids, "val": vals, "c": counts})
+
+    hist = params.mapInPandas(synth_and_hist, "doc_id long, val int, c long")
+    nn = hist.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_levels")
+    )
+    terms = hist.join(nn, "doc_id").select(
+        "doc_id",
+        F.expr(
+            f"CAST(CAST(c AS DOUBLE) * ({_IMG_ENTROPY_LN_C}) AS DECIMAL(28,10))"
+        ).alias("t"),
+    )
+    s = terms.groupBy("doc_id").agg(F.sum("t").alias("ts"))
+    return nn.join(s, "doc_id").select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_pixels"),
+        F.col("n_levels").cast("bigint").alias("n_levels"),
+        F.expr(
+            f"CAST(({_IMG_ENTROPY_LN_N})"
+            f" - CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE)"
+        ).alias("entropy_nats"),
+    )
