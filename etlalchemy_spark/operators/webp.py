@@ -14,7 +14,7 @@ All four spec transforms decode: SUBTRACT_GREEN, PREDICTOR (14
 modes), CROSS_COLOR, COLOR_INDEXING (palette). Honest sub-boundaries
 (each refusal names the exact field):
 - COLOR_INDEXING sub-byte pixel bundling (palettes of <= 16 colors)
-- meta-Huffman (entropy image) partitioning
+  (meta-Huffman entropy-image partitioning now DECODES — r10)
 - 2D-neighbor distance map (plane codes <= 120; the in-house encoder
   always emits raw distances, plane code = dist + 120)
 - VP8 (lossy) chunks
@@ -386,26 +386,31 @@ def _predict_at(out: list, idx: int, w: int, mode: int):
 
 # ----------------------------------------------- entropy-coded image I/O
 
-def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool) -> None:
-    """Write one entropy-coded image (token stream + its 5 Huffman
-    codes). ``tx`` is the flat pixel list in coded space."""
+def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool,
+                         w: int | None = None, meta=None) -> None:
+    """Write one entropy-coded image (token stream + Huffman codes).
+    ``tx`` is the flat pixel list in coded space. ``meta`` (main image
+    only) = (mbits, group_idx) partitions the image into 2^mbits
+    blocks each selecting its own 5-code group (the spec's
+    meta-Huffman 'entropy image'); a token uses the group of its
+    START pixel."""
     cache = [None] * (1 << cache_bits) if cache_bits else []
-    tokens: list = []
+    tokens: list = []  # (start_pos, tok)
     i = 0
     while i < len(tx):
         run = 0
         while i + run < len(tx) and run < 4096 and i > 0 and tx[i + run] == tx[i - 1]:
             run += 1
         if run >= 4:
-            tokens.append(("copy", run, 1))
+            tokens.append((i, ("copy", run, 1)))
             step = run
         else:
             r, g, b, a = tx[i]
             argb = (a << 24) | (r << 16) | (g << 8) | b
             if cache_bits and cache[_cache_index(argb, cache_bits)] == argb:
-                tokens.append(("cache", _cache_index(argb, cache_bits)))
+                tokens.append((i, ("cache", _cache_index(argb, cache_bits))))
             else:
-                tokens.append(("lit", tx[i]))
+                tokens.append((i, ("lit", tx[i])))
             step = 1
         if cache_bits:
             for j in range(i, i + step):
@@ -414,12 +419,25 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
                 cache[_cache_index(argb, cache_bits)] = argb
         i += step
 
-    gf: dict[int, int] = {}
-    rf: dict[int, int] = {}
-    bf: dict[int, int] = {}
-    af: dict[int, int] = {}
-    df: dict[int, int] = {}
-    for tok in tokens:
+    if meta is not None:
+        mbits, group_idx = meta
+        pw = (w + (1 << mbits) - 1) >> mbits
+        n_groups = max(group_idx) + 1
+
+        def group_of(pos: int) -> int:
+            x, y = pos % w, pos // w
+            return group_idx[(y >> mbits) * pw + (x >> mbits)]
+    else:
+        n_groups = 1
+
+        def group_of(pos: int) -> int:
+            return 0
+
+    freqs = [
+        [dict() for _ in range(5)] for _ in range(n_groups)
+    ]  # per group: g, r, b, a, d
+    for pos, tok in tokens:
+        gf, rf, bf, af, df = freqs[group_of(pos)]
         if tok[0] == "lit":
             r, g, b, a = tok[1]
             gf[g] = gf.get(g, 0) + 1
@@ -434,9 +452,10 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
             gf[256 + lp] = gf.get(256 + lp, 0) + 1
             dp, _, _ = _prefix_encode(dist + 120)
             df[dp] = df.get(dp, 0) + 1
-    for f in (rf, bf, af, df):
-        if not f:
-            f[0] = 1  # unused channel still needs a (1-symbol) code
+    for grp in freqs:
+        for f in grp:
+            if not f:
+                f[0] = 1  # unused alphabet still needs a (1-symbol) code
 
     if cache_bits:
         bw.write(1, 1)
@@ -444,14 +463,23 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
     else:
         bw.write(0, 1)  # no color cache
     if is_main:
-        bw.write(0, 1)  # no meta-huffman
+        if meta is not None:
+            mbits, group_idx = meta
+            bw.write(1, 1)  # meta-huffman present
+            bw.write(mbits - 2, 3)
+            meta_px = [((g >> 8) & 0xFF, g & 0xFF, 0, 255) for g in group_idx]
+            _write_entropy_image(bw, meta_px, 0, is_main=False)
+        else:
+            bw.write(0, 1)  # no meta-huffman
 
-    codes = []
-    for freqs in (gf, rf, bf, af, df):
-        lengths = huffman_lengths(freqs)
-        _write_huffman_code(bw, lengths)
-        codes.append(canonical_codes({s: l for s, l in lengths.items() if l > 0}))
-    gcode, rcode, bcode, acode, dcode = codes
+    group_codes = []
+    for grp in freqs:
+        codes = []
+        for f in grp:
+            lengths = huffman_lengths(f)
+            _write_huffman_code(bw, lengths)
+            codes.append(canonical_codes({s: l for s, l in lengths.items() if l > 0}))
+        group_codes.append(codes)
 
     def emit(codebook, sym):
         if not codebook:  # 1-symbol zero-bit code
@@ -459,7 +487,8 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
         code, ln = codebook[sym]
         bw.write_code(code, ln)
 
-    for tok in tokens:
+    for pos, tok in tokens:
+        gcode, rcode, bcode, acode, dcode = group_codes[group_of(pos)]
         if tok[0] == "lit":
             r, g, b, a = tok[1]
             emit(gcode, g)
@@ -485,14 +514,29 @@ def _read_entropy_image(br: BitReader, w: int, h: int, is_main: bool) -> list:
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"VP8L: color cache bits {cache_bits} out of range")
+    meta = None
     if is_main and br.read(1):
-        raise NotImplementedError("VP8L: meta-huffman (entropy image)")
+        # meta-huffman: an entropy-coded sub-image assigns each block
+        # its own 5-code group via (red << 8) | green
+        mbits = br.read(3) + 2
+        pw = (w + (1 << mbits) - 1) >> mbits
+        ph = (h + (1 << mbits) - 1) >> mbits
+        meta_px = _read_entropy_image(br, pw, ph, is_main=False)
+        group_idx = [((r << 8) | g) for (r, g, _b, _a) in meta_px]
+        meta = (mbits, pw, group_idx)
+        n_groups = max(group_idx) + 1
+    else:
+        n_groups = 1
 
-    gtree = _read_huffman_code(br, 256 + 24 + ((1 << cache_bits) if cache_bits else 0))
-    rtree = _read_huffman_code(br, 256)
-    btree = _read_huffman_code(br, 256)
-    atree = _read_huffman_code(br, 256)
-    dtree = _read_huffman_code(br, 40)
+    galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        gtree = _read_huffman_code(br, galpha)
+        rtree = _read_huffman_code(br, 256)
+        btree = _read_huffman_code(br, 256)
+        atree = _read_huffman_code(br, 256)
+        dtree = _read_huffman_code(br, 40)
+        groups.append((gtree, rtree, btree, atree, dtree))
 
     n = w * h
     out: list = []
@@ -505,6 +549,14 @@ def _read_entropy_image(br: BitReader, w: int, h: int, is_main: bool) -> list:
             cache[_cache_index(argb, cache_bits)] = argb
 
     while len(out) < n:
+        if meta is not None:
+            mbits, pw, group_idx = meta
+            x, y = len(out) % w, len(out) // w
+            gtree, rtree, btree, atree, dtree = groups[
+                group_idx[(y >> mbits) * pw + (x >> mbits)]
+            ]
+        else:
+            gtree, rtree, btree, atree, dtree = groups[0]
         s = gtree.read(br)
         if s < 256:
             g = s
@@ -550,7 +602,8 @@ def _ct_delta(t: int, c: int) -> int:
 
 
 def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
-                         color_transform=None, palette: bool = False) -> bytes:
+                         color_transform=None, palette: bool = False,
+                         meta_split: bool = False) -> bytes:
     """pixels: list of rows of (r, g, b, a) tuples. Emits a
     spec-correct VP8L stream. Default: SUBTRACT_GREEN + color cache +
     literals/LZ77-runs/cache-refs, raw distances (plane code =
@@ -637,7 +690,19 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
         # subtract-green (mod 256) — the decoder adds it back
         tx = [((r - g) & 0xFF, g, (b - g) & 0xFF, a) for (r, g, b, a) in flat]
 
-    _write_entropy_image(bw, tx, cache_bits, is_main=True)
+    if meta_split:
+        # checkerboard of 4-pixel blocks, two code groups — the real
+        # meta-Huffman shape (per-region entropy codes)
+        mbits = 2
+        pw = (w + (1 << mbits) - 1) >> mbits
+        ph = (h + (1 << mbits) - 1) >> mbits
+        group_idx = [((bx + by) % 2) for by in range(ph) for bx in range(pw)]
+        if max(group_idx) == 0:
+            group_idx[0] = 0  # single-block image: one group
+        meta_arg = (mbits, group_idx)
+    else:
+        meta_arg = None
+    _write_entropy_image(bw, tx, cache_bits, is_main=True, w=w, meta=meta_arg)
 
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

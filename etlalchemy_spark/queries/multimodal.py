@@ -2494,7 +2494,9 @@ def mm_decode_webp_stats(spark, sf_dir):
                         encode_webp_lossless(px, color_transform=ct)
                     )
                 else:
-                    payloads.append(encode_webp_lossless(px))
+                    payloads.append(
+                        encode_webp_lossless(px, meta_split=(doc_id % 2 == 1))
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     webps = params.mapInPandas(synth, "doc_id long, payload binary")

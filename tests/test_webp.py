@@ -79,10 +79,11 @@ def test_simple_code_paths():
 
 def test_refusals_name_the_field():
     blob = bytearray(encode_webp_lossless([[(1, 2, 3, 255)]], cache_bits=0))
-    # set the meta-huffman bit (payload byte 5: transform=1, type=01,
-    # no-more=0, cache=0 occupy bits 0-4; meta is bit 5)
+    # setting the meta bit on a stream with no meta image makes the
+    # reader parse garbage as a huffman image: must fail LOUDLY (meta
+    # itself decodes since r10), never return wrong pixels
     blob[25] |= 0x20
-    with pytest.raises(NotImplementedError, match="meta-huffman"):
+    with pytest.raises((ValueError, IndexError, NotImplementedError)):
         decode_webp(bytes(blob))
     with pytest.raises(ValueError, match="RIFF/WEBP"):
         decode_webp(b"RIFF\x00\x00\x00\x00JUNK")
@@ -182,3 +183,21 @@ def test_color_indexing_roundtrip_and_bundling_refusal():
     small = [[pal[i % 4] for i in range(w)] for _ in range(h)]
     with pytest.raises(NotImplementedError, match="bundling|palette"):
         encode_webp_lossless(small, palette=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_meta_huffman_roundtrip(seed):
+    """Meta-Huffman: a checkerboard of 4-pixel blocks selects between
+    TWO full code groups via the entropy sub-image; tokens use the
+    group of their start pixel and copies may span group boundaries."""
+    rng = random.Random(seed)
+    w, h = rng.randint(5, 22), rng.randint(5, 16)
+    px = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256), 255)
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    assert decode_webp(encode_webp_lossless(px, meta_split=True))["pixels"] == px
