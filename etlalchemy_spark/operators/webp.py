@@ -12,9 +12,8 @@ SUBTRACT_GREEN transform.
 
 All four spec transforms decode: SUBTRACT_GREEN, PREDICTOR (14
 modes), CROSS_COLOR, COLOR_INDEXING (palette). Honest sub-boundaries
-(each refusal names the exact field):
-- COLOR_INDEXING sub-byte pixel bundling (palettes of <= 16 colors)
-  (meta-Huffman entropy-image partitioning now DECODES — r10)
+(each refusal names the exact field; meta-Huffman partitioning and
+sub-byte pixel bundling both DECODE as of r10):
 - 2D-neighbor distance map (plane codes <= 120; the in-house encoder
   always emits raw distances, plane code = dist + 120)
 - VP8 (lossy) chunks
@@ -617,6 +616,7 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
     decoder's named refusal)."""
     h = len(pixels)
     w = len(pixels[0]) if h else 0
+    w_main = w  # coded width (bundling shrinks it)
     flat = [px for row in pixels for px in row]
 
     bw = BitWriter()
@@ -665,10 +665,9 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
             if px not in seen:
                 seen.add(px)
                 colors.append(px)
-        if not 17 <= len(colors) <= 256:
+        if len(colors) > 256:
             raise NotImplementedError(
-                f"VP8L encoder: palette of {len(colors)} colors"
-                " (sub-byte bundling below 17 not emitted)"
+                f"VP8L encoder: {len(colors)} colors exceed one palette"
             )
         index = {px: i for i, px in enumerate(colors)}
         bw.write(1, 1)  # transform present
@@ -682,7 +681,31 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
             prev = px
         _write_entropy_image(bw, deltas, 0, is_main=False)
         bw.write(0, 1)
-        tx = [(0, index[px], 0, 255) for px in flat]
+        n_colors = len(colors)
+        if n_colors <= 2:
+            wb = 3
+        elif n_colors <= 4:
+            wb = 2
+        elif n_colors <= 16:
+            wb = 1
+        else:
+            wb = 0
+        if wb:
+            per = 1 << wb
+            bits = 8 >> wb
+            w_coded = (w + per - 1) >> wb
+            tx = []
+            for y in range(h):
+                for xc in range(w_coded):
+                    g = 0
+                    for k in range(per):
+                        x = (xc << wb) + k
+                        if x < w:
+                            g |= index[pixels[y][x]] << (k * bits)
+                    tx.append((0, g, 0, 255))
+            w_main = w_coded
+        else:
+            tx = [(0, index[px], 0, 255) for px in flat]
     else:
         bw.write(1, 1)  # transform present
         bw.write(2, 2)  # SUBTRACT_GREEN
@@ -702,7 +725,7 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
         meta_arg = (mbits, group_idx)
     else:
         meta_arg = None
-    _write_entropy_image(bw, tx, cache_bits, is_main=True, w=w, meta=meta_arg)
+    _write_entropy_image(bw, tx, cache_bits, is_main=True, w=w_main, meta=meta_arg)
 
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -764,19 +787,36 @@ def decode_webp(payload: bytes) -> dict:
             transforms.append(("cross_color", (size_bits, pw, ctes)))
         else:  # 3 = COLOR_INDEXING
             n_colors = br.read(8) + 1
-            if n_colors <= 16:
-                raise NotImplementedError(
-                    f"VP8L: COLOR_INDEXING pixel bundling ({n_colors} colors)"
-                )
             deltas = _read_entropy_image(br, n_colors, 1, is_main=False)
             pal = []
             prev = (0, 0, 0, 0)
             for d in deltas:
                 prev = tuple((c + p) & 0xFF for c, p in zip(d, prev))
                 pal.append(prev)
-            transforms.append(("color_indexing", pal))
+            # sub-byte bundling: small palettes pack 2/4/8 indices per
+            # green byte, shrinking the coded width (spec width_bits)
+            if n_colors <= 2:
+                wb = 3
+            elif n_colors <= 4:
+                wb = 2
+            elif n_colors <= 16:
+                wb = 1
+            else:
+                wb = 0
+            transforms.append(("color_indexing", (pal, wb)))
 
-    out = _read_entropy_image(br, w, h, is_main=True)
+    # bundling shrinks the CODED width; other transforms are not
+    # defined over the packed image in this implementation
+    bundle_wb = 0
+    for ttype, data in transforms:
+        if ttype == "color_indexing" and data[1] > 0:
+            bundle_wb = data[1]
+            if len(transforms) > 1:
+                raise NotImplementedError(
+                    "VP8L: pixel bundling combined with other transforms"
+                )
+    w_coded = (w + (1 << bundle_wb) - 1) >> bundle_wb if bundle_wb else w
+    out = _read_entropy_image(br, w_coded, h, is_main=True)
 
     # inverse transforms, REVERSE read order (spec)
     for ttype, data in reversed(transforms):
@@ -793,7 +833,20 @@ def decode_webp(payload: bytes) -> dict:
                 res.append((red, g, blue, a))
             out = res
         elif ttype == "color_indexing":
-            pal = data
+            pal, wb = data
+            if wb:
+                # unpack row-wise: x-th output index lives in packed
+                # pixel x >> wb, bit slot (x % per) * bits, LSB-first
+                per = 1 << wb
+                bits = 8 >> wb
+                mask = (1 << bits) - 1
+                w_coded = (w + per - 1) >> wb
+                expanded = []
+                for y in range(h):
+                    for x in range(w):
+                        g = out[y * w_coded + (x >> wb)][1]
+                        expanded.append((0, (g >> ((x % per) * bits)) & mask, 0, 255))
+                out = expanded
             res = []
             for (r, g, b, a) in out:
                 if g >= len(pal):

@@ -179,10 +179,12 @@ def test_color_indexing_roundtrip_and_bundling_refusal():
     px = [flat[y * w : (y + 1) * w] for y in range(h)]
     d = decode_webp(encode_webp_lossless(px, palette=True))
     assert d["pixels"] == px
-    # <= 16 colors would need sub-byte bundling: encoder refuses by name
-    small = [[pal[i % 4] for i in range(w)] for _ in range(h)]
-    with pytest.raises(NotImplementedError, match="bundling|palette"):
-        encode_webp_lossless(small, palette=True)
+    # <= 16 colors pack sub-byte (8/4/2 indices per green byte, r10):
+    # every width_bits tier must survive the pack/unpack, including
+    # row-end padding at non-multiple widths
+    for k in (2, 3, 4, 9, 16):
+        small = [[pal[i % k] for i in range(w)] for _ in range(h)]
+        assert decode_webp(encode_webp_lossless(small, palette=True))["pixels"] == small
 
 
 @settings(max_examples=15, deadline=None)
