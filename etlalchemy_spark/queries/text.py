@@ -3248,3 +3248,170 @@ def text_langid_f1_report(spark, sf_dir):
         ).alias("f1"),
         (mcc_num / F.nullif(mcc_den, F.lit(0.0))).alias("mcc"),
     )
+
+
+# --- Log-template mining (r10) ---------------------------------------------------------
+
+_TPL_SQL = """
+WITH masked AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(text), '[0-9]+', '<n>', 'g'),
+           '\\s+', ' ', 'g') AS m
+  FROM documents
+),
+skel AS (
+  SELECT doc_id,
+         array_to_string(regexp_split_to_array(trim(m), ' ')[1:6], ' ') AS template
+  FROM masked
+)
+SELECT template,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc
+FROM skel
+GROUP BY template
+ORDER BY n_docs DESC, template
+LIMIT 15
+"""
+
+
+@register("text_log_templates", oracle=_TPL_SQL, tags=("text",))
+def text_log_templates(spark, sf_dir):
+    """Log-template mining, Drain-lite (r10) — the observability
+    pipeline's first move: mask the variable parts (numbers -> <n>),
+    keep the leading-token skeleton, and group by template so a
+    million 'user 4711 logged in from 10.2.3.4' lines collapse to one
+    pattern with a count — template cardinality and its drift are the
+    log-quality dashboard, and new templates are the incident signal.
+    Pure narrow string maps (two regexp passes + a 6-token slice) in
+    the scan stage; one hash-agg; TakeOrderedAndProject top-15 with a
+    deterministic example doc per template."""
+    docs = t(spark, sf_dir, "documents")
+    masked = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[0-9]+", "<n>"), r"\s+", " "
+        ).alias("m"),
+    )
+    skel = masked.select(
+        "doc_id",
+        F.expr("array_join(slice(split(trim(m), ' '), 1, 6), ' ')").alias("template"),
+    )
+    return (
+        skel.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .orderBy(F.desc("n_docs"), "template")
+        .limit(15)
+    )
+
+
+# --- SRT subtitle cue parsing (r10) ----------------------------------------------------
+
+# Both engines BUILD the .srt text and PARSE it back with the same
+# regex — agreement proves the timecode format handling end to end.
+_SRT_TC = "'(\\\\d+):(\\\\d+):(\\\\d+),(\\\\d+)'"
+
+_SRT_SQL = """
+WITH params AS (SELECT doc_id, 1 + doc_id % 4 AS n_cues FROM documents),
+built AS (
+  SELECT doc_id, n_cues,
+         array_to_string(list_transform(generate_series(0, n_cues - 1), i ->
+           CAST(i + 1 AS STRING) || chr(10)
+           || lpad(CAST((((doc_id * 131 + i * 2000) // 3600000) % 24) AS STRING), 2, '0') || ':'
+           || lpad(CAST((((doc_id * 131 + i * 2000) // 60000) % 60) AS STRING), 2, '0') || ':'
+           || lpad(CAST((((doc_id * 131 + i * 2000) // 1000) % 60) AS STRING), 2, '0') || ','
+           || lpad(CAST(((doc_id * 131 + i * 2000) % 1000) AS STRING), 3, '0')
+           || ' --> '
+           || lpad(CAST((((doc_id * 131 + i * 2000 + 1500) // 3600000) % 24) AS STRING), 2, '0') || ':'
+           || lpad(CAST((((doc_id * 131 + i * 2000 + 1500) // 60000) % 60) AS STRING), 2, '0') || ':'
+           || lpad(CAST((((doc_id * 131 + i * 2000 + 1500) // 1000) % 60) AS STRING), 2, '0') || ','
+           || lpad(CAST(((doc_id * 131 + i * 2000 + 1500) % 1000) AS STRING), 3, '0')
+           || chr(10) || 'cue text ' || CAST(i AS STRING)
+         ), chr(10) || chr(10)) AS srt
+  FROM params
+),
+parsed AS (
+  SELECT doc_id, n_cues,
+         regexp_extract_all(srt, '(\\d+):(\\d+):(\\d+),(\\d+)', 0) AS tcs
+  FROM built
+),
+ms AS (
+  SELECT doc_id, n_cues,
+         list_transform(tcs, tc ->
+           CAST(regexp_extract(tc, '^(\\d+):', 1) AS BIGINT) * 3600000
+           + CAST(regexp_extract(tc, ':(\\d+):', 1) AS BIGINT) * 60000
+           + CAST(regexp_extract(tc, ':(\\d+),', 1) AS BIGINT) * 1000
+           + CAST(regexp_extract(tc, ',(\\d+)$', 1) AS BIGINT)) AS t
+  FROM parsed
+)
+SELECT doc_id,
+       CAST(n_cues AS INT) AS n_cues,
+       CAST(len(t) AS INT) AS n_timecodes,
+       CAST(t[1] AS BIGINT) AS first_start_ms,
+       CAST(n_cues * 1500 AS BIGINT) AS total_cue_ms
+FROM ms
+"""
+
+
+@register("text_srt_cues", oracle=_SRT_SQL, tags=("text", "multimodal"))
+def text_srt_cues(spark, sf_dir):
+    """SRT subtitle parsing (r10) — subtitles are the aligned-text
+    side of every video training corpus, and .srt is their lingua
+    franca: cue index, 'HH:MM:SS,mmm --> HH:MM:SS,mmm' timecode line,
+    text. Both engines BUILD deterministic .srt documents and PARSE
+    them back with the same regexes (timecode extraction +
+    millisecond arithmetic), so agreement proves the format handling
+    round trip, zero-padding included — the parse is what a caption-
+    alignment pipeline actually runs. Narrow string maps in the scan
+    stage; no shuffle beyond the result."""
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("n_cues")
+    )
+    built = params.select(
+        "doc_id",
+        "n_cues",
+        F.expr(
+            """array_join(transform(sequence(0, n_cues - 1), i ->
+              concat(
+                CAST(i + 1 AS STRING), char(10),
+                lpad(CAST(((doc_id * 131 + i * 2000) div 3600000) % 24 AS STRING), 2, '0'), ':',
+                lpad(CAST(((doc_id * 131 + i * 2000) div 60000) % 60 AS STRING), 2, '0'), ':',
+                lpad(CAST(((doc_id * 131 + i * 2000) div 1000) % 60 AS STRING), 2, '0'), ',',
+                lpad(CAST((doc_id * 131 + i * 2000) % 1000 AS STRING), 3, '0'),
+                ' --> ',
+                lpad(CAST(((doc_id * 131 + i * 2000 + 1500) div 3600000) % 24 AS STRING), 2, '0'), ':',
+                lpad(CAST(((doc_id * 131 + i * 2000 + 1500) div 60000) % 60 AS STRING), 2, '0'), ':',
+                lpad(CAST(((doc_id * 131 + i * 2000 + 1500) div 1000) % 60 AS STRING), 2, '0'), ',',
+                lpad(CAST((doc_id * 131 + i * 2000 + 1500) % 1000 AS STRING), 3, '0'),
+                char(10), 'cue text ', CAST(i AS STRING))),
+              concat(char(10), char(10)))"""
+        ).alias("srt"),
+    )
+    parsed = built.select(
+        "doc_id",
+        "n_cues",
+        F.expr(
+            r"regexp_extract_all(srt, '(\\d+):(\\d+):(\\d+),(\\d+)', 0)"
+        ).alias("tcs"),
+    )
+    ms = parsed.select(
+        "doc_id",
+        "n_cues",
+        F.expr(
+            r"""transform(tcs, tc ->
+              CAST(regexp_extract(tc, '^(\\d+):', 1) AS BIGINT) * 3600000
+              + CAST(regexp_extract(tc, ':(\\d+):', 1) AS BIGINT) * 60000
+              + CAST(regexp_extract(tc, ':(\\d+),', 1) AS BIGINT) * 1000
+              + CAST(regexp_extract(tc, ',(\\d+)$', 1) AS BIGINT))"""
+        ).alias("t"),
+    )
+    return ms.select(
+        "doc_id",
+        F.col("n_cues").cast("int").alias("n_cues"),
+        F.size("t").cast("int").alias("n_timecodes"),
+        F.element_at("t", 1).cast("bigint").alias("first_start_ms"),
+        (F.col("n_cues") * 1500).cast("bigint").alias("total_cue_ms"),
+    )
