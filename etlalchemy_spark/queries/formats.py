@@ -1061,3 +1061,69 @@ def fmt_csv_quoted_newlines(spark, sf_dir):
         .schema("doc_id bigint, gnarly string, maybe_null string")
         .csv(path)
     )
+
+
+# --- Dynamic partition overwrite: idempotent backfill (r10) ---------------------------
+
+_BACKFILL_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS total_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backfilled
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("fmt_backfill_partition_overwrite", oracle=_BACKFILL_SQL, tags=("sources", "etl", "layout"))
+def fmt_backfill_partition_overwrite(spark, sf_dir):
+    """Idempotent partition backfill via DYNAMIC partition overwrite
+    (r10) — the daily-pipeline contract: re-running yesterday's load
+    must replace exactly yesterday's partition, never truncate the
+    table (static overwrite mode's infamous foot-gun) and never
+    duplicate rows (append mode's). Sequence: write all partitions;
+    re-run the 'F'-status backfill TWICE with
+    partitionOverwriteMode=dynamic; read the table back. The oracle
+    is the plain one-shot aggregate — any truncation of untouched
+    partitions or duplication in the backfilled one breaks the hash.
+    At 100 TB this is THE reprocessing primitive: the overwrite's
+    file operations touch only the partition directories present in
+    the incoming data."""
+    import os
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(scratch_dir("backfill_dyn", sf_dir), "orders_part")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    backfill = o.where(F.col("o_orderstatus") == "F")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for _ in range(2):  # idempotence: the re-run must be a no-op
+            (
+                backfill.write.mode("overwrite")
+                .partitionBy("o_orderstatus")
+                .parquet(path)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("total_price"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("bigint")
+        .alias("n_backfilled"),
+    )
