@@ -2900,3 +2900,128 @@ def agg_calibration_brier(spark, sf_dir):
             / F.col("nd")
         ).alias("brier_contrib"),
     )
+
+
+# --- Cronbach's alpha (r10) ------------------------------------------------------------
+
+_CRONBACH_SQL = """
+WITH q AS (
+  SELECT c.c_custkey,
+         SUM(CASE WHEN month(o.o_orderdate) BETWEEN 1 AND 3
+                  THEN CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS s1,
+         SUM(CASE WHEN month(o.o_orderdate) BETWEEN 4 AND 6
+                  THEN CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS s2,
+         SUM(CASE WHEN month(o.o_orderdate) BETWEEN 7 AND 9
+                  THEN CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS s3,
+         SUM(CASE WHEN month(o.o_orderdate) BETWEEN 10 AND 12
+                  THEN CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS s4
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+   AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+   AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY c.c_custkey
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(s1) AS x1, SUM(CAST(s1 AS HUGEINT) * s1) AS q1,
+         SUM(s2) AS x2, SUM(CAST(s2 AS HUGEINT) * s2) AS q2,
+         SUM(s3) AS x3, SUM(CAST(s3 AS HUGEINT) * s3) AS q3,
+         SUM(s4) AS x4, SUM(CAST(s4 AS HUGEINT) * s4) AS q4,
+         SUM(s1 + s2 + s3 + s4) AS xt,
+         SUM(CAST(s1 + s2 + s3 + s4 AS HUGEINT) * (s1 + s2 + s3 + s4)) AS qt
+  FROM q
+),
+v AS (
+  SELECT n,
+         (CAST(CAST(q1 AS VARCHAR) AS DOUBLE) - CAST(CAST(CAST(x1 AS HUGEINT) * x1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(CAST(q2 AS VARCHAR) AS DOUBLE) - CAST(CAST(CAST(x2 AS HUGEINT) * x2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(CAST(q3 AS VARCHAR) AS DOUBLE) - CAST(CAST(CAST(x3 AS HUGEINT) * x3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(CAST(q4 AS VARCHAR) AS DOUBLE) - CAST(CAST(CAST(x4 AS HUGEINT) * x4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS item_var_sum,
+         CAST(CAST(qt AS VARCHAR) AS DOUBLE)
+         - CAST(CAST(CAST(xt AS HUGEINT) * xt AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           AS total_var
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(4 AS INT) AS k_items,
+       item_var_sum / 10000e0 / CAST(n AS DOUBLE) AS sum_item_variance,
+       total_var / 10000e0 / CAST(n AS DOUBLE) AS total_variance,
+       (4e0 / 3e0) * (1e0 - item_var_sum / total_var) AS cronbach_alpha
+FROM v
+"""
+
+
+@register("agg_cronbach_alpha", oracle=_CRONBACH_SQL, tags=("agg", "stats"))
+def agg_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha (r10) — internal-consistency reliability: do
+    the four quarterly spend 'items' measure one underlying trait
+    (customer value), or is a composite annual score meaningless?
+    The metric-design question every scorecard/index builder should
+    ask (alpha < 0.7 means the composite is noise). alpha =
+    k/(k-1) * (1 - sum item_var / total_var), everything from exact
+    integer cents moments per item and for the item SUM (the
+    covariance structure enters through var(total)); one wide
+    conditional aggregate per customer + a one-row moments reduce,
+    closing in a fixed IEEE tree over VARCHAR-routed doubles. The
+    LEFT join keeps zero-spend customers — dropping them inflates
+    alpha."""
+    from etlalchemy_spark.queries._util import ts
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1996-01-01 00:00:00"))
+    )
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    month = F.month(F.col("o_orderdate").cast("timestamp"))
+
+    def item(lo, hi):
+        return F.sum(
+            F.when(month.between(lo, hi), cents).otherwise(F.lit(0))
+        )
+
+    q = j.groupBy("c_custkey").agg(
+        F.coalesce(item(1, 3), F.lit(0)).alias("s1"),
+        F.coalesce(item(4, 6), F.lit(0)).alias("s2"),
+        F.coalesce(item(7, 9), F.lit(0)).alias("s3"),
+        F.coalesce(item(10, 12), F.lit(0)).alias("s4"),
+    )
+    d38 = "decimal(38,0)"
+    tot = (F.col("s1") + F.col("s2") + F.col("s3") + F.col("s4"))
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for i in (1, 2, 3, 4)
+            for x in (
+                F.sum(f"s{i}").alias(f"x{i}"),
+                F.sum(F.col(f"s{i}").cast(d38) * F.col(f"s{i}")).alias(f"q{i}"),
+            )
+        ],
+        F.sum(tot).alias("xt"),
+        F.sum(tot.cast(d38) * tot).alias("qt"),
+    )
+    nd = F.col("n").cast("double")
+
+    def var(xc, qc):
+        return F.col(qc).cast("double") - (
+            (F.col(xc).cast(d38) * F.col(xc)).cast("double") / nd
+        )
+
+    item_var_sum = var("x1", "q1") + var("x2", "q2") + var("x3", "q3") + var("x4", "q4")
+    total_var = var("xt", "qt")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.lit(4).cast("int").alias("k_items"),
+        (item_var_sum / F.lit(10000.0) / nd).alias("sum_item_variance"),
+        (total_var / F.lit(10000.0) / nd).alias("total_variance"),
+        ((F.lit(4.0) / F.lit(3.0)) * (F.lit(1.0) - item_var_sum / total_var)).alias(
+            "cronbach_alpha"
+        ),
+    )
