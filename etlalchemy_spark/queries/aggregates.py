@@ -3025,3 +3025,75 @@ def agg_cronbach_alpha(spark, sf_dir):
             "cronbach_alpha"
         ),
     )
+
+
+# --- Odds ratio / log-OR with SE (r10) -------------------------------------------------
+
+_OR_LN_AD = ln_int_sql("(a * d)")
+_OR_LN_BC = ln_int_sql("(b * c)")
+
+_ODDS_SQL = f"""
+WITH x AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS urgent,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS big
+  FROM orders
+),
+c2 AS (
+  SELECT SUM(CASE WHEN urgent = 1 AND big = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN urgent = 1 AND big = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN urgent = 0 AND big = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN urgent = 0 AND big = 0 THEN 1 ELSE 0 END) AS d
+  FROM x
+)
+SELECT CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+       CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+       CAST(CAST(CAST(a AS HUGEINT) * d AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(b AS HUGEINT) * c AS VARCHAR) AS DOUBLE) AS odds_ratio,
+       CAST(({_OR_LN_AD}) - ({_OR_LN_BC}) AS DOUBLE) AS log_odds_ratio,
+       SQRT(1e0 / CAST(a AS DOUBLE) + 1e0 / CAST(b AS DOUBLE)
+            + 1e0 / CAST(c AS DOUBLE) + 1e0 / CAST(d AS DOUBLE)) AS log_or_se
+FROM c2
+"""
+
+
+@register("agg_odds_ratio", oracle=_ODDS_SQL, tags=("agg", "stats"))
+def agg_odds_ratio(spark, sf_dir):
+    """Odds ratio with log-OR and its standard error (r10) — the 2x2
+    effect-size readout epidemiology and conversion analysis share
+    ('how much likelier is a big order to be urgent?'); the log-OR
+    +/- 1.96*SE interval is the inference, and ln(ad/bc) is EXACT
+    here because it splits into two integer lns (ln_int over the ad
+    and bc products — a 2x2 table is the integer-ln construction's
+    ideal case). Woolf's SE = sqrt(1/a + 1/b + 1/c + 1/d) is a fixed
+    IEEE tree over exact counts. One scan, one 4-cell aggregate."""
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("urgent"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    c2 = x.agg(
+        F.sum(((F.col("urgent") == 1) & (F.col("big") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("urgent") == 1) & (F.col("big") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("urgent") == 0) & (F.col("big") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("urgent") == 0) & (F.col("big") == 0)).cast("long")).alias("d"),
+    )
+    d38 = "decimal(38,0)"
+    return c2.select(
+        F.col("a").cast("bigint").alias("n11"),
+        F.col("b").cast("bigint").alias("n10"),
+        F.col("c").cast("bigint").alias("n01"),
+        F.col("d").cast("bigint").alias("n00"),
+        (
+            (F.col("a").cast(d38) * F.col("d")).cast("double")
+            / (F.col("b").cast(d38) * F.col("c")).cast("double")
+        ).alias("odds_ratio"),
+        F.expr(f"CAST(({_OR_LN_AD}) - ({_OR_LN_BC}) AS DOUBLE)").alias(
+            "log_odds_ratio"
+        ),
+        F.sqrt(
+            1.0 / F.col("a").cast("double")
+            + 1.0 / F.col("b").cast("double")
+            + 1.0 / F.col("c").cast("double")
+            + 1.0 / F.col("d").cast("double")
+        ).alias("log_or_se"),
+    )
