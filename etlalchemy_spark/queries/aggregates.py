@@ -3097,3 +3097,110 @@ def agg_odds_ratio(spark, sf_dir):
             + 1.0 / F.col("d").cast("double")
         ).alias("log_or_se"),
     )
+
+
+# --- Cumulative gains / lift table (r10) -----------------------------------------------
+
+_GAINS_SQL = """
+WITH s AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (SELECT v, COUNT(*) AS t, SUM(y) AS pos FROM s GROUP BY v),
+p AS (
+  SELECT v, t, pos,
+         2 * COALESCE(SUM(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM g
+),
+nn AS (SELECT SUM(t) AS n, SUM(pos) AS npos FROM g),
+b AS (
+  SELECT 9 - LEAST((10 * (r2 - 1)) // (2 * nn.n), 9) AS bucket,
+         t, pos, nn.n, nn.npos
+  FROM p, nn
+),
+per AS (
+  SELECT bucket, SUM(t) AS nb, SUM(pos) AS pb, MAX(n) AS n, MAX(npos) AS npos
+  FROM b GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, nb, pb, n, npos,
+         SUM(nb) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(pb) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM per
+)
+SELECT CAST(bucket AS INT) AS decile_rank,
+       CAST(nb AS BIGINT) AS n,
+       CAST(pb AS BIGINT) AS n_pos,
+       CAST(cp AS DOUBLE) / CAST(npos AS DOUBLE) AS cum_gain,
+       (CAST(cp AS DOUBLE) / CAST(npos AS DOUBLE))
+         / (CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)) AS cum_lift
+FROM cum
+"""
+
+
+@register("agg_gains_lift", oracle=_GAINS_SQL, tags=("agg", "stats", "scale"))
+def agg_gains_lift(spark, sf_dir):
+    """Cumulative gains / lift table (r10) — 'if we contact the top
+    k deciles by model score, what share of all positives do we
+    capture, and how much better than random?' — the targeting
+    readout every campaign/risk model ships with (lift 1.0 = the
+    model is a coin). Deciles come from the exact tie-averaged rank
+    over per-DISTINCT-VALUE counts (the calibration-bin machinery,
+    bucket 0 = highest scores), integer floor-div binning; the
+    cumulative sums run over TEN bucket rows. Everything is exact
+    integers until the closing shares."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("y"),
+    )
+    g = s.groupBy("v").agg(F.count(F.lit(1)).alias("t"), F.sum("y").alias("pos"))
+    p = running_global_sum(
+        g, F.col("v"), [], F.col("t").cast("decimal(38,0)"), alias="_cum", n_buckets=16
+    )
+    p = p.withColumn(
+        "r2",
+        (
+            F.lit(2).cast("decimal(38,0)") * (F.col("_cum") - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("decimal(38,0)"),
+    )
+    nn = g.agg(F.sum("t").alias("n"), F.sum("pos").alias("npos"))
+    b = p.crossJoin(F.broadcast(nn)).withColumn(
+        "bucket",
+        F.lit(9)
+        - F.least(
+            F.expr("(10 * (CAST(r2 AS BIGINT) - 1)) div (2 * CAST(n AS BIGINT))"),
+            F.lit(9).cast("bigint"),
+        ),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum("t").alias("nb"),
+        F.sum("pos").alias("pb"),
+        F.max("n").alias("n"),
+        F.max("npos").alias("npos"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        "bucket", "nb", "pb", "n", "npos",
+        F.sum("nb").over(w).alias("cn"),
+        F.sum("pb").over(w).alias("cp"),
+    )
+    return cum.select(
+        F.col("bucket").cast("int").alias("decile_rank"),
+        F.col("nb").cast("bigint").alias("n"),
+        F.col("pb").cast("bigint").alias("n_pos"),
+        (F.col("cp").cast("double") / F.col("npos").cast("double")).alias("cum_gain"),
+        (
+            (F.col("cp").cast("double") / F.col("npos").cast("double"))
+            / (F.col("cn").cast("double") / F.col("n").cast("double"))
+        ).alias("cum_lift"),
+    )
