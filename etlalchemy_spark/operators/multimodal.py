@@ -2008,6 +2008,9 @@ def decode_tiff(payload: bytes) -> dict:
         "n_pixels": w * h,
         "sum_pixels": sum(data),
         "max_pixel": max(data) if data else 0,
+        # raw decoded strip bytes (row-major gray8) so callers can
+        # verify pixel CONTENT (histograms/entropy), not just counts
+        "strip": data,
     }
 
 

@@ -45,14 +45,26 @@ def encode_varint(n: int) -> bytes:
 
 
 def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    """Returns (value, next_pos)."""
+    """Returns (value, next_pos). Accepts the 10-byte form real
+    protobuf writers emit for negative int64: the raw LEB128 value is
+    masked to 64 bits and reinterpreted as signed two's-complement,
+    so a wire-encoded -1 decodes as -1, not 2**64-1 (encode_varint
+    still refuses negatives — this codec never WRITES that form, but
+    must not misread third-party streams). Truncated buffers raise
+    ValueError, not IndexError."""
     shift = 0
     val = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("protowire: truncated varint")
         b = buf[pos]
         pos += 1
         val |= (b & 0x7F) << shift
         if not b & 0x80:
+            val &= (1 << 64) - 1
+            if val >= 1 << 63:
+                val -= 1 << 64
             return val, pos
         shift += 7
         if shift > 63:

@@ -715,9 +715,12 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
 
     if meta_split:
         # checkerboard of 4-pixel blocks, two code groups — the real
-        # meta-Huffman shape (per-region entropy codes)
+        # meta-Huffman shape (per-region entropy codes). Grid is over
+        # the CODED width (w_main): sub-byte palette bundling shrinks
+        # the pixel stream, and a grid sized from the original w would
+        # mis-dimension the group map and emit a corrupt stream.
         mbits = 2
-        pw = (w + (1 << mbits) - 1) >> mbits
+        pw = (w_main + (1 << mbits) - 1) >> mbits
         ph = (h + (1 << mbits) - 1) >> mbits
         group_idx = [((bx + by) % 2) for by in range(ph) for bx in range(pw)]
         if max(group_idx) == 0:

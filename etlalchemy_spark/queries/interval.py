@@ -123,10 +123,16 @@ def unpivot_orders(spark, sf_dir):
 
 # --- Allen's interval algebra over session pairs (r10) --------------------------------
 
-# Boundary comparisons in integer microseconds; the seven relations
-# (+ their inverses folded by the a-before-b ordering) cover every
-# possible configuration of two intervals, so the counts partition
-# the pair set — a built-in completeness check.
+# Boundary comparisons in integer microseconds. Pairs are canonicalized
+# so (a_start, a_end) <= (b_start, b_end) lexicographically BEFORE
+# classification (r11 fix: pairs are enumerated user-id-ordered, which
+# says nothing about time order — without the swap, a disjoint pair
+# whose b-side precedes its a-side fell through to ELSE 'overlaps').
+# With the canonical ordering the seven forward relations cover every
+# configuration (inverses precede_by/met_by/overlapped_by/started_by/
+# during/finishes map onto their forward twins), so the counts
+# partition the pair set — a built-in completeness check.
+_ALLEN_SWAP = "(b_start < a_start OR (b_start = a_start AND b_end < a_end))"
 _ALLEN_CASE = """CASE
   WHEN a_end < b_start THEN 'precedes'
   WHEN a_end = b_start THEN 'meets'
@@ -159,11 +165,17 @@ WITH flagged AS (
          epoch_us(MIN(ts)) AS s,
          epoch_us(MAX(ts)) + 1800000000 AS e
   FROM numbered GROUP BY 1, 2
-), pairs AS (
+), raw_pairs AS (
   SELECT a.s AS a_start, a.e AS a_end, b.s AS b_start, b.e AS b_end
   FROM sess a JOIN sess b
     ON a.s // 3600000000 = b.s // 3600000000
    AND a.user_id < b.user_id
+), pairs AS (
+  SELECT CASE WHEN {_ALLEN_SWAP} THEN b_start ELSE a_start END AS a_start,
+         CASE WHEN {_ALLEN_SWAP} THEN b_end   ELSE a_end   END AS a_end,
+         CASE WHEN {_ALLEN_SWAP} THEN a_start ELSE b_start END AS b_start,
+         CASE WHEN {_ALLEN_SWAP} THEN a_end   ELSE b_end   END AS b_end
+  FROM raw_pairs
 )
 SELECT {_ALLEN_CASE} AS relation,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -175,8 +187,10 @@ FROM pairs GROUP BY 1
 def interval_allen_relations(spark, sf_dir):
     """Allen's interval algebra (r10) — the 13-relation temporal
     vocabulary (precedes/meets/overlaps/starts/during/finishes/
-    equals + inverses, inverses folded here by ordering each pair
-    user-id-ascending) classifying CROSS-USER session pairs that
+    equals + inverses, inverses folded here by canonicalizing each
+    pair so (a_start, a_end) <= (b_start, b_end) — user-id ordering
+    only dedups the pair enumeration and says nothing about time
+    order) classifying CROSS-USER session pairs that
     start in the same hour (the bucketed candidate enumeration of
     the interval join above — pair cost is bounded by per-bucket
     density, never sessions²):
@@ -212,7 +226,14 @@ def interval_allen_relations(spark, sf_dir):
         F.col("s").alias("b_start"),
         F.col("e").alias("b_end"),
     )
-    pairs = a.join(b, "hb").where(F.col("ua") < F.col("ub"))
+    raw = a.join(b, "hb").where(F.col("ua") < F.col("ub"))
+    swap = F.expr(_ALLEN_SWAP)
+    pairs = raw.select(
+        F.when(swap, F.col("b_start")).otherwise(F.col("a_start")).alias("a_start"),
+        F.when(swap, F.col("b_end")).otherwise(F.col("a_end")).alias("a_end"),
+        F.when(swap, F.col("a_start")).otherwise(F.col("b_start")).alias("b_start"),
+        F.when(swap, F.col("a_end")).otherwise(F.col("b_end")).alias("b_end"),
+    )
     return pairs.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )

@@ -2444,9 +2444,12 @@ def mm_decode_webp_stats(spark, sf_dir):
     reader, canonical Huffman in BOTH spec forms (simple 1-2-symbol
     and full code-length-coded with the 16/17/18 repeat machinery +
     max_symbol shortcut), LZ77 backward references with prefix-coded
-    lengths/distances, SUBTRACT_GREEN transform. Still refusing
-    loudly by name: PREDICTOR/CROSS_COLOR/COLOR_INDEXING transforms,
-    color cache, meta-Huffman, 2D-neighbor distance codes, lossy
+    lengths/distances, SUBTRACT_GREEN transform — and, since late
+    r10, all four transforms (PREDICTOR/CROSS_COLOR/COLOR_INDEXING
+    incl. sub-byte bundling), color cache and meta-Huffman splits
+    (this query's fixtures exercise predictor, cross-color and
+    meta-split paths by doc_id class). The remaining loud refusals
+    are 2D-neighbor distance maps (plane code <= 120) and lossy
     VP8. Each doc synthesizes deterministic RGBA pixels, ENCODES them
     to a real VP8L stream (in-house spec-correct encoder,
     operators/webp.py; golden header bits + roundtrip properties in
@@ -2633,9 +2636,9 @@ def mm_image_entropy(spark, sf_dir):
                 blob = encode_tiff_gray8(px)
                 d = decode_tiff(blob)
                 assert d["n_pixels"] == w * h
-                # histogram from the DECODED strip, not the input
-                flat = [v for row in px for v in row]
-                hist = collections.Counter(flat)
+                # histogram from the DECODED strip bytes, not the
+                # input list — entropy genuinely covers the decode
+                hist = collections.Counter(d["strip"])
                 for val, c in hist.items():
                     ids.append(doc_id)
                     vals.append(val)
