@@ -1911,50 +1911,252 @@ def wht_sequency_bands(
 
 # --- TIFF (uncompressed baseline) codec (r10) ---------------------------------------
 
-def encode_tiff_gray8(pixels, big_endian: bool = False) -> bytes:
-    """Minimal spec-correct TIFF 6.0: 8-bit grayscale, uncompressed,
-    single strip, header -> strip -> IFD. Both byte orders (II/MM) —
-    real scanner exhaust is frequently MM."""
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (spec section 13): MSB-first bitstream (GIF's
+    is LSB-first), fixed 8-bit symbols, Clear=256/EOI=257, codes start
+    at 9 bits, and the EarlyChange rule — code width bumps when the
+    table reaches 511/1023/2047 (one entry EARLY vs GIF; the TIFF
+    spec's own 'Whoa!' footnote). Each strip is an independent
+    stream."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = []
+    code_size = 9
+
+    def reset():
+        nonlocal table, code_size
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+
+    reset()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= code_size:
+            code = (acc >> (bits - code_size)) & ((1 << code_size) - 1)
+            bits -= code_size
+            acc &= (1 << bits) - 1
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if code < len(table) and (code < 256 or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"corrupt TIFF LZW stream: code {code} of {len(table)}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                # EarlyChange: bump at 2^n - 1, not 2^n
+                if len(table) == (1 << code_size) - 1 and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (fixture writer): MSB-first emission,
+    leading Clear, trailing EOI, dictionary + EarlyChange width rule
+    mirroring _tiff_lzw_decode exactly so round trips exercise the
+    real dictionary growth path."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+    code_size = 9
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc = (acc << code_size) | code
+        bits += code_size
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+            acc &= (1 << bits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+        else:
+            emit(table[w])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                # mirror decode's EarlyChange exactly: the decoder adds
+                # its a-th entry while PROCESSING code a+1 (one code
+                # later than the encoder's add-after-emit), so the
+                # encoder widens at next_code == 2^size where the
+                # decoder widens at table len == 2^size - 1 — both land
+                # on the same first 10-bit code
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            else:
+                emit(CLEAR)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                code_size = 9
+            w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF spec section 9, Compression=32773): signed
+    control byte n — 0..127 copies n+1 literals, -1..-127 repeats the
+    next byte 1-n times, -128 is a noop."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1
+            if i + c + 1 > n:
+                raise ValueError("PackBits: truncated literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c == 128:  # noop
+            continue
+        else:  # repeat next byte 257-c times (= 1 - signed(c))
+            if i >= n:
+                raise ValueError("PackBits: truncated repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (fixture writer): greedy — runs of >=3 become
+    repeats, everything else batches into <=128-byte literal groups."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            lit_start = i
+            i += run
+            while i < n and i - lit_start < 128:
+                run = 1
+                while i + run < n and run < 128 and data[i + run] == data[i]:
+                    run += 1
+                if run >= 3:
+                    break
+                i += run
+                if i - lit_start >= 128:
+                    i = lit_start + 128
+                    break
+            out.append(i - lit_start - 1)
+            out += data[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff_gray8(pixels, big_endian: bool = False, compression: int = 1,
+                      predictor: int = 1, rows_per_strip: int | None = None) -> bytes:
+    """Spec-correct TIFF 6.0 writer: 8-bit grayscale, both byte orders
+    (II/MM — real scanner exhaust is frequently MM), Compression 1
+    (none) / 5 (LZW) / 32773 (PackBits), Predictor 2 (horizontal
+    differencing — the LZW-corpus norm), multi-strip via
+    rows_per_strip. Header -> strips -> IFD."""
     import struct
 
+    if compression not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF writer: Compression {compression}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF writer: Predictor {predictor}")
     e = ">" if big_endian else "<"
     h = len(pixels)
     w = len(pixels[0]) if h else 0
-    strip = bytes(p for row in pixels for p in row)
-    strip_off = 8
-    ifd_off = strip_off + len(strip) + (len(strip) & 1)
-    entries = [
-        (256, 4, 1, w),            # ImageWidth LONG
-        (257, 4, 1, h),            # ImageLength LONG
-        (258, 3, 1, 8),            # BitsPerSample SHORT
-        (259, 3, 1, 1),            # Compression: none
-        (262, 3, 1, 1),            # Photometric: BlackIsZero
-        (273, 4, 1, strip_off),    # StripOffsets
-        (277, 3, 1, 1),            # SamplesPerPixel
-        (278, 4, 1, max(h, 1)),    # RowsPerStrip
-        (279, 4, 1, len(strip)),   # StripByteCounts
-    ]
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+
+    rows = [bytes(row) for row in pixels]
+    if predictor == 2:
+        rows = [
+            bytes([row[0]] + [(row[c] - row[c - 1]) & 0xFF for c in range(1, w)])
+            for row in rows
+        ]
+    strips = []
+    for s0 in range(0, max(h, 1), rps):
+        raw = b"".join(rows[s0 : s0 + rps])
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
-    out += struct.pack(e + "I", ifd_off)
-    out += strip + (b"\x00" * (len(strip) & 1))
+    out += struct.pack(e + "I", 0)  # IFD offset patched below
+    offs, cnts = [], []
+    for s in strips:
+        offs.append(len(out))
+        cnts.append(len(s))
+        out += s
+    if len(out) & 1:
+        out += b"\x00"
+
+    n_strips = len(strips)
+    # multi-valued LONG arrays need an external data area after the IFD
+    entries = [
+        (256, 4, 1, [w]),
+        (257, 4, 1, [h]),
+        (258, 3, 1, [8]),
+        (259, 3, 1, [compression]),
+        (262, 3, 1, [1]),
+        (273, 4, n_strips, offs),
+        (277, 3, 1, [1]),
+        (278, 4, 1, [rps]),
+        (279, 4, n_strips, cnts),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, 1, [2]))
+        entries.sort()
+    ifd_off = len(out)
+    struct.pack_into(e + "I", out, 4, ifd_off)
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    ext = bytearray()
     out += struct.pack(e + "H", len(entries))
-    for tag, typ, cnt, val in entries:
-        if typ == 3:  # SHORT packs left-justified in the 4-byte slot
-            out += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+    for tag, typ, cnt, vals in entries:
+        if typ == 3:
+            out += struct.pack(e + "HHIHH", tag, typ, cnt, vals[0], 0)
+        elif cnt == 1:
+            out += struct.pack(e + "HHII", tag, typ, cnt, vals[0])
         else:
-            out += struct.pack(e + "HHII", tag, typ, cnt, val)
+            out += struct.pack(e + "HHII", tag, typ, cnt, ext_off + len(ext))
+            ext += struct.pack(e + f"{cnt}I", *vals)
     out += struct.pack(e + "I", 0)  # next-IFD terminator
+    out += ext
     return bytes(out)
 
 
 def decode_tiff(payload: bytes) -> dict:
-    """TIFF 6.0 baseline decode: both byte orders, IFD walk,
-    uncompressed 8-bit single-sample strips (multi-strip supported —
-    RowsPerStrip < height is the spec's norm). Anything needing a
-    codec or deeper sample model refuses LOUDLY by field name:
-    Compression != 1 (LZW/PackBits/JPEG-in-TIFF), BitsPerSample != 8,
-    SamplesPerPixel != 1, tiled layout (TileWidth present)."""
+    """TIFF 6.0 decode: both byte orders, IFD walk, 8-bit
+    single-sample strips (multi-strip supported — RowsPerStrip <
+    height is the spec's norm), Compression 1 (none) / 5 (LZW,
+    MSB-first with the EarlyChange width rule, per-strip streams) /
+    32773 (PackBits RLE), Predictor 2 (horizontal differencing — the
+    real-scanner-corpus norm with LZW). Anything deeper refuses
+    LOUDLY by field name: other Compression values (JPEG-in-TIFF,
+    deflate), Predictor 3, BitsPerSample != 8, SamplesPerPixel != 1,
+    tiled layout (TileWidth present)."""
     import struct
 
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
@@ -1986,8 +2188,13 @@ def decode_tiff(payload: bytes) -> dict:
     if 322 in tags:
         raise NotImplementedError("TIFF: tiled layout (TileWidth tag 322)")
     comp = tags.get(259, [1])[0]
-    if comp != 1:
-        raise NotImplementedError(f"TIFF: Compression {comp} (only 1 = none)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF: Compression {comp} (1 = none, 5 = LZW, 32773 = PackBits)"
+        )
+    pred = tags.get(317, [1])[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF: Predictor {pred} (1 = none, 2 = horizontal)")
     bits = tags.get(258, [1])[0]
     if bits != 8:
         raise NotImplementedError(f"TIFF: BitsPerSample {bits} (only 8)")
@@ -1996,11 +2203,28 @@ def decode_tiff(payload: bytes) -> dict:
         raise NotImplementedError(f"TIFF: SamplesPerPixel {spp} (only 1)")
     w, h = tags[256][0], tags[257][0]
     offs, cnts = tags[273], tags[279]
-    data = b"".join(
-        payload[o : o + c] for o, c in zip(offs, cnts)
-    )
+    rps = tags.get(278, [h])[0]
+    chunks = []
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        raw = payload[o : o + c]
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw)  # each strip = independent stream
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
+        expect = min(rps, h - i * rps) * w
+        if len(raw) < expect:
+            raise ValueError(f"TIFF: strip {i} decoded {len(raw)} < {expect}")
+        chunks.append(raw[:expect])  # writers may pad the final code byte
+    data = b"".join(chunks)
     if len(data) != w * h:
         raise ValueError(f"TIFF: strip bytes {len(data)} != {w}x{h}")
+    if pred == 2:  # undo horizontal differencing, per row
+        buf = bytearray(data)
+        for r in range(h):
+            base = r * w
+            for col in range(1, w):
+                buf[base + col] = (buf[base + col] + buf[base + col - 1]) & 0xFF
+        data = bytes(buf)
     return {
         "byte_order": "II" if e == "<" else "MM",
         "width": w,
@@ -2008,6 +2232,8 @@ def decode_tiff(payload: bytes) -> dict:
         "n_pixels": w * h,
         "sum_pixels": sum(data),
         "max_pixel": max(data) if data else 0,
+        "compression": comp,
+        "predictor": pred,
         # raw decoded strip bytes (row-major gray8) so callers can
         # verify pixel CONTENT (histograms/entropy), not just counts
         "strip": data,

@@ -2374,9 +2374,10 @@ def mm_decode_tiff_stats(spark, sf_dir):
     medical interchange container, BOTH byte orders (every fifth doc
     encodes big-endian 'MM', the Mac-heritage order real archives
     mix): header magic, IFD walk with SHORT/LONG value-vs-pointer
-    slots, strip reassembly, 8-bit grayscale stats. Compression (LZW
-    /PackBits/JPEG-in-TIFF), deeper samples, and tiled layout refuse
-    LOUDLY by field name (operators/multimodal.py decode_tiff). The
+    slots, strip reassembly, 8-bit grayscale stats. Compressed
+    variants are exercised by `mm_decode_tiff_lzw`; JPEG-in-TIFF,
+    deeper samples, and tiled layout refuse LOUDLY by field name
+    (operators/multimodal.py decode_tiff). The
     encode->decode round trip against a closed-form pixel oracle
     proves the parser reads real TIFF bytes; partition-local Arrow
     batches, stats rows only leave the executors."""
@@ -2664,4 +2665,95 @@ def mm_image_entropy(spark, sf_dir):
             f"CAST(({_IMG_ENTROPY_LN_N})"
             f" - CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE)"
         ).alias("entropy_nats"),
+    )
+
+
+# --- TIFF LZW + PackBits + predictor decode (r11) ------------------------------------
+
+_TIFF_LZW_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         5 + doc_id % 8 AS w,
+         4 + doc_id % 5 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 32773 ELSE 5 END AS compression,
+         CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS predictor
+  FROM documents
+),
+px AS (
+  SELECT doc_id, compression, predictor, w, h,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> (doc_id * 5 + (i // w) * 9 + ((i % w) // 4)) % 256) AS p
+  FROM params
+)
+SELECT doc_id,
+       CAST(compression AS INT) AS compression,
+       CAST(predictor AS INT) AS predictor,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS sum_pixels,
+       CAST(list_aggregate(p, 'max') AS INT) AS max_pixel
+FROM px
+"""
+
+
+@register("mm_decode_tiff_lzw", oracle=_TIFF_LZW_SQL, tags=("multimodal", "udf"))
+def mm_decode_tiff_lzw(spark, sf_dir):
+    """REAL compressed-TIFF decode (r11) — the codec tail that real
+    scanner corpora are mostly made of comes off the refusal list:
+    Compression 5 (LZW: MSB-first bitstream, Clear/EOI, dictionary to
+    12-bit codes with the spec's EarlyChange width rule — the GIF
+    decoder's mirror-image flavor) and 32773 (PackBits RLE), plus
+    Predictor 2 horizontal differencing (the LZW-corpus norm), all in
+    operators/multimodal.py with encoder mirrors so round trips
+    exercise the real dictionary-growth path. Docs rotate through
+    LZW+predictor / PackBits / plain LZW by doc_id class; every third
+    doc is also multi-strip (each strip an INDEPENDENT LZW stream —
+    the splittability property that matters at scale) and every fifth
+    big-endian. Stats come from the DECODED strip bytes; the oracle
+    recomputes from the closed-form pixel function, so agreement
+    proves inflate+unpredict content end to end. Partition-local
+    Arrow batches; only stat rows leave the executors."""
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 8).cast("int").alias("w"),
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "compression", "predictor", "n_pixels",
+                    "sum_pixels", "max_pixel")}
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                comp = 32773 if doc_id % 3 == 1 else 5
+                pred = 2 if doc_id % 3 == 0 else 1
+                px = [
+                    [(doc_id * 5 + r * 9 + c // 4) % 256 for c in range(w)]
+                    for r in range(h)
+                ]
+                blob = encode_tiff_gray8(
+                    px,
+                    big_endian=(doc_id % 5 == 0),
+                    compression=comp,
+                    predictor=pred,
+                    rows_per_strip=2 if doc_id % 3 == 2 else None,
+                )
+                d = decode_tiff(blob)
+                assert d["strip"] == bytes(v for row in px for v in row)
+                out["doc_id"].append(doc_id)
+                out["compression"].append(d["compression"])
+                out["predictor"].append(d["predictor"])
+                out["n_pixels"].append(d["n_pixels"])
+                out["sum_pixels"].append(sum(d["strip"]))
+                out["max_pixel"].append(max(d["strip"]))
+            yield pd.DataFrame(out)
+
+    return params.mapInPandas(
+        synth,
+        "doc_id long, compression int, predictor int, n_pixels bigint, "
+        "sum_pixels bigint, max_pixel int",
     )

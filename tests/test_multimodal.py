@@ -847,3 +847,94 @@ def test_avi_mjpeg_roundtrip_and_refusal():
         i = bad.find(b"MJPG", i)
     with pytest.raises(NotImplementedError, match="biCompression|H264"):
         decode_avi_frames(bytes(bad))
+
+
+# --- TIFF LZW / PackBits / predictor (r11) -------------------------------------------
+
+
+def test_tiff_lzw_early_change_boundary():
+    """TIFF LZW's EarlyChange rule: code width bumps at table size
+    2^n - 1 (511/1023/2047), one entry earlier than GIF. Data with
+    thousands of distinct phrases crosses all three boundaries; a
+    width mismatch between encoder and decoder desynchronizes the
+    bitstream immediately, so an exact round trip IS the boundary
+    proof."""
+    import random
+
+    from etlalchemy_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = random.Random(99)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+    # dict-full CLEAR path: low-entropy stream overflows 4096 entries
+    data2 = bytes(rng.randrange(3) for _ in range(80000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data2)) == data2
+    # MSB-first framing: the stream must OPEN with Clear = 256,
+    # i.e. first 9 bits 1_0000_0000
+    enc = _tiff_lzw_encode(b"x")
+    assert enc[0] == 0x80
+
+
+def test_tiff_packbits_golden():
+    """PackBits control bytes from the spec: n in 0..127 copies n+1
+    literals, 129..255 repeats the next byte 257-n times, 128 is a
+    noop."""
+    from etlalchemy_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    # spec-style example: run of 4 'A' then literals 'BCD'
+    assert _packbits_decode(bytes([257 - 4, 65, 2, 66, 67, 68])) == b"AAAABCD"
+    assert _packbits_decode(bytes([128, 0, 65])) == b"A"  # noop skipped
+    enc = _packbits_encode(b"AAAABCD")
+    assert enc == bytes([253, 65, 2, 66, 67, 68])
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decode(bytes([5, 1, 2]))
+
+
+def test_tiff_compressed_variants_roundtrip():
+    """Full-container round trips: LZW / PackBits x predictor x
+    multi-strip x byte order, decoded strip bytes exact. Multi-strip
+    LZW proves each strip is an independent stream (the property that
+    makes compressed TIFF splittable at scale)."""
+    import random
+
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    rng = random.Random(5)
+    px = [[rng.randrange(256) for _ in range(31)] for _ in range(22)]
+    flat = bytes(v for row in px for v in row)
+    for comp in (5, 32773):
+        for pred in (1, 2):
+            for rps in (None, 4):
+                for be in (False, True):
+                    d = decode_tiff(
+                        encode_tiff_gray8(px, big_endian=be, compression=comp,
+                                          predictor=pred, rows_per_strip=rps)
+                    )
+                    assert d["strip"] == flat
+                    assert d["compression"] == comp and d["predictor"] == pred
+
+
+def test_tiff_remaining_refusals_are_loud():
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    blob = bytearray(encode_tiff_gray8([[1, 2], [3, 4]]))
+    # patch Compression (tag 259) to 7 = JPEG-in-TIFF
+    import struct
+
+    ifd_off = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd_off)[0]
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", blob, off)[0]
+        if tag == 259:
+            struct.pack_into("<H", blob, off + 8, 7)
+    with pytest.raises(NotImplementedError, match="Compression 7"):
+        decode_tiff(bytes(blob))
+    with pytest.raises(NotImplementedError, match="Predictor"):
+        encode_tiff_gray8([[1]], predictor=3)
