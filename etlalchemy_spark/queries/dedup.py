@@ -103,12 +103,133 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+# --- DuckDB replay of Spark's Murmur3_x86_32(seed=42) ----------------------
+#
+# dedup_simhash keeps Spark's builtin `hash()` (the PRODUCTION token
+# hash — JVM-side, whole-stage-codegen) and becomes oracle-exact the
+# way the r10 ADPCM pair did: the oracle REPLAYS the hash, here as
+# mod-2^32 UBIGINT arithmetic per DISTINCT token (the corpus has ~31).
+# Spark's variant of murmur3 (public Spark source,
+# Murmur3_x86_32.hashUnsafeBytes) differs from canonical murmur3 in
+# the tail: each trailing byte runs the FULL mixK1/mixH1 word mix.
+# Bytes are read via ascii(substr(...)) — code point == byte for the
+# all-ASCII fixture corpus (asserted by the match itself; multibyte
+# text would need blob byte access and signed-byte tails).
+
+
+def _mm_u32(e: str) -> str:
+    return f"(({e}) % CAST(4294967296 AS UBIGINT))"
+
+
+def _mm_rotl(e: str, r: int) -> str:
+    return (
+        f"({_mm_u32(f'({e}) * CAST({1 << r} AS UBIGINT)')}"
+        f" + (({e}) // CAST({1 << (32 - r)} AS UBIGINT)))"
+    )
+
+
+def _mm_mixk1(k: str) -> str:
+    a = _mm_u32(f"({k}) * CAST(3432918353 AS UBIGINT)")  # 0xcc9e2d51
+    return _mm_u32(f"({_mm_rotl(a, 15)}) * CAST(461845907 AS UBIGINT)")  # 0x1b873593
+
+
+def _mm_mixh1(h: str, k: str) -> str:
+    x = f"xor(CAST({h} AS UBIGINT), CAST({k} AS UBIGINT))"
+    return _mm_u32(
+        f"({_mm_rotl(x, 13)}) * CAST(5 AS UBIGINT) + CAST(3864292196 AS UBIGINT)"
+    )  # 0xe6546b64
+
+
+def _mm_byte(i: int) -> str:
+    return f"CAST(ascii(substr(tok, CAST(pos + {i} + 1 AS INT), 1)) AS UBIGINT)"
+
+
+_MM_BLOCK = (
+    f"({_mm_byte(0)} + {_mm_byte(1)} * CAST(256 AS UBIGINT)"
+    f" + {_mm_byte(2)} * CAST(65536 AS UBIGINT)"
+    f" + {_mm_byte(3)} * CAST(16777216 AS UBIGINT))"
+)
+
+_MM_STEP = f"""CASE WHEN pos + 4 <= len THEN {_mm_mixh1('h', _mm_mixk1(_MM_BLOCK))}
+           ELSE {_mm_mixh1('h', _mm_mixk1(_mm_byte(0)))} END"""
+
+# fmix staged through single-column CTEs (not inlined — xor chains
+# double the expression per stage; the staged form stays linear)
+_MM_CTES = f"""
+  tokd AS (
+    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  ), tb AS (
+    SELECT DISTINCT tok, CAST(octet_length(encode(tok)) AS BIGINT) AS len FROM tokd
+  ), mm(tok, len, pos, h) AS (
+    SELECT tok, len, CAST(0 AS BIGINT), CAST(42 AS UBIGINT) FROM tb
+    UNION ALL
+    SELECT tok, len,
+           CASE WHEN pos + 4 <= len THEN pos + 4 ELSE pos + 1 END,
+           CAST({_MM_STEP} AS UBIGINT)
+    FROM mm WHERE pos < len
+  ), f0 AS (
+    SELECT tok, xor(h, CAST(len AS UBIGINT)) AS h FROM mm WHERE pos = len
+  ), f1 AS (SELECT tok, xor(h, h // CAST(65536 AS UBIGINT)) AS h FROM f0
+  ), f2 AS (SELECT tok, (h * CAST(2246822507 AS UBIGINT))
+                        % CAST(4294967296 AS UBIGINT) AS h FROM f1
+  ), f3 AS (SELECT tok, xor(h, h // CAST(8192 AS UBIGINT)) AS h FROM f2
+  ), f4 AS (SELECT tok, (h * CAST(3266489909 AS UBIGINT))
+                        % CAST(4294967296 AS UBIGINT) AS h FROM f3
+  ), f5 AS (SELECT tok, xor(h, h // CAST(65536 AS UBIGINT)) AS h FROM f4
+  ), th AS (SELECT tok, CAST(h AS BIGINT) AS h32 FROM f5
+  ), h AS (
+    SELECT d.doc_id, th.h32 FROM tokd d JOIN th USING (tok)
+  )"""
+
+_MM_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h32 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32)
+)
+_MM_SIG = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(32)
+)
+
+_SIMHASH_MM_SQL = f"""
+WITH RECURSIVE {_MM_CTES}, v AS (
+  SELECT doc_id,
+         {_MM_VOTES}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_MM_SIG} AS simhash FROM v
+), ch AS (
+  SELECT doc_id, simhash,
+         UNNEST([0, 1, 2, 3]) AS chunk,
+         UNNEST([(simhash >> 0) & 255, (simhash >> 8) & 255,
+                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS ck
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_MM_SQL, tags=("dedup", "approx"))
 def dedup_simhash(spark, sf_dir):
     """SimHash(32-bit) near-dup pairs with chunk-bucket candidate
-    generation + Hamming verify (rows-only)."""
+    generation + Hamming verify — the PRODUCTION path on Spark's
+    builtin Murmur3 `hash()` (JVM-side, whole-stage-codegen), made
+    oracle-exact in r11 by replaying Spark's Murmur3_x86_32(seed 42)
+    — including its per-byte tail mix, which differs from canonical
+    murmur3 — in DuckDB as a recursive-CTE over mod-2^32 UBIGINT
+    arithmetic, evaluated once per DISTINCT token (the r10 ADPCM
+    discipline: replay the engine-specific primitive, don't switch
+    the engine to a portable one). The md5-hash twin
+    `dedup_simhash_sig_exact`/`dedup_simhash_pairs_exact` remains
+    the portable-hash variant."""
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register("dedup_embedding_cosine", oracle=None, tags=("dedup", "approx"))
