@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 
 from etlalchemy_spark.registry import register
 from etlalchemy_spark.catalog import load_tables
+from etlalchemy_spark.queries._special import (
+    SqlStages,
+    chi2_pvalue_stages,
+    f_pvalue_stages,
+    t_pvalue_stages,
+)
 from etlalchemy_spark.queries._util import dec, t
 
 _BASIC_SQL = """
@@ -685,7 +691,7 @@ def agg_weighted_avg_exact(spark, sf_dir):
     )
 
 
-_CHI2_SQL = """
+_CHI2_BASE_SQL = """
 WITH obs AS (
   SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
 ),
@@ -700,9 +706,18 @@ cells AS (
            CROSS JOIN n
 )
 SELECT CAST(ROUND(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS DECIMAL(24,10))), 10) AS DOUBLE) AS chi2,
-       COUNT(*) AS n_cells
+       COUNT(*) AS n_cells,
+       COUNT(DISTINCT lang) AS n_rows,
+       COUNT(DISTINCT source) AS n_cols,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof
 FROM cells
 """
+
+_CHI2_ST, _ = chi2_pvalue_stages("chi2", "dof")
+_CHI2_SQL = _CHI2_ST.duckdb_sql(
+    _CHI2_BASE_SQL,
+    "SELECT chi2, n_cells, n_rows, n_cols, dof, p_value",
+)
 
 
 @register("agg_chi2_independence", oracle=_CHI2_SQL, tags=("agg", "stats"))
@@ -712,8 +727,12 @@ def agg_chi2_independence(spark, sf_dir):
     expected row*col/n. Each cell's term is computed in double on
     exact integer inputs (identical IEEE ops), then quantized to
     decimal BEFORE the final reduction so the cross-cell sum is
-    order-insensitive. Three small aggregates + one broadcast-sized
-    join back onto the cells."""
+    order-insensitive. Since r11 also emits the table dof
+    (r-1)(c-1) and the upper-tail p-value Q(dof/2, chi2/2) from the
+    shared staged IEEE incomplete-gamma (queries/_special.py:
+    fixed-depth lower series / Legendre CF) — hash-exact across
+    engines. Three small aggregates + one broadcast-sized join back
+    onto the cells."""
     d = t(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
@@ -730,9 +749,19 @@ def agg_chi2_independence(spark, sf_dir):
     )
     od = F.col("o").cast("double")
     term = ((od - F.col("e")) * (od - F.col("e")) / F.col("e")).cast("decimal(24,10)")
-    return cells.agg(
+    base = cells.agg(
         F.sum(term).cast("decimal(38,10)").cast("double").alias("chi2"),
         F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("lang").alias("n_rows"),
+        F.countDistinct("source").alias("n_cols"),
+    ).select(
+        "chi2", "n_cells", "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("bigint").alias("dof"),
+    )
+    # barrier (one row) + shared IEEE chi-square tail (_special.py)
+    st, _ = chi2_pvalue_stages("chi2", "dof")
+    return st.apply_spark(base.repartition(1)).select(
+        "chi2", "n_cells", "n_rows", "n_cols", "dof", "p_value"
     )
 
 
@@ -1219,7 +1248,7 @@ def agg_wilson_interval(spark, sf_dir):
     )
 
 
-_WELCH_SQL = """
+_WELCH_BASE_SQL = """
 WITH x AS (
   SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01 00:00:00' THEN 'pre' ELSE 'post' END AS era,
          CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
@@ -1273,6 +1302,12 @@ SELECT CAST(n1 AS BIGINT) AS n_pre,
 FROM w
 """
 
+_WELCH_ST, _ = t_pvalue_stages("t_stat", "welch_dof")
+_WELCH_SQL = _WELCH_ST.duckdb_sql(
+    _WELCH_BASE_SQL,
+    "SELECT n_pre, n_post, mean_pre, mean_post, t_stat, welch_dof, p_value",
+)
+
 
 @register("agg_welch_ttest", oracle=_WELCH_SQL, tags=("agg",))
 def agg_welch_ttest(spark, sf_dir):
@@ -1283,12 +1318,15 @@ def agg_welch_ttest(spark, sf_dir):
     exact integer triple (n, sum-of-cents, sum-of-squared-cents); the
     t statistic and the Welch-Satterthwaite dof are then one shared
     IEEE expression tree over those longs — both floats hash-match.
-    (The p-value needs an incomplete-beta, i.e. a libm special
-    function that is NOT correctly rounded — by the same policy as
-    log-free TF-IDF we publish the statistic and dof, which any client
-    can turn into a p-value.) Shape: one map-side-partial aggregate to
-    TWO rows, then a broadcast one-row pivot — nothing else moves, so
-    the test costs one scan at any scale."""
+    Since r11 the two-sided p-value ships too: the regularized
+    incomplete beta I_{v/(v+t^2)}(v/2, 1/2) built entirely from
+    identically-rounded IEEE ops (queries/_special.py — staged ln/
+    exp/Lanczos-lgamma + fixed-depth continued fraction), so even the
+    p-value hash-matches bit-for-bit; accuracy ~5e-9 relative at
+    dof ~ 2e5 (lgamma cancellation floor), ~1e-12 below dof 1e3.
+    Shape: one map-side-partial aggregate to TWO rows, then a
+    broadcast one-row pivot and a one-row stage chain — nothing else
+    moves, so the test costs one scan at any scale."""
     o = t(spark, sf_dir, "orders")
     x = o.select(
         F.when(F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"), "pre")
@@ -1324,7 +1362,7 @@ def agg_welch_ttest(spark, sf_dir):
     v1, v2 = sem2("n1", "s1", "q1"), sem2("n2", "s2", "q2")
     mean1 = F.col("s1").cast("double") / F.col("n1").cast("double")
     mean2 = F.col("s2").cast("double") / F.col("n2").cast("double")
-    return w.select(
+    base = w.select(
         F.col("n1").cast("bigint").alias("n_pre"),
         F.col("n2").cast("bigint").alias("n_post"),
         (mean1 / 100.0).alias("mean_pre"),
@@ -1337,6 +1375,14 @@ def agg_welch_ttest(spark, sf_dir):
                 + v2 * v2 / (F.col("n2") - 1).cast("double")
             )
         ).alias("welch_dof"),
+    )
+    # exchange barrier (one row) so the p-value stage chain cannot be
+    # collapse-inlined into the t/dof derivations, then the shared
+    # IEEE stage pipeline (queries/_special.py)
+    st, _ = t_pvalue_stages("t_stat", "welch_dof")
+    return st.apply_spark(base.repartition(1)).select(
+        "n_pre", "n_post", "mean_pre", "mean_post", "t_stat", "welch_dof",
+        "p_value",
     )
 
 
@@ -2482,7 +2528,7 @@ def agg_auc_roc(spark, sf_dir):
 
 # --- One-way ANOVA F statistic (r10) ----------------------------------------------
 
-_ANOVA_SQL = """
+_ANOVA_BASE_SQL = """
 WITH x AS (
   SELECT c.c_mktsegment AS grp,
          CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -2521,6 +2567,16 @@ SELECT CAST(k AS BIGINT) AS k_groups,
 FROM a
 """
 
+_ANOVA_ST = SqlStages()
+_ANOVA_ST.add("CAST(k_groups - 1 AS DOUBLE)", name="_d1")
+_ANOVA_ST.add("CAST(n_total - k_groups AS DOUBLE)", name="_d2")
+_ANOVA_ST, _ = f_pvalue_stages("f_stat", "_d1", "_d2", st=_ANOVA_ST)
+_ANOVA_SQL = _ANOVA_ST.duckdb_sql(
+    _ANOVA_BASE_SQL,
+    "SELECT k_groups, n_total, ss_between, ss_within, f_stat,"
+    " eta_squared, p_value",
+)
+
 
 @register("agg_anova_oneway", oracle=_ANOVA_SQL, tags=("agg", "stats"))
 def agg_anova_oneway(spark, sf_dir):
@@ -2534,7 +2590,10 @@ def agg_anova_oneway(spark, sf_dir):
     correctly-rounded doubles of exact operands cast to scale-8
     decimals so the k-term sum is order-free (the zipf-fit idiom);
     every closing expression is a fixed IEEE tree over VARCHAR-routed
-    doubles. Emits SSB/SSW (dollar^2 units), F, and eta-squared. One
+    doubles. Emits SSB/SSW (dollar^2 units), F, eta-squared and
+    (since r11) the upper-tail p-value I_{d2/(d2+d1 F)}(d2/2, d1/2)
+    from the shared staged IEEE incomplete-beta
+    (queries/_special.py) — hash-exact across engines. One
     fact-table scan at any scale."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -2567,7 +2626,7 @@ def agg_anova_oneway(spark, sf_dir):
     )
     ssb = F.col("st") - grand
     ssw = F.col("qq").cast("double") - F.col("st")
-    return a.select(
+    base = a.select(
         F.col("k").cast("bigint").alias("k_groups"),
         F.col("nn").cast("bigint").alias("n_total"),
         (ssb / F.lit(10000.0)).alias("ss_between"),
@@ -2577,6 +2636,16 @@ def agg_anova_oneway(spark, sf_dir):
             / (ssw / (F.col("nn") - F.col("k")).cast("double"))
         ).alias("f_stat"),
         (ssb / (F.col("qq").cast("double") - grand)).alias("eta_squared"),
+    )
+    # barrier (one row) + shared IEEE p-value stages (_special.py):
+    # d1 = k-1, d2 = n-k as plain columns first
+    st = SqlStages()
+    st.add("CAST(k_groups - 1 AS DOUBLE)", name="_d1")
+    st.add("CAST(n_total - k_groups AS DOUBLE)", name="_d2")
+    st, _ = f_pvalue_stages("f_stat", "_d1", "_d2", st=st)
+    return st.apply_spark(base.repartition(1)).select(
+        "k_groups", "n_total", "ss_between", "ss_within", "f_stat",
+        "eta_squared", "p_value",
     )
 
 
