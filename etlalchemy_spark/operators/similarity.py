@@ -389,7 +389,13 @@ def lsh_buckets_exact(
     """(id, bucket) with bucket bits = sign of DECIMAL dot products
     against literal hyperplanes — exact, order-insensitive, hence
     bit-identical in any engine (the double-fold ``lsh_bucket`` above
-    is the production fast path). One posexplode + one groupBy."""
+    is the production fast path). One posexplode + one groupBy.
+    (An r11 experiment replaced this with per-row
+    aggregate(zip_with(...)) decimal lambdas — shuffle-free, values
+    bit-identical via a DECIMAL(30,20) accumulator dodging the
+    decimal-ADD scale clip — but the 6x64-literal lambda plans cost
+    more in codegen per batch than the small groupBy shuffle they
+    saved, at every batch size that fits one machine; reverted.)"""
     e = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
     xd = F.col("_x").cast("double").cast(_D)
     aggs = []
@@ -994,6 +1000,10 @@ def append_bucket_index(
     # parquet) and a second different-plane append is refused.
     if existing is None:
         _write_index_version(spark, store_path, tag)
+    # direct append: files-per-bucket tracks upstream partitions until
+    # compact_bucket_index rewrites each bucket as one file (adding a
+    # repartition("bucket") here costs a shuffle per append and
+    # measured slower than the small-file commit it avoids)
     rows.write.mode("append").partitionBy("bucket").parquet(store_path)
 
 
@@ -1056,28 +1066,36 @@ def compact_bucket_index(spark, store_path: str, id_col: str) -> dict[str, int]:
     if tag is None:
         raise ValueError(f"bucket index at {store_path} has no version sidecar")
     idx = spark.read.parquet(store_path)
-    bad = (
-        idx.where(~F.col("idx_version").eqNullSafe(F.lit(tag))).limit(1).collect()
-    )
-    if bad:
+    # ONE aggregate job folds the three former scans (version audit
+    # limit-collect, rows_before count, post-write re-count): bad-row
+    # count, total rows, and distinct ids — dropDuplicates([id]) keeps
+    # exactly one row per id, so rows_after == countDistinct(id)
+    # (r10 verdict ask 6: compaction was the slowest gate entry, and
+    # its cost was many small driver-issued jobs, not data volume)
+    audit = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.col("idx_version").eqNullSafe(F.lit(tag))).cast("long")
+        ).alias("n_bad"),
+        F.countDistinct(id_col).alias("n_live"),
+    ).collect()[0]
+    if audit["n_bad"]:
         raise ValueError(
-            f"bucket index at {store_path} has rows with version "
-            f"{bad[0]['idx_version']!r}, expected {tag!r} — store is "
-            "corrupt; rebuild instead of compacting"
+            f"bucket index at {store_path} has {audit['n_bad']} rows whose "
+            f"version is NULL/None or not {tag!r} — store is corrupt; "
+            "rebuild instead of compacting"
         )
-    before = idx.count()
     # dropDuplicates on id alone: the version audit above guarantees a
     # single plane set, so duplicate ids carry identical buckets.
     compacted = idx.dropDuplicates([id_col]).repartition("bucket")
     tmp = store_path.rstrip("/") + "__compacting"
     compacted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     _write_index_version(spark, tmp, tag)
-    after = spark.read.parquet(tmp).count()
 
     from etlalchemy_spark.operators.layout import swap_directory
 
     swap_directory(spark, store_path, tmp)
-    return {"rows_before": before, "rows_after": after}
+    return {"rows_before": audit["n"], "rows_after": audit["n_live"]}
 
 
 def semantic_centroid_count(n: int) -> int:
