@@ -142,37 +142,79 @@ _UNREPRESENTABLE: dict[str, list[str]] = {
     "oracle": ["\n", "\r"],
 }
 
+# Human-readable hazard description per predicate dialect (r11: the
+# pg/mysql parse-as-loader-would tests surfaced two SILENT corruption
+# channels in the \N dialects' unquoted fields).
+_HAZARD_WHY: dict[str, str] = {
+    "postgresql": (
+        "a value exactly equal to the NULL marker '\\N' — the writer "
+        "emits it unquoted, so COPY would load it as NULL"
+    ),
+    "mysql": (
+        "a backslash in a value the writer leaves UNQUOTED (no "
+        "delimiter/quote/newline to trigger quoting) — LOAD DATA's "
+        "ESCAPED BY '\\\\' processing applies outside enclosures too, "
+        "so '\\b' becomes backspace and '\\N' becomes NULL"
+    ),
+}
+
+
+def _hazard_cond(dialect: str, c: str):
+    """Column condition matching values dialect's loader would corrupt."""
+    from pyspark.sql import functions as F
+
+    if dialect == "postgresql":
+        return F.col(c) == "\\N"
+    if dialect == "mysql":
+        return F.col(c).contains("\\") & ~(
+            F.col(c).contains(",")
+            | F.col(c).contains('"')
+            | F.col(c).contains("\n")
+        )
+    bad = _UNREPRESENTABLE.get(dialect)
+    if not bad:
+        return None
+    cond = F.col(c).contains(bad[0])
+    for ch in bad[1:]:
+        cond = cond | F.col(c).contains(ch)
+    return cond
+
 
 def assert_loader_representable(df: DataFrame, dialect: str) -> None:
     """Refuse to stage data a dialect's native loader would CORRUPT
     (it cannot round-trip these characters, it mangles them silently):
-    one aggregate pass (JVM-side contains() per string column, map-side
-    max) naming the offending columns. Callers with an upstream
-    cleanliness guarantee skip it via write_csv_for_bulk_load's
-    ``validate=False``."""
+    one aggregate pass (JVM-side predicates per string column,
+    map-side max) naming the offending columns. mssql/oracle refuse
+    terminator characters; postgresql refuses values equal to the
+    '\\N' NULL marker; mysql refuses backslashes in fields its writer
+    leaves unquoted (escape processing applies outside enclosures).
+    Callers with an upstream cleanliness guarantee skip it via
+    write_csv_for_bulk_load's ``validate=False``."""
     from pyspark.sql import functions as F
 
-    bad = _UNREPRESENTABLE.get(dialect)
-    if not bad:
-        return
     cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
     if not cols:
         return
     aggs = []
     for c in cols:
-        cond = F.col(c).contains(bad[0])
-        for ch in bad[1:]:
-            cond = cond | F.col(c).contains(ch)
+        cond = _hazard_cond(dialect, c)
+        if cond is None:
+            return
         aggs.append(F.max(F.when(cond, 1).otherwise(0)).alias(c))
     row = df.agg(*aggs).collect()[0]
     offending = [c for c in cols if row[c] == 1]
     if offending:
-        names = ", ".join(repr(ch) for ch in bad)
+        why = _HAZARD_WHY.get(
+            dialect,
+            "characters ("
+            + ", ".join(repr(ch) for ch in _UNREPRESENTABLE.get(dialect, []))
+            + ")",
+        )
         raise ValueError(
-            f"columns {offending} contain characters ({names}) the "
-            f"{dialect} native loader cannot represent — they would be "
-            "corrupted, not escaped. Clean or drop them first, or pass "
-            "validate=False to accept the corruption knowingly."
+            f"columns {offending} contain {why} — the {dialect} native "
+            "loader would corrupt, not escape, these values. Clean or "
+            "drop them first, or pass validate=False to accept the "
+            "corruption knowingly."
         )
 
 
