@@ -450,14 +450,38 @@ def decode_bmp(payload: bytes) -> dict:
     if hdr_size < 40:
         raise NotImplementedError("BITMAPCOREHEADER variant not implemented")
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    top_down = height < 0
+    height = abs(height)
+    if compression == 1:  # BI_RLE8 (r11): the compressed-BMP norm
+        if bpp != 8:
+            raise ValueError(f"BI_RLE8 requires 8-bit pixels, got {bpp}")
+        if top_down:
+            raise ValueError("BI_RLE8 is bottom-up by spec (negative height)")
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = [
+            struct.unpack_from("<BBBB", payload, 14 + hdr_size + 4 * i)
+            for i in range(clr_used)
+        ]  # (B, G, R, reserved)
+        idx = _bmp_rle8_decode(payload[data_offset:], width, height)
+        sum_r = sum(pal[v][2] for row in idx for v in row)
+        sum_g = sum(pal[v][1] for row in idx for v in row)
+        sum_b = sum(pal[v][0] for row in idx for v in row)
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": height,
+            "n_pixels": width * height,
+            "sum_r": sum_r,
+            "sum_g": sum_g,
+            "sum_b": sum_b,
+        }
     if compression != 0:
         raise NotImplementedError(
-            f"BMP compression {compression} requires a codec; only BI_RGB (0) decodes"
+            f"BMP compression {compression} requires a codec; "
+            "BI_RGB (0) and BI_RLE8 (1) decode"
         )
     if bpp != 24:
         raise NotImplementedError(f"only 24-bit BMP implemented, got {bpp}")
-    top_down = height < 0
-    height = abs(height)
     px = _dib_rows(payload, data_offset, width, height, top_down=top_down)
     bgr = px.astype("int64")
     return {
@@ -469,6 +493,102 @@ def decode_bmp(payload: bytes) -> dict:
         "sum_g": int(bgr[:, :, 1].sum()),
         "sum_b": int(bgr[:, :, 0].sum()),
     }
+
+
+def _bmp_rle8_decode(data: bytes, width: int, height: int) -> list[list[int]]:
+    """BI_RLE8 (BMP spec): pairs (count, index) repeat; count == 0
+    escapes — 0 = end of line, 1 = end of bitmap, 2 = delta (dx, dy
+    skipped pixels read as index 0), n >= 3 = absolute run of n raw
+    indices padded to a word boundary. Rows are bottom-up; returns
+    top-down rows of palette indices."""
+    rows = [[0] * width for _ in range(height)]
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            for _ in range(cnt):
+                if x < width and y < height:
+                    rows[y][x] = val
+                x += 1
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("BI_RLE8: truncated delta escape")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val raw indices, word-aligned
+            if i + val > n:
+                raise ValueError("BI_RLE8: truncated absolute run")
+            for k in range(val):
+                if x < width and y < height:
+                    rows[y][x] = data[i + k]
+                x += 1
+            i += val + (val & 1)
+    return rows[::-1]  # bottom-up storage -> top-down
+
+
+def _bmp_rle8_encode(rows_idx: list[list[int]]) -> bytes:
+    """RLE8 fixture writer: encoded runs for repeats >= 2, absolute
+    mode for literal stretches (>= 3 per spec; shorter literals emit
+    as 1-runs), end-of-line / end-of-bitmap escapes. Mirrors
+    _bmp_rle8_decode so round trips exercise both modes."""
+    out = bytearray()
+    for row in rows_idx[::-1]:  # stored bottom-up
+        x, w = 0, len(row)
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            if run >= 2:
+                out += bytes([run, row[x]])
+                x += run
+            else:
+                lit_start = x
+                x += 1
+                while x < w and x - lit_start < 255:
+                    run = 1
+                    while x + run < w and run < 255 and row[x + run] == row[x]:
+                        run += 1
+                    if run >= 3:
+                        break
+                    x += run
+                    if x - lit_start >= 255:
+                        x = lit_start + 255
+                        break
+                lit = row[lit_start:x]
+                if len(lit) >= 3:
+                    out += bytes([0, len(lit)]) + bytes(lit)
+                    if len(lit) & 1:
+                        out += b"\x00"  # word alignment
+                else:
+                    for v in lit:
+                        out += bytes([1, v])
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def encode_bmp_rle8(rows_idx: list[list[int]], palette: list[tuple]) -> bytes:
+    """8-bit BI_RLE8 BMP writer: BITMAPINFOHEADER + BGRA palette +
+    RLE8 stream (bottom-up). ``palette`` entries are (r, g, b)."""
+    import struct
+
+    h = len(rows_idx)
+    w = len(rows_idx[0]) if h else 0
+    body = _bmp_rle8_encode(rows_idx)
+    pal = b"".join(struct.pack("<BBBB", b, g, r, 0) for (r, g, b) in palette)
+    data_offset = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, len(palette), 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset)
+    return hdr + info + pal + body
 
 
 def encode_bmp_24(pixels) -> bytes:

@@ -2757,3 +2757,80 @@ def mm_decode_tiff_lzw(spark, sf_dir):
         "doc_id long, compression int, predictor int, n_pixels bigint, "
         "sum_pixels bigint, max_pixel int",
     )
+
+
+# --- BMP RLE8 decode (r11) -----------------------------------------------------------
+
+_BMP_RLE_SQL = """
+WITH params AS (
+  SELECT doc_id, 4 + doc_id % 7 AS w, 3 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> (doc_id + (i // w) * 2 + (i % w) // 3) % 16) AS idx
+  FROM params
+)
+SELECT doc_id,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(list_transform(idx,
+            v -> (doc_id * 3 + v * 17) % 256), 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(list_transform(idx,
+            v -> (doc_id * 5 + v * 29) % 256), 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(list_transform(idx,
+            v -> (doc_id * 7 + v * 41) % 256), 'sum') AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("mm_decode_bmp_rle", oracle=_BMP_RLE_SQL, tags=("multimodal", "udf"))
+def mm_decode_bmp_rle(spark, sf_dir):
+    """REAL BI_RLE8 BMP decode (r11) — the compressed-BMP norm comes
+    off the refusal list: 8-bit palettized pixels, encoded runs,
+    absolute-mode literal stretches with word alignment, end-of-line
+    / end-of-bitmap escapes, bottom-up row order, BGRA palette walk
+    (operators/multimodal.py: _bmp_rle8_decode + encoder mirror so
+    round trips exercise BOTH modes — the index pattern runs in
+    3-pixel stretches precisely so runs AND literals appear). Channel
+    sums come from palette-mapped DECODED indices; the oracle
+    recomputes them from the closed-form index/palette functions, so
+    agreement proves RLE inflate + palette mapping end to end.
+    Partition-local Arrow batches; stats rows only leave."""
+    from etlalchemy_spark.operators.multimodal import decode_bmp, encode_bmp_rle8
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 7).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_pixels", "sum_r", "sum_g", "sum_b")}
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                pal = [
+                    ((doc_id * 3 + i * 17) % 256,
+                     (doc_id * 5 + i * 29) % 256,
+                     (doc_id * 7 + i * 41) % 256)
+                    for i in range(16)
+                ]
+                rows = [
+                    [(doc_id + r * 2 + c // 3) % 16 for c in range(w)]
+                    for r in range(h)
+                ]
+                d = decode_bmp(encode_bmp_rle8(rows, pal))
+                assert d["n_pixels"] == w * h
+                out["doc_id"].append(doc_id)
+                out["n_pixels"].append(d["n_pixels"])
+                out["sum_r"].append(d["sum_r"])
+                out["sum_g"].append(d["sum_g"])
+                out["sum_b"].append(d["sum_b"])
+            yield pd.DataFrame(out)
+
+    return params.mapInPandas(
+        synth,
+        "doc_id long, n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint",
+    )

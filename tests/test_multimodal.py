@@ -150,7 +150,7 @@ def test_bmp_decode_rejects_compression():
     import numpy as np
 
     bmp = bytearray(encode_bmp_24(np.zeros((1, 1, 3), np.uint8)))
-    struct.pack_into("<I", bmp, 14 + 16, 1)  # BI_RLE8
+    struct.pack_into("<I", bmp, 14 + 16, 5)  # BI_PNG (RLE8 decodes since r11)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_bmp(bytes(bmp))
 
@@ -938,3 +938,70 @@ def test_tiff_remaining_refusals_are_loud():
         decode_tiff(bytes(blob))
     with pytest.raises(NotImplementedError, match="Predictor"):
         encode_tiff_gray8([[1]], predictor=3)
+
+
+# --- BMP BI_RLE8 (r11) ---------------------------------------------------------------
+
+
+def test_bmp_rle8_stream_golden():
+    """RLE8 control bytes from the BMP spec: (n, v) repeats v n times;
+    (0, 0) ends the line, (0, 1) ends the bitmap, (0, 2) is a delta,
+    (0, n>=3) starts an absolute run padded to a word boundary."""
+    from etlalchemy_spark.operators.multimodal import _bmp_rle8_decode
+
+    # one 4-wide, 2-high image: row0 = [7,7,7,9], row1 = [1,2,3,4]
+    stream = bytes(
+        [0, 4, 1, 2, 3, 4]      # absolute run of 4 (even: no pad)
+        + [0, 0]                # end of line
+        + [3, 7, 1, 9]          # run of three 7s, single 9
+        + [0, 0, 0, 1]          # end of line, end of bitmap
+    )
+    assert _bmp_rle8_decode(stream, 4, 2) == [[7, 7, 7, 9], [1, 2, 3, 4]]
+    # absolute run of 3 carries a pad byte
+    stream2 = bytes([0, 3, 5, 6, 7, 0] + [0, 0, 0, 1])
+    assert _bmp_rle8_decode(stream2, 3, 1) == [[5, 6, 7]]
+    # delta escape skips pixels (left as index 0)
+    stream3 = bytes([1, 9, 0, 2, 2, 0, 1, 8] + [0, 0, 0, 1])
+    assert _bmp_rle8_decode(stream3, 5, 1) == [[9, 0, 0, 8, 0]]
+
+
+def test_bmp_rle8_roundtrip_and_container():
+    import random
+
+    from etlalchemy_spark.operators.multimodal import (
+        _bmp_rle8_decode,
+        _bmp_rle8_encode,
+        decode_bmp,
+        encode_bmp_rle8,
+    )
+
+    rng = random.Random(77)
+    for w, h in [(1, 1), (8, 5), (37, 23), (64, 1)]:
+        rows = [
+            [rng.choice([0, 0, 0, 1, 2, rng.randrange(16)]) for _ in range(w)]
+            for _ in range(h)
+        ]
+        assert _bmp_rle8_decode(_bmp_rle8_encode(rows), w, h) == rows
+    pal = [(i * 5 % 256, (i * 7 + 3) % 256, (i * 11 + 1) % 256) for i in range(16)]
+    rows = [[rng.randrange(16) for _ in range(37)] for _ in range(23)]
+    d = decode_bmp(encode_bmp_rle8(rows, pal))
+    assert d["sum_r"] == sum(pal[v][0] for r in rows for v in r)
+    assert d["sum_b"] == sum(pal[v][2] for r in rows for v in r)
+    assert (d["width"], d["height"]) == (37, 23)
+
+
+def test_bmp_rle8_refusals():
+    import struct
+
+    import pytest as _pytest
+
+    from etlalchemy_spark.operators.multimodal import decode_bmp, encode_bmp_rle8
+
+    blob = bytearray(encode_bmp_rle8([[1, 2]], [(0, 0, 0)] * 16))
+    struct.pack_into("<I", blob, 30, 4)  # compression = BI_JPEG
+    with _pytest.raises(NotImplementedError, match="compression 4"):
+        decode_bmp(bytes(blob))
+    blob2 = bytearray(encode_bmp_rle8([[1, 2]], [(0, 0, 0)] * 16))
+    struct.pack_into("<H", blob2, 28, 24)  # bpp 24 with RLE8: invalid
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_bmp(bytes(blob2))
