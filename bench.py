@@ -78,6 +78,28 @@ R9_SUBSET = (
     "window_topk_per_group",
 )
 
+# Frozen round-10 composition (46 queries): round 11 adds bench
+# entries (fmt_avro_roundtrip), so this subtotal keeps the BENCH_r10
+# trend line alive. Do not edit this list.
+R10_SUBSET = (
+    "agg_market_basket_lift", "agg_permutation_test", "agg_spearman_corr",
+    "dedup_exact_content_hash", "dedup_image_ahash", "dedup_incremental_lsh_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "etl_migrate_jdbc_to_jdbc",
+    "events_cuped", "events_tumbling_1h", "fmt_protobuf_roundtrip",
+    "geo_grid_knn", "graph_bfs_hops", "graph_kcore_peel",
+    "lake_dv_delete_read", "lake_time_travel_read", "mm_audio_wht_bands",
+    "mm_decode_jpeg_progressive", "mm_decode_jpeg_stats", "mm_image_sobel_energy",
+    "q10_returned_items", "q1_pricing_summary", "q21_waiting_supplier",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q9_product_profit", "sim_cosine_topk_exact", "sim_hybrid_rrf_fusion",
+    "sketch_bitmap_distinct_total", "sketch_bloom_membership", "sketch_cms_registers",
+    "sketch_kmv_union_jaccard", "sketch_quantile_histogram", "text_bpe_tokenize",
+    "text_duplicate_passage_spans", "text_js_divergence", "text_quality_score",
+    "text_tfidf_topterms", "text_unigram_commonness", "text_unigram_logprob",
+    "ts_gapfill_hourly", "ts_rollup_cascade", "window_sessionize",
+    "window_topk_per_group",
+)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlalchemy_spark.registry import all_queries
@@ -137,6 +159,10 @@ def main() -> None:
                     sum(timings[q] for q in R9_SUBSET if q in timings), 3
                 ),
                 "r9_comparable_n": sum(1 for q in R9_SUBSET if q in timings),
+                "r10_comparable_subtotal": round(
+                    sum(timings.get(q, 0.0) for q in R10_SUBSET), 3
+                ),
+                "r10_comparable_n": sum(1 for q in R10_SUBSET if q in timings),
             }
         )
     )
