@@ -11,12 +11,10 @@ CACHE (spec hash 0x1e35a7bd, every produced pixel inserts), and the
 SUBTRACT_GREEN transform.
 
 All four spec transforms decode: SUBTRACT_GREEN, PREDICTOR (14
-modes), CROSS_COLOR, COLOR_INDEXING (palette). Honest sub-boundaries
-(each refusal names the exact field; meta-Huffman partitioning and
-sub-byte pixel bundling both DECODE as of r10):
-- 2D-neighbor distance map (plane codes <= 120; the in-house encoder
-  always emits raw distances, plane code = dist + 120)
-- VP8 (lossy) chunks
+modes), CROSS_COLOR, COLOR_INDEXING (palette). The 2D-neighbor
+distance map (plane codes 1..120) decodes as of r11 (``_DIST_MAP``);
+the encoder emits plane codes with ``plane_codes=True``. The one
+remaining refusal: VP8 (lossy) chunks.
 
 Scale shape: like every codec here, decode runs partition-local
 inside Arrow ``mapInPandas`` batches; only stats rows leave."""
@@ -24,6 +22,42 @@ inside Arrow ``mapInPandas`` batches; only stats rows leave."""
 from __future__ import annotations
 
 import struct
+
+# 2D-neighbor distance map (spec "distance mapping", plane codes
+# 1..120).  The spec lists 120 (xoffset, yoffset) pairs; the listing
+# is exactly the neighbors {x in [-7, 8], y in [0, 7]} minus the
+# non-causal row {y == 0, x <= 0}, ordered by squared Euclidean
+# distance with ties broken by |x| then positive-x-first.  We derive
+# it from that rule rather than transcribing 120 literals — the
+# derivation reproduces the spec table row-for-row (pinned in
+# tests/test_webp.py::test_distance_map_matches_spec_listing).
+_DIST_MAP: list = sorted(
+    [(x, y) for y in range(8) for x in range(-7, 9) if not (y == 0 and x <= 0)],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
+)
+
+
+def _map_dist(plane: int, w: int) -> int:
+    """Plane code -> pixel distance at coded width w. Codes > 120 are
+    raw (dist = code - 120); codes 1..120 look up the neighbor map,
+    clamped to 1 when the mapped offset is non-causal at this width."""
+    if plane > 120:
+        return plane - 120
+    x, y = _DIST_MAP[plane - 1]
+    return max(1, x + y * w)
+
+
+def _dist_inverse(w: int) -> dict:
+    """dist -> smallest plane code mapping to it at coded width w.
+    Only exact (unclamped, >= 1) distances are invertible; anything
+    else encodes raw as dist + 120."""
+    inv: dict = {}
+    for code, (x, y) in enumerate(_DIST_MAP, start=1):
+        d = x + y * w
+        if d >= 1 and d not in inv:
+            inv[d] = code
+    return inv
+
 
 # ---------------------------------------------------------------- bit I/O
 
@@ -386,13 +420,21 @@ def _predict_at(out: list, idx: int, w: int, mode: int):
 # ----------------------------------------------- entropy-coded image I/O
 
 def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool,
-                         w: int | None = None, meta=None) -> None:
+                         w: int | None = None, meta=None,
+                         plane_codes: bool = False) -> None:
     """Write one entropy-coded image (token stream + Huffman codes).
     ``tx`` is the flat pixel list in coded space. ``meta`` (main image
     only) = (mbits, group_idx) partitions the image into 2^mbits
     blocks each selecting its own 5-code group (the spec's
     meta-Huffman 'entropy image'); a token uses the group of its
-    START pixel."""
+    START pixel. ``plane_codes`` emits mapped 2D-neighbor distances
+    (plane codes 1..120) where the distance is invertible, and also
+    detects vertical (dist = w) runs so the map path is exercised."""
+    inv = _dist_inverse(w) if plane_codes and w else {}
+
+    def dcode_of(dist: int) -> int:
+        return inv.get(dist, dist + 120)
+
     cache = [None] * (1 << cache_bits) if cache_bits else []
     tokens: list = []  # (start_pos, tok)
     i = 0
@@ -400,7 +442,15 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
         run = 0
         while i + run < len(tx) and run < 4096 and i > 0 and tx[i + run] == tx[i - 1]:
             run += 1
-        if run >= 4:
+        vrun = 0
+        if plane_codes and w and i >= w:
+            while (i + vrun < len(tx) and vrun < 4096
+                   and tx[i + vrun] == tx[i + vrun - w]):
+                vrun += 1
+        if vrun >= 4 and vrun > run:
+            tokens.append((i, ("copy", vrun, w)))
+            step = vrun
+        elif run >= 4:
             tokens.append((i, ("copy", run, 1)))
             step = run
         else:
@@ -449,7 +499,7 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
             _, length, dist = tok
             lp, _, _ = _prefix_encode(length)
             gf[256 + lp] = gf.get(256 + lp, 0) + 1
-            dp, _, _ = _prefix_encode(dist + 120)
+            dp, _, _ = _prefix_encode(dcode_of(dist))
             df[dp] = df.get(dp, 0) + 1
     for grp in freqs:
         for f in grp:
@@ -501,7 +551,7 @@ def _write_entropy_image(bw: BitWriter, tx: list, cache_bits: int, is_main: bool
             lp, lx, ln = _prefix_encode(length)
             emit(gcode, 256 + lp)
             bw.write(lx, ln)
-            dp, dx, dn = _prefix_encode(dist + 120)
+            dp, dx, dn = _prefix_encode(dcode_of(dist))
             emit(dcode, dp)
             bw.write(dx, dn)
 
@@ -568,11 +618,7 @@ def _read_entropy_image(br: BitReader, w: int, h: int, is_main: bool) -> list:
             length = _prefix_decode(s - 256, br)
             dp = dtree.read(br)
             plane = _prefix_decode(dp, br)
-            if plane <= 120:
-                raise NotImplementedError(
-                    "VP8L: 2D-neighbor distance map (plane code <= 120)"
-                )
-            dist = plane - 120
+            dist = _map_dist(plane, w)
             for _ in range(length):
                 out.append(out[-dist])
                 insert(out[-1])
@@ -602,11 +648,14 @@ def _ct_delta(t: int, c: int) -> int:
 
 def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
                          color_transform=None, palette: bool = False,
-                         meta_split: bool = False) -> bytes:
+                         meta_split: bool = False,
+                         plane_codes: bool = False) -> bytes:
     """pixels: list of rows of (r, g, b, a) tuples. Emits a
     spec-correct VP8L stream. Default: SUBTRACT_GREEN + color cache +
     literals/LZ77-runs/cache-refs, raw distances (plane code =
-    dist + 120). ``predictor_mode`` (0..13) switches to the PREDICTOR
+    dist + 120); ``plane_codes=True`` emits mapped 2D-neighbor
+    distance codes (1..120) where invertible and adds vertical-run
+    detection. ``predictor_mode`` (0..13) switches to the PREDICTOR
     transform (one whole-image block, residual coding over
     reconstructed neighbors). ``color_transform`` = (green_to_red,
     green_to_blue, red_to_blue) byte triple switches to CROSS_COLOR
@@ -728,7 +777,8 @@ def encode_webp_lossless(pixels, cache_bits: int = 6, predictor_mode=None,
         meta_arg = (mbits, group_idx)
     else:
         meta_arg = None
-    _write_entropy_image(bw, tx, cache_bits, is_main=True, w=w_main, meta=meta_arg)
+    _write_entropy_image(bw, tx, cache_bits, is_main=True, w=w_main, meta=meta_arg,
+                         plane_codes=plane_codes)
 
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

@@ -2448,10 +2448,10 @@ def mm_decode_webp_stats(spark, sf_dir):
     lengths/distances, SUBTRACT_GREEN transform — and, since late
     r10, all four transforms (PREDICTOR/CROSS_COLOR/COLOR_INDEXING
     incl. sub-byte bundling), color cache and meta-Huffman splits
-    (this query's fixtures exercise predictor, cross-color and
-    meta-split paths by doc_id class). The remaining loud refusals
-    are 2D-neighbor distance maps (plane code <= 120) and lossy
-    VP8. Each doc synthesizes deterministic RGBA pixels, ENCODES them
+    (this query's fixtures exercise predictor, cross-color,
+    meta-split and — since r11 — 2D-neighbor distance-map paths by
+    doc_id class). The one remaining loud refusal is lossy VP8.
+    Each doc synthesizes deterministic RGBA pixels, ENCODES them
     to a real VP8L stream (in-house spec-correct encoder,
     operators/webp.py; golden header bits + roundtrip properties in
     tests/test_webp.py), and DECODES back through the full Huffman+
@@ -2498,8 +2498,14 @@ def mm_decode_webp_stats(spark, sf_dir):
                         encode_webp_lossless(px, color_transform=ct)
                     )
                 else:
+                    # odd ids: meta-Huffman split; even ids: mapped
+                    # 2D-neighbor distance codes (plane codes 1..120)
                     payloads.append(
-                        encode_webp_lossless(px, meta_split=(doc_id % 2 == 1))
+                        encode_webp_lossless(
+                            px,
+                            meta_split=(doc_id % 2 == 1),
+                            plane_codes=(doc_id % 2 == 0),
+                        )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
