@@ -3273,3 +3273,543 @@ def agg_gains_lift(spark, sf_dir):
             / (F.col("cn").cast("double") / F.col("n").cast("double"))
         ).alias("cum_lift"),
     )
+
+
+# --- Kruskal-Wallis rank test (r11) ----------------------------------------------------
+
+_KW_BASE_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+),
+gv AS (
+  SELECT grp, v, COUNT(*) AS c FROM s GROUP BY grp, v
+),
+vt AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM gv GROUP BY v
+),
+p AS (
+  SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM vt
+),
+rg AS (
+  SELECT gv.grp,
+         CAST(SUM(gv.c) AS BIGINT) AS n_g,
+         CAST(SUM(gv.c * (2 * p.cum_before + p.t + 1)) AS BIGINT) AS two_r
+  FROM gv JOIN p ON gv.v = p.v
+  GROUP BY gv.grp
+),
+tt AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM p
+),
+agg AS (
+  SELECT COUNT(*) AS k,
+         CAST(ROUND(SUM(CAST(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+              / CAST(4 * n_g AS DOUBLE) AS DECIMAL(38,8))), 8) AS DOUBLE) AS sum_term
+  FROM rg
+)
+SELECT CAST(tt.n AS BIGINT) AS n_total,
+       CAST(agg.k AS BIGINT) AS k_groups,
+       CAST(agg.k - 1 AS BIGINT) AS dof,
+       (12e0 * agg.sum_term
+          / (CAST(tt.n AS DOUBLE) * CAST(tt.n + 1 AS DOUBLE))
+        - 3e0 * CAST(tt.n + 1 AS DOUBLE))
+       / (1e0 - CAST(tt.sum_t AS DOUBLE)
+            / (CAST(tt.n AS DOUBLE) * CAST(tt.n AS DOUBLE) * CAST(tt.n AS DOUBLE)
+               - CAST(tt.n AS DOUBLE))) AS h_stat
+FROM agg CROSS JOIN tt
+"""
+
+_KW_ST, _ = chi2_pvalue_stages("h_stat", "dof")
+_KW_SQL = _KW_ST.duckdb_sql(
+    _KW_BASE_SQL,
+    "SELECT n_total, k_groups, dof, h_stat, p_value",
+)
+
+
+@register("agg_kruskal_wallis", oracle=_KW_SQL, tags=("agg", "stats", "scale"))
+def agg_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test across order priorities on order totals —
+    the k-group generalization of `agg_mann_whitney_u` (and the
+    nonparametric sibling of `agg_anova_oneway`): 'did ANY priority's
+    distribution shift?'. NO global window: per-(group, value) counts
+    collapse the sample, the tie-averaged rank identity 2*rank(v) =
+    2*cum_before(v) + t + 1 turns each group's rank sum into the exact
+    integer 2*R_g, and the one global prefix (cum_before over the
+    value table) runs through the range-bucketed two-phase
+    decomposition (operators/prefix.py) — hash aggregates plus one
+    bucket-parallel prefix at any scale. Per-group terms
+    (2R_g)^2/(4 n_g) are correctly-rounded doubles of exact int64
+    operands quantized to decimal(38,8) so the k-term sum is
+    order-free (the chi2 idiom); H gets the standard tie correction
+    1 - sum(t^3-t)/(N^3-N) and its upper-tail chi-square p-value
+    Q((k-1)/2, H/2) from the shared staged IEEE incomplete-gamma
+    (queries/_special.py) — hash-exact across engines."""
+    from etlalchemy_spark.operators.prefix import running_global_sum
+
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    )
+    gv = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    vt = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    p = running_global_sum(
+        vt, F.col("v"), [], F.col("t").cast("decimal(38,0)"), alias="_cum", n_buckets=16
+    ).withColumn("cum_before", (F.col("_cum") - F.col("t")).cast("decimal(38,0)"))
+    d38 = "decimal(38,0)"
+    rg = (
+        gv.join(p.select("v", "t", "cum_before"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("c").cast(d38)
+                * (F.lit(2).cast(d38) * F.col("cum_before") + F.col("t") + 1)
+            ).cast("bigint").alias("two_r"),
+        )
+    )
+    tt = p.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("sum_t"),
+        F.sum("t").cast("bigint").alias("n"),
+    )
+    term = (
+        F.col("two_r").cast("double") * F.col("two_r").cast("double")
+        / (F.lit(4) * F.col("n_g")).cast("double")
+    ).cast("decimal(38,8)")
+    agg = rg.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(term).cast("decimal(38,8)").cast("double").alias("sum_term"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("sum_term") / (nd * (F.col("n") + 1).cast("double"))
+        - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    ) / (
+        F.lit(1.0) - F.col("sum_t").cast("double") / (nd * nd * nd - nd)
+    )
+    base = agg.crossJoin(F.broadcast(tt)).select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        h.alias("h_stat"),
+    )
+    st, _ = chi2_pvalue_stages("h_stat", "dof")
+    return st.apply_spark(base.repartition(1)).select(
+        "n_total", "k_groups", "dof", "h_stat", "p_value"
+    )
+
+
+# --- Jarque-Bera normality test (r11) --------------------------------------------------
+
+_JB_BASE_SQL = """
+WITH x AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c * c) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS VARCHAR) AS DOUBLE) AS s4
+  FROM x
+),
+mm AS (
+  SELECT n, s1 / n AS mu, s2, s3, s4 FROM m
+),
+cm AS (
+  SELECT n,
+         s2 / n - mu * mu AS m2,
+         s3 / n - 3e0 * mu * s2 / n + 2e0 * mu * mu * mu AS m3,
+         s4 / n - 4e0 * mu * s3 / n + 6e0 * mu * mu * s2 / n
+           - 3e0 * mu * mu * mu * mu AS m4
+  FROM mm
+),
+g AS (
+  SELECT n, m3 / (m2 * sqrt(m2)) AS g1, m4 / (m2 * m2) - 3e0 AS g2 FROM cm
+)
+SELECT CAST(n AS BIGINT) AS n_total,
+       g1 AS skewness,
+       g2 AS excess_kurtosis,
+       n / 6e0 * (g1 * g1 + g2 * g2 / 4e0) AS jb_stat,
+       CAST(2 AS BIGINT) AS dof
+FROM g
+"""
+
+_JB_ST, _ = chi2_pvalue_stages("jb_stat", "dof")
+_JB_SQL = _JB_ST.duckdb_sql(
+    _JB_BASE_SQL,
+    "SELECT n_total, skewness, excess_kurtosis, jb_stat, dof, p_value",
+)
+
+
+@register("agg_jarque_bera", oracle=_JB_SQL, tags=("agg", "stats"))
+def agg_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test on order totals — 'can downstream
+    models assume Gaussian?' answered from ONE scan: the four raw
+    power sums of exact integer cents (decimal38 Spark-side, hugeint
+    in DuckDB, VARCHAR-routed to double so both engines see the same
+    correctly-rounded operand — the `agg_anova_oneway` idiom), then a
+    fixed IEEE chain to central moments, skewness g1, excess kurtosis
+    g2, JB = n/6 (g1^2 + g2^2/4), and the chi-square(2) upper tail
+    from the shared staged incomplete-gamma (queries/_special.py).
+    x^1.5 is spelled m2*sqrt(m2) (pow carries no cross-engine
+    rounding guarantee). Map-side partial aggregation, one row out —
+    the c^4 sum bounds exactness to ~sf1 corpora in decimal38;
+    beyond that re-center first (documented, not silent)."""
+    o = t(spark, sf_dir, "orders")
+    c = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    c19 = c.cast("decimal(19,0)")
+    m = o.select(
+        c19.alias("c1"),
+        (c19 * c19).alias("c2"),
+        (c19 * c19 * c19).alias("c3"),
+        ((c19 * c19) * (c19 * c19)).alias("c4"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c1").cast("double").alias("s1"),
+        F.sum("c2").cast("double").alias("s2"),
+        F.sum("c3").cast("double").alias("s3"),
+        F.sum("c4").cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * s2 / n + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n - F.lit(4.0) * mu * s3 / n + F.lit(6.0) * mu * mu * s2 / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    base = m.select(
+        n.cast("bigint").alias("n_total"),
+        g1.alias("skewness"),
+        g2.alias("excess_kurtosis"),
+        (n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))).alias("jb_stat"),
+        F.lit(2).cast("bigint").alias("dof"),
+    )
+    st, _ = chi2_pvalue_stages("jb_stat", "dof")
+    return st.apply_spark(base.repartition(1)).select(
+        "n_total", "skewness", "excess_kurtosis", "jb_stat", "dof", "p_value"
+    )
+
+
+# --- Kendall tau-b rank correlation (r11) ----------------------------------------------
+
+_KENDALL_SQL = """
+WITH s AS (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         CAST(l_discount AS DECIMAL(12,2)) AS y
+  FROM lineitem
+),
+cells AS (SELECT x, y, COUNT(*) AS c FROM s GROUP BY x, y),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+tx AS (
+  SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS two_tx
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS two_ty
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)
+),
+cd AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0) AS BIGINT) AS conc,
+    CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0) AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+)
+SELECT n.n AS n_total,
+       conc AS concordant,
+       disc AS discordant,
+       two_tx AS two_ties_x,
+       two_ty AS two_ties_y,
+       CAST(conc - disc AS DOUBLE) / sqrt(
+           ((CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE) - CAST(two_tx AS DOUBLE)) / 2e0)
+         * ((CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE) - CAST(two_ty AS DOUBLE)) / 2e0)
+       ) AS tau_b
+FROM cd CROSS JOIN n CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_SQL, tags=("agg", "stats", "scale"))
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between line quantity and
+    discount — the tie-robust ordinal association measure
+    (`agg_spearman_corr`'s sibling; tau is preferred when both axes
+    are coarse). The O(n^2) pair enumeration NEVER happens: the fact
+    table collapses to per-(x, y) VALUE cells (bounded by
+    |distinct quantity| x |distinct discount| — 550 here), and
+    concordant/discordant pair counts are exact-integer sums over the
+    broadcast cell-table self-join (a.x < b.x enumerates each
+    unordered different-x pair once; y-compare splits C from D; ties
+    on either axis drop out, landing in the tau-b denominator's
+    t(t-1) corrections). Everything is int64-exact until the closing
+    fixed IEEE chain. Scale: fact rows only feed one hash-agg; the
+    pair join is |cells|^2, independent of N."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_discount").cast("decimal(12,2)").alias("y"),
+    )
+    cells = s.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    tx = (
+        cells.groupBy("x").agg(F.sum("c").cast("bigint").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("bigint").alias("two_tx"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("c").cast("bigint").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("bigint").alias("two_ty"))
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("ax") < F.col("bx"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ay") < F.col("by"), F.col("ac") * F.col("bc"))),
+                F.lit(0),
+            ).cast("bigint").alias("conc"),
+            F.coalesce(
+                F.sum(F.when(F.col("ay") > F.col("by"), F.col("ac") * F.col("bc"))),
+                F.lit(0),
+            ).cast("bigint").alias("disc"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    half_x = (nd * (F.col("n") - 1).cast("double") - F.col("two_tx").cast("double")) / F.lit(2.0)
+    half_y = (nd * (F.col("n") - 1).cast("double") - F.col("two_ty").cast("double")) / F.lit(2.0)
+    return (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.col("two_tx").alias("two_ties_x"),
+            F.col("two_ty").alias("two_ties_y"),
+            ((F.col("conc") - F.col("disc")).cast("double")
+             / F.sqrt(half_x * half_y)).alias("tau_b"),
+        )
+    )
+
+
+# --- Brown-Forsythe variance-equality test (r11) ---------------------------------------
+
+_BF_BASE_SQL = """
+WITH x AS (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+gv AS (SELECT grp, v, COUNT(*) AS c FROM x GROUP BY grp, v),
+p AS (
+  SELECT grp, v, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n_g
+  FROM gv
+),
+med AS (
+  SELECT grp, MIN(v) AS med
+  FROM p WHERE cum >= (n_g + 1) // 2
+  GROUP BY grp
+),
+z AS (
+  SELECT p.grp, p.c, ABS(p.v - med.med) AS z
+  FROM p JOIN med ON p.grp = med.grp
+),
+g AS (
+  SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * z) AS s,
+         SUM(CAST(c AS HUGEINT) * z * z) AS q
+  FROM z GROUP BY grp
+),
+terms AS (
+  SELECT grp, n, s, q,
+         CAST(CAST(CAST(CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+              / CAST(n AS DOUBLE) AS DECIMAL(38,8)) AS term
+  FROM g
+),
+a AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+         CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS st
+  FROM terms
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n_total,
+       ((st - CAST(CAST(CAST(ss AS HUGEINT) * ss AS VARCHAR) AS DOUBLE)
+              / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+       / ((CAST(CAST(qq AS VARCHAR) AS DOUBLE) - st)
+          / CAST(nn - k AS DOUBLE)) AS w_stat
+FROM a
+"""
+
+_BF_ST = SqlStages()
+_BF_ST.add("CAST(k_groups - 1 AS DOUBLE)", name="_d1")
+_BF_ST.add("CAST(n_total - k_groups AS DOUBLE)", name="_d2")
+_BF_ST, _ = f_pvalue_stages("w_stat", "_d1", "_d2", st=_BF_ST)
+_BF_SQL = _BF_ST.duckdb_sql(
+    _BF_BASE_SQL, "SELECT k_groups, n_total, w_stat, p_value"
+)
+
+
+@register("agg_brown_forsythe", oracle=_BF_SQL, tags=("agg", "stats", "scale"))
+def agg_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-equality test across order priorities
+    (the median-centered Levene test — 'is `agg_anova_oneway`'s
+    equal-variance premise even true?'). NO fact-table sort: rows
+    collapse to per-(group, value) cells; each group's LOWER median
+    is the order statistic the per-group cumulative (over value rows,
+    the `agg_spearman_corr` window shape) first reaches at rank
+    ceil(n/2); deviations z = |v - median| stay exact integers, and
+    the one-way ANOVA on z reuses `agg_anova_oneway`'s exact
+    sufficient-statistic idiom verbatim (int128/decimal38 power sums,
+    VARCHAR-routed doubles, per-group terms quantized to
+    decimal(38,8)). F(k-1, N-k) upper tail from the shared staged
+    IEEE incomplete-beta. Cost: two hash-aggs + one value-table
+    window + a 5-row broadcast join back."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
+    )
+    gv = x.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("grp").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("grp")
+    p = gv.select(
+        "grp", "v", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n_g"),
+    )
+    # the group's lower median, attached by one more window over the
+    # already-sorted value rows (no join-back, no recomputed subtree)
+    med = F.min(
+        F.when(F.col("cum") >= F.floor((F.col("n_g") + 1) / 2), F.col("v"))
+    ).over(wall)
+    z = p.select("grp", "c", F.abs(F.col("v") - med).alias("z"))
+    c19 = F.col("c").cast("decimal(19,0)")
+    z19 = F.col("z").cast("decimal(19,0)")
+    g = z.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(c19 * z19).alias("s"),
+        F.sum(c19 * z19 * z19).alias("q"),
+    )
+    term = (
+        (F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+        .cast("double") / F.col("n").cast("double")
+    ).cast("decimal(38,8)")
+    a = g.select("n", "s", "q", term.alias("term")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum("q").cast("decimal(38,0)").alias("qq"),
+        F.sum("term").cast("double").alias("st"),
+    )
+    grand = (F.col("ss") * F.col("ss")).cast("double") / F.col("nn").cast("double")
+    base = a.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        (
+            ((F.col("st") - grand) / (F.col("k") - 1).cast("double"))
+            / ((F.col("qq").cast("double") - F.col("st"))
+               / (F.col("nn") - F.col("k")).cast("double"))
+        ).alias("w_stat"),
+    )
+    st = SqlStages()
+    st.add("CAST(k_groups - 1 AS DOUBLE)", name="_d1")
+    st.add("CAST(n_total - k_groups AS DOUBLE)", name="_d2")
+    st, _ = f_pvalue_stages("w_stat", "_d1", "_d2", st=st)
+    return st.apply_spark(base.repartition(1)).select(
+        "k_groups", "n_total", "w_stat", "p_value"
+    )
+
+
+# --- Theil-Sen robust trend slope (r11) ------------------------------------------------
+
+_THEILSEN_SQL = """
+WITH w AS (
+  SELECT o_orderpriority AS grp,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) // 7 AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.grp,
+         (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+           / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM w a JOIN w b ON a.grp = b.grp AND a.x < b.x
+),
+r AS (
+  SELECT grp, slope,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS m
+  FROM pairs
+)
+SELECT grp, CAST(MAX(m) AS BIGINT) AS n_pairs,
+       MAX(CASE WHEN rn = (m + 1) // 2 THEN slope END) AS sen_slope
+FROM r GROUP BY grp ORDER BY grp
+"""
+
+
+@register("agg_theil_sen", oracle=_THEILSEN_SQL, tags=("agg", "stats"))
+def agg_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slope of weekly revenue per order
+    priority — the median of all pairwise slopes, the regression
+    `agg_ols_by_group` reaches for when outlier weeks wreck least
+    squares (breakdown point 29%). The fact table first collapses to
+    the weekly series (week = days-since-epoch // 7, arithmetic so
+    both engines bucket identically — never date_trunc, whose week
+    convention is dialect lore); the O(n^2) pair space is over WEEKS,
+    bounded by the calendar (~400/group here), never over fact rows.
+    Slopes are exact-operand IEEE divisions; the per-group median is
+    the LOWER order statistic (rank (m+1)//2), a real slope value —
+    no interpolation. Scale: one hash-agg over facts, then a
+    calendar-bounded self-join + per-group window over pair rows."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) / 7
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("y"))
+    )
+    a = w.select(F.col("grp"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = w.select(F.col("grp"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(F.broadcast(b), ["grp"]).where(F.col("ax") < F.col("bx")).select(
+        "grp",
+        (
+            (F.col("by").cast("double") - F.col("ay").cast("double"))
+            / (F.col("bx") - F.col("ax")).cast("double")
+        ).alias("slope"),
+    )
+    win = W.partitionBy("grp").orderBy("slope")
+    r = pairs.select(
+        "grp", "slope",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("m"),
+    )
+    return (
+        r.groupBy("grp")
+        .agg(
+            F.max("m").cast("bigint").alias("n_pairs"),
+            F.max(
+                F.when(F.col("rn") == F.floor((F.col("m") + 1) / 2), F.col("slope"))
+            ).alias("sen_slope"),
+        )
+        .orderBy("grp")
+    )
