@@ -17,10 +17,14 @@ Supported (the format's two dominant profiles):
 - DC prediction, AC run-length with ZRL/EOB, byte stuffing
 - Huffman tables are read FROM THE FILE's DHT segments, so decode is
   self-contained; the encoder writes the Annex-K standard tables
+- 16-bit (Pq=1) quantization tables, read AND written (r11)
+- LOSSLESS (SOF3, r11): T.81 Annex-H predictors 1-7, point transform,
+  2..16-bit precision, 1/3 components — bit-exact, no DCT
+  (decode_jpeg routes SOF3 scans; encode_jpeg_lossless is the twin)
 
 Refused LOUDLY with the exact unsupported field (honest boundaries):
-lossless/hierarchical/extended-sequential SOFs, arithmetic coding,
-16-bit quant tables, other subsampling geometries.
+hierarchical/extended-sequential SOFs, arithmetic coding, other
+subsampling geometries, lossless restart intervals.
 
 IDCT/DCT are float64 matrix products; block reconstruction rounds via
 floor(x + 0.5) and clamps — for DC-only blocks (each 8x8 block a
@@ -229,8 +233,15 @@ def _dht_segment(tc: int, th: int, spec: tuple[list[int], list[int]]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def _dqt_segment(tid: int, q: np.ndarray) -> bytes:
-    body = bytes([tid]) + bytes(int(v) for v in q)
+def _dqt_segment(tid: int, q: np.ndarray, pq: int = 0) -> bytes:
+    """Pq=0: 8-bit entries; Pq=1: 16-bit big-endian entries (T.81
+    B.2.4.1 — what 12-bit-era and some 8-bit-stream encoders emit)."""
+    if pq:
+        body = bytes([0x10 | tid]) + b"".join(
+            struct.pack(">H", int(v)) for v in q
+        )
+    else:
+        body = bytes([tid]) + bytes(int(v) for v in q)
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
@@ -241,6 +252,7 @@ def encode_jpeg(
     quality: int = 100,
     subsampling: str = "444",
     restart_interval: int = 0,
+    dqt_16bit: bool = False,
 ) -> bytes:
     """Baseline JPEG from YCbCr planes (grayscale when cb/cr omitted).
     Planes must be uint8 2-D; luma dims must be multiples of 8 (444 /
@@ -280,9 +292,10 @@ def encode_jpeg(
     acc = _canonical_codes(*AC_CHROMA_SPEC)
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _dqt_segment(0, ql)
+    pq = 1 if dqt_16bit else 0
+    out += _dqt_segment(0, ql, pq=pq)
     if color:
-        out += _dqt_segment(1, qc)
+        out += _dqt_segment(1, qc, pq=pq)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0
@@ -400,6 +413,28 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
+def _parse_dqt(seg: bytes, qtabs: dict) -> None:
+    """DQT body: one or more (PqTq, entries) tables. Pq=0: 64 8-bit
+    entries; Pq=1: 64 16-bit big-endian entries (T.81 B.2.4.1)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        if pq == 1:
+            if len(seg) - p - 1 < 128:
+                raise ValueError("DQT Pq=1 table truncated")
+            qtabs[tq] = np.frombuffer(seg[p + 1:p + 129], dtype=">u2").astype(
+                np.int32
+            )
+            p += 129
+        elif pq == 0:
+            qtabs[tq] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(
+                np.int32
+            )
+            p += 65
+        else:
+            raise ValueError(f"DQT precision field Pq={pq} (0 or 1)")
+
+
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline sequential JPEG. Returns format/width/height/
     n_pixels, subsampling, per-plane stored sums (sum_y/sum_cb/sum_cr
@@ -424,16 +459,7 @@ def decode_jpeg(payload: bytes) -> dict:
         seg = payload[pos + 2:pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables (DQT Pq=1) not supported"
-                    )
-                qtabs[tq] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(
-                    np.int32
-                )
-                p += 65
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -469,13 +495,23 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "progressive": True}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless sequential (r11)
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"lossless sample precision {prec} (2..16)")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "lossless": True,
+                     "prec": prec}
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             kinds = {0xC1: "extended sequential (SOF1)"}
             raise NotImplementedError(
                 f"{kinds.get(marker, f'SOF marker 0xFF{marker:02X}')} not "
-                "supported — baseline sequential (SOF0) and progressive "
-                "(SOF2) only"
+                "supported — baseline (SOF0), progressive (SOF2) and "
+                "lossless (SOF3) only"
             )
         elif marker == 0xDD:  # DRI (r10): RSTn every ri MCUs in the scan
             ri = struct.unpack(">H", seg[:2])[0]
@@ -493,6 +529,12 @@ def decode_jpeg(payload: bytes) -> dict:
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tds >> 4, tds & 0xF)
+            if frame.get("lossless"):
+                sel = seg[1 + 2 * ns]  # Ss = predictor selector 1..7
+                pt = seg[3 + 2 * ns] & 0xF  # Al = point transform
+                return _decode_lossless(
+                    payload, pos + seg_len, frame, scan, htabs, ri, sel, pt
+                )
             return _decode_scan(payload, pos + seg_len, frame, scan, qtabs, htabs, ri)
         pos += seg_len
     raise ValueError("no scan (SOS) found")
@@ -627,6 +669,160 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs, ri: int = 0) -> dict:
     return _planes_to_stats(h, w, comps, planes, sub, hmax, vmax)
 
 
+LOSSLESS_DC_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    list(range(17)),
+)  # 17 difference categories (SSSS 0..16) for the lossless process
+
+
+def _ll_predict(plane, yy: int, xx: int, sel: int, default: int) -> int:
+    """T.81 H.1.2: prediction for the lossless process. First sample
+    uses 2^(P-Pt-1); the rest of the first line predicts from Ra
+    (left); the first column predicts from Rb (above); elsewhere the
+    scan-selected predictor 1..7 over (Ra, Rb, Rc). >> is the
+    arithmetic shift the spec (and libjpeg) uses."""
+    if yy == 0 and xx == 0:
+        return default
+    if yy == 0:
+        return int(plane[0, xx - 1])
+    if xx == 0:
+        return int(plane[yy - 1, 0])
+    ra, rb, rc = int(plane[yy, xx - 1]), int(plane[yy - 1, xx]), int(plane[yy - 1, xx - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor selector {sel} (1..7)")
+
+
+def _decode_lossless(payload, pos, frame, scan, htabs, ri: int, sel: int,
+                     pt: int) -> dict:
+    """SOF3 lossless sequential (T.81 Annex H): Huffman-coded
+    prediction differences, no DCT/quantization — bit-exact samples at
+    2..16-bit precision. Supports 1- and 3-component scans with 1x1
+    sampling; components pass through UNTRANSFORMED (the lossless
+    process defines no color transform), so sum_r/g/b are the raw
+    component sums. Restart intervals refuse loudly (predictor
+    re-init across RST boundaries is not wired)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame["prec"]
+    if ri:
+        raise NotImplementedError("lossless restart intervals (DRI > 0)")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"lossless with {len(comps)} components")
+    for c in comps:
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError("lossless sampling factors must be 1x1")
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    tables = [htabs[(0, scan[c["id"]][0])] for c in comps]
+    reader = _BitReader(payload, pos)
+    default = 1 << (prec - pt - 1)
+    for yy in range(h):
+        for xx in range(w):
+            for ci, plane in enumerate(planes):
+                ssss = _decode_huff(reader, tables[ci])
+                if ssss == 16:  # T.81 H.2: 32768 with no extra bits
+                    diff = 32768
+                elif ssss:
+                    diff = _extend(reader.bits(ssss), ssss)
+                else:
+                    diff = 0
+                pred = _ll_predict(plane, yy, xx, sel, default)
+                plane[yy, xx] = (pred + diff) & 0xFFFF  # mod 2^16 (H.1.2.1)
+    sums = [int(pl.sum()) for pl in planes]
+    gray = len(planes) == 1
+    return {
+        "format": "jpeg_lossless",
+        "width": w,
+        "height": h,
+        "subsampling": "lossless",
+        "n_pixels": int(w) * int(h),
+        "precision": prec,
+        "predictor": sel,
+        "sum_y": sums[0],
+        "sum_cb": 0 if gray else sums[1],
+        "sum_cr": 0 if gray else sums[2],
+        "sum_r": sums[0],
+        "sum_g": sums[0] if gray else sums[1],
+        "sum_b": sums[0] if gray else sums[2],
+        "planes": planes,
+    }
+
+
+def encode_jpeg_lossless(planes, predictor: int = 1, precision: int = 8,
+                         point_transform: int = 0) -> bytes:
+    """Lossless JPEG (SOF3) from 1 or 3 full-resolution sample planes
+    (2-D arrays, values < 2^precision). The inverse of
+    _decode_lossless: per-sample prediction (T.81 H.1.2), differences
+    mod 2^16 mapped to SSSS categories (16 = the no-extra-bits 32768
+    case), one 17-symbol DC-style Huffman table shared by all
+    components. point_transform > 0 right-shifts inputs by Pt before
+    coding (the decoder reconstructs the shifted samples)."""
+    if not isinstance(planes, (list, tuple)):
+        planes = [planes]
+    planes = [np.asarray(pl, dtype=np.int64) for pl in planes]
+    if len(planes) not in (1, 3):
+        raise ValueError("1 (gray) or 3 component planes")
+    h, w = planes[0].shape
+    if any(pl.shape != (h, w) for pl in planes):
+        raise ValueError("all planes must share one shape")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if any(int(pl.max(initial=0)) >= (1 << precision) for pl in planes):
+        raise ValueError(f"sample exceeds {precision}-bit range")
+    coded = [pl >> point_transform for pl in planes]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    ncomp = len(planes)
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, ncomp))
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += _dht_segment(0, 0, LOSSLESS_DC_SPEC)
+    sos = bytearray([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform & 0xF])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+
+    codes = _canonical_codes(*LOSSLESS_DC_SPEC)
+    wtr = _BitWriter()
+    default = 1 << (precision - point_transform - 1)
+    rec = [np.zeros((h, w), dtype=np.int64) for _ in coded]
+    for yy in range(h):
+        for xx in range(w):
+            for pl, rp in zip(coded, rec):
+                pred = _ll_predict(rp, yy, xx, predictor, default)
+                diff = (int(pl[yy, xx]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                rp[yy, xx] = (pred + diff) & 0xFFFF
+                if diff == -32768:
+                    code, length = codes[16]
+                    wtr.put(code, length)
+                    continue
+                ssss = _category(diff)
+                code, length = codes[ssss]
+                wtr.put(code, length)
+                if ssss:
+                    wtr.put(_value_bits(diff, ssss), ssss)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _next_marker(payload: bytes, pos: int) -> int:
     """Advance from inside/at the end of entropy data to the next real
     marker (skipping stuffed 0x00 and RSTn)."""
@@ -697,16 +893,7 @@ def _decode_progressive(payload, pos, frame, qtabs, htabs, ri: int) -> dict:
                 p += 17 + nvals
         elif marker == 0xDB:
             p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables (DQT Pq=1) not supported"
-                    )
-                qtabs[tq] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(
-                    np.int32
-                )
-                p += 65
+            _parse_dqt(seg, qtabs)
         elif marker == 0xDD:
             ri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:

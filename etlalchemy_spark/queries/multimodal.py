@@ -2840,3 +2840,121 @@ def mm_decode_bmp_rle(spark, sf_dir):
         synth,
         "doc_id long, n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+# --- lossless JPEG (SOF3) decode (r11) --------------------------------------------------
+
+_JPEG_LL_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         4 + CAST(doc_id % 5 AS INT) AS w,
+         4 + CAST(doc_id % 3 AS INT) AS h,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 12
+              ELSE 16 END AS prec,
+         1 + CAST(doc_id % 7 AS INT) AS pred,
+         CAST(doc_id % 2 AS INT) AS gray
+  FROM documents
+),
+xs AS (SELECT *, UNNEST(generate_series(0, w - 1)) AS x FROM params),
+px AS (SELECT *, UNNEST(generate_series(0, h - 1)) AS y FROM xs),
+agg AS (
+  SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+         prec, pred, gray,
+         CAST(SUM((doc_id * 31 + x * 17 + y * 29)
+              % (CAST(1 AS BIGINT) << prec)) AS BIGINT) AS s0,
+         CAST(SUM((doc_id * 32 + x * 18 + y * 30)
+              % (CAST(1 AS BIGINT) << prec)) AS BIGINT) AS s1,
+         CAST(SUM((doc_id * 33 + x * 19 + y * 31)
+              % (CAST(1 AS BIGINT) << prec)) AS BIGINT) AS s2
+  FROM px GROUP BY doc_id, w, h, prec, pred, gray
+)
+SELECT doc_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(n_pixels AS BIGINT) AS n_pixels,
+       CAST(prec AS INT) AS precision,
+       CAST(pred AS INT) AS predictor,
+       s0 AS sum_y,
+       s0 AS sum_r,
+       CASE WHEN gray = 1 THEN s0 ELSE s1 END AS sum_g,
+       CASE WHEN gray = 1 THEN s0 ELSE s2 END AS sum_b
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register("mm_decode_jpeg_lossless", oracle=_JPEG_LL_SQL, tags=("multimodal", "udf"))
+def mm_decode_jpeg_lossless(spark, sf_dir):
+    """REAL lossless JPEG (SOF3, T.81 Annex H) decode — the medical/
+    scanner/DNG-lineage profile where samples are Huffman-coded
+    prediction DIFFERENCES with no DCT, so decode is bit-exact at any
+    precision: payloads cycle all 7 spec predictors (doc_id % 7),
+    8/12/16-bit precision (doc_id % 3) and grayscale vs 3-component
+    (doc_id % 2; lossless defines no color transform, components pass
+    through raw). Because reconstruction is exact, the oracle needs no
+    block-constant trick — DuckDB recomputes the per-pixel synthetic
+    formula sums directly. Encoder twin encode_jpeg_lossless
+    (operators/jpeg.py) round-trips every payload in
+    tests/test_jpeg.py. Arrow mapInPandas, partition-local; at 100 TB
+    decode cost is linear in sample count and embarrassingly
+    parallel."""
+    from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("w"),
+        (F.lit(4) + F.col("doc_id") % 3).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, 8)
+        .when(F.col("doc_id") % 3 == 1, 12)
+        .otherwise(16).cast("int").alias("prec"),
+        (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("pred"),
+        (F.col("doc_id") % 2).cast("int").alias("gray"),
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def plane(doc, w, h, prec, ka, kb, kc):
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            return (doc * ka + x * kb + y * kc) % (1 << prec)
+
+        for pdf in batches:
+            rows = []
+            for doc, w, h, prec, pred, gray in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["prec"], pdf["pred"], pdf["gray"]
+            ):
+                doc, w, h = int(doc), int(w), int(h)
+                prec, pred, gray = int(prec), int(pred), int(gray)
+                if gray:
+                    planes = plane(doc, w, h, prec, 31, 17, 29)
+                else:
+                    planes = [
+                        plane(doc, w, h, prec, 31 + k, 17 + k, 29 + k)
+                        for k in range(3)
+                    ]
+                payload = encode_jpeg_lossless(
+                    planes, predictor=pred, precision=prec
+                )
+                d = decode_jpeg(payload)
+                rows.append(
+                    (
+                        doc, d["width"], d["height"], d["n_pixels"],
+                        d["precision"], d["predictor"],
+                        d["sum_y"], d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels", "precision",
+                    "predictor", "sum_y", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, width int, height int, n_pixels long, precision int, "
+        "predictor int, sum_y long, sum_r long, sum_g long, sum_b long",
+    ).orderBy("doc_id")

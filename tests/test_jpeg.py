@@ -117,11 +117,13 @@ def test_refusals_name_the_field():
     # the refusal shape left now that DRI itself decodes (r10)
     dri = payload[:2] + b"\xff\xdd\x00\x04\x00\x10" + payload[2:]
     assert decode_jpeg(bytes(dri))["sum_y"] == 64 * 9  # interval > MCUs: benign
-    # 16-bit DQT: set Pq=1 on the first quant table
+    # Pq=1 flipped onto an 8-bit table body lies about its own length:
+    # must refuse as truncated, never misparse half a table (16-bit
+    # DQT itself decodes as of r11 — see test_dqt_16bit_roundtrip)
     j = bytes(payload).find(b"\xff\xdb")
     q16 = bytearray(payload)
     q16[j + 4] = 0x10
-    with pytest.raises(NotImplementedError, match="16-bit quantization"):
+    with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(bytes(q16))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01")
@@ -248,3 +250,84 @@ def test_progressive_golden_bytes_pinned():
 # md5 of encode_jpeg_progressive(rng(77) 16x16 gray, quality=80),
 # pinned as a LITERAL like the baseline golden hash
 _GOLDEN_PROG_MD5 = "d3ec9e6295fde71aa8f920e80014d0e9"
+
+
+def test_dqt_16bit_roundtrip():
+    """Pq=1 (16-bit big-endian) quant tables decode; a flat-block
+    image at quality 100 stays DC-exact through them, and the stream
+    differs from the Pq=0 encoding only in the DQT segments."""
+    from etlalchemy_spark.operators.jpeg import _parse_dqt
+
+    y = np.full((16, 16), 77, dtype=np.uint8)
+    cb = np.full((16, 16), 40, dtype=np.uint8)
+    cr = np.full((16, 16), 200, dtype=np.uint8)
+    wide = encode_jpeg(y, cb, cr, quality=100, dqt_16bit=True)
+    narrow = encode_jpeg(y, cb, cr, quality=100)
+    assert wide != narrow and len(wide) == len(narrow) + 2 * 64
+    d16, d8 = decode_jpeg(wide), decode_jpeg(narrow)
+    for k in ("sum_y", "sum_cb", "sum_cr", "sum_r", "sum_g", "sum_b"):
+        assert d16[k] == d8[k]
+    # entries above 255 survive the 16-bit path (pure parse check)
+    import struct as _s
+
+    tabs = {}
+    body = bytes([0x10]) + b"".join(_s.pack(">H", 300 + i) for i in range(64))
+    _parse_dqt(body, tabs)
+    assert tabs[0][0] == 300 and tabs[0][63] == 363
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_lossless_roundtrip_all_predictors(pred):
+    from etlalchemy_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(pred)
+    a = rng.integers(0, 256, size=(11, 17), dtype=np.int64)
+    d = decode_jpeg(encode_jpeg_lossless(a, predictor=pred))
+    assert d["format"] == "jpeg_lossless" and d["predictor"] == pred
+    assert (d["planes"][0] == a).all()
+    assert d["sum_y"] == int(a.sum()) == d["sum_r"]
+
+
+@pytest.mark.parametrize("prec", [2, 8, 12, 16])
+def test_lossless_precision_and_three_components(prec):
+    from etlalchemy_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(prec)
+    pls = [
+        rng.integers(0, 1 << prec, size=(7, 9), dtype=np.int64) for _ in range(3)
+    ]
+    d = decode_jpeg(encode_jpeg_lossless(pls, predictor=4, precision=prec))
+    assert d["precision"] == prec
+    for i in range(3):
+        assert (d["planes"][i] == pls[i]).all()
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(
+        int(p.sum()) for p in pls
+    )
+
+
+def test_lossless_point_transform_and_refusals():
+    from etlalchemy_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(6, 6), dtype=np.int64)
+    d = decode_jpeg(encode_jpeg_lossless(a, predictor=5, point_transform=3))
+    assert (d["planes"][0] == (a >> 3)).all()
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(a, predictor=8)
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg_lossless(a, precision=4)
+    # a DRI segment ahead of a lossless scan refuses by name
+    blob = bytearray(encode_jpeg_lossless(a))
+    dri = blob[:2] + b"\xff\xdd\x00\x04\x00\x08" + blob[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(dri))
+
+
+def test_lossless_wraparound_diff():
+    """A 0 -> 65535 jump at 16-bit precision exercises the mod-2^16
+    difference arithmetic and the SSSS=16 no-extra-bits category."""
+    from etlalchemy_spark.operators.jpeg import encode_jpeg_lossless
+
+    a = np.array([[0, 65535, 0, 32768], [65535, 0, 32768, 1]], dtype=np.int64)
+    d = decode_jpeg(encode_jpeg_lossless(a, predictor=1, precision=16))
+    assert (d["planes"][0] == a).all()
