@@ -2190,12 +2190,15 @@ def _packbits_encode(data: bytes) -> bytes:
 
 
 def encode_tiff_gray8(pixels, big_endian: bool = False, compression: int = 1,
-                      predictor: int = 1, rows_per_strip: int | None = None) -> bytes:
+                      predictor: int = 1, rows_per_strip: int | None = None,
+                      tile_size: tuple | None = None) -> bytes:
     """Spec-correct TIFF 6.0 writer: 8-bit grayscale, both byte orders
     (II/MM — real scanner exhaust is frequently MM), Compression 1
     (none) / 5 (LZW) / 32773 (PackBits), Predictor 2 (horizontal
     differencing — the LZW-corpus norm), multi-strip via
-    rows_per_strip. Header -> strips -> IFD."""
+    rows_per_strip, or TILED layout via tile_size=(tw, tl) (TIFF 6.0
+    §15: dims multiples of 16, edge tiles padded to full size, each
+    tile an independent compression stream). Header -> data -> IFD."""
     import struct
 
     if compression not in (1, 5, 32773):
@@ -2207,20 +2210,44 @@ def encode_tiff_gray8(pixels, big_endian: bool = False, compression: int = 1,
     w = len(pixels[0]) if h else 0
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
 
-    rows = [bytes(row) for row in pixels]
-    if predictor == 2:
-        rows = [
-            bytes([row[0]] + [(row[c] - row[c - 1]) & 0xFF for c in range(1, w)])
-            for row in rows
+    def diff_rows(rws, width):
+        return [
+            bytes([row[0]] + [(row[c] - row[c - 1]) & 0xFF for c in range(1, width)])
+            for row in rws
         ]
-    strips = []
-    for s0 in range(0, max(h, 1), rps):
-        raw = b"".join(rows[s0 : s0 + rps])
+
+    def pack(raw: bytes) -> bytes:
         if compression == 5:
-            raw = _tiff_lzw_encode(raw)
-        elif compression == 32773:
-            raw = _packbits_encode(raw)
-        strips.append(raw)
+            return _tiff_lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    if tile_size is not None:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("TIFF writer: tile dims must be multiples of 16")
+        strips = []
+        for ty in range(0, h, tl):
+            for tx in range(0, w, tw):
+                rows = []
+                for r in range(ty, ty + tl):
+                    if r < h:
+                        row = list(pixels[r][tx:tx + tw])
+                        row += [0] * (tw - len(row))  # right-edge pad
+                    else:
+                        row = [0] * tw  # bottom-edge pad
+                    rows.append(bytes(row))
+                if predictor == 2:
+                    rows = diff_rows(rows, tw)
+                strips.append(pack(b"".join(rows)))
+    else:
+        rows = [bytes(row) for row in pixels]
+        if predictor == 2:
+            rows = diff_rows(rows, w)
+        strips = []
+        for s0 in range(0, max(h, 1), rps):
+            strips.append(pack(b"".join(rows[s0 : s0 + rps])))
 
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
@@ -2241,14 +2268,24 @@ def encode_tiff_gray8(pixels, big_endian: bool = False, compression: int = 1,
         (258, 3, 1, [8]),
         (259, 3, 1, [compression]),
         (262, 3, 1, [1]),
-        (273, 4, n_strips, offs),
         (277, 3, 1, [1]),
-        (278, 4, 1, [rps]),
-        (279, 4, n_strips, cnts),
     ]
+    if tile_size is not None:
+        entries += [
+            (322, 4, 1, [tile_size[0]]),
+            (323, 4, 1, [tile_size[1]]),
+            (324, 4, n_strips, offs),
+            (325, 4, n_strips, cnts),
+        ]
+    else:
+        entries += [
+            (273, 4, n_strips, offs),
+            (278, 4, 1, [rps]),
+            (279, 4, n_strips, cnts),
+        ]
     if predictor == 2:
         entries.append((317, 3, 1, [2]))
-        entries.sort()
+    entries.sort()
     ifd_off = len(out)
     struct.pack_into(e + "I", out, 4, ifd_off)
     ext_off = ifd_off + 2 + 12 * len(entries) + 4
@@ -2273,10 +2310,12 @@ def decode_tiff(payload: bytes) -> dict:
     height is the spec's norm), Compression 1 (none) / 5 (LZW,
     MSB-first with the EarlyChange width rule, per-strip streams) /
     32773 (PackBits RLE), Predictor 2 (horizontal differencing — the
-    real-scanner-corpus norm with LZW). Anything deeper refuses
-    LOUDLY by field name: other Compression values (JPEG-in-TIFF,
-    deflate), Predictor 3, BitsPerSample != 8, SamplesPerPixel != 1,
-    tiled layout (TileWidth present)."""
+    real-scanner-corpus norm with LZW), and the TILED layout (r11:
+    TileWidth/TileLength/TileOffsets/TileByteCounts, edge tiles
+    padded to full size, predictor per tile row, each tile an
+    independent compression stream). Anything deeper refuses LOUDLY
+    by field name: other Compression values (JPEG-in-TIFF, deflate),
+    Predictor 3, BitsPerSample != 8, SamplesPerPixel != 1."""
     import struct
 
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
@@ -2305,8 +2344,6 @@ def decode_tiff(payload: bytes) -> dict:
         else:
             continue  # RATIONAL/ASCII metadata — ignorable for stats
         tags[tag] = vals
-    if 322 in tags:
-        raise NotImplementedError("TIFF: tiled layout (TileWidth tag 322)")
     comp = tags.get(259, [1])[0]
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
@@ -2322,29 +2359,61 @@ def decode_tiff(payload: bytes) -> dict:
     if spp != 1:
         raise NotImplementedError(f"TIFF: SamplesPerPixel {spp} (only 1)")
     w, h = tags[256][0], tags[257][0]
-    offs, cnts = tags[273], tags[279]
-    rps = tags.get(278, [h])[0]
-    chunks = []
-    for i, (o, c) in enumerate(zip(offs, cnts)):
-        raw = payload[o : o + c]
+
+    def unpack(raw: bytes) -> bytes:
         if comp == 5:
-            raw = _tiff_lzw_decode(raw)  # each strip = independent stream
-        elif comp == 32773:
-            raw = _packbits_decode(raw)
-        expect = min(rps, h - i * rps) * w
-        if len(raw) < expect:
-            raise ValueError(f"TIFF: strip {i} decoded {len(raw)} < {expect}")
-        chunks.append(raw[:expect])  # writers may pad the final code byte
-    data = b"".join(chunks)
-    if len(data) != w * h:
-        raise ValueError(f"TIFF: strip bytes {len(data)} != {w}x{h}")
-    if pred == 2:  # undo horizontal differencing, per row
-        buf = bytearray(data)
-        for r in range(h):
-            base = r * w
-            for col in range(1, w):
+            return _tiff_lzw_decode(raw)  # each chunk = independent stream
+        if comp == 32773:
+            return _packbits_decode(raw)
+        return raw
+
+    def undiff(buf: bytearray, width: int, rows: int) -> None:
+        for r in range(rows):
+            base = r * width
+            for col in range(1, width):
                 buf[base + col] = (buf[base + col] + buf[base + col - 1]) & 0xFF
-        data = bytes(buf)
+
+    if 322 in tags:  # tiled layout (TIFF 6.0 §15, r11)
+        tw, tl = tags[322][0], tags[323][0]
+        offs, cnts = tags[324], tags[325]
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offs) != across * down:
+            raise ValueError(
+                f"TIFF: {len(offs)} tiles != {across}x{down} grid"
+            )
+        img = bytearray(w * h)
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            raw = unpack(payload[o : o + c])
+            if len(raw) < tw * tl:
+                raise ValueError(f"TIFF: tile {i} decoded {len(raw)} < {tw * tl}")
+            tile = bytearray(raw[: tw * tl])  # edge tiles stay padded
+            if pred == 2:  # predictor runs over TILE rows (tw wide)
+                undiff(tile, tw, tl)
+            ty, tx = (i // across) * tl, (i % across) * tw
+            cw = min(tw, w - tx)
+            for r in range(min(tl, h - ty)):
+                img[(ty + r) * w + tx:(ty + r) * w + tx + cw] = tile[
+                    r * tw : r * tw + cw
+                ]
+        data = bytes(img)
+    else:
+        offs, cnts = tags[273], tags[279]
+        rps = tags.get(278, [h])[0]
+        chunks = []
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            raw = unpack(payload[o : o + c])
+            expect = min(rps, h - i * rps) * w
+            if len(raw) < expect:
+                raise ValueError(f"TIFF: strip {i} decoded {len(raw)} < {expect}")
+            chunks.append(raw[:expect])  # writers may pad the final code byte
+        data = b"".join(chunks)
+        if len(data) != w * h:
+            raise ValueError(f"TIFF: strip bytes {len(data)} != {w}x{h}")
+        if pred == 2:  # undo horizontal differencing, per image row
+            buf = bytearray(data)
+            undiff(buf, w, h)
+            data = bytes(buf)
     return {
         "byte_order": "II" if e == "<" else "MM",
         "width": w,

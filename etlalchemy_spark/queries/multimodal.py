@@ -2713,8 +2713,10 @@ def mm_decode_tiff_lzw(spark, sf_dir):
     exercise the real dictionary-growth path. Docs rotate through
     LZW+predictor / PackBits / plain LZW by doc_id class; every third
     doc is also multi-strip (each strip an INDEPENDENT LZW stream —
-    the splittability property that matters at scale) and every fifth
-    big-endian. Stats come from the DECODED strip bytes; the oracle
+    the splittability property that matters at scale), every fifth
+    big-endian, and every seventh TILED (r11: 16x16 tiles, so these
+    small fixtures exercise the edge-padding crop and per-tile-row
+    predictor paths). Stats come from the DECODED strip bytes; the oracle
     recomputes from the closed-form pixel function, so agreement
     proves inflate+unpredict content end to end. Partition-local
     Arrow batches; only stat rows leave the executors."""
@@ -2741,12 +2743,14 @@ def mm_decode_tiff_lzw(spark, sf_dir):
                     [(doc_id * 5 + r * 9 + c // 4) % 256 for c in range(w)]
                     for r in range(h)
                 ]
+                tiled = doc_id % 7 == 0
                 blob = encode_tiff_gray8(
                     px,
                     big_endian=(doc_id % 5 == 0),
                     compression=comp,
                     predictor=pred,
-                    rows_per_strip=2 if doc_id % 3 == 2 else None,
+                    rows_per_strip=2 if (doc_id % 3 == 2 and not tiled) else None,
+                    tile_size=(16, 16) if tiled else None,
                 )
                 d = decode_tiff(blob)
                 assert d["strip"] == bytes(v for row in px for v in row)

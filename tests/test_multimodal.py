@@ -1005,3 +1005,61 @@ def test_bmp_rle8_refusals():
     struct.pack_into("<H", blob2, 28, 24)  # bpp 24 with RLE8: invalid
     with _pytest.raises(ValueError, match="8-bit"):
         decode_bmp(bytes(blob2))
+
+
+# --- tiled TIFF (r11) ------------------------------------------------------------------
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """TIFF 6.0 §15 tiled layout: edge tiles are padded to full tile
+    size and cropped on decode; the predictor differences TILE rows
+    (tw wide), not image rows; every tile is an independent
+    compression stream — across both byte orders and all three
+    compressions."""
+    import random
+
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    rng = random.Random(11)
+    for w, h in ((16, 16), (40, 35), (17, 50), (5, 4)):
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        flat = bytes(v for row in px for v in row)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for be in (False, True):
+                    blob = encode_tiff_gray8(
+                        px, big_endian=be, compression=comp,
+                        predictor=pred, tile_size=(16, 16),
+                    )
+                    d = decode_tiff(blob)
+                    assert d["strip"] == flat, (w, h, comp, pred, be)
+    # non-square tiles + a grid wider than one tile each way
+    px = [[rng.randrange(256) for _ in range(70)] for _ in range(40)]
+    d = decode_tiff(encode_tiff_gray8(px, compression=5, predictor=2,
+                                      tile_size=(32, 16)))
+    assert d["strip"] == bytes(v for row in px for v in row)
+
+
+def test_tiff_tiled_guardrails():
+    import struct
+
+    import pytest as _pytest
+
+    from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
+
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff_gray8([[1]], tile_size=(8, 8))
+    # a tile-count/grid mismatch must refuse, not read stray offsets:
+    # shrink ImageWidth (tag 256) so the declared grid no longer
+    # matches the written tile count
+    blob = bytearray(
+        encode_tiff_gray8([[i % 256 for i in range(40)]] * 20, tile_size=(16, 16))
+    )
+    ifd_off = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd_off)[0]
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", blob, off)[0] == 256:
+            struct.pack_into("<I", blob, off + 8, 16)
+    with _pytest.raises(ValueError, match="grid"):
+        decode_tiff(bytes(blob))
