@@ -161,3 +161,69 @@ def pagerank_exact(
             )
         )
     return ranks
+
+
+def hits_exact(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, hub, authority) after ``iters`` HITS iterations
+    (Kleinberg), deterministic in ANY engine — the `pagerank_exact`
+    discipline applied to the two-score mutual recursion: every
+    contribution is floor-quantized to a 1e-9 integer before the
+    per-node BIGINT sum (exact, associative), and each half-step
+    L1-normalizes by the EXACT integer total, so the one float
+    division per node has identical operands in both engines.
+    Authority update pulls hub mass over in-edges, hub update pulls
+    the fresh authority mass back over out-edges. Each half-step
+    references its predecessor exactly ONCE (the L1 total rides a
+    whole-frame window over the node-score frame, not a self-join), so
+    the logical plan grows LINEARLY with iterations like
+    `pagerank_exact` — a broadcast-total formulation references each
+    score frame twice and doubles the tree every half-step (exponential
+    analysis time; measured, not theoretical). The whole-frame window
+    is over the |V|-sized SCORE frame, never the edges — fine for
+    label-like graphs; for billion-node graphs swap in the
+    broadcast-total variant plus a localCheckpoint lineage cut per
+    half-step. Per iteration: two node-keyed joins + two aggregates."""
+    from pyspark.sql import Window as W
+
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node")).unionAll(e.select("_d")).distinct()
+    )
+    Q = F.lit(1000000000.0)
+    wall = W.partitionBy()
+
+    def half_step(scores, join_col, other_col):
+        raw = (
+            scores.join(e, scores["node"] == e[join_col])
+            .select(
+                F.col(other_col).alias("node"),
+                F.floor(F.col("v") * F.col("_w").cast("double") * Q)
+                .cast("bigint").alias("c"),
+            )
+            .groupBy("node").agg(F.sum("c").alias("c"))
+        )
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        return full.select(
+            "node",
+            (F.col("c").cast("double") / F.sum("c").over(wall).cast("double"))
+            .alias("v"),
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("v"))
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "_s", "_d")
+        hub = half_step(auth, "_d", "_s")
+    return hub.select(F.col("node"), F.col("v").alias("hub")).join(
+        auth.select(F.col("node"), F.col("v").alias("authority")), "node"
+    )

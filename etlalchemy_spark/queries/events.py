@@ -3228,3 +3228,76 @@ def ts_durbin_watson(spark, sf_dir):
         (F.col("b") / 100.0).alias("trend_slope_per_day"),
         (F.col("ssd") / F.col("sse")).alias("durbin_watson"),
     )
+
+
+# --- HITS hubs/authorities (r11) ---------------------------------------------------------
+
+
+def _hits_sql(iters: int = 4) -> str:
+    sql = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s,
+         event_type AS d
+  FROM events
+), edges AS MATERIALIZED (
+  SELECT s AS src, d AS dst, COUNT(*) AS w FROM pairs WHERE s IS NOT NULL GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS v FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.c, 0) AS c
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(FLOOR(h{i - 1}.v * CAST(e.w AS DOUBLE)
+                          * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS c
+    FROM h{i - 1} JOIN edges e ON e.src = h{i - 1}.node GROUP BY e.dst
+  ) s ON s.node = n.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node, CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE) AS v
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.c, 0) AS c
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node,
+           SUM(CAST(FLOOR(a{i}.v * CAST(e.w AS DOUBLE)
+                          * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS c
+    FROM a{i} JOIN edges e ON e.dst = a{i}.node GROUP BY e.src
+  ) s ON s.node = n.node
+),
+h{i} AS MATERIALIZED (
+  SELECT node, CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE) AS v
+  FROM hr{i}
+)"""
+    return sql + f"""
+SELECT h{iters}.node, h{iters}.v AS hub, a{iters}.v AS authority
+FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node
+"""
+
+
+@register("graph_hits_exact", oracle=_hits_sql(), tags=("graph", "iterative"))
+def graph_hits_exact(spark, sf_dir):
+    """HITS hubs/authorities over the event-type transition graph —
+    PageRank's bipartite sibling ('which states FEED the important
+    states?'), 4 mutual-recursion iterations. Same bit-reproducibility
+    discipline as `graph_pagerank_exact`: contributions floor-quantize
+    to 1e-9 integers before the per-node BIGINT sum, and each
+    half-step L1-normalizes by the exact integer total so the one
+    float division has identical operands in both engines (unrolled
+    verbatim in the SQL twin). Per iteration two node-keyed joins +
+    two aggregates; scores stay node-count-sized at any event
+    volume."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.graph import hits_exact
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).where(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return hits_exact(edges, iters=4)
