@@ -2188,3 +2188,113 @@ def etl_reconciliation_drilldown(spark, sf_dir):
             F.col("tgt_cents").cast("bigint").alias("tgt_cents"),
         )
     )
+
+
+# --- Data Vault 2.0 load (r11) -----------------------------------------------------------
+
+_DV_LOAD_SQL = """
+WITH hub_customer AS (
+  SELECT DISTINCT sha256(CAST(c_custkey AS VARCHAR)) AS hk FROM customer
+),
+hub_order AS (
+  SELECT DISTINCT sha256(CAST(o_orderkey AS VARCHAR)) AS hk FROM orders
+),
+link_co AS (
+  SELECT DISTINCT sha256(CAST(o_custkey AS VARCHAR) || '|'
+                         || CAST(o_orderkey AS VARCHAR)) AS hk
+  FROM orders
+),
+sat_order AS (
+  SELECT sha256(CAST(o_orderkey AS VARCHAR)) AS hk,
+         sha256(o_orderstatus || '|'
+                || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS VARCHAR)
+                || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                || '|' || o_orderpriority) AS hashdiff
+  FROM orders
+),
+audit AS (
+  SELECT 'hub_customer' AS vault_table, COUNT(*) AS n_rows,
+         COUNT(DISTINCT hk) AS n_distinct, MIN(hk) AS min_hash,
+         MAX(hk) AS max_hash
+  FROM hub_customer
+  UNION ALL
+  SELECT 'hub_order', COUNT(*), COUNT(DISTINCT hk), MIN(hk), MAX(hk)
+  FROM hub_order
+  UNION ALL
+  SELECT 'link_customer_order', COUNT(*), COUNT(DISTINCT hk), MIN(hk), MAX(hk)
+  FROM link_co
+  UNION ALL
+  SELECT 'sat_order', COUNT(*), COUNT(DISTINCT hashdiff), MIN(hashdiff),
+         MAX(hashdiff)
+  FROM sat_order
+)
+SELECT vault_table, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_hash, max_hash
+FROM audit ORDER BY vault_table
+"""
+
+
+@register("etl_data_vault_load", oracle=_DV_LOAD_SQL, tags=("etl",))
+def etl_data_vault_load(spark, sf_dir):
+    """Data Vault 2.0 raw-vault load from the staged source — the
+    warehouse-modeling pattern upstream etlalchemy migrations feed
+    (hash-keyed hubs/links/satellites make loads idempotent,
+    parallel and auditable): hub_customer/hub_order carry
+    sha256(business key), link_customer_order the relationship hash,
+    sat_order the attribute HASHDIFF (change detection for free).
+    Hash inputs are canonicalized to dialect-free strings — integer
+    cents for money (decimal renderings differ), ISO dates — so the
+    keys are engine-portable; the audit emits per-table row/distinct
+    counts plus min/max hash (hex is ASCII, so string order is
+    byte order in both engines). Each vault table is one projection +
+    hash in the scan stage; hubs dedupe with one hash-agg. At 100 TB
+    hash keys co-partition hubs/links/sats for join-free increments."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    hub_c = c.select(
+        F.sha2(F.col("c_custkey").cast("string"), 256).alias("hk")
+    ).distinct()
+    hub_o = o.select(
+        F.sha2(F.col("o_orderkey").cast("string"), 256).alias("hk")
+    ).distinct()
+    link = o.select(
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderkey").cast("string"),
+            ),
+            256,
+        ).alias("hk")
+    ).distinct()
+    sat = o.select(
+        F.sha2(F.col("o_orderkey").cast("string"), 256).alias("hk"),
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint").cast("string"),
+                F.col("o_orderdate").cast("date").cast("string"),
+                F.col("o_orderpriority"),
+            ),
+            256,
+        ).alias("hashdiff"),
+    )
+
+    def audit(df, name, col):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.min(col).alias("min_hash"),
+            F.max(col).alias("max_hash"),
+        ).select(F.lit(name).alias("vault_table"), "*")
+
+    return (
+        audit(hub_c, "hub_customer", "hk")
+        .unionAll(audit(hub_o, "hub_order", "hk"))
+        .unionAll(audit(link, "link_customer_order", "hk"))
+        .unionAll(audit(sat, "sat_order", "hashdiff"))
+        .orderBy("vault_table")
+    )

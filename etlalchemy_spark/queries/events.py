@@ -3301,3 +3301,112 @@ def graph_hits_exact(spark, sf_dir):
     ).where(F.col("src").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     return hits_exact(edges, iters=4)
+
+
+# --- Page-Hinkley drift detection (r11) ----------------------------------------------------
+
+_PH_SQL = """
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+), r AS (
+  SELECT h, x,
+         ROW_NUMBER() OVER (ORDER BY h) AS t,
+         SUM(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM s
+), q AS (
+  SELECT h, x, t,
+         CAST(FLOOR((CAST(x AS DOUBLE)
+                     - CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                     - CAST(2.0 AS DOUBLE))
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS term
+  FROM r
+), m AS (
+  SELECT h, x, t,
+         SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS mt
+  FROM q
+), g AS (
+  SELECT h, x, t, mt,
+         mt - MIN(mt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS gap
+  FROM m
+)
+SELECT CAST(to_timestamp(h * 3600) AS TIMESTAMP) AS peak_hour,
+       CAST(t AS BIGINT) AS t_index,
+       CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_hours,
+       CAST(gap AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS ph_stat,
+       CAST((SELECT COUNT(*) FROM g g2 WHERE g2.gap > 20000000)
+            AS BIGINT) AS n_alarm_hours
+FROM g
+ORDER BY gap DESC, t
+LIMIT 1
+"""
+
+
+@register("ts_page_hinkley", oracle=_PH_SQL, tags=("ts",))
+def ts_page_hinkley(spark, sf_dir):
+    """Page-Hinkley upward-drift detection on the hourly event-rate
+    series — `ts_cusum_changepoint`'s sequential sibling (PH is the
+    streaming-drift test ML monitoring stacks run): m_t = sum_{i<=t}
+    (x_i - mean_i - delta) with delta = 2, alarm when m_t - min m_t
+    exceeds lambda = 20. Cross-engine exactness: every per-hour term
+    has exact int64 operands (count, prefix count, index) pushed
+    through one correctly-rounded IEEE chain and floor-QUANTIZED to a
+    1e-6 integer, so both cumulatives (sum + running min) are exact
+    integer windows — order-free, no float accumulation drift (the
+    `graph_pagerank_exact` idiom applied to a time series). Emits the
+    peak-gap hour, the normalized statistic and the alarm-hour count.
+    Windows run over HOUR rows — calendar-bounded like
+    `ts_max_drawdown`, never fact rows."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        (
+            F.floor(F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3600000000)
+        ).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wh = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = s.select(
+        "h", "x",
+        F.row_number().over(W.orderBy("h")).alias("t"),
+        F.sum("x").over(wh).alias("cum"),
+    )
+    term = F.floor(
+        (
+            F.col("x").cast("double")
+            - F.col("cum").cast("double") / F.col("t").cast("double")
+            - F.lit(2.0)
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    q = r.select("h", "x", "t", term.alias("term"))
+    wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    m = q.select("h", "x", "t", F.sum("term").over(wt).alias("mt"))
+    g = m.select(
+        "h", "t", "mt", (F.col("mt") - F.min("mt").over(wt)).alias("gap")
+    )
+    n_hours = s.agg(F.count(F.lit(1)).alias("n_hours"))
+    n_alarm = g.where(F.col("gap") > 20000000).agg(
+        F.count(F.lit(1)).alias("n_alarm_hours")
+    )
+    peak = (
+        g.orderBy(F.col("gap").desc(), F.col("t")).limit(1)
+        .select(
+            F.timestamp_seconds(F.col("h") * 3600).alias("peak_hour"),
+            F.col("t").cast("bigint").alias("t_index"),
+            (F.col("gap").cast("double") / F.lit(1000000.0)).alias("ph_stat"),
+        )
+    )
+    return (
+        peak.crossJoin(F.broadcast(n_hours))
+        .crossJoin(F.broadcast(n_alarm))
+        .select(
+            "peak_hour", "t_index",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            "ph_stat",
+            F.col("n_alarm_hours").cast("bigint").alias("n_alarm_hours"),
+        )
+    )

@@ -372,3 +372,105 @@ def geo_grid_density(spark, sf_dir):
         .orderBy(F.desc("n_points"), "cell_lat", "cell_lon")
         .limit(20)
     )
+
+
+# --- exact point-in-polygon (r11) ---------------------------------------------------------
+
+# (lon3, lat3) milli-degree vertex rings (closed implicitly); one
+# convex, one concave, one crossing the antimeridian-free far east
+_POLYGONS = [
+    ("triangle_eq", [(0, 0), (40000, 0), (20000, 30000)]),
+    ("concave_arrow", [(-60000, -20000), (-20000, -20000), (-40000, 0),
+                       (-20000, 20000), (-60000, 20000)]),
+    ("east_quad", [(100000, 30000), (150000, 35000), (155000, 70000),
+                   (95000, 60000)]),
+]
+
+
+def _pip_crossings(dialect: str, name: str, ring) -> str:
+    """Unrolled exact ray-casting crossing count for one polygon, as a
+    SQL expression over integer columns lon3/lat3. For edge
+    (x1,y1)->(x2,y2) and point (px,py): the rightward horizontal ray
+    crosses iff the edge straddles py AND sign((x2-x1)(py-y1)
+    - (px-x1)(y2-y1)) == sign(y2-y1) — the cross-multiplied form of
+    px < x_intersect, pure int64 (products < 1e11), no division, no
+    floats, so both engines agree to the bit. Points ON an edge
+    follow the half-open y-straddle convention (y1 > py) != (y2 > py),
+    the classic Franklin PNPOLY rule."""
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        d = f"({x2 - x1} * (lat3 - {y1}) - (lon3 - {x1}) * {y2 - y1})"
+        straddle = f"(({y1} > lat3) != ({y2} > lat3))"
+        cross = f"({d} > 0) = ({y2 > y1})".replace("True", "TRUE").replace(
+            "False", "FALSE"
+        )
+        terms.append(f"CASE WHEN {straddle} AND ({cross}) THEN 1 ELSE 0 END")
+    return " + ".join(terms)
+
+
+_PIP_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS bal,
+         {_coords_sql('c_custkey', 'geo:')[0]} AS lat3,
+         {_coords_sql('c_custkey', 'geo:')[1]} AS lon3
+  FROM customer
+),
+flags AS (
+  SELECT c_custkey, bal,
+         {', '.join(f'(({_pip_crossings("duckdb", n, ring)}) % 2 = 1) AS in_{i}'
+                    for i, (n, ring) in enumerate(_POLYGONS))}
+  FROM pts
+)
+{' UNION ALL '.join(
+    f"SELECT '{n}' AS polygon, CAST(COUNT(*) FILTER (WHERE in_{i}) AS BIGINT) AS n_inside, "
+    f"CAST(ROUND(COALESCE(SUM(bal) FILTER (WHERE in_{i}), 0), 4) AS DOUBLE) AS bal_inside "
+    f"FROM flags"
+    for i, (n, ring) in enumerate(_POLYGONS))}
+ORDER BY polygon
+"""
+
+
+@register("geo_point_in_polygon", oracle=_PIP_SQL, tags=("geo",))
+def geo_point_in_polygon(spark, sf_dir):
+    """EXACT point-in-polygon aggregation (r11) — arbitrary-shape
+    geofences (the bbox query's general case; one ring is concave, so
+    the even-odd rule is actually load-bearing): Franklin-style ray
+    casting with the division-free cross-multiplied crossing test —
+    pure int64 arithmetic over milli-degree coordinates, no floats,
+    no epsilon, both engines agree to the bit. The polygon rings are
+    LITERALS unrolled into the projection (the `ts_ewma` idiom), so
+    containment for all polygons evaluates IN THE SCAN STAGE with
+    zero joins and zero extra shuffles — at 100 TB the only thing
+    that moves is one k-row aggregate. Adding a polygon adds one
+    column expression, not a join."""
+    c = t(spark, sf_dir, "customer")
+    lat, lon = _coords_spark(F.col("c_custkey"), "geo:")
+    pts = c.select(
+        F.col("c_acctbal").cast("decimal(18,4)").alias("bal"),
+        lat.alias("lat3"), lon.alias("lon3"),
+    )
+    flags = pts.select(
+        "bal",
+        *[
+            (F.expr(_pip_crossings("spark", n, ring)) % 2 == 1).alias(f"in_{i}")
+            for i, (n, ring) in enumerate(_POLYGONS)
+        ],
+    )
+    parts = []
+    for i, (n, ring) in enumerate(_POLYGONS):
+        parts.append(
+            flags.agg(
+                F.count(F.when(F.col(f"in_{i}"), 1)).cast("bigint").alias("n_inside"),
+                F.coalesce(
+                    F.sum(F.when(F.col(f"in_{i}"), F.col("bal"))),
+                    F.lit(0).cast("decimal(18,4)"),
+                ).cast("decimal(38,4)").cast("double").alias("bal_inside"),
+            ).select(F.lit(n).alias("polygon"), "n_inside", "bal_inside")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("polygon")
