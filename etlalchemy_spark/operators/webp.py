@@ -14,7 +14,15 @@ All four spec transforms decode: SUBTRACT_GREEN, PREDICTOR (14
 modes), CROSS_COLOR, COLOR_INDEXING (palette). The 2D-neighbor
 distance map (plane codes 1..120) decodes as of r11 (``_DIST_MAP``);
 the encoder emits plane codes with ``plane_codes=True``. The one
-remaining refusal: VP8 (lossy) chunks.
+remaining refusal: VP8 (lossy) chunks — and that boundary is
+deliberate, not deferred: VP8 entropy decoding requires ~1k-entry
+default/update probability tables (coeff, mode) that cannot be
+verified offline in this container, and a from-memory transcription
+paired with an in-house encoder would ROUND-TRIP even if wrong (the
+encoder/decoder would share the error), silently corrupting
+third-party files. VP8L's distance map was closeable because its 120
+entries derive from a checkable ordering rule; no such derivation
+exists for the VP8 probability tables.
 
 Scale shape: like every codec here, decode runs partition-local
 inside Arrow ``mapInPandas`` batches; only stats rows leave."""

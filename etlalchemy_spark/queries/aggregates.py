@@ -3813,3 +3813,206 @@ def agg_theil_sen(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+# --- Cohen's d / Hedges' g effect sizes (r11) --------------------------------------------
+
+_EFFECT_SQL = """
+WITH x AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END AS grp,
+         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS q
+  FROM x GROUP BY grp
+),
+p AS (
+  SELECT MAX(CASE WHEN grp = 'A' THEN n END) AS n1,
+         MAX(CASE WHEN grp = 'B' THEN n END) AS n2,
+         MAX(CASE WHEN grp = 'A'
+             THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END) AS s1,
+         MAX(CASE WHEN grp = 'B'
+             THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END) AS s2,
+         MAX(CASE WHEN grp = 'A'
+             THEN CAST(CAST(q AS VARCHAR) AS DOUBLE) END) AS q1,
+         MAX(CASE WHEN grp = 'B'
+             THEN CAST(CAST(q AS VARCHAR) AS DOUBLE) END) AS q2
+  FROM g
+),
+e AS (
+  SELECT n1, n2,
+         s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) AS md,
+         (q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+         + (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) AS css
+  FROM p
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       md / 1e2 AS mean_diff_dollars,
+       md / sqrt(css / CAST(n1 + n2 - 2 AS DOUBLE)) AS cohens_d,
+       md / sqrt(css / CAST(n1 + n2 - 2 AS DOUBLE))
+         * (1e0 - 3e0 / CAST(4 * (n1 + n2) - 9 AS DOUBLE)) AS hedges_g
+FROM e
+"""
+
+
+@register("agg_effect_sizes", oracle=_EFFECT_SQL, tags=("agg", "stats"))
+def agg_effect_sizes(spark, sf_dir):
+    """Cohen's d and Hedges' g between two customer segments on order
+    totals — the EFFECT-SIZE companion `agg_welch_ttest`'s p-value
+    needs (significance without magnitude misleads at scale: at 10^9
+    rows everything is 'significant'). Same exact sufficient
+    statistics (n, sum-cents, sum-squared-cents as int64/hugeint,
+    VARCHAR-routed doubles), pooled-SD denominator, and the small-n
+    bias correction g = d(1 - 3/(4N - 9)) as one fixed IEEE chain.
+    d is scale-invariant so cents need no unit conversion; the mean
+    difference ships in dollars. One scan, one 2-row reduce."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", "A").otherwise("B").alias("grp"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint").alias("cents"),
+        )
+    )
+    c19 = F.col("cents").cast("decimal(19,0)")
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(c19 * c19).cast("decimal(38,0)").alias("q"),
+    )
+    pick = lambda grp, col: F.max(F.when(F.col("grp") == grp, F.col(col)))  # noqa: E731
+    p = g.agg(
+        pick("A", "n").alias("n1"), pick("B", "n").alias("n2"),
+        pick("A", "s").cast("double").alias("s1"),
+        pick("B", "s").cast("double").alias("s2"),
+        pick("A", "q").cast("double").alias("q1"),
+        pick("B", "q").cast("double").alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    md = F.col("s1") / n1d - F.col("s2") / n2d
+    css = (F.col("q1") - F.col("s1") * F.col("s1") / n1d) + (
+        F.col("q2") - F.col("s2") * F.col("s2") / n2d
+    )
+    d = md / F.sqrt(css / (F.col("n1") + F.col("n2") - 2).cast("double"))
+    return p.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        (md / F.lit(100.0)).alias("mean_diff_dollars"),
+        d.alias("cohens_d"),
+        (
+            d * (F.lit(1.0) - F.lit(3.0)
+                 / (4 * (F.col("n1") + F.col("n2")) - 9).cast("double"))
+        ).alias("hedges_g"),
+    )
+
+
+# --- Bayesian A/B probability (r11) ------------------------------------------------------
+
+_BAYES_AB_BASE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS s
+  FROM u GROUP BY arm
+),
+p AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 0 THEN s END) AS s_a,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 1 THEN s END) AS s_b
+  FROM g
+),
+m AS (
+  SELECT n_a, s_a, n_b, s_b,
+         CAST(s_a + 1 AS DOUBLE) / CAST(n_a + 2 AS DOUBLE) AS mu_a,
+         CAST(s_b + 1 AS DOUBLE) / CAST(n_b + 2 AS DOUBLE) AS mu_b,
+         CAST((s_a + 1) * (n_a - s_a + 1) AS DOUBLE)
+           / (CAST((n_a + 2) * (n_a + 2) AS DOUBLE) * CAST(n_a + 3 AS DOUBLE)) AS var_a,
+         CAST((s_b + 1) * (n_b - s_b + 1) AS DOUBLE)
+           / (CAST((n_b + 2) * (n_b + 2) AS DOUBLE) * CAST(n_b + 3 AS DOUBLE)) AS var_b
+  FROM p
+)
+SELECT n_a, s_a, n_b, s_b, mu_a, mu_b,
+       (mu_a - mu_b) / sqrt(var_a + var_b) AS z
+FROM m
+"""
+
+
+def _bayes_ab_sql() -> str:
+    st = SqlStages()
+    s = st.add("5e-1")
+    x = st.add("CAST(z AS DOUBLE) * CAST(z AS DOUBLE) / 2e0")
+    q = st.gammainc_q(s, x)
+    st.add(
+        f"CASE WHEN z >= 0e0 THEN 1e0 - {q} / 2e0 ELSE {q} / 2e0 END",
+        name="p_a_beats_b",
+    )
+    return st.compact(keep=("p_a_beats_b",)).duckdb_sql(
+        _BAYES_AB_BASE_SQL,
+        "SELECT n_a, s_a, n_b, s_b, mu_a, mu_b, z, p_a_beats_b",
+    )
+
+
+@register("agg_bayes_ab_prob", oracle=_bayes_ab_sql(), tags=("agg", "stats"))
+def agg_bayes_ab_prob(spark, sf_dir):
+    """Bayesian A/B read-out P(arm A converts better than arm B):
+    users hash-split by parity, conversion = any purchase event,
+    Beta(1+s, 1+n-s) posteriors whose mean/variance are exact
+    rationals of int64 counts, and the posterior-difference normal
+    approximation's Phi(z) comes from the shared staged IEEE
+    incomplete-gamma via erfc(|z|/sqrt(2)) = Q(1/2, z^2/2) — so the
+    'probability B is a mistake' number product teams actually read
+    is hash-exact across engines (the decision-layer companion to
+    `agg_permutation_test`'s frequentist p). One user-grain hash-agg
+    + a 2-row reduce at any scale."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "conv")
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("s"),
+    )
+    pick = lambda a, col: F.max(F.when(F.col("arm") == a, F.col(col)))  # noqa: E731
+    p = g.agg(
+        pick(0, "n").alias("n_a"), pick(0, "s").alias("s_a"),
+        pick(1, "n").alias("n_b"), pick(1, "s").alias("s_b"),
+    )
+    mu = lambda s, n: (s + 1).cast("double") / (n + 2).cast("double")  # noqa: E731
+    var = lambda s, n: (  # noqa: E731
+        ((s + 1) * (n - s + 1)).cast("double")
+        / (((n + 2) * (n + 2)).cast("double") * (n + 3).cast("double"))
+    )
+    sa, na = F.col("s_a"), F.col("n_a")
+    sb, nb = F.col("s_b"), F.col("n_b")
+    base = p.select(
+        "n_a", "s_a", "n_b", "s_b",
+        mu(sa, na).alias("mu_a"), mu(sb, nb).alias("mu_b"),
+        (
+            (mu(sa, na) - mu(sb, nb)) / F.sqrt(var(sa, na) + var(sb, nb))
+        ).alias("z"),
+    )
+    st = SqlStages()
+    s_ = st.add("5e-1")
+    x_ = st.add("CAST(z AS DOUBLE) * CAST(z AS DOUBLE) / 2e0")
+    q_ = st.gammainc_q(s_, x_)
+    st.add(
+        f"CASE WHEN z >= 0e0 THEN 1e0 - {q_} / 2e0 ELSE {q_} / 2e0 END",
+        name="p_a_beats_b",
+    )
+    return st.compact(keep=("p_a_beats_b",)).apply_spark(
+        base.repartition(1)
+    ).select("n_a", "s_a", "n_b", "s_b", "mu_a", "mu_b", "z", "p_a_beats_b")
