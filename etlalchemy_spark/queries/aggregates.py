@@ -4016,3 +4016,104 @@ def agg_bayes_ab_prob(spark, sf_dir):
     return st.compact(keep=("p_a_beats_b",)).apply_spark(
         base.repartition(1)
     ).select("n_a", "s_a", "n_b", "s_b", "mu_a", "mu_b", "z", "p_a_beats_b")
+
+
+# --- Average precision / AUPRC (r11) ------------------------------------------------------
+
+_AP_SQL = """
+WITH s AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+g AS (
+  SELECT v, CAST(SUM(pos) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS t
+  FROM s GROUP BY v
+),
+c AS (
+  SELECT v, p, t,
+         COALESCE(SUM(p) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+         COALESCE(SUM(t) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+  FROM g
+),
+q AS (
+  SELECT p, t, pb, tb,
+         CAST(FLOOR(CAST(p * (pb + p) AS DOUBLE) / CAST(tb + t AS DOUBLE)
+                    * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT) AS term
+  FROM c
+),
+a AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(t) AS BIGINT) AS n_total,
+         CAST(SUM(term) AS BIGINT) AS num
+  FROM q
+)
+SELECT n_pos, n_total,
+       CAST(n_pos AS DOUBLE) / CAST(n_total AS DOUBLE) AS prevalence,
+       CAST(num AS DOUBLE) / CAST(1000000000000.0 AS DOUBLE)
+         / CAST(n_pos AS DOUBLE) AS avg_precision
+FROM a
+"""
+
+
+@register("agg_average_precision", oracle=_AP_SQL, tags=("agg", "stats", "scale"))
+def agg_average_precision(spark, sf_dir):
+    """Average precision (area under the precision-recall curve) of
+    the order-total score against the urgent-priority label —
+    `agg_auc_roc`'s imbalance-robust sibling (PR is the curve that
+    matters when positives are rare, the usual shape of quality
+    labels). Group-granular convention, documented: ties share the
+    precision at their GROUP boundary, prec_v = (P_above + p_v) /
+    (N_above + t_v), AP = sum p_v * prec_v / P_total. The fact table
+    collapses to per-score-value (p, t) cells; ONE bucket-parallel
+    prefix (operators/prefix.py, both cumulatives in one pass)
+    supplies the above-group counts; each group term has exact int64
+    operands pushed through one correctly-rounded division and
+    floor-quantized to 1e-12, so the cross-group sum is an exact
+    integer — order-free. One hash agg + one prefix + a one-row
+    reduce at any scale."""
+    from etlalchemy_spark.operators.prefix import running_global_sums
+
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("pos"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    d38 = "decimal(38,0)"
+    c = running_global_sums(
+        g,
+        -F.col("v"),  # descending score order
+        [],
+        [(F.col("p").cast(d38), "_cump"), (F.col("t").cast(d38), "_cumt")],
+        n_buckets=16,
+    )
+    c = c.select(
+        "p", "t",
+        (F.col("_cump") - F.col("p")).cast(d38).alias("pb"),
+        (F.col("_cumt") - F.col("t")).cast(d38).alias("tb"),
+    )
+    term = F.floor(
+        (F.col("p") * (F.col("pb") + F.col("p"))).cast("double")
+        / (F.col("tb") + F.col("t")).cast("double")
+        * F.lit(1000000000000.0)
+    ).cast("bigint")
+    a = c.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("t").cast("bigint").alias("n_total"),
+        F.sum(term).cast("bigint").alias("num"),
+    )
+    return a.select(
+        "n_pos", "n_total",
+        (F.col("n_pos").cast("double") / F.col("n_total").cast("double"))
+        .alias("prevalence"),
+        (
+            F.col("num").cast("double") / F.lit(1000000000000.0)
+            / F.col("n_pos").cast("double")
+        ).alias("avg_precision"),
+    )

@@ -237,3 +237,102 @@ def interval_allen_relations(spark, sf_dir):
     return pairs.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# --- pairwise overlap measure (r11) ---------------------------------------------------
+
+_OVERLAP_MEASURE_SQL = """
+WITH sessions AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS s,
+         MAX(epoch_us(ts)) + 1800000000 AS e
+  FROM (
+    SELECT user_id, ts, event_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+  )
+  GROUP BY user_id, session_no
+),
+pairs AS (
+  SELECT a.hb,
+         GREATEST(0, LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS ov
+  FROM (SELECT user_id, s, e, s // 3600000000 AS hb FROM sessions) a
+  JOIN (SELECT user_id, s, e, s // 3600000000 AS hb FROM sessions) b
+    ON a.hb = b.hb AND a.user_id < b.user_id
+)
+SELECT CAST(hb AS BIGINT) AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE ov > 0) AS BIGINT) AS n_overlapping,
+       CAST(SUM(ov) AS BIGINT) AS sum_overlap_us,
+       CAST(MAX(ov) AS BIGINT) AS max_overlap_us
+FROM pairs
+GROUP BY hb
+ORDER BY hour_bucket
+"""
+
+
+@register("interval_overlap_measure", oracle=_OVERLAP_MEASURE_SQL,
+          tags=("interval",))
+def interval_overlap_measure(spark, sf_dir):
+    """HOW MUCH sessions overlap, not just whether (the quantitative
+    companion to `interval_allen_relations`'s 13-way classification):
+    per start-hour bucket, the pair count, overlapping-pair count,
+    total and max shared microseconds across cross-user session
+    pairs — the concurrency-mass readout capacity planning reads.
+    Same bucketed candidate enumeration as the interval join (pairs
+    bounded by per-bucket density, never sessions²); the measure is
+    GREATEST(0, LEAST(ends) - GREATEST(starts)) on exact integer
+    microseconds, so every sum is int64-exact. One sessionize window
+    + one bucket equi-join + one hash-agg."""
+    from etlalchemy_spark.queries._util import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s"),
+            (F.unix_micros(F.max("ts")) + 1800000000).alias("e"),
+        )
+        .select(
+            "user_id", "s", "e",
+            F.floor(F.col("s") / 3600000000).cast("bigint").alias("hb"),
+        )
+    )
+    a = sess.select(
+        F.col("user_id").alias("ua"), F.col("s").alias("sa"),
+        F.col("e").alias("ea"), "hb",
+    )
+    b = sess.select(
+        F.col("user_id").alias("ub"), F.col("s").alias("sb"),
+        F.col("e").alias("eb"), "hb",
+    )
+    ov = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("ea"), F.col("eb")) - F.greatest(F.col("sa"), F.col("sb")),
+    )
+    pairs = (
+        a.join(b, "hb").where(F.col("ua") < F.col("ub")).select("hb", ov.alias("ov"))
+    )
+    return (
+        pairs.groupBy("hb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("ov") > 0, 1)).cast("bigint").alias("n_overlapping"),
+            F.sum("ov").cast("bigint").alias("sum_overlap_us"),
+            F.max("ov").cast("bigint").alias("max_overlap_us"),
+        )
+        .select(
+            F.col("hb").alias("hour_bucket"), "n_pairs", "n_overlapping",
+            "sum_overlap_us", "max_overlap_us",
+        )
+        .orderBy("hour_bucket")
+    )
