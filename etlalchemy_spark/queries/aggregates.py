@@ -4117,3 +4117,94 @@ def agg_average_precision(spark, sf_dir):
             / F.col("n_pos").cast("double")
         ).alias("avg_precision"),
     )
+
+
+# --- exact correlation matrix (r11) --------------------------------------------------------
+
+_CORRM_COLS = [
+    ("qty", "CAST(l_quantity AS DECIMAL(12,2))"),
+    ("price", "CAST(l_extendedprice AS DECIMAL(12,2))"),
+    ("disc", "CAST(l_discount AS DECIMAL(12,2))"),
+    ("tax", "CAST(l_tax AS DECIMAL(12,2))"),
+]
+
+
+def _corrm_sql() -> str:
+    names = [n for n, _ in _CORRM_COLS]
+    sums = ",\n         ".join(
+        f"CAST(ROUND(SUM({e}), 4) AS DOUBLE) AS s_{n}" for n, e in _CORRM_COLS
+    )
+    prods = ",\n         ".join(
+        f"CAST(ROUND(SUM({_CORRM_COLS[i][1]} * {_CORRM_COLS[j][1]}), 4) AS DOUBLE)"
+        f" AS p_{names[i]}_{names[j]}"
+        for i in range(4) for j in range(i, 4)
+    )
+    def css(i, j):
+        a, b = names[i], names[j]
+        key = f"p_{a}_{b}" if i <= j else f"p_{b}_{a}"
+        return f"({key} - s_{a} * s_{b} / n)"
+    pairs = "\n  UNION ALL\n".join(
+        f"  SELECT '{names[i]}' AS col_a, '{names[j]}' AS col_b,\n"
+        f"         {css(i, j)} / sqrt({css(i, i)} * {css(j, j)}) AS corr\n"
+        f"  FROM m"
+        for i in range(4) for j in range(i + 1, 4)
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sums},
+         {prods}
+  FROM lineitem
+)
+{pairs}
+ORDER BY col_a, col_b
+"""
+
+
+@register("agg_corr_matrix", oracle=_corrm_sql(), tags=("agg", "stats"))
+def agg_corr_matrix(spark, sf_dir):
+    """The full 4x4 Pearson correlation matrix of lineitem's numeric
+    columns in ONE scan — `agg_corr_exact` asked of every pair at once
+    (feature-selection's first look; k columns need k(k+1)/2 product
+    sums, never k^2 passes). All 14 moment sums are exact decimal
+    reductions in a single map-side-combined aggregate; each closing
+    correlation is one fixed IEEE chain over the shared sums. Emits
+    the 6 upper-triangle pairs as rows."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.col("l_quantity").cast("decimal(12,2)"),
+        "price": F.col("l_extendedprice").cast("decimal(12,2)"),
+        "disc": F.col("l_discount").cast("decimal(12,2)"),
+        "tax": F.col("l_tax").cast("decimal(12,2)"),
+    }
+    names = list(cols)
+    d = lambda c: F.sum(c).cast("decimal(38,4)").cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [d(cols[n]).alias(f"s_{n}") for n in names]
+    aggs += [
+        d(cols[names[i]] * cols[names[j]]).alias(f"p_{names[i]}_{names[j]}")
+        for i in range(4) for j in range(i, 4)
+    ]
+    m = li.agg(*aggs)
+
+    def css(i, j):
+        a, b = names[i], names[j]
+        key = f"p_{a}_{b}" if i <= j else f"p_{b}_{a}"
+        return F.col(key) - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n")
+
+    # all 6 correlations as columns of the ONE aggregate row, then
+    # stack() to rows — a unionAll of per-pair selects would re-run
+    # the full-scan aggregate once per branch
+    wide = m.select(
+        *[
+            (css(i, j) / F.sqrt(css(i, i) * css(j, j))).alias(f"c_{i}_{j}")
+            for i in range(4) for j in range(i + 1, 4)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{names[i]}', '{names[j]}', c_{i}_{j}"
+        for i in range(4) for j in range(i + 1, 4)
+    )
+    return wide.selectExpr(
+        f"stack(6, {stack_args}) AS (col_a, col_b, corr)"
+    ).orderBy("col_a", "col_b")

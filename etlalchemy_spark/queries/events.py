@@ -3410,3 +3410,144 @@ def ts_page_hinkley(spark, sf_dir):
             F.col("n_alarm_hours").cast("bigint").alias("n_alarm_hours"),
         )
     )
+
+
+# --- partial autocorrelation via Durbin-Levinson (r11) --------------------------------------
+
+
+def _pacf_stages(max_lag: int = 5):
+    """Unrolled Durbin-Levinson recursion over autocorrelation columns
+    r1..r{max_lag}, as shared SqlStages (plain +-*/ on one row —
+    identical chain in both engines). Returns (stages, [pacf cols])."""
+    from etlalchemy_spark.queries._special import SqlStages
+
+    st = SqlStages(prefix="_dl")
+    r = [None] + [f"r{k}" for k in range(1, max_lag + 1)]
+    phi = {}
+    outs = []
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            pkk = st.add(f"CAST({r[1]} AS DOUBLE)", name="pacf1", pin=True)
+        else:
+            num_terms = " + ".join(
+                f"{phi[(k - 1, j)]} * {r[k - j]}" for j in range(1, k)
+            )
+            den_terms = " + ".join(
+                f"{phi[(k - 1, j)]} * {r[j]}" for j in range(1, k)
+            )
+            pkk = st.add(
+                f"({r[k]} - ({num_terms})) / (1e0 - ({den_terms}))",
+                name=f"pacf{k}", pin=True,
+            )
+        phi[(k, k)] = pkk
+        for j in range(1, k):
+            phi[(k, j)] = st.add(
+                f"{phi[(k - 1, j)]} - {pkk} * {phi[(k - 1, k - j)]}"
+            )
+        outs.append(f"pacf{k}")
+    return st.compact(keep=tuple(outs)), outs
+
+
+_PACF_BASE_SQL = """
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+), l AS (
+  SELECT x,
+         LAG(x, 1) OVER (ORDER BY h) AS x1,
+         LAG(x, 2) OVER (ORDER BY h) AS x2,
+         LAG(x, 3) OVER (ORDER BY h) AS x3,
+         LAG(x, 4) OVER (ORDER BY h) AS x4,
+         LAG(x, 5) OVER (ORDER BY h) AS x5
+  FROM s
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS qx,
+         CAST(SUM(x * x1) AS BIGINT) AS m1, CAST(SUM(x * x2) AS BIGINT) AS m2,
+         CAST(SUM(x * x3) AS BIGINT) AS m3, CAST(SUM(x * x4) AS BIGINT) AS m4,
+         CAST(SUM(x * x5) AS BIGINT) AS m5,
+         CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x1 + x END) AS BIGINT) AS e1,
+         CAST(SUM(CASE WHEN x2 IS NOT NULL THEN x2 + x END) AS BIGINT) AS e2,
+         CAST(SUM(CASE WHEN x3 IS NOT NULL THEN x3 + x END) AS BIGINT) AS e3,
+         CAST(SUM(CASE WHEN x4 IS NOT NULL THEN x4 + x END) AS BIGINT) AS e4,
+         CAST(SUM(CASE WHEN x5 IS NOT NULL THEN x5 + x END) AS BIGINT) AS e5
+  FROM l
+), g AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(qx AS DOUBLE)
+           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sx AS DOUBLE) AS g0,
+         m1, m2, m3, m4, m5, e1, e2, e3, e4, e5
+  FROM a
+)
+SELECT n,
+       (CAST(m1 AS DOUBLE) - mu * CAST(e1 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * mu * mu) / g0 AS r1,
+       (CAST(m2 AS DOUBLE) - mu * CAST(e2 AS DOUBLE) + CAST(n - 2 AS DOUBLE) * mu * mu) / g0 AS r2,
+       (CAST(m3 AS DOUBLE) - mu * CAST(e3 AS DOUBLE) + CAST(n - 3 AS DOUBLE) * mu * mu) / g0 AS r3,
+       (CAST(m4 AS DOUBLE) - mu * CAST(e4 AS DOUBLE) + CAST(n - 4 AS DOUBLE) * mu * mu) / g0 AS r4,
+       (CAST(m5 AS DOUBLE) - mu * CAST(e5 AS DOUBLE) + CAST(n - 5 AS DOUBLE) * mu * mu) / g0 AS r5
+FROM g
+"""
+
+_PACF_ST, _PACF_COLS = _pacf_stages(5)
+_PACF_SQL = _PACF_ST.duckdb_sql(
+    _PACF_BASE_SQL,
+    "SELECT n AS n_hours, r1, r2, r3, r4, r5, "
+    + ", ".join(_PACF_COLS),
+)
+
+
+@register("ts_pacf", oracle=_PACF_SQL, tags=("ts",))
+def ts_pacf(spark, sf_dir):
+    """Partial autocorrelation (lags 1-5) of the hourly event-rate
+    series via the Durbin-Levinson recursion — the AR-order
+    diagnostic `ts_autocorrelation` can't give (PACF cuts off at the
+    true AR order; ACF only tails). All lag cross-products and edge
+    sums are exact int64 window-lag aggregates over calendar-bounded
+    hour rows; autocorrelations and the unrolled 5-level recursion
+    are one fixed shared IEEE chain on a one-row frame (SqlStages,
+    the p-value idiom on plain arithmetic), so all five PACF values
+    hash-match. Biased (divide-by-n-cancelling) ACF estimator,
+    documented."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3600000000)
+        .cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wo = W.orderBy("h")
+    lag_cols = [F.lag("x", k).over(wo).alias(f"x{k}") for k in range(1, 6)]
+    l = s.select("x", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qx"),
+    ]
+    for k in range(1, 6):
+        xk = F.col(f"x{k}")
+        aggs.append(F.sum(F.col("x") * xk).cast("bigint").alias(f"m{k}"))
+        aggs.append(
+            F.sum(F.when(xk.isNotNull(), xk + F.col("x")))
+            .cast("bigint").alias(f"e{k}")
+        )
+    a = l.agg(*aggs)
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    g0 = F.col("qx").cast("double") - mu * F.col("sx").cast("double")
+    rsel = [F.col("n")]
+    for k in range(1, 6):
+        rsel.append(
+            (
+                (
+                    F.col(f"m{k}").cast("double")
+                    - mu * F.col(f"e{k}").cast("double")
+                    + (F.col("n") - k).cast("double") * mu * mu
+                ) / g0
+            ).alias(f"r{k}")
+        )
+    base = a.select(*rsel)
+    st, outs = _pacf_stages(5)
+    return st.apply_spark(base.repartition(1)).select(
+        F.col("n").alias("n_hours"), "r1", "r2", "r3", "r4", "r5", *outs
+    )

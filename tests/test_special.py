@@ -257,3 +257,41 @@ def test_double_literals_roundtrip():
         s = _d(v)
         assert float(s) == v
         assert "e" in s or "E" in s  # never a bare decimal (Spark DECIMAL trap)
+
+
+def test_durbin_levinson_matches_yule_walker():
+    """The unrolled Durbin-Levinson stages (queries/events._pacf_stages)
+    must agree with the independent Yule-Walker solve: pacf_k is the
+    last coefficient of Toeplitz(r)^-1 r — checked on autocorrelations
+    of a synthetic AR(2) process, where PACF also must cut off
+    (|pacf_k| small for k > 2)."""
+    import numpy as np
+
+    from etlalchemy_spark.queries.events import _pacf_stages
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    x = np.zeros(n)
+    for i in range(2, n):
+        x[i] = 0.6 * x[i - 1] - 0.3 * x[i - 2] + rng.normal()
+    xc = x - x.mean()
+    g = [float((xc[: n - k] * xc[k:]).sum()) for k in range(6)]
+    r = [g[k] / g[0] for k in range(6)]
+
+    # evaluate the shared SQL stages in DuckDB on the literal r values
+    import duckdb
+
+    st, outs = _pacf_stages(5)
+    base = "SELECT " + ", ".join(f"{r[k]!r}::DOUBLE AS r{k}" for k in range(1, 6))
+    got = duckdb.sql(
+        st.duckdb_sql(base, "SELECT " + ", ".join(outs))
+    ).fetchone()
+
+    for k in range(1, 6):
+        top = np.array(r[:k])
+        T = np.array([[r[abs(i - j)] if i != j else 1.0 for j in range(k)]
+                      for i in range(k)])
+        expect = np.linalg.solve(T, np.array(r[1 : k + 1]))[-1]
+        assert abs(got[k - 1] - expect) < 1e-9, (k, got[k - 1], expect)
+    assert abs(got[0]) > 0.3 and abs(got[1]) > 0.1  # AR terms visible
+    assert abs(got[3]) < 0.1 and abs(got[4]) < 0.1  # cutoff beyond order
