@@ -3551,3 +3551,63 @@ def ts_pacf(spark, sf_dir):
     return st.apply_spark(base.repartition(1)).select(
         F.col("n").alias("n_hours"), "r1", "r2", "r3", "r4", "r5", *outs
     )
+
+
+# --- bipartite projection (r11) -------------------------------------------------------------
+
+_BIPROJ_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS common_users
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2,
+       CAST(common_users AS BIGINT) AS common_users,
+       CAST(c1.n AS BIGINT) AS n_t1,
+       CAST(c2.n AS BIGINT) AS n_t2,
+       CAST(common_users AS DOUBLE)
+         / CAST(c1.n + c2.n - common_users AS DOUBLE) AS jaccard
+FROM pairs JOIN tc c1 ON t1 = c1.event_type JOIN tc c2 ON t2 = c2.event_type
+ORDER BY t1, t2
+"""
+
+
+@register("graph_bipartite_projection", oracle=_BIPROJ_SQL, tags=("graph",))
+def graph_bipartite_projection(spark, sf_dir):
+    """Weighted one-mode projection of the user-eventtype bipartite
+    graph — the co-occurrence network recommendation preprocessing
+    starts from ('users who did X also did Y', item-item here being
+    type-type): dedupe to user-type incidence, self-join on the USER
+    key (co-partitioned equi-join; pair fan-out per user is bounded by
+    that user's distinct types, never |types|^2 globally), count
+    common users per type pair, close with the exact-integer Jaccard
+    w/(n1+n2-w). Type marginals broadcast back onto the k-row edge
+    list. At 100 TB the only shuffles are the incidence dedupe and
+    the user-keyed self-join."""
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_users"))
+    )
+    c1 = tc.select(F.col("event_type").alias("t1"), F.col("n").alias("n_t1"))
+    c2 = tc.select(F.col("event_type").alias("t2"), F.col("n").alias("n_t2"))
+    return (
+        pairs.join(F.broadcast(c1), "t1")
+        .join(F.broadcast(c2), "t2")
+        .select(
+            "t1", "t2", "common_users", "n_t1", "n_t2",
+            (
+                F.col("common_users").cast("double")
+                / (F.col("n_t1") + F.col("n_t2") - F.col("common_users")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("t1", "t2")
+    )

@@ -1274,3 +1274,64 @@ def sim_cluster_purity_nmi(spark, sf_dir):
             / F.sqrt(F.col("hx").cast("double") * F.col("hy").cast("double"))
         ).alias("nmi"),
     )
+
+
+# --- metadata-filtered search (r11) --------------------------------------------------------
+
+_FILTERED_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+  WHERE e.label IN (2, 5) AND e.vec_id <> 0
+  GROUP BY e.vec_id, e.label
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+           / (SQRT(CAST(ROUND(na, 12) AS DOUBLE))
+              * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, label, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_filtered_topk", oracle=_FILTERED_TOPK_SQL,
+          tags=("similarity",))
+def sim_filtered_topk(spark, sf_dir):
+    """Metadata-FILTERED vector search — the retrieval shape RAG
+    stacks actually run ('nearest neighbors WHERE label in …'), and
+    the one naive pipelines get backwards: the label predicate is
+    applied BEFORE scoring, in the scan stage (PushedFilters on the
+    parquet read), so at 100 TB the dot-product work is proportional
+    to the filtered corpus, not the full one — score-then-filter
+    also silently under-fills k when survivors are sparse.
+    Scoring is the `sim_cosine_topk_exact` decimal-dot discipline, so
+    the filtered top-10 is hash-exact; rank ties break on vec_id."""
+    from etlalchemy_spark.operators.similarity import cosine_topk_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    filtered = emb.where(F.col("label").isin(2, 5) & (F.col("vec_id") != 0))
+    out = cosine_topk_exact(
+        filtered, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10
+    )
+    # re-attach the label by broadcasting the k-row RESULT against the
+    # metadata projection (broadcasting the metadata side would ship
+    # the whole corpus's ids at scale)
+    lbl = emb.select("vec_id", "label")
+    return (
+        lbl.join(F.broadcast(out), "vec_id")
+        .select("vec_id", "label", "cosine", "rank")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
