@@ -4208,3 +4208,112 @@ def agg_corr_matrix(spark, sf_dir):
     return wide.selectExpr(
         f"stack(6, {stack_args}) AS (col_a, col_b, corr)"
     ).orderBy("col_a", "col_b")
+
+
+# --- Breusch-Pagan heteroskedasticity test (r11) --------------------------------------------
+
+
+def _bp_stages():
+    """Stages computing the Breusch-Pagan LM statistic from the raw
+    moment columns s_pq = sum(x^p y^q), p+q <= 4 (exact int64 at the
+    chosen scales). The residual power sums expand via the multinomial
+    identity e = y - c0 - c1*x, GENERATED here (not hand-expanded) so
+    both engines replay one identical coefficient-by-coefficient
+    chain: sum e^2, sum e^2 x, sum e^4 as polynomials in (c0, c1) and
+    the s_pq; then R^2 of the e^2-on-x auxiliary regression and
+    LM = n * R^2 ~ chi-square(1)."""
+    from math import comb
+
+    st = SqlStages(prefix="_bp")
+    n = "CAST(s_00 AS DOUBLE)"
+    s = lambda p, q: f"CAST(s_{p}{q} AS DOUBLE)"  # noqa: E731
+    c1 = st.add(
+        f"({n} * {s(1,1)} - {s(1,0)} * {s(0,1)})"
+        f" / ({n} * {s(2,0)} - {s(1,0)} * {s(1,0)})"
+    )
+    c0 = st.add(f"({s(0,1)} - {c1} * {s(1,0)}) / {n}")
+
+    def e_pow_sum(power: int, extra_x: int, name: str) -> str:
+        # sum over rows of e^power * x^extra_x, via
+        # e^power = sum_k C(power,k) y^k (-c0 - c1 x)^(power-k)
+        terms = []
+        for k in range(power + 1):
+            m = power - k
+            for j in range(m + 1):
+                coeff = comb(power, k) * comb(m, j)
+                sign = (-1) ** m  # (-c0)^(m-j) * (-c1)^j carries (-1)^m
+                p_x = j + extra_x
+                c0pow = " * ".join([c0] * (m - j)) if m - j else "1e0"
+                c1pow = " * ".join([c1] * j) if j else "1e0"
+                terms.append(
+                    f"({sign * coeff}e0 * {c0pow} * {c1pow} * {s(p_x, k)})"
+                )
+        return st.add(" + ".join(terms), name=name)
+
+    a2 = e_pow_sum(2, 0, "_se2")    # sum e^2
+    b2 = e_pow_sum(2, 1, "_se2x")   # sum e^2 x
+    c4 = e_pow_sum(4, 0, "_se4")    # sum e^4
+    suu = st.add(f"{c4} - {a2} * {a2} / {n}")
+    sux = st.add(f"{b2} - {a2} * {s(1,0)} / {n}")
+    sxx = st.add(f"{s(2,0)} - {s(1,0)} * {s(1,0)} / {n}")
+    st.add(f"{n} * ({sux} * {sux}) / ({suu} * {sxx})", name="bp_stat", pin=True)
+    st.add("CAST(1 AS BIGINT)", name="dof", pin=True)
+    st, _ = chi2_pvalue_stages("bp_stat", "dof", st=st)
+    return st.compact(keep=("bp_stat", "dof", "p_value"))
+
+
+def _bp_base_sql() -> str:
+    cols = []
+    for p in range(5):
+        for q in range(5 - p):
+            xs = " * ".join(["x"] * p) if p else "1"
+            ys = " * ".join(["y"] * q) if q else "1"
+            cols.append(f"CAST(SUM({xs} * {ys}) AS BIGINT) AS s_{p}{q}")
+    return f"""
+WITH v AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT {', '.join(cols)} FROM v
+"""
+
+
+_BP_ST = _bp_stages()
+_BP_SQL = _BP_ST.duckdb_sql(
+    _bp_base_sql(), "SELECT s_00 AS n_rows, bp_stat, dof, p_value"
+)
+
+
+@register("agg_breusch_pagan", oracle=_BP_SQL, tags=("agg", "stats"))
+def agg_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroskedasticity test on the discount-vs-
+    quantity regression — 'are `agg_ols_by_group`'s standard errors
+    even valid?' (non-constant residual variance silently invalidates
+    OLS inference; every serious regression readout runs BP first).
+    ONE scan collects the 15 exact int64 moment sums s_pq =
+    sum(x^p y^q), p+q <= 4 (small integer domains keep even the
+    degree-4 sums < 2^53); the residual power sums sum e^2, sum e^2 x,
+    sum e^4 expand via a GENERATED multinomial chain (no hand algebra
+    to get wrong), the auxiliary e^2-on-x R^2 closes in one fixed IEEE
+    tree, and LM = n R^2 gets its chi-square(1) tail from the shared
+    staged incomplete-gamma. Hash-exact across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("decimal(12,2)").cast("bigint").alias("x"),
+        (F.col("l_discount").cast("decimal(12,2)") * 100).cast("bigint").alias("y"),
+    )
+    aggs = []
+    for p in range(5):
+        for q in range(5 - p):
+            expr = F.lit(1).cast("bigint")
+            for _ in range(p):
+                expr = expr * F.col("x")
+            for _ in range(q):
+                expr = expr * F.col("y")
+            aggs.append(F.sum(expr).cast("bigint").alias(f"s_{p}{q}"))
+    base = v.agg(*aggs)
+    st = _bp_stages()
+    return st.apply_spark(base.repartition(1)).select(
+        F.col("s_00").alias("n_rows"), "bp_stat", "dof", "p_value"
+    )

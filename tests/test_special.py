@@ -295,3 +295,37 @@ def test_durbin_levinson_matches_yule_walker():
         assert abs(got[k - 1] - expect) < 1e-9, (k, got[k - 1], expect)
     assert abs(got[0]) > 0.3 and abs(got[1]) > 0.1  # AR terms visible
     assert abs(got[3]) < 0.1 and abs(got[4]) < 0.1  # cutoff beyond order
+
+
+def test_breusch_pagan_matches_direct_computation():
+    """The generated multinomial expansion (queries/aggregates._bp_stages)
+    must agree with a direct residual computation: OLS fit, e^2-on-x
+    auxiliary R^2, LM = n R^2 — on heteroskedastic synthetic data."""
+    import duckdb
+    import numpy as np
+
+    from etlalchemy_spark.queries.aggregates import _bp_stages
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    x = rng.integers(1, 50, n).astype(float)
+    y = np.floor(2 + 0.1 * x + rng.normal(scale=0.05 * x) * 10).astype(float)
+
+    # direct: fit, residuals, aux regression R^2
+    b = ((x * y).sum() - x.sum() * y.sum() / n) / ((x * x).sum() - x.sum() ** 2 / n)
+    a = (y.sum() - b * x.sum()) / n
+    u = (y - a - b * x) ** 2
+    sux = (u * x).sum() - u.sum() * x.sum() / n
+    suu = (u * u).sum() - u.sum() ** 2 / n
+    sxx = (x * x).sum() - x.sum() ** 2 / n
+    expect = n * sux * sux / (suu * sxx)
+
+    cols = ", ".join(
+        f"CAST({int((x**p * y**q).sum())} AS BIGINT) AS s_{p}{q}"
+        for p in range(5) for q in range(5 - p)
+    )
+    got = duckdb.sql(
+        _bp_stages().duckdb_sql(f"SELECT {cols}", "SELECT bp_stat, p_value")
+    ).fetchone()
+    assert abs(got[0] - expect) / expect < 1e-9, (got[0], expect)
+    assert 0.0 <= got[1] <= 1.0 and got[1] < 0.05  # heteroskedastic by design
