@@ -3611,3 +3611,87 @@ def graph_bipartite_projection(spark, sf_dir):
         )
         .orderBy("t1", "t2")
     )
+
+
+# --- Ljung-Box portmanteau test (r11) --------------------------------------------------------
+
+
+def _ljung_box_sql() -> str:
+    from etlalchemy_spark.queries._special import SqlStages, chi2_pvalue_stages
+
+    st = SqlStages(prefix="_lb")
+    terms = " + ".join(
+        f"r{k} * r{k} / (CAST(n AS DOUBLE) - {k}e0)" for k in range(1, 6)
+    )
+    st.add(
+        f"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2e0) * ({terms})",
+        name="q_stat", pin=True,
+    )
+    st.add("CAST(5 AS BIGINT)", name="dof", pin=True)
+    st2, _ = chi2_pvalue_stages("q_stat", "dof", st=st)
+    return st2.compact(keep=("q_stat", "dof", "p_value")).duckdb_sql(
+        _PACF_BASE_SQL,
+        "SELECT n AS n_hours, q_stat, dof, p_value",
+    )
+
+
+@register("ts_ljung_box", oracle=_ljung_box_sql(), tags=("ts",))
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test on the hourly event-rate
+    series (lags 1-5) — 'is there ANY autocorrelation left?' asked
+    once instead of eyeballing five ACF bars (the residual-diagnostic
+    standard after any `ts_holt_brown_forecast`-style fit):
+    Q = n(n+2) sum r_k^2/(n-k) ~ chi-square(h). Reuses `ts_pacf`'s
+    exact int64 lag machinery for the r_k and the shared staged
+    incomplete-gamma for the tail — hash-exact across engines."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.queries._special import SqlStages, chi2_pvalue_stages
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3600000000)
+        .cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wo = W.orderBy("h")
+    l = s.select("x", *[F.lag("x", k).over(wo).alias(f"x{k}") for k in range(1, 6)])
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qx"),
+    ]
+    for k in range(1, 6):
+        xk = F.col(f"x{k}")
+        aggs.append(F.sum(F.col("x") * xk).cast("bigint").alias(f"m{k}"))
+        aggs.append(
+            F.sum(F.when(xk.isNotNull(), xk + F.col("x")))
+            .cast("bigint").alias(f"e{k}")
+        )
+    a = l.agg(*aggs)
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    g0 = F.col("qx").cast("double") - mu * F.col("sx").cast("double")
+    rsel = [F.col("n")]
+    for k in range(1, 6):
+        rsel.append(
+            (
+                (
+                    F.col(f"m{k}").cast("double")
+                    - mu * F.col(f"e{k}").cast("double")
+                    + (F.col("n") - k).cast("double") * mu * mu
+                ) / g0
+            ).alias(f"r{k}")
+        )
+    base = a.select(*rsel)
+    st = SqlStages(prefix="_lb")
+    terms = " + ".join(
+        f"r{k} * r{k} / (CAST(n AS DOUBLE) - {k}e0)" for k in range(1, 6)
+    )
+    st.add(
+        f"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2e0) * ({terms})",
+        name="q_stat", pin=True,
+    )
+    st.add("CAST(5 AS BIGINT)", name="dof", pin=True)
+    st, _ = chi2_pvalue_stages("q_stat", "dof", st=st)
+    return st.compact(keep=("q_stat", "dof", "p_value")).apply_spark(
+        base.repartition(1)
+    ).select(F.col("n").alias("n_hours"), "q_stat", "dof", "p_value")

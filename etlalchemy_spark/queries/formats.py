@@ -1227,3 +1227,53 @@ def fmt_avro_deflate_roundtrip(spark, sf_dir):
     bit-transparent — the oracle hash-match proves decode(inflate(
     deflate(encode(x)))) == x end to end."""
     return _avro_roundtrip(spark, sf_dir, "deflate", "deflate")
+
+
+# --- parquet compression-codec matrix (r11) --------------------------------------------------
+
+_CODEC_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(o_orderkey * 31 + o_custkey) AS BIGINT) AS key_checksum,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+           AS price_sum
+  FROM orders
+)
+SELECT codec, CAST(n_rows AS BIGINT) AS n_rows, key_checksum, price_sum
+FROM base, (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) AS c(codec)
+ORDER BY codec
+"""
+
+
+@register("fmt_parquet_codec_matrix", oracle=_CODEC_SQL, tags=("sources",))
+def fmt_parquet_codec_matrix(spark, sf_dir):
+    """orders written and read back through FOUR parquet compression
+    codecs (snappy/gzip/zstd/lz4) — the knob every 100 TB lake tunes
+    (zstd ~30% smaller than snappy at similar scan cost; gzip smaller
+    still but CPU-bound on write): each leg is a REAL write + read of
+    separate files, proving codec round-trip fidelity, and the
+    returned per-codec row-count / key-checksum / decimal price sum
+    must all agree with the source (parquet pages are codec-compressed
+    INSIDE the splittable container, so unlike fmt_csv_gzip_roundtrip
+    there is no parallelism cliff — documented contrast). One row per
+    codec keeps the gate cheap; sizes vary per build so only content
+    facts ship."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("o_totalprice"),
+    )
+    out = None
+    root = scratch_dir("codecs", sf_dir)
+    for codec in ("gzip", "lz4", "snappy", "zstd"):
+        path = os.path.join(root, f"orders_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        leg = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_orderkey") * 31 + F.col("o_custkey"))
+            .cast("bigint").alias("key_checksum"),
+            F.sum("o_totalprice").cast("decimal(38,4)").cast("double")
+            .alias("price_sum"),
+        ).select(F.lit(codec).alias("codec"), "*")
+        out = leg if out is None else out.unionAll(leg)
+    return out.orderBy("codec")
