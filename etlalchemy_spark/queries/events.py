@@ -3695,3 +3695,169 @@ def ts_ljung_box(spark, sf_dir):
     return st.compact(keep=("q_stat", "dof", "p_value")).apply_spark(
         base.repartition(1)
     ).select(F.col("n").alias("n_hours"), "q_stat", "dof", "p_value")
+
+
+# --- Hurst exponent via rescaled range (r11) --------------------------------------------------
+
+_HURST_SIZES = (16, 32, 64, 128)
+
+
+def _hurst_weights():
+    """OLS slope weights for the log2-spaced window sizes: slope =
+    sum w_k * ln(RS_k) with w_k = (lx_k - mean(lx)) / sum (lx - mean)^2
+    — the lx are PYTHON literals (ln of fixed ints), so the only
+    runtime ln calls are the four staged ln(avg R/S) columns."""
+    import math
+
+    lx = [math.log(m) for m in _HURST_SIZES]
+    mean = sum(lx) / len(lx)
+    den = sum((v - mean) ** 2 for v in lx)
+    return [(v - mean) / den for v in lx]
+
+
+def _hurst_sql() -> str:
+    from etlalchemy_spark.queries._special import SqlStages, _d
+
+    legs = []
+    for m in _HURST_SIZES:
+        legs.append(f"""
+c{m} AS (
+  SELECT t // {m} AS chunk, x,
+         ROW_NUMBER() OVER (PARTITION BY t // {m} ORDER BY t) AS i,
+         SUM(x) OVER (PARTITION BY t // {m} ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+         SUM(x) OVER (PARTITION BY t // {m}) AS stot
+  FROM idx WHERE t < (SELECT (COUNT(*) // {m}) * {m} FROM idx)
+),
+g{m} AS (
+  SELECT chunk,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q,
+         CAST(MAX({m} * pre - i * stot) AS BIGINT) AS mx,
+         CAST(MIN({m} * pre - i * stot) AS BIGINT) AS mn
+  FROM c{m} GROUP BY chunk
+),
+r{m} AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+           (CAST(mx - mn AS DOUBLE) / {m}e0)
+           / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / {m}e0) / {m}e0)
+           * 1000000000e0) AS BIGINT)) AS BIGINT) AS rs_q,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM g{m}
+  WHERE q * {m} > s * s
+)""")
+    base = f"""
+WITH s AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS t, x FROM s
+),{','.join(legs)}
+SELECT {', '.join(f'r{m}.rs_q AS rs_q_{m}, r{m}.n_chunks AS n_{m}' for m in _HURST_SIZES)}
+FROM {' CROSS JOIN '.join(f'r{m}' for m in _HURST_SIZES)}
+"""
+    st = SqlStages(prefix="_hu")
+    lns = []
+    for m in _HURST_SIZES:
+        avg = st.add(
+            f"CAST(rs_q_{m} AS DOUBLE) / 1000000000e0 / CAST(n_{m} AS DOUBLE)",
+            name=f"rs_{m}", pin=True,
+        )
+        lns.append(st.ln(avg))
+    w = _hurst_weights()
+    st.add(
+        " + ".join(f"{_d(wk)} * {ln}" for wk, ln in zip(w, lns)),
+        name="hurst", pin=True,
+    )
+    keep = tuple([f"rs_{m}" for m in _HURST_SIZES] + ["hurst"])
+    return st.compact(keep=keep).duckdb_sql(
+        base,
+        "SELECT " + ", ".join(f"rs_{m}" for m in _HURST_SIZES) + ", hurst",
+    )
+
+
+@register("ts_hurst_exponent", oracle=_hurst_sql(), tags=("ts",))
+def ts_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the hourly event-rate series by rescaled-
+    range (R/S) analysis — long-memory diagnostic (H=0.5 random walk,
+    H>0.5 trending/persistent load, the capacity-planning readout
+    `ts_autocorrelation` can't summarize). Per dyadic window size
+    (16/32/64/128 hours) the series splits into chunks; each chunk's
+    cumulative-deviation range is EXACT integer arithmetic (m*prefix
+    - i*sum stays int64), R/S per chunk is one fixed IEEE chain
+    floor-quantized to 1e-9 so the cross-chunk average is an exact
+    integer sum; the log-log slope needs ln() only of the four
+    averaged R/S values (staged IEEE ln — the _special discipline),
+    the window-size logs being Python literals baked into the OLS
+    weights. Windows are per-chunk (bounded m rows); zero-variance
+    chunks drop on BOTH sides."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.queries._special import SqlStages, _d
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3600000000)
+        .cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = s.select(
+        (F.row_number().over(W.orderBy("h")) - 1).alias("t"), "x"
+    ).localCheckpoint(eager=False)
+    total = idx.count()
+    legs = None
+    for m in _HURST_SIZES:
+        lim = (total // m) * m
+        c = idx.where(F.col("t") < lim).withColumn(
+            "chunk", F.floor(F.col("t") / m).cast("bigint")
+        )
+        wc = W.partitionBy("chunk").orderBy("t").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        wall = W.partitionBy("chunk")
+        cc = c.select(
+            "chunk", "x",
+            F.row_number().over(W.partitionBy("chunk").orderBy("t")).alias("i"),
+            F.sum("x").over(wc).alias("pre"),
+            F.sum("x").over(wall).alias("stot"),
+        )
+        dev = F.lit(m) * F.col("pre") - F.col("i") * F.col("stot")
+        g = cc.groupBy("chunk").agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+            F.max(dev).cast("bigint").alias("mx"),
+            F.min(dev).cast("bigint").alias("mn"),
+        )
+        rs = F.floor(
+            ((F.col("mx") - F.col("mn")).cast("double") / F.lit(float(m)))
+            / F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double")
+                    / F.lit(float(m))
+                ) / F.lit(float(m))
+            )
+            * F.lit(1000000000.0)
+        ).cast("bigint")
+        leg = g.where(F.col("q") * m > F.col("s") * F.col("s")).agg(
+            F.sum(rs).cast("bigint").alias(f"rs_q_{m}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{m}"),
+        )
+        legs = leg if legs is None else legs.crossJoin(F.broadcast(leg))
+    st = SqlStages(prefix="_hu")
+    lns = []
+    for m in _HURST_SIZES:
+        avg = st.add(
+            f"CAST(rs_q_{m} AS DOUBLE) / 1000000000e0 / CAST(n_{m} AS DOUBLE)",
+            name=f"rs_{m}", pin=True,
+        )
+        lns.append(st.ln(avg))
+    w = _hurst_weights()
+    st.add(
+        " + ".join(f"{_d(wk)} * {ln}" for wk, ln in zip(w, lns)),
+        name="hurst", pin=True,
+    )
+    keep = tuple([f"rs_{m}" for m in _HURST_SIZES] + ["hurst"])
+    return st.compact(keep=keep).apply_spark(legs.repartition(1)).select(
+        *[f"rs_{m}" for m in _HURST_SIZES], "hurst"
+    )
