@@ -3223,7 +3223,6 @@ def agg_gains_lift(spark, sf_dir):
     cumulative sums run over TEN bucket rows. Everything is exact
     integers until the closing shares."""
     from etlalchemy_spark.operators.prefix import running_global_sum
-    from pyspark.sql import Window as W
 
     o = t(spark, sf_dir, "orders")
     s = o.select(
@@ -3257,11 +3256,26 @@ def agg_gains_lift(spark, sf_dir):
         F.max("n").alias("n"),
         F.max("npos").alias("npos"),
     )
-    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per.select(
-        "bucket", "nb", "pb", "n", "npos",
-        F.sum("nb").over(w).alias("cn"),
-        F.sum("pb").over(w).alias("cp"),
+    # cumulative over the TEN decile rows via a broadcast triangular
+    # self-join — not an unpartitioned window (the no-single-partition-
+    # WindowExec tripwire in tests/test_plans.py applies even to
+    # bounded frames; 55 join pairs are scale-free)
+    tri = per.select(
+        F.col("bucket").alias("b2"),
+        F.col("nb").alias("nb2"),
+        F.col("pb").alias("pb2"),
+    )
+    cum = (
+        per.join(F.broadcast(tri), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.max("nb").alias("nb"),
+            F.max("pb").alias("pb"),
+            F.max("n").alias("n"),
+            F.max("npos").alias("npos"),
+            F.sum("nb2").alias("cn"),
+            F.sum("pb2").alias("cp"),
+        )
     )
     return cum.select(
         F.col("bucket").cast("int").alias("decile_rank"),
@@ -4131,12 +4145,17 @@ _CORRM_COLS = [
 
 def _corrm_sql() -> str:
     names = [n for n, _ in _CORRM_COLS]
+    # VARCHAR-routed doubles: at sf0.1 the product sums outgrow
+    # int64-backed decimals and DuckDB's hugeint->double conversion is
+    # not correctly rounded (the agg_anova_oneway lesson — 1-ulp
+    # mismatches); strtod through the decimal's text IS
     sums = ",\n         ".join(
-        f"CAST(ROUND(SUM({e}), 4) AS DOUBLE) AS s_{n}" for n, e in _CORRM_COLS
+        f"CAST(CAST(ROUND(SUM({e}), 4) AS VARCHAR) AS DOUBLE) AS s_{n}"
+        for n, e in _CORRM_COLS
     )
     prods = ",\n         ".join(
-        f"CAST(ROUND(SUM({_CORRM_COLS[i][1]} * {_CORRM_COLS[j][1]}), 4) AS DOUBLE)"
-        f" AS p_{names[i]}_{names[j]}"
+        f"CAST(CAST(ROUND(SUM({_CORRM_COLS[i][1]} * {_CORRM_COLS[j][1]}), 4)"
+        f" AS VARCHAR) AS DOUBLE) AS p_{names[i]}_{names[j]}"
         for i in range(4) for j in range(i, 4)
     )
     def css(i, j):

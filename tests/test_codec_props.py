@@ -123,15 +123,23 @@ def test_tiff_refusals_name_the_field():
     from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
 
     b = bytearray(encode_tiff_gray8([[1, 2], [3, 4]]))
-    # find the Compression entry (tag 259) in the IFD and set it to 5 (LZW)
     ifd = struct.unpack_from("<I", b, 4)[0]
     n = struct.unpack_from("<H", b, ifd)[0]
-    for i in range(n):
-        off = ifd + 2 + 12 * i
-        if struct.unpack_from("<H", b, off)[0] == 259:
-            struct.pack_into("<H", b, off + 8, 5)
-    with pytest.raises(NotImplementedError, match="Compression 5"):
-        decode_tiff(bytes(b))
+    # Compression 5 (LZW) DECODES as of r11 — an uncompressed stream
+    # mislabeled as LZW must still fail LOUDLY (short decode), never
+    # return wrong pixels; a genuinely unsupported codec (7 =
+    # JPEG-in-TIFF) still refuses by name
+    for comp, exc, msg in (
+        (5, ValueError, "decoded"),
+        (7, NotImplementedError, "Compression 7"),
+    ):
+        bb = bytearray(b)
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            if struct.unpack_from("<H", bb, off)[0] == 259:
+                struct.pack_into("<H", bb, off + 8, comp)
+        with pytest.raises(exc, match=msg):
+            decode_tiff(bytes(bb))
     with pytest.raises(ValueError, match="byte-order"):
         decode_tiff(b"XX\x2a\x00garbage")
 

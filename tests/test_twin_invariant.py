@@ -16,7 +16,6 @@ EXACT_TWINS = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_exact",
     "dedup_minhash_cc_pipeline": "dedup_minhash_cc_exact",
     "dedup_minhash_lsh": "dedup_minhash_lsh_exact",
-    "dedup_simhash": "dedup_simhash_pairs_exact",
     "sim_cosine_topk_lsh": "sim_cosine_topk_lsh_exact",
     "sim_cosine_topk_lsh_multiprobe": "sim_cosine_topk_lsh_multiprobe_exact",
     "sim_ivf_kmeans_topk": "sim_ivf_topk_exact",
