@@ -4336,3 +4336,79 @@ def agg_breusch_pagan(spark, sf_dir):
     return st.apply_spark(base.repartition(1)).select(
         F.col("s_00").alias("n_rows"), "bp_stat", "dof", "p_value"
     )
+
+
+# --- Cochran's Q test (r11) -----------------------------------------------------------------
+
+_COCHRAN_BASE_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS t1,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t2,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t3
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t1) AS BIGINT) AS c1,
+         CAST(SUM(t2) AS BIGINT) AS c2,
+         CAST(SUM(t3) AS BIGINT) AS c3,
+         CAST(SUM(t1 + t2 + t3) AS BIGINT) AS sr,
+         CAST(SUM((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS sr2
+  FROM u
+)
+SELECT n, c1, c2, c3,
+       CAST(2 AS BIGINT) AS dof,
+       3e0 * 2e0 * (CAST(3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr AS DOUBLE) / 3e0)
+         / CAST(3 * sr - sr2 AS DOUBLE) AS q_stat
+FROM a
+"""
+
+_COCHRAN_ST, _ = chi2_pvalue_stages("q_stat", "dof")
+_COCHRAN_SQL = _COCHRAN_ST.duckdb_sql(
+    _COCHRAN_BASE_SQL,
+    "SELECT n, c1, c2, c3, dof, q_stat, p_value",
+)
+
+
+@register("agg_cochran_q", oracle=_COCHRAN_SQL, tags=("agg", "stats"))
+def agg_cochran_q(spark, sf_dir):
+    """Cochran's Q test across three CORRELATED binary outcomes per
+    USER-DAY subject (on an active day, did the user view / click /
+    purchase — the same subject under k treatments, so
+    `agg_chi2_independence`'s independent-samples assumption is wrong
+    and McNemar only handles k=2; user-day grain keeps the outcomes
+    non-degenerate where whole-history flags saturate to all-ones): Q =
+    k(k-1) sum_j (C_j - N/k)^2 / (k sum R_i - sum R_i^2), rewritten so
+    the numerator's centered sum is the pure integer
+    (k sum C_j^2 - (sum R)^2)/k — every operand exact int64 from one
+    user-grain reduce, one fixed IEEE chain, chi-square(k-1) tail from
+    the shared staged incomplete-gamma. One hash-agg at any scale."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        *[
+            F.max(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"t{i}")
+            for i, et in enumerate(("view", "click", "purchase"), 1)
+        ]
+    )
+    r = (F.col("t1") + F.col("t2") + F.col("t3"))
+    a = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t1").cast("bigint").alias("c1"),
+        F.sum("t2").cast("bigint").alias("c2"),
+        F.sum("t3").cast("bigint").alias("c3"),
+        F.sum(r).cast("bigint").alias("sr"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    num = (3 * (c1 * c1 + c2 * c2 + c3 * c3) - F.col("sr") * F.col("sr")).cast("double") / F.lit(3.0)
+    q = F.lit(3.0) * F.lit(2.0) * num / (3 * F.col("sr") - F.col("sr2")).cast("double")
+    base = a.select(
+        "n", "c1", "c2", "c3",
+        F.lit(2).cast("bigint").alias("dof"),
+        q.alias("q_stat"),
+    )
+    st, _ = chi2_pvalue_stages("q_stat", "dof")
+    return st.apply_spark(base.repartition(1)).select(
+        "n", "c1", "c2", "c3", "dof", "q_stat", "p_value"
+    )

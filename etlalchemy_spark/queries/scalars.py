@@ -843,3 +843,102 @@ def scalar_uuid3_surrogate(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.countDistinct("uuid").cast("bigint").alias("n_distinct"),
     )
+
+
+# --- Luhn checksum validation (r11) ----------------------------------------------------------
+
+
+def _luhn_exprs(dialect: str):
+    """Shared Luhn machinery over a 16-digit BIGINT column `pan`:
+    digit i (from the right) doubles on odd positions, 2d > 9 folds to
+    2d - 9, valid iff the total is 0 mod 10. Pure integer div/mod —
+    only the div operator spelling differs per dialect."""
+    idiv = (lambda a, b: f"(({a}) div {b})") if dialect == "spark" else (
+        lambda a, b: f"(({a}) // {b})"
+    )
+    terms = []
+    for i in range(16):
+        d = f"({idiv('pan', 10 ** i)} % 10)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return f"(({' + '.join(terms)}) % 10 = 0)"
+
+
+def _luhn_check_digit(dialect: str, base: str) -> str:
+    """Check digit for a 15-digit base (digit positions shift by one
+    once the check digit is appended: base digit i sits at position
+    i+1 of the final PAN, so EVEN base positions double)."""
+    idiv = (lambda a, b: f"(({a}) div {b})") if dialect == "spark" else (
+        lambda a, b: f"(({a}) // {b})"
+    )
+    terms = []
+    for i in range(15):
+        d = f"({idiv(base, 10 ** i)} % 10)"
+        if i % 2 == 0:
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return f"((10 - (({' + '.join(terms)}) % 10)) % 10)"
+
+
+def _luhn_sql() -> str:
+    base = "(4000000000000000 + o_orderkey % 100000000000000)"
+    chk = _luhn_check_digit("duckdb", base)
+    return f"""
+WITH pans AS (
+  SELECT CAST({base} * 10 + {chk} AS BIGINT) AS pan FROM orders
+),
+legs AS (
+  SELECT pan,
+         (pan // 10) * 10 + (pan % 10 + 1) % 10 AS corrupt,
+         (pan // 100000) * 100000
+           + (pan // 1000 % 10) * 10000
+           + (pan // 10000 % 10) * 1000
+           + pan % 1000 AS swapped
+  FROM pans
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE {_luhn_exprs('duckdb')}) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (WHERE NOT {_luhn_exprs('duckdb').replace('pan', 'corrupt')})
+            AS BIGINT) AS n_corrupt_caught,
+       CAST(COUNT(*) FILTER (WHERE NOT {_luhn_exprs('duckdb').replace('pan', 'swapped')})
+            AS BIGINT) AS n_swap_caught
+FROM legs
+"""
+
+
+@register("scalar_luhn_checksum", oracle=_luhn_sql(), tags=("scalar",))
+def scalar_luhn_checksum(spark, sf_dir):
+    """Luhn (mod-10) checksum generation AND validation over synthetic
+    16-digit account numbers — the standard structural-validity gate
+    for card/IMEI-shaped columns in an ETL quarantine step, and a
+    checksum whose ERROR-DETECTION limits this query measures rather
+    than asserts: every +1 single-digit corruption is caught
+    (n_corrupt_caught = n_total), while adjacent-transposition catches
+    exclude the classic 09<->90 blind spot (n_swap_caught <= n_total,
+    the gap visible in the output). Everything is unrolled integer
+    div/mod arithmetic in the scan stage — no UDF, no strings; one
+    map-side-combined aggregate leaves the executors."""
+    base = "(4000000000000000 + o_orderkey % 100000000000000)"
+    chk = _luhn_check_digit("spark", base)
+    o = t(spark, sf_dir, "orders")
+    pans = o.select(
+        F.expr(f"CAST({base} * 10 + {chk} AS BIGINT)").alias("pan")
+    )
+    legs = pans.selectExpr(
+        "pan",
+        "(pan div 10) * 10 + (pan % 10 + 1) % 10 AS corrupt",
+        "(pan div 100000) * 100000 + (pan div 1000 % 10) * 10000"
+        " + (pan div 10000 % 10) * 1000 + pan % 1000 AS swapped",
+    )
+    valid = _luhn_exprs("spark")
+    return legs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(F.when(F.expr(valid), 1)).cast("bigint").alias("n_valid"),
+        F.count(F.when(~F.expr(valid.replace("pan", "corrupt")), 1))
+        .cast("bigint").alias("n_corrupt_caught"),
+        F.count(F.when(~F.expr(valid.replace("pan", "swapped")), 1))
+        .cast("bigint").alias("n_swap_caught"),
+    )
