@@ -4412,3 +4412,102 @@ def agg_cochran_q(spark, sf_dir):
     return st.apply_spark(base.repartition(1)).select(
         "n", "c1", "c2", "c3", "dof", "q_stat", "p_value"
     )
+
+
+# --- Friedman test (r11) ----------------------------------------------------------------------
+
+_FRIEDMAN_BASE_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3,
+         COUNT(*) AS n_ev
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+r AS (
+  SELECT
+    2 * (CASE WHEN x2 < x1 THEN 1 ELSE 0 END + CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+      + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END + CASE WHEN x3 = x1 THEN 1 ELSE 0 END) + 2 AS r1,
+    2 * (CASE WHEN x1 < x2 THEN 1 ELSE 0 END + CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+      + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END + CASE WHEN x3 = x2 THEN 1 ELSE 0 END) + 2 AS r2,
+    2 * (CASE WHEN x1 < x3 THEN 1 ELSE 0 END + CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+      + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END + CASE WHEN x2 = x3 THEN 1 ELSE 0 END) + 2 AS r3
+  FROM u
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1) AS BIGINT) AS s1,
+         CAST(SUM(r2) AS BIGINT) AS s2,
+         CAST(SUM(r3) AS BIGINT) AS s3,
+         CAST(SUM(r1 * r1 + r2 * r2 + r3 * r3) AS BIGINT) AS q
+  FROM r
+)
+SELECT n, CAST(2 AS BIGINT) AS dof,
+       2e0 * CAST(s1 * s1 + s2 * s2 + s3 * s3 - 48 * n * n AS DOUBLE)
+         / CAST(q - 48 * n AS DOUBLE) AS fr_stat
+FROM a
+"""
+
+_FRIEDMAN_ST, _ = chi2_pvalue_stages("fr_stat", "dof")
+_FRIEDMAN_SQL = _FRIEDMAN_ST.duckdb_sql(
+    _FRIEDMAN_BASE_SQL, "SELECT n, dof, fr_stat, p_value"
+)
+
+
+@register("agg_friedman_test", oracle=_FRIEDMAN_SQL, tags=("agg", "stats"))
+def agg_friedman_test(spark, sf_dir):
+    """Friedman rank test across the three per-user-day event-type
+    counts — `agg_cochran_q`'s ordinal sibling (Cochran sees binary
+    did/didn't; Friedman ranks HOW MUCH within each subject, so
+    magnitude shifts Cochran is blind to register). Within-subject
+    tie-averaged ranks for k=3 need only pairwise compares and stay
+    exact as DOUBLED integers 2r = 2*#less + #equal + 2; the
+    tie-corrected statistic clears every denominator into the pure
+    integer identity chi2 = 2*(sum S_j^2 - 48 n^2)/(q - 48 n) on
+    int64 operands (S_j = per-treatment doubled rank sums, q = sum of
+    squared doubled ranks), closing with the staged chi-square(2)
+    tail. One user-day hash-agg + a one-row reduce at any scale."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"x{i}")
+            for i, et in enumerate(("view", "click", "purchase"), 1)
+        ]
+    )
+
+    def two_r(j):
+        others = [o for o in (1, 2, 3) if o != j]
+        less = sum(
+            F.when(F.col(f"x{o}") < F.col(f"x{j}"), 1).otherwise(0) for o in others
+        )
+        eq = sum(
+            F.when(F.col(f"x{o}") == F.col(f"x{j}"), 1).otherwise(0) for o in others
+        )
+        return 2 * less + eq + 2
+
+    r = u.select(*[two_r(j).alias(f"r{j}") for j in (1, 2, 3)])
+    a = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r1").cast("bigint").alias("s1"),
+        F.sum("r2").cast("bigint").alias("s2"),
+        F.sum("r3").cast("bigint").alias("s3"),
+        F.sum(
+            F.col("r1") * F.col("r1") + F.col("r2") * F.col("r2")
+            + F.col("r3") * F.col("r3")
+        ).cast("bigint").alias("q"),
+    )
+    base = a.select(
+        "n",
+        F.lit(2).cast("bigint").alias("dof"),
+        (
+            F.lit(2.0)
+            * (
+                F.col("s1") * F.col("s1") + F.col("s2") * F.col("s2")
+                + F.col("s3") * F.col("s3") - 48 * F.col("n") * F.col("n")
+            ).cast("double")
+            / (F.col("q") - 48 * F.col("n")).cast("double")
+        ).alias("fr_stat"),
+    )
+    st, _ = chi2_pvalue_stages("fr_stat", "dof")
+    return st.apply_spark(base.repartition(1)).select("n", "dof", "fr_stat", "p_value")
