@@ -4511,3 +4511,138 @@ def agg_friedman_test(spark, sf_dir):
     )
     st, _ = chi2_pvalue_stages("fr_stat", "dof")
     return st.apply_spark(base.repartition(1)).select("n", "dof", "fr_stat", "p_value")
+
+
+# --- sequential probability ratio test (r11) ---------------------------------------------------
+
+# H0: conversion 0.35 vs H1: 0.45; thresholds A/B at error rates 5%.
+# The four log terms are PYTHON literals (shortest-repr doubles parse
+# identically in both engines) — no runtime ln() needed at all.
+_SPRT_P0, _SPRT_P1 = 0.35, 0.45
+
+
+def _sprt_literals():
+    import math
+
+    l1 = math.log(_SPRT_P1 / _SPRT_P0)            # per conversion
+    l2 = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # per non-conversion
+    up = math.log((1 - 0.05) / 0.05)              # accept H1
+    dn = math.log(0.05 / (1 - 0.05))              # accept H0
+    return (repr(l1), repr(l2), repr(up), repr(dn))
+
+
+def _sprt_sql() -> str:
+    l1, l2, up, dn = _sprt_literals()
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(date_trunc('hour', ts)) AS first_h,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT epoch_us(first_h) // 3600000000 AS hb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS k
+  FROM u GROUP BY 1
+),
+c AS (
+  SELECT hb,
+         SUM(n) OVER (ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cn,
+         SUM(k) OVER (ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ck
+  FROM h
+),
+s AS (
+  SELECT hb, cn, ck,
+         CAST(ck AS DOUBLE) * CAST({l1} AS DOUBLE)
+           + CAST(cn - ck AS DOUBLE) * CAST({l2} AS DOUBLE) AS llr
+  FROM c
+),
+x AS (
+  SELECT hb, cn, ck, llr,
+         CASE WHEN llr >= CAST({up} AS DOUBLE) THEN 'accept_h1'
+              WHEN llr <= CAST({dn} AS DOUBLE) THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+  FROM s
+)
+SELECT
+  (SELECT CAST(MIN(hb) AS BIGINT) FROM x WHERE decision <> 'continue')
+    AS first_decision_hour,
+  (SELECT decision FROM x WHERE decision <> 'continue'
+   ORDER BY hb LIMIT 1) AS decision,
+  (SELECT CAST(cn AS BIGINT) FROM x WHERE decision <> 'continue'
+   ORDER BY hb LIMIT 1) AS n_at_decision,
+  (SELECT llr FROM x ORDER BY hb DESC LIMIT 1) AS final_llr,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_hours
+"""
+
+
+@register("agg_sprt_early_stop", oracle=_sprt_sql(), tags=("agg", "stats"))
+def agg_sprt_early_stop(spark, sf_dir):
+    """Wald's sequential probability ratio test on the
+    user-conversion stream bucketed by first-seen hour — the
+    EARLY-STOPPING readout peeking-prone A/B dashboards should run
+    instead of repeated fixed-n tests (SPRT controls both error rates
+    at any stopping time): H0 p=0.35 vs H1 p=0.45, 5% error bounds.
+    The Bernoulli LLR is ck*ln(p1/p0) + (cn-ck)*ln(q1/q0) with the
+    FOUR log terms as Python double literals (both engines parse
+    shortest-repr identically — zero runtime ln), cumulative counts
+    are exact integer windows over calendar-bounded hour rows, and
+    the first boundary crossing + final LLR close the one-row
+    answer."""
+    from pyspark.sql import Window as W
+
+    l1, l2, up, dn = _sprt_literals()
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("first_h"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    h = u.groupBy(
+        F.floor(F.unix_micros(F.col("first_h")) / 3600000000)
+        .cast("bigint").alias("hb")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    wc = W.orderBy("hb").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = h.select(
+        "hb",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("k").over(wc).alias("ck"),
+    )
+    llr = (
+        F.col("ck").cast("double") * F.expr(f"CAST({l1} AS DOUBLE)")
+        + (F.col("cn") - F.col("ck")).cast("double") * F.expr(f"CAST({l2} AS DOUBLE)")
+    )
+    x = c.select(
+        "hb", "cn", "ck", llr.alias("llr"),
+        F.when(llr >= F.expr(f"CAST({up} AS DOUBLE)"), "accept_h1")
+        .when(llr <= F.expr(f"CAST({dn} AS DOUBLE)"), "accept_h0")
+        .otherwise("continue").alias("decision"),
+    ).localCheckpoint(eager=False)
+    decided = x.where(F.col("decision") != "continue")
+    first = decided.orderBy("hb").limit(1).select(
+        F.col("hb").alias("first_decision_hour"),
+        "decision",
+        F.col("cn").alias("n_at_decision"),
+    )
+    last = x.orderBy(F.col("hb").desc()).limit(1).select(
+        F.col("llr").alias("final_llr")
+    )
+    nh = x.agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"))
+    # anchor on the always-1-row aggregates and LEFT-join the decision
+    # row: with no boundary crossing the oracle's scalar subqueries
+    # yield NULLs in one row — an inner/cross join would yield zero
+    return (
+        nh.crossJoin(F.broadcast(last))
+        .join(F.broadcast(first), F.lit(True), "left")
+        .select(
+            "first_decision_hour", "decision", "n_at_decision",
+            "final_llr", "n_hours",
+        )
+    )
