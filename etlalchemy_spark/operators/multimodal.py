@@ -2594,3 +2594,210 @@ def exif_metadata(df: "DataFrame", id_col: str) -> "DataFrame":
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+# --- AIFF (r11) --------------------------------------------------------------------------------
+
+
+def _ext80_pack(value: int) -> bytes:
+    """80-bit IEEE 754 extended float (the AIFF COMM sampleRate field):
+    sign+15-bit exponent (bias 16383), 64-bit mantissa with an
+    EXPLICIT integer bit. Exact for the positive integers sample
+    rates are."""
+    import struct
+
+    if value <= 0:
+        raise ValueError("extended-float pack: positive integers only")
+    e = value.bit_length() - 1
+    mant = value << (63 - e)  # normalize: integer bit at bit 63
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _ext80_unpack(raw: bytes) -> int:
+    import struct
+
+    se, mant = struct.unpack(">HQ", raw)
+    if se & 0x8000:
+        raise ValueError("AIFF: negative sample rate")
+    e = (se & 0x7FFF) - 16383
+    if mant == 0:
+        return 0
+    # shift the 63-fraction-bit mantissa to the integer value
+    shift = 63 - e
+    if shift < 0:
+        return mant << (-shift)
+    if mant & ((1 << shift) - 1):
+        raise ValueError("AIFF: non-integer sample rate")
+    return mant >> shift
+
+
+def encode_aiff_pcm16(samples, sample_rate: int) -> bytes:
+    """Minimal mono 16-bit PCM AIFF writer (big-endian throughout —
+    the FORM/COMM/SSND mirror of encode_wav_pcm16)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=">i2").tobytes()
+    comm = b"COMM" + struct.pack(">IhIh", 18, 1, len(pcm) // 2, 16) + _ext80_pack(
+        sample_rate
+    )
+    ssnd = b"SSND" + struct.pack(">III", len(pcm) + 8, 0, 0) + pcm
+    if len(pcm) & 1:
+        ssnd += b"\x00"  # chunks are word-aligned
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """AIFF (FORM/AIFF) decode: COMM with the 80-bit extended-float
+    sample rate parsed EXACTLY (integer rates round-trip bit-for-bit;
+    fractional rates refuse loudly), SSND big-endian 16-bit PCM with
+    offset/blockSize honored, odd-size chunk padding walked. Returns
+    the same stats dict shape as decode_wav so `wav_stats`-style
+    consumers need no branching. Compressed AIFC refuses by name."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise ValueError("not a FORM/AIFF payload")
+    form_type = payload[8:12]
+    if form_type == b"AIFC":
+        raise NotImplementedError("AIFC (compressed AIFF) not supported")
+    if form_type != b"AIFF":
+        raise ValueError(f"FORM type {form_type!r} is not AIFF")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # odd chunks pad one byte
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF payload missing COMM/SSND chunk")
+    n_channels, n_frames, bits = struct.unpack_from(">hIh", comm, 0)
+    sample_rate = _ext80_unpack(comm[8:18])
+    if bits != 16:
+        raise NotImplementedError(f"only 16-bit AIFF PCM implemented, got {bits}")
+    offset, _block = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + offset:8 + offset + n_frames * n_channels * 2]
+    samples = np.frombuffer(data, dtype=">i2")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_us": n_frames * 1_000_000 // sample_rate,
+        "sum_abs_amplitude": int(np.abs(samples.astype(np.int64)).sum()),
+        "peak_amplitude": int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0,
+    }
+
+
+# --- TGA (r11) ---------------------------------------------------------------------------------
+
+
+def encode_tga(pixels, rle: bool = False, top_down: bool = True) -> bytes:
+    """Truevision TARGA writer, 24-bit truecolor: type 2 (raw) or
+    type 10 (run-length packets, max 128 px, never spanning rows —
+    the spec's row-boundary rule). ``pixels`` is rows of (r, g, b).
+    ``top_down`` sets descriptor bit 5 (screen origin)."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    desc = 0x20 if top_down else 0x00
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, 24, desc
+    )
+    rows = pixels if top_down else list(reversed(pixels))
+    out = bytearray(hdr)
+    for row in rows:
+        if not rle:
+            for r, g, b in row:
+                out += bytes((b, g, r))
+            continue
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 128 and row[x + run] == row[x]:
+                run += 1
+            if run >= 2:
+                r, g, b = row[x]
+                out += bytes((0x80 | (run - 1), b, g, r))
+                x += run
+            else:
+                lit = 1
+                while (
+                    x + lit < w and lit < 128
+                    and not (x + lit + 1 < w and row[x + lit] == row[x + lit + 1])
+                ):
+                    lit += 1
+                out += bytes((lit - 1,))
+                for r, g, b in row[x:x + lit]:
+                    out += bytes((b, g, r))
+                x += lit
+    return bytes(out)
+
+
+def decode_tga(payload: bytes) -> dict:
+    """TARGA decode: 24-bit truecolor, types 2 (raw) and 10 (RLE —
+    run AND literal packets, row-clamped), both screen origins, image
+    ID field skipped. Color-mapped/grayscale/16/32-bit refuse by
+    name. Returns the BMP-style stats dict (n_pixels, per-channel
+    sums, pixel rows as (r, g, b))."""
+    import struct
+
+    if len(payload) < 18:
+        raise ValueError("not a TGA payload (short header)")
+    (idlen, cmap_type, img_type, _cm_first, _cm_len, _cm_bits,
+     _x0, _y0, w, h, bpp, desc) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0:
+        raise NotImplementedError("TGA: color-mapped images")
+    if img_type not in (2, 10):
+        raise NotImplementedError(f"TGA: image type {img_type} (2/10 only)")
+    if bpp != 24:
+        raise NotImplementedError(f"TGA: {bpp} bpp (24 only)")
+    pos = 18 + idlen
+    px = []
+    if img_type == 2:
+        for _ in range(h):
+            row = []
+            for _ in range(w):
+                b, g, r = payload[pos:pos + 3]
+                row.append((r, g, b))
+                pos += 3
+            px.append(row)
+    else:
+        for _ in range(h):
+            row = []
+            while len(row) < w:
+                head = payload[pos]
+                pos += 1
+                count = (head & 0x7F) + 1
+                if len(row) + count > w:
+                    raise ValueError("TGA: RLE packet crosses row boundary")
+                if head & 0x80:
+                    b, g, r = payload[pos:pos + 3]
+                    pos += 3
+                    row += [(r, g, b)] * count
+                else:
+                    for _ in range(count):
+                        b, g, r = payload[pos:pos + 3]
+                        row.append((r, g, b))
+                        pos += 3
+            px.append(row)
+    if not (desc & 0x20):  # bottom-up origin
+        px = list(reversed(px))
+    return {
+        "format": "tga",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": sum(p[0] for row in px for p in row),
+        "sum_g": sum(p[1] for row in px for p in row),
+        "sum_b": sum(p[2] for row in px for p in row),
+        "pixels": px,
+    }

@@ -2962,3 +2962,175 @@ def mm_decode_jpeg_lossless(spark, sf_dir):
         "doc_id long, width int, height int, n_pixels long, precision int, "
         "predictor int, sum_y long, sum_r long, sum_g long, sum_b long",
     ).orderBy("doc_id")
+
+
+# --- AIFF decode (r11) -------------------------------------------------------------------------
+
+_AIFF_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         40 + doc_id % 83 AS n_samples,
+         CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 44100 ELSE 48000 END AS sample_rate
+  FROM documents
+),
+amps AS (
+  SELECT doc_id, n_samples, sample_rate,
+         list_transform(generate_series(0, n_samples - 1),
+                        i -> abs((doc_id * 29 + i * 13) % 65536 - 32768)) AS a
+  FROM params
+)
+SELECT doc_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us,
+       CAST(list_aggregate(a, 'sum') AS BIGINT) AS sum_abs_amplitude,
+       CAST(list_aggregate(a, 'max') AS BIGINT) AS peak_amplitude
+FROM amps
+"""
+
+
+@register("mm_decode_aiff_stats", oracle=_AIFF_SQL, tags=("multimodal", "udf"))
+def mm_decode_aiff_stats(spark, sf_dir):
+    """REAL AIFF decode (r11) — the big-endian FORM/COMM/SSND sibling
+    of `mm_decode_wav_stats` (Mac-lineage audio interchange; the COMM
+    chunk's sample rate is an 80-bit IEEE EXTENDED float, parsed
+    exactly for integer rates — the field that trips ad-hoc parsers):
+    deterministic mono 16-bit samples per doc encode through
+    encode_aiff_pcm16 and decode back through the full chunk walk,
+    offset/blockSize handling and odd-size padding; stats match the
+    closed form DuckDB recomputes. AIFC and non-16-bit refuse by
+    name. Partition-local Arrow batches, same scale shape as WAV."""
+    from etlalchemy_spark.operators.multimodal import decode_aiff, encode_aiff_pcm16
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(40) + F.col("doc_id") % 83).cast("int").alias("n_samples"),
+        F.when(F.col("doc_id") % 3 == 0, 22050)
+        .when(F.col("doc_id") % 3 == 1, 44100)
+        .otherwise(48000)
+        .alias("sample_rate"),
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n, rate in zip(
+                pdf["doc_id"], pdf["n_samples"], pdf["sample_rate"]
+            ):
+                i = np.arange(int(n), dtype=np.int64)
+                samples = (int(doc_id) * 29 + i * 13) % 65536 - 32768
+                d = decode_aiff(encode_aiff_pcm16(samples, int(rate)))
+                rows.append(
+                    (
+                        int(doc_id), d["sample_rate"], d["n_channels"],
+                        d["n_samples"], d["duration_us"],
+                        d["sum_abs_amplitude"], d["peak_amplitude"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_us", "sum_abs_amplitude", "peak_amplitude",
+                ],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, sample_rate int, n_channels int, n_samples bigint, "
+        "duration_us bigint, sum_abs_amplitude bigint, peak_amplitude bigint",
+    )
+
+
+# --- TGA decode (r11) --------------------------------------------------------------------------
+
+_TGA_SQL = """
+WITH params AS (
+  SELECT doc_id, 3 + doc_id % 9 AS w, 2 + doc_id % 6 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256) AS r,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> (doc_id * 5 + (i % w) // 2) % 256) AS g,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> (doc_id * 3 + (i // w)) % 256) AS b
+  FROM params
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(r, 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(g, 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(b, 'sum') AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("mm_decode_tga_stats", oracle=_TGA_SQL, tags=("multimodal", "udf"))
+def mm_decode_tga_stats(spark, sf_dir):
+    """REAL TGA (Truevision TARGA) decode (r11) — the game-texture /
+    scanline-tool format whose RLE packets are ROW-CLAMPED by spec
+    (the corruption ad-hoc readers miss): per doc the deterministic
+    RGB raster encodes through encode_tga cycling raw (type 2) vs
+    RLE (type 10) by doc parity and top-down vs bottom-up origin by
+    doc_id % 5, then decodes back through the packet walk with the
+    row-boundary guard; channel sums match DuckDB's closed form.
+    The g-channel's (i % w) // 2 plateaus guarantee real multi-pixel
+    runs so the RLE path is exercised, not just declared.
+    Color-mapped/16/32-bit refuse by name. Arrow partition-local."""
+    from etlalchemy_spark.operators.multimodal import decode_tga, encode_tga
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 9).cast("int").alias("w"),
+        (F.lit(2) + F.col("doc_id") % 6).cast("int").alias("h"),
+    )
+
+    def synth_and_decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                px = [
+                    [
+                        (
+                            (doc_id * 7 + x * 3 + y * 11) % 256,
+                            (doc_id * 5 + x // 2) % 256,
+                            (doc_id * 3 + y) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                blob = encode_tga(
+                    px, rle=(doc_id % 2 == 0), top_down=(doc_id % 5 != 0)
+                )
+                d = decode_tga(blob)
+                rows.append(
+                    (
+                        doc_id, d["width"], d["height"], d["n_pixels"],
+                        d["sum_r"], d["sum_g"], d["sum_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, width int, height int, n_pixels long, "
+        "sum_r long, sum_g long, sum_b long",
+    )

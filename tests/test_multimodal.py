@@ -1063,3 +1063,67 @@ def test_tiff_tiled_guardrails():
             struct.pack_into("<I", blob, off + 8, 16)
     with _pytest.raises(ValueError, match="grid"):
         decode_tiff(bytes(blob))
+
+
+# --- AIFF + TGA (r11) --------------------------------------------------------------------
+
+
+def test_aiff_matches_wav_stats_and_ext80_exact():
+    import numpy as np
+    import pytest as _pytest
+
+    from etlalchemy_spark.operators.multimodal import (
+        _ext80_pack, _ext80_unpack, decode_aiff, decode_wav,
+        encode_aiff_pcm16, encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(13)
+    for n, rate in ((100, 44100), (7, 8000), (255, 48000), (1, 11025)):
+        s = rng.integers(-32768, 32767, n, dtype=np.int64)
+        a = decode_aiff(encode_aiff_pcm16(s, rate))
+        w = decode_wav(encode_wav_pcm16(s, rate))
+        for k in ("sample_rate", "n_channels", "n_samples", "duration_us",
+                  "sum_abs_amplitude", "peak_amplitude"):
+            assert a[k] == w[k], k
+    # 80-bit extended float: exact for every common rate
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 192000, 1):
+        assert _ext80_unpack(_ext80_pack(rate)) == rate
+    # refusals name the field
+    blob = bytearray(encode_aiff_pcm16(np.zeros(4), 8000))
+    aifc = blob[:8] + b"AIFC" + blob[12:]
+    with _pytest.raises(NotImplementedError, match="AIFC"):
+        decode_aiff(bytes(aifc))
+    with _pytest.raises(ValueError, match="FORM"):
+        decode_aiff(b"RIFFjunkWAVE")
+
+
+def test_tga_roundtrip_matrix_and_guards():
+    import random
+
+    import pytest as _pytest
+
+    from etlalchemy_spark.operators.multimodal import decode_tga, encode_tga
+
+    rng = random.Random(17)
+    for w, h in ((1, 1), (7, 5), (130, 3)):
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        flat = [[(9, 9, 9)] * w for _ in range(h)]  # >128-px run splits
+        for p in (px, flat):
+            for rle in (False, True):
+                for td in (True, False):
+                    d = decode_tga(encode_tga(p, rle=rle, top_down=td))
+                    assert d["pixels"] == p, (w, h, rle, td)
+    # a run crossing the row boundary must refuse, not wrap silently
+    blob = bytearray(encode_tga([[(1, 2, 3)] * 4] * 2, rle=True))
+    # craft: header + one RLE packet claiming 8 px on a 4-px row
+    bad = blob[:18] + bytes((0x87, 3, 2, 1))
+    with _pytest.raises(ValueError, match="row boundary"):
+        decode_tga(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="32 bpp"):
+        hdr = bytearray(encode_tga([[(0, 0, 0)]]))
+        hdr[16] = 32
+        decode_tga(bytes(hdr))
