@@ -100,6 +100,11 @@ R10_SUBSET = (
     "window_topk_per_group",
 )
 
+# Frozen round-11 composition (47 queries): round 12 may add bench
+# entries, so this subtotal keeps the BENCH_r11 trend line alive.
+# Do not edit this list.
+R11_SUBSET = R10_SUBSET + ("fmt_avro_roundtrip",)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etlalchemy_spark.registry import all_queries
@@ -163,6 +168,10 @@ def main() -> None:
                     sum(timings.get(q, 0.0) for q in R10_SUBSET), 3
                 ),
                 "r10_comparable_n": sum(1 for q in R10_SUBSET if q in timings),
+                "r11_comparable_subtotal": round(
+                    sum(timings[q] for q in R11_SUBSET if q in timings), 3
+                ),
+                "r11_comparable_n": sum(1 for q in R11_SUBSET if q in timings),
             }
         )
     )

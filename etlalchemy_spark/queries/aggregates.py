@@ -3343,7 +3343,7 @@ _KW_SQL = _KW_ST.duckdb_sql(
 )
 
 
-@register("agg_kruskal_wallis", oracle=_KW_SQL, tags=("agg", "stats", "scale"))
+@register("agg_kruskal_wallis", oracle=_KW_SQL, tags=("agg", "stats", "scale", "bench"))
 def agg_kruskal_wallis(spark, sf_dir):
     """Kruskal-Wallis H test across order priorities on order totals —
     the k-group generalization of `agg_mann_whitney_u` (and the
@@ -4072,7 +4072,7 @@ FROM a
 """
 
 
-@register("agg_average_precision", oracle=_AP_SQL, tags=("agg", "stats", "scale"))
+@register("agg_average_precision", oracle=_AP_SQL, tags=("agg", "stats", "scale", "bench"))
 def agg_average_precision(spark, sf_dir):
     """Average precision (area under the precision-recall curve) of
     the order-total score against the urgent-priority label —

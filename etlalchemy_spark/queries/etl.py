@@ -2235,7 +2235,7 @@ FROM audit ORDER BY vault_table
 """
 
 
-@register("etl_data_vault_load", oracle=_DV_LOAD_SQL, tags=("etl",))
+@register("etl_data_vault_load", oracle=_DV_LOAD_SQL, tags=("etl", "bench"))
 def etl_data_vault_load(spark, sf_dir):
     """Data Vault 2.0 raw-vault load from the staged source — the
     warehouse-modeling pattern upstream etlalchemy migrations feed

@@ -3278,7 +3278,7 @@ FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node
 """
 
 
-@register("graph_hits_exact", oracle=_hits_sql(), tags=("graph", "iterative"))
+@register("graph_hits_exact", oracle=_hits_sql(), tags=("graph", "iterative", "bench"))
 def graph_hits_exact(spark, sf_dir):
     """HITS hubs/authorities over the event-type transition graph —
     PageRank's bipartite sibling ('which states FEED the important
@@ -3777,7 +3777,7 @@ FROM {' CROSS JOIN '.join(f'r{m}' for m in _HURST_SIZES)}
     )
 
 
-@register("ts_hurst_exponent", oracle=_hurst_sql(), tags=("ts",))
+@register("ts_hurst_exponent", oracle=_hurst_sql(), tags=("ts", "bench"))
 def ts_hurst_exponent(spark, sf_dir):
     """Hurst exponent of the hourly event-rate series by rescaled-
     range (R/S) analysis — long-memory diagnostic (H=0.5 random walk,

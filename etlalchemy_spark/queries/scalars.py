@@ -909,7 +909,7 @@ FROM legs
 """
 
 
-@register("scalar_luhn_checksum", oracle=_luhn_sql(), tags=("scalar",))
+@register("scalar_luhn_checksum", oracle=_luhn_sql(), tags=("scalar", "bench"))
 def scalar_luhn_checksum(spark, sf_dir):
     """Luhn (mod-10) checksum generation AND validation over synthetic
     16-digit account numbers — the standard structural-validity gate
