@@ -4646,3 +4646,69 @@ def agg_sprt_early_stop(spark, sf_dir):
             "final_llr", "n_hours",
         )
     )
+
+
+# --- skyline / Pareto front (r11) ----------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH s AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+         CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(12,4))), 4) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT a.suppkey, a.avg_price, a.avg_disc, a.n
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.avg_price <= a.avg_price AND b.avg_disc >= a.avg_disc
+    AND (b.avg_price < a.avg_price OR b.avg_disc > a.avg_disc)
+)
+ORDER BY a.avg_price
+"""
+
+
+@register("agg_skyline_pareto", oracle=_SKYLINE_SQL, tags=("agg",))
+def agg_skyline_pareto(spark, sf_dir):
+    """SKYLINE (Pareto front) of suppliers on (avg line price, avg
+    ship-to-receipt delay) — the multi-criteria 'which suppliers are
+    not dominated on BOTH cost and speed' shortlist classic optimizers
+    spell as SKYLINE OF. The dominance test runs over the SUPPLIER
+    AGGREGATE (bounded by |suppliers|, never fact rows; metrics here:
+    avg line price LOWER-better vs avg discount HIGHER-better): facts
+    reduce map-side to exact decimal sufficient sums, the per-metric
+    averages are one identical IEEE division each, and the dominance
+    anti-join broadcasts the k-row aggregate against itself (<= on
+    both axes, strict on one — the NOT EXISTS mirrored verbatim as a
+    Spark left_anti join). At 100 TB the only fact-side cost is one
+    hash-agg; the |suppliers|^2 dominance stays dimension-sized."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_price"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(12,4)"))
+            .cast("decimal(38,4)").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    b = s.select(
+        F.col("avg_price").alias("bp"), F.col("avg_disc").alias("bd")
+    )
+    dominated = (
+        (F.col("bp") <= F.col("avg_price"))
+        & (F.col("bd") >= F.col("avg_disc"))
+        & ((F.col("bp") < F.col("avg_price")) | (F.col("bd") > F.col("avg_disc")))
+    )
+    return (
+        s.join(F.broadcast(b), dominated, "left_anti")
+        .select("suppkey", "avg_price", "avg_disc", "n")
+        .orderBy("avg_price")
+    )
