@@ -4712,3 +4712,113 @@ def agg_skyline_pareto(spark, sf_dir):
         .select("suppkey", "avg_price", "avg_disc", "n")
         .orderBy("avg_price")
     )
+
+
+# --- Mann-Kendall trend test (r11) ----------------------------------------------------------------
+
+
+def _mk_sql() -> str:
+    st = SqlStages(prefix="_mk")
+    # z with continuity correction: (S - sign(S)) / sqrt(var_s)
+    st.add(
+        "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1e0)"
+        " / sqrt(var_s)"
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0) / sqrt(var_s)"
+        " ELSE 0e0 END",
+        name="z", pin=True,
+    )
+    s = st.add("5e-1")
+    x = st.add("z * z / 2e0")
+    q = st.gammainc_q(s, x)
+    st.add(q, name="p_value")  # two-sided: P(|Z| > |z|) = erfc(|z|/sqrt2)
+    base = """
+WITH w AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         AS BIGINT) // 7 AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM w a JOIN w b ON a.x < b.x
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM w GROUP BY y) HAVING TRUE
+),
+a AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n
+  FROM pairs
+)
+SELECT s_stat, n,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0 AS var_s
+FROM a CROSS JOIN ties
+"""
+    return st.compact(keep=("z", "p_value")).duckdb_sql(
+        base, "SELECT s_stat, n, var_s, z, p_value"
+    )
+
+
+@register("agg_mann_kendall", oracle=_mk_sql(), tags=("agg", "stats"))
+def agg_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test on the weekly revenue series
+    — `agg_theil_sen`'s significance half (MK z + Sen slope is THE
+    standard trend readout in monitoring): S = sum of pairwise signs
+    over CALENDAR-bounded weeks (never fact rows), the tie-corrected
+    variance [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 in exact int64, the
+    continuity-corrected z, and the two-sided normal tail via
+    erfc(|z|/sqrt 2) = Q(1/2, z^2/2) on the shared staged IEEE
+    incomplete-gamma. One hash-agg + a week-bounded self-join."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        o.groupBy(
+            F.floor(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) / 7
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("y"))
+    )
+    a = w.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = w.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    sgn = (
+        F.when(F.col("by") > F.col("ay"), 1)
+        .when(F.col("by") < F.col("ay"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(F.broadcast(b), F.col("ax") < F.col("bx")).select(sgn.alias("sgn"))
+    s_stat = pairs.agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    nrow = w.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        w.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    nd = F.col("n")
+    base = (
+        s_stat.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties)).select(
+            "s_stat", "n",
+            (
+                (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    st = SqlStages(prefix="_mk")
+    st.add(
+        "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1e0)"
+        " / sqrt(var_s)"
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0) / sqrt(var_s)"
+        " ELSE 0e0 END",
+        name="z", pin=True,
+    )
+    s_ = st.add("5e-1")
+    x_ = st.add("z * z / 2e0")
+    q_ = st.gammainc_q(s_, x_)
+    st.add(q_, name="p_value")
+    return st.compact(keep=("z", "p_value")).apply_spark(
+        base.repartition(1)
+    ).select("s_stat", "n", "var_s", "z", "p_value")
