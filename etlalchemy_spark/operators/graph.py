@@ -178,19 +178,20 @@ def hits_exact(
     L1-normalizes by the EXACT integer total, so the one float
     division per node has identical operands in both engines.
     Authority update pulls hub mass over in-edges, hub update pulls
-    the fresh authority mass back over out-edges. Each half-step
-    references its predecessor exactly ONCE (the L1 total rides a
-    whole-frame window over the node-score frame, not a self-join), so
-    the logical plan grows LINEARLY with iterations like
-    `pagerank_exact` — a broadcast-total formulation references each
-    score frame twice and doubles the tree every half-step (exponential
-    analysis time; measured, not theoretical). The whole-frame window
-    is over the |V|-sized SCORE frame, never the edges — fine for
-    label-like graphs; for billion-node graphs swap in the
-    broadcast-total variant plus a localCheckpoint lineage cut per
-    half-step. Per iteration: two node-keyed joins + two aggregates."""
-    from pyspark.sql import Window as W
-
+    the fresh authority mass back over out-edges. Two plan hazards,
+    both measured: (a) the raw mutual recursion references each score
+    frame twice per half-step (scores + L1 total) and DOUBLES the
+    logical tree — exponential analysis time in BOTH engines (>160 s
+    at 4 iterations; DuckDB inlines multi-referenced CTEs the same
+    way, hence AS MATERIALIZED in the SQL twin); (b) a whole-frame
+    window for the total avoids the double reference but is a
+    single-partition WindowExec over |V| rows — the shape the
+    tests/test_plans.py tripwire bans, and genuinely wrong for
+    billion-node graphs. So: one lazy localCheckpoint per half-step
+    cuts the lineage (plan stays linear, no extra jobs), and the L1
+    total rides a one-row aggregate broadcast back. Per iteration:
+    two node-keyed joins + two aggregates; scores stay
+    node-count-sized."""
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
     ).localCheckpoint(eager=False)
@@ -198,7 +199,6 @@ def hits_exact(
         e.select(F.col("_s").alias("node")).unionAll(e.select("_d")).distinct()
     )
     Q = F.lit(1000000000.0)
-    wall = W.partitionBy()
 
     def half_step(scores, join_col, other_col):
         raw = (
@@ -212,11 +212,11 @@ def hits_exact(
         )
         full = nodes.join(raw, "node", "left").select(
             "node", F.coalesce(F.col("c"), F.lit(0)).alias("c")
-        )
-        return full.select(
+        ).localCheckpoint(eager=False)
+        total = full.agg(F.sum("c").alias("t"))
+        return full.crossJoin(F.broadcast(total)).select(
             "node",
-            (F.col("c").cast("double") / F.sum("c").over(wall).cast("double"))
-            .alias("v"),
+            (F.col("c").cast("double") / F.col("t").cast("double")).alias("v"),
         )
 
     hub = nodes.select("node", F.lit(1.0).alias("v"))
