@@ -227,3 +227,50 @@ def hits_exact(
     return hub.select(F.col("node"), F.col("v").alias("hub")).join(
         auth.select(F.col("node"), F.col("v").alias("authority")), "node"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection: return
+    (node, lbl) after ``rounds`` fixed supersteps. Init lbl(v)=v; each
+    superstep EVERY node simultaneously adopts the most frequent label
+    among its NEIGHBORS (not itself), ties to the smallest label — a
+    fully deterministic LPA variant, so results are reproducible across
+    engines and retries (the property the DuckDB gate twin relies on).
+    Per superstep: one edge-x-label equi-join + one hash aggregate (the
+    (count, -label) struct max — no per-node window), then a lazy
+    lineage cut. Cost is |E| shuffle rows per superstep at any scale —
+    the Pregel shape, like connected_components above. Nodes with no
+    neighbors never enter the edge list and are absent from the result,
+    matching the edge-derived node set.
+
+    Upstream reference (seanharr11/etlalchemy) has no graph surface;
+    this is part of the mandated LLM-curation layer (domain clustering
+    of a similarity/co-occurrence graph before sampling)."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for r in range(rounds):
+        cnt = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F.col("u").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg")))
+        labels = cnt.groupBy(F.col("n").alias("node")).agg(
+            (-best.getField("neg")).alias("lbl")
+        )
+        if r + 1 < rounds:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

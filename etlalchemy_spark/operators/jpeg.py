@@ -440,7 +440,11 @@ def decode_jpeg(payload: bytes) -> dict:
     n_pixels, subsampling, per-plane stored sums (sum_y/sum_cb/sum_cr
     over the decoded planes cropped to nominal size, BEFORE chroma
     upsampling), and sum_r/sum_g/sum_b over the reconstructed RGB
-    (grayscale replicates Y). All refusals name the exact field."""
+    (grayscale replicates Y). Lossless (SOF3) results additionally
+    carry ``precision``/``predictor``/``point_transform``; for Pt > 0
+    the sums are over the point-transformed samples (multiply by
+    ``1 << point_transform`` for nominal range — see
+    _decode_lossless). All refusals name the exact field."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -712,8 +716,13 @@ def _decode_lossless(payload, pos, frame, scan, htabs, ri: int, sel: int,
     2..16-bit precision. Supports 1- and 3-component scans with 1x1
     sampling; components pass through UNTRANSFORMED (the lossless
     process defines no color transform), so sum_r/g/b are the raw
-    component sums. Restart intervals refuse loudly (predictor
-    re-init across RST boundaries is not wired)."""
+    component sums. CONVENTION: for Pt > 0 streams the reconstructed
+    samples are the POINT-TRANSFORMED (right-shifted) values, NOT
+    re-scaled by 2^Pt as T.81's output stage suggests — the dict
+    exposes ``point_transform`` so consumers can multiply sums by
+    ``1 << point_transform`` to recover nominal-range magnitudes.
+    Restart intervals refuse loudly (predictor re-init across RST
+    boundaries is not wired)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     prec = frame["prec"]
     if ri:
@@ -749,6 +758,7 @@ def _decode_lossless(payload, pos, frame, scan, htabs, ri: int, sel: int,
         "n_pixels": int(w) * int(h),
         "precision": prec,
         "predictor": sel,
+        "point_transform": pt,
         "sum_y": sums[0],
         "sum_cb": 0 if gray else sums[1],
         "sum_cr": 0 if gray else sums[2],

@@ -2685,6 +2685,11 @@ def decode_aiff(payload: bytes) -> dict:
         raise NotImplementedError(f"only 16-bit AIFF PCM implemented, got {bits}")
     offset, _block = struct.unpack_from(">II", ssnd, 0)
     data = ssnd[8 + offset:8 + offset + n_frames * n_channels * 2]
+    if len(data) != n_frames * n_channels * 2:
+        raise ValueError(
+            f"SSND truncated: COMM numSampleFrames={n_frames} x {n_channels} ch "
+            f"needs {n_frames * n_channels * 2} bytes, SSND holds {len(data)}"
+        )
     samples = np.frombuffer(data, dtype=">i2")
     return {
         "sample_rate": sample_rate,

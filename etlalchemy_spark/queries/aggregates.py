@@ -1050,7 +1050,7 @@ LIMIT 1
 """
 
 
-@register("agg_ks_drift_test", oracle=_KS_SQL, tags=("agg", "ts"))
+@register("agg_ks_drift_test", oracle=_KS_SQL, tags=("agg", "timeseries"))
 def agg_ks_drift_test(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift test between 1996 and 1997
     price distributions — the did-the-distribution-shift gate a feed
@@ -4674,8 +4674,8 @@ ORDER BY a.avg_price
 @register("agg_skyline_pareto", oracle=_SKYLINE_SQL, tags=("agg",))
 def agg_skyline_pareto(spark, sf_dir):
     """SKYLINE (Pareto front) of suppliers on (avg line price, avg
-    ship-to-receipt delay) — the multi-criteria 'which suppliers are
-    not dominated on BOTH cost and speed' shortlist classic optimizers
+    discount) — the multi-criteria 'which suppliers are not dominated
+    on BOTH cost and rebate' shortlist classic optimizers
     spell as SKYLINE OF. The dominance test runs over the SUPPLIER
     AGGREGATE (bounded by |suppliers|, never fact rows; metrics here:
     avg line price LOWER-better vs avg discount HIGHER-better): facts

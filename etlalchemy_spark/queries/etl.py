@@ -1627,7 +1627,7 @@ GROUP BY user_id, island
 """
 
 
-@register("etl_interval_merge_compaction", oracle=_INTERVAL_MERGE_SQL, tags=("etl", "ts"))
+@register("etl_interval_merge_compaction", oracle=_INTERVAL_MERGE_SQL, tags=("etl", "timeseries"))
 def etl_interval_merge_compaction(spark, sf_dir):
     """Validity-interval compaction — the SCD housekeeping step that
     collapses overlapping/abutting per-key validity rows (here: each

@@ -1194,7 +1194,7 @@ FROM merged GROUP BY user_id
 """
 
 
-@register("ts_interval_union_coverage", oracle=_INTERVAL_UNION_SQL, tags=("ts", "window"))
+@register("ts_interval_union_coverage", oracle=_INTERVAL_UNION_SQL, tags=("timeseries", "window"))
 def ts_interval_union_coverage(spark, sf_dir):
     """Total union length of overlapping intervals per user (each
     event opens a 5-minute activity interval; overlapping/touching
@@ -1284,7 +1284,7 @@ FROM m
 """
 
 
-@register("ts_autocorrelation", oracle=_ACF_SQL, tags=("ts",))
+@register("ts_autocorrelation", oracle=_ACF_SQL, tags=("timeseries",))
 def ts_autocorrelation(spark, sf_dir):
     """Autocorrelation of the hourly event-count series at lags 1..6 —
     the seasonality detector behind alerting baselines and forecast
@@ -1359,7 +1359,7 @@ LIMIT 1
 """
 
 
-@register("ts_cusum_changepoint", oracle=_CUSUM_SQL, tags=("ts",))
+@register("ts_cusum_changepoint", oracle=_CUSUM_SQL, tags=("timeseries",))
 def ts_cusum_changepoint(spark, sf_dir):
     """CUSUM changepoint detection on the hourly event-rate series —
     where did the level shift? The statistic max_t |sum_{i<=t}(x_i -
@@ -1492,7 +1492,7 @@ FROM d LEFT JOIN seas ON d.hod = seas.hod
 """
 
 
-@register("ts_seasonal_decompose", oracle=_DECOMP_SQL, tags=("ts",))
+@register("ts_seasonal_decompose", oracle=_DECOMP_SQL, tags=("timeseries",))
 def ts_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition of the hourly event
     series (period 24): trend = centered 24-row moving average,
@@ -1730,7 +1730,7 @@ FROM rs, mom
 """
 
 
-@register("ts_seasonal_anomaly", oracle=_SEASONAL_ANOM_SQL, tags=("ts",))
+@register("ts_seasonal_anomaly", oracle=_SEASONAL_ANOM_SQL, tags=("timeseries",))
 def ts_seasonal_anomaly(spark, sf_dir):
     """Seasonally-adjusted anomaly detection — the composition the
     decomposition exists FOR: an hour is anomalous iff its REMAINDER
@@ -3048,7 +3048,7 @@ LIMIT 10
 """
 
 
-@register("ts_sax_motifs", oracle=_SAX_SQL, tags=("ts", "events", "stats"))
+@register("ts_sax_motifs", oracle=_SAX_SQL, tags=("timeseries", "events", "stats"))
 def ts_sax_motifs(spark, sf_dir):
     """SAX symbolization + motif mining (r10) — the time-series-mining
     classic (Lin/Keogh): z-normalize the daily series, discretize into
@@ -3148,7 +3148,7 @@ FROM fit2, sums
 """
 
 
-@register("ts_durbin_watson", oracle=_DW_SQL, tags=("ts", "stats"))
+@register("ts_durbin_watson", oracle=_DW_SQL, tags=("timeseries", "stats"))
 def ts_durbin_watson(spark, sf_dir):
     """Durbin-Watson residual autocorrelation (r10) — the regression
     diagnostic that says whether the OLS trend's residuals are
@@ -3345,7 +3345,7 @@ LIMIT 1
 """
 
 
-@register("ts_page_hinkley", oracle=_PH_SQL, tags=("ts",))
+@register("ts_page_hinkley", oracle=_PH_SQL, tags=("timeseries",))
 def ts_page_hinkley(spark, sf_dir):
     """Page-Hinkley upward-drift detection on the hourly event-rate
     series — `ts_cusum_changepoint`'s sequential sibling (PH is the
@@ -3498,7 +3498,7 @@ _PACF_SQL = _PACF_ST.duckdb_sql(
 )
 
 
-@register("ts_pacf", oracle=_PACF_SQL, tags=("ts",))
+@register("ts_pacf", oracle=_PACF_SQL, tags=("timeseries",))
 def ts_pacf(spark, sf_dir):
     """Partial autocorrelation (lags 1-5) of the hourly event-rate
     series via the Durbin-Levinson recursion — the AR-order
@@ -3635,7 +3635,7 @@ def _ljung_box_sql() -> str:
     )
 
 
-@register("ts_ljung_box", oracle=_ljung_box_sql(), tags=("ts",))
+@register("ts_ljung_box", oracle=_ljung_box_sql(), tags=("timeseries",))
 def ts_ljung_box(spark, sf_dir):
     """Ljung-Box portmanteau whiteness test on the hourly event-rate
     series (lags 1-5) — 'is there ANY autocorrelation left?' asked
@@ -3777,7 +3777,7 @@ FROM {' CROSS JOIN '.join(f'r{m}' for m in _HURST_SIZES)}
     )
 
 
-@register("ts_hurst_exponent", oracle=_hurst_sql(), tags=("ts", "bench"))
+@register("ts_hurst_exponent", oracle=_hurst_sql(), tags=("timeseries", "bench"))
 def ts_hurst_exponent(spark, sf_dir):
     """Hurst exponent of the hourly event-rate series by rescaled-
     range (R/S) analysis — long-memory diagnostic (H=0.5 random walk,
@@ -3801,6 +3801,11 @@ def ts_hurst_exponent(spark, sf_dir):
         F.floor(F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3600000000)
         .cast("bigint").alias("h")
     ).agg(F.count(F.lit(1)).alias("x"))
+    # calendar-bounded global row_number (hour rows — state grows with
+    # elapsed time, not volume; pinned in test_plans.py's allowlist,
+    # which sees THROUGH this checkpoint via its localCheckpoint spy).
+    # The checkpoint + eager count() exist because the R/S legs below
+    # reuse idx _HURST_SIZES times and need `total` as a plan literal.
     idx = s.select(
         (F.row_number().over(W.orderBy("h")) - 1).alias("t"), "x"
     ).localCheckpoint(eager=False)

@@ -884,7 +884,7 @@ def _luhn_check_digit(dialect: str, base: str) -> str:
 
 
 def _luhn_sql() -> str:
-    base = "(4000000000000000 + o_orderkey % 100000000000000)"
+    base = "(400000000000000 + o_orderkey % 100000000000000)"
     chk = _luhn_check_digit("duckdb", base)
     return f"""
 WITH pans AS (
@@ -921,7 +921,7 @@ def scalar_luhn_checksum(spark, sf_dir):
     the gap visible in the output). Everything is unrolled integer
     div/mod arithmetic in the scan stage — no UDF, no strings; one
     map-side-combined aggregate leaves the executors."""
-    base = "(4000000000000000 + o_orderkey % 100000000000000)"
+    base = "(400000000000000 + o_orderkey % 100000000000000)"
     chk = _luhn_check_digit("spark", base)
     o = t(spark, sf_dir, "orders")
     pans = o.select(

@@ -2694,9 +2694,12 @@ def text_zipf_fit(spark, sf_dir):
     2^53 — exact double conversion; the oracle routes through VARCHAR
     past DuckDB's int128 misrounding), and the closed-form slope/
     intercept are fixed parenthesizations of identical doubles. One
-    vocab hash-agg + one rank window over vocab (never corpus) rows +
-    one aggregate."""
-    from pyspark.sql import Window as W
+    vocab hash-agg + the range-bucketed global-rank pass over vocab
+    rows (operators/prefix.global_ranks on the NEGATED count — no
+    single-partition window: vocabulary is Heaps-law sublinear but
+    still unbounded, unlike the calendar-bounded hour frames) + one
+    aggregate."""
+    from etlalchemy_spark.operators.prefix import global_ranks
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -2705,8 +2708,10 @@ def text_zipf_fit(spark, sf_dir):
         ).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    ranked = vocab.select(
-        "c", F.row_number().over(W.orderBy(F.desc("c"), "tok")).alias("rnk")
+    # descending count = ascending -c; counts are never NULL so the
+    # negated-key NULLS-FIRST caveat in global_ranks doesn't apply
+    ranked = global_ranks(vocab, -F.col("c"), ["tok"]).select(
+        "c", F.col("rn").alias("rnk")
     )
     xy = ranked.select(
         F.expr(f"CAST({_LN_RNK} AS DOUBLE)").alias("x"),

@@ -57,3 +57,41 @@ def test_connected_components_rejects_zero_iters(spark):
     edges = spark.createDataFrame([(1, 2)], "src int, dst int")
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(edges, max_iter=0)
+
+
+def _lpa(spark, pairs, rounds=4):
+    from etlalchemy_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r.node: r.lbl
+        for r in label_propagation(edges, rounds=rounds).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two triangles {1,2,3} and {7,8,9} joined by one bridge 3-7: each
+    # clique collapses to its min label; the bridge is outvoted 2:1
+    tri = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)]
+    got = _lpa(spark, tri)
+    assert got[1] == got[2] == got[3]
+    assert got[7] == got[8] == got[9]
+    assert got[1] != got[7]
+
+
+def test_lpa_tie_breaks_to_min_label(spark):
+    # node 5's neighbors {1, 9} tie at one vote each -> takes min (1);
+    # synchronous update: 1 and 9 simultaneously adopt 5's label
+    got = _lpa(spark, [(1, 5), (5, 9)], rounds=1)
+    assert got[5] == 1
+    assert got[1] == 5 and got[9] == 5
+
+
+def test_lpa_rejects_zero_rounds(spark):
+    import pytest as _pytest
+
+    from etlalchemy_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        label_propagation(edges, rounds=0)

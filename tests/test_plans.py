@@ -219,25 +219,80 @@ def test_knn_batch_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_no_unpartitioned_windows_in_hot_queries(spark):
-    # The single-partition window shape (WindowExec "No Partition
-    # Defined") must not appear in any bench/window/scale/timeseries
-    # query: tiny-frame prefixes use driver-literal offsets or
-    # array-packed cumulatives instead (operators/prefix.py docstring —
+# Every unpartitioned window the registry is ALLOWED to plan, with the
+# scale justification and the pinned window count. The shape funnels
+# all frame rows through one task (WindowExec "No Partition Defined"),
+# so an entry is legitimate ONLY when the frame is bounded by something
+# other than data volume: calendar time (state grows with elapsed
+# hours/days, not rows — SCALING.md's documented exception), a constant
+# (lag count, sketch size k), or the dimension/hypothesis count. Any
+# NEW unpartitioned window — in any registered query, tagged or not,
+# before or after a localCheckpoint — fails the test below; so does a
+# stale entry whose query no longer plans the shape (r11 verdict: the
+# previous tag-filtered version let a ts/timeseries spelling drift
+# exempt seven queries by accident).
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # (max windows, frame bound)
+    "agg_bh_fdr": (2, "m GROUP rows (order-priority segments, m<=8) — hypothesis-count-bounded, never units"),
+    "agg_sprt_early_stop": (1, "cumulative counts over calendar-bounded hour rows (state grows with time, not volume)"),
+    "sketch_kmv_registers": (1, "rank over the k=64 sketch rows AFTER TakeOrderedAndProject — constant-bounded"),
+    "ts_durbin_watson": (1, "lag over calendar-bounded day rows"),
+    "ts_hurst_exponent": (1, "hour index over calendar-bounded hourly rollup (pre-checkpoint)"),
+    "ts_ljung_box": (1, "lag over the constant max-lag grid (h rows)"),
+    "ts_pacf": (1, "lag over the constant max-lag grid (h rows)"),
+    "ts_page_hinkley": (6, "running min/cumulatives over calendar-bounded hour rows"),
+    "ts_sax_motifs": (1, "lead over calendar-bounded day rows"),
+}
+
+
+def test_no_unpartitioned_windows_in_registry(spark):
+    # The single-partition window shape must not appear in ANY
+    # registered query outside the justified allowlist above:
+    # data-volume-bounded frames use driver-literal offsets or the
+    # range-bucketed prefix machinery instead (operators/prefix.py —
     # Spark 4 strips foldable partition keys, so partitionBy(lit(0))
-    # does NOT silence the shape).
+    # does NOT silence the shape). localCheckpoint(eager=False)
+    # truncates the optimized plan, so windows UPSTREAM of a checkpoint
+    # are invisible on the returned frame (r11 advice: ts_hurst /
+    # agg_sprt hid theirs that way) — the spy below captures every
+    # pre-checkpoint frame and walks those too.
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
     from etlalchemy_spark.plans import unpartitioned_windows
 
-    want_tags = {"bench", "window", "scale", "timeseries"}
+    captured = []
+    orig = _ClassicDF.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
     offenders = {}
-    for name, q in sorted(all_queries().items()):
-        if not want_tags & set(q.tags):
-            continue
-        df = q.fn(spark, SF_DIR)
-        bad = unpartitioned_windows(df)
-        if bad:
-            offenders[name] = bad[0]
-    assert not offenders, f"unpartitioned windows: {offenders}"
+    _ClassicDF.localCheckpoint = spy
+    try:
+        for name, q in sorted(all_queries().items()):
+            captured.clear()
+            df = q.fn(spark, SF_DIR)
+            bad = unpartitioned_windows(df)
+            for parent in list(captured):
+                bad += unpartitioned_windows(parent)
+            if bad:
+                offenders[name] = bad
+    finally:
+        _ClassicDF.localCheckpoint = orig
+
+    unjustified = {
+        n: [w[:120] for w in bad]
+        for n, bad in offenders.items()
+        if n not in UNPARTITIONED_WINDOW_ALLOWLIST
+        or len(bad) > UNPARTITIONED_WINDOW_ALLOWLIST[n][0]
+    }
+    assert not unjustified, (
+        "unpartitioned windows outside the justified allowlist "
+        f"(add ONLY if the frame is calendar/constant/dimension-bounded): {unjustified}"
+    )
+    stale = sorted(set(UNPARTITIONED_WINDOW_ALLOWLIST) - set(offenders))
+    assert not stale, f"allowlist entries no longer planning unpartitioned windows (remove): {stale}"
 
 
 def test_decontamination_broadcasts_eval_shingles(spark):
