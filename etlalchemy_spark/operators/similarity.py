@@ -1273,3 +1273,95 @@ def semantic_dedup_step(
             _semantic_drop_list(bc, pruned, id_col, vec_col, threshold)
         )
     return drops, bc.withColumn("cell_version", F.lit(version_tag))
+
+
+def ivf_kmeans_exact_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k_cells: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k whose coarse quantizer is TRAINED k-means, yet fully
+    oracle-exact (r11 verdict #5: port the PQ bit-determinism to the
+    IVF trainer). Every arithmetic step is engine-portable: vectors
+    live on the shared integer grid (global_int_grid — identical IEEE
+    multiply + floor), Lloyd assignment is an integer-L2 argmin (ties
+    to the lowest cell via (dist, cell) struct min), and the mean
+    update RE-QUANTIZES each centroid onto the grid with
+    floor(sum/count + 0.5) — one correctly-rounded double division of
+    exact int64s, so DuckDB replays the whole training as unrolled
+    CTEs and lands on bit-identical centroids. Fixed ``iters``
+    supersteps keep the plan static (the k-core/LPA discipline).
+
+    Scale shape: per iteration ONE broadcast join of the (id, dim, x)
+    long form against the k_cells x dim centroid table + two bounded
+    aggregates; only k_cells x dim integer sums reach the driver. The
+    probed-candidate scoring is the decimal-exact cosine on the
+    ORIGINAL floats. At 100 TB you train on a content-hash sample
+    (pq_train_codebooks' sample_rate pattern) and assign the full
+    corpus once — the assignment pass is the same broadcast join."""
+    import math
+
+    spark = df.sparkSession
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(global_int_grid(F.col(vec_col))).alias("dim", "x"),
+    )
+    init = (
+        df.select(global_int_grid(F.col(vec_col)).alias("qv"))
+        .orderBy(F.col(id_col))
+        .limit(k_cells)
+        .collect()
+    )
+    cents: list[list[int]] = [[int(x) for x in r["qv"]] for r in init]
+    dim = len(cents[0])
+
+    def _cdf():
+        rows = [(c, d, cents[c][d]) for c in range(k_cells) for d in range(dim)]
+        return F.broadcast(
+            spark.createDataFrame(rows, "cid int, dim int, c long")
+        )
+
+    def _cells():
+        dd = F.col("x") - F.col("c")
+        dist = (
+            g.join(_cdf(), "dim")
+            .groupBy(id_col, "cid")
+            .agg(F.sum(dd * dd).alias("dist"))
+        )
+        return dist.groupBy(id_col).agg(
+            F.min(F.struct("dist", "cid")).getField("cid").alias("cell")
+        )
+
+    for _ in range(iters):
+        sums = (
+            g.join(_cells(), id_col)
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got: dict[tuple[int, int], int] = {}
+        for r in sums:
+            # identical to the oracle's FLOOR(s::DOUBLE / n::DOUBLE + 0.5):
+            # python int/int is the same correctly-rounded IEEE division
+            got[(r["cell"], r["dim"])] = math.floor(r["s"] / r["n"] + 0.5)
+        cents = [
+            [got.get((c, d), cents[c][d]) for d in range(dim)]
+            for c in range(k_cells)
+        ]
+
+    cells = _cells()
+    qq = [math.floor(float(x) * 127 + 0.5) for x in query_vec]
+    qdist = sorted(
+        (sum((qq[d] - cents[c][d]) ** 2 for d in range(dim)), c)
+        for c in range(k_cells)
+    )
+    probe = [c for _, c in qdist[:n_probe]]
+    cand = cells.where(F.col("cell").isin(probe)).select(id_col)
+    cands = df.join(cand, id_col)
+    scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
+    return _topk_ranked(scored, id_col, k)

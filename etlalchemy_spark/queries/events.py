@@ -3866,3 +3866,149 @@ def ts_hurst_exponent(spark, sf_dir):
     return st.compact(keep=keep).apply_spark(legs.repartition(1)).select(
         *[f"rs_{m}" for m in _HURST_SIZES], "hurst"
     )
+
+
+# --- Holt-Winters additive triple smoothing (r12) ------------------------------------------------
+
+_HW_PERIOD = 24
+_HW_DEPTH = 72  # 3 seasonal cycles of history feed each forecast
+
+
+def _hw_kernel(m: int = _HW_PERIOD, depth: int = _HW_DEPTH):
+    """Integer kernel for the additive Holt-Winters one-step forecast
+    (level + trend + period-m seasonality; alpha=3/10, beta=1/10,
+    gamma=1/5 — Hyndman's standard additive form). The three coupled
+    recursions are LINEAR with constant coefficients, so — exactly as
+    Brown's double smoothing collapses to a 20-tap filter
+    (_brown_kernel) — the one-step-ahead forecast is a fixed linear
+    filter of past observations: k_i = the forecast's exact-rational
+    impulse response i steps after a unit observation, derived by
+    running the recursion on Fractions and quantized to 1e-6 integers
+    so both engines consume identical literals. Truncation at `depth`
+    keeps per-row state O(depth); dividing by the truncated kernel
+    mass K (Brown's convention) makes a constant series forecast
+    itself exactly. Trend overshoot puts ~14% extra mass in the first
+    72 taps (the step response of any trend-aware smoother
+    overshoots) — renormalization makes that a documented filter
+    definition, not drift."""
+    from fractions import Fraction as Fr
+
+    a, b_, g = Fr(3, 10), Fr(1, 10), Fr(1, 5)
+    l = Fr(0)
+    b = Fr(0)
+    s: dict[int, Fr] = {}
+    ks = []
+    for t_ in range(depth):
+        y = Fr(1) if t_ == 0 else Fr(0)
+        l_prev, b_prev = l, b
+        s_lag = s.get(t_ - m, Fr(0))
+        l = a * (y - s_lag) + (1 - a) * (l_prev + b_prev)
+        b = b_ * (l - l_prev) + (1 - b_) * b_prev
+        s[t_] = g * (y - l_prev - b_prev) + (1 - g) * s.get(t_ - m, Fr(0))
+        ks.append(l + b + s.get(t_ + 1 - m, Fr(0)))
+    kq = [int(k * 1_000_000) for k in ks]
+    return kq, sum(kq)
+
+
+def _hw_sql() -> str:
+    ks, K = _hw_kernel()
+    pred = " + ".join(f"({k} * LAG(y, {i + 1}) OVER w)" for i, k in enumerate(ks))
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT h0, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hh, COUNT(*) AS n FROM events GROUP BY 1
+),
+y AS (
+  SELECT datediff('hour', h0, hour) AS t_idx, COALESCE(n, 0) AS y
+  FROM grid LEFT JOIN hourly ON hh = hour
+),
+f AS (
+  SELECT t_idx, y, {pred} AS pnum, LAG(y, {_HW_PERIOD}) OVER w AS ysn
+  FROM y
+  WINDOW w AS (ORDER BY t_idx)
+),
+ev AS (SELECT * FROM f WHERE t_idx >= {_HW_DEPTH}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(ABS(y * {K} - pnum)) AS BIGINT) AS hw_abs_k,
+         CAST(SUM(ABS(y - ysn)) AS BIGINT) AS sn_abs,
+         arg_max(pnum, t_idx) AS last_pnum
+  FROM ev
+)
+SELECT n_eval,
+       CAST(hw_abs_k AS DOUBLE) / (CAST(n_eval AS DOUBLE) * CAST({K} AS DOUBLE)) AS hw_mae,
+       CAST(sn_abs AS DOUBLE) / CAST(n_eval AS DOUBLE) AS snaive_mae,
+       (CAST(hw_abs_k AS DOUBLE) / (CAST(n_eval AS DOUBLE) * CAST({K} AS DOUBLE)))
+         / (CAST(sn_abs AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS mae_ratio,
+       CAST(last_pnum AS DOUBLE) / CAST({K} AS DOUBLE) AS last_forecast
+FROM agg
+"""
+
+
+@register("ts_holt_winters_forecast", oracle=_hw_sql(), tags=("events", "timeseries", "window"))
+def ts_holt_winters_forecast(spark, sf_dir):
+    """Additive triple (Holt-Winters) exponential smoothing of the
+    hourly event-count series — level + trend + 24-hour seasonality,
+    the most-used forecasting config and the seasonal completion of
+    `ts_holt_brown_forecast` (r11 verdict #4) — BACKTESTED one step
+    ahead against the seasonal-naive baseline (`y[t-24]`, the bar
+    `ts_seasonal_naive_error` sets). The coupled recursions collapse
+    to one 72-tap exact-integer kernel (_hw_kernel), so the whole
+    operator is: dense hour grid (bounds + sequence/explode, zero-
+    filled), ONE window pass of 72 integer LAGs over the
+    calendar-bounded grid (unpartitioned — state grows with elapsed
+    time, not volume; pinned in test_plans.py's allowlist), and one
+    aggregate. MAE stays EXACT until the last step: per-hour error
+    |y*K - pred_num| is pure int64 (kernel mass K clears the
+    division), summed exactly, divided once — so hw_mae/snaive_mae/
+    mae_ratio hash-match the oracle bit-for-bit. `last_forecast` is
+    the model's prediction for the first hour AFTER the series."""
+    from pyspark.sql import Window as W
+
+    ks, K = _hw_kernel()
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "h0", F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hh")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    y = grid.join(hourly, grid.hour == F.col("hh"), "left").select(
+        F.expr("timestampdiff(HOUR, h0, hour)").cast("bigint").alias("t_idx"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("y"),
+    )
+    w = W.orderBy("t_idx")
+    pnum = F.lit(ks[0]) * F.lag("y", 1).over(w)
+    for i, k in enumerate(ks[1:], start=2):
+        pnum = pnum + F.lit(k) * F.lag("y", i).over(w)
+    f = y.select(
+        "t_idx", "y", pnum.alias("pnum"),
+        F.lag("y", _HW_PERIOD).over(w).alias("ysn"),
+    ).where(F.col("t_idx") >= _HW_DEPTH)
+    agg = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.abs(F.col("y") * F.lit(K) - F.col("pnum"))).cast("bigint").alias("hw_abs_k"),
+        F.sum(F.abs(F.col("y") - F.col("ysn"))).cast("bigint").alias("sn_abs"),
+        F.expr("max_by(pnum, t_idx)").alias("last_pnum"),
+    )
+    nd = F.col("n_eval").cast("double")
+    kd = F.lit(K).cast("double")
+    hw_mae = F.col("hw_abs_k").cast("double") / (nd * kd)
+    sn_mae = F.col("sn_abs").cast("double") / nd
+    return agg.select(
+        "n_eval",
+        hw_mae.alias("hw_mae"),
+        sn_mae.alias("snaive_mae"),
+        (hw_mae / sn_mae).alias("mae_ratio"),
+        (F.col("last_pnum").cast("double") / kd).alias("last_forecast"),
+    )

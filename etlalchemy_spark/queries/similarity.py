@@ -1335,3 +1335,118 @@ def sim_filtered_topk(spark, sf_dir):
         .select("vec_id", "label", "cosine", "rank")
         .orderBy(F.col("cosine").desc(), "vec_id")
     )
+
+
+# --- oracle-exact TRAINED IVF (r12) ------------------------------------------------------------
+
+
+def _ivf_kmeans_sql(k_cells: int = 8, iters: int = 2, n_probe: int = 2) -> str:
+    """DuckDB replay of ivf_kmeans_exact_topk's ENTIRE training loop:
+    grid quantization, integer-L2 Lloyd assignment ((dist, cell)
+    packed arg_min — ties to the lowest cell), and the
+    floor(sum/count + 0.5) centroid re-quantization, unrolled one CTE
+    triple (distances, assignment, new centroids) per iteration — then
+    the same probe + decimal-exact cosine scoring the other sim_*
+    oracles use. Bit-equality holds because every step is integer
+    arithmetic or one correctly-rounded IEEE division of exact
+    int64s. dist <= 64*254^2 < 2^23, so dist*k_cells + cid packs
+    losslessly into BIGINT."""
+    ctes = [
+        (
+            "g AS (SELECT vec_id, CAST(i AS INT) AS dim,"
+            " CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 127 + 0.5) AS BIGINT) AS x"
+            " FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i))"
+        ),
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, x AS c FROM g WHERE vec_id < {k_cells})",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"d{r} AS (SELECT g.vec_id, c.cid, SUM((g.x - c.c) * (g.x - c.c)) AS dist"
+            f" FROM g JOIN {prev} c USING (dim) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, arg_min(cid, dist * {k_cells} + cid) AS cell"
+            f" FROM d{r} GROUP BY vec_id)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT a.cell AS cid, g.dim, SUM(g.x) AS s, COUNT(*) AS n"
+            f" FROM g JOIN a{r} a USING (vec_id) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT p.cid, p.dim, COALESCE("
+            f"CAST(FLOOR(CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) + 0.5) AS BIGINT), p.c) AS c"
+            f" FROM {prev} p LEFT JOIN s{r} s ON s.cid = p.cid AND s.dim = p.dim)"
+        )
+        prev = f"c{r}"
+    final_d = (
+        f"df AS (SELECT g.vec_id, c.cid, SUM((g.x - c.c) * (g.x - c.c)) AS dist"
+        f" FROM g JOIN {prev} c USING (dim) GROUP BY 1, 2)"
+    )
+    final_a = (
+        f"af AS (SELECT vec_id, arg_min(cid, dist * {k_cells} + cid) AS cell"
+        f" FROM df GROUP BY vec_id)"
+    )
+    query_legs = f"""
+qg AS (
+  SELECT CAST(i AS INT) AS dim,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 127 + 0.5) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE vec_id = 0
+),
+qd AS (
+  SELECT c.cid, SUM((qg.x - c.c) * (qg.x - c.c)) AS dist
+  FROM qg JOIN {prev} c USING (dim) GROUP BY 1
+),
+probe AS (SELECT cid AS cell FROM qd ORDER BY dist, cid LIMIT {n_probe}),
+cand AS (SELECT af.vec_id FROM af JOIN probe USING (cell)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS dot,
+         SUM(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS na,
+         SUM(CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))
+             * CAST(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,10))) AS nb
+  FROM embeddings e JOIN cand USING (vec_id), q, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id
+),
+scored AS (
+  SELECT vec_id,
+         CAST(ROUND(dot, 12) AS DOUBLE)
+         / (SQRT(CAST(ROUND(na, 12) AS DOUBLE)) * SQRT(CAST(ROUND(nb, 12) AS DOUBLE))) AS cosine
+  FROM prod
+)
+SELECT vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+    return "WITH " + ",\n".join(ctes + [final_d, final_a]) + "," + query_legs
+
+
+@register(
+    "sim_ivf_kmeans_exact_topk",
+    oracle=_ivf_kmeans_sql(),
+    tags=("similarity", "iterative"),
+)
+def sim_ivf_kmeans_exact_topk(spark, sf_dir):
+    """IVF top-10 with a TRAINED (2 Lloyd iterations, k=8 cells)
+    coarse quantizer that is fully ORACLE-EXACT — the r11 verdict's
+    named gap (sim_ivf_kmeans_topk was rows-only because float means
+    are reduction-order-dependent). The trainer runs on the shared
+    integer grid with floor-half-up centroid re-quantization
+    (operators/similarity.ivf_kmeans_exact_topk), so DuckDB replays
+    training, assignment, probe selection, and scoring bit-for-bit.
+    The float/production twin (sim_ivf_kmeans_topk) keeps its recall
+    pin; this gate proves the TRAINING LOOP itself, not just the
+    probe."""
+    from etlalchemy_spark.operators.similarity import ivf_kmeans_exact_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_kmeans_exact_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir),
+        k_cells=8, iters=2, k=10, n_probe=2,
+    )
