@@ -246,14 +246,14 @@ def fmt_schema_evolution(spark, sf_dir):
     tmp = scratch_dir("evolve", sf_dir)
     base = os.path.join(tmp, "orders_evolving")
     orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
-        os.path.join(base, "batch=1")
+        os.path.join(base, "v1")
     )
     orders.select("o_orderkey", "o_orderstatus").write.mode("overwrite").parquet(
-        os.path.join(base, "batch=2")
+        os.path.join(base, "v2")
     )
     return (
         spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(base, "batch=1"), os.path.join(base, "batch=2"))
+        .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
 
@@ -1277,3 +1277,109 @@ def fmt_parquet_codec_matrix(spark, sf_dir):
         ).select(F.lit(codec).alias("codec"), "*")
         out = leg if out is None else out.unionAll(leg)
     return out.orderBy("codec")
+
+
+_JSONL_EVOLVE_SQL = """
+SELECT doc_id,
+       lang,
+       source,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       CAST(NULL AS BIGINT) AS quality_toks,
+       1 AS schema_version
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id,
+       lang,
+       source,
+       CAST(n_chars % 100 AS DOUBLE) / 100.0 AS quality_score,
+       CAST(n_chars AS BIGINT) AS quality_toks,
+       2 AS schema_version
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@register("fmt_jsonl_nested_evolution", oracle=_JSONL_EVOLVE_SQL, tags=("sources",))
+def fmt_jsonl_nested_evolution(spark, sf_dir):
+    """JSONL feed whose NESTED metadata struct evolved between batches
+    (r11 verdict #7 — the last common interchange shape without
+    external jars): batch v1 carries meta={lang, source}; batch v2
+    DEEPENS it to meta={lang, source, quality:{score, toks}}. Both
+    batches are written as real JSON Lines text, then read back
+    through ONE merged from_json schema — the superset struct — so v1
+    rows null-fill the fields their writer never knew about, exactly
+    the mergeSchema semantics fmt_schema_evolution proves for parquet
+    footers, but at the JSON-text layer where there ARE no footers
+    (the schema union is declared, not discovered; at 100 TB that's
+    the difference between one schema literal and a full inference
+    scan per batch). from_json runs JVM-side (JacksonParser inside
+    codegen — no UDF); the final projection flattens the nested
+    quality struct to typed top-level columns."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    docs = t(spark, sf_dir, "documents")
+    tmp = scratch_dir("jsonl_evolve", sf_dir)
+    base = os.path.join(tmp, "docs_jsonl")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.struct(F.col("lang"), F.col("source")).alias("meta"),
+            )
+        ).alias("value")
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.struct(
+                    F.col("lang"),
+                    F.col("source"),
+                    F.struct(
+                        ((F.col("n_chars") % 100).cast("double") / F.lit(100.0)).alias("score"),
+                        F.col("n_chars").cast("bigint").alias("toks"),
+                    ).alias("quality"),
+                ).alias("meta"),
+            )
+        ).alias("value")
+    )
+    v1.write.mode("overwrite").text(os.path.join(base, "v1"))
+    v2.write.mode("overwrite").text(os.path.join(base, "v2"))
+    merged = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                        T.StructField(
+                            "quality",
+                            T.StructType(
+                                [
+                                    T.StructField("score", T.DoubleType()),
+                                    T.StructField("toks", T.LongType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = spark.read.text(
+        [os.path.join(base, "v1"), os.path.join(base, "v2")]
+    )
+    j = back.select(F.from_json("value", merged).alias("r"))
+    return j.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.meta.lang").alias("lang"),
+        F.col("r.meta.source").alias("source"),
+        F.col("r.meta.quality.score").alias("quality_score"),
+        F.col("r.meta.quality.toks").alias("quality_toks"),
+        F.when(F.col("r.meta.quality").isNull(), 1).otherwise(2).alias("schema_version"),
+    )
