@@ -118,8 +118,25 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
 def main() -> None:
     spark = get_spark("bench")
+    # Prime the OS page cache over every fixture table before anything
+    # is timed (r11 verdict #6: the driver-visible run read ~10% above
+    # the controlled quiet run because the first queries paid cold
+    # parquet reads the quiet protocol had already absorbed). One full
+    # untimed scan per table makes the first timed query see the same
+    # warm cache as the fiftieth.
+    for _t in TABLES:
+        spark.read.parquet(os.path.join(SF_DIR, f"{_t}.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     qs = {name: q for name, q in all_queries().items() if "bench" in q.tags}
 
     # Per-query warmup run (untimed) then the timed run: the first

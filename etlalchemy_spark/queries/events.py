@@ -3951,7 +3951,7 @@ FROM agg
 """
 
 
-@register("ts_holt_winters_forecast", oracle=_hw_sql(), tags=("events", "timeseries", "window"))
+@register("ts_holt_winters_forecast", oracle=_hw_sql(), tags=("events", "timeseries", "window", "bench"))
 def ts_holt_winters_forecast(spark, sf_dir):
     """Additive triple (Holt-Winters) exponential smoothing of the
     hourly event-count series — level + trend + 24-hour seasonality,

@@ -730,7 +730,7 @@ FROM csum, wsum, msum
     )
 
 
-@register("graph_label_propagation", oracle=_lpa_sql(), tags=("graph", "iterative"))
+@register("graph_label_propagation", oracle=_lpa_sql(), tags=("graph", "iterative", "bench"))
 def graph_label_propagation(spark, sf_dir):
     """Synchronous label-propagation community detection (LPA, 4 fixed
     supersteps, deterministic min-label tie-break) with a MODULARITY
@@ -759,7 +759,12 @@ def graph_label_propagation(spark, sf_dir):
 
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _degrees(edges)
-    labels = label_propagation(edges, src="u", dst="v", rounds=_LPA_ROUNDS)
+    # the readout references the final labels three times (community
+    # sizes, both endpoints of the within-edge join) — cut once more so
+    # the last superstep computes once, not three times
+    labels = label_propagation(
+        edges, src="u", dst="v", rounds=_LPA_ROUNDS
+    ).localCheckpoint(eager=False)
     cs = (
         labels.join(deg, "node")
         .groupBy("lbl")

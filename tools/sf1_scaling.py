@@ -60,6 +60,16 @@ QUERIES = [
     "q1_pricing_summary",
     "q9_product_profit",
     "agg_spearman_corr",
+    # r11 bench additions (r11 verdict #8: measure, don't argue)
+    "agg_kruskal_wallis",
+    "agg_average_precision",
+    "graph_hits_exact",
+    "ts_hurst_exponent",
+    "etl_data_vault_load",
+    "scalar_luhn_checksum",
+    # r12 bench additions
+    "graph_label_propagation",
+    "ts_holt_winters_forecast",
 ]
 
 
