@@ -2806,3 +2806,107 @@ def decode_tga(payload: bytes) -> dict:
         "sum_b": sum(p[2] for row in px for p in row),
         "pixels": px,
     }
+
+
+# --- PGM (P5) / PBM (P4) — the rest of the binary netpbm family (r12) --------------------------
+
+
+def _pnm_header(payload: bytes, magic: bytes, n_tokens: int):
+    """Whitespace/comment-tolerant netpbm header: ``magic`` then
+    ``n_tokens`` ASCII integers (P4: width height; P5/P6: width height
+    maxval), returning (tokens, offset_of_raster). Same tokenizer
+    discipline as _ppm_raster."""
+    if payload[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} payload")
+    pos, tokens = 2, []
+    while len(tokens) < n_tokens:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    return tokens, pos + 1  # single whitespace, then raw raster
+
+
+def decode_pgm(payload: bytes) -> dict:
+    """Binary PGM (P5) grayscale: header + raw samples (1 byte, or
+    2-byte big-endian when maxval > 255 per the spec — same rule as
+    the P6 path). Truncated rasters refuse loudly by byte count."""
+    import numpy as np
+
+    (width, height, maxval), pos = _pnm_header(payload, b"P5", 3)
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"PGM maxval {maxval} out of range")
+    n = width * height
+    dt, unit = (">u2", 2) if maxval > 255 else (np.uint8, 1)
+    if len(payload) - pos < n * unit:
+        raise ValueError(
+            f"PGM raster truncated: {width}x{height} needs {n * unit} bytes, "
+            f"payload holds {len(payload) - pos}"
+        )
+    px = np.frombuffer(payload, dtype=dt, count=n, offset=pos).astype(np.int64)
+    return {
+        "format": "pgm",
+        "width": width,
+        "height": height,
+        "n_pixels": n,
+        "maxval": maxval,
+        "sum_gray": int(px.sum()),
+        "max_gray": int(px.max()) if n else 0,
+    }
+
+
+def decode_pbm(payload: bytes) -> dict:
+    """Binary PBM (P4) bitmap: header (no maxval) + packed bits, each
+    ROW padded to a byte boundary, MSB first, 1 = BLACK (the netpbm
+    ink convention). ``sum_gray`` reads the bitmap as an 8-bit image
+    (black 0, white 255) so the stat composes with the P5/P6 sums."""
+    import numpy as np
+
+    (width, height), pos = _pnm_header(payload, b"P4", 2)
+    row_bytes = (width + 7) // 8
+    need = row_bytes * height
+    if len(payload) - pos < need:
+        raise ValueError(
+            f"PBM raster truncated: {width}x{height} needs {need} bytes, "
+            f"payload holds {len(payload) - pos}"
+        )
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    bits = np.unpackbits(raw.reshape(height, row_bytes), axis=1)[:, :width]
+    n_black = int(bits.sum())
+    n = width * height
+    return {
+        "format": "pbm",
+        "width": width,
+        "height": height,
+        "n_pixels": n,
+        "n_black": n_black,
+        "sum_gray": 255 * (n - n_black),
+    }
+
+
+def encode_pgm_p5(pixels) -> bytes:
+    """Minimal P5 writer from an (h, w) uint8 gray array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_pbm_p4(bits) -> bytes:
+    """Minimal P4 writer from an (h, w) 0/1 array (1 = black), rows
+    padded to byte boundaries per the spec."""
+    import numpy as np
+
+    b = np.asarray(bits, dtype=np.uint8)
+    h, w = b.shape
+    row_bytes = (w + 7) // 8
+    padded = np.zeros((h, row_bytes * 8), dtype=np.uint8)
+    padded[:, :w] = b
+    return f"P4\n{w} {h}\n".encode() + np.packbits(padded, axis=1).tobytes()

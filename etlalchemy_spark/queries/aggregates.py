@@ -4822,3 +4822,149 @@ def agg_mann_kendall(spark, sf_dir):
     return st.compact(keep=("z", "p_value")).apply_spark(
         base.repartition(1)
     ).select("s_stat", "n", "var_s", "z", "p_value")
+
+
+# --- nDCG@10 + MRR@10 retrieval metrics (r12) ----------------------------------------------
+
+
+def _ndcg_literals(k: int = 10):
+    """Integer discount/reciprocal tables shared by both engines:
+    W[i] = floor(1e12 / log2(i+1)) for rank i=1..k (the nDCG discount)
+    and Q[r] = floor(1e12 / r) (the MRR reciprocal). Python derives
+    them once; both plans consume identical int64 literals, so every
+    per-group metric is exact integer arithmetic until one final
+    correctly-rounded division."""
+    import math
+
+    w = [int(math.floor(1e12 / math.log2(i + 1))) for i in range(1, k + 1)]
+    q = [int(math.floor(1e12 / r)) for r in range(1, k + 1)]
+    return w, q
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    w, q = _ndcg_literals(k)
+    w_case = " ".join(f"WHEN {i + 1} THEN {wi}" for i, wi in enumerate(w))
+    q_case = " ".join(f"WHEN {r + 1} THEN {qi}" for r, qi in enumerate(q))
+    return f"""
+WITH s AS (
+  SELECT o_custkey % 50 AS qid, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS score,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 3 WHEN '2-HIGH' THEN 1 ELSE 0 END AS gain
+  FROM orders
+),
+r AS (
+  SELECT qid, gain,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, o_orderkey) AS rnk,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY gain DESC, score DESC, o_orderkey) AS irnk
+  FROM s
+),
+g AS (
+  SELECT qid,
+         SUM(CASE WHEN rnk <= {k} THEN gain * (CASE rnk {w_case} END) ELSE 0 END) AS dcg,
+         SUM(CASE WHEN irnk <= {k} THEN gain * (CASE irnk {w_case} END) ELSE 0 END) AS idcg,
+         COALESCE(MIN(CASE WHEN rnk <= {k} AND gain > 0 THEN rnk END), 0) AS first_rel
+  FROM r GROUP BY qid
+),
+t AS (
+  SELECT qid, dcg, idcg,
+         CASE WHEN idcg > 0
+              THEN CAST(FLOOR(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                              * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT)
+         END AS ndcg_q,
+         CASE first_rel WHEN 0 THEN 0 {q_case} END AS rr_q
+  FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(ndcg_q) AS BIGINT) AS n_judged,
+       CAST(SUM(ndcg_q) AS DOUBLE) / CAST(1000000000000.0 AS DOUBLE)
+         / CAST(COUNT(ndcg_q) AS DOUBLE) AS mean_ndcg,
+       CAST(SUM(rr_q) AS DOUBLE) / CAST(1000000000000.0 AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mrr
+FROM t
+"""
+
+
+@register("agg_ndcg_mrr", oracle=_ndcg_sql(), tags=("agg", "stats", "scale"))
+def agg_ndcg_mrr(spark, sf_dir):
+    """nDCG@10 + MRR@10 — the two standard graded-relevance retrieval
+    metrics beside `agg_average_precision`'s PR area, the eval layer
+    every RAG/retrieval pipeline reports. Eval shape: each customer
+    bucket (custkey mod 50) is a QUERY whose result list is its
+    orders ranked by order total (ties by key), graded
+    relevance from priority (URGENT gain 3, HIGH gain 1 — the 2^rel-1
+    convention). All discounts are pre-derived integer literals
+    (_ndcg_literals): per-group DCG/ideal-DCG are exact int64 sums,
+    per-query nDCG floor-quantizes to 1e-12 before the cross-group
+    sum (the agg_average_precision discipline — order-free), and MRR
+    reciprocals come from the same table, so one correctly-rounded
+    division per output column is the only float op. Queries with no
+    relevant document are excluded from mean nDCG (undefined ideal)
+    but count against MRR — both conventions visible in
+    n_queries/n_judged. Windows partition BY QUERY — embarrassingly
+    parallel at any query count; per-query work is bounded by that
+    query's result list."""
+    from pyspark.sql import Window as W
+
+    k = 10
+    w_lits, q_lits = _ndcg_literals(k)
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        (F.col("o_custkey") % 50).alias("qid"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1)
+        .otherwise(0)
+        .alias("gain"),
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("score"), "o_orderkey")
+    wi = W.partitionBy("qid").orderBy(F.desc("gain"), F.desc("score"), "o_orderkey")
+    r = s.select(
+        "qid", "gain",
+        F.row_number().over(wr).alias("rnk"),
+        F.row_number().over(wi).alias("irnk"),
+    )
+
+    def _disc(rank_col):
+        e = F.lit(0).cast("bigint")
+        for i, wi_ in enumerate(w_lits):
+            e = F.when(rank_col == i + 1, F.lit(wi_).cast("bigint")).otherwise(e)
+        return e
+
+    g = r.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("rnk") <= k, F.col("gain") * _disc(F.col("rnk"))).otherwise(0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("irnk") <= k, F.col("gain") * _disc(F.col("irnk"))).otherwise(0)
+        ).alias("idcg"),
+        F.coalesce(
+            F.min(F.when((F.col("rnk") <= k) & (F.col("gain") > 0), F.col("rnk"))),
+            F.lit(0),
+        ).alias("first_rel"),
+    )
+    rr = F.lit(0).cast("bigint")
+    for rk, qi in enumerate(q_lits, start=1):
+        rr = F.when(F.col("first_rel") == rk, F.lit(qi).cast("bigint")).otherwise(rr)
+    tq = g.select(
+        F.when(
+            F.col("idcg") > 0,
+            F.floor(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double")
+                * F.lit(1000000000000.0)
+            ).cast("bigint"),
+        ).alias("ndcg_q"),
+        rr.alias("rr_q"),
+    )
+    return tq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count("ndcg_q").cast("bigint").alias("n_judged"),
+        (
+            F.sum("ndcg_q").cast("double") / F.lit(1000000000000.0)
+            / F.count("ndcg_q").cast("double")
+        ).alias("mean_ndcg"),
+        (
+            F.sum("rr_q").cast("double") / F.lit(1000000000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mrr"),
+    )

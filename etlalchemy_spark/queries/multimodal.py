@@ -3134,3 +3134,97 @@ def mm_decode_tga_stats(spark, sf_dir):
         "doc_id long, width int, height int, n_pixels long, "
         "sum_r long, sum_g long, sum_b long",
     )
+
+
+# --- netpbm P4/P5 decode (r12) -------------------------------------------------------
+
+_PNM_SQL = """
+WITH params AS (
+  SELECT doc_id, 3 + doc_id % 11 AS w, 2 + doc_id % 7 AS h, doc_id % 2 = 0 AS is_pgm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h, is_pgm,
+         list_transform(generate_series(0, w * h - 1),
+                        i -> CASE WHEN is_pgm THEN (doc_id * 7 + i * 13) % 256
+                                  ELSE CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END
+                             END) AS px
+  FROM params
+)
+SELECT doc_id,
+       CASE WHEN is_pgm THEN 'pgm' ELSE 'pbm' END AS format,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(CASE WHEN is_pgm THEN list_aggregate(px, 'sum')
+                 ELSE 255 * (w * h - list_aggregate(px, 'sum')) END AS BIGINT) AS sum_gray,
+       CAST(CASE WHEN is_pgm THEN -1 ELSE list_aggregate(px, 'sum') END AS BIGINT) AS n_black
+FROM g
+"""
+
+
+@register("mm_decode_pnm_stats", oracle=_PNM_SQL, tags=("multimodal", "udf"))
+def mm_decode_pnm_stats(spark, sf_dir):
+    """Binary netpbm family COMPLETED (r12): P5 graymaps and P4
+    packed-bit bitmaps (rows byte-padded, MSB-first, 1 = black — the
+    ink convention) decode alongside the existing P6 path, alternating
+    per doc. The encode->decode round trip runs against a closed-form
+    pixel oracle (deterministic gray ramp / every-third-bit ink
+    pattern); third-party CPython fixtures pin the same decoders in
+    tests/test_thirdparty_golden.py so the parser is proven on bytes
+    no in-house writer produced. Partition-local Arrow batches,
+    summary rows only."""
+    from etlalchemy_spark.operators.multimodal import (
+        decode_pbm,
+        decode_pgm,
+        encode_pbm_p4,
+        encode_pgm_p5,
+    )
+
+    params = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 11).cast("int").alias("w"),
+        (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("h"),
+        (F.col("doc_id") % 2 == 0).alias("is_pgm"),
+    )
+
+    def synth_and_decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, is_pgm in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["is_pgm"]
+            ):
+                doc, w, h = int(doc_id), int(w), int(h)
+                if bool(is_pgm):
+                    px = [
+                        [(doc * 7 + (r * w + c) * 13) % 256 for c in range(w)]
+                        for r in range(h)
+                    ]
+                    d = decode_pgm(encode_pgm_p5(px))
+                    rows.append(
+                        (doc, d["format"], d["width"], d["height"],
+                         d["n_pixels"], d["sum_gray"], -1)
+                    )
+                else:
+                    bits = [
+                        [1 if (doc + r * w + c) % 3 == 0 else 0 for c in range(w)]
+                        for r in range(h)
+                    ]
+                    d = decode_pbm(encode_pbm_p4(bits))
+                    rows.append(
+                        (doc, d["format"], d["width"], d["height"],
+                         d["n_pixels"], d["sum_gray"], d["n_black"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "width", "height", "n_pixels",
+                         "sum_gray", "n_black"],
+            )
+
+    return params.mapInPandas(
+        synth_and_decode,
+        "doc_id long, format string, width int, height int, n_pixels long, "
+        "sum_gray long, n_black long",
+    ).orderBy("doc_id")

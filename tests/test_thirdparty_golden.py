@@ -95,3 +95,17 @@ def test_webp_lossy_refusal_on_real_bytes():
 
     with pytest.raises(NotImplementedError, match="VP8X"):
         decode_webp(_read("python.webp"))
+
+
+def test_pgm_pbm_thirdparty_pins():
+    # P5 graymap + P4 packed-bit bitmap of the same 16x16 logo from
+    # CPython's imghdr fixtures — the netpbm family's other two
+    # binary forms, decoded from bytes no in-house writer produced
+    from etlalchemy_spark.operators.multimodal import decode_pbm, decode_pgm
+
+    g = decode_pgm(_read("python.pgm"))
+    assert (g["width"], g["height"], g["maxval"]) == (16, 16, 255)
+    assert (g["sum_gray"], g["max_gray"]) == (25193, 255)
+    b = decode_pbm(_read("python.pbm"))
+    assert (b["width"], b["height"]) == (16, 16)
+    assert (b["n_black"], b["sum_gray"]) == (149, 27285)
