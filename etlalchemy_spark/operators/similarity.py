@@ -1365,3 +1365,56 @@ def ivf_kmeans_exact_topk(
     cands = df.join(cand, id_col)
     scored = exact_cosine(cands, [id_col], F.col(vec_col), _lit_vec(query_vec))
     return _topk_ranked(scored, id_col, k)
+
+
+def pq_adc_exact_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    anchors: list[list[int]],
+    n_sub: int = 8,
+    d_sub: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k that is fully oracle-exact — the exact twin of
+    pq_adc_topk's float scoring, completing the exact-twin set for
+    every ANN variant (LSH/multiprobe/IVF/IVF-kmeans already have
+    theirs; r12). Vectors AND the query live on the shared integer
+    grid, encoding is pq_codes_exact's integer argmin, and the ADC
+    lookup table is the integer L2 between the query's grid
+    subvectors and the anchors — so the approximate distance
+    sum(LUT[m, code_m]) is a pure int64 and top-k ties break to the
+    lowest id identically on any engine. Same scale shape as the
+    float path: codebook broadcast, one encode join, one per-id sum,
+    TakeOrderedAndProject + O(k) rank aggregate."""
+    spark = df.sparkSession
+    qq = [int(__import__("math").floor(float(x) * 127 + 0.5)) for x in query_vec]
+    lrows = []
+    for m in range(n_sub):
+        qs = qq[m * d_sub : (m + 1) * d_sub]
+        for code, a in enumerate(anchors):
+            av = [int(x) for x in a[m * d_sub : (m + 1) * d_sub]]
+            lrows.append(
+                (m, code, int(sum((x - y) * (x - y) for x, y in zip(qs, av))))
+            )
+    ldf = spark.createDataFrame(lrows, "subspace int, code int, lut long")
+    codes = pq_codes_exact(df, id_col, vec_col, anchors, n_sub=n_sub, d_sub=d_sub)
+    scored = (
+        codes.join(F.broadcast(ldf), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("lut").cast("bigint").alias("adc_dist"))
+    )
+    top = scored.orderBy("adc_dist", F.col(id_col)).limit(k)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("adc_dist"), F.col(id_col)))
+    )
+    return (
+        top.agg(arr.alias("_a"))
+        .select(F.posexplode("_a").alias("_pos", "_e"))
+        .select(
+            F.col(f"_e.{id_col}").alias(id_col),
+            F.col("_e.adc_dist").alias("adc_dist"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
+    )

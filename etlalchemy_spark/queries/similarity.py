@@ -1450,3 +1450,71 @@ def sim_ivf_kmeans_exact_topk(spark, sf_dir):
         emb, "vec_id", "embedding", _query_vec(spark, sf_dir),
         k_cells=8, iters=2, k=10, n_probe=2,
     )
+
+
+# --- oracle-exact ADC scoring (r12) ------------------------------------------------------------
+
+_PQ_ADC_EXACT_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv AS aqv
+  FROM q ORDER BY vec_id LIMIT 16
+), dist AS (
+  SELECT q.vec_id, m.m AS subspace, a.code,
+         list_sum(list_transform(range(1, 9),
+           d -> (q.qv[m.m*8+d] - a.aqv[m.m*8+d])*(q.qv[m.m*8+d] - a.aqv[m.m*8+d]))) AS dist
+  FROM q
+  CROSS JOIN generate_series(0, 7) AS m(m)
+  CROSS JOIN anch a
+), codes AS (
+  SELECT vec_id, subspace, code
+  FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+    FROM dist) WHERE rn = 1
+), qgrid AS (SELECT qv FROM q WHERE vec_id = 0),
+lut AS (
+  SELECT m.m AS subspace, a.code,
+         list_sum(list_transform(range(1, 9),
+           d -> (qg.qv[m.m*8+d] - a.aqv[m.m*8+d])*(qg.qv[m.m*8+d] - a.aqv[m.m*8+d]))) AS lut
+  FROM qgrid qg
+  CROSS JOIN generate_series(0, 7) AS m(m)
+  CROSS JOIN anch a
+), scored AS (
+  SELECT c.vec_id, CAST(SUM(l.lut) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS INT) AS rank
+FROM scored
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_pq_adc_exact_topk", oracle=_PQ_ADC_EXACT_SQL, tags=("similarity",))
+def sim_pq_adc_exact_topk(spark, sf_dir):
+    """ADC SCORING made oracle-exact (r12): sim_pq_codes_exact gated
+    the encoder, this gates the other half of the PQ read path — the
+    query-to-codebook lookup table and the per-vector sum of its 8
+    entries, all integer on the shared grid, ties to the lowest id.
+    Together the two cover every arithmetic step of the PQ family;
+    sim_pq_adc_topk remains the kmeans-trained float/production path
+    with its recall pin. One broadcast LUT join + one per-id sum —
+    the deployed shape scans 8 small ints per vector instead of 64
+    floats."""
+    from etlalchemy_spark.operators.similarity import (
+        pq_adc_exact_topk,
+        pq_anchor_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = pq_anchor_codebooks(emb, "vec_id", "embedding", n_codes=16)
+    return pq_adc_exact_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), anchors
+    )
