@@ -800,3 +800,98 @@ def graph_label_propagation(spark, sf_dir):
             ).alias("modularity"),
         )
     )
+
+
+# --- landmark closeness / harmonic centrality (r12) ---------------------------------------------
+
+_CLOSENESS_SQL = """
+WITH RECURSIVE lines AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), seeds AS (
+  SELECT node FROM (SELECT DISTINCT u AS node FROM sym) ORDER BY node LIMIT 4
+), reach AS (
+  SELECT node AS lm, node, 0 AS hop FROM seeds
+  UNION
+  SELECT r.lm, CAST(e.v AS BIGINT) AS node, r.hop + 1 AS hop
+  FROM reach r JOIN sym e ON e.u = r.node
+  WHERE r.hop < 3
+), d AS (
+  SELECT lm, node, MIN(hop) AS dist FROM reach GROUP BY lm, node
+), agg AS (
+  SELECT lm,
+         CAST(COUNT(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_reached,
+         CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         CAST(SUM(CASE dist WHEN 1 THEN 1000000000000
+                            WHEN 2 THEN 500000000000
+                            WHEN 3 THEN 333333333333
+                            ELSE 0 END) AS BIGINT) AS hnum
+  FROM d GROUP BY lm
+)
+SELECT lm AS landmark, n_reached, sum_dist,
+       CAST(n_reached AS DOUBLE) / CAST(sum_dist AS DOUBLE) AS closeness,
+       CAST(hnum AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS harmonic
+FROM agg
+ORDER BY lm
+"""
+
+
+@register("graph_closeness_landmarks", oracle=_CLOSENESS_SQL, tags=("graph", "iterative"))
+def graph_closeness_landmarks(spark, sf_dir):
+    """Landmark closeness + harmonic centrality (hop-truncated at 3) —
+    the centrality readout that complements degree (local),
+    PageRank/HITS (eigenvector) and k-core (cohesion): how CENTRAL a
+    node is by shortest-path distance. Exact all-pairs BFS is
+    O(V·E) — the standard scale move is a fixed LANDMARK set (here
+    the 4 smallest graph nodes, derived in-engine by
+    TakeOrderedAndProject), one multi-source BFS carrying the
+    landmark id through the frontier, truncated at the same hop
+    bound graph_bfs_hops pins. Closeness = n_reached/sum_dist on
+    exact integers; harmonic centrality (the disconnect-robust
+    variant) sums floor(1e12/d) literal reciprocals exactly before
+    ONE division. Per round: one frontier-x-edges equi-join + one
+    (lm, node) anti-join, both lineage-cut — frontier rows are
+    |landmarks| x reach, never V x V."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        sym.select(F.col("u").alias("node")).distinct().orderBy("node").limit(4)
+        .select(F.col("node").alias("lm"), "node")
+    )
+    visited = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for h in (1, 2, 3):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("lm", F.col("v").cast("bigint").alias("node"))
+            .distinct()
+            .join(visited.select("lm", "node"), ["lm", "node"], "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("lm", "node")
+    hrec = (
+        F.when(F.col("hop") == 1, 1000000000000)
+        .when(F.col("hop") == 2, 500000000000)
+        .when(F.col("hop") == 3, 333333333333)
+        .otherwise(0)
+    )
+    agg = visited.groupBy(F.col("lm").alias("landmark")).agg(
+        F.count(F.when(F.col("hop") > 0, 1)).cast("bigint").alias("n_reached"),
+        F.sum("hop").cast("bigint").alias("sum_dist"),
+        F.sum(hrec).cast("bigint").alias("hnum"),
+    )
+    return agg.select(
+        "landmark", "n_reached", "sum_dist",
+        (F.col("n_reached").cast("double") / F.col("sum_dist").cast("double"))
+        .alias("closeness"),
+        (F.col("hnum").cast("double") / F.lit(1000000000000).cast("double"))
+        .alias("harmonic"),
+    ).orderBy("landmark")
