@@ -4012,3 +4012,156 @@ def ts_holt_winters_forecast(spark, sf_dir):
         (hw_mae / sn_mae).alias("mae_ratio"),
         (F.col("last_pnum").cast("double") / kd).alias("last_forecast"),
     )
+
+
+# --- multiplicative Holt-Winters via log space (r12) ---------------------------------------------
+
+
+def _hwm_pred_sql(k: int) -> tuple[str, int]:
+    """The 72-term log-space prediction chain as ONE shared SQL text:
+    sum of integer kernel taps times the lag columns l1..l72 (doubles
+    from the cross-engine-exact integer ln), evaluated left-to-right —
+    both engines parse the identical tree, so the float chain is
+    bit-identical. Returns (expression, kernel mass K)."""
+    ks, K = _hw_kernel()
+    assert k == len(ks)
+    expr = " + ".join(f"({ki} * l{i + 1})" for i, ki in enumerate(ks))
+    return f"(({expr}) / {K}e0)", K
+
+
+def _hwm_sql() -> str:
+    from etlalchemy_spark.queries._util import ln_int_sql
+
+    from etlalchemy_spark.queries._special import SqlStages
+
+    pred, _ = _hwm_pred_sql(_HW_DEPTH)
+    lags = ",\n         ".join(
+        f"LAG(lx, {i + 1}) OVER w AS l{i + 1}" for i in range(_HW_DEPTH)
+    )
+    base = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT h0, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hh, COUNT(*) AS n FROM events GROUP BY 1
+),
+y AS (
+  SELECT datediff('hour', h0, hour) AS t_idx, COALESCE(n, 0) + 1 AS y
+  FROM grid LEFT JOIN hourly ON hh = hour
+),
+lx AS (SELECT t_idx, CAST({ln_int_sql('y')} AS DOUBLE) AS lx FROM y),
+f AS (
+  SELECT t_idx, lx,
+         {lags},
+         LAG(lx, {_HW_PERIOD}) OVER w AS lsn
+  FROM lx
+  WINDOW w AS (ORDER BY t_idx)
+),
+p AS (
+  SELECT t_idx, lx, lsn, {pred} AS pl FROM f WHERE t_idx >= {_HW_DEPTH}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CAST(FLOOR(ABS(lx - pl) * 1000000000000e0) AS BIGINT)) AS BIGINT) AS e_num,
+       CAST(SUM(CAST(FLOOR(ABS(lx - lsn) * 1000000000000e0) AS BIGINT)) AS BIGINT) AS sn_num,
+       arg_max(pl, t_idx) AS last_pl
+FROM p
+"""
+    st = SqlStages()
+    ex = st.exp("last_pl")
+    st.add(
+        "CAST(e_num AS DOUBLE) / 1000000000000e0 / CAST(n_eval AS DOUBLE)",
+        name="mlae",
+    )
+    st.add(
+        "CAST(sn_num AS DOUBLE) / 1000000000000e0 / CAST(n_eval AS DOUBLE)",
+        name="snaive_mlae",
+    )
+    st.add(f"{ex} - 1e0", name="last_forecast_level")
+    return st.duckdb_sql(
+        base,
+        "SELECT n_eval, mlae, snaive_mlae, mlae / snaive_mlae AS mlae_ratio,"
+        " last_pl AS last_log_forecast, last_forecast_level",
+    )
+
+
+@register(
+    "ts_holt_winters_multiplicative",
+    oracle=_hwm_sql(),
+    tags=("events", "timeseries", "window"),
+)
+def ts_holt_winters_multiplicative(spark, sf_dir):
+    """MULTIPLICATIVE Holt-Winters — the other half of the most-used
+    forecasting pair (`ts_holt_winters_forecast` is the additive
+    twin): seasonality that SCALES with level is additive in LOG
+    space, so the identical 72-tap integer kernel runs on
+    ln(count + 1) — each per-row log is the cross-engine-exact
+    integer ln (ln_int), the 72-term prediction chain is ONE shared
+    SQL text both engines parse into the same IEEE tree, and the
+    backtest scores mean absolute LOG error (the scale-free metric a
+    multiplicative process wants) against the seasonal-naive log
+    baseline — per-row errors floor-quantized to 1e-12 integers
+    before the sum (order-free), one division per output. The single
+    level-space number (the next-hour forecast) applies the staged
+    correctly-rounded exp to the ONE-ROW aggregate, where the
+    repartition(1) barriers are free."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.queries._special import SqlStages
+    from etlalchemy_spark.queries._util import ln_int_sql
+
+    pred, _ = _hwm_pred_sql(_HW_DEPTH)
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "h0", F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hh")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    y = grid.join(hourly, grid.hour == F.col("hh"), "left").select(
+        F.expr("timestampdiff(HOUR, h0, hour)").cast("bigint").alias("t_idx"),
+        (F.coalesce("n", F.lit(0)) + 1).cast("bigint").alias("y"),
+    )
+    lx = y.selectExpr("t_idx", f"CAST({ln_int_sql('y')} AS DOUBLE) AS lx")
+    w = W.orderBy("t_idx")
+    f = lx.select(
+        "t_idx", "lx",
+        *[F.lag("lx", i + 1).over(w).alias(f"l{i + 1}") for i in range(_HW_DEPTH)],
+        F.lag("lx", _HW_PERIOD).over(w).alias("lsn"),
+    ).where(F.col("t_idx") >= _HW_DEPTH)
+    p = f.selectExpr("t_idx", "lx", "lsn", f"{pred} AS pl")
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(
+            F.expr("CAST(FLOOR(ABS(lx - pl) * 1000000000000e0) AS BIGINT)")
+        ).cast("bigint").alias("e_num"),
+        F.sum(
+            F.expr("CAST(FLOOR(ABS(lx - lsn) * 1000000000000e0) AS BIGINT)")
+        ).cast("bigint").alias("sn_num"),
+        F.expr("max_by(pl, t_idx)").alias("last_pl"),
+    )
+    st = SqlStages()
+    ex = st.exp("last_pl")
+    st.add(
+        "CAST(e_num AS DOUBLE) / 1000000000000e0 / CAST(n_eval AS DOUBLE)",
+        name="mlae",
+    )
+    st.add(
+        "CAST(sn_num AS DOUBLE) / 1000000000000e0 / CAST(n_eval AS DOUBLE)",
+        name="snaive_mlae",
+    )
+    st.add(f"{ex} - 1e0", name="last_forecast_level")
+    return st.compact(
+        keep=("mlae", "snaive_mlae", "last_forecast_level")
+    ).apply_spark(agg.repartition(1)).selectExpr(
+        "n_eval", "mlae", "snaive_mlae",
+        "mlae / snaive_mlae AS mlae_ratio",
+        "last_pl AS last_log_forecast", "last_forecast_level",
+    )

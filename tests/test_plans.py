@@ -238,6 +238,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "sketch_kmv_registers": (1, "rank over the k=64 sketch rows AFTER TakeOrderedAndProject — constant-bounded"),
     "ts_durbin_watson": (1, "lag over calendar-bounded day rows"),
     "ts_holt_winters_forecast": (1, "72 integer lags over the calendar-bounded dense hour grid"),
+    "ts_holt_winters_multiplicative": (1, "72 log-space lags over the calendar-bounded dense hour grid"),
     "ts_hurst_exponent": (1, "hour index over calendar-bounded hourly rollup (pre-checkpoint)"),
     "ts_ljung_box": (1, "lag over the constant max-lag grid (h rows)"),
     "ts_pacf": (1, "lag over the constant max-lag grid (h rows)"),
