@@ -38,6 +38,8 @@ SWEEP_QUERIES = [
     "ts_holt_brown_forecast",              # iterative float recurrence
     "sample_reservoir_hash_topk",          # per-partition heaps + driver merge
     "graph_recursive_closure",             # iterative fixpoint
+    "graph_label_propagation",             # superstep struct-max ties (r12)
+    "sim_ivf_kmeans_exact_topk",           # trained centroids as driver literals (r12)
 ]
 
 CONFIGS = [

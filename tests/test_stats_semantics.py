@@ -258,3 +258,103 @@ def test_holt_winters_tracks_seasonal_pattern():
     out = con.execute(_hw_sql()).df().iloc[0]
     assert out["snaive_mae"] == 0.0
     assert out["hw_mae"] < 0.2  # converged after 3 warmup cycles
+
+
+def test_ndcg_oracle_matches_bruteforce():
+    """agg_ndcg_mrr's oracle on a tiny synthetic orders table must
+    match a from-scratch nDCG@10 / MRR@10 computed with float math —
+    the integer-quantized discounts may only differ below 1e-9."""
+    import math
+
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from etlalchemy_spark.queries.aggregates import _ndcg_sql
+
+    rows = []
+    okey = 0
+    # 6 query buckets x 30 orders with a deterministic mix of grades
+    for q in range(6):
+        for i in range(30):
+            okey += 1
+            rows.append(
+                {
+                    "o_orderkey": okey,
+                    "o_custkey": q,  # qid = custkey % 50 = q
+                    "o_totalprice": float(100 + ((okey * 37) % 83)),
+                    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"][
+                        (okey * 7) % 3
+                    ],
+                }
+            )
+    df = pd.DataFrame(rows)
+    con = _con_with("orders", df)
+    got = con.execute(_ndcg_sql()).df().iloc[0]
+
+    # brute force
+    gains = {"1-URGENT": 3, "2-HIGH": 1, "3-MEDIUM": 0}
+    ndcgs, rrs = [], []
+    for q in range(6):
+        g = df[df.o_custkey == q].copy()
+        g["gain"] = g.o_orderpriority.map(gains)
+        ranked = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        top = list(ranked.gain)[:10]
+        ideal = sorted(g.gain, reverse=True)[:10]
+        dcg = sum(x / math.log2(i + 2) for i, x in enumerate(top))
+        idcg = sum(x / math.log2(i + 2) for i, x in enumerate(ideal))
+        if idcg > 0:
+            ndcgs.append(dcg / idcg)
+        first = next((i + 1 for i, x in enumerate(top) if x > 0), None)
+        rrs.append(1.0 / first if first else 0.0)
+    assert got["n_queries"] == 6
+    assert abs(got["mean_ndcg"] - sum(ndcgs) / len(ndcgs)) < 1e-9
+    assert abs(got["mrr"] - sum(rrs) / len(rrs)) < 1e-9
+
+
+def test_closeness_oracle_matches_bfs():
+    """graph_closeness_landmarks' oracle on a hand-built co-purchase
+    graph must equal a from-scratch BFS: orders are baskets, parts
+    co-occurring in a basket are adjacent."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from etlalchemy_spark.queries.graph import _CLOSENESS_SQL
+
+    # baskets: {1,2,3}, {3,4}, {4,5}, {6,7} -> path 1-2-3-4-5 + clique{1,2,3} + edge 6-7
+    baskets = [(1, [1, 2, 3]), (2, [3, 4]), (3, [4, 5]), (4, [6, 7])]
+    rows = [
+        {"l_orderkey": ok, "l_partkey": pk} for ok, parts in baskets for pk in parts
+    ]
+    con = _con_with("lineitem", pd.DataFrame(rows))
+    got = con.execute(_CLOSENESS_SQL).df().set_index("landmark")
+
+    # adjacency + BFS truncated at 3 hops
+    import collections
+
+    adj = collections.defaultdict(set)
+    for _, parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    for lm in (1, 2, 3, 4):  # 4 smallest nodes
+        dist = {lm: 0}
+        frontier = [lm]
+        for h in (1, 2, 3):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        reached = {n: d for n, d in dist.items() if d > 0}
+        row = got.loc[lm]
+        assert row["n_reached"] == len(reached)
+        assert row["sum_dist"] == sum(reached.values())
+        assert abs(row["harmonic"] - sum(
+            [1000000000000, 500000000000, 333333333333][d - 1] / 1e12
+            for d in reached.values()
+        )) < 1e-12
