@@ -274,3 +274,63 @@ def label_propagation(
         if r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def personalized_pagerank_exact(
+    edges: DataFrame,
+    seeds: list[str],
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, ppr) — personalized PageRank: the teleport mass lands
+    ONLY on the ``seeds`` instead of uniformly, so scores read as
+    'relevance to the seed set' (the recommendation / seed-expansion
+    primitive: related-to-conversion event types, documents adjacent
+    to a curated set). Same bit-reproducibility discipline as
+    pagerank_exact above — per-target contributions floor-quantized
+    to 1e-9 integers before the exact BIGINT sum — with the teleport
+    CASE on a literal seed list both engines share. Init mass 1/|S|
+    on seeds, 0 elsewhere; dangling mass is dropped identically to
+    the plain variant. Per iteration one src-keyed join + one
+    aggregate; ranks stay node-count-sized."""
+    if not seeds:
+        raise ValueError("personalized_pagerank_exact: seeds must be non-empty")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_outw"))
+    ew = e.join(outw, "_s").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node")).unionAll(e.select("_d")).distinct()
+    )
+    ns = float(len(set(seeds)))
+    is_seed = F.col("node").isin(list(set(seeds)))
+    teleport = F.when(is_seed, F.lit(1.0 - damping) / F.lit(ns)).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(1.0) / F.lit(ns)).otherwise(F.lit(0.0)).alias("ppr"),
+    )
+    for _ in range(iters):
+        contrib = ranks.join(ew, ranks["node"] == ew["_s"]).select(
+            F.col("_d").alias("node"),
+            F.floor(
+                (F.col("ppr") * F.col("_w").cast("double") * F.lit(1000000000.0))
+                / F.col("_outw").cast("double")
+            ).alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_c"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                teleport
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("_c"), F.lit(0).cast("long")).cast("double")
+                    / F.lit(1000000000.0)
+                )
+            ).alias("ppr"),
+        )
+    return ranks

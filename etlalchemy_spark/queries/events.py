@@ -4165,3 +4165,65 @@ def ts_holt_winters_multiplicative(spark, sf_dir):
         "mlae / snaive_mlae AS mlae_ratio",
         "last_pl AS last_log_forecast", "last_forecast_level",
     )
+
+
+# --- personalized PageRank (r12) -----------------------------------------------------------------
+
+
+def _ppr_sql(damping: float = 0.85, iters: int = 5, seed: str = "purchase") -> str:
+    base = repr(1.0 - damping)
+    sql = f"""
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s,
+         event_type AS d
+  FROM events
+), edges AS (
+  SELECT s AS src, d AS dst, COUNT(*) AS w FROM pairs WHERE s IS NOT NULL GROUP BY 1, 2
+), outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN outw o USING (src)),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+r0 AS (
+  SELECT node, CASE WHEN node = '{seed}' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS ppr
+  FROM nodes
+)"""
+    for i in range(iters):
+        sql += f""",
+r{i + 1} AS (
+  SELECT b.node,
+         (CASE WHEN b.node = '{seed}' THEN CAST({base} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         + CAST({damping!r} AS DOUBLE)
+           * (CAST(COALESCE(s.c, 0) AS DOUBLE) / CAST(1000000000.0 AS DOUBLE)) AS ppr
+  FROM nodes b
+  LEFT JOIN (
+    SELECT ew.dst AS node,
+           SUM(CAST(FLOOR(((r{i}.ppr * CAST(ew.w AS DOUBLE)) * CAST(1000000000.0 AS DOUBLE))
+                          / CAST(ew.outw AS DOUBLE)) AS BIGINT)) AS c
+    FROM r{i} JOIN ew ON ew.src = r{i}.node GROUP BY ew.dst
+  ) s ON s.node = b.node
+)"""
+    return sql + f"\nSELECT node, ppr FROM r{iters}\n"
+
+
+@register("graph_ppr_exact", oracle=_ppr_sql(), tags=("graph", "iterative"))
+def graph_ppr_exact(spark, sf_dir):
+    """PERSONALIZED PageRank from the 'purchase' node over the
+    event-type transition graph — `graph_pagerank_exact`'s seeded
+    sibling and the standard seed-expansion primitive (what else is
+    close to conversion? which documents sit near a curated set?):
+    the teleport mass returns to the SEED instead of spreading
+    uniformly, so scores read as relevance-to-seed. Same
+    bit-reproducibility discipline (1e-9 floor-quantized
+    contributions, exact BIGINT sums, literal seed CASE shared by
+    both engines), same per-iteration cost: one src-keyed join + one
+    aggregate over node-count-sized state."""
+    from pyspark.sql import Window as W
+
+    from etlalchemy_spark.operators.graph import personalized_pagerank_exact
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).where(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return personalized_pagerank_exact(edges, seeds=["purchase"], damping=0.85, iters=5)

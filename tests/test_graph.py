@@ -95,3 +95,36 @@ def test_lpa_rejects_zero_rounds(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         label_propagation(edges, rounds=0)
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark):
+    from etlalchemy_spark.operators.graph import personalized_pagerank_exact
+
+    # star: hub 'a' -> b, c; far chain c -> d; seed on 'a'
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("c", "d", 1), ("d", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r.node: r.ppr
+        for r in personalized_pagerank_exact(edges, seeds=["a"], iters=8).collect()
+    }
+    # seed holds the teleport mass; everything reachable gets some
+    assert got["a"] > got["b"] > 0 and got["c"] > 0 and got["d"] > 0
+    # the seed outranks every other node (only it receives teleport)
+    assert got["a"] == max(got.values())
+    # symmetric direct successors of the seed score identically
+    assert got["b"] == got["c"]
+    # dangling sink b drops its mass; c recirculates through d -> a,
+    # so the cycle node outranks the sink's value is NOT asserted —
+    # only that unreached-without-seed teleport stays zero-free
+
+
+def test_ppr_rejects_empty_seed(spark):
+    import pytest as _pytest
+
+    from etlalchemy_spark.operators.graph import personalized_pagerank_exact
+
+    edges = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank_exact(edges, seeds=[])
