@@ -159,6 +159,15 @@ def main() -> None:
         # whether a round-over-round delta exceeds same-round jitter
         # before anyone chases a phantom regression
         spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
+        # drop this query's localCheckpoint blocks (iterative queries
+        # materialize lineage cuts as persistent RDDs that outlive the
+        # query — a 500-query session otherwise accumulates hundreds
+        # of dead blocks of executor storage memory). No live frame
+        # references them between queries, so unpersist is safe.
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
 
     total = round(sum(timings.values()), 3)
     r4_subtotal = round(sum(timings[q] for q in R4_SUBSET if q in timings), 3)
