@@ -3420,3 +3420,67 @@ def text_srt_cues(spark, sf_dir):
         F.element_at("t", 1).cast("bigint").alias("first_start_ms"),
         (F.col("n_cues") * 1500).cast("bigint").alias("total_cue_ms"),
     )
+
+
+# --- persisted inverted index (r12) --------------------------------------------------------------
+
+
+@register("text_index_bm25_probe", oracle=_BM25_SQL, tags=("text", "similarity"))
+def text_index_bm25_probe(spark, sf_dir):
+    """Persisted inverted-index probe ≡ full-scan BM25 — the lexical
+    twin of `sim_incremental_index_topk`: the corpus arrives as two
+    DISJOINT batches, each tokenized once and appended to a
+    bucket-partitioned postings store (operators/textindex.py), and
+    the 5-term query answers from the STORE — the scan prunes to the
+    query terms' bucket directories, df comes from the fetched
+    postings, N/avgdl from the O(batches) stats rows. The oracle is
+    `text_bm25_search`'s full-scan SQL over the raw corpus, so
+    equality proves the strongest index property: probe result ==
+    scan result, bit for bit, including scores. At 100 TB the index
+    pass happens once per NEW batch; every query afterward touches
+    |terms| directories instead of the corpus."""
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.textindex import (
+        append_text_index,
+        probe_text_index,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    d = t(spark, sf_dir, "documents")
+    store = _os.path.join(scratch_dir("text_index", sf_dir), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    append_text_index(store, d.where(F.col("doc_id") % 3 != 0), "doc_id", "text")
+    append_text_index(store, d.where(F.col("doc_id") % 3 == 0), "doc_id", "text")
+    return probe_text_index(spark, store, list(_BM25_TERMS), k=20)
+
+
+@register("text_index_compaction", oracle=_BM25_SQL, tags=("text", "similarity"))
+def text_index_compaction(spark, sf_dir):
+    """Inverted-index compaction invariant, oracle-gated: after many
+    small appends (five doc_id slices here) the store's
+    files-per-bucket tracks append history — compaction rewrites each
+    bucket directory as one well-sized file behind the checked rename
+    swap, and the probe of the compacted store must still equal the
+    full-scan BM25 oracle. The version audit refuses NULL/foreign
+    rows; postings are NOT deduplicated (the append-time disjointness
+    guard owns uniqueness — silently dropping rows here would mask a
+    double-counted stats sidecar)."""
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.textindex import (
+        append_text_index,
+        compact_text_index,
+        probe_text_index,
+    )
+    from etlalchemy_spark.queries._util import scratch_dir
+
+    d = t(spark, sf_dir, "documents")
+    store = _os.path.join(scratch_dir("text_index_compact", sf_dir), "store")
+    _shutil.rmtree(store, ignore_errors=True)
+    for r in range(5):
+        append_text_index(store, d.where(F.col("doc_id") % 5 == r), "doc_id", "text")
+    compact_text_index(spark, store)
+    return probe_text_index(spark, store, list(_BM25_TERMS), k=20)
