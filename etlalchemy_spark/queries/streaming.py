@@ -679,3 +679,93 @@ def _semantic_stream_build(spark, sf_dir):
     return run_semantic_dedup_stream(
         spark, ingest, _os.path.join(sd, "state"), emb.schema, cents, tag
     )
+
+
+def _text_index_stream_build(spark, sf_dir, sd):
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.textindex import append_text_index
+    from etlalchemy_spark.queries._util import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = _os.path.join(sd, "ingest")
+    store = _os.path.join(sd, "store")
+    ckpt = _os.path.join(sd, "ckpt")
+    for p in (ingest, store, ckpt):
+        _shutil.rmtree(p, ignore_errors=True)
+    _os.makedirs(ingest)
+    for i in range(3):
+        slice_dir = _os.path.join(sd, f"_slice{i}")
+        (
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(slice_dir)
+        )
+        part = _glob.glob(_os.path.join(slice_dir, "part-*.parquet"))[0]
+        _shutil.copy(part, _os.path.join(ingest, f"slice{i}.parquet"))
+
+    def step(batch_df, batch_id):
+        append_text_index(store, batch_df, "doc_id", "text")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ingest)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _register_stream_text_index():
+    from etlalchemy_spark.queries.text import _BM25_SQL, _BM25_TERMS
+
+    @register(
+        "stream_text_index_append",
+        oracle=_BM25_SQL,
+        tags=("streaming", "text", "similarity"),
+    )
+    def stream_text_index_append(spark, sf_dir):
+        """Streaming maintenance of the persisted INVERTED index —
+        the lexical sibling of `stream_incremental_ann_index`, and
+        itself ORACLE-EXACT: document batches arrive as files (one
+        micro-batch each), foreachBatch tokenizes ONLY the batch and
+        appends its postings + stats row, and the closing 5-term BM25
+        probe must equal the full-scan oracle bit for bit. The
+        postings store is NOT replay-idempotent (a doubled batch
+        doubles tf/df), so the append guard REFUSES an overlapping
+        batch loudly — at-least-once delivery surfaces as an error,
+        never silent score corruption; production pairs this with the
+        lake sink's batch-id idempotence tags for exactly-once. The
+        stream-maintained store caches under a content tag; the probe
+        always runs live."""
+        import os as _os
+
+        from etlalchemy_spark.operators import textindex as _ti_mod
+        from etlalchemy_spark.operators.textindex import probe_text_index
+        from etlalchemy_spark.queries._util import (
+            cached_fixture,
+            commit_fixture,
+            fixture_tag,
+        )
+
+        tag = fixture_tag(
+            sf_dir, deps=(_text_index_stream_build, _ti_mod), extra="txtidx_stream"
+        )
+        sd, meta = cached_fixture("text_index_stream", sf_dir, tag)
+        if meta is None:
+            _text_index_stream_build(spark, sf_dir, sd)
+            commit_fixture(sd, tag)
+        return probe_text_index(
+            spark, _os.path.join(sd, "store"), list(_BM25_TERMS), k=20
+        )
+
+
+_register_stream_text_index()
