@@ -147,6 +147,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in qs_sorted:
+        # snapshot pre-existing persistent RDD ids (r12 ADVICE): the
+        # cleanup below must only drop blocks THIS query created — a
+        # localCheckpoint'ed RDD persisted across queries by a shared
+        # fixture cannot be recomputed after unpersist, and the failure
+        # would surface far from the cause as missing-block errors.
+        jsc = spark.sparkContext._jsc.sc()
+        pre_ids = set()
+        it = jsc.getPersistentRDDs().keys().iterator()
+        while it.hasNext():
+            pre_ids.add(it.next())
         qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(TIMED_RUNS):
@@ -162,12 +172,13 @@ def main() -> None:
         # drop this query's localCheckpoint blocks (iterative queries
         # materialize lineage cuts as persistent RDDs that outlive the
         # query — a 500-query session otherwise accumulates hundreds
-        # of dead blocks of executor storage memory). No live frame
-        # references them between queries, so unpersist is safe.
-        jsc = spark.sparkContext._jsc.sc()
-        it = jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # of dead blocks of executor storage memory). Only ids CREATED
+        # during this query are dropped (pre_ids snapshot above).
+        ent = jsc.getPersistentRDDs().iterator()
+        while ent.hasNext():
+            kv = ent.next()
+            if kv._1() not in pre_ids:
+                kv._2().unpersist(False)
 
     total = round(sum(timings.values()), 3)
     r4_subtotal = round(sum(timings[q] for q in R4_SUBSET if q in timings), 3)

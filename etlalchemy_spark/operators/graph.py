@@ -248,11 +248,28 @@ def label_propagation(
     neighbors never enter the edge list and are absent from the result,
     matching the edge-derived node set.
 
+    Node ids must be NUMERIC and < 2^32 (r12 ADVICE): the smallest-label
+    tie-break is the ``(count, -lbl)`` struct max, so string ids don't
+    negate, and the DuckDB gate twin packs ``c * 2^32 - lbl`` into one
+    BIGINT — a label at or beyond 2^32 silently corrupts that packed
+    ordering. Validated here so misuse fails loudly in BOTH engines'
+    favor; hash string ids (xxhash64 % 2^31) upstream of this operator
+    if needed.
+
     Upstream reference (seanharr11/etlalchemy) has no graph surface;
     this is part of the mandated LLM-curation layer (domain clustering
     of a similarity/co-occurrence graph before sampling)."""
     if rounds < 1:
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    for side in (src, dst):
+        dt = dict(edges.dtypes)[side]
+        if dt in ("string", "binary") or dt.startswith(("decimal", "array", "struct")):
+            raise ValueError(
+                f"label_propagation: node column {side!r} is {dt}; numeric "
+                "node ids < 2^32 are required (the smallest-label tie-break "
+                "negates labels, and the cross-engine oracle packs them into "
+                "a BIGINT) — hash ids to integers first"
+            )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

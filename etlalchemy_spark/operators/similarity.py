@@ -323,13 +323,26 @@ def kmeans_centroids(
     algorithms: per-iteration state is aggregate-sized, so it lives on
     the driver as plan literals; the DATA never leaves executors).
 
+    ``id_col`` is REQUIRED (r12 verdict #3): the old
+    ``monotonically_increasing_id()`` fallback ordered the init
+    vectors by partition layout, so the same data repartitioned
+    differently trained different centroids — violating the repo's
+    determinism rule (operators/skew.py:20-23). Raising beats a
+    silent nondeterministic default.
+
     Init: first k vectors in id order (deterministic). Each iteration:
     argmax-assign to the nearest centroid (cosine), recompute each
     centroid as the per-dimension mean via posexplode + groupBy — one
     shuffle of k×dim partial sums per iteration, never the vectors.
     Only the k×dim centroid matrix is collected.
     """
-    order = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    if id_col is None:
+        raise ValueError(
+            "kmeans_centroids requires id_col: seeding by "
+            "monotonically_increasing_id() depends on partition layout "
+            "and would train different centroids after a repartition"
+        )
+    order = F.col(id_col)
     centroids = [
         [float(x) for x in r[0]]
         for r in df.select(vec_col).orderBy(order).limit(k).collect()
@@ -1317,6 +1330,14 @@ def ivf_kmeans_exact_topk(
         .limit(k_cells)
         .collect()
     )
+    if len(init) < k_cells:
+        # r12 ADVICE: with fewer rows than cells, cents[c] below would
+        # raise a bare IndexError (or cents[0] on an empty df) far from
+        # the cause — refuse with the actual counts instead.
+        raise ValueError(
+            f"ivf_kmeans_exact_topk needs at least k_cells={k_cells} rows "
+            f"to seed the coarse quantizer; df has only {len(init)}"
+        )
     cents: list[list[int]] = [[int(x) for x in r["qv"]] for r in init]
     dim = len(cents[0])
 

@@ -3968,7 +3968,10 @@ def ts_holt_winters_forecast(spark, sf_dir):
     |y*K - pred_num| is pure int64 (kernel mass K clears the
     division), summed exactly, divided once — so hw_mae/snaive_mae/
     mae_ratio hash-match the oracle bit-for-bit. `last_forecast` is
-    the model's prediction for the first hour AFTER the series."""
+    the one-step-ahead prediction FOR the final in-series hour (pnum
+    at the last row uses lags 1..72, i.e. predicts y at that row) —
+    NOT the first hour after the series (r12 ADVICE docstring fix;
+    predicting hour T+1 would use taps 0..71 at the last row)."""
     from pyspark.sql import Window as W
 
     ks, K = _hw_kernel()

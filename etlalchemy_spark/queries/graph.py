@@ -694,8 +694,12 @@ def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
             f"cnt{r} AS (SELECT s.u AS node, l.lbl AS lbl, COUNT(*) AS c "
             f"FROM sym s JOIN {prev} l ON s.v = l.node GROUP BY 1, 2)"
         )
-        # (max c, min lbl) via one packed-BIGINT arg_max: c*2^32 - lbl
-        # (c < 2^31 neighbors, lbl < 2^32 part keys — no overlap)
+        # (max c, min lbl) via one packed-BIGINT arg_max: c*2^32 - lbl.
+        # BOUND (r12 ADVICE): valid only while c < 2^31 and lbl < 2^32 —
+        # a label at 2^32 would alias into the count field and corrupt
+        # the ordering. Labels here are partkeys (< 2^32 far past sf100),
+        # and operators/graph.label_propagation now REJECTS non-numeric
+        # node columns so the bound is an invariant, not a hope.
         ctes.append(
             f"lab{r} AS (SELECT node, arg_max(lbl, c * 4294967296 - lbl) AS lbl "
             f"FROM cnt{r} GROUP BY node)"

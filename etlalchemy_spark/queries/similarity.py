@@ -1357,6 +1357,11 @@ def _ivf_kmeans_sql(k_cells: int = 8, iters: int = 2, n_probe: int = 2) -> str:
             " CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 127 + 0.5) AS BIGINT) AS x"
             " FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i))"
         ),
+        # Seeding twin of the operator's ORDER BY id LIMIT k_cells.
+        # WHERE vec_id < k_cells is equivalent ONLY because the
+        # embeddings table's vec_ids are 0-based and contiguous
+        # (TESTDATA.md); on a gappy id space this CTE would seed fewer
+        # cells than the operator (which now raises < k_cells rows).
         f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, x AS c FROM g WHERE vec_id < {k_cells})",
     ]
     prev = "c0"
