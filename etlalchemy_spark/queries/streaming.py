@@ -708,7 +708,13 @@ def _text_index_stream_build(spark, sf_dir, sd):
         _shutil.copy(part, _os.path.join(ingest, f"slice{i}.parquet"))
 
     def step(batch_df, batch_id):
-        append_text_index(store, batch_df, "doc_id", "text")
+        # app/batch_id = the exactly-once ledger: an at-least-once
+        # foreachBatch replay after a crash/restart is SKIPPED by the
+        # store (r12 verdict #6), never double-counted and never a
+        # hard stream failure
+        append_text_index(
+            store, batch_df, "doc_id", "text", app="stream_text_index", batch_id=batch_id
+        )
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -738,14 +744,16 @@ def _register_stream_text_index():
         itself ORACLE-EXACT: document batches arrive as files (one
         micro-batch each), foreachBatch tokenizes ONLY the batch and
         appends its postings + stats row, and the closing 5-term BM25
-        probe must equal the full-scan oracle bit for bit. The
-        postings store is NOT replay-idempotent (a doubled batch
-        doubles tf/df), so the append guard REFUSES an overlapping
-        batch loudly — at-least-once delivery surfaces as an error,
-        never silent score corruption; production pairs this with the
-        lake sink's batch-id idempotence tags for exactly-once. The
-        stream-maintained store caches under a content tag; the probe
-        always runs live."""
+        probe must equal the full-scan oracle bit for bit. The append
+        is EXACTLY-ONCE (r12 verdict #6): foreachBatch's batch_id goes
+        into the store's (app, batch_id) ledger, so an at-least-once
+        replay after a kill/restart is SKIPPED (not failed, not
+        double-counted) — the lake sink's txn-watermark discipline,
+        proven by tests/test_streaming.py's kill-and-restart test.
+        Overlapping doc_ids WITHOUT a ledger tag still fail loudly via
+        the range+Bloom disjointness guard. The stream-maintained
+        store caches under a content tag; the probe always runs
+        live."""
         import os as _os
 
         from etlalchemy_spark.operators import textindex as _ti_mod

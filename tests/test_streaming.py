@@ -307,3 +307,76 @@ def test_compact_batch_store_preserves_step_results(spark, tmp_path):
     # idempotent / empty-store cases
     assert compact_batch_store(spark, bands_root)["dirs_before"] == 1
     assert compact_batch_store(spark, str(tmp_path / "nothing"))["rows"] == 0
+
+
+def test_stream_text_index_kill_restart_exactly_once(spark, tmp_path):
+    """r12 verdict #6: kill the text-index maintenance stream AFTER a
+    micro-batch committed to the store but BEFORE the streaming
+    checkpoint recorded it, restart, and the replayed batch must be
+    SKIPPED by the (app, batch_id) ledger — the restarted stream
+    completes and the probe bit-equals a one-shot single-append
+    store's probe."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.textindex import (
+        append_text_index,
+        probe_text_index,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma doc{i} " + ("stream " * (i % 4)) + "window merge")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ingest = str(tmp_path / "ingest")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ingest)
+    for i in range(3):
+        sl = str(tmp_path / f"_slice{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sl)
+        shutil.copy(
+            glob.glob(os.path.join(sl, "part-*.parquet"))[0],
+            os.path.join(ingest, f"slice{i}.parquet"),
+        )
+
+    crashed = {"done": False}
+
+    def step(batch_df, batch_id):
+        append_text_index(
+            store, batch_df, "doc_id", "text", app="kr", batch_id=batch_id
+        )
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated crash after store commit")
+
+    def run():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with _pytest.raises(Exception, match="simulated crash"):
+        run()
+    assert crashed["done"]
+    run()  # restart: batch 1 replays, the ledger skips it, 2 commits
+
+    one_shot = str(tmp_path / "one_shot")
+    append_text_index(one_shot, docs, "doc_id", "text")
+    terms = ["stream", "window", "doc7"]
+    got = probe_text_index(spark, store, terms, k=10).collect()
+    want = probe_text_index(spark, one_shot, terms, k=10).collect()
+    assert got == want and len(got) == 10
