@@ -87,18 +87,47 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+_ACD_RSD = 0.02
+_ACD_BOUND = 4 * _ACD_RSD  # |approx-exact|/exact ≤ 4×rsd (measured ~1% here)
+
+_ACD_SQL = f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_count_distinct", oracle=_ACD_SQL, tags=("agg", "approx"))
 def agg_approx_count_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct estimate (rows-only: HLL sketches are
-    engine-specific, so no cross-engine oracle — SURVEY.md §5.2).
-    At 100 TB this replaces exact count-distinct: no expand, mergeable
-    partial sketches, O(1) memory per group."""
+    """HyperLogLog++ distinct estimate, BOUNDED-ERROR gated (r12
+    verdict #4): the sketch value itself is engine-internal so it can
+    never hash-match DuckDB, but the semantic claim CAN — this query
+    emits the exact distinct count (both engines agree) plus a
+    ``within_bound`` flag asserting |approx − exact| ≤ 4×rsd·exact
+    (rsd 0.02; the estimator is deterministic for fixed data, so the
+    flag is stable, and a broken sketch flips it to false → oracle
+    hash mismatch). At 100 TB the approx path replaces exact
+    count-distinct: no expand, mergeable partial sketches, O(1)
+    memory per group."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", _ACD_RSD).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts")).cast("double")
+                <= F.lit(_ACD_BOUND) * F.col("exact_parts").cast("double")
+            ).alias("within_bound"),
         )
     )
 
@@ -212,23 +241,57 @@ def agg_histogram(spark, sf_dir):
     )
 
 
-@register("agg_approx_quantiles", oracle=None, tags=("agg", "approx"))
+_GK_ACC = 10000  # percentile_approx accuracy → rank error ε = 1/accuracy
+_GK_PCTS = (0.5, 0.9, 0.99)
+
+_AQ_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_approx_quantiles", oracle=_AQ_SQL, tags=("agg", "approx"))
 def agg_approx_quantiles(spark, sf_dir):
-    """Approximate percentiles (Greenwald-Khanna sketch; rows-only —
-    sketch implementations differ across engines)."""
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
-        )
-        .select(
-            "o_orderstatus",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
-        )
+    """Greenwald-Khanna approximate percentiles, BOUNDED-ERROR gated
+    (r12 verdict #4): the sketch value can't hash-match another
+    engine, but the GK guarantee CAN be checked exactly — for each
+    returned value v the rank window [count(<v)+1, count(<=v)] must
+    intersect [p·n − ε·n − 1, p·n + ε·n + 1] (ε = 1/accuracy). The
+    flags are computed from EXACT counts via one join of the 3-row
+    quantile table back against orders, so a sketch whose error
+    exceeded its contract flips a flag and fails the oracle hash.
+    Values may legally wiggle with merge order; the flags cannot.
+    At 100 TB: one pass, mergeable sketches, no sort."""
+    o = t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", list(_GK_PCTS), _GK_ACC).alias("pcts")
     )
+    j = o.select("o_orderstatus", "o_totalprice").join(
+        F.broadcast(q), "o_orderstatus"
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(_GK_PCTS)):
+        v = F.col("pcts")[i]
+        aggs.append(
+            F.sum((F.col("o_totalprice") < v).cast("long")).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("o_totalprice") <= v).cast("long")).alias(f"_le{i}")
+        )
+    g = j.groupBy("o_orderstatus").agg(*aggs)
+    cols = [F.col("o_orderstatus"), F.col("n")]
+    names = ("ok50", "ok90", "ok99")
+    for i, p in enumerate(_GK_PCTS):
+        target = F.lit(p) * F.col("n").cast("double")
+        slack = F.lit(1.0 / _GK_ACC) * F.col("n").cast("double") + F.lit(1.0)
+        ok = (F.col(f"_le{i}").cast("double") >= target - slack) & (
+            (F.col(f"_lt{i}") + F.lit(1)).cast("double") <= target + slack
+        )
+        cols.append(ok.alias(names[i]))
+    return g.select(*cols)
 
 
 _SALTED_AGG_SQL = """
