@@ -1045,3 +1045,234 @@ def lake_history_audit(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --- external Delta Lake interop (r13, public PROTOCOL.md read path) ----------------------------
+
+
+def _delta_fixture_build(spark, sf_dir, root):
+    """Hand-roll a Delta table per the PUBLIC protocol spec so the
+    from-spec reader (operators/deltalog.py) has a realistic source:
+    hive-partitioned by l_returnflag, three JSON commits, a
+    single-file checkpoint at v1 plus _last_checkpoint.
+
+    v0: protocol + metaData + adds: even l_orderkey rows (1 file per
+        returnflag dir, partition column NOT stored in the files)
+    v1: adds: odd l_orderkey rows
+    v2: "rewrite" of the v0 'R' file — remove it and add a shrunken
+        replacement (even ∧ R ∧ l_partkey%3=0), the copy-on-write
+        delete shape, exercising remove + re-add in one commit
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    table = _os.path.join(root, "table")
+    log = _os.path.join(table, "_delta_log")
+    _shutil.rmtree(table, ignore_errors=True)
+    _os.makedirs(log)
+
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_returnflag", StringType()),
+        ]
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_partkey").cast("long"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_returnflag").cast("string"),
+    )
+    flags = ["A", "N", "R"]
+
+    def write_file(df_part, flag, stem):
+        """One data file under the hive dir, WITHOUT the partition
+        column (per spec data files omit partition columns)."""
+        tmp = _os.path.join(root, "_tmp_write")
+        df_part.drop("l_returnflag").coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        rel = f"l_returnflag={flag}/{stem}.parquet"
+        dst = _os.path.join(table, rel)
+        _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+        _shutil.move(src, dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "path": rel,
+            "partitionValues": {"l_returnflag": flag},
+            "size": _os.path.getsize(dst),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }
+
+    def commit(version, actions):
+        with open(_os.path.join(log, f"{version:020d}.json"), "w") as fp:
+            for a in actions:
+                fp.write(_json.dumps(a) + "\n")
+
+    meta = {
+        "metaData": {
+            "id": "etlalchemy-spark-delta-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": ["l_returnflag"],
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    even = li.where(F.col("l_orderkey") % 2 == 0)
+    odd = li.where(F.col("l_orderkey") % 2 == 1)
+    v0_adds = [
+        write_file(even.where(F.col("l_returnflag") == fl), fl, f"v0-{fl}")
+        for fl in flags
+    ]
+    commit(0, [proto, meta] + [{"add": a} for a in v0_adds])
+    v1_adds = [
+        write_file(odd.where(F.col("l_returnflag") == fl), fl, f"v1-{fl}")
+        for fl in flags
+    ]
+    commit(1, [{"add": a} for a in v1_adds])
+
+    # single-file checkpoint at v1 (+_last_checkpoint): protocol,
+    # metaData and every add live as struct columns of one parquet
+    from pyspark.sql import Row
+
+    ck_rows = []
+    blank = {"add": None, "remove": None, "metaData": None, "protocol": None}
+    ck_rows.append(Row(**{**blank, "protocol": proto["protocol"]}))
+    ck_rows.append(Row(**{**blank, "metaData": meta["metaData"]}))
+    for a in v0_adds + v1_adds:
+        ck_rows.append(Row(**{**blank, "add": a}))
+    ck_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+        "modificationTime:bigint,dataChange:boolean>, "
+        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>, "
+        "metaData struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "configuration:map<string,string>,createdTime:bigint>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+    tmp = _os.path.join(root, "_tmp_ckpt")
+    spark.createDataFrame(ck_rows, ck_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+    _shutil.move(src, _os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    _shutil.rmtree(tmp, ignore_errors=True)
+    with open(_os.path.join(log, "_last_checkpoint"), "w") as fp:
+        _json.dump({"version": 1, "size": len(ck_rows)}, fp)
+
+    rewrite = write_file(
+        even.where(
+            (F.col("l_returnflag") == "R") & (F.col("l_partkey") % 3 == 0)
+        ),
+        "R",
+        "v2-R-rewrite",
+    )
+    commit(
+        2,
+        [
+            {
+                "remove": {
+                    "path": v0_adds[2]["path"],
+                    "deletionTimestamp": 1700000001000,
+                    "dataChange": True,
+                }
+            },
+            {"add": rewrite},
+        ],
+    )
+
+
+def _delta_root(spark, sf_dir):
+    import os as _os
+
+    from etlalchemy_spark.operators import deltalog as _dl_mod
+    from etlalchemy_spark.queries._util import (
+        cached_fixture,
+        commit_fixture,
+        fixture_tag,
+    )
+
+    tag = fixture_tag(
+        sf_dir, deps=(_dl_mod, _delta_fixture_build), extra="delta_interop"
+    )
+    root, meta = cached_fixture("delta_interop", sf_dir, tag)
+    if meta is None:
+        _delta_fixture_build(spark, sf_dir, root)
+        commit_fixture(root, tag)
+    return _os.path.join(root, "table")
+
+
+_DELTA_LATEST_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       l_returnflag
+FROM lineitem
+WHERE (l_orderkey % 2 = 0 AND l_returnflag <> 'R')
+   OR (l_orderkey % 2 = 1)
+   OR (l_orderkey % 2 = 0 AND l_returnflag = 'R' AND l_partkey % 3 = 0)
+"""
+
+
+@register(
+    "lake_delta_interop_read",
+    oracle=_DELTA_LATEST_SQL,
+    tags=("lake", "etl", "formats"),
+)
+def lake_delta_interop_read(spark, sf_dir):
+    """Read an EXTERNAL Delta Lake table from its transaction log
+    (operators/deltalog.py, public PROTOCOL.md; r12 verdict #2): the
+    fixture is a hive-partitioned Delta table with three commits and a
+    checkpoint, and the latest snapshot resolves THROUGH the
+    checkpoint (only the post-checkpoint commit replays as JSON).
+    Active files = v0 adds − the v2-removed 'R' file + v1 adds + the
+    v2 rewrite, so the oracle is the equivalent relational predicate
+    over lineitem. The scan itself is an ordinary pruned parquet
+    FileScan with the partition column reconstructed by Spark's own
+    partition discovery (explicit active-file list + basePath) —
+    pushdown and pruning intact at any scale; log replay is
+    driver-side metadata, the same O(files) list any FileIndex holds."""
+    from etlalchemy_spark.operators.deltalog import read_delta
+
+    return read_delta(spark, _delta_root(spark, sf_dir))
+
+
+_DELTA_V0_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       l_returnflag
+FROM lineitem
+WHERE l_orderkey % 2 = 0
+"""
+
+
+@register(
+    "lake_delta_time_travel",
+    oracle=_DELTA_V0_SQL,
+    tags=("lake", "etl", "formats"),
+)
+def lake_delta_time_travel(spark, sf_dir):
+    """Delta time travel DOWN-log: read version 0 of the same external
+    table — below the checkpoint, so the snapshot must come from pure
+    JSON replay (usable checkpoints ≤ 0 don't exist) and must NOT see
+    the v1 adds or the v2 remove/rewrite. Immutability twin of
+    lake_time_travel_read for the external format."""
+    from etlalchemy_spark.operators.deltalog import read_delta
+
+    return read_delta(spark, _delta_root(spark, sf_dir), version=0)
