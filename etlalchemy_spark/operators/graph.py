@@ -351,3 +351,102 @@ def personalized_pagerank_exact(
             ).alias("ppr"),
         )
     return ranks
+
+
+def louvain_one_level(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """One-level Louvain community detection (synchronous local-moving
+    phase, ``rounds`` fixed supersteps): return (node, lbl) where every
+    node has greedily ascended modularity. Each superstep EVERY node
+    simultaneously picks the community C (among its neighbors'
+    communities plus its own) maximizing the EXACT-INTEGER move score
+
+        score(C) = 2m·k_iC − k_i·(Σtot_C − [C = own]·k_i)
+
+    which is the standard Louvain ΔQ multiplied by the positive
+    constant 2m² — so the argmax is identical to real-valued Louvain,
+    but every comparison is int64 arithmetic both engines reproduce
+    bit-for-bit. Ties break to the SMALLEST community id ((score, −c)
+    struct max), init c(v)=v, so the whole trajectory is deterministic
+    and the DuckDB gate twin (queries/graph.py, unrolled CTEs) matches
+    exactly. Like label_propagation this needs numeric node ids (the
+    −c negation); the same validation applies.
+
+    Per superstep: one |E| edge×community equi-join + three hash
+    aggregates (Σtot, k_iC, argmax) and a lazy lineage cut — the
+    Pregel shape, |E| shuffle rows at any scale. Aggregation-phase
+    Louvain (collapsing communities into supernodes for the next
+    level) is deliberately out of scope: one level already dominates
+    the modularity gain on curation graphs, and the gate measures the
+    partition's modularity against LPA's on the same graph.
+
+    Upstream reference (seanharr11/etlalchemy) has no graph surface;
+    this extends the mandated LLM-curation layer (r12 verdict #7:
+    modularity-ascending communities beside LPA)."""
+    if rounds < 1:
+        raise ValueError(f"louvain_one_level: rounds must be >= 1, got {rounds}")
+    for side in (src, dst):
+        dt = dict(edges.dtypes)[side]
+        if dt in ("string", "binary") or dt.startswith(("decimal", "array", "struct")):
+            raise ValueError(
+                f"louvain_one_level: node column {side!r} is {dt}; numeric "
+                "node ids are required (the smallest-community tie-break "
+                "negates ids) — hash ids to integers first"
+            )
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    m_df = edges.agg((F.count(F.lit(1))).cast("bigint").alias("m"))
+    comm = deg.select("node", F.col("node").cast("bigint").alias("c"))
+    for r in range(rounds):
+        sig = (
+            comm.join(deg, "node")
+            .groupBy("c")
+            .agg(F.sum("degree").cast("bigint").alias("st"))
+        )
+        kc = (
+            sym.join(comm, sym.v == comm.node)
+            .groupBy(F.col("u").alias("node"), "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        )
+        cand = (
+            kc.unionByName(comm.select("node", "c", F.lit(0).cast("bigint").alias("k")))
+            .groupBy("node", "c")
+            .agg(F.max("k").alias("k"))
+        )
+        cur = comm.select("node", F.col("c").alias("cur_c"))
+        sc = (
+            cand.join(deg, "node")
+            .join(cur, "node")
+            .join(sig, "c")
+            .crossJoin(F.broadcast(m_df))
+            .select(
+                "node",
+                "c",
+                (
+                    F.lit(2).cast("bigint") * F.col("m") * F.col("k")
+                    - F.col("degree")
+                    * (
+                        F.col("st")
+                        - F.when(F.col("c") == F.col("cur_c"), F.col("degree"))
+                        .otherwise(F.lit(0).cast("bigint"))
+                    )
+                ).alias("score"),
+            )
+        )
+        best = F.max(F.struct(F.col("score"), (-F.col("c")).alias("neg")))
+        comm = sc.groupBy("node").agg((-best.getField("neg")).alias("c"))
+        if r + 1 < rounds:
+            comm = comm.localCheckpoint(eager=False)
+    return comm.select("node", F.col("c").alias("lbl"))
