@@ -921,21 +921,9 @@ def _decode_progressive(payload, pos, frame, qtabs, htabs, ri: int) -> dict:
             continue
         pos += seg_len
 
-    # dequantize + IDCT every block, then the shared reconstruction
-    planes = []
-    for c, cf in zip(comps, coefs):
-        bh, bw = cf.shape[0], cf.shape[1]
-        q = qtabs[c["tq"]]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.int32)
-        for by in range(bh):
-            for bx in range(bw):
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = cf[by, bx] * q
-                blk = _M.T @ coef.reshape(8, 8) @ _M
-                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                    np.floor(blk + 128.0 + 0.5), 0, 255
-                ).astype(np.int32)
-        planes.append(plane)
+    # dequantize + IDCT every block (one batched matmul per component,
+    # r12 verdict #9), then the shared reconstruction
+    planes = [_idct_grid(cf, qtabs[c["tq"]]) for c, cf in zip(comps, coefs)]
     return _planes_to_stats(h, w, comps, planes, sub, hmax, vmax)
 
 
@@ -1088,6 +1076,42 @@ def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
     ).astype(np.int32)
 
 
+def _quantize_grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """All of a plane's 8x8 blocks quantized in ONE batched matmul
+    (r12 verdict #9: the per-block Python loop dominated the
+    progressive fixture synth). Returns the (bh, bw, 64) zigzag grid,
+    element-for-element identical to _quantize_block per block: the
+    batched ``_M @ blocks @ _M.T`` runs the same dgemm per 8x8 slab,
+    and the round-half-away-from-zero is the same vectorized
+    where/floor/ceil — pinned by tests/test_jpeg.py's grid-vs-block
+    equality on random planes."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        (plane.astype(np.float64) - 128.0)
+        .reshape(bh, 8, bw, 8)
+        .transpose(0, 2, 1, 3)
+    )
+    coef = _M @ blocks @ _M.T
+    flat = coef.reshape(bh, bw, 64)[:, :, ZIGZAG]
+    scaled = flat / q
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int32)
+
+
+def _idct_grid(cf: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize + inverse-transform a whole (bh, bw, 64) zigzag
+    coefficient grid in one batched matmul, returning the (bh*8, bw*8)
+    int32 pixel plane — the vectorized twin of the progressive tail's
+    per-block loop, same clip(floor(x + 128.5)) arithmetic."""
+    bh, bw = cf.shape[0], cf.shape[1]
+    coef = np.zeros((bh, bw, 64), dtype=np.float64)
+    coef[:, :, ZIGZAG] = cf * q
+    blocks = _M.T @ coef.reshape(bh, bw, 8, 8) @ _M
+    px = np.clip(np.floor(blocks + 128.0 + 0.5), 0, 255).astype(np.int32)
+    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
 def _pt(v: int, al: int) -> int:
     """AC point transform: divide by 2^al truncating toward ZERO (DC
     uses a plain arithmetic shift instead — T.81 A.4)."""
@@ -1143,14 +1167,7 @@ def encode_jpeg_progressive(
         planes += [(cb, qc, 1, 1), (cr, qc, 1, 1)]
     zz = []  # per component: (bh, bw) grid of 64-vectors
     for plane, q, ch_, cv_ in planes:
-        bh, bw = mcus_y * cv_, mcus_x * ch_
-        grid = np.zeros((bh, bw, 64), dtype=np.int32)
-        for by in range(bh):
-            for bx in range(bw):
-                grid[by, bx] = _quantize_block(
-                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q
-                )
-        zz.append(grid)
+        zz.append(_quantize_grid(plane, q))
 
     out = bytearray(b"\xff\xd8")
     out += _dqt_segment(0, ql)
@@ -1219,16 +1236,26 @@ def encode_jpeg_progressive(
             ci = scomps[0]
             ac = acl if ci == 0 else acc
             grid = zz[ci]
+            # the whole scan's point-transformed magnitudes in one
+            # vectorized pass (r12 verdict #9): blocks are mostly
+            # zeros, so each block's walk touches only its nonzero
+            # positions instead of all se-ss+1 coefficients — the
+            # emitted bitstream is IDENTICAL to the per-coefficient
+            # walk (runs between nonzeros are the index gaps)
+            band = grid[:, :, ss:se + 1]
+            mags_all = np.abs(band) >> al
+            blen = se - ss + 1
             for by in range(grid.shape[0]):
                 for bx in range(grid.shape[1]):
-                    blk = grid[by, bx]
+                    blk = band[by, bx]
+                    mags = mags_all[by, bx]
+                    nz = np.flatnonzero(mags)
                     if ah == 0:  # AC first pass at this precision
-                        r = 0
-                        for k in range(ss, se + 1):
-                            t = _pt(int(blk[k]), al)
-                            if t == 0:
-                                r += 1
-                                continue
+                        prev = -1
+                        for idx in nz:
+                            r = idx - prev - 1
+                            prev = idx
+                            t = _pt(int(blk[idx]), al)
                             while r > 15:
                                 c, ln = ac[0xF0]
                                 wtr.put(c, ln)
@@ -1237,18 +1264,17 @@ def encode_jpeg_progressive(
                             c, ln = ac[(r << 4) | s]
                             wtr.put(c, ln)
                             wtr.put(_value_bits(t, s), s)
-                            r = 0
-                        if r:
+                        if prev < blen - 1:
                             c, ln = ac[0x00]  # EOB0: this block only
                             wtr.put(c, ln)
                     else:  # AC refinement: ah -> al
                         r = 0
+                        prev = -1
                         pending: list[int] = []
-                        for k in range(ss, se + 1):
-                            mag = abs(int(blk[k])) >> al
-                            if mag == 0:
-                                r += 1
-                                continue
+                        for idx in nz:
+                            r += idx - prev - 1
+                            prev = idx
+                            mag = int(mags[idx])
                             # ZRL flush BEFORE buffering this position's
                             # correction bit: the decoder's ZRL walk only
                             # consumes bits for nonzero-history positions
@@ -1265,11 +1291,12 @@ def encode_jpeg_progressive(
                                 continue
                             c, ln = ac[(r << 4) | 1]
                             wtr.put(c, ln)
-                            wtr.put(1 if int(blk[k]) > 0 else 0, 1)
+                            wtr.put(1 if int(blk[idx]) > 0 else 0, 1)
                             for b in pending:
                                 wtr.put(b, 1)
                             pending = []
                             r = 0
+                        r += blen - 1 - prev
                         if r or pending:
                             c, ln = ac[0x00]
                             wtr.put(c, ln)

@@ -14,6 +14,22 @@ from etlalchemy_spark.operators.multimodal import attach_payload, byte_features,
 from etlalchemy_spark.registry import register
 from etlalchemy_spark.queries._util import t
 
+def _spread_docs(spark, sf_dir):
+    """The documents table, round-robin repartitioned to the session's
+    full parallelism BEFORE the expensive Arrow/mapInPandas decode
+    stages in this module. At gate scale the table is one small parquet
+    file -> ONE input partition, which silently serialized every codec
+    batch onto a single core (found in r13: mm_decode_jpeg_progressive
+    spent its whole wall clock on 1 of 32 cores). The params frames
+    built from this are metadata-thin (ids + synth dims; Catalyst
+    prunes the projection through the exchange), so the narrow shuffle
+    is ~free and the decode fans out to every core — the same move a
+    100 TB pipeline makes when an upstream writes few large files."""
+    return t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 _META_SQL = """
 SELECT doc_id,
        'text/plain' AS mime,
@@ -151,7 +167,7 @@ def mm_decode_wav_stats(spark, sf_dir):
     Python CPU, the same shape a real resample/feature job has."""
     from etlalchemy_spark.operators.multimodal import encode_wav_pcm16, wav_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(50) + F.col("doc_id") % 97).cast("int").alias("n_samples"),
         F.when(F.col("doc_id") % 3 == 0, 8000)
@@ -222,7 +238,7 @@ def mm_decode_image_stats(spark, sf_dir):
         image_stats,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("width"),
         (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("height"),
@@ -463,7 +479,7 @@ def mm_decode_png_matrix(spark, sf_dir):
     partition-local Arrow mapInPandas shape as every decoder here."""
     from etlalchemy_spark.operators.multimodal import encode_png, image_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % 4).cast("int").alias("mode"),
         (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("w"),
@@ -529,7 +545,7 @@ def mm_decode_png_stats(spark, sf_dir):
     payload bytes never shuffle."""
     from etlalchemy_spark.operators.multimodal import encode_png, image_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(1) + F.col("doc_id") % 6).cast("int").alias("width"),
         (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("height"),
@@ -646,7 +662,7 @@ def mm_decode_jpeg_dri(spark, sf_dir):
     mapInPandas shape as every decoder in this file."""
     from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % 2).cast("int").alias("mode"),
         (F.lit(16) * (1 + F.col("doc_id") % 3)).cast("int").alias("w"),
@@ -800,7 +816,7 @@ def mm_decode_adpcm_stats(spark, sf_dir):
     error bound, golden block, refusals)."""
     from etlalchemy_spark.operators.multimodal import encode_wav_ima_adpcm, wav_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(500) + (F.col("doc_id") % 17) * 100).cast("int").alias("n_samples"),
     )
@@ -862,7 +878,7 @@ def mm_decode_gif_stats(spark, sf_dir):
     other decoders."""
     from etlalchemy_spark.operators.multimodal import encode_gif, image_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(2) + F.col("doc_id") % 9).cast("int").alias("width"),
         (F.lit(2) + F.col("doc_id") % 6).cast("int").alias("height"),
@@ -985,7 +1001,7 @@ def mm_decode_avi_mjpeg(spark, sf_dir):
         video_frame_stats,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("w"),
         F.lit(16).cast("int").alias("h"),
@@ -1032,7 +1048,7 @@ def mm_decode_avi_frames(spark, sf_dir):
     the documented codec boundary."""
     from etlalchemy_spark.operators.multimodal import encode_avi_rgb, video_frame_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("width"),
         (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("height"),
@@ -1108,7 +1124,7 @@ def mm_resize_nearest_stats(spark, sf_dir):
     bucket by origin size without a second decode."""
     from etlalchemy_spark.operators.multimodal import encode_bmp_24, image_resize_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("width"),
         (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("height"),
@@ -1181,7 +1197,7 @@ def mm_video_motion_energy(spark, sf_dir):
     are all oracle-exact."""
     from etlalchemy_spark.operators.multimodal import encode_avi_rgb, video_motion_energy
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("width"),
         (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("height"),
@@ -1296,7 +1312,7 @@ def dedup_image_ahash(spark, sf_dir):
     with the deterministic pixel function)."""
     from etlalchemy_spark.operators.multimodal import encode_bmp_24, encode_ppm_p6, image_ahash
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         F.expr("doc_id DIV 2").alias("base"),
         (F.lit(16) + F.expr("doc_id DIV 2") % 9).cast("int").alias("w"),
@@ -1413,7 +1429,7 @@ def mm_audio_autocorr_pitch(spark, sf_dir):
     asset."""
     from etlalchemy_spark.operators.multimodal import audio_autocorr, encode_wav_pcm16
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("p"),
         (F.lit(64) + F.col("doc_id") % 33).cast("int").alias("n"),
@@ -1492,7 +1508,7 @@ def mm_audio_vad_segments(spark, sf_dir):
         encode_wav_pcm16,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(50) + F.col("doc_id") % 97).cast("int").alias("n_samples"),
     )
@@ -1593,7 +1609,7 @@ def mm_image_patch_grid(spark, sf_dir):
         image_patch_grid,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("width"),
         (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("height"),
@@ -1726,7 +1742,7 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
     path is pinned in tests/test_jpeg.py."""
     from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % 3).cast("int").alias("mode"),
         (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("w"),
@@ -1807,7 +1823,7 @@ def mm_decode_jpeg_stats(spark, sf_dir):
     bytes and embarrassingly parallel."""
     from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % 3).cast("int").alias("mode"),
         (F.lit(16) * (1 + F.col("doc_id") % 2)).cast("int").alias("w"),
@@ -1912,7 +1928,7 @@ def mm_decode_mulaw_stats(spark, sf_dir):
 
     from etlalchemy_spark.operators.multimodal import wav_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("nbytes"),
         (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("ch"),
@@ -2028,7 +2044,7 @@ def mm_decode_adpcm_stereo(spark, sf_dir):
         wav_stats,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id", (F.lit(200) + F.col("doc_id") % 57).cast("int").alias("n")
     )
 
@@ -2104,7 +2120,7 @@ def mm_image_sobel_energy(spark, sf_dir):
     executors."""
     from etlalchemy_spark.operators.multimodal import encode_bmp_24, image_sobel_energy
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("width"),
         (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("height"),
@@ -2177,7 +2193,7 @@ def mm_audio_rms_gain(spark, sf_dir):
         encode_wav_pcm16,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id", (50 + F.col("doc_id") % 97).cast("int").alias("n_samples")
     )
 
@@ -2249,7 +2265,7 @@ def mm_image_color_histogram(spark, sf_dir):
         image_color_histogram,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(3) + F.col("doc_id") % 7).cast("int").alias("width"),
         (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("height"),
@@ -2324,7 +2340,7 @@ def mm_audio_wht_bands(spark, sf_dir):
         wht_sequency_bands,
     )
 
-    params = t(spark, sf_dir, "documents").select("doc_id")
+    params = _spread_docs(spark, sf_dir).select("doc_id")
 
     def synth(batches):
         import numpy as np
@@ -2383,7 +2399,7 @@ def mm_decode_tiff_stats(spark, sf_dir):
     batches, stats rows only leave the executors."""
     from etlalchemy_spark.operators.multimodal import encode_tiff_gray8, tiff_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(4) + F.col("doc_id") % 9).cast("int").alias("w"),
         (F.lit(3) + F.col("doc_id") % 6).cast("int").alias("h"),
@@ -2459,7 +2475,7 @@ def mm_decode_webp_stats(spark, sf_dir):
     form without parsing bytes. Partition-local Arrow batches."""
     from etlalchemy_spark.operators.webp import encode_webp_lossless, webp_stats
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(2) + F.col("doc_id") % 6).cast("int").alias("w"),
         (F.lit(2) + F.col("doc_id") % 5).cast("int").alias("h"),
@@ -2545,7 +2561,7 @@ def mm_exif_metadata(spark, sf_dir):
     100 TB this is THE cheap pre-decode pruning pass."""
     from etlalchemy_spark.operators.multimodal import encode_exif_jpeg, exif_metadata
 
-    params = t(spark, sf_dir, "documents").select("doc_id")
+    params = _spread_docs(spark, sf_dir).select("doc_id")
 
     def synth(batches):
         import pandas as pd
@@ -2621,7 +2637,7 @@ def mm_image_entropy(spark, sf_dir):
     levels per image."""
     from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(4) + F.col("doc_id") % 9).cast("int").alias("w"),
         (F.lit(3) + F.col("doc_id") % 6).cast("int").alias("h"),
@@ -2722,7 +2738,7 @@ def mm_decode_tiff_lzw(spark, sf_dir):
     Arrow batches; only stat rows leave the executors."""
     from etlalchemy_spark.operators.multimodal import decode_tiff, encode_tiff_gray8
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(5) + F.col("doc_id") % 8).cast("int").alias("w"),
         (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("h"),
@@ -2808,7 +2824,7 @@ def mm_decode_bmp_rle(spark, sf_dir):
     Partition-local Arrow batches; stats rows only leave."""
     from etlalchemy_spark.operators.multimodal import decode_bmp, encode_bmp_rle8
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(4) + F.col("doc_id") % 7).cast("int").alias("w"),
         (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("h"),
@@ -2904,7 +2920,7 @@ def mm_decode_jpeg_lossless(spark, sf_dir):
     parallel."""
     from etlalchemy_spark.operators.jpeg import decode_jpeg, encode_jpeg_lossless
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("w"),
         (F.lit(4) + F.col("doc_id") % 3).cast("int").alias("h"),
@@ -3003,7 +3019,7 @@ def mm_decode_aiff_stats(spark, sf_dir):
     name. Partition-local Arrow batches, same scale shape as WAV."""
     from etlalchemy_spark.operators.multimodal import decode_aiff, encode_aiff_pcm16
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(40) + F.col("doc_id") % 83).cast("int").alias("n_samples"),
         F.when(F.col("doc_id") % 3 == 0, 22050)
@@ -3087,7 +3103,7 @@ def mm_decode_tga_stats(spark, sf_dir):
     Color-mapped/16/32-bit refuse by name. Arrow partition-local."""
     from etlalchemy_spark.operators.multimodal import decode_tga, encode_tga
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(3) + F.col("doc_id") % 9).cast("int").alias("w"),
         (F.lit(2) + F.col("doc_id") % 6).cast("int").alias("h"),
@@ -3181,7 +3197,7 @@ def mm_decode_pnm_stats(spark, sf_dir):
         encode_pgm_p5,
     )
 
-    params = t(spark, sf_dir, "documents").select(
+    params = _spread_docs(spark, sf_dir).select(
         "doc_id",
         (F.lit(3) + F.col("doc_id") % 11).cast("int").alias("w"),
         (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("h"),
