@@ -2313,9 +2313,13 @@ def decode_tiff(payload: bytes) -> dict:
     real-scanner-corpus norm with LZW), and the TILED layout (r11:
     TileWidth/TileLength/TileOffsets/TileByteCounts, edge tiles
     padded to full size, predictor per tile row, each tile an
-    independent compression stream). Anything deeper refuses LOUDLY
+    independent compression stream), and chunky RGB/RGBA
+    (SamplesPerPixel 3/4, PlanarConfiguration 1, per-channel
+    horizontal differencing — r13, unlocked by the libtiff-written
+    python.tiff third-party witness). Anything deeper refuses LOUDLY
     by field name: other Compression values (JPEG-in-TIFF, deflate),
-    Predictor 3, BitsPerSample != 8, SamplesPerPixel != 1."""
+    Predictor 3, BitsPerSample != 8, planar (PlanarConfiguration 2)
+    color."""
     import struct
 
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
@@ -2352,12 +2356,21 @@ def decode_tiff(payload: bytes) -> dict:
     pred = tags.get(317, [1])[0]
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF: Predictor {pred} (1 = none, 2 = horizontal)")
-    bits = tags.get(258, [1])[0]
-    if bits != 8:
-        raise NotImplementedError(f"TIFF: BitsPerSample {bits} (only 8)")
+    if any(b != 8 for b in tags.get(258, [1])):
+        raise NotImplementedError(
+            f"TIFF: BitsPerSample {tags.get(258)} (only 8)"
+        )
     spp = tags.get(277, [1])[0]
-    if spp != 1:
-        raise NotImplementedError(f"TIFF: SamplesPerPixel {spp} (only 1)")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"TIFF: SamplesPerPixel {spp} (1 = gray, 3 = RGB, 4 = RGBA)"
+        )
+    planar = tags.get(284, [1])[0]
+    if spp > 1 and planar != 1:
+        raise NotImplementedError(
+            f"TIFF: PlanarConfiguration {planar} with {spp} samples "
+            "(only 1 = chunky)"
+        )
     w, h = tags[256][0], tags[257][0]
 
     def unpack(raw: bytes) -> bytes:
@@ -2367,11 +2380,15 @@ def decode_tiff(payload: bytes) -> dict:
             return _packbits_decode(raw)
         return raw
 
-    def undiff(buf: bytearray, width: int, rows: int) -> None:
+    def undiff(buf: bytearray, width_px: int, rows: int) -> None:
+        # horizontal differencing is PER CHANNEL: each sample deltas
+        # against the same channel of the previous pixel (TIFF 6.0
+        # §14), which for spp=1 degenerates to the old byte-prev rule
+        rw = width_px * spp
         for r in range(rows):
-            base = r * width
-            for col in range(1, width):
-                buf[base + col] = (buf[base + col] + buf[base + col - 1]) & 0xFF
+            base = r * rw
+            for col in range(spp, rw):
+                buf[base + col] = (buf[base + col] + buf[base + col - spp]) & 0xFF
 
     if 322 in tags:  # tiled layout (TIFF 6.0 §15, r11)
         tw, tl = tags[322][0], tags[323][0]
@@ -2382,20 +2399,21 @@ def decode_tiff(payload: bytes) -> dict:
             raise ValueError(
                 f"TIFF: {len(offs)} tiles != {across}x{down} grid"
             )
-        img = bytearray(w * h)
+        img = bytearray(w * h * spp)
         for i, (o, c) in enumerate(zip(offs, cnts)):
             raw = unpack(payload[o : o + c])
-            if len(raw) < tw * tl:
-                raise ValueError(f"TIFF: tile {i} decoded {len(raw)} < {tw * tl}")
-            tile = bytearray(raw[: tw * tl])  # edge tiles stay padded
+            if len(raw) < tw * tl * spp:
+                raise ValueError(
+                    f"TIFF: tile {i} decoded {len(raw)} < {tw * tl * spp}"
+                )
+            tile = bytearray(raw[: tw * tl * spp])  # edge tiles stay padded
             if pred == 2:  # predictor runs over TILE rows (tw wide)
                 undiff(tile, tw, tl)
             ty, tx = (i // across) * tl, (i % across) * tw
             cw = min(tw, w - tx)
             for r in range(min(tl, h - ty)):
-                img[(ty + r) * w + tx:(ty + r) * w + tx + cw] = tile[
-                    r * tw : r * tw + cw
-                ]
+                dst = ((ty + r) * w + tx) * spp
+                img[dst:dst + cw * spp] = tile[r * tw * spp : r * tw * spp + cw * spp]
         data = bytes(img)
     else:
         offs, cnts = tags[273], tags[279]
@@ -2403,30 +2421,36 @@ def decode_tiff(payload: bytes) -> dict:
         chunks = []
         for i, (o, c) in enumerate(zip(offs, cnts)):
             raw = unpack(payload[o : o + c])
-            expect = min(rps, h - i * rps) * w
+            expect = min(rps, h - i * rps) * w * spp
             if len(raw) < expect:
                 raise ValueError(f"TIFF: strip {i} decoded {len(raw)} < {expect}")
             chunks.append(raw[:expect])  # writers may pad the final code byte
         data = b"".join(chunks)
-        if len(data) != w * h:
-            raise ValueError(f"TIFF: strip bytes {len(data)} != {w}x{h}")
+        if len(data) != w * h * spp:
+            raise ValueError(f"TIFF: strip bytes {len(data)} != {w}x{h}x{spp}")
         if pred == 2:  # undo horizontal differencing, per image row
             buf = bytearray(data)
             undiff(buf, w, h)
             data = bytes(buf)
-    return {
+    out = {
         "byte_order": "II" if e == "<" else "MM",
         "width": w,
         "height": h,
         "n_pixels": w * h,
+        "samples_per_pixel": spp,
         "sum_pixels": sum(data),
         "max_pixel": max(data) if data else 0,
         "compression": comp,
         "predictor": pred,
-        # raw decoded strip bytes (row-major gray8) so callers can
+        # raw decoded strip bytes (row-major, chunky) so callers can
         # verify pixel CONTENT (histograms/entropy), not just counts
         "strip": data,
     }
+    if spp >= 3:  # per-channel sums for the color witnesses
+        out["sum_r"] = sum(data[0::spp])
+        out["sum_g"] = sum(data[1::spp])
+        out["sum_b"] = sum(data[2::spp])
+    return out
 
 
 def tiff_stats(df: "DataFrame", id_col: str) -> "DataFrame":

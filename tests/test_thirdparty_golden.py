@@ -109,3 +109,100 @@ def test_pgm_pbm_thirdparty_pins():
     b = decode_pbm(_read("python.pbm"))
     assert (b["width"], b["height"]) == (16, 16)
     assert (b["n_black"], b["sum_gray"]) == (149, 27285)
+
+
+def test_tiff_joins_the_png_ppm_cross_witness():
+    """The SAME 16x16 logo through a THIRD independent encoder
+    (libtiff-family chunky RGBA, CPython imghdrdata) and a third
+    in-house decode path (IFD walk + strip assembly) must land on the
+    identical RGB sums the PNG and PPM witnesses pin — closing r12
+    verdict #8 for the TIFF family with a non-self-encoded fixture.
+    (No TIFF-LZW stream from an independent producer exists in this
+    sandbox — no PIL/libtiff binaries; the LZW leg stays witnessed by
+    round-trips and the GIF family's real-encoder LZW pin.)"""
+    from etlalchemy_spark.operators.multimodal import decode_tiff
+
+    d = decode_tiff(_read("python.tiff"))
+    assert (d["width"], d["height"], d["samples_per_pixel"]) == (16, 16, 4)
+    assert d["compression"] == 1 and d["byte_order"] == "II"
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (24683, 26085, 17950)
+
+
+def test_wav_ima_adpcm_against_cpython_audioop():
+    """IMA-ADPCM witnessed by an INDEPENDENT codec implementation
+    (r12 verdict #8): CPython's C `audioop` module implements the same
+    DVI/IMA quantizer. Real pluck audio (third-party PCM fixture) is
+    compressed by audioop.lin2adpcm per WAV-IMA block (header sample +
+    carried step index as the explicit audioop state; audioop packs
+    the first nibble HIGH, WAV-IMA packs it LOW, so each byte is
+    swapped), wrapped in a WAV format-17 container, and decoded by
+    THIS repo's table arithmetic. Asserts (a) our decode equals
+    audioop.adpcm2lin's reconstruction sample-for-sample, and (b) our
+    own encoder emits the byte-identical nibble stream — quantizer
+    agreement with CPython's C implementation on real audio."""
+    import struct
+    import wave
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    import io
+
+    import numpy as np
+
+    from etlalchemy_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    with wave.open(io.BytesIO(_read("pluck-pcm16.wav"))) as wf:
+        assert wf.getsampwidth() == 2
+        rate = wf.getframerate()
+        raw = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+        # the pluck fixture is stereo; the mono witness takes the left channel
+        pcm = raw[:: wf.getnchannels()]
+
+    block_align = 256
+    spb = (block_align - 4) * 2 + 1  # 505 samples/block incl. header
+    n_blocks = 2
+    pcm = pcm[: n_blocks * spb]
+
+    blocks = bytearray()
+    expect = []
+    index = 0
+    for b in range(n_blocks):
+        chunk = [int(x) for x in pcm[b * spb : (b + 1) * spb]]
+        pred = chunk[0]
+        blocks += struct.pack("<hBB", pred, index, 0)
+        frag = np.asarray(chunk[1:], dtype="<i2").tobytes()
+        nibbles, (valpred, new_index) = audioop.lin2adpcm(frag, 2, (pred, index))
+        swapped = bytes(((x & 0x0F) << 4) | (x >> 4) for x in nibbles)
+        blocks += swapped
+        # what the independent decoder reconstructs from those nibbles
+        rec, _ = audioop.adpcm2lin(nibbles, 2, (pred, index))
+        expect.append(pred)
+        expect.extend(np.frombuffer(rec, dtype="<i2").tolist())
+        index = new_index
+
+    data = bytes(blocks)
+    byte_rate = rate * block_align // spb
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 17, 1, rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = b"fact" + struct.pack("<II", 4, n_blocks * spb)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    meta, samples = decode_wav_samples(payload)
+    assert samples.tolist() == expect
+    # (b) encoder witness: our quantizer emits the identical stream
+    ours = encode_wav_ima_adpcm(pcm, rate, block_align=block_align)
+    our_data = ours[ours.index(b"data") + 8 :]
+    assert our_data == data
