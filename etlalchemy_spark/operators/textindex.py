@@ -79,8 +79,14 @@ BM25_B = 0.75
 
 BLOOM_K = 4  # salted positions per doc_id (sketch.py's portable layout)
 _BLOOM_MIN_WORDS = 64  # 3840 bits
-_BLOOM_MAX_WORDS = 65536  # 3.93 Mbit (512 KB/row) ≈ 20 bits/doc to ~200k docs
-_BLOOM_BITS_PER_DOC = 20  # k=4 at 20 bits/doc → ~0.1% FPR per (doc, batch)
+_BLOOM_MAX_WORDS = 131072  # 7.86 Mbit (1 MB/row) ≈ 64 bits/doc to ~123k docs
+# 64 bits/doc at k=4 → FPR ≈ 1.4e-5 per (doc, batch): even a 500-doc
+# append screened against 10 fully range-overlapping batches (the
+# worst case: interleaved id spaces where range pruning never helps)
+# expects ~0.07 false hits, so the semi-join fallback stays rare. The
+# 1 MB worst-case row is read only by the guard, bloom-column-pruned
+# and range-filtered; the probe's N/avgdl aggregate never touches it.
+_BLOOM_BITS_PER_DOC = 64
 
 
 def text_index_version(n_buckets: int) -> str:

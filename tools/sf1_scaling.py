@@ -107,6 +107,62 @@ def build_fixture(spark, force: bool = False) -> None:
         fh.write("ok\n")
 
 
+def index_scaling(spark) -> dict:
+    """Inverted-index scale datapoints (r12 verdict #5): per corpus
+    size, build a 10-batch store, then time (a) ONE append of a
+    FIXED-SIZE 500-doc batch — corpus-independence means this stays
+    flat as the store grows 100x — and (b) the 5-term BM25 probe,
+    whose cost is the |terms| bucket directories (those postings grow
+    linearly with the corpus, but at 5/64 of a full scan plus fixed
+    plan overhead the latency curve should stay near-flat at these
+    sizes). Timed as warm + best-of-2 like the query rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etlalchemy_spark.operators.textindex import (
+        append_text_index,
+        probe_text_index,
+    )
+    from etlalchemy_spark.queries.text import _BM25_TERMS
+
+    out = {"txtidx_append_500doc": {}, "txtidx_probe_bm25": {}}
+    for label, sf_dir in (
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", SRC),
+        ("sf1", SF1_DIR),
+    ):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        lo = docs.agg(F.min("doc_id")).collect()[0][0]
+        store = f"/tmp/spark_graft_txtidx_{label}"
+        shutil.rmtree(store, ignore_errors=True)
+        body = docs.where(F.col("doc_id") >= lo + 500)
+        for r in range(10):
+            append_text_index(
+                store, body.where(F.pmod(F.col("doc_id"), F.lit(10)) == r),
+                "doc_id", "text",
+            )
+        # one timed append of the held-out fixed-size batch (appends
+        # are one-shot per store — the disjointness guard forbids a
+        # warm repeat, which is exactly the property being measured)
+        fresh = docs.where(F.col("doc_id") < lo + 500)
+        t0 = time.time()
+        append_text_index(store, fresh, "doc_id", "text")
+        dt = time.time() - t0
+        out["txtidx_append_500doc"][label] = dt
+        print(f"txtidx_append_500doc {label:7s} {dt:7.2f}s", flush=True)
+        ptimes = []
+        for _ in range(3):
+            t0 = time.time()
+            probe_text_index(spark, store, list(_BM25_TERMS), k=20).collect()
+            ptimes.append(time.time() - t0)
+        out["txtidx_probe_bm25"][label] = min(ptimes)
+        print(f"txtidx_probe_bm25    {label:7s} {min(ptimes):7.2f}s", flush=True)
+    return out
+
+
 def main() -> None:
     force = "--rebuild" in sys.argv
     from etlalchemy_spark.registry import all_queries
@@ -131,6 +187,8 @@ def main() -> None:
                 times.append(time.time() - t0)
             results[name][label] = min(times)
             print(f"{name:34s} {label:7s} {min(times):7.2f}s", flush=True)
+
+    results.update(index_scaling(spark))
 
     print("\n| query | sf0.01 | sf0.1 | sf1 | slope 0.1→1 | slope 0.01→1 |")
     print("|---|---|---|---|---|---|")
