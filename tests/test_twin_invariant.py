@@ -11,8 +11,9 @@ from etlalchemy_spark.registry import all_queries
 # formulation). Adding a new rows-only query without extending this
 # map fails the test below.
 EXACT_TWINS = {
-    "agg_approx_count_distinct": "agg_count_distinct",
-    "agg_approx_quantiles": "agg_percentile_exact",
+    # agg_approx_count_distinct / agg_approx_quantiles left this map
+    # in r13: they became bounded-error ORACLE gates (the exact anchor
+    # plus within-bound flags hash-match DuckDB), no twin needed.
     "dedup_embedding_cosine": "dedup_embedding_cosine_exact",
     "dedup_minhash_cc_pipeline": "dedup_minhash_cc_exact",
     "dedup_minhash_lsh": "dedup_minhash_lsh_exact",
