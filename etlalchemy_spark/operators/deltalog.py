@@ -63,18 +63,39 @@ def _read_utf8(spark, path: str) -> str:
 
 def _log_versions(spark, log_dir: str) -> tuple[list[int], list[int]]:
     """(json commit versions, single-file checkpoint versions) present
-    in _delta_log — one directory listing."""
+    in _delta_log — one directory listing. A checkpoint is either one
+    file (``<v>.checkpoint.parquet``) or the multi-part form real
+    writers emit for big tables (``<v>.checkpoint.<i>.<n>.parquet``,
+    parts 1..n); a multi-part checkpoint counts only when EVERY part
+    is present (a torn upload must not be trusted — replay falls back
+    to the JSON commits)."""
+    import re
+
     fs, p = _fs(spark, log_dir)
     if not fs.exists(p):
         raise ValueError(f"not a Delta table: {log_dir} does not exist")
-    commits, checkpoints = [], []
+    commits, single = [], []
+    parts: dict[int, dict[int, set[int]]] = {}  # version -> n -> {i}
+    multi_re = re.compile(
+        rf"^(\d{{{_PAD}}})\.checkpoint\.(\d+)\.(\d+)\.parquet$"
+    )
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if len(name) == _PAD + 5 and name.endswith(".json") and name[:_PAD].isdigit():
             commits.append(int(name[:_PAD]))
         elif name.endswith(".checkpoint.parquet") and name[:_PAD].isdigit():
-            checkpoints.append(int(name[:_PAD]))
-    return sorted(commits), sorted(checkpoints)
+            single.append(int(name[:_PAD]))
+        else:
+            m = multi_re.match(name)
+            if m:
+                v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                parts.setdefault(v, {}).setdefault(n, set()).add(i)
+    complete_multi = [
+        v
+        for v, by_n in parts.items()
+        if any(got == set(range(1, n + 1)) for n, got in by_n.items())
+    ]
+    return sorted(commits), sorted(set(single) | set(complete_multi))
 
 
 def _check_protocol(proto: dict) -> None:
@@ -121,8 +142,32 @@ def delta_snapshot(spark, table_path: str, version: int | None = None) -> dict:
     if usable_ckpts:
         ck = usable_ckpts[-1]
         start_after = ck
-        ck_path = f"{log_dir}/{str(ck).zfill(_PAD)}.checkpoint.parquet"
-        rows = spark.read.parquet(ck_path).collect()
+        stem = f"{log_dir}/{str(ck).zfill(_PAD)}.checkpoint"
+        fs, single = _fs(spark, stem + ".parquet")
+        if fs.exists(single):
+            ck_paths = [stem + ".parquet"]
+        else:
+            # multi-part checkpoint: _log_versions only reports a
+            # version when a complete 1..n part set exists
+            import re as _re
+
+            _, log_p = _fs(spark, log_dir)
+            names = [s.getPath().getName() for s in fs.listStatus(log_p)]
+            pat = _re.compile(
+                rf"^{str(ck).zfill(_PAD)}\.checkpoint\.(\d+)\.(\d+)\.parquet$"
+            )
+            by_n: dict[int, dict[int, str]] = {}
+            for nm in names:
+                m = pat.match(nm)
+                if m:
+                    by_n.setdefault(int(m.group(2)), {})[int(m.group(1))] = nm
+            n = min(
+                n
+                for n, got in by_n.items()
+                if set(got) == set(range(1, n + 1))
+            )
+            ck_paths = [f"{log_dir}/{by_n[n][i]}" for i in range(1, n + 1)]
+        rows = spark.read.parquet(*ck_paths).collect()
         for r in rows:
             d = r.asDict(recursive=True)
             if d.get("protocol") is not None and d["protocol"].get(

@@ -181,3 +181,42 @@ def test_partition_column_reconstruction(spark, tmp_path):
     assert set(df.columns) == {"l_orderkey", "l_partkey", "l_quantity", "l_returnflag"}
     flags = {r.l_returnflag for r in df.select("l_returnflag").distinct().collect()}
     assert flags == {"A", "N", "R"}
+
+
+def test_multipart_checkpoint_resolution(spark, tmp_path):
+    """Real writers split big checkpoints into
+    <v>.checkpoint.<i>.<n>.parquet parts: a COMPLETE 1..n set must be
+    used for snapshot resolution (pre-checkpoint JSONs deletable),
+    while an incomplete (torn) set must be ignored and replay fall
+    back to the JSON commits."""
+    from conftest import SF_DIR
+    from etlalchemy_spark.queries.lake import _delta_root
+
+    src = _delta_root(spark, SF_DIR)
+    root = str(tmp_path / "table")
+    shutil.copytree(src, root)
+    log = os.path.join(root, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    # split the single-file checkpoint into 2 parts by rewriting rows
+    rows = spark.read.parquet(single).collect()
+    schema = spark.read.parquet(single).schema
+    half = len(rows) // 2
+    for i, chunk in ((1, rows[:half]), (2, rows[half:])):
+        tmp = str(tmp_path / f"_part{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(
+            part, os.path.join(log, f"{1:020d}.checkpoint.{i}.2.parquet")
+        )
+    os.remove(single)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    snap = delta_snapshot(spark, root)
+    assert snap["version"] == 2 and len(snap["files"]) == 6
+    # torn set: drop part 2 -> the checkpoint no longer counts, and
+    # with the JSONs gone the log is loudly unusable
+    os.remove(os.path.join(log, f"{1:020d}.checkpoint.2.2.parquet"))
+    with pytest.raises(ValueError, match="not contiguous|does not exist"):
+        delta_snapshot(spark, root)
