@@ -359,3 +359,232 @@ def read_ocf(buf: bytes, spec: list[FieldSpec] | None = None) -> tuple[dict, lis
         if bpos != len(body):
             raise ValueError("avro: trailing bytes in data block")
     return {k: v for k, v in meta_b.items()}, rows
+
+
+# ------------------------------------------------- generic (full-schema) codec
+#
+# The flat-record subset above is the interchange surface the fmt_avro_*
+# gates exercise. Iceberg's metadata layer (r13) needs the FULL type
+# system — nested records, arrays, maps, fixed, enums, arbitrary unions
+# — so this generic codec walks the parsed schema JSON recursively
+# (Avro 1.11 spec "Binary encoding"): blocked arrays/maps (negative
+# counts carry a skippable byte size), union = branch index + value,
+# enum = symbol index, named-type references resolved through a
+# registry populated in definition order. decode and encode traverse
+# identically, so a write_ocf_any round trip is byte-stable.
+
+
+def _register_named(schema: dict, names: dict) -> None:
+    nm = schema.get("name")
+    if nm:
+        ns = schema.get("namespace")
+        names[nm] = schema
+        if ns:
+            names[f"{ns}.{nm}"] = schema
+
+
+def decode_value(schema, buf: bytes, pos: int, names: dict) -> tuple[object, int]:
+    if isinstance(schema, str):
+        if schema in names:
+            return decode_value(names[schema], buf, pos, names)
+        if schema == "null":
+            return None, pos
+        if schema == "boolean":
+            return buf[pos] != 0, pos + 1
+        if schema in ("int", "long"):
+            return decode_long(buf, pos)
+        if schema == "float":
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if schema == "double":
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if schema in ("bytes", "string"):
+            b, pos = _decode_bytes(buf, pos)
+            return (b.decode("utf-8") if schema == "string" else b), pos
+        raise NotImplementedError(f"avro: unknown type {schema!r}")
+    if isinstance(schema, list):  # union: branch index then value
+        branch, pos = decode_long(buf, pos)
+        if not 0 <= branch < len(schema):
+            raise ValueError(f"avro: union branch {branch} of {len(schema)}")
+        return decode_value(schema[branch], buf, pos, names)
+    t = schema["type"]
+    if t == "record":
+        _register_named(schema, names)
+        row = {}
+        for f in schema["fields"]:
+            row[f["name"]], pos = decode_value(f["type"], buf, pos, names)
+        return row, pos
+    if t == "enum":
+        _register_named(schema, names)
+        idx, pos = decode_long(buf, pos)
+        return schema["symbols"][idx], pos
+    if t == "fixed":
+        _register_named(schema, names)
+        size = schema["size"]
+        return bytes(buf[pos : pos + size]), pos + size
+    if t == "array":
+        out = []
+        while True:
+            cnt, pos = decode_long(buf, pos)
+            if cnt == 0:
+                return out, pos
+            if cnt < 0:  # block byte-size prefix (skippable form)
+                _, pos = decode_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                v, pos = decode_value(schema["items"], buf, pos, names)
+                out.append(v)
+    if t == "map":
+        out = {}
+        while True:
+            cnt, pos = decode_long(buf, pos)
+            if cnt == 0:
+                return out, pos
+            if cnt < 0:
+                _, pos = decode_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                kb, pos = _decode_bytes(buf, pos)
+                out[kb.decode("utf-8")], pos = decode_value(
+                    schema["values"], buf, pos, names
+                )
+    # {"type": "long", "logicalType": ...} and similar wrappers
+    return decode_value(t, buf, pos, names)
+
+
+def encode_value(schema, value, names: dict) -> bytes:
+    if isinstance(schema, str):
+        if schema in names:
+            return encode_value(names[schema], value, names)
+        if schema == "null":
+            return b""
+        if schema == "boolean":
+            return b"\x01" if value else b"\x00"
+        if schema in ("int", "long"):
+            return encode_long(int(value))
+        if schema == "float":
+            return struct.pack("<f", float(value))
+        if schema == "double":
+            return struct.pack("<d", float(value))
+        if schema == "string":
+            return _encode_bytes(str(value).encode("utf-8"))
+        if schema == "bytes":
+            return _encode_bytes(bytes(value))
+        raise NotImplementedError(f"avro: unknown type {schema!r}")
+    if isinstance(schema, list):  # union: null branch for None, else first other
+        for i, b in enumerate(schema):
+            if value is None and b == "null":
+                return encode_long(i)
+            if value is not None and b != "null":
+                return encode_long(i) + encode_value(b, value, names)
+        raise ValueError(f"avro: no union branch for {value!r} in {schema!r}")
+    t = schema["type"]
+    if t == "record":
+        _register_named(schema, names)
+        out = bytearray()
+        for f in schema["fields"]:
+            out += encode_value(f["type"], value[f["name"]], names)
+        return bytes(out)
+    if t == "enum":
+        _register_named(schema, names)
+        return encode_long(schema["symbols"].index(value))
+    if t == "fixed":
+        _register_named(schema, names)
+        if len(value) != schema["size"]:
+            raise ValueError(f"avro: fixed size {len(value)} != {schema['size']}")
+        return bytes(value)
+    if t == "array":
+        out = bytearray()
+        if value:
+            out += encode_long(len(value))
+            for v in value:
+                out += encode_value(schema["items"], v, names)
+        out += encode_long(0)
+        return bytes(out)
+    if t == "map":
+        out = bytearray()
+        if value:
+            out += encode_long(len(value))
+            for k, v in value.items():
+                out += _encode_bytes(str(k).encode("utf-8"))
+                out += encode_value(schema["values"], v, names)
+        out += encode_long(0)
+        return bytes(out)
+    return encode_value(t, value, names)
+
+
+def read_ocf_any(buf: bytes) -> tuple[dict, list[dict]]:
+    """Parse ANY Object Container File through the generic codec —
+    (meta, nested-dict rows). Same framing walk as read_ocf; the
+    embedded schema may use the full Avro type system."""
+    import json as _json
+
+    if buf[:4] != MAGIC:
+        raise ValueError("avro: bad magic (not an Object Container File)")
+    meta_b, pos = _decode_meta(buf, 4)
+    js = meta_b.get("avro.schema")
+    if js is None:
+        raise ValueError("avro: missing avro.schema metadata")
+    schema = _json.loads(js.decode("utf-8"))
+    codec = meta_b.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: codec {codec!r} (null|deflate)")
+    sync = buf[pos : pos + 16]
+    if len(sync) != 16:
+        raise ValueError("avro: truncated header sync marker")
+    pos += 16
+    rows: list[dict] = []
+    n = len(buf)
+    while pos < n:
+        cnt, pos = decode_long(buf, pos)
+        size, pos = decode_long(buf, pos)
+        if cnt < 0 or size < 0 or pos + size + 16 > n:
+            raise ValueError("avro: truncated data block")
+        body = buf[pos : pos + size]
+        pos += size
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("avro: sync marker mismatch (corrupt block)")
+        pos += 16
+        if codec == "deflate":
+            body = zlib.decompress(body, -15)
+        bpos = 0
+        names: dict = {}
+        for _ in range(cnt):
+            row, bpos = decode_value(schema, body, bpos, names)
+            rows.append(row)
+        if bpos != len(body):
+            raise ValueError("avro: trailing bytes in data block")
+    return {k: v for k, v in meta_b.items()}, rows
+
+
+def write_ocf_any(rows, schema_js: str, codec: str = "null") -> bytes:
+    """Serialize nested-dict rows under a full Avro schema JSON string
+    — the fixture writer for metadata layers whose schemas exceed the
+    flat subset (Iceberg manifests)."""
+    import json as _json
+
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: codec {codec!r} (null|deflate)")
+    schema = _json.loads(schema_js)
+    sync = _sync_marker(schema_js)
+    out = bytearray()
+    out += MAGIC
+    out += _encode_meta(
+        {"avro.schema": schema_js.encode("utf-8"), "avro.codec": codec.encode("utf-8")}
+    )
+    out += sync
+    names: dict = {}
+    body = bytearray()
+    cnt = 0
+    for row in rows:
+        body += encode_value(schema, row, names)
+        cnt += 1
+    payload = bytes(body)
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
+    if cnt:
+        out.extend(encode_long(cnt))
+        out.extend(encode_long(len(payload)))
+        out.extend(payload)
+        out.extend(sync)
+    return bytes(out)

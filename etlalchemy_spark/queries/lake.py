@@ -1276,3 +1276,229 @@ def lake_delta_time_travel(spark, sf_dir):
     from etlalchemy_spark.operators.deltalog import read_delta
 
     return read_delta(spark, _delta_root(spark, sf_dir), version=0)
+
+
+# --- external Iceberg interop (r13, public spec read path) --------------------------------------
+
+
+_ICE_MANIFEST_SCHEMA = """
+{"type":"record","name":"manifest_entry","fields":[
+ {"name":"status","type":"int"},
+ {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+   {"name":"content","type":"int"},
+   {"name":"file_path","type":"string"},
+   {"name":"file_format","type":"string"},
+   {"name":"record_count","type":"long"}]}}]}
+"""
+
+_ICE_MLIST_SCHEMA = """
+{"type":"record","name":"manifest_file","fields":[
+ {"name":"manifest_path","type":"string"},
+ {"name":"manifest_length","type":"long"},
+ {"name":"content","type":"int"},
+ {"name":"added_snapshot_id","type":"long"}]}
+"""
+
+
+def _iceberg_fixture_build(spark, sf_dir, root):
+    """Hand-roll an Iceberg v2 table per the public spec so the
+    from-spec reader (operators/iceberg.py) has a realistic source:
+    JSON table metadata + Avro manifest lists + Avro manifests
+    (written with the generic full-schema Avro codec) + parquet data
+    files that carry every column.
+
+    snapshot 101: adds A1 (even ∧ partkey%2=0) and A2 (even ∧ %2=1)
+    snapshot 202 (current): keeps A1 (EXISTING), DELETES A2, adds B
+                  (odd orderkeys) — the copy-on-write delete shape
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from etlalchemy_spark.operators.avrowire import write_ocf_any
+
+    table = _os.path.join(root, "table")
+    data = _os.path.join(table, "data")
+    md = _os.path.join(table, "metadata")
+    _shutil.rmtree(table, ignore_errors=True)
+    _os.makedirs(data)
+    _os.makedirs(md)
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_partkey").cast("long"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_returnflag").cast("string"),
+    )
+
+    def write_file(df_part, stem):
+        tmp = _os.path.join(root, "_tmp_ice")
+        df_part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(data, f"{stem}.parquet")
+        _shutil.move(src, dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return dst, df_part.count()
+
+    even = li.where(F.col("l_orderkey") % 2 == 0)
+    a1, n_a1 = write_file(even.where(F.col("l_partkey") % 2 == 0), "A1")
+    a2, n_a2 = write_file(even.where(F.col("l_partkey") % 2 == 1), "A2")
+    b, n_b = write_file(li.where(F.col("l_orderkey") % 2 == 1), "B")
+
+    def entry(status, path, n):
+        return {
+            "status": status,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": n,
+            },
+        }
+
+    def write_avro(name, rows, schema):
+        p = _os.path.join(md, name)
+        buf = write_ocf_any(rows, schema, codec="deflate")
+        with open(p, "wb") as fh:
+            fh.write(buf)
+        return p, len(buf)
+
+    m1, m1_len = write_avro(
+        "manifest-1.avro", [entry(1, a1, n_a1), entry(1, a2, n_a2)],
+        _ICE_MANIFEST_SCHEMA,
+    )
+    m2, m2_len = write_avro(
+        "manifest-2.avro",
+        [entry(0, a1, n_a1), entry(2, a2, n_a2), entry(1, b, n_b)],
+        _ICE_MANIFEST_SCHEMA,
+    )
+    ml1, _ = write_avro(
+        "snap-101-manifest-list.avro",
+        [{"manifest_path": m1, "manifest_length": m1_len, "content": 0,
+          "added_snapshot_id": 101}],
+        _ICE_MLIST_SCHEMA,
+    )
+    ml2, _ = write_avro(
+        "snap-202-manifest-list.avro",
+        [{"manifest_path": m2, "manifest_length": m2_len, "content": 0,
+          "added_snapshot_id": 202}],
+        _ICE_MLIST_SCHEMA,
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000r13a",
+        "location": table,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "l_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "l_partkey", "required": False, "type": "long"},
+                    {"id": 3, "name": "l_quantity", "required": False, "type": "double"},
+                    {"id": 4, "name": "l_returnflag", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 202,
+        "snapshots": [
+            {"snapshot-id": 101, "timestamp-ms": 1700000000000,
+             "manifest-list": ml1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 202, "timestamp-ms": 1700000001000,
+             "manifest-list": ml2, "parent-snapshot-id": 101,
+             "summary": {"operation": "overwrite"}},
+        ],
+    }
+    with open(_os.path.join(md, "v2.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("2\n")
+
+
+def _iceberg_root(spark, sf_dir):
+    import os as _os
+
+    from etlalchemy_spark.operators import avrowire as _av_mod
+    from etlalchemy_spark.operators import iceberg as _ice_mod
+    from etlalchemy_spark.queries._util import (
+        cached_fixture,
+        commit_fixture,
+        fixture_tag,
+    )
+
+    tag = fixture_tag(
+        sf_dir,
+        deps=(_ice_mod, _av_mod, _iceberg_fixture_build),
+        extra="iceberg_interop",
+    )
+    root, meta = cached_fixture("iceberg_interop", sf_dir, tag)
+    if meta is None:
+        _iceberg_fixture_build(spark, sf_dir, root)
+        commit_fixture(root, tag)
+    return _os.path.join(root, "table")
+
+
+_ICE_LATEST_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       l_returnflag
+FROM lineitem
+WHERE (l_orderkey % 2 = 0 AND l_partkey % 2 = 0) OR l_orderkey % 2 = 1
+"""
+
+
+@register(
+    "lake_iceberg_interop_read",
+    oracle=_ICE_LATEST_SQL,
+    tags=("lake", "etl", "formats"),
+)
+def lake_iceberg_interop_read(spark, sf_dir):
+    """Read an EXTERNAL Apache Iceberg v2 table from its metadata
+    layer (operators/iceberg.py, public spec): version-hint → table
+    metadata JSON → the current snapshot's Avro manifest list → Avro
+    manifests (generic full-schema Avro codec from operators/
+    avrowire.py) → live parquet files. The current snapshot KEEPS one
+    original file, DELETED another (status 2), and ADDED a third, so
+    the oracle is the equivalent relational predicate over lineitem.
+    Iceberg data files carry every column, so the scan is one pruned
+    parquet FileScan over the explicit live-file list — no partition
+    reconstruction needed; metadata cost is two tiny Avro layers."""
+    from etlalchemy_spark.operators.iceberg import read_iceberg
+
+    return read_iceberg(spark, _iceberg_root(spark, sf_dir))
+
+
+_ICE_S1_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       l_returnflag
+FROM lineitem
+WHERE l_orderkey % 2 = 0
+"""
+
+
+@register(
+    "lake_iceberg_time_travel",
+    oracle=_ICE_S1_SQL,
+    tags=("lake", "etl", "formats"),
+)
+def lake_iceberg_time_travel(spark, sf_dir):
+    """Iceberg snapshot time travel: read snapshot 101 of the same
+    table — the pre-overwrite state, resolved through ITS manifest
+    list — which must not see the deletion or the added file.
+    Immutability twin of lake_delta_time_travel for the Iceberg
+    format."""
+    from etlalchemy_spark.operators.iceberg import read_iceberg
+
+    return read_iceberg(spark, _iceberg_root(spark, sf_dir), snapshot_id=101)
