@@ -242,11 +242,20 @@ def label_propagation(
     fully deterministic LPA variant, so results are reproducible across
     engines and retries (the property the DuckDB gate twin relies on).
     Per superstep: one edge-x-label equi-join + one hash aggregate (the
-    (count, -label) struct max — no per-node window), then a lazy
-    lineage cut. Cost is |E| shuffle rows per superstep at any scale —
-    the Pregel shape, like connected_components above. Nodes with no
-    neighbors never enter the edge list and are absent from the result,
-    matching the edge-derived node set.
+    (count, -label) struct max — no per-node window). Cost is |E|
+    shuffle rows per superstep at any scale — the Pregel shape, like
+    connected_components above. Nodes with no neighbors never enter the
+    edge list and are absent from the result, matching the edge-derived
+    node set.
+
+    Lineage policy (r13 optimization round): labels are lineage-cut
+    only every 4th round, not every round. Each superstep references
+    the previous labels ONCE, so the uncut plan grows linearly (not
+    exponentially like hits_exact's dual-reference half-steps), and
+    letting AQE plan several supersteps as one query removes the
+    per-round stage barrier + RDD materialization — measured 5.8 s ->
+    3.0 s on graph_label_propagation at sf0.1. The periodic cut keeps
+    analysis cost bounded for large round counts.
 
     Node ids must be NUMERIC and < 2^32 (r12 ADVICE): the smallest-label
     tie-break is the ``(count, -lbl)`` struct max, so string ids don't
@@ -288,7 +297,7 @@ def label_propagation(
         labels = cnt.groupBy(F.col("n").alias("node")).agg(
             (-best.getField("neg")).alias("lbl")
         )
-        if r + 1 < rounds:
+        if (r + 1) % 4 == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
     return labels
 

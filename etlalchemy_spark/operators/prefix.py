@@ -27,6 +27,17 @@ Bounds and offsets are plan literals, so the bucket assignment is
 deterministic even if the stage is recomputed — no cached shuffle to
 trust.
 
+Each operator materializes its input ONCE (lazy localCheckpoint) before
+the bounds pass: the machinery reads the frame three times (quantile
+bounds, per-bucket stats collect, final bucketed window), and without
+the cut the whole upstream plan re-executes per read — measured 2.2x
+on agg_average_precision (4.0 s -> 1.8 s at sf0.1, r13 optimization
+round). At scale the same reasoning holds with more force: upstream is
+typically a shuffle/aggregate pipeline, and one local materialization
+of the (narrow) pre-window frame is cheaper than re-running it twice
+more — the identical policy the iterative graph operators apply per
+superstep.
+
 The DOUBLE cast of the key is used ONLY for bucket assignment (the
 quantile machinery needs one numeric axis); all ordering inside a
 bucket is by the NATIVE key column. Casting to double is monotone
@@ -127,6 +138,9 @@ def global_ranks(
     NULLs FIRST, whereas SQL ``DESC`` defaults to NULLS LAST — filter
     NULLs out beforehand if descending SQL parity is required."""
     d = df.withColumn("_ko", key_num).withColumn("_k", F.col("_ko").cast("double"))
+    # one materialization, three readers (bounds / stats / window) — see
+    # module docstring
+    d = d.localCheckpoint(eager=False)
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
@@ -176,6 +190,7 @@ def running_global_sum(
         .withColumn("_k", F.col("_ko").cast("double"))
         .withColumn("_v", value)
     )
+    d = d.localCheckpoint(eager=False)  # one materialization, three readers
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
@@ -215,6 +230,7 @@ def running_global_sums(
     for expr, alias in values:
         d = d.withColumn(f"_v_{alias}", expr)
         names.append(alias)
+    d = d.localCheckpoint(eager=False)  # one materialization, three readers
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
@@ -258,6 +274,7 @@ def running_global_max(
         .withColumn("_k", F.col("_ko").cast("double"))
         .withColumn("_v", value)
     )
+    d = d.localCheckpoint(eager=False)  # one materialization, three readers
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 
@@ -298,6 +315,7 @@ def ranks_and_running_sum(
         .withColumn("_k", F.col("_ko").cast("double"))
         .withColumn("_v", value)
     )
+    d = d.localCheckpoint(eager=False)  # one materialization, three readers
     bounds = range_bounds(d, F.col("_k"), n_buckets)
     d = d.withColumn("_pid", bucket_id(F.col("_k"), bounds))
 

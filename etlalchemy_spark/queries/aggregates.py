@@ -1647,18 +1647,40 @@ def agg_market_basket_lift(spark, sf_dir):
     by (lift DESC, brands ASC) — fully deterministic under ties."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # ONE (order)-keyed aggregate carries the whole query (r13
+    # optimization round): baskets = sorted distinct brand sets per
+    # order. The previous shape (distinct (ok, brand) + self-join +
+    # separate eager n_orders count) executed the lineitem⋈part build
+    # four times; here every consumer — within-order pairs (in-array
+    # i<j expansion, no self-join shuffle), per-brand counts, and the
+    # order total — hangs off the SAME exchange, which Spark runs once
+    # (ReusedExchange). Pair cost stays Σ basket_size² with basket
+    # size bounded by lines-per-order; no eager driver action remains,
+    # so the whole query is one AQE plan.
+    baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
     )
-    n_orders = ob.select("ok").distinct().count()  # one scalar
-    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a = ob.select(F.col("ok"), F.col("brand").alias("brand_a"))
-    b = ob.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    n_ord = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    bc = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size("brands")),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
@@ -1667,12 +1689,13 @@ def agg_market_basket_lift(spark, sf_dir):
     return (
         pairs.join(F.broadcast(ca), "brand_a")
         .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_ord))
         .select(
             "brand_a",
             "brand_b",
             F.col("n_ab").cast("bigint").alias("n_ab"),
             (
-                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
                 / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
             ).alias("lift"),
         )

@@ -1344,35 +1344,41 @@ def dedup_image_ahash(spark, sf_dir):
     imgs = params.mapInPandas(synth, "doc_id long, payload binary")
     hh = image_ahash(imgs, "doc_id").select("doc_id", "b0", "b1", "b2", "b3")
 
+    # Carry the full 64-bit hash THROUGH the band join instead of
+    # joining it back per side: the previous join-back shape referenced
+    # hh three times (band explode + both verification sides), so the
+    # Arrow-batched synth+decode+hash Python pipeline re-executed three
+    # times (16 EvalPython nodes in the r13 before-plan → 4 after).
+    # The hashes are functions of doc_id, so the pair distinct is the
+    # same set, the verification popcount needs no join, and the only
+    # extra cost is 4 ints riding the (band, val) exchange — the
+    # lightweight-proxy rule of guide §8 (decide on hashes, never
+    # re-decode payloads), applied without an extra materialization.
     bands = hh.select(
-        "doc_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val")
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
     )
 
     def ham(a, b):
         return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
     pairs = (
-        cand.join(hh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
-        .join(hh.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             (
-                ham("ha.b0", "hb.b0")
-                + ham("ha.b1", "hb.b1")
-                + ham("ha.b2", "hb.b2")
-                + ham("ha.b3", "hb.b3")
+                ham("a.b0", "b.b0")
+                + ham("a.b1", "b.b1")
+                + ham("a.b2", "b.b2")
+                + ham("a.b3", "b.b3")
             )
             .cast("int")
             .alias("hamming"),
         )
+        .distinct()
     )
     return pairs.where(F.col("hamming") <= 6)
 

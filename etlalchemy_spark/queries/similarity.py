@@ -1018,8 +1018,12 @@ def sim_hybrid_rrf_fusion(spark, sf_dir):
     co = sim_cosine_topk_exact(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("r_co")
     )
-    ids = bm.select("doc_id").union(co.select("doc_id")).distinct()
-    j = ids.join(bm, "doc_id", "left").join(co, "doc_id", "left")
+    # ONE full-outer join replaces the id union + two join-backs: the
+    # union/join-back shape referenced each retriever twice, so the full
+    # BM25 corpus pass and the exact-cosine scan each executed twice
+    # (r13 before-plan: 12 Exchanges). A full outer join on doc_id is
+    # the same id-union semantics with each side computed once.
+    j = bm.join(co, "doc_id", "full_outer")
     rrf = F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
         1.0 / (60 + F.col("r_co")), F.lit(0.0)
     )

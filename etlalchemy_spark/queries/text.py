@@ -2907,6 +2907,11 @@ def text_js_divergence(spark, sf_dir):
             F.coalesce(F.col("a"), F.lit(0)).alias("a"),
             F.coalesce(F.col("b"), F.lit(0)).alias("b"),
         )
+        # referenced three times (totals, the per-term projection, the
+        # vocab count) — one materialization of the two-int vocab frame
+        # instead of three explode+agg+full-outer re-executions (the
+        # r13 before-plan ran the token pipeline 4x: 8 parquet scans)
+        .localCheckpoint(eager=False)
     )
     tot = u.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
     lns = u.crossJoin(F.broadcast(tot)).select(
