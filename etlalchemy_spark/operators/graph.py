@@ -253,8 +253,9 @@ def label_propagation(
     the previous labels ONCE, so the uncut plan grows linearly (not
     exponentially like hits_exact's dual-reference half-steps), and
     letting AQE plan several supersteps as one query removes the
-    per-round stage barrier + RDD materialization — measured 5.8 s ->
-    3.0 s on graph_label_propagation at sf0.1. The periodic cut keeps
+    per-round stage barrier + RDD materialization — back-to-back A/B
+    on graph_label_propagation at sf0.1: 8.6 s every-round vs 4.7-7.4 s
+    periodic (host-load noise included in both). The periodic cut keeps
     analysis cost bounded for large round counts.
 
     Node ids must be NUMERIC and < 2^32 (r12 ADVICE): the smallest-label

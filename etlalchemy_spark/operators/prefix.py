@@ -30,13 +30,15 @@ trust.
 Each operator materializes its input ONCE (lazy localCheckpoint) before
 the bounds pass: the machinery reads the frame three times (quantile
 bounds, per-bucket stats collect, final bucketed window), and without
-the cut the whole upstream plan re-executes per read — measured 2.2x
-on agg_average_precision (4.0 s -> 1.8 s at sf0.1, r13 optimization
-round). At scale the same reasoning holds with more force: upstream is
-typically a shuffle/aggregate pipeline, and one local materialization
-of the (narrow) pre-window frame is cheaper than re-running it twice
-more — the identical policy the iterative graph operators apply per
-superstep.
+the cut the whole upstream plan re-executes per read. At sf0.1 the A/B
+is roughly neutral (the three reads were small scans overlapping on
+idle cores: alternating-run totals 8.36 s uncut vs 7.70-8.50 s cut over
+four prefix-heavy bench queries, r13 optimization round) — the change
+is kept for the scale shape: upstream of a global-order operator is
+typically a full shuffle/aggregate pipeline, and at 100 TB re-running
+it twice more costs two extra corpus passes, while the materialized
+pre-window frame is narrow (key + value columns). Same policy as the
+iterative graph operators' per-superstep cuts.
 
 The DOUBLE cast of the key is used ONLY for bucket assignment (the
 quantile machinery needs one numeric axis); all ordering inside a
