@@ -22,6 +22,23 @@ from etlalchemy_spark.operators.text import md5_fingerprint
 from etlalchemy_spark.registry import register
 from etlalchemy_spark.queries._util import shingle_ctes, t
 
+
+def _spread_docs(spark, sf_dir):
+    """documents, round-robin repartitioned to full parallelism before
+    a map-heavy shingle/MinHash stage: the gate-scale table is ONE
+    parquet row group, so the shingle explode and the per-shingle md5
+    batteries (16 hashes per shingle on the MinHash paths) otherwise
+    run fused to a single scan task (the queries/text.py finding,
+    r13 optimization round — e.g. dedup_prefix_filter_jaccard 14.8 s
+    -> 2.6 s at sf0.1). The catalog's fanout=True path stays off for
+    this table: its row-count heuristic cannot see that each document
+    row carries ~3 orders of magnitude more map work than a fact row.
+    At scale the move costs one narrow shuffle of the text against
+    md5-per-shingle map work that dwarfs it."""
+    return t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 _EXACT_SQL = """
 SELECT doc_id, lang, source, n_chars
 FROM (
@@ -297,7 +314,7 @@ def dedup_minhash_cc_pipeline(spark, sf_dir):
     from etlalchemy_spark.operators.dedup import minhash_near_dup_pairs
     from etlalchemy_spark.operators.graph import connected_components
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     pairs = minhash_near_dup_pairs(
         docs, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.1
     )
@@ -410,7 +427,7 @@ def dedup_minhash_lsh_exact(spark, sf_dir):
     Jaccard-verify ≥ 0.2) with EXACT oracle parity end to end — the
     same candidate generation + verify shape as the production
     xxhash64 path, reproducible in any engine."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     return minhash_lsh_pairs_exact(
         docs,
         "doc_id",
@@ -751,7 +768,7 @@ def dedup_minhash_cc_exact(spark, sf_dir):
     from etlalchemy_spark.operators.dedup import minhash_lsh_pairs_exact
     from etlalchemy_spark.operators.graph import connected_components
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     pairs = minhash_lsh_pairs_exact(
         docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS,
         threshold=_MH_THRESHOLD,
@@ -794,7 +811,7 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     hash-equality proves the filter lossless, not just fast."""
     from etlalchemy_spark.operators.dedup import prefix_filter_jaccard_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     return prefix_filter_jaccard_pairs(d, "doc_id", "text", k=3, theta_num=3, theta_den=5)
 
 
@@ -826,7 +843,7 @@ def dedup_containment_exact(spark, sf_dir):
     the MinHash path."""
     from etlalchemy_spark.operators.dedup import word_shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     sh = word_shingles(docs, "doc_id", "text", k=5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -911,7 +928,7 @@ def dedup_lsh_band_tuning(spark, sf_dir):
 
     from etlalchemy_spark.operators.dedup import minhash_signature_exact, word_shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     sig = minhash_signature_exact(docs, "doc_id", "text", k=_MH_K, num_hashes=_MH_N)
     sh = word_shingles(docs, "doc_id", "text", k=_MH_K)
     sets = sh.groupBy("doc_id").agg(_F.collect_set("shingle").alias("ss"))
@@ -1028,7 +1045,7 @@ def dedup_lsh_recall(spark, sf_dir):
         word_shingles,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     sh = word_shingles(docs, "doc_id", "text", k=_MH_K)
     sets = sh.groupBy("doc_id").agg(_F.collect_set("shingle").alias("ss"))
     # "Exhaustive" truth WITHOUT the all-pairs theta join (r8: the
@@ -1363,7 +1380,7 @@ def dedup_split_leakage_audit(spark, sf_dir):
     from etlalchemy_spark.operators.dedup import minhash_lsh_pairs_exact
     from etlalchemy_spark.operators.sampling import hash_bucket
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound shingle/MinHash stage
     pairs = minhash_lsh_pairs_exact(
         docs, "doc_id", "text",
         k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_THRESHOLD,
@@ -1544,7 +1561,7 @@ def dedup_cdc_chunks(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = (
-        t(spark, sf_dir, "documents")
+        _spread_docs(spark, sf_dir)  # map-bound: md5 per character position
         .where(F.length("text") > 0)
         .select("doc_id", "text", F.length("text").alias("n"))
     )

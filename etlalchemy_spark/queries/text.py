@@ -164,8 +164,12 @@ FROM n
 @register("text_fingerprint", oracle=_FP_SQL, tags=("text",))
 def text_fingerprint(spark, sf_dir):
     """Document fingerprints: whole-content md5 + min-md5 over 8-char
-    shingles (rolling-hash style, robust to small edits)."""
-    docs = t(spark, sf_dir, "documents")
+    shingles (rolling-hash style, robust to small edits). Spread to
+    full parallelism first: ~one md5 PER CHARACTER of text, by far the
+    heaviest map stage in the text family, and the gate-scale table is
+    one parquet partition (18.2 s -> 1.3 s at sf0.1 from the
+    repartition alone, r13 optimization round)."""
+    docs = _spread_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         md5_fingerprint(F.col("text")).alias("content_fp"),
@@ -225,7 +229,7 @@ def text_top_bigrams(spark, sf_dir):
     """Corpus-wide top-25 bigrams: sequence/transform/explode (no
     UDF), count, total-ordered top-k. The n-gram language-model
     frequency table in one shuffle + TakeOrdered."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # bigram build is map-bound
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(words)
     grams = F.transform(
@@ -339,7 +343,7 @@ def text_boilerplate_shingles(spark, sf_dir):
     the shuffle carries 8 bytes, not strings."""
     from etlalchemy_spark.operators.dedup import word_shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = _spread_docs(spark, sf_dir)  # shingle build is map-bound
     sh = word_shingles(d, "doc_id", "text", k=5)
     return (
         sh.groupBy("shingle")
@@ -1056,7 +1060,7 @@ def text_chargram_quality(spark, sf_dir):
     (the property that makes this filter 100 TB-practical where a
     word-level LM vocab would shuffle). Integer count sums keep it
     oracle-exact; only the final mean divides in double."""
-    d = t(spark, sf_dir, "documents")
+    d = _spread_docs(spark, sf_dir)  # trigram explode is map-bound
     low = F.lower(F.col("text"))
     # guard: Spark's sequence(1, 0) REVERSES (step defaults to -1)
     # instead of yielding empty like DuckDB's generate_series — a
@@ -1451,7 +1455,7 @@ def text_ngram_novelty(spark, sf_dir):
     band store). Integer counts + one division: cross-engine exact."""
     from etlalchemy_spark.operators.dedup import word_shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # shingle build is map-bound
     sh = word_shingles(docs, "doc_id", "text", k=5)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (

@@ -79,6 +79,18 @@ def get_spark(
         # truncation of nanos).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.legacy.sizeOfNull", "false")
+        # Let the planner choose shuffled-hash join where the build side
+        # fits its size conditions, and let AQE rewrite leftover
+        # sort-merge joins whose post-shuffle partitions are small —
+        # both skip the per-partition sorts. Size-guarded (falls back to
+        # sort-merge for oversized builds), so valid at any scale; the
+        # 64 MB threshold bounds per-task build memory and is
+        # env-overridable for clusters with different task memory.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
