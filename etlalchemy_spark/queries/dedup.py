@@ -39,6 +39,15 @@ def _spread_docs(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
 
+
+def _spread_embeddings(spark, sf_dir):
+    """embeddings twin of ``_spread_docs`` (see
+    queries/similarity.py:_spread_embeddings for the measurements):
+    full-parallelism fan-out before a map-heavy exact-cosine stage."""
+    return t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 _EXACT_SQL = """
 SELECT doc_id, lang, source, n_chars
 FROM (
@@ -708,7 +717,7 @@ def dedup_embedding_cosine_exact(spark, sf_dir):
     cosine >= 0.3) with full oracle parity — decimal-sign buckets and
     decimal-exact verification (the double-arithmetic variant above
     remains the rows-only fast path)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread_embeddings(spark, sf_dir)  # map-bound exact-cosine stage
     return embedding_near_dup_pairs_exact(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=6, seed=7, dim=64
     )
@@ -1189,7 +1198,7 @@ def dedup_semantic_keep_first(spark, sf_dir):
     same k from COUNT(*)."""
     from etlalchemy_spark.operators.similarity import semantic_dedup_keep_first
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread_embeddings(spark, sf_dir)  # map-bound exact-cosine stage
     return semantic_dedup_keep_first(emb, "vec_id", "embedding", threshold=0.3)
 
 

@@ -26,6 +26,25 @@ def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
     return list(emb.where(F.col("vec_id") == vec_id).head()["embedding"])
 
 
+def _spread_embeddings(spark, sf_dir):
+    """embeddings, round-robin repartitioned to full parallelism before
+    a map-heavy exact-cosine / quantization stage: the gate-scale table
+    is ONE parquet row group, so the per-vector decimal dot-product
+    batteries (hundreds of exact decimal multiplies per row, more per
+    candidate pair) otherwise run fused to a single scan task (the
+    _spread_docs finding, r13 optimization round — measured at sf0.1:
+    dedup_semantic_keep_first 17.5 s -> 8.9 s, dedup_embedding_
+    cosine_exact 5.7 -> 1.6, sim_ivf_topk_exact 2.8 -> 1.3,
+    sim_int8_quantized_topk 2.2 -> 1.3). Used only by queries whose
+    exact-arithmetic map stage measurably dominates — NOT the
+    index-store build/compaction queries (write-dominated, measured
+    neutral-to-worse) and NOT the streaming-scan audit baselines
+    (sim_knn_batch_exact), which keep their pinned no-shuffle plan."""
+    return t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 _TOPK_SQL = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 prod AS (
@@ -319,7 +338,7 @@ def sim_ivf_topk_exact(spark, sf_dir):
     no driver-side float math, reproducible in any engine."""
     from etlalchemy_spark.operators.similarity import ivf_topk_exact
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread_embeddings(spark, sf_dir)  # map-bound exact-cosine stage
     return ivf_topk_exact(
         emb,
         "vec_id",
@@ -631,7 +650,7 @@ def sim_int8_quantized_topk(spark, sf_dir):
     float exact top-10."""
     from etlalchemy_spark.operators.similarity import int8_cosine_topk, int8_quantize_py
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread_embeddings(spark, sf_dir)  # map-bound exact-cosine stage
     qq = int8_quantize_py(_query_vec(spark, sf_dir))
     return int8_cosine_topk(emb, "vec_id", "embedding", qq, k=10)
 
@@ -708,7 +727,7 @@ def sim_pq_adc_topk(spark, sf_dir):
         pq_train_codebooks,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _spread_embeddings(spark, sf_dir)  # map-bound exact-cosine stage
     q = _query_vec(spark, sf_dir)
     books = pq_train_codebooks(emb, "vec_id", "embedding", n_codes=32, iters=3)
     shortlist = pq_adc_topk(emb, "vec_id", "embedding", q, books, k=100)

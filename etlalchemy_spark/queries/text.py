@@ -2328,7 +2328,7 @@ def text_langid_mcnemar(spark, sf_dir):
     broadcast one-rower."""
     from etlalchemy_spark.operators.text import lang_id
 
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound lang-id classify scan
     p = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -2796,7 +2796,7 @@ def text_langid_kappa(spark, sf_dir):
     one-row closing select — the fact table is scanned once.
     Complements `text_langid_mcnemar` (paired significance) with the
     effect-size view."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound lang-id classify scan
     p = docs.select(
         F.col("lang").alias("r"), lang_id(F.col("text")).alias("c")
     )
@@ -3215,7 +3215,7 @@ def text_langid_f1_report(spark, sf_dir):
     int64 near N ~ 50k per margin pair). Shape: one classify scan,
     one |classes|-row cross-tab agg — the cross join against the
     class dimension is broadcast-sized."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)  # map-bound lang-id classify scan
     p = docs.select(
         F.col("lang").alias("labeled_lang"),
         lang_id(F.col("text")).alias("predicted_lang"),
