@@ -3472,7 +3472,7 @@ def text_index_bm25_probe(spark, sf_dir):
     )
     from etlalchemy_spark.queries._util import scratch_dir
 
-    d = t(spark, sf_dir, "documents")
+    d = _spread_docs(spark, sf_dir)  # append's tokenize stage is map-bound
     store = _os.path.join(scratch_dir("text_index", sf_dir), "store")
     _shutil.rmtree(store, ignore_errors=True)
     append_text_index(store, d.where(F.col("doc_id") % 3 != 0), "doc_id", "text")
@@ -3501,7 +3501,7 @@ def text_index_compaction(spark, sf_dir):
     )
     from etlalchemy_spark.queries._util import scratch_dir
 
-    d = t(spark, sf_dir, "documents")
+    d = _spread_docs(spark, sf_dir)  # append's tokenize stage is map-bound
     store = _os.path.join(scratch_dir("text_index_compact", sf_dir), "store")
     _shutil.rmtree(store, ignore_errors=True)
     for r in range(5):
