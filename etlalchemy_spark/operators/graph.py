@@ -242,21 +242,19 @@ def label_propagation(
     fully deterministic LPA variant, so results are reproducible across
     engines and retries (the property the DuckDB gate twin relies on).
     Per superstep: one edge-x-label equi-join + one hash aggregate (the
-    (count, -label) struct max — no per-node window). Cost is |E|
-    shuffle rows per superstep at any scale — the Pregel shape, like
-    connected_components above. Nodes with no neighbors never enter the
-    edge list and are absent from the result, matching the edge-derived
-    node set.
+    (count, -label) struct max — no per-node window), then a lazy
+    lineage cut. Cost is |E| shuffle rows per superstep at any scale —
+    the Pregel shape, like connected_components above. Nodes with no
+    neighbors never enter the edge list and are absent from the result,
+    matching the edge-derived node set.
 
-    Lineage policy (r13 optimization round): labels are lineage-cut
-    only every 4th round, not every round. Each superstep references
-    the previous labels ONCE, so the uncut plan grows linearly (not
-    exponentially like hits_exact's dual-reference half-steps), and
-    letting AQE plan several supersteps as one query removes the
-    per-round stage barrier + RDD materialization — back-to-back A/B
-    on graph_label_propagation at sf0.1: 8.6 s every-round vs 4.7-7.4 s
-    periodic (host-load noise included in both). The periodic cut keeps
-    analysis cost bounded for large round counts.
+    Lineage policy: cut EVERY round. The r13 optimization round tried
+    cutting only every 4th round (one AQE query planning several
+    supersteps, fewer stage barriers); a quiet-host alternating A/B
+    (4 runs each, same session) measured every-round 5.9-6.5 s vs
+    every-4th 6.6-7.1 s at sf0.1 — the materialized labels each
+    superstep replays from beat the deeper fused plan, so the
+    every-round cut stays.
 
     Node ids must be NUMERIC and < 2^32 (r12 ADVICE): the smallest-label
     tie-break is the ``(count, -lbl)`` struct max, so string ids don't
@@ -298,7 +296,7 @@ def label_propagation(
         labels = cnt.groupBy(F.col("n").alias("node")).agg(
             (-best.getField("neg")).alias("lbl")
         )
-        if (r + 1) % 4 == 0 and r + 1 < rounds:
+        if r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
     return labels
 

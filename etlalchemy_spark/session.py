@@ -86,7 +86,10 @@ def get_spark(
         # sort-merge for oversized builds), so valid at any scale; the
         # 64 MB threshold bounds per-task build memory and is
         # env-overridable for clusters with different task memory.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
