@@ -694,7 +694,10 @@ def pq_codes_exact(
         for m in range(n_sub)
         for code, a in enumerate(anchors)
     ]
-    adf = spark.createDataFrame(arows, "subspace int, code int, aq array<bigint>")
+    adf = spark.createDataFrame(
+        spark.sparkContext.parallelize(arows, 1),
+        "subspace int, code int, aq array<bigint>",
+    )
     qv = global_int_grid(F.col(vec_col))
     sub = df.select(
         F.col(id_col),
@@ -768,6 +771,10 @@ def pq_train_codebooks(
         [[float(r["_v"][m * d_sub + d]) for d in range(d_sub)] for r in init]
         for m in range(n_sub)
     ]
+    # one lazy materialization of the exploded subvectors: every Lloyd
+    # iteration (and nothing else) replays from it, instead of paying
+    # the upstream scan + explode once per iteration; bounded by the
+    # (sampled) training set, the same budget the assignment join pays
     sub = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -778,15 +785,18 @@ def pq_train_codebooks(
                 ]
             )
         ).alias("subspace", "sv"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         crows = [
             (m, c, books[m][c], float(sum(x * x for x in books[m][c])))
             for m in range(n_sub)
             for c in range(n_codes)
         ]
+        # single slice (prefix.py's pattern): the codebook is a few
+        # hundred rows — one python partition, not defaultParallelism
         cdf = spark.createDataFrame(
-            crows, "subspace int, code int, cv array<double>, cnorm double"
+            spark.sparkContext.parallelize(crows, 1),
+            "subspace int, code int, cv array<double>, cnorm double",
         )
         score = F.col("cnorm") - 2.0 * dot_double(F.col("sv"), F.col("cv"))
         # group on (row id, subspace) — grouping on the subvector VALUE
@@ -859,7 +869,8 @@ def pq_adc_topk(
             cnorm = float(sum(x * x for x in cent))
             crows.append((m, c, cent, cnorm, lut))
     cdf = spark.createDataFrame(
-        crows, "subspace int, code int, cv array<double>, cnorm double, lut double"
+        spark.sparkContext.parallelize(crows, 1),
+        "subspace int, code int, cv array<double>, cnorm double, lut double",
     )
     sub = df.select(
         F.col(id_col),
@@ -1344,7 +1355,9 @@ def ivf_kmeans_exact_topk(
     def _cdf():
         rows = [(c, d, cents[c][d]) for c in range(k_cells) for d in range(dim)]
         return F.broadcast(
-            spark.createDataFrame(rows, "cid int, dim int, c long")
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), "cid int, dim int, c long"
+            )
         )
 
     def _cells():
@@ -1419,7 +1432,9 @@ def pq_adc_exact_topk(
             lrows.append(
                 (m, code, int(sum((x - y) * (x - y) for x, y in zip(qs, av))))
             )
-    ldf = spark.createDataFrame(lrows, "subspace int, code int, lut long")
+    ldf = spark.createDataFrame(
+        spark.sparkContext.parallelize(lrows, 1), "subspace int, code int, lut long"
+    )
     codes = pq_codes_exact(df, id_col, vec_col, anchors, n_sub=n_sub, d_sub=d_sub)
     scored = (
         codes.join(F.broadcast(ldf), ["subspace", "code"])

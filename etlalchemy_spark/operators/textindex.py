@@ -338,9 +338,13 @@ def append_text_index(
             _batch_bloom(docs, id_col, m_bits),
         )
     ]
-    spark.createDataFrame(stats_row, _STATS_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staging + "/_stats")
+    # one explicit slice: the default createDataFrame path parallelizes
+    # even a single row into defaultParallelism Python partitions, and a
+    # coalesce(1) would then evaluate all of them SERIALLY through the
+    # Python worker in one task (~4 s/append measured at sf0.01)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(stats_row, 1), _STATS_SCHEMA
+    ).write.mode("overwrite").parquet(staging + "/_stats")
     if existing is None:
         _write_index_version(spark, store_path, tag)
     fs, dst = _fs_path(spark, f"{store_path}/batch={seq}")
@@ -392,7 +396,9 @@ def probe_text_index(
     # the terms' buckets through the SAME in-engine expression the
     # writer used (a driver-side reimplementation of xxhash64 could
     # drift); |terms| rows, one tiny collect
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in terms], 1), "term string"
+    )
     buckets = sorted(
         {
             r["b"]

@@ -1166,9 +1166,12 @@ def _delta_fixture_build(spark, sf_dir, root):
         "protocol struct<minReaderVersion:int,minWriterVersion:int>"
     )
     tmp = _os.path.join(root, "_tmp_ckpt")
-    spark.createDataFrame(ck_rows, ck_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    # one explicit slice (not coalesce(1)): coalescing the default
+    # 32-slice local-data RDD evaluates every Python partition serially
+    # in a single task — ~4 s for a one-row frame, measured
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(ck_rows, 1), ck_schema
+    ).write.mode("overwrite").parquet(tmp)
     src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
     _shutil.move(src, _os.path.join(log, f"{1:020d}.checkpoint.parquet"))
     _shutil.rmtree(tmp, ignore_errors=True)
