@@ -1182,8 +1182,15 @@ def semantic_dedup_keep_first(
             .limit(int(n_centroids))
             .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
         )
-    withc = df.select(F.col(id_col), F.col(vec_col)).join(
-        semantic_cells(df, id_col, vec_col, cents), id_col
+    # one lazy materialization: _semantic_drop_list references withc on
+    # BOTH join sides, so without a cut the centroid assignment (the
+    # n x k cosine pass) and the upstream scan execute twice; the frame
+    # is one (id, vec, cell) row per corpus row — the same footprint
+    # the verify join shuffles anyway
+    withc = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(semantic_cells(df, id_col, vec_col, cents), id_col)
+        .localCheckpoint(eager=False)
     )
     return _semantic_drop_list(withc, withc, id_col, vec_col, threshold)
 

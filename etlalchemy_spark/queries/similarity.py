@@ -35,11 +35,11 @@ def _spread_embeddings(spark, sf_dir):
     _spread_docs finding, r13 optimization round — measured at sf0.1:
     dedup_semantic_keep_first 17.5 s -> 8.9 s, dedup_embedding_
     cosine_exact 5.7 -> 1.6, sim_ivf_topk_exact 2.8 -> 1.3,
-    sim_int8_quantized_topk 2.2 -> 1.3). Used only by queries whose
+    sim_int8_quantized_topk 2.2 -> 1.3, sim_knn_batch_exact
+    9.8 -> ~1, see its docstring). Used only by queries whose
     exact-arithmetic map stage measurably dominates — NOT the
     index-store build/compaction queries (write-dominated, measured
-    neutral-to-worse) and NOT the streaming-scan audit baselines
-    (sim_knn_batch_exact), which keep their pinned no-shuffle plan."""
+    neutral-to-worse)."""
     return t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -525,16 +525,22 @@ def sim_knn_batch_exact(spark, sf_dir):
     """Batch kNN: exact 3-nearest-neighbors for a SET of query vectors
     in one plan (the embedding-join shape: every query scored against
     the corpus, ranked per query). The broadcast side is the query
-    set, the corpus streams — at 100 TB the corpus never shuffles; the
-    per-query rank window partitions on qid so no global sort exists.
-    IVF/LSH prefilters drop in front of the same scoring to cut the
-    candidate set when the query batch is large."""
+    set, the corpus NEVER shuffles on a join key — the plan-pinned
+    audit contract (BroadcastNestedLoopJoin, no SortMergeJoin). The
+    corpus scan is round-robin spread to full parallelism first
+    (keyless — _spread_embeddings; at 100 TB the scan's own thousands
+    of row groups provide this parallelism and the spread is a no-op
+    policy, but the single-row-group fixture otherwise runs the whole
+    |corpus| x |queries| decimal-cosine battery in ONE task: 9.8 s ->
+    ~1 s at sf0.1). The per-query rank window partitions on qid so no
+    global sort exists. IVF/LSH prefilters drop in front of the same
+    scoring to cut the candidate set when the query batch is large."""
     from pyspark.sql import Window as W
 
     from etlalchemy_spark.operators.similarity import exact_cosine
 
-    emb = t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % 50 == 0).select(
+    emb = _spread_embeddings(spark, sf_dir)  # map-bound exact-cosine stage
+    q = t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
