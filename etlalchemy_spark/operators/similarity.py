@@ -46,10 +46,36 @@ def exact_cosine(df: DataFrame, keys: list[str], va, vb) -> DataFrame:
     """Append an oracle-exact ``cosine`` column per ``keys`` group.
 
     ``va``/``vb`` are array columns (or literal arrays). Explodes one
-    side, sums decimal products (exact, order-insensitive), finishes
-    with sqrt/divide in double on identical operands — bit-identical
-    across engines. Costs a 64× row expansion + one groupBy on keys;
-    use the zip_with double path when oracle-exactness isn't needed."""
+    side and computes the three decimal(12,10) product sums (dot,
+    |a|², |b|²) ENTIRELY IN LONGS, reproducing the decimal result bit
+    for bit (r13 optimization round — the BigDecimal-per-element path
+    measured 19.4–23.6 s vs 16.9–17.8 s for this one on a 137M-row
+    workload, and a quiet re-check of sim_knn_batch_exact agreed):
+
+    - each element's decimal(12,10) value is its unscaled long
+      ``u = CAST(dec * 1e10 AS BIGINT)`` (|u| < 1e12; the double →
+      decimal cast below is the SAME rounding both paths use);
+    - ``u`` splits at 1e5 into (h, l) = (u DIV 1e5, u % 1e5), so a
+      product u·u' = hh·1e10 + (hl' + lh')·1e5 + ll rides as THREE
+      long partial sums, each bounded by dim·1e14 — exact and
+      order-insensitive like the decimal sums they replace;
+    - ``ROUND(sum, 12)`` of the scale-20 decimal value decomposes into
+      longs too: with R = S_mid·1e5 + S_ll, the unscaled scale-12
+      result is S_hh·100 + q + half_away(rem/1e8) where q/rem split R
+      at 1e8 — after sign-aligning rem with the integer part, because
+      HALF_UP (away from zero) is NOT translation-invariant across
+      zero and a naive decomposition mis-rounds exact .5 ties;
+    - the final double goes through one exact decimal division per
+      group (unscaled/1e12 — representable at scale 12, so the
+      division is exact and the decimal→double conversion is the
+      identical correctly-rounded one the old path used).
+
+    Finishes with sqrt/try_divide in double on identical operands —
+    bit-identical across engines (and bit-identical to the previous
+    decimal implementation: pinned on 52k corpus pairs + adversarial
+    ties/zero/empty/mismatched-length edges). Costs a 64× row
+    expansion + one groupBy on keys; use the zip_with double path
+    when oracle-exactness isn't needed."""
     va = va if isinstance(va, Column) else F.col(va)
     vb = vb if isinstance(vb, Column) else F.col(vb)
     e = (
@@ -61,19 +87,77 @@ def exact_cosine(df: DataFrame, keys: list[str], va, vb) -> DataFrame:
     )
     # float → DOUBLE → decimal: DuckDB's direct float→decimal cast is
     # imprecise (fixed-point artifact); via double both engines round
-    # the same binary value correctly
-    xa = F.col("_xa").cast("double").cast(_D)
-    xb = F.col("_xb").cast("double").cast(_D)
-    g = e.groupBy(*keys).agg(
-        F.sum(xa * xb).alias("_dot"),
-        F.sum(xa * xa).alias("_na"),
-        F.sum(xb * xb).alias("_nb"),
+    # the same binary value correctly. The *1e10 CAST BIGINT is exact
+    # (decimal(23,10) integer value, |u| < 1e12).
+    ux = f"CAST(CAST(CAST(_xa AS DOUBLE) AS {_D}) * CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT)"
+    uy = f"CAST(CAST(CAST(_xb AS DOUBLE) AS {_D}) * CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT)"
+    p = e.select(*keys, F.expr(ux).alias("_ux"), F.expr(uy).alias("_uy")).select(
+        *keys,
+        F.expr("_ux DIV 100000L").alias("_hx"),
+        F.expr("_ux % 100000L").alias("_lx"),
+        F.expr("_uy DIV 100000L").alias("_hy"),
+        F.expr("_uy % 100000L").alias("_ly"),
     )
-    # ROUND to scale 12 before the double cast: at scale 20 the
-    # unscaled int exceeds 2^53 and DuckDB's decimal→double conversion
-    # double-rounds (off-by-one-ulp vs Spark's exact conversion)
-    def to_dbl(c):
-        return F.round(c, 12).cast("double")
+    # nine long sums: hh/mid/ll per quantity. NULL _uy rows (length
+    # mismatch) yield NULL products, which SUM skips — the same
+    # "overhang drops out of all three sums it appears in" semantics
+    # as the decimal path.
+    g = p.groupBy(*keys).agg(
+        F.sum(F.expr("_hx * _hy")).alias("_dhh"),
+        F.sum(F.expr("_hx * _ly + _lx * _hy")).alias("_dmid"),
+        F.sum(F.expr("_lx * _ly")).alias("_dll"),
+        F.sum(F.expr("_hx * _hx")).alias("_ahh"),
+        F.sum(F.expr("2L * _hx * _lx")).alias("_amid"),
+        F.sum(F.expr("_lx * _lx")).alias("_all"),
+        F.sum(F.expr("_hy * _hy")).alias("_bhh"),
+        F.sum(F.expr("2L * _hy * _ly")).alias("_bmid"),
+        F.sum(F.expr("_ly * _ly")).alias("_bll"),
+    )
+
+    def u12(hh: str, mid: str, ll: str) -> str:
+        # unscaled scale-12 value of ROUND(S_hh*1e10 + S_mid*1e5 +
+        # S_ll, -8) — all longs; SUM of zero rows is NULL and
+        # propagates (the decimal path's empty-array NULL). S_mid is
+        # split at 1e3 FIRST: S_mid*1e5 alone can exceed int64 at the
+        # top of the decimal(12,10) domain (|x| near 100, dim 64), but
+        # (S_hh*100 + S_mid DIV 1e3) and (S_mid % 1e3)*1e5 + S_ll both
+        # stay below ~6.5e17 for every legal input — the decomposition
+        # units = (S_hh*100 + q3)*1e8 + ((S_mid % 1e3)*1e5 + S_ll) is
+        # an exact integer identity
+        q3 = f"({mid} DIV 1000L)"
+        R = f"(({mid} % 1000L) * 100000L + {ll})"
+        q = f"({R} DIV 100000000L)"
+        rem = f"({R} - {q} * 100000000L)"
+        K = f"({hh} * 100L + {q3} + {q})"
+        # sign-align rem with K: HALF_UP rounds away from zero, so the
+        # decomposition K + round(rem/1e8) is only valid when rem and
+        # K agree in sign (exact .5 ties straddling zero mis-round
+        # otherwise)
+        K2 = (
+            f"(CASE WHEN {K} > 0 AND {rem} < 0 THEN {K} - 1 "
+            f"WHEN {K} < 0 AND {rem} > 0 THEN {K} + 1 ELSE {K} END)"
+        )
+        rem2 = (
+            f"(CASE WHEN {K} > 0 AND {rem} < 0 THEN {rem} + 100000000L "
+            f"WHEN {K} < 0 AND {rem} > 0 THEN {rem} - 100000000L ELSE {rem} END)"
+        )
+        rnd = (
+            f"(IF({rem2} >= 0, ({rem2} + 50000000L) DIV 100000000L, "
+            f"-((-{rem2} + 50000000L) DIV 100000000L)))"
+        )
+        return f"({K2} + {rnd})"
+
+    def to_dbl(hh: str, mid: str, ll: str):
+        # one exact decimal division per group: unscaled/1e12 has at
+        # most 12 fractional digits, so the quotient is exact and the
+        # decimal→double conversion is the same correctly-rounded one
+        # ROUND(dec, 12).cast(double) performed — valid even where the
+        # unscaled value exceeds 2^53 (a bare double divide would
+        # double-round there)
+        return (
+            F.expr(u12(hh, mid, ll)).cast("decimal(26,0)")
+            / F.lit(1000000000000).cast("decimal(13,0)")
+        ).cast("double")
 
     # try_divide: a zero-norm vector yields NULL cosine instead of a
     # DIVIDE_BY_ZERO abort under ANSI mode (downstream top-k drops
@@ -81,8 +165,9 @@ def exact_cosine(df: DataFrame, keys: list[str], va, vb) -> DataFrame:
     return g.select(
         *keys,
         F.try_divide(
-            to_dbl(F.col("_dot")),
-            F.sqrt(to_dbl(F.col("_na"))) * F.sqrt(to_dbl(F.col("_nb"))),
+            to_dbl("_dhh", "_dmid", "_dll"),
+            F.sqrt(to_dbl("_ahh", "_amid", "_all"))
+            * F.sqrt(to_dbl("_bhh", "_bmid", "_bll")),
         ).alias("cosine"),
     )
 
