@@ -286,15 +286,30 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
+    # recovered labels are cast back to the input id type so the
+    # operator's output schema is packing-independent
+    lbl_type = dict(labels.dtypes)["lbl"]
     for r in range(rounds):
         cnt = (
             sym.join(labels, sym.v == labels.node)
             .groupBy(F.col("u").alias("n"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        best = F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg")))
+        # (count, smallest-label) argmax as ONE packed BIGINT — the
+        # same c * 2^32 - lbl packing the DuckDB twin uses (valid by
+        # the lbl < 2^32 precondition validated above; c >= 1 keeps the
+        # packed value positive). A struct max encodes the same
+        # ordering but structs cannot hash-aggregate: the plans showed
+        # every superstep paying Sort + SortAggregate pairs for the
+        # struct max; the packed long keeps both aggregates in
+        # HashAggregate (no sorts per superstep).
+        packed = F.max(
+            F.col("c") * F.lit(4294967296).cast("long") - F.col("lbl").cast("long")
+        )
         labels = cnt.groupBy(F.col("n").alias("node")).agg(
-            (-best.getField("neg")).alias("lbl")
+            F.pmod(-packed, F.lit(4294967296).cast("long"))
+            .cast(lbl_type)
+            .alias("lbl")
         )
         if r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)

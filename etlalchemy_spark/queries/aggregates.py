@@ -2493,7 +2493,10 @@ def agg_spearman_corr(spark, sf_dir):
     VARCHAR-routed doubles (house discipline)."""
     from pyspark.sql import Window as W
 
-    li = t(spark, sf_dir, "lineitem")
+    # fanout: the single-row-group scan otherwise runs each (grp, v)
+    # partial aggregation on ONE core (~0.7-0.9 s per axis, 3 axes —
+    # the r13 map-bound finding applied to partial aggs)
+    li = t(spark, sf_dir, "lineitem", fanout=True)
     pts = li.select(
         F.col("l_returnflag").alias("grp"),
         (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint").alias("x"),
@@ -2517,15 +2520,47 @@ def agg_spearman_corr(spark, sf_dir):
         )
 
     px = rank2("x").withColumnRenamed("r2", "rx").withColumnRenamed("v", "x")
-    py = rank2("y").withColumnRenamed("r2", "ry").withColumnRenamed("v", "y")
-    j = pts.join(px, ["grp", "x"]).join(py, ["grp", "y"])
-    s = j.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("rx").alias("srx"),
-        F.sum("ry").alias("sry"),
-        F.sum(F.col("rx") * F.col("rx")).alias("srxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("sryy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("srxy"),
+    # broadcast pinned: Catalyst's post-aggregate size estimates
+    # inverted the build sides here (it BROADCAST the 600k-row fact
+    # projection and the ~594k-row price-rank table and STREAMED the
+    # 150-row quantity-rank table, serializing the probe + final
+    # aggregate onto ~2 tasks — r13 node-metrics profile). px (distinct
+    # quantities x 3 flags, bounded) is the broadcast side.
+    #
+    # The y axis never joins back to facts at all: one (grp, y)
+    # aggregate carries the per-cell count t plus the x-rank partial
+    # sums (sum rx, sum rx^2), the y double-rank ry = 2*cum_before+t+1
+    # comes from the same per-group window the old value table used,
+    # and the per-group Pearson sums regroup as srx = sum srx_y,
+    # sry = sum t*ry, srxy = sum ry*srx_y, sryy = sum t*ry^2 — exact
+    # integer decimal(38,0) sums reassociated, so every operand of the
+    # closing IEEE tree is bit-identical to the fact-join formulation
+    # the DuckDB oracle spells. Drops the second 600k-row exchange,
+    # the y-side join build, and the no-reduction (grp, y) partial
+    # aggregate branch (the r13 plan showed that branch re-scanning
+    # lineitem and aggregating 600k -> 594k rows for nothing).
+    jx = pts.join(F.broadcast(px), ["grp", "x"])
+    cell = jx.groupBy("grp", "y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t"),
+        F.sum("rx").alias("srx_y"),
+        F.sum(F.col("rx") * F.col("rx")).alias("srxx_y"),
+    )
+    wy = (
+        W.partitionBy("grp")
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(F.col("t")).over(wy)
+    ry = (
+        F.lit(2).cast("decimal(38,0)") * (cum - F.col("t")) + F.col("t") + 1
+    ).cast("decimal(38,0)")
+    s = cell.withColumn("ry", ry).groupBy("grp").agg(
+        F.sum("t").cast("decimal(38,0)").alias("n"),
+        F.sum("srx_y").alias("srx"),
+        F.sum(F.col("t") * F.col("ry")).alias("sry"),
+        F.sum("srxx_y").alias("srxx"),
+        F.sum(F.col("t") * F.col("ry") * F.col("ry")).alias("sryy"),
+        F.sum(F.col("ry") * F.col("srx_y")).alias("srxy"),
     )
     num = (F.col("n") * F.col("srxy") - F.col("srx") * F.col("sry")).cast("double")
     dx = (F.col("n") * F.col("srxx") - F.col("srx") * F.col("srx")).cast("double")
