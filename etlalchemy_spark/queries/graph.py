@@ -43,7 +43,13 @@ deg AS (
 """
 
 
-def _edges(spark, sf_dir, materialize: bool = False, even_parts_only: bool = False):
+def _edges(
+    spark,
+    sf_dir,
+    materialize: bool = False,
+    even_parts_only: bool = False,
+    fanout: bool = True,
+):
     """``materialize=True`` persists the deduplicated edge list
     (memory+disk). Catalyst does not reuse the scan+self-join+distinct
     subtree across join branches (no ReusedExchange), so the triangle /
@@ -56,7 +62,14 @@ def _edges(spark, sf_dir, materialize: bool = False, even_parts_only: bool = Fal
     with the plan, not intuition — at true 100 TB the equivalent move
     is writing the edge list to a bucketed table, which keeps AQE and
     co-located joins."""
-    li = t(spark, sf_dir, "lineitem")
+    # fanout (default): the fixture's single-row-group scan fuses the
+    # (ok, pk) partial distinct onto ONE core, and (ok, pk) is
+    # near-unique so that partial aggregation reduces nothing — it is
+    # pure serial map work ahead of the keyed exchange (the spearman/
+    # r13 finding). BFS/HITS measured ~0.7-2 s faster with the spread;
+    # k-core alone measured slightly SLOWER with it (isolated A/B x3,
+    # r13 second leg) and opts out.
+    li = t(spark, sf_dir, "lineitem", fanout=fanout)
     if even_parts_only:
         # the clustering-coefficient leg runs on a deterministic half
         # of the parts: wedge volume (the superlinear term) drops ~8x
@@ -210,7 +223,11 @@ def graph_kcore_peel(spark, sf_dir):
     node-count bound so depth creep fails a test before it costs
     codegen time."""
     k, rounds = 60, 3
-    edges = _edges(spark, sf_dir)
+    # fanout=False: k-core measured slightly slower with the edge-build
+    # spread (isolated alternating A/B x3, r13 second leg) — its first
+    # round's degree aggregate reduces hard, so the keyed exchange
+    # already redistributes and the spread is pure tax here
+    edges = _edges(spark, sf_dir, fanout=False)
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     for r in range(rounds):
         alive = (
