@@ -117,39 +117,48 @@ def tokenize_words(
     for v in vocab:
         by_len.setdefault(len(v), []).append(v)
 
-    def match_len(rest: Column) -> Column:
+    def match_len_sql(rest: str) -> str:
         # build INSIDE-OUT: ascending lengths, so the LONGEST match is
-        # the outermost WHEN and wins (greedy longest-match)
-        expr = F.lit(1)
+        # the outermost WHEN and wins (greedy longest-match). One SQL
+        # string parsed per step instead of per-literal Column calls —
+        # the per-token F.lit form cost ~2 Py4J roundtrips per
+        # vocabulary entry per step of pure plan-construction time
+        # (~1.4 s/invocation at vocab 63; the similarity._lit_vec
+        # discipline)
+        expr = "1"
         for length in sorted(by_len):
             if length <= 1:
                 continue
-            toks = F.array(*[F.lit(x) for x in sorted(by_len[length])])
+            toks = ", ".join(
+                "'" + x.replace("'", "''") + "'" for x in sorted(by_len[length])
+            )
             expr = (
-                F.when(F.array_contains(toks, F.substring(rest, 1, length)), length)
-                .otherwise(expr)
+                f"CASE WHEN array_contains(array({toks}), "
+                f"substring({rest}, 1, {length})) THEN {length} ELSE {expr} END"
             )
         return expr
 
+    step_tok = F.expr(
+        "CASE WHEN _rest = '' THEN NULL "
+        f"ELSE substr(_rest, 1, {match_len_sql('_rest')}) END"
+    )
     out = words.withColumn("_rest", F.substring(F.col(word_col), 1, max_word_len))
     out = out.withColumn("_toks", F.array().cast("array<string>"))
     for _ in range(max_word_len):
-        ml = match_len(F.col("_rest"))
-        step_tok = F.when(
-            F.col("_rest") == "", F.lit(None)
-        ).otherwise(F.col("_rest").substr(F.lit(1), ml))
         out = (
             out.withColumn("_tok", step_tok)
             .withColumn(
                 "_toks",
-                F.when(F.col("_tok").isNull(), F.col("_toks")).otherwise(
-                    F.concat(F.col("_toks"), F.array(F.col("_tok")))
+                F.expr(
+                    "CASE WHEN _tok IS NULL THEN _toks "
+                    "ELSE concat(_toks, array(_tok)) END"
                 ),
             )
             .withColumn(
                 "_rest",
-                F.when(F.col("_tok").isNull(), F.col("_rest")).otherwise(
-                    F.expr("substring(_rest, length(_tok) + 1)")
+                F.expr(
+                    "CASE WHEN _tok IS NULL THEN _rest "
+                    "ELSE substring(_rest, length(_tok) + 1) END"
                 ),
             )
             .drop("_tok")
