@@ -896,7 +896,10 @@ def text_bm25_search(spark, sf_dir):
     aggregates touch a sliver of the corpus; the per-doc length pass is
     a narrow expression (no explode); corpus stats and df broadcast;
     the top-20 is a TakeOrderedAndProject, never a global sort."""
-    d = t(spark, sf_dir, "documents")
+    # spread: both corpus passes (token explode+filter, per-doc length)
+    # are map-bound over the single-row-group scan — each measured
+    # ~750 ms on one core in the r13 RRF node profile
+    d = _spread_docs(spark, sf_dir)
     words = F.split(F.lower("text"), "[^a-z]+")
     base = d.select(
         "doc_id",
