@@ -290,26 +290,20 @@ def label_propagation(
     # operator's output schema is packing-independent
     lbl_type = dict(labels.dtypes)["lbl"]
     for r in range(rounds):
-        cnt = (
+        # most-frequent label, ties to the SMALLEST — exactly Spark's
+        # mode(e, deterministic=true) ("the lowest value" on frequency
+        # ties). ONE groupBy(u) aggregate per superstep: the previous
+        # shape ran TWO hash aggregates (count per (u,lbl), then a
+        # packed-long argmax per u) paying two exchanges per round;
+        # mode's typed-imperative map accumulator does the per-label
+        # counting inside one partial+final aggregation on u (r13
+        # optimization round; the packed-BIGINT argmax — c * 2^32 -
+        # lbl, mirroring the DuckDB twin — remains the fallback shape
+        # if mode ever regresses).
+        labels = (
             sym.join(labels, sym.v == labels.node)
-            .groupBy(F.col("u").alias("n"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # (count, smallest-label) argmax as ONE packed BIGINT — the
-        # same c * 2^32 - lbl packing the DuckDB twin uses (valid by
-        # the lbl < 2^32 precondition validated above; c >= 1 keeps the
-        # packed value positive). A struct max encodes the same
-        # ordering but structs cannot hash-aggregate: the plans showed
-        # every superstep paying Sort + SortAggregate pairs for the
-        # struct max; the packed long keeps both aggregates in
-        # HashAggregate (no sorts per superstep).
-        packed = F.max(
-            F.col("c") * F.lit(4294967296).cast("long") - F.col("lbl").cast("long")
-        )
-        labels = cnt.groupBy(F.col("n").alias("node")).agg(
-            F.pmod(-packed, F.lit(4294967296).cast("long"))
-            .cast(lbl_type)
-            .alias("lbl")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.mode("lbl", True).cast(lbl_type).alias("lbl"))
         )
         if r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)

@@ -13,19 +13,20 @@ a plan that stays parallel end to end:
 2. **Local pass**: the expensive window runs partitioned by bucket id
    (parallel, whole-stage codegen).
 3. **Prefix pass**: per-bucket aggregates (row counts, distinct-key
-   counts, sums, maxes — one tiny row per bucket) are collected to the
-   driver (aggregate-sized state, like the quantile bounds) and their
-   exclusive prefix combine is computed in plain Python; the offsets
-   come back as a literal broadcast frame. No WindowExec anywhere —
+   counts, sums, maxes — one tiny row per bucket) feed an IN-PLAN
+   exclusive-prefix combine: a triangular broadcast self-join over the
+   ≤ n_buckets stats rows (no driver collect, no extra blocking job —
+   the stats subtree plans with the main query). No WindowExec anywhere —
    Spark 4's optimizer strips foldable partition expressions, so even
    a ``partitionBy(lit(0))`` window would execute single-partition and
    warn; this formulation has no window to warn about.
 4. **Combine**: broadcast-join the per-bucket offsets back and merge
    (add for counts/sums, greatest/least for max/min).
 
-Bounds and offsets are plan literals, so the bucket assignment is
-deterministic even if the stage is recomputed — no cached shuffle to
-trust.
+Bounds are plan literals, so the bucket assignment is deterministic
+even if the stage is recomputed — no cached shuffle to trust; the
+offsets are deterministic aggregates of the (bounds-literal) bucket
+assignment.
 
 Each operator materializes its input ONCE (lazy localCheckpoint) before
 the bounds pass: the machinery reads the frame three times (quantile
@@ -88,39 +89,37 @@ def bucket_id(key_num: Column, bounds: list[float]) -> Column:
 
 
 def _exclusive_prefix_frame(stats: DataFrame, combines: list[tuple[str, str, str]]) -> DataFrame:
-    """Collect the per-bucket stats (≤ n_buckets rows — aggregate-sized
-    driver state, same budget as the quantile bounds) and return a
-    literal DataFrame of exclusive-prefix offsets per ``_pid``.
-    ``combines``: (src_col, out_col, kind) with kind in {sum, max};
-    empty prefixes yield None (callers coalesce)."""
-    spark = stats.sparkSession
-    rows = sorted(stats.collect(), key=lambda r: r["_pid"])
-    out_rows = []
-    acc: dict[str, object] = {o: None for _, o, _ in combines}
-    for r in rows:
-        out_rows.append((r["_pid"], *[acc[o] for _, o, _ in combines]))
-        for src, o, kind in combines:
-            v = r[src]
-            if v is None:
-                continue
-            acc[o] = (
-                v
-                if acc[o] is None
-                else (acc[o] + v if kind == "sum" else max(acc[o], v))
-            )
-    from pyspark.sql import types as T
+    """Exclusive-prefix offsets per ``_pid`` over the per-bucket stats
+    (≤ n_buckets rows), computed IN-PLAN: a triangular self-join
+    (s2._pid < s1._pid) + one aggregate per combine. ``combines``:
+    (src_col, out_col, kind) with kind in {sum, max}; empty prefixes
+    yield NULL (callers coalesce — SUM/MAX over the left join's
+    no-match NULLs reproduce the old Python accumulator's None).
 
-    pid_field = stats.schema["_pid"]
-    fields = [T.StructField("_pid", pid_field.dataType, False)]
-    for src, o, _ in combines:
-        fields.append(T.StructField(o, stats.schema[src].dataType, True))
-    # single slice: bare createDataFrame parallelizes a <= n_buckets-row
-    # list to defaultParallelism python partitions, paying one python
-    # worker roundtrip per partition to emit a handful of rows (the
-    # cost sketch.py's literal-array pattern documents)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(out_rows, 1), T.StructType(fields)
+    This used to collect() the stats to the driver and re-emit them as
+    a literal frame — one extra driver-BLOCKING job plus a Py4J/plan
+    roundtrip per prefix operator, serialized between the bounds pass
+    and the main query (r13 optimization round: the prefix-based bench
+    queries spent 2-3 s in eager plan-build actions). In-plan, the
+    stats subtree feeds the broadcast join directly: the per-bucket
+    aggregate is planned WITH the main query (its exchange is shared
+    across the two join sides via ReusedExchange) and no intermediate
+    action blocks the driver. Integer/decimal SUM and MAX re-associate
+    exactly, so results are bit-identical to the collected version."""
+    s1 = stats.select("_pid")
+    s2 = stats.select(
+        F.col("_pid").alias("_pid2"),
+        *[F.col(src).alias(f"_src_{o}") for src, o, _ in combines],
     )
+    # explicit broadcast: the stats subtree descends from a checkpoint
+    # (no size stats), and the triangular condition is non-equi — the
+    # hint pins BroadcastNestedLoopJoin over ≤ n_buckets rows
+    joined = s1.join(F.broadcast(s2), F.col("_pid2") < F.col("_pid"), "left")
+    aggs = [
+        (F.sum(f"_src_{o}") if kind == "sum" else F.max(f"_src_{o}")).alias(o)
+        for _, o, kind in combines
+    ]
+    return joined.groupBy("_pid").agg(*aggs)
 
 
 def global_ranks(

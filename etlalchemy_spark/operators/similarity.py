@@ -1309,7 +1309,21 @@ def _semantic_drop_list(
     cell-blocked — never all-pairs."""
     a = lower.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell")
     b = upper.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell")
-    cand = a.join(b, "_cell").where(F.col("id_a") < F.col("id_b"))
+    # round-robin spread of the candidate pairs BEFORE the cosine
+    # verify: the cell join's output hangs off an exchange keyed by
+    # _cell (~sqrt(2n) distinct values, sizes skewed), which AQE
+    # coalesces to a couple of partitions at fixture scale — the whole
+    # 64x-explode decimal-cosine battery then ran in 2 tasks (profiled
+    # 6.5 s of a 10.6 s run, r13 optimization round). Pair rows are
+    # skinny (2 ids + 2 vectors); the keyless exchange costs far less
+    # than the per-pair cosine work it parallelizes, at any scale —
+    # and the verify's own groupBy(id_a, id_b) re-exchanges anyway,
+    # so no partitioning is lost
+    cand = (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .repartition(a.sparkSession.sparkContext.defaultParallelism)
+    )
     sc = exact_cosine(cand, ["id_a", "id_b"], F.col("_va"), F.col("_vb")).where(
         F.col("cosine") >= threshold
     )

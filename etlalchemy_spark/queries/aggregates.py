@@ -1645,7 +1645,11 @@ def agg_market_basket_lift(spark, sf_dir):
     ORDER — pair cost is Σ basket_size², never catalog²; with 25
     brands the pair/count tables are alphabet-sized aggregates. Top 20
     by (lift DESC, brands ASC) — fully deterministic under ties."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # fanout: the basket aggregate's map side (scan + broadcast join +
+    # partial collect_set) otherwise runs on the fixture's single
+    # parquet row group — one core does all the per-row work (guide
+    # §2.5 input skew; at scale the scan's own row groups parallelize)
+    li = t(spark, sf_dir, "lineitem", fanout=True).select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # ONE (order)-keyed aggregate carries the whole query (r13
     # optimization round): baskets = sorted distinct brand sets per

@@ -486,7 +486,13 @@ def dedup_incremental_lsh_exact(spark, sf_dir):
     the corpus. Runs the store-reuse path: the store's band table is
     built once and handed to incremental_lsh_matches as
     ``store_bands``, exactly as a pipeline would read it back from
-    parquet."""
+    parquet. The in-plan band table is lazily localCheckpoint'ed to
+    emulate exactly that: without the cut the version-check collect
+    (an eager action at plan-build time) signs the whole store corpus
+    once, and the candidates join re-signs it again — a persisted
+    store pays the signing ZERO times per batch, so the cut is what
+    keeps this self-contained query's cost shaped like the operator's
+    contract (store signed once, not twice)."""
     from etlalchemy_spark.operators.dedup import incremental_lsh_matches, lsh_band_store
 
     docs = t(spark, sf_dir, "documents")
@@ -494,7 +500,7 @@ def dedup_incremental_lsh_exact(spark, sf_dir):
     store = docs.where(F.col("doc_id") % 5 != 0)
     bands_tbl = lsh_band_store(
         store, "doc_id", "text", k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS
-    )
+    ).localCheckpoint(eager=False)
     return incremental_lsh_matches(
         store,
         new,
@@ -548,7 +554,10 @@ def dedup_incremental_pipeline_exact(spark, sf_dir):
     consecutive batches from an empty store reproduces the one-shot
     full-corpus pair set exactly (invariant pinned in
     tests/test_dedup_props.py); this query checks one step against the
-    restricted one-shot oracle."""
+    restricted one-shot oracle. As in `dedup_incremental_lsh_exact`,
+    the in-plan band table gets a lazy localCheckpoint so the
+    version-check collect and the candidates join share ONE signing of
+    the store corpus (a persisted store pays it zero times)."""
     from etlalchemy_spark.operators.dedup import incremental_dedup_step, lsh_band_store
 
     docs = t(spark, sf_dir, "documents")
@@ -556,7 +565,7 @@ def dedup_incremental_pipeline_exact(spark, sf_dir):
     store = docs.where(F.col("doc_id") % 5 != 0)
     bands_tbl = lsh_band_store(
         store, "doc_id", "text", k=_MH_K, num_hashes=_MH_N, bands=_MH_BANDS
-    )
+    ).localCheckpoint(eager=False)
     matches, _ = incremental_dedup_step(
         store,
         new,

@@ -1354,10 +1354,19 @@ def dedup_image_ahash(spark, sf_dir):
     # extra cost is 4 ints riding the (band, val) exchange — the
     # lightweight-proxy rule of guide §8 (decide on hashes, never
     # re-decode payloads), applied without an extra materialization.
+    # One explicit (band, val) exchange shared by BOTH self-join sides:
+    # without it the planner broadcasts one side (BroadcastExchange has
+    # no reusable shuffle), so the Arrow-batched synth+decode+hash
+    # Python pipeline executed TWICE (4 MapInPandas nodes, two heavy
+    # Python jobs profiled in the r13 optimization round). With both
+    # sides hanging off the SAME hash exchange, ReusedExchange runs the
+    # Python pass once and the join reads the materialized shuffle
+    # twice — 4 narrow rows per image through one exchange (guide §2.4
+    # "two operations keyed the same way can share one exchange").
     bands = hh.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
-    )
+    ).repartition("band", "val")
 
     def ham(a, b):
         return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
