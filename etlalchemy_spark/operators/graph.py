@@ -201,6 +201,14 @@ def hits_exact(
     Q = F.lit(1000000000.0)
 
     def half_step(scores, join_col, other_col):
+        # SPARSE frames through the iterations (r13 optimization
+        # round): a node with zero contributions used to be kept as an
+        # explicit c=0 row via a nodes-left-join per half-step, but a
+        # zero row adds 0 to the L1 total and floor(0*w*Q)=0 to every
+        # next-step sum — dropping it changes no value, and the final
+        # readout re-fills the zeros ONCE. Removes one join + the
+        # nodes-distinct exchange from every half-step (8 of each per
+        # run); values bit-identical (oracle re-verified sf0.01+sf0.1).
         raw = (
             scores.join(e, scores["node"] == e[join_col])
             .select(
@@ -209,12 +217,10 @@ def hits_exact(
                 .cast("bigint").alias("c"),
             )
             .groupBy("node").agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=False)
         )
-        full = nodes.join(raw, "node", "left").select(
-            "node", F.coalesce(F.col("c"), F.lit(0)).alias("c")
-        ).localCheckpoint(eager=False)
-        total = full.agg(F.sum("c").alias("t"))
-        return full.crossJoin(F.broadcast(total)).select(
+        total = raw.agg(F.sum("c").alias("t"))
+        return raw.crossJoin(F.broadcast(total)).select(
             "node",
             (F.col("c").cast("double") / F.col("t").cast("double")).alias("v"),
         )
@@ -224,8 +230,16 @@ def hits_exact(
     for _ in range(iters):
         auth = half_step(hub, "_s", "_d")
         hub = half_step(auth, "_d", "_s")
-    return hub.select(F.col("node"), F.col("v").alias("hub")).join(
-        auth.select(F.col("node"), F.col("v").alias("authority")), "node"
+    # zero-fill once: nodes absent from a sparse frame scored exactly
+    # 0.0 (= 0/t) in the dense formulation
+    return (
+        nodes.join(hub.select("node", F.col("v").alias("hub")), "node", "left")
+        .join(auth.select("node", F.col("v").alias("authority")), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
     )
 
 
