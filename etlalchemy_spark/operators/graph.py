@@ -297,12 +297,10 @@ def label_propagation(
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint(eager=False)
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    )
     # recovered labels are cast back to the input id type so the
     # operator's output schema is packing-independent
-    lbl_type = dict(labels.dtypes)["lbl"]
+    lbl_type = dict(sym.dtypes)["v"]
+    labels = None
     for r in range(rounds):
         # most-frequent label, ties to the SMALLEST — exactly Spark's
         # mode(e, deterministic=true) ("the lowest value" on frequency
@@ -314,10 +312,20 @@ def label_propagation(
         # optimization round; the packed-BIGINT argmax — c * 2^32 -
         # lbl, mirroring the DuckDB twin — remains the fallback shape
         # if mode ever regresses).
-        labels = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.mode("lbl", True).cast(lbl_type).alias("lbl"))
+        #
+        # Round 0 label set is the IDENTITY (lbl(v) = v), so the first
+        # superstep needs neither the nodes-distinct init frame nor the
+        # edge-x-label join — each edge row already carries its
+        # neighbor's round-0 label in the v column (r13 optimization
+        # round: one |2E| exchange + one |V| distinct removed; the
+        # aggregate input multiset is identical by construction).
+        joined = (
+            sym.select("u", F.col("v").alias("lbl"))
+            if labels is None
+            else sym.join(labels, sym.v == labels.node).select("u", "lbl")
+        )
+        labels = joined.groupBy(F.col("u").alias("node")).agg(
+            F.mode("lbl", True).cast(lbl_type).alias("lbl")
         )
         if r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)

@@ -414,7 +414,13 @@ def graph_bfs_hops(spark, sf_dir):
             .withColumn("hop", F.lit(h))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        # visited is a UNION of already-checkpointed pieces (seeds +
+        # each round's cut nxt): re-evaluating it is a free concat of
+        # persisted RDDs, so its own per-round checkpoint was a pure
+        # blocking job — 3 driver-sequenced materializations removed
+        # (r13 optimization round); plan growth stays linear (one
+        # union arm per round)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
     return visited.select("node", F.col("hop").cast("int").alias("hops"))
 
@@ -794,11 +800,18 @@ def graph_label_propagation(spark, sf_dir):
             F.sum("degree").alias("dc"),
         )
     )
+    # m_edges folds into the community aggregate: every edge
+    # contributes exactly 2 to the degree total over all nodes, so
+    # m = sum(dc) >> 1 — an exact BIGINT identity (sum(dc) is even by
+    # construction, shiftright avoids a double division) — saving the
+    # separate edge-count pass and its crossJoin job (r13 optimization
+    # round; value bit-identical to the COUNT the oracle spells)
     csum = cs.agg(
         F.sum("sz").cast("bigint").alias("n_nodes"),
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.max("sz").cast("bigint").alias("max_community"),
         F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("deg_sq_sum"),
+        F.shiftright(F.sum("dc").cast("bigint"), 1).alias("m_edges"),
     )
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
@@ -807,11 +820,9 @@ def graph_label_propagation(spark, sf_dir):
         .where(F.col("lu") == F.col("lv"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("within_edges"))
     )
-    msum = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
     md = F.col("m_edges").cast("double")
     return (
         csum.crossJoin(F.broadcast(wsum))
-        .crossJoin(F.broadcast(msum))
         .select(
             "n_nodes", "n_communities", "max_community", "within_edges",
             "m_edges", "deg_sq_sum",
@@ -1036,11 +1047,18 @@ def graph_louvain_exact(spark, sf_dir):
             F.sum("degree").alias("dc"),
         )
     )
+    # m_edges folds into the community aggregate: every edge
+    # contributes exactly 2 to the degree total over all nodes, so
+    # m = sum(dc) >> 1 — an exact BIGINT identity (sum(dc) is even by
+    # construction, shiftright avoids a double division) — saving the
+    # separate edge-count pass and its crossJoin job (r13 optimization
+    # round; value bit-identical to the COUNT the oracle spells)
     csum = cs.agg(
         F.sum("sz").cast("bigint").alias("n_nodes"),
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.max("sz").cast("bigint").alias("max_community"),
         F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("deg_sq_sum"),
+        F.shiftright(F.sum("dc").cast("bigint"), 1).alias("m_edges"),
     )
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
@@ -1049,11 +1067,9 @@ def graph_louvain_exact(spark, sf_dir):
         .where(F.col("lu") == F.col("lv"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("within_edges"))
     )
-    msum = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
     md = F.col("m_edges").cast("double")
     return (
         csum.crossJoin(F.broadcast(wsum))
-        .crossJoin(F.broadcast(msum))
         .select(
             "n_nodes", "n_communities", "max_community", "within_edges",
             "m_edges", "deg_sq_sum",
