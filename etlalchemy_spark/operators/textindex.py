@@ -214,6 +214,77 @@ def _batch_bloom(docs: DataFrame, id_col: str, m_bits: int) -> list[int]:
     return words
 
 
+_BLOOM_MAX_BITS = _BLOOM_MAX_WORDS * 60
+
+
+def _batch_summary_and_bloom(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[dict, list[int]]:
+    """``_batch_summary`` + ``_batch_bloom`` fused into ONE pass over
+    the batch (r13 optimization round: they were two driver-sequenced
+    jobs, each re-running the batch scan). The Bloom is aggregated at
+    the MAXIMUM filter size and folded down to the n_docs-derived
+    target afterwards — exact, because every filter size is 60·2^k
+    words, so ``(md5 % (60·2^a)) % (60·2^b) == md5 % (60·2^b)`` for
+    b ≤ a, and folding word j onto ``j mod W_target`` ORs exactly the
+    bits a direct mod-target build would have set (bit offsets within
+    a word are untouched: 60·j + b ≡ 60·(j mod W_t) + b). The summary
+    rides the same exploded aggregate: every doc contributes exactly
+    BLOOM_K rows, so counts and dl-sums divide back out exactly.
+    Returns (summary dict, max-size words); callers fold with
+    ``_fold_bloom``."""
+    words_expr = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+    dl = F.size(F.filter(words_expr, lambda x: x != "")).cast("bigint")
+    pos = F.explode(
+        F.array(
+            *_bloom_positions(F.col(id_col).cast("string"), F.lit(_BLOOM_MAX_BITS))
+        )
+    ).alias("_pos")
+    rows = (
+        docs.select(F.col(id_col).cast("string").alias("_id"), dl.alias("dl"), pos)
+        .select(
+            "_id", "dl",
+            (F.col("_pos") / F.lit(60)).cast("int").alias("w"),
+            (F.col("_pos") % 60).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("dl").cast("bigint").alias("sdl"),
+            F.min("_id").alias("mn"),
+            F.max("_id").alias("mx"),
+        )
+        .collect()
+    )
+    n_rows = sum(r["cnt"] for r in rows)
+    assert n_rows % BLOOM_K == 0, n_rows
+    sum_dl4 = sum(r["sdl"] for r in rows if r["sdl"] is not None)
+    assert sum_dl4 % BLOOM_K == 0, sum_dl4
+    mns = [r["mn"] for r in rows if r["mn"] is not None]
+    mxs = [r["mx"] for r in rows if r["mx"] is not None]
+    summary = {
+        "n_docs": n_rows // BLOOM_K,
+        "sum_dl": sum_dl4 // BLOOM_K,
+        "min_doc": min(mns) if mns else None,
+        "max_doc": max(mxs) if mxs else None,
+    }
+    words_max = [0] * _BLOOM_MAX_WORDS
+    for r in rows:
+        words_max[r["w"]] = r["bits"]
+    return summary, words_max
+
+
+def _fold_bloom(words_max: list[int], target_words: int) -> list[int]:
+    """OR-fold the max-size word array onto ``j mod target_words`` —
+    bit-identical to building the Bloom at the target size directly
+    (see _batch_summary_and_bloom)."""
+    out = [0] * target_words
+    for j, bits in enumerate(words_max):
+        out[j % target_words] |= bits
+    return out
+
+
 def _overlap_candidates(
     spark, stats: DataFrame, docs_ids: DataFrame, summary: dict
 ) -> DataFrame:
@@ -288,7 +359,7 @@ def append_text_index(
                 "n_docs": 0,
                 "fallback_scan": False,
             }
-    summary = _batch_summary(docs, id_col, text_col)
+    summary, _bloom_words_max = _batch_summary_and_bloom(docs, id_col, text_col)
     if summary["n_docs"] == 0:
         return {"committed": False, "batch_seq": -1, "n_docs": 0, "fallback_scan": False}
     fallback = False
@@ -335,7 +406,7 @@ def append_text_index(
             summary["min_doc"],
             summary["max_doc"],
             m_bits,
-            _batch_bloom(docs, id_col, m_bits),
+            _fold_bloom(_bloom_words_max, m_bits // 60),
         )
     ]
     # one explicit slice: the default createDataFrame path parallelizes

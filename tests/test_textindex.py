@@ -230,3 +230,24 @@ def test_guard_and_ledger_survive_compaction(spark, tmp_path):
         store, d.where(F.col("doc_id") <= 3), "doc_id", "text", app="s", batch_id=7
     )
     assert r["committed"] is False
+
+
+def test_fused_summary_bloom_equals_direct(spark):
+    """The one-pass summary+bloom (r13 optimization) is bit-identical
+    to the two separate passes it replaced: same summary dict, and the
+    max-size-then-fold Bloom equals a direct mod-target build for
+    every legal target size."""
+    from etlalchemy_spark.operators.textindex import (
+        _batch_bloom,
+        _batch_summary_and_bloom,
+        _bloom_words_for,
+        _fold_bloom,
+    )
+
+    docs = _docs(spark)
+    summary, words_max = _batch_summary_and_bloom(docs, "doc_id", "text")
+    assert summary == _batch_summary(docs, "doc_id", "text")
+    for target_words in (64, 128, _bloom_words_for(summary["n_docs"])):
+        assert _fold_bloom(words_max, target_words) == _batch_bloom(
+            docs, "doc_id", target_words * 60
+        )
