@@ -1998,9 +1998,16 @@ def text_bpe_tokenize(spark, sf_dir):
         .where(F.col("w") != "")
         .select("doc_id", F.substring("w", 1, MAX_WORD_LEN).alias("word"))
     )
-    tok = tokenize_words(occ.select("word").distinct(), "word", bpe_vocab(_BPE_MERGES))
+    # the tokenizer subtree (distinct words -> 14-step unrolled match)
+    # is referenced by BOTH consumers (per-doc agg join + first-word
+    # join): cut it once so the match battery runs once, and pin the
+    # broadcast the planner chose before the cut hid the size stats
+    # (r13 optimization round)
+    tok = tokenize_words(
+        occ.select("word").distinct(), "word", bpe_vocab(_BPE_MERGES)
+    ).localCheckpoint(eager=False)
     agg = (
-        occ.join(tok, "word")
+        occ.join(F.broadcast(tok), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -2025,7 +2032,7 @@ def text_bpe_tokenize(spark, sf_dir):
     ft = tok.select(F.col("word").alias("fw"), F.col("tokens").alias("first_word_tokens"))
     return (
         agg.join(firstw, "doc_id", "left")
-        .join(ft, "fw", "left")
+        .join(F.broadcast(ft), "fw", "left")
         .select(
             "doc_id",
             "n_words",
