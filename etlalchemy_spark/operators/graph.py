@@ -16,11 +16,169 @@ aggregate-sized driver traffic only, never the labels themselves.
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
+
+
+# Driver fast-path threshold for the score-iteration operators
+# (pagerank / personalized-pagerank / HITS): when the AGGREGATED edge
+# list fits comfortably on the driver, the power iterations run as a
+# local loop over the collected edges instead of 5-10 driver-sequenced
+# Spark jobs per iteration. Every current call site feeds a
+# bounded-domain graph (event-type transitions: |V| = |event types|,
+# |E| <= |V|^2 at ANY input scale), where the iteration frames are a
+# few dozen rows but each distributed superstep still pays job-launch,
+# AQE planning and broadcast round-trips — measured 43 jobs / ~1.7 s of
+# pure driver-orchestration gap for HITS at sf0.1 on 32 cores. The
+# arithmetic below reproduces the distributed expressions OPERATION BY
+# OPERATION (same multiply order, same floor-quantized int64 sums, same
+# int->double casts before the one division), so the scores are
+# bit-identical — pinned by tests/test_graph.py::test_driver_path_*
+# and the DuckDB oracle on both gate SFs. Graphs past the cap (or an
+# unreadable count) take the distributed path unchanged.
+_DRIVER_EDGE_CAP = 65536
+
+
+def _ieee_div(a: float, b: float) -> float:
+    """a / b with IEEE-754 zero-divide semantics (Spark's double
+    division), which Python's ZeroDivisionError hides."""
+    if b != 0.0:
+        return a / b
+    if a > 0.0:
+        return float("inf")
+    if a < 0.0:
+        return float("-inf")
+    return float("nan")
+
+
+def _collect_if_small(e: DataFrame, cap: int = _DRIVER_EDGE_CAP):
+    """The edge frame's rows when it has <= cap of them, else None.
+    One limit-collect job; callers checkpoint ``e`` first so the work
+    is reused by the distributed path on a miss."""
+    rows = e.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    # a NULL endpoint/weight interacts with joins and sums in
+    # engine-specific ways the local loop does not reproduce — punt
+    if any(f is None for r in rows for f in r):
+        return None
+    return rows
+
+
+def _q_long(p: float) -> int:
+    """FLOOR(double) -> BIGINT with Spark's non-ANSI degenerate-value
+    semantics (NaN -> 0, +/-inf saturate); finite doubles floor
+    exactly. Unreachable for positive weights — defensive parity."""
+    if p != p:
+        return 0
+    if p == float("inf"):
+        return 9223372036854775807
+    if p == float("-inf"):
+        return -9223372036854775808
+    return math.floor(p)
+
+
+def _create_single_slice(spark, rows, schema):
+    """One-partition local frame (the r13 single-slice discipline:
+    a default createDataFrame splits tiny lists over every core)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
+def _hits_driver(spark, rows, iters: int, node_type) -> DataFrame:
+    """hits_exact's iterations over collected edges — every operation
+    mirrors the distributed expressions: (v * w) * 1e9 in that multiply
+    order, floor -> exact int sums per node, int->double casts before
+    the ONE division per node per half-step. Sparse frames exactly as
+    the distributed loop keeps them (absent = no contribution), final
+    zero-fill identical."""
+    from pyspark.sql import types as T
+
+    edges = [(r[0], r[1], float(r[2])) for r in rows]
+    nodes: dict = {}
+    for s, d, _ in edges:
+        nodes.setdefault(s)
+        nodes.setdefault(d)
+
+    def half(scores: dict, join_i: int, other_i: int) -> dict:
+        c: dict = {}
+        for ed in edges:
+            v = scores.get(ed[join_i])
+            if v is None:
+                continue
+            k = ed[other_i]
+            c[k] = c.get(k, 0) + _q_long(v * ed[2] * 1000000000.0)
+        t = float(sum(c.values()))
+        return {n: _ieee_div(float(cv), t) for n, cv in c.items()}
+
+    hub = {n: 1.0 for n in nodes}
+    auth: dict = {}
+    for _ in range(iters):
+        auth = half(hub, 0, 1)
+        hub = half(auth, 1, 0)
+    out = [(n, hub.get(n, 0.0), auth.get(n, 0.0)) for n in nodes]
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("hub", T.DoubleType()),
+            T.StructField("authority", T.DoubleType()),
+        ]
+    )
+    return _create_single_slice(spark, out, schema)
+
+
+def _exact_sum_type(dt) -> bool:
+    """Weight types whose SUM is exact (order-insensitive) in both the
+    local loop and Spark: integers and decimals. Float weights sum
+    order-dependently and stay on the distributed path."""
+    s = dt.simpleString()
+    return s in ("tinyint", "smallint", "int", "bigint") or s.startswith("decimal")
+
+
+def _pagerank_driver(
+    spark, rows, damping: float, iters: int, node_type, out_col: str,
+    seeds: set | None = None,
+) -> DataFrame:
+    """pagerank_exact / personalized_pagerank_exact iterations over
+    collected edges, operation-for-operation: contribution =
+    floor(((rank * w) * 1e9) / outw) summed exactly per target, rank =
+    teleport + damping * (sum / 1e9) with the same literal
+    (1.0 - damping) both paths compute at build time."""
+    from pyspark.sql import types as T
+
+    edges = [(r[0], r[1], r[2]) for r in rows]
+    outw: dict = {}
+    nodes: dict = {}
+    for s, d, w in edges:
+        outw[s] = outw.get(s, 0) + w  # exact: integral/decimal weights only
+        nodes.setdefault(s)
+        nodes.setdefault(d)
+    ew = [(s, d, float(w), float(outw[s])) for s, d, w in edges]
+    if seeds is None:
+        nf = float(len(nodes))
+        ranks = {n: 1.0 / nf for n in nodes}
+        teleport = {n: (1.0 - damping) / nf for n in nodes}
+    else:
+        ns = float(len(seeds))
+        ranks = {n: (1.0 / ns if n in seeds else 0.0) for n in nodes}
+        teleport = {
+            n: ((1.0 - damping) / ns if n in seeds else 0.0) for n in nodes
+        }
+    for _ in range(iters):
+        sums: dict = {}
+        for s, d, w, ow in ew:
+            sums[d] = sums.get(d, 0) + _q_long(ranks[s] * w * 1000000000.0 / ow)
+        ranks = {
+            n: teleport[n] + damping * (float(sums.get(n, 0)) / 1000000000.0)
+            for n in nodes
+        }
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField(out_col, T.DoubleType())]
+    )
+    return _create_single_slice(spark, [(n, r) for n, r in ranks.items()], schema)
 
 
 def connected_components(
@@ -115,7 +273,14 @@ def pagerank_exact(
     """
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
-    )
+    ).localCheckpoint(eager=False)
+    if _exact_sum_type(e.schema["_w"].dataType):
+        small = _collect_if_small(e)
+        if small is not None:
+            return _pagerank_driver(
+                edges.sparkSession, small, damping, iters,
+                e.schema["_s"].dataType, "pagerank",
+            )
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_outw"))
     # materialized once: the checkpoints below split the iterations
     # into separate jobs, and without this cut each job re-derives the
@@ -195,6 +360,9 @@ def hits_exact(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
     ).localCheckpoint(eager=False)
+    small = _collect_if_small(e)
+    if small is not None:
+        return _hits_driver(edges.sparkSession, small, iters, e.schema["_s"].dataType)
     nodes = (
         e.select(F.col("_s").alias("node")).unionAll(e.select("_d")).distinct()
     )
@@ -356,7 +524,14 @@ def personalized_pagerank_exact(
         raise ValueError("personalized_pagerank_exact: seeds must be non-empty")
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
-    )
+    ).localCheckpoint(eager=False)
+    if _exact_sum_type(e.schema["_w"].dataType):
+        small = _collect_if_small(e)
+        if small is not None:
+            return _pagerank_driver(
+                edges.sparkSession, small, damping, iters,
+                e.schema["_s"].dataType, "ppr", seeds=set(seeds),
+            )
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_outw"))
     ew = e.join(outw, "_s").localCheckpoint(eager=False)
     nodes = (

@@ -66,9 +66,14 @@ def _edges(
     # (ok, pk) partial distinct onto ONE core, and (ok, pk) is
     # near-unique so that partial aggregation reduces nothing — it is
     # pure serial map work ahead of the keyed exchange (the spearman/
-    # r13 finding). BFS/HITS measured ~0.7-2 s faster with the spread;
-    # k-core alone measured slightly SLOWER with it (isolated A/B x3,
-    # r13 second leg) and opts out.
+    # r13 finding). ITERATIVE consumers opt out (fanout=False): the
+    # r13 driver bench showed BFS slower at 32 cores than 8 with the
+    # spread — the fanned-out batch pins full-parallelism partition
+    # counts that every tiny per-round job then re-schedules (k-core
+    # measured the same in r13 and opted out first; BFS followed in
+    # r14: 3.6 s -> 3.1 s at 32 cores, isolated alternating A/B).
+    # One-shot aggregate consumers (degree distribution, triangles,
+    # assortativity) keep the spread.
     li = t(spark, sf_dir, "lineitem", fanout=fanout)
     if even_parts_only:
         # the clustering-coefficient leg runs on a deterministic half
@@ -391,7 +396,7 @@ def graph_bfs_hops(spark, sf_dir):
     constant per round. At 100 TB: per-round cost is |frontier| x
     avg-degree, the visited anti-join is a narrow (node) semi-shuffle,
     and the round count is the fixed hop bound, not the data size."""
-    edges = _edges(spark, sf_dir)
+    edges = _edges(spark, sf_dir, fanout=False)
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # BFS joins the SAME full edge list every round (unlike k-core's
     # shrinking set), so cut its lineage once up front: without this

@@ -186,3 +186,58 @@ def test_louvain_modularity_at_least_lpa(spark):
         louv["modularity"],
         lpa["modularity"],
     )
+
+
+def test_driver_path_matches_distributed(spark, monkeypatch):
+    """r14 optimization: the score-iteration operators (hits /
+    pagerank / personalized pagerank) run their power iterations on
+    the driver when the aggregated edge list is small. The local loop
+    must be BIT-identical to the distributed one — same multiply
+    order, same floor-quantized int64 sums, same int->double casts
+    before each division — on a graph with asymmetric weights, a
+    dangling node (6) and a source-only node (5)."""
+    import struct
+
+    import etlalchemy_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 1), (2, 3, 7), (3, 1, 2), (4, 2, 5),
+         (1, 3, 1), (5, 6, 11), (3, 6, 1)],
+        "src long, dst long, w long",
+    )
+
+    def run_both(fn):
+        drv = sorted(tuple(r) for r in fn().collect())
+        monkeypatch.setattr(G, "_collect_if_small", lambda e, cap=0: None)
+        dist = sorted(tuple(r) for r in fn().collect())
+        monkeypatch.undo()
+        def bits(rows):
+            return [
+                (r[0],) + tuple(struct.pack(">d", x) for x in r[1:])
+                for r in rows
+            ]
+        assert bits(drv) == bits(dist)
+        return drv
+
+    run_both(lambda: G.hits_exact(edges, iters=4))
+    run_both(lambda: G.pagerank_exact(edges, iters=5))
+    run_both(
+        lambda: G.personalized_pagerank_exact(edges, seeds=[2], iters=5)
+    )
+
+
+def test_driver_path_declines_float_weights_and_nulls(spark):
+    """Float weights sum order-dependently (driver loop would not be
+    bit-faithful) and NULLs have join semantics the loop skips — both
+    must fall through to the distributed path."""
+    import etlalchemy_spark.operators.graph as G
+
+    fw = spark.createDataFrame(
+        [(1, 2, 1.5), (2, 1, 2.5)], "src long, dst long, w double"
+    )
+    assert not G._exact_sum_type(fw.schema["w"].dataType)
+    nl = spark.createDataFrame(
+        [(1, 2, 3), (2, None, 1)], "src long, dst long, w long"
+    )
+    e = nl.selectExpr("src as _s", "dst as _d", "w as _w")
+    assert G._collect_if_small(e) is None

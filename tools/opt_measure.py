@@ -1,7 +1,7 @@
 """Per-query measurement harness for the optimization rounds.
 
 For each named query (default: every bench-tagged query): capture
-``explain('formatted')`` to ``plans/r13/<name>_<tag>.txt``, run one
+``explain('formatted')`` to ``plans/<round>/<name>_<tag>.txt``, run one
 untimed warmup, then time ``--runs`` noop-sink materializations and
 report the median — the same protocol as bench.py, but isolated per
 query so a single query can be iterated on without paying the suite.
@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--tag", default=None, help="when set, write plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="when set, write plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--plans-round", default="r14")
     ap.add_argument("--out", default=None, help="write the timings JSON here too")
     args = ap.parse_args()
 
@@ -39,7 +40,7 @@ def main() -> None:
     qs = all_queries()
     names = args.queries or sorted(n for n, q in qs.items() if "bench" in q.tags)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plans_round)
     os.makedirs(plans_dir, exist_ok=True)
 
     timings: dict[str, float] = {}
