@@ -189,6 +189,32 @@ def load_table(
     return df
 
 
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A table headed into a MAP-HEAVY stage (md5-per-shingle
+    batteries, decimal dot products, Arrow codec decodes): round-robin
+    repartition to full parallelism, but ONLY when the parquet footer
+    shows the scan is under-split (fewer row groups than half the task
+    slots — parquet splits at row-group granularity, so a single-row-
+    group file is ONE scan task no matter how low maxPartitionBytes
+    goes, serializing every fused map stage onto one core). Unlike
+    ``load_table(fanout=True)`` there is no row-count floor: callers'
+    per-row map work dwarfs a row's scan cost, so even a small
+    under-split table benefits. On real lake layouts (many files /
+    row groups, or a multi-file directory whose footer is unreadable
+    here) the guard fails and NO exchange is added — r13 shipped the
+    per-module spread helpers as unconditional repartitions, which at
+    scale is a pure extra pass over the corpus on every call site
+    (r13 VERDICT item 2); this is the footer-guarded replacement."""
+    df = load_table(spark, sf_dir, name)
+    path = table_path(sf_dir, name)
+    splits = _scan_splits(path, _freshness_signature(path))
+    if splits is not None:
+        slots = spark.sparkContext.defaultParallelism
+        if splits[1] < max(slots // 2, 1):
+            df = df.repartition(slots)
+    return df
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,

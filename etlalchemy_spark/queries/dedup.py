@@ -33,20 +33,22 @@ def _spread_docs(spark, sf_dir):
     -> 2.6 s at sf0.1). The catalog's fanout=True path stays off for
     this table: its row-count heuristic cannot see that each document
     row carries ~3 orders of magnitude more map work than a fact row.
-    At scale the move costs one narrow shuffle of the text against
-    md5-per-shingle map work that dwarfs it."""
-    return t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    r14: footer-guarded via catalog.load_table_spread (no row-count
+    floor, but the exchange exists only when the scan is actually
+    under-split — a well-split lake table passes through untouched)."""
+    from etlalchemy_spark.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 def _spread_embeddings(spark, sf_dir):
     """embeddings twin of ``_spread_docs`` (see
     queries/similarity.py:_spread_embeddings for the measurements):
-    full-parallelism fan-out before a map-heavy exact-cosine stage."""
-    return t(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    full-parallelism fan-out before a map-heavy exact-cosine stage,
+    footer-guarded via catalog.load_table_spread (r14)."""
+    from etlalchemy_spark.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "embeddings")
 
 _EXACT_SQL = """
 SELECT doc_id, lang, source, n_chars

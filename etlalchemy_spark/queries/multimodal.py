@@ -24,10 +24,12 @@ def _spread_docs(spark, sf_dir):
     built from this are metadata-thin (ids + synth dims; Catalyst
     prunes the projection through the exchange), so the narrow shuffle
     is ~free and the decode fans out to every core — the same move a
-    100 TB pipeline makes when an upstream writes few large files."""
-    return t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    100 TB pipeline makes when an upstream writes few large files.
+    r14: footer-guarded via catalog.load_table_spread — the exchange
+    exists only when the scan is actually under-split."""
+    from etlalchemy_spark.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 _META_SQL = """

@@ -39,10 +39,13 @@ def _spread_embeddings(spark, sf_dir):
     9.8 -> ~1, see its docstring). Used only by queries whose
     exact-arithmetic map stage measurably dominates — NOT the
     index-store build/compaction queries (write-dominated, measured
-    neutral-to-worse)."""
-    return t(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    neutral-to-worse). r14: routed through the footer-guarded
+    catalog.load_table_spread so the exchange exists only when the
+    scan is actually under-split (a well-split lake table passes
+    through untouched — no second pass over the corpus)."""
+    from etlalchemy_spark.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "embeddings")
 
 
 _TOPK_SQL = """

@@ -1272,10 +1272,12 @@ def _spread_docs(spark, sf_dir):
     so everything upstream of the first shuffle (positional-shingle
     explodes, the unrolled BPE longest-match) otherwise runs on a
     single core (r13 finding, the multimodal _spread_docs twin). Used
-    only by queries whose map stage measurably dominates."""
-    return t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    only by queries whose map stage measurably dominates. r14:
+    footer-guarded via catalog.load_table_spread — the exchange exists
+    only when the scan is actually under-split."""
+    from etlalchemy_spark.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 @register("text_duplicate_passage_spans", oracle=_PASSAGE_SQL, tags=("text", "dedup", "bench"))

@@ -70,3 +70,38 @@ def test_nested_partitioned_rewrite_invalidates(spark, tmp_path):
         e for e in top_before if not e.startswith(".")
     ]
     assert load_table(spark, sf, "events").count() == 500
+
+
+def test_spread_skips_well_split_parquet(spark, tmp_path):
+    """load_table_spread (r14, VERDICT r13 item 2): the round-robin
+    fan-out must exist ONLY when the footer shows the scan is
+    under-split. A multi-row-group file (>= slots/2 groups) passes
+    through with NO extra exchange; a single-row-group file still gets
+    the repartition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etlalchemy_spark.catalog import load_table_spread
+
+    slots = spark.sparkContext.defaultParallelism
+    sf = str(tmp_path)
+
+    # well-split: one row group per slot — guard must NOT fire
+    well = os.path.join(sf, "documents.parquet")
+    tbl = pa.table({"id": list(range(slots * 4))})
+    pq.write_table(tbl, well, row_group_size=4)  # slots row groups
+    assert pq.ParquetFile(well).metadata.num_row_groups >= max(slots // 2, 1)
+    df = load_table_spread(spark, sf, "documents")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan and "Repartition" not in plan
+    # pass-through: identical handle to the plain catalog load
+    assert df is load_table(spark, sf, "documents")
+
+    # under-split: one row group — guard fires, exchange present
+    under = os.path.join(sf, "embeddings.parquet")
+    pq.write_table(pa.table({"id": list(range(64))}), under)
+    assert pq.ParquetFile(under).metadata.num_row_groups == 1
+    df2 = load_table_spread(spark, sf, "embeddings")
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan2
+    assert df2.count() == 64
