@@ -376,7 +376,14 @@ def hits_exact(
         # next-step sum — dropping it changes no value, and the final
         # readout re-fills the zeros ONCE. Removes one join + the
         # nodes-distinct exchange from every half-step (8 of each per
-        # run); values bit-identical (oracle re-verified sf0.01+sf0.1).
+        # run); values bit-identical (oracle re-verified sf0.01+sf0.1)
+        # EXCEPT the degenerate all-zero-mass graph (L1 total t = 0,
+        # e.g. every weight 0): dense produced NaN (0/0) for every
+        # node, sparse coalesces ABSENT nodes to 0.0 in the readout
+        # while nodes still present here keep NaN — a mixed NaN/0.0
+        # output (ADVICE r13). No fixture and no declared query can
+        # produce t = 0 (weights are positive transition counts), so
+        # the divergence is documented rather than guarded.
         raw = (
             scores.join(e, scores["node"] == e[join_col])
             .select(

@@ -257,10 +257,15 @@ def _batch_summary_and_bloom(
         )
         .collect()
     )
+    # hard errors, not assert (ADVICE r13): these invariants guard the
+    # n_docs/sum_dl that land in the committed _stats ledger, and
+    # `python -O` strips asserts — a corrupted count must never commit
     n_rows = sum(r["cnt"] for r in rows)
-    assert n_rows % BLOOM_K == 0, n_rows
+    if n_rows % BLOOM_K != 0:
+        raise ValueError(f"summary row count {n_rows} not divisible by K={BLOOM_K}")
     sum_dl4 = sum(r["sdl"] for r in rows if r["sdl"] is not None)
-    assert sum_dl4 % BLOOM_K == 0, sum_dl4
+    if sum_dl4 % BLOOM_K != 0:
+        raise ValueError(f"summary dl sum {sum_dl4} not divisible by K={BLOOM_K}")
     mns = [r["mn"] for r in rows if r["mn"] is not None]
     mxs = [r["mx"] for r in rows if r["mx"] is not None]
     summary = {

@@ -387,12 +387,39 @@ class SqlStages:
 
 # ---------------------------------------------------------------- front-ends
 
+# Memo for the no-chain (st=None) front-end calls: building + compacting
+# a p-value chain is pure driver Python (regex fixpoint over ~90 stage
+# expressions) measured at 0.11 s (chi2) to 0.37 s (t) PER QUERY BUILD,
+# and the result depends only on the input column names. The cache
+# stores the compacted stage list; every hit returns a FRESH SqlStages
+# carrying copies, so callers that mutate the returned object (add
+# further stages) behave exactly as before. Chained calls (st passed
+# in) compact the caller's stages too and are never cached.
+_FRONTEND_MEMO: dict[tuple, tuple[list, set, str]] = {}
+
+
+def _memo_frontend(key: tuple, build) -> SqlStages:
+    hit = _FRONTEND_MEMO.get(key)
+    if hit is None:
+        st = build()
+        hit = _FRONTEND_MEMO[key] = (st.stages, st.pinned, st.prefix)
+    stages, pinned, prefix = hit
+    out = SqlStages(prefix)
+    out.stages = list(stages)
+    out.pinned = set(pinned)
+    return out
+
 
 def t_pvalue_stages(
     t_col: str, dof_col: str, st: SqlStages | None = None
 ) -> tuple[SqlStages, str]:
     """Two-sided Student-t p-value: p = I_{v/(v+t^2)}(v/2, 1/2)."""
-    st = st or SqlStages()
+    if st is None:
+        key = ("t", t_col, dof_col)
+        return (
+            _memo_frontend(key, lambda: t_pvalue_stages(t_col, dof_col, SqlStages())[0]),
+            "p_value",
+        )
     a = st.add(f"CAST({dof_col} AS DOUBLE) / 2e0")
     b = st.add("5e-1")
     x = st.add(
@@ -409,7 +436,14 @@ def f_pvalue_stages(
     f_col: str, d1_col: str, d2_col: str, st: SqlStages | None = None
 ) -> tuple[SqlStages, str]:
     """Upper-tail F p-value: p = I_{d2/(d2+d1 F)}(d2/2, d1/2)."""
-    st = st or SqlStages()
+    if st is None:
+        key = ("f", f_col, d1_col, d2_col)
+        return (
+            _memo_frontend(
+                key, lambda: f_pvalue_stages(f_col, d1_col, d2_col, SqlStages())[0]
+            ),
+            "p_value",
+        )
     a = st.add(f"CAST({d2_col} AS DOUBLE) / 2e0")
     b = st.add(f"CAST({d1_col} AS DOUBLE) / 2e0")
     x = st.add(
@@ -426,7 +460,14 @@ def chi2_pvalue_stages(
     x2_col: str, dof_col: str, st: SqlStages | None = None
 ) -> tuple[SqlStages, str]:
     """Upper-tail chi-square p-value: p = Q(k/2, x/2)."""
-    st = st or SqlStages()
+    if st is None:
+        key = ("chi2", x2_col, dof_col)
+        return (
+            _memo_frontend(
+                key, lambda: chi2_pvalue_stages(x2_col, dof_col, SqlStages())[0]
+            ),
+            "p_value",
+        )
     s = st.add(f"CAST({dof_col} AS DOUBLE) / 2e0")
     x = st.add(f"CAST({x2_col} AS DOUBLE) / 2e0")
     p = st.gammainc_q(s, x)

@@ -863,15 +863,28 @@ def sketch_minhash_jaccard_corpora(spark, sf_dir):
     matches = sum(
         F.when(sa[f"m{i}"] == sb[f"m{i}"], 1).otherwise(0) for i in range(_MHJ_K)
     )
-    inter = o.distinct().join(p.distinct(), "k").count()
-    union = o.union(p).distinct().count()
+    # exact-audit leg IN-PLAN (r14): the two .count() calls here were
+    # driver-BLOCKING jobs serialized ahead of the main query (the
+    # market-basket n_orders lesson). As one-row aggregates riding a
+    # broadcast crossJoin they plan WITH the sketch legs. Both counts
+    # are exact integers well under 2^53, so cast-to-double + one IEEE
+    # division is bit-identical to the old float(inter)/float(union).
+    ex = (
+        o.distinct()
+        .join(p.distinct(), "k")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+        .crossJoin(o.union(p).distinct().agg(F.count(F.lit(1)).alias("_n_union")))
+    )
     return (
         sa.crossJoin(sb)
-        .select(matches.alias("_m"))
+        .crossJoin(F.broadcast(ex))
+        .select(matches.alias("_m"), "_n_inter", "_n_union")
         .select(
             F.col("_m").cast("bigint").alias("n_matching_mins"),
             (F.col("_m").cast("double") / float(_MHJ_K)).alias("jaccard_est"),
-            F.lit(float(inter) / float(union)).alias("jaccard_exact"),
+            (
+                F.col("_n_inter").cast("double") / F.col("_n_union").cast("double")
+            ).alias("jaccard_exact"),
         )
     )
 

@@ -2004,7 +2004,14 @@ def text_bpe_tokenize(spark, sf_dir):
     # is referenced by BOTH consumers (per-doc agg join + first-word
     # join): cut it once so the match battery runs once, and pin the
     # broadcast the planner chose before the cut hid the size stats
-    # (r13 optimization round)
+    # (r13 optimization round). SCALE HAZARD (ADVICE r13): the
+    # distinct-word frame grows with the corpus vocabulary, so at the
+    # 100 TB target an unconditional broadcast hint can exceed the
+    # driver/broadcast limit — there, drop the hint and let the
+    # planner shuffle-join (or bound the vocabulary first); the hint
+    # is kept because natural-language vocabularies cap around 1e6
+    # short words (~tens of MB broadcast) while the benchmark corpus
+    # is far below that.
     tok = tokenize_words(
         occ.select("word").distinct(), "word", bpe_vocab(_BPE_MERGES)
     ).localCheckpoint(eager=False)
