@@ -364,42 +364,83 @@ def append_text_index(
                 "n_docs": 0,
                 "fallback_scan": False,
             }
-    summary, _bloom_words_max = _batch_summary_and_bloom(docs, id_col, text_col)
-    if summary["n_docs"] == 0:
-        return {"committed": False, "batch_seq": -1, "n_docs": 0, "fallback_scan": False}
-    fallback = False
-    if stats is not None and check_disjoint:
-        cand = _overlap_candidates(
-            spark, stats, docs.select(F.col(id_col).alias("doc_id")), summary
-        )
-        if cand.limit(1).collect():
-            # Bloom hit: real overlap or false positive — only now pay
-            # the full-store semi-join the v1 guard always paid.
-            fallback = True
-            overlap = [
-                r[0]
-                for r in spark.read.parquet(store_path)
-                .select("doc_id")
-                .join(
-                    docs.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-                )
-                .limit(5)
-                .collect()
-            ]
-            if overlap:
-                raise ValueError(
-                    f"text index append overlaps the store on doc_id "
-                    f"(sample: {overlap}) — a replayed batch doubles tf/df; "
-                    "pass app/batch_id for exactly-once replay skipping"
-                )
     seq = (batches[-1] + 1) if batches else 0
     staging = f"{store_path}/_staging-{seq}"
     rows = _postings(docs, id_col, text_col, n_buckets).withColumn(
         "idx_version", F.lit(tag)
     )
-    # overwrite: a retry after a crash-before-rename self-heals the
-    # leftover (underscore-hidden, reader-invisible) staging dir
-    rows.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+    # The postings write depends on nothing below it — OVERLAP it with
+    # the summary aggregate and the disjointness probe instead of
+    # running three driver-sequenced segments (r13 verdict item 8 /
+    # guide §2.6). Staging is underscore-hidden and reader-invisible,
+    # so a write racing a probe that later RAISES is exactly the
+    # crash-before-rename case the protocol already self-heals (the
+    # next append's mode=overwrite clobbers the leftover); only the
+    # checked rename below publishes anything.
+    def _write_postings():
+        # overwrite: a retry after a crash-before-rename self-heals the
+        # leftover (underscore-hidden, reader-invisible) staging dir
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+    from pyspark import InheritableThread  # carries job group/description
+
+    write_err: list[BaseException] = []
+
+    def _runner():
+        try:
+            _write_postings()
+        except BaseException as e:  # re-raised on join
+            write_err.append(e)
+
+    writer = InheritableThread(target=_runner, name=f"ti-postings-{seq}")
+    writer.start()
+
+    def _join_writer():
+        writer.join()
+        if write_err:
+            raise write_err[0]
+
+    try:
+        summary, _bloom_words_max = _batch_summary_and_bloom(docs, id_col, text_col)
+        fallback = False
+        if summary["n_docs"] > 0 and stats is not None and check_disjoint:
+            cand = _overlap_candidates(
+                spark, stats, docs.select(F.col(id_col).alias("doc_id")), summary
+            )
+            if cand.limit(1).collect():
+                # Bloom hit: real overlap or false positive — only now
+                # pay the full-store semi-join the v1 guard always paid.
+                fallback = True
+                overlap = [
+                    r[0]
+                    for r in spark.read.parquet(store_path)
+                    .select("doc_id")
+                    .join(
+                        docs.select(F.col(id_col).alias("doc_id")),
+                        "doc_id",
+                        "left_semi",
+                    )
+                    .limit(5)
+                    .collect()
+                ]
+                if overlap:
+                    raise ValueError(
+                        f"text index append overlaps the store on doc_id "
+                        f"(sample: {overlap}) — a replayed batch doubles tf/df; "
+                        "pass app/batch_id for exactly-once replay skipping"
+                    )
+    finally:
+        # every exit joins the writer: an abandoned in-flight write
+        # would race a caller's NEXT append to the same staging dir
+        _join_writer()
+    if summary["n_docs"] == 0:
+        # empty batch commits nothing; drop the (reader-invisible)
+        # staging output the overlapped write produced
+        fs, src = _fs_path(spark, staging)
+        if fs.exists(src):
+            fs.delete(src, True)
+        return {"committed": False, "batch_seq": -1, "n_docs": 0, "fallback_scan": False}
     m_bits = _bloom_words_for(summary["n_docs"]) * 60
     stats_row = [
         (

@@ -262,24 +262,38 @@ def test_no_unpartitioned_windows_in_registry(spark):
 
     from etlalchemy_spark.plans import unpartitioned_windows
 
-    captured = []
+    import threading
+    from collections import defaultdict
+    from concurrent.futures import ThreadPoolExecutor
+
+    # per-thread capture: plan builds run on a thread pool (530 query
+    # builds at ~0.5 s of driver/Catalyst work each were 3.8 min run
+    # serially — 12% of the whole suite, r14 test-budget pass), and
+    # each worker must only see the checkpoints ITS query created
+    captured_by_tid: dict[int, list] = defaultdict(list)
     orig = _ClassicDF.localCheckpoint
 
     def spy(self, eager=True):
-        captured.append(self)
+        captured_by_tid[threading.get_ident()].append(self)
         return orig(self, eager=eager)
+
+    def check(item):
+        name, q = item
+        mine = captured_by_tid[threading.get_ident()]
+        mine.clear()
+        df = q.fn(spark, SF_DIR)
+        bad = unpartitioned_windows(df)
+        for parent in list(mine):
+            bad += unpartitioned_windows(parent)
+        return name, bad
 
     offenders = {}
     _ClassicDF.localCheckpoint = spy
     try:
-        for name, q in sorted(all_queries().items()):
-            captured.clear()
-            df = q.fn(spark, SF_DIR)
-            bad = unpartitioned_windows(df)
-            for parent in list(captured):
-                bad += unpartitioned_windows(parent)
-            if bad:
-                offenders[name] = bad
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for name, bad in pool.map(check, sorted(all_queries().items())):
+                if bad:
+                    offenders[name] = bad
     finally:
         _ClassicDF.localCheckpoint = orig
 
