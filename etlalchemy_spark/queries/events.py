@@ -3972,8 +3972,6 @@ def ts_holt_winters_forecast(spark, sf_dir):
     at the last row uses lags 1..72, i.e. predicts y at that row) —
     NOT the first hour after the series (r12 ADVICE docstring fix;
     predicting hour T+1 would use taps 0..71 at the last row)."""
-    from pyspark.sql import Window as W
-
     ks, K = _hw_kernel()
     ev = t(spark, sf_dir, "events")
     bounds = ev.agg(
@@ -3990,13 +3988,21 @@ def ts_holt_winters_forecast(spark, sf_dir):
         F.expr("timestampdiff(HOUR, h0, hour)").cast("bigint").alias("t_idx"),
         F.coalesce("n", F.lit(0)).cast("bigint").alias("y"),
     )
-    w = W.orderBy("t_idx")
-    pnum = F.lit(ks[0]) * F.lag("y", 1).over(w)
-    for i, k in enumerate(ks[1:], start=2):
-        pnum = pnum + F.lit(k) * F.lag("y", i).over(w)
-    f = y.select(
-        "t_idx", "y", pnum.alias("pnum"),
-        F.lag("y", _HW_PERIOD).over(w).alias("ysn"),
+    # the 72-tap predictor as ONE parsed SQL string: the per-tap
+    # F.lit/F.lag/.over Column chain cost ~0.83 s of pure Py4J
+    # plan-construction per invocation (measured r14 — half the bench
+    # time; the BPE r13 lesson). Identical window spec per term, so
+    # the analyzer collapses them exactly as the shared `w` did —
+    # physical plan unchanged (fingerprint-pinned).
+    pnum_sql = " + ".join(
+        f"({k} * lag(y, {i}) OVER (ORDER BY t_idx))"
+        for i, k in enumerate(ks, start=1)
+    )
+    f = y.selectExpr(
+        "t_idx",
+        "y",
+        f"({pnum_sql}) AS pnum",
+        f"lag(y, {_HW_PERIOD}) OVER (ORDER BY t_idx) AS ysn",
     ).where(F.col("t_idx") >= _HW_DEPTH)
     agg = f.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval"),
