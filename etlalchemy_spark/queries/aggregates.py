@@ -2057,44 +2057,51 @@ def agg_permutation_test(spark, sf_dir):
     single rational. Scale shape: one per-unit shuffle + one
     aggregate whose width is B columns; B scales the CPU of the
     aggregate, never a second pass over the fact table."""
-    from etlalchemy_spark.operators.sampling import hash_bucket
-
     o = t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
-    arms = [
-        (hash_bucket(F.col("o_custkey"), "ab:") < 500000).cast("int").alias("obs")
-    ] + [
-        (hash_bucket(F.col("o_custkey"), f"perm{r}:") < 500000)
-        .cast("int")
-        .alias(f"a{r}")
-        for r in range(_PERM_B)
-    ]
-    pc = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")).select(
-        "o_custkey", "cents", *arms
+
+    # every repeated expression family rides ONE parsed string (the
+    # holt-winters/BPE plan-construction lesson, r14): the per-arm
+    # Column chains (21 hash arms + 21 diff aggregates + the 20-term
+    # exceedance sum) cost ~1 s of pure Py4J roundtrips per
+    # invocation, re-paid every timed bench run. The strings parse to
+    # the identical analyzed trees (fingerprint-pinned).
+    def arm_sql(salt: str, alias: str) -> str:
+        h = (
+            f"CAST(conv(substring(md5(concat('{salt}', "
+            f"CAST(o_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"
+        )
+        return f"CAST(({h}) < 500000 AS INT) AS {alias}"
+
+    pc = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")).selectExpr(
+        "o_custkey",
+        "cents",
+        arm_sql("ab:", "obs"),
+        *[arm_sql(f"perm{r}:", f"a{r}") for r in range(_PERM_B)],
     )
 
-    def diff(col):
-        a = F.col(col)
-        st = F.sum(F.when(a == 1, F.col("cents")).otherwise(F.lit(0)))
-        sc = F.sum(F.when(a == 0, F.col("cents")).otherwise(F.lit(0)))
-        return st.cast("decimal(38,0)").cast("double") / F.sum(a).cast("double") - sc.cast(
-            "decimal(38,0)"
-        ).cast("double") / (F.count(F.lit(1)) - F.sum(a)).cast("double")
+    def diff_sql(col: str) -> str:
+        st = f"SUM(CASE WHEN ({col} = 1) THEN cents ELSE 0 END)"
+        sc = f"SUM(CASE WHEN ({col} = 0) THEN cents ELSE 0 END)"
+        return (
+            f"CAST(CAST({st} AS DECIMAL(38,0)) AS DOUBLE) / CAST(SUM({col}) AS DOUBLE)"
+            f" - CAST(CAST({sc} AS DECIMAL(38,0)) AS DOUBLE)"
+            f" / CAST((COUNT(1) - SUM({col})) AS DOUBLE)"
+        )
 
     d = pc.agg(
-        F.count(F.lit(1)).alias("n_units"),
-        diff("obs").alias("d_obs"),
-        *[diff(f"a{r}").alias(f"d{r}") for r in range(_PERM_B)],
+        F.expr("COUNT(1)").alias("n_units"),
+        F.expr(diff_sql("obs")).alias("d_obs"),
+        *[F.expr(diff_sql(f"a{r}")).alias(f"d{r}") for r in range(_PERM_B)],
     )
-    ge = sum(
-        (F.abs(F.col(f"d{r}")) >= F.abs(F.col("d_obs"))).cast("int")
-        for r in range(_PERM_B)
+    ge_sql = " + ".join(
+        f"CAST(abs(d{r}) >= abs(d_obs) AS INT)" for r in range(_PERM_B)
     )
-    return d.select(
-        F.col("n_units").cast("bigint").alias("n_units"),
-        (F.col("d_obs") / 100.0).alias("observed_diff"),
-        ge.cast("bigint").alias("n_as_extreme"),
-        ((1 + ge).cast("double") / F.lit(1 + _PERM_B).cast("double")).alias("p_value"),
+    return d.selectExpr(
+        "CAST(n_units AS BIGINT) AS n_units",
+        "(d_obs / 100.0D) AS observed_diff",  # D: double literal, as F.lit(100.0) was
+        f"CAST({ge_sql} AS BIGINT) AS n_as_extreme",
+        f"CAST(1 + ({ge_sql}) AS DOUBLE) / CAST({1 + _PERM_B} AS DOUBLE) AS p_value",
     )
 
 
