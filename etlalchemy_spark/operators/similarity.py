@@ -1282,7 +1282,23 @@ def pq_adc_topk(
         .groupBy(id_col, "subspace")
         .agg(F.min(F.struct(F.col("_s"), F.col("code"), F.col("lut"))).alias("_m"))
     )
-    scored = per_sub.groupBy(id_col).agg(F.sum("_m.lut").alias("approx_dist"))
+    # canonical-order sum (r14): a plain double SUM of the n_sub LUT
+    # terms re-associates in shuffle-merge order, so approx_dist
+    # drifted at the ULP level across partitionings — enough to flip
+    # shortlist-BOUNDARY candidates run to run (observed: suite-order-
+    # dependent recall 7 vs 8 at the 50k scale pin). Collecting the
+    # n_sub terms and folding them in SUBSPACE ORDER pins the score to
+    # the one canonical left-to-right float64 sum — deterministic
+    # under any partitioning, and exactly the value a single-machine
+    # ADC implementation computes. n_sub is 8: the per-row interpreted
+    # fold is negligible next to the assign join it follows.
+    scored = per_sub.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("subspace", F.col("_m.lut").alias("lut")))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["lut"],
+        ).alias("approx_dist")
+    )
     top = scored.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(k)
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("approx_dist"), F.col(id_col)))
