@@ -423,6 +423,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    hint_small_labels: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection: return
     (node, lbl) after ``rounds`` fixed supersteps. Init lbl(v)=v; each
@@ -494,10 +495,17 @@ def label_propagation(
         # neighbor's round-0 label in the v column (r13 optimization
         # round: one |2E| exchange + one |V| distinct removed; the
         # aggregate input multiset is identical by construction).
+        # hint_small_labels (caller-guaranteed |V| bound, e.g. a parquet
+        # footer row count): broadcast the label side so the superstep
+        # streams the checkpointed |2E| frame instead of shuffling both
+        # sides — the label frame descends from a checkpoint and has no
+        # size stats, so the planner cannot make this call itself.
+        # Join semantics (inner equi-join) are strategy-independent.
+        lbl_side = F.broadcast(labels) if (hint_small_labels and labels is not None) else labels
         joined = (
             sym.select("u", F.col("v").alias("lbl"))
             if labels is None
-            else sym.join(labels, sym.v == labels.node).select("u", "lbl")
+            else sym.join(lbl_side, sym.v == lbl_side.node).select("u", "lbl")
         )
         labels = joined.groupBy(F.col("u").alias("node")).agg(
             F.mode("lbl", True).cast(lbl_type).alias("lbl")

@@ -106,6 +106,39 @@ def _degrees(edges):
     )
 
 
+# Broadcast budget for |V|-sized frames in the iterative operators:
+# 2M nodes x ~24 B/row ≈ 48 MB framed — well inside executor broadcast
+# budgets and far under the 8 GB / 512M-row hard cap (guide §3.1).
+_BROADCAST_NODE_CAP = 2_000_000
+
+
+def _nodes_broadcastable(spark, sf_dir) -> bool:
+    """Size guard for broadcasting |V|-sized frames (labels, frontiers,
+    survivor sets, degree tables) in the iterative graph queries: the
+    node domain is l_partkey, so |V| is bounded by the part table's
+    exact footer row count — a driver-side METADATA read, no job. The
+    per-round node frames descend from localCheckpoints (no Catalyst
+    size stats, planner assumes huge), so without the hint every
+    round sort-merge/shuffle-hash joins the |2E| edge list against a
+    frame we can PROVE is tiny; with it the edge list is never
+    re-shuffled inside a round (guide §3.1: broadcast the side you
+    know is small; §2.4: remove shuffles outright). At lake scale the
+    part count exceeds the cap, the guard declines, and the
+    distributed shapes are exactly as before."""
+    from etlalchemy_spark.catalog import _freshness_signature, _scan_splits, table_path
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_GRAPH_BCAST", "").lower() in ("off", "false", "0"):
+        return False  # operational escape hatch (and the A/B lever)
+    try:
+        p = table_path(sf_dir, "part")
+        s = _scan_splits(p, _freshness_signature(p))
+    except Exception:
+        return False
+    return s is not None and s[0] <= _BROADCAST_NODE_CAP
+
+
 _DEGREE_SQL = (
     _EDGE_CTES
     + """
@@ -234,6 +267,13 @@ def graph_kcore_peel(spark, sf_dir):
     # already redistributes and the spread is pure tax here
     edges = _edges(spark, sf_dir, fanout=False)
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # NOT broadcast-hinted (unlike BFS/LPA): the SMJ shape here shares
+    # sym's u-exchange between the degree aggregate and the first
+    # semi-join via ReusedExchange, so each round is one sym scan plus
+    # two exchanges already; the broadcast variants re-scan sym for
+    # the build and serialize an extra driver job per round — measured
+    # LOSSES (alternating same-session A/Bs: 3.08 s SMJ vs 4.52 s
+    # shared-broadcast-build vs 5.4+ s per-round-checkpointed build).
     for r in range(rounds):
         alive = (
             sym.groupBy("u")
@@ -410,12 +450,19 @@ def graph_bfs_hops(spark, sf_dir):
     )
     visited = seeds.withColumn("hop", F.lit(0))
     frontier = seeds
+    # frontier and visited are |V|-bounded node sets: broadcast under
+    # the footer guard so each round's expand join and first-arrival
+    # anti-join stream the checkpointed |2E| edge list / the distinct
+    # output instead of shuffling them (values unchanged — inner and
+    # left_anti equi-join semantics are strategy-independent).
+    bcast = _nodes_broadcastable(spark, sf_dir)
+    hint = F.broadcast if bcast else (lambda d: d)
     for h in (1, 2, 3):
         nxt = (
-            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            sym.join(hint(frontier.withColumnRenamed("node", "u")), "u")
             .select(F.col("v").cast("bigint").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(hint(visited.select("node")), "node", "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint(eager=False)
         )
@@ -791,14 +838,20 @@ def graph_label_propagation(spark, sf_dir):
 
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _degrees(edges)
+    # |V|-sized frames (labels, degrees) broadcast under the footer
+    # guard: each superstep and readout join then streams its |2E|
+    # side instead of shuffling both (the frames descend from
+    # checkpoints, so the planner has no stats to decide this itself).
+    bcast = _nodes_broadcastable(spark, sf_dir)
+    hint = F.broadcast if bcast else (lambda d: d)
     # the readout references the final labels three times (community
     # sizes, both endpoints of the within-edge join) — cut once more so
     # the last superstep computes once, not three times
     labels = label_propagation(
-        edges, src="u", dst="v", rounds=_LPA_ROUNDS
+        edges, src="u", dst="v", rounds=_LPA_ROUNDS, hint_small_labels=bcast
     ).localCheckpoint(eager=False)
     cs = (
-        labels.join(deg, "node")
+        labels.join(hint(deg), "node")
         .groupBy("lbl")
         .agg(
             F.count(F.lit(1)).alias("sz"),
@@ -821,7 +874,7 @@ def graph_label_propagation(spark, sf_dir):
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
     wsum = (
-        edges.join(lu, "u").join(lv, "v")
+        edges.join(hint(lu), "u").join(hint(lv), "v")
         .where(F.col("lu") == F.col("lv"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("within_edges"))
     )
@@ -1041,11 +1094,14 @@ def graph_louvain_exact(spark, sf_dir):
 
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _degrees(edges)
+    # same |V|-frame broadcast guard as graph_label_propagation
+    bcast = _nodes_broadcastable(spark, sf_dir)
+    hint = F.broadcast if bcast else (lambda d: d)
     labels = louvain_one_level(
         edges, src="u", dst="v", rounds=_LOUVAIN_ROUNDS
     ).localCheckpoint(eager=False)
     cs = (
-        labels.join(deg, "node")
+        labels.join(hint(deg), "node")
         .groupBy("lbl")
         .agg(
             F.count(F.lit(1)).alias("sz"),
@@ -1068,7 +1124,7 @@ def graph_louvain_exact(spark, sf_dir):
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
     wsum = (
-        edges.join(lu, "u").join(lv, "v")
+        edges.join(hint(lu), "u").join(hint(lv), "v")
         .where(F.col("lu") == F.col("lv"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("within_edges"))
     )
