@@ -587,6 +587,7 @@ def louvain_one_level(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 3,
+    hint_small_labels: bool = False,
 ) -> DataFrame:
     """One-level Louvain community detection (synchronous local-moving
     phase, ``rounds`` fixed supersteps): return (node, lbl) where every
@@ -638,14 +639,22 @@ def louvain_one_level(
     )
     m_df = edges.agg((F.count(F.lit(1))).cast("bigint").alias("m"))
     comm = deg.select("node", F.col("node").cast("bigint").alias("c"))
+    # hint_small_labels (caller-guaranteed |V| bound): every |V|- or
+    # |C|-sized frame (community assignment, degrees, per-community
+    # totals) is broadcast so the |2E| edge join and the candidate
+    # score chain stream without shuffling — the frames descend from
+    # checkpoints (no size stats), so the planner cannot make this
+    # call itself. All joins are equi-joins; values are unchanged.
+    hint = F.broadcast if hint_small_labels else (lambda d: d)
     for r in range(rounds):
         sig = (
-            comm.join(deg, "node")
+            comm.join(hint(deg), "node")
             .groupBy("c")
             .agg(F.sum("degree").cast("bigint").alias("st"))
         )
+        comm_b = hint(comm)
         kc = (
-            sym.join(comm, sym.v == comm.node)
+            sym.join(comm_b, sym.v == comm_b.node)
             .groupBy(F.col("u").alias("node"), "c")
             .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
         )
@@ -656,9 +665,9 @@ def louvain_one_level(
         )
         cur = comm.select("node", F.col("c").alias("cur_c"))
         sc = (
-            cand.join(deg, "node")
-            .join(cur, "node")
-            .join(sig, "c")
+            cand.join(hint(deg), "node")
+            .join(hint(cur), "node")
+            .join(hint(sig), "c")
             .crossJoin(F.broadcast(m_df))
             .select(
                 "node",

@@ -950,22 +950,33 @@ def graph_closeness_landmarks(spark, sf_dir):
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
+    # seeds cut ONCE (4 rows): without it the |2E| distinct +
+    # TakeOrdered re-executes inside every round's visited/frontier
+    # reference; with it visited is a union of already-checkpointed
+    # pieces (seeds + each round's cut nxt), so its own per-round
+    # checkpoint was a pure blocking job — the graph_bfs_hops r13
+    # lesson applied here.
     seeds = (
         sym.select(F.col("u").alias("node")).distinct().orderBy("node").limit(4)
         .select(F.col("node").alias("lm"), "node")
+        .localCheckpoint(eager=False)
     )
     visited = seeds.withColumn("hop", F.lit(0))
     frontier = seeds
+    # frontier/visited are (landmarks x |V|)-bounded: broadcast under
+    # the footer guard (4 x cap x ~24 B worst case, within budget) so
+    # the expand join and anti-join stream their big sides.
+    hint = F.broadcast if _nodes_broadcastable(spark, sf_dir) else (lambda d: d)
     for h in (1, 2, 3):
         nxt = (
-            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            sym.join(hint(frontier.withColumnRenamed("node", "u")), "u")
             .select("lm", F.col("v").cast("bigint").alias("node"))
             .distinct()
-            .join(visited.select("lm", "node"), ["lm", "node"], "left_anti")
+            .join(hint(visited.select("lm", "node")), ["lm", "node"], "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("lm", "node")
     hrec = (
         F.when(F.col("hop") == 1, 1000000000000)
@@ -1098,7 +1109,7 @@ def graph_louvain_exact(spark, sf_dir):
     bcast = _nodes_broadcastable(spark, sf_dir)
     hint = F.broadcast if bcast else (lambda d: d)
     labels = louvain_one_level(
-        edges, src="u", dst="v", rounds=_LOUVAIN_ROUNDS
+        edges, src="u", dst="v", rounds=_LOUVAIN_ROUNDS, hint_small_labels=bcast
     ).localCheckpoint(eager=False)
     cs = (
         labels.join(hint(deg), "node")

@@ -634,7 +634,10 @@ def sketch_bloom_registers(spark, sf_dir):
     input size; the build is one narrow explode + hash agg."""
     from etlalchemy_spark.operators.sketch import bloom_registers
 
-    o = t(spark, sf_dir, "orders")
+    # fanout: the register build is map-compute-bound (k salted md5
+    # hashes per row ahead of a reducing aggregate) and the fixture
+    # scan is one row group — the cms/spearman r13 finding
+    o = t(spark, sf_dir, "orders", fanout=True)
     return bloom_registers(o, F.col("o_custkey"))
 
 
@@ -694,7 +697,10 @@ def sketch_bloom_membership(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     p = t(spark, sf_dir, "part")
-    reg = bloom_registers(o, F.col("o_custkey"))
+    # the register build fans out (k md5/row map work, single-row-group
+    # scan); the probe/distinct legs keep the plain scan — their keyed
+    # exchanges already redistribute (alternating A/B 1.24 -> 1.10 s)
+    reg = bloom_registers(t(spark, sf_dir, "orders", fanout=True), F.col("o_custkey"))
     ok = o.select(F.col("o_custkey").alias("p_partkey")).distinct()
     probes = p.join(ok.withColumn("_m", F.lit(True)), "p_partkey", "left").select(
         "p_partkey", F.coalesce(F.col("_m"), F.lit(False)).alias("truth")
