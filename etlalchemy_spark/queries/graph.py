@@ -370,9 +370,15 @@ def graph_common_neighbors_topk(spark, sf_dir):
     edge list to keep only PREDICTED links, and a
     TakeOrderedAndProject top-20 — no global sort. Deterministic
     (count desc, u, v) tie-break; integer-only."""
-    edges = _edges(spark, sf_dir)
+    # edges cut once (deg, both sym arms and the closing anti-join
+    # replay ONE edge build instead of re-running scan+self-join+
+    # distinct per reference — the triangle r9 discipline, applied
+    # here in r14); the |V|-bounded low-degree set broadcast under
+    # the footer guard so the hub-cap semi-join streams sym.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _degrees(edges)
-    lowdeg = deg.where(F.col("degree") <= _CN_HUB_CAP).select("node")
+    hint = F.broadcast if _nodes_broadcastable(spark, sf_dir) else (lambda d: d)
+    lowdeg = hint(deg.where(F.col("degree") <= _CN_HUB_CAP).select("node"))
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.join(lowdeg, sym.v == lowdeg.node, "left_semi")
     a = sym.select(F.col("v").alias("w"), F.col("u").alias("x"))
@@ -514,12 +520,21 @@ def graph_degree_assortativity(spark, sf_dir):
     aggregate + two narrow joins tagging each edge endpoint + ONE
     moment aggregate to a single row. Edges shuffle on node id twice;
     nothing wider than (u, v, two ints) ever moves."""
+    # sym cut once (deg + both dd references replay it instead of
+    # re-running the scan+self-join+distinct edge build per branch),
+    # deg cut once (both endpoint tags read ONE aggregate execution),
+    # and the |V|-sized degree table broadcast under the footer guard
+    # so dd streams sym with no exchange (guide §2.4/§3.1; alternating
+    # same-session A/B 3.43 -> 2.78 s at sf0.1/32c).
     edges = _edges(spark, sf_dir)
-    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = _degrees(sym.select("u", "v"))  # symmetric list: degree = count per u
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = _degrees(sym.select("u", "v")).localCheckpoint(eager=False)
+    hint = F.broadcast if _nodes_broadcastable(spark, sf_dir) else (lambda d: d)
     dd = (
-        sym.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("dx")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dy")), "v")
+        sym.join(hint(deg.select(F.col("node").alias("u"), F.col("degree").alias("dx"))), "u")
+        .join(hint(deg.select(F.col("node").alias("v"), F.col("degree").alias("dy"))), "v")
     )
     m = dd.agg(
         F.count(F.lit(1)).alias("n"),
@@ -708,8 +723,13 @@ def graph_adamic_adar_topk(spark, sf_dir):
     hub-capped wedge enumeration as common-neighbors (cost linear in
     edges), one anti-join to keep predicted links, one
     TakeOrderedAndProject."""
-    edges = _edges(spark, sf_dir)
-    deg = _degrees(edges)
+    # same r14 restructure as common-neighbors: one edge build and ONE
+    # degree aggregate execution (both cut), |V|-sized degree frames
+    # broadcast under the footer guard (wedge tag + closing dx/dy tags
+    # stream their big sides). Alternating A/B: 5.04 -> 4.01 s.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = _degrees(edges).localCheckpoint(eager=False)
+    hint = F.broadcast if _nodes_broadcastable(spark, sf_dir) else (lambda d: d)
     lowdeg = deg.where(F.col("degree") <= _CN_HUB_CAP)
     lnd = (
         lowdeg.where(F.col("degree") >= 2)
@@ -719,7 +739,7 @@ def graph_adamic_adar_topk(spark, sf_dir):
     )
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     a = sym.join(
-        lowdeg.select(F.col("node"), F.col("degree").alias("wdeg")),
+        hint(lowdeg.select(F.col("node"), F.col("degree").alias("wdeg"))),
         sym.v == F.col("node"),
     ).select(F.col("v").alias("w"), "wdeg", F.col("u").alias("x"))
     b = sym.select(F.col("v").alias("w"), F.col("u").alias("y"))
@@ -733,8 +753,8 @@ def graph_adamic_adar_topk(spark, sf_dir):
         )
     )
     nonadj = cn.join(edges, (cn.x == edges.u) & (cn.y == edges.v), "left_anti")
-    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("degx"))
-    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("degy"))
+    dx = hint(deg.select(F.col("node").alias("x"), F.col("degree").alias("degx")))
+    dy = hint(deg.select(F.col("node").alias("y"), F.col("degree").alias("degy")))
     j = nonadj.join(dx, "x").join(dy, "y")
     return (
         j.select(
