@@ -3498,7 +3498,15 @@ def agg_kruskal_wallis(spark, sf_dir):
     s = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
     )
-    gv = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    # gv cut once: the rank-sum join probe below re-ran the orders
+    # scan + (grp, v) aggregate that the prefix checkpoint had already
+    # materialized through vt — with the cut both the value table and
+    # the probe replay ONE execution (alternating same-session A/B
+    # 4.28 -> 3.46 s at sf0.1/32c; carrying the cells through the
+    # prefix window as an array column instead was REJECTED — the
+    # wider rows through the window sort/exchange measured 0.9 s
+    # slower than this shape).
+    gv = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     vt = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
     p = running_global_sum(
         vt, F.col("v"), [], F.col("t").cast("decimal(38,0)"), alias="_cum", n_buckets=16
