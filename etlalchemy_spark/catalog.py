@@ -195,6 +195,17 @@ def load_table(
     return df
 
 
+def footer_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from its parquet footer —
+    driver-side METADATA only, no job. None when the footer is
+    unreadable (e.g. a multi-file directory), which callers must treat
+    as 'not small'. Used as the size guard for broadcast decisions on
+    frames whose row count is bounded by a table's id domain."""
+    path = table_path(sf_dir, name)
+    s = _scan_splits(path, _freshness_signature(path))
+    return None if s is None else s[0]
+
+
 def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A table headed into a MAP-HEAVY stage (md5-per-shingle
     batteries, decimal dot products, Arrow codec decodes): round-robin

@@ -186,10 +186,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    hint_small_labels: bool = False,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     ``edges`` is undirected input (each pair once is fine).
+
+    ``hint_small_labels``: caller-guaranteed |V| bound (e.g. a parquet
+    footer row count of the id domain) — broadcasts the label /
+    neighbor-min sides of the per-round joins so the |2E| frame and
+    the |V| update join stream instead of shuffling (the frames
+    descend from checkpoints, so the planner has no stats to decide
+    this itself). Join semantics are strategy-independent.
     """
     if max_iter < 1:
         raise ValueError(f"connected_components: max_iter must be >= 1, got {max_iter}")
@@ -209,27 +217,30 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    hint = F.broadcast if hint_small_labels else (lambda d: d)
     for _ in range(max_iter):
+        lbl_b = hint(labels)
         neighbor_min = (
-            und.join(labels, und.a == labels.node)
+            und.join(lbl_b, und.a == lbl_b.node)
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+        # the previous label rides along so the convergence check is a
+        # filter-count over the frame this round materializes ANYWAY —
+        # the old shape re-joined new labels against old labels
+        # (|V| x |V|, two exchanges + one extra job) per round just to
+        # count changes; same count, zero extra plan work.
+        new_full = (
+            labels.join(hint(neighbor_min), labels.node == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.where(F.col("label") != F.col("_old")).count()
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
     else:

@@ -61,6 +61,18 @@ WHERE rn = 1
 """
 
 
+
+def _small_doc_domain(sf_dir, cap=2_000_000):
+    """Size guard for broadcasting doc-id-keyed |V| frames inside
+    connected components: node ids are doc_ids, so |V| is bounded by
+    the documents table's exact parquet-footer row count (driver-side
+    metadata, no job). At lake scale the count exceeds the cap and the
+    distributed join shapes are unchanged."""
+    from etlalchemy_spark.catalog import footer_rows
+
+    r = footer_rows(sf_dir, "documents")
+    return r is not None and r <= cap
+
 @register("dedup_exact_first_per_key", oracle=_EXACT_SQL, tags=("dedup",))
 def dedup_exact_first_per_key(spark, sf_dir):
     """Deterministic keep-first exact dedup (one row per (lang, source),
@@ -311,7 +323,7 @@ def dedup_cc_canonical(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.1)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(edges)
+    cc = connected_components(edges, hint_small_labels=_small_doc_domain(sf_dir))
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -330,7 +342,7 @@ def dedup_minhash_cc_pipeline(spark, sf_dir):
         docs, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.1
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(edges)
+    cc = connected_components(edges, hint_small_labels=_small_doc_domain(sf_dir))
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "component")
@@ -794,7 +806,7 @@ def dedup_minhash_cc_exact(spark, sf_dir):
         threshold=_MH_THRESHOLD,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(edges)
+    cc = connected_components(edges, hint_small_labels=_small_doc_domain(sf_dir))
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "component")

@@ -1949,6 +1949,8 @@ def etl_entity_resolution(spark, sf_dir):
     row."""
     from etlalchemy_spark.operators.graph import connected_components
 
+    from etlalchemy_spark.catalog import footer_rows
+
     c = t(spark, sf_dir, "customer")
     orig = c.select(
         (F.col("c_custkey") * 2).alias("rec_id"), F.col("c_name").alias("name")
@@ -1967,7 +1969,10 @@ def etl_entity_resolution(spark, sf_dir):
         & (F.length(F.col("a.name")) != F.length(F.col("b.name")))
         & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1),
     ).select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
-    cc = connected_components(pairs)
+    cc = connected_components(
+        pairs,
+        hint_small_labels=((footer_rows(sf_dir, "customer") or 2**62) * 2 <= 2_000_000),
+    )
     return recs.join(
         cc.select(F.col("node").alias("rec_id"), F.col("component")),
         "rec_id",
