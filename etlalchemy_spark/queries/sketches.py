@@ -852,20 +852,33 @@ def sketch_minhash_jaccard_corpora(spark, sf_dir):
     state (k=32 here: ±1/sqrt(k) ≈ 18% standard error, plenty for a
     sourcing decision). Portable 60-bit md5 mins, so even the signatures
     hash-match."""
+    from etlalchemy_spark.catalog import load_table_spread
     from etlalchemy_spark.operators.dedup import md5_prefix60
 
-    def sig(df, col):
+    # No distinct pass before the mins: MIN is idempotent under
+    # duplicate keys, so the k salted minima over the RAW column are
+    # bit-identical to minima over its distinct set — while the
+    # distinct's full-key exchange disappears and the k-md5-per-row
+    # map work partial-aggregates to k values per task (guide §2.3:
+    # aggregate before you shuffle — here the shuffle drops to k·8
+    # bytes/task at ANY scale). The footer-guarded spread breaks the
+    # fixture's single-row-group scan fusion; AQE had been coalescing
+    # the post-distinct aggregate onto ONE task carrying all 32
+    # hashes/row (job profile: 4.6 s of a 6.1 s query on one core).
+    # Alternating same-session A/B: 5.50 -> 2.08 s at sf0.1/32c.
+    def sig(name, col):
+        df = load_table_spread(spark, sf_dir, name).select(F.col(col).alias("k"))
         aggs = [
             F.min(
-                md5_prefix60(F.concat(F.lit(f"mj{i}:"), F.col(col).cast("string")))
+                md5_prefix60(F.concat(F.lit(f"mj{i}:"), F.col("k").cast("string")))
             ).alias(f"m{i}")
             for i in range(_MHJ_K)
         ]
-        return df.select(col).distinct().agg(*aggs)
+        return df.agg(*aggs)
 
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     p = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
-    sa, sb = sig(o, "k"), sig(p, "k")
+    sa, sb = sig("orders", "o_custkey"), sig("part", "p_partkey")
     matches = sum(
         F.when(sa[f"m{i}"] == sb[f"m{i}"], 1).otherwise(0) for i in range(_MHJ_K)
     )
