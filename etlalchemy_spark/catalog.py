@@ -223,13 +223,24 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scale is a pure extra pass over the corpus on every call site
     (r13 VERDICT item 2); this is the footer-guarded replacement."""
     df = load_table(spark, sf_dir, name)
+    if scan_under_split(spark, sf_dir, name):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def scan_under_split(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True when the table's parquet footer shows fewer row groups than
+    half the task slots — the guard shared by ``load_table_spread`` and
+    streaming call sites that spread a map-heavy stage (a micro-batch
+    over an under-split file inherits the same one-core fusion). False
+    when the footer is unreadable (multi-file lake layouts): no
+    exchange is ever added on real lake data."""
     path = table_path(sf_dir, name)
     splits = _scan_splits(path, _freshness_signature(path))
-    if splits is not None:
-        slots = spark.sparkContext.defaultParallelism
-        if splits[1] < max(slots // 2, 1):
-            df = df.repartition(slots)
-    return df
+    if splits is None:
+        return False
+    slots = spark.sparkContext.defaultParallelism
+    return splits[1] < max(slots // 2, 1)
 
 
 def load_tables(

@@ -245,6 +245,17 @@ def stream_decontam_scrub(spark, sf_dir):
     train = read_documents_stream(spark, sf_dir).where(
         hash_bucket(F.col("doc_id"), salt="sp:") < 800000
     )
+    # footer-guarded spread (catalog.scan_under_split): the fixture's
+    # single-row-group file gives each micro-batch ~9 byte-based
+    # splits, fusing the 5-gram shingle battery onto a third of the
+    # cores; the round-robin exchange moves the batch once and the
+    # map stage runs at full width (alternating same-session A/B
+    # 4.48 -> 1.97 s). On lake layouts the guard is False and no
+    # exchange is added — the r13 VERDICT item-2 discipline.
+    from etlalchemy_spark.catalog import scan_under_split
+
+    if scan_under_split(spark, sf_dir, "documents"):
+        train = train.repartition(spark.sparkContext.defaultParallelism)
     eval_sh = (
         word_shingles(
             load_table(spark, sf_dir, "documents").where(
