@@ -1132,9 +1132,19 @@ def sketch_ams_join_size(spark, sf_dir):
     the audit leg). Signs are salted portable-md5 parity bits, so
     both engines' counters are identical integers; the estimate is
     one integer dot product and a division."""
+    from etlalchemy_spark.catalog import load_table_spread
     from etlalchemy_spark.operators.dedup import md5_prefix60
 
-    def counters(df, key):
+    # counter builds ride the footer-guarded spread: each side is 16
+    # salted md5 parity bits PER ROW ahead of a fully-reducing sum
+    # aggregate, and the fixture's single-row-group scans fused both
+    # batteries onto one core each (job profile: 2.3 s + 1.6 s
+    # single-task jobs in a 3.2 s query). Map-side partial sums mean
+    # the exchange carries 16 integers per task at any scale; exact
+    # integer sums reassociate bit-identically. The audit join keeps
+    # the plain scans (its keyed exchange already redistributes).
+    def counters(name, key):
+        df = load_table_spread(spark, sf_dir, name)
         signs = [
             (
                 F.lit(1)
@@ -1148,8 +1158,8 @@ def sketch_ams_join_size(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     e = t(spark, sf_dir, "events")
-    a = counters(o, F.col("o_custkey"))
-    b = counters(e, F.col("user_id"))
+    a = counters("orders", F.col("o_custkey"))
+    b = counters("events", F.col("user_id"))
     b = b.select(*[F.col(f"x{j}").alias(f"y{j}") for j in range(_AMS_D)])
     tru = o.join(e, o.o_custkey == e.user_id).agg(F.count(F.lit(1)).alias("n_true"))
     w = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(tru))
