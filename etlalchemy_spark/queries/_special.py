@@ -387,26 +387,47 @@ class SqlStages:
 
 # ---------------------------------------------------------------- front-ends
 
-# Memo for the no-chain (st=None) front-end calls: building + compacting
-# a p-value chain is pure driver Python (regex fixpoint over ~90 stage
+# Memo for the p-value front-end calls: building + compacting a
+# p-value chain is pure driver Python (regex fixpoint over ~90 stage
 # expressions) measured at 0.11 s (chi2) to 0.37 s (t) PER QUERY BUILD,
-# and the result depends only on the input column names. The cache
-# stores the compacted stage list; every hit returns a FRESH SqlStages
-# carrying copies, so callers that mutate the returned object (add
-# further stages) behave exactly as before. Chained calls (st passed
-# in) compact the caller's stages too and are never cached.
-_FRONTEND_MEMO: dict[tuple, tuple[list, set, str]] = {}
+# and the result depends only on the input column names PLUS — for
+# chained calls (st passed in) — the caller's pre-added stage list,
+# which is a tuple of deterministic strings and therefore a valid
+# cache key. The cache stores the compacted stage list; every hit
+# returns a FRESH SqlStages carrying copies (including the auto-name
+# counter, so appended stages never collide with cached names), so
+# callers that mutate the returned object behave exactly as before.
+_FRONTEND_MEMO: dict[tuple, tuple[list, set, str, int]] = {}
 
 
 def _memo_frontend(key: tuple, build) -> SqlStages:
     hit = _FRONTEND_MEMO.get(key)
     if hit is None:
         st = build()
-        hit = _FRONTEND_MEMO[key] = (st.stages, st.pinned, st.prefix)
-    stages, pinned, prefix = hit
+        hit = _FRONTEND_MEMO[key] = (st.stages, st.pinned, st.prefix, st._n)
+    stages, pinned, prefix, n = hit
     out = SqlStages(prefix)
     out.stages = list(stages)
     out.pinned = set(pinned)
+    out._n = n
+    return out
+
+
+def _chain_key(kind: tuple, st: "SqlStages | None") -> tuple:
+    """Memo key covering the chained form: the pre-added stages are
+    deterministic (name, expr) string tuples, so two calls with equal
+    prefixes build byte-identical compacted chains."""
+    if st is None:
+        return kind + (None,)
+    return kind + (st.prefix, tuple(st.stages), tuple(sorted(st.pinned)), st._n)
+
+
+def _chain_copy(st: "SqlStages | None") -> SqlStages:
+    out = SqlStages() if st is None else SqlStages(st.prefix)
+    if st is not None:
+        out.stages = list(st.stages)
+        out.pinned = set(st.pinned)
+        out._n = st._n
     return out
 
 
@@ -414,12 +435,16 @@ def t_pvalue_stages(
     t_col: str, dof_col: str, st: SqlStages | None = None
 ) -> tuple[SqlStages, str]:
     """Two-sided Student-t p-value: p = I_{v/(v+t^2)}(v/2, 1/2)."""
-    if st is None:
-        key = ("t", t_col, dof_col)
-        return (
-            _memo_frontend(key, lambda: t_pvalue_stages(t_col, dof_col, SqlStages())[0]),
-            "p_value",
-        )
+    key = _chain_key(("t", t_col, dof_col), st)
+    return (
+        _memo_frontend(
+            key, lambda: _t_pvalue_build(t_col, dof_col, _chain_copy(st))
+        ),
+        "p_value",
+    )
+
+
+def _t_pvalue_build(t_col: str, dof_col: str, st: SqlStages) -> SqlStages:
     a = st.add(f"CAST({dof_col} AS DOUBLE) / 2e0")
     b = st.add("5e-1")
     x = st.add(
@@ -429,21 +454,23 @@ def t_pvalue_stages(
     )
     p = st.betainc(a, b, x, lgamma_b_literal=_d(math.lgamma(0.5)))
     st.add(f"LEAST(GREATEST({p}, 0e0), 1e0)", name="p_value")
-    return st.compact(), "p_value"
+    return st.compact()
 
 
 def f_pvalue_stages(
     f_col: str, d1_col: str, d2_col: str, st: SqlStages | None = None
 ) -> tuple[SqlStages, str]:
     """Upper-tail F p-value: p = I_{d2/(d2+d1 F)}(d2/2, d1/2)."""
-    if st is None:
-        key = ("f", f_col, d1_col, d2_col)
-        return (
-            _memo_frontend(
-                key, lambda: f_pvalue_stages(f_col, d1_col, d2_col, SqlStages())[0]
-            ),
-            "p_value",
-        )
+    key = _chain_key(("f", f_col, d1_col, d2_col), st)
+    return (
+        _memo_frontend(
+            key, lambda: _f_pvalue_build(f_col, d1_col, d2_col, _chain_copy(st))
+        ),
+        "p_value",
+    )
+
+
+def _f_pvalue_build(f_col: str, d1_col: str, d2_col: str, st: SqlStages) -> SqlStages:
     a = st.add(f"CAST({d2_col} AS DOUBLE) / 2e0")
     b = st.add(f"CAST({d1_col} AS DOUBLE) / 2e0")
     x = st.add(
@@ -453,23 +480,25 @@ def f_pvalue_stages(
     )
     p = st.betainc(a, b, x)
     st.add(f"LEAST(GREATEST({p}, 0e0), 1e0)", name="p_value")
-    return st.compact(), "p_value"
+    return st.compact()
 
 
 def chi2_pvalue_stages(
     x2_col: str, dof_col: str, st: SqlStages | None = None
 ) -> tuple[SqlStages, str]:
     """Upper-tail chi-square p-value: p = Q(k/2, x/2)."""
-    if st is None:
-        key = ("chi2", x2_col, dof_col)
-        return (
-            _memo_frontend(
-                key, lambda: chi2_pvalue_stages(x2_col, dof_col, SqlStages())[0]
-            ),
-            "p_value",
-        )
+    key = _chain_key(("chi2", x2_col, dof_col), st)
+    return (
+        _memo_frontend(
+            key, lambda: _chi2_pvalue_build(x2_col, dof_col, _chain_copy(st))
+        ),
+        "p_value",
+    )
+
+
+def _chi2_pvalue_build(x2_col: str, dof_col: str, st: SqlStages) -> SqlStages:
     s = st.add(f"CAST({dof_col} AS DOUBLE) / 2e0")
     x = st.add(f"CAST({x2_col} AS DOUBLE) / 2e0")
     p = st.gammainc_q(s, x)
     st.add(f"LEAST(GREATEST({p}, 0e0), 1e0)", name="p_value")
-    return st.compact(), "p_value"
+    return st.compact()
