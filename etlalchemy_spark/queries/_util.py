@@ -253,3 +253,20 @@ def ln_int_sql(n_expr: str) -> str:
     return (
         f"(CAST({k} AS DOUBLE) * 6931471805599453e-16 + 2e0 * {z} * {horner})"
     )
+
+
+def cut(df: DataFrame) -> DataFrame:
+    """Lazy lineage cut for an upstream frame with MULTIPLE consumers
+    (e.g. a pre-aggregate feeding both a prefix pass and a totals
+    aggregate): one materialization replaces per-consumer re-execution
+    of the upstream plan — the kruskal-wallis r14 finding, shared. On
+    Spark 4.1 + AQE the "lazy" checkpoint still executes upstream
+    shuffle stages at creation, so apply it only where a second
+    consumer exists. ``SPARK_GRAFT_NO_CUT=1`` disables every shared
+    cut (the A/B lever; also the escape hatch if a storage-constrained
+    deployment prefers recompute over materialization)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CUT"):
+        return df
+    return df.localCheckpoint(eager=False)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etlalchemy_spark.registry import register
-from etlalchemy_spark.queries._util import t
+from etlalchemy_spark.queries._util import cut, t
 
 _TUMBLE_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
@@ -2595,6 +2595,7 @@ def ts_max_concurrency(spark, sf_dir):
         alias="_c",
         n_buckets=16,
     ).withColumn("c", F.col("_c").cast("bigint"))
+    run = cut(run)  # two consumers: max aggregate + the join-back
     mx = run.agg(F.max("c").alias("mc"))
     return (
         run.crossJoin(F.broadcast(mx))
