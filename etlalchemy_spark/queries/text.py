@@ -19,7 +19,7 @@ from etlalchemy_spark.operators.text import (
     token_count,
 )
 from etlalchemy_spark.registry import register
-from etlalchemy_spark.queries._util import shingle_ctes, t
+from etlalchemy_spark.queries._util import cut, shingle_ctes, t
 
 _TOKENS_SQL = """
 SELECT doc_id,
@@ -120,7 +120,10 @@ FROM s
 def text_lang_id(spark, sf_dir):
     """Marker-word language ID vs the labeled lang column (argmax with
     alphabetical tie-break, 'und' when no markers hit)."""
-    docs = t(spark, sf_dir, "documents")
+    # map-bound marker-word scoring over every row — spread past the
+    # single-row-group scan fusion (footer-guarded; the r13 lang-id
+    # family treatment, this query had been missed)
+    docs = _spread_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -2819,7 +2822,10 @@ def text_langid_kappa(spark, sf_dir):
     p = docs.select(
         F.col("lang").alias("r"), lang_id(F.col("text")).alias("c")
     )
-    conf = p.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+    # FOUR consumers of the confusion matrix (both margins, N, the
+    # diagonal) — without the cut each re-runs the classify scan +
+    # confusion aggregate; materialized it is <= |langs|^2 rows
+    conf = cut(p.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n")))
     rt = conf.groupBy("r").agg(F.sum("n").alias("row_tot"))
     ct = conf.groupBy("c").agg(F.sum("n").alias("col_tot"))
     nn = conf.agg(F.sum("n").alias("nn"))
