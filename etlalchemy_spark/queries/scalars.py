@@ -295,7 +295,11 @@ def scalar_try_cast(spark, sf_dir):
     """Safe casts under ANSI mode: try_cast yields NULL where a plain
     CAST would raise — the ingestion-cleaning idiom (reference D1 row
     fixes without a Python row loop)."""
-    ev = t(spark, sf_dir, "events")
+    # map-bound per-row cast battery over a single-row-group scan —
+    # footer-guarded spread (whole query was ONE task / 1.1 s)
+    from etlalchemy_spark.catalog import load_table_spread
+
+    ev = load_table_spread(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_ok"),
