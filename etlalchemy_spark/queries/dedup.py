@@ -276,7 +276,12 @@ def dedup_simhash(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup: hyperplane-LSH buckets + exact cosine verify
     (rows-only; plane literals are engine-side)."""
-    emb = t(spark, sf_dir, "embeddings")
+    # footer-guarded spread: the hyperplane signing + exact-cosine
+    # verify are per-row decimal dot products fused to the single-row-
+    # group scan (one task); alternating A/B 1.28 -> 0.73 s
+    from etlalchemy_spark.queries.similarity import _spread_embeddings
+
+    emb = _spread_embeddings(spark, sf_dir)
     return embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=6, seed=7, dim=64
     )
